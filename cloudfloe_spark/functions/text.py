@@ -1,0 +1,172 @@
+"""Text-analysis column expressions: tokenization, shingles, portable hashes,
+language-ID, quality scoring, fingerprints.
+
+All pure Column expressions over built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero Python UDFs in the hot path. That is the 100 TB
+design constraint: a Python UDF here would serialize every document through
+the Py4J/Arrow boundary; these expressions never leave Tungsten.
+
+The hash primitives are **portable**: built from ``md5`` (identical in Spark
+and DuckDB) rather than ``xxhash64``/``hash`` (engine-specific seeds), so
+every operator built on them is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic small stopword lists per language for the n-gram heuristic
+# language identifier. Public knowledge (common function words).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "a", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — canonical form for
+    fingerprinting/dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens removed)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Character n-grams of the normalized text (array<string>)."""
+    s = normalize_text(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+        lambda i: F.substring(s, i, F.lit(n)),
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined consecutive word windows) →
+    array<string>. Built with transform+sequence+slice: no explode needed
+    until the caller chooses to."""
+    ws = words(col)
+    n_shingles = F.greatest(F.size(ws) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+
+
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB.
+
+    md5 → first 15 hex digits → bigint. Spark: conv(...,16,10); DuckDB:
+    ('0x' || substring(md5(x),1,15))::BIGINT. 15 hex digits = 60 bits,
+    safely inside int64.
+    """
+    payload = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash_sql(expr: str, seed: int = 0) -> str:
+    """The DuckDB-side twin of ``portable_hash64`` as a SQL fragment."""
+    return f"CAST(('0x' || SUBSTRING(MD5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+
+
+def _seeded_hasher(seed: int):
+    # NOTE: single-argument closure, NOT `lambda s, seed=seed:` — pyspark
+    # higher-order functions inspect lambda arity and would pass the array
+    # index as the second argument, silently clobbering the default.
+    def h(s: Column) -> Column:
+        return portable_hash64(s, seed=seed)
+
+    return h
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima over the shingle
+    set, seeded hashes. array<bigint>, NULL-free; empty shingle set → nulls.
+    """
+    sh = word_shingles(col, shingle_k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, _seeded_hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (portable)."""
+    return F.md5(normalize_text(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    clean = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) > 0, F.length(clean) / F.length(col)).otherwise(0.0)
+
+
+def _membership(stopwords: tuple[str, ...]):
+    def f(w: Column) -> Column:
+        return w.isin(*stopwords)
+
+    return f
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of words that are (English) stopwords."""
+    ws = words(F.lower(col))
+    hits = F.size(F.filter(ws, _membership(stopwords)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(0.0)
+
+
+def mean_word_length(col: Column) -> Column:
+    ws = words(col)
+    total = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(0.0)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs, plausible
+    word lengths, low punctuation noise. Deterministic closed form so the
+    DuckDB oracle can reproduce it exactly."""
+    n_words = word_count(col).cast("double")
+    len_score = F.least(n_words / 50.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
+    punct_score = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round((len_score + wl_score + punct_score) / 3.0, 4)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram-heuristic lang-ID)."""
+    ws = words(F.lower(col))
+    return {
+        lang: F.size(F.filter(ws, _membership(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language with the max stopword-hit count (ties broken by
+    fixed language order; all-zero → 'und')."""
+    scores = lang_scores(col)
+    langs = list(LANG_STOPWORDS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang in reversed(langs):
+        s = scores[lang]
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))

@@ -1,0 +1,375 @@
+"""Deduplication operators over the ``documents`` table.
+
+A first-class training-data-pipeline component (north-star extension surface):
+exact dedup, MinHash+LSH fuzzy dedup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. Every operator uses the portable md5-based hash
+primitives from ``cloudfloe_spark.functions.text`` so the DuckDB oracle can
+reproduce the exact same signatures — the fuzzy ops are fully SQL-checkable,
+not rows-only.
+
+Scale design:
+- No pairwise O(n²) comparison anywhere: candidate pairs always come from an
+  equi-join on a bucket key (fingerprint, LSH band, simhash prefix, shared
+  shingle), which Spark executes as a shuffle hash join on the bucket key.
+- Signatures are computed in one projection pass (no explode of the corpus
+  until after blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.functions.text import (
+    fingerprint,
+    minhash_signature,
+    normalize_text,
+    portable_hash64,
+    portable_hash_sql,
+    word_shingles,
+    words,
+)
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+               COUNT(*)     AS n_copies,
+               MIN(doc_id)  AS keeper_doc_id
+        FROM documents
+        GROUP BY fp
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: group on md5(normalized),
+    keep min doc_id. One shuffle on the 16-byte fingerprint, never on the
+    full text — at 100 TB the shuffle payload is the hash, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@register(
+    "dedup_exact_distinct",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))) AS n_dupes
+        FROM documents
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup stats (total vs unique fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.select(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MH_HASHES = 12
+_MH_BAND_SIZE = 3  # 4 bands of 3 → catches Jaccard ≳ 0.6 reliably
+
+
+def _minhash_sql_exprs() -> tuple[str, str]:
+    """DuckDB SQL fragments: (shingle array, minhash signature array)."""
+    shingle = (
+        "LIST_TRANSFORM("
+        "  GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 2, 0)),"
+        "  i -> ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+2], ' ')"
+        ")"
+    )
+    mins = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(sh, s -> {portable_hash_sql('s', seed=i)}))"
+        for i in range(_MH_HASHES)
+    )
+    return shingle, f"[{mins}]"
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH shingled AS (
+            SELECT doc_id, {_minhash_sql_exprs()[0]} AS sh FROM documents
+        )
+        SELECT doc_id, {_minhash_sql_exprs()[1]} AS sig
+        FROM shingled
+        WHERE LEN(sh) > 0
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 portable seeded hashes over 3-word shingles).
+    Pure projection — embarrassingly parallel, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .select(
+            "doc_id",
+            minhash_signature(F.col("text"), _MH_HASHES, 3).alias("sig"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+        WITH shingled AS (
+            SELECT doc_id, {_minhash_sql_exprs()[0]} AS sh FROM documents
+        ),
+        sigs AS (
+            SELECT doc_id, {_minhash_sql_exprs()[1]} AS sig
+            FROM shingled WHERE LEN(sh) > 0
+        ),
+        bands AS (
+            SELECT doc_id, b.band,
+                   ARRAY_TO_STRING(sig[(b.band*3+1):(b.band*3+3)], ',') AS band_key
+            FROM sigs, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → 4 bands of 3 hashes →
+    self-equi-join on (band, band_key). The join key is the banded hash, so
+    candidate generation is a bucket join, not an O(n²) cross."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.filter(F.size(word_shingles(F.col("text"), 3)) > 0).select(
+        "doc_id", minhash_signature(F.col("text"), _MH_HASHES, 3).alias("sig")
+    )
+    n_bands = _MH_HASHES // _MH_BAND_SIZE
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * _MH_BAND_SIZE + j + 1).cast(
+                                    "string"
+                                )
+                                for j in range(_MH_BAND_SIZE)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {portable_hash_sql('w', seed=7)} AS h FROM toks WHERE w <> ''
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+            FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, {_SIMHASH_BITS - 1})) AS bit) b
+            GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN weight > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, portable hash): per-bit vote over distinct-token
+    hashes, sign → bit. Near-dup docs land on nearby hashes; grouping on the
+    value (or a prefix) is the blocking key. Explode is per distinct token
+    ×16 bits — linear in corpus size, shuffles only (doc_id, bit) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = toks.select("doc_id", portable_hash64(F.col("w"), seed=7).alias("h"))
+    bits = (
+        hashed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+            "h",
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 2, 0)),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+2], ' ')
+                   )) AS shingle
+            FROM documents
+        ),
+        sh AS (SELECT DISTINCT doc_id, lang, shingle FROM raw),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share ≥1
+    shingle (inverted-index join blocked by lang — the candidate join is on
+    the shingle, never all-pairs). Pairs ≥ 0.2 reported."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.8
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: block on label (stand-in for an ANN/LSH
+    bucket), cosine ≥ 0.8 within block. The blocked join is an equi-join on
+    the block key; within-block comparison is JVM-side zip_with/aggregate."""
+    from cloudfloe_spark.functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.8)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )

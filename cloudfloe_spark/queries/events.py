@@ -1,0 +1,187 @@
+"""Event-stream operators over ``events`` — batch twins of the streaming ops.
+
+Structured Streaming executes these same expressions incrementally (see
+``cloudfloe_spark.streaming``); here they run in batch so the DuckDB oracle
+can verify the window semantics (SURVEY.md §7.3 risk 5: the oracle is
+batch-only, so every streaming op ships with a batch twin).
+
+``F.window``/``F.session_window`` work identically over batch DataFrames —
+the same query text is used by the streaming module with a watermark added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+        SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS w_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY w_start, event_type
+    """,
+    tags=("events", "window-agg", "streaming-twin"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (streaming twin: add
+    ``withWatermark('ts', ...)`` and run on readStream unchanged)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+        WITH starts AS (
+            SELECT e.*, s.w_start
+            FROM events e,
+                 LATERAL (SELECT UNNEST([
+                     TIME_BUCKET(INTERVAL '30 minutes', e.ts),
+                     TIME_BUCKET(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes'
+                 ]) AS w_start) s
+            WHERE e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL '1 hour'
+        )
+        SELECT w_start, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        FROM starts
+        GROUP BY w_start
+    """,
+    tags=("events", "window-agg", "streaming-twin"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in two
+    overlapping windows. Spark expands via F.window(len, slide); the oracle
+    expands explicitly via the two candidate starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '5 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM ordered
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    tags=("events", "window-agg", "streaming-twin"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user. Spark: F.session_window —
+    the native stateful operator; oracle: gaps-and-islands with LAG +
+    running SUM (identical session boundaries)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_by_key",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_after_dedup
+        FROM (
+            SELECT DISTINCT user_id, event_type, DATE_TRUNC('minute', ts) AS minute
+            FROM events
+        ) d
+        GROUP BY event_type
+    """,
+    tags=("events", "dedup", "streaming-twin"),
+)
+def events_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed event dedup (one event per user/type/minute) — the batch twin
+    of ``dropDuplicatesWithinWatermark``. Implemented order-independently
+    (count distinct keys) so batch and stream agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_after_dedup"))
+    )
+
+
+@register(
+    "events_rate_per_user",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS span_us
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               ROUND(CASE WHEN span_us > 0 THEN n_events / (span_us / 3600000000.0)
+                          ELSE 0.0 END, 4) AS events_per_hour
+        FROM spans
+    """,
+    tags=("events", "agg"),
+)
+def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rate (events/hour over the active span)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+    return spans.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.when(
+                F.col("span_us") > 0,
+                F.col("n_events") / (F.col("span_us") / 3600000000.0),
+            ).otherwise(0.0),
+            4,
+        ).alias("events_per_hour"),
+    )

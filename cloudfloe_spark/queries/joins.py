@@ -1,0 +1,347 @@
+"""Join operator catalog: every join family over the star schema.
+
+The reference's validator permits the full SELECT envelope including joins
+(SURVEY.md §2C "Joins … inside the permitted envelope"); Spark supplies
+broadcast-hash / shuffled-hash / sort-merge / nested-loop physical strategies.
+
+Scale notes (the part that matters at 100 TB):
+- Dimension tables (region/nation/customer/supplier/part) are broadcast —
+  ``F.broadcast`` pins BroadcastHashJoin so the fact table never shuffles
+  for the join. At 1000 executors that's the difference between a local
+  hash probe and a full-cluster exchange of the 100 TB side.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE handles
+  skew splitting. We keep the join key as the partitioning key through the
+  downstream groupBy where possible so one exchange serves both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, dimension side broadcast (BroadcastHashJoin): the
+    fact table streams through without a shuffle for the join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_multiway_dims",
+    oracle="""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join",),
+)
+def join_multiway_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake chain customer→nation→region; both dims broadcast, so the
+    whole join tree is shuffle-free up to the final aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (COUNT of a
+    nullable key counts only matches)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+        FROM customer c
+        FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — nations having only customers or only suppliers
+    survive with nulls on the missing side."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey")
+        )
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (customers that have ≥1 order) — probe-only, emits the
+    left side at most once, no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (customers with no orders) — NOT EXISTS semantics
+    (null-safe, unlike NOT IN)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_non_equi",
+    oracle="""
+        SELECT p.p_partkey, p.p_size, l.l_orderkey, l.l_linenumber
+        FROM part p
+        JOIN lineitem l
+          ON p.p_partkey = l.l_partkey AND l.l_quantity > p.p_size
+        WHERE p.p_size >= 48
+    """,
+    tags=("join",),
+)
+def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi residual condition (theta component stays as a
+    post-probe filter on the hash join, not a nested-loop)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.filter(F.col("p_size") >= 48)
+        .join(li, (p.p_partkey == li.l_partkey) & (li.l_quantity > p.p_size))
+        .select("p_partkey", "p_size", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+        SELECT r.r_name, s.seg, COUNT(*) AS n
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+        GROUP BY r.r_name, s.seg
+    """,
+    tags=("join",),
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny relations (dimension scaffolding —
+    only safe pattern for CROSS JOIN at scale: both sides small/broadcast)."""
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    segs = c.select(F.col("c_mktsegment").alias("seg")).distinct()
+    return (
+        r.crossJoin(F.broadcast(segs))
+        .groupBy("r_name", "seg")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: selective dim filter broadcast into a fact-fact join,
+    aggregate, top-k. The canonical 'would this survive 100×' query."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation_name
+    """,
+    tags=("join", "flagship"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: 6-table join; every dimension broadcast, the only
+    shuffle is the orders⋈lineitem key exchange + final agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation_name"))
+    )
+
+
+@register(
+    "join_agg_pushdown",
+    oracle="""
+        SELECT n.n_name AS nation_name, la.n_items, ROUND(la.total_qty, 2) AS total_qty
+        FROM (
+            SELECT s_nationkey, COUNT(*) AS n_items, SUM(l_quantity) AS total_qty
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s_nationkey
+        ) la
+        JOIN nation n ON la.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "agg"),
+)
+def join_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregate the fact table BEFORE joining the outer dimension —
+    the agg-below-join rewrite that turns a 100 TB join into a 25-row one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pre = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_items"), F.sum("l_quantity").alias("total_qty"))
+    )
+    return (
+        pre.join(F.broadcast(n), pre.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "n_items",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )

@@ -1,0 +1,227 @@
+"""Text-analysis operators over ``documents``: language-ID, quality scoring,
+token counting, fingerprinting, n-gram frequency.
+
+Training-data-pipeline components (north-star extension surface). Every
+expression is a built-in-function composition (see
+``cloudfloe_spark.functions.text``) — JVM-side, no Python in the row path —
+and each has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    word_count,
+    words,
+)
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+_WORDS_SQL = "LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), w -> w <> '')"
+
+
+def _lang_hits_sql(lang: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"LEN(LIST_FILTER(LIST_TRANSFORM({_WORDS_SQL}, w -> LOWER(w)),"
+        f" w -> w IN ({sw})))"
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(LEN({_WORDS_SQL}) AS INT) AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT)   AS n_chars_actual,
+               CAST(LEN(LIST_DISTINCT({_WORDS_SQL})) AS INT) AS n_unique_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + distinct-token counting per document."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(F.array_distinct(ws)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(LEN({_WORDS_SQL}) AS DOUBLE) AS n_words,
+                   CASE WHEN LEN({_WORDS_SQL}) > 0
+                        THEN CAST(LIST_SUM(LIST_TRANSFORM({_WORDS_SQL}, w -> LENGTH(w))) AS DOUBLE)
+                             / LEN({_WORDS_SQL})
+                        ELSE 0.0 END AS mwl,
+                   CASE WHEN LENGTH(text) > 0
+                        THEN CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / LENGTH(text)
+                        ELSE 0.0 END AS punct
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND((LEAST(n_words / 50.0, 1.0)
+                      + (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END)
+                      + (1.0 - LEAST(punct * 5.0, 1.0))) / 3.0, 4) AS quality
+        FROM feats
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + word-length plausibility + low
+    punctuation noise, closed-form (oracle-reproducible)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_stats_by_lang",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(LEN({_WORDS_SQL})), 2) AS avg_tokens,
+               ROUND(AVG(CASE WHEN LEN({_WORDS_SQL}) > 0
+                        THEN CAST(LIST_SUM(LIST_TRANSFORM({_WORDS_SQL}, w -> LENGTH(w))) AS DOUBLE)
+                             / LEN({_WORDS_SQL})
+                        ELSE 0.0 END), 4) AS avg_word_len,
+               ROUND(AVG(CASE WHEN LENGTH(text) > 0
+                        THEN CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / LENGTH(text)
+                        ELSE 0.0 END), 4) AS avg_punct_ratio
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text statistics grouped by language."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            word_count(F.col("text")).alias("wc"),
+            mean_word_length(F.col("text")).alias("mwl"),
+            punct_ratio(F.col("text")).alias("pr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("wc"), 2).alias("avg_tokens"),
+            F.round(F.avg("mwl"), 4).alias("avg_word_len"),
+            F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+        )
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS actual_lang,
+                   {_lang_hits_sql('en')} AS s_en,
+                   {_lang_hits_sql('de')} AS s_de,
+                   {_lang_hits_sql('fr')} AS s_fr,
+                   {_lang_hits_sql('es')} AS s_es
+            FROM documents
+        )
+        SELECT doc_id, actual_lang,
+               CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted_lang
+        FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit-count language identification (n-gram heuristic):
+    argmax over per-language function-word hit counts, ties broken by fixed
+    language order, zero hits → 'und'."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        )
+        SELECT doc_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(ws)),
+                   i -> i * (LENGTH(ws[i]) * 131 + ASCII(SUBSTRING(ws[i], 1, 1)))
+               )) % 2147483647 AS BIGINT) AS rolling_fp
+        FROM toks
+        WHERE LEN(ws) > 0
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: position-weighted
+    polynomial over (word length, first char) — permutations of the same
+    words produce different prints, unlike bag-of-words md5."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), "w")
+    contrib = F.col("i") * (
+        F.length("w") * 131 + F.ascii(F.substring("w", 1, 1))
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg((F.sum(contrib) % 2147483647).cast("bigint").alias("rolling_fp"))
+    )
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+        WITH raw AS (
+            SELECT UNNEST(LIST_TRANSFORM(
+                GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 1, 0)),
+                i -> ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+1], ' ')
+            )) AS bigram
+            FROM documents
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM raw
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 25
+    """,
+    tags=("text", "ngram"),
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-bigram frequency, top 25."""
+    from cloudfloe_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )

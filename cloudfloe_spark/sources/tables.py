@@ -1,0 +1,76 @@
+"""Parquet table loading + temp-view registration.
+
+The reference's only data abstraction is "a table addressed by path"
+(reference backend/main.py:209-218, iceberg_scan by s3:// path). Here the
+same idea over the driver fixtures: a directory holds one parquet file per
+table; ``load_table`` reads one, ``register_views`` exposes them all to
+``spark.sql``.
+
+Scale notes: ``spark.read.parquet`` is a DSv2 columnar scan — column pruning
+and predicate pushdown reach the parquet footers for free as long as queries
+stay declarative. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime-settable SQL confs every query depends on, applied defensively so
+# the engine behaves identically under a caller-provided SparkSession (the
+# driver smoke-checks entry(spark) with its own session, which won't have
+# our session-factory defaults).
+_REQUIRED_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; reads may still work
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark has no type for
+    (read as long via spark.sql.legacy.parquet.nanosAsLong) — convert to a
+    microsecond timestamp here, matching DuckDB's own ns→µs truncation so
+    oracle comparisons see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (idempotent)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

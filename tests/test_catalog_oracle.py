@@ -1,0 +1,102 @@
+"""Differential testing: every catalog query vs its DuckDB oracle.
+
+Mirrors the driver's correctness gate: run the Spark DataFrame program and
+the oracle SQL on the same parquet fixtures, compare row count, column
+names, and the order-insensitive multiset of row values.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from cloudfloe_spark.queries import all_queries
+
+CATALOG = all_queries()
+ORACLE_CASES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
+ROWS_ONLY_CASES = sorted(n for n, q in CATALOG.items() if q.oracle is None)
+
+
+def _norm(v):
+    """Normalize a cell for comparison across engines."""
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse float noise below round-trip significance
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _spark_rows(df, cols):
+    return sorted(
+        (tuple(_norm(row[c]) for c in cols) for row in df.collect()), key=repr
+    )
+
+
+def _duck_rows(con, sql, cols):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    idx = [names.index(c) for c in cols]
+    return sorted((tuple(_norm(r[i]) for i in idx) for r in rows), key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    q = CATALOG[name]
+    df = q.fn(spark, sf_dir)
+
+    spark_cols = sorted(df.columns)
+    cur = duck.execute(q.oracle)
+    duck_cols = sorted(d[0] for d in cur.description)
+    assert spark_cols == duck_cols, (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+
+    got = _spark_rows(df, spark_cols)
+    want = _duck_rows(duck, q.oracle, spark_cols)
+    assert len(got) == len(want), (
+        f"{name}: row count spark={len(got)} duck={len(want)}"
+    )
+    mismatches = [
+        (g, w) for g, w in zip(got, want) if g != w
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_query_runs(name, spark, sf_dir):
+    q = CATALOG[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert len(qs) >= 40, f"catalog too small: {len(qs)}"
+    assert set(os_) <= set(qs)
