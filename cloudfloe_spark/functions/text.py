@@ -80,27 +80,50 @@ def portable_hash_sql(expr: str, seed: int = 0) -> str:
     return f"CAST(('0x' || SUBSTRING(MD5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
 
 
-def _seeded_hasher(seed: int):
-    # NOTE: single-argument closure, NOT `lambda s, seed=seed:` — pyspark
+# Affine MinHash family over a single base hash: h_i = (A_i·h31 + B_i) mod P
+# with h31 = base & (2^31-1). A_i < 2^16 keeps A_i·h31 < 2^47 — no int64
+# overflow, so the arithmetic is identical under Spark ANSI mode and DuckDB.
+MINHASH_P = 2147483647
+_MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # small odd multipliers
+_MINHASH_B = [(i * 40503) % MINHASH_P for i in range(1, 65)]
+
+
+def _affine_minhasher(i: int):
+    # NOTE: single-argument closure, NOT `lambda s, i=i:` — pyspark
     # higher-order functions inspect lambda arity and would pass the array
     # index as the second argument, silently clobbering the default.
-    def h(s: Column) -> Column:
-        return portable_hash64(s, seed=seed)
+    a, b = _MINHASH_A[i], _MINHASH_B[i]
+
+    def h(base: Column) -> Column:
+        return (F.lit(a) * base.bitwiseAND(F.lit(MINHASH_P)) + F.lit(b)) % MINHASH_P
 
     return h
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima over the shingle
-    set, seeded hashes. array<bigint>, NULL-free; empty shingle set → nulls.
-    """
-    sh = word_shingles(col, shingle_k)
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a shingle array: ONE md5 per shingle (the
+    expensive part), then ``num_hashes`` cheap affine derivations —
+    12× fewer digest calls than hashing per (seed, shingle)."""
+    base = F.transform(sh, lambda s: portable_hash64(s, seed=0))
     return F.array(
         *[
-            F.array_min(F.transform(sh, _seeded_hasher(i)))
+            F.array_min(F.transform(base, _affine_minhasher(i)))
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature of a text column (see
+    ``minhash_signature_from_shingles``). array<bigint>; empty shingle set
+    → empty-array min = nulls, callers filter those out."""
+    return minhash_signature_from_shingles(word_shingles(col, shingle_k), num_hashes)
+
+
+def minhash_affine_sql(i: int, base_expr: str) -> str:
+    """DuckDB twin of one affine MinHash derivation."""
+    a, b = _MINHASH_A[i], _MINHASH_B[i]
+    return f"(({a} * ({base_expr} & {MINHASH_P}) + {b}) % {MINHASH_P})"
 
 
 def fingerprint(col: Column) -> Column:

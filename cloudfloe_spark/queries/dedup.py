@@ -22,15 +22,15 @@ from pyspark.sql import functions as F
 
 from cloudfloe_spark.functions.text import (
     fingerprint,
-    minhash_signature,
-    normalize_text,
+    minhash_affine_sql,
+    minhash_signature_from_shingles,
     portable_hash64,
     portable_hash_sql,
     word_shingles,
     words,
 )
 from cloudfloe_spark.queries.catalog import register
-from cloudfloe_spark.sources.tables import load_table
+from cloudfloe_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -88,58 +88,67 @@ def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_HASHES = 12
 _MH_BAND_SIZE = 3  # 4 bands of 3 → catches Jaccard ≳ 0.6 reliably
 
+_SHINGLE_SQL = (
+    "LIST_TRANSFORM("
+    "  GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 2, 0)),"
+    "  i -> ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+2], ' ')"
+    ")"
+)
 
-def _minhash_sql_exprs() -> tuple[str, str]:
-    """DuckDB SQL fragments: (shingle array, minhash signature array)."""
-    shingle = (
-        "LIST_TRANSFORM("
-        "  GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 2, 0)),"
-        "  i -> ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+2], ' ')"
-        ")"
-    )
+
+def _minhash_sig_sql() -> str:
+    """DuckDB signature array from a base-hash array column ``hb``:
+    one md5 per shingle, 12 affine derivations (mirrors
+    ``minhash_signature_from_shingles``)."""
     mins = ", ".join(
-        f"LIST_MIN(LIST_TRANSFORM(sh, s -> {portable_hash_sql('s', seed=i)}))"
+        f"LIST_MIN(LIST_TRANSFORM(hb, h -> {minhash_affine_sql(i, 'h')}))"
         for i in range(_MH_HASHES)
     )
-    return shingle, f"[{mins}]"
+    return f"[{mins}]"
+
+
+_MINHASH_SIGS_SQL = f"""
+        WITH shingled AS (
+            SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+        ),
+        based AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(sh, s -> {portable_hash_sql('s', seed=0)}) AS hb
+            FROM shingled WHERE LEN(sh) > 0
+        ),
+        sigs AS (
+            SELECT doc_id, {_minhash_sig_sql()} AS sig FROM based
+        )
+"""
+
+
+def _spark_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("sh", word_shingles(F.col("text"), 3))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            minhash_signature_from_shingles(F.col("sh"), _MH_HASHES).alias("sig"),
+        )
+    )
 
 
 @register(
     "dedup_minhash_signatures",
-    oracle=f"""
-        WITH shingled AS (
-            SELECT doc_id, {_minhash_sql_exprs()[0]} AS sh FROM documents
-        )
-        SELECT doc_id, {_minhash_sql_exprs()[1]} AS sig
-        FROM shingled
-        WHERE LEN(sh) > 0
-    """,
+    oracle=_MINHASH_SIGS_SQL + "SELECT doc_id, sig FROM sigs",
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (12 portable seeded hashes over 3-word shingles).
-    Pure projection — embarrassingly parallel, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
-        .select(
-            "doc_id",
-            minhash_signature(F.col("text"), _MH_HASHES, 3).alias("sig"),
-        )
-    )
+    """MinHash signatures (12 affine hashes over one md5 per 3-word
+    shingle). Pure projection — embarrassingly parallel, no shuffle."""
+    return _spark_minhash_sigs(spark, sf_dir)
 
 
 @register(
     "dedup_minhash_lsh_pairs",
-    oracle=f"""
-        WITH shingled AS (
-            SELECT doc_id, {_minhash_sql_exprs()[0]} AS sh FROM documents
-        ),
-        sigs AS (
-            SELECT doc_id, {_minhash_sql_exprs()[1]} AS sig
-            FROM shingled WHERE LEN(sh) > 0
-        ),
-        bands AS (
+    oracle=_MINHASH_SIGS_SQL + """
+        , bands AS (
             SELECT doc_id, b.band,
                    ARRAY_TO_STRING(sig[(b.band*3+1):(b.band*3+3)], ',') AS band_key
             FROM sigs, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
@@ -152,12 +161,14 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → 4 bands of 3 hashes →
-    self-equi-join on (band, band_key). The join key is the banded hash, so
-    candidate generation is a bucket join, not an O(n²) cross."""
-    d = load_table(spark, sf_dir, "documents")
-    sigs = d.filter(F.size(word_shingles(F.col("text"), 3)) > 0).select(
-        "doc_id", minhash_signature(F.col("text"), _MH_HASHES, 3).alias("sig")
-    )
+    group by (band, band_key) → expand pairs within each bucket.
+
+    One shuffle on the banded hash; signatures are computed exactly once
+    (a naive self-join would recompute the whole signature lineage on both
+    sides). Bucket membership lists stay small for fuzzy-dup buckets;
+    corpora with massive exact-dup groups should run exact dedup first so
+    a single bucket can't accumulate millions of ids."""
+    sigs = _spark_minhash_sigs(spark, sf_dir)
     n_bands = _MH_HASHES // _MH_BAND_SIZE
     bands = sigs.select(
         "doc_id",
@@ -181,18 +192,21 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs) - i - 1),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +244,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, sign → bit. Near-dup docs land on nearby hashes; grouping on the
     value (or a prefix) is the blocking key. Explode is per distinct token
     ×16 bits — linear in corpus size, shuffles only (doc_id, bit) pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("w")
     ).filter(F.col("w") != "")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from cloudfloe_spark.functions.vectors import as_double, cosine
 from cloudfloe_spark.queries.catalog import register
-from cloudfloe_spark.sources.tables import load_table
+from cloudfloe_spark.sources.tables import load_table, spread
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 3
@@ -98,7 +98,9 @@ def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -171,7 +173,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id), then exact cosine re-rank. The scale path: candidate
     generation cost is bucket-local."""
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select(
+    bucketed = spread(e).select(
         "vec_id", "embedding", _bucket_col(as_double(F.col("embedding"))).alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(

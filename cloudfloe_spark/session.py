@@ -36,6 +36,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # -- keep the UI off in tests (speed, no port contention) -----------
     "spark.ui.enabled": "false",
+    # -- scan parallelism ------------------------------------------------
+    # On a cluster the 128 MB default split is right; the local fixtures
+    # are single small parquet files, which would otherwise scan on ONE
+    # core out of 32. 2 MB splits let local[N] actually parallelize while
+    # staying irrelevant at real file sizes. Env-overridable for clusters.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "CLOUDFLOE_MAX_PARTITION_BYTES", "2m"
+    ),
+    "spark.sql.files.openCostInBytes": "524288",
 }
 
 

@@ -70,6 +70,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition before a CPU-heavy per-row projection (hashing, vector
+    math). Parquet scans of small files arrive in few partitions; an
+    embarrassingly-parallel expensive projection should use every core.
+    One round-robin shuffle of the (narrow) input — at scale the input is
+    already many partitions and this becomes a no-op-sized decision the
+    caller can skip via partitions=None heuristics."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
+    return df.repartition(partitions)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (idempotent)."""
     for name in TABLES:
