@@ -1,0 +1,408 @@
+"""Query execution + connection probing over a shared SparkSession.
+
+Ports the reference's engine-facing operators (SURVEY.md §2A):
+
+- A4  session factory      → :func:`request_session` (``spark.newSession``
+  per request: isolated SQL conf + temp views over one shared JVM — the
+  architectural replacement for DuckDB's per-request ``:memory:`` engine,
+  `backend/main.py:361-388`, trade-offs in SURVEY.md §3.4/§7.3)
+- A5  S3 config            → :func:`s3a_options` (`backend/main.py:274-314`)
+- A7  delete-file guard    → :func:`probe_table` emits ``hasDeletes`` as
+  info; rejection is a config flag, default off, because the Spark/Iceberg
+  reader handles merge-on-read deletes correctly (SURVEY.md §1.1)
+- A10 table probe          → :func:`probe_table` (`backend/main.py:452-526`)
+- A11 connection test      → :func:`run_connection_test` (`backend/main.py:529-564`)
+- A12 query exec + stats   → :func:`run_query` (`backend/main.py:567-620`),
+  with REAL bytesScanned (scan-input file sizes) instead of the
+  reference's ``len(str(rows))*2`` estimate
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+import glob as globmod
+import json
+import math
+import os
+import time
+from typing import Optional
+
+from cloudfloe_spark.service.config import (
+    ConnectionConfig,
+    QueryResponse,
+    QueryStats,
+    TableInfo,
+)
+from cloudfloe_spark.service.convert import (
+    CATALOG_NAME,
+    convert_scan_functions,
+    spark_scan_form,
+    transpile_duckdb,
+)
+from cloudfloe_spark.service.errors import CloudfloeError, bad_request
+from cloudfloe_spark.service.validation import (
+    assert_plan_is_query,
+    validate_and_limit_sql,
+)
+
+# Reject tables with delete files instead of reading them correctly —
+# reference behavior (`backend/main.py:398-414`); off by default because
+# the Spark Iceberg reader applies deletes correctly (SURVEY.md §1.1).
+REJECT_DELETE_TABLES = os.environ.get("CLOUDFLOE_REJECT_DELETES", "0") == "1"
+
+DEMO_TABLE = os.environ.get(
+    "CLOUDFLOE_DEMO_TABLE", "/root/testdata/sf0.01/lineitem.parquet"
+)
+
+
+def iceberg_runtime_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+# --- A4/A5: per-request session + storage conf --------------------------------
+
+
+def s3a_options(config: ConnectionConfig) -> dict[str, str]:
+    """Hadoop S3A properties for a storage config (`backend/main.py:274-314`).
+
+    Returned as per-bucket-scoped keys (``fs.s3a.bucket.<b>.…``) where a
+    bucket can be derived from ``tablePath`` — scoping credentials to the
+    bucket is the port's mitigation for the shared-JVM credential-leak risk
+    (SURVEY.md §7.3 item 1); global keys otherwise.
+    """
+    if config.storageType == "local":
+        return {}
+    opts: dict[str, str] = {}
+    endpoint = config.endpoint
+    # Reference rewrites localhost → in-network minio host (main.py:286-288)
+    if config.storageType == "minio" and endpoint:
+        endpoint = endpoint.replace("localhost", "minio").replace(
+            "127.0.0.1", "minio"
+        )
+    if config.storageType in ("minio", "r2"):
+        opts["fs.s3a.path.style.access"] = "true"
+    opts["fs.s3a.connection.ssl.enabled"] = (
+        "false" if config.storageType == "minio" else "true"
+    )
+    if endpoint:
+        opts["fs.s3a.endpoint"] = endpoint
+    if config.storageType == "s3":
+        opts["fs.s3a.endpoint.region"] = config.region
+    if config.accessKey:
+        opts["fs.s3a.access.key"] = config.accessKey
+    if config.secretKey:
+        opts["fs.s3a.secret.key"] = config.secretKey
+    if config.sessionToken:
+        opts["fs.s3a.session.token"] = config.sessionToken
+        opts["fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+
+    bucket = _bucket_of(config.tablePath)
+    if bucket:
+        opts = {
+            k.replace("fs.s3a.", f"fs.s3a.bucket.{bucket}.", 1): v
+            for k, v in opts.items()
+        }
+    return opts
+
+
+def _bucket_of(table_path: Optional[str]) -> Optional[str]:
+    if table_path and table_path.startswith("s3://"):
+        return table_path[5:].split("/", 1)[0]
+    return None
+
+
+def catalog_options(config: ConnectionConfig) -> dict[str, str]:
+    """Spark conf for a REST Iceberg catalog (A6, `backend/main.py:317-358`)."""
+    if config.catalogType != "rest" or not config.catalogEndpoint:
+        return {}
+    prefix = f"spark.sql.catalog.{CATALOG_NAME}"
+    opts = {
+        prefix: "org.apache.iceberg.spark.SparkCatalog",
+        f"{prefix}.type": "rest",
+        f"{prefix}.uri": config.catalogEndpoint,
+    }
+    if config.accessKey or config.secretKey:
+        # Reference builds token as accessKey:secretKey (main.py:330)
+        opts[f"{prefix}.credential"] = f"{config.accessKey}:{config.secretKey}"
+    return opts
+
+
+def request_session(spark, config: Optional[ConnectionConfig]):
+    """Isolated session for one request: fresh SQL conf + temp-view
+    namespace over the shared SparkContext (A4 analog)."""
+    sess = spark.newSession()
+    if config is not None:
+        for k, v in catalog_options(config).items():
+            sess.conf.set(k, v)
+        hadoop = sess.sparkContext._jsc.hadoopConfiguration()
+        for k, v in s3a_options(config).items():
+            hadoop.set(k, v)
+    return sess
+
+
+# --- A10: table probe ----------------------------------------------------------
+
+
+def _local_path(table_path: str) -> Optional[str]:
+    if table_path.startswith("file://"):
+        return table_path[len("file://"):]
+    if table_path.startswith("/"):
+        return table_path
+    return None
+
+
+def probe_table(spark, table_path: str) -> TableInfo:
+    """Probe a table root and return :class:`TableInfo`
+    (`backend/main.py:452-526`).
+
+    Layout detection order:
+    1. Iceberg layout (``<root>/metadata/*.metadata.json``): parse the
+       latest metadata JSON exactly like the reference (glob + filename
+       DESC — works for pyiceberg ``NNNNN-uuid`` and Spark ``vN`` naming,
+       `backend/main.py:474-475`) for format-version / snapshot-id /
+       last-updated-ms; row/file/delete counts from the current snapshot's
+       summary (pure-Python metadata read — no Spark job, no Avro dep).
+    2. Parquet layout (a directory of ``*.parquet`` or a single file):
+       rows/files from parquet footers via pyarrow (no full scan).
+
+    ≥1 sub-probe must succeed, mirroring `backend/main.py:521-524`.
+    """
+    local = _local_path(table_path)
+    if local is None:
+        raise RuntimeError(
+            "non-local table paths require S3A + Iceberg runtime at runtime"
+        )
+
+    meta = _probe_iceberg_metadata(local)
+    if meta is not None:
+        has_deletes = meta.get("hasDeletes")
+        if REJECT_DELETE_TABLES and has_deletes:
+            # Reference 400 with compaction advice (backend/main.py:405-413)
+            raise bad_request(
+                "Table has delete files. Run compaction "
+                "(rewrite_data_files + rewrite_position_delete_files) "
+                "or disable CLOUDFLOE_REJECT_DELETES to read with "
+                "merge-on-read semantics."
+            )
+        scan = spark_scan_form(
+            table_path, iceberg_available=iceberg_runtime_available(spark)
+        )
+        return TableInfo(
+            path=table_path,
+            suggestedQuery=f"SELECT * FROM {scan} LIMIT 100",
+            format=meta.get("format"),
+            rows=meta.get("rows"),
+            files=meta.get("files"),
+            hasDeletes=has_deletes,
+            snapshotId=meta.get("snapshotId"),
+            lastSnapshotAt=meta.get("lastSnapshotAt"),
+        )
+
+    rows, files = _probe_parquet(local)
+    return TableInfo(
+        path=table_path,
+        suggestedQuery=f"SELECT * FROM parquet.`{table_path}` LIMIT 100",
+        format="parquet",
+        rows=rows,
+        files=files,
+        hasDeletes=False,
+    )
+
+
+def _probe_iceberg_metadata(root: str) -> Optional[dict]:
+    metadata_files = sorted(
+        globmod.glob(os.path.join(root, "metadata", "*.metadata.json"))
+    )
+    if not metadata_files:
+        return None
+    out: dict = {}
+    try:
+        with open(metadata_files[-1]) as f:  # filename DESC ≡ last sorted
+            meta = json.load(f)
+        out["format"] = f"iceberg-v{meta.get('format-version', 1)}"
+        snap_id = meta.get("current-snapshot-id")
+        if snap_id is not None and snap_id != -1:
+            # Stringified: 64-bit ids lose precision in JS (main.py:488-490)
+            out["snapshotId"] = str(snap_id)
+        ms = meta.get("last-updated-ms")
+        if ms is not None:
+            out["lastSnapshotAt"] = (
+                datetime.datetime.fromtimestamp(
+                    ms / 1000, tz=datetime.timezone.utc
+                )
+                .isoformat()
+                .replace("+00:00", "Z")
+            )
+        snap = next(
+            (
+                s
+                for s in meta.get("snapshots", [])
+                if s.get("snapshot-id") == snap_id
+            ),
+            None,
+        )
+        if snap is not None:
+            summary = snap.get("summary", {})
+            if "total-records" in summary:
+                out["rows"] = int(summary["total-records"])
+            if "total-data-files" in summary:
+                out["files"] = int(summary["total-data-files"])
+            out["hasDeletes"] = (
+                int(summary.get("total-delete-files", 0) or 0) > 0
+            )
+    except (OSError, ValueError, KeyError):
+        # Partial probe still succeeds with degraded fields
+        # (tests/test_connection_probing.py:111-134)
+        if not out:
+            return {"format": "iceberg-v?"}
+    return out
+
+
+def _probe_parquet(local: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(local):
+        files = [local]
+    else:
+        files = sorted(globmod.glob(os.path.join(local, "*.parquet")))
+        if not files:
+            files = sorted(
+                globmod.glob(os.path.join(local, "**", "*.parquet"), recursive=True)
+            )
+    if not files:
+        raise RuntimeError(f"no parquet files under {local}")
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return rows, len(files)
+
+
+# --- A11: connection test -------------------------------------------------------
+
+
+def run_connection_test(spark, config: ConnectionConfig) -> Optional[TableInfo]:
+    """Branching per `backend/main.py:529-564`; returns ``None`` on failure
+    (details logged, not leaked — `backend/main.py:533-537`)."""
+    try:
+        sess = request_session(spark, config)
+        if config.catalogType == "rest" and config.catalogEndpoint:
+            tables = sess.sql(
+                f"SHOW TABLES IN {CATALOG_NAME}.{config.namespace}"
+            ).collect()
+            name = tables[0].tableName if tables else "<table>"
+            return TableInfo(
+                path=f"{CATALOG_NAME}.{config.namespace}",
+                suggestedQuery=(
+                    f"SELECT * FROM {CATALOG_NAME}.{config.namespace}.{name} "
+                    f"LIMIT 100"
+                ),
+                format="iceberg",
+            )
+        if config.tablePath:
+            return probe_table(sess, config.tablePath)
+        return probe_table(sess, DEMO_TABLE)
+    except CloudfloeError:
+        raise  # deliberate 400s (delete guard) pass through
+    except Exception:
+        return None
+
+
+# --- A12: query execution --------------------------------------------------------
+
+
+def _json_value(v):
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_value(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # Row / struct
+        return {k: _json_value(x) for k, x in v.asDict().items()}
+    return str(v)
+
+
+def _bytes_scanned(df) -> int:
+    """Sum of distinct scan-input file sizes — real I/O upper bound,
+    replacing the reference's string-length estimate
+    (`backend/main.py:594-595`, upgrade noted in SURVEY.md §4.2)."""
+    total = 0
+    try:
+        for uri in set(df.inputFiles()):
+            if uri.startswith("file:"):
+                p = uri[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    pass
+    except Exception:
+        pass
+    return total
+
+
+def run_query(
+    spark,
+    sql: str,
+    config: Optional[ConnectionConfig] = None,
+    row_limit: int = 1000,
+) -> QueryResponse:
+    """Full query path (`backend/main.py:567-620`): rewrite → transpile →
+    validate+LIMIT → Spark-parser guard → execute → rows + stats."""
+    t0 = time.perf_counter()
+    sess = request_session(spark, config) if config is not None else spark
+
+    if config is not None and config.tablePath and REJECT_DELETE_TABLES:
+        probe_table(sess, config.tablePath)  # raises 400 on deletes (A7)
+
+    converted = convert_scan_functions(
+        sql, config, iceberg_available=iceberg_runtime_available(spark)
+    )
+    converted = transpile_duckdb(converted)
+    final_sql = validate_and_limit_sql(converted, row_limit)
+    assert_plan_is_query(sess, final_sql)
+
+    try:
+        df = sess.sql(final_sql)
+        collected = df.collect()
+    except CloudfloeError:
+        raise
+    except Exception as e:
+        raise bad_request(f"Query execution failed: {_short(e)}") from None
+
+    columns = list(df.columns)
+    rows = [[_json_value(v) for v in row] for row in collected]
+    elapsed_ms = int((time.perf_counter() - t0) * 1000)
+    return QueryResponse(
+        columns=columns,
+        rows=rows,
+        stats=QueryStats(
+            executionTimeMs=elapsed_ms,
+            bytesScanned=_bytes_scanned(df),
+            rowsReturned=len(rows),
+        ),
+        truncated=len(rows) >= row_limit,
+    )
+
+
+def _short(e: Exception) -> str:
+    s = str(e).strip()
+    return s.splitlines()[0][:500] if s else type(e).__name__

@@ -1,0 +1,157 @@
+"""HTTP API tests (A13) — the six routes over a live server thread."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from cloudfloe_spark.service.api import serve_background
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    server, port = serve_background(spark)
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _get(base: str, path: str):
+    try:
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(base: str, path: str, payload: dict):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_routes(api):
+    status, body = _get(api, "/")
+    assert status == 200 and body["status"] == "healthy"
+    status, body = _get(api, "/health")
+    assert status == 200 and body["engine"] == "spark" and body["engineVersion"]
+
+
+def test_demo_connection_and_queries(api):
+    status, conn = _get(api, "/api/demo/connection")
+    assert status == 200 and conn["connection"]["storageType"] == "local"
+    status, corpus = _get(api, "/api/demo/queries")
+    assert status == 200 and len(corpus["queries"]) == 5
+    assert all({"name", "description", "sql"} <= q.keys() for q in corpus["queries"])
+
+
+def test_connect_test_roundtrip(api, sf_dir):
+    status, body = _post(
+        api,
+        "/api/connect/test",
+        {
+            "connection": {
+                "storageType": "local",
+                "endpoint": "",
+                "accessKey": "",
+                "secretKey": "",
+                "tablePath": f"{sf_dir}/orders.parquet",
+            }
+        },
+    )
+    assert status == 200
+    assert body["status"] == "success"
+    assert body["tableInfo"]["rows"] > 0
+    assert "suggestedQuery" in body["tableInfo"]
+
+
+def test_connect_test_failure_is_generic_400(api):
+    status, body = _post(
+        api,
+        "/api/connect/test",
+        {
+            "connection": {
+                "storageType": "local",
+                "endpoint": "",
+                "accessKey": "",
+                "secretKey": "",
+                "tablePath": "/nonexistent/x1",
+            }
+        },
+    )
+    assert status == 400
+    assert body["detail"] == "Connection test failed"  # no internals leaked
+
+
+def test_query_roundtrip(api, sf_dir):
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": (
+                "SELECT o_orderpriority, COUNT(*) AS n "
+                f"FROM read_parquet('{sf_dir}/orders.parquet') "
+                "GROUP BY o_orderpriority ORDER BY n DESC"
+            ),
+            "connection": {
+                "storageType": "local",
+                "endpoint": "",
+                "accessKey": "",
+                "secretKey": "",
+            },
+            "rowLimit": 100,
+        },
+    )
+    assert status == 200
+    assert body["columns"] == ["o_orderpriority", "n"]
+    assert body["stats"]["rowsReturned"] == len(body["rows"])
+    assert body["truncated"] is False
+
+
+def test_query_write_rejected_400(api):
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": "DROP TABLE t",
+            "connection": {
+                "storageType": "local",
+                "endpoint": "",
+                "accessKey": "",
+                "secretKey": "",
+            },
+        },
+    )
+    assert status == 400 and "allowed" in body["detail"]
+
+
+def test_query_row_limit_validation_422(api):
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": "SELECT 1",
+            "connection": {
+                "storageType": "local",
+                "endpoint": "",
+                "accessKey": "",
+                "secretKey": "",
+            },
+            "rowLimit": 99999,
+        },
+    )
+    assert status == 422
+
+
+def test_unknown_route_404(api):
+    status, _ = _get(api, "/api/nope")
+    assert status == 404
