@@ -19,3 +19,4 @@ from cloudfloe_spark.queries import dedup  # noqa: F401, E402
 from cloudfloe_spark.queries import text  # noqa: F401, E402
 from cloudfloe_spark.queries import similarity  # noqa: F401, E402
 from cloudfloe_spark.queries import events  # noqa: F401, E402
+from cloudfloe_spark.queries import multimodal  # noqa: F401, E402

@@ -50,6 +50,45 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this deployment; reads may still work
+    ensure_package_shipped(spark)
+
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship ``cloudfloe_spark`` to Python workers via ``addPyFile``.
+
+    Closures referencing this package pickle BY REFERENCE (cloudpickle
+    only serializes ``__main__`` functions by value), so executors must be
+    able to import it. A caller-provided SparkSession (the driver harness,
+    a notebook, a real cluster) won't have the repo on the workers'
+    PYTHONPATH — this makes every query self-sufficient regardless of
+    deployment layout."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"cloudfloe_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirnames, filenames in os.walk(
+            os.path.join(pkg_root, "cloudfloe_spark")
+        ):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, pkg_root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. late addition disallowed; per-closure self-containment
+    _SHIPPED_CONTEXTS.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
