@@ -1,0 +1,98 @@
+"""Time-join catalog entries: as-of join and bucketed range join over the
+events table. DuckDB's native ``ASOF JOIN`` / plain range predicates are
+the oracles — the strongest differential check available for operators
+Spark lacks as primitives (north-star extension; the reference has no
+time-join surface at all)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.operators.asof import asof_join
+from cloudfloe_spark.operators.rangejoin import range_join_bucketed
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+
+@register(
+    "asof_last_purchase_before_click",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT user_id, ts AS pts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.pts AS pts_p, p.value AS value_p
+        FROM clicks c
+        ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.pts
+    """,
+    tags=("asof-join", "events"),
+)
+def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click annotated with the user's most
+    recent at-or-before purchase (ts + value), NULL when none. One
+    shuffle+sort on (user_id, ts) via the union+window as-of operator —
+    no per-key Cartesian, so skewed users don't blow up."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("pts"), "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        value_columns=["pts", "value"],
+        suffix="_p",
+    )
+
+
+@register(
+    "range_join_errors_near_clicks",
+    oracle="""
+        SELECT e.user_id,
+               e.event_id AS error_id,
+               c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - 300000000
+                                AND epoch_us(c.ts) + 300000000
+    """,
+    tags=("range-join", "events"),
+)
+def range_join_errors_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: (error, click) pairs of the same user within ±5
+    minutes, via the bucketed range join (equi-join on user+time bucket,
+    then exact filter) — a hash join instead of a nested-loop, with a
+    bounded 2-3× right-side expansion at a 10-minute bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        (F.unix_micros("ts") - 300_000_000).alias("t_start"),
+        (F.unix_micros("ts") + 300_000_000).alias("t_end"),
+    )
+    joined = range_join_bucketed(
+        errors,
+        clicks,
+        point="t_us",
+        start="t_start",
+        end="t_end",
+        by=["user_id"],
+        bucket=600_000_000,  # 10 min in µs ≈ interval width
+    )
+    return joined.select("user_id", "error_id", "click_id")
