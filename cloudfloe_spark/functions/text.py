@@ -100,16 +100,36 @@ def _affine_minhasher(i: int):
     return h
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and reference it many times in ``body``.
+
+    Catalyst does not share a subexpression referenced from multiple
+    higher-order-function lambdas — each reference re-evaluates the whole
+    subtree. Binding it as a lambda variable via a single-element-array
+    ``transform`` forces one evaluation (lambda variables are
+    materialized), turning O(refs × cost) into O(cost).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def minhash_signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
     """MinHash signature from a shingle array: ONE md5 per shingle (the
     expensive part), then ``num_hashes`` cheap affine derivations —
-    12× fewer digest calls than hashing per (seed, shingle)."""
+    12× fewer digest calls than hashing per (seed, shingle).
+
+    The base-hash array is let-bound: without it, each of the
+    ``num_hashes`` array_min references would re-run the md5 transform
+    (measured 12× slower at sf0.1)."""
     base = F.transform(sh, lambda s: portable_hash64(s, seed=0))
-    return F.array(
-        *[
-            F.array_min(F.transform(base, _affine_minhasher(i)))
-            for i in range(num_hashes)
-        ]
+    return let(
+        base,
+        lambda hb: F.array(
+            *[
+                F.array_min(F.transform(hb, _affine_minhasher(i)))
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
