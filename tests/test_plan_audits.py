@@ -1,0 +1,104 @@
+"""Plan-shape audits: the scale properties SURVEY.md §4 promises, checked
+against the actual physical plans (not prose). These are the '100 TB'
+assertions — a regression here is a performance bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.plans import (
+    codegen_stage_count,
+    executed_plan,
+    has_broadcast_join,
+    has_cartesian_or_bnl,
+    node_count,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from cloudfloe_spark.queries import all_queries
+from cloudfloe_spark.sources.tables import load_table
+
+CATALOG = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey")
+    filters = pushed_filters(df)
+    assert any("o_orderstatus" in f and "EqualTo" in f for f in filters), filters
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    cols = next(iter(scan_columns(df).values()))
+    assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = CATALOG["q3_shipping_priority"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q5_single_fact_pass_one_agg_shuffle(spark, sf_dir):
+    """All five non-fact tables must broadcast: the only Exchanges are the
+    aggregation and final sort — no fact-fact shuffle join at all."""
+    df = CATALOG["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert node_count(df, "BroadcastHashJoin") == 5
+    assert shuffle_count(df) <= 2  # partial→final agg + sort
+
+
+def test_range_join_is_hash_join_not_bnl(spark, sf_dir):
+    df = CATALOG["range_join_errors_near_clicks"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df), executed_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of join must cost exactly one shuffle (the
+    window partitioning) — the property that makes it linear."""
+    df = CATALOG["asof_last_purchase_before_click"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    assert shuffle_count(df) == 1, executed_plan(df, "simple")
+
+
+def test_minhash_signatures_no_agg_shuffle(spark, sf_dir):
+    """Signature computation is a pure projection; the only exchange is
+    the explicit spread() repartition for small-file parallelism."""
+    df = CATALOG["dedup_minhash_signatures"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert "SortMergeJoin" not in executed_plan(df, "simple")
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    """Hash-groupBy dedup must partial-aggregate map-side (two
+    HashAggregate levels around one Exchange), not shuffle raw rows."""
+    plan = executed_plan(CATALOG["dedup_exact"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sim_brute_force_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k cosine is BY DESIGN a broadcast nested loop: the
+    tiny query set broadcasts and the corpus streams through it with no
+    shuffle; the rank is then pushed down as WindowGroupLimit (top-k),
+    so the full score matrix never materializes."""
+    df = CATALOG["sim_brute_force_topk"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "BroadcastExchange" in plan
+    assert "BuildRight" in plan  # corpus side is streamed, not built
+    assert "WindowGroupLimit" in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    """Relational queries must compile to WholeStageCodegen subtrees."""
+    for name in ("q1_pricing_summary", "agg_stats", "top_k_orders"):
+        assert codegen_stage_count(CATALOG[name].fn(spark, sf_dir)) >= 1, name
+
+
+def test_metadata_queries_never_scan_blobs(spark, sf_dir):
+    df = CATALOG["mm_metadata_pruning"].fn(spark, sf_dir)
+    for cols in scan_columns(df).values():
+        assert "content" not in cols
