@@ -1,0 +1,187 @@
+"""Coverage extensions: statistical aggregates, pivot, range-frame
+windows, BPE-ish tokenization — operators inside the reference's permitted
+SQL envelope (SURVEY.md §2C 'delegated' rows) or named by the north-star
+extension list, each with a DuckDB oracle twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization (north-star: "token counting — whitespace + a
+# BPE-ish regex"). Pattern kept to RE2∩Java-regex common ground: letter
+# runs, digit runs, punctuation runs — the GPT-2 pretokenizer's shape
+# without lookarounds.
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(LEN(regexp_extract_all(text, '{_BPE_RE}')) AS INT)
+                   AS n_bpe_tokens,
+               CAST(LEN(LIST_DISTINCT(regexp_extract_all(text, '{_BPE_RE}')))
+                   AS INT) AS n_unique_bpe_tokens
+        FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counting with a BPE-ish pretokenizer regex
+    (letter/digit/punctuation runs) — pure regexp_extract_all projection,
+    JVM-side, shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    # NB: F.regexp_extract_all with a lit pattern, not F.expr — a SQL
+    # string literal would eat the \s escape and silently match spaces.
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). Exact percentile sorts within groups —
+    at 100 TB swap in ``approx_percentile`` (t-digest, mergeable
+    map-side) and accept the documented error bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias(
+            "p99_price"
+        ),
+    )
+
+
+@register(
+    "agg_corr_stddev",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(stddev_samp(l_discount), 6) AS discount_stddev,
+               ROUND(var_samp(l_tax), 6) AS tax_var,
+               ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (corr/stddev/var/covar) — all mergeable,
+    partial-aggregated map-side like any sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+        F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_priority_by_year",
+    oracle="""
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("grouping", "pivot"),
+)
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per priority by order year). Pivot values are
+    DECLARED, not discovered — the discovery pass is an extra full scan
+    and nondeterministic column order at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    aliases = ["urgent", "high", "medium", "not_specified", "low"]
+    out = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    for val, alias in zip(_PRIORITIES, aliases):
+        out = out.withColumnRenamed(val, alias)
+    # pivot emits NULL for empty cells; counts should read 0
+    return out.select(
+        "order_year",
+        *[F.coalesce(F.col(a), F.lit(0)).alias(a) for a in aliases],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame window (value-range frames, not row counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_90d_revenue",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY DATEDIFF('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+               ), 2) AS revenue_90d
+        FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-90-day revenue per customer: a RANGE frame over day
+    numbers (value-based, handles gaps/duplicate dates correctly where a
+    ROWS frame would not). One shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_90d"),
+    )
