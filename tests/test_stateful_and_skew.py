@@ -1,0 +1,106 @@
+"""Custom stateful streaming (applyInPandasWithState) and skew-salting
+differential tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.operators.skew import salted_agg, salted_avg
+from cloudfloe_spark.sources.tables import load_table
+from cloudfloe_spark.streaming import run_available_now, stream_events
+from cloudfloe_spark.streaming.stateful import running_user_totals
+
+
+def test_running_user_totals_matches_batch(spark, sf_dir):
+    """The custom stateful operator's FINAL per-user totals must equal the
+    batch groupBy — update-mode emissions are cumulative, so take each
+    user's max."""
+    got = run_available_now(
+        running_user_totals(stream_events(spark, sf_dir)),
+        name="t_state",
+        output_mode="update",
+    )
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("value", "sum", "total"),
+            ("event_id", "count", "n"),
+            ("value", "min", "lo"),
+            ("value", "max", "hi"),
+        ],
+        spread_col="event_id",
+        n_salts=8,
+    )
+    want = ev.groupBy("event_type").agg(
+        F.sum("value").alias("total"),
+        F.count("event_id").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    norm = lambda df: {
+        r["event_type"]: (round(r["total"], 6), r["n"], r["lo"], r["hi"])
+        for r in df.collect()
+    }
+    assert norm(got) == norm(want)
+
+
+def test_salted_avg_equals_plain_avg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: round(r["avg_value"], 9)
+        for r in salted_avg(
+            ev, ["event_type"], "value", "avg_value", spread_col="event_id"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: round(r["avg_value"], 9)
+        for r in ev.groupBy("event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_non_mergeable(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_agg(
+            ev, ["event_type"], [("value", "avg", "a")], spread_col="event_id"
+        )
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    """Same input → identical partials on re-execution (retry safety)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = salted_agg(
+        ev, ["event_type"], [("value", "sum", "s")], spread_col="event_id"
+    ).collect()
+    b = salted_agg(
+        ev, ["event_type"], [("value", "sum", "s")], spread_col="event_id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
