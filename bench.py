@@ -38,6 +38,12 @@ HEADLINE = [
     "sim_brute_force_topk",      # broadcast cross-score + window top-k
     "events_session_window",     # session windows (stateful analog)
     "json_extract",              # JSON path extraction + agg
+    "asof_last_purchase_before_click",  # union+window as-of join
+    "range_join_errors_near_clicks",    # bucketed interval join
+    "mm_decode_media",           # binary payloads through mapInPandas
+    "text_bpe_tokens",           # regex pretokenizer projection
+    "agg_percentiles",           # exact percentile sort-agg
+    "window_range_90d_revenue",  # value-range window frame
 ]
 
 

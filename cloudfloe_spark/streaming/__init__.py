@@ -7,6 +7,7 @@ the DuckDB oracle; the streaming tests then pin streaming-vs-batch
 equivalence, which is exactly the guarantee Spark's unified model makes.
 """
 
+from cloudfloe_spark.streaming.stateful import running_user_totals
 from cloudfloe_spark.streaming.windows import (
     dedup_within_watermark,
     run_available_now,
@@ -24,5 +25,6 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "stream_static_enrich",
+    "running_user_totals",
     "run_available_now",
 ]

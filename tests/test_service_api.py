@@ -155,3 +155,19 @@ def test_query_row_limit_validation_422(api):
 def test_unknown_route_404(api):
     status, _ = _get(api, "/api/nope")
     assert status == 404
+
+
+def test_every_demo_query_executes(api):
+    """Reference-parity proof: all five demo-corpus queries (DuckDB
+    dialect, read_parquet scans — `backend/main.py:743-769` shapes) run
+    end-to-end through rewrite → transpile → validate → Spark."""
+    _, conn = _get(api, "/api/demo/connection")
+    _, corpus = _get(api, "/api/demo/queries")
+    for q in corpus["queries"]:
+        status, body = _post(
+            api,
+            "/api/query",
+            {"sql": q["sql"], "connection": conn["connection"], "rowLimit": 50},
+        )
+        assert status == 200, (q["name"], body)
+        assert body["stats"]["rowsReturned"] > 0, q["name"]
