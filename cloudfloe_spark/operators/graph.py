@@ -1,0 +1,87 @@
+"""Connected components for duplicate-cluster assignment.
+
+After LSH candidate generation, a dedup pipeline needs to group pairwise
+matches into CLUSTERS (keep one representative per component). Spark has
+no built-in connected components; this is iterative min-label
+propagation over the edge list:
+
+    label(n) ← min(label(n), min over neighbors label(m))
+
+repeated to fixpoint. Each iteration is one equi-join + one groupBy —
+all hash-shuffle operators, no driver-side graph. Iteration count is the
+component DIAMETER, which for near-duplicate clusters is small (chains
+of similar docs); for general graphs with long paths, swap in the
+large-star/small-star algorithm (same join/groupBy building blocks,
+O(log n) rounds) — the interface stays identical.
+
+Lineage control: every iteration ``localCheckpoint``s the label frame;
+without it the plan doubles per round and Catalyst analysis time blows
+up long before data size matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label each node with the minimum node id of its component.
+
+    ``edges`` is an undirected edge list (each pair once is enough);
+    ``nodes`` optionally supplies the full node universe (single-column
+    DataFrame) so isolated nodes get singleton clusters. Returns
+    ``(node, cluster_id)``.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+    universe = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    if nodes is not None:
+        universe = universe.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        )
+    labels = (
+        universe.distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(sym.b.alias("node2"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -394,3 +394,73 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.8)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+_LSH_PAIRS_CTE = """
+        , bands AS (
+            SELECT doc_id, b.band,
+                   ARRAY_TO_STRING(sig[(b.band*3+1):(b.band*3+3)], ',') AS band_key
+            FROM sigs, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+"""
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_SIGS_SQL.lstrip().removeprefix("WITH")
+    + _LSH_PAIRS_CTE
+    + """
+        , sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM sigs
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        )
+        SELECT n AS doc_id, MIN(m) AS cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY MIN(m)) AS BIGINT)
+                   AS cluster_size
+        FROM reach
+        GROUP BY n
+    """,
+    tags=("dedup", "minhash", "graph"),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH candidate pairs → connected
+    components (iterative min-label propagation, operators/graph.py) →
+    every signed document labeled with its cluster's minimum doc_id and
+    the cluster size. The 'keep one per cluster' step of a dedup pipeline
+    is then a filter on doc_id == cluster_id.
+
+    Oracle: DuckDB recursive CTE computing the same transitive closure —
+    the strongest available differential check for an iterative
+    distributed algorithm."""
+    from cloudfloe_spark.operators.graph import connected_components
+
+    sigs = _spark_minhash_sigs(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", nodes=sigs
+    )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+    )

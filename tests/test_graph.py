@@ -1,0 +1,36 @@
+"""Connected-components unit tests (fixture-level correctness is pinned
+by the dedup_minhash_clusters oracle test)."""
+
+from __future__ import annotations
+
+from cloudfloe_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long") if nodes else None
+    return {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(e, nodes=n).collect()
+    }
+
+
+def test_chain_and_islands(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds."""
+    got = _cc(spark, [(i, i + 1) for i in range(12)])
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_isolated_nodes_get_singleton_clusters(spark):
+    got = _cc(spark, [(1, 2)], nodes=[1, 2, 9, 10])
+    assert got[9] == 9 and got[10] == 10 and got[1] == got[2] == 1
+
+
+def test_cycle(spark):
+    got = _cc(spark, [(3, 4), (4, 5), (5, 3)])
+    assert set(got.values()) == {3}
