@@ -238,3 +238,181 @@ def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos_raw"), 4).alias("max_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # centroid count
+_IVF_SEED_BASE = _N_QUERIES  # vec_id ∈ [base, base+K) are the seed centroids
+_IVF_NPROBE = 4
+
+_COS_SQL = (
+    "LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+_IVF_COMMON_SQL = f"""
+        WITH cent AS (
+            SELECT vec_id - {_IVF_SEED_BASE} AS centroid_id, embedding AS cent_emb
+            FROM embeddings
+            WHERE vec_id >= {_IVF_SEED_BASE} AND vec_id < {_IVF_SEED_BASE + _IVF_K}
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id AS list_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cent_emb')} DESC,
+                                    c.centroid_id
+                       ) AS rk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rk = 1
+        )
+"""
+
+
+@register(
+    "sim_ivf_lists",
+    oracle=_IVF_COMMON_SQL + """
+        SELECT list_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               MIN(vec_id) AS min_vec_id
+        FROM assign
+        GROUP BY list_id
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: assign every vector to its nearest of K=16 seed
+    centroids (deterministic seeds = rows of the table itself, so the
+    oracle reproduces the index bit-for-bit) + list occupancy.
+
+    Scale note: the assignment is a broadcast of K centroids across the
+    corpus scan — one pass, no corpus shuffle except the small occupancy
+    agg. In a stored index, list_id becomes the table's partition/bucket
+    column so probes prune files."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        _ivf_assign(e)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    return e.filter(
+        (F.col("vec_id") >= _IVF_SEED_BASE)
+        & (F.col("vec_id") < _IVF_SEED_BASE + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _IVF_SEED_BASE).alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+
+
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, list_id): nearest centroid per vector, ties to the lower
+    centroid id."""
+    cent = _ivf_centroids(e)
+    scored = spread(e).crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(as_double(F.col("embedding")), as_double(F.col("cent_emb"))).alias(
+            "cos_c"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("centroid_id").alias("list_id"))
+    )
+
+
+@register(
+    "sim_ivf_ann_topk",
+    oracle=_IVF_COMMON_SQL + f"""
+        , probe AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS_SQL.format(a='q.embedding', b='c.cent_emb')} DESC,
+                                    c.centroid_id
+                       ) AS rk
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rk <= {_IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probe p JOIN assign a ON p.centroid_id = a.list_id
+            WHERE p.query_id <> a.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_raw
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos_sim, rk
+        FROM ranked WHERE rk <= {_TOP_K}
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe search: rank the K centroids per query, take the top
+    nprobe=4 lists, score ONLY vectors assigned to those lists, exact
+    cosine re-rank. Candidate generation is an equi-join on list_id —
+    at scale with list-partitioned storage this prunes ~ (K-nprobe)/K of
+    the corpus from the scan entirely."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(e)
+    assign = _ivf_assign(e)
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        cosine(as_double(F.col("q_emb")), as_double(F.col("cent_emb"))).alias("cos_c"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    probe = (
+        probe_scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+
+    cand = (
+        probe.join(assign, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
+    )
