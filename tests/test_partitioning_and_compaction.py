@@ -1,0 +1,100 @@
+"""Hive-partitioned layout: partition pruning evidence + compaction.
+
+The fixtures are single files, but 100 TB tables are many-file and
+hive/iceberg-partitioned — these tests pin that the engine's plans
+actually prune partitions and that the compaction tool fixes the
+small-file shape the reference only warns about."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.plans import executed_plan, pushed_filters
+from cloudfloe_spark.sources.maintenance import compact_parquet, plan_compaction
+from cloudfloe_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def partitioned_orders(spark, sf_dir, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("part") / "orders_by_year")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .write.partitionBy("order_year")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    return dest
+
+
+def test_partition_pruning_in_plan(spark, partitioned_orders):
+    df = spark.read.parquet(partitioned_orders).filter(
+        F.col("order_year") == 1996
+    )
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan
+    # the partition predicate must be a PartitionFilter, NOT a data filter
+    assert any(
+        "order_year" in line and "1996" in line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+    ), plan
+
+
+def test_partition_pruning_reads_only_matching_files(spark, partitioned_orders):
+    """input_file_name() at execution time — NOT inputFiles(), which lists
+    the unpruned file index — proves only matching partitions are read."""
+    read = {
+        r[0]
+        for r in spark.read.parquet(partitioned_orders)
+        .filter(F.col("order_year") == 1996)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read and all("order_year=1996" in f for f in read)
+
+
+def test_data_filter_still_pushed_alongside_partition_filter(
+    spark, partitioned_orders
+):
+    df = spark.read.parquet(partitioned_orders).filter(
+        (F.col("order_year") == 1996) & (F.col("o_totalprice") > 100000.0)
+    )
+    assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    # fragment: write orders as many tiny files
+    frag = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "orders").repartition(40).write.parquet(frag)
+    assert plan_compaction(frag)["n_files"] == 40
+
+    dest = str(tmp_path / "compacted")
+    report = compact_parquet(spark, frag, dest, target_file_bytes=64 * 1024 * 1024)
+    assert report["after"]["n_files"] < report["before"]["n_files"]
+    # row fidelity
+    assert (
+        spark.read.parquet(dest).count()
+        == load_table(spark, sf_dir, "orders").count()
+    )
+
+
+def test_compaction_partitioned_layout(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "by_year")
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    ).repartition(20).write.parquet(src)
+    compact_parquet(
+        spark, src, dest, partition_by=["order_year"],
+        target_file_bytes=64 * 1024 * 1024,
+    )
+    pruned = spark.read.parquet(dest).filter(F.col("order_year") == 1996)
+    read = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read and all("order_year=1996" in f for f in read)
+    assert pruned.count() > 0
