@@ -58,7 +58,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ]) AS w_start) s
             WHERE e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL '1 hour'
         )
-        SELECT w_start, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        SELECT w_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         FROM starts
         GROUP BY w_start
     """,
@@ -67,15 +67,22 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 30 min slide): each event lands in two
     overlapping windows. Spark expands via F.window(len, slide); the oracle
-    expands explicitly via the two candidate starts."""
+    expands explicitly via the two candidate starts.
+
+    Metric is ROUND(SUM, 2), not ROUND(AVG, 4): window populations here
+    are powers of two, so averages of the 2-decimal values land EXACTLY
+    on 4-decimal halfway points where Spark (HALF_UP on BigDecimal) and
+    DuckDB (double-based) round apart — found at sf0.01, invisible at
+    sf0.001. Sums of 2-decimal rationals can never sit on a .005
+    boundary, so round-2 is engine-stable."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
     )
 
 
