@@ -185,3 +185,66 @@ def window_range_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_90d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-pipeline reproducibility)
+# ---------------------------------------------------------------------------
+# rand()-based sampling is nondeterministic across retries/engines; hash-mod
+# sampling gives the same sample on every engine and every re-run, and it's
+# stable under repartitioning — the property training pipelines need to make
+# "the 1% eval split" a fact about the data, not about one job execution.
+
+from cloudfloe_spark.functions.text import portable_hash64, portable_hash_sql  # noqa: E402
+
+
+@register(
+    "sample_documents_hash",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ({portable_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100 < 10
+    """,
+    tags=("sampling",),
+)
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% document sample via portable md5-hash-mod on the
+    key — same rows every run, every engine, any partitioning. Pure
+    filter: pushdown-friendly, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    return d.filter(h % 100 < 10).select("doc_id", "lang")
+
+
+@register(
+    "sample_events_stratified",
+    oracle=f"""
+        WITH rates(event_type, pct) AS (
+            VALUES ('purchase', 100), ('error', 50), ('click', 5),
+                   ('view', 5), ('signup', 100)
+        )
+        SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM events e JOIN rates r ON e.event_type = r.event_type
+        WHERE ({portable_hash_sql("CAST(event_id AS VARCHAR)")}) % 100 < r.pct
+        GROUP BY e.event_type
+    """,
+    tags=("sampling", "events"),
+)
+def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class keep rates (keep all
+    rare classes, downsample dominant ones — the class-balance shape of
+    training-data curation), as a broadcast join of the rate table plus a
+    hash-mod filter. No shuffle of the fact side."""
+    ev = load_table(spark, sf_dir, "events")
+    rates = ev.sparkSession.createDataFrame(
+        [("purchase", 100), ("error", 50), ("click", 5), ("view", 5),
+         ("signup", 100)],
+        "event_type string, pct int",
+    )
+    h = portable_hash64(F.col("event_id").cast("string"))
+    return (
+        ev.join(F.broadcast(rates), "event_type")
+        .filter(h % 100 < F.col("pct"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )

@@ -219,3 +219,20 @@ def test_run_query_json_safe_values(spark, sf_dir):
         _cfg(),
     )
     json.dumps(resp.rows)  # must not raise
+
+
+# --- per-request isolation (SURVEY.md §7.3 hard part 1) ------------------------
+
+
+def test_request_sessions_are_isolated(spark):
+    """newSession-per-request must isolate SQL conf and temp views — the
+    replacement for the reference's per-request DuckDB engine."""
+    from cloudfloe_spark.service.engine import request_session
+
+    s1 = request_session(spark, None)
+    s2 = request_session(spark, None)
+    s1.conf.set("spark.sql.cf.test", "one")
+    assert s2.conf.get("spark.sql.cf.test", None) != "one"
+    s1.range(3).createOrReplaceTempView("req_scoped_view")
+    assert s1.catalog.tableExists("req_scoped_view")
+    assert not s2.catalog.tableExists("req_scoped_view")
