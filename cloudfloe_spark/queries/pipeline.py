@@ -1,0 +1,127 @@
+"""End-to-end curation pipeline: the composition query.
+
+A real training-data pipeline chains the individual operators this
+catalog ships — exact dedup, quality scoring, language ID, deterministic
+splitting — into one pass. This query IS that chain, and its oracle
+reproduces every stage, so the composition (not just the parts) is
+value-checked.
+
+Stage order is the scale-correct one:
+1. fingerprint dedup FIRST (cheapest blocker: one shuffle on a 16-byte
+   hash removes exact copies before any scoring work),
+2. per-row scoring (quality, lang-ID) — pure projections,
+3. threshold + language filters,
+4. deterministic hash split (train/eval) — a fact about the data, not
+   about one job run,
+5. a summary aggregation (per lang × split counts + total quality).
+
+One wide shuffle (the dedup groupBy) + one tiny one (the final agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    portable_hash64,
+    portable_hash_sql,
+    quality_score,
+)
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.queries.text import _lang_hits_sql, _WORDS_SQL
+from cloudfloe_spark.sources.tables import load_table
+
+_QUALITY_THRESHOLD = 0.5
+_TRAIN_PCT = 90
+
+# SQL twins of the stage expressions (same fragments the stage queries use)
+_FP_SQL = "MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))"
+_QUALITY_SQL = f"""
+    ROUND((LEAST(CAST(LEN({_WORDS_SQL}) AS DOUBLE) / 50.0, 1.0)
+        + (CASE WHEN (CASE WHEN LEN({_WORDS_SQL}) > 0
+                THEN CAST(LIST_SUM(LIST_TRANSFORM({_WORDS_SQL}, w -> LENGTH(w))) AS DOUBLE)
+                     / LEN({_WORDS_SQL}) ELSE 0.0 END) BETWEEN 3.0 AND 8.0
+           THEN 1.0 ELSE 0.5 END)
+        + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0
+                THEN CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / LENGTH(text) ELSE 0.0 END) * 5.0, 1.0))) / 3.0, 4)
+"""
+_LANG_SQL = f"""
+    CASE WHEN GREATEST({_lang_hits_sql('en')}, {_lang_hits_sql('de')},
+                       {_lang_hits_sql('fr')}, {_lang_hits_sql('es')}) = 0 THEN 'und'
+         WHEN {_lang_hits_sql('en')} >= GREATEST({_lang_hits_sql('de')},
+                  {_lang_hits_sql('fr')}, {_lang_hits_sql('es')}) THEN 'en'
+         WHEN {_lang_hits_sql('de')} >= GREATEST({_lang_hits_sql('fr')},
+                  {_lang_hits_sql('es')}) THEN 'de'
+         WHEN {_lang_hits_sql('fr')} >= {_lang_hits_sql('es')} THEN 'fr'
+         ELSE 'es' END
+"""
+
+
+@register(
+    "curation_pipeline_summary",
+    oracle=f"""
+        WITH keepers AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY {_FP_SQL}
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT doc_id,
+                   {_QUALITY_SQL} AS quality,
+                   {_LANG_SQL} AS lang_pred,
+                   CASE WHEN ({portable_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100
+                             < {_TRAIN_PCT}
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM keepers
+        )
+        SELECT lang_pred, split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(quality), 4) AS total_quality
+        FROM scored
+        WHERE quality >= {_QUALITY_THRESHOLD} AND lang_pred <> 'und'
+        GROUP BY lang_pred, split
+    """,
+    tags=("pipeline", "dedup", "text", "sampling"),
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in one plan: exact-dedup keeper →
+    quality + lang-ID scoring → thresholds → deterministic train/eval
+    split → per (lang, split) summary. See module docstring for why the
+    stages run in this order at scale."""
+    d = load_table(spark, sf_dir, "documents")
+
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    keepers = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    scored = keepers.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.when(
+            portable_hash64(F.col("doc_id").cast("string")) % 100 < _TRAIN_PCT,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    return (
+        scored.filter(
+            (F.col("quality") >= _QUALITY_THRESHOLD)
+            & (F.col("lang_pred") != "und")
+        )
+        .groupBy("lang_pred", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("quality"), 4).alias("total_quality"),
+        )
+    )

@@ -210,6 +210,22 @@ def validate_and_limit_sql(sql: str, row_limit: int) -> str:
                 f"{t.text.upper()} statements are not allowed"
             )
 
+    # Structural sanity: parentheses must balance. Unbalanced input is
+    # never valid SQL, and (found by fuzzing) it breaks the top-level
+    # LIMIT detection — 'LIMIT' after an unclosed '(' sits at depth>0, so
+    # injection would stack a second LIMIT on every re-validation.
+    depth = 0
+    for t in code:
+        if t.kind == "punct":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth < 0:
+                    raise bad_request("Invalid SQL: unbalanced parentheses")
+    if depth != 0:
+        raise bad_request("Invalid SQL: unbalanced parentheses")
+
     # Re-emit: original code tokens, single-space separated (comment
     # stripping + whitespace normalization ≈ the reference's sqlglot
     # re-emission at backend/main.py:111).
