@@ -1,0 +1,96 @@
+"""Driver-checked STREAMING correctness.
+
+These catalog entries execute real Structured Streaming pipelines
+(readStream file source → watermarked windowed aggregation → availableNow
+→ memory sink) and return the completed result as a batch DataFrame — so
+the driver's DuckDB comparison checks actual streaming execution, not a
+batch stand-in. Complete output mode makes the terminal state equal the
+batch aggregation over the same input, which is exactly Spark's unified-
+model guarantee; the oracle is therefore plain SQL.
+
+(Watermark late-data semantics — where streaming intentionally diverges
+from batch — are pinned separately in tests/test_streaming.py; they are
+multi-run behaviors no single-result oracle can express.)
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.streaming.windows import (
+    run_available_now,
+    session_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def _unique(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+        SELECT TIME_BUCKET(INTERVAL '1 day', ts) AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed BY THE STREAMING ENGINE (file
+    stream → watermark → window agg → availableNow → memory sink); the
+    completed state equals the batch aggregation, which the SQL oracle
+    expresses directly."""
+    return run_available_now(
+        tumbling_counts(stream_events(spark, sf_dir)),
+        name=_unique("st_tumble"),
+        output_mode="complete",
+    )
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS seq
+            FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id, seq
+    """,
+    tags=("streaming", "session-window"),
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows computed by the streaming engine
+    (session_window state machine). Oracle: gaps-and-islands — Spark's
+    session_window closes a session after a gap STRICTLY greater than
+    the 30-minute gap parameter, and reports end = last event + gap."""
+    return run_available_now(
+        session_counts(stream_events(spark, sf_dir), gap="30 minutes"),
+        name=_unique("st_sess"),
+        output_mode="complete",
+    )
