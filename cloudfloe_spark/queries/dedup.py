@@ -464,3 +464,51 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("cluster_id"))
         .alias("cluster_size"),
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+                   ROUND((LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), w -> w <> '')) AS DOUBLE) / 50.0, 1.0)
+                       + (CASE WHEN (CASE WHEN LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), w -> w <> '')) > 0
+                               THEN CAST(LIST_SUM(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), w -> w <> ''), w -> LENGTH(w))) AS DOUBLE)
+                                    / LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), w -> w <> '')) ELSE 0.0 END) BETWEEN 3.0 AND 8.0
+                          THEN 1.0 ELSE 0.5 END)
+                       + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0
+                               THEN CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                    / LENGTH(text) ELSE 0.0 END) * 5.0, 1.0))) / 3.0, 4) AS quality
+            FROM documents
+        )
+        SELECT doc_id, fp, quality FROM (
+            SELECT doc_id, fp, quality,
+                   ROW_NUMBER() OVER (PARTITION BY fp
+                                      ORDER BY quality DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    tags=("dedup", "quality"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection: within each exact-duplicate group keep
+    the HIGHEST-QUALITY copy (ties to lowest doc_id) — what a curation
+    pipeline actually wants, vs. keep-min-id. One window over the
+    fingerprint partition; quality is computed before the shuffle so only
+    (doc_id, fp, quality) moves."""
+    from cloudfloe_spark.functions.text import quality_score
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp", "quality")
+    )

@@ -248,3 +248,35 @@ def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@register(
+    "unpivot_priority_counts",
+    oracle="""
+        WITH wide AS (
+            SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+                   CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+                   CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+            FROM orders GROUP BY 1
+        )
+        SELECT order_year, p.priority, p.n FROM wide,
+            LATERAL (SELECT UNNEST(['urgent', 'low']) AS priority,
+                            UNNEST([urgent, low]) AS n) p
+    """,
+    tags=("grouping", "unpivot"),
+)
+def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-year counts back to long (year, priority, n)
+    via ``DataFrame.unpivot`` — the inverse of the pivot entry. Pure
+    reshape after a small agg; no extra shuffle beyond the groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+    )
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["urgent", "low"],
+        variableColumnName="priority",
+        valueColumnName="n",
+    )
