@@ -171,3 +171,36 @@ def test_every_demo_query_executes(api):
         )
         assert status == 200, (q["name"], body)
         assert body["stats"]["rowsReturned"] > 0, q["name"]
+
+
+def test_concurrent_queries(api, sf_dir):
+    """The service must serve parallel requests over one shared
+    SparkContext (ThreadingHTTPServer + per-request newSession) — the
+    concurrency model that replaces the reference's engine-per-request."""
+    import concurrent.futures
+
+    def one(i):
+        return _post(
+            api,
+            "/api/query",
+            {
+                "sql": (
+                    f"SELECT o_orderpriority, COUNT(*) + {i} AS n "
+                    f"FROM read_parquet('{sf_dir}/orders.parquet') "
+                    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+                ),
+                "connection": {
+                    "storageType": "local",
+                    "endpoint": "",
+                    "accessKey": "",
+                    "secretKey": "",
+                },
+            },
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(one, range(6)))
+    for i, (status, body) in enumerate(results):
+        assert status == 200, body
+        base = body["rows"][0][1] - i  # same count, offset i
+        assert base == results[0][1]["rows"][0][1]
