@@ -236,3 +236,25 @@ def test_request_sessions_are_isolated(spark):
     s1.range(3).createOrReplaceTempView("req_scoped_view")
     assert s1.catalog.tableExists("req_scoped_view")
     assert not s2.catalog.tableExists("req_scoped_view")
+
+
+def test_delete_guard_reject_mode(monkeypatch, spark, tmp_path):
+    """With CLOUDFLOE_REJECT_DELETES on, a table with delete files gets
+    the reference's 400 + compaction advice (backend/main.py:398-414)."""
+    import json as _json
+
+    from cloudfloe_spark.service import engine as eng
+
+    (tmp_path / "metadata").mkdir()
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "last-updated-ms": 1700000000000,
+        "snapshots": [{"snapshot-id": 1, "summary": {"total-delete-files": "2"}}],
+    }
+    (tmp_path / "metadata" / "v1.metadata.json").write_text(_json.dumps(meta))
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", True)
+    with pytest.raises(CloudfloeError) as e:
+        probe_table(spark, str(tmp_path))
+    assert e.value.status_code == 400
+    assert "compaction" in e.value.detail.lower()
