@@ -202,14 +202,31 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Pick the language with the max stopword-hit count (ties broken by
-    fixed language order; all-zero → 'und')."""
-    scores = lang_scores(col)
+    fixed language order; all-zero → 'und').
+
+    The tokenized word array and the per-language score struct are each
+    let-bound so the split and the 4 membership filters run ONCE per row —
+    the naive expression tree re-evaluates the split per language and each
+    score twice (argmax references it in both ``when`` and ``greatest``).
+    """
     langs = list(LANG_STOPWORDS)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in reverse so earlier languages win ties
-    for lang in reversed(langs):
-        s = scores[lang]
-        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
-        best_score = F.greatest(s, best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    def _scores(ws: Column) -> Column:
+        return F.struct(
+            *[
+                F.size(F.filter(ws, _membership(sw))).alias(f"s_{lang}")
+                for lang, sw in LANG_STOPWORDS.items()
+            ]
+        )
+
+    def _argmax(scores: Column) -> Column:
+        best = F.lit("und")
+        best_score = F.lit(0)
+        # iterate in reverse so earlier languages win ties
+        for lang in reversed(langs):
+            s = scores[f"s_{lang}"]
+            best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+            best_score = F.greatest(s, best_score)
+        return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    return let(words(F.lower(col)), lambda ws: let(_scores(ws), _argmax))
