@@ -25,3 +25,4 @@ from cloudfloe_spark.queries import extras  # noqa: F401, E402
 from cloudfloe_spark.queries import pipeline  # noqa: F401, E402
 from cloudfloe_spark.queries import streaming_twins  # noqa: F401, E402
 from cloudfloe_spark.queries import tpch  # noqa: F401, E402
+from cloudfloe_spark.queries import funcpack  # noqa: F401, E402

@@ -1,0 +1,331 @@
+"""Scalar/aggregate function-pack catalog: operator families inside the
+reference's permitted SELECT envelope (reference backend/main.py:36-43 admits
+the engine's whole function library; SURVEY.md §2C "scalar string/date/math/
+array/map/json function library") that no other catalog module exercises —
+min_by/max_by, ordered collect, map construction/lookup, struct-array sort,
+extended string/date functions, null-handling forms, ntile/cume_dist, and
+correlated LATERAL joins.
+
+Oracle-parity dialect notes (each encoded in the paired SQL):
+- DuckDB ``arg_max/arg_min`` ≡ Spark ``max_by/min_by`` (tie-free here:
+  c_acctbal is unique per segment in the fixtures).
+- DuckDB ``list(x ORDER BY …)`` ≡ Spark ``array_sort(collect_list(…))``.
+- DuckDB ``dayofweek`` is 0-based (Sunday=0); Spark's is 1-based.
+- DuckDB has no ``initcap``; the oracle emulates it per word.
+- DuckDB ``IS NOT DISTINCT FROM`` ≡ Spark ``<=>`` (eqNullSafe).
+
+All shapes are scale-safe: per-group aggregation only, no driver loops, and
+the LATERAL entry decorrelates to an aggregate-join (Catalyst
+DecorrelateInnerQuery), not per-row subquery execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+        SELECT c_mktsegment,
+               arg_max(c_name, c_acctbal) AS richest_customer,
+               arg_min(c_name, c_acctbal) AS poorest_customer,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "funcpack"),
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin aggregates): the 'which row achieved the
+    extreme' pattern without a self-join or window."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT c_nationkey,
+               list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+               (list(c_name ORDER BY c_acctbal DESC, c_name))[1:3] AS top3_names
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "array", "funcpack"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: sorted distinct collect + top-3-by-value
+    via sort_array over an array of structs (struct comparison sorts by
+    field order; negated balance gives DESC with name ASC tie-break)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("c_acctbal")).alias("neg"), "c_name"))
+                ),
+                lambda s: s["c_name"],
+            ),
+            1,
+            3,
+        ).alias("top3_names"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN cnt END) AS clicks,
+               MAX(CASE WHEN event_type = 'purchase' THEN cnt END) AS purchases,
+               COUNT(*) AS n_types
+        FROM counts
+        GROUP BY user_id
+    """,
+    tags=("map", "funcpack"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup: per-user event_type→count map built with
+    map_from_entries(collect_list(struct)), probed with element_at (NULL for
+    absent keys) and sized with map_keys. The map stays executor-side; the
+    compared output is scalar."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.element_at("m", "click").alias("clicks"),
+        F.element_at("m", "purchase").alias("purchases"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+    )
+
+
+@register(
+    "string_functions_2",
+    oracle="""
+        SELECT p_partkey,
+               levenshtein(p_name, 'red widget') AS edit_dist,
+               translate(p_brand, '#', '-') AS brand_dashed,
+               lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+               strpos(p_name, ' ') AS space_pos,
+               reverse(p_type) AS type_reversed,
+               repeat('*', p_size % 5) AS stars,
+               ARRAY_TO_STRING(
+                   LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+                       w -> UPPER(SUBSTRING(w, 1, 1)) || SUBSTRING(w, 2)),
+                   ' ') AS name_title
+        FROM part
+        WHERE p_partkey <= 50
+    """,
+    tags=("string", "funcpack"),
+)
+def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string functions: levenshtein, translate, lpad, instr,
+    reverse, repeat, initcap (DuckDB lacks initcap — the oracle emulates it
+    word-wise, which also pins the exact capitalization semantics)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 50).select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("red widget")).alias("edit_dist"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.instr("p_name", " ").alias("space_pos"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("stars"),
+        F.initcap("p_name").alias("name_title"),
+    )
+
+
+@register(
+    "datetime_functions_2",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(last_day(o_orderdate) AS DATE) AS month_end,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT)
+                   AS days_to_2002,
+               make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                         CAST(EXTRACT(month FROM o_orderdate) AS INT), 1)
+                   AS month_start
+        FROM orders
+        WHERE o_orderkey <= 200
+    """,
+    tags=("datetime", "funcpack"),
+)
+def datetime_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond date_trunc: last_day, quarter, ISO week,
+    day-of-week (Spark 1-based vs DuckDB 0-based — pinned in the oracle),
+    month-clamped add_months, datediff, make_date."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.add_months("o_orderdate", 3).alias("plus3mo"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_start"
+        ),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0)
+                                  IS NOT DISTINCT FROM NULLIF(l_tax, 0.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_same_nullsafe,
+               ROUND(AVG(COALESCE(NULLIF(l_discount, 0.0), 0.05)), 6)
+                   AS avg_disc_defaulted
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("null", "funcpack"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling forms: NULLIF to introduce nulls, COUNT(col) vs
+    COUNT(*) skipping them, null-safe equality (<=> ≡ IS NOT DISTINCT FROM),
+    and COALESCE defaulting inside an aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nd = F.nullif("l_discount", F.lit(0.0))
+    nt = F.nullif("l_tax", F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(nd).alias("n_discounted"),
+        F.sum(F.when(nd.eqNullSafe(nt), 1).otherwise(0)).alias("n_same_nullsafe"),
+        F.round(F.avg(F.coalesce(nd, F.lit(0.05))), 6).alias("avg_disc_defaulted"),
+    )
+
+
+@register(
+    "window_ntile_cume",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   ntile(4) OVER w AS quartile,
+                   cume_dist() OVER w AS cd,
+                   percent_rank() OVER w AS pr
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        )
+        SELECT l_returnflag, quartile,
+               COUNT(*) AS n,
+               ROUND(MAX(cd), 6) AS max_cume_dist,
+               ROUND(MAX(pr), 6) AS max_pct_rank
+        FROM ranked
+        GROUP BY l_returnflag, quartile
+    """,
+    tags=("window", "funcpack"),
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, cume_dist,
+    percent_rank over a deterministic (unique-key-extended) ordering,
+    summarized per bucket so the compared output stays small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("l_returnflag", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        F.round(F.max("pr"), 6).alias("max_pct_rank"),
+    )
+
+
+@register(
+    "lateral_correlated_agg",
+    oracle="""
+        SELECT r.r_name, agg.n_nations, agg.n_customers
+        FROM region r,
+        LATERAL (
+            SELECT COUNT(DISTINCT n.n_nationkey) AS n_nations,
+                   COUNT(c.c_custkey) AS n_customers
+            FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+        ) agg
+    """,
+    tags=("join", "subquery", "funcpack"),
+)
+def lateral_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL aggregate join (Spark SQL LATERAL subquery) —
+    Catalyst decorrelates it to an aggregate + outer join, so it runs as a
+    set-based plan, not per-row re-execution."""
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"cf_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name, agg.n_nations, agg.n_customers
+        FROM cf_region r,
+        LATERAL (
+            SELECT COUNT(DISTINCT n.n_nationkey) AS n_nations,
+                   COUNT(c.c_custkey) AS n_customers
+            FROM cf_nation n LEFT JOIN cf_customer c
+              ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+        ) agg
+        """
+    )
+
+
+@register(
+    "regexp_extract_all_words",
+    oracle="""
+        WITH caps AS (
+            SELECT doc_id, regexp_extract_all(text, '[a-z]{7,}') AS long_words
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LEN(long_words) AS INT) AS n_long,
+               ARRAY_TO_STRING(long_words[1:3], ',') AS first3
+        FROM caps
+        WHERE LEN(long_words) > 0
+    """,
+    tags=("string", "regex", "funcpack"),
+)
+def regexp_extract_all_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: pull every ≥7-letter word per document, count and
+    preview — the multi-match regex form (single-match regexp_extract is
+    covered by string_like_regexp)."""
+    d = load_table(spark, sf_dir, "documents")
+    caps = d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[a-z]{7,}"), 0).alias("long_words"),
+    )
+    return caps.filter(F.size("long_words") > 0).select(
+        "doc_id",
+        F.size("long_words").alias("n_long"),
+        F.concat_ws(",", F.slice("long_words", 1, 3)).alias("first3"),
+    )
