@@ -102,3 +102,61 @@ def test_metadata_queries_never_scan_blobs(spark, sf_dir):
     df = CATALOG["mm_metadata_pruning"].fn(spark, sf_dir)
     for cols in scan_columns(df).values():
         assert "content" not in cols
+
+
+def test_q6_all_predicates_pushed_no_join(spark, sf_dir):
+    """TPC-H-Q6 is the pushdown probe: every predicate column reaches the
+    parquet scan, the scan reads only the 4 referenced columns, and the
+    only exchange is the single-partition gather for the global agg."""
+    df = CATALOG["q6_forecast_revenue"].fn(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    cols = next(iter(scan_columns(df).values()))
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert shuffle_count(df) <= 1
+
+
+def test_q10_broadcasts_dims_topk(spark, sf_dir):
+    """Q10: both dimensions broadcast; top-20 plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    df = CATALOG["q10_returned_items"].fn(spark, sf_dir)
+    assert node_count(df, "BroadcastHashJoin") >= 2
+    assert node_count(df, "TakeOrderedAndProject") == 1
+
+
+def test_q18_having_semi_join_shape(spark, sf_dir):
+    """Q18: the HAVING-IN subquery must run as an aggregate + semi join,
+    customer broadcast, and the top-100 as TakeOrderedAndProject."""
+    df = CATALOG["q18_large_volume_customers"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert has_broadcast_join(df)
+    assert node_count(df, "TakeOrderedAndProject") == 1
+    assert not has_cartesian_or_bnl(df), plan
+
+
+def test_q19_single_scan_broadcast_join(spark, sf_dir):
+    """Q19's three OR brackets stay one broadcast join over one lineitem
+    scan — the disjunction must not explode into a union of scans."""
+    df = CATALOG["q19_discounted_revenue"].fn(spark, sf_dir)
+    assert node_count(df, "BroadcastHashJoin") == 1
+    assert shuffle_count(df) <= 1
+
+
+def test_q4_q21_correlated_exists_are_hash_joins(spark, sf_dir):
+    """Correlated EXISTS/NOT EXISTS shapes (Q4, Q21) must plan as hash
+    semi/anti joins on the equi key with the inequality as residual —
+    never a nested-loop."""
+    for name in ("q4_order_priority", "q21_waiting_suppliers"):
+        df = CATALOG[name].fn(spark, sf_dir)
+        assert not has_cartesian_or_bnl(df), name
+
+
+def test_lateral_agg_decorrelates(spark, sf_dir):
+    """The LATERAL correlated aggregate must decorrelate to a set-based
+    aggregate + join (DecorrelateInnerQuery), not a per-row re-execution
+    (which would appear as a nested-loop over the outer side)."""
+    df = CATALOG["lateral_correlated_agg"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
