@@ -192,3 +192,95 @@ def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("events_per_hour"),
     )
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS view_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS click_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.view_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS purchase_ts
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view → first click strictly after the
+    first view → first purchase strictly after that click. Each stage is an
+    aggregate + broadcast-back join on user_id (the per-user stage tables
+    shrink monotonically), so at scale the fact table is scanned once per
+    stage with no row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    tags=("events", "sequence"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (behavioral bigrams): per-user ordered
+    lag pairs, counted globally. One shuffle on user_id serves the window;
+    event_id extends the ordering so simultaneous events stay deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
