@@ -44,6 +44,11 @@ HEADLINE = [
     "text_bpe_tokens",           # regex pretokenizer projection
     "agg_percentiles",           # exact percentile sort-agg
     "window_range_90d_revenue",  # value-range window frame
+    "q6_forecast_revenue",       # pure pushdown scan-agg (TPC-H Q6)
+    "q10_returned_items",        # selective fact filters + dims + top-20
+    "q18_large_volume_customers",  # HAVING-IN semi join + re-agg
+    "q21_waiting_suppliers",     # multi-EXISTS semi/anti join stack
+    "events_transition_matrix",  # per-user window lag + global agg
 ]
 
 
