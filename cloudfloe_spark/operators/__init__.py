@@ -4,6 +4,6 @@ built-ins'; no Catalyst extensions needed)."""
 
 from cloudfloe_spark.operators.asof import asof_join
 from cloudfloe_spark.operators.rangejoin import range_join_bucketed
-from cloudfloe_spark.operators.skew import salted_agg, salted_avg
+from cloudfloe_spark.operators.skew import salted_agg, salted_avg, salted_join
 
-__all__ = ["asof_join", "range_join_bucketed", "salted_agg", "salted_avg"]
+__all__ = ["asof_join", "range_join_bucketed", "salted_agg", "salted_avg", "salted_join"]

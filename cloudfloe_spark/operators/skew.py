@@ -95,3 +95,32 @@ def salted_avg(
     return merged.select(
         *keys, (F.col("__s") / F.col("__c")).alias(alias)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    *,
+    spread_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for a skewed fact against a dimension too large to
+    broadcast: the fact side salts deterministically on ``spread_col``; the
+    dimension side replicates each row across all ``n_salts`` partitions
+    (explode over a salt array). The hot key's probe rows then spread over
+    ``n_salts`` reducers instead of one.
+
+    Cost model: dim is shuffled ``n_salts``× (it must be small relative to
+    the fact, just not broadcast-small); the fact — the 100 TB side — still
+    shuffles exactly once. Prefer AQE skew-join splitting when it fires;
+    this operator is for when the skew is in the GROUPING of a following
+    stage or AQE's thresholds don't trigger.
+    """
+    salt: Column = F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts))
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return fact_s.join(dim_s, [*on, "__salt"], how).drop("__salt")

@@ -94,3 +94,37 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         name=_unique("st_sess"),
         output_mode="complete",
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+        SELECT c.user_id AS l_user,
+               c.event_id AS l_event_id,
+               c.ts AS l_ts,
+               p.event_id AS r_event_id,
+               p.ts AS r_ts
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '1 hour'
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed BY THE STREAMING ENGINE: two
+    watermarked event streams joined on user_id within a 1-hour window
+    (the watermark + interval bound is what lets Spark evict join state).
+    Append-mode terminal output equals the batch interval join, which the
+    oracle states directly."""
+    from cloudfloe_spark.streaming.windows import stream_stream_interval_join
+
+    return run_available_now(
+        stream_stream_interval_join(
+            stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+        ),
+        name=_unique("st_ssjoin"),
+        output_mode="append",
+    )

@@ -15,6 +15,7 @@ from cloudfloe_spark.streaming.windows import (
     sliding_avg,
     stream_events,
     stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "running_user_totals",
     "run_available_now",
 ]

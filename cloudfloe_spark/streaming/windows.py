@@ -161,3 +161,47 @@ def run_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: for each ``left_type`` event, the same
+    user's ``right_type`` events that follow within ``within``.
+
+    Stream-stream joins REQUIRE both a watermark on each side and a
+    time-interval join condition — that pair is what lets Spark evict
+    buffered rows (state is bounded by watermark + interval instead of
+    growing with the stream). The equi key (user_id) keeps it a shuffled
+    hash join on the key, exactly like the batch plan.
+    """
+    lt = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    rt = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return lt.join(
+        rt,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("l_user", "l_event_id", "l_ts", "r_event_id", "r_ts")

@@ -104,3 +104,46 @@ def test_salt_is_deterministic(spark, sf_dir):
         ev, ["event_type"], [("value", "sum", "s")], spread_col="event_id"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted fact⋈dim join must produce exactly the plain join's rows —
+    including a synthetically skewed fact (70% of rows on one key)."""
+    from cloudfloe_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # Skew the key: most rows collapse onto user 1.
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "value",
+    )
+    dim = (
+        ev.select("user_id").distinct().withColumn("tier", F.col("user_id") % 3)
+    )
+    got = salted_join(fact, dim, ["user_id"], spread_col="event_id")
+    want = fact.join(dim, ["user_id"])
+    cols = ["user_id", "event_id", "tier"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    """LEFT join: fact rows with no dim match survive exactly once (the
+    salt must not multiply unmatched rows)."""
+    from cloudfloe_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select("user_id", "event_id")
+    dim = ev.select("user_id").distinct().filter(F.col("user_id") % 2 == 0).withColumn(
+        "flag", F.lit(1)
+    )
+    got = salted_join(fact, dim, ["user_id"], spread_col="event_id", how="left")
+    want = fact.join(dim, ["user_id"], "left")
+    assert got.count() == want.count()
+    assert (
+        got.filter(F.col("flag").isNull()).count()
+        == want.filter(F.col("flag").isNull()).count()
+    )

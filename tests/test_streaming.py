@@ -169,3 +169,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     assert any(s.startswith("2024-01-01T10") for s in starts)  # emitted
     assert not any(s.startswith("2024-01-01T00") for s in starts)  # dropped
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner interval join (watermarks both sides) must equal
+    the same join run in batch over the full fixture."""
+    from cloudfloe_spark.streaming import stream_stream_interval_join
+
+    s1 = stream_events(spark, sf_dir)
+    s2 = stream_events(spark, sf_dir)
+    got = run_available_now(
+        stream_stream_interval_join(s1, s2),
+        name="ss_join",
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = clicks.join(
+        purchases,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+    ).select("l_user", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+    cols = ["l_user", "l_event_id", "l_ts", "r_event_id", "r_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
