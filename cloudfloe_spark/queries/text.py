@@ -9,7 +9,7 @@ and each has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudfloe_spark.functions.text import (
@@ -224,4 +224,72 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(25)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                       w -> w <> '')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+                       AS tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0))
+                                DESC, tf.term
+                   ) AS rnk
+            FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+        FROM scored WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+
+    Scale shape: one explode + (doc,term) aggregation (the big shuffle),
+    a small per-term document-frequency aggregate joined BACK by term
+    (shuffle join — df is |vocab|-sized, broadcast it if vocab is small),
+    and a per-doc top-k window that plans as WindowGroupLimit so the full
+    scored list never materializes per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))  # 1-row, broadcast; stays lazy
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("raw", 6).alias("tfidf"), "rnk")
     )
