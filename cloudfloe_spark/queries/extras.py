@@ -280,3 +280,83 @@ def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="priority",
         valueColumnName="n",
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang, n_chars,
+                   CASE WHEN ({portable_hash_sql("CAST(doc_id AS VARCHAR)", seed=7)}) % 100 < 80
+                        THEN 'train'
+                        WHEN ({portable_hash_sql("CAST(doc_id AS VARCHAR)", seed=7)}) % 100 < 90
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned
+        GROUP BY split, lang
+    """,
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via seeded
+    portable hash-mod on the document key — stable across engines, runs,
+    partitionings, and data appends (a doc never changes split when new
+    docs arrive, unlike percent_rank-based splits). Pure projection +
+    aggregation; the assignment itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string"), seed=7) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "class_balanced_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT label, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label
+                       ORDER BY ({portable_hash_sql("CAST(vec_id AS VARCHAR)", seed=3)}), vec_id
+                   ) AS rnk
+            FROM embeddings
+        )
+        SELECT label,
+               COUNT(*) AS n_kept,
+               CAST(MIN(vec_id) AS BIGINT) AS min_kept_id
+        FROM ranked
+        WHERE rnk <= 30
+        GROUP BY label
+    """,
+    tags=("sampling", "balance"),
+)
+def class_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every label at 30 examples chosen
+    by seeded-hash order (deterministic, unbiased by storage order). The
+    per-label row_number plans as WindowGroupLimit under the rnk<=30
+    filter, so oversized classes never fully sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    h = portable_hash64(F.col("vec_id").cast("string"), seed=3)
+    w = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("vec_id").cast("bigint").alias("min_kept_id"),
+        )
+    )
