@@ -329,3 +329,85 @@ def regexp_extract_all_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("long_words").alias("n_long"),
         F.concat_ws(",", F.slice("long_words", 1, 3)).alias("first3"),
     )
+
+
+@register(
+    "agg_histogram_buckets",
+    oracle="""
+        SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000) + 1, 11) AS BIGINT)
+                   AS bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(l_extendedprice), 2) AS lo,
+               ROUND(MAX(l_extendedprice), 2) AS hi
+        FROM lineitem
+        GROUP BY CAST(LEAST(FLOOR(l_extendedprice / 5000) + 1, 11) AS BIGINT)
+    """,
+    tags=("agg", "histogram", "funcpack"),
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via width_bucket (10 buckets over [0, 50000);
+    values ≥ max land in the overflow bucket n+1 = 11, which the oracle's
+    clamped floor arithmetic pins since DuckDB lacks width_bucket).
+    Single partial-aggregating shuffle — the standard distributed histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(50000.0), F.lit(10))
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(bit_or(l_linenumber) AS INT)  AS flags_or,
+               CAST(bit_and(l_linenumber) AS INT) AS flags_and,
+               CAST(bit_xor(l_linenumber) AS INT) AS flags_xor
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise", "funcpack"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (OR/AND/XOR) — flag-mask folding; all three are
+    mergeable, so they partial-aggregate map-side like sum/min/max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or("l_linenumber").alias("flags_or"),
+        F.bit_and("l_linenumber").alias("flags_and"),
+        F.bit_xor("l_linenumber").alias("flags_xor"),
+    )
+
+
+@register(
+    "group_by_all_sugar",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    tags=("sql-sugar", "funcpack"),
+)
+def group_by_all_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL dialect sugar — DuckDB-corpus queries
+    using the shorthand run unchanged in Spark SQL (both engines expand to
+    the non-aggregate select columns)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("cf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM cf_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
