@@ -1,6 +1,6 @@
 """TPC-H-shaped decision-support catalog: the classic query patterns adapted
 to the driver's trimmed star schema (FIXTURES.md §2 — no partsupp, no
-commitdate/receiptdate/shipmode, so Q2/Q4/Q12/Q20/Q21/Q22 are re-expressed
+commitdate/receiptdate/shipmode, so Q2/Q4/Q11/Q12/Q20/Q21/Q22 are re-expressed
 with the available columns while keeping their operator shape).
 
 These exercise the delegated SELECT envelope the reference's validator admits
@@ -743,3 +743,123 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q11_important_part_values",
+    oracle="""
+        WITH vals AS (
+            SELECT l.l_partkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+            FROM lineitem l
+            WHERE l.l_suppkey IN (
+                SELECT s.s_suppkey
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+            )
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, ROUND(part_value, 2) AS part_value
+        FROM vals
+        WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM vals)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape (important inventory value) without partsupp: per-part
+    revenue from suppliers in a nation set, kept only where it exceeds a
+    fraction of the filtered total. The HAVING-vs-global-scalar is computed by
+    re-aggregating the grouped result (a handful of rows) and broadcasting the
+    one-row total back — the fact table is scanned and shuffled exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supp = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+            s.s_nationkey == n.n_nationkey,
+        ).select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("part_value"))
+    )
+    total = vals.agg((0.001 * F.sum("part_value")).alias("threshold"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q20_top_volume_suppliers",
+    oracle="""
+        WITH ps AS (
+            SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS supp_qty
+            FROM lineitem l
+            WHERE l.l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+                  )
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        pt AS (
+            SELECT l_partkey, SUM(supp_qty) AS part_qty
+            FROM ps GROUP BY l_partkey
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_2', 'NATION_5', 'NATION_8', 'NATION_14')
+          AND s.s_suppkey IN (
+              SELECT ps.l_suppkey
+              FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+              WHERE ps.supp_qty > 0.3 * pt.part_qty
+          )
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q20_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape (potential part promotion) without partsupp: suppliers
+    in a nation set who shipped more than 30% of some 'small%' part's 1996
+    volume. The nested IN-chain becomes broadcast-semi joins; the correlated
+    per-part scalar is the grouped relation re-aggregated one level up and
+    broadcast back (agg-below-join), so lineitem shuffles once on
+    (l_partkey, l_suppkey) and the second agg reuses that partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    small = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    qualifying = (
+        ps.join(F.broadcast(pt), ps.l_partkey == F.col("t_partkey"))
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(
+                n.filter(F.col("n_name").isin("NATION_2", "NATION_5", "NATION_8", "NATION_14"))
+            ),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
