@@ -293,3 +293,65 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", F.round("raw", 6).alias("tfidf"), "rnk")
     )
+
+
+@register(
+    "text_decontaminate_ngram",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, ARRAY_TO_STRING(t[i.i:i.i + 3], ' ') AS gram
+            FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 2, 1))) AS i(i)
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+        )
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+        FROM grams g
+        JOIN bench b ON b.gram = g.gram
+        WHERE g.doc_id % 50 <> 0
+        GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3/Pile
+    recipe): flag every training document sharing at least one n-gram with
+    the held-out eval set, reporting the distinct overlapping grams per doc.
+    Eval membership is the deterministic hash-mod split (doc_id % 50 == 0);
+    n=4 fits this synthetic corpus' tiny vocabulary (production uses 8–13).
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    ~1e4 docs), so its distinct grams BROADCAST and the exploded corpus
+    grams never shuffle for the join; the per-doc hit count shuffles only
+    the matched rows (rare by design). If the eval gram set ever outgrows
+    broadcast, swap to a shuffle hash join on gram — same plan otherwise.
+    Reference has no training-pipeline surface (SURVEY.md north-star);
+    closest analogue is its UNNEST split (backend/main.py:767)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.col("doc_id").__mod__(50).alias("bucket"),
+        F.split(F.col("text"), " ").alias("t"),
+    ).select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.when(
+                F.size("t") >= 4,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 3),
+                    lambda i: F.array_join(F.slice("t", i, 4), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("bucket") == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("bucket") != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
