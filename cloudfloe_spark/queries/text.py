@@ -355,3 +355,58 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_hits"))
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, UNNEST(LIST_TRANSFORM(
+                GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 1, 0)),
+                i -> ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+1], ' ')
+            )) AS bigram
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM raw GROUP BY doc_id, bigram
+        ),
+        per_doc AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id,
+               ROUND(top_c / total, 6) AS top_bigram_frac,
+               top_c / total > 0.09 AS flagged
+        FROM per_doc
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality filter: the fraction of a
+    document's word bigrams accounted for by its single most frequent bigram;
+    documents above the threshold (0.09 here, tuned to this corpus) are
+    flagged as boilerplate/repetitive.
+
+    Scale shape: one explode + (doc, bigram) partial-aggregated count (the
+    only fact-sized shuffle), then a per-doc max/sum that reuses the doc_id
+    prefix of the same hash partitioning — no window, no self-join, linear
+    in corpus size. Reference has no curation surface (SURVEY.md
+    north-star); nearest analogue is its UNNEST split (backend/main.py:767)."""
+    from cloudfloe_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total")
+    )
+    frac = F.col("top_c") / F.col("total")
+    return per_doc.select(
+        "doc_id",
+        F.round(frac, 6).alias("top_bigram_frac"),
+        (frac > 0.09).alias("flagged"),
+    )
