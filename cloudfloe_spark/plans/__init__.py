@@ -9,6 +9,7 @@ payload columns.
 """
 
 from cloudfloe_spark.plans.audit import (
+    broadcast_hint_count,
     codegen_stage_count,
     executed_plan,
     has_broadcast_join,
@@ -20,6 +21,7 @@ from cloudfloe_spark.plans.audit import (
 )
 
 __all__ = [
+    "broadcast_hint_count",
     "executed_plan",
     "pushed_filters",
     "scan_columns",

@@ -68,6 +68,19 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"(?<!Broadcast)Exchange ", plan))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of FORCED broadcast hints in the analyzed logical plan.
+
+    Forced hints are honored regardless of build-side size, so a hint on an
+    unbounded relation (customer/supplier/part, or any fact-derived
+    aggregate) is a driver-OOM risk at scale; only bounded relations
+    (nation/region, one-row globals, literal VALUES, query vectors) may
+    carry one. Counted on the ANALYZED plan — the optimizer folds hints
+    into join nodes later, which would hide them."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", plan))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen stages in the FINAL plan (0 means the
     hot path fell out of codegen entirely — a perf smell).

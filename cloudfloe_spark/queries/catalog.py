@@ -55,6 +55,23 @@ def all_queries() -> dict[str, CatalogQuery]:
     return dict(_REGISTRY)
 
 
+def reorder(first: list[str]) -> None:
+    """Rebuild registry ordering: ``first`` names lead (in the given order),
+    everything else follows in original registration order.
+
+    The driver's correctness gate samples queries() in dict order, so ordering
+    controls which operators get a hard driver CORRECTNESS row each round.
+    """
+    missing = [n for n in first if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"reorder: unknown catalog names {missing}")
+    lead = {n: _REGISTRY[n] for n in first}
+    rest = {n: q for n, q in _REGISTRY.items() if n not in lead}
+    _REGISTRY.clear()
+    _REGISTRY.update(lead)
+    _REGISTRY.update(rest)
+
+
 def query_map() -> dict[str, SparkQuery]:
     """The driver-contract ``queries()`` dict."""
     return {name: q.fn for name, q in _REGISTRY.items()}

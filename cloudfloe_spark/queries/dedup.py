@@ -345,8 +345,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # Hint-free: per-document sizes have |corpus| cardinality — forcing a
+        # broadcast here would OOM the driver at scale. AQE broadcasts when
+        # the runtime size actually fits.
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

@@ -5,10 +5,13 @@ The reference's validator permits the full SELECT envelope including joins
 broadcast-hash / shuffled-hash / sort-merge / nested-loop physical strategies.
 
 Scale notes (the part that matters at 100 TB):
-- Dimension tables (region/nation/customer/supplier/part) are broadcast —
-  ``F.broadcast`` pins BroadcastHashJoin so the fact table never shuffles
-  for the join. At 1000 executors that's the difference between a local
-  hash probe and a full-cluster exchange of the 100 TB side.
+- Bounded dimensions (region: 5 rows, nation: 25 rows) are pinned
+  BroadcastHashJoin via ``F.broadcast`` so the fact table never shuffles
+  for the join. Customer/supplier/part GROW with scale factor (customer is
+  ~1.5 B rows at 100 TB), so those joins are hint-free: AQE broadcasts
+  them while they fit and demotes to shuffle when they don't — a forced
+  hint would be honored past the memory limit. ``join_inner_broadcast``
+  keeps its hint deliberately as the named BroadcastHashJoin exemplar.
 - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE handles
   skew splitting. We keep the join key as the partitioning key through the
   downstream groupBy where possible so one exchange serves both.
@@ -250,7 +253,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -283,8 +286,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "flagship"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5 shape: 6-table join; every dimension broadcast, the only
-    shuffle is the orders⋈lineitem key exchange + final agg."""
+    """TPC-H-Q5 shape: 6-table join; nation/region pinned broadcast,
+    customer/supplier hint-free (AQE sizes them — at TPC-H ratios they
+    broadcast, at 100 TB they demote to shuffle instead of OOMing)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -293,9 +297,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -333,7 +337,7 @@ def join_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     pre = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n_items"), F.sum("l_quantity").alias("total_qty"))
     )

@@ -381,17 +381,37 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate — no exact SQL equivalent; rows-only check
+    # The sketch value itself is engine-specific, so the oracle checks the
+    # *contract* instead: HLL++ at rsd=0.01 must land within 5% of the exact
+    # count. Spark emits (group, exact, within_tolerance); DuckDB emits the
+    # same shape with within_tolerance=TRUE, so the value-hash matches iff
+    # the approximation actually honours its error bound.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_tolerance
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scalable variant of
     COUNT(DISTINCT) for the 100 TB path. Sketch-based, one pass, no shuffle
-    of raw values. Checked rows-only (approximate result by design)."""
+    of raw values. Driver-checkable via a within-tolerance boolean."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.05)
+        ).alias("within_tolerance"),
     )
 
 

@@ -10,8 +10,13 @@ EXISTS / NOT EXISTS, scalar subqueries, CASE-conditional aggregation,
 group-HAVING, and deep multi-join trees.
 
 Scale notes (100 TB design):
-- Every dimension join is an explicit ``F.broadcast`` — the lineitem fact
-  never shuffles for a dim lookup.
+- Bounded dimensions (nation/region: fixed 25/5 rows) and one-row global
+  aggregates carry explicit ``F.broadcast`` hints. Customer / supplier /
+  part joins are HINT-FREE: those tables grow with scale factor (customer
+  is ~1.5 B rows at 100 TB), so the decision is left to AQE, which
+  broadcasts when the runtime size fits and demotes to shuffle when it
+  doesn't. A forced hint would be honored even when the build side no
+  longer fits — a driver OOM at scale.
 - Correlated-subquery shapes are written as semi/anti joins or pre-aggregated
   broadcast joins (agg-below-join), never per-row subquery execution.
 - Multi-predicate OR brackets (q19) stay inside one scan: Catalyst pushes
@@ -68,7 +73,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p.filter(F.col("p_size") == 25)), best.l_partkey == p.p_partkey)
+        best.join(p.filter(F.col("p_size") == 25), best.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -174,8 +179,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -210,8 +215,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8: national market share inside a region — conditional-sum
-    ratio over an 8-table join tree; every dimension broadcast so the only
-    exchanges are orders⋈lineitem and the final year agg."""
+    ratio over an 8-table join tree; nation/region pinned broadcast,
+    customer/supplier/part left to AQE's size-based choice."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -224,14 +229,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _revenue()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("cn_region") == r.r_regionkey,
         )
-        .join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p.filter(F.col("p_type") == "STANDARD"), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -272,8 +277,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = _revenue() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p.filter(F.col("p_name").like("%red%"))), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p.filter(F.col("p_name").like("%red%")), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
@@ -301,7 +306,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10: customers who returned the most in a quarter — selective
-    fact filters, dim broadcasts, top-20 via TakeOrderedAndProject."""
+    fact filters first, hint-free dim joins, top-20 via
+    TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -315,7 +321,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "c_custkey",
@@ -385,7 +391,7 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14: promotion revenue share in a month — conditional-sum ratio
-    with a broadcast part join; single scalar result."""
+    with a hint-free part join (AQE sizes it); single scalar result."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     vol = _revenue()
@@ -394,7 +400,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -440,7 +446,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(top), rev.total_revenue == F.col("max_rev"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -465,11 +471,9 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(
-                p.filter(
-                    (F.col("p_brand") != "Brand#1")
-                    & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
-                )
+            p.filter(
+                (F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
             ),
             li.l_partkey == p.p_partkey,
         )
@@ -494,17 +498,24 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17: revenue lost to small-quantity orders. The correlated
-    per-part AVG is pre-aggregated once and broadcast back onto the fact —
-    agg-below-join instead of a per-row subquery."""
+    per-part AVG is a window over l_partkey — ONE lineitem scan, one shuffle,
+    and the part join reuses that hash partitioning (no broadcast of a
+    per-partkey aggregate, which has |part| cardinality and cannot be
+    broadcast at scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    avg_qty = (
-        li.groupBy(F.col("l_partkey").alias("a_partkey"))
-        .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
+    w = Window.partitionBy("l_partkey")
+    li_avg = li.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        (0.5 * F.avg("l_quantity").over(w)).alias("half_avg_qty"),
     )
     return (
-        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#3")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("a_partkey"))
+        li_avg.join(
+            p.filter(F.col("p_brand") == "Brand#3"),
+            li_avg.l_partkey == p.p_partkey,
+        )
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -546,7 +557,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big.withColumnRenamed("l_orderkey", "big_key"), li.l_orderkey == F.col("big_key"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -577,11 +588,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19: three OR'd predicate brackets spanning both join sides —
-    stays a single broadcast hash join with a residual disjunction, one scan
-    of each table."""
+    stays a single hash join with a residual disjunction, one scan of each
+    table (AQE picks broadcast vs shuffle by runtime size of part)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     bracket1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 10)
@@ -667,7 +678,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )
@@ -782,7 +793,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("s_suppkey")
     )
     vals = (
-        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("part_value"))
     )
@@ -826,10 +837,11 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20 shape (potential part promotion) without partsupp: suppliers
     in a nation set who shipped more than 30% of some 'small%' part's 1996
-    volume. The nested IN-chain becomes broadcast-semi joins; the correlated
-    per-part scalar is the grouped relation re-aggregated one level up and
-    broadcast back (agg-below-join), so lineitem shuffles once on
-    (l_partkey, l_suppkey) and the second agg reuses that partitioning."""
+    volume. The nested IN-chain becomes semi joins (AQE picks
+    broadcast-or-shuffle by runtime size); the correlated per-part scalar is
+    a window SUM over the grouped relation — ONE lineitem scan, no broadcast
+    of a per-partkey aggregate (|part| cardinality — unbroadcastable at
+    scale), no recomputation of the grouped subtree."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -840,15 +852,13 @@ def q20_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(small, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
-    pt = ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("supp_qty").alias("part_qty")
-    )
+    part_qty = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
     qualifying = (
-        ps.join(F.broadcast(pt), ps.l_partkey == F.col("t_partkey"))
+        ps.withColumn("part_qty", part_qty)
         .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
@@ -860,6 +870,6 @@ def q20_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             s.s_nationkey == n.n_nationkey,
         )
-        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )

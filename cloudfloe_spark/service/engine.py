@@ -7,9 +7,11 @@ Ports the reference's engine-facing operators (SURVEY.md §2A):
   architectural replacement for DuckDB's per-request ``:memory:`` engine,
   `backend/main.py:361-388`, trade-offs in SURVEY.md §3.4/§7.3)
 - A5  S3 config            → :func:`s3a_options` (`backend/main.py:274-314`)
-- A7  delete-file guard    → :func:`probe_table` emits ``hasDeletes`` as
-  info; rejection is a config flag, default off, because the Spark/Iceberg
-  reader handles merge-on-read deletes correctly (SURVEY.md §1.1)
+- A7  delete-file guard    → :func:`probe_table` emits ``hasDeletes``;
+  rejection is ALWAYS on when the Iceberg runtime is absent (the parquet
+  fallback cannot apply merge-on-read deletes — reference hard-rejects for
+  the same reason, `backend/main.py:398-414`), and opt-in via
+  ``CLOUDFLOE_REJECT_DELETES`` when the runtime is present
 - A10 table probe          → :func:`probe_table` (`backend/main.py:452-526`)
 - A11 connection test      → :func:`run_connection_test` (`backend/main.py:529-564`)
 - A12 query exec + stats   → :func:`run_query` (`backend/main.py:567-620`),
@@ -47,10 +49,19 @@ from cloudfloe_spark.service.validation import (
     validate_and_limit_sql,
 )
 
-# Reject tables with delete files instead of reading them correctly —
-# reference behavior (`backend/main.py:398-414`); off by default because
-# the Spark Iceberg reader applies deletes correctly (SURVEY.md §1.1).
+# Hard-reject tables with delete files — reference behavior
+# (`backend/main.py:398-414`: DuckDB's scan "would silently return deleted
+# rows"). The env flag can force rejection even with the Iceberg runtime
+# present; WITHOUT the runtime the guard is always on, because the fallback
+# raw-parquet scan of <root>/data would silently resurrect deleted rows —
+# the exact trap the reference 400s on.
 REJECT_DELETE_TABLES = os.environ.get("CLOUDFLOE_REJECT_DELETES", "0") == "1"
+
+
+def _must_reject_deletes(spark) -> bool:
+    """Delete-file guard is active when forced by env OR whenever the
+    Iceberg runtime is absent (merge-on-read semantics unavailable)."""
+    return REJECT_DELETE_TABLES or not iceberg_runtime_available(spark)
 
 DEMO_TABLE = os.environ.get(
     "CLOUDFLOE_DEMO_TABLE", "/root/testdata/sf0.01/lineitem.parquet"
@@ -187,13 +198,14 @@ def probe_table(spark, table_path: str) -> TableInfo:
     meta = _probe_iceberg_metadata(local)
     if meta is not None:
         has_deletes = meta.get("hasDeletes")
-        if REJECT_DELETE_TABLES and has_deletes:
+        if has_deletes and _must_reject_deletes(spark):
             # Reference 400 with compaction advice (backend/main.py:405-413)
             raise bad_request(
                 "Table has delete files. Run compaction "
                 "(rewrite_data_files + rewrite_position_delete_files) "
-                "or disable CLOUDFLOE_REJECT_DELETES to read with "
-                "merge-on-read semantics."
+                "before querying. (Without the Iceberg runtime this engine "
+                "cannot apply merge-on-read deletes and would silently "
+                "return deleted rows.)"
             )
         scan = spark_scan_form(
             table_path, iceberg_available=iceberg_runtime_available(spark)
@@ -370,8 +382,23 @@ def run_query(
     t0 = time.perf_counter()
     sess = request_session(spark, config) if config is not None else spark
 
-    if config is not None and config.tablePath and REJECT_DELETE_TABLES:
-        probe_table(sess, config.tablePath)  # raises 400 on deletes (A7)
+    if (
+        config is not None
+        and config.tablePath
+        and _must_reject_deletes(sess)
+        and _local_path(config.tablePath) is not None
+    ):
+        # Metadata-only pre-check (A7): no data scan, just the latest
+        # metadata.json summary — raises 400 when delete files exist.
+        meta = _probe_iceberg_metadata(_local_path(config.tablePath))
+        if meta is not None and meta.get("hasDeletes"):
+            raise bad_request(
+                "Table has delete files. Run compaction "
+                "(rewrite_data_files + rewrite_position_delete_files) "
+                "before querying. (Without the Iceberg runtime this engine "
+                "cannot apply merge-on-read deletes and would silently "
+                "return deleted rows.)"
+            )
 
     converted = convert_scan_functions(
         sql, config, iceberg_available=iceberg_runtime_available(spark)

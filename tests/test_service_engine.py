@@ -70,7 +70,7 @@ def test_probe_iceberg_layout(spark, tmp_path):
     assert info.hasDeletes is False
 
 
-def test_probe_iceberg_with_deletes_flagged_not_rejected(spark, tmp_path):
+def _deletes_meta_dir(tmp_path):
     (tmp_path / "metadata").mkdir()
     meta = {
         "format-version": 2,
@@ -81,9 +81,31 @@ def test_probe_iceberg_with_deletes_flagged_not_rejected(spark, tmp_path):
         ],
     }
     (tmp_path / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    return tmp_path
+
+
+def test_probe_iceberg_with_deletes_rejected_without_runtime(spark, tmp_path):
+    """No Iceberg runtime (sandbox default) → the parquet fallback cannot
+    apply merge-on-read deletes, so the probe hard-rejects like the
+    reference (backend/main.py:398-414)."""
+    _deletes_meta_dir(tmp_path)
+    with pytest.raises(CloudfloeError) as e:
+        probe_table(spark, str(tmp_path))
+    assert e.value.status_code == 400
+    assert "compaction" in e.value.detail.lower()
+
+
+def test_probe_iceberg_with_deletes_flagged_when_runtime_present(
+    monkeypatch, spark, tmp_path
+):
+    """With the Iceberg runtime present (merge-on-read applied correctly)
+    and the env flag off, deletes are INFO not a 400 (SURVEY.md §1.1)."""
+    from cloudfloe_spark.service import engine as eng
+
+    _deletes_meta_dir(tmp_path)
+    monkeypatch.setattr(eng, "iceberg_runtime_available", lambda s: True)
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", False)
     info = probe_table(spark, str(tmp_path))
-    # Deletes are INFO by default (SURVEY.md §1.1 decision), unlike the
-    # reference's hard 400 — the Spark Iceberg reader handles them.
     assert info.hasDeletes is True
 
 
