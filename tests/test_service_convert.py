@@ -121,6 +121,34 @@ def test_cast_suffix_rewritten():
     )
 
 
+def test_rewrites_never_fire_inside_literals():
+    """Literal-awareness (ADVICE r01): the reference's sqlglot transpile
+    never rewrites inside string literals / quoted identifiers / comments,
+    so ours must not either."""
+    keep = [
+        "SELECT 'a::b' AS x",
+        "SELECT 'string_split(' AS x",
+        "SELECT 'read_parquet(''s3://b/t'')' AS x",
+        'SELECT "a::b" FROM t',
+        "SELECT 'UNNEST(xs)' AS s",
+    ]
+    for sql in keep:
+        assert transpile_duckdb(sql) == sql, sql
+        assert convert_scan_functions(sql) == sql, sql
+
+
+def test_cast_of_string_literal_with_spaces():
+    assert (
+        transpile_duckdb("SELECT 'a b'::INT")
+        == "SELECT CAST('a b' AS INT)"
+    )
+
+
+def test_cast_rewrite_skips_comment_but_rewrites_code():
+    out = transpile_duckdb("SELECT x::INT -- c::d\nFROM t")
+    assert out == "SELECT CAST(x AS INT) -- c::d\nFROM t"
+
+
 def test_popular_genres_corpus_query_translates_and_runs(spark, sf_dir):
     """The reference's most dialect-heavy demo query (backend/main.py:767)
     end-to-end: rewrite + transpile + execute on Spark."""

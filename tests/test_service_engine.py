@@ -280,3 +280,38 @@ def test_delete_guard_reject_mode(monkeypatch, spark, tmp_path):
         probe_table(spark, str(tmp_path))
     assert e.value.status_code == 400
     assert "compaction" in e.value.detail.lower()
+
+
+def test_s3a_install_is_bucket_scoped_and_idempotent(spark):
+    """Credential installs go under fs.s3a.bucket.<b>. keys, serialized and
+    fingerprinted so repeat requests with the same creds don't churn the
+    shared Hadoop conf (ADVICE r01: hadoopConfiguration is global)."""
+    from cloudfloe_spark.service import engine as eng
+
+    cfg = _cfg(
+        storageType="s3",
+        tablePath="s3://bucket-a/tbl",
+        accessKey="AK1",
+        secretKey="SK1",
+        region="us-east-1",
+    )
+    sess = eng.request_session(spark, cfg)
+    hadoop = sess.sparkContext._jsc.hadoopConfiguration()
+    assert hadoop.get("fs.s3a.bucket.bucket-a.access.key") == "AK1"
+    # No global key leaked for a bucket-derivable path
+    assert hadoop.get("fs.s3a.access.key") is None
+    # Re-request with identical creds: fingerprint short-circuits (no error,
+    # value unchanged)
+    eng.request_session(spark, cfg)
+    assert hadoop.get("fs.s3a.bucket.bucket-a.access.key") == "AK1"
+    # Different bucket gets its own scope without touching bucket-a
+    cfg_b = _cfg(
+        storageType="s3",
+        tablePath="s3://bucket-b/tbl",
+        accessKey="AK2",
+        secretKey="SK2",
+        region="us-east-1",
+    )
+    eng.request_session(spark, cfg_b)
+    assert hadoop.get("fs.s3a.bucket.bucket-a.access.key") == "AK1"
+    assert hadoop.get("fs.s3a.bucket.bucket-b.access.key") == "AK2"

@@ -141,6 +141,51 @@ def test_plan_guard_rejects_commands(spark):
             assert_plan_is_query(spark, sql)
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT java_method('java.lang.System','getenv','AWS_SECRET_ACCESS_KEY')",
+        "SELECT java_method('java.lang.System','exit',1)",
+        "SELECT reflect('java.lang.Thread','sleep',60000)",
+        "SELECT try_reflect('java.lang.System','getProperty','user.dir')",
+        "SELECT Java_Method ('a','b')",  # case + space before paren
+        "SELECT java_method/*c*/('a','b')",  # comment before paren
+        "SELECT `reflect`('a','b')",  # backtick-quoted call
+        'SELECT "reflect"(\'a\',\'b\')',  # double-quoted call
+        "SELECT system.builtin.reflect('a','b')",  # qualified builtin
+    ],
+)
+def test_reflection_builtins_rejected(sql):
+    """reflect()/java_method() invoke arbitrary static JVM methods from a
+    plain SELECT — credential leak / JVM kill on the shared session
+    (ADVICE r01 high). Must be rejected lexically, in every spelling."""
+    with pytest.raises(CloudfloeError):
+        validate_and_limit_sql(sql, 100)
+
+
+def test_reflection_builtins_rejected_by_plan_guard(spark):
+    from cloudfloe_spark.service.validation import assert_plan_is_query
+
+    for sql in (
+        "SELECT java_method('java.lang.System','getenv','PATH')",
+        "SELECT reflect('java.lang.UUID','randomUUID')",
+    ):
+        with pytest.raises(CloudfloeError):
+            assert_plan_is_query(spark, sql)
+
+
+def test_reflect_as_bare_identifier_still_allowed():
+    """A column literally NAMED reflect (no call parens) stays legal —
+    the block targets function calls, not identifiers."""
+    out = validate_and_limit_sql("SELECT reflect FROM t", 100)
+    assert out.startswith("SELECT reflect FROM t")
+
+
+def test_reflect_inside_string_literal_still_allowed():
+    out = validate_and_limit_sql("SELECT 'reflect(x)' AS s", 100)
+    assert "reflect(x)" in out
+
+
 def test_plan_guard_parse_error(spark):
     from cloudfloe_spark.service.validation import assert_plan_is_query
 
