@@ -24,10 +24,12 @@ Scan-form resolution for a table reference:
 - Iceberg Spark runtime on the classpath → ``iceberg.`<root>``` (path-based
   Iceberg read; correct with v2 delete files).
 - Otherwise → plain parquet scan. ``read_parquet`` globs pass through
-  verbatim (Spark's parquet reader understands globs); ``iceberg_scan``
-  roots scan ``<root>/data`` when that directory exists locally. Same rows
-  as the reference for append-only tables — exactly the subset the
-  reference itself supports (`README.md:193-206`).
+  verbatim (Spark's parquet reader understands globs). NOTE: local
+  ``iceberg_scan`` roots with readable metadata never reach this module —
+  ``service.iceberg_local.resolve_iceberg_reads`` intercepts them first
+  with a manifest-pinned snapshot read (incl. time travel); the
+  ``<root>/data`` fallback here only remains for unreadable/remote
+  layouts.
 """
 
 from __future__ import annotations

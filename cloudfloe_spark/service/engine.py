@@ -237,12 +237,12 @@ def probe_table(spark, table_path: str) -> TableInfo:
                 "cannot apply merge-on-read deletes and would silently "
                 "return deleted rows.)"
             )
-        scan = spark_scan_form(
-            table_path, iceberg_available=iceberg_runtime_available(spark)
-        )
+        # Reference parity (backend/main.py:482): the suggested query uses
+        # the iceberg_scan() form — run_query resolves it to a
+        # manifest-pinned read even without the runtime jar.
         return TableInfo(
             path=table_path,
-            suggestedQuery=f"SELECT * FROM {scan} LIMIT 100",
+            suggestedQuery=f"SELECT * FROM iceberg_scan('{table_path}') LIMIT 100",
             format=meta.get("format"),
             rows=meta.get("rows"),
             files=meta.get("files"),
@@ -430,6 +430,14 @@ def run_query(
                 "return deleted rows.)"
             )
 
+    if not iceberg_runtime_available(spark):
+        # Pure-Python snapshot resolution for local Iceberg tables: pins
+        # iceberg_scan to the manifest-listed file set (with VERSION AS OF
+        # / TIMESTAMP AS OF time travel) and backs snapshot/metadata
+        # listings — instead of degrading to a raw data/-dir glob.
+        from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+        sql = resolve_iceberg_reads(sess, sql)
     converted = convert_scan_functions(
         sql, config, iceberg_available=iceberg_runtime_available(spark)
     )

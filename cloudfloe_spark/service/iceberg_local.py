@@ -1,0 +1,196 @@
+"""No-runtime Iceberg read path: snapshot-pinned scans, time travel, and
+metadata listings resolved in pure Python, served to Spark as temp views.
+
+When the Iceberg Spark runtime jar is absent (this sandbox's default),
+``iceberg.`root``` table names cannot resolve, and the previous fallback —
+raw parquet scan of ``<root>/data`` — had parquet-glob semantics, not
+Iceberg semantics (files removed by newer snapshots came back; snapshot /
+file listings errored). This module restores the reference's three Iceberg
+surfaces (`backend/main.py:464,494-512`, time travel `README.md:197`)
+against local tables:
+
+- ``iceberg_scan('<root>')``                → the CURRENT snapshot's live
+  data files, per its manifest list (not whatever sits in ``data/``)
+- ``iceberg_scan('<root>') VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'``
+  (also DuckDB-ish ``FOR SYSTEM_VERSION AS OF`` / ``FOR SYSTEM_TIME AS
+  OF``) → that snapshot's files; unknown ids/timestamps are a 400
+- ``iceberg_snapshots('<root>')``           → snapshot listing (DuckDB
+  column names: sequence_number, snapshot_id, timestamp_ms, manifest_list)
+- ``iceberg_metadata('<root>')``            → live file listing
+  (manifest_path, manifest_content, status, content, file_path,
+  file_format, record_count)
+
+Each resolved reference becomes a per-request temp view (request sessions
+have isolated view namespaces — `engine.request_session`). Snapshots that
+carry row-level delete files are rejected, mirroring the reference's
+hard-reject (`backend/main.py:398-414`): without the runtime we cannot
+apply merge-on-read deletes, and reading around them would be silently
+wrong. Non-local roots (s3://…) are left untouched for the S3A/runtime
+path to handle.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from cloudfloe_spark.service.convert import _sub_outside_literals
+from cloudfloe_spark.service.errors import bad_request
+from cloudfloe_spark.sources import iceberg_meta as im
+
+_SCAN_TT_RE = re.compile(
+    r"""iceberg_scan\(\s*['"]([^'"]+)['"]\s*\)
+        (?:\s+(?:FOR\s+)?
+            (?:
+                (?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+)
+              | (?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'
+            )
+        )?""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_SNAPSHOTS_RE = re.compile(
+    r"iceberg_snapshots\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
+_METADATA_RE = re.compile(
+    r"iceberg_metadata\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
+
+
+def _local_root(path: str) -> str | None:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("/"):
+        return path
+    return None
+
+
+def _parse_ts_ms(text: str) -> int:
+    """``'2023-11-14 22:13:20[.fff]'`` / ISO-T form → epoch ms (UTC)."""
+    t = text.strip().replace("T", " ").removesuffix("Z")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.datetime.strptime(t, fmt).replace(
+                tzinfo=datetime.timezone.utc
+            )
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            continue
+    raise bad_request(f"Invalid timestamp for time travel: {text!r}")
+
+
+def _view_name(kind: str, root: str, extra: object = None) -> str:
+    return f"cf_ice_{kind}_{abs(hash((root, extra))) % 10**10}"
+
+
+def _snapshot_view(sess, root: str, version, ts_text) -> str:
+    try:
+        snap = im.resolve_snapshot(
+            root,
+            version=int(version) if version else None,
+            timestamp_ms=_parse_ts_ms(ts_text) if ts_text else None,
+        )
+        if im.has_delete_files(root, snap):
+            raise bad_request(
+                "Table has delete files at the requested snapshot. Run "
+                "compaction before querying. (Without the Iceberg runtime "
+                "this engine cannot apply merge-on-read deletes.)"
+            )
+        paths = im.live_data_paths(root, snap)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    name = _view_name("scan", root, snap.get("snapshot-id"))
+    if paths:
+        df = sess.read.parquet(*paths)
+    else:  # legitimate empty snapshot — zero rows, correct columns
+        df = sess.createDataFrame([], im.current_schema_ddl(root))
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def _snapshots_view(sess, root: str) -> str:
+    try:
+        rows = [
+            (
+                s.get("sequence-number"),
+                s.get("snapshot-id"),
+                datetime.datetime.fromtimestamp(
+                    s.get("timestamp-ms", 0) / 1000, tz=datetime.timezone.utc
+                ).replace(tzinfo=None),
+                s.get("manifest-list"),
+            )
+            for s in im.snapshots(root)
+        ]
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    name = _view_name("snapshots", root)
+    sess.createDataFrame(
+        rows,
+        "sequence_number BIGINT, snapshot_id BIGINT, "
+        "timestamp_ms TIMESTAMP_NTZ, manifest_list STRING",
+    ).createOrReplaceTempView(name)
+    return name
+
+
+def _metadata_view(sess, root: str) -> str:
+    try:
+        snap = im.resolve_snapshot(root)
+        entries = im.manifest_entries(root, snap)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    rows = [
+        (
+            e["manifest_path"],
+            e["manifest_content"],
+            e["status"],
+            e["data_file"].get("content", 0),
+            e["data_file"]["file_path"],
+            e["data_file"].get("file_format", "PARQUET"),
+            e["data_file"].get("record_count"),
+        )
+        for e in entries
+    ]
+    name = _view_name("metadata", root)
+    sess.createDataFrame(
+        rows,
+        "manifest_path STRING, manifest_content INT, status INT, "
+        "content INT, file_path STRING, file_format STRING, "
+        "record_count BIGINT",
+    ).createOrReplaceTempView(name)
+    return name
+
+
+def resolve_iceberg_reads(sess, sql: str) -> str:
+    """Rewrite local-table Iceberg scan functions into temp-view references
+    backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
+    layouts pass through unchanged (handled by convert.py's fallback)."""
+
+    def _scan(m: re.Match) -> str:
+        root = _local_root(m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _snapshot_view(sess, root, m.group(2), m.group(3))
+
+    def _snapshots(m: re.Match) -> str:
+        root = _local_root(m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _snapshots_view(sess, root)
+
+    def _metadata(m: re.Match) -> str:
+        root = _local_root(m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _metadata_view(sess, root)
+
+    out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
+    out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
+    out = _sub_outside_literals(_METADATA_RE, _metadata, out)
+    return out
+
+
+def _has_metadata(root: str) -> bool:
+    try:
+        im.latest_metadata_path(root)
+        return True
+    except im.IcebergMetadataError:
+        return False

@@ -1,0 +1,215 @@
+"""Local Iceberg-layout table writer (fixtures / demo seeding).
+
+The reference seeds its demo warehouse with pyiceberg against MinIO
+(`scripts/upload_sample_data.py`, `docker-compose.yml`); this sandbox has
+neither, so demo/test tables are written directly in the Iceberg v2 layout:
+parquet data files (pyarrow), avro manifests + manifest lists
+(:mod:`avrolite`), and versioned ``metadata/*.metadata.json``. The output
+is read back by :mod:`iceberg_meta` (and by any real Iceberg reader that
+tolerates the minimal column-stats-free manifests).
+
+NOT a general Iceberg writer: single unpartitioned spec, no column stats,
+no row-level deletes (delete files can be INJECTED for guard tests via
+``add_delete_file_snapshot`` — entries only, no readable content).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cloudfloe_spark.sources.avrolite import write_avro
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_ARROW_TO_ICEBERG = {
+    pa.int32(): "int",
+    pa.int64(): "long",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.string(): "string",
+    pa.bool_(): "boolean",
+    pa.binary(): "binary",
+}
+
+
+class LocalIcebergTable:
+    """Incrementally build a local Iceberg v2 table, one snapshot at a time."""
+
+    def __init__(self, root: str, arrow_schema: pa.Schema):
+        self.root = root
+        self.schema = arrow_schema
+        self._snapshots: list[dict] = []
+        self._live: dict[str, dict] = {}  # file_path → data_file record
+        self._delete_files: list[dict] = []
+        self._seq = 0
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    # -- snapshot builders ----------------------------------------------------
+
+    def append_snapshot(
+        self,
+        tables: list[pa.Table],
+        *,
+        timestamp_ms: int,
+        remove: Optional[list[str]] = None,
+    ) -> int:
+        """New snapshot: write each pyarrow table as one data file, drop any
+        ``remove``-listed file paths (overwrite semantics). Returns the
+        snapshot id."""
+        for path in remove or []:
+            self._live.pop(path, None)
+        for t in tables:
+            fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
+            fpath = os.path.join(self.root, fname)
+            pq.write_table(t.cast(self.schema), fpath)
+            self._live[fpath] = {
+                "content": 0,
+                "file_path": f"file://{fpath}",
+                "file_format": "PARQUET",
+                "record_count": t.num_rows,
+                "file_size_in_bytes": os.path.getsize(fpath),
+            }
+        return self._commit(timestamp_ms)
+
+    def add_delete_file_snapshot(self, *, timestamp_ms: int) -> int:
+        """Snapshot that carries a position-delete file entry (content=1) —
+        for exercising the delete-file guard; the file itself is a stub."""
+        fname = f"data/del-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(self.root, fname)
+        with open(fpath, "wb") as f:
+            f.write(b"stub")  # never read: the guard must reject first
+        self._delete_files.append(
+            {
+                "content": 1,
+                "file_path": f"file://{fpath}",
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": 4,
+            }
+        )
+        return self._commit(timestamp_ms)
+
+    # -- internals ------------------------------------------------------------
+
+    def _commit(self, timestamp_ms: int) -> int:
+        self._seq += 1
+        snap_id = 7_000_000_000_000_000_000 + self._seq  # > 2^53: JS-unsafe
+        mpath = os.path.join(
+            self.root, "metadata", f"manifest-{self._seq:05d}.avro"
+        )
+        entries = [
+            {"status": 1, "snapshot_id": snap_id, "data_file": df}
+            for df in list(self._live.values()) + self._delete_files
+        ]
+        write_avro(mpath, _MANIFEST_SCHEMA, entries)
+        mlist = os.path.join(
+            self.root, "metadata", f"snap-{snap_id}-manifest-list.avro"
+        )
+        write_avro(
+            mlist,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"file://{mpath}",
+                    "manifest_length": os.path.getsize(mpath),
+                    "content": 0,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
+        )
+        n_deletes = len(self._delete_files)
+        self._snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": self._seq,
+                "timestamp-ms": timestamp_ms,
+                "manifest-list": f"file://{mlist}",
+                "summary": {
+                    "operation": "append",
+                    "total-records": str(
+                        sum(f["record_count"] for f in self._live.values())
+                    ),
+                    "total-data-files": str(len(self._live)),
+                    "total-delete-files": str(n_deletes),
+                },
+            }
+        )
+        self._write_metadata_json(timestamp_ms)
+        return snap_id
+
+    def _iceberg_schema(self) -> dict:
+        fields = []
+        for i, f in enumerate(self.schema):
+            t = _ARROW_TO_ICEBERG.get(f.type)
+            if t is None:
+                if pa.types.is_timestamp(f.type):
+                    t = "timestamptz" if f.type.tz else "timestamp"
+                else:
+                    raise ValueError(f"unmapped arrow type {f.type}")
+            fields.append(
+                {"id": i + 1, "name": f.name, "required": False, "type": t}
+            )
+        return {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def _write_metadata_json(self, timestamp_ms: int) -> None:
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000000",
+            "location": f"file://{self.root}",
+            "last-updated-ms": timestamp_ms,
+            "current-snapshot-id": self._snapshots[-1]["snapshot-id"],
+            "current-schema-id": 0,
+            "schemas": [self._iceberg_schema()],
+            "snapshots": self._snapshots,
+            "snapshot-log": [
+                {
+                    "snapshot-id": s["snapshot-id"],
+                    "timestamp-ms": s["timestamp-ms"],
+                }
+                for s in self._snapshots
+            ],
+        }
+        path = os.path.join(
+            self.root, "metadata", f"v{self._seq}.metadata.json"
+        )
+        with open(path, "w") as f:
+            json.dump(meta, f)

@@ -1,0 +1,244 @@
+"""Pure-Python Iceberg table-metadata reader: snapshots, manifests, file
+lists, and snapshot resolution for time travel — no Iceberg runtime jar.
+
+The reference reads Iceberg natively through DuckDB's iceberg extension
+(`backend/main.py:464` iceberg_scan, `:494-512` snapshot/metadata
+listings, `README.md:197` time travel). Without the Spark-Iceberg runtime
+on the classpath, this module supplies the same three surfaces from the
+table's own metadata files:
+
+- ``metadata/*.metadata.json``   → table state, snapshot log, schemas
+- snapshot ``manifest-list`` avro → the snapshot's manifest files
+- manifest avro                   → data/delete file entries
+
+so a snapshot is exactly its manifest-listed parquet files — a correct
+snapshot-pinned read for append/overwrite tables (row-level delete files
+are detected and REJECTED upstream; applying them without the runtime
+would be wrong).
+
+Spec: https://iceberg.apache.org/spec/ (v1+v2 table metadata; manifest
+entry status 0=EXISTING 1=ADDED 2=DELETED; data_file.content 0=data
+1=position-deletes 2=equality-deletes).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+from typing import Any, Optional
+
+from cloudfloe_spark.sources.avrolite import read_avro
+
+
+class IcebergMetadataError(ValueError):
+    """Unreadable/unsupported table layout, or an unknown snapshot."""
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file://"):
+        return uri[len("file://"):]
+    return uri
+
+
+def _relocate(uri: str, root: str) -> str:
+    """Resolve a metadata-recorded absolute URI against the local table
+    root. Iceberg records absolute paths from write time; a copied/moved
+    table keeps its layout, so re-anchor at the last ``/metadata/`` or
+    ``/data/`` component when the recorded path doesn't exist locally."""
+    p = _local_path(uri)
+    if os.path.exists(p):
+        return p
+    for anchor in ("/metadata/", "/data/"):
+        if anchor in p:
+            candidate = os.path.join(
+                root, p[p.rindex(anchor) + 1 :]
+            )
+            if os.path.exists(candidate):
+                return candidate
+    return p  # let the caller's open() raise with the original path
+
+
+def latest_metadata_path(root: str) -> str:
+    files = sorted(
+        globmod.glob(os.path.join(_local_path(root), "metadata", "*.metadata.json"))
+    )
+    if not files:
+        raise IcebergMetadataError(f"no Iceberg metadata under {root!r}")
+    return files[-1]
+
+
+def load_metadata(root: str) -> dict:
+    with open(latest_metadata_path(root)) as f:
+        return json.load(f)
+
+
+def snapshots(root: str) -> list[dict]:
+    """All snapshots, oldest→newest (metadata JSON order)."""
+    return list(load_metadata(root).get("snapshots", []))
+
+
+def resolve_snapshot(
+    root: str,
+    *,
+    version: Optional[int] = None,
+    timestamp_ms: Optional[int] = None,
+) -> dict:
+    """The snapshot for a time-travel clause — or the current one.
+
+    ``version``      → exact snapshot id (error when unknown);
+    ``timestamp_ms`` → latest snapshot with timestamp-ms <= the bound
+    (error when the table has no snapshot that old) — Iceberg/Spark
+    ``TIMESTAMP AS OF`` semantics.
+    """
+    meta = load_metadata(root)
+    snaps = meta.get("snapshots", [])
+    if version is not None:
+        for s in snaps:
+            if s.get("snapshot-id") == version:
+                return s
+        raise IcebergMetadataError(
+            f"snapshot {version} not found (known: "
+            f"{[s.get('snapshot-id') for s in snaps]})"
+        )
+    if timestamp_ms is not None:
+        eligible = [
+            s for s in snaps if s.get("timestamp-ms", 0) <= timestamp_ms
+        ]
+        if not eligible:
+            raise IcebergMetadataError(
+                f"no snapshot at or before timestamp {timestamp_ms}"
+            )
+        return max(eligible, key=lambda s: s.get("timestamp-ms", 0))
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1:
+        raise IcebergMetadataError("table has no current snapshot")
+    for s in snaps:
+        if s.get("snapshot-id") == cur:
+            return s
+    raise IcebergMetadataError(f"current snapshot {cur} missing from metadata")
+
+
+def manifest_entries(root: str, snapshot: dict) -> list[dict]:
+    """Flattened manifest entries for a snapshot: one dict per file entry,
+    each with ``manifest_path``, ``manifest_content``, ``status`` and the
+    nested ``data_file`` record."""
+    mlist_uri = snapshot.get("manifest-list")
+    if not mlist_uri:
+        raise IcebergMetadataError(
+            f"snapshot {snapshot.get('snapshot-id')} has no manifest-list "
+            "(v1 'manifests' inline form not supported)"
+        )
+    root_local = _local_path(root)
+    out: list[dict] = []
+    for m in read_avro(_relocate(mlist_uri, root_local)):
+        mpath = _relocate(m["manifest_path"], root_local)
+        # v1 manifest lists have no 'content' field; 0 == data manifests
+        mcontent = m.get("content", 0)
+        for entry in read_avro(mpath):
+            out.append(
+                {
+                    "manifest_path": m["manifest_path"],
+                    "manifest_content": mcontent,
+                    "status": entry.get("status", 0),
+                    "data_file": entry["data_file"],
+                }
+            )
+    return out
+
+
+def live_data_files(root: str, snapshot: dict) -> list[dict]:
+    """data_file records that are LIVE in this snapshot (status != DELETED,
+    content == data)."""
+    return [
+        e["data_file"]
+        for e in manifest_entries(root, snapshot)
+        if e["status"] != 2
+        and e["manifest_content"] == 0
+        and e["data_file"].get("content", 0) == 0
+    ]
+
+
+def has_delete_files(root: str, snapshot: dict) -> bool:
+    """True when the snapshot carries row-level delete files (manifest
+    content=1, or data_file.content in (1,2)) — unreadable without the
+    Iceberg runtime (merge-on-read)."""
+    for e in manifest_entries(root, snapshot):
+        if e["status"] == 2:
+            continue
+        if e["manifest_content"] != 0 or e["data_file"].get("content", 0) != 0:
+            return True
+    return False
+
+
+def live_data_paths(root: str, snapshot: dict) -> list[str]:
+    """Local filesystem paths of the snapshot's live parquet data files."""
+    root_local = _local_path(root)
+    return sorted(
+        _relocate(f["file_path"], root_local)
+        for f in live_data_files(root, snapshot)
+    )
+
+
+# --- Iceberg schema JSON → Spark DDL (for empty-snapshot reads) --------------
+
+_PRIMITIVES = {
+    "boolean": "BOOLEAN",
+    "int": "INT",
+    "long": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "date": "DATE",
+    "time": "BIGINT",  # Spark has no TIME; microseconds-since-midnight
+    "timestamp": "TIMESTAMP_NTZ",
+    "timestamptz": "TIMESTAMP",
+    "string": "STRING",
+    "uuid": "STRING",
+    "binary": "BINARY",
+}
+
+
+def _iceberg_type_to_ddl(t: Any) -> str:
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal("):
+            return t.upper()
+        if t.startswith("fixed["):
+            return "BINARY"
+        raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        inner = ", ".join(
+            f"`{f['name']}`: {_iceberg_type_to_ddl(f['type'])}"
+            for f in t["fields"]
+        )
+        return f"STRUCT<{inner}>"
+    if kind == "list":
+        return f"ARRAY<{_iceberg_type_to_ddl(t['element'])}>"
+    if kind == "map":
+        return (
+            f"MAP<{_iceberg_type_to_ddl(t['key'])}, "
+            f"{_iceberg_type_to_ddl(t['value'])}>"
+        )
+    raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
+
+
+def current_schema_ddl(root: str) -> str:
+    """Spark DDL column list for the table's current schema — lets an
+    empty snapshot read return zero rows WITH the right columns."""
+    meta = load_metadata(root)
+    schema = None
+    sid = meta.get("current-schema-id")
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            schema = s
+            break
+    if schema is None:
+        schema = meta.get("schema")  # v1 single-schema form
+    if schema is None:
+        raise IcebergMetadataError("metadata carries no schema")
+    return ", ".join(
+        f"`{f['name']}` {_iceberg_type_to_ddl(f['type'])}"
+        for f in schema["fields"]
+    )

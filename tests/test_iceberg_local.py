@@ -1,0 +1,193 @@
+"""No-runtime Iceberg path: snapshot-pinned reads, time travel, metadata
+listings (VERDICT r01 'What's missing' #1/#2). Reference surfaces:
+iceberg_scan `backend/main.py:464`, snapshot/file listings `:494-512`,
+time travel `README.md:197`."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.service.errors import CloudfloeError
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.avrolite import read_avro, write_avro
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+T1 = 1700000000000  # 2023-11-14T22:13:20Z
+T2 = 1700000100000
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+@pytest.fixture()
+def two_snapshot_table(tmp_path):
+    """Snapshot 1: files A(1,2)+B(3). Snapshot 2: A removed, C(4,5) added —
+    so current != union-of-data-dir, which is exactly what distinguishes a
+    manifest-pinned read from a raw parquet glob."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [
+            pa.table({"id": [1, 2], "name": ["a", "b"]}),
+            pa.table({"id": [3], "name": ["c"]}),
+        ],
+        timestamp_ms=T1,
+    )
+    first_file = im.live_data_paths(root, im.resolve_snapshot(root, version=s1))[0]
+    s2 = t.append_snapshot(
+        [pa.table({"id": [4, 5], "name": ["d", "e"]})],
+        timestamp_ms=T2,
+        remove=[first_file],
+    )
+    return root, s1, s2, t
+
+
+def _ids(resp):
+    return sorted(r[0] for r in resp.rows)
+
+
+def test_avrolite_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": ["null", "long"]},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "a", "type": {"type": "array", "items": "double"}},
+        ],
+    }
+    recs = [
+        {"x": 9223372036854775000, "m": {"k": "v"}, "a": [1.5, -2.25]},
+        {"x": None, "m": {}, "a": []},
+    ]
+    p = str(tmp_path / "t.avro")
+    write_avro(p, schema, recs)
+    assert read_avro(p) == recs
+
+
+def test_current_snapshot_is_manifest_pinned_not_dir_glob(
+    spark, two_snapshot_table
+):
+    """The removed file still exists in data/ but must NOT be read."""
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert _ids(resp) == [3, 4, 5]  # raw dir glob would give [1,2,3,4,5]
+
+
+def test_version_as_of_reads_old_snapshot(spark, two_snapshot_table):
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1} ORDER BY id",
+        _cfg(),
+    )
+    assert _ids(resp) == [1, 2, 3]
+
+
+def test_timestamp_as_of_resolves_via_snapshot_log(spark, two_snapshot_table):
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') "
+        "TIMESTAMP AS OF '2023-11-14 22:13:30' ORDER BY id",
+        _cfg(),
+    )
+    assert _ids(resp) == [1, 2, 3]  # between s1 and s2 → s1
+
+
+def test_duckdb_for_system_version_spelling(spark, two_snapshot_table):
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') FOR SYSTEM_VERSION AS OF {s1}",
+        _cfg(),
+    )
+    assert _ids(resp) == [1, 2, 3]
+
+
+def test_unknown_snapshot_id_rejected(spark, two_snapshot_table):
+    root, *_ = two_snapshot_table
+    with pytest.raises(CloudfloeError) as e:
+        run_query(
+            spark,
+            f"SELECT * FROM iceberg_scan('{root}') VERSION AS OF 424242",
+            _cfg(),
+        )
+    assert e.value.status_code == 400
+    assert "not found" in e.value.detail
+
+
+def test_timestamp_before_first_snapshot_rejected(spark, two_snapshot_table):
+    root, *_ = two_snapshot_table
+    with pytest.raises(CloudfloeError) as e:
+        run_query(
+            spark,
+            f"SELECT * FROM iceberg_scan('{root}') "
+            "TIMESTAMP AS OF '2020-01-01'",
+            _cfg(),
+        )
+    assert e.value.status_code == 400
+
+
+def test_snapshot_listing(spark, two_snapshot_table):
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark,
+        f"SELECT snapshot_id, sequence_number FROM iceberg_snapshots('{root}') "
+        "ORDER BY sequence_number",
+        _cfg(),
+    )
+    assert [r[0] for r in resp.rows] == [s1, s2]
+
+
+def test_file_listing(spark, two_snapshot_table):
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark,
+        f"SELECT file_path, record_count FROM iceberg_metadata('{root}') "
+        "ORDER BY file_path",
+        _cfg(),
+    )
+    assert len(resp.rows) == 2  # current live files: B and C
+    assert sorted(r[1] for r in resp.rows) == [1, 2]
+
+
+def test_delete_file_snapshot_rejected(spark, two_snapshot_table):
+    root, s1, s2, t = two_snapshot_table
+    t.add_delete_file_snapshot(timestamp_ms=T2 + 1000)
+    with pytest.raises(CloudfloeError) as e:
+        run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
+    assert e.value.status_code == 400
+    assert "delete files" in e.value.detail
+    # but the pre-delete snapshot remains queryable via time travel
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s2}",
+        _cfg(),
+    )
+    assert _ids(resp) == [3, 4, 5]
+
+
+def test_iceberg_scan_inside_string_literal_untouched(spark, sf_dir):
+    resp = run_query(
+        spark, "SELECT 'iceberg_scan(''/nope'')' AS s", _cfg()
+    )
+    assert resp.rows[0][0] == "iceberg_scan('/nope')"
+
+
+def test_empty_snapshot_returns_schema_only(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([], timestamp_ms=T1)
+    resp = run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
+    assert resp.columns == ["id"] and resp.rows == []
