@@ -49,6 +49,11 @@ HEADLINE = [
     "q18_large_volume_customers",  # HAVING-IN semi join + re-agg
     "q21_waiting_suppliers",     # multi-EXISTS semi/anti join stack
     "events_transition_matrix",  # per-user window lag + global agg
+    # Round-2 breadth (VERDICT r01 #7): the heaviest LLM-pipeline families
+    # so round-over-round perf tracking covers them, not just TPC-H.
+    "dedup_minhash_clusters",    # LSH pairs → iterative connected components
+    "text_tfidf_top_terms",      # explode + two-level agg + per-doc window
+    "sim_ivf_ann_topk",          # centroid assign + nprobe prune + re-rank
 ]
 
 
