@@ -56,7 +56,13 @@ def connected_components(
     ``strict=False`` warns and returns the partial labels (callers that
     only need an upper-bound grouping).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the edge list ONCE: `edges` is typically the output of an
+    # expensive upstream pipeline (LSH banding), and every propagation round
+    # references it — without this checkpoint each round would re-execute
+    # the whole upstream subtree.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -80,6 +86,8 @@ def connected_components(
             .groupBy(sym.b.alias("node2"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # `__changed` rides along into the checkpoint, so the convergence
+        # probe below is a scan of materialized blocks — not a second join.
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
@@ -87,17 +95,15 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.col("nmin").isNotNull()
+                    & (F.col("nmin") < F.col("cluster_id"))
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     else:
