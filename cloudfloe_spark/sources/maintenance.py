@@ -38,6 +38,50 @@ def plan_compaction(
     }
 
 
+def seed_demo_warehouse(
+    root: str, sf_dir: str, *, rows_per_snapshot: int = 500
+) -> dict:
+    """Seed a local demo warehouse with a two-snapshot Iceberg v2 table
+    (A16 analog of `reference/scripts/upload_sample_data.py`, which writes
+    a pyiceberg table to MinIO — this sandbox has neither, so the table is
+    written in the Iceberg layout directly via
+    :mod:`~cloudfloe_spark.sources.iceberg_fixture`).
+
+    Two snapshots on purpose: the demo then exercises the full no-runtime
+    Iceberg surface — current-snapshot scan, ``VERSION AS OF`` time
+    travel, and snapshot/file listings. Returns table root + snapshot ids.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    table_root = os.path.join(root, "warehouse", "demo", "orders")
+    t = LocalIcebergTable(
+        table_root,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    half = min(rows_per_snapshot, src.num_rows // 2)
+    s1 = t.append_snapshot(
+        [src.slice(0, half)], timestamp_ms=1700000000000
+    )
+    s2 = t.append_snapshot(
+        [src.slice(half, half)], timestamp_ms=1700000100000
+    )
+    return {"root": table_root, "snapshots": [s1, s2]}
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

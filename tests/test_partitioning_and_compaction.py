@@ -122,3 +122,31 @@ def test_dynamic_partition_pruning_on_join(spark, sf_dir, partitioned_orders):
     got_years = {r[0] for r in joined.select("order_year").distinct().collect()}
     assert got_years <= {1996, 1997}
     _ = cust  # dim-side shape kept for realism
+
+
+def test_seed_demo_warehouse_full_iceberg_surface(spark, sf_dir, tmp_path):
+    """A16 demo seeding (reference scripts/upload_sample_data.py analog):
+    the seeded two-snapshot table must serve the whole no-runtime Iceberg
+    surface — current scan, time travel, snapshot listing."""
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+    from cloudfloe_spark.sources.maintenance import seed_demo_warehouse
+
+    out = seed_demo_warehouse(str(tmp_path), sf_dir, rows_per_snapshot=100)
+    root, (s1, s2) = out["root"], out["snapshots"]
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+    cur = run_query(
+        spark, f"SELECT COUNT(*) AS n FROM iceberg_scan('{root}')", cfg
+    )
+    old = run_query(
+        spark,
+        f"SELECT COUNT(*) AS n FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+        cfg,
+    )
+    assert cur.rows[0][0] == 200 and old.rows[0][0] == 100
+    snaps = run_query(
+        spark, f"SELECT snapshot_id FROM iceberg_snapshots('{root}')", cfg
+    )
+    assert {r[0] for r in snaps.rows} == {s1, s2}
