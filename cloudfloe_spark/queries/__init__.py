@@ -34,12 +34,12 @@ from cloudfloe_spark.queries import funcpack  # noqa: F401, E402
 # already-green ones at the back. agg_approx_distinct was red in round 1
 # (no_oracle) and is now oracle-paired, so it gets a fresh slot.
 _ROUND_PRIORITY_MODULES = [
-    "tpch",
-    "dedup",
-    "text",
-    "similarity",
-    "multimodal",
-    "timejoins",
+    "tpch",        # 19
+    "dedup",       # 8 (dedup_exact parked — green in r01)
+    "text",        # 10
+    "similarity",  # 6
+    "multimodal",  # 4
+    "timejoins",   # 2  → 49; agg_approx_distinct promoted to slot 50
     "pipeline",
     "events",
     "extras",
@@ -57,9 +57,9 @@ def _priority_order() -> list[str]:
     ordered: list[str] = []
     for mod in _ROUND_PRIORITY_MODULES:
         ordered.extend(n for n in by_module.get(mod, []) if n not in _ALREADY_GREEN)
-        # Slot the promoted singletons right after the first seven families so
-        # they land inside the driver's 50-entry window (49 + 1 = 50).
-        if mod == "pipeline":
+        # Slot the promoted singletons so they land INSIDE the driver's
+        # 50-entry correctness window.
+        if mod == "timejoins":
             ordered.extend(_PROMOTED)
     return ordered
 

@@ -410,3 +410,95 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("top_bigram_frac"),
         (frac > 0.09).alias("flagged"),
     )
+
+
+@register(
+    "text_pii_redact",
+    # The fixture corpus contains no PII, so both sides append a
+    # deterministic synthetic contact line to every 10th document before
+    # scrubbing — the redaction rules (not the corpus) are what's under
+    # test. Patterns are written in the RE2 ∩ Java-regex common subset so
+    # Spark and DuckDB agree character-for-character.
+    oracle="""
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-01'
+                            || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                            || '-4242 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   ELSE text END AS text
+            FROM documents
+        ),
+        redacted AS (
+            SELECT doc_id,
+                   REGEXP_REPLACE(
+                     REGEXP_REPLACE(
+                       REGEXP_REPLACE(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{4}-\\d{4}\\b|\\b\\d{3}-\\d{2}-\\d{4}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                       '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g') AS clean,
+                   text
+            FROM seeded
+        )
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(clean, '<PHONE>')) AS BIGINT) AS n_phones,
+               CAST(LEN(REGEXP_EXTRACT_ALL(clean, '<IP>')) AS BIGINT) AS n_ips,
+               MD5(clean) AS redacted_md5
+        FROM redacted
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/Dolma-style pre-training hygiene): replace emails,
+    phone numbers, and IPv4 addresses with typed placeholder tokens, and
+    count what was found per document.
+
+    Scale shape: pure per-row regexp_replace projections — no shuffle at
+    all, whole-stage codegen, linear in corpus bytes. Redacted text is
+    md5-hashed for the differential check so the comparison payload stays
+    small. Reference has no PII surface (beyond-reference training-pipeline
+    operator, SURVEY.md §6)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}-\d{4}-\d{4}\b|\b\d{3}-\d{2}-\d{4}\b|\b\d{3}-\d{3}-\d{4}\b"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-4242 at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(email), F.lit("<EMAIL>")),
+            F.lit(phone),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(ip),
+        F.lit("<IP>"),
+    )
+    with_clean = seeded.select("doc_id", "text", clean.alias("clean"))
+    return with_clean.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("clean"), F.lit("<PHONE>"), F.lit(0))).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("clean"), F.lit("<IP>"), F.lit(0))).cast("bigint").alias("n_ips"),
+        F.md5(F.col("clean")).alias("redacted_md5"),
+    )
