@@ -312,7 +312,13 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
 
 def _ivf_assign(e: DataFrame) -> DataFrame:
     """(vec_id, list_id): nearest centroid per vector, ties to the lower
-    centroid id."""
+    centroid id.
+
+    argmax as ``max_by`` over (cos, -centroid_id) rather than a
+    row_number window: the aggregate partial-combines map-side, so the
+    shuffle carries |corpus| rows instead of |corpus|×K scored rows and
+    nothing gets sorted — the difference between a combiner and a global
+    sort at 100 TB."""
     cent = _ivf_centroids(e)
     scored = spread(e).crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -321,11 +327,10 @@ def _ivf_assign(e: DataFrame) -> DataFrame:
             "cos_c"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("centroid_id").alias("list_id"))
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos_c"), -F.col("centroid_id"))
+        ).alias("list_id")
     )
 
 

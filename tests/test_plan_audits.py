@@ -175,6 +175,23 @@ def test_q4_q21_correlated_exists_are_hash_joins(spark, sf_dir):
         assert not has_cartesian_or_bnl(df), name
 
 
+def test_pii_redact_zero_shuffle(spark, sf_dir):
+    """PII scrubbing is pure per-row projection work — any Exchange in the
+    plan means something regressed into a shuffle."""
+    df = CATALOG["text_pii_redact"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, executed_plan(df, "simple")
+
+
+def test_ivf_assign_partial_aggregates(spark, sf_dir):
+    """Centroid argmax must partial-aggregate map-side (max_by combiner):
+    the shuffle then carries one row per vector, not K scored rows."""
+    from cloudfloe_spark.queries.similarity import _ivf_assign
+
+    df = _ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    plan = executed_plan(df, "simple")
+    assert "partial_max_by" in plan, plan
+
+
 def test_lateral_agg_decorrelates(spark, sf_dir):
     """The LATERAL correlated aggregate must decorrelate to a set-based
     aggregate + join (DecorrelateInnerQuery), not a per-row re-execution
