@@ -67,16 +67,19 @@ def connected_components(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
 
-    universe = e.select(F.col("a").alias("node")).unionByName(
-        e.select(F.col("b").alias("node"))
+    # Iterate over EDGE-PARTICIPATING nodes only: a node in no edge can
+    # never change its label, so it has no business inside the loop. At
+    # corpus scale the dup graph is a small fraction of all documents —
+    # this shrinks every per-round join/shuffle from |corpus| to
+    # |dup-graph nodes|. Isolated nodes come back as singleton clusters
+    # in one union AFTER convergence.
+    edge_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
     )
-    if nodes is not None:
-        universe = universe.unionByName(
-            nodes.select(F.col(nodes.columns[0]).alias("node"))
-        )
     labels = (
-        universe.distinct()
-        .select("node", F.col("node").alias("cluster_id"))
+        edge_nodes.select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
 
@@ -116,4 +119,12 @@ def connected_components(
         if strict:
             raise ConvergenceError(msg)
         warnings.warn(msg, stacklevel=2)
+    if nodes is not None:
+        isolated = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.col("node").alias("cluster_id"))
+        )
+        labels = labels.unionByName(isolated)
     return labels

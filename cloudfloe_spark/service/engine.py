@@ -41,7 +41,6 @@ from cloudfloe_spark.service.config import (
 from cloudfloe_spark.service.convert import (
     CATALOG_NAME,
     convert_scan_functions,
-    spark_scan_form,
     transpile_duckdb,
 )
 from cloudfloe_spark.service.errors import CloudfloeError, bad_request
