@@ -10,9 +10,9 @@ propagation over the edge list:
 repeated to fixpoint. Each iteration is one equi-join + one groupBy —
 all hash-shuffle operators, no driver-side graph. Iteration count is the
 component DIAMETER, which for near-duplicate clusters is small (chains
-of similar docs); for general graphs with long paths, swap in the
-large-star/small-star algorithm (same join/groupBy building blocks,
-O(log n) rounds) — the interface stays identical.
+of similar docs); for general graphs with long paths use
+:func:`connected_components_star` (alternating large-star/small-star,
+same join/groupBy building blocks, O(log n) rounds, same output shape).
 
 Lineage control: every iteration ``localCheckpoint``s the label frame;
 without it the plan doubles per round and Catalyst analysis time blows
@@ -119,6 +119,125 @@ def connected_components(
         if strict:
             raise ConvergenceError(msg)
         warnings.warn(msg, stacklevel=2)
+    if nodes is not None:
+        isolated = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.col("node").alias("cluster_id"))
+        )
+        labels = labels.unionByName(isolated)
+    return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_rounds: int = 20,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014) — O(log n) rounds instead of O(diameter), for graphs
+    with long paths where min-label propagation
+    (:func:`connected_components`) would need a round per hop.
+
+    Both operations rewrite the edge list toward a forest of stars rooted
+    at each component's minimum node:
+
+    - large-star: every node u points its LARGER neighbors at
+      m(u) = min(neighbors(u) ∪ {u})
+    - small-star: every node u points its not-larger neighbors (and
+      itself) at m⁻(u) = min over that set
+
+    Each round is a groupBy + join — the same shuffle primitives as the
+    propagation variant, same ``(node, cluster_id)`` output, same strict
+    convergence contract.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    # Canonical undirected form (big, small), deduplicated.
+    e = (
+        e0.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # Directed both ways; per node u: m = min(neighbors ∪ {u});
+        # larger neighbors re-point at m.
+        sym = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # Edges already point big→small (u > v). Per u: m = min(small
+        # neighbors); every small neighbor and u itself link to m.
+        m = cur.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            cur.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        self_link = m.select("u", F.col("m").alias("v"))
+        return relink.unionByName(self_link).distinct()
+
+    def _fingerprint(cur: DataFrame):
+        # (count, xor of row hashes): order-independent, no overflow (ANSI
+        # mode rejects a 64-bit SUM of hashes), collision odds ~2^-64.
+        # Safe because the edge set is distinct — no duplicate rows to
+        # cancel under XOR.
+        row = cur.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    converged = False
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            converged = True
+            break
+        fp = nfp
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge within "
+            f"{max_rounds} alternating rounds"
+        )
+        if strict:
+            raise ConvergenceError(msg)
+        warnings.warn(msg, stacklevel=2)
+
+    # Stars point child→root; roots label themselves.
+    labels = e.select(
+        F.col("u").alias("node"), F.col("v").alias("cluster_id")
+    )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    labels = labels.unionByName(roots)
     if nodes is not None:
         isolated = (
             nodes.select(F.col(nodes.columns[0]).alias("node"))

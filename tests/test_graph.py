@@ -51,3 +51,42 @@ def test_non_convergence_warns_when_not_strict(spark):
     with pytest.warns(UserWarning, match="did not converge"):
         labels = connected_components(e, max_iterations=2, strict=False)
     assert labels.count() == 9  # partial labels still returned
+
+
+def _cc_star(spark, edges, nodes=None, **kw):
+    from cloudfloe_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long") if nodes else None
+    return {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(e, nodes=n, **kw).collect()
+    }
+
+
+def test_star_long_path_converges_in_log_rounds(spark):
+    """A 100-node path has diameter 99 — min-label would need ~99 rounds;
+    alternating star must finish within ~log2(n) alternations."""
+    got = _cc_star(spark, [(i, i + 1) for i in range(100)], max_rounds=10)
+    assert set(got.values()) == {0} and len(got) == 101
+
+
+def test_star_matches_label_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = list(range(n))
+        assert _cc_star(spark, edges, nodes=nodes) == _cc(
+            spark, edges, nodes=nodes
+        ), trial
+
+
+def test_star_isolated_nodes_and_cycle(spark):
+    got = _cc_star(spark, [(3, 4), (4, 5), (5, 3)], nodes=[3, 4, 5, 9])
+    assert got == {3: 3, 4: 3, 5: 3, 9: 9}
