@@ -369,14 +369,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.8
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: block on label (stand-in for an ANN/LSH
-    bucket), cosine ≥ 0.8 within block. The blocked join is an equi-join on
-    the block key; within-block comparison is JVM-side zip_with/aggregate."""
+    bucket), cosine ≥ threshold within block. The blocked join is an
+    equi-join on the block key; within-block comparison is JVM-side
+    zip_with/aggregate. Threshold 0.3 is tuned to the synthetic fixture
+    embeddings (near-random vectors rarely exceed 0.5 cosine) so the
+    differential check compares real rows, not two empty sets; a
+    production near-dup pass would use ~0.9 on model embeddings."""
     from cloudfloe_spark.functions.vectors import as_double, cosine
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -394,7 +398,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_raw"),
         )
-        .filter(F.col("cos_raw") >= 0.8)
+        .filter(F.col("cos_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
 
