@@ -158,18 +158,27 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_anti",
+    # "No orders at all" matched zero fixture customers (every customer
+    # has orders) — anti-joining against RECENT orders keeps the NOT
+    # EXISTS shape while returning real rows at every scale.
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        )
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (customers with no orders) — NOT EXISTS semantics
-    (null-safe, unlike NOT IN)."""
+    """LEFT ANTI join (customers with no 1998+ orders) — NOT EXISTS
+    semantics (null-safe, unlike NOT IN)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -573,19 +573,22 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_except",
+    # Orderkeys of non-'F' orders: both operand sets are large and the
+    # difference is non-empty at every fixture scale — customer-minus-
+    # supplier nationkeys (the previous form) was always the empty set,
+    # a vacuous differential check.
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT o_orderkey FROM orders
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics, both engines)."""
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        s.select(F.col("s_nationkey").alias("nationkey"))
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey").subtract(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     )
 
 
@@ -706,10 +709,12 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_subquery",
+    # ×1.5 keeps thousands of qualifying rows at sf0.01 (×2 exceeded the
+    # fixture's max totalprice → empty result → vacuous check).
     oracle="""
-        SELECT o_orderkey, o_totalprice
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
     """,
     tags=("nesting", "subquery"),
 )
@@ -718,9 +723,9 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT o_orderkey, o_totalprice
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
         """
     )
 
