@@ -175,6 +175,17 @@ def test_q4_q21_correlated_exists_are_hash_joins(spark, sf_dir):
         assert not has_cartesian_or_bnl(df), name
 
 
+def test_q17_q20_single_fact_scan(spark, sf_dir):
+    """The correlated per-part aggregates are windows sharing the fact's
+    hash partitioning — lineitem must appear as exactly ONE scan (the
+    broadcast-the-aggregate formulation needed two and couldn't scale)."""
+    for name in ("q17_small_quantity_revenue", "q20_top_volume_suppliers"):
+        df = CATALOG[name].fn(spark, sf_dir)
+        plan = executed_plan(df)
+        assert plan.count("lineitem.parquet") == 1, name
+        assert "Window" in executed_plan(df, "simple"), name
+
+
 def test_pii_redact_zero_shuffle(spark, sf_dir):
     """PII scrubbing is pure per-row projection work — any Exchange in the
     plan means something regressed into a shuffle."""
