@@ -191,3 +191,51 @@ def test_empty_snapshot_returns_schema_only(spark, tmp_path):
     t.append_snapshot([], timestamp_ms=T1)
     resp = run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
     assert resp.columns == ["id"] and resp.rows == []
+
+
+def test_avrolite_reads_deflate_codec(tmp_path):
+    """Real Iceberg writers emit deflate-compressed manifests by default;
+    the reader must decode them (writer stays null-codec by design)."""
+    import io
+    import json
+    import zlib
+
+    from cloudfloe_spark.sources.avrolite import (
+        MAGIC,
+        _encode,
+        _write_long,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    recs = [{"x": 1}, {"x": -7}, {"x": 2**40}]
+    body = io.BytesIO()
+    for r in recs:
+        _encode(schema, r, body)
+    block = zlib.compress(body.getvalue())[2:-4]  # raw deflate, no zlib wrap
+    sync = b"0123456789abcdef"
+    p = str(tmp_path / "d.avro")
+    with open(p, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        _encode(
+            {"type": "map", "values": "bytes"},
+            {
+                "avro.schema": json.dumps(schema).encode(),
+                "avro.codec": b"deflate",
+            },
+            meta,
+        )
+        f.write(meta.getvalue())
+        f.write(sync)
+        head = io.BytesIO()
+        _write_long(head, len(recs))
+        _write_long(head, len(block))
+        f.write(head.getvalue())
+        f.write(block)
+        f.write(sync)
+
+    assert read_avro(p) == recs
