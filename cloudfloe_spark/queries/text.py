@@ -502,3 +502,62 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("clean"), F.lit("<IP>"), F.lit(0))).cast("bigint").alias("n_ips"),
         F.md5(F.col("clean")).alias("redacted_md5"),
     )
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, s.start AS start_word,
+                   words[s.start+1 : LEAST(s.start+64, LEN(words))] AS chunk
+            FROM w, LATERAL (
+                SELECT UNNEST(GENERATE_SERIES(0, GREATEST(LEN(words)-1, 0), 48))
+                       AS start
+            ) s
+        )
+        SELECT doc_id,
+               CAST(start_word AS BIGINT) AS start_word,
+               CAST(LEN(chunk) AS INT) AS chunk_words,
+               MD5(ARRAY_TO_STRING(chunk, ' ')) AS chunk_md5
+        FROM chunks
+    """,
+    tags=("text", "chunking", "pipeline"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (window=64 words, stride=48 —
+    the training-prep / RAG segmentation step): each document explodes
+    into word-window chunks; the final ragged chunk is kept.
+
+    Scale shape: words computed once per row (let-bound), chunk starts via
+    built-in ``sequence`` + ``explode`` (no UDF), per-chunk ``slice`` on
+    the bound array — linear in corpus tokens, no shuffle at all. Chunk
+    text is md5'd for the differential check."""
+    W, STRIDE = 64, 48
+    d = load_table(spark, sf_dir, "documents")
+    withw = d.select(
+        "doc_id", words(F.col("text")).alias("ws")
+    )
+    exploded = withw.select(
+        "doc_id",
+        F.col("ws"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("ws") - 1, F.lit(0)),
+                F.lit(STRIDE),
+            )
+        ).alias("start_word"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start_word") + 1, F.lit(W))
+    return exploded.select(
+        "doc_id",
+        F.col("start_word").cast("bigint").alias("start_word"),
+        F.size(chunk).alias("chunk_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
