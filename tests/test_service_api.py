@@ -204,3 +204,56 @@ def test_concurrent_queries(api, sf_dir):
         assert status == 200, body
         base = body["rows"][0][1] - i  # same count, offset i
         assert base == results[0][1]["rows"][0][1]
+
+
+def test_query_iceberg_time_travel_over_http(api, tmp_path_factory):
+    """The full reference workflow over HTTP against a local Iceberg
+    table: current scan, VERSION AS OF, snapshot listing — all without
+    the runtime jar (resolved by service/iceberg_local.py)."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    root = str(tmp_path_factory.mktemp("api_ice") / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    s1 = t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=1700000000000)
+    t.append_snapshot([pa.table({"id": [3]})], timestamp_ms=1700000100000)
+    conn = {
+        "storageType": "local",
+        "endpoint": "",
+        "accessKey": "",
+        "secretKey": "",
+    }
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": f"SELECT COUNT(*) AS n FROM iceberg_scan('{root}')",
+            "connection": conn,
+            "rowLimit": 10,
+        },
+    )
+    assert status == 200 and body["rows"][0][0] == 3
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": (
+                f"SELECT COUNT(*) AS n FROM iceberg_scan('{root}') "
+                f"VERSION AS OF {s1}"
+            ),
+            "connection": conn,
+            "rowLimit": 10,
+        },
+    )
+    assert status == 200 and body["rows"][0][0] == 2
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": f"SELECT snapshot_id FROM iceberg_snapshots('{root}')",
+            "connection": conn,
+            "rowLimit": 10,
+        },
+    )
+    assert status == 200 and len(body["rows"]) == 2
