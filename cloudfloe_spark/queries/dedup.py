@@ -152,16 +152,30 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_minhash_sigs(spark, sf_dir)
 
 
+# Giant-bucket guard: a degenerate band key (boilerplate, near-empty docs,
+# exact-dup floods) would otherwise expand quadratically. Buckets above the
+# cap are dropped from PAIR GENERATION — their members are exact-dup-level
+# similar and belong to the exact-dedup pass that should precede LSH.
+_LSH_MAX_BUCKET = 64
+
 @register(
     "dedup_minhash_lsh_pairs",
-    oracle=_MINHASH_SIGS_SQL + """
+    oracle=_MINHASH_SIGS_SQL + f"""
         , bands AS (
             SELECT doc_id, b.band,
                    ARRAY_TO_STRING(sig[(b.band*3+1):(b.band*3+3)], ',') AS band_key
             FROM sigs, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
+        ),
+        ok_buckets AS (
+            SELECT band, band_key FROM bands
+            GROUP BY band, band_key
+            HAVING COUNT(*) BETWEEN 2 AND {_LSH_MAX_BUCKET}
+        ),
+        kept AS (
+            SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
     tags=("dedup", "minhash"),
@@ -172,9 +186,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on the banded hash; signatures are computed exactly once
     (a naive self-join would recompute the whole signature lineage on both
-    sides). Bucket membership lists stay small for fuzzy-dup buckets;
-    corpora with massive exact-dup groups should run exact dedup first so
-    a single bucket can't accumulate millions of ids."""
+    sides). Buckets larger than _LSH_MAX_BUCKET are excluded from pair
+    expansion — the quadratic blowout guard for degenerate band keys; at
+    the fixture scales no bucket approaches the cap, so results are
+    identical, and the oracle applies the same HAVING bound."""
     sigs = _spark_minhash_sigs(spark, sf_dir)
     n_bands = _MH_HASHES // _MH_BAND_SIZE
     bands = sigs.select(
@@ -202,7 +217,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter(
+            (F.size("docs") > 1) & (F.size("docs") <= _LSH_MAX_BUCKET)
+        )
     )
     pairs = buckets.select(
         F.explode(
@@ -407,15 +424,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate clusters (connected components over LSH pairs)
 # ---------------------------------------------------------------------------
 
-_LSH_PAIRS_CTE = """
+_LSH_PAIRS_CTE = f"""
         , bands AS (
             SELECT doc_id, b.band,
                    ARRAY_TO_STRING(sig[(b.band*3+1):(b.band*3+3)], ',') AS band_key
             FROM sigs, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
         ),
+        ok_buckets AS (
+            SELECT band, band_key FROM bands
+            GROUP BY band, band_key
+            HAVING COUNT(*) BETWEEN 2 AND {_LSH_MAX_BUCKET}
+        ),
+        kept AS (
+            SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         )
