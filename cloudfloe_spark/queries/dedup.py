@@ -302,9 +302,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Stop-shingle guard: a shingle present in more than this many documents
+# contributes |df|² rows to the inverted-index self-join — boilerplate
+# n-grams ("all rights reserved …") would dominate the shuffle at corpus
+# scale. Such shingles carry ~no similarity signal and are dropped from
+# the Jaccard universe on BOTH engines (so the differential stays exact).
+# Fixture df max is 5, so results are unchanged at test scales.
+_JACCARD_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
         WITH raw AS (
             SELECT doc_id, lang,
                    UNNEST(LIST_TRANSFORM(
@@ -313,7 +322,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    )) AS shingle
             FROM documents
         ),
-        sh AS (SELECT DISTINCT doc_id, lang, shingle FROM raw),
+        sh0 AS (SELECT DISTINCT doc_id, lang, shingle FROM raw),
+        rare AS (
+            SELECT lang, shingle FROM sh0
+            GROUP BY lang, shingle
+            HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (lang, shingle)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -331,11 +346,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs that share ≥1
-    shingle (inverted-index join blocked by lang — the candidate join is on
-    the shingle, never all-pairs). Pairs ≥ 0.2 reported."""
+    """Exact n-gram Jaccard similarity over the stop-shingle-filtered
+    universe, for candidate pairs sharing ≥1 rare shingle (inverted-index
+    join blocked by lang — the candidate join is on the shingle, never
+    all-pairs; shingles above _JACCARD_MAX_DF docs are excluded, bounding
+    the self-join at |df|² per shingle). Pairs ≥ 0.2 reported."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
+    sh0 = (
         d.select(
             "doc_id",
             "lang",
@@ -343,6 +360,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    rare = (
+        sh0.groupBy("lang", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _JACCARD_MAX_DF)
+        .select("lang", "shingle")
+    )
+    sh = sh0.join(rare, ["lang", "shingle"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
