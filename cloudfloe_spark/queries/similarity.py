@@ -208,11 +208,21 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_pairwise_label_stats",
+    # The AVG is summed as exact DECIMAL: a double SUM over thousands of
+    # pairs is order-dependent (task scheduling changes it run to run) and
+    # occasionally lands a rounding boundary differently than the oracle.
+    # DECIMAL addition is exact and order-independent, so both engines
+    # produce the identical average bit-for-bit.
     oracle="""
         SELECT a.label,
                COUNT(*) AS n_pairs,
-               ROUND(AVG(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[]))), 4) AS avg_cos,
+               -- +0.0 canonicalizes IEEE negative zero (a tiny negative
+               -- average rounds to -0.0 in DuckDB but 0.0 in Spark, which
+               -- breaks value-hash comparison despite numeric equality)
+               ROUND(CAST(SUM(CAST(
+                   LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                   AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS avg_cos,
                ROUND(MAX(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[]))), 4) AS max_cos
         FROM embeddings a JOIN embeddings b
@@ -223,7 +233,8 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-label pairwise cosine statistics (cluster cohesion metric) —
-    blocked equi-join on label, no global cross."""
+    blocked equi-join on label, no global cross. The average is summed in
+    exact DECIMAL so it is independent of task/summation order."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
@@ -234,7 +245,16 @@ def sim_pairwise_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("cos_raw"), 4).alias("avg_cos"),
+            (
+                F.round(
+                    F.sum(F.col("cos_raw").cast("decimal(28,14)")).cast(
+                        "double"
+                    )
+                    / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)  # canonicalize -0.0 (see oracle comment)
+            ).alias("avg_cos"),
             F.round(F.max("cos_raw"), 4).alias("max_cos"),
         )
     )
