@@ -18,7 +18,6 @@ from cloudfloe_spark.functions.text import (
     mean_word_length,
     punct_ratio,
     quality_score,
-    stopword_ratio,
     word_count,
     words,
 )
