@@ -73,13 +73,15 @@ def connected_components(
     # this shrinks every per-round join/shuffle from |corpus| to
     # |dup-graph nodes|. Isolated nodes come back as singleton clusters
     # in one union AFTER convergence.
-    edge_nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionByName(e.select(F.col("b").alias("node")))
-        .distinct()
+    sym0 = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # Initial labels = min(node, min neighbor): identical to the first
+    # propagation round over identity labels, computed directly as one
+    # aggregate — saves an entire join round per invocation.
     labels = (
-        edge_nodes.select("node", F.col("node").alias("cluster_id"))
+        sym0.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.first("a")).alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
 
