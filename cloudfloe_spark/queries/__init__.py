@@ -27,46 +27,77 @@ from cloudfloe_spark.queries import streaming_twins  # noqa: F401, E402
 from cloudfloe_spark.queries import tpch  # noqa: F401, E402
 from cloudfloe_spark.queries import funcpack  # noqa: F401, E402
 
-# Driver-visibility ordering. The driver's per-round CORRECTNESS gate checks
-# the FIRST 50 entries of queries() in dict order; round 1 covered
-# relational+joins+windows+dedup_exact (49 green). Promote the families that
-# have no driver row yet so round 2 proves the next 50, and park the
-# already-green ones at the back. agg_approx_distinct was red in round 1
-# (no_oracle) and is now oracle-paired, so it gets a fresh slot.
+# Driver-visibility ordering. The driver's per-round CORRECTNESS gate
+# checks the FIRST 50 entries of queries() in dict order. To convert every
+# operator from "claimed" to "driver-proven" across rounds, ordering is
+# SELF-ADAPTING: entries that already have a fully-green row in any
+# CORRECTNESS_r*.json (written into the repo by previous rounds' drivers)
+# are parked at the back, and never-green entries fill the front of the
+# window — grouped by family for readable CORRECTNESS diffs. No manual
+# reshuffling needed when operators are added or a round's results land.
 _ROUND_PRIORITY_MODULES = [
-    "tpch",        # 19
-    "dedup",       # 8 (dedup_exact parked — green in r01)
-    "text",        # 10
-    "similarity",  # 6
-    "multimodal",  # 4
-    "timejoins",   # 2  → 49; agg_approx_distinct promoted to slot 50
+    "tpch",
+    "dedup",
+    "text",
+    "similarity",
+    "multimodal",
+    "timejoins",
     "pipeline",
     "events",
     "extras",
     "funcpack",
     "streaming_twins",
+    "relational",
+    "joins",
+    "windows",
 ]
-_ALREADY_GREEN = {"dedup_exact"}  # driver-green in round 1; re-check later
-_PROMOTED = ["agg_approx_distinct"]  # fixed this round; needs a driver row
-# Entries added AFTER the round-2 window was frozen: parked behind the
-# priority families so they don't displace this round's planned 50;
-# they queue for a later round's window.
-_DEFERRED = {"text_chunk_windows"}
+
+
+def _driver_row_status() -> tuple[set[str], set[str]]:
+    """(green, red) per the latest driver verdict for each name across all
+    CORRECTNESS_r*.json rounds — later rounds override earlier ones."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    latest: dict[str, bool] = {}
+    root = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict):
+                latest[name] = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                )
+    green = {n for n, ok in latest.items() if ok}
+    red = {n for n, ok in latest.items() if not ok}
+    return green, red
 
 
 def _priority_order() -> list[str]:
     by_module: dict[str, list[str]] = {}
     for name, cq in all_queries().items():
         by_module.setdefault(cq.fn.__module__.rsplit(".", 1)[-1], []).append(name)
-    skip = _ALREADY_GREEN | _DEFERRED
-    ordered: list[str] = []
+    family_order: list[str] = []
     for mod in _ROUND_PRIORITY_MODULES:
-        ordered.extend(n for n in by_module.get(mod, []) if n not in skip)
-        # Slot the promoted singletons so they land INSIDE the driver's
-        # 50-entry correctness window.
-        if mod == "timejoins":
-            ordered.extend(_PROMOTED)
-    return ordered
+        family_order.extend(by_module.pop(mod, []))
+    for mod in sorted(by_module):  # any future module not listed above
+        family_order.extend(by_module[mod])
+    green, red = _driver_row_status()
+    # RED rows (a recorded driver failure, since fixed) outrank
+    # never-checked entries: converting a failure to a pass is worth more
+    # than adding a first datapoint. Greens re-confirm at the back.
+    failed = [n for n in family_order if n in red]
+    pending = [n for n in family_order if n not in red and n not in green]
+    proven = [n for n in family_order if n in green]
+    return failed + pending + proven
 
 
 from cloudfloe_spark.queries.catalog import reorder as _reorder  # noqa: E402
