@@ -76,3 +76,60 @@ def test_tokenizer_covers_or_rejects_every_character(s):
     except CloudfloeError:
         return
     assert "".join(t.text for t in toks) == s
+
+
+_TRIGGERS = [
+    "a::b",
+    "x::INT",
+    "string_split(",
+    "UNNEST(",
+    "read_parquet('s3://b/t')",
+    "iceberg_scan('/x')",
+    "reflect(",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(_TRIGGERS),
+            st.text(alphabet=string.ascii_letters + " ,.1", max_size=12),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_transpile_never_rewrites_inside_string_literals(parts):
+    """Any rewrite-trigger substring placed INSIDE a string literal must
+    come out of the dialect transpile byte-identical (ADVICE r01: the
+    reference's sqlglot transpile is literal-aware)."""
+    from cloudfloe_spark.service.convert import (
+        convert_scan_functions,
+        transpile_duckdb,
+    )
+
+    payload = "".join(parts).replace("'", "''")
+    sql = f"SELECT '{payload}' AS s FROM t"
+    try:
+        out = transpile_duckdb(convert_scan_functions(sql))
+    except CloudfloeError:
+        return  # lexer-rejected input (e.g. control chars) is fine
+    assert out == sql, (sql, out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(_TRIGGERS),
+    st.text(alphabet=string.ascii_letters + " _", max_size=10),
+)
+def test_transpile_still_rewrites_code_next_to_literals(trigger, ident):
+    """A literal containing a trigger must not suppress a REAL rewrite in
+    the code region of the same statement."""
+    from cloudfloe_spark.service.convert import transpile_duckdb
+
+    payload = trigger.replace("'", "''")
+    sql = f"SELECT x::INT, '{payload}' FROM t"
+    out = transpile_duckdb(sql)
+    assert out.startswith("SELECT CAST(x AS INT), "), out
+    assert f"'{payload}'" in out, out
