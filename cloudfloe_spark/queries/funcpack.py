@@ -411,3 +411,63 @@ def group_by_all_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "try_arithmetic_safe_nulls",
+    # Spark's try_* family returns NULL instead of raising under ANSI mode
+    # (division by zero, overflow); DuckDB mirrors with NULLIF guards.
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice / NULLIF(l_quantity, 0.0), 6) AS unit_price,
+               ROUND(l_discount / NULLIF(l_tax, 0.0), 4) AS disc_per_tax
+        FROM lineitem
+        WHERE l_orderkey % 97 = 0
+    """,
+    tags=("funcpack", "ansi"),
+)
+def try_arithmetic_safe_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ``try_divide`` yields NULL on division by
+    zero instead of failing the job — the behavior a pipeline needs when a
+    denominator column can legally hold zeros. Pure projection, zero
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias(
+            "unit_price"
+        ),
+        F.round(F.try_divide(F.col("l_discount"), F.col("l_tax")), 4).alias(
+            "disc_per_tax"
+        ),
+    )
+
+
+@register(
+    "mask_sensitive_strings",
+    # Spark's mask() maps upper→X lower→x digit→n; DuckDB reproduces with
+    # chained regexp_replace over the same classes.
+    oracle="""
+        SELECT c_custkey,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_name
+        FROM customer
+        WHERE c_custkey % 101 = 0
+    """,
+    tags=("funcpack", "pii"),
+)
+def mask_sensitive_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in data masking (`mask`): structure-preserving redaction of
+    identifier strings (upper→X, lower→x, digit→n) — the lightweight
+    alternative to dropping a column when downstream needs format
+    validation but not values."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 101 == 0
+    )
+    return c.select(
+        "c_custkey", F.mask(F.col("c_name")).alias("masked_name")
+    )
