@@ -128,3 +128,71 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         name=_unique("st_ssjoin"),
         output_mode="append",
     )
+
+
+@register(
+    "streaming_sliding_avg",
+    # Each event lands in width/slide = 2 windows: bucket(ts) and
+    # bucket(ts) - 1 day. The DECIMAL-summed average matches the
+    # streaming engine's aggregate regardless of summation order.
+    oracle="""
+        WITH expanded AS (
+            SELECT value,
+                   UNNEST([TIME_BUCKET(INTERVAL '1 day', ts),
+                           TIME_BUCKET(INTERVAL '1 day', ts) - INTERVAL '1 day'])
+                       AS win_start
+            FROM events
+        )
+        SELECT win_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_value
+        FROM expanded
+        GROUP BY win_start
+    """,
+    tags=("streaming", "window-agg"),
+)
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2-day width, 1-day slide) average computed BY THE
+    STREAMING ENGINE; complete-mode terminal state equals the batch
+    sliding aggregation the oracle expands by hand."""
+    from cloudfloe_spark.streaming.windows import sliding_avg
+
+    return run_available_now(
+        sliding_avg(stream_events(spark, sf_dir)),
+        name=_unique("st_slide"),
+        output_mode="complete",
+    )
+
+
+@register(
+    "streaming_dedup_counts",
+    # dropDuplicatesWithinWatermark keeps ONE nondeterministic row per
+    # key, so the twin aggregates to the deterministic quantity: surviving
+    # row count per event_type == COUNT(DISTINCT user_id) per type.
+    oracle="""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) via
+    dropDuplicatesWithinWatermark (bounded state — ids older than the
+    watermark horizon are evicted), aggregated to surviving-rows-per-type
+    so the result is deterministic and oracle-comparable."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.streaming.windows import stream_events as _se
+
+    deduped = (
+        _se(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
+    return run_available_now(
+        deduped, name=_unique("st_dedup"), output_mode="complete"
+    )

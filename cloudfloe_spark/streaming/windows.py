@@ -93,7 +93,14 @@ def sliding_avg(
         .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact-DECIMAL sum → the average is independent of batch/task
+            # summation order (double SUM is not), so streaming, batch, and
+            # the DuckDB oracle agree bit-for-bit after rounding
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,14)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("win_start"), "n_events", "avg_value")
     )
