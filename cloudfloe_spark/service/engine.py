@@ -429,6 +429,9 @@ def run_query(
                 "return deleted rows.)"
             )
 
+    from cloudfloe_spark.service.file_reads import resolve_file_reads
+
+    sql = resolve_file_reads(sess, sql)
     if not iceberg_runtime_available(spark):
         # Pure-Python snapshot resolution for local Iceberg tables: pins
         # iceberg_scan to the manifest-listed file set (with VERSION AS OF

@@ -162,3 +162,65 @@ def test_popular_genres_corpus_query_translates_and_runs(spark, sf_dir):
     out = transpile_duckdb(out)
     rows = spark.sql(out).collect()
     assert len(rows) == 5 and rows[0]["count"] >= rows[-1]["count"]
+
+
+# --- DuckDB file table functions (read_csv/read_json) -------------------------
+
+
+def test_read_csv_auto_over_run_query(spark, tmp_path):
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nada,36\ngrace,45\n")
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+    r = run_query(
+        spark,
+        f"SELECT name, age FROM read_csv_auto('{p}') ORDER BY age",
+        cfg,
+    )
+    assert r.columns == ["name", "age"]
+    assert r.rows == [["ada", 36], ["grace", 45]]
+
+
+def test_read_json_over_run_query(spark, tmp_path):
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+
+    p = tmp_path / "rows.json"
+    p.write_text('{"k": "a", "v": 1}\n{"k": "b", "v": 2}\n')
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+    r = run_query(
+        spark, f"SELECT k, v FROM read_json('{p}') ORDER BY v", cfg
+    )
+    assert r.rows == [["a", 1], ["b", 2]]
+
+
+def test_read_csv_missing_file_is_400(spark):
+    import pytest as _pytest
+
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+    with _pytest.raises(CloudfloeError) as e:
+        run_query(spark, "SELECT * FROM read_csv('/no/such.csv')", cfg)
+    assert e.value.status_code == 400
+
+
+def test_read_csv_inside_literal_untouched(spark):
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+    r = run_query(spark, "SELECT 'read_csv(''/x.csv'')' AS s", cfg)
+    assert r.rows[0][0] == "read_csv('/x.csv')"
