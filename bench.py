@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_minhash_clusters",    # LSH pairs → iterative connected components
     "text_tfidf_top_terms",      # explode + two-level agg + per-doc window
     "sim_ivf_ann_topk",          # centroid assign + nprobe prune + re-rank
+    "text_chunk_windows",        # overlapping-window doc chunking
+    "streaming_tumbling_counts", # REAL streaming pipeline (availableNow)
 ]
 
 

@@ -193,6 +193,12 @@ def test_pii_redact_zero_shuffle(spark, sf_dir):
     assert shuffle_count(df) == 0, executed_plan(df, "simple")
 
 
+def test_chunking_zero_shuffle(spark, sf_dir):
+    """Document chunking is explode+slice projection work — no Exchange."""
+    df = CATALOG["text_chunk_windows"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, executed_plan(df, "simple")
+
+
 def test_ivf_assign_partial_aggregates(spark, sf_dir):
     """Centroid argmax must partial-aggregate map-side (max_by combiner):
     the shuffle then carries one row per vector, not K scored rows."""
