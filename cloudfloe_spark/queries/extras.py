@@ -371,3 +371,63 @@ def class_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").cast("bigint").alias("min_kept_id"),
         )
     )
+
+
+@register(
+    "sample_to_mixture",
+    # Equal-weight target mixture over sources: per-source keep-rate in
+    # basis points = min(10000, target_share/current_share * 10000),
+    # applied with the portable hash so every engine keeps the same rows.
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source,
+                   LEAST(10000, CAST(
+                       10000.0 * (SELECT SUM(n) FROM counts)
+                       / ((SELECT COUNT(*) FROM counts) * n) AS BIGINT))
+                       AS rate_bp
+            FROM counts
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               MIN(r.rate_bp) AS rate_bp
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ({portable_hash_sql("CAST(doc_id AS VARCHAR)")}) % 10000 < r.rate_bp
+        GROUP BY d.source
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_to_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting (Pile/Dolma-style): compute the per-source
+    keep-rate that moves the corpus toward an equal-share source mixture
+    (never upsampling, rate capped at 1), then apply it with the portable
+    deterministic hash — identical kept-row sets on every engine/replica.
+
+    Scale shape: the rate table is one tiny aggregate joined back on
+    ``source`` (AQE broadcasts it); the sample itself is a pure filter,
+    so the corpus scan never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = counts.crossJoin(totals).select(
+        "source",
+        F.least(
+            F.lit(10000),
+            (10000.0 * F.col("total") / (F.col("n_sources") * F.col("n")))
+            .cast("bigint"),
+        ).alias("rate_bp"),
+    )
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    return (
+        d.join(rates, "source")
+        .filter(h % 10000 < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("rate_bp").alias("rate_bp"),
+        )
+    )
