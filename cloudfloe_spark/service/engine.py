@@ -182,6 +182,21 @@ def request_session(spark, config: Optional[ConnectionConfig]):
     namespace over the shared SparkContext (A4 analog). S3 credentials are
     installed bucket-scoped + serialized (see :data:`_HADOOP_CONF_LOCK`)."""
     sess = spark.newSession()
+    if iceberg_runtime_available(spark):
+        # The scan rewrites target `iceberg.`<root>`` — register the
+        # path-capable catalog that name refers to (catalogs are created
+        # lazily per session, so session-level conf is sufficient).
+        # Without this the runtime-present path emitted names that could
+        # never resolve.
+        sess.conf.set(
+            "spark.sql.catalog.iceberg",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        sess.conf.set("spark.sql.catalog.iceberg.type", "hadoop")
+        sess.conf.set(
+            "spark.sql.catalog.iceberg.warehouse",
+            os.environ.get("CLOUDFLOE_ICEBERG_WAREHOUSE", "file:///tmp/cf-warehouse"),
+        )
     if config is not None:
         for k, v in catalog_options(config).items():
             sess.conf.set(k, v)

@@ -315,3 +315,22 @@ def test_s3a_install_is_bucket_scoped_and_idempotent(spark):
     eng.request_session(spark, cfg_b)
     assert hadoop.get("fs.s3a.bucket.bucket-a.access.key") == "AK1"
     assert hadoop.get("fs.s3a.bucket.bucket-b.access.key") == "AK2"
+
+
+def test_iceberg_catalog_registered_when_runtime_present(monkeypatch, spark):
+    """The `iceberg.` names the scan rewrites emit must have a catalog
+    behind them when the runtime jar is on the classpath."""
+    from cloudfloe_spark.service import engine as eng
+
+    monkeypatch.setattr(eng, "iceberg_runtime_available", lambda s: True)
+    sess = eng.request_session(spark, None)
+    assert (
+        sess.conf.get("spark.sql.catalog.iceberg")
+        == "org.apache.iceberg.spark.SparkCatalog"
+    )
+    assert sess.conf.get("spark.sql.catalog.iceberg.type") == "hadoop"
+    # and the sandbox default (no runtime) leaves the session clean
+    sess2 = eng.request_session(spark, None)
+    monkeypatch.undo()
+    sess3 = eng.request_session(spark, None)
+    assert sess3.conf.get("spark.sql.catalog.iceberg", None) is None
