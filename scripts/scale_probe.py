@@ -47,6 +47,10 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "asof_last_purchase_before_click",
     "window_range_90d_revenue",
+    # round-2 additions: iterative graph + ANN + chunking families
+    "dedup_minhash_clusters",
+    "sim_ivf_ann_topk",
+    "text_chunk_windows",
 ]
 
 
