@@ -239,3 +239,30 @@ def test_avrolite_reads_deflate_codec(tmp_path):
         f.write(sync)
 
     assert read_avro(p) == recs
+
+
+def test_relocated_table_reads_via_path_reanchoring(spark, tmp_path):
+    """Iceberg metadata records absolute URIs from write time; a copied /
+    moved table must still read — paths re-anchor at the last /metadata/
+    or /data/ component under the new root."""
+    import shutil
+
+    src = str(tmp_path / "orig" / "tbl")
+    t = LocalIcebergTable(src, pa.schema([("id", pa.int64())]))
+    s1 = t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    t.append_snapshot([pa.table({"id": [4]})], timestamp_ms=T2)
+
+    moved = str(tmp_path / "elsewhere" / "tbl")
+    shutil.copytree(src, moved)
+    shutil.rmtree(str(tmp_path / "orig"))  # original location is GONE
+
+    resp = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{moved}') ORDER BY id", _cfg()
+    )
+    assert _ids(resp) == [1, 2, 3, 4]
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{moved}') VERSION AS OF {s1}",
+        _cfg(),
+    )
+    assert _ids(resp) == [1, 2, 3]
