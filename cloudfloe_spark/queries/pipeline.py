@@ -125,3 +125,134 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("quality"), 4).alias("total_quality"),
         )
     )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_SEED_SQL = """
+    CASE WHEN doc_id % 10 = 0 THEN
+        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+    ELSE text END
+"""
+
+
+@register(
+    "curation_pipeline_chunks",
+    # Round-2 composition: PII scrub → exact dedup on the CLEAN text →
+    # overlapping-window chunking → per-source stats. The fixture corpus
+    # has no PII, so both sides seed a deterministic contact line into
+    # every 10th document (same convention as text_pii_redact) — the
+    # pipeline then demonstrably redacts, dedups, and chunks.
+    oracle=f"""
+        WITH seeded AS (
+            SELECT doc_id, source, {_PII_SEED_SQL} AS text FROM documents
+        ),
+        clean AS (
+            SELECT doc_id, source,
+                   REGEXP_REPLACE(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS text,
+                   (REGEXP_MATCHES(text, '{_PII_EMAIL}')) AS had_pii
+            FROM seeded
+        ),
+        keepers AS (
+            SELECT doc_id, source, text, had_pii FROM (
+                SELECT clean.*,
+                       ROW_NUMBER() OVER (PARTITION BY {_FP_SQL}
+                                          ORDER BY doc_id) AS rn
+                FROM clean
+            ) WHERE rn = 1
+        ),
+        chunks AS (
+            SELECT k.doc_id, k.source,
+                   LEN(words[s.start+1 : LEAST(s.start+64, LEN(words))])
+                       AS chunk_words
+            FROM (SELECT *,
+                         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                     x -> x <> '') AS words
+                  FROM keepers) k,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(
+                              0, GREATEST(LEN(words) - 1, 0), 48)) AS start) s
+        )
+        SELECT k.source,
+               CAST(COUNT(DISTINCT k.doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN k.had_pii THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_redacted_docs,
+               CAST((SELECT COUNT(*) FROM chunks c WHERE c.source = k.source)
+                   AS BIGINT) AS n_chunks,
+               CAST((SELECT COALESCE(SUM(chunk_words), 0) FROM chunks c
+                     WHERE c.source = k.source) AS BIGINT) AS total_chunk_words
+        FROM keepers k
+        GROUP BY k.source
+    """,
+    tags=("pipeline", "pii", "dedup", "chunking"),
+)
+def curation_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 curation composition in one plan: PII scrubbing (emails →
+    placeholder) BEFORE dedup — so documents identical up to their contact
+    lines collapse — then exact dedup on the clean-text fingerprint, then
+    overlapping-window chunking (64/48), summarized per source.
+
+    Scale shape: redaction and chunking are pure projections; the only
+    wide shuffle is the dedup window on the 16-byte fingerprint; the final
+    per-source agg is tiny."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = seeded.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.col("text"), F.lit(email), F.lit("<EMAIL>")).alias(
+            "text"
+        ),
+        (F.regexp_count(F.col("text"), F.lit(email)) > 0).alias("had_pii"),
+    )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    keepers = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    from cloudfloe_spark.functions.text import words as _words
+
+    ws = _words(F.col("text"))
+    chunks = keepers.select(
+        "doc_id",
+        "source",
+        ws.alias("ws"),
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("ws") - 1, F.lit(0)), F.lit(48)
+            )
+        ).alias("start"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size(F.slice(F.col("ws"), F.col("start") + 1, F.lit(64))).alias(
+            "chunk_words"
+        ),
+    )
+    doc_stats = keepers.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("had_pii").cast("bigint")).alias("n_redacted_docs"),
+    )
+    chunk_stats = chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_words").cast("bigint").alias("total_chunk_words"),
+    )
+    return doc_stats.join(chunk_stats, "source")
