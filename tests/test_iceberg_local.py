@@ -266,3 +266,79 @@ def test_relocated_table_reads_via_path_reanchoring(spark, tmp_path):
         _cfg(),
     )
     assert _ids(resp) == [1, 2, 3]
+
+
+def test_avrolite_reads_multi_block_files(tmp_path):
+    """Real writers emit multiple data blocks per container file; the
+    reader must iterate blocks, validating the sync marker between each."""
+    import io
+    import json
+
+    from cloudfloe_spark.sources.avrolite import MAGIC, _encode, _write_long
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    blocks = [[{"x": i} for i in range(5)], [{"x": i} for i in range(5, 12)]]
+    sync = b"fedcba9876543210"
+    p = str(tmp_path / "mb.avro")
+    with open(p, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        _encode(
+            {"type": "map", "values": "bytes"},
+            {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"},
+            meta,
+        )
+        f.write(meta.getvalue())
+        f.write(sync)
+        for recs in blocks:
+            body = io.BytesIO()
+            for r in recs:
+                _encode(schema, r, body)
+            head = io.BytesIO()
+            _write_long(head, len(recs))
+            _write_long(head, len(body.getvalue()))
+            f.write(head.getvalue())
+            f.write(body.getvalue())
+            f.write(sync)
+    got = read_avro(p)
+    assert got == blocks[0] + blocks[1]
+
+
+def test_avrolite_rejects_corrupt_sync_marker(tmp_path):
+    import io
+    import json
+
+    import pytest as _pytest
+
+    from cloudfloe_spark.sources.avrolite import MAGIC, _encode, _write_long
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        _encode(
+            {"type": "map", "values": "bytes"},
+            {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"},
+            meta,
+        )
+        f.write(meta.getvalue())
+        f.write(b"A" * 16)
+        body = io.BytesIO()
+        _encode(schema, {"x": 1}, body)
+        head = io.BytesIO()
+        _write_long(head, 1)
+        _write_long(head, len(body.getvalue()))
+        f.write(head.getvalue())
+        f.write(body.getvalue())
+        f.write(b"B" * 16)  # does not match the header sync
+    with _pytest.raises(ValueError, match="sync"):
+        read_avro(p)
