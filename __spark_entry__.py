@@ -28,14 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from cloudfloe_spark.queries import query_map
+    """One entry per implemented operator from SURVEY.md §2.
 
+    Ordering is driver-aware (failed → pending → rotating green sample):
+    the explicit ``apply_driver_ordering`` hook runs here, not at package
+    import, so only the driver contract sees the adaptive order.
+    """
+    from cloudfloe_spark.queries import apply_driver_ordering, query_map
+
+    apply_driver_ordering()
     return query_map()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible catalog query."""
-    from cloudfloe_spark.queries import oracle_map
+    from cloudfloe_spark.queries import apply_driver_ordering, oracle_map
 
+    apply_driver_ordering()
     return oracle_map()

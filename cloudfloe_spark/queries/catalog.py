@@ -33,6 +33,9 @@ class CatalogQuery:
 
 
 _REGISTRY: dict[str, CatalogQuery] = {}
+# Immutable registration order — reorder() permutes _REGISTRY but never this,
+# so priority computations stay deterministic (and idempotent) after reorders.
+_REGISTRATION_ORDER: list[str] = []
 
 
 def register(
@@ -46,6 +49,7 @@ def register(
         _REGISTRY[name] = CatalogQuery(
             name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tags
         )
+        _REGISTRATION_ORDER.append(name)
         return fn
 
     return deco
@@ -53,6 +57,11 @@ def register(
 
 def all_queries() -> dict[str, CatalogQuery]:
     return dict(_REGISTRY)
+
+
+def registration_order() -> list[str]:
+    """Catalog names in original registration order, unaffected by reorder()."""
+    return list(_REGISTRATION_ORDER)
 
 
 def reorder(first: list[str]) -> None:

@@ -143,13 +143,23 @@ def _spark_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_signatures",
-    oracle=_MINHASH_SIGS_SQL + "SELECT doc_id, sig FROM sigs",
+    oracle=_MINHASH_SIGS_SQL
+    + "SELECT doc_id, ARRAY_TO_STRING(sig, ',') AS sig FROM sigs",
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (12 affine hashes over one md5 per 3-word
-    shingle). Pure projection — embarrassingly parallel, no shuffle."""
-    return _spark_minhash_sigs(spark, sf_dir)
+    shingle). Pure projection — embarrassingly parallel, no shuffle.
+
+    The signature is emitted as a comma-joined string rather than
+    ``array<bigint>``: scalar output keeps the result sortable/hashable by
+    any downstream canonicalizer (pandas cannot factorize list cells) while
+    preserving every value bit-for-bit."""
+    sigs = _spark_minhash_sigs(spark, sf_dir)
+    return sigs.select(
+        "doc_id",
+        F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig"),
+    )
 
 
 # Giant-bucket guard: a degenerate band key (boilerplate, near-empty docs,
