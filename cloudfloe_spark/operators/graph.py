@@ -240,6 +240,19 @@ def connected_components_star(
         .select("node", F.col("node").alias("cluster_id"))
     )
     labels = labels.unionByName(roots)
+    # Self-loop-only nodes were dropped by the a != b filter but are still
+    # part of the edge list — label them singletons, matching
+    # :func:`connected_components` (the two variants must agree on every
+    # input). One distinct + anti-join over edge endpoints.
+    endpoints = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    self_loop_only = endpoints.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    labels = labels.unionByName(self_loop_only)
     if nodes is not None:
         isolated = (
             nodes.select(F.col(nodes.columns[0]).alias("node"))

@@ -47,6 +47,7 @@ from cloudfloe_spark.service.errors import CloudfloeError, bad_request
 from cloudfloe_spark.service.validation import (
     assert_plan_is_query,
     validate_and_limit_sql,
+    validate_statement_shape,
 )
 
 # Hard-reject tables with delete files — reference behavior
@@ -421,10 +422,18 @@ def run_query(
     config: Optional[ConnectionConfig] = None,
     row_limit: int = 1000,
 ) -> QueryResponse:
-    """Full query path (`backend/main.py:567-620`): rewrite → transpile →
-    validate+LIMIT → Spark-parser guard → execute → rows + stats."""
+    """Full query path (`backend/main.py:567-620`): shape-validate →
+    rewrite → transpile → validate+LIMIT → Spark-parser guard → execute →
+    rows + stats.
+
+    The statement-shape gate runs on the RAW text before any rewrite, so a
+    request that will be rejected (multi-statement, forbidden keyword)
+    never triggers file loads / schema inference. The session is always a
+    request-scoped ``newSession()`` — even with ``config=None`` — so the
+    rewrites' ``cf_*`` temp views cannot leak across requests."""
     t0 = time.perf_counter()
-    sess = request_session(spark, config) if config is not None else spark
+    validate_statement_shape(sql)
+    sess = request_session(spark, config)
 
     if (
         config is not None

@@ -16,6 +16,7 @@ untouched (same lexer-based guard as every other rewrite).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -39,7 +40,11 @@ def _local(path: str) -> str | None:
 
 
 def _view_name(kind: str, path: str) -> str:
-    return f"cf_{kind}_{abs(hash(path)) % 10**10}"
+    # md5 of the path, not builtin hash(): stable across processes
+    # (PYTHONHASHSEED) and collision-safe at any realistic path count —
+    # truncated builtin hash could alias two files to one temp view.
+    digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:16]
+    return f"cf_{kind}_{digest}"
 
 
 def resolve_file_reads(sess, sql: str) -> str:

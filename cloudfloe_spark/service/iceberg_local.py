@@ -32,6 +32,7 @@ path to handle.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import re
 
 from cloudfloe_spark.service.convert import _sub_outside_literals
@@ -79,7 +80,10 @@ def _parse_ts_ms(text: str) -> int:
 
 
 def _view_name(kind: str, root: str, extra: object = None) -> str:
-    return f"cf_ice_{kind}_{abs(hash((root, extra))) % 10**10}"
+    # md5, not builtin hash(): collision-safe across distinct roots and
+    # stable across processes (PYTHONHASHSEED randomizes builtin hash).
+    digest = hashlib.md5(repr((root, extra)).encode("utf-8")).hexdigest()[:16]
+    return f"cf_ice_{kind}_{digest}"
 
 
 def _snapshot_view(sess, root: str, version, ts_text) -> str:

@@ -189,13 +189,16 @@ def _has_top_level_limit(code: list[Token]) -> bool:
     return False
 
 
-def validate_and_limit_sql(sql: str, row_limit: int) -> str:
-    """Validate ``sql`` as one read-only query; append ``LIMIT row_limit``
-    iff no top-level LIMIT exists. Returns the normalized statement
-    (comments stripped, whitespace collapsed). Raises 400 otherwise.
+def validate_statement_shape(sql: str) -> list[Token]:
+    """Policy checks WITHOUT LIMIT injection: single statement, allowed
+    first token, no forbidden statement keyword / JVM-function call,
+    balanced parentheses. Returns the statement's code tokens.
 
-    Port of `_validate_and_limit_sql` (`backend/main.py:65-111`).
-    """
+    This is the pre-rewrite gate: :func:`run_query` calls it on the raw
+    request text BEFORE any side-effectful rewrite (file reads register
+    temp views and run schema inference), so a request that will be
+    rejected never triggers a file load — matching the reference, which
+    validates first (`backend/main.py:567-575`)."""
     if not sql or not sql.strip():
         raise bad_request("Empty query")
 
@@ -254,6 +257,17 @@ def validate_and_limit_sql(sql: str, row_limit: int) -> str:
     if depth != 0:
         raise bad_request("Invalid SQL: unbalanced parentheses")
 
+    return code
+
+
+def validate_and_limit_sql(sql: str, row_limit: int) -> str:
+    """Validate ``sql`` as one read-only query; append ``LIMIT row_limit``
+    iff no top-level LIMIT exists. Returns the normalized statement
+    (comments stripped, whitespace collapsed). Raises 400 otherwise.
+
+    Port of `_validate_and_limit_sql` (`backend/main.py:65-111`).
+    """
+    code = validate_statement_shape(sql)
     # Re-emit: original code tokens, single-space separated (comment
     # stripping + whitespace normalization ≈ the reference's sqlglot
     # re-emission at backend/main.py:111).

@@ -26,6 +26,7 @@ from __future__ import annotations
 import glob as globmod
 import json
 import os
+import re
 from typing import Any, Optional
 
 from cloudfloe_spark.sources.avrolite import read_avro
@@ -60,12 +61,33 @@ def _relocate(uri: str, root: str) -> str:
 
 
 def latest_metadata_path(root: str) -> str:
-    files = sorted(
-        globmod.glob(os.path.join(_local_path(root), "metadata", "*.metadata.json"))
-    )
+    """Newest table-metadata file under ``<root>/metadata/``.
+
+    HadoopCatalog names these ``v<N>.metadata.json`` with an UNPADDED version
+    number, so a lexicographic sort would serve stale state from v9 once v10
+    exists. Honor ``version-hint.text`` when present (the catalog's own
+    pointer), else sort by the parsed numeric version with a lexicographic
+    fallback for uuid-style names (``<padded-N>-<uuid>.metadata.json``)."""
+    meta_dir = os.path.join(_local_path(root), "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            with open(hint) as f:
+                v = int(f.read().strip())
+            candidate = os.path.join(meta_dir, f"v{v}.metadata.json")
+            if os.path.exists(candidate):
+                return candidate
+        except (OSError, ValueError):
+            pass  # malformed hint — fall through to the directory scan
+    files = globmod.glob(os.path.join(meta_dir, "*.metadata.json"))
     if not files:
         raise IcebergMetadataError(f"no Iceberg metadata under {root!r}")
-    return files[-1]
+
+    def _version_key(path: str) -> tuple[int, str]:
+        m = re.match(r"v?(\d+)", os.path.basename(path))
+        return (int(m.group(1)) if m else -1, path)
+
+    return max(files, key=_version_key)
 
 
 def load_metadata(root: str) -> dict:

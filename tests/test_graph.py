@@ -90,3 +90,24 @@ def test_star_matches_label_propagation_on_random_graphs(spark):
 def test_star_isolated_nodes_and_cycle(spark):
     got = _cc_star(spark, [(3, 4), (4, 5), (5, 3)], nodes=[3, 4, 5, 9])
     assert got == {3: 3, 4: 3, 5: 3, 9: 9}
+
+
+def test_star_self_loop_only_node_is_singleton(spark):
+    """A node appearing only in self-loop edges must come back as its own
+    singleton cluster from BOTH variants, without needing the optional
+    nodes universe (the a != b pre-filter must not drop it)."""
+    edges = [(1, 2), (7, 7)]
+    assert _cc(spark, edges) == {1: 1, 2: 1, 7: 7}
+    assert _cc_star(spark, edges) == {1: 1, 2: 1, 7: 7}
+
+
+def test_star_random_graphs_with_self_loops_match_propagation(spark):
+    import random
+
+    rng = random.Random(13)
+    for trial in range(2):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+        ]  # self-loops kept on purpose
+        assert _cc_star(spark, edges) == _cc(spark, edges), trial

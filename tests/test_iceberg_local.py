@@ -342,3 +342,47 @@ def test_avrolite_rejects_corrupt_sync_marker(tmp_path):
         f.write(b"B" * 16)  # does not match the header sync
     with _pytest.raises(ValueError, match="sync"):
         read_avro(p)
+
+
+def test_latest_metadata_numeric_version_sort(tmp_path):
+    """v10 must beat v9 despite sorting before it lexicographically
+    (HadoopCatalog names versions unpadded), and a version-hint.text
+    pointer must win outright when present."""
+    import json as _json
+    import os
+
+    meta_dir = tmp_path / "tbl" / "metadata"
+    meta_dir.mkdir(parents=True)
+    for v in (1, 2, 9, 10, 11):
+        (meta_dir / f"v{v}.metadata.json").write_text(
+            _json.dumps({"format-version": 2, "snapshots": [], "v": v})
+        )
+    root = str(tmp_path / "tbl")
+    assert os.path.basename(im.latest_metadata_path(root)) == "v11.metadata.json"
+    assert im.load_metadata(root)["v"] == 11
+
+    (meta_dir / "version-hint.text").write_text("9\n")
+    assert os.path.basename(im.latest_metadata_path(root)) == "v9.metadata.json"
+
+    # Malformed / dangling hints fall back to the numeric scan.
+    (meta_dir / "version-hint.text").write_text("999")
+    assert os.path.basename(im.latest_metadata_path(root)) == "v11.metadata.json"
+    (meta_dir / "version-hint.text").write_text("not-a-number")
+    assert os.path.basename(im.latest_metadata_path(root)) == "v11.metadata.json"
+
+
+def test_latest_metadata_uuid_naming_falls_back_lexicographic(tmp_path):
+    import json as _json
+    import os
+
+    meta_dir = tmp_path / "tbl" / "metadata"
+    meta_dir.mkdir(parents=True)
+    names = [
+        "00000-aaaa.metadata.json",
+        "00001-zzzz.metadata.json",
+        "00002-bbbb.metadata.json",
+    ]
+    for n in names:
+        (meta_dir / n).write_text(_json.dumps({"snapshots": []}))
+    root = str(tmp_path / "tbl")
+    assert os.path.basename(im.latest_metadata_path(root)) == names[-1]

@@ -334,3 +334,45 @@ def test_iceberg_catalog_registered_when_runtime_present(monkeypatch, spark):
     monkeypatch.undo()
     sess3 = eng.request_session(spark, None)
     assert sess3.conf.get("spark.sql.catalog.iceberg", None) is None
+
+
+def test_rejected_query_triggers_no_file_load(spark, tmp_path):
+    """Statement-shape validation runs BEFORE rewrites: a request that will
+    be rejected must not read files / register temp views (side-effect-free
+    rejection, matching the reference's validate-first order)."""
+    import pytest
+
+    from cloudfloe_spark.service.engine import run_query
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    p = tmp_path / "data.csv"
+    p.write_text("a,b\n1,2\n")
+    before = {v.name for v in spark.catalog.listTables()}
+    with pytest.raises(CloudfloeError) as ei:
+        run_query(
+            spark,
+            f"SELECT * FROM read_csv('{p}'); DROP TABLE x",
+            _cfg(),
+        )
+    assert ei.value.status_code == 400
+    # No cf_* view materialized anywhere (rewrite never ran).
+    after = {v.name for v in spark.catalog.listTables()}
+    assert before == after
+    # Even a would-be file error never surfaces for a forbidden statement.
+    with pytest.raises(CloudfloeError):
+        run_query(spark, "DROP TABLE read_csv('/no/such.csv')", _cfg())
+
+
+def test_no_config_run_uses_request_scoped_session(spark, tmp_path):
+    """config=None must still execute in a request-scoped newSession() so
+    rewrite temp views (cf_*) never persist on the shared session."""
+    from cloudfloe_spark.service.engine import run_query
+
+    p = tmp_path / "rows.json"
+    p.write_text('{"k": 1}\n{"k": 2}\n')
+    resp = run_query(spark, f"SELECT k FROM read_json('{p}') ORDER BY k", None)
+    assert [r[0] for r in resp.rows] == [1, 2]
+    leaked = [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("cf_")
+    ]
+    assert leaked == []
