@@ -61,8 +61,23 @@ REJECT_DELETE_TABLES = os.environ.get("CLOUDFLOE_REJECT_DELETES", "0") == "1"
 
 def _must_reject_deletes(spark) -> bool:
     """Delete-file guard is active when forced by env OR whenever the
-    Iceberg runtime is absent (merge-on-read semantics unavailable)."""
+    Iceberg runtime is absent. Without the runtime, POSITION deletes are
+    still readable (iceberg_local applies them via anti-join); only
+    equality deletes — or the env force — actually reject."""
     return REJECT_DELETE_TABLES or not iceberg_runtime_available(spark)
+
+
+def _has_unreadable_deletes(root: str) -> bool:
+    """True when the current snapshot's delete files include EQUALITY
+    deletes (content=2) — the kind the no-runtime reader cannot apply.
+    Conservative: metadata errors count as unreadable."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    try:
+        snap = im.resolve_snapshot(root)
+        return im.has_equality_deletes(root, snap)
+    except im.IcebergMetadataError:
+        return True
 
 DEMO_TABLE = os.environ.get(
     "CLOUDFLOE_DEMO_TABLE", "/root/testdata/sf0.01/lineitem.parquet"
@@ -243,13 +258,18 @@ def probe_table(spark, table_path: str) -> TableInfo:
     meta = _probe_iceberg_metadata(local)
     if meta is not None:
         has_deletes = meta.get("hasDeletes")
-        if has_deletes and _must_reject_deletes(spark):
-            # Reference 400 with compaction advice (backend/main.py:405-413)
+        if (
+            has_deletes
+            and _must_reject_deletes(spark)
+            and (REJECT_DELETE_TABLES or _has_unreadable_deletes(local))
+        ):
+            # Reference 400 with compaction advice (backend/main.py:405-413);
+            # position-delete-only tables pass — the reader applies them.
             raise bad_request(
                 "Table has delete files. Run compaction "
                 "(rewrite_data_files + rewrite_position_delete_files) "
                 "before querying. (Without the Iceberg runtime this engine "
-                "cannot apply merge-on-read deletes and would silently "
+                "cannot apply equality deletes and would silently "
                 "return deleted rows.)"
             )
         # Reference parity (backend/main.py:482): the suggested query uses
@@ -278,14 +298,15 @@ def probe_table(spark, table_path: str) -> TableInfo:
 
 
 def _probe_iceberg_metadata(root: str) -> Optional[dict]:
-    metadata_files = sorted(
-        globmod.glob(os.path.join(root, "metadata", "*.metadata.json"))
-    )
-    if not metadata_files:
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    try:
+        latest = im.latest_metadata_path(root)  # numeric-version sort
+    except im.IcebergMetadataError:
         return None
     out: dict = {}
     try:
-        with open(metadata_files[-1]) as f:  # filename DESC ≡ last sorted
+        with open(latest) as f:
             meta = json.load(f)
         out["format"] = f"iceberg-v{meta.get('format-version', 1)}"
         snap_id = meta.get("current-snapshot-id")
@@ -442,16 +463,22 @@ def run_query(
         and _local_path(config.tablePath) is not None
     ):
         # Metadata-only pre-check (A7): no data scan, just the latest
-        # metadata.json summary — raises 400 when delete files exist.
+        # metadata.json summary. Position deletes are APPLIED by the
+        # no-runtime reader (iceberg_local anti-join), so without the
+        # runtime only equality deletes reject; the env flag still forces
+        # the reference's blanket rejection.
         meta = _probe_iceberg_metadata(_local_path(config.tablePath))
         if meta is not None and meta.get("hasDeletes"):
-            raise bad_request(
-                "Table has delete files. Run compaction "
-                "(rewrite_data_files + rewrite_position_delete_files) "
-                "before querying. (Without the Iceberg runtime this engine "
-                "cannot apply merge-on-read deletes and would silently "
-                "return deleted rows.)"
-            )
+            if REJECT_DELETE_TABLES or _has_unreadable_deletes(
+                _local_path(config.tablePath)
+            ):
+                raise bad_request(
+                    "Table has delete files. Run compaction "
+                    "(rewrite_data_files + rewrite_position_delete_files) "
+                    "before querying. (Without the Iceberg runtime this "
+                    "engine cannot apply equality deletes and would "
+                    "silently return deleted rows.)"
+                )
 
     from cloudfloe_spark.service.file_reads import resolve_file_reads
 

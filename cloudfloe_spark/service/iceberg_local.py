@@ -93,22 +93,68 @@ def _snapshot_view(sess, root: str, version, ts_text) -> str:
             version=int(version) if version else None,
             timestamp_ms=_parse_ts_ms(ts_text) if ts_text else None,
         )
-        if im.has_delete_files(root, snap):
+        if im.has_equality_deletes(root, snap):
+            # Equality deletes need sequence-number-ordered application —
+            # not implemented without the runtime. Position deletes ARE
+            # applied below, so only content=2 still rejects.
             raise bad_request(
-                "Table has delete files at the requested snapshot. Run "
-                "compaction before querying. (Without the Iceberg runtime "
-                "this engine cannot apply merge-on-read deletes.)"
+                "Table has equality-delete files at the requested snapshot. "
+                "Run compaction before querying. (Without the Iceberg "
+                "runtime this engine cannot apply equality deletes.)"
             )
         paths = im.live_data_paths(root, snap)
+        pos_deletes = im.position_delete_paths(root, snap)
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("scan", root, snap.get("snapshot-id"))
     if paths:
         df = sess.read.parquet(*paths)
+        if pos_deletes:
+            df = _apply_position_deletes(sess, df, pos_deletes)
     else:  # legitimate empty snapshot — zero rows, correct columns
         df = sess.createDataFrame([], im.current_schema_ddl(root))
     df.createOrReplaceTempView(name)
     return name
+
+
+def _apply_position_deletes(sess, data, delete_paths: list[str]):
+    """Merge-on-read for Iceberg v2 position deletes, no runtime jar
+    needed: a position-delete file is plain parquet ``(file_path, pos)``,
+    and Spark's parquet source exposes exactly the matching coordinates as
+    ``_metadata.file_path`` / ``_metadata.row_index`` — so deletion is one
+    LEFT ANTI join on the composite key (reference rejects these tables
+    outright, `backend/main.py:398-414`).
+
+    Join keys are compared on the path suffix after the last ``/data/``
+    component (unique within a table: uuid file names) so a relocated
+    table — where manifests and delete files record stale absolute URIs —
+    still matches. Scale: the delete side is a fraction of the data side;
+    no forced hint, AQE broadcasts it when it fits."""
+    from pyspark.sql import functions as F
+
+    def suffix(col):
+        return F.substring_index(col, "/data/", -1)
+
+    dels = (
+        sess.read.parquet(*delete_paths)
+        .select(
+            suffix(F.col("file_path")).alias("__cf_del_file"),
+            F.col("pos").alias("__cf_del_pos"),
+        )
+        .distinct()
+    )
+    keyed = data.withColumns(
+        {
+            "__cf_file": suffix(F.col("_metadata.file_path")),
+            "__cf_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return keyed.join(
+        dels,
+        (keyed["__cf_file"] == dels["__cf_del_file"])
+        & (keyed["__cf_pos"] == dels["__cf_del_pos"]),
+        "left_anti",
+    ).drop("__cf_file", "__cf_pos")
 
 
 def _snapshots_view(sess, root: str) -> str:

@@ -111,19 +111,54 @@ class LocalIcebergTable:
         return self._commit(timestamp_ms)
 
     def add_delete_file_snapshot(self, *, timestamp_ms: int) -> int:
-        """Snapshot that carries a position-delete file entry (content=1) —
-        for exercising the delete-file guard; the file itself is a stub."""
+        """Snapshot that carries an EQUALITY-delete file entry (content=2) —
+        for exercising the delete-file guard (equality deletes stay
+        rejected without the runtime); the file itself is a stub."""
         fname = f"data/del-{uuid.uuid4().hex[:8]}.parquet"
         fpath = os.path.join(self.root, fname)
         with open(fpath, "wb") as f:
             f.write(b"stub")  # never read: the guard must reject first
         self._delete_files.append(
             {
-                "content": 1,
+                "content": 2,
                 "file_path": f"file://{fpath}",
                 "file_format": "PARQUET",
                 "record_count": 1,
                 "file_size_in_bytes": 4,
+            }
+        )
+        return self._commit(timestamp_ms)
+
+    def live_data_paths(self) -> list[str]:
+        """Absolute paths of currently-live data files (for building
+        position deletes against known rows)."""
+        return sorted(self._live)
+
+    def position_delete_snapshot(
+        self, deletes: list[tuple[str, int]], *, timestamp_ms: int
+    ) -> int:
+        """Snapshot adding a REAL position-delete file (content=1): a
+        parquet of ``(file_path, pos)`` rows per the Iceberg v2 spec, where
+        ``file_path`` is the manifest-recorded URI of a live data file and
+        ``pos`` the 0-based row ordinal within it."""
+        fname = f"data/pdel-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(self.root, fname)
+        t = pa.table(
+            {
+                "file_path": pa.array(
+                    [f"file://{p}" for p, _ in deletes], pa.string()
+                ),
+                "pos": pa.array([pos for _, pos in deletes], pa.int64()),
+            }
+        )
+        pq.write_table(t, fpath)
+        self._delete_files.append(
+            {
+                "content": 1,
+                "file_path": f"file://{fpath}",
+                "file_format": "PARQUET",
+                "record_count": t.num_rows,
+                "file_size_in_bytes": os.path.getsize(fpath),
             }
         )
         return self._commit(timestamp_ms)

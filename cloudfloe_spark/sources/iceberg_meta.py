@@ -183,14 +183,48 @@ def live_data_files(root: str, snapshot: dict) -> list[dict]:
 
 def has_delete_files(root: str, snapshot: dict) -> bool:
     """True when the snapshot carries row-level delete files (manifest
-    content=1, or data_file.content in (1,2)) — unreadable without the
-    Iceberg runtime (merge-on-read)."""
+    content=1, or data_file.content in (1,2))."""
     for e in manifest_entries(root, snapshot):
         if e["status"] == 2:
             continue
         if e["manifest_content"] != 0 or e["data_file"].get("content", 0) != 0:
             return True
     return False
+
+
+def delete_file_records(root: str, snapshot: dict) -> list[dict]:
+    """Live delete-file records (Iceberg v2 content 1=position, 2=equality)."""
+    return [
+        e["data_file"]
+        for e in manifest_entries(root, snapshot)
+        if e["status"] != 2
+        and (
+            e["manifest_content"] == 1
+            or e["data_file"].get("content", 0) in (1, 2)
+        )
+    ]
+
+
+def position_delete_paths(root: str, snapshot: dict) -> list[str]:
+    """Local paths of the snapshot's position-delete parquet files
+    (content=1: rows of ``(file_path, pos)`` naming deleted rows). These
+    ARE readable without the Iceberg runtime — apply with an anti-join
+    against the data scan's per-file row index."""
+    root_local = _local_path(root)
+    return sorted(
+        _relocate(f["file_path"], root_local)
+        for f in delete_file_records(root, snapshot)
+        if f.get("content", 0) == 1
+    )
+
+
+def has_equality_deletes(root: str, snapshot: dict) -> bool:
+    """True when the snapshot carries equality-delete files (content=2) —
+    these need sequence-number-ordered application semantics the
+    no-runtime reader does not implement, so callers must reject."""
+    return any(
+        f.get("content", 0) == 2 for f in delete_file_records(root, snapshot)
+    )
 
 
 def live_data_paths(root: str, snapshot: dict) -> list[str]:

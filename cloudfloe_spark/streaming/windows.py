@@ -139,9 +139,14 @@ def dedup_within_watermark(
 
 
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
-    """Stream-static join: enrich the event stream with a broadcast
-    dimension (no state — the static side is re-broadcast per microbatch)."""
-    return events.join(F.broadcast(dim), "user_id", "left")
+    """Stream-static join: enrich the event stream with a static dimension
+    (no state — the static side is re-planned per microbatch).
+
+    No forced broadcast hint: a user-keyed dimension is unbounded at scale,
+    and a hard hint would OOM the driver at 100× dim growth. Spark picks
+    broadcast vs shuffle per microbatch from the static side's actual size
+    (autoBroadcastJoinThreshold / AQE), which is the scale-safe default."""
+    return events.join(dim, "user_id", "left")
 
 
 def run_available_now(

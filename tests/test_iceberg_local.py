@@ -386,3 +386,111 @@ def test_latest_metadata_uuid_naming_falls_back_lexicographic(tmp_path):
         (meta_dir / n).write_text(_json.dumps({"snapshots": []}))
     root = str(tmp_path / "tbl")
     assert os.path.basename(im.latest_metadata_path(root)) == names[-1]
+
+
+# --- Iceberg v2 position deletes (merge-on-read without the runtime) ---------
+
+
+@pytest.fixture()
+def pos_delete_table(tmp_path):
+    """Snapshot 1: files A(1,2,3)+B(10,11). Snapshot 2: a position-delete
+    file removing A[pos=1] (id=2) and B[pos=0] (id=10). Current reads must
+    return {1, 3, 11}; time travel to s1 must return all five."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [
+            pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]}),
+            pa.table({"id": [10, 11], "name": ["j", "k"]}),
+        ],
+        timestamp_ms=T1,
+    )
+    fa, fb = t.live_data_paths()
+    s2 = t.position_delete_snapshot([(fa, 1), (fb, 0)], timestamp_ms=T2)
+    return root, s1, s2, t
+
+
+def test_position_deletes_applied_on_current_read(spark, pos_delete_table):
+    root, s1, s2, t = pos_delete_table
+    resp = run_query(
+        spark, f"SELECT id, name FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert [r[0] for r in resp.rows] == [1, 3, 11]
+    assert [r[1] for r in resp.rows] == ["a", "c", "k"]
+
+
+def test_position_deletes_match_duckdb_oracle(spark, pos_delete_table):
+    """Hash-level differential: the post-delete row set must equal DuckDB
+    applying the same position-delete file over the same live data files."""
+    import duckdb
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    root, s1, s2, t = pos_delete_table
+    snap = im.resolve_snapshot(root)
+    data_paths = im.live_data_paths(root, snap)
+    [del_path] = im.position_delete_paths(root, snap)
+    con = duckdb.connect()
+    plist = ", ".join(f"'{p}'" for p in data_paths)
+    oracle = con.execute(
+        f"""
+        SELECT id, name
+        FROM read_parquet([{plist}], filename=1, file_row_number=1) t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{del_path}') d
+            WHERE REPLACE(d.file_path, 'file://', '') = t.filename
+              AND d.pos = t.file_row_number
+        )
+        ORDER BY id
+        """
+    ).fetchall()
+    resp = run_query(
+        spark, f"SELECT id, name FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert [tuple(r) for r in resp.rows] == oracle
+    assert len(oracle) == 3
+
+
+def test_position_deletes_time_travel_pre_delete(spark, pos_delete_table):
+    root, s1, s2, t = pos_delete_table
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1} ORDER BY id",
+        _cfg(),
+    )
+    assert [r[0] for r in resp.rows] == [1, 2, 3, 10, 11]
+
+
+def test_position_deletes_survive_relocation(spark, pos_delete_table, tmp_path):
+    """Copied table: manifests AND delete-file contents hold stale absolute
+    URIs; the suffix-keyed anti-join must still match."""
+    import shutil
+
+    root, s1, s2, t = pos_delete_table
+    new_root = str(tmp_path / "moved")
+    shutil.copytree(root, new_root)
+    shutil.rmtree(root)
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{new_root}') ORDER BY id",
+        _cfg(),
+    )
+    assert [r[0] for r in resp.rows] == [1, 3, 11]
+
+
+def test_position_delete_table_probe_not_rejected(spark, pos_delete_table):
+    """probe_table reports hasDeletes but no longer 400s for
+    position-only delete tables (the reader applies them); equality
+    deletes still reject."""
+    from cloudfloe_spark.service.engine import probe_table
+
+    root, s1, s2, t = pos_delete_table
+    info = probe_table(spark, root)
+    assert info.hasDeletes is True
+
+    t.add_delete_file_snapshot(timestamp_ms=T2 + 1000)  # equality stub
+    with pytest.raises(CloudfloeError) as e:
+        probe_table(spark, root)
+    assert e.value.status_code == 400

@@ -370,9 +370,12 @@ def test_no_config_run_uses_request_scoped_session(spark, tmp_path):
 
     p = tmp_path / "rows.json"
     p.write_text('{"k": 1}\n{"k": 2}\n')
+    # Diff, not absolute emptiness: other tests may call rewrite helpers
+    # directly on the shared session; this run must add nothing to it.
+    before = {v.name for v in spark.catalog.listTables()}
     resp = run_query(spark, f"SELECT k FROM read_json('{p}') ORDER BY k", None)
     assert [r[0] for r in resp.rows] == [1, 2]
-    leaked = [
+    leaked = {
         v.name for v in spark.catalog.listTables() if v.name.startswith("cf_")
-    ]
-    assert leaked == []
+    } - before
+    assert leaked == set()
