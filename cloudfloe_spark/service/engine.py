@@ -373,10 +373,26 @@ def run_connection_test(spark, config: ConnectionConfig) -> Optional[TableInfo]:
     try:
         sess = request_session(spark, config)
         if config.catalogType == "rest" and config.catalogEndpoint:
-            tables = sess.sql(
-                f"SHOW TABLES IN {CATALOG_NAME}.{config.namespace}"
-            ).collect()
-            name = tables[0].tableName if tables else "<table>"
+            if iceberg_runtime_available(spark):
+                tables = sess.sql(
+                    f"SHOW TABLES IN {CATALOG_NAME}.{config.namespace}"
+                ).collect()
+                names = [t.tableName for t in tables]
+            else:
+                # No runtime jar: speak the Iceberg REST protocol directly
+                # (stdlib client) — same listing the Spark catalog would
+                # produce, and the same path run_query resolves reads
+                # through (iceberg_local.resolve_rest_tables).
+                from cloudfloe_spark.sources.rest_catalog import (
+                    RestCatalogClient,
+                )
+
+                credential = None
+                if config.accessKey or config.secretKey:
+                    credential = f"{config.accessKey}:{config.secretKey}"
+                client = RestCatalogClient(config.catalogEndpoint, credential)
+                names = client.list_tables(config.namespace)
+            name = names[0] if names else "<table>"
             return TableInfo(
                 path=f"{CATALOG_NAME}.{config.namespace}",
                 suggestedQuery=(
@@ -494,6 +510,18 @@ def run_query(
     converted = convert_scan_functions(
         sql, config, iceberg_available=iceberg_runtime_available(spark)
     )
+    if (
+        not iceberg_runtime_available(spark)
+        and config is not None
+        and config.catalogType == "rest"
+        and config.catalogEndpoint
+    ):
+        # REST-cataloged reads without the runtime jar: resolve
+        # metadata-location over the REST protocol, serve the table via
+        # the pure-Python manifest reader.
+        from cloudfloe_spark.service.iceberg_local import resolve_rest_tables
+
+        converted = resolve_rest_tables(sess, converted, config)
     converted = transpile_duckdb(converted)
     final_sql = validate_and_limit_sql(converted, row_limit)
     assert_plan_is_query(sess, final_sql)

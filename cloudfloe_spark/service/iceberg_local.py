@@ -35,7 +35,7 @@ import datetime
 import hashlib
 import re
 
-from cloudfloe_spark.service.convert import _sub_outside_literals
+from cloudfloe_spark.service.convert import CATALOG_NAME, _sub_outside_literals
 from cloudfloe_spark.service.errors import bad_request
 from cloudfloe_spark.sources import iceberg_meta as im
 
@@ -86,12 +86,13 @@ def _view_name(kind: str, root: str, extra: object = None) -> str:
     return f"cf_ice_{kind}_{digest}"
 
 
-def _snapshot_view(sess, root: str, version, ts_text) -> str:
+def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str:
     try:
         snap = im.resolve_snapshot(
             root,
             version=int(version) if version else None,
             timestamp_ms=_parse_ts_ms(ts_text) if ts_text else None,
+            metadata_path=metadata_path,
         )
         if im.has_equality_deletes(root, snap):
             # Equality deletes need sequence-number-ordered application —
@@ -244,3 +245,65 @@ def _has_metadata(root: str) -> bool:
         return True
     except im.IcebergMetadataError:
         return False
+
+
+# --- REST-cataloged tables without the runtime jar ---------------------------
+
+_CATALOG_REF_RE = re.compile(
+    rf"\b{re.escape(CATALOG_NAME)}\s*\.\s*"
+    r"(`[^`]+`|[A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)"
+)
+
+
+def _unquote_ident(ident: str) -> str:
+    return ident[1:-1] if ident.startswith("`") else ident
+
+
+def resolve_rest_tables(sess, sql: str, config) -> str:
+    """Rewrite ``iceberg_catalog.<ns>.<table>`` references into temp views
+    backed by the pure-Python snapshot reader, resolving each table's
+    metadata-location through the Iceberg REST catalog protocol
+    (:mod:`cloudfloe_spark.sources.rest_catalog`).
+
+    This is the no-jar analog of the reference's DuckDB ``ATTACH``
+    (`backend/main.py:317-358`): the catalog names the current metadata
+    file; reads then go through the same manifest-pinned local path as
+    ``iceberg_scan`` (position deletes applied, equality deletes
+    rejected). Tables whose files live on object storage still need the
+    runtime + S3A — those raise a clear 400 instead of a resolution
+    error deep inside Spark."""
+    from cloudfloe_spark.sources.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogError,
+    )
+
+    if _CATALOG_REF_RE.search(sql) is None:
+        return sql
+    credential = None
+    if config.accessKey or config.secretKey:
+        credential = f"{config.accessKey}:{config.secretKey}"
+    try:
+        client = RestCatalogClient(config.catalogEndpoint, credential)
+    except RestCatalogError as e:
+        raise bad_request(f"REST catalog connection failed: {e}") from None
+
+    def _table(m: re.Match) -> str:
+        ns = _unquote_ident(m.group(1))
+        tbl = _unquote_ident(m.group(2))
+        try:
+            meta_loc = client.metadata_location(ns, tbl)
+        except RestCatalogError as e:
+            raise bad_request(
+                f"REST catalog load of {ns}.{tbl} failed: {e}"
+            ) from None
+        root_uri = meta_loc.rsplit("/metadata/", 1)[0]
+        root = _local_root(root_uri)
+        if root is None:
+            raise bad_request(
+                f"Table {ns}.{tbl} stores data at {root_uri!r}; reading "
+                "object-store Iceberg tables requires the Iceberg Spark "
+                "runtime and S3A credentials."
+            )
+        return _snapshot_view(sess, root, None, None, metadata_path=meta_loc)
+
+    return _sub_outside_literals(_CATALOG_REF_RE, _table, sql)

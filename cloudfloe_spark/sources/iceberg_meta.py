@@ -90,9 +90,22 @@ def latest_metadata_path(root: str) -> str:
     return max(files, key=_version_key)
 
 
-def load_metadata(root: str) -> dict:
-    with open(latest_metadata_path(root)) as f:
-        return json.load(f)
+def load_metadata(root: str, metadata_path: Optional[str] = None) -> dict:
+    """Parse table metadata — the newest file under the root by default,
+    or an explicit ``metadata_path`` when a catalog (e.g. REST
+    LoadTableResult's metadata-location) is authoritative about which
+    version is current; a directory scan could disagree with the catalog
+    after a failed-then-retried commit left an orphan metadata file."""
+    path = (
+        _relocate(metadata_path, _local_path(root))
+        if metadata_path
+        else latest_metadata_path(root)
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError as e:
+        raise IcebergMetadataError(f"cannot read metadata {path!r}: {e}")
 
 
 def snapshots(root: str) -> list[dict]:
@@ -105,6 +118,7 @@ def resolve_snapshot(
     *,
     version: Optional[int] = None,
     timestamp_ms: Optional[int] = None,
+    metadata_path: Optional[str] = None,
 ) -> dict:
     """The snapshot for a time-travel clause — or the current one.
 
@@ -113,7 +127,7 @@ def resolve_snapshot(
     (error when the table has no snapshot that old) — Iceberg/Spark
     ``TIMESTAMP AS OF`` semantics.
     """
-    meta = load_metadata(root)
+    meta = load_metadata(root, metadata_path)
     snaps = meta.get("snapshots", [])
     if version is not None:
         for s in snaps:

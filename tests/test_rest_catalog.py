@@ -1,0 +1,295 @@
+"""REST catalog attach without the Iceberg runtime jar (VERDICT r02
+'Next round' #8). The reference attaches via DuckDB's iceberg extension
+(`backend/main.py:317-358`); the wire protocol is the public Iceberg REST
+spec, which `sources/rest_catalog.py` speaks directly so the listing AND
+read paths run end-to-end against a live (in-process) HTTP catalog."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_connection_test, run_query
+from cloudfloe_spark.service.errors import CloudfloeError
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+from cloudfloe_spark.sources.rest_catalog import (
+    RestCatalogClient,
+    RestCatalogError,
+)
+
+T1 = 1700000000000
+T2 = 1700000100000
+
+# (client_id, client_secret) pairs the stub accepts
+_ACCOUNTS = {("tenant_a", "secret_a"), ("tenant_b", "secret_b")}
+
+
+class _StubState:
+    """Mutable state shared with the handler: table registry + an audit
+    log of (path, Authorization) so tests can assert credential flow."""
+
+    def __init__(self):
+        self.tables: dict[tuple[str, str], str] = {}  # (ns, tbl) → meta loc
+        self.requests: list[tuple[str, str | None]] = []
+        self.require_auth = True
+
+
+def _make_handler(state: _StubState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence request logging under pytest
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            state.requests.append((self.path, self.headers.get("Authorization")))
+            if self.path != "/v1/oauth/tokens":
+                return self._json(404, {"error": "not found"})
+            n = int(self.headers.get("Content-Length", 0))
+            form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            cid = form.get("client_id", [""])[0]
+            sec = form.get("client_secret", [""])[0]
+            if (cid, sec) not in _ACCOUNTS:
+                return self._json(401, {"error": "invalid credential"})
+            return self._json(
+                200, {"access_token": f"tok-{cid}", "token_type": "bearer"}
+            )
+
+        def do_GET(self):
+            auth = self.headers.get("Authorization")
+            state.requests.append((self.path, auth))
+            if state.require_auth and not (
+                auth and auth.startswith("Bearer tok-")
+            ):
+                return self._json(401, {"error": "unauthorized"})
+            if self.path == "/v1/config":
+                # prefix exercises the /v1/{prefix}/... scoped routing
+                return self._json(
+                    200, {"defaults": {"prefix": "cf"}, "overrides": {}}
+                )
+            parts = [p for p in self.path.split("/") if p]
+            if parts[:3] == ["v1", "cf", "namespaces"]:
+                if len(parts) == 3:
+                    nss = sorted({ns for ns, _ in state.tables})
+                    return self._json(
+                        200, {"namespaces": [[ns] for ns in nss]}
+                    )
+                ns = urllib.parse.unquote(parts[3])
+                if len(parts) == 5 and parts[4] == "tables":
+                    idents = [
+                        {"namespace": [n], "name": t}
+                        for (n, t) in sorted(state.tables)
+                        if n == ns
+                    ]
+                    return self._json(200, {"identifiers": idents})
+                if len(parts) == 6 and parts[4] == "tables":
+                    tbl = urllib.parse.unquote(parts[5])
+                    loc = state.tables.get((ns, tbl))
+                    if loc is None:
+                        return self._json(404, {"error": "no such table"})
+                    return self._json(
+                        200, {"metadata-location": loc, "metadata": {}}
+                    )
+            return self._json(404, {"error": "not found"})
+
+    return Handler
+
+
+@pytest.fixture()
+def rest_stub():
+    state = _StubState()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(state)
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}", state
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@pytest.fixture()
+def events_table(tmp_path):
+    """Two snapshots with a removed file — a raw data/ glob would
+    resurrect the removed rows, so a correct read proves the REST path
+    goes through manifest-pinned resolution."""
+    root = str(tmp_path / "events")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [
+            pa.table({"id": [1, 2], "name": ["a", "b"]}),
+            pa.table({"id": [3], "name": ["c"]}),
+        ],
+        timestamp_ms=T1,
+    )
+    gone = im.live_data_paths(root, im.resolve_snapshot(root, version=s1))[0]
+    t.append_snapshot(
+        [pa.table({"id": [4, 5], "name": ["d", "e"]})],
+        timestamp_ms=T2,
+        remove=[gone],
+    )
+    return root
+
+
+def _cfg(endpoint, access="tenant_a", secret="secret_a", ns="demo"):
+    return ConnectionConfig(
+        storageType="local",
+        endpoint="",
+        accessKey=access,
+        secretKey=secret,
+        catalogType="rest",
+        catalogEndpoint=endpoint,
+        namespace=ns,
+    )
+
+
+def _register(state, root, ns="demo", tbl="events"):
+    state.tables[(ns, tbl)] = "file://" + im.latest_metadata_path(root)
+
+
+# --- client unit surface -----------------------------------------------------
+
+
+def test_client_lists_namespaces_and_tables(rest_stub, events_table):
+    endpoint, state = rest_stub
+    _register(state, events_table)
+    client = RestCatalogClient(endpoint, "tenant_a:secret_a")
+    assert client.list_namespaces() == ["demo"]
+    assert client.list_tables("demo") == ["events"]
+    loc = client.metadata_location("demo", "events")
+    assert loc.endswith(".metadata.json")
+
+
+def test_client_rejects_bad_credential(rest_stub):
+    endpoint, _ = rest_stub
+    with pytest.raises(RestCatalogError) as ei:
+        RestCatalogClient(endpoint, "tenant_a:wrong")
+    assert ei.value.status == 401
+
+
+def test_client_requires_auth_for_catalog_routes(rest_stub):
+    endpoint, _ = rest_stub
+    with pytest.raises(RestCatalogError) as ei:
+        RestCatalogClient(endpoint, credential=None)  # no token at all
+    assert ei.value.status == 401
+
+
+# --- service integration -----------------------------------------------------
+
+
+def test_connection_test_lists_rest_tables(spark, rest_stub, events_table):
+    endpoint, state = rest_stub
+    _register(state, events_table)
+    info = run_connection_test(spark, _cfg(endpoint))
+    assert info is not None
+    assert info.format == "iceberg"
+    assert "iceberg_catalog.demo.events" in info.suggestedQuery
+
+
+def test_connection_test_bad_credential_returns_none(
+    spark, rest_stub, events_table
+):
+    endpoint, state = rest_stub
+    _register(state, events_table)
+    assert (
+        run_connection_test(spark, _cfg(endpoint, secret="wrong")) is None
+    )
+
+
+def test_rest_table_read_matches_duckdb(spark, rest_stub, events_table):
+    """End-to-end: SQL names the catalog table; resolution goes REST
+    metadata-location → manifest-pinned local read; rows match DuckDB
+    over the live (post-removal) file set."""
+    import duckdb
+
+    endpoint, state = rest_stub
+    _register(state, events_table)
+    resp = run_query(
+        spark,
+        "SELECT id, name FROM iceberg_catalog.demo.events ORDER BY id",
+        _cfg(endpoint),
+    )
+    live = im.live_data_paths(
+        events_table, im.resolve_snapshot(events_table)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT id, name FROM read_parquet(?) ORDER BY id", [live]
+        )
+        .fetchall()
+    )
+    assert [tuple(r) for r in resp.rows] == want
+    assert [tuple(r) for r in resp.rows] == [
+        (3, "c"),
+        (4, "d"),
+        (5, "e"),
+    ]  # removed file stayed removed ⇒ not a data/ glob
+
+
+def test_rest_scan_function_rewrites_to_catalog(spark, rest_stub, events_table):
+    """Reference parity: with a REST catalog attached, iceberg_scan paths
+    rewrite to catalog tables (`backend/main.py` convert path) — and here
+    the catalog table then resolves through the REST client."""
+    endpoint, state = rest_stub
+    _register(state, events_table)
+    resp = run_query(
+        spark,
+        "SELECT count(*) AS n FROM iceberg_scan('s3://lake/events')",
+        _cfg(endpoint),
+    )
+    assert resp.rows == [[3]]
+
+
+def test_rest_remote_data_requires_runtime(spark, rest_stub):
+    endpoint, state = rest_stub
+    state.tables[("demo", "remote")] = (
+        "s3://lake/remote/metadata/v3.metadata.json"
+    )
+    with pytest.raises(CloudfloeError) as ei:
+        run_query(
+            spark,
+            "SELECT * FROM iceberg_catalog.demo.remote",
+            _cfg(endpoint),
+        )
+    assert "runtime" in str(ei.value)
+
+
+def test_rest_credential_isolation(spark, rest_stub, events_table):
+    """Two tenants, two credentials: each request carries its own bearer
+    token end-to-end over real HTTP — the per-request session never
+    reuses another tenant's token (SURVEY §7.3 risk #1 analog for the
+    catalog path)."""
+    endpoint, state = rest_stub
+    _register(state, events_table)
+    run_connection_test(spark, _cfg(endpoint, "tenant_a", "secret_a"))
+    run_connection_test(spark, _cfg(endpoint, "tenant_b", "secret_b"))
+    auths = [
+        a
+        for p, a in state.requests
+        if p.startswith("/v1/cf/") or p == "/v1/config"
+    ]
+    assert "Bearer tok-tenant_a" in auths and "Bearer tok-tenant_b" in auths
+    # every authorized catalog call used exactly the token minted for the
+    # credential on THAT request — no bleed-through
+    a_idx = auths.index("Bearer tok-tenant_a")
+    b_idx = auths.index("Bearer tok-tenant_b")
+    assert a_idx < b_idx
+    assert all(a in ("Bearer tok-tenant_a", "Bearer tok-tenant_b") for a in auths)
