@@ -190,7 +190,38 @@ def _install_s3a_options(spark, opts: dict[str, str], bucket: Optional[str]) -> 
             return  # same creds already installed — no churn
         for k, v in opts.items():
             hadoop.set(k, v)
+        # Reference table paths are DuckDB-style s3:// URIs
+        # (backend/main.py:125); Hadoop maps no FileSystem to that bare
+        # scheme out of the box, so alias it onto S3A when the connector
+        # is on the classpath — only if nothing else claimed the scheme
+        # (deployments may mount it, e.g. via ViewFs overload).
+        if not hadoop.get("fs.s3.impl") and _class_available(
+            spark, "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        ):
+            hadoop.set("fs.s3.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
         _INSTALLED_S3A[scope] = fp
+
+
+def _class_available(spark, name: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(name)
+        return True
+    except Exception:
+        return False
+
+
+def filesystem_available(spark, scheme: str) -> bool:
+    """True iff the shared JVM can produce a Hadoop FileSystem for
+    ``<scheme>://`` URIs — real S3A in production, or whatever the
+    deployment mounted over the scheme (tests use ViewFs overload backed
+    by the local filesystem; see ``tests/test_s3a_seam.py``)."""
+    try:
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jvm.org.apache.hadoop.fs.FileSystem.getFileSystemClass(scheme, hconf)
+        return True
+    except Exception:
+        return False
 
 
 def request_session(spark, config: Optional[ConnectionConfig]):
@@ -251,9 +282,14 @@ def probe_table(spark, table_path: str) -> TableInfo:
     """
     local = _local_path(table_path)
     if local is None:
-        raise RuntimeError(
-            "non-local table paths require S3A + Iceberg runtime at runtime"
-        )
+        scheme = table_path.split("://", 1)[0]
+        if not filesystem_available(spark, scheme):
+            raise RuntimeError(
+                f"no filesystem serves {scheme}:// in this JVM — remote "
+                "table paths need the S3A connector (hadoop-aws) on the "
+                "classpath"
+            )
+        return _probe_remote_parquet(spark, table_path)
 
     meta = _probe_iceberg_metadata(local)
     if meta is not None:
@@ -293,6 +329,22 @@ def probe_table(spark, table_path: str) -> TableInfo:
         format="parquet",
         rows=rows,
         files=files,
+        hasDeletes=False,
+    )
+
+
+def _probe_remote_parquet(spark, table_path: str) -> TableInfo:
+    """Probe a non-local parquet root through whatever FileSystem the JVM
+    serves for its scheme (footer-only local probing can't reach it).
+    ``count()`` on a parquet scan is metadata-cheap: Spark answers it from
+    row-group statistics without materializing columns."""
+    df = spark.read.parquet(table_path)
+    return TableInfo(
+        path=table_path,
+        suggestedQuery=f"SELECT * FROM parquet.`{table_path}` LIMIT 100",
+        format="parquet",
+        rows=df.count(),
+        files=len(df.inputFiles()),
         hasDeletes=False,
     )
 
