@@ -56,6 +56,11 @@ HEADLINE = [
     "sim_ivf_ann_topk",          # centroid assign + nprobe prune + re-rank
     "text_chunk_windows",        # overlapping-window doc chunking
     "streaming_tumbling_counts", # REAL streaming pipeline (availableNow)
+    # Round-3 breadth (VERDICT r02 #6): remaining heavy families.
+    "dedup_minhash_signatures",  # shingle → 12-perm minhash projection
+    "dedup_clusters_star",       # O(log n) star-contraction components
+    "curation_pipeline_summary", # PII-scrub → dedup → chunk composition
+    "text_decontaminate_ngram",  # eval 13-gram broadcast anti-join
 ]
 
 

@@ -533,6 +533,55 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_star",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_SIGS_SQL.lstrip().removeprefix("WITH")
+    + _LSH_PAIRS_CTE
+    + """
+        , sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM sigs
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        )
+        SELECT n AS doc_id, MIN(m) AS cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY MIN(m)) AS BIGINT)
+                   AS cluster_size
+        FROM reach
+        GROUP BY n
+    """,
+    tags=("dedup", "minhash", "graph"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster assignment as ``dedup_minhash_clusters``,
+    computed with the O(log n)-round large-star/small-star variant
+    (``operators/graph.py::connected_components_star``) instead of
+    min-label propagation — the construction to prefer at 100 TB, where a
+    duplicate chain's diameter (propagation's round count) is unbounded
+    but star-contraction converges logarithmically. Identical oracle:
+    both must produce the exact same transitive closure."""
+    from cloudfloe_spark.operators.graph import connected_components_star
+
+    sigs = _spark_minhash_sigs(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components_star(
+        pairs, src="doc_a", dst="doc_b", nodes=sigs
+    )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+    )
+
+
+@register(
     "dedup_keep_best_quality",
     oracle="""
         WITH scored AS (
