@@ -51,6 +51,9 @@ PROBE_QUERIES = [
     "dedup_minhash_clusters",
     "sim_ivf_ann_topk",
     "text_chunk_windows",
+    # round-3: the O(log n) star-contraction variant — its advantage is
+    # round count at scale, so growth ratios are the evidence that matters
+    "dedup_clusters_star",
 ]
 
 
