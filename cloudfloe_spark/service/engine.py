@@ -61,21 +61,24 @@ REJECT_DELETE_TABLES = os.environ.get("CLOUDFLOE_REJECT_DELETES", "0") == "1"
 
 def _must_reject_deletes(spark) -> bool:
     """Delete-file guard is active when forced by env OR whenever the
-    Iceberg runtime is absent. Without the runtime, POSITION deletes are
-    still readable (iceberg_local applies them via anti-join); only
-    equality deletes — or the env force — actually reject."""
+    Iceberg runtime is absent. Without the runtime, position AND
+    field-id-resolvable equality deletes are applied by iceberg_local's
+    anti-joins; only unresolvable equality deletes — or the env force —
+    actually reject."""
     return REJECT_DELETE_TABLES or not iceberg_runtime_available(spark)
 
 
 def _has_unreadable_deletes(root: str) -> bool:
-    """True when the current snapshot's delete files include EQUALITY
-    deletes (content=2) — the kind the no-runtime reader cannot apply.
-    Conservative: metadata errors count as unreadable."""
+    """True when the current snapshot carries delete files the no-runtime
+    reader cannot apply. Position deletes and equality deletes with
+    resolvable field ids ARE applied (iceberg_local anti-joins); only
+    equality deletes with missing/unresolvable equality_ids remain
+    unreadable. Conservative: metadata errors count as unreadable."""
     from cloudfloe_spark.sources import iceberg_meta as im
 
     try:
         snap = im.resolve_snapshot(root)
-        return im.has_equality_deletes(root, snap)
+        return bool(im.unreadable_equality_deletes(root, snap))
     except im.IcebergMetadataError:
         return True
 
@@ -304,9 +307,9 @@ def probe_table(spark, table_path: str) -> TableInfo:
             raise bad_request(
                 "Table has delete files. Run compaction "
                 "(rewrite_data_files + rewrite_position_delete_files) "
-                "before querying. (Without the Iceberg runtime this engine "
-                "cannot apply equality deletes and would silently "
-                "return deleted rows.)"
+                "before querying. (This table's equality-delete files "
+                "have unresolvable field ids, so reading around them "
+                "would silently return deleted rows.)"
             )
         # Reference parity (backend/main.py:482): the suggested query uses
         # the iceberg_scan() form — run_query resolves it to a
@@ -543,8 +546,8 @@ def run_query(
                 raise bad_request(
                     "Table has delete files. Run compaction "
                     "(rewrite_data_files + rewrite_position_delete_files) "
-                    "before querying. (Without the Iceberg runtime this "
-                    "engine cannot apply equality deletes and would "
+                    "before querying. (These equality-delete files have "
+                    "unresolvable field ids, so reading around them would "
                     "silently return deleted rows.)"
                 )
 

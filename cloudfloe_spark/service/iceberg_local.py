@@ -21,12 +21,15 @@ against local tables:
   file_format, record_count)
 
 Each resolved reference becomes a per-request temp view (request sessions
-have isolated view namespaces — `engine.request_session`). Snapshots that
-carry row-level delete files are rejected, mirroring the reference's
-hard-reject (`backend/main.py:398-414`): without the runtime we cannot
-apply merge-on-read deletes, and reading around them would be silently
-wrong. Non-local roots (s3://…) are left untouched for the S3A/runtime
-path to handle.
+have isolated view namespaces — `engine.request_session`). Row-level
+deletes are APPLIED, not rejected: position deletes via an anti-join on
+``(_metadata.file_path, _metadata.row_index)`` and equality deletes via
+sequence-ordered null-safe anti-joins — strictly better than the
+reference, which hard-rejects any delete-carrying table
+(`backend/main.py:398-414`). Only equality deletes whose field ids don't
+resolve still reject (reading around them would be silently wrong).
+Non-local roots (s3://…) are left untouched for the S3A/runtime path to
+handle.
 """
 
 from __future__ import annotations
@@ -94,17 +97,22 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
             timestamp_ms=_parse_ts_ms(ts_text) if ts_text else None,
             metadata_path=metadata_path,
         )
-        if im.has_equality_deletes(root, snap):
-            # Equality deletes need sequence-number-ordered application —
-            # not implemented without the runtime. Position deletes ARE
-            # applied below, so only content=2 still rejects.
+        if im.unreadable_equality_deletes(root, snap, metadata_path):
+            # Equality deletes whose field ids don't resolve (or v1-era
+            # files with no equality_ids at all) cannot be applied —
+            # reading around them would silently resurrect deleted rows.
             raise bad_request(
-                "Table has equality-delete files at the requested snapshot. "
-                "Run compaction before querying. (Without the Iceberg "
-                "runtime this engine cannot apply equality deletes.)"
+                "Table has equality-delete files this engine cannot apply "
+                "(missing or unresolvable equality field ids). Run "
+                "compaction before querying."
             )
         paths = im.live_data_paths(root, snap)
         pos_deletes = im.position_delete_paths(root, snap)
+        eq_deletes = im.equality_delete_records(root, snap)
+        field_names = (
+            im.schema_field_names(root, metadata_path) if eq_deletes else {}
+        )
+        file_seqs = im.live_data_seqs(root, snap) if eq_deletes else {}
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("scan", root, snap.get("snapshot-id"))
@@ -112,6 +120,10 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         df = sess.read.parquet(*paths)
         if pos_deletes:
             df = _apply_position_deletes(sess, df, pos_deletes)
+        if eq_deletes:
+            df = _apply_equality_deletes(
+                sess, df, eq_deletes, field_names, file_seqs
+            )
     else:  # legitimate empty snapshot — zero rows, correct columns
         df = sess.createDataFrame([], im.current_schema_ddl(root))
     df.createOrReplaceTempView(name)
@@ -156,6 +168,58 @@ def _apply_position_deletes(sess, data, delete_paths: list[str]):
         & (keyed["__cf_pos"] == dels["__cf_del_pos"]),
         "left_anti",
     ).drop("__cf_file", "__cf_pos")
+
+
+def _apply_equality_deletes(
+    sess, data, deletes: list[dict], field_names: dict, file_seqs: dict
+):
+    """Merge-on-read for Iceberg v2 equality deletes, no runtime jar
+    needed. Per the spec, an equality-delete row removes every data row
+    whose values NULL-SAFE-equal it on the delete's ``equality_ids``
+    columns AND whose data sequence number is STRICTLY LOWER than the
+    delete's — rows (re-)written after the delete survive.
+
+    Construction: attach each data row's sequence number by joining a
+    tiny broadcast (file-suffix → seq) map derived from the manifests,
+    then one LEFT ANTI join per distinct equality-column-set against the
+    union of that set's delete files (each row carrying its delete
+    sequence). The delete side is a fraction of the data side; no forced
+    hint on it — AQE broadcasts it when it fits."""
+    from pyspark.sql import functions as F
+
+    def suffix(col):
+        return F.substring_index(col, "/data/", -1)
+
+    seq_df = sess.createDataFrame(
+        [(p.rsplit("/data/", 1)[-1], int(s)) for p, s in file_seqs.items()],
+        "__cf_seq_file STRING, __cf_data_seq BIGINT",
+    )
+    keyed = data.withColumn(
+        "__cf_eq_file", suffix(F.col("_metadata.file_path"))
+    ).join(
+        F.broadcast(seq_df),
+        F.col("__cf_eq_file") == F.col("__cf_seq_file"),
+        "left",
+    )
+
+    by_cols: dict[tuple, list[dict]] = {}
+    for d in deletes:
+        cols = tuple(field_names[i] for i in d["equality_ids"])
+        by_cols.setdefault(cols, []).append(d)
+    for cols, group in by_cols.items():
+        dels = None
+        for d in group:
+            one = (
+                sess.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"__cf_del_{c}") for c in cols])
+                .withColumn("__cf_del_seq", F.lit(int(d["seq"])))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        cond = F.col("__cf_data_seq") < F.col("__cf_del_seq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__cf_del_{c}"))
+        keyed = keyed.join(dels, cond, "left_anti")
+    return keyed.drop("__cf_eq_file", "__cf_seq_file", "__cf_data_seq")
 
 
 def _snapshots_view(sess, root: str) -> str:

@@ -31,6 +31,10 @@ _MANIFEST_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        # v2: data sequence number of the entry (null ⇒ inherited; the
+        # fixture always writes the add-time sequence explicitly so
+        # merge-on-read ordering is testable)
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
@@ -42,6 +46,11 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # v2: schema field ids an equality delete matches on
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -163,6 +172,34 @@ class LocalIcebergTable:
         )
         return self._commit(timestamp_ms)
 
+    def equality_delete_snapshot(
+        self,
+        rows: pa.Table,
+        equality_ids: list[int],
+        *,
+        timestamp_ms: int,
+    ) -> int:
+        """Snapshot adding a REAL equality-delete file (content=2): a
+        parquet whose columns are the schema fields named by
+        ``equality_ids`` (1-based, in schema order — matching
+        ``_iceberg_schema``). Per the v2 spec it deletes every data row
+        whose values null-safe-equal a delete row AND whose data sequence
+        number is strictly lower than this snapshot's."""
+        fname = f"data/edel-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(self.root, fname)
+        pq.write_table(rows, fpath)
+        self._delete_files.append(
+            {
+                "content": 2,
+                "file_path": f"file://{fpath}",
+                "file_format": "PARQUET",
+                "record_count": rows.num_rows,
+                "file_size_in_bytes": os.path.getsize(fpath),
+                "equality_ids": list(equality_ids),
+            }
+        )
+        return self._commit(timestamp_ms)
+
     # -- internals ------------------------------------------------------------
 
     def _commit(self, timestamp_ms: int) -> int:
@@ -172,7 +209,18 @@ class LocalIcebergTable:
             self.root, "metadata", f"manifest-{self._seq:05d}.avro"
         )
         entries = [
-            {"status": 1, "snapshot_id": snap_id, "data_file": df}
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                # add-time data sequence number (stamped below for records
+                # new in this commit) — equality-delete application is
+                # ordered on this, per the v2 spec
+                "sequence_number": df.setdefault("_added_seq", self._seq),
+                "data_file": {
+                    **{k: v for k, v in df.items() if not k.startswith("_")},
+                    "equality_ids": df.get("equality_ids"),
+                },
+            }
             for df in list(self._live.values()) + self._delete_files
         ]
         write_avro(mpath, _MANIFEST_SCHEMA, entries)

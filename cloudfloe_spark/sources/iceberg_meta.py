@@ -172,11 +172,21 @@ def manifest_entries(root: str, snapshot: dict) -> list[dict]:
         # v1 manifest lists have no 'content' field; 0 == data manifests
         mcontent = m.get("content", 0)
         for entry in read_avro(mpath):
+            # v2 data sequence number, with the spec's inheritance chain:
+            # entry value → manifest-list sequence → snapshot sequence
+            # (v1 files carry none of these; 0 sorts before any v2 seq,
+            # matching the spec's "v1 rows are sequence 0" rule).
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number")
+            if seq is None:
+                seq = snapshot.get("sequence-number", 0)
             out.append(
                 {
                     "manifest_path": m["manifest_path"],
                     "manifest_content": mcontent,
                     "status": entry.get("status", 0),
+                    "sequence_number": seq,
                     "data_file": entry["data_file"],
                 }
             )
@@ -233,12 +243,83 @@ def position_delete_paths(root: str, snapshot: dict) -> list[str]:
 
 
 def has_equality_deletes(root: str, snapshot: dict) -> bool:
-    """True when the snapshot carries equality-delete files (content=2) —
-    these need sequence-number-ordered application semantics the
-    no-runtime reader does not implement, so callers must reject."""
+    """True when the snapshot carries equality-delete files (content=2)."""
     return any(
         f.get("content", 0) == 2 for f in delete_file_records(root, snapshot)
     )
+
+
+def equality_delete_records(root: str, snapshot: dict) -> list[dict]:
+    """Live equality-delete files (content=2) with the data they need for
+    sequence-ordered application: local ``path``, the delete's data
+    ``seq`` (it removes rows whose data sequence is strictly lower), and
+    the schema field ``equality_ids`` it matches on."""
+    root_local = _local_path(root)
+    out = []
+    for e in manifest_entries(root, snapshot):
+        f = e["data_file"]
+        if e["status"] == 2 or f.get("content", 0) != 2:
+            continue
+        out.append(
+            {
+                "path": _relocate(f["file_path"], root_local),
+                "seq": e["sequence_number"],
+                "equality_ids": f.get("equality_ids") or [],
+            }
+        )
+    return sorted(out, key=lambda d: (d["seq"], d["path"]))
+
+
+def live_data_seqs(root: str, snapshot: dict) -> dict[str, int]:
+    """Local path → data sequence number for the snapshot's live data
+    files (the ordering key equality deletes apply against)."""
+    root_local = _local_path(root)
+    return {
+        _relocate(e["data_file"]["file_path"], root_local): e[
+            "sequence_number"
+        ]
+        for e in manifest_entries(root, snapshot)
+        if e["status"] != 2
+        and e["manifest_content"] == 0
+        and e["data_file"].get("content", 0) == 0
+    }
+
+
+def schema_field_names(
+    root: str, metadata_path: Optional[str] = None
+) -> dict[int, str]:
+    """Current-schema field id → column name (equality_ids are field
+    ids). Top-level fields only — nested equality deletes are out of
+    scope for the no-runtime reader."""
+    meta = load_metadata(root, metadata_path)
+    schemas = meta.get("schemas") or []
+    current = meta.get("current-schema-id", 0)
+    schema = next(
+        (s for s in schemas if s.get("schema-id") == current),
+        meta.get("schema"),  # v1 single-schema form
+    )
+    if not schema:
+        return {}
+    return {
+        f["id"]: f["name"]
+        for f in schema.get("fields", [])
+        if "id" in f and "name" in f
+    }
+
+
+def unreadable_equality_deletes(
+    root: str, snapshot: dict, metadata_path: Optional[str] = None
+) -> list[str]:
+    """Paths of equality-delete files the no-runtime reader CANNOT apply:
+    missing equality_ids, or ids that don't resolve to top-level fields
+    of the current schema. Empty ⇒ every equality delete is applicable."""
+    names = schema_field_names(root, metadata_path)
+    return [
+        d["path"]
+        for d in equality_delete_records(root, snapshot)
+        if not d["equality_ids"]
+        or any(i not in names for i in d["equality_ids"])
+    ]
 
 
 def live_data_paths(root: str, snapshot: dict) -> list[str]:

@@ -494,3 +494,157 @@ def test_position_delete_table_probe_not_rejected(spark, pos_delete_table):
     with pytest.raises(CloudfloeError) as e:
         probe_table(spark, root)
     assert e.value.status_code == 400
+
+
+# --- equality deletes (round 3: applied, not rejected) -----------------------
+
+
+@pytest.fixture()
+def eq_delete_table(tmp_path):
+    """s1: file A = (1,a),(2,b),(3,c). s2: file B = (4,b),(5,NULL).
+    s3: equality delete on name ∈ {b, NULL} (field id 2).
+    s4: re-insert (6,b) — AFTER the delete, so it must survive.
+    Expected current rows: (1,a),(3,c),(6,b)."""
+    root = str(tmp_path / "eqtbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=T1,
+    )
+    s2 = t.append_snapshot(
+        [pa.table({"id": [4, 5], "name": ["b", None]})], timestamp_ms=T2
+    )
+    s3 = t.equality_delete_snapshot(
+        pa.table({"name": pa.array(["b", None], pa.string())}),
+        [2],
+        timestamp_ms=T2 + 1000,
+    )
+    s4 = t.append_snapshot(
+        [pa.table({"id": [6], "name": ["b"]})], timestamp_ms=T2 + 2000
+    )
+    return root, (s1, s2, s3, s4)
+
+
+def test_equality_deletes_applied_sequence_ordered(spark, eq_delete_table):
+    root, (s1, s2, s3, s4) = eq_delete_table
+    resp = run_query(
+        spark,
+        f"SELECT id, name FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    # (2,b),(4,b),(5,NULL) deleted — NULL matches NULL per the v2 spec;
+    # (6,b) written after the delete survives (sequence ordering).
+    assert [tuple(r) for r in resp.rows] == [(1, "a"), (3, "c"), (6, "b")]
+
+
+def test_equality_deletes_time_travel(spark, eq_delete_table):
+    root, (s1, s2, s3, s4) = eq_delete_table
+    before = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s2} ORDER BY id",
+        _cfg(),
+    )
+    assert [r[0] for r in before.rows] == [1, 2, 3, 4, 5]
+    at_delete = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s3} ORDER BY id",
+        _cfg(),
+    )
+    assert [r[0] for r in at_delete.rows] == [1, 3]
+
+
+def test_equality_delete_matches_duckdb_spec_oracle(spark, eq_delete_table):
+    """Differential: DuckDB implements the v2 rule directly — delete rows
+    where name IS NOT DISTINCT FROM a delete value AND the row's data
+    sequence is lower than the delete's — over the same live files."""
+    import duckdb
+    import os
+
+    root, (s1, s2, s3, s4) = eq_delete_table
+    snap = im.resolve_snapshot(root)
+    seqs = im.live_data_seqs(root, snap)
+    dels = im.equality_delete_records(root, snap)
+    assert len(dels) == 1 and dels[0]["equality_ids"] == [2]
+    con = duckdb.connect()
+    seq_values = ", ".join(
+        f"('{os.path.basename(p)}', {s})" for p, s in seqs.items()
+    )
+    want = con.execute(
+        f"""
+        WITH seqs(fname, seq) AS (VALUES {seq_values}),
+        data AS (
+            SELECT d.id, d.name, s.seq
+            FROM read_parquet({sorted(seqs)!r}, filename=true) d
+            JOIN seqs s ON s.fname = regexp_extract(d.filename, '[^/]+$')
+        ),
+        dels AS (SELECT name AS del_name FROM read_parquet(?))
+        SELECT id, name FROM data
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dels
+            WHERE data.name IS NOT DISTINCT FROM dels.del_name
+              AND data.seq < {dels[0]["seq"]}
+        )
+        ORDER BY id
+        """,
+        [dels[0]["path"]],
+    ).fetchall()
+    resp = run_query(
+        spark,
+        f"SELECT id, name FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [tuple(r) for r in want]
+
+
+def test_multi_column_equality_delete(spark, tmp_path):
+    root = str(tmp_path / "eq2")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 2], "name": ["x", "x", "y"]})],
+        timestamp_ms=T1,
+    )
+    # delete on (id, name) = (2, x) only — (2, y) must survive
+    t.equality_delete_snapshot(
+        pa.table({"id": [2], "name": ["x"]}), [1, 2], timestamp_ms=T2
+    )
+    resp = run_query(
+        spark,
+        f"SELECT id, name FROM iceberg_scan('{root}') ORDER BY id, name",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [(1, "x"), (2, "y")]
+
+
+def test_position_and_equality_deletes_combined(spark, tmp_path):
+    root = str(tmp_path / "eqpos")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=T1,
+    )
+    target = t.live_data_paths()[0]
+    t.position_delete_snapshot([(target, 0)], timestamp_ms=T2)  # drops id=1
+    t.equality_delete_snapshot(
+        pa.table({"name": ["c"]}), [2], timestamp_ms=T2 + 1000
+    )
+    resp = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert [r[0] for r in resp.rows] == [2]
+
+
+def test_equality_delete_probe_not_rejected(spark, eq_delete_table):
+    """probe_table reports hasDeletes but no longer 400s — resolvable
+    equality deletes are applied by the reader; only unresolvable ones
+    (the equality_ids-free stub) still reject."""
+    from cloudfloe_spark.service.engine import probe_table
+
+    root, _snaps = eq_delete_table
+    info = probe_table(spark, root)
+    assert info.hasDeletes is True
