@@ -27,6 +27,10 @@ _DEFAULTS: dict[str, str] = {
     # parquet ns timestamps (events.ts): Spark 4 has no TIMESTAMP(NANOS)
     # type; read as long and convert to µs in the source layer
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive parquet micros timestamps read as TIMESTAMP (raw epoch micros,
+    # session tz UTC) rather than TIMESTAMP_NTZ — DuckDB-oracle parity and
+    # chrono functions (unix_micros) stay applicable
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # -- adaptive execution: the scale story ----------------------------
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -40,6 +40,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _REQUIRED_RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (isAdjustedToUTC=false) must read as plain
+    # TIMESTAMP, not TIMESTAMP_NTZ: the raw stored micros are then the epoch
+    # value directly (session tz pinned UTC above), matching DuckDB's naive
+    # interpretation, and chrono functions like unix_micros() stay valid.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
