@@ -55,8 +55,12 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
         SELECT c_nationkey,
-               list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
-               (list(c_name ORDER BY c_acctbal DESC, c_name))[1:3] AS top3_names
+               array_to_string(
+                   list(DISTINCT c_mktsegment ORDER BY c_mktsegment), '|'
+               ) AS segments,
+               array_to_string(
+                   (list(c_name ORDER BY c_acctbal DESC, c_name))[1:3], '|'
+               ) AS top3_names
         FROM customer
         GROUP BY c_nationkey
     """,
@@ -65,19 +69,30 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: sorted distinct collect + top-3-by-value
     via sort_array over an array of structs (struct comparison sorts by
-    field order; negated balance gives DESC with name ASC tie-break)."""
+    field order; negated balance gives DESC with name ASC tie-break).
+
+    Output arrays are joined to '|'-delimited strings on BOTH sides: the
+    driver's pandas canonicalizer cannot hash top-level list cells (the
+    r02/r03 red-row failure class), and a catalog-wide guard test now
+    forbids top-level array/map output columns outright.
+    """
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("c_acctbal")).alias("neg"), "c_name"))
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("c_acctbal")).alias("neg"), "c_name")
+                        )
+                    ),
+                    lambda s: s["c_name"],
                 ),
-                lambda s: s["c_name"],
+                1,
+                3,
             ),
-            1,
-            3,
+            "|",
         ).alias("top3_names"),
     )
 

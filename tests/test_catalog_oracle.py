@@ -33,7 +33,14 @@ def _norm(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
+        # Mirror the driver's pandas canonicalizer, which cannot hash
+        # top-level list cells (TypeError: unhashable type: 'list' — the
+        # r02/r03 red-row class). Fail loudly here so the in-repo gate is
+        # at least as strict as the driver's.
+        raise TypeError(
+            "top-level list cell reached comparison; stringify the array "
+            "column (F.array_join / array_to_string) on both sides"
+        )
     if isinstance(v, int):
         return int(v)
     return v
@@ -84,6 +91,31 @@ def test_rows_only_query_runs(name, spark, sf_dir):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_toplevel_array_or_map_outputs(spark, sf_dir):
+    """Catalog-wide guard: no registered query may return a top-level
+    array/map column.
+
+    The driver's correctness gate canonicalizes results through pandas,
+    which cannot hash list cells — this class produced the only red row in
+    rounds 2 AND 3 (`dedup_minhash_signatures`, `agg_collect_sorted`).
+    Schema analysis only (no execution), so the sweep is cheap and covers
+    every registered entry, including future ones.
+    """
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name, q in sorted(CATALOG.items()):
+        df = q.fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "top-level array/map output columns crash the driver canonicalizer; "
+        "stringify with F.array_join on the Spark side and array_to_string "
+        f"in the oracle: {offenders}"
+    )
 
 
 def test_entry_smoke(spark):
