@@ -64,6 +64,43 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark, load_table) -> dict[str, float]:
+    """Machine-speed probe: fixed work whose cost is independent of this
+    repo's query code, so round-over-round comparisons can separate sandbox
+    drift from real regressions (the r02→r03 bench doubled purely from
+    environment slowdown and was indistinguishable without this).
+
+    Two probes, warm, min of 2: a full lineitem scan-count (I/O + parquet
+    decode path) and a fixed-size synthetic shuffle (spark.range → mod-key
+    groupBy, SF-independent exchange + hash-agg path).
+    """
+    from pyspark.sql import functions as F
+
+    def shuffle_probe() -> None:
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .withColumn("k", F.col("id") % 100_000)
+            .groupBy("k")
+            .agg(F.count("*").alias("c"), F.sum("id").alias("s"))
+            .count()
+        )
+
+    probes = {
+        "scan": lambda: load_table(spark, SF_DIR, "lineitem").count(),
+        "shuffle": shuffle_probe,
+    }
+    out: dict[str, float] = {}
+    for name, fn in probes.items():
+        fn()  # warm-up (codegen/planning)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     from cloudfloe_spark.queries import all_queries
     from cloudfloe_spark.session import get_spark
@@ -77,6 +114,8 @@ def main() -> None:
     # Warm-up: touch every table once (footer reads, codegen, executor spin-up).
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         load_table(spark, SF_DIR, t).count()
+
+    calibration = _calibrate(spark, load_table)
 
     # Per query: one untimed warm-up run (Catalyst planning + codegen
     # compilation, a fixed cost any long-running deployment amortizes),
@@ -94,6 +133,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    cal_total = calibration["scan"] + calibration["shuffle"]
     print(
         json.dumps(
             {
@@ -102,6 +142,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Machine-speed probes (fixed work, repo-code-independent).
+                # Compare `calibration` across rounds first: if it moved,
+                # the environment moved. `normalized_total` = headline
+                # seconds per calibration second — the drift-adjusted
+                # round-over-round metric.
+                "calibration": calibration,
+                "normalized_total": round(total / cal_total, 3) if cal_total else None,
             }
         )
     )
