@@ -69,10 +69,20 @@ def test_no_forced_broadcast_on_unbounded_relations(spark, sf_dir):
         "q18_large_volume_customers": 0,
         "q9_product_profit": 1,            # nation only
         "join_agg_pushdown": 1,            # 25-row nation only
+        "join_inner_broadcast": 1,         # 25-row nation only (r03 fix:
+                                           # was a forced hint on customer)
     }
     for name, allowed in max_bounded_hints.items():
         df = CATALOG[name].fn(spark, sf_dir)
         assert broadcast_hint_count(df) <= allowed, name
+
+
+def test_join_inner_broadcast_is_broadcast_hash_join(spark, sf_dir):
+    """The named BroadcastHashJoin exemplar must actually plan one — and on
+    the bounded dim, with zero shuffles before the aggregation."""
+    df = CATALOG["join_inner_broadcast"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 1  # partial→final agg only
 
 
 def test_range_join_is_hash_join_not_bnl(spark, sf_dir):
