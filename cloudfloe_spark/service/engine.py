@@ -44,6 +44,7 @@ from cloudfloe_spark.service.convert import (
     transpile_duckdb,
 )
 from cloudfloe_spark.service.errors import CloudfloeError, bad_request
+from cloudfloe_spark.sources.tables import ensure_runtime_conf
 from cloudfloe_spark.service.validation import (
     assert_plan_is_query,
     validate_and_limit_sql,
@@ -232,6 +233,11 @@ def request_session(spark, config: Optional[ConnectionConfig]):
     namespace over the shared SparkContext (A4 analog). S3 credentials are
     installed bucket-scoped + serialized (see :data:`_HADOOP_CONF_LOCK`)."""
     sess = spark.newSession()
+    # The service path bypasses load_table for its parquet/iceberg reads, so
+    # the runtime conf (UTC session tz, nanosAsLong, no NTZ inference) must
+    # be pinned here too — newSession() under a caller-provided SparkSession
+    # otherwise inherits whatever the caller set (ADVICE r03).
+    ensure_runtime_conf(sess)
     if iceberg_runtime_available(spark):
         # The scan rewrites target `iceberg.`<root>`` — register the
         # path-capable catalog that name refers to (catalogs are created

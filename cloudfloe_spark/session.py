@@ -62,7 +62,14 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster leave it None and let spark-submit supply it.
+
+    Also pins the driver process TZ to UTC: collect() converts TIMESTAMP
+    values via the driver OS timezone, not the session timezone, so a
+    non-UTC driver would shift JSON/isoformat output (ADVICE r03).
     """
+    from cloudfloe_spark.sources.tables import _pin_driver_utc
+
+    _pin_driver_utc()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"

@@ -341,7 +341,13 @@ _PRIMITIVES = {
     "double": "DOUBLE",
     "date": "DATE",
     "time": "BIGINT",  # Spark has no TIME; microseconds-since-midnight
-    "timestamp": "TIMESTAMP_NTZ",
+    # Iceberg `timestamp` (naive) maps to TIMESTAMP, not TIMESTAMP_NTZ:
+    # with spark.sql.parquet.inferTimestampNTZ.enabled=false (see
+    # sources/tables.py) a naive column in the DATA files reads as
+    # TIMESTAMP (LTZ, session tz pinned UTC), so the empty-snapshot DDL
+    # branch must declare the same type or the one table would change
+    # schema depending on whether the resolved snapshot has data files.
+    "timestamp": "TIMESTAMP",
     "timestamptz": "TIMESTAMP",
     "string": "STRING",
     "uuid": "STRING",

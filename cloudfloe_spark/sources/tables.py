@@ -44,11 +44,41 @@ _REQUIRED_RUNTIME_CONF = {
     # TIMESTAMP, not TIMESTAMP_NTZ: the raw stored micros are then the epoch
     # value directly (session tz pinned UTC above), matching DuckDB's naive
     # interpretation, and chrono functions like unix_micros() stay valid.
+    # Driver-side conversion (collect()/isoformat) uses the driver OS tz,
+    # so _pin_driver_utc() below pins TZ=UTC process-wide as well.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
+_DRIVER_TZ_PINNED = False
+
+
+def _pin_driver_utc() -> None:
+    """Pin the DRIVER process timezone to UTC (once).
+
+    ``collect()`` converts TIMESTAMP (LTZ) values to Python datetimes using
+    the driver OS timezone, NOT spark.sql.session.timeZone — on a non-UTC
+    driver the collected/JSON output would shift relative to the raw epoch
+    micros the UTC session tz guarantees executor-side (ADVICE r03). A
+    process-global mutation, but one the engine's wall-to-wall UTC
+    semantics depend on; documented here and in session.get_spark.
+    """
+    global _DRIVER_TZ_PINNED
+    if _DRIVER_TZ_PINNED:
+        return
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        try:
+            import time
+
+            time.tzset()
+        except AttributeError:
+            pass  # tzset is POSIX-only; on Windows TZ env alone applies
+    _DRIVER_TZ_PINNED = True
+
+
 def ensure_runtime_conf(spark: SparkSession) -> None:
+    _pin_driver_utc()
     for k, v in _REQUIRED_RUNTIME_CONF.items():
         try:
             if spark.conf.get(k, None) != v:

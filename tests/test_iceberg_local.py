@@ -648,3 +648,39 @@ def test_equality_delete_probe_not_rejected(spark, eq_delete_table):
     root, _snaps = eq_delete_table
     info = probe_table(spark, root)
     assert info.hasDeletes is True
+
+
+def test_naive_timestamp_schema_agrees_empty_vs_data_snapshot(spark, tmp_path):
+    """An Iceberg naive `timestamp` column must read as the SAME Spark type
+    whether the resolved snapshot has data files (parquet read under
+    inferTimestampNTZ=false → TIMESTAMP) or is empty (schema comes from
+    current_schema_ddl → _PRIMITIVES). ADVICE r03: these diverged
+    (TIMESTAMP vs TIMESTAMP_NTZ) before _PRIMITIVES mapped naive
+    timestamp to TIMESTAMP."""
+    root = str(tmp_path / "ts_tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("created", pa.timestamp("us"))]),
+    )
+    s_empty = t.append_snapshot([], timestamp_ms=T1)
+    s_data = t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([1], pa.int64()),
+                    "created": pa.array([1700000000000000], pa.timestamp("us")),
+                }
+            )
+        ],
+        timestamp_ms=T2,
+    )
+    from cloudfloe_spark.service.iceberg_local import _snapshot_view
+
+    sess = spark.newSession()
+    empty = sess.table(_snapshot_view(sess, root, s_empty, None))
+    data = sess.table(_snapshot_view(sess, root, s_data, None))
+    assert [f.simpleString() for f in empty.schema.fields] == [
+        f.simpleString() for f in data.schema.fields
+    ]
+    assert "timestamp" == dict(data.dtypes)["created"]
+    assert empty.count() == 0 and data.count() == 1
