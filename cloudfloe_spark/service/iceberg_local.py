@@ -28,8 +28,11 @@ sequence-ordered null-safe anti-joins — strictly better than the
 reference, which hard-rejects any delete-carrying table
 (`backend/main.py:398-414`). Only equality deletes whose field ids don't
 resolve still reject (reading around them would be silently wrong).
-Non-local roots (s3://…) are left untouched for the S3A/runtime path to
-handle.
+Roots on a served scheme (``s3://…`` with the S3A connector present, or
+any mounted filesystem) read through the same jarless path: metadata JSON
+and Avro manifests stream via :mod:`sources.fsio` (Hadoop FileSystem API),
+data parquet via ``sess.read``. Only unserved schemes pass through for
+the runtime-jar path to reject with a clear error.
 """
 
 from __future__ import annotations
@@ -65,6 +68,25 @@ def _local_root(path: str) -> str | None:
         return path[len("file://"):]
     if path.startswith("/"):
         return path
+    return None
+
+
+def _readable_root(sess, path: str) -> str | None:
+    """Root the jarless reader can serve: a local path, or a
+    scheme-qualified URI whose scheme the shared JVM's Hadoop FileSystem
+    machinery resolves (real S3A when hadoop-aws is present; mounted
+    schemes — e.g. the ViewFs-served ``s3://`` test seam — otherwise).
+    Metadata JSON / Avro manifests stream through :mod:`sources.fsio`;
+    data parquet reads resolve the scheme natively in ``sess.read``."""
+    local = _local_root(path)
+    if local is not None:
+        return local
+    if "://" in path:
+        from cloudfloe_spark.sources import fsio
+
+        scheme = path.split("://", 1)[0]
+        if fsio.scheme_served(sess, scheme):
+            return path
     return None
 
 
@@ -280,19 +302,19 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     layouts pass through unchanged (handled by convert.py's fallback)."""
 
     def _scan(m: re.Match) -> str:
-        root = _local_root(m.group(1).rstrip("/"))
+        root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
             return m.group(0)
         return _snapshot_view(sess, root, m.group(2), m.group(3))
 
     def _snapshots(m: re.Match) -> str:
-        root = _local_root(m.group(1).rstrip("/"))
+        root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
             return m.group(0)
         return _snapshots_view(sess, root)
 
     def _metadata(m: re.Match) -> str:
-        root = _local_root(m.group(1).rstrip("/"))
+        root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
             return m.group(0)
         return _metadata_view(sess, root)
@@ -314,8 +336,15 @@ def _has_metadata(root: str) -> bool:
 # --- REST-cataloged tables without the runtime jar ---------------------------
 
 _CATALOG_REF_RE = re.compile(
-    rf"\b{re.escape(CATALOG_NAME)}\s*\.\s*"
-    r"(`[^`]+`|[A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)"
+    rf"""\b{re.escape(CATALOG_NAME)}\s*\.\s*
+    (`[^`]+`|[A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)
+    (?:\s+(?:FOR\s+)?
+        (?:
+            (?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+)
+          | (?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'
+        )
+    )?""",
+    re.IGNORECASE | re.VERBOSE,
 )
 
 
@@ -331,11 +360,12 @@ def resolve_rest_tables(sess, sql: str, config) -> str:
 
     This is the no-jar analog of the reference's DuckDB ``ATTACH``
     (`backend/main.py:317-358`): the catalog names the current metadata
-    file; reads then go through the same manifest-pinned local path as
-    ``iceberg_scan`` (position deletes applied, equality deletes
-    rejected). Tables whose files live on object storage still need the
-    runtime + S3A — those raise a clear 400 instead of a resolution
-    error deep inside Spark."""
+    file; reads then go through the same manifest-pinned path as
+    ``iceberg_scan`` — merge-on-read deletes applied, time-travel clauses
+    (``VERSION AS OF`` / ``TIMESTAMP AS OF``, DuckDB ``FOR SYSTEM_*``
+    spellings too) resolved against the snapshot log of the
+    catalog-named metadata file. Tables on a scheme no filesystem serves
+    raise a clear 400 instead of a resolution error deep inside Spark."""
     from cloudfloe_spark.sources.rest_catalog import (
         RestCatalogClient,
         RestCatalogError,
@@ -361,13 +391,16 @@ def resolve_rest_tables(sess, sql: str, config) -> str:
                 f"REST catalog load of {ns}.{tbl} failed: {e}"
             ) from None
         root_uri = meta_loc.rsplit("/metadata/", 1)[0]
-        root = _local_root(root_uri)
+        root = _readable_root(sess, root_uri)
         if root is None:
             raise bad_request(
-                f"Table {ns}.{tbl} stores data at {root_uri!r}; reading "
-                "object-store Iceberg tables requires the Iceberg Spark "
-                "runtime and S3A credentials."
+                f"Table {ns}.{tbl} stores data at {root_uri!r}; no "
+                "filesystem serves that scheme in this JVM — object-store "
+                "Iceberg tables need the S3A connector (hadoop-aws) on "
+                "the classpath."
             )
-        return _snapshot_view(sess, root, None, None, metadata_path=meta_loc)
+        return _snapshot_view(
+            sess, root, m.group(3), m.group(4), metadata_path=meta_loc
+        )
 
     return _sub_outside_literals(_CATALOG_REF_RE, _table, sql)

@@ -197,32 +197,43 @@ def read_avro(path: str) -> list[dict]:
     """Decode every record of an Avro object container file using its own
     embedded writer schema."""
     with open(path, "rb") as f:
-        if f.read(4) != MAGIC:
-            raise ValueError(f"{path}: not an avro object container file")
-        meta_schema = {"type": "map", "values": "bytes"}
-        meta = _decode(meta_schema, f)
-        sync = f.read(16)
-        schema = json.loads(meta["avro.schema"].decode("utf-8"))
-        codec = meta.get("avro.codec", b"null").decode("utf-8")
-        if codec not in ("null", "deflate"):
-            raise ValueError(f"{path}: unsupported avro codec {codec!r}")
+        return read_avro_fileobj(f, name=path)
 
-        records: list[dict] = []
-        while True:
-            head = f.read(1)
-            if not head:
-                break  # clean EOF at a block boundary
-            f.seek(-1, os.SEEK_CUR)
-            count = _read_long(f)
-            block = _read_bytes(f)
-            if codec == "deflate":
-                block = zlib.decompress(block, -15)
-            buf = io.BytesIO(block)
-            for _ in range(count):
-                records.append(_decode(schema, buf))
-            if f.read(16) != sync:
-                raise ValueError(f"{path}: sync marker mismatch")
-        return records
+
+def read_avro_bytes(data: bytes, name: str = "<bytes>") -> list[dict]:
+    """Decode an in-memory Avro object container file — the entry point for
+    manifests streamed through a Hadoop FileSystem (s3://, viewfs://)
+    rather than opened from the local disk."""
+    return read_avro_fileobj(io.BytesIO(data), name=name)
+
+
+def read_avro_fileobj(f: BinaryIO, name: str = "<stream>") -> list[dict]:
+    if f.read(4) != MAGIC:
+        raise ValueError(f"{name}: not an avro object container file")
+    meta_schema = {"type": "map", "values": "bytes"}
+    meta = _decode(meta_schema, f)
+    sync = f.read(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"{name}: unsupported avro codec {codec!r}")
+
+    records: list[dict] = []
+    while True:
+        head = f.read(1)
+        if not head:
+            break  # clean EOF at a block boundary
+        f.seek(-1, os.SEEK_CUR)
+        count = _read_long(f)
+        block = _read_bytes(f)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        buf = io.BytesIO(block)
+        for _ in range(count):
+            records.append(_decode(schema, buf))
+        if f.read(16) != sync:
+            raise ValueError(f"{name}: sync marker mismatch")
+    return records
 
 
 def write_avro(path: str, schema: dict, records: list[dict]) -> None:

@@ -80,17 +80,31 @@ _ARROW_TO_ICEBERG = {
 
 
 class LocalIcebergTable:
-    """Incrementally build a local Iceberg v2 table, one snapshot at a time."""
+    """Incrementally build a local Iceberg v2 table, one snapshot at a time.
 
-    def __init__(self, root: str, arrow_schema: pa.Schema):
+    ``uri_prefix`` controls the scheme of every absolute URI recorded in
+    the metadata (data files, delete files, manifests, manifest lists,
+    table location). Default ``"file://"`` records local URIs; passing
+    e.g. ``"s3://bucket-a"`` produces a table whose reads must resolve
+    through the filesystem that serves that scheme — used by the s3a seam
+    tests to exercise the fsio-routed jarless reader end-to-end.
+    """
+
+    def __init__(
+        self, root: str, arrow_schema: pa.Schema, uri_prefix: str = "file://"
+    ):
         self.root = root
         self.schema = arrow_schema
+        self._uri_prefix = uri_prefix
         self._snapshots: list[dict] = []
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
         self._seq = 0
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def _uri(self, abs_path: str) -> str:
+        return f"{self._uri_prefix}{abs_path}"
 
     # -- snapshot builders ----------------------------------------------------
 
@@ -112,7 +126,7 @@ class LocalIcebergTable:
             pq.write_table(t.cast(self.schema), fpath)
             self._live[fpath] = {
                 "content": 0,
-                "file_path": f"file://{fpath}",
+                "file_path": self._uri(fpath),
                 "file_format": "PARQUET",
                 "record_count": t.num_rows,
                 "file_size_in_bytes": os.path.getsize(fpath),
@@ -130,7 +144,7 @@ class LocalIcebergTable:
         self._delete_files.append(
             {
                 "content": 2,
-                "file_path": f"file://{fpath}",
+                "file_path": self._uri(fpath),
                 "file_format": "PARQUET",
                 "record_count": 1,
                 "file_size_in_bytes": 4,
@@ -155,7 +169,7 @@ class LocalIcebergTable:
         t = pa.table(
             {
                 "file_path": pa.array(
-                    [f"file://{p}" for p, _ in deletes], pa.string()
+                    [self._uri(p) for p, _ in deletes], pa.string()
                 ),
                 "pos": pa.array([pos for _, pos in deletes], pa.int64()),
             }
@@ -164,7 +178,7 @@ class LocalIcebergTable:
         self._delete_files.append(
             {
                 "content": 1,
-                "file_path": f"file://{fpath}",
+                "file_path": self._uri(fpath),
                 "file_format": "PARQUET",
                 "record_count": t.num_rows,
                 "file_size_in_bytes": os.path.getsize(fpath),
@@ -191,7 +205,7 @@ class LocalIcebergTable:
         self._delete_files.append(
             {
                 "content": 2,
-                "file_path": f"file://{fpath}",
+                "file_path": self._uri(fpath),
                 "file_format": "PARQUET",
                 "record_count": rows.num_rows,
                 "file_size_in_bytes": os.path.getsize(fpath),
@@ -232,7 +246,7 @@ class LocalIcebergTable:
             _MANIFEST_LIST_SCHEMA,
             [
                 {
-                    "manifest_path": f"file://{mpath}",
+                    "manifest_path": self._uri(mpath),
                     "manifest_length": os.path.getsize(mpath),
                     "content": 0,
                     "added_snapshot_id": snap_id,
@@ -245,7 +259,7 @@ class LocalIcebergTable:
                 "snapshot-id": snap_id,
                 "sequence-number": self._seq,
                 "timestamp-ms": timestamp_ms,
-                "manifest-list": f"file://{mlist}",
+                "manifest-list": self._uri(mlist),
                 "summary": {
                     "operation": "append",
                     "total-records": str(
@@ -277,7 +291,7 @@ class LocalIcebergTable:
         meta = {
             "format-version": 2,
             "table-uuid": "00000000-0000-0000-0000-000000000000",
-            "location": f"file://{self.root}",
+            "location": self._uri(self.root),
             "last-updated-ms": timestamp_ms,
             "current-snapshot-id": self._snapshots[-1]["snapshot-id"],
             "current-schema-id": 0,

@@ -29,7 +29,8 @@ import os
 import re
 from typing import Any, Optional
 
-from cloudfloe_spark.sources.avrolite import read_avro
+from cloudfloe_spark.sources import fsio
+from cloudfloe_spark.sources.avrolite import read_avro, read_avro_bytes
 
 
 class IcebergMetadataError(ValueError):
@@ -42,22 +43,54 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+def _norm_root(root: str) -> str:
+    """Table root in the form reads should use: a plain local path, or the
+    scheme-qualified URI when it's served by a Hadoop FileSystem."""
+    return root if fsio.is_remote(root) else _local_path(root)
+
+
+def _exists(path: str) -> bool:
+    if fsio.is_remote(path):
+        return fsio.exists(path)
+    return os.path.exists(_local_path(path))
+
+
+def _read_text(path: str) -> str:
+    if fsio.is_remote(path):
+        return fsio.read_text(path)
+    with open(_local_path(path)) as f:
+        return f.read()
+
+
+def _read_manifest(path: str) -> list[dict]:
+    if fsio.is_remote(path):
+        return read_avro_bytes(fsio.read_bytes(path), name=path)
+    return read_avro(_local_path(path))
+
+
+def _join(root: str, *parts: str) -> str:
+    return (
+        fsio.join(root, *parts)
+        if fsio.is_remote(root)
+        else os.path.join(root, *parts)
+    )
+
+
 def _relocate(uri: str, root: str) -> str:
-    """Resolve a metadata-recorded absolute URI against the local table
-    root. Iceberg records absolute paths from write time; a copied/moved
-    table keeps its layout, so re-anchor at the last ``/metadata/`` or
-    ``/data/`` component when the recorded path doesn't exist locally."""
-    p = _local_path(uri)
-    if os.path.exists(p):
+    """Resolve a metadata-recorded absolute URI against the table root.
+    Iceberg records absolute paths from write time; a copied/moved table
+    keeps its layout, so re-anchor at the last ``/metadata/`` or ``/data/``
+    component when the recorded path doesn't exist. ``root`` may be a local
+    path or a served-scheme URI — candidates stay in the root's scheme."""
+    p = uri if fsio.is_remote(uri) else _local_path(uri)
+    if _exists(p):
         return p
     for anchor in ("/metadata/", "/data/"):
         if anchor in p:
-            candidate = os.path.join(
-                root, p[p.rindex(anchor) + 1 :]
-            )
-            if os.path.exists(candidate):
+            candidate = _join(root, p[p.rindex(anchor) + 1 :])
+            if _exists(candidate):
                 return candidate
-    return p  # let the caller's open() raise with the original path
+    return p  # let the caller's read raise with the original path
 
 
 def latest_metadata_path(root: str) -> str:
@@ -68,18 +101,28 @@ def latest_metadata_path(root: str) -> str:
     exists. Honor ``version-hint.text`` when present (the catalog's own
     pointer), else sort by the parsed numeric version with a lexicographic
     fallback for uuid-style names (``<padded-N>-<uuid>.metadata.json``)."""
-    meta_dir = os.path.join(_local_path(root), "metadata")
-    hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
+    root_n = _norm_root(root)
+    meta_dir = _join(root_n, "metadata")
+    hint = _join(meta_dir, "version-hint.text")
+    if _exists(hint):
         try:
-            with open(hint) as f:
-                v = int(f.read().strip())
-            candidate = os.path.join(meta_dir, f"v{v}.metadata.json")
-            if os.path.exists(candidate):
+            v = int(_read_text(hint).strip())
+            candidate = _join(meta_dir, f"v{v}.metadata.json")
+            if _exists(candidate):
                 return candidate
         except (OSError, ValueError):
             pass  # malformed hint — fall through to the directory scan
-    files = globmod.glob(os.path.join(meta_dir, "*.metadata.json"))
+    if fsio.is_remote(root_n):
+        try:
+            files = [
+                p
+                for p in fsio.listdir(meta_dir)
+                if p.endswith(".metadata.json")
+            ]
+        except OSError:
+            files = []
+    else:
+        files = globmod.glob(os.path.join(meta_dir, "*.metadata.json"))
     if not files:
         raise IcebergMetadataError(f"no Iceberg metadata under {root!r}")
 
@@ -97,13 +140,12 @@ def load_metadata(root: str, metadata_path: Optional[str] = None) -> dict:
     version is current; a directory scan could disagree with the catalog
     after a failed-then-retried commit left an orphan metadata file."""
     path = (
-        _relocate(metadata_path, _local_path(root))
+        _relocate(metadata_path, _norm_root(root))
         if metadata_path
         else latest_metadata_path(root)
     )
     try:
-        with open(path) as f:
-            return json.load(f)
+        return json.loads(_read_text(path))
     except OSError as e:
         raise IcebergMetadataError(f"cannot read metadata {path!r}: {e}")
 
@@ -165,13 +207,13 @@ def manifest_entries(root: str, snapshot: dict) -> list[dict]:
             f"snapshot {snapshot.get('snapshot-id')} has no manifest-list "
             "(v1 'manifests' inline form not supported)"
         )
-    root_local = _local_path(root)
+    root_n = _norm_root(root)
     out: list[dict] = []
-    for m in read_avro(_relocate(mlist_uri, root_local)):
-        mpath = _relocate(m["manifest_path"], root_local)
+    for m in _read_manifest(_relocate(mlist_uri, root_n)):
+        mpath = _relocate(m["manifest_path"], root_n)
         # v1 manifest lists have no 'content' field; 0 == data manifests
         mcontent = m.get("content", 0)
-        for entry in read_avro(mpath):
+        for entry in _read_manifest(mpath):
             # v2 data sequence number, with the spec's inheritance chain:
             # entry value → manifest-list sequence → snapshot sequence
             # (v1 files carry none of these; 0 sorts before any v2 seq,
@@ -234,7 +276,7 @@ def position_delete_paths(root: str, snapshot: dict) -> list[str]:
     (content=1: rows of ``(file_path, pos)`` naming deleted rows). These
     ARE readable without the Iceberg runtime — apply with an anti-join
     against the data scan's per-file row index."""
-    root_local = _local_path(root)
+    root_local = _norm_root(root)
     return sorted(
         _relocate(f["file_path"], root_local)
         for f in delete_file_records(root, snapshot)
@@ -254,7 +296,7 @@ def equality_delete_records(root: str, snapshot: dict) -> list[dict]:
     sequence-ordered application: local ``path``, the delete's data
     ``seq`` (it removes rows whose data sequence is strictly lower), and
     the schema field ``equality_ids`` it matches on."""
-    root_local = _local_path(root)
+    root_local = _norm_root(root)
     out = []
     for e in manifest_entries(root, snapshot):
         f = e["data_file"]
@@ -273,7 +315,7 @@ def equality_delete_records(root: str, snapshot: dict) -> list[dict]:
 def live_data_seqs(root: str, snapshot: dict) -> dict[str, int]:
     """Local path → data sequence number for the snapshot's live data
     files (the ordering key equality deletes apply against)."""
-    root_local = _local_path(root)
+    root_local = _norm_root(root)
     return {
         _relocate(e["data_file"]["file_path"], root_local): e[
             "sequence_number"
@@ -324,7 +366,7 @@ def unreadable_equality_deletes(
 
 def live_data_paths(root: str, snapshot: dict) -> list[str]:
     """Local filesystem paths of the snapshot's live parquet data files."""
-    root_local = _local_path(root)
+    root_local = _norm_root(root)
     return sorted(
         _relocate(f["file_path"], root_local)
         for f in live_data_files(root, snapshot)

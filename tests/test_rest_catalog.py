@@ -269,7 +269,7 @@ def test_rest_remote_data_requires_runtime(spark, rest_stub):
             "SELECT * FROM iceberg_catalog.demo.remote",
             _cfg(endpoint),
         )
-    assert "runtime" in str(ei.value)
+    assert "hadoop-aws" in str(ei.value)
 
 
 def test_rest_credential_isolation(spark, rest_stub, events_table):
@@ -293,3 +293,57 @@ def test_rest_credential_isolation(spark, rest_stub, events_table):
     b_idx = auths.index("Bearer tok-tenant_b")
     assert a_idx < b_idx
     assert all(a in ("Bearer tok-tenant_a", "Bearer tok-tenant_b") for a in auths)
+
+
+def test_rest_time_travel_and_mor_deletes_end_to_end(spark, rest_stub, tmp_path):
+    """VERDICT r03 'Next round' #6: one path covering REST catalog + time
+    travel + merge-on-read deletes together. The stub serves a
+    metadata-location whose snapshot log carries three snapshots — append
+    (1,2,3), position-delete id=1, equality-delete name='c' — and the
+    catalog-table reference resolves through resolve_rest_tables →
+    _snapshot_view → MOR composition:
+
+    - current read applies BOTH delete kinds → only (2,'b') survives
+    - VERSION AS OF the pre-delete snapshot → all three rows
+    - TIMESTAMP AS OF between snapshots resolves via the snapshot log
+    """
+    endpoint, state = rest_stub
+    root = str(tmp_path / "mor")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=T1,
+    )
+    target = t.live_data_paths()[0]
+    t.position_delete_snapshot([(target, 0)], timestamp_ms=T2)
+    t.equality_delete_snapshot(
+        pa.table({"name": ["c"]}), [2], timestamp_ms=T2 + 100000
+    )
+    _register(state, root, tbl="mor")
+
+    current = run_query(
+        spark,
+        "SELECT id, name FROM iceberg_catalog.demo.mor ORDER BY id",
+        _cfg(endpoint),
+    )
+    assert [tuple(r) for r in current.rows] == [(2, "b")]
+
+    pre_delete = run_query(
+        spark,
+        f"SELECT id FROM iceberg_catalog.demo.mor VERSION AS OF {s1} "
+        "ORDER BY id",
+        _cfg(endpoint),
+    )
+    assert [r[0] for r in pre_delete.rows] == [1, 2, 3]
+
+    # between s1 (T1) and the position delete (T2) → resolves to s1
+    ts = "2023-11-14 22:13:30"
+    by_time = run_query(
+        spark,
+        "SELECT id FROM iceberg_catalog.demo.mor "
+        f"TIMESTAMP AS OF '{ts}' ORDER BY id",
+        _cfg(endpoint),
+    )
+    assert [r[0] for r in by_time.rows] == [1, 2, 3]

@@ -157,3 +157,106 @@ def test_s3a_options_scheme_alias_not_forced(spark):
     opts = s3a_options(_cfg("bucket-a", "k", "s", "/t"))
     assert "fs.s3.impl" not in opts
     assert not any(k.startswith("fs.s3.") for k in opts)
+
+
+def _ice_cfg(storage: str, bucket: str, path: str) -> ConnectionConfig:
+    if storage == "local":
+        return ConnectionConfig(
+            storageType="local", endpoint="", accessKey="", secretKey="",
+            tablePath=path,
+        )
+    return _cfg(bucket, "tenant_a_key", "tenant_a_sec", path)
+
+
+def _build_mor_table(root: str, prefix: str):
+    """Three snapshots: append (1,2,3) → position-delete id=1 →
+    equality-delete name='c'. Every URI in the metadata carries
+    ``prefix`` as its scheme/authority."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("name", pa.string())]),
+        uri_prefix=prefix,
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=1700000000000,
+    )
+    target = t.live_data_paths()[0]
+    t.position_delete_snapshot([(target, 0)], timestamp_ms=1700000100000)
+    t.equality_delete_snapshot(
+        pa.table({"name": ["c"]}), [2], timestamp_ms=1700000200000
+    )
+    return s1
+
+
+def test_iceberg_mor_read_through_s3_scheme_matches_local(
+    spark, s3_seam, tmp_path
+):
+    """VERDICT r03 'Next round' #4: an Iceberg table whose metadata records
+    ``s3://`` URIs reads end-to-end WITHOUT the runtime jar — metadata
+    JSON + Avro manifests stream through the Hadoop FileSystem serving the
+    scheme (fsio), data/delete parquet through sess.read — and the result
+    (position AND equality deletes applied) matches the identical table
+    read from a local root."""
+    local_root = str(tmp_path / "local_tbl")
+    s3_root = str(tmp_path / "s3_tbl")
+    _build_mor_table(local_root, "file://")
+    _build_mor_table(s3_root, "s3://bucket-a")
+
+    remote = run_query(
+        spark,
+        f"SELECT id, name FROM iceberg_scan('s3://bucket-a{s3_root}') "
+        "ORDER BY id",
+        _ice_cfg("minio", "bucket-a", s3_root),
+    )
+    local = run_query(
+        spark,
+        f"SELECT id, name FROM iceberg_scan('{local_root}') ORDER BY id",
+        _ice_cfg("local", "", local_root),
+    )
+    assert [tuple(r) for r in remote.rows] == [tuple(r) for r in local.rows]
+    assert [tuple(r) for r in remote.rows] == [(2, "b")]
+
+
+def test_iceberg_time_travel_through_s3_scheme(spark, s3_seam, tmp_path):
+    """Time travel over the s3 scheme: VERSION AS OF the pre-delete
+    snapshot returns all three rows."""
+    s3_root = str(tmp_path / "s3_tt")
+    s1 = _build_mor_table(s3_root, "s3://bucket-a")
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('s3://bucket-a{s3_root}') "
+        f"VERSION AS OF {s1} ORDER BY id",
+        _ice_cfg("minio", "bucket-a", s3_root),
+    )
+    assert [r[0] for r in resp.rows] == [1, 2, 3]
+
+
+def test_iceberg_snapshots_listing_through_s3_scheme(spark, s3_seam, tmp_path):
+    s3_root = str(tmp_path / "s3_snap")
+    _build_mor_table(s3_root, "s3://bucket-a")
+    resp = run_query(
+        spark,
+        f"SELECT snapshot_id FROM iceberg_snapshots('s3://bucket-a{s3_root}') "
+        "ORDER BY sequence_number",
+        _ice_cfg("minio", "bucket-a", s3_root),
+    )
+    assert len(resp.rows) == 3
+
+
+def test_unserved_scheme_iceberg_scan_still_passes_through(spark, tmp_path):
+    """No seam mounted: an s3:// iceberg_scan must NOT resolve through the
+    jarless reader (scheme unserved) — it falls through to the catalog
+    rewrite whose failure names the missing connector, same as before."""
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError):
+        run_query(
+            spark,
+            "SELECT * FROM iceberg_scan('s3://nowhere/tbl')",
+            _ice_cfg("minio", "nowhere", "/tbl"),
+        )
