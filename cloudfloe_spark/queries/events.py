@@ -284,3 +284,59 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(DATE_TRUNC('day', ts)) AS cohort_day
+            FROM events
+            GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id,
+                   f.cohort_day,
+                   DATE_DIFF('day', f.cohort_day, DATE_TRUNC('day', e.ts))
+                       AS day_offset
+            FROM events e
+            JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT CAST(cohort_day AS DATE) AS cohort_day,
+               CAST(day_offset AS BIGINT) AS day_offset,
+               COUNT(*) AS n_users
+        FROM activity
+        GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted on
+    each later active day as an offset from their cohort day — the classic
+    product-analytics rollup.
+
+    Scale shape: the per-user first-day is a window MIN over user_id (one
+    shuffle on user_id, streaming-evaluated — no join back to a separate
+    firsts table needed), then distinct (user, cohort, offset) and the
+    final count partial-aggregate map-side. No collects, no skew hazard
+    beyond user_id itself (AQE splits a hot user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.select(
+            "user_id",
+            F.min(F.date_trunc("day", "ts")).over(w).alias("cohort_ts"),
+            F.date_trunc("day", "ts").alias("active_ts"),
+        )
+        .select(
+            "user_id",
+            F.to_date("cohort_ts").alias("cohort_day"),
+            F.datediff(F.to_date("active_ts"), F.to_date("cohort_ts"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )

@@ -441,3 +441,70 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rk")
     )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), scaled AS (
+            SELECT vec_id, v,
+                   GREATEST(
+                       LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-12
+                   ) / 127.0 AS s
+            FROM base
+        )
+        SELECT vec_id,
+               ROUND(s, 9) AS scale,
+               CAST(LIST_SUM(LIST_TRANSFORM(v, x -> FLOOR(x / s + 0.5)))
+                    AS BIGINT) AS q_sum,
+               CAST(LIST_SUM(LIST_TRANSFORM(v, x -> ABS(FLOOR(x / s + 0.5))))
+                    AS BIGINT) AS q_l1,
+               ROUND(LIST_SUM(LIST_TRANSFORM(
+                        v, x -> (x - FLOOR(x / s + 0.5) * s)
+                                * (x - FLOOR(x / s + 0.5) * s)
+                    )) / LEN(v), 9) AS mse
+        FROM scaled
+    """,
+    tags=("vector", "quantization", "pipeline"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage /
+    ANN-memory compression step of a vector pipeline: per-vector scale
+    ``max|x|/127``, code ``floor(x/scale + 0.5)`` ∈ [-127, 127], plus the
+    reconstruction MSE so a pipeline can gate on quantization loss.
+
+    The compared output is scalar per vector (scale, code checksums, MSE):
+    the int8 codes themselves stay executor-side, exactly as a writer
+    would stream them to parquet. Zero shuffles — pure projection via
+    higher-order functions in double precision (float→double widening is
+    exact, so Spark and DuckDB see bit-identical inputs); zero-vector
+    guard pins the scale denominator at 1e-12."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    s = (
+        F.greatest(
+            F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127.0
+    )
+    withs = e.select("vec_id", v.alias("v"), s.alias("s"))
+    q = F.transform(F.col("v"), lambda x: F.floor(x / F.col("s") + 0.5))
+    err = F.transform(
+        F.col("v"),
+        lambda x: (x - F.floor(x / F.col("s") + 0.5) * F.col("s"))
+        * (x - F.floor(x / F.col("s") + 0.5) * F.col("s")),
+    )
+    return withs.select(
+        "vec_id",
+        F.round("s", 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 9
+        ).alias("mse"),
+    )

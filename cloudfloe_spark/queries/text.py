@@ -560,3 +560,60 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("chunk_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "text_pack_token_shards",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(LEN({_WORDS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT lang, n_tokens,
+                   CAST(FLOOR(
+                       (SUM(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 2000.0
+                   ) AS BIGINT) AS shard_id
+            FROM toks
+        )
+        SELECT lang, shard_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS shard_tokens
+        FROM packed
+        GROUP BY lang, shard_id
+    """,
+    tags=("text", "pipeline", "sharding"),
+)
+def text_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing — the training-prep step that groups
+    documents into fixed-budget shards (~2000 whitespace tokens here) so
+    downstream tokenization/training reads balanced inputs. A document
+    joins the shard its cumulative-token START offset falls in, so shards
+    are contiguous in (lang, doc_id) order and deterministic.
+
+    Scale shape: the running sum is a window PARTITIONED BY lang — the
+    sort is per-language within its shuffle partition, never a global
+    single-task sort. At 100 TB, partition further (e.g. by lang × hash
+    bucket of doc ranges) and the construction is unchanged; no UDFs, one
+    shuffle for the window + the map-side-combined final aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    BUDGET = 2000.0
+    toks = d.select(
+        "doc_id", "lang", F.size(words(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / BUDGET),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )

@@ -80,6 +80,109 @@ def build_scale(spark, n: int, out_dir: str) -> str:
     return dest
 
 
+# --- skewed-growth probes (VERDICT r03 'Next round' #5) ----------------------
+# The uniform replicas above grow every key's group at the same rate; real
+# 100-TB inputs don't — a handful of hot keys own most rows. These probes
+# scale a DELIBERATELY skewed distribution and time the two paths whose
+# 100-TB story depends on skew handling: the salted join/agg operators and
+# the LSH band join (degenerate-duplicate buckets vs _LSH_MAX_BUCKET cap).
+
+_SKEW_BASE_ROWS = 800_000  # fact rows at x1; 90% land on ONE hot key
+
+
+def build_skewed_docs(spark, n: int, out_dir: str) -> str:
+    """documents replica where 60% of all docs are near-copies of one of
+    three hot texts — LSH bucket sizes then GROW with scale instead of
+    staying constant, the degenerate case the bucket cap exists for."""
+    dest = os.path.join(out_dir, f"skew_x{n}")
+    if os.path.isdir(dest):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    src = load_table(spark, BASE_SF, "documents")
+    hot = [
+        r["text"]
+        for r in src.orderBy("doc_id").limit(3).select("text").collect()
+    ]
+    parts = []
+    for i in range(n):
+        parts.append(
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    hot_col = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(hot[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(hot[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(hot[2]))
+        .otherwise(F.col("text"))
+    )
+    # near-copies, not byte-copies: a per-doc suffix keeps exact-dedup from
+    # trivializing the probe while shingles still collide into hot buckets
+    df = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 <= 2,
+            F.concat(hot_col, F.lit(" tail "), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
+    return dest
+
+
+def skew_probe(spark, n: int, out_dir: str) -> dict[str, float]:
+    from cloudfloe_spark.operators.skew import salted_agg, salted_join
+
+    catalog = all_queries()
+    timings: dict[str, float] = {}
+
+    # 1) LSH band join over duplicate-skewed documents.
+    skew_dir = build_skewed_docs(spark, n, out_dir)
+    fn = catalog["dedup_minhash_lsh_pairs"].fn
+    fn(spark, skew_dir).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, skew_dir).count()
+    timings["lsh_pairs_dup_skew"] = round(time.perf_counter() - t0, 3)
+
+    # 2) Salted fact⋈dim join, 90% of fact rows on one key.
+    rows = _SKEW_BASE_ROWS * n
+    fact = spark.range(rows).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1).cast("long"))
+        .otherwise(F.col("id") % 9973)
+        .alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+
+    def run_salted_join():
+        salted_join(fact, dim, ["user_id"], spread_col="event_id").groupBy(
+            "tier"
+        ).agg(F.sum("v").alias("s")).count()
+
+    run_salted_join()  # warm
+    t0 = time.perf_counter()
+    run_salted_join()
+    timings["salted_join_hot90"] = round(time.perf_counter() - t0, 3)
+
+    # 3) Salted aggregation on the same hot-key distribution.
+    def run_salted_agg():
+        salted_agg(
+            fact,
+            ["user_id"],
+            [("v", "sum", "s"), ("v", "count", "c")],
+            spread_col="event_id",
+        ).count()
+
+    run_salted_agg()  # warm
+    t0 = time.perf_counter()
+    run_salted_agg()
+    timings["salted_agg_hot90"] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
 def main() -> None:
     max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cloudfloe_scale_probe"
@@ -89,6 +192,7 @@ def main() -> None:
 
     scales = [n for n in (1, 2, 4, 8) if n <= max_scale]
     results: dict[int, dict[str, float]] = {}
+    skew_results: dict[int, dict[str, float]] = {}
     for n in scales:
         sf_dir = build_scale(spark, n, out_dir)
         timings: dict[str, float] = {}
@@ -100,6 +204,11 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         results[n] = timings
         print(json.dumps({"scale": n, "queries": timings}), flush=True)
+        skew_results[n] = skew_probe(spark, n, out_dir)
+        print(
+            json.dumps({"scale": n, "skew_queries": skew_results[n]}),
+            flush=True,
+        )
 
     base = results[scales[0]]
     summary = {
@@ -110,6 +219,15 @@ def main() -> None:
         for name in PROBE_QUERIES
     }
     print(json.dumps({"metric": "scale_ratios", "ratios": summary}))
+    skew_base = skew_results[scales[0]]
+    skew_summary = {
+        name: {
+            f"x{n}": round(skew_results[n][name] / max(skew_base[name], 1e-9), 2)
+            for n in scales
+        }
+        for name in skew_base
+    }
+    print(json.dumps({"metric": "skew_scale_ratios", "ratios": skew_summary}))
     shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
 
