@@ -298,38 +298,17 @@ def probe_table(spark, table_path: str) -> TableInfo:
                 "table paths need the S3A connector (hadoop-aws) on the "
                 "classpath"
             )
+        # Iceberg layout probes work over any served scheme now that
+        # iceberg_meta streams metadata through the Hadoop FileSystem
+        # (sources/fsio); fall back to the parquet-scan probe otherwise.
+        meta = _probe_iceberg_metadata(table_path)
+        if meta is not None:
+            return _iceberg_table_info(spark, table_path, table_path, meta)
         return _probe_remote_parquet(spark, table_path)
 
     meta = _probe_iceberg_metadata(local)
     if meta is not None:
-        has_deletes = meta.get("hasDeletes")
-        if (
-            has_deletes
-            and _must_reject_deletes(spark)
-            and (REJECT_DELETE_TABLES or _has_unreadable_deletes(local))
-        ):
-            # Reference 400 with compaction advice (backend/main.py:405-413);
-            # position-delete-only tables pass — the reader applies them.
-            raise bad_request(
-                "Table has delete files. Run compaction "
-                "(rewrite_data_files + rewrite_position_delete_files) "
-                "before querying. (This table's equality-delete files "
-                "have unresolvable field ids, so reading around them "
-                "would silently return deleted rows.)"
-            )
-        # Reference parity (backend/main.py:482): the suggested query uses
-        # the iceberg_scan() form — run_query resolves it to a
-        # manifest-pinned read even without the runtime jar.
-        return TableInfo(
-            path=table_path,
-            suggestedQuery=f"SELECT * FROM iceberg_scan('{table_path}') LIMIT 100",
-            format=meta.get("format"),
-            rows=meta.get("rows"),
-            files=meta.get("files"),
-            hasDeletes=has_deletes,
-            snapshotId=meta.get("snapshotId"),
-            lastSnapshotAt=meta.get("lastSnapshotAt"),
-        )
+        return _iceberg_table_info(spark, table_path, local, meta)
 
     rows, files = _probe_parquet(local)
     return TableInfo(
@@ -339,6 +318,37 @@ def probe_table(spark, table_path: str) -> TableInfo:
         rows=rows,
         files=files,
         hasDeletes=False,
+    )
+
+
+def _iceberg_table_info(spark, table_path: str, root: str, meta: dict) -> TableInfo:
+    has_deletes = meta.get("hasDeletes")
+    if (
+        has_deletes
+        and _must_reject_deletes(spark)
+        and (REJECT_DELETE_TABLES or _has_unreadable_deletes(root))
+    ):
+        # Reference 400 with compaction advice (backend/main.py:405-413);
+        # position-delete-only tables pass — the reader applies them.
+        raise bad_request(
+            "Table has delete files. Run compaction "
+            "(rewrite_data_files + rewrite_position_delete_files) "
+            "before querying. (This table's equality-delete files "
+            "have unresolvable field ids, so reading around them "
+            "would silently return deleted rows.)"
+        )
+    # Reference parity (backend/main.py:482): the suggested query uses
+    # the iceberg_scan() form — run_query resolves it to a
+    # manifest-pinned read even without the runtime jar.
+    return TableInfo(
+        path=table_path,
+        suggestedQuery=f"SELECT * FROM iceberg_scan('{table_path}') LIMIT 100",
+        format=meta.get("format"),
+        rows=meta.get("rows"),
+        files=meta.get("files"),
+        hasDeletes=has_deletes,
+        snapshotId=meta.get("snapshotId"),
+        lastSnapshotAt=meta.get("lastSnapshotAt"),
     )
 
 
@@ -362,13 +372,14 @@ def _probe_iceberg_metadata(root: str) -> Optional[dict]:
     from cloudfloe_spark.sources import iceberg_meta as im
 
     try:
-        latest = im.latest_metadata_path(root)  # numeric-version sort
+        # Layout detection only (numeric-version sort; lists through fsio
+        # for remote schemes) — parse failures below degrade, not reject.
+        im.latest_metadata_path(root)
     except im.IcebergMetadataError:
         return None
     out: dict = {}
     try:
-        with open(latest) as f:
-            meta = json.load(f)
+        meta = im.load_metadata(root)
         out["format"] = f"iceberg-v{meta.get('format-version', 1)}"
         snap_id = meta.get("current-snapshot-id")
         if snap_id is not None and snap_id != -1:
@@ -400,7 +411,7 @@ def _probe_iceberg_metadata(root: str) -> Optional[dict]:
             out["hasDeletes"] = (
                 int(summary.get("total-delete-files", 0) or 0) > 0
             )
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, im.IcebergMetadataError):
         # Partial probe still succeeds with degraded fields
         # (tests/test_connection_probing.py:111-134)
         if not out:

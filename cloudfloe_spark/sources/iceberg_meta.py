@@ -146,7 +146,7 @@ def load_metadata(root: str, metadata_path: Optional[str] = None) -> dict:
     )
     try:
         return json.loads(_read_text(path))
-    except OSError as e:
+    except (OSError, json.JSONDecodeError) as e:
         raise IcebergMetadataError(f"cannot read metadata {path!r}: {e}")
 
 

@@ -260,3 +260,23 @@ def test_unserved_scheme_iceberg_scan_still_passes_through(spark, tmp_path):
             "SELECT * FROM iceberg_scan('s3://nowhere/tbl')",
             _ice_cfg("minio", "nowhere", "/tbl"),
         )
+
+
+def test_iceberg_probe_through_s3_scheme(spark, s3_seam, tmp_path):
+    """probe_table / run_connection_test detect the ICEBERG layout over a
+    served scheme (metadata streamed via fsio), not just raw parquet: the
+    suggested query is the iceberg_scan form, row/file counts come from
+    the snapshot summary, and hasDeletes reflects the delete files."""
+    s3_root = str(tmp_path / "s3_probe")
+    _build_mor_table(s3_root, "s3://bucket-a")
+    info = run_connection_test(
+        spark, _ice_cfg("minio", "bucket-a", s3_root)
+    )
+    assert info is not None
+    assert info.format == "iceberg-v2"
+    assert info.suggestedQuery.startswith(
+        f"SELECT * FROM iceberg_scan('s3://bucket-a{s3_root}')"
+    )
+    assert info.hasDeletes is True
+    assert info.rows == 3  # summary counts data rows pre-MOR
+    assert info.snapshotId is not None
