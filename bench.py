@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_clusters_star",       # O(log n) star-contraction components
     "curation_pipeline_summary", # PII-scrub → dedup → chunk composition
     "text_decontaminate_ngram",  # eval 13-gram broadcast anti-join
+    # Round-4 breadth: the new pipeline families.
+    "vec_quantize_int8",         # int8 embedding quantization projection
+    "text_pack_token_shards",    # per-lang running-sum shard packing
+    "events_retention_cohorts",  # window-MIN cohort matrix
 ]
 
 

@@ -243,3 +243,31 @@ def test_streaming_helpers_no_forced_broadcast(spark, sf_dir):
     )
     df = stream_static_enrich(events, dim)
     assert broadcast_hint_count(df) == 0, executed_plan(df, "simple")
+
+
+def test_vec_quantize_is_zero_shuffle_projection(spark, sf_dir):
+    """Quantization is a pure per-row projection: any Exchange would mean
+    an accidental repartition/aggregation snuck into the hot path."""
+    df = CATALOG["vec_quantize_int8"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, executed_plan(df, "simple")
+
+
+def test_pack_token_shards_window_is_partitioned_not_global(spark, sf_dir):
+    """The running-sum window must be PARTITIONED BY lang — a global
+    (partition-less) window would serialize the whole corpus through one
+    task at 100 TB. The plan's Window node carries the partition spec."""
+    df = CATALOG["text_pack_token_shards"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "Window" in plan, plan
+    # partition-less windows plan as 'Window [...], [ordercols]' with a
+    # SinglePartition exchange; partitioned ones hashpartition on lang
+    assert "hashpartitioning(lang" in plan, plan
+
+
+def test_retention_cohorts_single_user_shuffle_before_agg(spark, sf_dir):
+    """Cohort derivation reuses the user_id exchange for the window; only
+    the distinct + final aggregation add exchanges — no self-join of
+    events against a firsts table (which would scan the fact twice)."""
+    df = CATALOG["events_retention_cohorts"].fn(spark, sf_dir)
+    assert node_count(df, "Scan parquet") <= 1, executed_plan(df, "simple")
+    assert shuffle_count(df) <= 3, executed_plan(df, "simple")
