@@ -486,3 +486,55 @@ def mask_sensitive_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", F.mask(F.col("c_name")).alias("masked_name")
     )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, COUNT(*) AS c
+            FROM lineitem
+            GROUP BY l_returnflag, l_quantity
+        ), modes AS (
+            SELECT l_returnflag,
+                   ARG_MAX(l_quantity, c * 1000000.0 - l_quantity) AS mode_qty
+            FROM counts
+            GROUP BY l_returnflag
+        )
+        SELECT m.l_returnflag,
+               ROUND(MEDIAN(li.l_quantity), 6) AS median_qty,
+               ROUND(ANY_VALUE(m.mode_qty), 6) AS mode_qty
+        FROM lineitem li
+        JOIN modes m ON li.l_returnflag = m.l_returnflag
+        GROUP BY m.l_returnflag
+    """,
+    tags=("agg", "funcpack"),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + deterministic modal value per group. Spark's ``mode()`` is
+    non-deterministic on ties, so the mode is built explicitly: per-value
+    counts, then ``max_by`` on the scalar key ``c·10⁶ − value`` (highest
+    count wins; ties break to the SMALLEST value) — the same arithmetic
+    the DuckDB oracle uses, so both engines agree exactly.
+
+    Scale: two-level aggregation (value-counts partial-aggregate
+    map-side; per-group argmax over the tiny distinct-value set), median
+    via percentile over the group — no windows, no self-joins beyond the
+    25-row mode dim join (broadcast by stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    modes = counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            "l_quantity", F.col("c") * 1000000.0 - F.col("l_quantity")
+        ).alias("mode_qty")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty")
+    )
+    return med.join(modes, "l_returnflag").select(
+        "l_returnflag",
+        "median_qty",
+        F.round("mode_qty", 6).alias("mode_qty"),
+    )

@@ -196,3 +196,48 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         deduped, name=_unique("st_dedup"), output_mode="complete"
     )
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(COALESCE(value, 0.0)), 6) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator executed by the real engine:
+    ``applyInPandasWithState`` maintains per-user (count, sum) in explicit
+    group state (``streaming/stateful.py::running_user_totals``), update
+    output mode, availableNow. The memory sink accumulates one updated row
+    per user per micro-batch; the TERMINAL state per user — the row with
+    the highest running count — must equal the batch aggregation, which is
+    what the oracle expresses.
+
+    Scale: state is O(users) rows of (long, double) in the state store;
+    the Python hop is one Arrow batch per user-group per micro-batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.streaming.stateful import running_user_totals
+    from cloudfloe_spark.streaming.windows import run_available_now, stream_events
+
+    updates = run_available_now(
+        running_user_totals(stream_events(spark, sf_dir)),
+        name=_unique("st_state"),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
