@@ -5,6 +5,8 @@ time travel `README.md:197`."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -684,3 +686,39 @@ def test_naive_timestamp_schema_agrees_empty_vs_data_snapshot(spark, tmp_path):
     ]
     assert "timestamp" == dict(data.dtypes)["created"]
     assert empty.count() == 0 and data.count() == 1
+
+
+def test_seed_demo_warehouse_end_to_end(spark, tmp_path):
+    """scripts/seed_demo.py (the reference upload_sample_data analog,
+    A16): the seeded two-snapshot table probes as iceberg-v2, reads
+    current state via iceberg_scan, and time-travels to the first slice."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "seed_demo",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "seed_demo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    payload = mod.seed(str(tmp_path / "wh"), "/root/testdata/sf0.001")
+    path = payload["connection"]["tablePath"]
+
+    from cloudfloe_spark.service.engine import probe_table
+
+    info = probe_table(spark, path)
+    assert info.format == "iceberg-v2"
+    assert info.rows == payload["rows"]
+    assert info.snapshotId == payload["snapshots"][-1]
+
+    resp = run_query(
+        spark, f"SELECT COUNT(*) AS n FROM iceberg_scan('{path}')", _cfg()
+    )
+    assert resp.rows[0][0] == payload["rows"]
+    tt = run_query(
+        spark,
+        f"SELECT COUNT(*) AS n FROM iceberg_scan('{path}') "
+        f"VERSION AS OF {payload['snapshots'][0]}",
+        _cfg(),
+    )
+    assert tt.rows[0][0] == min(100, payload["rows"])
