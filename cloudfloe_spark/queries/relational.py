@@ -840,3 +840,67 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), _r2(F.avg(k)).alias("avg_k"))
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 3
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (bag semantics): duplicates
+    survive according to occurrence counts, unlike ``subtract``'s
+    set semantics. Both operands repeat l_orderkey per line item, so
+    the bag arithmetic is actually exercised."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 3).select("l_orderkey").exceptAll(
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: each key appears
+    min(count_left, count_right) times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") <= 2)
+        .select("l_orderkey")
+        .intersectAll(li.filter(F.col("l_quantity") > 25).select("l_orderkey"))
+    )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "grouping"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator columns — the standard way to
+    tell a real NULL group key from a subtotal row; required for
+    faithful client rendering of hierarchical reports."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    )

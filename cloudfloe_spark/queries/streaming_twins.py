@@ -241,3 +241,49 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_value", 6).alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, COUNT(*) AS user_events
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, d.user_events
+        FROM events e
+        LEFT JOIN dim d ON e.user_id = d.user_id
+        WHERE e.event_id % 97 = 0
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT join executed by the streaming engine: the event
+    stream (filtered to keep the sink small) enriches against a static
+    per-user dimension computed in batch. No forced broadcast hint — a
+    user-keyed dim is unbounded at scale, so Spark sizes the join per
+    microbatch (streaming/windows.py::stream_static_enrich). Append mode:
+    stream-static joins emit each streamed row exactly once, so the sink
+    equals the batch join the oracle expresses."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.tables import load_table
+    from cloudfloe_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        stream_static_enrich,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    stream = stream_events(spark, sf_dir).filter(F.col("event_id") % 97 == 0)
+    enriched = stream_static_enrich(stream, dim).select(
+        "event_id", "user_id", "user_events"
+    )
+    return run_available_now(
+        enriched, name=_unique("st_enrich"), output_mode="append"
+    )
