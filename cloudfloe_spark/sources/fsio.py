@@ -70,12 +70,22 @@ def scheme_served(spark, scheme: str) -> bool:
 
 def read_bytes(uri: str) -> bytes:
     """Whole file as bytes via the scheme's FileSystem. One py4j call
-    (commons-io ``IOUtils.toByteArray``), not a per-read loop."""
+    (commons-io ``IOUtils.toByteArray``, always on Spark's classpath),
+    with a sized-``readFully`` fallback — never a per-byte loop."""
     jvm, fs, jpath = _jvm_bits(uri)
     stream = None
     try:
         stream = fs.open(jpath)
-        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        try:
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        except Exception:
+            # commons-io missing/shaded: copy through a JVM-side
+            # ByteArrayOutputStream with Hadoop's own IOUtils; the
+            # toByteArray() RETURN value crosses py4j by value (a mutated
+            # array argument would not).
+            out = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+            return bytes(out.toByteArray())
     except RemoteIOError:
         raise
     except Exception as e:
