@@ -280,3 +280,62 @@ def test_iceberg_probe_through_s3_scheme(spark, s3_seam, tmp_path):
     assert info.hasDeletes is True
     assert info.rows == 3  # summary counts data rows pre-MOR
     assert info.snapshotId is not None
+
+
+def test_rest_catalog_table_on_s3_scheme(spark, s3_seam, tmp_path):
+    """REST catalog + object-store root + jarless reader in one path: the
+    stub's metadata-location carries an s3:// URI, resolve_rest_tables
+    accepts it because a filesystem serves the scheme, and the read goes
+    metadata-via-fsio + parquet-via-sess.read with MOR deletes applied."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    s3_root = str(tmp_path / "rest_s3")
+    _build_mor_table(s3_root, "s3://bucket-a")
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta_loc = "s3://bucket-a" + im.latest_metadata_path(s3_root)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, payload):
+            body = _json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/config":
+                return self._json(200, {"defaults": {}, "overrides": {}})
+            if self.path.endswith("/tables/mor"):
+                return self._json(
+                    200, {"metadata-location": meta_loc, "metadata": {}}
+                )
+            return self._json(404, {"error": "nope"})
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        cfg = ConnectionConfig(
+            storageType="local",
+            endpoint="",
+            accessKey="",
+            secretKey="",
+            catalogType="rest",
+            catalogEndpoint=f"http://127.0.0.1:{server.server_address[1]}",
+            namespace="demo",
+        )
+        resp = run_query(
+            spark,
+            "SELECT id, name FROM iceberg_catalog.demo.mor ORDER BY id",
+            cfg,
+        )
+        assert [tuple(r) for r in resp.rows] == [(2, "b")]
+    finally:
+        server.shutdown()
+        server.server_close()
