@@ -431,3 +431,141 @@ def sample_to_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rate_bp").alias("rate_bp"),
         )
     )
+
+
+@register(
+    "profile_numeric_columns",
+    oracle="""
+        SELECT 'l_quantity' AS col, COUNT(*) AS n,
+               COUNT(*) - COUNT(l_quantity) AS n_null,
+               COUNT(DISTINCT l_quantity) AS n_distinct,
+               ROUND(MIN(l_quantity), 4) AS min_v,
+               ROUND(MAX(l_quantity), 4) AS max_v,
+               ROUND(AVG(l_quantity), 4) AS mean_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+               COUNT(DISTINCT l_discount),
+               ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+               ROUND(AVG(l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+               COUNT(DISTINCT l_tax),
+               ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4),
+               ROUND(AVG(l_tax), 4)
+        FROM lineitem
+    """,
+    tags=("quality", "profiling"),
+)
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality fingerprint step (null counts,
+    cardinality, range, mean per column) a pipeline records before
+    training ingestion.
+
+    Scale shape: ONE pass over the fact table computing every column's
+    aggregates side by side (a single partial-aggregated global agg), then
+    a tiny unpivot of the 1-row result — not one scan per column, which is
+    what the naive UNION ALL oracle spells and what a 100-TB profile
+    cannot afford."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min_v"),
+            F.round(F.max(c), 4).alias(f"{c}__max_v"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean_v"),
+        ]
+    one = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+            F.col(f"{c}__mean_v").alias("mean_v"),
+        )
+        for c in cols
+    ]
+    return one.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+@register(
+    "dq_referential_checks",
+    oracle="""
+        SELECT 'orders_nonempty' AS check_name,
+               COUNT(*) > 0 AS passed,
+               COUNT(*) AS measured
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+               COUNT(*) = 0,
+               COUNT(*)
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               COUNT(*) = 0,
+               COUNT(*)
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+               COUNT(*) = 0,
+               COUNT(*)
+        FROM orders WHERE o_totalprice <= 0
+    """,
+    tags=("quality", "dq"),
+)
+def dq_referential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: named assertions (non-empty, two foreign-key
+    orphan checks, a domain check) as rows of (check, passed, measured) —
+    the shape a pipeline writes to its quality ledger before promoting a
+    snapshot.
+
+    Scale shape: each FK check is an ANTI join (orphans only — no row
+    multiplication), counted with a partial aggregate; the union of four
+    1-row results is free. AQE picks broadcast vs shuffle per check."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df, pass_when_zero=True):
+        agg = cnt_df.agg(F.count("*").alias("measured"))
+        passed = (
+            (F.col("measured") == 0)
+            if pass_when_zero
+            else (F.col("measured") > 0)
+        )
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            passed.alias("passed"),
+            F.col("measured"),
+        )
+
+    checks = one("orders_nonempty", o, pass_when_zero=False)
+    checks = checks.unionByName(
+        one(
+            "orders_custkey_fk",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        )
+    )
+    checks = checks.unionByName(
+        one(
+            "lineitem_orderkey_fk",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        )
+    )
+    return checks.unionByName(
+        one("orders_totalprice_positive", o.filter(F.col("o_totalprice") <= 0))
+    )

@@ -269,5 +269,13 @@ def test_retention_cohorts_single_user_shuffle_before_agg(spark, sf_dir):
     the distinct + final aggregation add exchanges — no self-join of
     events against a firsts table (which would scan the fact twice)."""
     df = CATALOG["events_retention_cohorts"].fn(spark, sf_dir)
-    assert node_count(df, "Scan parquet") <= 1, executed_plan(df, "simple")
+    assert node_count(df, "FileScan parquet") == 1, executed_plan(df, "simple")
     assert shuffle_count(df) <= 3, executed_plan(df, "simple")
+
+
+def test_profile_single_scan_not_per_column(spark, sf_dir):
+    """Column profiling must compute every column's stats in ONE pass —
+    the naive per-column UNION ALL (what the oracle spells) scans the
+    fact N times, which a 100-TB profile cannot afford."""
+    df = CATALOG["profile_numeric_columns"].fn(spark, sf_dir)
+    assert node_count(df, "FileScan parquet") == 1, executed_plan(df, "simple")
