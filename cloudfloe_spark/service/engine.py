@@ -218,14 +218,11 @@ def filesystem_available(spark, scheme: str) -> bool:
     """True iff the shared JVM can produce a Hadoop FileSystem for
     ``<scheme>://`` URIs — real S3A in production, or whatever the
     deployment mounted over the scheme (tests use ViewFs overload backed
-    by the local filesystem; see ``tests/test_s3a_seam.py``)."""
-    try:
-        jvm = spark._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        jvm.org.apache.hadoop.fs.FileSystem.getFileSystemClass(scheme, hconf)
-        return True
-    except Exception:
-        return False
+    by the local filesystem; see ``tests/test_s3a_seam.py``). Delegates to
+    the source-layer probe so there is exactly one implementation."""
+    from cloudfloe_spark.sources import fsio
+
+    return fsio.scheme_served(spark, scheme)
 
 
 def request_session(spark, config: Optional[ConnectionConfig]):
@@ -374,12 +371,15 @@ def _probe_iceberg_metadata(root: str) -> Optional[dict]:
     try:
         # Layout detection only (numeric-version sort; lists through fsio
         # for remote schemes) — parse failures below degrade, not reject.
-        im.latest_metadata_path(root)
+        latest = im.latest_metadata_path(root)
     except im.IcebergMetadataError:
         return None
     out: dict = {}
     try:
-        meta = im.load_metadata(root)
+        # Pass the already-resolved path so load_metadata doesn't list the
+        # metadata directory a second time (remote listings cost a
+        # round-trip each).
+        meta = im.load_metadata(root, metadata_path=latest)
         out["format"] = f"iceberg-v{meta.get('format-version', 1)}"
         snap_id = meta.get("current-snapshot-id")
         if snap_id is not None and snap_id != -1:
@@ -544,22 +544,24 @@ def run_query(
     validate_statement_shape(sql)
     sess = request_session(spark, config)
 
-    if (
-        config is not None
-        and config.tablePath
-        and _must_reject_deletes(sess)
-        and _local_path(config.tablePath) is not None
-    ):
+    guard_root = None
+    if config is not None and config.tablePath and _must_reject_deletes(sess):
+        guard_root = _local_path(config.tablePath)
+        if guard_root is None and "://" in config.tablePath:
+            # Remote roots the jarless reader serves get the SAME guard —
+            # probe and query must agree on the rejection contract.
+            scheme = config.tablePath.split("://", 1)[0]
+            if filesystem_available(sess, scheme):
+                guard_root = config.tablePath
+    if guard_root is not None:
         # Metadata-only pre-check (A7): no data scan, just the latest
         # metadata.json summary. Position deletes are APPLIED by the
         # no-runtime reader (iceberg_local anti-join), so without the
         # runtime only equality deletes reject; the env flag still forces
         # the reference's blanket rejection.
-        meta = _probe_iceberg_metadata(_local_path(config.tablePath))
+        meta = _probe_iceberg_metadata(guard_root)
         if meta is not None and meta.get("hasDeletes"):
-            if REJECT_DELETE_TABLES or _has_unreadable_deletes(
-                _local_path(config.tablePath)
-            ):
+            if REJECT_DELETE_TABLES or _has_unreadable_deletes(guard_root):
                 raise bad_request(
                     "Table has delete files. Run compaction "
                     "(rewrite_data_files + rewrite_position_delete_files) "

@@ -147,7 +147,9 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
                 sess, df, eq_deletes, field_names, file_seqs
             )
     else:  # legitimate empty snapshot — zero rows, correct columns
-        df = sess.createDataFrame([], im.current_schema_ddl(root))
+        df = sess.createDataFrame(
+            [], im.current_schema_ddl(root, metadata_path)
+        )
     df.createOrReplaceTempView(name)
     return name
 

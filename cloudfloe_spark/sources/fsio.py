@@ -38,15 +38,32 @@ def is_remote(path: str) -> bool:
     return not path.startswith("file://")
 
 
+def _spark_context():
+    """The process's SparkContext, resolved thread-safely.
+
+    ``SparkSession.getActiveSession()`` is THREAD-LOCAL and returns None on
+    a fresh Python thread — exactly what each request gets under the
+    service's ThreadingHTTPServer — so resolve through the process-global
+    context singleton instead (the Hadoop Configuration is JVM-global, so
+    any thread's context serves every scheme)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        spark = SparkSession.getActiveSession()
+        sc = spark.sparkContext if spark is not None else None
+    return sc
+
+
 def _jvm_bits(uri: str):
-    spark = SparkSession.getActiveSession()
-    if spark is None:
+    sc = _spark_context()
+    if sc is None:
         raise RemoteIOError(
-            f"no active SparkSession to resolve {uri!r} through a Hadoop "
-            "FileSystem"
+            f"no SparkContext in this process to resolve {uri!r} through a "
+            "Hadoop FileSystem"
         )
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(uri)
     try:
         fs = jpath.getFileSystem(hconf)
@@ -82,7 +99,14 @@ def read_bytes(uri: str) -> bytes:
             # commons-io missing/shaded: copy through a JVM-side
             # ByteArrayOutputStream with Hadoop's own IOUtils; the
             # toByteArray() RETURN value crosses py4j by value (a mutated
-            # array argument would not).
+            # array argument would not). Reopen a FRESH stream — the
+            # failed primary attempt may have consumed part of the old
+            # one, and resuming it would return truncated content.
+            try:
+                stream.close()
+            except Exception:
+                pass
+            stream = fs.open(jpath)
             out = jvm.java.io.ByteArrayOutputStream()
             jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
             return bytes(out.toByteArray())
@@ -103,10 +127,14 @@ def read_text(uri: str) -> str:
 
 
 def exists(uri: str) -> bool:
+    """False on ANY failure — a py4j-wrapped auth/transient error here must
+    degrade like a missing file (the eventual read raises RemoteIOError
+    with the real cause), not escape as a raw Py4JJavaError through the
+    probe's degrade-not-reject contract."""
     try:
         _jvm, fs, jpath = _jvm_bits(uri)
         return bool(fs.exists(jpath))
-    except RemoteIOError:
+    except Exception:
         return False
 
 

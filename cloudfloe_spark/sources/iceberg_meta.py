@@ -23,6 +23,7 @@ entry status 0=EXISTING 1=ADDED 2=DELETED; data_file.content 0=data
 
 from __future__ import annotations
 
+import functools as _functools
 import glob as globmod
 import json
 import os
@@ -62,9 +63,19 @@ def _read_text(path: str) -> str:
         return f.read()
 
 
+@_functools.lru_cache(maxsize=256)
+def _read_remote_manifest_cached(path: str) -> tuple:
+    return tuple(read_avro_bytes(fsio.read_bytes(path), name=path))
+
+
 def _read_manifest(path: str) -> list[dict]:
     if fsio.is_remote(path):
-        return read_avro_bytes(fsio.read_bytes(path), name=path)
+        # Iceberg manifests and manifest lists are immutable once written
+        # (new snapshots write NEW files), so caching by full URI is
+        # spec-safe — and one iceberg_scan resolves the same manifests
+        # from several projections (live paths, delete files, sequence
+        # numbers), which must not mean several network fetches each.
+        return list(_read_remote_manifest_cached(path))
     return read_avro(_local_path(path))
 
 
@@ -145,9 +156,20 @@ def load_metadata(root: str, metadata_path: Optional[str] = None) -> dict:
         else latest_metadata_path(root)
     )
     try:
+        if fsio.is_remote(path):
+            # Version metadata files (vN.metadata.json / NNNNN-uuid) are
+            # immutable — commits write a NEW version — so the remote
+            # fetch caches by resolved path. Resolution itself (directory
+            # listing / version-hint) stays uncached above.
+            return json.loads(_read_remote_text_cached(path))
         return json.loads(_read_text(path))
     except (OSError, json.JSONDecodeError) as e:
         raise IcebergMetadataError(f"cannot read metadata {path!r}: {e}")
+
+
+@_functools.lru_cache(maxsize=64)
+def _read_remote_text_cached(path: str) -> str:
+    return fsio.read_text(path)
 
 
 def snapshots(root: str) -> list[dict]:
@@ -423,10 +445,13 @@ def _iceberg_type_to_ddl(t: Any) -> str:
     raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
 
 
-def current_schema_ddl(root: str) -> str:
+def current_schema_ddl(root: str, metadata_path: Optional[str] = None) -> str:
     """Spark DDL column list for the table's current schema — lets an
-    empty snapshot read return zero rows WITH the right columns."""
-    meta = load_metadata(root)
+    empty snapshot read return zero rows WITH the right columns.
+    ``metadata_path`` keeps a catalog-named metadata file authoritative
+    (a directory scan could disagree after a failed-then-retried commit
+    left an orphan newer file)."""
+    meta = load_metadata(root, metadata_path)
     schema = None
     sid = meta.get("current-schema-id")
     for s in meta.get("schemas", []):

@@ -100,13 +100,17 @@ def test_no_toplevel_array_or_map_outputs(spark, sf_dir):
     The driver's correctness gate canonicalizes results through pandas,
     which cannot hash list cells — this class produced the only red row in
     rounds 2 AND 3 (`dedup_minhash_signatures`, `agg_collect_sorted`).
-    Schema analysis only (no execution), so the sweep is cheap and covers
-    every registered entry, including future ones.
+    Schema analysis only for batch entries; streaming entries are SKIPPED
+    here because their fn() runs the stream to completion just to build
+    the DataFrame — they stay covered by the oracle comparison itself,
+    whose `_norm` raises on any top-level list cell.
     """
     from pyspark.sql.types import ArrayType, MapType
 
     offenders = []
     for name, q in sorted(CATALOG.items()):
+        if "streaming" in (q.tags or ()):
+            continue
         df = q.fn(spark, sf_dir)
         for field in df.schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType)):

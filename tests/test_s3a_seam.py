@@ -339,3 +339,56 @@ def test_rest_catalog_table_on_s3_scheme(spark, s3_seam, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_fsio_resolves_from_worker_thread(spark, s3_seam, tmp_path):
+    """The service handles each request on a fresh thread
+    (ThreadingHTTPServer): SparkSession.getActiveSession() is THREAD-LOCAL
+    and returns None there, so fsio must resolve through the process-global
+    SparkContext — a jarless s3:// Iceberg read from a worker thread has to
+    succeed exactly like the main-thread one."""
+    import threading
+
+    s3_root = str(tmp_path / "thr")
+    _build_mor_table(s3_root, "s3://bucket-a")
+    result: dict = {}
+
+    def worker():
+        try:
+            resp = run_query(
+                spark,
+                f"SELECT id FROM iceberg_scan('s3://bucket-a{s3_root}') "
+                "ORDER BY id",
+                _ice_cfg("minio", "bucket-a", s3_root),
+            )
+            result["rows"] = [r[0] for r in resp.rows]
+        except Exception as e:  # surface in the main thread's assert
+            result["err"] = repr(e)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=120)
+    assert result.get("err") is None, result
+    assert result["rows"] == [2]
+
+
+def test_remote_root_blanket_delete_rejection(
+    spark, s3_seam, tmp_path, monkeypatch
+):
+    """CLOUDFLOE_REJECT_DELETES must gate REMOTE roots exactly like local
+    ones — run_query's pre-check and probe_table agree on the rejection
+    contract for the s3://-served tables the jarless reader now reads."""
+    from cloudfloe_spark.service import engine as eng
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    s3_root = str(tmp_path / "rej")
+    _build_mor_table(s3_root, "s3://bucket-a")
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", True)
+    with pytest.raises(CloudfloeError) as e:
+        run_query(
+            spark,
+            f"SELECT id FROM iceberg_scan('s3://bucket-a{s3_root}')",
+            _ice_cfg("minio", "bucket-a", s3_root),
+        )
+    assert e.value.status_code == 400
+    assert "delete files" in e.value.detail
