@@ -546,13 +546,12 @@ def run_query(
 
     guard_root = None
     if config is not None and config.tablePath and _must_reject_deletes(sess):
-        guard_root = _local_path(config.tablePath)
-        if guard_root is None and "://" in config.tablePath:
-            # Remote roots the jarless reader serves get the SAME guard —
-            # probe and query must agree on the rejection contract.
-            scheme = config.tablePath.split("://", 1)[0]
-            if filesystem_available(sess, scheme):
-                guard_root = config.tablePath
+        # Same root-resolution the reader itself uses (local path, or a
+        # remote root whose scheme a filesystem serves) — probe and query
+        # must agree on the rejection contract.
+        from cloudfloe_spark.service.iceberg_local import _readable_root
+
+        guard_root = _readable_root(sess, config.tablePath)
     if guard_root is not None:
         # Metadata-only pre-check (A7): no data scan, just the latest
         # metadata.json summary. Position deletes are APPLIED by the

@@ -113,6 +113,12 @@ def _view_name(kind: str, root: str, extra: object = None) -> str:
 
 def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str:
     try:
+        if metadata_path is None:
+            # Resolve the current metadata file ONCE and pin every lookup
+            # below to it: one directory listing per query (remote
+            # listings cost a round-trip each), and no chance of a
+            # concurrent commit changing the answer mid-resolution.
+            metadata_path = im.latest_metadata_path(root)
         snap = im.resolve_snapshot(
             root,
             version=int(version) if version else None,

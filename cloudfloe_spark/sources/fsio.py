@@ -88,7 +88,7 @@ def scheme_served(spark, scheme: str) -> bool:
 def read_bytes(uri: str) -> bytes:
     """Whole file as bytes via the scheme's FileSystem. One py4j call
     (commons-io ``IOUtils.toByteArray``, always on Spark's classpath),
-    with a sized-``readFully`` fallback — never a per-byte loop."""
+    with a Hadoop-IOUtils stream-copy fallback — never a per-byte loop."""
     jvm, fs, jpath = _jvm_bits(uri)
     stream = None
     try:
