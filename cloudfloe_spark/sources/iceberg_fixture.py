@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Optional
 
@@ -310,3 +311,86 @@ class LocalIcebergTable:
         )
         with open(path, "w") as f:
             json.dump(meta, f)
+
+
+def commit_rewrite_snapshot(
+    root: str,
+    data_files: list[tuple[str, int]],
+    *,
+    timestamp_ms: int,
+) -> int:
+    """Append a REWRITE snapshot to an EXISTING on-disk Iceberg v2 table:
+    the new snapshot's live set is exactly ``data_files`` (abs path,
+    record count) and carries no delete files. Older snapshots stay in the
+    metadata untouched, so time travel to pre-rewrite states keeps
+    working. Local (``file://``) layout only — this is the commit half of
+    :func:`cloudfloe_spark.sources.maintenance.compact_iceberg_table`.
+
+    Returns the new snapshot id.
+    """
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root)
+    snaps = meta.get("snapshots", [])
+    seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
+    snap_id = 7_000_000_000_000_000_000 + seq
+
+    meta_dir = os.path.join(root, "metadata")
+    mpath = os.path.join(meta_dir, f"manifest-{seq:05d}.avro")
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file://{p}",
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+                "equality_ids": None,
+            },
+        }
+        for p, n in data_files
+    ]
+    write_avro(mpath, _MANIFEST_SCHEMA, entries)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": f"file://{mlist}",
+            "summary": {
+                "operation": "replace",
+                "total-records": str(sum(n for _, n in data_files)),
+                "total-data-files": str(len(data_files)),
+                "total-delete-files": "0",
+            },
+        }
+    )
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = timestamp_ms
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    # Next numeric version after the current latest (vN or NNNNN-uuid).
+    latest = im.latest_metadata_path(root)
+    m = re.match(r"v?(\d+)", os.path.basename(latest))
+    version = (int(m.group(1)) if m else 0) + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    return snap_id

@@ -110,3 +110,66 @@ def compact_parquet(
         )
     writer.parquet(dest)
     return {"before": before, "after": plan_compaction(dest, target_file_bytes)}
+
+
+def compact_iceberg_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    timestamp_ms: int,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """``rewrite_data_files`` + ``rewrite_position_delete_files`` analog
+    for local Iceberg-layout tables — the operation the reference's own
+    400 message ADVISES (`backend/main.py:405-413`) but cannot perform
+    (DuckDB is read-only there).
+
+    Reads the CURRENT snapshot with merge-on-read deletes applied (the
+    jarless reader), rewrites it as approximately target-sized data files
+    with a DISTRIBUTED Spark write (only parquet footers are read
+    driver-side afterwards — no row ever collects), and commits a new
+    delete-free snapshot. Older snapshots remain in the metadata, so
+    pre-compaction time travel keeps working; the table stops tripping
+    the delete-file guard because the new current snapshot carries no
+    delete files.
+
+    Tables whose equality deletes have unresolvable field ids cannot be
+    compacted here either — reading them is the prerequisite, and the
+    reader rejects exactly that case.
+    """
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import commit_rewrite_snapshot
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    from cloudfloe_spark.service.iceberg_local import _snapshot_view
+
+    snap = im.resolve_snapshot(root)
+    live = im.live_data_files(root, snap)
+    live_bytes = sum(int(f.get("file_size_in_bytes", 0)) for f in live)
+    n_out = max(1, -(-live_bytes // target_file_bytes))
+
+    df = sess.table(_snapshot_view(sess, root, None, None))
+    out_dir = os.path.join(root, "data", f"compact-{uuid.uuid4().hex[:8]}")
+    df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+
+    files = sorted(
+        globmod.glob(os.path.join(out_dir, "part-*.parquet"))
+    )
+    data_files = [
+        (p, pq.ParquetFile(p).metadata.num_rows) for p in files
+    ]
+    new_snap = commit_rewrite_snapshot(
+        root, data_files, timestamp_ms=timestamp_ms
+    )
+    return {
+        "snapshot_id": new_snap,
+        "files_before": len(live),
+        "files_after": len(data_files),
+        "rows": sum(n for _, n in data_files),
+    }

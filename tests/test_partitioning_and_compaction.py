@@ -150,3 +150,65 @@ def test_seed_demo_warehouse_full_iceberg_surface(spark, sf_dir, tmp_path):
         spark, f"SELECT snapshot_id FROM iceberg_snapshots('{root}')", cfg
     )
     assert {r[0] for r in snaps.rows} == {s1, s2}
+
+
+def test_compact_iceberg_table_clears_deletes_keeps_history(
+    spark, tmp_path, monkeypatch
+):
+    """compact_iceberg_table = the remedy our own (reference-parity) 400
+    advises: after compaction the SAME rows come back from a delete-free
+    snapshot (even under CLOUDFLOE_REJECT_DELETES blanket mode), and
+    pre-compaction snapshots remain time-travelable."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.service import engine as eng
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import probe_table, run_query
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root = str(tmp_path / "mor")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=1700000000000,
+    )
+    t.position_delete_snapshot(
+        [(t.live_data_paths()[0], 0)], timestamp_ms=1700000100000
+    )
+    t.equality_delete_snapshot(
+        pa.table({"name": ["c"]}), [2], timestamp_ms=1700000200000
+    )
+
+    result = compact_iceberg_table(
+        spark, root, timestamp_ms=1700000300000
+    )
+    assert result["rows"] == 1 and result["files_after"] >= 1
+
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey="",
+        tablePath=root,
+    )
+    info = probe_table(spark, root)
+    assert info.hasDeletes is False
+    assert info.rows == 1
+    assert info.snapshotId == str(result["snapshot_id"])
+
+    # blanket-rejection mode now passes: the current snapshot is clean
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", True)
+    resp = run_query(
+        spark, f"SELECT id, name FROM iceberg_scan('{root}')", cfg
+    )
+    assert [tuple(r) for r in resp.rows] == [(2, "b")]
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", False)
+
+    # pre-compaction history intact: first snapshot still reads in full
+    tt = run_query(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1} "
+        "ORDER BY id",
+        cfg,
+    )
+    assert [r[0] for r in tt.rows] == [1, 2, 3]
