@@ -173,3 +173,74 @@ def compact_iceberg_table(
         "files_after": len(data_files),
         "rows": sum(n for _, n in data_files),
     }
+
+
+def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
+    """``expire_snapshots`` analog for local Iceberg-layout tables: keep
+    only the newest ``keep_last`` snapshots in a new metadata version.
+    Metadata-only — data/manifest files stay on disk until
+    :func:`remove_orphan_files` sweeps them. At 100 TB this is what
+    bounds metadata growth and lets storage be reclaimed; without it a
+    long-lived table accretes every snapshot forever."""
+    import json
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = im.load_metadata(root)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    )
+    kept = snaps[-keep_last:]
+    expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+    if not expired:
+        return {"expired": [], "kept": [s["snapshot-id"] for s in kept]}
+    kept_ids = {s["snapshot-id"] for s in kept}
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in kept_ids
+    ]
+    meta["last-updated-ms"] = timestamp_ms
+
+    import re as _re
+
+    latest = im.latest_metadata_path(root)
+    m = _re.match(r"v?(\d+)", os.path.basename(latest))
+    version = (int(m.group(1)) if m else 0) + 1
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    return {"expired": expired, "kept": [s["snapshot-id"] for s in kept]}
+
+
+def remove_orphan_files(root: str) -> dict:
+    """``remove_orphan_files`` analog: delete data files under
+    ``<root>/data`` that no REMAINING snapshot's manifests reference
+    (data, position-delete, or equality-delete). Run after
+    :func:`expire_snapshots` to actually reclaim storage.
+
+    Only the table's own ``data/`` tree is swept, and only against the
+    union of every live snapshot's file listings — a file referenced by
+    ANY retained snapshot (time travel included) is never touched."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    referenced: set[str] = set()
+    for snap in im.snapshots(root):
+        for e in im.manifest_entries(root, snap):
+            f = e["data_file"]
+            p = f["file_path"]
+            p = p[len("file://"):] if p.startswith("file://") else p
+            referenced.add(os.path.realpath(p))
+
+    removed = []
+    for p in globmod.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    ):
+        if os.path.realpath(p) not in referenced:
+            os.remove(p)
+            removed.append(p)
+    return {"removed": len(removed), "referenced": len(referenced)}

@@ -212,3 +212,59 @@ def test_compact_iceberg_table_clears_deletes_keeps_history(
         cfg,
     )
     assert [r[0] for r in tt.rows] == [1, 2, 3]
+
+
+def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    """Full maintenance cycle: compact → expire old snapshots → sweep
+    orphans. The current read survives byte-identically, expired ids stop
+    resolving (400, like any unknown snapshot), and the pre-compaction
+    data files are physically reclaimed."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+    from cloudfloe_spark.service.errors import CloudfloeError
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    root = str(tmp_path / "maint")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=1700000000000,
+    )
+    t.position_delete_snapshot(
+        [(t.live_data_paths()[0], 0)], timestamp_ms=1700000100000
+    )
+    compact_iceberg_table(spark, root, timestamp_ms=1700000200000)
+
+    result = expire_snapshots(
+        root, keep_last=1, timestamp_ms=1700000300000
+    )
+    assert s1 in result["expired"] and len(result["kept"]) == 1
+
+    sweep = remove_orphan_files(root)
+    assert sweep["removed"] >= 2  # original data file + pos-delete file
+
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey="",
+        tablePath=root,
+    )
+    resp = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", cfg
+    )
+    assert [r[0] for r in resp.rows] == [2, 3]
+
+    with pytest.raises(CloudfloeError) as e:
+        run_query(
+            spark,
+            f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+            cfg,
+        )
+    assert e.value.status_code == 400
