@@ -58,6 +58,10 @@ _SCAN_TT_RE = re.compile(
 _SNAPSHOTS_RE = re.compile(
     r"iceberg_snapshots\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+_CHANGES_RE = re.compile(
+    r"iceberg_changes\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
 _METADATA_RE = re.compile(
     r"iceberg_metadata\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
@@ -252,6 +256,68 @@ def _apply_equality_deletes(
     return keyed.drop("__cf_eq_file", "__cf_seq_file", "__cf_data_seq")
 
 
+def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
+    """Incremental append read: the rows ADDED between two snapshots —
+    the jarless analog of Iceberg's incremental scan, and the primitive a
+    training pipeline uses to process only NEW documents since its last
+    run instead of rescanning 100 TB.
+
+    Semantics match Iceberg's incremental append scan: the range must be
+    append-only. Files removed/rewritten in the range, or row-level
+    deletes committed within it, cannot be represented as appends and
+    reject with a clear 400 (run a full refresh instead)."""
+    try:
+        metadata_path = im.latest_metadata_path(root)
+        s_from = im.resolve_snapshot(
+            root, version=int(from_id), metadata_path=metadata_path
+        )
+        s_to = im.resolve_snapshot(
+            root, version=int(to_id), metadata_path=metadata_path
+        )
+        seq_from = s_from.get("sequence-number", 0)
+        seq_to = s_to.get("sequence-number", 0)
+        if seq_to < seq_from:
+            raise bad_request(
+                "iceberg_changes: the to-snapshot is older than the "
+                "from-snapshot"
+            )
+        live_from = im.live_data_seqs(root, s_from)
+        live_to = im.live_data_seqs(root, s_to)
+        if set(live_from) - set(live_to):
+            raise bad_request(
+                "iceberg_changes supports append-only history; data files "
+                "were removed or rewritten in the snapshot range — run a "
+                "full refresh of the downstream instead."
+            )
+        for e in im.manifest_entries(root, s_to):
+            f = e["data_file"]
+            is_delete = (
+                e["manifest_content"] != 0 or f.get("content", 0) != 0
+            )
+            if (
+                e["status"] != 2
+                and is_delete
+                and seq_from < e["sequence_number"] <= seq_to
+            ):
+                raise bad_request(
+                    "iceberg_changes: row-level delete files were "
+                    "committed inside the snapshot range; incremental "
+                    "append reads cannot represent deletions — run a "
+                    "full refresh of the downstream instead."
+                )
+        added = sorted(p for p in live_to if p not in live_from)
+        schema_ddl = None if added else im.current_schema_ddl(root, metadata_path)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    name = _view_name("changes", root, (from_id, to_id))
+    if added:
+        df = sess.read.parquet(*added)
+    else:  # no files appended in the range — zero rows, right columns
+        df = sess.createDataFrame([], schema_ddl)
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def _snapshots_view(sess, root: str) -> str:
     try:
         rows = [
@@ -327,9 +393,16 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _metadata_view(sess, root)
 
+    def _changes(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _changes_view(sess, root, m.group(2), m.group(3))
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
+    out = _sub_outside_literals(_CHANGES_RE, _changes, out)
     return out
 
 

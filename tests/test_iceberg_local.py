@@ -769,3 +769,92 @@ def test_avrolite_roundtrip_property(tmp_path_factory, recs):
     p = str(tmp_path_factory.mktemp("avro") / "f.avro")
     write_avro(p, _AVRO_FUZZ_SCHEMA, recs)
     assert read_avro(p) == recs
+
+
+def test_iceberg_changes_incremental_append_read(spark, tmp_path):
+    """iceberg_changes(root, from, to): only the rows APPENDED between two
+    snapshots come back — the incremental-ingest primitive. Append-only
+    ranges read; ranges containing removals or row-level deletes reject
+    with a clear 400."""
+    root = str(tmp_path / "chg")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    s2 = t.append_snapshot(
+        [pa.table({"id": [3], "name": ["c"]})], timestamp_ms=T1 + 1000
+    )
+    s3 = t.append_snapshot(
+        [pa.table({"id": [4, 5], "name": ["d", "e"]})], timestamp_ms=T2
+    )
+
+    resp = run_query(
+        spark,
+        f"SELECT id FROM iceberg_changes('{root}', {s1}, {s3}) ORDER BY id",
+        _cfg(),
+    )
+    assert [r[0] for r in resp.rows] == [3, 4, 5]
+
+    mid = run_query(
+        spark,
+        f"SELECT id FROM iceberg_changes('{root}', {s1}, {s2}) ORDER BY id",
+        _cfg(),
+    )
+    assert [r[0] for r in mid.rows] == [3]
+
+    empty = run_query(
+        spark,
+        f"SELECT id FROM iceberg_changes('{root}', {s3}, {s3})",
+        _cfg(),
+    )
+    assert empty.rows == [] and empty.columns == ["id"]
+
+
+def test_iceberg_changes_rejects_non_append_ranges(spark, tmp_path):
+    root = str(tmp_path / "chg_rej")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    # row-level delete committed in the range
+    t.position_delete_snapshot(
+        [(t.live_data_paths()[0], 0)], timestamp_ms=T1 + 1000
+    )
+    s3 = t.append_snapshot(
+        [pa.table({"id": [3], "name": ["c"]})], timestamp_ms=T2
+    )
+    with pytest.raises(CloudfloeError) as e:
+        run_query(
+            spark,
+            f"SELECT id FROM iceberg_changes('{root}', {s1}, {s3})",
+            _cfg(),
+        )
+    assert e.value.status_code == 400
+    assert "delete" in e.value.detail
+
+    # removal (overwrite) in the range
+    root2 = str(tmp_path / "chg_rm")
+    t2 = LocalIcebergTable(
+        root2, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    r1 = t2.append_snapshot(
+        [pa.table({"id": [1], "name": ["a"]})], timestamp_ms=T1
+    )
+    gone = t2.live_data_paths()[0]
+    r2 = t2.append_snapshot(
+        [pa.table({"id": [2], "name": ["b"]})],
+        timestamp_ms=T2,
+        remove=[gone],
+    )
+    with pytest.raises(CloudfloeError) as e2:
+        run_query(
+            spark,
+            f"SELECT id FROM iceberg_changes('{root2}', {r1}, {r2})",
+            _cfg(),
+        )
+    assert e2.value.status_code == 400
+    assert "removed or rewritten" in e2.value.detail
