@@ -572,6 +572,13 @@ def run_query(
     from cloudfloe_spark.service.file_reads import resolve_file_reads
 
     sql = resolve_file_reads(sess, sql)
+    # iceberg_changes() is OURS (no DuckDB/Spark analog), so it resolves
+    # through the metadata reader REGARDLESS of the runtime jar — with the
+    # jar present the catalog rewrite below has no mapping for it and the
+    # raw name would reach Spark as an undefined function.
+    from cloudfloe_spark.service.iceberg_local import resolve_incremental_reads
+
+    sql = resolve_incremental_reads(sess, sql)
     if not iceberg_runtime_available(spark):
         # Pure-Python snapshot resolution for local Iceberg tables: pins
         # iceberg_scan to the manifest-listed file set (with VERSION AS OF

@@ -393,17 +393,26 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _metadata_view(sess, root)
 
+    out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
+    out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
+    out = _sub_outside_literals(_METADATA_RE, _metadata, out)
+    return out
+
+
+def resolve_incremental_reads(sess, sql: str) -> str:
+    """Rewrite ``iceberg_changes('<root>', from, to)`` into temp views.
+    Called UNCONDITIONALLY by run_query (unlike resolve_iceberg_reads):
+    the function is this engine's own surface with no runtime-catalog
+    analog, so it resolves through the metadata reader whether or not the
+    Iceberg jar is present."""
+
     def _changes(m: re.Match) -> str:
         root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
             return m.group(0)
         return _changes_view(sess, root, m.group(2), m.group(3))
 
-    out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
-    out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
-    out = _sub_outside_literals(_METADATA_RE, _metadata, out)
-    out = _sub_outside_literals(_CHANGES_RE, _changes, out)
-    return out
+    return _sub_outside_literals(_CHANGES_RE, _changes, sql)
 
 
 def _has_metadata(root: str) -> bool:

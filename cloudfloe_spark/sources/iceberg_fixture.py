@@ -89,6 +89,14 @@ class LocalIcebergTable:
     e.g. ``"s3://bucket-a"`` produces a table whose reads must resolve
     through the filesystem that serves that scheme — used by the s3a seam
     tests to exercise the fsio-routed jarless reader end-to-end.
+
+    Single-writer: the instance tracks table state in memory, so do NOT
+    commit through a live instance after an EXTERNAL commit
+    (``commit_rewrite_snapshot`` / maintenance ops) touched the same
+    table — the next ``_commit`` would publish metadata built from the
+    stale in-memory snapshot list, dropping the external snapshot.
+    External commits use collision-free snapshot ids and file names, so
+    nothing is overwritten — but the fixture's metadata would supersede.
     """
 
     def __init__(
@@ -333,10 +341,13 @@ def commit_rewrite_snapshot(
     meta = im.load_metadata(root)
     snaps = meta.get("snapshots", [])
     seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
-    snap_id = 7_000_000_000_000_000_000 + seq
+    # Random 63-bit id (still > 2^53, so stringified like every other id):
+    # seq-derived ids would collide with a live LocalIcebergTable's private
+    # counter if it commits again after this external rewrite.
+    snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
 
     meta_dir = os.path.join(root, "metadata")
-    mpath = os.path.join(meta_dir, f"manifest-{seq:05d}.avro")
+    mpath = os.path.join(meta_dir, f"manifest-rw-{uuid.uuid4().hex[:12]}.avro")
     entries = [
         {
             "status": 1,
@@ -387,10 +398,30 @@ def commit_rewrite_snapshot(
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
     )
-    # Next numeric version after the current latest (vN or NNNNN-uuid).
-    latest = im.latest_metadata_path(root)
-    m = re.match(r"v?(\d+)", os.path.basename(latest))
-    version = (int(m.group(1)) if m else 0) + 1
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
+    write_next_metadata_version(root, meta)
     return snap_id
+
+
+def write_next_metadata_version(root: str, meta: dict) -> str:
+    """Write ``meta`` as the next numeric metadata version and point
+    ``version-hint.text`` at it when the table has one — the hint is
+    authoritative for HadoopCatalog-style tables (honored by
+    ``iceberg_meta.latest_metadata_path``), so leaving it stale would make
+    every subsequent read resolve the PREVIOUS version and un-commit the
+    change."""
+    meta_dir = os.path.join(root, "metadata")
+    versions = [
+        m.group(1)
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+        and (m := re.match(r"v?(\d+)", f)) is not None
+    ]
+    version = max((int(v) for v in versions), default=0) + 1
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(path, "w") as f:
+        json.dump(meta, f)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint, "w") as f:
+            f.write(str(version))
+    return path

@@ -149,12 +149,18 @@ def compact_iceberg_table(
     ensure_runtime_conf(sess)
     from cloudfloe_spark.service.iceberg_local import _snapshot_view
 
-    snap = im.resolve_snapshot(root)
+    # Resolve the metadata file ONCE and pin both the sizing pass and the
+    # rewrite read to it — a commit landing in between must not make them
+    # disagree about which snapshot is being compacted.
+    metadata_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=metadata_path)
     live = im.live_data_files(root, snap)
     live_bytes = sum(int(f.get("file_size_in_bytes", 0)) for f in live)
     n_out = max(1, -(-live_bytes // target_file_bytes))
 
-    df = sess.table(_snapshot_view(sess, root, None, None))
+    df = sess.table(
+        _snapshot_view(sess, root, None, None, metadata_path=metadata_path)
+    )
     out_dir = os.path.join(root, "data", f"compact-{uuid.uuid4().hex[:8]}")
     df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
 
@@ -177,14 +183,18 @@ def compact_iceberg_table(
 
 def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
     """``expire_snapshots`` analog for local Iceberg-layout tables: keep
-    only the newest ``keep_last`` snapshots in a new metadata version.
-    Metadata-only — data/manifest files stay on disk until
-    :func:`remove_orphan_files` sweeps them. At 100 TB this is what
-    bounds metadata growth and lets storage be reclaimed; without it a
-    long-lived table accretes every snapshot forever."""
+    the newest ``keep_last`` snapshots (always including the CURRENT one,
+    whatever its age — expiry must never make the table unreadable) in a
+    new metadata version. Reclaims nothing by itself — data parquet and
+    expired-snapshot manifests stay on disk until
+    :func:`remove_orphan_files` sweeps them; superseded
+    ``v*.metadata.json`` files are kept as cheap history, matching
+    Iceberg's own previous-metadata retention. At 100 TB this is what
+    bounds snapshot-log growth and lets storage be reclaimed."""
     import json
 
     from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import write_next_metadata_version
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -193,10 +203,16 @@ def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
         meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
     )
     kept = snaps[-keep_last:]
-    expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    current = meta.get("current-snapshot-id")
+    if current is not None and current not in kept_ids:
+        # e.g. after a rollback the current snapshot may not be the
+        # newest by sequence — it is always retained.
+        kept = [s for s in snaps if s["snapshot-id"] == current] + kept
+        kept_ids.add(current)
+    expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return {"expired": [], "kept": [s["snapshot-id"] for s in kept]}
-    kept_ids = {s["snapshot-id"] for s in kept}
     meta["snapshots"] = kept
     meta["snapshot-log"] = [
         e
@@ -204,43 +220,65 @@ def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
         if e.get("snapshot-id") in kept_ids
     ]
     meta["last-updated-ms"] = timestamp_ms
-
-    import re as _re
-
-    latest = im.latest_metadata_path(root)
-    m = _re.match(r"v?(\d+)", os.path.basename(latest))
-    version = (int(m.group(1)) if m else 0) + 1
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"), "w"
-    ) as f:
-        json.dump(meta, f)
+    write_next_metadata_version(root, meta)
     return {"expired": expired, "kept": [s["snapshot-id"] for s in kept]}
 
 
-def remove_orphan_files(root: str) -> dict:
-    """``remove_orphan_files`` analog: delete data files under
-    ``<root>/data`` that no REMAINING snapshot's manifests reference
-    (data, position-delete, or equality-delete). Run after
-    :func:`expire_snapshots` to actually reclaim storage.
+DEFAULT_ORPHAN_GRACE_MS = 3 * 24 * 3600 * 1000  # Iceberg's own default
 
-    Only the table's own ``data/`` tree is swept, and only against the
-    union of every live snapshot's file listings — a file referenced by
-    ANY retained snapshot (time travel included) is never touched."""
+
+def remove_orphan_files(
+    root: str, *, older_than_ms: int = DEFAULT_ORPHAN_GRACE_MS
+) -> dict:
+    """``remove_orphan_files`` analog: delete files under ``<root>/data``
+    (parquet) and expired manifest avros under ``<root>/metadata`` that no
+    RETAINED snapshot references. Run after :func:`expire_snapshots` to
+    actually reclaim storage.
+
+    Safety properties, mirroring Iceberg's procedure:
+    - References are resolved EXACTLY like the reader resolves them
+      (recorded URI first, then re-anchored at the table root for
+      relocated tables) — a file any retained snapshot can read, time
+      travel included, is never touched.
+    - ``older_than_ms`` grace (default 3 days, Iceberg's own default)
+      skips recently written files, so an in-flight append/compaction's
+      not-yet-committed files survive a concurrent sweep. Pass 0 only
+      when nothing else can be writing.
+    - Local roots only: sweeping is a destructive operation and the
+      remote path has no atomic safety story here."""
+    import time as _time
+
     from cloudfloe_spark.sources import iceberg_meta as im
+
+    if "://" in root and not root.startswith("file://"):
+        raise ValueError("remove_orphan_files supports local roots only")
+    root_n = im._norm_root(root)
 
     referenced: set[str] = set()
     for snap in im.snapshots(root):
+        mlist = snap.get("manifest-list")
+        if mlist:
+            referenced.add(os.path.realpath(im._relocate(mlist, root_n)))
         for e in im.manifest_entries(root, snap):
-            f = e["data_file"]
-            p = f["file_path"]
-            p = p[len("file://"):] if p.startswith("file://") else p
-            referenced.add(os.path.realpath(p))
+            referenced.add(
+                os.path.realpath(im._relocate(e["manifest_path"], root_n))
+            )
+            referenced.add(
+                os.path.realpath(
+                    im._relocate(e["data_file"]["file_path"], root_n)
+                )
+            )
 
+    cutoff = _time.time() - older_than_ms / 1000.0
+    candidates = globmod.glob(
+        os.path.join(root_n, "data", "**", "*.parquet"), recursive=True
+    ) + globmod.glob(os.path.join(root_n, "metadata", "*.avro"))
     removed = []
-    for p in globmod.glob(
-        os.path.join(root, "data", "**", "*.parquet"), recursive=True
-    ):
-        if os.path.realpath(p) not in referenced:
-            os.remove(p)
-            removed.append(p)
+    for p in candidates:
+        if os.path.realpath(p) in referenced:
+            continue
+        if os.path.getmtime(p) > cutoff:
+            continue  # inside the grace window — may be an in-flight write
+        os.remove(p)
+        removed.append(p)
     return {"removed": len(removed), "referenced": len(referenced)}

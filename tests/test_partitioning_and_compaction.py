@@ -7,6 +7,8 @@ small-file shape the reference only warns about."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -249,7 +251,12 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
     )
     assert s1 in result["expired"] and len(result["kept"]) == 1
 
-    sweep = remove_orphan_files(root)
+    # grace window (default 3 days) protects fresh files from a
+    # concurrent-writer race — nothing may be removed yet...
+    assert remove_orphan_files(root)["removed"] == 0
+    # ...but with the window waived (nothing else writing), the expired
+    # snapshot's files reclaim
+    sweep = remove_orphan_files(root, older_than_ms=0)
     assert sweep["removed"] >= 2  # original data file + pos-delete file
 
     cfg = ConnectionConfig(
@@ -268,3 +275,95 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
             cfg,
         )
     assert e.value.status_code == 400
+
+
+def test_compaction_updates_version_hint(spark, tmp_path):
+    """HadoopCatalog tables carry version-hint.text, which the reader
+    honors OVER the directory scan — external commits must advance it or
+    the new snapshot is invisible (reads keep resolving the old version)."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.service.engine import probe_table
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root = str(tmp_path / "hint")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=1700000000000)
+    t.position_delete_snapshot(
+        [(t.live_data_paths()[0], 0)], timestamp_ms=1700000100000
+    )
+    # simulate a HadoopCatalog table: hint points at the current version
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    latest = im.latest_metadata_path(root)
+    with open(hint, "w") as f:
+        f.write(os.path.basename(latest).split(".")[0].lstrip("v"))
+
+    result = compact_iceberg_table(spark, root, timestamp_ms=1700000200000)
+    info = probe_table(spark, root)
+    assert info.snapshotId == str(result["snapshot_id"])
+    assert info.hasDeletes is False
+
+
+def test_expire_never_drops_current_snapshot(tmp_path):
+    """After a rollback the current snapshot may not be the newest by
+    sequence — expiry must retain it or the table becomes unreadable."""
+    import json
+
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.sources.maintenance import expire_snapshots
+
+    root = str(tmp_path / "rb")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    s1 = t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=1700000000000)
+    s2 = t.append_snapshot([pa.table({"id": [2]})], timestamp_ms=1700000100000)
+    # roll current back to s1
+    meta = im.load_metadata(root)
+    meta["current-snapshot-id"] = s1
+    write_next_metadata_version(root, meta)
+
+    result = expire_snapshots(root, keep_last=1, timestamp_ms=1700000200000)
+    assert s1 in result["kept"]  # current survives despite older sequence
+    assert s2 in result["kept"]  # newest by sequence also kept
+    assert result["expired"] == []
+    im.resolve_snapshot(root)  # current still resolves
+
+
+def test_orphan_sweep_safe_on_relocated_table(spark, tmp_path):
+    """A table moved to a new directory records stale absolute URIs; the
+    sweep must resolve references exactly like the reader (re-anchoring at
+    the root) — classifying every live file as an orphan would destroy a
+    table that still reads perfectly."""
+    import shutil
+
+    import pyarrow as pa
+
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import remove_orphan_files
+
+    orig = str(tmp_path / "orig")
+    t = LocalIcebergTable(orig, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=1700000000000)
+    moved = str(tmp_path / "moved")
+    shutil.move(orig, moved)
+
+    sweep = remove_orphan_files(moved, older_than_ms=0)
+    assert sweep["removed"] == 0  # every file is live — nothing to sweep
+
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey="",
+        tablePath=moved,
+    )
+    resp = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{moved}') ORDER BY id", cfg
+    )
+    assert [r[0] for r in resp.rows] == [1, 2, 3]
