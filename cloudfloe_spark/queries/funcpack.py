@@ -538,3 +538,37 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_qty",
         F.round("mode_qty", 6).alias("mode_qty"),
     )
+
+
+@register(
+    "agg_count_if_bools",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT_IF(o_totalprice > 150000) AS n_big,
+               BOOL_AND(o_totalprice > 0) AS all_positive,
+               CAST(MAX(CASE WHEN o_orderkey = grp_min THEN o_orderstatus END)
+                    AS VARCHAR) AS first_status
+        FROM (
+            SELECT *, MIN(o_orderkey) OVER (PARTITION BY o_orderpriority)
+                          AS grp_min
+            FROM orders
+        )
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "funcpack"),
+)
+def agg_count_if_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count + boolean aggregates: count_if, bool_and, and a
+    DETERMINISTIC any_value stand-in (the value carried by each group's
+    minimum key — Spark's any_value/first are non-deterministic across
+    partitions, so both engines pin the same representative row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    keyed = o.withColumn("grp_min", F.min("o_orderkey").over(w))
+    return keyed.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max(
+            F.when(F.col("o_orderkey") == F.col("grp_min"), F.col("o_orderstatus"))
+        ).alias("first_status"),
+    )
