@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudfloe_spark.functions.text import (
@@ -629,18 +629,27 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_MAX_BLOCK = 64  # same idea as _LSH_MAX_BUCKET: caps pair blowup
+
+
 @register(
     "dedup_fuzzy_editdistance_pairs",
-    oracle="""
+    oracle=f"""
         WITH blocked AS (
-            SELECT p_partkey, p_name, SUBSTRING(p_name, 1, 8) AS blk
+            SELECT p_partkey, p_name, SUBSTRING(p_name, 1, 8) AS blk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY SUBSTRING(p_name, 1, 8)
+                       ORDER BY p_partkey
+                   ) AS rk
             FROM part
+        ), capped AS (
+            SELECT * FROM blocked WHERE rk <= {_FUZZY_MAX_BLOCK}
         )
         SELECT a.p_partkey AS left_id,
                b.p_partkey AS right_id,
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-        FROM blocked a
-        JOIN blocked b
+        FROM capped a
+        JOIN capped b
           ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= 6
     """,
@@ -652,14 +661,23 @@ def dedup_fuzzy_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     shingle/minhash methods under-serve on short strings.
 
     Scale shape: candidate pairs come from an EQUI-join on an 8-char
-    prefix block (shuffle on the block key, never an all-pairs cross);
-    levenshtein runs only inside blocks, and the pair predicate
-    ``left < right`` halves the work. Degenerate blocks are bounded by
-    the key's selectivity the same way the LSH bucket cap bounds band
-    joins — at 100 TB swap the prefix for a cheap phonetic/sorted-ngram
-    key and the construction is unchanged."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.substring("p_name", 1, 8).alias("blk")
+    prefix block (shuffle on the block key, never an all-pairs cross),
+    and each block is CAPPED at _FUZZY_MAX_BLOCK members (deterministic:
+    lowest keys win) exactly like the LSH bucket cap — a prefix key's
+    cardinality is bounded, so uncapped blocks would grow with the data
+    and pairs quadratically within them. levenshtein runs only inside
+    capped blocks; ``left < right`` halves the work. At 100 TB swap the
+    prefix for a more selective phonetic/sorted-ngram key and raise the
+    cap; the construction is unchanged."""
+    w = Window.partitionBy("blk").orderBy("p_partkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_name", F.substring("p_name", 1, 8).alias("blk")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _FUZZY_MAX_BLOCK)
+        .drop("rk")
     )
     a = p.alias("a")
     b = p.alias("b")
