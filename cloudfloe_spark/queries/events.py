@@ -323,7 +323,11 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     act = (
-        ev.select(
+        # The oracle's inner JOIN on user_id silently drops NULL users; a
+        # window over user_id would keep them as their own cohort. Filter
+        # explicitly so both engines agree if NULLs ever appear.
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
             "user_id",
             F.min(F.date_trunc("day", "ts")).over(w).alias("cohort_ts"),
             F.date_trunc("day", "ts").alias("active_ts"),

@@ -544,7 +544,7 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_if_bools",
     oracle="""
         SELECT o_orderpriority,
-               COUNT_IF(o_totalprice > 150000) AS n_big,
+               CAST(COUNT_IF(o_totalprice > 150000) AS BIGINT) AS n_big,
                BOOL_AND(o_totalprice > 0) AS all_positive,
                CAST(MAX(CASE WHEN o_orderkey = grp_min THEN o_orderstatus END)
                     AS VARCHAR) AS first_status

@@ -581,7 +581,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang, shard_id,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS shard_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
         FROM packed
         GROUP BY lang, shard_id
     """,

@@ -321,11 +321,16 @@ class LocalIcebergTable:
             json.dump(meta, f)
 
 
+class CommitConflictError(RuntimeError):
+    """Another commit landed between a rewrite's read and its commit."""
+
+
 def commit_rewrite_snapshot(
     root: str,
     data_files: list[tuple[str, int]],
     *,
     timestamp_ms: int,
+    expected_metadata_path: str | None = None,
 ) -> int:
     """Append a REWRITE snapshot to an EXISTING on-disk Iceberg v2 table:
     the new snapshot's live set is exactly ``data_files`` (abs path,
@@ -334,10 +339,24 @@ def commit_rewrite_snapshot(
     working. Local (``file://``) layout only — this is the commit half of
     :func:`cloudfloe_spark.sources.maintenance.compact_iceberg_table`.
 
+    ``expected_metadata_path`` mirrors Iceberg's rewrite conflict
+    validation: the caller pins the metadata version it READ, and the
+    commit aborts with :class:`CommitConflictError` if the table has moved
+    on — otherwise a commit landing between read and commit would be
+    silently superseded (its rows vanish from current reads).
+
     Returns the new snapshot id.
     """
     from cloudfloe_spark.sources import iceberg_meta as im
 
+    if expected_metadata_path is not None:
+        latest = im.latest_metadata_path(root)
+        if os.path.realpath(latest) != os.path.realpath(expected_metadata_path):
+            raise CommitConflictError(
+                f"table {root} moved on during rewrite: read "
+                f"{expected_metadata_path}, current {latest}; re-run the "
+                "rewrite against the new current snapshot"
+            )
     meta = im.load_metadata(root)
     snaps = meta.get("snapshots", [])
     seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1

@@ -171,7 +171,12 @@ def compact_iceberg_table(
         (p, pq.ParquetFile(p).metadata.num_rows) for p in files
     ]
     new_snap = commit_rewrite_snapshot(
-        root, data_files, timestamp_ms=timestamp_ms
+        root,
+        data_files,
+        timestamp_ms=timestamp_ms,
+        # Abort (CommitConflictError) if a commit landed since the pinned
+        # read — committing anyway would silently supersede it.
+        expected_metadata_path=metadata_path,
     )
     return {
         "snapshot_id": new_snap,

@@ -46,6 +46,63 @@ def _norm(v):
     return v
 
 
+def _spark_numeric_family(dt) -> str:
+    """Map a Spark type to the pandas numeric family the driver sees."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    return "other"
+
+
+def _pandas_numeric_family(dtype) -> str:
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "other"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    return "other"
+
+
+def _assert_dtype_families_match(name, df, duck, oracle):
+    """Mirror the driver's dtype-sensitive hash: DuckDB results reach the
+    driver through pandas (`.df()`), where HUGEINT (bare COUNT_IF, SUM over
+    integer inputs) renders as float64 while the Spark twin is int64 — the
+    values compare equal in Python (2129 == 2129.0) but the driver's hash
+    diverges. This is the class behind every red row in r02-r04.
+
+    Rule: an int-family/float-family split between Spark's schema and the
+    oracle's pandas rendering fails, EXCEPT when the Spark side is integral
+    and the oracle column's float-ness comes from null promotion (both
+    engines promote nullable ints to float64 identically, so the driver
+    hash still matches).
+    """
+    odf = duck.execute(oracle).df()
+    offenders = []
+    for field in df.schema.fields:
+        sfam = _spark_numeric_family(field.dataType)
+        dfam = _pandas_numeric_family(odf[field.name].dtype)
+        if {sfam, dfam} != {"int", "float"}:
+            continue
+        if sfam == "int" and dfam == "float" and odf[field.name].isna().any():
+            continue  # null promotion hits both engines the same way
+        offenders.append(
+            f"{field.name}: spark={field.dataType.simpleString()}({sfam}) "
+            f"oracle-pandas={odf[field.name].dtype}({dfam})"
+        )
+    assert not offenders, (
+        f"{name}: int/float family drift between Spark and the oracle's "
+        "pandas rendering (driver hash would diverge). For DuckDB "
+        "HUGEINT producers (COUNT_IF, SUM over integer inputs) add "
+        f"CAST(... AS BIGINT) in the oracle: {offenders}"
+    )
+
+
 def _spark_rows(df, cols):
     return sorted(
         (tuple(_norm(row[c]) for c in cols) for row in df.collect()), key=repr
@@ -71,6 +128,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert spark_cols == duck_cols, (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    _assert_dtype_families_match(name, df, duck, q.oracle)
 
     got = _spark_rows(df, spark_cols)
     want = _duck_rows(duck, q.oracle, spark_cols)

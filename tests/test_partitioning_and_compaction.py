@@ -216,6 +216,55 @@ def test_compact_iceberg_table_clears_deletes_keeps_history(
     assert [r[0] for r in tt.rows] == [1, 2, 3]
 
 
+def test_compaction_aborts_on_concurrent_commit(spark, tmp_path):
+    """Iceberg-style rewrite conflict validation: a commit landing between
+    the compaction's pinned read and its commit must abort the rewrite
+    (CommitConflictError), never silently supersede the interleaved
+    commit's rows."""
+    import pyarrow as pa
+    import pytest
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        CommitConflictError,
+        LocalIcebergTable,
+        commit_rewrite_snapshot,
+    )
+
+    root = str(tmp_path / "race")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=1700000000000)
+
+    pinned = im.latest_metadata_path(root)
+    data_path = t.live_data_paths()[0]
+
+    # interleaved commit moves the table on before the rewrite commits
+    t.append_snapshot([pa.table({"id": [3]})], timestamp_ms=1700000100000)
+
+    with pytest.raises(CommitConflictError):
+        commit_rewrite_snapshot(
+            root,
+            [(data_path.removeprefix("file://"), 2)],
+            timestamp_ms=1700000200000,
+            expected_metadata_path=pinned,
+        )
+    # the interleaved commit's rows are intact
+    snap = im.resolve_snapshot(root)
+    assert sum(
+        int(f.get("record_count", 0)) for f in im.live_data_files(root, snap)
+    ) == 3
+
+    # unchanged table: same pin commits fine
+    pinned2 = im.latest_metadata_path(root)
+    new_id = commit_rewrite_snapshot(
+        root,
+        [(data_path.removeprefix("file://"), 2)],
+        timestamp_ms=1700000300000,
+        expected_metadata_path=pinned2,
+    )
+    assert im.resolve_snapshot(root)["snapshot-id"] == new_id
+
+
 def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
     """Full maintenance cycle: compact → expire old snapshots → sweep
     orphans. The current read survives byte-identically, expired ids stop
