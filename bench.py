@@ -153,6 +153,13 @@ def main() -> None:
                 # round-over-round metric.
                 "calibration": calibration,
                 "normalized_total": round(total / cal_total, 3) if cal_total else None,
+                # Per-query drift-adjusted values (query sec per calibration
+                # sec) so individual regressions are judged drift-immune too.
+                "normalized_queries": (
+                    {n: round(v / cal_total, 3) for n, v in timings.items()}
+                    if cal_total
+                    else None
+                ),
             }
         )
     )

@@ -13,6 +13,9 @@ Routes:
 - ``POST /api/query``            → query execution (`:712-722`)
 - ``GET  /api/demo/connection``  → demo connection config (`:725-735`)
 - ``GET  /api/demo/queries``     → demo query corpus (`:738-770`)
+- ``POST /api/maintenance/compact`` → Iceberg compaction (beyond the
+  reference, which only advises it; opt-in via
+  ``CLOUDFLOE_ENABLE_MAINTENANCE=1``, 403 otherwise)
 """
 
 from __future__ import annotations
@@ -25,8 +28,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pyspark
 from pydantic import ValidationError
 
-from cloudfloe_spark.service.config import QueryRequest, TestConnectionRequest
-from cloudfloe_spark.service.engine import DEMO_TABLE, run_connection_test, run_query
+from cloudfloe_spark.service.config import (
+    MaintenanceRequest,
+    QueryRequest,
+    TestConnectionRequest,
+)
+from cloudfloe_spark.service.engine import (
+    DEMO_TABLE,
+    run_connection_test,
+    run_maintenance_compact,
+    run_query,
+)
 from cloudfloe_spark.service.errors import CloudfloeError
 
 DEMO_SF_DIR = os.environ.get("CLOUDFLOE_DEMO_SF_DIR", "/root/testdata/sf0.01")
@@ -155,6 +167,21 @@ class Handlers:
             return 500, {"detail": "Internal server error"}
         return 200, resp.model_dump()
 
+    def maintenance_compact(self, payload: dict) -> tuple[int, dict]:
+        try:
+            req = MaintenanceRequest.model_validate(payload)
+        except ValidationError as e:
+            return 422, {"detail": json.loads(e.json())}
+        try:
+            result = run_maintenance_compact(
+                self.spark, req.connection, req.targetFileBytes
+            )
+        except CloudfloeError as e:
+            return e.status_code, {"detail": e.detail}
+        except Exception:
+            return 500, {"detail": "Internal server error"}
+        return 200, result
+
     def dispatch(self, method: str, path: str, payload: dict | None) -> tuple[int, dict]:
         if method == "GET" and path == "/":
             return self.health_root()
@@ -168,6 +195,8 @@ class Handlers:
             return self.connect_test(payload or {})
         if method == "POST" and path == "/api/query":
             return self.query(payload or {})
+        if method == "POST" and path == "/api/maintenance/compact":
+            return self.maintenance_compact(payload or {})
         return 404, {"detail": "Not found"}
 
 

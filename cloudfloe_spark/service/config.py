@@ -115,6 +115,21 @@ class QueryRequest(BaseModel):
     rowLimit: int = Field(default=DEFAULT_ROW_LIMIT, le=MAX_ROW_LIMIT)
 
 
+class MaintenanceRequest(BaseModel):
+    """``POST /api/maintenance/compact`` payload — beyond the reference,
+    which only ADVISES compaction in its delete-guard 400
+    (`backend/main.py:405-413`). Write access is opt-in via
+    ``CLOUDFLOE_ENABLE_MAINTENANCE=1``; default is the reference's
+    read-only posture."""
+
+    connection: ConnectionConfig
+    # 1 MiB..1 GiB: below splits metadata into confetti, above starves
+    # executor-task parallelism.
+    targetFileBytes: int = Field(
+        default=128 * 1024 * 1024, ge=1024 * 1024, le=1024 * 1024 * 1024
+    )
+
+
 class QueryStats(BaseModel):
     executionTimeMs: int
     bytesScanned: int

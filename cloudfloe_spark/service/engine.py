@@ -632,3 +632,65 @@ def run_query(
 def _short(e: Exception) -> str:
     s = str(e).strip()
     return s.splitlines()[0][:500] if s else type(e).__name__
+
+
+# --- maintenance (opt-in write path) -------------------------------------------
+
+
+def maintenance_enabled() -> bool:
+    """Write operations are opt-in: the reference is a read-only query
+    service, so compaction over HTTP must be explicitly enabled."""
+    return os.environ.get("CLOUDFLOE_ENABLE_MAINTENANCE", "0") == "1"
+
+
+def run_maintenance_compact(
+    spark, config: ConnectionConfig, target_file_bytes: int
+) -> dict:
+    """Compact the Iceberg table at ``config.tablePath`` — the executable
+    form of the advice our (and the reference's) delete-guard 400 gives
+    ("run compaction before querying", `backend/main.py:405-413`).
+
+    Local Iceberg-layout roots only: the rewrite WRITES data files and
+    commits a snapshot, and the remote path has no atomic commit story
+    without a real catalog. Concurrent commits abort with 409 (Iceberg's
+    rewrite conflict validation) — the caller just retries."""
+    from cloudfloe_spark.sources.iceberg_fixture import CommitConflictError
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    if not maintenance_enabled():
+        raise CloudfloeError(
+            403,
+            "Maintenance API is disabled. Set CLOUDFLOE_ENABLE_MAINTENANCE=1 "
+            "to allow table-rewriting operations.",
+        )
+    local = _local_path(config.tablePath)
+    if local is None:
+        raise bad_request(
+            "Maintenance supports local table roots only; compact remote "
+            "tables with the Iceberg runtime's rewrite_data_files procedure."
+        )
+    if _probe_iceberg_metadata(local) is None:
+        raise bad_request(
+            f"No Iceberg table at {config.tablePath!r} (metadata/*.metadata.json "
+            "not found) — only Iceberg-layout tables are compacted here."
+        )
+    try:
+        result = compact_iceberg_table(
+            spark,
+            local,
+            timestamp_ms=int(time.time() * 1000),
+            target_file_bytes=target_file_bytes,
+        )
+    except CommitConflictError as e:
+        raise CloudfloeError(409, f"Compaction aborted: {e}") from None
+    except CloudfloeError:
+        raise
+    except Exception as e:
+        raise bad_request(f"Compaction failed: {_short(e)}") from None
+    return {
+        "status": "success",
+        "snapshotId": str(result["snapshot_id"]),  # stringified: JS precision
+        "filesBefore": result["files_before"],
+        "filesAfter": result["files_after"],
+        "rows": result["rows"],
+    }

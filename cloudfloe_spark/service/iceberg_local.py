@@ -257,15 +257,22 @@ def _apply_equality_deletes(
 
 
 def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
-    """Incremental append read: the rows ADDED between two snapshots —
-    the jarless analog of Iceberg's incremental scan, and the primitive a
-    training pipeline uses to process only NEW documents since its last
-    run instead of rescanning 100 TB.
+    """Incremental NET-append read: the rows ADDED between two snapshots
+    that are still live at the to-snapshot — the jarless analog of
+    Iceberg's incremental scan, and the primitive a training pipeline uses
+    to process only NEW documents since its last run instead of rescanning
+    100 TB.
 
-    Semantics match Iceberg's incremental append scan: the range must be
-    append-only. Files removed/rewritten in the range, or row-level
-    deletes committed within it, cannot be represented as appends and
-    reject with a clear 400 (run a full refresh instead)."""
+    Row-level deletes committed inside the range are APPLIED to the added
+    rows through the same merge-on-read machinery as ``iceberg_scan`` (a
+    document appended then equality-deleted within the range never reaches
+    the consumer). Two things an append stream cannot represent still
+    reject with a clear 400: data files removed/rewritten in the range
+    (e.g. compaction — re-reading rewritten rows would double-count), and
+    equality deletes with unresolvable field ids. Deletes that target rows
+    from BEFORE the range affect only those pre-range rows; by definition
+    of an append feed they are not re-emitted here — a consumer that must
+    observe retractions of already-processed rows needs a full refresh."""
     try:
         metadata_path = im.latest_metadata_path(root)
         s_from = im.resolve_snapshot(
@@ -285,33 +292,45 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
         live_to = im.live_data_seqs(root, s_to)
         if set(live_from) - set(live_to):
             raise bad_request(
-                "iceberg_changes supports append-only history; data files "
-                "were removed or rewritten in the snapshot range — run a "
-                "full refresh of the downstream instead."
+                "iceberg_changes supports append-only data-file history; "
+                "data files were removed or rewritten in the snapshot "
+                "range — run a full refresh of the downstream instead."
             )
-        for e in im.manifest_entries(root, s_to):
-            f = e["data_file"]
-            is_delete = (
-                e["manifest_content"] != 0 or f.get("content", 0) != 0
+        if im.unreadable_equality_deletes(root, s_to, metadata_path):
+            raise bad_request(
+                "iceberg_changes: the range contains equality-delete "
+                "files this engine cannot apply (missing or unresolvable "
+                "equality field ids). Run compaction before querying."
             )
-            if (
-                e["status"] != 2
-                and is_delete
-                and seq_from < e["sequence_number"] <= seq_to
-            ):
-                raise bad_request(
-                    "iceberg_changes: row-level delete files were "
-                    "committed inside the snapshot range; incremental "
-                    "append reads cannot represent deletions — run a "
-                    "full refresh of the downstream instead."
-                )
         added = sorted(p for p in live_to if p not in live_from)
+        pos_deletes = im.position_delete_paths(root, s_to) if added else []
+        # Deletes at or below the from-snapshot's sequence can only hit
+        # pre-range rows (strictly-lower-seq rule) — skip reading them.
+        eq_deletes = (
+            [
+                d
+                for d in im.equality_delete_records(root, s_to)
+                if int(d["seq"]) > seq_from
+            ]
+            if added
+            else []
+        )
+        field_names = (
+            im.schema_field_names(root, metadata_path) if eq_deletes else {}
+        )
+        file_seqs = {p: live_to[p] for p in added} if eq_deletes else {}
         schema_ddl = None if added else im.current_schema_ddl(root, metadata_path)
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("changes", root, (from_id, to_id))
     if added:
         df = sess.read.parquet(*added)
+        if pos_deletes:
+            df = _apply_position_deletes(sess, df, pos_deletes)
+        if eq_deletes:
+            df = _apply_equality_deletes(
+                sess, df, eq_deletes, field_names, file_seqs
+            )
     else:  # no files appended in the range — zero rows, right columns
         df = sess.createDataFrame([], schema_ddl)
     df.createOrReplaceTempView(name)

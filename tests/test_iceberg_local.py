@@ -812,7 +812,98 @@ def test_iceberg_changes_incremental_append_read(spark, tmp_path):
     assert empty.rows == [] and empty.columns == ["id"]
 
 
-def test_iceberg_changes_rejects_non_append_ranges(spark, tmp_path):
+def test_iceberg_changes_net_of_range_deletes(spark, tmp_path):
+    """A range containing row-level deletes returns NET appends: rows
+    added in the range minus those position/equality-deleted by the
+    to-snapshot; re-inserts after a delete survive (sequence rule); and
+    deletes targeting pre-range rows affect nothing the feed emits.
+    Expected set hash-matched against a DuckDB query implementing the v2
+    spec rule directly over the same added files."""
+    import duckdb
+    import os
+
+    root = str(tmp_path / "chg_net")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    s2 = t.append_snapshot(
+        [pa.table({"id": [3, 4, 6], "name": ["c", "d", "e"]})],
+        timestamp_ms=T1 + 1000,
+    )
+    s2_file = sorted(set(t.live_data_paths()))[-1]
+    # drops the first row of the s2 file (id=3) — an in-range position delete
+    t.position_delete_snapshot([(s2_file, 0)], timestamp_ms=T1 + 2000)
+    # deletes name='d' (in-range row id=4) and name='a' (PRE-range row —
+    # must not affect the feed, which never re-emits pre-range rows)
+    t.equality_delete_snapshot(
+        pa.table({"name": ["d", "a"]}), [2], timestamp_ms=T1 + 3000
+    )
+    s5 = t.append_snapshot(
+        [pa.table({"id": [5], "name": ["d"]})], timestamp_ms=T2
+    )
+
+    resp = run_query(
+        spark,
+        f"SELECT id, name FROM iceberg_changes('{root}', {s1}, {s5}) "
+        "ORDER BY id",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [(5, "d"), (6, "e")]
+
+    # differential: DuckDB computes the same net set from the raw files
+    snap = im.resolve_snapshot(root, version=s5)
+    from_seqs = im.live_data_seqs(root, im.resolve_snapshot(root, version=s1))
+    seqs = {
+        p: q
+        for p, q in im.live_data_seqs(root, snap).items()
+        if p not in from_seqs
+    }
+    pos = im.position_delete_paths(root, snap)
+    dels = im.equality_delete_records(root, snap)
+    assert len(pos) == 1 and len(dels) == 1
+    con = duckdb.connect()
+    seq_values = ", ".join(
+        f"('{os.path.basename(p)}', {s})" for p, s in seqs.items()
+    )
+    want = con.execute(
+        f"""
+        WITH seqs(fname, seq) AS (VALUES {seq_values}),
+        data AS (
+            SELECT d.id, d.name, s.seq,
+                   regexp_extract(d.filename, '[^/]+$') AS fname,
+                   row_number() OVER (
+                       PARTITION BY d.filename ORDER BY d.file_row_number
+                   ) - 1 AS pos
+            FROM read_parquet({sorted(seqs)!r}, filename=true,
+                              file_row_number=true) d
+            JOIN seqs s ON s.fname = regexp_extract(d.filename, '[^/]+$')
+        ),
+        posdel AS (
+            SELECT regexp_extract(file_path, '[^/]+$') AS fname, pos
+            FROM read_parquet(?)
+        ),
+        eqdel AS (SELECT name AS del_name FROM read_parquet(?))
+        SELECT id, name FROM data d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM posdel p
+            WHERE p.fname = d.fname AND p.pos = d.pos
+        ) AND NOT EXISTS (
+            SELECT 1 FROM eqdel e
+            WHERE d.name IS NOT DISTINCT FROM e.del_name
+              AND d.seq < {dels[0]["seq"]}
+        )
+        ORDER BY id
+        """,
+        [pos[0], dels[0]["path"]],
+    ).fetchall()
+    assert [tuple(r) for r in resp.rows] == [tuple(r) for r in want]
+
+
+def test_iceberg_changes_rejects_unresolvable_and_rewritten(spark, tmp_path):
+    # equality delete with an unresolvable field id → 400
     root = str(tmp_path / "chg_rej")
     t = LocalIcebergTable(
         root, pa.schema([("id", pa.int64()), ("name", pa.string())])
@@ -820,9 +911,8 @@ def test_iceberg_changes_rejects_non_append_ranges(spark, tmp_path):
     s1 = t.append_snapshot(
         [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
     )
-    # row-level delete committed in the range
-    t.position_delete_snapshot(
-        [(t.live_data_paths()[0], 0)], timestamp_ms=T1 + 1000
+    t.equality_delete_snapshot(
+        pa.table({"name": ["a"]}), [99], timestamp_ms=T1 + 1000
     )
     s3 = t.append_snapshot(
         [pa.table({"id": [3], "name": ["c"]})], timestamp_ms=T2
@@ -834,7 +924,7 @@ def test_iceberg_changes_rejects_non_append_ranges(spark, tmp_path):
             _cfg(),
         )
     assert e.value.status_code == 400
-    assert "delete" in e.value.detail
+    assert "equality" in e.value.detail
 
     # removal (overwrite) in the range
     root2 = str(tmp_path / "chg_rm")

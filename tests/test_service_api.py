@@ -257,3 +257,82 @@ def test_query_iceberg_time_travel_over_http(api, tmp_path_factory):
         },
     )
     assert status == 200 and len(body["rows"]) == 2
+
+
+def test_maintenance_compact_over_http(api, tmp_path_factory, monkeypatch):
+    """The reference's 400 says "run compaction" but ships no tool; this
+    endpoint IS the tool. Drive: deletes-bearing table 400s under blanket
+    rejection → endpoint 403s while disabled (read-only default) → enabled
+    compact succeeds → the same query now returns the surviving rows."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.service import engine as eng
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    root = str(tmp_path_factory.mktemp("maint") / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=1700000000000,
+    )
+    t.position_delete_snapshot(
+        [(t.live_data_paths()[0], 0)], timestamp_ms=1700000100000
+    )
+    conn = {
+        "storageType": "local",
+        "endpoint": "",
+        "accessKey": "",
+        "secretKey": "",
+        "tablePath": root,
+    }
+    q = {
+        "sql": f"SELECT id FROM iceberg_scan('{root}') ORDER BY id",
+        "connection": conn,
+        "rowLimit": 10,
+    }
+
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", True)
+    status, body = _post(api, "/api/query", q)
+    assert status == 400 and "compaction" in body["detail"]
+
+    # read-only default: the write path is 403 until explicitly enabled
+    monkeypatch.delenv("CLOUDFLOE_ENABLE_MAINTENANCE", raising=False)
+    status, body = _post(api, "/api/maintenance/compact", {"connection": conn})
+    assert status == 403 and "CLOUDFLOE_ENABLE_MAINTENANCE" in body["detail"]
+
+    monkeypatch.setenv("CLOUDFLOE_ENABLE_MAINTENANCE", "1")
+    status, body = _post(api, "/api/maintenance/compact", {"connection": conn})
+    assert status == 200 and body["status"] == "success"
+    assert body["rows"] == 2 and body["filesAfter"] >= 1
+    assert isinstance(body["snapshotId"], str)
+
+    status, body = _post(api, "/api/query", q)
+    assert status == 200 and [r[0] for r in body["rows"]] == [2, 3]
+    monkeypatch.setattr(eng, "REJECT_DELETE_TABLES", False)
+
+
+def test_maintenance_compact_validation(api, tmp_path_factory, monkeypatch):
+    monkeypatch.setenv("CLOUDFLOE_ENABLE_MAINTENANCE", "1")
+    base = {
+        "storageType": "local",
+        "endpoint": "",
+        "accessKey": "",
+        "secretKey": "",
+    }
+    # non-Iceberg path → 400
+    empty = str(tmp_path_factory.mktemp("maint_v"))
+    status, body = _post(
+        api,
+        "/api/maintenance/compact",
+        {"connection": {**base, "tablePath": empty}},
+    )
+    assert status == 400 and "Iceberg" in body["detail"]
+    # out-of-range targetFileBytes → 422
+    status, body = _post(
+        api,
+        "/api/maintenance/compact",
+        {"connection": {**base, "tablePath": empty}, "targetFileBytes": 1},
+    )
+    assert status == 422
