@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cloudfloe_spark.functions.vectors import as_double, cosine
+from cloudfloe_spark.functions.text import let
+from cloudfloe_spark.functions.vectors import as_double, cosine, dot, norm
 from cloudfloe_spark.queries.catalog import register
 from cloudfloe_spark.sources.tables import load_table, spread
 
@@ -330,28 +331,67 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign(e: DataFrame) -> DataFrame:
-    """(vec_id, list_id): nearest centroid per vector, ties to the lower
-    centroid id.
-
-    argmax as ``max_by`` over (cos, -centroid_id) rather than a
-    row_number window: the aggregate partial-combines map-side, so the
-    shuffle carries |corpus| rows instead of |corpus|×K scored rows and
-    nothing gets sorted — the difference between a combiner and a global
-    sort at 100 TB."""
+def _ivf_cent_array(e: DataFrame) -> DataFrame:
+    """The K centroids folded into ONE row: sorted array of (cid, cvec,
+    cnorm) structs. K is bounded (an IVF codebook, not data), so the 1-row
+    frame broadcasts for free and per-centroid norms are computed once.
+    ``cnorm`` uses the same ``sqrt(dot(v,v))`` fold as :func:`norm`, so
+    cosine arithmetic downstream is bit-identical to the previous
+    crossJoin construction (and the DuckDB oracle)."""
     cent = _ivf_centroids(e)
-    scored = spread(e).crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        cosine(as_double(F.col("embedding")), as_double(F.col("cent_emb"))).alias(
-            "cos_c"
-        ),
+    c = F.struct(
+        F.col("centroid_id").cast("long").alias("cid"),
+        as_double(F.col("cent_emb")).alias("cvec"),
+        norm(as_double(F.col("cent_emb"))).alias("cnorm"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("cos_c"), -F.col("centroid_id"))
-        ).alias("list_id")
+    return cent.select(c.alias("c")).agg(
+        F.sort_array(F.collect_list("c")).alias("cents")
     )
+
+
+def _ivf_assign_with_vec(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, list_id): nearest centroid per vector, ties to
+    the lower centroid id — computed as a ZERO-SHUFFLE projection.
+
+    The centroid codebook rides along as a broadcast 1-row array; the
+    argmax is a higher-order ``aggregate`` fold over it (iterated in cid
+    order with strictly-greater comparison, so ties keep the lowest id —
+    the same tie rule as the oracle's ROW_NUMBER). The corpus never
+    leaves its scan partitioning: no crossJoin row explosion, no groupBy
+    exchange, and the embedding column stays attached so consumers can
+    re-rank without joining the corpus a second time. The previous
+    construction (broadcast crossJoin + max_by combiner) shuffled the
+    whole corpus once; this shuffles it zero times — at 100 TB the
+    assignment becomes pure scan work.
+
+    The query vector's norm is let-bound (Catalyst re-evaluates
+    subexpressions referenced from multiple HOF lambdas otherwise)."""
+    cents = _ivf_cent_array(e)
+    emb_d = as_double(F.col("embedding"))
+
+    def argmax(nrm):
+        zero = F.struct(
+            F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("long").alias("cid")
+        )
+
+        def fold(acc, c):
+            cos_c = dot(emb_d, c["cvec"]) / (nrm * c["cnorm"])
+            return F.when(
+                cos_c > acc["cos"],
+                F.struct(cos_c.alias("cos"), c["cid"].alias("cid")),
+            ).otherwise(acc)
+
+        return F.aggregate(F.col("cents"), zero, fold)["cid"]
+
+    return (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "embedding", let(norm(emb_d), argmax).alias("list_id"))
+    )
+
+
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, list_id) — see :func:`_ivf_assign_with_vec`."""
+    return _ivf_assign_with_vec(e).select("vec_id", "list_id")
 
 
 @register(
@@ -398,10 +438,17 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=4 lists, score ONLY vectors assigned to those lists, exact
     cosine re-rank. Candidate generation is an equi-join on list_id —
     at scale with list-partitioned storage this prunes ~ (K-nprobe)/K of
-    the corpus from the scan entirely."""
+    the corpus from the scan entirely.
+
+    Plan shape (r5 rework): assignment is a zero-shuffle projection that
+    keeps the embedding attached, the tiny probe table broadcasts onto
+    it, and the query vectors broadcast onto the candidates — so the
+    corpus crosses exactly ONE exchange, the per-query top-k window over
+    the candidate subset (rank pushdown trims it map-side). Previously
+    the corpus shuffled twice more (assignment groupBy + re-rank join)."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = _ivf_centroids(e)
-    assign = _ivf_assign(e)
+    assign = _ivf_assign_with_vec(e)
 
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -419,21 +466,18 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cand = (
-        probe.join(assign, "list_id")
+        assign.join(F.broadcast(probe), "list_id")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    scored = (
-        cand.join(
-            e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")),
-            "neighbor_id",
-        )
-        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
-            "neighbor_id",
-            cosine(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias("cos_raw"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
         )
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (

@@ -209,14 +209,33 @@ def test_chunking_zero_shuffle(spark, sf_dir):
     assert shuffle_count(df) == 0, executed_plan(df, "simple")
 
 
-def test_ivf_assign_partial_aggregates(spark, sf_dir):
-    """Centroid argmax must partial-aggregate map-side (max_by combiner):
-    the shuffle then carries one row per vector, not K scored rows."""
+def test_ivf_assign_zero_corpus_shuffle(spark, sf_dir):
+    """Centroid assignment is a projection against a broadcast 1-row
+    codebook: the only Exchange allowed in the plan is the bounded
+    centroid side's own collect_list aggregation — the CORPUS must never
+    shuffle (r4 flagged the assignment flat at ~1.59 s; the groupBy
+    max_by exchange was the cost)."""
     from cloudfloe_spark.queries.similarity import _ivf_assign
 
     df = _ivf_assign(load_table(spark, sf_dir, "embeddings"))
     plan = executed_plan(df, "simple")
-    assert "partial_max_by" in plan, plan
+    # centroid-side 1-row agg: one partial/final exchange pair max
+    assert shuffle_count(df) <= 1, plan
+    # no corpus-side aggregate: assignment is a HOF fold, not max_by
+    assert "partial_max_by" not in plan, plan
+
+
+def test_ivf_ann_corpus_crosses_one_exchange(spark, sf_dir):
+    """End-to-end ANN: corpus-side plan = scan → project(assign) →
+    broadcast-join(probe) → broadcast-join(queries) → ONE window
+    exchange. Both corpus joins must be broadcasts — a sort-merge or
+    shuffled-hash join on the corpus side means the re-rank regressed to
+    shuffling 100 TB."""
+    df = CATALOG["sim_ivf_ann_topk"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_lateral_agg_decorrelates(spark, sf_dir):
