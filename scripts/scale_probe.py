@@ -130,6 +130,57 @@ def build_skewed_docs(spark, n: int, out_dir: str) -> str:
     return dest
 
 
+def build_skewed_lang_docs(spark, n: int, out_dir: str) -> str:
+    """documents replica where 90% of docs carry ONE lang — the hot-window
+    hazard for text_pack_token_shards, whose running sum partitions by
+    lang (r4 VERDICT #7: both new r4 paths are window-over-hot-partition
+    shapes)."""
+    dest = os.path.join(out_dir, f"skew_lang_x{n}")
+    if os.path.isdir(dest):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    src = load_table(spark, BASE_SF, "documents")
+    parts = [
+        src.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
+        for i in range(n)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = df.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 10 < 9, F.lit("en")).otherwise(F.col("lang")),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
+    return dest
+
+
+def build_skewed_events(spark, n: int, out_dir: str) -> str:
+    """events replica where 90% of events belong to ONE user — the hot
+    cohort-window hazard for events_retention_cohorts (window MIN over
+    user_id)."""
+    dest = os.path.join(out_dir, f"skew_events_x{n}")
+    if os.path.isdir(dest):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    src = load_table(spark, BASE_SF, "events")
+    parts = [
+        src.withColumn("event_id", F.col("event_id") + F.lit(i * KEY_OFFSET))
+        for i in range(n)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = df.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(1).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+    return dest
+
+
 def skew_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     from cloudfloe_spark.operators.skew import salted_agg, salted_join
 
@@ -180,6 +231,27 @@ def skew_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     run_salted_agg()
     timings["salted_agg_hot90"] = round(time.perf_counter() - t0, 3)
+
+    # 4) Token-budget shard packing, 90% of docs in one lang: the per-lang
+    # running-sum window serializes the hot language through one task, so
+    # this measures the worst case the docstring's lang×bucket subsplit
+    # exists for.
+    lang_dir = build_skewed_lang_docs(spark, n, out_dir)
+    fn = catalog["text_pack_token_shards"].fn
+    fn(spark, lang_dir).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, lang_dir).count()
+    timings["pack_shards_lang_hot90"] = round(time.perf_counter() - t0, 3)
+
+    # 5) Retention cohorts, 90% of events on one user: hot cohort-window
+    # partition; the post-window distinct collapses the hot user to a
+    # handful of (cohort, offset) rows, so growth should stay scan-bound.
+    ev_dir = build_skewed_events(spark, n, out_dir)
+    fn = catalog["events_retention_cohorts"].fn
+    fn(spark, ev_dir).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, ev_dir).count()
+    timings["retention_cohorts_user_hot90"] = round(time.perf_counter() - t0, 3)
     return timings
 
 
