@@ -203,8 +203,50 @@ class Handlers:
 # --- stdlib HTTP server ---------------------------------------------------------
 
 
-def make_server(spark, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+_STATIC_TYPES = {
+    ".html": "text/html",
+    ".css": "text/css",
+    ".js": "application/javascript",
+    ".json": "application/json",
+    ".svg": "image/svg+xml",
+    ".png": "image/png",
+    ".ico": "image/x-icon",
+}
+
+
+def make_server(
+    spark,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    static_dir: str | None = None,
+) -> ThreadingHTTPServer:
+    """API server; with ``static_dir`` set it ALSO serves that directory
+    with an index.html fallback — the single-process analog of the
+    reference's nginx topology (`frontend/nginx.conf`: ``/api/`` proxied
+    to the backend, everything else static), so the reference's client JS
+    (which fetches relative ``/api/...`` paths) runs unmodified."""
     handlers = Handlers(spark)
+    static_root = os.path.realpath(static_dir) if static_dir else None
+
+    def static_file(path: str) -> tuple[int, bytes, str] | None:
+        assert static_root is not None
+        rel = path.split("?", 1)[0].lstrip("/") or "index.html"
+        full = os.path.realpath(os.path.join(static_root, rel))
+        # containment check beats sanitizing: symlinks/.. both resolve here
+        if not full.startswith(static_root + os.sep) and full != static_root:
+            return 404, b"not found", "text/plain"
+        if os.path.isdir(full):
+            full = os.path.join(full, "index.html")
+        if not os.path.isfile(full):  # nginx try_files fallback
+            full = os.path.join(static_root, "index.html")
+            if not os.path.isfile(full):
+                return None
+        with open(full, "rb") as f:
+            data = f.read()
+        ctype = _STATIC_TYPES.get(
+            os.path.splitext(full)[1].lower(), "application/octet-stream"
+        )
+        return 200, data, ctype
 
     class _Handler(BaseHTTPRequestHandler):
         def _respond(self, status: int, body: dict) -> None:
@@ -215,7 +257,21 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHT
             self.end_headers()
             self.wfile.write(data)
 
+        def _respond_raw(self, status: int, data: bytes, ctype: str) -> None:
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+            if static_root is not None and not (
+                self.path.startswith("/api/") or self.path == "/health"
+            ):
+                served = static_file(self.path)
+                if served is not None:
+                    self._respond_raw(*served)
+                    return
             status, body = handlers.dispatch("GET", self.path, None)
             self._respond(status, body)
 
@@ -235,9 +291,9 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHT
     return ThreadingHTTPServer((host, port), _Handler)
 
 
-def serve_background(spark, host: str = "127.0.0.1", port: int = 0):
+def serve_background(spark, host: str = "127.0.0.1", port: int = 0, static_dir=None):
     """Start the API on a daemon thread; returns (server, actual_port)."""
-    server = make_server(spark, host, port)
+    server = make_server(spark, host, port, static_dir=static_dir)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, server.server_address[1]
@@ -251,6 +307,7 @@ def main() -> None:  # pragma: no cover - manual entry point
         spark,
         os.environ.get("CLOUDFLOE_HOST", "0.0.0.0"),
         int(os.environ.get("CLOUDFLOE_PORT", "8000")),
+        static_dir=os.environ.get("CLOUDFLOE_STATIC_DIR") or None,
     )
     server.serve_forever()
 

@@ -336,3 +336,45 @@ def test_maintenance_compact_validation(api, tmp_path_factory, monkeypatch):
         {"connection": {**base, "tablePath": empty}, "targetFileBytes": 1},
     )
     assert status == 422
+
+
+def test_static_frontend_serving(spark, tmp_path_factory):
+    """nginx-parity static serving: with static_dir set, '/' serves
+    index.html, assets resolve, unknown paths fall back to index.html
+    (SPA routing), traversal is contained, and /api + /health stay API."""
+    import urllib.request
+
+    from cloudfloe_spark.service.api import serve_background
+
+    root = tmp_path_factory.mktemp("frontend")
+    (root / "index.html").write_text("<html><body>cloudfloe</body></html>")
+    (root / "js").mkdir()
+    (root / "js" / "app.js").write_text("console.log('ok')")
+
+    server, port = serve_background(spark, static_dir=str(root))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def raw(path):
+            try:
+                with urllib.request.urlopen(base + path) as r:
+                    return r.status, r.headers.get("Content-Type", ""), r.read()
+            except urllib.error.HTTPError as e:
+                return e.code, e.headers.get("Content-Type", ""), e.read()
+
+        s, ct, body = raw("/")
+        assert s == 200 and "text/html" in ct and b"cloudfloe" in body
+        s, ct, _ = raw("/js/app.js")
+        assert s == 200 and "javascript" in ct
+        # SPA fallback
+        s, ct, body = raw("/some/client/route")
+        assert s == 200 and b"cloudfloe" in body
+        # traversal contained (urllib normalizes plain ../; use encoded)
+        s, _, body = raw("/..%2f..%2fetc%2fpasswd")
+        assert b"root:" not in body
+        # API routes still JSON
+        s, ct, body = raw("/health")
+        assert s == 200 and "json" in ct
+        s, ct, _ = raw("/api/demo/queries")
+        assert s == 200 and "json" in ct
+    finally:
+        server.shutdown()
