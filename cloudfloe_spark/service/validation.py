@@ -270,11 +270,16 @@ def validate_and_limit_sql(sql: str, row_limit: int) -> str:
     code = validate_statement_shape(sql)
     # Re-emit: original code tokens, single-space separated (comment
     # stripping + whitespace normalization ≈ the reference's sqlglot
-    # re-emission at backend/main.py:111).
-    normalized = _render(code)
+    # re-emission at backend/main.py:111). The injected LIMIT goes through
+    # the SAME renderer as everything else — a plain string append is not
+    # a fixed point of _render when the statement ends in a no-space-after
+    # token (fuzz: '().' → '(). LIMIT n' → '().LIMIT n' on re-validation).
     if not _has_top_level_limit(code):
-        normalized = f"{normalized} LIMIT {int(row_limit)}"
-    return normalized
+        code = code + [
+            Token("LIMIT", "word"),
+            Token(str(int(row_limit)), "number"),
+        ]
+    return _render(code)
 
 
 _NO_SPACE_BEFORE = {",", ")", ".", ";", "::", "]"}
