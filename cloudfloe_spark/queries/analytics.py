@@ -1,0 +1,190 @@
+"""Analytics-surface operators: ordered string aggregation, QUALIFY-style
+latest-row dedup, date-spine gap filling, and growth-rate windows.
+
+These are the reporting shapes a warehouse user runs daily on the reference
+(`SELECT`-only envelope, backend/main.py:419-447 executes arbitrary
+read-only SQL) that were not yet first-class catalog entries. Each is a
+(Spark DataFrame program, DuckDB oracle) pair per FIXTURES.md §4: identical
+aliases, BIGINT casts on integer aggregates, rounded doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.queries.catalog import register
+from cloudfloe_spark.sources.tables import load_table
+
+
+@register(
+    "string_agg_ordered",
+    oracle="""
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("agg", "analytics"),
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (LISTAGG/STRING_AGG with
+    ORDER BY): collect → array_sort → array_join, so the concatenation
+    order is well-defined regardless of partitioning.
+
+    Scale: collect_list is bounded per group here (nations per region);
+    at scale an unordered STRING_AGG over an unbounded group is an
+    anti-pattern in any engine — the sort-before-join form at least keeps
+    the nondeterminism out. One groupBy shuffle on the grouping key."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+        .select("r_name", "n_nations", "nations")
+    )
+
+
+@register(
+    "qualify_latest_order",
+    oracle="""
+        SELECT o_custkey,
+               o_orderkey AS latest_orderkey,
+               o_orderdate AS latest_orderdate,
+               ROUND(o_totalprice, 2) AS latest_price
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+    """,
+    tags=("window", "analytics"),
+)
+def qualify_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key dedup (the QUALIFY idiom; DuckDB spells it
+    QUALIFY, Spark spells it window + filter — same plan shape).
+
+    Scale: rank-1 predicate on a row_number window lets Spark rewrite to
+    WindowGroupLimit — a per-partition running top-1 that never
+    materializes full per-key sort runs. One shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.round("o_totalprice", 2).alias("latest_price"),
+        )
+    )
+
+
+@register(
+    "date_spine_gapfill",
+    oracle="""
+        WITH spine AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(
+                DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY
+            )) AS DATE) AS day
+        ),
+        daily AS (
+            SELECT o_orderdate AS day,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+            GROUP BY o_orderdate
+        )
+        SELECT s.day,
+               COALESCE(d.revenue, 0.0) AS revenue,
+               CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    tags=("analytics", "spine"),
+)
+def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a generated calendar (sequence + explode) left
+    joined against daily revenue, zero-filling days with no orders — the
+    canonical time-series densification every reporting layer needs.
+
+    Scale: the fact scan is filtered to the window BEFORE aggregating
+    (predicate reaches the parquet scan); the post-agg daily frame is
+    bounded by |days| so it broadcasts — the 90-row spine join never
+    shuffles the fact table a second time."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+        )
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "monthly_growth_rate",
+    oracle="""
+        WITH m AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT CAST(month AS DATE) AS month, revenue,
+               ROUND(
+                   (revenue - LAG(revenue) OVER (ORDER BY month))
+                   / LAG(revenue) OVER (ORDER BY month) * 100.0, 4
+               ) AS growth_pct
+        FROM m
+    """,
+    tags=("window", "analytics"),
+)
+def monthly_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly rollup then a LAG window over the
+    month axis. Revenue is rounded BEFORE the ratio so both engines divide
+    identical operands (float summation order differs otherwise).
+
+    Scale: the unpartitioned window runs over the aggregated monthly
+    frame — |months| rows, bounded by the calendar, not the data. The fact
+    table sees exactly one map-side-combined groupBy shuffle; the
+    single-partition window sort is over ~100 rows and is free."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias(
+            "growth_pct"
+        ),
+    )
