@@ -344,3 +344,100 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_day", "day_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ), days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day AS report_day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+    tags=("events", "rolling-distinct"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU): for every observed day, the count
+    of distinct users active in the trailing 7-day window — the rolling
+    DISTINCT that window frames cannot express (COUNT(DISTINCT) OVER RANGE
+    is unsupported in Spark, and naive per-day self-joins are quadratic).
+
+    Scale shape: dedup to (day, user) FIRST (the big reduction — one
+    shuffle), then EXPLODE each pair into the ≤7 report days it
+    contributes to (linear ×7, no join at all), semi-join against the
+    bounded observed-day set (broadcast), and one final distinct-count
+    shuffle on report_day. The alternative — a range join of a day spine
+    against the pair set — is a broadcast nested loop whose cost is
+    |days|×|pairs|; the explode form stays strictly linear and is the
+    100 TB-safe construction."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    observed = du.select(F.col("day").alias("report_day")).distinct()
+    expanded = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(observed), "report_day", "semi")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WHERE user_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM seq
+        WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY path
+    """,
+    tags=("events", "sequence"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-step paths: per-user ordered event-type trigrams with
+    occurrence and distinct-user counts — the path-analysis extension of
+    ``events_transition_matrix``'s bigrams.
+
+    Scale: one shuffle on user_id for the ordered window (ties broken by
+    event_id so both engines see the same sequence), then a count over the
+    tiny |event_types|³ path space — the final agg is map-side-combined
+    into a bounded result."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -617,3 +617,110 @@ def text_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(LEN({_WORDS_SQL}) AS BIGINT) AS n_words,
+                   ROUND(CASE WHEN LEN({_WORDS_SQL}) > 0
+                        THEN CAST(LIST_SUM(LIST_TRANSFORM({_WORDS_SQL}, w -> LENGTH(w))) AS DOUBLE)
+                             / LEN({_WORDS_SQL})
+                        ELSE 0.0 END, 4) AS mean_word_len,
+                   ROUND(CASE WHEN LEN({_WORDS_SQL}) > 0
+                        THEN CAST(LEN(LIST_FILTER({_WORDS_SQL},
+                                 w -> REGEXP_FULL_MATCH(w, '[a-z]+'))) AS DOUBLE)
+                             / LEN({_WORDS_SQL})
+                        ELSE 0.0 END, 4) AS alpha_frac,
+                   ROUND(CASE WHEN LEN({_WORDS_SQL}) > 0
+                        THEN CAST(LEN(LIST_DISTINCT({_WORDS_SQL})) AS DOUBLE)
+                             / LEN({_WORDS_SQL})
+                        ELSE 0.0 END, 4) AS distinct_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, distinct_ratio,
+               (n_words BETWEEN 25 AND 1000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_frac >= 0.8
+                AND distinct_ratio >= 0.3) AS passes
+        FROM feats
+    """,
+    tags=("text", "quality"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    thresholds adapted to the fixture corpus): word-count bounds, mean word
+    length bounds, alphabetic-word fraction, and distinct-word ratio, each
+    emitted as a feature plus the conjunctive pass flag — the standard
+    pre-training corpus filter, as a single projection.
+
+    Scale: pure per-row array expressions (split once, folded by
+    higher-order functions) — zero shuffle, whole-stage codegen, trivially
+    linear; the filter column family a 100 TB curation run applies at scan
+    time."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n = F.size(ws).cast("bigint")
+    nz = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$")))
+    dr = F.size(F.array_distinct(ws))
+    feats = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_word_length(F.col("text")), 4).alias("mean_word_len"),
+        F.round(
+            F.when(n > 0, alpha.cast("double") / nz).otherwise(0.0), 4
+        ).alias("alpha_frac"),
+        F.round(
+            F.when(n > 0, dr.cast("double") / nz).otherwise(0.0), 4
+        ).alias("distinct_ratio"),
+    )
+    return feats.withColumn(
+        "passes",
+        F.col("n_words").between(25, 1000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("distinct_ratio") >= 0.3),
+    )
+
+
+@register(
+    "text_token_histogram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, LEN({_WORDS_SQL}) AS n_tokens FROM documents
+        )
+        SELECT lang,
+               CAST(POWER(2, CAST(FLOOR(LOG2(n_tokens)) AS BIGINT)) AS BIGINT)
+                   AS bucket_low,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(n_tokens), 2) AS avg_tokens
+        FROM toks
+        WHERE n_tokens > 0
+        GROUP BY lang, bucket_low
+    """,
+    tags=("text", "profiling"),
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-count histogram per language: the corpus-shape
+    profile (how long are my documents, per language?) every training-data
+    mixture decision starts from.
+
+    Scale: a per-row bucket projection then a groupBy over the tiny
+    (lang × log2-bucket) space — fully map-side-combined; the result is
+    bounded by ~|langs|·64 rows regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(words(F.col("text")))
+    bucketed = d.select(
+        "lang",
+        tok.alias("n_tokens"),
+        F.pow(F.lit(2.0), F.floor(F.log2(tok)).cast("double"))
+        .cast("bigint")
+        .alias("bucket_low"),
+    ).filter(F.col("n_tokens") > 0)
+    return bucketed.groupBy("lang", "bucket_low").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
