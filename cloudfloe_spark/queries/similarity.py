@@ -552,3 +552,396 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 9
         ).alias("mse"),
     )
+
+
+# ---- Product quantization (PQ) ------------------------------------------
+# 64-dim → _PQ_M=8 subspaces × 8 dims, _PQ_K=16 codes per subspace. The
+# codebook is "trained" on the same deterministic seed rows as the IVF
+# index (vec_id ∈ [_IVF_SEED_BASE, +_PQ_K)) so the oracle reproduces it
+# bit-for-bit — in production the seeds come from a k-means sample job.
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_K = _IVF_K
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """The K codebook vectors folded into ONE broadcastable row (sorted by
+    code id, so HOF folds iterate in code order and ties keep the lowest
+    code — same rule as the oracle's ROW_NUMBER ... ORDER BY d2, k)."""
+    cent = e.filter(
+        (F.col("vec_id") >= _IVF_SEED_BASE)
+        & (F.col("vec_id") < _IVF_SEED_BASE + _PQ_K)
+    ).select(
+        F.struct(
+            (F.col("vec_id") - _IVF_SEED_BASE).cast("long").alias("k"),
+            as_double(F.col("embedding")).alias("cvec"),
+        ).alias("c")
+    )
+    return cent.agg(F.sort_array(F.collect_list("c")).alias("cb"))
+
+
+@register(
+    "sim_pq_codes",
+    oracle=f"""
+        WITH cb AS (
+            SELECT vec_id - {_IVF_SEED_BASE} AS k,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings
+            WHERE vec_id >= {_IVF_SEED_BASE}
+              AND vec_id < {_IVF_SEED_BASE + _PQ_K}
+        ),
+        sub AS (
+            SELECT e.vec_id, m.m, c.k,
+                   LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_PQ_SUBDIM}),
+                       d -> (CAST(e.embedding[m.m * {_PQ_SUBDIM} + d] AS DOUBLE)
+                             - c.cvec[m.m * {_PQ_SUBDIM} + d])
+                          * (CAST(e.embedding[m.m * {_PQ_SUBDIM} + d] AS DOUBLE)
+                             - c.cvec[m.m * {_PQ_SUBDIM} + d])
+                   )) AS d2
+            FROM embeddings e
+            CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS m) m
+            CROSS JOIN cb c
+        ),
+        best AS (
+            SELECT vec_id, m, k, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, k
+                ) AS rk
+                FROM sub
+            ) WHERE rk = 1
+        )
+        SELECT vec_id,
+               STRING_AGG(CAST(k AS VARCHAR), ',' ORDER BY m) AS pq_codes,
+               ROUND(LIST_SUM(LIST(d2 ORDER BY m)), 4) AS recon_err
+        FROM best
+        GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization"),
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI'11): each vector
+    compressed to M=8 sub-space code ids (4 bits each here — a 64-byte
+    float vector becomes 8 codes) plus its total squared reconstruction
+    error — the memory-bound ANN representation that IVF indexes store in
+    their posting lists (IVF-PQ).
+
+    Scale shape (mirrors the reworked IVF assignment): the codebook rides
+    along as a broadcast 1-row array; per-subspace argmin is a
+    higher-order fold over slices — the corpus is encoded in a ZERO-shuffle
+    projection, so at 100 TB PQ encoding is pure scan work, pipelined with
+    whatever wrote the embeddings. The encode fold is let-bound so the
+    8×16 distance evaluations happen once, not once per output column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(e)
+    emb_d = as_double(F.col("embedding"))
+
+    def encode(emb):
+        def per_sub(m):
+            vsub = F.slice(emb, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+            zero = F.struct(
+                F.lit(float("inf")).alias("d2"),
+                F.lit(-1).cast("long").alias("k"),
+            )
+
+            def fold(acc, c):
+                csub = F.slice(c["cvec"], m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                d2 = F.aggregate(
+                    F.zip_with(vsub, csub, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                return F.when(
+                    d2 < acc["d2"],
+                    F.struct(d2.alias("d2"), c["k"].alias("k")),
+                ).otherwise(acc)
+
+            return F.aggregate(F.col("cb"), zero, fold)
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)), per_sub
+        )
+
+    packed = let(
+        encode(emb_d),
+        lambda ci: F.struct(
+            F.array_join(
+                F.transform(ci, lambda x: x["k"].cast("string")), ","
+            ).alias("pq_codes"),
+            F.round(
+                F.aggregate(ci, F.lit(0.0), lambda a, x: a + x["d2"]), 4
+            ).alias("recon_err"),
+        ),
+    )
+    return (
+        e.join(F.broadcast(cb))
+        .select("vec_id", packed.alias("p"))
+        .select("vec_id", F.col("p.pq_codes").alias("pq_codes"),
+                F.col("p.recon_err").alias("recon_err"))
+    )
+
+
+_PQ_D2_SQL = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {sd}), "
+    "d -> (CAST({q}[{m} * {sd} + d] AS DOUBLE) - {c}[{m} * {sd} + d])"
+    " * (CAST({q}[{m} * {sd} + d] AS DOUBLE) - {c}[{m} * {sd} + d])))"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+        WITH cb AS (
+            SELECT vec_id - {_IVF_SEED_BASE} AS k,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings
+            WHERE vec_id >= {_IVF_SEED_BASE}
+              AND vec_id < {_IVF_SEED_BASE + _PQ_K}
+        ),
+        ms AS (SELECT UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS m),
+        sub AS (
+            SELECT e.vec_id, ms.m, c.k,
+                   {_PQ_D2_SQL.format(sd=_PQ_SUBDIM, q='e.embedding', c='c.cvec', m='ms.m')} AS d2
+            FROM embeddings e CROSS JOIN ms CROSS JOIN cb c
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, k
+                ) AS rk
+                FROM sub
+            ) WHERE rk = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, ms.m, c.k,
+                   {_PQ_D2_SQL.format(sd=_PQ_SUBDIM, q='q.embedding', c='c.cvec', m='ms.m')} AS qd2
+            FROM embeddings q CROSS JOIN ms CROSS JOIN cb c
+            WHERE q.vec_id < {_N_QUERIES}
+        ),
+        adc AS (
+            SELECT l.query_id, cd.vec_id AS neighbor_id,
+                   ROUND(LIST_SUM(LIST(l.qd2 ORDER BY l.m)), 4) AS approx_d2
+            FROM codes cd
+            JOIN lut l ON l.m = cd.m AND l.k = cd.k
+            WHERE cd.vec_id <> l.query_id
+            GROUP BY l.query_id, cd.vec_id
+        )
+        SELECT query_id, neighbor_id, approx_d2, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY approx_d2, neighbor_id
+            ) AS rk
+            FROM adc
+        ) WHERE rk <= {_TOP_K}
+    """,
+    tags=("similarity", "quantization", "ann"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (the IVF-PQ query path): each query
+    precomputes an M×K lookup table of subspace distances against the
+    codebook, then scores every candidate by summing 8 table lookups over
+    its stored codes — no candidate vector is ever touched at query time.
+
+    Scale shape: the corpus side carries only its 8 PQ codes (encoded in
+    the same zero-shuffle fold as ``sim_pq_codes``); the query side — 5
+    queries × an 8×16 double LUT — is broadcast. Scoring is a per-row
+    array-lookup fold (no vector math at query time, the whole point of
+    ADC); the only corpus exchange is the per-query top-k window. At
+    100 TB: scan + one rank shuffle, with 16-byte codes instead of 256-byte
+    vectors crossing it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(e)
+    emb_d = as_double(F.col("embedding"))
+
+    def sub_d2(emb, cvec, m):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(emb, m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                F.slice(cvec, m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def encode(emb):
+        def per_sub(m):
+            zero = F.struct(
+                F.lit(float("inf")).alias("d2"),
+                F.lit(-1).cast("long").alias("k"),
+            )
+
+            def fold(acc, c):
+                d2 = sub_d2(emb, c["cvec"], m)
+                return F.when(
+                    d2 < acc["d2"],
+                    F.struct(d2.alias("d2"), c["k"].alias("k")),
+                ).otherwise(acc)
+
+            return F.aggregate(F.col("cb"), zero, fold)["k"]
+
+        return F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), per_sub)
+
+    corpus = (
+        e.join(F.broadcast(cb))
+        .select("vec_id", encode(emb_d).alias("codes"))
+    )
+    lut_col = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.transform(F.col("cb"), lambda c: sub_d2(emb_d, c["cvec"], m)),
+    )
+    queries = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cb))
+        .select(F.col("vec_id").alias("query_id"), lut_col.alias("lut"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    F.lit(0.0),
+                    lambda a, m: a
+                    + F.element_at(
+                        F.element_at(F.col("lut"), m + 1),
+                        F.element_at(F.col("codes"), m + 1).cast("int") + 1,
+                    ),
+                ),
+                4,
+            ).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "approx_d2", "rk")
+    )
+
+
+_L2_FULL_SQL = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64), "
+    "d -> (CAST({q}[d] AS DOUBLE) - CAST({c}[d] AS DOUBLE))"
+    " * (CAST({q}[d] AS DOUBLE) - CAST({c}[d] AS DOUBLE))))"
+)
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+        WITH cb AS (
+            SELECT vec_id - {_IVF_SEED_BASE} AS k,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings
+            WHERE vec_id >= {_IVF_SEED_BASE}
+              AND vec_id < {_IVF_SEED_BASE + _PQ_K}
+        ),
+        ms AS (SELECT UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS m),
+        sub AS (
+            SELECT e.vec_id, ms.m, c.k,
+                   {_PQ_D2_SQL.format(sd=_PQ_SUBDIM, q='e.embedding', c='c.cvec', m='ms.m')} AS d2
+            FROM embeddings e CROSS JOIN ms CROSS JOIN cb c
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY d2, k
+                ) AS rk
+                FROM sub
+            ) WHERE rk = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, ms.m, c.k,
+                   {_PQ_D2_SQL.format(sd=_PQ_SUBDIM, q='q.embedding', c='c.cvec', m='ms.m')} AS qd2
+            FROM embeddings q CROSS JOIN ms CROSS JOIN cb c
+            WHERE q.vec_id < {_N_QUERIES}
+        ),
+        adc_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY approx_d2, neighbor_id
+                ) AS rk
+                FROM (
+                    SELECT l.query_id, cd.vec_id AS neighbor_id,
+                           ROUND(LIST_SUM(LIST(l.qd2 ORDER BY l.m)), 4)
+                               AS approx_d2
+                    FROM codes cd
+                    JOIN lut l ON l.m = cd.m AND l.k = cd.k
+                    WHERE cd.vec_id <> l.query_id
+                    GROUP BY l.query_id, cd.vec_id
+                )
+            ) WHERE rk <= {_TOP_K}
+        ),
+        exact_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_L2_FULL_SQL.format(q='q.embedding', c='c.embedding')},
+                                    c.vec_id
+                       ) AS rk
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rk <= {_TOP_K}
+        )
+        SELECT x.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+               ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_TOP_K}, 4)
+                   AS recall
+        FROM exact_topk x
+        LEFT JOIN adc_topk a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    """,
+    tags=("similarity", "ann", "eval"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against exact L2 ground truth — the
+    eval harness any ANN deployment runs before trusting an index (the
+    published IVF-PQ methodology: measure recall on a held-out query set,
+    tune M/K/nprobe until it clears the bar).
+
+    Scale shape: ground truth is the brute-force pattern (broadcast query
+    set, corpus streams, per-query top-k window) — run on a SAMPLE of
+    queries in production, which is exactly what the bounded query set
+    models. The comparison join is tiny (queries × k rows). Nothing here
+    touches the corpus more than the two scoring passes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    adc = sim_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qemb"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cemb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qemb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    exact = (
+        cand.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("exact_d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        adc.withColumnRenamed("neighbor_id", "hit_id"),
+        (exact["query_id"] == adc["query_id"])
+        & (exact["neighbor_id"] == F.col("hit_id")),
+        "left",
+    ).select(exact["query_id"].alias("query_id"), F.col("hit_id"))
+    return hits.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hits"),
+        F.round(F.count("hit_id").cast("double") / _TOP_K, 4).alias("recall"),
+    )
