@@ -65,6 +65,11 @@ HEADLINE = [
     "vec_quantize_int8",         # int8 embedding quantization projection
     "text_pack_token_shards",    # per-lang running-sum shard packing
     "events_retention_cohorts",  # window-MIN cohort matrix
+    # Round-5 breadth: the new operator families.
+    "graph_triangle_count",      # support-pruned oriented wedge join
+    "events_rolling_active_users",  # explode-based rolling distinct (WAU)
+    "sim_pq_adc_topk",           # PQ codes + ADC lookup-table scoring
+    "date_spine_gapfill",        # generated calendar + broadcast gap fill
 ]
 
 

@@ -17,11 +17,22 @@ from cloudfloe_spark.queries.catalog import register
 from cloudfloe_spark.sources.tables import load_table
 
 
+_MIN_SUPPORT = 2  # co-occurrence count below this is coincidence noise
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected part co-purchase edges (src < dst): parts appearing in
-    the same order. The within-order self-join is keyed on the order id —
-    order sizes are bounded (≤7 lines in TPC-H), so the pair expansion is
-    linear in the fact table, never quadratic in parts."""
+    """Undirected part co-purchase edges (src < dst): parts appearing
+    together in at least ``_MIN_SUPPORT`` orders. The within-order
+    self-join is keyed on the order id — order sizes are bounded (≤7
+    lines in TPC-H), so the pair expansion is linear in the fact table,
+    never quadratic in parts.
+
+    The support threshold is the scale control, not a convenience: the
+    support-1 graph is dominated by one-off coincidences (1.2M edges,
+    avg degree ~120 at sf0.1) whose wedge space is O(m·d̄) — market-basket
+    practice (a-priori support pruning) cuts it to the ~3.5k edges that
+    carry signal, and the pruning itself is one map-side-combinable
+    count over pairs, linear in the fact table."""
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -31,8 +42,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pl.alias("b")
     return (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MIN_SUPPORT)
+        .select("src", "dst")
     )
 
 
@@ -43,8 +56,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
         ),
         e AS (
-            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            SELECT a.pk AS src, b.pk AS dst
             FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2
         ),
         deg AS (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d
@@ -73,9 +88,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count of the part co-purchase graph, with node/edge
-    totals — the clustering-structure probe for any derived similarity or
-    co-occurrence graph (e.g. how clique-y are the LSH dup candidates?).
+    """Exact triangle count of the support-pruned part co-purchase graph,
+    with node/edge totals — the clustering-structure probe for any derived
+    similarity or co-occurrence graph (e.g. how clique-y are the LSH dup
+    candidates?).
 
     Scale shape (the part that matters at 100 TB): edges are ORIENTED from
     the (degree, id)-smaller endpoint before the wedge join, so every
@@ -84,7 +100,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub graph turns quadratic. Both wedge-building and closure-checking
     are equi-joins (shuffle on node id / edge pair); nothing is
     broadcast-unbounded and no adjacency list is ever collected."""
-    e = _copurchase_edges(spark, sf_dir)
+    # The pruned edge list is referenced from five sub-plans (degrees ×2,
+    # orientation, edge count, and transitively the three wedge joins);
+    # without a lineage cap Spark re-runs the expensive pair-count
+    # aggregation for each reference. localCheckpoint materializes the
+    # ~thousands-of-rows edge list once — the same pattern the
+    # connected-components operator uses (operators/graph.py:63).
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

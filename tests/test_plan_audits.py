@@ -298,3 +298,65 @@ def test_profile_single_scan_not_per_column(spark, sf_dir):
     fact N times, which a 100-TB profile cannot afford."""
     df = CATALOG["profile_numeric_columns"].fn(spark, sf_dir)
     assert node_count(df, "FileScan parquet") == 1, executed_plan(df, "simple")
+
+
+def test_pq_encode_corpus_never_shuffles(spark, sf_dir):
+    """PQ encoding (r5) mirrors the IVF-assignment contract: the corpus is
+    encoded in a pure projection against a broadcast 1-row codebook — the
+    only Exchange permitted is the bounded codebook's own collect_list
+    aggregation. A corpus-side groupBy/join exchange here means encoding
+    100 TB would shuffle 100 TB."""
+    df = CATALOG["sim_pq_codes"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert shuffle_count(df) <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_adc_no_corpus_sort_merge_join(spark, sf_dir):
+    """ADC scoring joins the corpus only against broadcast sides (codebook,
+    query LUTs); the sole corpus exchange is the per-query top-k window."""
+    df = CATALOG["sim_pq_adc_topk"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_rolling_wau_is_explode_not_range_join(spark, sf_dir):
+    """Rolling 7-day active users must be the linear explode construction —
+    a range join of a day spine against the pair set plans as a broadcast
+    nested loop whose cost is |days|×|pairs| (quadratic-ish at scale)."""
+    df = CATALOG["events_rolling_active_users"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert not has_cartesian_or_bnl(df), plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_triangle_count_joins_are_hash_not_bnl(spark, sf_dir):
+    """Degree orientation + wedge/closure joins must all be equi-joins
+    (hash or sort-merge) — a nested-loop anywhere means the wedge space
+    is being enumerated by brute force."""
+    df = CATALOG["graph_triangle_count"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    # The ONLY nested-loop joins allowed are the two Cross combiners of
+    # the 1-row global aggregates; every graph-side join (degrees,
+    # orientation, wedges, closure) must be an equi-join.
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnl) <= 2 and all("Cross" in ln for ln in bnl), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gapfill_filter_reaches_fact_scan(spark, sf_dir):
+    """The spine gap-fill must push the date-range predicate into the
+    orders scan (the 100-TB version reads 90 days, not 7 years) and join
+    the bounded daily aggregate by broadcast."""
+    df = CATALOG["date_spine_gapfill"].fn(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("o_orderdate" in f for f in filters), filters
+    assert has_broadcast_join(df), executed_plan(df, "simple")
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The quality gate is a pure per-row projection: zero exchanges."""
+    df = CATALOG["text_gopher_quality_rules"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, executed_plan(df, "simple")
