@@ -188,3 +188,111 @@ def monthly_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     )
+
+
+@register(
+    "orders_pareto_deciles",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        bounds AS (
+            SELECT QUANTILE_CONT(rev, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]) AS bs
+            FROM rev
+        ),
+        assigned AS (
+            SELECT r.o_custkey, r.rev,
+                   1 + LEN(LIST_FILTER(b.bs, x -> r.rev > x)) AS decile
+            FROM rev r CROSS JOIN bounds b
+        ),
+        tot AS (SELECT ROUND(SUM(rev), 2) AS total FROM rev)
+        SELECT a.decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(a.rev), 2) AS revenue,
+               ROUND(ROUND(SUM(a.rev), 2) / ANY_VALUE(t.total), 6) AS share
+        FROM assigned a CROSS JOIN tot t
+        GROUP BY a.decile
+    """,
+    tags=("analytics", "window"),
+)
+def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report: customers bucketed into revenue
+    deciles (exact percentile bounds), with each decile's share of total
+    revenue — the 80/20 question every revenue dashboard answers.
+
+    Scale shape — deliberately NOT a global ranking window: a running
+    cum-share over all customers needs a single-partition sort of the
+    whole per-customer frame. Instead the decile BOUNDS are one bounded
+    percentile aggregate (1 row, broadcast), assignment is a zero-shuffle
+    comparison projection, and shares reuse one more 1-row total — the
+    same plan shape at 1000× the customers."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    bounds = rev.agg(
+        F.percentile(
+            "rev",
+            F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
+        ).alias("bs")
+    )
+    tot = rev.agg(F.round(F.sum("rev"), 2).alias("total"))
+    assigned = rev.crossJoin(F.broadcast(bounds)).select(
+        "rev",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda x: F.col("rev") > x))
+        ).alias("decile"),
+    )
+    return (
+        assigned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "agg_decimal_exact_sum",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS sum_price,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) / COUNT(*), 4) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "decimal", "analytics"),
+)
+def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent exact aggregation via DECIMAL: doubles summed in
+    task order drift in the last bits run-to-run and engine-to-engine;
+    casting to DECIMAL(18,4) first makes the sum EXACT (integer
+    arithmetic under the hood), so any partitioning, any engine, any
+    retry produces the identical answer — the money-column aggregation
+    rule.
+
+    Scale: decimal sums partial-aggregate map-side exactly like longs
+    (Spark accumulates in an unscaled 128-bit value); the plan is the
+    same one-shuffle hash aggregate as a double sum."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(dec).cast("double"), 2).alias("sum_price"),
+        F.round(
+            F.sum(dec).cast("double") / F.count("*"), 4
+        ).alias("avg_price"),
+    )

@@ -441,3 +441,70 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "events_funnel_latency",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS view_ts
+            FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   EPOCH(MIN(e.ts) - ANY_VALUE(v.view_ts)) AS latency_s
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+            GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(AVG(latency_s), 3) AS avg_latency_s,
+               ROUND(QUANTILE_CONT(latency_s, 0.5), 3) AS p50_latency_s,
+               ROUND(QUANTILE_CONT(latency_s, 0.9), 3) AS p90_latency_s
+        FROM p
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: per user, seconds from first view to
+    first subsequent purchase; median/p90/avg across converting users —
+    the how-long-does-conversion-take companion to the count funnel.
+
+    Scale shape: SINGLE fact scan — the first-view timestamp is a
+    conditional window MIN over user_id (no self-join back to a firsts
+    table), purchases after it filter in the same pass, and the per-user
+    MIN plus global percentile run on the already-shuffled user partitions.
+    The final percentile is an exact sort-agg over one row per converted
+    user — at extreme scale swap for approx_percentile; the conversion to
+    a per-user frame (the expensive part) is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v_ts = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .withColumn("view_ts", v_ts)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("view_ts").isNotNull()
+            & (F.col("ts") > F.col("view_ts"))
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.unix_micros(F.min("ts"))
+                    - F.unix_micros(F.first("view_ts"))
+                ).cast("double")
+                / 1e6
+            ).alias("latency_s")
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("latency_s"), 3).alias("avg_latency_s"),
+        F.round(F.percentile("latency_s", 0.5), 3).alias("p50_latency_s"),
+        F.round(F.percentile("latency_s", 0.9), 3).alias("p90_latency_s"),
+    )
