@@ -176,3 +176,67 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         )
         .select("doc_id", "frame_ms", "checksum")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+
+def resize_media_batch(max_dim: int = 64, real_resize: bool = False):
+    """``mapInPandas`` thumbnail-resize stage → ``RESIZED_SCHEMA``.
+
+    Aspect-preserving box fit: scale the longer edge to ``max_dim`` using
+    pure integer arithmetic (``out_w = max(1, w*max_dim // max(w, h))``),
+    so the oracle reproduces it exactly. ``real_resize=True`` is the
+    PIL/ffmpeg integration point (absent in this container → clear raise);
+    the stub computes the output geometry and the byte size the RGB
+    thumbnail would occupy (w·h·3) without touching pixels.
+
+    Self-contained closure (stdlib + pandas only) for the same
+    pickle-by-value reason as :func:`decode_media_batch`.
+    """
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if real_resize:
+            raise NotImplementedError(
+                "real thumbnailing requires PIL/ffmpeg; "
+                "not installed in this environment"
+            )
+        for batch in batches:
+            w = batch["width"].astype("int64")
+            h = batch["height"].astype("int64")
+            longer = w.where(w >= h, h)
+            out_w = (w * max_dim // longer).clip(lower=1)
+            out_h = (h * max_dim // longer).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": batch["media_type"],
+                    "width": batch["width"],
+                    "height": batch["height"],
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                    "out_bytes": (out_w * out_h * 3).astype("int64"),
+                }
+            )
+
+    return _resize
+
+
+def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Thumbnail-resize a decoded media frame (see ``resize_media_batch``)."""
+    cols = ["doc_id", "media_type", "width", "height"]
+    return decoded.select(*cols).mapInPandas(
+        resize_media_batch(max_dim=max_dim), schema=RESIZED_SCHEMA
+    )

@@ -139,3 +139,43 @@ def mm_metadata_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("size_bytes").alias("total_bytes"),
     )
+
+
+@register(
+    "mm_resize_thumbnail",
+    oracle=f"""
+        WITH decoded AS (
+            SELECT doc_id,
+                   {_MEDIA_TYPE_SQL} AS media_type,
+                   CAST({_WIDTH_SQL} AS INT) AS width,
+                   CAST({_HEIGHT_SQL} AS INT) AS height
+            FROM documents
+        )
+        SELECT doc_id, media_type, width, height,
+               CAST(GREATEST(width * 64 // GREATEST(width, height), 1)
+                    AS INT) AS out_width,
+               CAST(GREATEST(height * 64 // GREATEST(width, height), 1)
+                    AS INT) AS out_height,
+               CAST(GREATEST(width * 64 // GREATEST(width, height), 1)
+                    * GREATEST(height * 64 // GREATEST(width, height), 1)
+                    * 3 AS BIGINT) AS out_bytes
+        FROM decoded
+        WHERE media_type = 'image'
+    """,
+    tags=("multimodal",),
+)
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize plumbing (the brief's decode → RESIZE stage):
+    aspect-preserving 64-box fit of every image payload through a second
+    Arrow ``mapInPandas`` stage, emitting output geometry + the byte size
+    the RGB thumbnail occupies. Integer-exact arithmetic so the oracle
+    checks the whole two-stage mapInPandas pipeline.
+
+    Scale: both stages stream Arrow batches (peak memory O(batch));
+    the media_type filter prunes non-images before the resize stage, and
+    untouched payload bytes never cross into the second stage's Arrow
+    frame (metadata-only columns selected)."""
+    from cloudfloe_spark.functions.multimodal import resize_media
+
+    decoded = _decoded(spark, sf_dir)
+    return resize_media(decoded.filter(F.col("media_type") == "image"))

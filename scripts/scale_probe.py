@@ -54,6 +54,13 @@ PROBE_QUERIES = [
     # round-3: the O(log n) star-contraction variant — its advantage is
     # round count at scale, so growth ratios are the evidence that matters
     "dedup_clusters_star",
+    # round-5: rolling-distinct (explode construction) and the oriented
+    # triangle count (support-pruned co-purchase graph). Note replicas
+    # multiply pair support (same part keys, N× the orders), so the
+    # triangle probe measures the operator under a DENSIFYING graph —
+    # the adversarial direction for wedge work.
+    "events_rolling_active_users",
+    "graph_triangle_count",
 ]
 
 
