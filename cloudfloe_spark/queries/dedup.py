@@ -694,3 +694,75 @@ def dedup_fuzzy_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("edit_dist") <= 6)
     )
+
+
+@register(
+    "dedup_minhash_keep_rep",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_SIGS_SQL.lstrip().removeprefix("WITH")
+    + _LSH_PAIRS_CTE
+    + """
+        , sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM sigs
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        ),
+        labels AS (
+            SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+        ),
+        ranked AS (
+            SELECT l.cluster_id, l.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY l.cluster_id) AS sz
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        )
+        SELECT cluster_id,
+               doc_id AS rep_doc_id,
+               CAST(n_chars AS BIGINT) AS rep_n_chars,
+               CAST(sz AS BIGINT) AS cluster_size,
+               CAST(sz - 1 AS BIGINT) AS n_removed
+        FROM ranked WHERE rk = 1
+    """,
+    tags=("dedup", "minhash", "graph"),
+)
+def dedup_minhash_keep_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'keep one' step that completes the fuzzy-dedup pipeline:
+    cluster labels → keep the LONGEST document per cluster (n_chars,
+    ties to the lower doc_id — the keep-longest policy C4/RefinedWeb use),
+    reporting the representative and how many near-dups it displaces.
+
+    Scale shape: one hash shuffle on cluster_id; the per-cluster argmax is
+    a ``max_by`` over a (n_chars, -doc_id) struct — partial-aggregated
+    map-side (no per-cluster sort, no window over the full corpus), so
+    the reduce side sees one candidate row per cluster per partition."""
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = labels.join(docs, "doc_id")
+    best = F.max_by(
+        F.struct(
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+        ),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            best.alias("rep"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("rep.rep_doc_id").alias("rep_doc_id"),
+            F.col("rep.rep_n_chars").cast("bigint").alias("rep_n_chars"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_removed"),
+        )
+    )
