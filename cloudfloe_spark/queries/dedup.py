@@ -766,3 +766,183 @@ def dedup_minhash_keep_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - 1).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8  # fixture-scale codebook; production: k ~ sqrt(corpus)
+_SEM_TAU = 0.3  # within-cluster duplicate threshold (fixture-tuned, cf.
+#                 dedup_embedding_cosine: synthetic vectors rarely pass 0.5;
+#                 model embeddings would use ~0.93 per the SemDeDup paper)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < {_SEM_K}
+        ),
+        assigned AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                       AS ccos
+            FROM embeddings e CROSS JOIN cents c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id ORDER BY ccos DESC, cid ASC) = 1
+        ),
+        dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {_SEM_TAU}
+        )
+        SELECT s.vec_id, s.cid AS cluster_id,
+               (d.vec_id IS NOT NULL) AS is_dup
+        FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+    tags=("dedup", "embedding", "semantic"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    around a codebook, then mark within-cluster items whose cosine to a
+    LOWER-id cluster-mate exceeds tau as semantic duplicates — the
+    keep-lowest-id policy makes the output deterministic on both engines.
+    Codebook = the first K vectors by id (a k-means iteration would drift
+    between engines; the assignment/prune mechanics are identical).
+
+    Scale shape: the codebook is K rows — broadcast; assignment is a
+    zero-shuffle argmax fold over K cosines per row. The duplicate scan
+    self-joins ONLY within a cluster (equi-join on cluster id), the same
+    bucketed-not-all-pairs bound every dedup operator here uses; cluster
+    imbalance is the knob k controls at corpus scale (reference behavior:
+    cloudfloe exposes no vector ops — this extends the engine for
+    training-data curation)."""
+    from cloudfloe_spark.functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < _SEM_K)
+        .select(F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(as_double(F.col("embedding")), F.col("cvec")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding")))
+            >= _SEM_TAU
+        )
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.vec_id == dups.dup_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric near-dup: is A a sub-document of B?)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.8
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, UNNEST(LIST_TRANSFORM(
+                GENERATE_SERIES(1, GREATEST(
+                    LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) - 2, 0)),
+                i -> ARRAY_TO_STRING(
+                    STRING_SPLIT_REGEX(TRIM(text), '\\s+')[i:i+2], ' ')
+            )) AS shingle
+            FROM documents
+        ),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM raw),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+                   COUNT(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_inner, i.doc_outer,
+               ROUND(CAST(i.n_common AS DOUBLE) / sa.n, 4) AS containment
+        FROM inter i JOIN sizes sa ON i.doc_inner = sa.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / sa.n >= {_CONTAIN_TAU}
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT C(A,B) = |S(A) ∩ S(B)| / |S(A)| (Broder 1997
+    §2 — the asymmetric companion to Jaccard resemblance): catches a
+    document embedded inside a longer one (quote-with-commentary, scraped
+    page wrapping an article), which symmetric Jaccard misses because the
+    union is dominated by the container. Pairs with C >= {0.8} reported,
+    direction preserved (doc_inner ⊆ doc_outer).
+
+    Scale shape: identical inverted-index bound as dedup_ngram_jaccard —
+    candidate pairs come from the shingle-keyed equi-join (postings-list
+    work, never all-pairs); at corpus scale the same stop-shingle df cap
+    applies (omitted here to keep the fixture differential exact — the
+    fixture's max df is single-digit)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_inner"),
+            F.col("b.doc_id").alias("doc_outer"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    cont = F.col("n_common").cast("double") / F.col("sa.n")
+    return (
+        inter.join(sa, F.col("doc_inner") == F.col("sa.doc_id"))
+        .filter(cont >= _CONTAIN_TAU)
+        .select("doc_inner", "doc_outer", F.round(cont, 4).alias("containment"))
+    )

@@ -569,3 +569,57 @@ def dq_referential_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.unionByName(
         one("orders_totalprice_positive", o.filter(F.col("o_totalprice") <= 0))
     )
+
+
+_ES_SEED = 11
+_ES_TOPK = 30
+
+
+@register(
+    "sample_weighted_orders",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey, o_totalprice,
+                   LN(({portable_hash_sql("CAST(o_orderkey AS VARCHAR)", seed=_ES_SEED)}
+                       % 1000000 + 1) / 1000001.0) / o_totalprice AS es_key
+            FROM orders
+        )
+        SELECT o_orderkey, o_totalprice, ROUND(es_key * 1e6, 6) AS es_key_micros
+        FROM keyed
+        ORDER BY es_key DESC, o_orderkey
+        LIMIT {_ES_TOPK}
+    """,
+    tags=("sampling", "weighted"),
+)
+def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-ES style (Efraimidis &
+    Spirakis 2006): each row draws u ~ Uniform(0,1) from the portable
+    seeded hash of its key and scores ln(u)/weight (equivalent to the
+    paper's u^(1/w) in log space — monotone, overflow-free); the top-k
+    scores ARE a weighted sample without replacement, price-weighted here.
+    Deterministic across engines, runs, and partitionings because u comes
+    from the md5 hash, not an RNG.
+
+    Scale shape: the score is a zero-shuffle projection; top-k plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), never a global sort — the same pattern the top_k_orders plan
+    audit pins. At 100 TB the reduce side sees k rows per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        (portable_hash64(F.col("o_orderkey").cast("string"), seed=_ES_SEED) % 1000000)
+        + 1
+    ) / 1000001.0
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("o_orderkey"))
+        .limit(_ES_TOPK)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("es_key") * 1e6, 6).alias("es_key_micros"),
+        )
+    )

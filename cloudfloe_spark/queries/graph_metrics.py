@@ -136,3 +136,108 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
     n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+@register(
+    "graph_pagerank_iter",
+    oracle=f"""
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        und AS (
+            SELECT a.pk AS src, b.pk AS dst
+            FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2
+        ),
+        sym AS (
+            SELECT src, dst FROM und
+            UNION ALL SELECT dst AS src, src AS dst FROM und
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY src
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+        p0 AS (
+            SELECT node, d, CAST(1.0 AS DOUBLE) / nn AS pr FROM deg, n
+        ),
+        p1 AS (
+            SELECT s.dst AS node,
+                   CAST(0.15 AS DOUBLE) / ANY_VALUE(n.nn)
+                       + {_PR_DAMP} * SUM(p.pr / p.d) AS pr
+            FROM sym s JOIN p0 p ON s.src = p.node CROSS JOIN n
+            GROUP BY s.dst
+        ),
+        p1d AS (SELECT p.node, deg.d, p.pr FROM p1 p JOIN deg USING (node)),
+        p2 AS (
+            SELECT s.dst AS node,
+                   CAST(0.15 AS DOUBLE) / ANY_VALUE(n.nn)
+                       + {_PR_DAMP} * SUM(p.pr / p.d) AS pr
+            FROM sym s JOIN p1d p ON s.src = p.node CROSS JOIN n
+            GROUP BY s.dst
+        ),
+        p2d AS (SELECT p.node, deg.d, p.pr FROM p2 p JOIN deg USING (node)),
+        p3 AS (
+            SELECT s.dst AS node,
+                   CAST(0.15 AS DOUBLE) / ANY_VALUE(n.nn)
+                       + {_PR_DAMP} * SUM(p.pr / p.d) AS pr
+            FROM sym s JOIN p2d p ON s.src = p.node CROSS JOIN n
+            GROUP BY s.dst
+        )
+        SELECT node, ROUND(pr * 1000, 6) AS pr_millis FROM p3
+    """,
+    tags=("graph",),
+)
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Page et al. 1999), {3} fixed power iterations at damping
+    {0.85}, over the support-pruned co-purchase graph — the canonical
+    importance score for any derived document/entity graph (e.g. weighting
+    dup-cluster representatives by centrality). Fixed iteration count keeps
+    the program deterministic; scores are reported per-mille and rounded so
+    cross-engine float summation order is absorbed. The symmetric graph has
+    no dangling nodes, so no leaked-mass correction term is needed.
+
+    Scale shape: each iteration is ONE equi-join (ranks into the edge
+    list, shuffle keyed on node id) + ONE map-side-combinable sum keyed on
+    the destination — identical to the connected-components rounds that
+    SCALING.md measures sublinear under skew. Degrees ride along in the
+    rank frame, so the per-round join count stays at one; the edge list is
+    localCheckpoint'd once and reused by all rounds. Hub skew salts the
+    same way any hot groupBy key does (AQE skew-join handles it)."""
+    sym0 = _copurchase_edges(spark, sf_dir)
+    sym = (
+        sym0.unionByName(
+            sym0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    n1 = deg.agg(F.count("*").cast("bigint").alias("nn"))  # 1-row frame
+    ranks = deg.crossJoin(n1).select(
+        "node", "d", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        msgs = (
+            sym.join(ranks, sym.src == ranks.node)
+            .groupBy(sym.dst.alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("mass"))
+        )
+        ranks = (
+            msgs.crossJoin(n1)
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("nn") + F.lit(_PR_DAMP) * F.col("mass")).alias(
+                    "pr"
+                ),
+            )
+            .join(deg.select(F.col("node").alias("dn"), "d"), F.col("node") == F.col("dn"))
+            .select("node", "d", "pr")
+        )
+    return ranks.select("node", F.round(F.col("pr") * 1000, 6).alias("pr_millis"))

@@ -724,3 +724,107 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-segment removal (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 3  # words per segment (fixture-scale; CCNet dedups paragraphs)
+_SEG_MIN_DF = 5  # segments seen in >= this many docs are boilerplate
+
+
+@register(
+    "text_boilerplate_segments",
+    oracle=f"""
+        WITH ws AS (
+            SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, i AS pos,
+                   ARRAY_TO_STRING(
+                       w[(i * {_SEG_LEN} + 1):(i * {_SEG_LEN} + {_SEG_LEN})],
+                       ' ') AS seg
+            FROM ws, UNNEST(GENERATE_SERIES(
+                0, CAST(CEIL(LEN(w) / {_SEG_LEN}.0) AS BIGINT) - 1)) t(i)
+        ),
+        boiler AS (
+            SELECT seg FROM segs
+            GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= {_SEG_MIN_DF}
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.pos, s.seg,
+                   (b.seg IS NOT NULL) AS is_boiler
+            FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_segs,
+               CAST(COUNT(*) FILTER (is_boiler) AS BIGINT) AS n_boiler,
+               MD5(COALESCE(STRING_AGG(seg, ' ' ORDER BY pos)
+                            FILTER (NOT is_boiler), '')) AS kept_fp
+        FROM flagged
+        GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020 §3.2, adapted
+    from paragraphs to fixed {3}-word segments — the fixture corpus has no
+    paragraph breaks): chop each document into contiguous segments, count
+    each segment's distinct-document frequency over the WHOLE corpus, and
+    strip segments that appear in >= {5} documents (headers, navigation,
+    license blurbs at web scale). Emits per-doc segment counts plus an md5
+    fingerprint of the surviving text, order preserved.
+
+    Scale shape: segmenting is a per-row array transform (no shuffle);
+    the corpus frequency is one map-side-combinable count keyed by the
+    segment string; the flag join is an equi-join on the segment (AQE
+    broadcasts the boilerplate set when it fits — by construction it is
+    the high-frequency tail, far smaller than the corpus); reassembly is
+    one groupBy(doc_id) with an ordered collect over each doc's own
+    bounded segment list. Three shuffles total, all on hashable keys."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    segs = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(w) / float(_SEG_LEN)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(w, i * _SEG_LEN + 1, _SEG_LEN), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _SEG_MIN_DF)
+        .select("seg", F.lit(True).alias("is_boiler"))
+    )
+    flagged = segs.join(boiler, "seg", "left").select(
+        "doc_id",
+        "pos",
+        "seg",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("seg"))
+                )
+            )
+        ),
+        lambda s: s.seg,
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.col("is_boiler").cast("bigint")).cast("bigint").alias("n_boiler"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("kept_fp"),
+    )

@@ -360,3 +360,49 @@ def test_gopher_rules_zero_shuffle(spark, sf_dir):
     """The quality gate is a pure per-row projection: zero exchanges."""
     df = CATALOG["text_gopher_quality_rules"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, executed_plan(df, "simple")
+
+
+def test_semantic_dedup_broadcasts_codebook_only(spark, sf_dir):
+    """SemDeDup's assignment must broadcast the K-row codebook (its only
+    forced hint) and keep the within-cluster duplicate join an equi-join
+    on the cluster id — a nested-loop there would be the all-pairs scan
+    the clustering exists to avoid."""
+    df = CATALOG["dedup_semantic_clusters"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    # One logical hint (the K-row codebook); the assignment subtree is
+    # referenced three times (both dup-join sides + output), so the hint
+    # shows up to three times in the executed plan.
+    assert 1 <= broadcast_hint_count(df) <= 3, plan
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in bnl), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver) — a global Sort would
+    shuffle the whole fact table to rank it."""
+    df = CATALOG["sample_weighted_orders"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shuffle_count(df) == 0, plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
+    """Every PageRank round must join ranks into the edge list by hash on
+    the node id; the only nested-loop joins allowed are the 1-row
+    node-count combiners."""
+    df = CATALOG["graph_pagerank_iter"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in bnl), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_segments_shuffle_budget(spark, sf_dir):
+    """Segment frequency, flag join-back, and per-doc reassembly: the
+    whole pass fits in <= 5 exchanges (freq agg partial+final, join
+    residency, doc agg partial+final) — anything more means the segment
+    explode is being re-shuffled redundantly."""
+    df = CATALOG["text_boilerplate_segments"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 5, executed_plan(df, "simple")
