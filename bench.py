@@ -70,6 +70,9 @@ HEADLINE = [
     "events_rolling_active_users",  # explode-based rolling distinct (WAU)
     "sim_pq_adc_topk",           # PQ codes + ADC lookup-table scoring
     "date_spine_gapfill",        # generated calendar + broadcast gap fill
+    "dedup_semantic_clusters",   # SemDeDup codebook assign + cluster prune
+    "text_boilerplate_segments", # corpus-frequency segment stripping
+    "graph_pagerank_iter",       # 3 power iterations over co-purchase graph
 ]
 
 

@@ -508,3 +508,50 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_s", 0.5), 3).alias("p50_latency_s"),
         F.round(F.percentile("latency_s", 0.9), 3).alias("p90_latency_s"),
     )
+
+
+@register(
+    "events_zscore_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, day
+        ),
+        stats AS (
+            SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.n,
+               ROUND((d.n - s.mu) / s.sd, 4) AS z,
+               (ABS((d.n - s.mu) / s.sd) >= 2.0) AS is_anomaly
+        FROM daily d JOIN stats s USING (event_type)
+    """,
+    tags=("events", "anomaly"),
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) count scored as a
+    z-score against that type's own daily mean/stddev, flagged at |z| >= 2
+    — the ops-monitoring primitive for ingest pipelines (sudden drops =
+    upstream breakage, spikes = bot floods). Sample stddev on both
+    engines; scores rounded so float division noise cannot flip the hash.
+
+    Scale shape: the daily rollup is one map-side-combinable count; the
+    per-type stats re-aggregate its |types|×|days| output (tiny); the
+    stats join back is an equi-join on event_type that AQE broadcasts.
+    The fact table is scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )

@@ -945,3 +945,72 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit_id").alias("n_hits"),
         F.round(F.count("hit_id").cast("double") / _TOP_K, 4).alias("recall"),
     )
+
+
+_KNN_K = 5
+
+
+@register(
+    "sim_knn_label_vote",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ),
+        c AS (
+            SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label
+            FROM embeddings WHERE vec_id >= {_N_QUERIES}
+        ),
+        topk AS (
+            SELECT query_id, nid, label,
+                   LIST_COSINE_SIMILARITY(qv, cv) AS s
+            FROM q CROSS JOIN c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, nid) <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM topk GROUP BY query_id, label
+        )
+        SELECT query_id, label AS predicted_label, n_votes
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, label) = 1
+    """,
+    tags=("similarity", "classify"),
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote: each query vector takes the
+    modal label of its {5} nearest corpus neighbors by cosine (ties to
+    the lower label — deterministic). The labeled-neighbor voting loop
+    that powers dataset auto-labeling / label-noise detection, expressed
+    as two WindowGroupLimit stages over the brute-force scorer.
+
+    Scale shape: identical to sim_brute_force_topk — queries broadcast,
+    the corpus streams through one scoring projection and crosses one
+    exchange for the per-query top-k; the vote re-agg then runs on k·|Q|
+    rows, which is dimension-table sized. Swap the scorer for the
+    LSH/IVF candidate path and the voting stages are unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("nid"), as_double(F.col("embedding")).alias("cv"), "label"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "nid", "label", cosine(F.col("qv"), F.col("cv")).alias("s")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("nid"))
+    topk = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )

@@ -828,3 +828,50 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_boiler").cast("bigint")).cast("bigint").alias("n_boiler"),
         F.md5(F.array_join(kept_sorted, " ")).alias("kept_fp"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_WORDS_SQL}) AS w FROM documents
+        ),
+        freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(-LOG2(c / t)), 4) AS mean_nll_bits
+        FROM toks JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative
+    log2-probability under the corpus's own unigram language model — the
+    in-engine stand-in for the KenLM/CCNet perplexity filter (Wenzek et
+    al. 2020 §3.3; no external LM binaries in this container, and the
+    unigram cross-entropy ranks outlier documents the same direction).
+    Low bits = repetitive/common tokens; high bits = rare-token soup.
+
+    Scale shape: token frequencies are one map-side-combinable count
+    (vocabulary-sized result); the corpus total is a 1-row frame combined
+    by cross join (never collected); scoring joins tokens to the
+    vocabulary on the token key — at web scale the vocabulary is orders
+    smaller than the token stream and AQE broadcasts it. Final per-doc
+    AVG re-aggregates on doc_id. No UDFs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    return (
+        toks.join(freq, "w")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("c") / F.col("t"))), 4).alias(
+                "mean_nll_bits"
+            ),
+        )
+    )
