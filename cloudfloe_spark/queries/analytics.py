@@ -296,3 +296,160 @@ def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec).cast("double") / F.count("*"), 4
         ).alias("avg_price"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        rfm AS (
+            SELECT o_custkey,
+                   DATEDIFF('day', MAX(o_orderdate), ANY_VALUE(a.maxd))
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders CROSS JOIN anchor a
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, monetary,
+                   NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+                   NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+                   NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+            FROM rfm
+        )
+        SELECT r, f, m,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(monetary), 2) AS total_monetary
+        FROM scored
+        GROUP BY r, f, m
+    """,
+    tags=("analytics", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994, the retention-marketing standard):
+    per-customer Recency (days since last order, anchored to the dataset's
+    max date so the result is reproducible), Frequency (order count), and
+    Monetary (total spend), each cut into quintiles; output is the
+    125-cell segment matrix with counts and revenue. NTILE orderings are
+    made TOTAL with the customer key so quintile boundaries are identical
+    on both engines.
+
+    Scale shape: one fact scan + one customer-keyed aggregate; the anchor
+    date is a 1-row cross-joined frame. The three NTILEs are global sorts
+    over the CUSTOMER aggregate (one row per customer, orders of
+    magnitude smaller than the fact table) — at 100 TB that frame is
+    range-partitioned by the window sort, the standard distributed
+    quantile path; the final segment rollup is map-side-combinable on a
+    125-key space."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        o.crossJoin(anchor)
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("maxd"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    )
+
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "basket_pair_lift",
+    oracle=f"""
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM pl),
+        supp AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM pl GROUP BY pk),
+        pairs AS (
+            SELECT a.pk AS item_a, b.pk AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_support
+            FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+        )
+        SELECT p.item_a, p.item_b, p.pair_support,
+               ROUND(CAST(p.pair_support AS DOUBLE) / sa.s, 4) AS confidence,
+               ROUND(CAST(p.pair_support AS DOUBLE) * nb.n_baskets
+                     / (sa.s * sb.s), 4) AS lift
+        FROM pairs p
+        JOIN supp sa ON p.item_a = sa.pk
+        JOIN supp sb ON p.item_b = sb.pk
+        CROSS JOIN nb
+    """,
+    tags=("analytics", "basket"),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994, a-priori
+    support pruning): item-pair support, confidence P(b|a), and lift
+    support(a,b)·N / (support(a)·support(b)) over order baskets, reported
+    for pairs co-purchased in >= {3} orders. Lift > 1 = genuinely
+    associated items, the recommender/affinity primitive.
+
+    Scale shape: the within-basket pair expansion is keyed on the order id
+    and bounded by basket size (<= 7 lines in TPC-H — linear in the fact
+    table, never quadratic in the catalog); pair support is a map-side
+    combinable count; the two item-support joins key on the item (AQE
+    broadcasts the item-support side when it fits); the basket total is a
+    1-row cross-joined frame. The support floor is the a-priori prune that
+    keeps the pair table from exploding at 100 TB."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    nb = pl.agg(F.count_distinct("ok").cast("bigint").alias("n_baskets"))
+    supp = pl.groupBy("pk").agg(F.count("*").cast("bigint").alias("s"))
+    a = pl.alias("a")
+    b = pl.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("item_a"), F.col("b.pk").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("pair_support"))
+        .filter(F.col("pair_support") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("pk").alias("item_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("pk").alias("item_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(nb)
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            F.round(F.col("pair_support").cast("double") / F.col("s_a"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_support").cast("double")
+                * F.col("n_baskets")
+                / (F.col("s_a") * F.col("s_b")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -61,6 +61,12 @@ PROBE_QUERIES = [
     # the adversarial direction for wedge work.
     "events_rolling_active_users",
     "graph_triangle_count",
+    # round-5b: PageRank shares the triangle probe's densifying-graph
+    # hazard (same edge builder); boilerplate stripping stresses the
+    # segment-frequency groupBy whose hot keys GROW with replicas (every
+    # replica repeats the same segments — df scales ×N by construction).
+    "graph_pagerank_iter",
+    "text_boilerplate_segments",
 ]
 
 
