@@ -555,3 +555,63 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS gap_s -- fractional seconds (µs precision)
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               ROUND(AVG(gap_s), 2) AS mean_gap_s,
+               ROUND(QUANTILE_CONT(gap_s, 0.5), 2) AS median_gap_s,
+               ROUND(MAX(gap_s), 2) AS max_gap_s
+        FROM seq
+        WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap_s) >= 5
+    """,
+    tags=("events", "behavior"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event arrival-gap statistics (count / mean / median /
+    max seconds between consecutive events, users with >= 5 gaps) — the
+    behavioral-cadence profile that feeds session-timeout tuning and
+    bot-vs-human triage. LAG ordering made total with the event id so
+    same-timestamp events produce identical gaps on both engines.
+
+    Scale shape: one user-keyed window shuffle for the LAG; the stats
+    re-aggregate on the same user key — Catalyst reuses the window's
+    partitioning, so the fact table crosses one exchange. The exact median
+    is a per-group percentile over each user's own bounded gap list."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            # cast→double keeps the µs fraction (unix_timestamp truncates
+            # to whole seconds and would diverge from the oracle's EPOCH)
+            (
+                F.col("ts").cast("double")
+                - F.lag("ts").over(w).cast("double")
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 2).alias("median_gap_s"),
+            F.round(F.max("gap_s"), 2).alias("max_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )

@@ -241,3 +241,55 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "d", "pr")
         )
     return ranks.select("node", F.round(F.col("pr") * 1000, 6).alias("pr_millis"))
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        und AS (
+            SELECT a.pk AS src, b.pk AS dst
+            FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT src AS node FROM und
+                  UNION ALL SELECT dst AS node FROM und)
+            GROUP BY node
+        )
+        SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS degree_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(d) AS BIGINT) AS min_degree,
+               CAST(MAX(d) AS BIGINT) AS max_degree
+        FROM deg
+        GROUP BY degree_bucket
+    """,
+    tags=("graph",),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two degree histogram of the support-pruned co-purchase
+    graph — the skew diagnostic run BEFORE any graph algorithm at scale
+    (the bucket holding the max degree says whether wedge/propagation
+    work needs salting; a heavy top bucket is the signal the triangle
+    count's orientation and the LSH bucket cap exist for).
+
+    Scale shape: one degree count keyed on the node, one map-side-combined
+    rollup over <= 64 buckets. Nothing else."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("bigint").alias("degree_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )

@@ -1014,3 +1014,100 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+_MRL_DIM = 32  # truncation prefix (full vectors are 64-dim)
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < {_N_QUERIES}),
+        trunc_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               CAST(q.embedding[1:{_MRL_DIM}] AS DOUBLE[]),
+                               CAST(c.embedding[1:{_MRL_DIM}] AS DOUBLE[])
+                           ) DESC, c.vec_id
+                       ) AS rk
+                FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+            ) WHERE rk <= {_TOP_K}
+        ),
+        full_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])
+                           ) DESC, c.vec_id
+                       ) AS rk
+                FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+            ) WHERE rk <= {_TOP_K}
+        )
+        SELECT f.query_id,
+               CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+               ROUND(CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_TOP_K}, 4)
+                   AS recall_at_k
+        FROM full_topk f
+        LEFT JOIN trunc_topk t
+          ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+    """,
+    tags=("similarity", "eval"),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022, arXiv:2205.13147):
+    recall@k of cosine search over the first {32} of 64 dimensions against
+    full-dimension ground truth — the measurement that decides whether a
+    prefix-truncated index (2× cheaper storage/scan) is safe to deploy.
+    Same harness shape as sim_ann_recall_eval with the index side swapped
+    for the sliced-vector scorer.
+
+    Scale shape: two brute-force passes over the bounded broadcast query
+    set (a sample in production); the truncated pass reads HALF the vector
+    bytes — on a columnar store with sliced storage this is the scan-cost
+    saving being measured. Comparison join is queries × k rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+
+    def topk(score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            score_col.desc(), F.col("neighbor_id")
+        )
+        return (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    trunc = topk(
+        cosine(
+            as_double(F.slice(F.col("qv"), 1, _MRL_DIM)),
+            as_double(F.slice(F.col("cv"), 1, _MRL_DIM)),
+        )
+    )
+    full = topk(cosine(as_double(F.col("qv")), as_double(F.col("cv"))))
+    t = trunc.select("query_id", F.col("neighbor_id").alias("t_nid"))
+    return (
+        full.join(
+            t,
+            (full.query_id == t.query_id) & (full.neighbor_id == t.t_nid),
+            "left",
+        )
+        .groupBy(full.query_id)
+        .agg(
+            F.count(t.t_nid).cast("bigint").alias("n_hits"),
+            F.round(F.count(t.t_nid) / float(_TOP_K), 4).alias("recall_at_k"),
+        )
+    )

@@ -49,6 +49,13 @@ _DEFAULTS: dict[str, str] = {
         "CLOUDFLOE_MAX_PARTITION_BYTES", "2m"
     ),
     "spark.sql.files.openCostInBytes": "524288",
+    # -- heap ------------------------------------------------------------
+    # local[N] puts driver AND all executor threads in ONE JVM whose heap
+    # defaults to 1g — 32 concurrent tasks plus localCheckpoint blocks on
+    # 1g is an OOM waiting to happen (the scale probe hit it at 2× sf0.1).
+    # Size it like a deployment would. Only effective when this factory
+    # launches the JVM (first session in the process); harmless otherwise.
+    "spark.driver.memory": os.environ.get("CLOUDFLOE_DRIVER_MEMORY", "8g"),
 }
 
 

@@ -34,7 +34,15 @@ KEY_OFFSET = 1_000_000_000
 
 # table → columns to remap per replica (keep joins 1:1 across replicas)
 REMAP: dict[str, list[str]] = {
-    "lineitem": ["l_orderkey"],
+    # l_partkey is remapped along with the order key so the derived
+    # co-purchase graph grows in NODES (N disjoint replicas of the base
+    # graph — how a real corpus grows) rather than DENSIFYING (same part
+    # keys, N× the orders → every pair's support multiplies, the support
+    # prune stops pruning, and wedge work goes quadratic: the un-remapped
+    # probe OOMed at x2). part.p_partkey mirrors the remap so part joins
+    # stay 1:1 per replica.
+    "lineitem": ["l_orderkey", "l_partkey"],
+    "part": ["p_partkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
     "documents": ["doc_id"],
