@@ -287,3 +287,92 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         enriched, name=_unique("st_enrich"), output_mode="append"
     )
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle="""
+        SELECT c.user_id AS l_user,
+               c.event_id AS l_event_id,
+               c.ts AS l_ts,
+               p.event_id AS r_event_id,
+               p.ts AS r_ts
+        FROM events c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '1 hour'
+        WHERE c.event_type = 'click'
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join executed BY THE STREAMING
+    ENGINE — the semantics no single availableNow pass can verify: an
+    unmatched click is emitted with NULL purchase columns only after the
+    watermark proves no purchase can still arrive, and Spark's watermark
+    never advances past the final batch, so the stream's tail would stay
+    buffered forever. The twin therefore drives TWO checkpointed
+    availableNow runs over a growing source directory (the deterministic-
+    batch-order pattern from tests/test_streaming.py): run 1 is the real
+    events, run 2 adds a far-future sentinel pair (user_id -1) that
+    advances the watermark beyond every real row, flushing all remaining
+    matched AND null-extended rows to the append sink. The terminal sink
+    contents then equal the batch LEFT JOIN, which the oracle states
+    directly.
+
+    Scale shape: the join itself is the watermark-bounded shuffled hash
+    join on user_id (state evicted by watermark + interval); the sentinel
+    is the standard production trick for draining a bounded replay."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.tables import load_table
+    from cloudfloe_spark.streaming.windows import stream_stream_left_outer_join
+
+    base = tempfile.mkdtemp(prefix="cf_louter_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    cp = os.path.join(base, "cp")
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+
+    def _run() -> None:
+        sdf = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(f"{src}/*")
+        joined = stream_stream_left_outer_join(sdf, sdf)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    _run()
+    # Sentinel batch: one click + one purchase for a user id outside the
+    # fixture's key space, timestamped beyond any fixture event (the
+    # fixtures are 2024-vintage) — run 2's watermark then passes every
+    # real row and the join state drains completely.
+    sentinel = spark.createDataFrame(
+        [
+            (-1, "2035-01-01 00:00:00", -1, "click"),
+            (-2, "2035-01-01 00:00:00", -1, "purchase"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    _run()
+
+    return spark.read.parquet(out).filter(F.col("l_user") >= 0)

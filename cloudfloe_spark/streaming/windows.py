@@ -217,3 +217,46 @@ def stream_stream_interval_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
     ).select("l_user", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like
+    :func:`stream_stream_interval_join`, but every ``left_type`` event is
+    emitted exactly once — with its matches, or with NULL right columns
+    once the watermark proves no match can still arrive. The null-side
+    emission is the semantics that differ from inner: an unmatched left
+    row sits in state until watermark > l_ts + interval, THEN flushes.
+    State stays bounded by the same watermark + interval eviction rule."""
+    lt = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    rt = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return lt.join(
+        rt,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select("l_user", "l_event_id", "l_ts", "r_event_id", "r_ts")

@@ -204,3 +204,87 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     cols = ["l_user", "l_event_id", "l_ts", "r_event_id", "r_ts"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """The left-outer stream-stream join's distinguishing behavior — a
+    click with NO purchase inside the interval must surface with NULL
+    right columns once the watermark proves no match can arrive (the
+    fixture corpus happens to match every click, so the catalog twin
+    alone never exercises this path)."""
+    from cloudfloe_spark.streaming.windows import stream_stream_left_outer_join
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    cp = tmp_path / "cp"
+    src.mkdir()
+    schema = "event_id long, ts_s string, user_id long, event_type string"
+
+    def _write(name, rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id",
+                F.to_timestamp("ts_s").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / name))
+        )
+
+    def _run():
+        sdf = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(f"{src}/*")
+        q = (
+            stream_stream_left_outer_join(sdf, sdf)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _write(
+        "b0",
+        [
+            # user 1: click matched by a purchase 30 min later
+            (1, "2024-01-01 10:00:00", 1, "click"),
+            (2, "2024-01-01 10:30:00", 1, "purchase"),
+            # user 2: click with a purchase OUTSIDE the 1h interval
+            (3, "2024-01-01 10:00:00", 2, "click"),
+            (4, "2024-01-01 12:00:00", 2, "purchase"),
+            # user 3: click with no purchase at all
+            (5, "2024-01-01 10:00:00", 3, "click"),
+        ],
+    )
+    _run()
+    # far-future sentinel PAIR: the global watermark is the MIN across
+    # both join inputs, and each side filters to its own event_type — a
+    # click-only sentinel would advance the left side while the right
+    # side's watermark (and therefore the global one) stays put, and no
+    # null row ever flushes. One sentinel per side.
+    _write(
+        "b1",
+        [
+            (900, "2024-02-01 00:00:00", -1, "click"),
+            (901, "2024-02-01 00:00:00", -1, "purchase"),
+        ],
+    )
+    _run()
+
+    rows = {
+        r["l_event_id"]: r
+        for r in spark.read.parquet(str(out))
+        .filter(F.col("l_user") >= 0)
+        .collect()
+    }
+    assert set(rows) == {1, 3, 5}
+    assert rows[1]["r_event_id"] == 2           # matched inside interval
+    assert rows[3]["r_event_id"] is None        # match outside interval
+    assert rows[5]["r_event_id"] is None        # no match at all
