@@ -145,17 +145,38 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
             im.schema_field_names(root, metadata_path) if eq_deletes else {}
         )
         file_seqs = im.live_data_seqs(root, snap) if eq_deletes else {}
+        # Schema evolution: group files by the rename map their footer
+        # needs (field-id resolution via the schema log — a renamed
+        # column's old data files keep the old parquet name; reading by
+        # name alone would null the column out). One group with an empty
+        # map is the no-rename fast path (single read, footers untouched).
+        groups = im.rename_groups(root, paths, metadata_path) if paths else []
+        name_history = (
+            im.schema_name_history(root, metadata_path) if eq_deletes else {}
+        )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("scan", root, snap.get("snapshot-id"))
     if paths:
-        df = sess.read.parquet(*paths)
-        if pos_deletes:
-            df = _apply_position_deletes(sess, df, pos_deletes)
-        if eq_deletes:
-            df = _apply_equality_deletes(
-                sess, df, eq_deletes, field_names, file_seqs
-            )
+        parts = []
+        for gpaths, renames in groups:
+            gdf = sess.read.parquet(*gpaths)
+            # Deletes apply BEFORE the rename: both use _metadata
+            # pseudo-columns of the fresh scan, and equality-delete value
+            # columns translate into each group's on-disk names.
+            if pos_deletes:
+                gdf = _apply_position_deletes(sess, gdf, pos_deletes)
+            if eq_deletes:
+                gdf = _apply_equality_deletes(
+                    sess, gdf, eq_deletes, field_names, file_seqs,
+                    renames=renames, name_history=name_history,
+                )
+            if renames:
+                gdf = gdf.withColumnsRenamed(renames)
+            parts.append(gdf)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     else:  # legitimate empty snapshot — zero rows, correct columns
         df = sess.createDataFrame(
             [], im.current_schema_ddl(root, metadata_path)
@@ -205,7 +226,13 @@ def _apply_position_deletes(sess, data, delete_paths: list[str]):
 
 
 def _apply_equality_deletes(
-    sess, data, deletes: list[dict], field_names: dict, file_seqs: dict
+    sess,
+    data,
+    deletes: list[dict],
+    field_names: dict,
+    file_seqs: dict,
+    renames: dict | None = None,
+    name_history: dict | None = None,
 ):
     """Merge-on-read for Iceberg v2 equality deletes, no runtime jar
     needed. Per the spec, an equality-delete row removes every data row
@@ -236,6 +263,32 @@ def _apply_equality_deletes(
         "left",
     )
 
+    # Rename-aware resolution (schema evolution): ``field_names`` carries
+    # CURRENT names; a data-file group read under pre-rename names matches
+    # via the inverse of its rename map, and a delete FILE written before
+    # the rename carries the old parquet name too — resolved per delete
+    # file against its own footer using the table's full rename history.
+    inv = {v: k for k, v in (renames or {}).items()}
+    hist = name_history or {}
+
+    def _del_col(path: str, c: str) -> str:
+        if not hist:
+            return c
+        try:
+            from cloudfloe_spark.sources.iceberg_meta import (
+                parquet_column_names,
+            )
+
+            avail = set(parquet_column_names(path))
+        except Exception:
+            return c
+        if c in avail:
+            return c
+        for old, cur in hist.items():
+            if cur == c and old in avail:
+                return old
+        return c
+
     by_cols: dict[tuple, list[dict]] = {}
     for d in deletes:
         cols = tuple(field_names[i] for i in d["equality_ids"])
@@ -245,13 +298,18 @@ def _apply_equality_deletes(
         for d in group:
             one = (
                 sess.read.parquet(d["path"])
-                .select(*[F.col(c).alias(f"__cf_del_{c}") for c in cols])
+                .select(
+                    *[
+                        F.col(_del_col(d["path"], c)).alias(f"__cf_del_{c}")
+                        for c in cols
+                    ]
+                )
                 .withColumn("__cf_del_seq", F.lit(int(d["seq"])))
             )
             dels = one if dels is None else dels.unionByName(one)
         cond = F.col("__cf_data_seq") < F.col("__cf_del_seq")
         for c in cols:
-            cond = cond & F.col(c).eqNullSafe(F.col(f"__cf_del_{c}"))
+            cond = cond & F.col(inv.get(c, c)).eqNullSafe(F.col(f"__cf_del_{c}"))
         keyed = keyed.join(dels, cond, "left_anti")
     return keyed.drop("__cf_eq_file", "__cf_seq_file", "__cf_data_seq")
 

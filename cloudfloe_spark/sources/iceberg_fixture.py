@@ -109,6 +109,9 @@ class LocalIcebergTable:
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
         self._seq = 0
+        # schema log: rename_column appends entries; current id = last
+        self._schema_log: list[dict] = []
+        self._extra_meta_versions = 0
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
 
@@ -225,6 +228,45 @@ class LocalIcebergTable:
 
     # -- internals ------------------------------------------------------------
 
+    def rename_column(self, old: str, new: str, *, timestamp_ms: int) -> None:
+        """Metadata-only column rename (Iceberg semantics: the field id is
+        stable, already-written data files keep the old parquet column
+        name, and only readers that resolve by field id see one coherent
+        column). Appends a new schema to the log, points
+        ``current-schema-id`` at it, and publishes a new metadata version
+        WITHOUT a snapshot — exactly what an ``ALTER TABLE RENAME COLUMN``
+        commit writes. Subsequent appends must use the new name."""
+        if old not in self.schema.names:
+            raise KeyError(f"no column {old!r} to rename")
+        if new in self.schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        import pyarrow as pa
+
+        self.schema = pa.schema(
+            [
+                f.with_name(new) if f.name == old else f
+                for f in self.schema
+            ]
+        )
+        if not self._schema_log:
+            # schema 0 was implicit until now — materialize the ORIGINAL
+            # names as schema-id 0 before appending the renamed schema.
+            renamed_back = pa.schema(
+                [
+                    f.with_name(old) if f.name == new else f
+                    for f in self.schema
+                ]
+            )
+            orig, self.schema = self.schema, renamed_back
+            self._schema_log.append(self._iceberg_schema(0))
+            self.schema = orig
+        self._schema_log.append(
+            self._iceberg_schema(len(self._schema_log))
+        )
+        self._extra_meta_versions += 1
+        if self._snapshots:
+            self._write_metadata_json(timestamp_ms)
+
     def _commit(self, timestamp_ms: int) -> int:
         self._seq += 1
         snap_id = 7_000_000_000_000_000_000 + self._seq  # > 2^53: JS-unsafe
@@ -282,7 +324,7 @@ class LocalIcebergTable:
         self._write_metadata_json(timestamp_ms)
         return snap_id
 
-    def _iceberg_schema(self) -> dict:
+    def _iceberg_schema(self, schema_id: int = 0) -> dict:
         fields = []
         for i, f in enumerate(self.schema):
             t = _ARROW_TO_ICEBERG.get(f.type)
@@ -294,7 +336,7 @@ class LocalIcebergTable:
             fields.append(
                 {"id": i + 1, "name": f.name, "required": False, "type": t}
             )
-        return {"type": "struct", "schema-id": 0, "fields": fields}
+        return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
     def _write_metadata_json(self, timestamp_ms: int) -> None:
         meta = {
@@ -303,8 +345,10 @@ class LocalIcebergTable:
             "location": self._uri(self.root),
             "last-updated-ms": timestamp_ms,
             "current-snapshot-id": self._snapshots[-1]["snapshot-id"],
-            "current-schema-id": 0,
-            "schemas": [self._iceberg_schema()],
+            "current-schema-id": (
+                self._schema_log[-1]["schema-id"] if self._schema_log else 0
+            ),
+            "schemas": self._schema_log or [self._iceberg_schema()],
             "snapshots": self._snapshots,
             "snapshot-log": [
                 {
@@ -315,7 +359,9 @@ class LocalIcebergTable:
             ],
         }
         path = os.path.join(
-            self.root, "metadata", f"v{self._seq}.metadata.json"
+            self.root,
+            "metadata",
+            f"v{self._seq + self._extra_meta_versions}.metadata.json",
         )
         with open(path, "w") as f:
             json.dump(meta, f)

@@ -466,3 +466,95 @@ def current_schema_ddl(root: str, metadata_path: Optional[str] = None) -> str:
         f"`{f['name']}` {_iceberg_type_to_ddl(f['type'])}"
         for f in schema["fields"]
     )
+
+
+# --- schema evolution: field-id-based rename resolution ----------------------
+
+
+def schema_name_history(
+    root: str, metadata_path: Optional[str] = None
+) -> dict[str, str]:
+    """Historical column name → CURRENT column name, joined on the field
+    id across the metadata's schema log — the mapping a rename leaves
+    behind (Iceberg renames are metadata-only; already-written data files
+    keep the old parquet column name, and a spec-correct reader projects
+    by field id, never by name).
+
+    Raises :class:`IcebergMetadataError` when the history is ambiguous
+    for a NAME-based file mapping: an old name that now denotes a
+    different live field (rename a→b then add a new column a), or one
+    old name pointing at two current names. Footer sniffing cannot tell
+    those apart — the parquet-level field-id path (or compaction) is the
+    remedy, and silently guessing would corrupt reads."""
+    meta = load_metadata(root, metadata_path)
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    current_id = meta.get("current-schema-id", 0)
+    current = next(
+        (s for s in schemas if s.get("schema-id") == current_id),
+        schemas[-1] if schemas else None,
+    )
+    if not current:
+        return {}
+    cur_by_id = {
+        f["id"]: f["name"]
+        for f in current.get("fields", [])
+        if "id" in f and "name" in f
+    }
+    cur_names = set(cur_by_id.values())
+    hist: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    for s in schemas:
+        for f in s.get("fields", []):
+            cur = cur_by_id.get(f.get("id"))
+            old = f.get("name")
+            if cur is None or old is None or cur == old:
+                continue
+            if old in cur_names or (old in hist and hist[old] != cur):
+                ambiguous.add(old)
+            else:
+                hist[old] = cur
+    if ambiguous:
+        raise IcebergMetadataError(
+            f"ambiguous column-rename history for {sorted(ambiguous)}: an "
+            "old name collides with a live column (or maps to two current "
+            "names), so name-based footer mapping cannot resolve old data "
+            "files. Compact the table to rewrite files under the current "
+            "schema."
+        )
+    return hist
+
+
+def parquet_column_names(path: str) -> list[str]:
+    """Top-level column names from a parquet file's footer. Local paths
+    read the footer directly; served remote schemes go through fsio (the
+    whole object at fixture scale — a production reader range-reads the
+    footer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import fsio
+
+    if fsio.is_remote(path):
+        return pq.read_schema(pa.BufferReader(fsio.read_bytes(path))).names
+    return pq.read_schema(path.removeprefix("file://")).names
+
+
+def rename_groups(
+    root: str, paths: list[str], metadata_path: Optional[str] = None
+) -> list[tuple[list[str], dict[str, str]]]:
+    """Partition a snapshot's data files into groups sharing one
+    old-name→current-name rename map (empty map = file already matches
+    the current schema). One group ⇒ the caller's single-read fast path;
+    no rename history ⇒ footers are never touched."""
+    hist = schema_name_history(root, metadata_path)
+    if not hist:
+        return [(list(paths), {})]
+    groups: dict[tuple, tuple[list[str], dict[str, str]]] = {}
+    for p in paths:
+        cols = parquet_column_names(p)
+        rmap = {c: hist[c] for c in cols if c in hist}
+        key = tuple(sorted(rmap.items()))
+        groups.setdefault(key, ([], dict(rmap)))[0].append(p)
+    return [(ps, rm) for ps, rm in groups.values()]

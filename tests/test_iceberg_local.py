@@ -948,3 +948,85 @@ def test_iceberg_changes_rejects_unresolvable_and_rewritten(spark, tmp_path):
         )
     assert e2.value.status_code == 400
     assert "removed or rewritten" in e2.value.detail
+
+
+# --- schema evolution: column rename (field-id resolution) -------------------
+
+
+def test_rename_reads_old_and_new_files_as_one_column(spark, tmp_path):
+    """Rename is metadata-only: files written BEFORE carry the old parquet
+    column name, files written AFTER the new one — the reader must project
+    both into the renamed column by field id (a name-based read would null
+    the old files' column out)."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    t.rename_column("name", "title", timestamp_ms=T1 + 50)
+    t.append_snapshot(
+        [pa.table({"id": [3], "title": ["c"]})], timestamp_ms=T2
+    )
+    resp = run_query(
+        spark,
+        f"SELECT id, title FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    assert resp.columns == ["id", "title"]
+    assert [tuple(r) for r in resp.rows] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_rename_with_position_delete_on_old_file(spark, tmp_path):
+    """Position deletes reference files by path, so they must keep applying
+    inside a rename group (delete row 0 of the pre-rename file)."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    old_file = t.live_data_paths()[0]
+    t.rename_column("name", "title", timestamp_ms=T1 + 20)
+    t.append_snapshot(
+        [pa.table({"id": [3], "title": ["c"]})], timestamp_ms=T1 + 40
+    )
+    t.position_delete_snapshot(
+        [(old_file, 0)], timestamp_ms=T2
+    )
+    resp = run_query(
+        spark,
+        f"SELECT id, title FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [(2, "b"), (3, "c")]
+
+
+def test_ambiguous_rename_history_is_rejected(spark, tmp_path):
+    """rename name→title then alias→name: the old files' 'name' column now
+    collides with a DIFFERENT live field of the same name — name-based
+    footer mapping cannot resolve it, and guessing would corrupt reads, so
+    the scan must 400 with the compaction remedy."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("name", pa.string()), ("alias", pa.string())]
+        ),
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "name": ["a"], "alias": ["x"]})],
+        timestamp_ms=T1,
+    )
+    t.rename_column("name", "title", timestamp_ms=T1 + 10)
+    t.rename_column("alias", "name", timestamp_ms=T1 + 20)
+    t.append_snapshot(
+        [pa.table({"id": [2], "title": ["b"], "name": ["y"]})],
+        timestamp_ms=T2,
+    )
+    with pytest.raises(CloudfloeError) as ei:
+        run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
+    assert "ambiguous" in str(ei.value).lower()
+    assert "compact" in str(ei.value).lower()
