@@ -150,7 +150,7 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         # column's old data files keep the old parquet name; reading by
         # name alone would null the column out). One group with an empty
         # map is the no-rename fast path (single read, footers untouched).
-        groups = im.rename_groups(root, paths, metadata_path) if paths else []
+        groups = im.scan_groups(root, paths, metadata_path) if paths else []
         name_history = (
             im.schema_name_history(root, metadata_path) if eq_deletes else {}
         )
@@ -159,8 +159,14 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
     name = _view_name("scan", root, snap.get("snapshot-id"))
     if paths:
         parts = []
-        for gpaths, renames in groups:
-            gdf = sess.read.parquet(*gpaths)
+        for gpaths, renames, read_ddl in groups:
+            reader = sess.read
+            if read_ddl is not None:
+                # evolution-correct explicit schema (in this group's
+                # on-disk names): columns added after a file was written
+                # read as NULL; dropped columns are ignored.
+                reader = reader.schema(read_ddl)
+            gdf = reader.parquet(*gpaths)
             # Deletes apply BEFORE the rename: both use _metadata
             # pseudo-columns of the fresh scan, and equality-delete value
             # columns translate into each group's on-disk names.

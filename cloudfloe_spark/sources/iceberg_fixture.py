@@ -267,6 +267,25 @@ class LocalIcebergTable:
         if self._snapshots:
             self._write_metadata_json(timestamp_ms)
 
+    def add_column(self, name: str, pa_type, *, timestamp_ms: int) -> None:
+        """Metadata-only ADD COLUMN (appended, so existing positional
+        field ids stay stable): new schema in the log, current-schema-id
+        bumped, new metadata version, no snapshot. Files written before
+        lack the column and must read as NULL."""
+        if name in self.schema.names:
+            raise ValueError(f"column {name!r} already exists")
+        import pyarrow as pa
+
+        if not self._schema_log:
+            self._schema_log.append(self._iceberg_schema(0))
+        self.schema = self.schema.append(pa.field(name, pa_type))
+        self._schema_log.append(
+            self._iceberg_schema(len(self._schema_log))
+        )
+        self._extra_meta_versions += 1
+        if self._snapshots:
+            self._write_metadata_json(timestamp_ms)
+
     def _commit(self, timestamp_ms: int) -> int:
         self._seq += 1
         snap_id = 7_000_000_000_000_000_000 + self._seq  # > 2^53: JS-unsafe

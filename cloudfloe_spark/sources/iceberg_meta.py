@@ -541,20 +541,56 @@ def parquet_column_names(path: str) -> list[str]:
     return pq.read_schema(path.removeprefix("file://")).names
 
 
-def rename_groups(
+def scan_groups(
     root: str, paths: list[str], metadata_path: Optional[str] = None
-) -> list[tuple[list[str], dict[str, str]]]:
-    """Partition a snapshot's data files into groups sharing one
-    old-name→current-name rename map (empty map = file already matches
-    the current schema). One group ⇒ the caller's single-read fast path;
-    no rename history ⇒ footers are never touched."""
+) -> list[tuple[list[str], dict[str, str], Optional[str]]]:
+    """Partition a snapshot's data files for a schema-evolution-correct
+    read: ``(paths, rename_map, read_schema_ddl)`` per group.
+
+    - No evolution (single schema in the log): one group, no rename, no
+      explicit schema — the plain fast path, footers never touched.
+    - Adds/drops only (multi-schema log, no renames): one group read under
+      an EXPLICIT current-schema DDL, so columns added after a file was
+      written surface as NULL (a footer-inferred read would silently pick
+      one file's schema) and dropped columns are ignored. Footers still
+      never touched.
+    - Renames: files grouped by the old-name→current-name map their footer
+      needs (field-id resolution via the schema log); each group reads
+      under the current schema translated to ITS on-disk names, then
+      renames after delete application.
+    """
+    meta = load_metadata(root, metadata_path)
+    schemas = meta.get("schemas") or []
+    evolved = len(schemas) > 1 or meta.get("current-schema-id", 0) not in (
+        0,
+        None,
+    )
     hist = schema_name_history(root, metadata_path)
     if not hist:
-        return [(list(paths), {})]
+        ddl = current_schema_ddl(root, metadata_path) if evolved else None
+        return [(list(paths), {}, ddl)]
+
+    cur = _current_schema(meta)
+    fields = [(f["name"], _iceberg_type_to_ddl(f["type"])) for f in cur["fields"]]
+
+    def _ddl(rmap: dict[str, str]) -> str:
+        inv = {v: k for k, v in rmap.items()}
+        return ", ".join(f"`{inv.get(n, n)}` {t}" for n, t in fields)
+
     groups: dict[tuple, tuple[list[str], dict[str, str]]] = {}
     for p in paths:
         cols = parquet_column_names(p)
         rmap = {c: hist[c] for c in cols if c in hist}
         key = tuple(sorted(rmap.items()))
         groups.setdefault(key, ([], dict(rmap)))[0].append(p)
-    return [(ps, rm) for ps, rm in groups.values()]
+    return [(ps, rm, _ddl(rm)) for ps, rm in groups.values()]
+
+
+def _current_schema(meta: dict) -> dict:
+    sid = meta.get("current-schema-id")
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            return s
+    if meta.get("schema"):
+        return meta["schema"]
+    raise IcebergMetadataError("metadata carries no schema")

@@ -1030,3 +1030,51 @@ def test_ambiguous_rename_history_is_rejected(spark, tmp_path):
         run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
     assert "ambiguous" in str(ei.value).lower()
     assert "compact" in str(ei.value).lower()
+
+
+def test_add_column_nulls_old_files(spark, tmp_path):
+    """ADD COLUMN is metadata-only: files written before lack the column
+    and must read as NULL (a footer-inferred multi-file read would pick
+    ONE file's schema and either drop the column or fail)."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    t.add_column("score", pa.float64(), timestamp_ms=T1 + 10)
+    t.append_snapshot(
+        [pa.table({"id": [3], "score": [0.5]})], timestamp_ms=T2
+    )
+    resp = run_query(
+        spark,
+        f"SELECT id, score FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    assert resp.columns == ["id", "score"]
+    assert [tuple(r) for r in resp.rows] == [
+        (1, None),
+        (2, None),
+        (3, 0.5),
+    ]
+
+
+def test_rename_then_add_column_compose(spark, tmp_path):
+    """Rename + add in one history: the pre-evolution file needs BOTH the
+    rename map and the null-extension; the post-evolution file neither."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "name": ["a"]})], timestamp_ms=T1
+    )
+    t.rename_column("name", "title", timestamp_ms=T1 + 10)
+    t.add_column("score", pa.float64(), timestamp_ms=T1 + 20)
+    t.append_snapshot(
+        [pa.table({"id": [2], "title": ["b"], "score": [1.5]})],
+        timestamp_ms=T2,
+    )
+    resp = run_query(
+        spark,
+        f"SELECT id, title, score FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [(1, "a", None), (2, "b", 1.5)]
