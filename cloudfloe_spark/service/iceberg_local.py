@@ -141,8 +141,15 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         paths = im.live_data_paths(root, snap)
         pos_deletes = im.position_delete_paths(root, snap)
         eq_deletes = im.equality_delete_records(root, snap)
+        # Time travel resolves under the SNAPSHOT's schema when the
+        # metadata records one (spec field `schema-id` per snapshot) —
+        # a pre-rename snapshot shows pre-rename column names. Absent
+        # (older writers), the current schema applies.
+        snap_sid = snap.get("schema-id")
         field_names = (
-            im.schema_field_names(root, metadata_path) if eq_deletes else {}
+            im.schema_field_names(root, metadata_path, schema_id=snap_sid)
+            if eq_deletes
+            else {}
         )
         file_seqs = im.live_data_seqs(root, snap) if eq_deletes else {}
         # Schema evolution: group files by the rename map their footer
@@ -150,9 +157,15 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         # column's old data files keep the old parquet name; reading by
         # name alone would null the column out). One group with an empty
         # map is the no-rename fast path (single read, footers untouched).
-        groups = im.scan_groups(root, paths, metadata_path) if paths else []
+        groups = (
+            im.scan_groups(root, paths, metadata_path, schema_id=snap_sid)
+            if paths
+            else []
+        )
         name_history = (
-            im.schema_name_history(root, metadata_path) if eq_deletes else {}
+            im.schema_name_history(root, metadata_path, schema_id=snap_sid)
+            if eq_deletes
+            else {}
         )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
@@ -185,7 +198,8 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
             df = df.unionByName(p)
     else:  # legitimate empty snapshot — zero rows, correct columns
         df = sess.createDataFrame(
-            [], im.current_schema_ddl(root, metadata_path)
+            [],
+            im.current_schema_ddl(root, metadata_path, schema_id=snap_sid),
         )
     df.createOrReplaceTempView(name)
     return name

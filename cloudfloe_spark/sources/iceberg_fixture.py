@@ -328,6 +328,13 @@ class LocalIcebergTable:
             {
                 "snapshot-id": snap_id,
                 "sequence-number": self._seq,
+                # spec: the schema the snapshot was written under — time
+                # travel reads resolve column names as of this schema
+                "schema-id": (
+                    self._schema_log[-1]["schema-id"]
+                    if self._schema_log
+                    else 0
+                ),
                 "timestamp-ms": timestamp_ms,
                 "manifest-list": self._uri(mlist),
                 "summary": {

@@ -350,16 +350,22 @@ def live_data_seqs(root: str, snapshot: dict) -> dict[str, int]:
 
 
 def schema_field_names(
-    root: str, metadata_path: Optional[str] = None
+    root: str,
+    metadata_path: Optional[str] = None,
+    schema_id: Optional[int] = None,
 ) -> dict[int, str]:
-    """Current-schema field id → column name (equality_ids are field
-    ids). Top-level fields only — nested equality deletes are out of
-    scope for the no-runtime reader."""
+    """Field id → column name for ``schema_id`` (default: the current
+    schema; a snapshot-pinned read passes ITS schema id so time travel
+    resolves names as of that snapshot). Equality_ids are field ids.
+    Top-level fields only — nested equality deletes are out of scope for
+    the no-runtime reader."""
     meta = load_metadata(root, metadata_path)
     schemas = meta.get("schemas") or []
-    current = meta.get("current-schema-id", 0)
+    target = schema_id if schema_id is not None else meta.get(
+        "current-schema-id", 0
+    )
     schema = next(
-        (s for s in schemas if s.get("schema-id") == current),
+        (s for s in schemas if s.get("schema-id") == target),
         meta.get("schema"),  # v1 single-schema form
     )
     if not schema:
@@ -445,15 +451,19 @@ def _iceberg_type_to_ddl(t: Any) -> str:
     raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
 
 
-def current_schema_ddl(root: str, metadata_path: Optional[str] = None) -> str:
-    """Spark DDL column list for the table's current schema — lets an
+def current_schema_ddl(
+    root: str,
+    metadata_path: Optional[str] = None,
+    schema_id: Optional[int] = None,
+) -> str:
+    """Spark DDL column list for ``schema_id`` (default current) — lets an
     empty snapshot read return zero rows WITH the right columns.
     ``metadata_path`` keeps a catalog-named metadata file authoritative
     (a directory scan could disagree after a failed-then-retried commit
     left an orphan newer file)."""
     meta = load_metadata(root, metadata_path)
     schema = None
-    sid = meta.get("current-schema-id")
+    sid = schema_id if schema_id is not None else meta.get("current-schema-id")
     for s in meta.get("schemas", []):
         if s.get("schema-id") == sid:
             schema = s
@@ -472,7 +482,9 @@ def current_schema_ddl(root: str, metadata_path: Optional[str] = None) -> str:
 
 
 def schema_name_history(
-    root: str, metadata_path: Optional[str] = None
+    root: str,
+    metadata_path: Optional[str] = None,
+    schema_id: Optional[int] = None,
 ) -> dict[str, str]:
     """Historical column name → CURRENT column name, joined on the field
     id across the metadata's schema log — the mapping a rename leaves
@@ -490,7 +502,11 @@ def schema_name_history(
     schemas = meta.get("schemas") or (
         [meta["schema"]] if meta.get("schema") else []
     )
-    current_id = meta.get("current-schema-id", 0)
+    current_id = (
+        schema_id
+        if schema_id is not None
+        else meta.get("current-schema-id", 0)
+    )
     current = next(
         (s for s in schemas if s.get("schema-id") == current_id),
         schemas[-1] if schemas else None,
@@ -542,7 +558,10 @@ def parquet_column_names(path: str) -> list[str]:
 
 
 def scan_groups(
-    root: str, paths: list[str], metadata_path: Optional[str] = None
+    root: str,
+    paths: list[str],
+    metadata_path: Optional[str] = None,
+    schema_id: Optional[int] = None,
 ) -> list[tuple[list[str], dict[str, str], Optional[str]]]:
     """Partition a snapshot's data files for a schema-evolution-correct
     read: ``(paths, rename_map, read_schema_ddl)`` per group.
@@ -561,16 +580,22 @@ def scan_groups(
     """
     meta = load_metadata(root, metadata_path)
     schemas = meta.get("schemas") or []
-    evolved = len(schemas) > 1 or meta.get("current-schema-id", 0) not in (
-        0,
-        None,
+    target_sid = (
+        schema_id
+        if schema_id is not None
+        else meta.get("current-schema-id", 0)
     )
-    hist = schema_name_history(root, metadata_path)
+    evolved = len(schemas) > 1 or target_sid not in (0, None)
+    hist = schema_name_history(root, metadata_path, schema_id=target_sid)
     if not hist:
-        ddl = current_schema_ddl(root, metadata_path) if evolved else None
+        ddl = (
+            current_schema_ddl(root, metadata_path, schema_id=target_sid)
+            if evolved
+            else None
+        )
         return [(list(paths), {}, ddl)]
 
-    cur = _current_schema(meta)
+    cur = _schema_for(meta, target_sid)
     fields = [(f["name"], _iceberg_type_to_ddl(f["type"])) for f in cur["fields"]]
 
     def _ddl(rmap: dict[str, str]) -> str:
@@ -586,8 +611,12 @@ def scan_groups(
     return [(ps, rm, _ddl(rm)) for ps, rm in groups.values()]
 
 
-def _current_schema(meta: dict) -> dict:
-    sid = meta.get("current-schema-id")
+def _schema_for(meta: dict, schema_id: Optional[int] = None) -> dict:
+    sid = (
+        schema_id
+        if schema_id is not None
+        else meta.get("current-schema-id")
+    )
     for s in meta.get("schemas", []):
         if s.get("schema-id") == sid:
             return s

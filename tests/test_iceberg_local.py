@@ -1078,3 +1078,37 @@ def test_rename_then_add_column_compose(spark, tmp_path):
         _cfg(),
     )
     assert [tuple(r) for r in resp.rows] == [(1, "a", None), (2, "b", 1.5)]
+
+
+def test_time_travel_resolves_snapshot_schema(spark, tmp_path):
+    """Spec: each snapshot records the schema-id it was written under —
+    VERSION AS OF a pre-rename snapshot must show PRE-rename column names
+    (and no later-added columns), while the current read shows the
+    evolved schema."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1], "name": ["a"]})], timestamp_ms=T1
+    )
+    t.rename_column("name", "title", timestamp_ms=T1 + 10)
+    t.add_column("score", pa.float64(), timestamp_ms=T1 + 20)
+    s2 = t.append_snapshot(
+        [pa.table({"id": [2], "title": ["b"], "score": [1.5]})],
+        timestamp_ms=T2,
+    )
+    old = run_query(
+        spark,
+        f"SELECT * FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+        _cfg(),
+    )
+    assert old.columns == ["id", "name"], old.columns
+    assert [tuple(r) for r in old.rows] == [(1, "a")]
+    cur = run_query(
+        spark,
+        f"SELECT * FROM iceberg_scan('{root}') VERSION AS OF {s2} ORDER BY id",
+        _cfg(),
+    )
+    assert cur.columns == ["id", "title", "score"], cur.columns
+    assert [tuple(r) for r in cur.rows] == [(1, "a", None), (2, "b", 1.5)]
