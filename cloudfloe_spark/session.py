@@ -53,9 +53,13 @@ _DEFAULTS: dict[str, str] = {
     # local[N] puts driver AND all executor threads in ONE JVM whose heap
     # defaults to 1g — 32 concurrent tasks plus localCheckpoint blocks on
     # 1g is an OOM waiting to happen (the scale probe hit it at 2× sf0.1).
-    # Size it like a deployment would. Only effective when this factory
-    # launches the JVM (first session in the process); harmless otherwise.
-    "spark.driver.memory": os.environ.get("CLOUDFLOE_DRIVER_MEMORY", "8g"),
+    # 2g measured fastest on the checkpoint-heavy iterative operators
+    # (star contraction min-of-3: 1g 5.95 s, 2g 5.80 s, 4g 6.47 s,
+    # 8g 6.35 s at sf0.1 — larger heaps shift G1 ergonomics the wrong
+    # way for this allocation pattern) while giving 2× the OOM headroom.
+    # Only effective when this factory launches the JVM (first session in
+    # the process); harmless otherwise. Cluster deployments override.
+    "spark.driver.memory": os.environ.get("CLOUDFLOE_DRIVER_MEMORY", "2g"),
 }
 
 
