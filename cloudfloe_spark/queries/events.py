@@ -615,3 +615,69 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 5)
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS INTEGER) AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(d) AS streak_start
+            FROM grp GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               MIN(streak_start) AS first_active_day
+        FROM streaks
+        GROUP BY user_id
+        HAVING MAX(len) >= 2
+    """,
+    tags=("events", "behavior"),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active days
+    (the classic ``date − row_number`` trick — consecutive dates share one
+    island key), plus streak count and first activity. The
+    retention/habit metric engagement teams ship daily; users with a
+    streak of at least 2 reported.
+
+    Scale shape: one distinct on (user, day) — map-side combinable; one
+    user-keyed window (row_number is a streaming pass over each user's
+    sorted days); two re-aggregations that reuse the user_id hash
+    partitioning prefix. The fact table crosses one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .filter(F.col("longest_streak") >= 2)
+    )

@@ -572,3 +572,54 @@ def agg_count_if_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderkey") == F.col("grp_min"), F.col("o_orderstatus"))
         ).alias("first_status"),
     )
+
+
+@register(
+    "agg_approx_percentile_contract",
+    # Like agg_approx_distinct: the sketch value is engine-specific, so
+    # the oracle states the CONTRACT — approx_percentile at accuracy
+    # 10000 must land within 1% (relative) of the exact percentile.
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS exact_p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS exact_p99,
+               TRUE AS p50_within_tol,
+               TRUE AS p99_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100-TB percentile path (one pass, bounded
+    sketch memory, no per-group sort), driver-checked by CONTRACT: the
+    approximation must land within 1% of the exact per-group p50/p99,
+    and the exact values themselves hash-compare against DuckDB's
+    QUANTILE_CONT. Exact percentiles over a 100-TB group require the
+    group's values materialized; the sketch is what actually ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.5, 10000)"
+        ).alias("a50"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.99, 10000)"
+        ).alias("a99"),
+    )
+    tol = 0.01
+    return agg.select(
+        "l_returnflag",
+        # round 6, not 2: cent-valued inputs make interpolated medians
+        # land EXACTLY on .xx5 — a 2-decimal round sits on the half
+        # boundary and the engines' last-ulp difference flips it
+        F.round("e50", 6).alias("exact_p50"),
+        F.round("e99", 6).alias("exact_p99"),
+        (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= tol).alias(
+            "p50_within_tol"
+        ),
+        (F.abs(F.col("a99") - F.col("e99")) / F.col("e99") <= tol).alias(
+            "p99_within_tol"
+        ),
+    )

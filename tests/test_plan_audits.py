@@ -406,3 +406,37 @@ def test_boilerplate_segments_shuffle_budget(spark, sf_dir):
     explode is being re-shuffled redundantly."""
     df = CATALOG["text_boilerplate_segments"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 5, executed_plan(df, "simple")
+
+
+def test_activity_streaks_single_fact_exchange(spark, sf_dir):
+    """Gaps-and-islands: the (user, day) distinct, the row_number window,
+    and both re-aggregations all key on user_id — the fact table must
+    cross few exchanges (distinct + window; the island re-aggs reuse the
+    user prefix where Catalyst can prove it)."""
+    df = CATALOG["events_activity_streaks"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 4, executed_plan(df, "simple")
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_unigram_logprob_no_forced_vocab_broadcast(spark, sf_dir):
+    """The token→vocabulary join must stay hint-free: the vocabulary is
+    corpus-dependent (unbounded at web scale) — AQE may broadcast it at
+    runtime when it fits, but a forced hint would pin a 100-TB-unsafe
+    plan."""
+    df = CATALOG["text_unigram_logprob"].fn(spark, sf_dir)
+    assert broadcast_hint_count(df) == 0, executed_plan(df, "simple")
+
+
+def test_mad_reuses_group_key_partitioning(spark, sf_dir):
+    """Both percentile passes and the final count key on l_returnflag;
+    no nested-loop joins beyond none at all — the joins are equi on the
+    group key."""
+    df = CATALOG["robust_outliers_mad"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df), executed_plan(df, "simple")
+
+
+def test_kcore_peels_are_hash_joins(spark, sf_dir):
+    """Each peel's survivor filter must be an equi-join on the node id,
+    never a nested loop."""
+    df = CATALOG["graph_kcore_peel"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df), executed_plan(df, "simple")
