@@ -376,3 +376,55 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run()
 
     return spark.read.parquet(out).filter(F.col("l_user") >= 0)
+
+
+@register(
+    "streaming_windowed_topk",
+    oracle="""
+        WITH counts AS (
+            SELECT TIME_BUCKET(INTERVAL '1 day', ts) AS win_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY win_start, event_type
+        )
+        SELECT win_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY win_start
+                ORDER BY n_events DESC, event_type
+            ) AS rk
+            FROM counts
+        )
+        WHERE rk <= 2
+    """,
+    tags=("streaming", "window-agg", "rank"),
+)
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per daily window, with the windowed COUNT run BY
+    THE STREAMING ENGINE (complete-mode tumbling aggregate) and the rank
+    applied to the terminal state — the production dashboard pattern:
+    Structured Streaming cannot rank inside an aggregation query (no
+    windows over streaming aggregates), so the serving layer ranks the
+    continuously-maintained state store. The oracle states both stages
+    as one batch query.
+
+    Scale shape: the streaming aggregate's state is |windows|×|types|
+    (watermark-bounded in the twin's production form); the rank runs on
+    that aggregate, never the event stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = run_available_now(
+        tumbling_counts(stream_events(spark, sf_dir), width="1 day"),
+        name=_unique("st_topk"),
+        output_mode="complete",
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 2)
+        .select("win_start", "event_type", "n_events", "rk")
+    )
