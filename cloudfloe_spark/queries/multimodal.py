@@ -179,3 +179,50 @@ def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = _decoded(spark, sf_dir)
     return resize_media(decoded.filter(F.col("media_type") == "image"))
+
+
+@register(
+    "mm_dedup_candidates",
+    oracle=f"""
+        SELECT {_MEDIA_TYPE_SQL} AS media_type,
+               CAST({_WIDTH_SQL} AS INT) AS width,
+               CAST({_HEIGHT_SQL} AS INT) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COUNT(DISTINCT {_MD5_SQL}) AS BIGINT)
+                   AS n_distinct_contents,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM documents
+        GROUP BY media_type, width, height
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup candidate generation: bucket decoded payloads by their
+    feature signature (media type x decoded dimensions — the stand-in for
+    a perceptual hash, same blocking role LSH bands play for text), then
+    count items and DISTINCT content digests per bucket. n_items minus
+    n_distinct_contents is the exact-duplicate count inside the bucket;
+    buckets with many items but few contents are where a perceptual
+    near-dup pass would run next. The two-stage exact-then-perceptual
+    recipe every multimodal curation pipeline uses.
+
+    Scale shape: the decode runs through Arrow mapInPandas once; the
+    aggregation shuffles ONLY the (type, width, height, md5) projection
+    — 32-byte digests and three small ints, never the blobs (shuffling
+    media bytes to dedup them is the classic multimodal pipeline
+    mistake). Map-side combinable; candidate buckets are bounded by the
+    signature space, not the corpus."""
+    decoded = _decoded(spark, sf_dir)
+    return (
+        decoded.select("doc_id", "media_type", "width", "height", "checksum")
+        .groupBy("media_type", "width", "height")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.count_distinct("checksum").cast("bigint").alias(
+                "n_distinct_contents"
+            ),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_items") >= 2)
+    )
