@@ -453,3 +453,60 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, SUM(o_totalprice) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT x,
+                   ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+                   COUNT(*) OVER () AS n,
+                   SUM(x) OVER () AS t
+            FROM rev
+        )
+        SELECT ROUND(2.0 * SUM(i * x) / (ANY_VALUE(n) * ANY_VALUE(t))
+                     - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+               ROUND(ANY_VALUE(t), 2) AS total_revenue
+        FROM ranked
+    """,
+    tags=("analytics", "stats"),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    rank-weighted closed form G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over
+    ascending-sorted revenues (ties broken by customer key) — the
+    one-number inequality summary behind "top 1% of customers drive X%"
+    dashboards, complementing the Pareto-decile view.
+
+    Scale shape: the rank runs over the CUSTOMER aggregate (one row per
+    customer — range-partitioned sort at scale, same as the RFM NTILEs);
+    n and Σx ride along as unbounded-frame window totals computed in the
+    same pass; the final reduction is a 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    wr = Window.orderBy(F.col("x"), F.col("o_custkey"))
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("t"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.any_value("n") * F.any_value("t"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
+        F.any_value("n").cast("bigint").alias("n_customers"),
+        F.round(F.any_value("t"), 2).alias("total_revenue"),
+    )

@@ -946,3 +946,94 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= _CONTAIN_TAU)
         .select("doc_inner", "doc_outer", F.round(cont, 4).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality eval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimate_eval",
+    oracle="WITH "
+    + _MINHASH_SIGS_SQL.lstrip().removeprefix("WITH")
+    + _LSH_PAIRS_CTE
+    + f"""
+        , sets AS (
+            SELECT doc_id, LIST_DISTINCT({_SHINGLE_SQL}) AS shd
+            FROM documents
+        )
+        SELECT p.doc_a, p.doc_b,
+               ROUND(CAST(LEN(LIST_FILTER(
+                   GENERATE_SERIES(1, 12),
+                   i -> sa2.sig[i] = sb2.sig[i])) AS DOUBLE) / 12, 4)
+                   AS est_jaccard,
+               ROUND(CAST(LEN(LIST_INTERSECT(sa.shd, sb.shd)) AS DOUBLE)
+                     / (LEN(sa.shd) + LEN(sb.shd)
+                        - LEN(LIST_INTERSECT(sa.shd, sb.shd))), 4)
+                   AS exact_jaccard,
+               ROUND(ABS(
+                   CAST(LEN(LIST_FILTER(
+                       GENERATE_SERIES(1, 12),
+                       i -> sa2.sig[i] = sb2.sig[i])) AS DOUBLE) / 12
+                   - CAST(LEN(LIST_INTERSECT(sa.shd, sb.shd)) AS DOUBLE)
+                     / (LEN(sa.shd) + LEN(sb.shd)
+                        - LEN(LIST_INTERSECT(sa.shd, sb.shd)))), 4)
+                   AS abs_err
+        FROM pairs p
+        JOIN sets sa ON sa.doc_id = p.doc_a
+        JOIN sets sb ON sb.doc_id = p.doc_b
+        JOIN sigs sa2 ON sa2.doc_id = p.doc_a
+        JOIN sigs sb2 ON sb2.doc_id = p.doc_b
+    """,
+    tags=("dedup", "minhash", "eval"),
+)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matching components / 12,
+    Broder's unbiased estimator) next to the EXACT shingle-set Jaccard
+    and the absolute error — the tune-before-trust harness for the dedup
+    index (same role sim_ann_recall_eval plays for the ANN index): if
+    errors cluster high, the signature needs more permutations before
+    anyone trusts its clusters at corpus scale.
+
+    Scale shape: candidate pairs come from the capped LSH band join
+    (never all-pairs); the exact side joins each pair to two per-doc
+    distinct-shingle arrays (corpus-linear state, array intersection per
+    pair is bounded by doc length). At 100 TB the exact side runs on a
+    SAMPLE of pairs — the construction is unchanged."""
+    from cloudfloe_spark.functions.text import word_shingles
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sigs = _spark_minhash_sigs(spark, sf_dir).select("doc_id", "sig")
+    sets = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("shd")
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    ga = sigs.alias("ga")
+    gb = sigs.alias("gb")
+    j = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("ga.sig"), F.col("gb.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    n_inter = F.size(F.array_intersect(F.col("sa.shd"), F.col("sb.shd")))
+    est = n_match.cast("double") / 12
+    exact = n_inter.cast("double") / (
+        F.size(F.col("sa.shd")) + F.size(F.col("sb.shd")) - n_inter
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(est, 4).alias("est_jaccard"),
+        F.round(exact, 4).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 4).alias("abs_err"),
+    )

@@ -936,3 +936,49 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_nonzero"),
         F.array_join(vec_sorted, " ").alias("sparse_vec"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH toks AS (
+            SELECT UNNEST({_WORDS_SQL}) AS w FROM documents
+        ),
+        freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM freq
+        )
+        SELECT ROUND(REGR_SLOPE(LN(c), LN(rk)), 6) AS zipf_slope,
+               ROUND(REGR_R2(LN(c), LN(rk)), 6) AS fit_r2,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM ranked
+    """,
+    tags=("text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log-frequency against log-rank over
+    the corpus vocabulary (natural text sits near −1 with high R²; the
+    synthetic fixture's 31-word vocabulary fits poorly, and the reported
+    R² says so honestly) — the corpus-health diagnostic that catches
+    template spam (too steep) and random-token soup (too flat) before
+    training. Rank ties broken by token for cross-engine determinism.
+
+    Scale shape: one vocabulary-sized frequency count (map-side
+    combinable), a rank over the VOCABULARY (orders smaller than the
+    token stream; range-partitioned sort at scale), and regr_slope /
+    regr_r2 as single-pass moment aggregates — no collect, no loop."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w")))
+    )
+    lnc, lnr = F.log(F.col("c")), F.log(F.col("rk"))
+    return ranked.agg(
+        F.round(F.regr_slope(lnc, lnr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lnc, lnr), 6).alias("fit_r2"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
