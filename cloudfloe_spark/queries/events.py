@@ -681,3 +681,70 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= 2)
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 14  # truncation window, days
+
+
+@register(
+    "events_ewma_daily_volume",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, day
+        ),
+        idx AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY day) AS i
+            FROM daily
+        )
+        SELECT a.event_type, a.day, ANY_VALUE(a.n) AS n,
+               ROUND(SUM({_EWMA_ALPHA} * POWER(1 - {_EWMA_ALPHA}, a.i - b.i)
+                         * b.n), 4) AS ewma
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type
+         AND b.i <= a.i AND b.i >= a.i - {_EWMA_SPAN - 1}
+        GROUP BY a.event_type, a.day
+    """,
+    tags=("events", "trend"),
+)
+def events_ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (alpha {0.3}, truncated at {14} days — the window where the
+    remaining weight is under 1%), the trend line ops dashboards draw
+    over raw counts. Truncation makes the construction a BOUNDED-window
+    self-join instead of an unbounded recursion: each day joins to at
+    most {14} predecessors.
+
+    Scale shape: the daily rollup is the only fact-sized aggregation;
+    the smoothing join runs on the |types|x|days| rollup (time-bounded,
+    independent of fact volume) with a x{14} expansion cap. No recursion,
+    no UDFs, deterministic weights on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    w = F.lit(_EWMA_ALPHA) * F.pow(
+        F.lit(1 - _EWMA_ALPHA), F.col("a.i") - F.col("b.i")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.i") <= F.col("a.i"))
+            & (F.col("b.i") >= F.col("a.i") - (_EWMA_SPAN - 1)),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"))
+        .agg(
+            F.any_value(F.col("a.n")).alias("n"),
+            F.round(F.sum(w * F.col("b.n")), 4).alias("ewma"),
+        )
+    )

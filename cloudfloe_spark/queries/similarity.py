@@ -1111,3 +1111,77 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(t.t_nid) / float(_TOP_K), 4).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "sim_centroid_classify",
+    oracle=f"""
+        WITH pe AS (
+            SELECT label, UNNEST(embedding) AS v,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS p
+            FROM embeddings WHERE vec_id >= {_N_QUERIES}
+        ),
+        cent AS (
+            SELECT label, p, AVG(CAST(v AS DOUBLE)) AS m
+            FROM pe GROUP BY label, p
+        ),
+        cvecs AS (
+            SELECT label, LIST(m ORDER BY p) AS cv FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.label,
+                   LIST_COSINE_SIMILARITY(
+                       CAST(q.embedding AS DOUBLE[]), c.cv) AS s
+            FROM embeddings q CROSS JOIN cvecs c
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, label AS predicted_label, ROUND(s, 4) AS centroid_cos
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, label) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    """,
+    tags=("similarity", "classify"),
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: per-label mean vectors
+    from the labeled corpus, each query taking the label of its most
+    cosine-similar centroid — the O(|labels|) classifier that replaces
+    kNN's O(corpus) scoring once labels are trusted. The distributed
+    VECTOR MEAN is the new primitive here: posexplode to (label, dim)
+    cells, average, and reassemble ordered — all built-ins.
+
+    Scale shape: the centroid computation is one map-side-combinable
+    average over |labels|x|dims| cells regardless of corpus size; the
+    |labels| centroid table is broadcast-bounded by construction; query
+    scoring is a zero-shuffle fold. Compare sim_knn_label_vote — same
+    fixture, same queries — to see where the two classifiers disagree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        e.filter(F.col("vec_id") >= _N_QUERIES)
+        .select("label", F.posexplode(as_double(F.col("embedding"))).alias("p", "v"))
+    )
+    cent = cells.groupBy("label", "p").agg(F.avg("v").alias("m"))
+    cvecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("m")))),
+            lambda s: s.m,
+        ).alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    scored = q.crossJoin(F.broadcast(cvecs)).select(
+        "query_id", "label", cosine(F.col("qv"), F.col("cv")).alias("s")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.round("s", 4).alias("centroid_cos"),
+        )
+    )
