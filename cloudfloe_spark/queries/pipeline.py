@@ -256,3 +256,87 @@ def curation_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_words").cast("bigint").alias("total_chunk_words"),
     )
     return doc_stats.join(chunk_stats, "source")
+
+
+@register(
+    "curation_survival_funnel",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, lang,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                   w -> w <> '')) AS n_words,
+                   MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+                       AS fp
+            FROM documents
+        ),
+        s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        q AS (SELECT * FROM base WHERE n_words BETWEEN 25 AND 1000),
+        s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+        d AS (SELECT fp FROM q GROUP BY fp),
+        s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        SELECT * FROM (
+            SELECT 0 AS stage_no, 'input' AS stage, n,
+                   1.0 AS frac_of_input FROM s0
+            UNION ALL
+            SELECT 1, 'length_gate', s1.n,
+                   ROUND(CAST(s1.n AS DOUBLE) / s0.n, 4) FROM s1, s0
+            UNION ALL
+            SELECT 2, 'exact_dedup', s2.n,
+                   ROUND(CAST(s2.n AS DOUBLE) / s0.n, 4) FROM s2, s0
+        )
+    """,
+    tags=("pipeline", "funnel"),
+)
+def curation_survival_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survival counts through the curation pipeline — input →
+    word-count length gate (the Gopher bound) → exact dedup on the
+    normalized fingerprint — the one-table yield report a data-curation
+    run publishes ("we kept N% of the crawl"). Each stage's count and
+    fraction-of-input in one frame, composed from the same primitives the
+    standalone operators use.
+
+    Scale shape: one corpus scan computes words + fingerprint; each
+    stage is a 1-row aggregate combined by free cross joins (the DQ-check
+    pattern); the dedup stage is the usual map-side-combinable fingerprint
+    groupBy. No stage re-reads the corpus."""
+    from cloudfloe_spark.functions.text import fingerprint, word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_words"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    q = base.filter(F.col("n_words").between(25, 1000))
+    s0 = base.agg(F.count("*").cast("bigint").alias("n0"))
+    s1 = q.agg(F.count("*").cast("bigint").alias("n1"))
+    s2 = q.select("fp").distinct().agg(F.count("*").cast("bigint").alias("n2"))
+    joined = s0.crossJoin(s1).crossJoin(s2)
+    rows = [
+        joined.select(
+            F.lit(0).alias("stage_no"),
+            F.lit("input").alias("stage"),
+            F.col("n0").alias("n"),
+            F.lit(1.0).alias("frac_of_input"),
+        ),
+        joined.select(
+            F.lit(1).alias("stage_no"),
+            F.lit("length_gate").alias("stage"),
+            F.col("n1").alias("n"),
+            F.round(F.col("n1").cast("double") / F.col("n0"), 4).alias(
+                "frac_of_input"
+            ),
+        ),
+        joined.select(
+            F.lit(2).alias("stage_no"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("n2").alias("n"),
+            F.round(F.col("n2").cast("double") / F.col("n0"), 4).alias(
+                "frac_of_input"
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
