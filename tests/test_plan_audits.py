@@ -440,3 +440,31 @@ def test_kcore_peels_are_hash_joins(spark, sf_dir):
     never a nested loop."""
     df = CATALOG["graph_kcore_peel"].fn(spark, sf_dir)
     assert not has_cartesian_or_bnl(df), executed_plan(df, "simple")
+
+
+def test_centroid_classify_broadcasts_bounded_centroids(spark, sf_dir):
+    """The |labels|-row centroid table is the only forced broadcast; the
+    vector-mean computation must be a hash aggregate over (label, dim)
+    cells, not a collect."""
+    df = CATALOG["sim_centroid_classify"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert 1 <= broadcast_hint_count(df) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ewma_join_is_hash_on_type(spark, sf_dir):
+    """The truncated-EWMA self-join runs on the time-bounded rollup and
+    must be an equi-join on event_type (the band condition is residual),
+    never a nested loop over the rollup."""
+    df = CATALOG["events_ewma_daily_volume"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df), executed_plan(df, "simple")
+
+
+def test_survival_funnel_single_corpus_scan(spark, sf_dir):
+    """All three funnel stages must derive from ONE documents scan —
+    re-reading the corpus per stage is the anti-pattern the DQ-check
+    union exists to avoid. (Cross joins of 1-row aggregates are the
+    expected combiners.)"""
+    df = CATALOG["curation_survival_funnel"].fn(spark, sf_dir)
+    scans = scan_columns(df)
+    assert len(scans) <= 3, scans  # one logical scan, <=3 plan references
