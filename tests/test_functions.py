@@ -1,0 +1,44 @@
+
+
+# --- property: the portable hash is engine-identical --------------------------
+# Every deterministic-sampling, minhash, LSH, and weighted-sampling oracle
+# rests on portable_hash64 == its SQL twin; pin the equivalence on
+# adversarial strings, not just fixture data.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="'"
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=99),
+)
+def test_portable_hash64_matches_duckdb(spark, strings, seed):
+    import duckdb
+
+    from cloudfloe_spark.functions.text import portable_hash64, portable_hash_sql
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string").select(
+        "s", portable_hash64(F.col("s"), seed=seed).alias("h")
+    )
+    got = {r["s"]: r["h"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for s in strings:
+        want = con.execute(
+            f"SELECT {portable_hash_sql('?', seed=seed)}", [s]
+        ).fetchone()[0]
+        assert got[s] == want, (s, seed, got[s], want)
