@@ -1,4 +1,4 @@
-
+"""Property tests for the portable column-expression functions."""
 
 # --- property: the portable hash is engine-identical --------------------------
 # Every deterministic-sampling, minhash, LSH, and weighted-sampling oracle
