@@ -1037,3 +1037,57 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 4).alias("exact_jaccard"),
         F.round(F.abs(est - exact), 4).alias("abs_err"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_SIGS_SQL.lstrip().removeprefix("WITH")
+    + _LSH_PAIRS_CTE
+    + """
+        , sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM sigs
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        ),
+        labels AS (
+            SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT CAST(FLOOR(LOG2(sz)) AS BIGINT) AS size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+        FROM sizes
+        GROUP BY size_bucket
+    """,
+    tags=("dedup", "minhash", "observability"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of duplicate-cluster sizes with the
+    per-bucket removable-document count — the dedup run's observability
+    report: bucket 0 is unique documents, a heavy top bucket means one
+    near-identical blob dominates the corpus (and the LSH bucket cap is
+    earning its keep). n_removable sums what a keep-one policy deletes.
+
+    Scale shape: reuses the clustering (per-round linear in edges); the
+    histogram is two map-side-combinable aggregations over cluster ids —
+    bounded output (<= 64 buckets) at any corpus size."""
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    return sizes.groupBy(
+        F.floor(F.log2("sz")).cast("bigint").alias("size_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).cast("bigint").alias("n_removable"),
+    )

@@ -748,3 +748,63 @@ def events_ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(w * F.col("b.n")), 4).alias("ewma"),
         )
     )
+
+
+@register(
+    "events_bollinger_bands",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, day
+        )
+        SELECT event_type, day, n,
+               ROUND(AVG(n) OVER w, 4) AS ma7,
+               ROUND(AVG(n) OVER w + 2 * STDDEV_SAMP(n) OVER w, 4)
+                   AS upper_band,
+               ROUND(AVG(n) OVER w - 2 * STDDEV_SAMP(n) OVER w, 4)
+                   AS lower_band,
+               (n > AVG(n) OVER w + 2 * STDDEV_SAMP(n) OVER w
+                OR n < AVG(n) OVER w - 2 * STDDEV_SAMP(n) OVER w)
+                   AS outside_band
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("events", "trend"),
+)
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily event volume: trailing-7-day mean ±2
+    sample standard deviations per type, flagging days outside the band —
+    the self-calibrating volatility envelope (unlike the fixed z-score
+    pass, the threshold tracks the series' own recent noise level).
+
+    Scale shape: one fact-sized daily rollup; the band computation is a
+    single bounded-frame window pass over the |types|x|days| rollup —
+    Catalyst evaluates both running moments in one WindowExec. Rounded so
+    cross-engine float order cannot flip the hash; the band FLAG compares
+    unrounded moments identically on both engines because the frame is
+    a small fixed row set summed in frame order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    ma, sd = F.avg("n").over(w), F.stddev_samp("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(ma, 4).alias("ma7"),
+        F.round(ma + 2 * sd, 4).alias("upper_band"),
+        F.round(ma - 2 * sd, 4).alias("lower_band"),
+        ((F.col("n") > ma + 2 * sd) | (F.col("n") < ma - 2 * sd)).alias(
+            "outside_band"
+        ),
+    )
