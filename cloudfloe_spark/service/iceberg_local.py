@@ -141,11 +141,16 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         paths = im.live_data_paths(root, snap)
         pos_deletes = im.position_delete_paths(root, snap)
         eq_deletes = im.equality_delete_records(root, snap)
-        # Time travel resolves under the SNAPSHOT's schema when the
+        # TIME TRAVEL resolves under the SNAPSHOT's schema when the
         # metadata records one (spec field `schema-id` per snapshot) —
-        # a pre-rename snapshot shows pre-rename column names. Absent
-        # (older writers), the current schema applies.
-        snap_sid = snap.get("schema-id")
+        # a pre-rename snapshot shows pre-rename column names. The
+        # CURRENT read always uses the current schema (a metadata-only
+        # rename with no subsequent snapshot must still show the new
+        # name — Iceberg scans are current-schema; only time travel is
+        # write-time-schema).
+        snap_sid = (
+            snap.get("schema-id") if (version or ts_text) else None
+        )
         field_names = (
             im.schema_field_names(root, metadata_path, schema_id=snap_sid)
             if eq_deletes
@@ -162,6 +167,15 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
             if paths
             else []
         )
+        # Partition pruning, Catalyst-style: identity-partition values are
+        # stamped per file group as typed literals, so a WHERE on the
+        # partition column constant-folds non-matching groups to empty
+        # LocalRelations at planning time — file pruning with no
+        # predicate-extraction machinery.
+        part_fields = im.identity_partition_fields(root, metadata_path)
+        part_values = (
+            im.live_data_partitions(root, snap) if part_fields else {}
+        )
         name_history = (
             im.schema_name_history(root, metadata_path, schema_id=snap_sid)
             if eq_deletes
@@ -171,28 +185,58 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("scan", root, snap.get("snapshot-id"))
     if paths:
+        from pyspark.sql import functions as F
+
         parts = []
         for gpaths, renames, read_ddl in groups:
-            reader = sess.read
-            if read_ddl is not None:
-                # evolution-correct explicit schema (in this group's
-                # on-disk names): columns added after a file was written
-                # read as NULL; dropped columns are ignored.
-                reader = reader.schema(read_ddl)
-            gdf = reader.parquet(*gpaths)
-            # Deletes apply BEFORE the rename: both use _metadata
-            # pseudo-columns of the fresh scan, and equality-delete value
-            # columns translate into each group's on-disk names.
-            if pos_deletes:
-                gdf = _apply_position_deletes(sess, gdf, pos_deletes)
-            if eq_deletes:
-                gdf = _apply_equality_deletes(
-                    sess, gdf, eq_deletes, field_names, file_seqs,
-                    renames=renames, name_history=name_history,
-                )
-            if renames:
-                gdf = gdf.withColumnsRenamed(renames)
-            parts.append(gdf)
+            # Sub-group by identity-partition tuple so each sub-group can
+            # be stamped with its values as typed literals (None tuple =
+            # files without partition metadata, read unstamped).
+            if part_fields:
+                subs: dict = {}
+                for p in gpaths:
+                    pv = part_values.get(p)
+                    key = (
+                        tuple(sorted(pv.items())) if isinstance(pv, dict) else None
+                    )
+                    subs.setdefault(key, ([], pv if isinstance(pv, dict) else None))[
+                        0
+                    ].append(p)
+                subgroups = list(subs.values())
+            else:
+                subgroups = [(gpaths, None)]
+            for spaths, pvals in subgroups:
+                reader = sess.read
+                if read_ddl is not None:
+                    # evolution-correct explicit schema (in this group's
+                    # on-disk names): columns added after a file was
+                    # written read as NULL; dropped columns are ignored.
+                    reader = reader.schema(read_ddl)
+                gdf = reader.parquet(*spaths)
+                # Deletes apply BEFORE the rename: both use _metadata
+                # pseudo-columns of the fresh scan, and equality-delete
+                # value columns translate into each group's on-disk names.
+                if pos_deletes:
+                    gdf = _apply_position_deletes(sess, gdf, pos_deletes)
+                if eq_deletes:
+                    gdf = _apply_equality_deletes(
+                        sess, gdf, eq_deletes, field_names, file_seqs,
+                        renames=renames, name_history=name_history,
+                    )
+                if renames:
+                    gdf = gdf.withColumnsRenamed(renames)
+                if pvals:
+                    # manifest partition tuples carry the WRITE-time
+                    # column name; resolve through this group's inverse
+                    # rename map when the column was renamed since.
+                    inv = {v: k for k, v in (renames or {}).items()}
+                    for col, ddl_type in part_fields:
+                        v = pvals.get(col, pvals.get(inv.get(col)))
+                        if v is not None:
+                            gdf = gdf.withColumn(
+                                col, F.lit(v).cast(ddl_type)
+                            )
+                parts.append(gdf)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

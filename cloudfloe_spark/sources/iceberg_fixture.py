@@ -52,6 +52,13 @@ _MANIFEST_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    # identity-partition values, stringified (the fixture
+                    # stand-in for the spec's typed r102 struct; the
+                    # reader casts back using the source column's type)
+                    {
+                        "name": "partition",
+                        "type": ["null", {"type": "map", "values": "string"}],
+                    },
                 ],
             },
         },
@@ -100,11 +107,18 @@ class LocalIcebergTable:
     """
 
     def __init__(
-        self, root: str, arrow_schema: pa.Schema, uri_prefix: str = "file://"
+        self,
+        root: str,
+        arrow_schema: pa.Schema,
+        uri_prefix: str = "file://",
+        partition_by: Optional[str] = None,
     ):
         self.root = root
         self.schema = arrow_schema
         self._uri_prefix = uri_prefix
+        self.partition_by = partition_by
+        if partition_by is not None and partition_by not in arrow_schema.names:
+            raise KeyError(f"partition column {partition_by!r} not in schema")
         self._snapshots: list[dict] = []
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
@@ -132,7 +146,18 @@ class LocalIcebergTable:
         snapshot id."""
         for path in remove or []:
             self._live.pop(path, None)
+        parts: list[tuple[pa.Table, Optional[dict]]] = []
         for t in tables:
+            if self.partition_by is None:
+                parts.append((t, None))
+            else:
+                col = t.column(self.partition_by)
+                for v in sorted(set(col.to_pylist()), key=str):
+                    import pyarrow.compute as pc
+
+                    sub = t.filter(pc.equal(col, v))
+                    parts.append((sub, {self.partition_by: str(v)}))
+        for t, pvals in parts:
             fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
             fpath = os.path.join(self.root, fname)
             pq.write_table(t.cast(self.schema), fpath)
@@ -142,6 +167,7 @@ class LocalIcebergTable:
                 "file_format": "PARQUET",
                 "record_count": t.num_rows,
                 "file_size_in_bytes": os.path.getsize(fpath),
+                "partition": pvals,
             }
         return self._commit(timestamp_ms)
 
@@ -248,6 +274,8 @@ class LocalIcebergTable:
                 for f in self.schema
             ]
         )
+        if self.partition_by == old:
+            self.partition_by = new
         if not self._schema_log:
             # schema 0 was implicit until now — materialize the ORIGINAL
             # names as schema-id 0 before appending the renamed schema.
@@ -303,6 +331,7 @@ class LocalIcebergTable:
                 "data_file": {
                     **{k: v for k, v in df.items() if not k.startswith("_")},
                     "equality_ids": df.get("equality_ids"),
+                    "partition": df.get("partition"),
                 },
             }
             for df in list(self._live.values()) + self._delete_files
@@ -371,6 +400,25 @@ class LocalIcebergTable:
             "location": self._uri(self.root),
             "last-updated-ms": timestamp_ms,
             "current-snapshot-id": self._snapshots[-1]["snapshot-id"],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": (
+                        [
+                            {
+                                "name": self.partition_by,
+                                "source-id": 1
+                                + self.schema.names.index(self.partition_by),
+                                "field-id": 1000,
+                                "transform": "identity",
+                            }
+                        ]
+                        if self.partition_by is not None
+                        else []
+                    ),
+                }
+            ],
             "current-schema-id": (
                 self._schema_log[-1]["schema-id"] if self._schema_log else 0
             ),
@@ -451,6 +499,10 @@ def commit_rewrite_snapshot(
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(p),
                 "equality_ids": None,
+                # a compaction rewrite coalesces across partitions; the
+                # rewritten file carries no partition tuple (correct: it
+                # is a spec-less unpartitioned file in this fixture)
+                "partition": None,
             },
         }
         for p, n in data_files

@@ -623,3 +623,51 @@ def _schema_for(meta: dict, schema_id: Optional[int] = None) -> dict:
     if meta.get("schema"):
         return meta["schema"]
     raise IcebergMetadataError("metadata carries no schema")
+
+
+# --- partition pruning support ------------------------------------------------
+
+
+def identity_partition_fields(
+    root: str, metadata_path: Optional[str] = None
+) -> list[tuple[str, str]]:
+    """``(column_name, spark_ddl_type)`` for each IDENTITY-transform field
+    of the default partition spec — the fields whose per-file values the
+    reader can stamp as literals (non-identity transforms carry derived
+    values that must NOT overwrite the source column; they contribute no
+    pruning here and read normally)."""
+    meta = load_metadata(root, metadata_path)
+    specs = meta.get("partition-specs") or []
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == spec_id), None)
+    if not spec:
+        return []
+    by_id = {}
+    schema = _schema_for(meta) if meta.get("schemas") or meta.get("schema") else None
+    if schema:
+        by_id = {
+            f["id"]: (f["name"], _iceberg_type_to_ddl(f["type"]))
+            for f in schema.get("fields", [])
+            if "id" in f
+        }
+    out = []
+    for f in spec.get("fields", []):
+        if f.get("transform") != "identity":
+            continue
+        src = by_id.get(f.get("source-id"))
+        if src:
+            out.append(src)
+    return out
+
+
+def live_data_partitions(
+    root: str, snapshot: dict
+) -> dict[str, Optional[dict]]:
+    """Relocated data-file path → stringified identity-partition values
+    (None for files written without a partition tuple, e.g. compaction
+    rewrites — those never prune)."""
+    root_local = _norm_root(root)
+    return {
+        _relocate(f["file_path"], root_local): f.get("partition")
+        for f in live_data_files(root, snapshot)
+    }

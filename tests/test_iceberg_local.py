@@ -1112,3 +1112,80 @@ def test_time_travel_resolves_snapshot_schema(spark, tmp_path):
     )
     assert cur.columns == ["id", "title", "score"], cur.columns
     assert [tuple(r) for r in cur.rows] == [(1, "a", None), (2, "b", 1.5)]
+
+
+# --- identity-partition pruning ----------------------------------------------
+
+
+@pytest.fixture()
+def partitioned_table(tmp_path, spark):
+    root = str(tmp_path / "ptbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by="lang",
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2, 3, 4, 5, 6],
+                    "lang": ["en", "en", "fr", "fr", "de", "de"],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    return root, t
+
+
+def test_partitioned_scan_reads_all_partitions(spark, partitioned_table):
+    root, _ = partitioned_table
+    resp = run_query(
+        spark, f"SELECT id, lang FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert [tuple(r) for r in resp.rows] == [
+        (1, "en"), (2, "en"), (3, "fr"), (4, "fr"), (5, "de"), (6, "de"),
+    ]
+
+
+def test_partition_filter_prunes_files_at_plan_time(spark, partitioned_table):
+    """The scale property: stamping each partition sub-group with its
+    identity value as a typed literal lets Catalyst constant-fold a
+    partition-column filter — non-matching sub-groups collapse to empty
+    LocalRelations and their files are NEVER scanned. Proven via the
+    executed plan: exactly one surviving parquet scan."""
+    root, _ = partitioned_table
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    sql = resolve_iceberg_reads(
+        sess, f"SELECT id FROM iceberg_scan('{root}') WHERE lang = 'en'"
+    )
+    df = sess.sql(sql)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, plan  # fr and de sub-groups folded away
+
+
+def test_partition_pruning_composes_with_rename(spark, tmp_path):
+    """Rename the partition column after writing: pruning must still fold
+    on the NEW name (literals are stamped after the rename step)."""
+    root = str(tmp_path / "ptbl2")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by="lang",
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "lang": ["en", "fr"]})], timestamp_ms=T1
+    )
+    t.rename_column("lang", "language", timestamp_ms=T2)
+    resp = run_query(
+        spark,
+        f"SELECT id, language FROM iceberg_scan('{root}') "
+        "WHERE language = 'fr'",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [(2, "fr")]
