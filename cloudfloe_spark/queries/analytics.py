@@ -510,3 +510,53 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n").cast("bigint").alias("n_customers"),
         F.round(F.any_value("t"), 2).alias("total_revenue"),
     )
+
+
+@register(
+    "segment_repeat_purchase_rate",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment, o.o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_buyers,
+               CAST(COUNT(*) FILTER (n_orders >= 2) AS BIGINT)
+                   AS n_repeat_buyers,
+               ROUND(CAST(COUNT(*) FILTER (n_orders >= 2) AS DOUBLE)
+                     / COUNT(*), 4) AS repeat_rate,
+               ROUND(AVG(n_orders), 4) AS avg_orders_per_buyer
+        FROM per_cust
+        GROUP BY c_mktsegment
+    """,
+    tags=("analytics", "retention"),
+)
+def segment_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment: the share of buyers with
+    two or more orders, plus average orders per buyer — the retention KPI
+    that sits next to the RFM matrix on every commerce dashboard.
+
+    Scale shape: one fact aggregation keyed on the customer, a dimension
+    join AQE broadcasts when it fits (hint-free: customer is unbounded),
+    and a map-side-combinable rollup onto the 5-segment axis."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .join(c, "o_custkey")
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_buyers"),
+        F.sum((F.col("n_orders") >= 2).cast("bigint")).cast("bigint").alias(
+            "n_repeat_buyers"
+        ),
+        F.round(
+            F.sum((F.col("n_orders") >= 2).cast("double")) / F.count("*"), 4
+        ).alias("repeat_rate"),
+        F.round(F.avg("n_orders"), 4).alias("avg_orders_per_buyer"),
+    )
