@@ -65,6 +65,9 @@ _CHANGES_RE = re.compile(
 _METADATA_RE = re.compile(
     r"iceberg_metadata\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+_PARTITIONS_RE = re.compile(
+    r"iceberg_partitions\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -511,6 +514,36 @@ def _metadata_view(sess, root: str) -> str:
     return name
 
 
+def _partitions_view(sess, root: str) -> str:
+    """``iceberg_partitions('<root>')`` → one row per identity-partition
+    tuple of the CURRENT snapshot: stringified values, file count, and
+    row count (beyond the reference — partitioned-table observability for
+    the pruning path; an unpartitioned table lists one NULL-tuple row)."""
+    metadata_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=metadata_path)
+    counts: dict = {}
+    for f in im.live_data_files(root, snap):
+        pv = f.get("partition")
+        key = tuple(sorted(pv.items())) if isinstance(pv, dict) else None
+        n_files, n_rows = counts.get(key, (0, 0))
+        counts[key] = (n_files + 1, n_rows + int(f.get("record_count", 0)))
+    rows = [
+        (
+            "/".join(f"{k}={v}" for k, v in key) if key else None,
+            nf,
+            nr,
+        )
+        for key, (nf, nr) in sorted(
+            counts.items(), key=lambda kv: (kv[0] is None, kv[0])
+        )
+    ]
+    name = _view_name("partitions", root)
+    sess.createDataFrame(
+        rows, "partition STRING, file_count BIGINT, record_count BIGINT"
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -534,9 +567,16 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _metadata_view(sess, root)
 
+    def _partitions(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _partitions_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
+    out = _sub_outside_literals(_PARTITIONS_RE, _partitions, out)
     return out
 
 

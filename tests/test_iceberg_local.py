@@ -1189,3 +1189,30 @@ def test_partition_pruning_composes_with_rename(spark, tmp_path):
         _cfg(),
     )
     assert [tuple(r) for r in resp.rows] == [(2, "fr")]
+
+
+def test_iceberg_partitions_listing(spark, partitioned_table):
+    """``iceberg_partitions('<root>')`` lists one row per identity
+    partition with file and record counts — the observability surface for
+    the pruning path."""
+    root, _ = partitioned_table
+    resp = run_query(
+        spark,
+        f"SELECT partition, file_count, record_count "
+        f"FROM iceberg_partitions('{root}') ORDER BY partition",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp.rows] == [
+        ("lang=de", 1, 2),
+        ("lang=en", 1, 2),
+        ("lang=fr", 1, 2),
+    ]
+
+
+def test_iceberg_partitions_unpartitioned_table(spark, two_snapshot_table):
+    root, s1, s2, _ = two_snapshot_table
+    resp = run_query(
+        spark, f"SELECT * FROM iceberg_partitions('{root}')", _cfg()
+    )
+    assert len(resp.rows) == 1
+    assert resp.rows[0][0] is None  # single NULL-tuple row
