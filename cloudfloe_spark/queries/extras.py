@@ -691,3 +691,38 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "grouped_price_regression",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("stats", "regression"),
+)
+def grouped_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS of extended price on quantity (slope, intercept, R²,
+    pair count) — the grouped-regression primitive behind price-curve
+    monitoring and elasticity dashboards, entirely in single-pass moment
+    aggregates (regr_* maintain sums/products map-side; no residual pass,
+    no collect). At 100 TB this is one map-side-combinable aggregation —
+    the same cost envelope as agg_stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias(
+            "n_pairs"
+        ),
+    )
