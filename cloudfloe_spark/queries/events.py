@@ -808,3 +808,43 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outside_band"
         ),
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+        SELECT event_type,
+               CAST(ISODOW(ts) AS INT) AS dow,
+               CAST(HOUR(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type, dow, hod
+    """,
+    tags=("events", "seasonality"),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile: event counts and value by
+    (ISO day-of-week × hour-of-day) per type — the baseline every
+    volume-anomaly threshold should be conditioned on (Tuesday 3am and
+    Friday 8pm have different normals; comparing either to a global mean
+    flags the calendar, not incidents).
+
+    Scale shape: a pure map-side-combinable rollup onto the bounded
+    |types|x7x24 axis — one shuffle of counter cells, never rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek(F.date_sub("ts", 0)).alias("_raw_dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "event_type",
+        # Spark dayofweek: Sunday=1; ISO (DuckDB isodow): Monday=1
+        (((F.col("_raw_dow") + 5) % 7) + 1).cast("int").alias("dow"),
+        "hod",
+        "n_events",
+        "total_value",
+    )

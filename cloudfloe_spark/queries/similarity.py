@@ -1185,3 +1185,57 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 4).alias("centroid_cos"),
         )
     )
+
+
+@register(
+    "sim_dedup_threshold_sweep",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS s
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(*) FILTER (s >= 0.2) AS BIGINT) AS ge_020,
+               CAST(COUNT(*) FILTER (s >= 0.3) AS BIGINT) AS ge_030,
+               CAST(COUNT(*) FILTER (s >= 0.4) AS BIGINT) AS ge_040,
+               CAST(COUNT(*) FILTER (s >= 0.5) AS BIGINT) AS ge_050
+        FROM pairs
+    """,
+    tags=("similarity", "dedup", "eval"),
+)
+def sim_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for embedding near-dup: candidate-pair
+    counts at four cosine cutoffs in ONE scoring pass — the sweep a
+    curation team runs before fixing tau (too low deletes distinct
+    documents, too high keeps near-copies; the knee of this curve is the
+    evidence). Same label-blocked candidate join as
+    dedup_embedding_cosine, so the sweep prices exactly the pairs the
+    production pass would score.
+
+    Scale shape: one blocked equi-join (never all-pairs), conditional
+    counts fold into a single map-side-combinable aggregate — adding a
+    threshold costs one counter, not another scan."""
+    from cloudfloe_spark.functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    s = cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding")))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(s.alias("s"))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        *[
+            F.sum((F.col("s") >= t).cast("bigint")).cast("bigint").alias(n)
+            for t, n in [
+                (0.2, "ge_020"),
+                (0.3, "ge_030"),
+                (0.4, "ge_040"),
+                (0.5, "ge_050"),
+            ]
+        ],
+    )
