@@ -1091,3 +1091,139 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_docs"),
         (F.sum("sz") - F.count("*")).cast("bigint").alias("n_removable"),
     )
+
+
+@register(
+    "dedup_document_verdict",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+                       AS f
+            FROM documents
+        ),
+        exact AS (
+            SELECT a.doc_id FROM fp a JOIN fp b
+              ON a.f = b.f AND a.doc_id > b.doc_id
+            GROUP BY a.doc_id
+        ),
+        raw AS (
+            SELECT doc_id, lang, UNNEST({_SHINGLE_SQL}) AS sh FROM documents
+        ),
+        sh AS (SELECT DISTINCT doc_id, lang, sh FROM raw),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc
+            FROM sh a JOIN sh b
+              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        contained AS (
+            SELECT DISTINCT i.da AS doc_id
+            FROM inter i JOIN sizes sa ON i.da = sa.doc_id
+            WHERE CAST(i.nc AS DOUBLE) / sa.n >= {_CONTAIN_TAU}
+        ),
+        near AS (
+            SELECT DISTINCT i.da AS doc_id
+            FROM inter i
+            JOIN sizes sa ON i.da = sa.doc_id
+            JOIN sizes sb ON i.db = sb.doc_id
+            WHERE i.da > i.db
+              AND CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc) >= 0.2
+        )
+        SELECT d.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN c.doc_id IS NOT NULL THEN 'contained'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS verdict
+        FROM documents d
+        LEFT JOIN exact e ON d.doc_id = e.doc_id
+        LEFT JOIN contained c ON d.doc_id = c.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id
+    """,
+    tags=("dedup", "pipeline", "verdict"),
+)
+def dedup_document_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified per-document dedup DECISION, priority-ordered the way
+    a curation pipeline actually rules: exact duplicate (normalized
+    fingerprint shared with a lower id — keep-lowest) beats contained
+    (shingle containment >= {0.8} in any other doc) beats near-duplicate
+    (Jaccard >= 0.2 against a lower id) beats unique. One verdict per
+    document — the column a `WHERE verdict = 'unique'` training filter
+    consumes, composed from the same signals the standalone operators
+    report individually.
+
+    Scale shape: the fingerprint pass is one md5 groupBy; containment and
+    Jaccard share ONE inverted-index shingle join (the intersection table
+    is computed once and consumed by both rules); the verdicts are three
+    left anti-ish joins on doc_id. Nothing beyond what the standalone
+    operators already cost — the composition is free."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    fa, fb = fp.alias("fa"), fp.alias("fb")
+    exact = (
+        fa.join(
+            fb,
+            (F.col("fa.f") == F.col("fb.f"))
+            & (F.col("fa.doc_id") > F.col("fb.doc_id")),
+        )
+        .select(F.col("fa.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    scored = inter.join(sa, "da").join(sb, "db")
+    contained = (
+        scored.filter(F.col("nc").cast("double") / F.col("na") >= _CONTAIN_TAU)
+        .select(F.col("da").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contained", F.lit(True))
+    )
+    near = (
+        scored.filter(
+            (F.col("da") > F.col("db"))
+            & (
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc"))
+                >= 0.2
+            )
+        )
+        .select(F.col("da").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        d.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(contained, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_contained"), F.lit("contained"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
