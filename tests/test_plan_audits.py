@@ -468,3 +468,11 @@ def test_survival_funnel_single_corpus_scan(spark, sf_dir):
     df = CATALOG["curation_survival_funnel"].fn(spark, sf_dir)
     scans = scan_columns(df)
     assert len(scans) <= 3, scans  # one logical scan, <=3 plan references
+
+
+def test_document_verdict_no_bnl(spark, sf_dir):
+    """The verdict composition must stay on equi-joins end to end — the
+    shingle intersection is shared by the containment and Jaccard rules,
+    and none of the three signal joins may degrade to a nested loop."""
+    df = CATALOG["dedup_document_verdict"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df), executed_plan(df, "simple")
