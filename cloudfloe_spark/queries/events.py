@@ -848,3 +848,53 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, value,
+                   EPOCH(LEAD(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   )) - EPOCH(ts) AS dt_s
+            FROM events
+        )
+        SELECT event_type,
+               ROUND(SUM(value * dt_s) / SUM(dt_s), 6) AS twap_value,
+               ROUND(AVG(value), 6) AS plain_avg,
+               CAST(COUNT(dt_s) AS BIGINT) AS n_intervals
+        FROM seq
+        WHERE dt_s IS NOT NULL AND dt_s > 0
+        GROUP BY event_type
+    """,
+    tags=("events", "stats"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (each observation
+    weighted by how long it was the latest one — the TWAP construction),
+    reported beside the plain mean it corrects: when observations arrive
+    in bursts, the unweighted average over-counts the bursts and the
+    time-weighted one doesn't. LEAD ordering made total with the event
+    id; zero-length intervals (same-timestamp events) drop from the
+    weight mass identically on both engines.
+
+    Scale shape: one type-keyed window for the interval lengths (the
+    fact's only shuffle) and a map-side-combinable weighted-sum — the
+    final ratio is computed per group from two accumulated moments."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        (
+            F.lead("ts").over(w).cast("double") - F.col("ts").cast("double")
+        ).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    return seq.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_s")) / F.sum("dt_s"), 6).alias(
+            "twap_value"
+        ),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+        F.count("dt_s").cast("bigint").alias("n_intervals"),
+    )
