@@ -898,3 +898,54 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("plain_avg"),
         F.count("dt_s").cast("bigint").alias("n_intervals"),
     )
+
+
+@register(
+    "events_user_type_entropy",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, SUM(c) AS t FROM counts GROUP BY user_id
+        )
+        SELECT c.user_id,
+               CAST(ANY_VALUE(t.t) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(-SUM((c.c / t.t) * LOG2(c.c / t.t)), 6) AS type_entropy
+        FROM counts c JOIN tot t USING (user_id)
+        GROUP BY c.user_id
+        HAVING SUM(c.c) >= 10
+    """,
+    tags=("events", "behavior"),
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (users with
+    >= 10 events) — the behavioral-diversity score that separates
+    single-action bots (entropy ~0) from organic browse-cart-purchase
+    mixes, next to raw event and type counts.
+
+    Scale shape: one (user, type) count — map-side combinable on a key
+    whose cardinality is |users|×|types|; the per-user total and the
+    entropy fold reuse the user prefix of that partitioning. The fact
+    table crosses one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        counts.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("t").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("type_entropy"),
+        )
+        .filter(F.col("n_events") >= 10)
+    )

@@ -1239,3 +1239,87 @@ def sim_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+@register(
+    "sim_silhouette_by_label",
+    oracle=f"""
+        WITH pe AS (
+            SELECT label, UNNEST(embedding) AS v,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS p
+            FROM embeddings WHERE vec_id >= {_N_QUERIES}
+        ),
+        cvecs AS (
+            SELECT label, LIST(m ORDER BY p) AS cv FROM (
+                SELECT label, p, AVG(CAST(v AS DOUBLE)) AS m
+                FROM pe GROUP BY label, p
+            ) GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label AS own_label, c.label AS c_label,
+                   1 - LIST_COSINE_SIMILARITY(
+                       CAST(e.embedding AS DOUBLE[]), c.cv) AS d
+            FROM embeddings e CROSS JOIN cvecs c
+            WHERE e.vec_id >= {_N_QUERIES}
+        ),
+        ab AS (
+            SELECT vec_id, own_label,
+                   MIN(CASE WHEN c_label = own_label THEN d END) AS a,
+                   MIN(CASE WHEN c_label <> own_label THEN d END) AS b
+            FROM scored GROUP BY vec_id, own_label
+        )
+        SELECT own_label AS label,
+               ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM ab
+        GROUP BY own_label
+    """,
+    tags=("similarity", "eval", "cluster"),
+)
+def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label (Hruschka et al.'s centroid
+    variant of Rousseeuw 1987): a = cosine distance to the OWN label
+    centroid, b = distance to the nearest OTHER centroid, score
+    (b−a)/max(a,b) averaged per label — the cluster-quality report card
+    (near 0 here: the synthetic labels barely separate, and the number
+    says so). Full silhouette needs all-pairs distances; the centroid
+    variant is the construction that survives 100 TB.
+
+    Scale shape: centroids via the distributed vector mean (bounded
+    |labels|×|dims| aggregate); scoring is a zero-shuffle fold against
+    the broadcast centroid table; a/b fold per point in one conditional
+    aggregate. Corpus crosses one exchange (the per-point a/b groupBy)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= _N_QUERIES
+    )
+    cells = e.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("p", "v")
+    )
+    cvecs = (
+        cells.groupBy("label", "p")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("m")))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    scored = e.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        "c_label",
+        (1 - cosine(as_double(F.col("embedding")), F.col("cv"))).alias("d"),
+    )
+    ab = scored.groupBy("vec_id", "own_label").agg(
+        F.min(F.when(F.col("c_label") == F.col("own_label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("own_label"), F.col("d"))).alias("b"),
+    )
+    return ab.groupBy(F.col("own_label").alias("label")).agg(
+        F.round(
+            F.avg((F.col("b") - F.col("a")) / F.greatest("a", "b")), 6
+        ).alias("mean_silhouette"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
