@@ -560,3 +560,57 @@ def segment_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repeat_rate"),
         F.round(F.avg("n_orders"), 4).alias("avg_orders_per_buyer"),
     )
+
+
+@register(
+    "priority_mix_drift_kl",
+    oracle="""
+        WITH m AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS month,
+                   o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY month, p
+        ),
+        mt AS (SELECT month, SUM(c) AS t FROM m GROUP BY month),
+        g AS (SELECT p, SUM(c) AS gc FROM m GROUP BY p),
+        gt AS (SELECT SUM(gc) AS gt FROM g)
+        SELECT m.month,
+               ROUND(SUM((m.c / mt.t) * LOG2((m.c / mt.t) / (g.gc / gt.gt))),
+                     6) AS kl_bits,
+               CAST(ANY_VALUE(mt.t) AS BIGINT) AS n_orders
+        FROM m JOIN mt USING (month) JOIN g USING (p) CROSS JOIN gt
+        GROUP BY m.month
+    """,
+    tags=("analytics", "drift"),
+)
+def priority_mix_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-month KL divergence (bits) of the
+    order-priority mix against the all-time mix — the data-drift alarm a
+    pipeline puts on any categorical column (a month whose mix diverges
+    from baseline signals an upstream change long before row counts
+    move). Every category occurs in every month of this fixture, so the
+    divergence is finite on both engines.
+
+    Scale shape: one (month, category) rollup off the fact scan; the
+    global mix and totals are category-sized frames joined back
+    (broadcast-sized); the KL fold is map-side-combinable per month."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        # to_date: Spark date_trunc yields TIMESTAMP, the oracle's DATE
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    mt = m.groupBy("month").agg(F.sum("c").alias("t"))
+    g = m.groupBy("p").agg(F.sum("c").alias("gc"))
+    gt = g.agg(F.sum("gc").alias("gt"))
+    pm = F.col("c") / F.col("t")
+    pg = F.col("gc") / F.col("gt")
+    return (
+        m.join(mt, "month")
+        .join(g, "p")
+        .crossJoin(gt)
+        .groupBy("month")
+        .agg(
+            F.round(F.sum(pm * F.log2(pm / pg)), 6).alias("kl_bits"),
+            F.any_value("t").cast("bigint").alias("n_orders"),
+        )
+    )

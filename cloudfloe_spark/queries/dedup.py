@@ -1227,3 +1227,108 @@ def dedup_document_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+_SIMHASH_HAM_MAX = 3
+_SIMHASH_BANDS = 4  # 16 bits / 4 — a pair within hamming 3 shares >= 1 band
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {portable_hash_sql('w', seed=7)} AS h FROM toks WHERE w <> ''
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+            FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, {_SIMHASH_BITS - 1})) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sims AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN weight > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sh
+            FROM bits GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, sh, b.band,
+                   (sh >> (b.band * 4)) & 15 AS band_key
+            FROM sims, (SELECT UNNEST(GENERATE_SERIES(0, {_SIMHASH_BANDS - 1})) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sh AS sha, b.sh AS shb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(BIT_COUNT(XOR(sha, shb)) AS INT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(doc_a) AS BIGINT) AS example_doc_a,
+               CAST(MIN(doc_b) AS BIGINT) AS example_doc_b
+        FROM cand
+        WHERE BIT_COUNT(XOR(sha, shb)) <= {_SIMHASH_HAM_MAX}
+        GROUP BY hamming
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash collision PROFILE — the step that makes dedup_simhash a
+    pipeline, mirroring what LSH banding does for MinHash: split the
+    16-bit fingerprint into {4} 4-bit bands (pigeonhole: any pair within
+    Hamming {3} shares at least one intact band), candidate-join on the
+    band value, verify exact Hamming by xor+popcount, and report the
+    PAIR COUNT per Hamming distance (with a deterministic example pair).
+    Charikar 2002 banding over Manku et al.'s construction. The profile,
+    not the pair dump: a 16-bit fingerprint over this fixture's 31-word
+    vocabulary collides near-quadratically (6.5M pairs at sf0.1), which
+    is itself the signal the profile surfaces — it says WIDEN THE
+    FINGERPRINT before anyone materializes pairs at this density.
+
+    Scale shape: the band join shuffles on a 4-bit-key×band axis (the
+    same banded-equi-join bound as MinHash LSH — never all-pairs);
+    Hamming verification is two integer ops per candidate; the profile
+    collapses map-side to <= {4} rows. At corpus scale widen fingerprint
+    and bands together until the profile's density justifies pair
+    materialization."""
+    sims = dedup_simhash(spark, sf_dir).select(
+        "doc_id", F.col("simhash").alias("sh")
+    )
+    banded = sims.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        # shiftright() takes a literal count; band varies per row
+        "band_key", F.expr("shiftright(sh, band * 4) & 15")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.filter(ham <= _SIMHASH_HAM_MAX)
+        .groupBy(ham.cast("int").alias("hamming"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("doc_a").cast("bigint").alias("example_doc_a"),
+            F.min("doc_b").cast("bigint").alias("example_doc_b"),
+        )
+    )
