@@ -614,3 +614,64 @@ def priority_mix_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("t").cast("bigint").alias("n_orders"),
         )
     )
+
+
+@register(
+    "nation_supplier_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        ),
+        tot AS (SELECT s_nationkey, SUM(r) AS t FROM rev GROUP BY s_nationkey)
+        SELECT n.n_name AS nation,
+               ROUND(SUM(POWER(rev.r / tot.t, 2)) * 10000, 2) AS hhi,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev
+        JOIN tot USING (s_nationkey)
+        JOIN nation n ON n.n_nationkey = rev.s_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("analytics", "concentration"),
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation (sum of squared market shares × 10000, the antitrust scale:
+    under 1500 competitive, over 2500 concentrated) — the market-power
+    companion to the Gini coefficient, answering "how few suppliers own
+    this nation's volume".
+
+    Scale shape: one supplier-keyed revenue aggregate off the fact scan;
+    nation totals re-aggregate the supplier frame (orders smaller); the
+    bounded nation dim broadcasts; the HHI fold is one squared-share sum
+    per nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+        .join(sup, "l_suppkey")
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("r").alias("t"))
+    return (
+        rev.join(tot, "s_nationkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)) * 10000, 2).alias(
+                "hhi"
+            ),
+            F.count("*").cast("bigint").alias("n_suppliers"),
+        )
+    )
