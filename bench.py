@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Output contract (r6 fix — VERDICT r05 #1): the FINAL stdout line is a
+COMPACT JSON object the driver's bounded tail buffer can always hold:
     {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": <sf>}
+     "sf": <sf>, "n_queries": N, "normalized_total": X,
+     "calibration": {...}, "detail": "BENCH_DETAIL.json"}
+The full per-query dicts (raw + drift-normalized seconds) are printed on an
+EARLIER stdout line and also written to BENCH_DETAIL.json next to this
+script. Round 5's single-line format (43 raw + 43 normalized entries)
+overflowed the driver's tail capture mid-line, recording "parsed": null —
+the compact final line guarantees the headline number is always machine-
+readable regardless of how many queries the suite grows to.
 
 Methodology: one warm SparkSession on local[$SPARK_GRAFT_CPUS]; a warm-up
 action first (JVM/codegen/parquet-footer costs land there, as they would in
@@ -73,6 +81,12 @@ HEADLINE = [
     "dedup_semantic_clusters",   # SemDeDup codebook assign + cluster prune
     "text_boilerplate_segments", # corpus-frequency segment stripping
     "graph_pagerank_iter",       # 3 power iterations over co-purchase graph
+    # Round-6 breadth (VERDICT r05 #6): remaining heavyweight families so
+    # the perf surface tracks the catalog.
+    "dedup_document_verdict",    # exact+fuzzy+semantic composed per-doc verdict
+    "sim_silhouette_by_label",   # centroid silhouette (scale-safe variant)
+    "grouped_price_regression",  # single-pass per-group OLS moments
+    "graph_kcore_peel",          # iterative degree-peel round-trip
 ]
 
 
@@ -146,28 +160,43 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cal_total = calibration["scan"] + calibration["shuffle"]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail: an EARLIER stdout line + a sidecar file. The
+    # `calibration` probes are fixed work independent of repo code — compare
+    # them across rounds first: if they moved, the environment moved.
+    # `normalized_*` = seconds per calibration second (drift-adjusted).
+    detail = {
+        "metric": "headline_detail",
+        "queries": timings,
+        "calibration": calibration,
+        "normalized_queries": (
+            {n: round(v / cal_total, 3) for n, v in timings.items()}
+            if cal_total
+            else None
+        ),
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout lines are the contract
+    # FINAL line: compact, bounded size — always fits the driver tail buffer.
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Machine-speed probes (fixed work, repo-code-independent).
-                # Compare `calibration` across rounds first: if it moved,
-                # the environment moved. `normalized_total` = headline
-                # seconds per calibration second — the drift-adjusted
-                # round-over-round metric.
-                "calibration": calibration,
+                "sf": sf_val,
+                "n_queries": len(timings),
                 "normalized_total": round(total / cal_total, 3) if cal_total else None,
-                # Per-query drift-adjusted values (query sec per calibration
-                # sec) so individual regressions are judged drift-immune too.
-                "normalized_queries": (
-                    {n: round(v / cal_total, 3) for n, v in timings.items()}
-                    if cal_total
-                    else None
-                ),
+                "calibration": calibration,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

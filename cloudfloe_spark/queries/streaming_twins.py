@@ -357,8 +357,13 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        q.stop()
+        try:
+            if not q.awaitTermination(180):
+                # Timed-out run = partially-written append sink — a
+                # wrong-but-plausible result. Fail loudly instead.
+                raise TimeoutError("left-outer streaming run exceeded 180s")
+        finally:
+            q.stop()
 
     _run()
     # Sentinel batch: one click + one purchase for a user id outside the
@@ -375,7 +380,19 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
     _run()
 
-    return spark.read.parquet(out).filter(F.col("l_user") >= 0)
+    try:
+        # localCheckpoint materializes the (small) result into block storage
+        # and cuts lineage to the scratch files, so the scratch dir can be
+        # removed before returning instead of leaking across invocations.
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("l_user") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

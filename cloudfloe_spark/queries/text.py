@@ -791,15 +791,22 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.ceil(F.size(w) / float(_SEG_LEN)).cast("int") - 1,
+                # Empty/whitespace-only doc guard: size(w)=0 would make
+                # sequence(0, -1) = [0, -1] in Spark (a descending 2-step
+                # range) while SQL GENERATE_SERIES(0,-1) is empty — emit no
+                # segments for empty docs, matching the oracle.
+                F.when(
+                    F.size(w) > 0,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(F.size(w) / float(_SEG_LEN)).cast("int") - 1,
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(w, i * _SEG_LEN + 1, _SEG_LEN), " "
+                        ),
                     ),
-                    lambda i: F.array_join(
-                        F.slice(w, i * _SEG_LEN + 1, _SEG_LEN), " "
-                    ),
-                )
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("pos", "seg"),
         )
     )

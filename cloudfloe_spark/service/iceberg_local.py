@@ -521,9 +521,18 @@ def _partitions_view(sess, root: str) -> str:
     the pruning path; an unpartitioned table lists one NULL-tuple row)."""
     metadata_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
+    # Manifest partition tuples carry WRITE-time column names; resolve
+    # old→current through the schema log so the listing shows the same
+    # names scans and pruning use after a column rename.
+    try:
+        hist = im.schema_name_history(root, metadata_path)
+    except im.IcebergMetadataError:
+        hist = {}
     counts: dict = {}
     for f in im.live_data_files(root, snap):
         pv = f.get("partition")
+        if isinstance(pv, dict) and hist:
+            pv = {hist.get(k, k): v for k, v in pv.items()}
         key = tuple(sorted(pv.items())) if isinstance(pv, dict) else None
         n_files, n_rows = counts.get(key, (0, 0))
         counts[key] = (n_files + 1, n_rows + int(f.get("record_count", 0)))

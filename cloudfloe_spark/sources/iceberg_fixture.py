@@ -151,10 +151,18 @@ class LocalIcebergTable:
             if self.partition_by is None:
                 parts.append((t, None))
             else:
-                col = t.column(self.partition_by)
-                for v in sorted(set(col.to_pylist()), key=str):
-                    import pyarrow.compute as pc
+                import pyarrow.compute as pc
 
+                col = t.column(self.partition_by)
+                values = set(col.to_pylist())
+                # NULL partition value: pc.equal(col, None) is an all-null
+                # mask (zero rows), so nulls must be split out explicitly —
+                # Iceberg represents them as a null partition tuple value.
+                if None in values:
+                    values.discard(None)
+                    sub = t.filter(pc.is_null(col))
+                    parts.append((sub, {self.partition_by: None}))
+                for v in sorted(values, key=str):
                     sub = t.filter(pc.equal(col, v))
                     parts.append((sub, {self.partition_by: str(v)}))
         for t, pvals in parts:

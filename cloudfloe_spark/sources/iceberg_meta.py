@@ -542,19 +542,33 @@ def schema_name_history(
     return hist
 
 
+# Footer column names are immutable for a given (immutable) Iceberg data
+# file path, so cache them process-wide: without this, ANY rename in the
+# schema log turns every subsequent read of the table into a re-fetch of
+# every live file's footer — and for remote schemes (which fsio fetches
+# whole at fixture scale) a double full-corpus download per query.
+_FOOTER_NAME_CACHE: dict[str, list[str]] = {}
+
+
 def parquet_column_names(path: str) -> list[str]:
-    """Top-level column names from a parquet file's footer. Local paths
-    read the footer directly; served remote schemes go through fsio (the
-    whole object at fixture scale — a production reader range-reads the
-    footer)."""
+    """Top-level column names from a parquet file's footer, cached per
+    path (Iceberg data files are immutable). Local paths read the footer
+    directly; served remote schemes go through fsio (the whole object at
+    fixture scale — a production reader range-reads the footer)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from cloudfloe_spark.sources import fsio
 
+    cached = _FOOTER_NAME_CACHE.get(path)
+    if cached is not None:
+        return cached
     if fsio.is_remote(path):
-        return pq.read_schema(pa.BufferReader(fsio.read_bytes(path))).names
-    return pq.read_schema(path.removeprefix("file://")).names
+        names = pq.read_schema(pa.BufferReader(fsio.read_bytes(path))).names
+    else:
+        names = pq.read_schema(path.removeprefix("file://")).names
+    _FOOTER_NAME_CACHE[path] = names
+    return names
 
 
 def scan_groups(

@@ -169,7 +169,13 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            # A timed-out run would silently surface a partially-written
+            # table — a wrong-but-plausible result. Fail loudly instead.
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within {timeout_s}s"
+            )
     finally:
         q.stop()
     return spark.table(name)
