@@ -118,7 +118,15 @@ def _view_name(kind: str, root: str, extra: object = None) -> str:
     return f"cf_ice_{kind}_{digest}"
 
 
-def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str:
+def _snapshot_view(
+    sess,
+    root: str,
+    version,
+    ts_text,
+    metadata_path=None,
+    view_name=None,
+    prune_conjuncts=None,
+) -> str:
     try:
         if metadata_path is None:
             # Resolve the current metadata file ONCE and pin every lookup
@@ -142,6 +150,31 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
                 "compaction before querying."
             )
         paths = im.live_data_paths(root, snap)
+        # Transform-aware manifest pruning (inclusive projection): WHERE
+        # conjuncts on partition SOURCE columns eliminate files whose
+        # partition tuple — identity, bucket[N], truncate[W], or
+        # year/month/day/hour — provably cannot contain a matching row,
+        # before any parquet footer is opened. Mirrors the reference's
+        # DuckDB-iceberg pruning (`README.md:199`). Current reads only:
+        # time travel resolves under write-time names, which the
+        # current-name conjuncts would mismatch.
+        if prune_conjuncts and paths and not (version or ts_text):
+            spec_fields = im.partition_spec_fields(root, metadata_path)
+            if spec_fields:
+                from cloudfloe_spark.sources import partition_pruning as pp
+
+                pv = im.live_data_partitions(root, snap)
+                try:
+                    hist = im.schema_name_history(root, metadata_path)
+                except im.IcebergMetadataError:
+                    hist = {}
+                paths = [
+                    p
+                    for p in paths
+                    if pp.file_survives(
+                        spec_fields, pv.get(p), prune_conjuncts, hist
+                    )
+                ]
         pos_deletes = im.position_delete_paths(root, snap)
         eq_deletes = im.equality_delete_records(root, snap)
         # TIME TRAVEL resolves under the SNAPSHOT's schema when the
@@ -186,7 +219,7 @@ def _snapshot_view(sess, root: str, version, ts_text, metadata_path=None) -> str
         )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
-    name = _view_name("scan", root, snap.get("snapshot-id"))
+    name = view_name or _view_name("scan", root, snap.get("snapshot-id"))
     if paths:
         from pyspark.sql import functions as F
 
@@ -558,11 +591,21 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
     layouts pass through unchanged (handled by convert.py's fallback)."""
 
+    # Scans resolve in two phases: phase 1 substitutes a deterministic view
+    # name per (root, time-travel clause) WITHOUT creating the view; the
+    # fully-substituted statement is then plain parseable SQL, from which
+    # WHERE conjuncts on partition source columns are extracted; phase 2
+    # materializes each view with its conjuncts so the manifest-level
+    # pruning in _snapshot_view can eliminate file groups.
+    pending: dict[str, tuple] = {}
+
     def _scan(m: re.Match) -> str:
         root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
             return m.group(0)
-        return _snapshot_view(sess, root, m.group(2), m.group(3))
+        name = _view_name("scan_q", root, (m.group(2), m.group(3)))
+        pending[name] = (root, m.group(2), m.group(3))
+        return name
 
     def _snapshots(m: re.Match) -> str:
         root = _readable_root(sess, m.group(1).rstrip("/"))
@@ -586,6 +629,21 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
     out = _sub_outside_literals(_PARTITIONS_RE, _partitions, out)
+    if pending:
+        from cloudfloe_spark.sources.partition_pruning import (
+            extract_scan_conjuncts,
+        )
+
+        conj = extract_scan_conjuncts(out, set(pending))
+        for name, (root, ver, ts) in pending.items():
+            _snapshot_view(
+                sess,
+                root,
+                ver,
+                ts,
+                view_name=name,
+                prune_conjuncts=conj.get(name),
+            )
     return out
 
 

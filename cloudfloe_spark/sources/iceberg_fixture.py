@@ -8,9 +8,12 @@ parquet data files (pyarrow), avro manifests + manifest lists
 is read back by :mod:`iceberg_meta` (and by any real Iceberg reader that
 tolerates the minimal column-stats-free manifests).
 
-NOT a general Iceberg writer: single unpartitioned spec, no column stats,
-no row-level deletes (delete files can be INJECTED for guard tests via
-``add_delete_file_snapshot`` — entries only, no readable content).
+NOT a general Iceberg writer: a single one-field partition spec (identity
+or a derived transform — ``year``/``month``/``day``/``hour``/``bucket[N]``/
+``truncate[W]``, values computed per the Iceberg spec by
+:mod:`partition_pruning`), no column stats, no row-level deletes (delete
+files can be INJECTED for guard tests via ``add_delete_file_snapshot`` —
+entries only, no readable content).
 """
 
 from __future__ import annotations
@@ -52,12 +55,18 @@ _MANIFEST_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
-                    # identity-partition values, stringified (the fixture
-                    # stand-in for the spec's typed r102 struct; the
-                    # reader casts back using the source column's type)
+                    # partition values keyed by SPEC FIELD NAME, stringified
+                    # (the fixture stand-in for the spec's typed r102
+                    # struct; the reader casts back using the source
+                    # column's type / transform). Values are nullable: a
+                    # null partition value is a real Iceberg state (all
+                    # rows in the file have a NULL source value).
                     {
                         "name": "partition",
-                        "type": ["null", {"type": "map", "values": "string"}],
+                        "type": [
+                            "null",
+                            {"type": "map", "values": ["null", "string"]},
+                        ],
                     },
                 ],
             },
@@ -111,14 +120,30 @@ class LocalIcebergTable:
         root: str,
         arrow_schema: pa.Schema,
         uri_prefix: str = "file://",
-        partition_by: Optional[str] = None,
+        partition_by: "Optional[str | tuple[str, str]]" = None,
     ):
         self.root = root
         self.schema = arrow_schema
         self._uri_prefix = uri_prefix
-        self.partition_by = partition_by
-        if partition_by is not None and partition_by not in arrow_schema.names:
-            raise KeyError(f"partition column {partition_by!r} not in schema")
+        # partition_by: a column name (identity transform) or a
+        # (column, transform) pair — transform per the Iceberg spec:
+        # "identity", "year", "month", "day", "hour", "bucket[N]",
+        # "truncate[W]".
+        if isinstance(partition_by, tuple):
+            self.partition_by, self.partition_transform = partition_by
+        else:
+            self.partition_by, self.partition_transform = partition_by, "identity"
+        if (
+            self.partition_by is not None
+            and self.partition_by not in arrow_schema.names
+        ):
+            raise KeyError(
+                f"partition column {self.partition_by!r} not in schema"
+            )
+        if self.partition_by is not None:
+            from cloudfloe_spark.sources.partition_pruning import parse_transform
+
+            parse_transform(self.partition_transform)  # validate early
         self._snapshots: list[dict] = []
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
@@ -151,20 +176,27 @@ class LocalIcebergTable:
             if self.partition_by is None:
                 parts.append((t, None))
             else:
-                import pyarrow.compute as pc
+                from cloudfloe_spark.sources.partition_pruning import (
+                    transform_value,
+                )
 
-                col = t.column(self.partition_by)
-                values = set(col.to_pylist())
-                # NULL partition value: pc.equal(col, None) is an all-null
-                # mask (zero rows), so nulls must be split out explicitly —
-                # Iceberg represents them as a null partition tuple value.
-                if None in values:
-                    values.discard(None)
-                    sub = t.filter(pc.is_null(col))
-                    parts.append((sub, {self.partition_by: None}))
-                for v in sorted(values, key=str):
-                    sub = t.filter(pc.equal(col, v))
-                    parts.append((sub, {self.partition_by: str(v)}))
+                fname_p = self.partition_field_name()
+                src_t = self._source_iceberg_type()
+                # Group rows by TRANSFORMED partition value (identity is
+                # the trivial transform). NULL source values land in a
+                # null-valued partition tuple — never silently dropped.
+                tvals = [
+                    transform_value(self.partition_transform, v, src_t)
+                    for v in t.column(self.partition_by).to_pylist()
+                ]
+                by_val: dict = {}
+                for i, tv in enumerate(tvals):
+                    by_val.setdefault(tv, []).append(i)
+                for tv in sorted(by_val, key=lambda x: (x is None, str(x))):
+                    sub = t.take(by_val[tv])
+                    parts.append(
+                        (sub, {fname_p: None if tv is None else str(tv)})
+                    )
         for t, pvals in parts:
             fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
             fpath = os.path.join(self.root, fname)
@@ -387,6 +419,29 @@ class LocalIcebergTable:
         self._write_metadata_json(timestamp_ms)
         return snap_id
 
+    def partition_field_name(self) -> str:
+        """Iceberg's conventional spec-field naming: identity fields carry
+        the column name; derived transforms suffix it (``ts_day``,
+        ``c_bucket``, ``s_trunc``)."""
+        from cloudfloe_spark.sources.partition_pruning import parse_transform
+
+        kind, _ = parse_transform(self.partition_transform)
+        if kind == "identity":
+            return self.partition_by
+        suffix = {"truncate": "trunc"}.get(kind, kind)
+        return f"{self.partition_by}_{suffix}"
+
+    def _source_iceberg_type(self) -> str:
+        f = self.schema.field(self.partition_by)
+        t = _ARROW_TO_ICEBERG.get(f.type)
+        if t is None and pa.types.is_timestamp(f.type):
+            t = "timestamptz" if f.type.tz else "timestamp"
+        if t is None and pa.types.is_date(f.type):
+            t = "date"
+        if t is None:
+            raise ValueError(f"unmapped arrow type {f.type}")
+        return t
+
     def _iceberg_schema(self, schema_id: int = 0) -> dict:
         fields = []
         for i, f in enumerate(self.schema):
@@ -394,6 +449,8 @@ class LocalIcebergTable:
             if t is None:
                 if pa.types.is_timestamp(f.type):
                     t = "timestamptz" if f.type.tz else "timestamp"
+                elif pa.types.is_date(f.type):
+                    t = "date"
                 else:
                     raise ValueError(f"unmapped arrow type {f.type}")
             fields.append(
@@ -415,11 +472,11 @@ class LocalIcebergTable:
                     "fields": (
                         [
                             {
-                                "name": self.partition_by,
+                                "name": self.partition_field_name(),
                                 "source-id": 1
                                 + self.schema.names.index(self.partition_by),
                                 "field-id": 1000,
-                                "transform": "identity",
+                                "transform": self.partition_transform,
                             }
                         ]
                         if self.partition_by is not None

@@ -674,6 +674,45 @@ def identity_partition_fields(
     return out
 
 
+def partition_spec_fields(
+    root: str, metadata_path: Optional[str] = None
+) -> list[dict]:
+    """Every field of the default partition spec with its source-column
+    resolution: ``{"field_name", "column", "transform", "type"}`` where
+    ``column`` is the CURRENT schema name of the source field and ``type``
+    its Iceberg type string. Feeds transform-aware manifest pruning
+    (:mod:`cloudfloe_spark.sources.partition_pruning`); identity stamping
+    keeps using :func:`identity_partition_fields`."""
+    meta = load_metadata(root, metadata_path)
+    specs = meta.get("partition-specs") or []
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == spec_id), None)
+    if not spec:
+        return []
+    try:
+        schema = _schema_for(meta)
+    except IcebergMetadataError:
+        return []
+    by_id = {
+        f["id"]: (f["name"], f["type"])
+        for f in schema.get("fields", [])
+        if "id" in f and isinstance(f.get("type"), str)
+    }
+    out = []
+    for f in spec.get("fields", []):
+        src = by_id.get(f.get("source-id"))
+        if src and f.get("transform"):
+            out.append(
+                {
+                    "field_name": f.get("name"),
+                    "column": src[0],
+                    "transform": f["transform"],
+                    "type": src[1],
+                }
+            )
+    return out
+
+
 def live_data_partitions(
     root: str, snapshot: dict
 ) -> dict[str, Optional[dict]]:

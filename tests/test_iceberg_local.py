@@ -1216,3 +1216,261 @@ def test_iceberg_partitions_unpartitioned_table(spark, two_snapshot_table):
     )
     assert len(resp.rows) == 1
     assert resp.rows[0][0] is None  # single NULL-tuple row
+
+
+# --- transform partition pruning (VERDICT r05 #3) ------------------------------
+# The reference inherits bucket/truncate/temporal partition pruning from
+# DuckDB's iceberg extension (`README.md:199`); this engine implements the
+# same inclusive projection at the manifest level. Evidence model: pruning
+# removes files BEFORE the reader is built, so `df.inputFiles()` counts the
+# files the plan can touch at all.
+
+
+def _resolved_df(spark, sql):
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    return sess.sql(resolve_iceberg_reads(sess, sql))
+
+
+@pytest.fixture()
+def days_partitioned_table(tmp_path):
+    """Six rows over three days, days(ts) partitioning → three data files."""
+    import datetime
+
+    root = str(tmp_path / "tdays")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))]),
+        partition_by=("ts", "day"),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [0, 1, 2, 3, 4, 5],
+                    "ts": [
+                        datetime.datetime(2024, 3, d, h)
+                        for d in (1, 2, 3)
+                        for h in (6, 12)
+                    ],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    return root
+
+
+def test_days_partition_pruning_eliminates_file_groups(
+    spark, days_partitioned_table
+):
+    """A range predicate on the SOURCE timestamp column prunes day-
+    partitioned file groups at the manifest level: only the matching
+    day's file enters the plan."""
+    root = days_partitioned_table
+    df = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') "
+        "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00'",
+    )
+    assert sorted(r["id"] for r in df.collect()) == [4, 5]
+    assert len(set(df.inputFiles())) == 1  # 2 of 3 day files eliminated
+
+    # equality inside one day keeps exactly that day's file
+    df2 = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') "
+        "WHERE ts = TIMESTAMP '2024-03-02 06:00:00'",
+    )
+    assert sorted(r["id"] for r in df2.collect()) == [2]
+    assert len(set(df2.inputFiles())) == 1
+
+    # no predicate → all three files read (pruning never over-applies)
+    df3 = _resolved_df(spark, f"SELECT id FROM iceberg_scan('{root}')")
+    assert sorted(r["id"] for r in df3.collect()) == [0, 1, 2, 3, 4, 5]
+    assert len(set(df3.inputFiles())) == 3
+
+
+def test_days_partition_pruning_between(spark, days_partitioned_table):
+    root = days_partitioned_table
+    df = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') WHERE ts BETWEEN "
+        "TIMESTAMP '2024-03-02 00:00:00' AND TIMESTAMP '2024-03-02 23:00:00'",
+    )
+    assert sorted(r["id"] for r in df.collect()) == [2, 3]
+    assert len(set(df.inputFiles())) == 1
+
+
+def test_bucket_partition_pruning_on_equality(spark, tmp_path):
+    """bucket[4] on a long column: an equality predicate hashes the
+    literal with the spec's murmur3 bucket function and keeps only the
+    matching bucket's file; range predicates never prune (buckets carry
+    no order)."""
+    root = str(tmp_path / "tbucket")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        partition_by=("id", "bucket[4]"),
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3, 4, 5, 6, 7, 8], "v": list("abcdefgh")})],
+        timestamp_ms=T1,
+    )
+    all_df = _resolved_df(spark, f"SELECT v FROM iceberg_scan('{root}')")
+    n_buckets = len(set(all_df.inputFiles()))
+    assert n_buckets > 1  # the fixture actually spread across buckets
+
+    df = _resolved_df(
+        spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id = 5"
+    )
+    assert [r["v"] for r in df.collect()] == ["e"]
+    assert len(set(df.inputFiles())) == 1
+
+    # IN-list keeps the union of matching buckets, never more than len(in)
+    df_in = _resolved_df(
+        spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id IN (5, 6)"
+    )
+    assert sorted(r["v"] for r in df_in.collect()) == ["e", "f"]
+    assert len(set(df_in.inputFiles())) <= 2
+
+    # a range predicate on a bucketed column must NOT prune
+    df_rng = _resolved_df(
+        spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id > 6"
+    )
+    assert sorted(r["v"] for r in df_rng.collect()) == ["g", "h"]
+    assert len(set(df_rng.inputFiles())) == n_buckets
+
+
+def test_truncate_partition_pruning(spark, tmp_path):
+    """truncate[2] on a string column prunes on both equality (literal's
+    prefix selects its group) and ordered ranges (prefix intervals)."""
+    root = str(tmp_path / "ttrunc")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("name", pa.string()), ("n", pa.int64())]),
+        partition_by=("name", "truncate[2]"),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "name": ["apple", "apricot", "banana", "berry", "cherry"],
+                    "n": [1, 2, 3, 4, 5],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    # prefixes: ap(2 rows), ba, be, ch → 4 files
+    df = _resolved_df(
+        spark, f"SELECT n FROM iceberg_scan('{root}') WHERE name = 'banana'"
+    )
+    assert [r["n"] for r in df.collect()] == [3]
+    assert len(set(df.inputFiles())) == 1
+
+    df_rng = _resolved_df(
+        spark, f"SELECT n FROM iceberg_scan('{root}') WHERE name >= 'be'"
+    )
+    assert sorted(r["n"] for r in df_rng.collect()) == [4, 5]
+    assert len(set(df_rng.inputFiles())) == 2
+
+
+def test_month_partition_pruning(spark, tmp_path):
+    import datetime
+
+    root = str(tmp_path / "tmonth")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))]),
+        partition_by=("ts", "month"),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2, 3],
+                    "ts": [
+                        datetime.datetime(2023, 12, 15),
+                        datetime.datetime(2024, 1, 15),
+                        datetime.datetime(2024, 2, 15),
+                    ],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    df = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') "
+        "WHERE ts < TIMESTAMP '2024-01-01 00:00:00'",
+    )
+    assert [r["id"] for r in df.collect()] == [1]
+    assert len(set(df.inputFiles())) == 1
+
+
+def test_pruning_skipped_for_joins_and_multi_reference(spark, tmp_path):
+    """A scan referenced inside a join (or more than once) reads unpruned
+    — soundness over cleverness — and still returns correct rows."""
+    import datetime
+
+    root = str(tmp_path / "tjoin")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))]),
+        partition_by=("ts", "day"),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2],
+                    "ts": [
+                        datetime.datetime(2024, 3, 1),
+                        datetime.datetime(2024, 3, 2),
+                    ],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    df = _resolved_df(
+        spark,
+        f"SELECT a.id FROM iceberg_scan('{root}') a "
+        f"JOIN iceberg_scan('{root}') b ON a.id = b.id "
+        "WHERE a.ts >= TIMESTAMP '2024-03-02 00:00:00'",
+    )
+    assert sorted(r["id"] for r in df.collect()) == [2]
+    assert len(set(df.inputFiles())) == 2  # both day files still present
+
+
+def test_null_partition_rows_not_lost_and_pruned_on_equality(spark, tmp_path):
+    """ADVICE r05: rows with a NULL partition value must be committed (as
+    a null-valued tuple), survive full scans, and prune away under any
+    comparison conjunct (NULL never satisfies one)."""
+    root = str(tmp_path / "tnull")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by="lang",
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "lang": ["en", None, "fr"]})],
+        timestamp_ms=T1,
+    )
+    df_all = _resolved_df(
+        spark, f"SELECT id, lang FROM iceberg_scan('{root}')"
+    )
+    assert sorted((r["id"], r["lang"]) for r in df_all.collect()) == [
+        (1, "en"),
+        (2, None),
+        (3, "fr"),
+    ]
+    assert len(set(df_all.inputFiles())) == 3
+
+    df_eq = _resolved_df(
+        spark, f"SELECT id FROM iceberg_scan('{root}') WHERE lang = 'en'"
+    )
+    assert [r["id"] for r in df_eq.collect()] == [1]
+    assert len(set(df_eq.inputFiles())) == 1  # null file AND 'fr' file pruned

@@ -1,0 +1,233 @@
+"""Unit tests for transform-aware partition pruning internals
+(`sources/partition_pruning.py`): the Iceberg spec's bucket hash test
+vectors, transform application, source-interval reconstruction, SQL
+conjunct extraction, and the file-survival decision. No SparkSession."""
+
+from __future__ import annotations
+
+import datetime
+import struct
+
+from cloudfloe_spark.sources import partition_pruning as pp
+
+
+def _signed(h: int) -> int:
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+class TestBucketHash:
+    """Iceberg spec Appendix B publishes exact murmur3_x86_32 test
+    vectors; matching them is what makes this pruning interoperable with
+    files written by any real Iceberg writer."""
+
+    def test_int_and_long_34(self):
+        assert pp.murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+
+    def test_string_iceberg(self):
+        assert pp.murmur3_x86_32(b"iceberg") == 1210000089
+
+    def test_date_2017_11_16(self):
+        days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+        assert _signed(pp.murmur3_x86_32(struct.pack("<q", days))) == -653330422
+
+    def test_timestamp_vector(self):
+        micros = pp._epoch_micros(datetime.datetime(2017, 11, 16, 22, 31, 8))
+        assert (
+            _signed(pp.murmur3_x86_32(struct.pack("<q", micros)))
+            == -2047944441
+        )
+
+    def test_bucket_value_ranges(self):
+        for v in (0, 1, -5, 10**12):
+            b = pp.bucket_value(v, 16, "long")
+            assert 0 <= b < 16
+        assert pp.bucket_value("iceberg", 7, "string") == (1210000089 % 7)
+
+
+class TestTransformValue:
+    def test_identity(self):
+        assert pp.transform_value("identity", "x", "string") == "x"
+
+    def test_day_month_year_hour(self):
+        dt = datetime.datetime(2024, 3, 5, 10, 30)
+        assert pp.transform_value("day", dt, "timestamp") == 19787
+        assert pp.transform_value("month", dt, "timestamp") == (54 * 12 + 2)
+        assert pp.transform_value("year", dt, "timestamp") == 54
+        assert pp.transform_value("hour", dt, "timestamp") == 19787 * 24 + 10
+
+    def test_truncate_int_floors_negatives(self):
+        # spec: truncate is floor-to-multiple, also for negatives
+        assert pp.transform_value("truncate[10]", -7, "int") == -10
+        assert pp.transform_value("truncate[10]", 17, "int") == 10
+
+    def test_truncate_string(self):
+        assert pp.transform_value("truncate[2]", "banana", "string") == "ba"
+
+    def test_null_stays_null(self):
+        assert pp.transform_value("day", None, "timestamp") is None
+
+
+class TestSourceInterval:
+    def test_day_interval(self):
+        lo, hi, incl = pp.source_interval("day", "19787", "timestamp")
+        assert lo == datetime.datetime(2024, 3, 5)
+        assert hi == datetime.datetime(2024, 3, 6)
+        assert not incl
+
+    def test_month_wraps_december(self):
+        lo, hi, _ = pp.source_interval("month", str(54 * 12 + 11), "timestamp")
+        assert lo == datetime.datetime(2024, 12, 1)
+        assert hi == datetime.datetime(2025, 1, 1)
+
+    def test_truncate_string_prefix_interval(self):
+        lo, hi, _ = pp.source_interval("truncate[3]", "abc", "string")
+        assert (lo, hi) == ("abc", "abd")
+
+    def test_identity_point(self):
+        assert pp.source_interval("identity", "42", "long") == (42, 42, True)
+
+    def test_bucket_marker(self):
+        iv = pp.source_interval("bucket[8]", "3", "long")
+        assert isinstance(iv, pp._Bucket)
+        assert (iv.n, iv.value) == (8, 3)
+
+
+class TestConjunctExtraction:
+    def test_single_relation_where(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 WHERE ts >= TIMESTAMP '2024-03-01' AND n = 5",
+            {"v1"},
+        )
+        assert ("ts", ">=", "2024-03-01") in out["v1"]
+        assert ("n", "=", 5) in out["v1"]
+
+    def test_alias_qualified(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT t.x FROM v1 AS t WHERE t.lang = 'en'", {"v1"}
+        )
+        assert out["v1"] == [("lang", "=", "en")]
+
+    def test_flipped_comparison(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 WHERE 5 < n", {"v1"}
+        )
+        assert out["v1"] == [("n", ">", 5)]
+
+    def test_in_and_between(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 WHERE a IN ('x','y') AND b BETWEEN 2 AND 9",
+            {"v1"},
+        )
+        assert ("a", "in", ["x", "y"]) in out["v1"]
+        assert ("b", ">=", 2) in out["v1"]
+        assert ("b", "<=", 9) in out["v1"]
+
+    def test_or_contributes_nothing(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 WHERE a = 1 OR b = 2", {"v1"}
+        )
+        assert "v1" not in out
+
+    def test_join_disqualifies(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 JOIN t2 ON v1.k = t2.k WHERE v1.a = 1", {"v1"}
+        )
+        assert "v1" not in out
+
+    def test_double_reference_disqualifies(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 WHERE a = 1 UNION ALL SELECT * FROM v1",
+            {"v1"},
+        )
+        assert "v1" not in out
+
+    def test_cte_body_qualifies(self):
+        out = pp.extract_scan_conjuncts(
+            "WITH c AS (SELECT * FROM v1 WHERE d = '2024-01-01') "
+            "SELECT count(*) FROM c",
+            {"v1"},
+        )
+        assert out["v1"] == [("d", "=", "2024-01-01")]
+
+    def test_unparseable_sql_returns_empty(self):
+        assert pp.extract_scan_conjuncts("NOT SQL AT ALL (", {"v1"}) == {}
+
+
+_DAY_SPEC = [
+    {
+        "field_name": "ts_day",
+        "column": "ts",
+        "transform": "day",
+        "type": "timestamp",
+    }
+]
+
+
+class TestFileSurvives:
+    def test_range_prunes_day(self):
+        pv = {"ts_day": "19787"}  # 2024-03-05
+        keep = [("ts", ">=", "2024-03-05 00:00:00")]
+        drop = [("ts", ">=", "2024-03-06 00:00:00")]
+        assert pp.file_survives(_DAY_SPEC, pv, keep)
+        assert not pp.file_survives(_DAY_SPEC, pv, drop)
+
+    def test_boundary_is_loose_not_wrong(self):
+        pv = {"ts_day": "19787"}
+        # predicate exactly at the exclusive upper bound: no row matches
+        # (>= next midnight) so the file may be pruned; < lower bound keeps
+        assert pp.file_survives(
+            _DAY_SPEC, pv, [("ts", "<", "2024-03-05 00:00:01")]
+        )
+        assert not pp.file_survives(
+            _DAY_SPEC, pv, [("ts", "<", "2024-03-05 00:00:00")]
+        )
+
+    def test_null_tuple_value_prunes_on_comparison(self):
+        assert not pp.file_survives(
+            _DAY_SPEC, {"ts_day": None}, [("ts", "=", "2024-03-05 00:00:00")]
+        )
+
+    def test_missing_tuple_never_prunes(self):
+        assert pp.file_survives(_DAY_SPEC, None, [("ts", "=", "2024-03-05")])
+        assert pp.file_survives(_DAY_SPEC, {}, [("ts", "=", "2024-03-05")])
+
+    def test_unrelated_column_never_prunes(self):
+        assert pp.file_survives(
+            _DAY_SPEC, {"ts_day": "19787"}, [("other", "=", 1)]
+        )
+
+    def test_renamed_field_resolves_via_history(self):
+        spec = [
+            {
+                "field_name": "language",
+                "column": "language",
+                "transform": "identity",
+                "type": "string",
+            }
+        ]
+        pv = {"lang": "en"}  # write-time name
+        hist = {"lang": "language"}
+        assert pp.file_survives(spec, pv, [("language", "=", "en")], hist)
+        assert not pp.file_survives(spec, pv, [("language", "=", "fr")], hist)
+
+    def test_bucket_only_equality(self):
+        spec = [
+            {
+                "field_name": "id_bucket",
+                "column": "id",
+                "transform": "bucket[4]",
+                "type": "long",
+            }
+        ]
+        b5 = pp.bucket_value(5, 4, "long")
+        pv_match = {"id_bucket": str(b5)}
+        pv_other = {"id_bucket": str((b5 + 1) % 4)}
+        assert pp.file_survives(spec, pv_match, [("id", "=", 5)])
+        assert not pp.file_survives(spec, pv_other, [("id", "=", 5)])
+        # range never prunes a bucket
+        assert pp.file_survives(spec, pv_other, [("id", ">", 5)])
+
+    def test_incomparable_literal_never_prunes(self):
+        assert pp.file_survives(
+            _DAY_SPEC, {"ts_day": "19787"}, [("ts", "=", 123)]
+        )
