@@ -132,6 +132,147 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (Page et al. 1999), correct on
+    graphs with dangling nodes (sinks): each iteration redistributes the
+    rank mass sitting on zero-out-degree nodes uniformly across all nodes
+    — without that term the per-iteration total leaks and ranks drift low
+    (the textbook stochastic-matrix fix). Returns ``(node, pr)`` after a
+    FIXED number of power iterations (deterministic program; pair with a
+    caller-side tolerance loop if needed).
+
+    Scale shape: one equi-join (ranks into edges, keyed on the source) +
+    one map-side-combinable SUM keyed on the destination per iteration;
+    the dangling mass is a 1-row aggregate cross-joined back in (never a
+    driver-side collect), and the node frame is localCheckpoint'd so
+    lineage stays flat across rounds. The symmetric-graph fast path in
+    ``queries/graph_metrics.graph_pagerank_iter`` skips the dangling term
+    (a symmetrized graph has none, by construction); this operator is the
+    general-purpose piece."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("bigint").alias("od")
+    )
+    # od is NULL exactly on dangling nodes (no out-edges).
+    base = nodes.join(outdeg, "node", "left").localCheckpoint(eager=True)
+    n1 = base.agg(F.count("*").cast("bigint").alias("nn"))  # 1-row frame
+    ranks = base.crossJoin(n1).select(
+        "node", "od", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.s == ranks.node)
+            .groupBy(e.t.alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("mass"))
+        )
+        dangling = ranks.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )  # 1-row frame
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(n1)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                "od",
+                (
+                    F.lit(1.0 - damping) / F.col("nn")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.col("dang") / F.col("nn")
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "pr")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 30,
+    strict: bool = True,
+    history: list | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling TO FIXPOINT (Seidman
+    1983; distributed formulation of Montresor et al. 2013): repeatedly
+    drop nodes with degree < k from the undirected graph until the
+    survivor set stops changing. Returns ``(node, degree_in_core)`` for
+    the k-core members.
+
+    Convergence contract mirrors :func:`connected_components`: the
+    survivor count is checked each round (it shrinks monotonically, so an
+    unchanged count IS the fixpoint); hitting ``max_peels`` while still
+    shrinking raises :class:`ConvergenceError` under ``strict`` (default)
+    rather than returning a superset of the true core. Pass ``history``
+    (a list) to capture the per-round survivor counts — the shrink
+    sequence is the operator's scale diagnostic.
+
+    Scale shape per peel: one map-side-combinable degree count + one
+    semi-join of the edge list against survivors (two equi-joins on node
+    id), all linear in edges; the edge list is localCheckpoint'd per
+    round so lineage stays flat."""
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    prev_n = None
+    deg = None
+    for _ in range(max_peels):
+        deg = (
+            e.groupBy("a")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .filter(F.col("c") >= k)
+        )
+        n = deg.count()  # 1-scalar convergence probe, same as the star
+        # variant's fingerprint — peeling is monotone, so an unchanged
+        # survivor count is exactly the fixpoint.
+        if history is not None:
+            history.append(n)
+        if n == prev_n or n == 0:
+            break
+        prev_n = n
+        keep_a = deg.select("a")
+        keep_b = deg.select(F.col("a").alias("b"))
+        e = (
+            e.join(keep_a, "a")
+            .join(keep_b, "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        msg = (
+            f"kcore(k={k}) did not reach a fixpoint within {max_peels} "
+            "peels (survivors still shrinking) — the result would be a "
+            "superset of the true core. Raise max_peels."
+        )
+        if strict:
+            raise ConvergenceError(msg)
+        warnings.warn(msg, stacklevel=2)
+    return deg.select(
+        F.col("a").alias("node"), F.col("c").alias("degree_in_core")
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     *,

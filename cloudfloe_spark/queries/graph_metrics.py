@@ -295,6 +295,86 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_DANG_SQL = f"""
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        e AS (
+            SELECT a.pk AS src, b.pk AS dst
+            FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        od AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od
+            FROM e GROUP BY src
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+        p0 AS (
+            SELECT nd.node, od.od, CAST(1.0 AS DOUBLE) / n.nn AS pr
+            FROM nodes nd LEFT JOIN od USING (node) CROSS JOIN n
+        ),
+        c1 AS (SELECT e.dst AS node, SUM(p.pr / p.od) AS mass
+               FROM e JOIN p0 p ON e.src = p.node GROUP BY e.dst),
+        g1 AS (SELECT COALESCE(SUM(pr), 0.0) AS dang FROM p0 WHERE od IS NULL),
+        p1 AS (
+            SELECT b.node, b.od,
+                   {1 - _PR_DAMP} / n.nn + {_PR_DAMP} *
+                       (COALESCE(c1.mass, 0) + g1.dang / n.nn) AS pr
+            FROM p0 b LEFT JOIN c1 USING (node) CROSS JOIN n CROSS JOIN g1
+        ),
+        c2 AS (SELECT e.dst AS node, SUM(p.pr / p.od) AS mass
+               FROM e JOIN p1 p ON e.src = p.node GROUP BY e.dst),
+        g2 AS (SELECT COALESCE(SUM(pr), 0.0) AS dang FROM p1 WHERE od IS NULL),
+        p2 AS (
+            SELECT b.node, b.od,
+                   {1 - _PR_DAMP} / n.nn + {_PR_DAMP} *
+                       (COALESCE(c2.mass, 0) + g2.dang / n.nn) AS pr
+            FROM p1 b LEFT JOIN c2 USING (node) CROSS JOIN n CROSS JOIN g2
+        ),
+        c3 AS (SELECT e.dst AS node, SUM(p.pr / p.od) AS mass
+               FROM e JOIN p2 p ON e.src = p.node GROUP BY e.dst),
+        g3 AS (SELECT COALESCE(SUM(pr), 0.0) AS dang FROM p2 WHERE od IS NULL),
+        p3 AS (
+            SELECT b.node, b.od,
+                   {1 - _PR_DAMP} / n.nn + {_PR_DAMP} *
+                       (COALESCE(c3.mass, 0) + g3.dang / n.nn) AS pr
+            FROM p2 b LEFT JOIN c3 USING (node) CROSS JOIN n CROSS JOIN g3
+        )
+        SELECT node, ROUND(pr * 1000, 6) AS pr_millis FROM p3
+"""
+
+
+@register(
+    "graph_pagerank_directed",
+    oracle=_PR_DANG_SQL,
+    tags=("graph",),
+)
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the DIRECTED co-purchase DAG (edges point lower→higher
+    part id, so every locally-maximal part is a genuine sink) through the
+    general :func:`operators.graph.pagerank` — the variant that is correct
+    in the presence of dangling nodes: each iteration redistributes the
+    rank mass stranded on sinks uniformly, keeping total mass at exactly
+    1.0 (`graph_pagerank_iter` is the symmetric-graph fast path that can
+    skip the term; this entry proves the general operator against a
+    per-iteration SQL oracle with the same correction).
+
+    Scale shape: identical join+sum rounds as the symmetric entry, plus a
+    1-row dangling aggregate cross-joined back in (never collected)."""
+    from cloudfloe_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _copurchase_edges(spark, sf_dir),
+        damping=_PR_DAMP,
+        iterations=_PR_ITERS,
+    )
+    return pr.select(
+        "node", F.round(F.col("pr") * 1000, 6).alias("pr_millis")
+    )
+
+
 _KCORE_K = 4
 _KCORE_PEELS = 3
 
@@ -359,4 +439,79 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = e.join(keep_src, "src").join(keep_dst, "dst").select("src", "dst")
     return deg.select(
         F.col("src").alias("node"), F.col("c").cast("bigint").alias("degree_in_core")
+    )
+
+
+_KCORE_FIX_K = 2
+_KCORE_ORACLE_UNROLL = 12  # ≥ 2× the measured fixpoint depth at any test SF
+
+
+def _kcore_unrolled_oracle(k: int, rounds: int) -> str:
+    """Fixpoint k-core as SQL: ``rounds`` unrolled peel steps. Peeling is
+    IDEMPOTENT once the fixpoint is reached (a peel of a stable survivor
+    set is a no-op), so any unroll depth ≥ the actual fixpoint depth
+    states the fixpoint exactly — measured depths here are 4 (sf0.01,
+    1573→1538→1535 stable) and 6 (sf0.1, 1067→…→3 stable); 12 is 2×
+    margin."""
+    steps = [
+        """
+        pl AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        und AS (
+            SELECT a.pk AS src, b.pk AS dst
+            FROM pl a JOIN pl b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+            HAVING COUNT(*) >= 2
+        ),
+        e0 AS MATERIALIZED (
+            SELECT src, dst FROM und
+            UNION ALL SELECT dst AS src, src AS dst FROM und
+        )"""
+    ]
+    prev = "e0"
+    # AS MATERIALIZED is load-bearing: each step references its
+    # predecessor twice (degree count + survivor join), so CTE inlining
+    # would expand the chain exponentially (3^rounds lineitem scans —
+    # observed as an fd exhaustion in DuckDB at 12 rounds).
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+               SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src
+               HAVING COUNT(*) >= {k})"""
+        )
+        steps.append(
+            f"""e{i} AS MATERIALIZED (SELECT e.* FROM {prev} e
+               JOIN d{i} a ON e.src = a.src JOIN d{i} b ON e.dst = b.src)"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",\n        ".join(steps)
+        + f"""
+        SELECT src AS node, CAST(c AS BIGINT) AS degree_in_core
+        FROM d{rounds}"""
+    )
+
+
+@register(
+    "graph_kcore_fixpoint",
+    oracle=_kcore_unrolled_oracle(_KCORE_FIX_K, _KCORE_ORACLE_UNROLL),
+    tags=("graph",),
+)
+def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {2}-core of the co-purchase graph peeled TO FIXPOINT through
+    the general :func:`operators.graph.kcore` — the convergence-checked
+    library piece (`graph_kcore_peel` above is the fixed-3-peel catalog
+    shape; this entry proves the fixpoint semantics against an unrolled
+    SQL oracle, which states the same fixpoint because peeling is
+    idempotent once stable).
+
+    Scale shape per peel: one combinable degree count + one survivor
+    semi-join, linear in edges; the peel count is bounded by the strict
+    :class:`ConvergenceError` contract, never assumed."""
+    from cloudfloe_spark.operators.graph import kcore
+
+    return kcore(
+        _copurchase_edges(spark, sf_dir), _KCORE_FIX_K, max_peels=25
     )

@@ -75,6 +75,13 @@ PROBE_QUERIES = [
     # replica repeats the same segments — df scales ×N by construction).
     "graph_pagerank_iter",
     "text_boilerplate_segments",
+    # round-6 (VERDICT r05 #8): the widest r5 plans — PQ ADC scoring
+    # (broadcast LUT + per-row array fold), the exact+fuzzy+semantic
+    # composed dedup verdict (the widest multi-family plan in the repo),
+    # and hourly seasonality (two-level pivot-shaped agg over events).
+    "sim_pq_adc_topk",
+    "dedup_document_verdict",
+    "events_hourly_seasonality",
 ]
 
 
@@ -273,6 +280,24 @@ def skew_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     fn(spark, ev_dir).count()
     timings["retention_cohorts_user_hot90"] = round(time.perf_counter() - t0, 3)
+
+    # 6) Composed dedup verdict over the duplicate-skewed corpus (round 6):
+    # 60% of docs collapse into three hot exact/fuzzy groups — the hazard
+    # for every stage of the exact+fuzzy+semantic composition at once.
+    fn = catalog["dedup_document_verdict"].fn
+    fn(spark, skew_dir).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, skew_dir).count()
+    timings["document_verdict_dup_skew"] = round(time.perf_counter() - t0, 3)
+
+    # 7) Hourly seasonality with 90% of events on one user (round 6): the
+    # two-level (hour, type) agg has BOUNDED key space, so hot users must
+    # collapse map-side — flat growth is the expected signature.
+    fn = catalog["events_hourly_seasonality"].fn
+    fn(spark, ev_dir).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, ev_dir).count()
+    timings["hourly_seasonality_user_hot90"] = round(time.perf_counter() - t0, 3)
     return timings
 
 
