@@ -675,3 +675,247 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_suppliers"),
         )
     )
+
+
+_AUC_BIN = 100  # dollars per score bin
+
+
+@register(
+    "quality_auc_returns",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CAST(FLOOR(l_extendedprice / {_AUC_BIN}) AS BIGINT) AS bin,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+            FROM lineitem
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt,
+                   CAST(SUM(pos) AS DOUBLE) AS npos
+            FROM scored GROUP BY bin
+        ),
+        ranked AS (
+            SELECT bin, cnt, npos,
+                   COALESCE(SUM(cnt) OVER (
+                       ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + (cnt + 1) / 2 AS midrank
+            FROM per_bin
+        ),
+        tot AS (
+            SELECT SUM(npos) AS p, SUM(cnt) - SUM(npos) AS q,
+                   SUM(npos * midrank) AS rsum
+            FROM ranked
+        )
+        SELECT ROUND((rsum - p * (p + 1) / 2) / (p * q), 6) AS auc,
+               CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg
+        FROM tot
+    """,
+    tags=("analytics", "eval"),
+)
+def quality_auc_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of line price as a predictor of the return flag, via the
+    Mann-Whitney rank-sum identity over BINNED scores (${100} bins) with
+    midrank tie handling — the eval-harness shape for any model/quality
+    score at corpus scale (e.g. does the text quality score actually
+    separate kept from dropped documents?).
+
+    Scale shape — why binned: exact AUC needs a GLOBAL rank, and a global
+    window in Spark is a single-partition sort (the one shape that cannot
+    scale). Binning first reduces the axis to |bins| rows: one map-side-
+    combinable groupBy(bin) over the corpus, then the running-count window
+    runs over thousands of bins, not billions of rows. The binned AUC is
+    the exact AUC of the binned score — the standard production trade
+    (finer bins → tighter bound), not an uncontrolled approximation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") / _AUC_BIN).cast("bigint").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    per_bin = li.groupBy("bin").agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("pos").cast("double").alias("npos"),
+    )
+    w = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_bin.select(
+        "npos",
+        "cnt",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+            + (F.col("cnt") + 1) / 2
+        ).alias("midrank"),
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("npos") * F.col("midrank"))
+                - F.sum("npos") * (F.sum("npos") + 1) / 2
+            )
+            / (F.sum("npos") * (F.sum("cnt") - F.sum("npos"))),
+            6,
+        ).alias("auc"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("npos")).cast("bigint").alias("n_neg"),
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        ),
+        bounds AS (
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                       THEN o_totalprice END) AS lo,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                       THEN o_totalprice END) AS hi
+            FROM ranked GROUP BY o_orderpriority
+        )
+        SELECT r.o_orderpriority AS priority,
+               ROUND(b.lo, 2) AS p05,
+               ROUND(b.hi, 2) AS p95,
+               ROUND(AVG(LEAST(GREATEST(r.o_totalprice, b.lo), b.hi)), 4)
+                   AS winsorized_mean,
+               ROUND(AVG(r.o_totalprice), 4) AS raw_mean,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM ranked r JOIN bounds b USING (o_orderpriority)
+        GROUP BY r.o_orderpriority, b.lo, b.hi
+    """,
+    tags=("analytics", "robust-stats"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized mean of order value: clip at the DISCRETE
+    p05/p95 order statistics (the value at position ceil(p·n), ties broken
+    by key — integer logic, so both engines pick the identical boundary
+    with zero float interpolation risk), then average. The robust-mean
+    companion to robust_outliers_mad: winsorizing bounds influence instead
+    of dropping rows.
+
+    Scale shape: one window per group (5 priorities — each partition is a
+    sorted streaming pass), boundary extraction is a combinable MAX-CASE
+    aggregate, and the clip+mean re-join broadcasts the 5-row bounds
+    frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.round("lo", 2).alias("p05"),
+            F.round("hi", 2).alias("p95"),
+        )
+        .agg(
+            F.round(
+                F.avg(
+                    F.least(
+                        F.greatest(F.col("o_totalprice"), F.col("lo")),
+                        F.col("hi"),
+                    )
+                ),
+                4,
+            ).alias("winsorized_mean"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "orders_open_fulfillment_sweep",
+    oracle="""
+        WITH spans AS (
+            SELECT o.o_orderdate AS start_day,
+                   MAX(l.l_shipdate) AS end_day
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        ),
+        deltas AS (
+            SELECT start_day AS day, 1 AS d FROM spans
+            UNION ALL
+            SELECT end_day AS day, -1 AS d FROM spans
+        ),
+        daily AS (
+            SELECT day, CAST(SUM(d) AS BIGINT) AS net
+            FROM deltas GROUP BY day
+        )
+        SELECT day, net,
+               CAST(SUM(net) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_orders
+        FROM daily
+    """,
+    tags=("analytics", "interval"),
+)
+def orders_open_fulfillment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order count per day (placed, not yet fully shipped) by SWEEP
+    LINE over each order's fulfillment interval [order date, last ship
+    date]: every interval contributes a +1 delta at its start and a -1 at
+    its end; the running sum of daily nets IS the concurrent-interval
+    count. The canonical trick for interval-overlap counting at scale.
+
+    Scale shape — why sweep, not range join: the naive form (calendar ×
+    intervals, day BETWEEN start AND end) plans as a |days|×|orders|
+    nested-loop expansion. Here: one equi-join + combinable MAX to build
+    the spans, one union projection (linear), one combinable groupBy(day),
+    and a running sum over the BOUNDED day axis (~2.5k rows at any corpus
+    size) — the same axis-bound argument as events_rolling_active_users."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_day"))
+        .select(F.col("o_orderdate").alias("start_day"), "end_day")
+    )
+    deltas = spans.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(F.col("end_day").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("d").cast("bigint").alias("net")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )

@@ -949,3 +949,52 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 10)
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM first_seen GROUP BY day
+        )
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM daily
+    """,
+    tags=("events", "growth"),
+)
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-base growth curve: cumulative count of distinct users ever
+    seen, per day — computed as first-seen-date per user + daily new-user
+    counts + a running sum, NOT as a per-day distinct over an expanding
+    window (which re-counts the whole history for every day).
+
+    Scale shape: one combinable MIN keyed on user_id (the only
+    corpus-sized shuffle), one groupBy over |days|, and a running sum on
+    the bounded day axis — cumulative-distinct at 100 TB is exactly this
+    decomposition or it is quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

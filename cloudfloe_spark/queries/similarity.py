@@ -1323,3 +1323,69 @@ def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_silhouette"),
         F.count("*").cast("bigint").alias("n_points"),
     )
+
+
+@register(
+    "sim_cluster_purity",
+    oracle=_IVF_COMMON_SQL + """
+        , labeled AS (
+            SELECT a.list_id, e.label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY a.list_id, e.label
+        ),
+        ranked AS (
+            SELECT list_id, label, n,
+                   SUM(n) OVER (PARTITION BY list_id) AS total,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY list_id ORDER BY n DESC, label
+                   ) AS rk
+            FROM labeled
+        )
+        SELECT list_id,
+               CAST(total AS BIGINT) AS n_vectors,
+               label AS majority_label,
+               ROUND(CAST(n AS DOUBLE) / total, 6) AS purity
+        FROM ranked WHERE rk = 1
+    """,
+    tags=("similarity", "eval", "clustering"),
+)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity of the IVF assignment against the stored labels:
+    per list, the majority label's share (ties to the lower label — both
+    engines rank identically). The external-validity companion to
+    sim_silhouette_by_label (internal cohesion): purity says whether the
+    codebook partitioning tracks the semantic classes, which is what
+    decides if IVF probe pruning loses recall AT the class boundaries.
+
+    Scale shape: assignment is the zero-shuffle broadcast-codebook fold;
+    the label join is an equi-join on vec_id; everything after runs on
+    |lists|x|labels| rows (bounded by the codebook, not the corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    labeled = (
+        _ivf_assign(e)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("list_id", "label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("list_id")
+    wr = Window.partitionBy("list_id").orderBy(
+        F.col("n").desc(), F.col("label")
+    )
+    return (
+        labeled.select(
+            "list_id",
+            "label",
+            "n",
+            F.sum("n").over(wt).alias("total"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "list_id",
+            F.col("total").cast("bigint").alias("n_vectors"),
+            F.col("label").alias("majority_label"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "purity"
+            ),
+        )
+    )

@@ -989,3 +989,50 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lnc, lnr), 6).alias("fit_r2"),
         F.count("*").cast("bigint").alias("n_types"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS actual_lang,
+                   {_lang_hits_sql('en')} AS s_en,
+                   {_lang_hits_sql('de')} AS s_de,
+                   {_lang_hits_sql('fr')} AS s_fr,
+                   {_lang_hits_sql('es')} AS s_es
+            FROM documents
+        ),
+        pred AS (
+            SELECT actual_lang,
+                   CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS predicted_lang
+            FROM scored
+        )
+        SELECT actual_lang, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred
+        GROUP BY actual_lang, predicted_lang
+    """,
+    tags=("text", "langid", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-hit language identifier against
+    the stored language label — the eval harness every classifier-shaped
+    curation stage needs before it gates a corpus (which languages leak
+    into which, and how much lands in 'und').
+
+    Scale shape: the classifier is a zero-shuffle per-row projection
+    (same expression as text_lang_id); the matrix is one map-side-combined
+    groupBy bounded by |langs|² cells."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("actual_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
