@@ -1474,3 +1474,39 @@ def test_null_partition_rows_not_lost_and_pruned_on_equality(spark, tmp_path):
     )
     assert [r["id"] for r in df_eq.collect()] == [1]
     assert len(set(df_eq.inputFiles())) == 1  # null file AND 'fr' file pruned
+
+
+def test_partitions_listing_uses_current_names_after_rename(spark, tmp_path):
+    """ADVICE r05: the partition listing must render tuple keys under the
+    CURRENT column name after a rename (scans and pruning already do), not
+    the write-time manifest key."""
+    root = str(tmp_path / "tplist")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by="lang",
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "lang": ["en", "fr"]})], timestamp_ms=T1
+    )
+    t.rename_column("lang", "language", timestamp_ms=T2)
+    resp = run_query(
+        spark,
+        f"SELECT partition FROM iceberg_partitions('{root}') ORDER BY partition",
+        _cfg(),
+    )
+    assert [r[0] for r in resp.rows] == ["language=en", "language=fr"]
+
+
+def test_parquet_footer_names_cached_per_path(tmp_path):
+    """ADVICE r05: footer column names are immutable per (immutable) data
+    file path — the second lookup must not touch the file again (for
+    remote schemes the uncached path re-downloads the whole object)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(pa2.table({"a": [1], "b": ["x"]}), p)
+    assert im.parquet_column_names(p) == ["a", "b"]
+    os.remove(p)  # a re-read would now fail loudly
+    assert im.parquet_column_names(p) == ["a", "b"]  # served from cache

@@ -476,3 +476,62 @@ def test_document_verdict_no_bnl(spark, sf_dir):
     and none of the three signal joins may degrade to a nested loop."""
     df = CATALOG["dedup_document_verdict"].fn(spark, sf_dir)
     assert not has_cartesian_or_bnl(df), executed_plan(df, "simple")
+
+
+def test_auc_window_runs_on_bins_not_corpus(spark, sf_dir):
+    """quality_auc_returns: the running-count window must consume the
+    binned aggregate (|bins| rows), never the corpus — i.e. a combinable
+    HashAggregate sits strictly below the Window, and there is at most
+    one corpus-keyed exchange (the bin groupBy) feeding it."""
+    df = CATALOG["quality_auc_returns"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert plan.index("HashAggregate") < plan.index("Window"), plan
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_sweep_line_is_not_a_range_join(spark, sf_dir):
+    """orders_open_fulfillment_sweep must stay a sweep (union + groupBy +
+    bounded window) — no nested-loop/cartesian expansion against a day
+    spine."""
+    df = CATALOG["orders_open_fulfillment_sweep"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    plan = executed_plan(df, "simple")
+    assert "Union" in plan, plan
+
+
+def test_cumulative_users_single_corpus_shuffle(spark, sf_dir):
+    """events_cumulative_distinct_users: one corpus-sized exchange (the
+    user_id MIN); day-axis aggregation and the running sum add at most
+    two more bounded exchanges."""
+    df = CATALOG["events_cumulative_distinct_users"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_cluster_purity_corpus_never_crossjoined(spark, sf_dir):
+    """sim_cluster_purity: the codebook assignment is the zero-shuffle
+    broadcast fold — the only BNL allowed is the bounded 1-row codebook
+    attach, never a corpus x corpus expansion; label attach is an
+    equi-join."""
+    df = CATALOG["sim_cluster_purity"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    # the 1-row codebook attach appears as a BroadcastNestedLoopJoin of a
+    # single-row relation; any other nested loop is a regression
+    assert plan.count("NestedLoop") <= 1, plan
+
+
+def test_langid_confusion_zero_join(spark, sf_dir):
+    """text_langid_confusion: classify is a per-row projection; the plan
+    must contain no join at all and exactly the combinable matrix agg."""
+    df = CATALOG["text_langid_confusion"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1  # the |langs|^2 matrix agg
+
+
+def test_winsorized_mean_broadcasts_bounds(spark, sf_dir):
+    """agg_winsorized_mean: the 5-row bounds frame re-joins broadcast,
+    and the per-group window is the only sort."""
+    df = CATALOG["agg_winsorized_mean"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnl(df)
