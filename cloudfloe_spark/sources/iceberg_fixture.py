@@ -125,25 +125,36 @@ class LocalIcebergTable:
         self.root = root
         self.schema = arrow_schema
         self._uri_prefix = uri_prefix
-        # partition_by: a column name (identity transform) or a
-        # (column, transform) pair — transform per the Iceberg spec:
-        # "identity", "year", "month", "day", "hour", "bucket[N]",
+        # partition_by: a column name (identity transform), a
+        # (column, transform) pair, or a LIST of either — a multi-field
+        # spec, e.g. [("ts", "day"), ("id", "bucket[4]")], the layout real
+        # Iceberg tables overwhelmingly use. Transforms per the Iceberg
+        # spec: "identity", "year", "month", "day", "hour", "bucket[N]",
         # "truncate[W]".
-        if isinstance(partition_by, tuple):
-            self.partition_by, self.partition_transform = partition_by
+        if partition_by is None:
+            fields: list = []
+        elif isinstance(partition_by, list):
+            fields = [
+                f if isinstance(f, tuple) else (f, "identity")
+                for f in partition_by
+            ]
+        elif isinstance(partition_by, tuple):
+            fields = [partition_by]
         else:
-            self.partition_by, self.partition_transform = partition_by, "identity"
-        if (
-            self.partition_by is not None
-            and self.partition_by not in arrow_schema.names
-        ):
-            raise KeyError(
-                f"partition column {self.partition_by!r} not in schema"
-            )
-        if self.partition_by is not None:
+            fields = [(partition_by, "identity")]
+        self._pfields: list[tuple[str, str]] = fields
+        # single-field compat attributes (rename_column keys off these)
+        self.partition_by = fields[0][0] if fields else None
+        self.partition_transform = fields[0][1] if fields else "identity"
+        if fields:
             from cloudfloe_spark.sources.partition_pruning import parse_transform
 
-            parse_transform(self.partition_transform)  # validate early
+            for col_name, transform in fields:
+                if col_name not in arrow_schema.names:
+                    raise KeyError(
+                        f"partition column {col_name!r} not in schema"
+                    )
+                parse_transform(transform)  # validate early
         self._snapshots: list[dict] = []
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
@@ -173,29 +184,45 @@ class LocalIcebergTable:
             self._live.pop(path, None)
         parts: list[tuple[pa.Table, Optional[dict]]] = []
         for t in tables:
-            if self.partition_by is None:
+            if not self._pfields:
                 parts.append((t, None))
             else:
                 from cloudfloe_spark.sources.partition_pruning import (
                     transform_value,
                 )
 
-                fname_p = self.partition_field_name()
-                src_t = self._source_iceberg_type()
-                # Group rows by TRANSFORMED partition value (identity is
-                # the trivial transform). NULL source values land in a
-                # null-valued partition tuple — never silently dropped.
-                tvals = [
-                    transform_value(self.partition_transform, v, src_t)
-                    for v in t.column(self.partition_by).to_pylist()
-                ]
+                # Group rows by the TUPLE of transformed partition values
+                # (identity is the trivial transform). NULL source values
+                # land in a null-valued tuple slot — never silently
+                # dropped.
+                per_field = []
+                for col_name, transform in self._pfields:
+                    src_t = self._source_iceberg_type(col_name)
+                    per_field.append(
+                        [
+                            transform_value(transform, v, src_t)
+                            for v in t.column(col_name).to_pylist()
+                        ]
+                    )
                 by_val: dict = {}
-                for i, tv in enumerate(tvals):
+                for i, tv in enumerate(zip(*per_field)):
                     by_val.setdefault(tv, []).append(i)
-                for tv in sorted(by_val, key=lambda x: (x is None, str(x))):
+                fnames = [
+                    self.partition_field_name(c, tr)
+                    for c, tr in self._pfields
+                ]
+                for tv in sorted(
+                    by_val, key=lambda tup: [(v is None, str(v)) for v in tup]
+                ):
                     sub = t.take(by_val[tv])
                     parts.append(
-                        (sub, {fname_p: None if tv is None else str(tv)})
+                        (
+                            sub,
+                            {
+                                fn: None if v is None else str(v)
+                                for fn, v in zip(fnames, tv)
+                            },
+                        )
                     )
         for t, pvals in parts:
             fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
@@ -316,6 +343,9 @@ class LocalIcebergTable:
         )
         if self.partition_by == old:
             self.partition_by = new
+        self._pfields = [
+            (new if c == old else c, tr) for c, tr in self._pfields
+        ]
         if not self._schema_log:
             # schema 0 was implicit until now — materialize the ORIGINAL
             # names as schema-id 0 before appending the renamed schema.
@@ -419,20 +449,22 @@ class LocalIcebergTable:
         self._write_metadata_json(timestamp_ms)
         return snap_id
 
-    def partition_field_name(self) -> str:
+    def partition_field_name(self, col: str | None = None, transform: str | None = None) -> str:
         """Iceberg's conventional spec-field naming: identity fields carry
         the column name; derived transforms suffix it (``ts_day``,
-        ``c_bucket``, ``s_trunc``)."""
+        ``c_bucket``, ``s_trunc``). No-arg form = the first spec field."""
         from cloudfloe_spark.sources.partition_pruning import parse_transform
 
-        kind, _ = parse_transform(self.partition_transform)
+        col = col if col is not None else self.partition_by
+        transform = transform if transform is not None else self.partition_transform
+        kind, _ = parse_transform(transform)
         if kind == "identity":
-            return self.partition_by
+            return col
         suffix = {"truncate": "trunc"}.get(kind, kind)
-        return f"{self.partition_by}_{suffix}"
+        return f"{col}_{suffix}"
 
-    def _source_iceberg_type(self) -> str:
-        f = self.schema.field(self.partition_by)
+    def _source_iceberg_type(self, col: str | None = None) -> str:
+        f = self.schema.field(col if col is not None else self.partition_by)
         t = _ARROW_TO_ICEBERG.get(f.type)
         if t is None and pa.types.is_timestamp(f.type):
             t = "timestamptz" if f.type.tz else "timestamp"
@@ -469,19 +501,15 @@ class LocalIcebergTable:
             "partition-specs": [
                 {
                     "spec-id": 0,
-                    "fields": (
-                        [
-                            {
-                                "name": self.partition_field_name(),
-                                "source-id": 1
-                                + self.schema.names.index(self.partition_by),
-                                "field-id": 1000,
-                                "transform": self.partition_transform,
-                            }
-                        ]
-                        if self.partition_by is not None
-                        else []
-                    ),
+                    "fields": [
+                        {
+                            "name": self.partition_field_name(c, tr),
+                            "source-id": 1 + self.schema.names.index(c),
+                            "field-id": 1000 + i,
+                            "transform": tr,
+                        }
+                        for i, (c, tr) in enumerate(self._pfields)
+                    ],
                 }
             ],
             "current-schema-id": (

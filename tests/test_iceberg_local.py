@@ -1510,3 +1510,64 @@ def test_parquet_footer_names_cached_per_path(tmp_path):
     assert im.parquet_column_names(p) == ["a", "b"]
     os.remove(p)  # a re-read would now fail loudly
     assert im.parquet_column_names(p) == ["a", "b"]  # served from cache
+
+
+def test_multi_field_partition_pruning(spark, tmp_path):
+    """Multi-field spec — days(ts) + bucket[4](uid), the layout real
+    Iceberg tables overwhelmingly use: conjuncts on BOTH source columns
+    compose (each field prunes independently; a file survives only if
+    every conjunct can match its tuple)."""
+    import datetime
+
+    from cloudfloe_spark.sources.partition_pruning import bucket_value
+
+    root = str(tmp_path / "tmulti")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [
+                ("uid", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("v", pa.string()),
+            ]
+        ),
+        partition_by=[("ts", "day"), ("uid", "bucket[4]")],
+    )
+    rows = {
+        "uid": [1, 2, 3, 4, 1, 2, 3, 4],
+        "ts": [
+            datetime.datetime(2024, 3, d, h)
+            for d in (1, 2)
+            for h in (6, 9, 12, 15)
+        ],
+        "v": list("abcdefgh"),
+    }
+    t.append_snapshot([pa.table(rows)], timestamp_ms=T1)
+
+    all_df = _resolved_df(spark, f"SELECT v FROM iceberg_scan('{root}')")
+    n_all = len(set(all_df.inputFiles()))
+    assert n_all >= 4  # day x bucket grid actually split
+
+    # day-only conjunct: keeps only 2024-03-02 files
+    df_day = _resolved_df(
+        spark,
+        f"SELECT v FROM iceberg_scan('{root}') "
+        "WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'",
+    )
+    assert sorted(r["v"] for r in df_day.collect()) == list("efgh")
+    assert len(set(df_day.inputFiles())) < n_all
+
+    # BOTH conjuncts compose: one day AND one uid bucket
+    df_both = _resolved_df(
+        spark,
+        f"SELECT v FROM iceberg_scan('{root}') "
+        "WHERE ts >= TIMESTAMP '2024-03-02 00:00:00' AND uid = 1",
+    )
+    assert [r["v"] for r in df_both.collect()] == ["e"]
+    n_both = len(set(df_both.inputFiles()))
+    # uid=1 selects exactly the files in bucket(1) of day 2: strictly
+    # fewer than the day-only survivor set unless the whole day shares
+    # uid=1's bucket
+    b1 = bucket_value(1, 4, "long")
+    same_bucket = {u for u in (1, 2, 3, 4) if bucket_value(u, 4, "long") == b1}
+    assert n_both <= len(same_bucket)
