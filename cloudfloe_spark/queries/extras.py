@@ -726,3 +726,53 @@ def grouped_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs"
         ),
     )
+
+
+@register(
+    "agg_salted_user_stats",
+    # The oracle is the PLAIN group-by: salting is an execution strategy,
+    # not a semantics change — the two-phase salted aggregation must be
+    # bit-equal (after the stated rounding) to the direct aggregate.
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE), 6)
+                   AS total_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats through the SALTED two-phase aggregation
+    (operators/skew.salted_agg) — the hot-key execution path SCALING.md
+    measures under 90% key skew — proven semantics-preserving against the
+    plain GROUP BY oracle. The salt spreads each key across 16 reducers in
+    phase 1; phase 2 merges the mergeable partials (sum/count/max), so the
+    result is identical while no single reducer ever receives a whole hot
+    key.
+
+    Sum determinism: values are summed as DECIMAL(28,14) on the oracle
+    side and the salted partial order differs from a direct scan, so the
+    compared total is rounded at 6 — per-user groups are small enough that
+    double summation agrees to far finer than that."""
+    from cloudfloe_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        [
+            ("value", "count", "n_events"),
+            ("value", "sum", "total_value"),
+            ("value", "max", "max_value"),
+        ],
+        spread_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

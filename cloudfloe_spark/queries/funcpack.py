@@ -623,3 +623,56 @@ def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFram
             "p99_within_tol"
         ),
     )
+
+
+@register(
+    "agg_hll_mergeability_contract",
+    # Like agg_approx_distinct: sketch bytes are engine-specific, so the
+    # oracle states the CONTRACT — the month estimate obtained by UNION-
+    # MERGING the per-day sketches (never re-reading rows) must land
+    # within 5% of the exact month distinct, whose value hash-compares.
+    oracle="""
+        SELECT CAST(DATE_TRUNC('month', ts) AS DATE) AS month,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS merged_within_tol
+        FROM events
+        GROUP BY month
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_mergeability_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch MERGEABILITY — the property that makes distinct
+    counting feasible at 100 TB: per-day HLL sketches (Datasketches,
+    lgConfigK=14) are union-merged into month estimates WITHOUT re-reading
+    any row, and the contract asserts the merged estimate lands within 5%
+    of the exact month distinct. This is the incremental-rollup pattern
+    (store day sketches, serve any ad-hoc period by merging) that exact
+    COUNT DISTINCT cannot do — it is not re-aggregable from day results.
+
+    Scale shape: one pass builds all day sketches map-side-combinably;
+    the merge shuffles |days| sketch rows, never data. The exact distinct
+    exists here only as the yardstick."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("month", "ts")).alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    exact = ev.groupBy("month").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    tol = 0.05
+    return exact.join(merged, "month").select(
+        "month",
+        "exact_users",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= tol
+        ).alias("merged_within_tol"),
+    )

@@ -445,3 +445,96 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("win_start", "event_type", "n_events", "rk")
     )
+
+
+@register(
+    "streaming_full_outer_join",
+    oracle="""
+        WITH c AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'purchase')
+        SELECT c.user_id AS l_user, c.event_id AS l_event_id, c.ts AS l_ts,
+               p.user_id AS r_user, p.event_id AS r_event_id, p.ts AS r_ts
+        FROM c FULL JOIN p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join executed BY THE STREAMING
+    ENGINE: on top of the left-outer semantics, every unmatched purchase
+    also emits once with NULL click columns after the watermark proves no
+    click can still pair with it. Drained exactly like the left-outer
+    twin — two checkpointed availableNow runs over a growing source dir,
+    run 2 adding a far-future sentinel PAIR (one event per side's filter,
+    VERIFY.md gotcha: the global watermark is the min across both inputs
+    and each side's filter runs before its watermark). The terminal sink
+    equals the batch FULL JOIN, which the oracle states directly.
+
+    Scale shape: same watermark-bounded shuffled join as the inner/left
+    variants — full-outer adds the right-side null-emission path, not
+    state: both sides still evict by watermark + interval."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.tables import load_table
+    from cloudfloe_spark.streaming.windows import stream_stream_full_outer_join
+
+    base = tempfile.mkdtemp(prefix="cf_fouter_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    cp = os.path.join(base, "cp")
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+
+    def _run() -> None:
+        sdf = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(f"{src}/*")
+        joined = stream_stream_full_outer_join(sdf, sdf)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(180):
+                raise TimeoutError("full-outer streaming run exceeded 180s")
+        finally:
+            q.stop()
+
+    _run()
+    sentinel = spark.createDataFrame(
+        [
+            (-1, "2035-01-01 00:00:00", -1, "click"),
+            (-2, "2035-01-01 00:00:00", -1, "purchase"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    _run()
+
+    try:
+        return (
+            spark.read.parquet(out)
+            .filter(
+                (F.col("l_user").isNull() | (F.col("l_user") >= 0))
+                & (F.col("r_user").isNull() | (F.col("r_user") >= 0))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -266,3 +266,48 @@ def stream_stream_left_outer_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
         "leftOuter",
     ).select("l_user", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
+def stream_stream_full_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: every ``left_type`` event
+    emits (with matches or null-extended, as in the left-outer variant)
+    AND every unmatched ``right_type`` event also emits once with NULL
+    left columns after the watermark proves no left row can still pair
+    with it. Both sides' state is evicted by the same watermark +
+    interval rule — full-outer adds no unbounded state, only the second
+    null-emission path."""
+    lt = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    rt = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return lt.join(
+        rt,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "fullOuter",
+    ).select(
+        "l_user", "l_event_id", "l_ts", "r_user", "r_event_id", "r_ts"
+    )
