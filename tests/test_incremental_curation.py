@@ -1,0 +1,135 @@
+"""Incremental curation end-to-end: the 100-TB operating loop.
+
+A training-data pipeline does NOT rescan the corpus per run — it reads
+only the rows appended since its last processed snapshot
+(``iceberg_changes``), pushes them through the curation operators, and
+appends the survivors. This test drives that composition through the real
+service surface (validated SQL → snapshot-pinned jarless Iceberg reads →
+the same fingerprint/quality expressions the catalog operators use),
+proving the pieces compose — not just pass their individual oracles.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+T1, T2 = 1700000000000, 1700000100000
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _docs(ids_texts):
+    return pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in ids_texts], pa.int64()),
+            "text": pa.array([t for _, t in ids_texts], pa.string()),
+        }
+    )
+
+
+def test_incremental_batch_dedups_only_new_docs(spark, tmp_path):
+    """Two commits; the curation pass over iceberg_changes(s1, s2) must
+    see EXACTLY the second batch, dedup within it, and flag
+    already-ingested content via an anti-join against the s1 snapshot —
+    without rescanning snapshot-1 rows as candidates."""
+    root = str(tmp_path / "docs_tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    s1 = t.append_snapshot(
+        [_docs([(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")])],
+        timestamp_ms=T1,
+    )
+    s2 = t.append_snapshot(
+        [
+            _docs(
+                [
+                    (4, "epsilon zeta"),  # genuinely new
+                    (5, "epsilon zeta"),  # dup WITHIN the new batch
+                    (6, "gamma delta"),  # dup of an ALREADY-INGESTED doc
+                ]
+            )
+        ],
+        timestamp_ms=T2,
+    )
+
+    # 1) The incremental read surfaces only the appended rows.
+    resp = run_query(
+        spark,
+        f"SELECT doc_id FROM iceberg_changes('{root}', {s1}, {s2}) "
+        "ORDER BY doc_id",
+        _cfg(),
+    )
+    assert [r[0] for r in resp.rows] == [4, 5, 6]
+
+    # 2) The curation pass: fingerprint the new batch, keep one
+    # representative per new fingerprint, and drop content whose
+    # fingerprint already exists in the processed snapshot (s1) — the
+    # decontamination anti-join runs against fingerprints, never text.
+    resp = run_query(
+        spark,
+        f"""
+        WITH new_batch AS (
+            SELECT doc_id, md5(text) AS fp
+            FROM iceberg_changes('{root}', {s1}, {s2})
+        ),
+        seen AS (
+            SELECT DISTINCT md5(text) AS fp
+            FROM iceberg_scan('{root}') VERSION AS OF {s1}
+        ),
+        fresh AS (
+            SELECT n.doc_id, n.fp
+            FROM new_batch n LEFT JOIN seen s ON n.fp = s.fp
+            WHERE s.fp IS NULL
+        )
+        SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
+        FROM fresh GROUP BY fp ORDER BY keep_doc
+        """,
+        _cfg(),
+    )
+    # doc 6 duplicates already-ingested content → dropped by the
+    # anti-join; docs 4+5 collapse to one representative (4).
+    assert [tuple(r) for r in resp.rows] == [
+        (resp.rows[0][0], 4, 2),
+    ]
+    assert resp.stats.bytesScanned > 0
+
+
+def test_incremental_read_rejects_rewritten_history(spark, tmp_path):
+    """If compaction rewrote files inside the range, the append-only
+    incremental contract is violated and the service must 400 (silently
+    re-reading rewritten rows would double-count downstream)."""
+    import os
+
+    import pytest
+
+    from cloudfloe_spark.service.errors import CloudfloeError
+    from cloudfloe_spark.sources.iceberg_fixture import commit_rewrite_snapshot
+
+    root = str(tmp_path / "docs_rw")
+    t = LocalIcebergTable(
+        root, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    s1 = t.append_snapshot([_docs([(1, "a"), (2, "b")])], timestamp_ms=T1)
+    # external compaction rewrite: same rows, new file
+    import pyarrow.parquet as pq
+
+    newfile = os.path.join(root, "data", "rewritten.parquet")
+    pq.write_table(_docs([(1, "a"), (2, "b")]), newfile)
+    s2 = commit_rewrite_snapshot(
+        root, [(newfile, 2)], timestamp_ms=T2
+    )
+    with pytest.raises(CloudfloeError):
+        run_query(
+            spark,
+            f"SELECT doc_id FROM iceberg_changes('{root}', {s1}, {s2})",
+            _cfg(),
+        )

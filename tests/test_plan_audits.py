@@ -535,3 +535,26 @@ def test_winsorized_mean_broadcasts_bounds(spark, sf_dir):
     df = CATALOG["agg_winsorized_mean"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert not has_cartesian_or_bnl(df)
+
+
+def test_hll_merge_shuffles_sketches_not_rows(spark, sf_dir):
+    """agg_hll_mergeability_contract: the day→month merge must aggregate
+    hll_union_agg partials (map-side combinable), with no join fan-out of
+    the corpus — the exact-distinct yardstick is the only other
+    corpus-keyed exchange."""
+    df = CATALOG["agg_hll_mergeability_contract"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "hll_union_agg" in plan, plan
+    assert "partial_hll_sketch_agg" in plan, plan  # day sketches combine map-side
+    assert "partial_hll_union_agg" in plan, plan  # merge combines map-side too
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_salted_agg_two_phase_in_plan(spark, sf_dir):
+    """agg_salted_user_stats: the plan must show BOTH aggregation phases
+    (salted partial keyed on (user_id, salt), then the merge keyed on
+    user_id) — i.e. at least two hash-agg exchanges and zero joins."""
+    df = CATALOG["agg_salted_user_stats"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) >= 2, executed_plan(df, "simple")
