@@ -919,3 +919,67 @@ def orders_open_fulfillment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     return daily.select(
         "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS cm
+            FROM orders GROUP BY o_custkey
+        ),
+        facts AS (
+            SELECT f.cm,
+                   (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) - f.cm
+                       AS months_since,
+                   o.o_custkey, o.o_totalprice
+            FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        )
+        SELECT CAST(MAKE_DATE(cm // 12, cm % 12 + 1, 1) AS DATE)
+                   AS cohort_month,
+               CAST(months_since AS BIGINT) AS months_since,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,14)))
+                     AS DOUBLE), 2) AS revenue
+        FROM facts
+        GROUP BY cm, months_since
+    """,
+    tags=("analytics", "cohort"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by FIRST-order month, revenue
+    and active-buyer counts per months-since-acquisition — the
+    lifetime-value triangle every growth dashboard runs. Month arithmetic
+    is integer (y*12+m), so both engines bucket identically with no
+    interval/rounding semantics in play; revenue sums as DECIMAL for an
+    order-independent total.
+
+    Scale shape: one combinable MIN keyed on customer (the acquisition
+    date), one equi-join back to the fact (AQE-sized), one combinable
+    rollup over the bounded |cohorts|x|offsets| grid."""
+    o = load_table(spark, sf_dir, "orders")
+    mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(mcol).alias("cm"))
+    facts = o.join(firsts, "o_custkey").select(
+        "cm",
+        (mcol - F.col("cm")).cast("bigint").alias("months_since"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return facts.groupBy(
+        F.make_date(
+            (F.col("cm") / 12).cast("int"),
+            F.pmod(F.col("cm"), 12) + 1,
+            F.lit(1),
+        ).alias("cohort_month"),
+        "months_since",
+    ).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_buyers"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,14)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+    )

@@ -1389,3 +1389,98 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    dim, v0 = _PCA_DIM, 1.0 / 8.0  # ||v0|| = sqrt(64 * (1/64)) = 1
+    steps = [
+        f"""cells AS MATERIALIZED (
+            SELECT ii.i AS i, jj.j AS j,
+                   SUM(CAST(e.embedding AS DOUBLE[])[ii.i + 1]
+                       * CAST(e.embedding AS DOUBLE[])[jj.j + 1]) AS g
+            FROM embeddings e,
+                 GENERATE_SERIES(0, {dim - 1}) ii(i),
+                 GENERATE_SERIES(0, {dim - 1}) jj(j)
+            GROUP BY ii.i, jj.j
+        )""",
+        f"v0 AS (SELECT j, CAST({v0} AS DOUBLE) AS v "
+        f"FROM GENERATE_SERIES(0, {dim - 1}) t(j))",
+    ]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        steps.append(
+            f"""x{k} AS MATERIALIZED (
+               SELECT c.i, SUM(c.g * p.v) AS x
+               FROM cells c JOIN {prev} p ON p.j = c.j GROUP BY c.i)"""
+        )
+        steps.append(f"n{k} AS (SELECT SQRT(SUM(x * x)) AS n FROM x{k})")
+        steps.append(
+            f"v{k} AS (SELECT i AS j, x / n{k}.n AS v FROM x{k}, n{k})"
+        )
+        prev = f"v{k}"
+    return (
+        "WITH "
+        + ",\n        ".join(steps)
+        + f"""
+        SELECT j AS dim, ROUND(v, 6) AS component FROM {prev}"""
+    )
+
+
+@register(
+    "vec_pca_top_component",
+    oracle=_pca_oracle(),
+    tags=("similarity", "linalg"),
+)
+def vec_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    on the (uncentered) Gram matrix — {3} deterministic iterations from
+    the uniform unit start vector. The distributed-PCA pattern: the
+    corpus is touched ONCE to accumulate the d×d Gram (combinable sum
+    keyed on the bounded (i,j) grid); every iteration afterwards is a
+    matrix-vector product over d² = {4096} rows — corpus-size-independent.
+    Used to whiten/de-bias embedding spaces and to pick Matryoshka
+    truncation axes.
+
+    Scale shape: cell generation expands each vector to d² (i,j) products
+    here because d=64 keeps that cheap and fully declarative (oracle-
+    matched); for d in the thousands the same one-pass accumulation runs
+    as an Arrow mapInPandas partial-Gram per partition (d×d numpy
+    accumulator, O(d²) memory) with the identical bounded merge — the
+    iteration side is unchanged. Power iterations stay in-plan: each is
+    one equi-join + combinable sum + a 1-row norm cross-joined back."""
+    from cloudfloe_spark.functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("i", "vi"),
+        F.col("embedding"),
+    )
+    cells = (
+        rows.select(
+            "i", "vi", F.posexplode(as_double(F.col("embedding"))).alias("j", "vj")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+        .localCheckpoint(eager=False)  # 4096 rows; reused by every iteration
+    )
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0 / 8.0).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        x = (
+            cells.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("x"))
+        )
+        nrm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n"))
+        v = x.crossJoin(nrm).select(
+            F.col("i").alias("j"), (F.col("x") / F.col("n")).alias("v")
+        )
+    return v.select(
+        F.col("j").cast("bigint").alias("dim"),
+        F.round("v", 6).alias("component"),
+    )

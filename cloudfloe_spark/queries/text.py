@@ -1036,3 +1036,83 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+_KGRAM_LEN = 32
+_KGRAM_STRIDE = 8
+
+
+@register(
+    "text_char_kgram_dup_rate",
+    oracle=f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LENGTH(text) - {_KGRAM_LEN - 1},
+                                       {_KGRAM_STRIDE}),
+                       i -> SUBSTRING(text, i, {_KGRAM_LEN})
+                   )) AS g
+            FROM documents
+            WHERE LENGTH(text) >= {_KGRAM_LEN}
+        ),
+        freq AS (
+            SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams,
+               ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS dup_rate
+        FROM grams JOIN freq USING (g)
+        GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def text_char_kgram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-document duplication rate over CHARACTER
+    {32}-grams sampled every {8} chars — the tractable stand-in for
+    exact-substring dedup (Lee et al. 2022's ExactSubstr builds a corpus
+    suffix array; the strided char-k-gram inverted index measures the same
+    quantity — what fraction of a doc's text verbatim re-occurs elsewhere
+    — with shuffle-friendly primitives).
+
+    Scale shape: gram generation is a per-row projection bounded at
+    len/stride rows per doc; the document-frequency count is one
+    combinable groupBy keyed on the gram (hot boilerplate grams collapse
+    map-side); the rate re-join is an equi-join on the gram. Nothing is
+    ever all-pairs — the inverted index IS the candidate structure."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _KGRAM_LEN
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length("text") - (_KGRAM_LEN - 1),
+                        F.lit(_KGRAM_STRIDE),
+                    ),
+                    lambda i: F.col("text").substr(i, F.lit(_KGRAM_LEN)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    freq = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    dup = F.sum((F.col("df") >= 2).cast("bigint"))
+    return (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            dup.cast("bigint").alias("n_dup_grams"),
+            F.round(
+                dup.cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
