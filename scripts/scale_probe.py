@@ -82,6 +82,11 @@ PROBE_QUERIES = [
     "sim_pq_adc_topk",
     "dedup_document_verdict",
     "events_hourly_seasonality",
+    # round-6b: the verbatim-reuse inverted index (hot boilerplate grams
+    # are the skew hazard) and the one-pass Gram + bounded power
+    # iteration (the corpus-size-independent-iterations claim).
+    "text_char_kgram_dup_rate",
+    "vec_pca_top_component",
 ]
 
 

@@ -558,3 +558,32 @@ def test_salted_agg_two_phase_in_plan(spark, sf_dir):
     plan = executed_plan(df, "simple")
     assert "Join" not in plan, plan
     assert shuffle_count(df) >= 2, executed_plan(df, "simple")
+
+
+def test_cohort_ltv_single_fact_join(spark, sf_dir):
+    """orders_cohort_ltv: acquisition-month MIN combines map-side; the
+    fact re-join is the only join; final rollup is bounded-grid."""
+    df = CATALOG["orders_cohort_ltv"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert plan.count("Join") >= 1
+    assert not has_cartesian_or_bnl(df)
+    assert "partial_min" in plan, plan
+
+
+def test_kgram_dup_rate_inverted_index_not_all_pairs(spark, sf_dir):
+    """text_char_kgram_dup_rate: the candidate structure is the inverted
+    index (equi-join on the gram), never a doc x doc expansion, and the
+    document-frequency count partial-aggregates map-side."""
+    df = CATALOG["text_char_kgram_dup_rate"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    plan = executed_plan(df, "simple")
+    assert "partial_count" in plan, plan
+
+
+def test_pca_iterations_corpus_independent(spark, sf_dir):
+    """vec_pca_top_component: after the one-pass Gram accumulation
+    (lineage-capped), every iteration joins the 4096-cell grid — the
+    embeddings parquet must be scanned at most once in the final plan."""
+    df = CATALOG["vec_pca_top_component"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert plan.count("Scan parquet") <= 1, plan
