@@ -998,3 +998,69 @@ def events_cumulative_distinct_users(
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ), days AS (SELECT DISTINCT day FROM du),
+        mau AS (
+            SELECT d.day AS report_day,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+            GROUP BY d.day
+        ),
+        dau AS (
+            SELECT day AS report_day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM du GROUP BY day
+        )
+        SELECT m.report_day, d.dau, m.mau,
+               ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+        FROM mau m JOIN dau d USING (report_day)
+    """,
+    tags=("events", "rolling-distinct", "growth"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per observed day — the engagement ratio every
+    product dashboard tracks — built from TWO rolling distincts: the
+    1-day DAU is a plain per-day distinct count, the trailing-28-day MAU
+    reuses the explode-into-report-days construction of
+    events_rolling_active_users (linear ×28, never a |days|×|pairs|
+    range join).
+
+    Scale shape: one (day, user) dedup shuffle feeds both sides; the MAU
+    explode is linear; the final join runs on the bounded day axis."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds DAU, MAU, and the day set
+    )
+    observed = du.select(F.col("day").alias("report_day")).distinct()
+    mau = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+            ).alias("report_day"),
+            "user_id",
+        )
+        .join(F.broadcast(observed), "report_day", "semi")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    )
+    dau = du.groupBy(F.col("day").alias("report_day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    return mau.join(dau, "report_day").select(
+        "report_day",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -1467,6 +1467,13 @@ def vec_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
         .localCheckpoint(eager=False)  # 4096 rows; reused by every iteration
     )
+    return _power_iterate(spark, cells)
+
+
+def _power_iterate(spark: SparkSession, cells: DataFrame) -> DataFrame:
+    """Shared power-iteration tail over a ``(i, j, g)`` Gram frame: 3
+    rounds of matvec + normalize, all in-plan (the norm is a 1-row
+    aggregate cross-joined back, never collected)."""
     v = spark.range(_PCA_DIM).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0 / 8.0).alias("v")
     )
@@ -1484,3 +1491,52 @@ def vec_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("dim"),
         F.round("v", 6).alias("component"),
     )
+
+
+@register(
+    "vec_pca_top_component_arrow",
+    oracle=_pca_oracle(),
+    tags=("similarity", "linalg", "arrow-udf"),
+)
+def vec_pca_top_component_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-d Gram accumulation path `vec_pca_top_component`'s
+    docstring promises, implemented and proven against the SAME oracle:
+    an Arrow ``mapInPandas`` stage accumulates one d×d numpy partial Gram
+    PER PARTITION (``Mᵀ·M`` over each Arrow batch — O(d²) memory,
+    corpus streamed through), emits it as (i, j, g) rows, and a
+    combinable SUM merges the partials. At d in the thousands this emits
+    |partitions|·d² rows where the declarative explode emits |corpus|·d²
+    — the difference between feasible and not. The power-iteration tail
+    is byte-identical to the declarative entry (shared helper).
+
+    The closure is self-contained (numpy/pandas only) per the executor-
+    pickling rule; results agree with the sequential-SQL oracle at the
+    stated rounding because the partial-Gram float-sum reordering is
+    absorbed by normalize + round(6)."""
+    dim = _PCA_DIM
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc += m.T @ m
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()}
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    cells = (
+        e.mapInPandas(gram_partials, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    return _power_iterate(spark, cells)

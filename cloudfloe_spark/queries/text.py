@@ -1116,3 +1116,86 @@ def text_char_kgram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "text_within_doc_repetition",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+            WHERE LEN({_WORDS_SQL}) >= 2
+        ),
+        grams AS (
+            SELECT doc_id, LEN(ws) AS n_words,
+                   LEN(LIST_DISTINCT(ws)) AS n_distinct,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1]
+                   )) AS bg
+            FROM toks
+        ),
+        counts AS (
+            SELECT doc_id, ANY_VALUE(n_words) AS n_words,
+                   ANY_VALUE(n_distinct) AS n_distinct,
+                   bg, COUNT(*) AS c
+            FROM grams GROUP BY doc_id, bg
+        )
+        SELECT doc_id,
+               CAST(ANY_VALUE(n_words) AS BIGINT) AS n_words,
+               ROUND(1.0 - CAST(ANY_VALUE(n_distinct) AS DOUBLE)
+                     / ANY_VALUE(n_words), 6) AS dup_word_frac,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+                   AS top_bigram_share
+        FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_within_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition signals (Gopher rules, Rae et al. 2021
+    §A1.3: templated/spammy pages repeat themselves): duplicate-word
+    fraction (1 − distinct/total) and the share of all bigram slots taken
+    by the single most frequent bigram. Complements the CROSS-document
+    signals (char-kgram dup rate, boilerplate stripping) — a page can be
+    unique corpus-wide and still be 90% one repeated phrase.
+
+    Scale shape: everything is per-document — tokenize and distinct-count
+    are row-local array ops; the bigram tally shuffles on (doc_id, bigram)
+    and re-aggregates on doc_id, both combinable, no joins at all."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    toks = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.explode(
+            # guard: for a 0/1-word doc sequence(1, size-1) would be the
+            # DESCENDING [1, 0] (same trap as text_boilerplate_segments)
+            # and element_at(w, 0) errors under ANSI — emit no bigrams
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).filter(F.col("n_words") >= 2)
+    counts = toks.groupBy("doc_id", "bg").agg(
+        F.any_value("n_words").alias("n_words"),
+        F.any_value("n_distinct").alias("n_distinct"),
+        F.count("*").alias("c"),
+    )
+    return counts.groupBy("doc_id").agg(
+        F.any_value("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            1.0
+            - F.any_value("n_distinct").cast("double")
+            / F.any_value("n_words"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "top_bigram_share"
+        ),
+    )
