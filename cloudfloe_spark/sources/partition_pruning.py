@@ -399,6 +399,13 @@ def _conjuncts_from_where(where: Any, rel_names: set[str]) -> list[tuple]:
                 vs = [v for _, v in vals]
                 if None not in vs:
                     out.append((col, "in", vs))
+        elif cls == "OPERATOR" and typ in ("OPERATOR_IS_NULL", "OPERATOR_IS_NOT_NULL"):
+            kids = c.get("children") or []
+            col = _colname(kids[0], rel_names) if kids else None
+            if col:
+                out.append(
+                    (col, "isnull" if typ == "OPERATOR_IS_NULL" else "notnull", None)
+                )
         elif cls == "BETWEEN" and typ == "COMPARE_BETWEEN":
             col = _colname(c.get("input"), rel_names)
             lok, lval = _unwrap_const(c.get("lower"))
@@ -500,6 +507,17 @@ def file_survives(
                 continue
             present, tval = tuple_value(f["field_name"])
             if not present:
+                continue
+            # Every supported transform is NULL-PRESERVING: a null tuple
+            # value means every row's source value is NULL, a non-null
+            # tuple value means none is — so IS [NOT] NULL prunes exactly.
+            if op == "isnull":
+                if tval is not None:
+                    return False
+                continue
+            if op == "notnull":
+                if tval is None:
+                    return False
                 continue
             if tval is None:
                 # every row in this file has a NULL source value: no

@@ -1571,3 +1571,30 @@ def test_multi_field_partition_pruning(spark, tmp_path):
     b1 = bucket_value(1, 4, "long")
     same_bucket = {u for u in (1, 2, 3, 4) if bucket_value(u, 4, "long") == b1}
     assert n_both <= len(same_bucket)
+
+
+def test_is_null_conjunct_prunes_to_null_partition_file(spark, tmp_path):
+    """WHERE col IS NULL keeps ONLY the null-partition file (transforms
+    are null-preserving); IS NOT NULL prunes exactly that file."""
+    root = str(tmp_path / "tisnull")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by="lang",
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "lang": ["en", None, "fr"]})],
+        timestamp_ms=T1,
+    )
+    df_null = _resolved_df(
+        spark, f"SELECT id FROM iceberg_scan('{root}') WHERE lang IS NULL"
+    )
+    assert [r["id"] for r in df_null.collect()] == [2]
+    assert len(set(df_null.inputFiles())) == 1
+
+    df_nn = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') WHERE lang IS NOT NULL",
+    )
+    assert sorted(r["id"] for r in df_nn.collect()) == [1, 3]
+    assert len(set(df_nn.inputFiles())) == 2

@@ -231,3 +231,37 @@ class TestFileSurvives:
         assert pp.file_survives(
             _DAY_SPEC, {"ts_day": "19787"}, [("ts", "=", 123)]
         )
+
+
+class TestNullConjuncts:
+    def test_extract_is_null(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 WHERE a IS NULL AND b IS NOT NULL", {"v1"}
+        )
+        assert ("a", "isnull", None) in out["v1"]
+        assert ("b", "notnull", None) in out["v1"]
+
+    def test_is_null_keeps_only_null_tuple_files(self):
+        spec = [
+            {
+                "field_name": "lang",
+                "column": "lang",
+                "transform": "identity",
+                "type": "string",
+            }
+        ]
+        isnull = [("lang", "isnull", None)]
+        notnull = [("lang", "notnull", None)]
+        # transforms are null-preserving: a null tuple == all-null rows
+        assert pp.file_survives(spec, {"lang": None}, isnull)
+        assert not pp.file_survives(spec, {"lang": "en"}, isnull)
+        assert pp.file_survives(spec, {"lang": "en"}, notnull)
+        assert not pp.file_survives(spec, {"lang": None}, notnull)
+        # a file without partition metadata never prunes
+        assert pp.file_survives(spec, None, isnull)
+
+    def test_is_null_on_day_transform(self):
+        assert pp.file_survives(_DAY_SPEC, {"ts_day": None}, [("ts", "isnull", None)])
+        assert not pp.file_survives(
+            _DAY_SPEC, {"ts_day": "19787"}, [("ts", "isnull", None)]
+        )
