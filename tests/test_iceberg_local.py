@@ -1598,3 +1598,97 @@ def test_is_null_conjunct_prunes_to_null_partition_file(spark, tmp_path):
     )
     assert sorted(r["id"] for r in df_nn.collect()) == [1, 3]
     assert len(set(df_nn.inputFiles())) == 2
+
+
+def test_two_roots_prune_independently(spark, tmp_path):
+    """Two DIFFERENT scans in one statement: each view gets its own
+    conjuncts (the single-reference rule is per view, not per statement)."""
+    import datetime
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    roots = []
+    for name in ("ta", "tb"):
+        root = str(tmp_path / name)
+        t = LocalIcebergTable(
+            root,
+            pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))]),
+            partition_by=("ts", "day"),
+        )
+        t.append_snapshot(
+            [
+                pa.table(
+                    {
+                        "id": [1, 2],
+                        "ts": [
+                            datetime.datetime(2024, 3, 1),
+                            datetime.datetime(2024, 3, 2),
+                        ],
+                    }
+                )
+            ],
+            timestamp_ms=T1,
+        )
+        roots.append(root)
+    sess = spark.newSession()
+    sql = resolve_iceberg_reads(
+        sess,
+        f"SELECT id FROM iceberg_scan('{roots[0]}') "
+        "WHERE ts >= TIMESTAMP '2024-03-02 00:00:00' "
+        f"UNION ALL SELECT id FROM iceberg_scan('{roots[1]}') "
+        "WHERE ts < TIMESTAMP '2024-03-02 00:00:00'",
+    )
+    df = sess.sql(sql)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    # each branch's scan kept exactly its matching day file (2 of 4 total)
+    assert len(set(df.inputFiles())) == 2
+
+
+def test_scan_text_inside_string_literal_not_resolved(spark, tmp_path):
+    """iceberg_scan(...) appearing INSIDE a string literal must pass
+    through unresolved (the substitution is literal-aware)."""
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    sql = "SELECT 'iceberg_scan(''/nope'')' AS s"
+    assert resolve_iceberg_reads(sess, sql) == sql
+
+
+def test_time_travel_scan_never_prunes(spark, tmp_path):
+    """A VERSION AS OF scan reads unpruned even with a matching WHERE —
+    time travel resolves under write-time names, which current-name
+    conjuncts could mismatch after evolution; unpruned is the sound
+    default."""
+    import datetime
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    root = str(tmp_path / "ttt")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))]),
+        partition_by=("ts", "day"),
+    )
+    s1 = t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2],
+                    "ts": [
+                        datetime.datetime(2024, 3, 1),
+                        datetime.datetime(2024, 3, 2),
+                    ],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    sess = spark.newSession()
+    sql = resolve_iceberg_reads(
+        sess,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1} "
+        "WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'",
+    )
+    df = sess.sql(sql)
+    assert [r["id"] for r in df.collect()] == [2]  # rows still filtered
+    assert len(set(df.inputFiles())) == 2  # but files NOT pruned

@@ -265,3 +265,137 @@ class TestNullConjuncts:
         assert not pp.file_survives(
             _DAY_SPEC, {"ts_day": "19787"}, [("ts", "isnull", None)]
         )
+
+
+class TestSoundnessProperty:
+    """THE pruning invariant, property-tested: if file_survives() says
+    False, then NO source value in that file can satisfy the conjunct.
+    (The converse — surviving files may contain no match — is allowed:
+    pruning is an optimization, looseness is fine, false pruning is a
+    wrong-results bug.)"""
+
+    def _check(self, transform, iceberg_type, values, conjunct):
+        groups: dict = {}
+        for v in values:
+            tv = pp.transform_value(transform, v, iceberg_type)
+            groups.setdefault(tv, []).append(v)
+        fname = "c_x"
+        spec = [
+            {
+                "field_name": fname,
+                "column": "c",
+                "transform": transform,
+                "type": iceberg_type,
+            }
+        ]
+        col, op, lit = conjunct
+        for tv, members in groups.items():
+            pv = {fname: None if tv is None else str(tv)}
+            if pp.file_survives(spec, pv, [conjunct]):
+                continue
+            # pruned: prove no member satisfies the predicate
+            for m in members:
+                assert not self._sat(m, op, lit), (
+                    transform,
+                    iceberg_type,
+                    tv,
+                    m,
+                    conjunct,
+                )
+
+    @staticmethod
+    def _sat(v, op, lit):
+        if v is None:
+            return False  # SQL comparison with NULL is never TRUE
+        if op == "in":
+            return v in lit
+        if op == "isnull":
+            return False
+        if op == "notnull":
+            return True
+        return {
+            "=": v == lit,
+            "<": v < lit,
+            "<=": v <= lit,
+            ">": v > lit,
+            ">=": v >= lit,
+            "<>": v != lit,
+        }[op]
+
+    def test_int_transforms_random(self):
+        import random
+
+        rng = random.Random(7)
+        ops = ["=", "<", "<=", ">", ">=", "<>"]
+        for trial in range(300):
+            transform = rng.choice(
+                ["identity", "bucket[4]", "bucket[16]", "truncate[10]",
+                 "truncate[100]"]
+            )
+            values = [rng.randint(-500, 500) for _ in range(30)] + [None]
+            op = rng.choice(ops + ["in", "isnull", "notnull"])
+            lit = (
+                [rng.randint(-500, 500) for _ in range(3)]
+                if op == "in"
+                else (None if op in ("isnull", "notnull")
+                      else rng.randint(-500, 500))
+            )
+            self._check(transform, "long", values, ("c", op, lit))
+
+    def test_string_transforms_random(self):
+        import random
+        import string as s
+
+        rng = random.Random(11)
+        def rnd_str():
+            return "".join(
+                rng.choice(s.ascii_lowercase) for _ in range(rng.randint(0, 6))
+            )
+        for trial in range(300):
+            transform = rng.choice(
+                ["identity", "truncate[2]", "truncate[3]", "bucket[8]"]
+            )
+            values = [rnd_str() for _ in range(25)] + [None]
+            op = rng.choice(["=", "<", "<=", ">", ">=", "in"])
+            lit = (
+                [rnd_str() for _ in range(3)] if op == "in" else rnd_str()
+            )
+            self._check(transform, "string", values, ("c", op, lit))
+
+    def test_temporal_transforms_random(self):
+        import random
+
+        rng = random.Random(13)
+        base = datetime.datetime(2020, 1, 1)
+        def rnd_ts():
+            return base + datetime.timedelta(
+                minutes=rng.randint(0, 4 * 365 * 24 * 60)
+            )
+        for trial in range(300):
+            transform = rng.choice(["year", "month", "day", "hour"])
+            values = [rnd_ts() for _ in range(25)] + [None]
+            op = rng.choice(["=", "<", "<=", ">", ">="])
+            # literal in the string form the SQL layer hands over
+            lit = rnd_ts().strftime("%Y-%m-%d %H:%M:%S")
+            # predicate evaluation domain: parse back like the pruner does
+            lit_dt = pp._parse_ts(lit)
+            groups: dict = {}
+            for v in values:
+                tv = pp.transform_value(transform, v, "timestamp")
+                groups.setdefault(tv, []).append(v)
+            spec = [
+                {
+                    "field_name": "ts_x",
+                    "column": "ts",
+                    "transform": transform,
+                    "type": "timestamp",
+                }
+            ]
+            for tv, members in groups.items():
+                pv = {"ts_x": None if tv is None else str(tv)}
+                if pp.file_survives(spec, pv, [("ts", op, lit)]):
+                    continue
+                for m in members:
+                    assert m is None or not self._sat(m, op, lit_dt), (
+                        transform, tv, m, op, lit
+                    )
