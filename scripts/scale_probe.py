@@ -87,6 +87,11 @@ PROBE_QUERIES = [
     # iteration (the corpus-size-independent-iterations claim).
     "text_char_kgram_dup_rate",
     "vec_pca_top_component",
+    # round-6c: the convergence-checked graph operators — the interesting
+    # growth axis is the fixpoint ROUND COUNT, which node-growth replicas
+    # keep constant (measured sublinear x8).
+    "graph_pagerank_directed",
+    "graph_kcore_fixpoint",
 ]
 
 
