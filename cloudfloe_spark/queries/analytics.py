@@ -983,3 +983,63 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+@register(
+    "linestatus_returns_chi2",
+    oracle="""
+        WITH obs AS (
+            SELECT l_linestatus AS m, l_returnflag AS f,
+                   CAST(COUNT(*) AS DOUBLE) AS o
+            FROM lineitem GROUP BY m, f
+        ),
+        margins AS (
+            SELECT m, f, o,
+                   SUM(o) OVER (PARTITION BY m) AS row_tot,
+                   SUM(o) OVER (PARTITION BY f) AS col_tot,
+                   SUM(o) OVER () AS n
+            FROM obs
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ROUND(SUM(POW(o - row_tot * col_tot / n, 2)
+                         / (row_tot * col_tot / n)), 6) AS chi2,
+               CAST((COUNT(DISTINCT m) - 1) * (COUNT(DISTINCT f) - 1)
+                   AS BIGINT) AS dof
+        FROM margins
+    """,
+    tags=("analytics", "stats-test"),
+)
+def linestatus_returns_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for line status × return
+    flag — the categorical-association test a curation pipeline runs
+    before trusting a segmentation (is the label independent of the
+    pipeline stage that produced it?). Expected counts from the margins,
+    χ² = Σ (O−E)²/E, with the degrees of freedom alongside so the caller
+    can look up the p-value.
+
+    Scale shape: one combinable contingency groupBy (bounded
+    |modes|×|flags| cells); margins are windows over that bounded grid;
+    the statistic is a 1-row aggregate. Corpus touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_linestatus").alias("m"), F.col("l_returnflag").alias("f")
+    ).agg(F.count("*").cast("double").alias("o"))
+    wm = Window.partitionBy("m")
+    wf = Window.partitionBy("f")
+    wall = Window.partitionBy()
+    margins = obs.select(
+        "m",
+        "f",
+        "o",
+        F.sum("o").over(wm).alias("row_tot"),
+        F.sum("o").over(wf).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
+        (
+            (F.count_distinct("m") - 1) * (F.count_distinct("f") - 1)
+        ).cast("bigint").alias("dof"),
+    )

@@ -1199,3 +1199,105 @@ def text_within_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_share"
         ),
     )
+
+
+@register(
+    "text_source_js_divergence",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST({_WORDS_SQL}) AS w FROM documents
+        ),
+        counts AS (
+            SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM toks GROUP BY source, w
+        ),
+        probs AS (
+            SELECT source, w,
+                   c / SUM(c) OVER (PARTITION BY source) AS p
+            FROM counts
+        ),
+        pairs AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM (SELECT DISTINCT source FROM documents) a
+            JOIN (SELECT DISTINCT source FROM documents) b
+              ON a.source < b.source
+        ),
+        sides AS (
+            SELECT pr.sa, pr.sb, p.w, p.p AS pa, 0.0 AS pb
+            FROM probs p JOIN pairs pr ON p.source = pr.sa
+            UNION ALL
+            SELECT pr.sa, pr.sb, p.w, 0.0 AS pa, p.p AS pb
+            FROM probs p JOIN pairs pr ON p.source = pr.sb
+        ),
+        merged AS (
+            SELECT sa, sb, w, SUM(pa) AS pa, SUM(pb) AS pb
+            FROM sides GROUP BY sa, sb, w
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               ROUND(SUM(
+                   0.5 * CASE WHEN pa > 0
+                              THEN pa * LOG2(2 * pa / (pa + pb)) ELSE 0 END
+                 + 0.5 * CASE WHEN pb > 0
+                              THEN pb * LOG2(2 * pb / (pa + pb)) ELSE 0 END
+               ), 6) AS jsd,
+               CAST(COUNT(*) AS BIGINT) AS n_union_vocab
+        FROM merged
+        GROUP BY sa, sb
+    """,
+    tags=("text", "distribution"),
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources' word
+    distributions — the bounded, symmetric corpus-drift measure (0 =
+    identical vocabularies, 1 = disjoint, in bits) used to decide whether
+    a new crawl slice matches the mixture a model was trained on.
+    Complements priority_mix_drift_kl (bounded where KL is infinite on
+    non-overlapping support).
+
+    Scale shape: one (source, word) combinable count; per-source totals
+    are windows over that aggregate; the pair expansion multiplies by
+    |source pairs| (bounded metadata, not data); the final sum is one
+    combinable rollup per pair. The corpus is tokenized exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(words(F.col("text"))).alias("w"))
+    counts = toks.groupBy("source", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    probs = counts.select(
+        "source",
+        "w",
+        (F.col("c") / F.sum("c").over(Window.partitionBy("source"))).alias(
+            "p"
+        ),
+    )
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+    )
+    side_a = probs.join(
+        F.broadcast(pairs), probs.source == pairs.sa
+    ).select("sa", "sb", "w", F.col("p").alias("pa"), F.lit(0.0).alias("pb"))
+    side_b = probs.join(
+        F.broadcast(pairs), probs.source == pairs.sb
+    ).select("sa", "sb", "w", F.lit(0.0).alias("pa"), F.col("p").alias("pb"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("sa", "sb", "w")
+        .agg(F.sum("pa").alias("pa"), F.sum("pb").alias("pb"))
+    )
+    m2 = F.col("pa") + F.col("pb")
+    term = 0.5 * F.when(
+        F.col("pa") > 0, F.col("pa") * F.log2(2 * F.col("pa") / m2)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("pb") > 0, F.col("pb") * F.log2(2 * F.col("pb") / m2)
+    ).otherwise(0.0)
+    return merged.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.round(F.sum(term), 6).alias("jsd"),
+        F.count("*").cast("bigint").alias("n_union_vocab"),
+    )
