@@ -1064,3 +1064,52 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "events_naive_forecast_mape",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY d, event_type
+        )
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(ABS(a.n - f.n) / a.n), 6) AS mape,
+               ROUND(AVG(ABS(a.n - f.n)), 6) AS mae
+        FROM daily a
+        JOIN daily f
+          ON f.event_type = a.event_type AND f.d = a.d - 7
+        GROUP BY a.event_type
+    """,
+    tags=("events", "forecast", "eval"),
+)
+def events_naive_forecast_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecast (predict today's volume
+    with the same weekday last week): per-type MAPE and MAE — the
+    baseline every real forecasting model must beat, and the
+    drift-detection primitive (a MAPE jump means the weekly pattern
+    broke). The forecast join is calendar-exact (d-7), not LAG(7) over
+    observed rows, so gaps in the day axis never misalign the pairs.
+
+    Scale shape: one combinable (day, type) rollup, then a self-equi-join
+    on the BOUNDED daily frame (|days|x|types| rows) and a combinable
+    per-type error aggregate — the corpus is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").cast("double").alias("n"))
+    a = daily.alias("a")
+    f = daily.alias("f")
+    joined = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.d") == F.date_sub(F.col("a.d"), 7)),
+    )
+    err = F.abs(F.col("a.n") - F.col("f.n"))
+    return joined.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg(err / F.col("a.n")), 6).alias("mape"),
+        F.round(F.avg(err), 6).alias("mae"),
+    )

@@ -133,3 +133,61 @@ def test_incremental_read_rejects_rewritten_history(spark, tmp_path):
             f"SELECT doc_id FROM iceberg_changes('{root}', {s1}, {s2})",
             _cfg(),
         )
+
+
+def test_curated_output_publishes_as_iceberg_table(spark, tmp_path):
+    """The write half of the loop: survivors of a curation pass are
+    PUBLISHED as a fresh Iceberg table (fixture writer), immediately
+    readable back through iceberg_scan / iceberg_snapshots — so the next
+    pipeline stage consumes a snapshot-pinned table, not loose parquet."""
+    import pyarrow.parquet as pq
+
+    src_root = str(tmp_path / "raw_docs")
+    t = LocalIcebergTable(
+        src_root, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    t.append_snapshot(
+        [
+            _docs(
+                [
+                    (1, "alpha beta"),
+                    (2, "alpha beta"),  # dup of 1
+                    (3, "gamma delta"),
+                ]
+            )
+        ],
+        timestamp_ms=T1,
+    )
+
+    # curation pass through the service: keep one doc per fingerprint
+    resp = run_query(
+        spark,
+        f"""
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+        FROM iceberg_scan('{src_root}')
+        GROUP BY md5(text)
+        ORDER BY doc_id
+        """,
+        _cfg(),
+    )
+    survivors = [(r[0], r[1]) for r in resp.rows]
+    assert [d for d, _ in survivors] == [1, 3]
+
+    # publish as a NEW Iceberg table
+    out_root = str(tmp_path / "curated_docs")
+    out = LocalIcebergTable(
+        out_root, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    out.append_snapshot([_docs(survivors)], timestamp_ms=T2)
+
+    # the published table is a first-class Iceberg source again
+    resp2 = run_query(
+        spark,
+        f"SELECT doc_id, text FROM iceberg_scan('{out_root}') ORDER BY doc_id",
+        _cfg(),
+    )
+    assert [tuple(r) for r in resp2.rows] == survivors
+    snaps = run_query(
+        spark, f"SELECT snapshot_id FROM iceberg_snapshots('{out_root}')", _cfg()
+    )
+    assert len(snaps.rows) == 1
