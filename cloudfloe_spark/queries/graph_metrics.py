@@ -200,7 +200,10 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-cluster representatives by centrality). Fixed iteration count keeps
     the program deterministic; scores are reported per-mille and rounded so
     cross-engine float summation order is absorbed. The symmetric graph has
-    no dangling nodes, so no leaked-mass correction term is needed.
+    no dangling nodes, so no leaked-mass correction term is needed — for
+    directed graphs with sinks use :func:`operators.graph.pagerank` (the
+    dangling-corrected general operator, proven by
+    ``graph_pagerank_directed`` below).
 
     Scale shape: each iteration is ONE equi-join (ranks into the edge
     list, shuffle keyed on node id) + ONE map-side-combinable sum keyed on
@@ -414,10 +417,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     distributed formulation of Montresor et al.): repeatedly drop nodes
     with degree < {4} and recount — {3} fixed peels here (the fixture
-    graph shrinks 865→505→245 survivors, still converging; a production
-    run loops to fixpoint with the same convergence-fingerprint machinery
-    as connected components). The dense-subgraph extractor for spam rings
-    and co-purchase cliques.
+    graph shrinks 865→505→245 survivors, still converging; the FIXPOINT
+    form with the strict convergence contract is
+    :func:`operators.graph.kcore`, proven by ``graph_kcore_fixpoint``
+    below). The dense-subgraph extractor for spam rings and co-purchase
+    cliques.
 
     Scale shape: each peel is one map-side-combinable degree count plus
     one semi-join-shaped filter of the edge list against surviving nodes
