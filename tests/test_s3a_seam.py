@@ -392,3 +392,47 @@ def test_remote_root_blanket_delete_rejection(
         )
     assert e.value.status_code == 400
     assert "delete files" in e.value.detail
+
+
+def test_transform_pruning_through_s3_scheme(spark, s3_seam, tmp_path):
+    """Transform-aware partition pruning composes with the remote path:
+    a days(ts)-partitioned table whose metadata records s3:// URIs prunes
+    file groups from the WHERE conjunct exactly like a local table —
+    manifests stream through fsio, and only the surviving day's parquet
+    is ever handed to the reader."""
+    import datetime
+
+    import pyarrow as pa
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    root = str(tmp_path / "s3_days")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))]),
+        uri_prefix="s3://bucket-a",
+        partition_by=("ts", "day"),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2, 3],
+                    "ts": [
+                        datetime.datetime(2024, 3, d) for d in (1, 2, 3)
+                    ],
+                }
+            )
+        ],
+        timestamp_ms=1700000000000,
+    )
+    sess = request_session(spark, _ice_cfg("minio", "bucket-a", root))
+    sql = resolve_iceberg_reads(
+        sess,
+        f"SELECT id FROM iceberg_scan('s3://bucket-a{root}') "
+        "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00'",
+    )
+    df = sess.sql(sql)
+    assert [r["id"] for r in df.collect()] == [3]
+    assert len(set(df.inputFiles())) == 1  # 2 of 3 day files never touched
