@@ -538,3 +538,62 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "streaming_approx_distinct_users",
+    # Sketch values are engine-specific → contract oracle (cf.
+    # agg_approx_distinct): the STREAMING engine's HLL++ estimate per
+    # event type must land within 5% of the exact distinct count, whose
+    # value hash-compares.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tol
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "approx", "sketch"),
+)
+def streaming_approx_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate distinct users per event type computed BY THE
+    STREAMING ENGINE (approx_count_distinct is one of the few aggregates
+    whose state is a bounded mergeable sketch — exactly why it, and not
+    exact COUNT DISTINCT, is what a 100-TB streaming dashboard runs: the
+    state store holds an HLL++ buffer per group, not a user-id set).
+    Contract-gated against the exact batch distinct at 5%.
+
+    Scale shape: per-group state is O(sketch), independent of stream
+    length; the exact count exists here only as the yardstick."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.tables import load_table
+    from cloudfloe_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    est = run_available_now(
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users")),
+        name=_unique("st_approx"),
+        output_mode="complete",
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    tol = 0.05
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= tol
+        ).alias("within_tol"),
+    )
