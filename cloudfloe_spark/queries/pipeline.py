@@ -340,3 +340,151 @@ def curation_survival_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_SPLIT_SEED = 7
+_VAL_PCT_LO, _VAL_PCT_HI = 80, 90  # train <80, val 80-89, test 90-99
+
+
+@register(
+    "pipeline_stratified_split",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT lang,
+                   CASE
+                     WHEN ({portable_hash_sql('CAST(doc_id AS VARCHAR)', _SPLIT_SEED)})
+                          % 100 < {_VAL_PCT_LO} THEN 'train'
+                     WHEN ({portable_hash_sql('CAST(doc_id AS VARCHAR)', _SPLIT_SEED)})
+                          % 100 < {_VAL_PCT_HI} THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        )
+        SELECT lang, split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY lang), 4) AS frac
+        FROM tagged
+        GROUP BY lang, split
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-way train/val/test split, audited per language:
+    the split is a pure function of the row key (portable 60-bit hash mod
+    100 → 80/10/10), never of job parallelism or run order, so re-running
+    at any cluster size reproduces byte-identical membership — the property
+    a training pipeline needs for split integrity across re-crawls. The
+    output is the stratification audit (per-language counts + within-lang
+    fractions) a data team reviews before shipping the split.
+
+    Scale shape: a single scan, split stamped as a projection, one
+    combinable groupBy on the tiny (lang, split) key space; the within-lang
+    fraction is a window over the already-aggregated rows (|langs|x3 rows),
+    not over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string"), seed=_SPLIT_SEED) % 100
+    tagged = d.select(
+        "lang",
+        F.when(bucket < _VAL_PCT_LO, "train")
+        .when(bucket < _VAL_PCT_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = tagged.groupBy("lang", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+        ).alias("frac"),
+    )
+
+
+_REBALANCE_BUDGET = 0.6  # keep at most 60% of the corpus overall
+_REBALANCE_SEED = 11
+_REBALANCE_RES = 1_000_000  # hash-threshold resolution
+
+
+@register(
+    "pipeline_language_rebalance",
+    oracle=f"""
+        WITH per_lang AS (
+            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_lang
+            FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, n_lang,
+                   LEAST(1.0,
+                         (SELECT SUM(n_lang) FROM per_lang) * {_REBALANCE_BUDGET}
+                         / (SELECT COUNT(*) FROM per_lang) / n_lang) AS rate
+            FROM per_lang
+        ),
+        kept AS (
+            SELECT d.lang
+            FROM documents d JOIN rates r ON r.lang = d.lang
+            WHERE ({portable_hash_sql('CAST(doc_id AS VARCHAR)', _REBALANCE_SEED)})
+                  % {_REBALANCE_RES}
+                  < CAST(FLOOR(r.rate * {_REBALANCE_RES}) AS BIGINT)
+        )
+        SELECT r.lang,
+               CAST(r.n_lang AS BIGINT) AS n_before,
+               CAST(COUNT(k.lang) AS BIGINT) AS n_kept,
+               ROUND(r.rate, 6) AS rate
+        FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+        GROUP BY r.lang, r.n_lang, r.rate
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing by deterministic downsampling: compute the
+    per-language keep-rate that caps every language at an equal share of a
+    60%-of-corpus budget (rate = min(1, budget/|langs|/n_lang)), then keep a
+    document iff its portable hash falls under the rate threshold — the
+    standard recipe for flattening a crawl's language skew into a target
+    training mix without a shuffle-heavy sample. Membership is again a pure
+    function of the row key: any executor count reproduces the same kept
+    set, and an incremental re-crawl appends without resampling old rows.
+
+    Scale shape: one combinable per-lang count (tiny result), rates derived
+    driver-free from that aggregate, broadcast back onto the corpus scan as
+    an equi-join, and the kept set collapses map-side into per-lang counts.
+    The corpus is scanned twice but shuffled ZERO times at corpus width —
+    both aggregations carry |langs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count("*").cast("double").alias("n_lang"))
+    totals = per_lang.agg(
+        F.sum("n_lang").alias("n_total"), F.count("*").cast("double").alias("n_langs")
+    )
+    rates = per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            F.col("n_total") * _REBALANCE_BUDGET / F.col("n_langs") / F.col("n_lang"),
+        ).alias("rate"),
+    )
+    thresh = F.floor(F.col("rate") * _REBALANCE_RES).cast("bigint")
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(
+            portable_hash64(F.col("doc_id").cast("string"), seed=_REBALANCE_SEED)
+            % _REBALANCE_RES
+            < thresh
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_lang").cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )

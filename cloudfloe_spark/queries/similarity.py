@@ -1540,3 +1540,165 @@ def vec_pca_top_component_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return _power_iterate(spark, cells)
+
+
+_MRR_CAND_K = 10  # IVF candidate list depth the reciprocal rank is read from
+
+
+@register(
+    "sim_ivf_mrr_eval",
+    oracle=_IVF_COMMON_SQL + f"""
+        , probe AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS_SQL.format(a='q.embedding', b='c.cent_emb')} DESC,
+                                    c.centroid_id
+                       ) AS rk
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rk <= {_IVF_NPROBE}
+        ),
+        ivf_ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+                   ) AS rk
+            FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_raw
+                FROM probe p
+                JOIN assign a ON p.centroid_id = a.list_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+                JOIN embeddings c ON c.vec_id = a.vec_id
+                WHERE p.query_id <> a.vec_id
+            )
+        ),
+        exact_nn AS (
+            SELECT query_id, neighbor_id AS nn_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS_SQL.format(a='q.embedding', b='c.embedding')} DESC,
+                                    c.vec_id
+                       ) AS rk
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rk = 1
+        )
+        SELECT x.query_id, x.nn_id,
+               CAST(COALESCE(MAX(CASE WHEN i.rk <= {_MRR_CAND_K} THEN i.rk END), 0)
+                    AS INT) AS found_rank,
+               ROUND(COALESCE(MAX(CASE WHEN i.rk <= {_MRR_CAND_K}
+                                       THEN 1.0 / i.rk END), 0.0), 4) AS rr
+        FROM exact_nn x
+        LEFT JOIN ivf_ranked i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.nn_id
+        GROUP BY x.query_id, x.nn_id
+    """,
+    tags=("similarity", "ivf", "eval"),
+)
+def sim_ivf_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank audit of the IVF index: for each query, find the
+    TRUE nearest neighbor by exact cosine, then read its position out of the
+    IVF nprobe candidate ranking (depth 10) — rr = 1/rank, 0 when the probe
+    pruned the true neighbor's list away. Complements sim_ann_recall_eval
+    (set overlap) with a rank-position metric, the retrieval-eval pair
+    (recall@k, MRR) every embedding-index deployment reports.
+
+    Scale shape: the exact-NN side is the brute-force broadcast pattern (5
+    query rows broadcast across the corpus scan, rank pushdown keeps only
+    rank 1); the IVF side reuses the zero-shuffle assignment + broadcast
+    probe plan of sim_ivf_ann_topk. The eval intrinsically makes two corpus
+    passes (it compares two retrieval methods); what moves through the
+    rank exchanges is (query × candidates) score rows — 5× corpus on the
+    exact side, the nprobe-pruned subset on the IVF side — never the
+    embedding payloads themselves."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(e)
+    assign = _ivf_assign_with_vec(e)
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # exact NN per query: broadcast queries over the corpus, keep rank 1
+    c_all = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    exact_nn = (
+        c_all.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias(
+                "cos_raw"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("nn_id"))
+    )
+
+    # IVF candidate ranking (same plan as sim_ivf_ann_topk, depth _MRR_CAND_K)
+    probe_scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        cosine(as_double(F.col("q_emb")), as_double(F.col("cent_emb"))).alias("cos_c"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    probe = (
+        probe_scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+    ivf_ranked = (
+        assign.join(F.broadcast(probe), "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(as_double(F.col("q_emb")), as_double(F.col("c_emb"))).alias(
+                "cos_raw"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        # truncate to the candidate depth BEFORE the comparison join: ranks
+        # past _MRR_CAND_K are misses by definition, and the filter bounds
+        # the table to |queries| x depth rows — broadcastable, so the final
+        # join never sort-merges
+        .filter(F.col("rk") <= _MRR_CAND_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+    en = exact_nn.alias("en")
+    ir = ivf_ranked.alias("ir")
+    return (
+        en.join(
+            F.broadcast(ir),
+            (F.col("ir.query_id") == F.col("en.query_id"))
+            & (F.col("ir.neighbor_id") == F.col("en.nn_id")),
+            "left",
+        )
+        .groupBy(
+            F.col("en.query_id").alias("query_id"), F.col("en.nn_id").alias("nn_id")
+        )
+        .agg(
+            F.coalesce(F.max(F.col("ir.rk")), F.lit(0)).cast("int").alias(
+                "found_rank"
+            ),
+            F.round(
+                F.coalesce(F.max(1.0 / F.col("ir.rk")), F.lit(0.0)), 4
+            ).alias("rr"),
+        )
+    )

@@ -1301,3 +1301,136 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("jsd"),
         F.count("*").cast("bigint").alias("n_union_vocab"),
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_N_QTERMS = 5
+_BM25_TOP_DOCS = 20
+_LTOKS_SQL = (
+    "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), w -> w <> '')"
+)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_LTOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   AVG(dl) AS avgdl
+            FROM dl
+        ),
+        qterms AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+                ORDER BY n DESC, term ASC LIMIT {_BM25_N_QTERMS}
+            )
+        ),
+        df AS (
+            SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS DOUBLE) AS df
+            FROM toks t JOIN qterms q ON q.term = t.term
+            GROUP BY t.term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(
+                       LN(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({_BM25_K1} + 1.0)
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * dl.dl / s.avgdl))
+                   ) AS score
+            FROM tf
+            JOIN df ON df.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(score, 6) AS bm25,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(score, 6) DESC, doc_id ASC
+               ) AS INT) AS rnk
+        FROM scored
+        ORDER BY ROUND(score, 6) DESC, doc_id ASC
+        LIMIT {_BM25_TOP_DOCS}
+    """,
+    tags=("text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson k1=1.2, b=0.75): score every document
+    against the corpus' 5 most frequent terms and return the top 20
+    documents — the classic sparse-retrieval ranker a training-data
+    pipeline uses for quality-biased sampling and RAG-corpus selection,
+    complementing text_tfidf_top_terms (per-doc salient terms) with
+    corpus-level query-conditioned ranking.
+
+    Scale shape: every input derives from the SAME (doc, term) tf aggregate
+    subtree (dl = Σtf per doc, corpus term frequency = Σtf per term, df =
+    tf row count per term), so AQE's ReuseExchange serves the five
+    derivations from two materialized tokenize shuffles (measured on the
+    final adaptive plan: the first two leaf stages submit concurrently and
+    race past the reuse check; the other three reuse — persist(tf) is the
+    remaining knob if strictly one pass matters); the query-term table is LIMIT-5
+    tiny and broadcast, so per-doc scoring touches only rows whose term is
+    a query term (the broadcast join prunes ~|vocab - q|/|vocab| of the tf
+    table before any arithmetic); the final top-k is a
+    TakeOrderedAndProject(20), never a full sort, and the rank is stamped
+    AFTER the limit so the row_number window sees 20 rows, not the corpus.
+    Ordering is on the ROUNDED score (both engines) so the rank-boundary
+    pick is ulp-stable cross-engine.
+    """
+    # The isNotNull pre-filter matches what the doc_id equi-joins push down
+    # anyway; stamping it on the shared scan keeps every tf branch
+    # canonically IDENTICAL so AQE's ReuseExchange serves them all from one
+    # materialized shuffle (without it, join branches get the pushed filter
+    # and non-join branches don't, splitting the stage three ways).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    toks = d.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_BM25_N_QTERMS)
+        .select("term")
+    )
+    df = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP_DOCS)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("doc_id", "bm25", "rnk")
+    )

@@ -587,3 +587,53 @@ def test_pca_iterations_corpus_independent(spark, sf_dir):
     df = CATALOG["vec_pca_top_component"].fn(spark, sf_dir)
     plan = executed_plan(df, "simple")
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_bm25_reuses_tokenize_shuffle_and_takeordered(spark, sf_dir):
+    """text_bm25_topk: all five derivations hang off the SAME (doc, term)
+    tf subtree, so the FINAL adaptive plan must serve at least three of
+    them via ReusedExchange (two leaf stages race past the reuse check —
+    see docstring); the top-20 must plan as TakeOrderedAndProject, never
+    a global sort; the query-term/df sides broadcast."""
+    df = CATALOG["text_bm25_topk"].fn(spark, sf_dir)
+    df.collect()  # AQE: reuse decisions appear only in the final plan
+    plan = executed_plan(df, "formatted")
+    assert plan.count("ReusedExchange") >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_stratified_split_one_corpus_shuffle(spark, sf_dir):
+    """pipeline_stratified_split: the split stamp is a projection; the only
+    corpus-width movement is the (lang, split) groupBy — the within-lang
+    fraction window runs over the already-aggregated |langs|x3 rows."""
+    df = CATALOG["pipeline_stratified_split"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    assert shuffle_count(df) <= 2, executed_plan(df, "simple")
+    plan = executed_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_language_rebalance_broadcasts_rates(spark, sf_dir):
+    """pipeline_language_rebalance: the per-lang rate table joins onto the
+    corpus scan as a BROADCAST equi-join (never a shuffle of the corpus on
+    lang), and both aggregations partial-combine map-side."""
+    df = CATALOG["pipeline_language_rebalance"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df, "simple")
+    assert "partial_count" in plan, plan
+    # the only BNLs are the 1-row totals cross-joins, never corpus x corpus
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_mrr_no_corpus_self_join(spark, sf_dir):
+    """sim_ivf_mrr_eval: both retrieval sides broadcast the 5-row query
+    set / probe table across the corpus — the corpus must never appear on
+    both sides of a non-broadcast join, and rank pushdown must trim the
+    exact side (WindowGroupLimit)."""
+    df = CATALOG["sim_ivf_mrr_eval"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
