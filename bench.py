@@ -87,6 +87,7 @@ HEADLINE = [
     "sim_silhouette_by_label",   # centroid silhouette (scale-safe variant)
     "grouped_price_regression",  # single-pass per-group OLS moments
     "graph_kcore_peel",          # iterative degree-peel round-trip
+    "text_bm25_topk",            # shared-subtree BM25 ranking + broadcast prune
 ]
 
 

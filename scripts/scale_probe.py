@@ -92,6 +92,10 @@ PROBE_QUERIES = [
     # keep constant (measured sublinear x8).
     "graph_pagerank_directed",
     "graph_kcore_fixpoint",
+    # round-6d: BM25 — the widest shared-subtree plan (five derivations off
+    # one (doc, term) aggregate; replicas multiply every query term's df, the
+    # stress for the broadcast-pruned scoring join).
+    "text_bm25_topk",
 ]
 
 
