@@ -159,15 +159,15 @@ def _snapshot_view(
         # time travel resolves under write-time names, which the
         # current-name conjuncts would mismatch.
         if prune_conjuncts and paths and not (version or ts_text):
+            from cloudfloe_spark.sources import partition_pruning as pp
+
+            try:
+                hist = im.schema_name_history(root, metadata_path)
+            except im.IcebergMetadataError:
+                hist = {}
             spec_fields = im.partition_spec_fields(root, metadata_path)
             if spec_fields:
-                from cloudfloe_spark.sources import partition_pruning as pp
-
                 pv = im.live_data_partitions(root, snap)
-                try:
-                    hist = im.schema_name_history(root, metadata_path)
-                except im.IcebergMetadataError:
-                    hist = {}
                 paths = [
                     p
                     for p in paths
@@ -175,6 +175,25 @@ def _snapshot_view(
                         spec_fields, pv.get(p), prune_conjuncts, hist
                     )
                 ]
+            # Second pruning level — file STATISTICS (min/max bounds +
+            # null counts from the manifest, Iceberg's
+            # InclusiveMetricsEvaluator): skips files whose value interval
+            # provably excludes a conjunct even on UNPARTITIONED columns.
+            # Same soundness rule as above: absent/unparseable stats read
+            # normally.
+            if paths:
+                stats = im.live_data_stats(root, snap)
+                if any(
+                    (s.get("lower") or s.get("nulls")) for s in stats.values()
+                ):
+                    col_types = im.schema_column_types(root, metadata_path)
+                    paths = [
+                        p
+                        for p in paths
+                        if pp.file_survives_stats(
+                            stats.get(p), prune_conjuncts, col_types, hist
+                        )
+                    ]
         pos_deletes = im.position_delete_paths(root, snap)
         eq_deletes = im.equality_delete_records(root, snap)
         # TIME TRAVEL resolves under the SNAPSHOT's schema when the

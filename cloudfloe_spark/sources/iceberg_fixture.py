@@ -68,6 +68,36 @@ _MANIFEST_SCHEMA = {
                             {"type": "map", "values": ["null", "string"]},
                         ],
                     },
+                    # Per-column file statistics, the fixture stand-in for
+                    # the spec's field-id-keyed single-value-serialized
+                    # lower_bounds / upper_bounds / null_value_counts
+                    # (data_file fields 125/128/110): keyed by WRITE-TIME
+                    # column name, values stringified like the partition
+                    # tuple above. Bounds are EXACT min/max (no 16-byte
+                    # string truncation — exact bounds are trivially
+                    # sound). Absent maps (older fixtures, rewrite
+                    # entries) mean "no stats" → the reader never prunes.
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {"type": "map", "values": ["null", "string"]},
+                        ],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {"type": "map", "values": ["null", "string"]},
+                        ],
+                    },
+                    {
+                        "name": "null_value_counts",
+                        "type": [
+                            "null",
+                            {"type": "map", "values": "long"},
+                        ],
+                    },
                 ],
             },
         },
@@ -94,6 +124,70 @@ _ARROW_TO_ICEBERG = {
     pa.bool_(): "boolean",
     pa.binary(): "binary",
 }
+
+
+def _stat_str(v) -> str:
+    """Stringify a bound value so the reader's domain parsers
+    (partition_pruning._parse_date/_parse_ts, int()/float()) round-trip it
+    exactly. Aware timestamps normalize to naive UTC (the reader compares
+    in the session's UTC domain)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _column_stats(t: pa.Table):
+    """(lower_bounds, upper_bounds, null_value_counts) for one data file —
+    exact per-column min/max over primitive columns (the fixture's
+    equivalent of the spec's data_file metrics, see _MANIFEST_SCHEMA).
+
+    Sound-by-omission cases, mirroring Iceberg writer behavior:
+    - non-primitive / unsupported types → no bounds for that column;
+    - all-NULL column → no bounds (null count still recorded);
+    - float/double column containing NaN → no bounds (NaN is unordered;
+      the spec handles it via nan_value_counts, the fixture by omission);
+    - boolean → no bounds (two-value domain, pruning value ~nil).
+    """
+    import pyarrow.compute as pc
+
+    lower: dict[str, str] = {}
+    upper: dict[str, str] = {}
+    nulls: dict[str, int] = {}
+    for field in t.schema:
+        col = t.column(field.name)
+        nulls[field.name] = col.null_count
+        typ = field.type
+        if col.null_count == t.num_rows or t.num_rows == 0:
+            continue
+        if not (
+            pa.types.is_integer(typ)
+            or pa.types.is_floating(typ)
+            or pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+            or pa.types.is_date(typ)
+            or pa.types.is_timestamp(typ)
+        ):
+            continue
+        if pa.types.is_floating(typ) and pc.any(
+            pc.is_nan(col.combine_chunks()), min_count=0
+        ).as_py():
+            continue
+        try:
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        except pa.ArrowNotImplementedError:
+            continue
+        if lo is None or hi is None:
+            continue
+        lower[field.name] = _stat_str(lo)
+        upper[field.name] = _stat_str(hi)
+    return lower or None, upper or None, nulls or None
 
 
 class LocalIcebergTable:
@@ -228,6 +322,7 @@ class LocalIcebergTable:
             fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
             fpath = os.path.join(self.root, fname)
             pq.write_table(t.cast(self.schema), fpath)
+            lower, upper, nulls = _column_stats(t)
             self._live[fpath] = {
                 "content": 0,
                 "file_path": self._uri(fpath),
@@ -235,6 +330,9 @@ class LocalIcebergTable:
                 "record_count": t.num_rows,
                 "file_size_in_bytes": os.path.getsize(fpath),
                 "partition": pvals,
+                "lower_bounds": lower,
+                "upper_bounds": upper,
+                "null_value_counts": nulls,
             }
         return self._commit(timestamp_ms)
 
@@ -402,6 +500,9 @@ class LocalIcebergTable:
                     **{k: v for k, v in df.items() if not k.startswith("_")},
                     "equality_ids": df.get("equality_ids"),
                     "partition": df.get("partition"),
+                    "lower_bounds": df.get("lower_bounds"),
+                    "upper_bounds": df.get("upper_bounds"),
+                    "null_value_counts": df.get("null_value_counts"),
                 },
             }
             for df in list(self._live.values()) + self._delete_files
@@ -594,8 +695,13 @@ def commit_rewrite_snapshot(
                 "equality_ids": None,
                 # a compaction rewrite coalesces across partitions; the
                 # rewritten file carries no partition tuple (correct: it
-                # is a spec-less unpartitioned file in this fixture)
+                # is a spec-less unpartitioned file in this fixture) and
+                # no column statistics — stats-less files are read
+                # unpruned (sound-by-omission)
                 "partition": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "null_value_counts": None,
             },
         }
         for p, n in data_files

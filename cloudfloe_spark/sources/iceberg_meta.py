@@ -724,3 +724,39 @@ def live_data_partitions(
         _relocate(f["file_path"], root_local): f.get("partition")
         for f in live_data_files(root, snapshot)
     }
+
+
+def live_data_stats(root: str, snapshot: dict) -> dict[str, dict]:
+    """Relocated data-file path → file-statistics record for metrics-based
+    file skipping (Iceberg's InclusiveMetricsEvaluator surface,
+    data_file fields 110/125/128 — the fixture stores them as
+    name-keyed stringified maps, see iceberg_fixture._MANIFEST_SCHEMA):
+    ``{"lower": {col: str}|None, "upper": {...}|None,
+    "nulls": {col: int}|None, "records": int}``. Files written before the
+    stats fields existed (or by rewrite/compaction paths) yield None maps
+    and are never pruned."""
+    root_local = _norm_root(root)
+    out: dict[str, dict] = {}
+    for f in live_data_files(root, snapshot):
+        out[_relocate(f["file_path"], root_local)] = {
+            "lower": f.get("lower_bounds"),
+            "upper": f.get("upper_bounds"),
+            "nulls": f.get("null_value_counts"),
+            "records": f.get("record_count"),
+        }
+    return out
+
+
+def schema_column_types(
+    root: str, metadata_path: Optional[str] = None
+) -> dict[str, str]:
+    """Current-schema column name → primitive Iceberg type string (complex
+    types omitted — metrics pruning only applies to primitives)."""
+    meta = load_metadata(root, metadata_path)
+    cur = _schema_for(meta)
+    out: dict[str, str] = {}
+    for f in cur.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str):
+            out[f["name"]] = t
+    return out

@@ -549,3 +549,105 @@ def file_survives(
             if not _interval_satisfies(iv, op, dlit):
                 return False
     return True
+
+
+# --- file-statistics skipping (InclusiveMetricsEvaluator analog) ---------------
+
+
+def _bound_in_domain(raw: Any, iceberg_type: str) -> Any:
+    """Parse a stored (stringified) bound back into the column's comparable
+    domain; None when it can't be (→ that column contributes no pruning)."""
+    if raw is None:
+        return None
+    s = str(raw)
+    try:
+        if iceberg_type in ("int", "long"):
+            return int(s)
+        if iceberg_type in ("float", "double"):
+            v = float(s)
+            return None if v != v else v  # NaN guard (writer omits, but be safe)
+        if iceberg_type == "date":
+            return _parse_date(s)
+        if iceberg_type.startswith("timestamp"):
+            return _parse_ts(s)
+        if iceberg_type == "string":
+            return s
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def file_survives_stats(
+    stats: Optional[dict],
+    conjuncts: list[tuple],
+    col_types: dict[str, str],
+    old_to_current: Optional[dict] = None,
+) -> bool:
+    """May this file contain a row satisfying every conjunct, judged by its
+    per-column min/max bounds and null counts (``iceberg_meta.
+    live_data_stats`` record)? The metrics twin of ``file_survives`` —
+    Iceberg's InclusiveMetricsEvaluator: a file is skipped only when its
+    closed value interval [lower, upper] provably excludes the conjunct.
+
+    Soundness: missing stats, unknown columns, unparseable bounds, or
+    unsupported operators contribute NO pruning. Bounds are keyed by
+    write-time column names; ``old_to_current`` (rename history) maps them
+    to the current names the conjuncts use.
+    """
+    if not stats or not conjuncts:
+        return True
+    lower = stats.get("lower") or {}
+    upper = stats.get("upper") or {}
+    nulls = stats.get("nulls") or {}
+    records = stats.get("records")
+    hist = old_to_current or {}
+
+    def write_key(col: str, m: dict) -> Optional[str]:
+        if col in m:
+            return col
+        for k in m:  # recorded under a since-renamed write-time name
+            if hist.get(k) == col:
+                return k
+        return None
+
+    for col, op, lit in conjuncts:
+        if op == "isnull":
+            kn = write_key(col, nulls)
+            if kn is not None and int(nulls[kn]) == 0:
+                return False
+            continue
+        if op == "notnull":
+            kn = write_key(col, nulls)
+            if (
+                kn is not None
+                and isinstance(records, int)
+                and records > 0
+                and int(nulls[kn]) >= records
+            ):
+                return False
+            continue
+        t = col_types.get(col)
+        if t is None:
+            continue
+        kl = write_key(col, lower)
+        ku = write_key(col, upper)
+        if kl is None or ku is None:
+            continue
+        lo = _bound_in_domain(lower[kl], t)
+        hi = _bound_in_domain(upper[ku], t)
+        if lo is None or hi is None:
+            continue
+        iv = (lo, hi, True)  # closed interval: file min/max are attained
+        if op == "in":
+            lits = [_literal_in_domain(v, t) for v in lit]
+            if all(v is not None for v in lits) and not any(
+                _interval_satisfies(iv, "=", v) for v in lits
+            ):
+                return False
+            continue
+        dlit = _literal_in_domain(lit, t)
+        if dlit is None:
+            continue
+        if not _interval_satisfies(iv, op, dlit):
+            return False
+    return True

@@ -1335,12 +1335,16 @@ def test_bucket_partition_pruning_on_equality(spark, tmp_path):
     assert sorted(r["v"] for r in df_in.collect()) == ["e", "f"]
     assert len(set(df_in.inputFiles())) <= 2
 
-    # a range predicate on a bucketed column must NOT prune
+    # a range predicate on a bucketed column never prunes VIA THE BUCKET
+    # TRANSFORM (buckets carry no order) — but file-statistics skipping
+    # (min/max bounds, tests/test_stats_file_skipping.py) may still drop
+    # bucket files whose id interval excludes the range. Result stays
+    # exact; the plan may touch fewer files than buckets, never more.
     df_rng = _resolved_df(
         spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id > 6"
     )
     assert sorted(r["v"] for r in df_rng.collect()) == ["g", "h"]
-    assert len(set(df_rng.inputFiles())) == n_buckets
+    assert 1 <= len(set(df_rng.inputFiles())) <= n_buckets
 
 
 def test_truncate_partition_pruning(spark, tmp_path):
