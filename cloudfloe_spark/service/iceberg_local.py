@@ -18,7 +18,9 @@ against local tables:
   column names: sequence_number, snapshot_id, timestamp_ms, manifest_list)
 - ``iceberg_metadata('<root>')``            → live file listing
   (manifest_path, manifest_content, status, content, file_path,
-  file_format, record_count)
+  file_format, record_count; enum columns rendered as DuckDB's STRINGS —
+  'DATA'/'DELETE', 'ADDED'/'EXISTING'/'DELETED' — so the reference's
+  probe SQL runs verbatim, reference backend/main.py:509)
 
 Each resolved reference becomes a per-request temp view (request sessions
 have isolated view namespaces — `engine.request_session`). Row-level
@@ -538,6 +540,15 @@ def _snapshots_view(sess, root: str) -> str:
     return name
 
 
+# DuckDB iceberg extension renders these enum columns as STRINGS — the
+# reference's own probe SQL compares `manifest_content <> 'DATA'`
+# (reference backend/main.py:509), so drop-in parity requires the same
+# rendering, not the spec's integer codes.
+_MANIFEST_CONTENT_STR = {0: "DATA", 1: "DELETE"}
+_ENTRY_STATUS_STR = {0: "EXISTING", 1: "ADDED", 2: "DELETED"}
+_FILE_CONTENT_STR = {0: "EXISTING", 1: "POSITION_DELETES", 2: "EQUALITY_DELETES"}
+
+
 def _metadata_view(sess, root: str) -> str:
     try:
         snap = im.resolve_snapshot(root)
@@ -547,9 +558,12 @@ def _metadata_view(sess, root: str) -> str:
     rows = [
         (
             e["manifest_path"],
-            e["manifest_content"],
-            e["status"],
-            e["data_file"].get("content", 0),
+            _MANIFEST_CONTENT_STR.get(e["manifest_content"], str(e["manifest_content"])),
+            _ENTRY_STATUS_STR.get(e["status"], str(e["status"])),
+            _FILE_CONTENT_STR.get(
+                e["data_file"].get("content", 0),
+                str(e["data_file"].get("content", 0)),
+            ),
             e["data_file"]["file_path"],
             e["data_file"].get("file_format", "PARQUET"),
             e["data_file"].get("record_count"),
@@ -559,8 +573,8 @@ def _metadata_view(sess, root: str) -> str:
     name = _view_name("metadata", root)
     sess.createDataFrame(
         rows,
-        "manifest_path STRING, manifest_content INT, status INT, "
-        "content INT, file_path STRING, file_format STRING, "
+        "manifest_path STRING, manifest_content STRING, status STRING, "
+        "content STRING, file_path STRING, file_format STRING, "
         "record_count BIGINT",
     ).createOrReplaceTempView(name)
     return name

@@ -164,6 +164,27 @@ def test_file_listing(spark, two_snapshot_table):
     assert sorted(r[1] for r in resp.rows) == [1, 2]
 
 
+def test_metadata_view_renders_duckdb_enum_strings(spark, two_snapshot_table):
+    """The reference's connection probe aggregates
+    ``BOOL_OR(manifest_content <> 'DATA')`` over ``iceberg_metadata()``
+    (reference backend/main.py:502-514) — DuckDB's extension renders the
+    enum columns as STRINGS. The same query, verbatim modulo the ``?``
+    parameter, must run against our view and produce the same shape."""
+    root, _, _, _ = two_snapshot_table
+    resp = run_query(
+        spark,
+        f"""
+        SELECT
+            CAST(COALESCE(SUM(record_count), 0) AS BIGINT) AS rows,
+            CAST(COUNT(*) AS BIGINT) AS files,
+            BOOL_OR(manifest_content <> 'DATA') AS has_deletes
+        FROM iceberg_metadata('{root}')
+        """,
+        _cfg(),
+    )
+    assert resp.rows == [[3, 2, False]]  # live files B(1)+C(2), no deletes
+
+
 def test_delete_file_snapshot_rejected(spark, two_snapshot_table):
     root, s1, s2, t = two_snapshot_table
     t.add_delete_file_snapshot(timestamp_ms=T2 + 1000)
