@@ -593,6 +593,12 @@ def file_survives_stats(
     unsupported operators contribute NO pruning. Bounds are keyed by
     write-time column names; ``old_to_current`` (rename history) maps them
     to the current names the conjuncts use.
+
+    Production caveat: the spec keys bounds by FIELD ID, which survives
+    drop-then-re-add of a same-named column; this name-keyed stand-in
+    would mis-bind old stats in that scenario. The fixture writer has no
+    drop operation, so the state is unreachable here — a field-id keyed
+    manifest reader must switch this lookup to ids.
     """
     if not stats or not conjuncts:
         return True
