@@ -399,3 +399,123 @@ class TestSoundnessProperty:
                     assert m is None or not self._sat(m, op, lit_dt), (
                         transform, tv, m, op, lit
                     )
+
+
+class TestStatsSoundnessProperty:
+    """The file-STATISTICS pruning invariant, property-tested the same way
+    as TestSoundnessProperty: if file_survives_stats() says False for a
+    file, then NO value in that file can satisfy the conjunct. Stats are
+    computed exactly as the fixture writer does (min/max of non-null
+    values, null count, record count)."""
+
+    @staticmethod
+    def _stats_for(values, fmt=str):
+        nn = [v for v in values if v is not None]
+        stats = {
+            "lower": {"c": fmt(min(nn))} if nn else None,
+            "upper": {"c": fmt(max(nn))} if nn else None,
+            "nulls": {"c": sum(1 for v in values if v is None)},
+            "records": len(values),
+        }
+        return stats
+
+    def _check(self, iceberg_type, values, conjunct, fmt=str):
+        stats = self._stats_for(values, fmt)
+        if pp.file_survives_stats(stats, [conjunct], {"c": iceberg_type}):
+            return
+        _, op, lit = conjunct
+        for v in values:
+            assert not TestSoundnessProperty._sat(v, op, lit), (
+                iceberg_type,
+                stats,
+                v,
+                conjunct,
+            )
+
+    def test_int_stats_random(self):
+        import random
+
+        rng = random.Random(11)
+        ops = ["=", "<", "<=", ">", ">=", "<>"]
+        for _ in range(400):
+            values = [
+                None if rng.random() < 0.15 else rng.randint(-50, 50)
+                for _ in range(rng.randint(1, 12))
+            ]
+            op = rng.choice(ops + ["in", "isnull", "notnull"])
+            lit = (
+                [rng.randint(-55, 55) for _ in range(3)]
+                if op == "in"
+                else None
+                if op in ("isnull", "notnull")
+                else rng.randint(-55, 55)
+            )
+            self._check("long", values, ("c", op, lit))
+
+    def test_string_stats_random(self):
+        import random
+
+        rng = random.Random(13)
+        ops = ["=", "<", "<=", ">", ">="]
+        words = ["alpha", "beta", "gamma", "delta", "omega", "zz", "a"]
+        for _ in range(300):
+            values = [
+                None if rng.random() < 0.2 else rng.choice(words)
+                for _ in range(rng.randint(1, 8))
+            ]
+            self._check(
+                "string", values, ("c", rng.choice(ops), rng.choice(words))
+            )
+
+    def test_date_stats_random(self):
+        # values/literals as ISO strings: lexicographic == chronological,
+        # so the ground-truth comparison and the evaluator (which parses
+        # them back to dates) agree on ordering.
+        import datetime
+        import random
+
+        rng = random.Random(17)
+        base = datetime.date(2024, 1, 1)
+        ops = ["=", "<", "<=", ">", ">="]
+        for _ in range(300):
+            values = [
+                None
+                if rng.random() < 0.2
+                else (base + datetime.timedelta(days=rng.randint(0, 400))).isoformat()
+                for _ in range(rng.randint(1, 8))
+            ]
+            lit = (base + datetime.timedelta(days=rng.randint(-5, 405))).isoformat()
+            self._check("date", values, ("c", rng.choice(ops), lit))
+
+    def test_float_stats_random(self):
+        import random
+
+        rng = random.Random(19)
+        ops = ["=", "<", "<=", ">", ">="]
+        for _ in range(300):
+            values = [
+                None if rng.random() < 0.15 else round(rng.uniform(-9, 9), 3)
+                for _ in range(rng.randint(1, 10))
+            ]
+            self._check(
+                "double",
+                values,
+                ("c", rng.choice(ops), round(rng.uniform(-10, 10), 3)),
+                fmt=repr,
+            )
+
+    def test_renamed_stats_still_sound(self):
+        # bounds recorded under write-time name 'c'; conjunct on 'c2'
+        stats = {
+            "lower": {"c": "10"},
+            "upper": {"c": "19"},
+            "nulls": {"c": 0},
+            "records": 5,
+        }
+        hist = {"c": "c2"}
+        assert not pp.file_survives_stats(
+            stats, [("c2", "=", 25)], {"c2": "long"}, hist
+        )
+        assert pp.file_survives_stats(
+            stats, [("c2", "=", 12)], {"c2": "long"}, hist
+        )
