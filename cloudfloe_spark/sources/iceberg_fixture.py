@@ -8,12 +8,17 @@ parquet data files (pyarrow), avro manifests + manifest lists
 is read back by :mod:`iceberg_meta` (and by any real Iceberg reader that
 tolerates the minimal column-stats-free manifests).
 
-NOT a general Iceberg writer: a single one-field partition spec (identity
-or a derived transform — ``year``/``month``/``day``/``hour``/``bucket[N]``/
+NOT a general Iceberg writer: a single partition spec (identity or a
+derived transform — ``year``/``month``/``day``/``hour``/``bucket[N]``/
 ``truncate[W]``, values computed per the Iceberg spec by
-:mod:`partition_pruning`), no column stats, no row-level deletes (delete
-files can be INJECTED for guard tests via ``add_delete_file_snapshot`` —
-entries only, no readable content).
+:mod:`partition_pruning`). Column statistics (exact min/max bounds + null
+counts, name-keyed stringified stand-ins for the spec's field-id-keyed
+metrics) ARE recorded per data file for metrics-based file skipping.
+Row-level deletes: real position-delete files commit via
+``position_delete_snapshot`` / :func:`commit_delete_snapshot` (the commit
+half of ``maintenance.delete_where``); equality-delete ENTRIES can be
+injected for guard tests via ``add_delete_file_snapshot`` (entries only,
+no readable content).
 """
 
 from __future__ import annotations
@@ -767,3 +772,140 @@ def write_next_metadata_version(root: str, meta: dict) -> str:
         with open(hint, "w") as f:
             f.write(str(version))
     return path
+
+
+_DATA_FILE_KEYS = (
+    "content",
+    "file_path",
+    "file_format",
+    "record_count",
+    "file_size_in_bytes",
+    "equality_ids",
+    "partition",
+    "lower_bounds",
+    "upper_bounds",
+    "null_value_counts",
+)
+
+
+def commit_delete_snapshot(
+    root: str,
+    delete_files: list[tuple[str, int]],
+    *,
+    timestamp_ms: int,
+    expected_metadata_path: str | None = None,
+) -> int:
+    """Append a DELETE snapshot to an EXISTING on-disk Iceberg v2 table:
+    the current snapshot's live entries are carried over verbatim (data
+    files keep their original data sequence numbers — equality-delete
+    ordering must not shift) and the given position-delete parquet files
+    ``(abs path, record count)`` are added as content=1 entries at the new
+    snapshot's sequence, in a SEPARATE content=1 delete manifest (the
+    spec's layout; ``iceberg_metadata()`` then reports
+    manifest_content='DELETE', which is exactly what the reference's probe
+    aggregates for hasDeletes). Older snapshots stay untouched, so time
+    travel to the pre-delete state keeps working.
+
+    This is the commit half of
+    :func:`cloudfloe_spark.sources.maintenance.delete_where`; like
+    :func:`commit_rewrite_snapshot` it is an EXTERNAL commit — do not mix
+    with further commits through a live LocalIcebergTable instance.
+    """
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    if expected_metadata_path is not None:
+        latest = im.latest_metadata_path(root)
+        if os.path.realpath(latest) != os.path.realpath(expected_metadata_path):
+            raise CommitConflictError(
+                f"table {root} moved on during delete: read "
+                f"{expected_metadata_path}, current {latest}; re-run the "
+                "delete against the new current snapshot"
+            )
+    meta = im.load_metadata(root)
+    snaps = meta.get("snapshots", [])
+    cur = im.resolve_snapshot(root)
+    carried = [
+        e for e in im.manifest_entries(root, cur) if e["status"] != 2
+    ]
+    seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
+    snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
+
+    def entry(status, sequence, data_file):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": sequence,
+            "data_file": {k: data_file.get(k) for k in _DATA_FILE_KEYS},
+        }
+
+    carry_data = [
+        entry(0, e["sequence_number"], e["data_file"])
+        for e in carried
+        if e["data_file"].get("content", 0) == 0
+    ]
+    carry_dels = [
+        entry(0, e["sequence_number"], e["data_file"])
+        for e in carried
+        if e["data_file"].get("content", 0) != 0
+    ]
+    new_dels = [
+        entry(
+            1,
+            seq,
+            {
+                "content": 1,
+                "file_path": f"file://{p}",
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        )
+        for p, n in delete_files
+    ]
+
+    meta_dir = os.path.join(root, "metadata")
+    manifests = []
+    for tag, content, entries in (
+        ("data", 0, carry_data),
+        ("del", 1, carry_dels + new_dels),
+    ):
+        if not entries:
+            continue
+        mpath = os.path.join(
+            meta_dir, f"manifest-{tag}-{uuid.uuid4().hex[:12]}.avro"
+        )
+        write_avro(mpath, _MANIFEST_SCHEMA, entries)
+        manifests.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "content": content,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": f"file://{mlist}",
+            "summary": {
+                "operation": "delete",
+                "total-records": str(
+                    sum(e["data_file"].get("record_count") or 0 for e in carry_data)
+                ),
+                "total-data-files": str(len(carry_data)),
+                "total-delete-files": str(len(carry_dels) + len(new_dels)),
+            },
+        }
+    )
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = timestamp_ms
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    write_next_metadata_version(root, meta)
+    return snap_id

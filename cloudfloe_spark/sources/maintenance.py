@@ -287,3 +287,93 @@ def remove_orphan_files(
         os.remove(p)
         removed.append(p)
     return {"removed": len(removed), "referenced": len(referenced)}
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    *,
+    timestamp_ms: int,
+    rows_per_delete_file: int = 1_000_000,
+) -> dict:
+    """``DELETE FROM <iceberg table> WHERE condition`` via merge-on-read
+    position deletes — rows are marked deleted in a NEW snapshot without
+    rewriting a single data file (the write half of the v2 row-level
+    delete support the read path already applies; the reference rejects
+    even READING such tables, ``backend/main.py:398-414``).
+
+    Mechanics: scan the live data files with Spark, keep rows matching
+    ``condition`` (a SQL boolean expression over the table's columns),
+    project their spec coordinates ``(_metadata.file_path,
+    _metadata.row_index)``, and write them as sorted position-delete
+    parquet files — ``repartitionByRange`` + ``sortWithinPartitions`` on
+    (file_path, pos) keeps every delete file sorted as the spec requires
+    while the WRITE stays distributed (one shuffle sized by the match
+    count, never by table size; files sized by ``rows_per_delete_file``).
+    The commit (:func:`iceberg_fixture.commit_delete_snapshot`) carries
+    the current live set at its ORIGINAL sequence numbers and adds the
+    delete files at the next sequence, so equality-delete ordering is
+    undisturbed and time travel to the pre-delete snapshot still shows
+    every row. Re-deleting an already-deleted row is a harmless duplicate
+    (the reader's anti-join is idempotent).
+
+    Tables with a rename history are refused: the raw per-file scan sees
+    write-time column names, so a condition on current names would
+    silently miss renamed columns' old files.
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import commit_delete_snapshot
+
+    meta_path = im.latest_metadata_path(root)
+    if im.schema_name_history(root, meta_path):
+        raise ValueError(
+            "delete_where requires a rename-free schema log (the raw "
+            "per-file scan resolves write-time names); compact the table "
+            "first to rewrite files under current names"
+        )
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    paths = im.live_data_paths(root, snap)
+    if not paths:
+        return {"matched": 0, "snapshot_id": None, "delete_files": []}
+
+    matches = (
+        spark.read.parquet(*paths)
+        .filter(condition)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    n = matches.count()
+    if n == 0:
+        return {"matched": 0, "snapshot_id": None, "delete_files": []}
+
+    out_dir = os.path.join(root, "data", f"deletes-{timestamp_ms}")
+    n_files = max(1, -(-n // rows_per_delete_file))
+    (
+        matches.repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("errorifexists")
+        .parquet(out_dir)
+    )
+    import pyarrow.parquet as pq
+
+    delete_files = []
+    for f in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
+        cnt = pq.ParquetFile(f).metadata.num_rows
+        if cnt:
+            delete_files.append((f, cnt))
+    snap_id = commit_delete_snapshot(
+        root,
+        delete_files,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {
+        "matched": n,
+        "snapshot_id": snap_id,
+        "delete_files": [p for p, _ in delete_files],
+    }

@@ -1,0 +1,134 @@
+"""Row-level DELETE via merge-on-read position deletes: the write half of
+the v2 delete support the reader already applies. The reference cannot even
+READ tables with delete files (backend/main.py:398-414 rejects); this
+engine both reads them and now PRODUCES them without rewriting data files.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+from cloudfloe_spark.sources.maintenance import compact_iceberg_table, delete_where
+
+T1 = 1700000000000
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _rows(spark, sql):
+    return run_query(spark, sql, _cfg()).rows
+
+
+@pytest.fixture()
+def two_file_table(tmp_path):
+    root = str(tmp_path / "tdel")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(0, 5)), "v": list("abcde")}),
+            pa.table({"id": list(range(5, 10)), "v": list("fghij")}),
+        ],
+        timestamp_ms=T1,
+    )
+    return root
+
+
+def test_delete_where_marks_rows_without_rewrite(spark, two_file_table):
+    root = two_file_table
+    pre_files = set(im.live_data_paths(root, im.resolve_snapshot(root)))
+    res = delete_where(spark, root, "id >= 8 OR v = 'a'", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 3
+    assert res["snapshot_id"] is not None
+
+    got = _rows(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5, 6, 7]
+    # data files untouched — deletion is metadata + delete files only
+    post_files = set(im.live_data_paths(root, im.resolve_snapshot(root)))
+    assert post_files == pre_files
+    # the reference's probe aggregate now reports deletes
+    agg = _rows(
+        spark,
+        f"""SELECT BOOL_OR(manifest_content <> 'DATA') AS has_deletes
+            FROM iceberg_metadata('{root}')""",
+    )
+    assert agg == [[True]]
+
+
+def test_delete_where_time_travel_preserves_history(spark, two_file_table):
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id < 5", timestamp_ms=T1 + 1000)
+    cur = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
+    assert cur == [[5]]
+    old = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+    )
+    assert old == [[10]]
+
+
+def test_delete_where_zero_matches_commits_nothing(spark, two_file_table):
+    root = two_file_table
+    n_before = len(im.load_metadata(root).get("snapshots", []))
+    res = delete_where(spark, root, "id > 999", timestamp_ms=T1 + 1000)
+    assert res == {"matched": 0, "snapshot_id": None, "delete_files": []}
+    assert len(im.load_metadata(root).get("snapshots", [])) == n_before
+
+
+def test_delete_where_is_idempotent(spark, two_file_table):
+    root = two_file_table
+    delete_where(spark, root, "id = 3", timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id <= 3", timestamp_ms=T1 + 2000)  # re-deletes 3
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [4, 5, 6, 7, 8, 9]
+
+
+def test_delete_where_refuses_renamed_tables(spark, tmp_path):
+    root = str(tmp_path / "tren")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    t.rename_column("id", "row_id", timestamp_ms=T1 + 500)
+    with pytest.raises(ValueError, match="rename-free"):
+        delete_where(spark, root, "row_id = 1", timestamp_ms=T1 + 1000)
+
+
+def test_delete_then_compact_materializes_deletion(spark, two_file_table):
+    """Composition: delete_where marks rows; compact_iceberg_table reads
+    MOR-applied and rewrites — the new snapshot is delete-free and the
+    deleted rows are physically gone from the new files."""
+    root = two_file_table
+    delete_where(spark, root, "id % 2 = 0", timestamp_ms=T1 + 1000)
+    res = compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    assert res["rows"] == 5
+    snap = im.resolve_snapshot(root)
+    assert im.position_delete_paths(root, snap) == []
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [1, 3, 5, 7, 9]
+
+
+def test_delete_where_sequencing_vs_equality_deletes(spark, tmp_path):
+    """Carried data entries must keep their ORIGINAL sequence numbers:
+    an equality delete at seq 2 still applies only to seq-1 files after a
+    later delete_where commit (a seq bump would resurrect nothing here but
+    would break strictly-lower comparisons in general)."""
+    root = str(tmp_path / "tseq")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3], "v": ["x", "y", "z"]})],
+                      timestamp_ms=T1)
+    t.equality_delete_snapshot(
+        pa.table({"v": ["y"]}), equality_ids=[2], timestamp_ms=T1 + 500
+    )
+    delete_where(spark, root, "id = 3", timestamp_ms=T1 + 1000)
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [1]
