@@ -795,21 +795,41 @@ def commit_delete_snapshot(
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
 ) -> int:
-    """Append a DELETE snapshot to an EXISTING on-disk Iceberg v2 table:
-    the current snapshot's live entries are carried over verbatim (data
-    files keep their original data sequence numbers — equality-delete
-    ordering must not shift) and the given position-delete parquet files
-    ``(abs path, record count)`` are added as content=1 entries at the new
-    snapshot's sequence, in a SEPARATE content=1 delete manifest (the
-    spec's layout; ``iceberg_metadata()`` then reports
-    manifest_content='DELETE', which is exactly what the reference's probe
-    aggregates for hasDeletes). Older snapshots stay untouched, so time
-    travel to the pre-delete state keeps working.
+    """DELETE-only row delta — see :func:`commit_row_delta_snapshot`."""
+    return commit_row_delta_snapshot(
+        root,
+        delete_files=delete_files,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=expected_metadata_path,
+    )
 
-    This is the commit half of
-    :func:`cloudfloe_spark.sources.maintenance.delete_where`; like
-    :func:`commit_rewrite_snapshot` it is an EXTERNAL commit — do not mix
-    with further commits through a live LocalIcebergTable instance.
+
+def commit_row_delta_snapshot(
+    root: str,
+    *,
+    new_data_files: list[tuple[str, int]] = (),
+    delete_files: list[tuple[str, int]] = (),
+    timestamp_ms: int,
+    expected_metadata_path: str | None = None,
+) -> int:
+    """Append a ROW-DELTA snapshot to an EXISTING on-disk Iceberg v2
+    table: the current snapshot's live entries are carried over verbatim
+    (data files keep their original data sequence numbers —
+    equality-delete ordering must not shift), ``new_data_files`` parquet
+    files ``(abs path, record count)`` are added as content=0 entries at
+    the new sequence (with column statistics computed from the file, so
+    metrics-based skipping keeps working on appended/updated rows), and
+    ``delete_files`` position-delete parquet files are added as content=1
+    entries in a SEPARATE content=1 delete manifest (the spec's layout;
+    ``iceberg_metadata()`` then reports manifest_content='DELETE', which
+    is exactly what the reference's probe aggregates for hasDeletes).
+    Older snapshots stay untouched, so time travel keeps working.
+
+    Deletes-only is a DELETE operation (``maintenance.delete_where``);
+    deletes + new data is the UPDATE/upsert shape
+    (``maintenance.update_where``) — the spec's "overwrite" summary. Like
+    :func:`commit_rewrite_snapshot` this is an EXTERNAL commit — do not
+    mix with further commits through a live LocalIcebergTable instance.
     """
     from cloudfloe_spark.sources import iceberg_meta as im
 
@@ -817,9 +837,9 @@ def commit_delete_snapshot(
         latest = im.latest_metadata_path(root)
         if os.path.realpath(latest) != os.path.realpath(expected_metadata_path):
             raise CommitConflictError(
-                f"table {root} moved on during delete: read "
-                f"{expected_metadata_path}, current {latest}; re-run the "
-                "delete against the new current snapshot"
+                f"table {root} moved on during row delta: read "
+                f"{expected_metadata_path}, current {latest}; re-run "
+                "against the new current snapshot"
             )
     meta = im.load_metadata(root)
     snaps = meta.get("snapshots", [])
@@ -862,11 +882,30 @@ def commit_delete_snapshot(
         )
         for p, n in delete_files
     ]
+    new_data = []
+    for p, n in new_data_files:
+        lower, upper, nulls = _column_stats(pq.read_table(p))
+        new_data.append(
+            entry(
+                1,
+                seq,
+                {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "null_value_counts": nulls,
+                },
+            )
+        )
 
     meta_dir = os.path.join(root, "metadata")
     manifests = []
     for tag, content, entries in (
-        ("data", 0, carry_data),
+        ("data", 0, carry_data + new_data),
         ("del", 1, carry_dels + new_dels),
     ):
         if not entries:
@@ -892,11 +931,14 @@ def commit_delete_snapshot(
             "timestamp-ms": timestamp_ms,
             "manifest-list": f"file://{mlist}",
             "summary": {
-                "operation": "delete",
+                "operation": "overwrite" if new_data else "delete",
                 "total-records": str(
-                    sum(e["data_file"].get("record_count") or 0 for e in carry_data)
+                    sum(
+                        e["data_file"].get("record_count") or 0
+                        for e in carry_data + new_data
+                    )
                 ),
-                "total-data-files": str(len(carry_data)),
+                "total-data-files": str(len(carry_data) + len(new_data)),
                 "total-delete-files": str(len(carry_dels) + len(new_dels)),
             },
         }

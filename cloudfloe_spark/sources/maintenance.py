@@ -377,3 +377,101 @@ def delete_where(
         "snapshot_id": snap_id,
         "delete_files": [p for p, _ in delete_files],
     }
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    assignments: dict[str, str],
+    *,
+    timestamp_ms: int,
+    rows_per_delete_file: int = 1_000_000,
+) -> dict:
+    """``UPDATE <iceberg table> SET col = expr, ... WHERE condition`` via
+    merge-on-read: matching rows are position-deleted (exactly like
+    :func:`delete_where`) and re-appended with the assignments applied —
+    one snapshot, no data-file rewrite, time travel intact. This is the
+    row-delta shape Iceberg's own MERGE engines commit ("overwrite"
+    summary); the reference engine has no write path at all.
+
+    ``assignments`` maps column name → SQL expression evaluated against
+    the OLD row (standard UPDATE semantics: all expressions see the
+    pre-update values). Unassigned columns pass through. Both the delete
+    and the rewritten-row writes are distributed, sized by the match
+    count, never by table size. Same rename restriction as delete_where.
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    meta_path = im.latest_metadata_path(root)
+    if im.schema_name_history(root, meta_path):
+        raise ValueError(
+            "update_where requires a rename-free schema log (the raw "
+            "per-file scan resolves write-time names); compact the table "
+            "first to rewrite files under current names"
+        )
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    paths = im.live_data_paths(root, snap)
+    if not paths:
+        return {"matched": 0, "snapshot_id": None}
+    bad = sorted(set(assignments) - set(
+        spark.read.parquet(paths[0]).columns
+    ))
+    if bad:
+        raise ValueError(f"update_where: unknown columns in SET: {bad}")
+
+    df = spark.read.parquet(*paths)
+    data_cols = df.columns
+    matches = df.filter(condition)
+    deletes = matches.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    n = deletes.count()
+    if n == 0:
+        return {"matched": 0, "snapshot_id": None}
+
+    import pyarrow.parquet as pq
+
+    del_dir = os.path.join(root, "data", f"deletes-{timestamp_ms}")
+    n_files = max(1, -(-n // rows_per_delete_file))
+    (
+        deletes.repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("errorifexists")
+        .parquet(del_dir)
+    )
+    # rewritten rows: assignments see the OLD values (standard UPDATE);
+    # the original column order/schema is preserved
+    upd_dir = os.path.join(root, "data", f"update-{timestamp_ms}")
+    rewritten = matches.select(
+        *[
+            F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in data_cols
+        ]
+    )
+    rewritten.write.mode("errorifexists").parquet(upd_dir)
+
+    def _parquets(d):
+        out = []
+        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
+            cnt = pq.ParquetFile(f).metadata.num_rows
+            if cnt:
+                out.append((f, cnt))
+        return out
+
+    snap_id = commit_row_delta_snapshot(
+        root,
+        new_data_files=_parquets(upd_dir),
+        delete_files=_parquets(del_dir),
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {"matched": n, "snapshot_id": snap_id}

@@ -132,3 +132,88 @@ def test_delete_where_sequencing_vs_equality_deletes(spark, tmp_path):
     delete_where(spark, root, "id = 3", timestamp_ms=T1 + 1000)
     got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
     assert [r[0] for r in got] == [1]
+
+
+def test_update_where_rewrites_matching_rows(spark, two_file_table):
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = two_file_table
+    res = update_where(
+        spark,
+        root,
+        "id >= 8",
+        {"v": "upper(v)", "id": "id + 100"},
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["matched"] == 2
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got == [
+        [0, "a"], [1, "b"], [2, "c"], [3, "d"], [4, "e"],
+        [5, "f"], [6, "g"], [7, "h"], [108, "I"], [109, "J"],
+    ]
+    # old values visible via time travel
+    snaps = im.load_metadata(root)["snapshots"]
+    first = snaps[0]["snapshot-id"]
+    old = _rows(
+        spark,
+        f"SELECT v FROM iceberg_scan('{root}') VERSION AS OF {first} "
+        "WHERE id = 9",
+    )
+    assert old == [["j"]]
+    # the update snapshot is the spec's overwrite shape
+    assert snaps[-1]["summary"]["operation"] == "overwrite"
+
+
+def test_update_where_assignments_see_old_values(spark, tmp_path):
+    """Standard UPDATE semantics: a swap via two assignments reads the
+    PRE-update row for both expressions."""
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = str(tmp_path / "tswap")
+    t = LocalIcebergTable(
+        root, pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+    t.append_snapshot([pa.table({"a": [1, 10], "b": [2, 20]})], timestamp_ms=T1)
+    update_where(spark, root, "a = 1", {"a": "b", "b": "a"}, timestamp_ms=T1 + 1000)
+    got = _rows(spark, f"SELECT a, b FROM iceberg_scan('{root}') ORDER BY a")
+    assert got == [[2, 1], [10, 20]]
+
+
+def test_update_where_new_files_carry_stats(spark, two_file_table):
+    """Rows rewritten by update_where get fresh column bounds, so
+    metrics skipping keeps pruning the updated files too."""
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = two_file_table
+    update_where(spark, root, "id = 9", {"id": "900"}, timestamp_ms=T1 + 1000)
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    new = [s for p, s in stats.items() if "/update-" in p]
+    assert len(new) == 1 and new[0]["lower"]["id"] == "900"
+    # a selective predicate touches ONLY the updated file
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT id FROM iceberg_scan('{root}') WHERE id = 900"
+        )
+    )
+    assert [r["id"] for r in df.collect()] == [900]
+    # both original data files are bounds-pruned; what remains is the
+    # updated file plus the position-delete parquet the MOR anti-join
+    # legitimately scans
+    touched = set(df.inputFiles())
+    assert all("/update-" in p or "/deletes-" in p for p in touched), touched
+    assert any("/update-" in p for p in touched)
+
+
+def test_update_where_unknown_column_rejected(spark, two_file_table):
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(
+            spark, two_file_table, "id = 1", {"nope": "1"}, timestamp_ms=T1
+        )
