@@ -475,3 +475,157 @@ def update_where(
         expected_metadata_path=meta_path,
     )
     return {"matched": n, "snapshot_id": snap_id}
+
+
+class MergeCardinalityError(ValueError):
+    """A target row matched more than one source row — the same
+    nondeterministic-update condition Iceberg/Spark MERGE rejects."""
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source,
+    on: "str | list[str]",
+    *,
+    when_matched: "dict[str, str] | None" = None,
+    insert_unmatched: bool = True,
+    timestamp_ms: int,
+    rows_per_delete_file: int = 1_000_000,
+) -> dict:
+    """``MERGE INTO <iceberg table> t USING <source> s ON t.k = s.k``
+    as one merge-on-read row delta: matched target rows are
+    position-deleted and re-emitted with ``when_matched`` assignments
+    applied (expressions may reference BOTH sides via the ``t.`` / ``s.``
+    aliases, e.g. ``{"v": "s.v", "n": "t.n + s.delta"}``; default
+    ``s.<col>`` for join-key columns' table, i.e. unassigned columns keep
+    ``t.<col>``), and unmatched source rows are inserted when
+    ``insert_unmatched`` — the classic upsert, committed atomically as a
+    single snapshot with the spec's "overwrite" summary.
+
+    A target row matching MULTIPLE source rows raises
+    :class:`MergeCardinalityError` before anything is written (the same
+    guard real MERGE engines apply — emitting two updates for one row is
+    nondeterministic). Source duplicates among UNMATCHED keys insert as
+    distinct rows, like SQL MERGE.
+
+    Same scale shape as delete/update: every pass is a distributed Spark
+    plan; only parquet footers are read driver-side. Same rename
+    restriction as delete_where.
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = when_matched or {}
+    meta_path = im.latest_metadata_path(root)
+    if im.schema_name_history(root, meta_path):
+        raise ValueError(
+            "merge_into requires a rename-free schema log (the raw "
+            "per-file scan resolves write-time names); compact the table "
+            "first to rewrite files under current names"
+        )
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    paths = im.live_data_paths(root, snap)
+    if not paths:
+        raise ValueError("merge_into: target table has no live data files")
+
+    tdf = spark.read.parquet(*paths)
+    tcols = tdf.columns
+    missing = sorted(set(tcols) - set(source.columns))
+    if insert_unmatched and missing:
+        raise ValueError(
+            f"merge_into: source lacks target columns needed for insert: "
+            f"{missing}"
+        )
+    bad = sorted(set(when_matched) - set(tcols))
+    if bad:
+        raise ValueError(f"merge_into: unknown columns in when_matched: {bad}")
+
+    t = tdf.select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+        *[F.col(c) for c in tcols],
+    ).alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = eq if cond is None else (cond & eq)
+
+    matched = t.join(s, cond, "inner")
+    dup = (
+        matched.groupBy(F.col("t.__fp"), F.col("t.__pos"))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise MergeCardinalityError(
+            "merge_into: a target row matches multiple source rows; "
+            "deduplicate the source on the join key first"
+        )
+    n_matched = matched.count()
+
+    rewritten = matched.select(
+        *[
+            F.expr(when_matched[c]).cast(tdf.schema[c].dataType).alias(c)
+            if c in when_matched
+            else F.col(f"t.{c}").alias(c)
+            for c in tcols
+        ]
+    )
+    inserts = (
+        s.join(t, cond, "left_anti").select(
+            *[F.col(f"s.{c}").cast(tdf.schema[c].dataType).alias(c) for c in tcols]
+        )
+        if insert_unmatched
+        else None
+    )
+    n_inserted = inserts.count() if inserts is not None else 0
+    if n_matched == 0 and n_inserted == 0:
+        return {"matched": 0, "inserted": 0, "snapshot_id": None}
+
+    import pyarrow.parquet as pq
+
+    def _parquets(d):
+        out = []
+        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
+            cnt = pq.ParquetFile(f).metadata.num_rows
+            if cnt:
+                out.append((f, cnt))
+        return out
+
+    delete_files: list[tuple[str, int]] = []
+    if n_matched:
+        del_dir = os.path.join(root, "data", f"deletes-{timestamp_ms}")
+        n_files = max(1, -(-n_matched // rows_per_delete_file))
+        (
+            matched.select(
+                F.col("t.__fp").alias("file_path"),
+                F.col("t.__pos").alias("pos"),
+            )
+            .repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("errorifexists")
+            .parquet(del_dir)
+        )
+        delete_files = _parquets(del_dir)
+
+    out = rewritten if inserts is None else rewritten.unionByName(inserts)
+    merge_dir = os.path.join(root, "data", f"merge-{timestamp_ms}")
+    out.write.mode("errorifexists").parquet(merge_dir)
+
+    snap_id = commit_row_delta_snapshot(
+        root,
+        new_data_files=_parquets(merge_dir),
+        delete_files=delete_files,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {"matched": n_matched, "inserted": n_inserted, "snapshot_id": snap_id}

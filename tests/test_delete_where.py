@@ -217,3 +217,67 @@ def test_update_where_unknown_column_rejected(spark, two_file_table):
         update_where(
             spark, two_file_table, "id = 1", {"nope": "1"}, timestamp_ms=T1
         )
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root = str(tmp_path / "tmerge")
+    t = LocalIcebergTable(
+        root, pa.schema([("k", pa.int64()), ("v", pa.string()), ("n", pa.int64())])
+    )
+    t.append_snapshot(
+        [pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"], "n": [10, 20, 30]})],
+        timestamp_ms=T1,
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 5), (4, "D", 40)], "k LONG, v STRING, n LONG"
+    )
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        when_matched={"v": "s.v", "n": "t.n + s.n"},
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["matched"] == 1 and res["inserted"] == 1
+    got = _rows(spark, f"SELECT k, v, n FROM iceberg_scan('{root}') ORDER BY k")
+    assert got == [[1, "a", 10], [2, "B", 25], [3, "c", 30], [4, "D", 40]]
+    snaps = im.load_metadata(root)["snapshots"]
+    assert snaps[-1]["summary"]["operation"] == "overwrite"
+
+
+def test_merge_into_duplicate_source_rejected(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import (
+        MergeCardinalityError,
+        merge_into,
+    )
+
+    root = str(tmp_path / "tmdup")
+    t = LocalIcebergTable(root, pa.schema([("k", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot([pa.table({"k": [1], "v": ["a"]})], timestamp_ms=T1)
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "k LONG, v STRING")
+    with pytest.raises(MergeCardinalityError):
+        merge_into(
+            spark, root, src, "k", when_matched={"v": "s.v"},
+            timestamp_ms=T1 + 1000,
+        )
+    # nothing was committed
+    assert len(im.load_metadata(root)["snapshots"]) == 1
+
+
+def test_merge_into_matched_only(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root = str(tmp_path / "tmonly")
+    t = LocalIcebergTable(root, pa.schema([("k", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot([pa.table({"k": [1, 2], "v": ["a", "b"]})], timestamp_ms=T1)
+    src = spark.createDataFrame([(2, "B"), (9, "Z")], "k LONG, v STRING")
+    res = merge_into(
+        spark, root, src, "k", when_matched={"v": "s.v"},
+        insert_unmatched=False, timestamp_ms=T1 + 1000,
+    )
+    assert res["matched"] == 1 and res["inserted"] == 0
+    got = _rows(spark, f"SELECT k, v FROM iceberg_scan('{root}') ORDER BY k")
+    assert got == [[1, "a"], [2, "B"]]
