@@ -286,6 +286,31 @@ def remove_orphan_files(
             continue  # inside the grace window — may be an in-flight write
         os.remove(p)
         removed.append(p)
+    # Sidecar + directory cleanup: a removed parquet's Hadoop .crc, then
+    # _SUCCESS markers / stray .crc in directories left without any
+    # parquet, then the now-empty directories themselves (never data/
+    # itself). Retained files' sidecars are untouched.
+    data_root = os.path.join(root_n, "data")
+    for p in removed:
+        d, b = os.path.split(p)
+        side = os.path.join(d, f".{b}.crc")
+        if os.path.exists(side):
+            os.remove(side)
+    for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+        if dirpath == data_root:
+            continue
+        if any(f.endswith(".parquet") for f in files):
+            continue
+        for f in files:
+            if f == "_SUCCESS" or f.endswith(".crc"):
+                try:
+                    os.remove(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(dirpath)  # succeeds only when actually empty
+        except OSError:
+            pass
     return {"removed": len(removed), "referenced": len(referenced)}
 
 

@@ -281,3 +281,60 @@ def test_merge_into_matched_only(spark, tmp_path):
     assert res["matched"] == 1 and res["inserted"] == 0
     got = _rows(spark, f"SELECT k, v FROM iceberg_scan('{root}') ORDER BY k")
     assert got == [[1, "a"], [2, "B"]]
+
+
+def test_row_delta_commit_conflict_detected(spark, two_file_table):
+    """A commit landing between the delete's metadata read and its commit
+    must abort with CommitConflictError — otherwise the interleaved
+    snapshot would be silently superseded."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        CommitConflictError,
+        commit_row_delta_snapshot,
+        commit_rewrite_snapshot,
+    )
+
+    root = two_file_table
+    pinned = im.latest_metadata_path(root)
+    # interleaved external commit moves the table on
+    import os
+    import pyarrow.parquet as pq
+
+    p = os.path.join(root, "data", "interleaved.parquet")
+    pq.write_table(pa.table({"id": [99], "v": ["x"]}), p)
+    commit_rewrite_snapshot(root, [(p, 1)], timestamp_ms=T1 + 500)
+    with pytest.raises(CommitConflictError):
+        commit_row_delta_snapshot(
+            root,
+            delete_files=[],
+            timestamp_ms=T1 + 1000,
+            expected_metadata_path=pinned,
+        )
+
+
+def test_delete_compact_expire_orphan_lifecycle(spark, two_file_table):
+    """Full storage lifecycle: delete rows (MOR), compact (materialize),
+    expire old snapshots, sweep orphans — the original data files AND the
+    now-unreferenced position-delete files are physically reclaimed, and
+    the table still reads correctly."""
+    import os
+
+    from cloudfloe_spark.sources.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    root = two_file_table
+    delete_where(spark, root, "id < 5", timestamp_ms=T1 + 1000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 3000)
+    swept = remove_orphan_files(root, older_than_ms=0)
+    assert swept["removed"] >= 3  # 2 original data files + >=1 delete file
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [5, 6, 7, 8, 9]
+    # no stray delete parquet remains on disk
+    leftover = []
+    for dirpath, _, files in os.walk(os.path.join(root, "data")):
+        for f in files:
+            if "deletes-" in dirpath:
+                leftover.append(os.path.join(dirpath, f))
+    assert leftover == [], leftover
