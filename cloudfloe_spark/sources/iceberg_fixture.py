@@ -811,6 +811,7 @@ def commit_row_delta_snapshot(
     delete_files: list[tuple[str, int]] = (),
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
+    summary_extra: "dict[str, str] | None" = None,
 ) -> int:
     """Append a ROW-DELTA snapshot to an EXISTING on-disk Iceberg v2
     table: the current snapshot's live entries are carried over verbatim
@@ -931,7 +932,11 @@ def commit_row_delta_snapshot(
             "timestamp-ms": timestamp_ms,
             "manifest-list": f"file://{mlist}",
             "summary": {
-                "operation": "overwrite" if new_data else "delete",
+                "operation": (
+                    "delete"
+                    if not new_data
+                    else ("overwrite" if new_dels else "append")
+                ),
                 "total-records": str(
                     sum(
                         e["data_file"].get("record_count") or 0
@@ -940,6 +945,7 @@ def commit_row_delta_snapshot(
                 ),
                 "total-data-files": str(len(carry_data) + len(new_data)),
                 "total-delete-files": str(len(carry_dels) + len(new_dels)),
+                **(summary_extra or {}),
             },
         }
     )

@@ -1,0 +1,126 @@
+"""Streaming ingest into Iceberg: foreachBatch append commits with
+exactly-once epoch dedup — the streaming write half composing with the
+jarless reader and the DML/maintenance surface."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+from cloudfloe_spark.streaming.iceberg_sink import (
+    append_stream_to_iceberg,
+    committed_epochs,
+)
+
+T1 = 1700000000000
+
+
+@pytest.fixture()
+def seeded_table(tmp_path):
+    root = str(tmp_path / "tsink")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot([pa.table({"id": [0], "v": ["seed"]})], timestamp_ms=T1)
+    return root
+
+
+def _source_dir(spark, tmp_path, batches):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "id LONG, v STRING").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    return src
+
+
+def _stream(spark, src):
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _read_ids(spark, root):
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(sess, f"SELECT id FROM iceberg_scan('{root}')")
+    )
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_stream_appends_one_snapshot_per_batch(spark, seeded_table, tmp_path):
+    root = seeded_table
+    src = _source_dir(
+        spark, tmp_path, [[(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]]
+    )
+    res = append_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["batches"] >= 1 and res["skipped"] == 0
+    assert _read_ids(spark, root) == [0, 1, 2, 3, 4]
+    snaps = im.load_metadata(root)["snapshots"]
+    appends = [
+        s for s in snaps if s["summary"].get("streaming-epoch-id") is not None
+    ]
+    assert len(appends) == res["batches"]
+    assert all(s["summary"]["operation"] == "append" for s in appends)
+    assert committed_epochs(root) == {
+        int(s["summary"]["streaming-epoch-id"]) for s in appends
+    }
+
+
+def test_restart_with_fresh_checkpoint_dedups_by_epoch(
+    spark, seeded_table, tmp_path
+):
+    """Losing the checkpoint replays every batch from epoch 0 — the sink's
+    epoch dedup must skip all of them, leaving the table unchanged."""
+    root = seeded_table
+    src = _source_dir(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    append_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        timestamp_ms=T1 + 1000,
+    )
+    before = _read_ids(spark, root)
+    n_snaps = len(im.load_metadata(root)["snapshots"])
+    res2 = append_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh → full replay
+        timestamp_ms=T1 + 2000,
+    )
+    assert res2["batches"] == 0 and res2["skipped"] >= 1
+    assert _read_ids(spark, root) == before
+    assert len(im.load_metadata(root)["snapshots"]) == n_snaps
+
+
+def test_incremental_source_growth_appends_only_new(
+    spark, seeded_table, tmp_path
+):
+    root = seeded_table
+    src = _source_dir(spark, tmp_path, [[(1, "a")]])
+    ckpt = str(tmp_path / "ckpt")
+    append_stream_to_iceberg(
+        _stream(spark, src), root, checkpoint_dir=ckpt, timestamp_ms=T1 + 1000
+    )
+    # more files arrive; SAME checkpoint → only the new batch processes
+    spark.createDataFrame([(9, "z")], "id LONG, v STRING").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    res = append_stream_to_iceberg(
+        _stream(spark, src), root, checkpoint_dir=ckpt, timestamp_ms=T1 + 2000
+    )
+    assert res["batches"] == 1 and res["skipped"] == 0
+    assert _read_ids(spark, root) == [0, 1, 9]
