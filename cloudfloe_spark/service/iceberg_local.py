@@ -157,16 +157,22 @@ def _snapshot_view(
         # partition tuple — identity, bucket[N], truncate[W], or
         # year/month/day/hour — provably cannot contain a matching row,
         # before any parquet footer is opened. Mirrors the reference's
-        # DuckDB-iceberg pruning (`README.md:199`). Current reads only:
-        # time travel resolves under write-time names, which the
-        # current-name conjuncts would mismatch.
-        if prune_conjuncts and paths and not (version or ts_text):
+        # DuckDB-iceberg pruning (`README.md:199`). Time travel resolves
+        # under write-time names, which current-name conjuncts could
+        # mismatch — so time-travel reads prune ONLY when the schema log
+        # has no renames (names stable across every version; adds/drops
+        # are fine: a conjunct on a column the snapshot lacks fails at
+        # query time regardless, and unknown columns never prune).
+        if prune_conjuncts and paths:
             from cloudfloe_spark.sources import partition_pruning as pp
 
             try:
                 hist = im.schema_name_history(root, metadata_path)
             except im.IcebergMetadataError:
                 hist = {}
+            if (version or ts_text) and hist:
+                prune_conjuncts = None  # renamed history: read unpruned
+        if prune_conjuncts and paths:
             spec_fields = im.partition_spec_fields(root, metadata_path)
             if spec_fields:
                 pv = im.live_data_partitions(root, snap)

@@ -1680,10 +1680,11 @@ def test_scan_text_inside_string_literal_not_resolved(spark, tmp_path):
 
 
 def test_time_travel_scan_never_prunes(spark, tmp_path):
-    """A VERSION AS OF scan reads unpruned even with a matching WHERE —
-    time travel resolves under write-time names, which current-name
-    conjuncts could mismatch after evolution; unpruned is the sound
-    default."""
+    """Refined in r6: a VERSION AS OF scan on a RENAME-FREE table now
+    prunes like a current read (names are stable across every schema
+    version, so current-name conjuncts are valid against old snapshots);
+    any rename in the log still disables time-travel pruning
+    (tests/test_stats_file_skipping.py::test_time_travel_never_prunes_after_rename)."""
     import datetime
 
     from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
@@ -1716,4 +1717,4 @@ def test_time_travel_scan_never_prunes(spark, tmp_path):
     )
     df = sess.sql(sql)
     assert [r["id"] for r in df.collect()] == [2]  # rows still filtered
-    assert len(set(df.inputFiles())) == 2  # but files NOT pruned
+    assert len(set(df.inputFiles())) == 1  # rename-free: day file pruned

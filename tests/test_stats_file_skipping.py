@@ -279,3 +279,48 @@ class TestFileSurvivesStats:
         assert pp.file_survives_stats(
             s, [("row_id", "=", 15)], {"row_id": "long"}, hist
         )
+
+
+def test_time_travel_prunes_on_rename_free_tables(spark, three_range_files):
+    """Snapshot-pinned reads prune too when the schema log has no renames
+    (names are stable across versions, so current-name conjuncts are
+    valid against every snapshot's files)."""
+    root = three_range_files
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    df = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1} "
+        "WHERE id >= 20",
+    )
+    assert sorted(r["id"] for r in df.collect()) == list(range(20, 30))
+    assert len(set(df.inputFiles())) == 1
+
+
+def test_time_travel_never_prunes_after_rename(spark, tmp_path):
+    """A rename anywhere in the schema log disables time-travel pruning
+    (write-time names could mismatch current-name conjuncts) — results
+    stay correct and every file is read."""
+    root = str(tmp_path / "ttt")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("amount", pa.int64())])
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": [1], "amount": [10]}),
+            pa.table({"id": [2], "amount": [500]}),
+        ],
+        timestamp_ms=T1,
+    )
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    t.rename_column("amount", "value", timestamp_ms=T1 + 1000)
+    df = _resolved_df(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s1} "
+        "WHERE amount > 100",  # snapshot resolves under write-time names
+    )
+    assert [r["id"] for r in df.collect()] == [2]
+    assert len(set(df.inputFiles())) == 2  # unpruned by design
