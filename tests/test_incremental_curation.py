@@ -191,3 +191,85 @@ def test_curated_output_publishes_as_iceberg_table(spark, tmp_path):
         spark, f"SELECT snapshot_id FROM iceberg_snapshots('{out_root}')", _cfg()
     )
     assert len(snaps.rows) == 1
+
+
+def test_streaming_ingest_then_retroactive_dedup_loop(spark, tmp_path):
+    """The r6 loop closed end-to-end: documents STREAM into the Iceberg
+    table (exactly-once epoch commits), exact duplicates are detected
+    through the validated query surface (fingerprint window over
+    iceberg_scan), retro-actively removed with delete_where (no data-file
+    rewrite), and compaction materializes the curated corpus — every
+    write-side piece composing with the read surface it will meet in
+    production."""
+    import os
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+        delete_where,
+    )
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        append_stream_to_iceberg,
+    )
+
+    root = str(tmp_path / "docs_stream")
+    t = LocalIcebergTable(
+        root, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    t.append_snapshot(
+        [_docs([(1, "the quick brown fox"), (2, "unique seed doc")])],
+        timestamp_ms=T1,
+    )
+
+    # two source files → two streamed batches; doc 11 duplicates doc 1
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for rows in (
+        [(10, "freshly crawled page"), (11, "the quick brown fox")],
+        [(12, "another new page")],
+    ):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    append_stream_to_iceberg(
+        sdf, root, checkpoint_dir=str(tmp_path / "ck"), timestamp_ms=T2
+    )
+
+    # duplicate detection through the VALIDATED query surface
+    dup_rows = run_query(
+        spark,
+        f"""
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))
+                ORDER BY doc_id
+            ) AS rn
+            FROM iceberg_scan('{root}')
+        ) WHERE rn > 1
+        """,
+        _cfg(),
+    ).rows
+    dup_ids = sorted(r[0] for r in dup_rows)
+    assert dup_ids == [11]
+
+    res = delete_where(
+        spark,
+        root,
+        f"doc_id IN ({','.join(str(i) for i in dup_ids)})",
+        timestamp_ms=T2 + 5000,
+    )
+    assert res["matched"] == 1
+    compact_iceberg_table(spark, root, timestamp_ms=T2 + 6000)
+    final = run_query(
+        spark,
+        f"SELECT doc_id FROM iceberg_scan('{root}') ORDER BY doc_id",
+        _cfg(),
+    ).rows
+    assert [r[0] for r in final] == [1, 2, 10, 12]
+    assert im.position_delete_paths(root, im.resolve_snapshot(root)) == []
