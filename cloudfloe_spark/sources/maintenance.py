@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob as globmod
 import os
+import uuid as _uuid
 
 from pyspark.sql import SparkSession
 
@@ -376,7 +377,9 @@ def delete_where(
     if n == 0:
         return {"matched": 0, "snapshot_id": None, "delete_files": []}
 
-    out_dir = os.path.join(root, "data", f"deletes-{timestamp_ms}")
+    out_dir = os.path.join(
+        root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
     n_files = max(1, -(-n // rows_per_delete_file))
     (
         matches.repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
@@ -463,7 +466,9 @@ def update_where(
 
     import pyarrow.parquet as pq
 
-    del_dir = os.path.join(root, "data", f"deletes-{timestamp_ms}")
+    del_dir = os.path.join(
+        root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
     n_files = max(1, -(-n // rows_per_delete_file))
     (
         deletes.repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
@@ -473,7 +478,9 @@ def update_where(
     )
     # rewritten rows: assignments see the OLD values (standard UPDATE);
     # the original column order/schema is preserved
-    upd_dir = os.path.join(root, "data", f"update-{timestamp_ms}")
+    upd_dir = os.path.join(
+        root, "data", f"update-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
     rewritten = matches.select(
         *[
             F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
@@ -628,7 +635,9 @@ def merge_into(
 
     delete_files: list[tuple[str, int]] = []
     if n_matched:
-        del_dir = os.path.join(root, "data", f"deletes-{timestamp_ms}")
+        del_dir = os.path.join(
+        root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
         n_files = max(1, -(-n_matched // rows_per_delete_file))
         (
             matched.select(
@@ -643,7 +652,9 @@ def merge_into(
         delete_files = _parquets(del_dir)
 
     out = rewritten if inserts is None else rewritten.unionByName(inserts)
-    merge_dir = os.path.join(root, "data", f"merge-{timestamp_ms}")
+    merge_dir = os.path.join(
+        root, "data", f"merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
     out.write.mode("errorifexists").parquet(merge_dir)
 
     snap_id = commit_row_delta_snapshot(

@@ -69,7 +69,11 @@ def append_stream_to_iceberg(
             stats["skipped"] += 1
             return
         out_dir = os.path.join(root, "data", f"stream-{epoch_id:010d}")
-        batch_df.write.mode("errorifexists").parquet(out_dir)
+        # overwrite, not errorifexists: a crash between write and commit
+        # leaves a half-written dir; the replayed epoch must supersede it
+        # (the commit is what makes a batch visible — overwriting an
+        # uncommitted dir is the exactly-once recovery path)
+        batch_df.write.mode("overwrite").parquet(out_dir)
         files = []
         for f in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
             cnt = pq.ParquetFile(f).metadata.num_rows
