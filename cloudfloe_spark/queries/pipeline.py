@@ -488,3 +488,74 @@ def pipeline_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 6).alias("rate"),
         )
     )
+
+
+_MIX_BUDGET_MULT = 2.0  # token budget = 2x corpus tokens (some sources repeat)
+_MIX_MAX_EPOCHS = 4.0  # repetition cap per source (diminishing returns)
+
+
+@register(
+    "pipeline_epoch_mix_plan",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEN({_WORDS_SQL})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        totals AS (
+            SELECT SUM(n_tokens) AS total_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_source
+        )
+        SELECT p.source, p.n_docs, p.n_tokens,
+               ROUND(LEAST({_MIX_MAX_EPOCHS},
+                     t.total_tokens * {_MIX_BUDGET_MULT} / t.n_sources
+                     / p.n_tokens), 4) AS epochs,
+               CAST(ROUND(LEAST({_MIX_MAX_EPOCHS},
+                     t.total_tokens * {_MIX_BUDGET_MULT} / t.n_sources
+                     / p.n_tokens) * p.n_tokens, 0) AS BIGINT)
+                   AS planned_tokens
+        FROM per_source p CROSS JOIN totals t
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch plan: given per-source token counts, a token
+    budget of 2x the corpus, and an equal-share target mix, compute each
+    source's repetition factor (epochs = min(cap, budget_share /
+    source_tokens), cap 4 — the diminishing-returns bound from the
+    data-constrained-scaling literature) and the tokens it will actually
+    contribute. This is the recipe table an LLM training run consumes to
+    oversample scarce sources without unbounded repetition.
+
+    Scale shape: one combinable (source, token-count) aggregate over the
+    corpus — the only corpus-width work; the plan arithmetic runs on
+    |sources| rows against a broadcast 1-row totals aggregate. Identical
+    expression trees on both engines keep the double arithmetic
+    ulp-aligned."""
+    from cloudfloe_spark.functions.text import word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    epochs = F.least(
+        F.lit(_MIX_MAX_EPOCHS),
+        F.col("total_tokens") * _MIX_BUDGET_MULT / F.col("n_sources")
+        / F.col("n_tokens"),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(epochs, 4).alias("epochs"),
+        F.round(epochs * F.col("n_tokens"), 0).cast("bigint").alias(
+            "planned_tokens"
+        ),
+    )
