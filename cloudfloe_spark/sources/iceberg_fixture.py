@@ -686,31 +686,35 @@ def commit_rewrite_snapshot(
 
     meta_dir = os.path.join(root, "metadata")
     mpath = os.path.join(meta_dir, f"manifest-rw-{uuid.uuid4().hex[:12]}.avro")
-    entries = [
-        {
-            "status": 1,
-            "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": f"file://{p}",
-                "file_format": "PARQUET",
-                "record_count": n,
-                "file_size_in_bytes": os.path.getsize(p),
-                "equality_ids": None,
-                # a compaction rewrite coalesces across partitions; the
-                # rewritten file carries no partition tuple (correct: it
-                # is a spec-less unpartitioned file in this fixture) and
-                # no column statistics — stats-less files are read
-                # unpruned (sound-by-omission)
-                "partition": None,
-                "lower_bounds": None,
-                "upper_bounds": None,
-                "null_value_counts": None,
-            },
-        }
-        for p, n in data_files
-    ]
+    entries = []
+    for p, n in data_files:
+        # column statistics recomputed from the rewritten file — with a
+        # sort_by compaction the bounds are tight and disjoint, which is
+        # what lets metrics skipping prune the compacted layout
+        lower, upper, nulls = _column_stats(pq.read_table(p))
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "equality_ids": None,
+                    # a compaction rewrite coalesces across partitions;
+                    # the rewritten file carries no partition tuple
+                    # (correct: it is a spec-less unpartitioned file in
+                    # this fixture)
+                    "partition": None,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "null_value_counts": nulls,
+                },
+            }
+        )
     write_avro(mpath, _MANIFEST_SCHEMA, entries)
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
     write_avro(
@@ -809,6 +813,7 @@ def commit_row_delta_snapshot(
     *,
     new_data_files: list[tuple[str, int]] = (),
     delete_files: list[tuple[str, int]] = (),
+    equality_delete_files: "list[tuple[str, int, list[int]]]" = (),
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
     summary_extra: "dict[str, str] | None" = None,
@@ -882,6 +887,21 @@ def commit_row_delta_snapshot(
             },
         )
         for p, n in delete_files
+    ]
+    new_dels += [
+        entry(
+            1,
+            seq,
+            {
+                "content": 2,
+                "file_path": f"file://{p}",
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+                "equality_ids": list(eq_ids),
+            },
+        )
+        for p, n, eq_ids in equality_delete_files
     ]
     new_data = []
     for p, n in new_data_files:

@@ -119,6 +119,7 @@ def compact_iceberg_table(
     *,
     timestamp_ms: int,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_by: "list[str] | None" = None,
 ) -> dict:
     """``rewrite_data_files`` + ``rewrite_position_delete_files`` analog
     for local Iceberg-layout tables — the operation the reference's own
@@ -163,7 +164,23 @@ def compact_iceberg_table(
         _snapshot_view(sess, root, None, None, metadata_path=metadata_path)
     )
     out_dir = os.path.join(root, "data", f"compact-{uuid.uuid4().hex[:8]}")
-    df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+    if sort_by:
+        # Cluster while compacting: range-partition + sort so each output
+        # file owns a DISJOINT value interval of ``sort_by``. The rewritten
+        # manifests then carry tight non-overlapping min/max bounds, which
+        # is what makes metrics-based file skipping
+        # (partition_pruning.file_survives_stats) actually bite on range
+        # predicates — the rewrite_data_files(sort)/z-order play.
+        from pyspark.sql import functions as F
+
+        (
+            df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+            .sortWithinPartitions(*sort_by)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
 
     files = sorted(
         globmod.glob(os.path.join(out_dir, "part-*.parquet"))
@@ -665,3 +682,77 @@ def merge_into(
         expected_metadata_path=meta_path,
     )
     return {"matched": n_matched, "inserted": n_inserted, "snapshot_id": snap_id}
+
+
+_ICEBERG_TO_ARROW = {
+    "int": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool_",
+    "date": "date32",
+}
+
+
+def delete_by_key(
+    root: str,
+    key_column: str,
+    values: list,
+    *,
+    timestamp_ms: int,
+) -> dict:
+    """Metadata-only row erasure: commit ONE equality-delete file naming
+    the key values — no table scan, no Spark job, O(|values|) driver work
+    regardless of table size. This is the GDPR-erasure / late-arrival-
+    retraction shape: at 100 TB, scanning to find the rows (what
+    ``delete_where`` does) costs a full read, while an equality delete
+    defers the match to future reads' merge-on-read anti-join, which the
+    jarless reader already applies sequence-correctly (rows re-written
+    AFTER the delete survive, per the v2 strictly-lower rule).
+
+    The delete parquet carries the key column under its CURRENT name; the
+    reader resolves renames per delete file via the schema history, so
+    this works on renamed tables too (equality deletes bind by FIELD ID).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    if not values:
+        return {"values": 0, "snapshot_id": None}
+    meta_path = im.latest_metadata_path(root)
+    field_names = im.schema_field_names(root, meta_path)
+    fids = [i for i, n in field_names.items() if n == key_column]
+    if not fids:
+        raise ValueError(
+            f"delete_by_key: column {key_column!r} not in current schema "
+            f"(have {sorted(field_names.values())})"
+        )
+    col_type = im.schema_column_types(root, meta_path).get(key_column)
+    arrow_name = _ICEBERG_TO_ARROW.get(col_type or "")
+    if arrow_name is None and not (col_type or "").startswith("timestamp"):
+        raise ValueError(
+            f"delete_by_key: unsupported key type {col_type!r}"
+        )
+    pa_type = (
+        pa.timestamp("us")
+        if (col_type or "").startswith("timestamp")
+        else getattr(pa, arrow_name)()
+    )
+    table = pa.table({key_column: pa.array(values, pa_type)})
+    out = os.path.join(
+        root, "data", f"edel-{timestamp_ms}-{_uuid.uuid4().hex[:8]}.parquet"
+    )
+    pq.write_table(table, out)
+    snap_id = commit_row_delta_snapshot(
+        root,
+        equality_delete_files=[(out, table.num_rows, fids)],
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {"values": table.num_rows, "snapshot_id": snap_id}

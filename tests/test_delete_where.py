@@ -338,3 +338,75 @@ def test_delete_compact_expire_orphan_lifecycle(spark, two_file_table):
             if "deletes-" in dirpath:
                 leftover.append(os.path.join(dirpath, f))
     assert leftover == [], leftover
+
+
+def test_delete_by_key_metadata_only(spark, two_file_table):
+    """Equality-delete erasure: no Spark job, no table scan — one tiny
+    parquet + a commit. Reads apply it sequence-correctly."""
+    import glob as globmod
+    import os
+
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    root = two_file_table
+    res = delete_by_key(root, "id", [2, 7, 999], timestamp_ms=T1 + 1000)
+    assert res["values"] == 3 and res["snapshot_id"] is not None
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [0, 1, 3, 4, 5, 6, 8, 9]
+    # exactly one new file on disk: the equality-delete parquet
+    edel = globmod.glob(os.path.join(root, "data", "edel-*.parquet"))
+    assert len(edel) == 1
+
+
+def test_delete_by_key_rows_rewritten_after_survive(spark, two_file_table):
+    """v2 strictly-lower rule: a row RE-WRITTEN after the equality delete
+    (same key, later sequence) survives — the retraction applies only to
+    the past."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    root = two_file_table
+    delete_by_key(root, "id", [3], timestamp_ms=T1 + 1000)
+    # re-append id=3 at a LATER sequence
+    import os
+    import pyarrow.parquet as pq
+
+    p = os.path.join(root, "data", "reappend.parquet")
+    pq.write_table(pa.table({"id": [3], "v": ["re"]}), p)
+    commit_row_delta_snapshot(
+        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 2000
+    )
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') WHERE id = 3"
+    )
+    assert got == [[3, "re"]]
+
+
+def test_delete_by_key_works_after_rename(spark, tmp_path):
+    """Equality deletes bind by field id; the delete parquet carries the
+    CURRENT name and the reader resolves history — so key erasure works
+    on renamed tables (where delete_where refuses)."""
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    root = str(tmp_path / "tekr")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "v": ["a", "b"]})], timestamp_ms=T1
+    )
+    t.rename_column("id", "row_id", timestamp_ms=T1 + 500)
+    delete_by_key(root, "row_id", [1], timestamp_ms=T1 + 1000)
+    got = _rows(
+        spark, f"SELECT row_id FROM iceberg_scan('{root}') ORDER BY row_id"
+    )
+    assert [r[0] for r in got] == [2]
+
+
+def test_delete_by_key_unknown_column_rejected(spark, two_file_table):
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    with pytest.raises(ValueError, match="not in current schema"):
+        delete_by_key(two_file_table, "nope", [1], timestamp_ms=T1 + 1000)

@@ -162,10 +162,12 @@ def test_stats_skip_composes_with_partition_pruning(spark, tmp_path):
     assert len(set(df.inputFiles())) == 1
 
 
-def test_rewrite_files_without_stats_never_pruned(spark, tmp_path):
-    """Compaction-rewrite manifest entries carry no bounds: such files
-    must always survive (sound-by-omission), even under a predicate that
-    would exclude them if stats existed."""
+def test_rewrite_files_get_fresh_stats_and_prune(spark, tmp_path):
+    """Compaction-rewrite entries recompute column bounds from the
+    rewritten files (r6 upgrade — originally they carried none), so a
+    post-compaction excluding predicate prunes the compacted file too.
+    Sound-by-omission for genuinely stats-less entries stays covered at
+    the unit level (TestFileSurvivesStats::test_sound_by_omission)."""
     import pyarrow.parquet as pq
     import os
 
@@ -176,15 +178,51 @@ def test_rewrite_files_without_stats_never_pruned(spark, tmp_path):
     root = str(tmp_path / "trw")
     t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
     t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
-    # external rewrite: one compacted file, no stats recorded
     new = os.path.join(root, "data", "compacted-000.parquet")
     pq.write_table(pa.table({"id": [1, 2, 3]}), new)
     commit_rewrite_snapshot(root, [(new, 3)], timestamp_ms=T1 + 5000)
     df = _resolved_df(
         spark, f"SELECT id FROM iceberg_scan('{root}') WHERE id > 999"
     )
-    assert df.count() == 0           # filter still applies row-wise
-    assert len(set(df.inputFiles())) == 1  # but the file is READ, not pruned
+    assert df.count() == 0
+    assert len(set(df.inputFiles())) == 0  # bounds [1,3] exclude >999
+    df2 = _resolved_df(
+        spark, f"SELECT id FROM iceberg_scan('{root}') WHERE id >= 2"
+    )
+    assert sorted(r["id"] for r in df2.collect()) == [2, 3]
+
+
+def test_sorted_compaction_enables_range_skipping(spark, tmp_path):
+    """compact_iceberg_table(sort_by=...): range-partitioned sorted output
+    gives each file a disjoint value interval, so a range predicate reads
+    exactly one of the compacted files — the cluster-then-skip play."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root = str(tmp_path / "tsort")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    # interleaved ids across files: pre-compaction bounds overlap fully
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(0, 100, 2)), "v": ["a"] * 50}),
+            pa.table({"id": list(range(1, 100, 2)), "v": ["b"] * 50}),
+        ],
+        timestamp_ms=T1,
+    )
+    pre = _resolved_df(
+        spark, f"SELECT id FROM iceberg_scan('{root}') WHERE id >= 90"
+    )
+    assert len(set(pre.inputFiles())) == 2  # overlapping bounds: no skip
+
+    res = compact_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000,
+        target_file_bytes=1024, sort_by=["id"],
+    )
+    assert res["files_after"] >= 2
+    post = _resolved_df(
+        spark, f"SELECT id FROM iceberg_scan('{root}') WHERE id >= 90"
+    )
+    assert sorted(r["id"] for r in post.collect()) == list(range(90, 100))
+    assert len(set(post.inputFiles())) == 1  # disjoint bounds: skipped
 
 
 def test_rename_then_stats_skip_on_new_name(spark, tmp_path):
