@@ -332,6 +332,45 @@ def remove_orphan_files(
     return {"removed": len(removed), "referenced": len(referenced)}
 
 
+def _mor_raw_scan(
+    spark: SparkSession,
+    root: str,
+    snap: dict,
+    paths: list,
+    *,
+    allow_equality: bool = False,
+):
+    """Raw per-file scan (``_metadata`` coordinates intact) with the
+    snapshot's POSITION deletes applied — without this, a DML pass over a
+    table that already carries delete files would match rows that are
+    logically gone and (for update/merge) RESURRECT them as new copies.
+    Live equality deletes are refused for the re-appending operations
+    (applying them needs the full sequence machinery; compaction
+    materializes them) — ``allow_equality`` lets delete_where proceed,
+    where matching an equality-deleted row merely adds a redundant,
+    harmless position delete."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    if not allow_equality and any(
+        f.get("content", 0) == 2
+        for f in im.delete_file_records(root, snap)
+    ):
+        raise ValueError(
+            "table carries live equality-delete files; run "
+            "compact_iceberg_table first to materialize them before "
+            "row-level update/merge"
+        )
+    df = spark.read.parquet(*paths)
+    pos = im.position_delete_paths(root, snap)
+    if pos:
+        from cloudfloe_spark.service.iceberg_local import (
+            _apply_position_deletes,
+        )
+
+        df = _apply_position_deletes(spark, df, pos)
+    return df
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
@@ -383,7 +422,7 @@ def delete_where(
         return {"matched": 0, "snapshot_id": None, "delete_files": []}
 
     matches = (
-        spark.read.parquet(*paths)
+        _mor_raw_scan(spark, root, snap, paths, allow_equality=True)
         .filter(condition)
         .select(
             F.col("_metadata.file_path").alias("file_path"),
@@ -470,8 +509,8 @@ def update_where(
     if bad:
         raise ValueError(f"update_where: unknown columns in SET: {bad}")
 
-    df = spark.read.parquet(*paths)
-    data_cols = df.columns
+    df = _mor_raw_scan(spark, root, snap, paths)
+    data_cols = [c for c in df.columns]
     matches = df.filter(condition)
     deletes = matches.select(
         F.col("_metadata.file_path").alias("file_path"),
@@ -583,8 +622,8 @@ def merge_into(
     if not paths:
         raise ValueError("merge_into: target table has no live data files")
 
-    tdf = spark.read.parquet(*paths)
-    tcols = tdf.columns
+    tdf = _mor_raw_scan(spark, root, snap, paths)
+    tcols = [c for c in tdf.columns]
     missing = sorted(set(tcols) - set(source.columns))
     if insert_unmatched and missing:
         raise ValueError(

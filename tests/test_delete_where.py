@@ -410,3 +410,35 @@ def test_delete_by_key_unknown_column_rejected(spark, two_file_table):
 
     with pytest.raises(ValueError, match="not in current schema"):
         delete_by_key(two_file_table, "nope", [1], timestamp_ms=T1 + 1000)
+
+
+def test_update_where_does_not_resurrect_deleted_rows(spark, two_file_table):
+    """A row removed by an earlier position delete must NOT be matched
+    (and re-appended) by a later update whose condition covers it — the
+    DML scans run MOR-applied, not raw."""
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = two_file_table
+    delete_where(spark, root, "id = 3", timestamp_ms=T1 + 1000)
+    res = update_where(
+        spark, root, "id <= 5", {"v": "upper(v)"}, timestamp_ms=T1 + 2000
+    )
+    assert res["matched"] == 5  # ids 0,1,2,4,5 — NOT the deleted 3
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == [
+        [0, "A"], [1, "B"], [2, "C"], [4, "E"],
+        [5, "F"], [6, "g"], [7, "h"], [8, "i"], [9, "j"],
+    ]
+
+
+def test_update_refuses_live_equality_deletes(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = str(tmp_path / "teq")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot([pa.table({"id": [1, 2], "v": ["x", "y"]})], timestamp_ms=T1)
+    t.equality_delete_snapshot(
+        pa.table({"v": ["y"]}), equality_ids=[2], timestamp_ms=T1 + 500
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        update_where(spark, root, "id = 1", {"v": "'z'"}, timestamp_ms=T1 + 1000)
