@@ -371,6 +371,37 @@ def _mor_raw_scan(
     return df
 
 
+def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: list) -> list:
+    """Manifest-level pruning for a DML condition: wrap it in a SELECT so
+    the same conjunct extractor the read path uses applies both pruning
+    levels (partition transforms + file statistics). DELETE WHERE day = X
+    then scans one partition's files, not the table. Sound-by-omission:
+    unrecognized conditions prune nothing."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources import partition_pruning as pp
+
+    conj = pp.extract_scan_conjuncts(
+        f"SELECT * FROM __dml__ WHERE {condition}", {"__dml__"}
+    ).get("__dml__")
+    if not conj:
+        return paths
+    spec_fields = im.partition_spec_fields(root, meta_path)
+    if spec_fields:
+        pv = im.live_data_partitions(root, snap)
+        paths = [
+            p for p in paths if pp.file_survives(spec_fields, pv.get(p), conj, {})
+        ]
+    if paths:
+        stats = im.live_data_stats(root, snap)
+        col_types = im.schema_column_types(root, meta_path)
+        paths = [
+            p
+            for p in paths
+            if pp.file_survives_stats(stats.get(p), conj, col_types, {})
+        ]
+    return paths
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
@@ -418,8 +449,16 @@ def delete_where(
         )
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
+    n_live = len(paths)
+    paths = _prune_dml_scan(root, meta_path, snap, condition, paths)
     if not paths:
-        return {"matched": 0, "snapshot_id": None, "delete_files": []}
+        return {
+            "matched": 0,
+            "snapshot_id": None,
+            "delete_files": [],
+            "files_scanned": 0,
+            "files_total": n_live,
+        }
 
     matches = (
         _mor_raw_scan(spark, root, snap, paths, allow_equality=True)
@@ -431,7 +470,8 @@ def delete_where(
     )
     n = matches.count()
     if n == 0:
-        return {"matched": 0, "snapshot_id": None, "delete_files": []}
+        return {"matched": 0, "snapshot_id": None, "delete_files": [],
+                "files_scanned": len(paths), "files_total": n_live}
 
     out_dir = os.path.join(
         root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
@@ -460,6 +500,8 @@ def delete_where(
         "matched": n,
         "snapshot_id": snap_id,
         "delete_files": [p for p, _ in delete_files],
+        "files_scanned": len(paths),
+        "files_total": n_live,
     }
 
 
@@ -501,8 +543,11 @@ def update_where(
         )
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
+    n_live = len(paths)
+    paths = _prune_dml_scan(root, meta_path, snap, condition, paths)
     if not paths:
-        return {"matched": 0, "snapshot_id": None}
+        return {"matched": 0, "snapshot_id": None, "files_scanned": 0,
+                "files_total": n_live}
     bad = sorted(set(assignments) - set(
         spark.read.parquet(paths[0]).columns
     ))
@@ -518,7 +563,8 @@ def update_where(
     )
     n = deletes.count()
     if n == 0:
-        return {"matched": 0, "snapshot_id": None}
+        return {"matched": 0, "snapshot_id": None,
+                "files_scanned": len(paths), "files_total": n_live}
 
     import pyarrow.parquet as pq
 
@@ -562,7 +608,8 @@ def update_where(
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
     )
-    return {"matched": n, "snapshot_id": snap_id}
+    return {"matched": n, "snapshot_id": snap_id,
+            "files_scanned": len(paths), "files_total": n_live}
 
 
 class MergeCardinalityError(ValueError):

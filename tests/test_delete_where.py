@@ -82,7 +82,8 @@ def test_delete_where_zero_matches_commits_nothing(spark, two_file_table):
     root = two_file_table
     n_before = len(im.load_metadata(root).get("snapshots", []))
     res = delete_where(spark, root, "id > 999", timestamp_ms=T1 + 1000)
-    assert res == {"matched": 0, "snapshot_id": None, "delete_files": []}
+    assert res["matched"] == 0 and res["snapshot_id"] is None
+    assert res["delete_files"] == []
     assert len(im.load_metadata(root).get("snapshots", [])) == n_before
 
 
@@ -442,3 +443,37 @@ def test_update_refuses_live_equality_deletes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="equality-delete"):
         update_where(spark, root, "id = 1", {"v": "'z'"}, timestamp_ms=T1 + 1000)
+
+
+def test_delete_where_prunes_scan_by_condition(spark, two_file_table):
+    """DELETE WHERE on a selective condition must not scan the whole
+    table: the same two pruning levels the read path uses eliminate files
+    whose bounds exclude the condition before the Spark job launches."""
+    root = two_file_table
+    res = delete_where(spark, root, "id >= 8", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 2
+    assert res["files_total"] == 2
+    assert res["files_scanned"] == 1  # first file's ids 0-4 are excluded
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_delete_where_prune_to_zero_commits_nothing(spark, two_file_table):
+    root = two_file_table
+    res = delete_where(spark, root, "id > 500", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 0 and res["files_scanned"] == 0
+    assert res["files_total"] == 2
+    assert res["snapshot_id"] is None
+
+
+def test_update_where_prunes_scan_by_condition(spark, two_file_table):
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = two_file_table
+    res = update_where(
+        spark, root, "id = 2", {"v": "'Z'"}, timestamp_ms=T1 + 1000
+    )
+    assert res["matched"] == 1
+    assert res["files_scanned"] == 1 and res["files_total"] == 2
+    got = _rows(spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id = 2")
+    assert got == [["Z"]]
