@@ -51,7 +51,7 @@ _SCAN_TT_RE = re.compile(
     r"""iceberg_scan\(\s*['"]([^'"]+)['"]\s*\)
         (?:\s+(?:FOR\s+)?
             (?:
-                (?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+)
+                (?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+|'[^']+')
               | (?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'
             )
         )?""",
@@ -136,6 +136,11 @@ def _snapshot_view(
             # listings cost a round-trip each), and no chance of a
             # concurrent commit changing the answer mid-resolution.
             metadata_path = im.latest_metadata_path(root)
+        if isinstance(version, str) and version.startswith("'"):
+            # VERSION AS OF '<ref>' — tag/branch name (Iceberg refs map)
+            version = im.resolve_ref(
+                root, version[1:-1], metadata_path=metadata_path
+            )
         snap = im.resolve_snapshot(
             root,
             version=int(version) if version else None,

@@ -817,6 +817,8 @@ def commit_row_delta_snapshot(
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
     summary_extra: "dict[str, str] | None" = None,
+    publish: bool = True,
+    ref: str | None = None,
 ) -> int:
     """Append a ROW-DELTA snapshot to an EXISTING on-disk Iceberg v2
     table: the current snapshot's live entries are carried over verbatim
@@ -839,6 +841,11 @@ def commit_row_delta_snapshot(
     """
     from cloudfloe_spark.sources import iceberg_meta as im
 
+    if not publish and ref is None:
+        raise ValueError(
+            "commit_row_delta_snapshot: publish=False requires a ref name "
+            "— an unpublished snapshot with no ref would be unreachable"
+        )
     if expected_metadata_path is not None:
         latest = im.latest_metadata_path(root)
         if os.path.realpath(latest) != os.path.realpath(expected_metadata_path):
@@ -970,10 +977,67 @@ def commit_row_delta_snapshot(
         }
     )
     meta["snapshots"] = snaps
-    meta["current-snapshot-id"] = snap_id
+    if ref is not None:
+        meta.setdefault("refs", {})[ref] = {
+            "snapshot-id": snap_id,
+            "type": "branch",
+        }
+    if publish:
+        meta["current-snapshot-id"] = snap_id
+        meta.setdefault("snapshot-log", []).append(
+            {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+        )
     meta["last-updated-ms"] = timestamp_ms
-    meta.setdefault("snapshot-log", []).append(
-        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
-    )
     write_next_metadata_version(root, meta)
     return snap_id
+
+
+def set_ref(
+    root: str,
+    name: str,
+    snapshot_id: int,
+    *,
+    ref_type: str = "tag",
+    timestamp_ms: int,
+) -> None:
+    """Create/update a named ref (``tag`` or ``branch``) pointing at an
+    existing snapshot — the Iceberg v2 ``refs`` metadata map. Readers
+    resolve it via ``VERSION AS OF '<name>'``. Metadata-only: publishes a
+    new metadata version, moves nothing else."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root)
+    known = {s.get("snapshot-id") for s in meta.get("snapshots", [])}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"set_ref: snapshot {snapshot_id} not in table (known: "
+            f"{sorted(known)})"
+        )
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"set_ref: ref_type must be tag|branch, got {ref_type!r}")
+    meta.setdefault("refs", {})[name] = {
+        "snapshot-id": snapshot_id,
+        "type": ref_type,
+    }
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+
+
+def publish_ref(root: str, name: str, *, timestamp_ms: int) -> int:
+    """Write-audit-publish, the publish half: fast-forward the CURRENT
+    snapshot to the ref's target. Stage with
+    ``commit_row_delta_snapshot(..., publish=False, ref=name)``, audit the
+    staged state through ``VERSION AS OF '<name>'`` queries, then publish —
+    or simply never publish a failed audit (the staged snapshot stays
+    reachable only via its ref and expires on the normal schedule)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root)
+    sid = im.resolve_ref(root, name)
+    meta["current-snapshot-id"] = sid
+    meta["last-updated-ms"] = timestamp_ms
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": sid, "timestamp-ms": timestamp_ms}
+    )
+    write_next_metadata_version(root, meta)
+    return sid

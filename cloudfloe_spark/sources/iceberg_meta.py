@@ -760,3 +760,19 @@ def schema_column_types(
         if isinstance(t, str):
             out[f["name"]] = t
     return out
+
+
+def resolve_ref(
+    root: str, name: str, metadata_path: Optional[str] = None
+) -> int:
+    """Snapshot id for a named ref (tag or branch) from the metadata's
+    ``refs`` map (Iceberg v2 table-metadata field). Unknown name → error
+    listing the known refs."""
+    meta = load_metadata(root, metadata_path)
+    refs = meta.get("refs") or {}
+    r = refs.get(name)
+    if not isinstance(r, dict) or "snapshot-id" not in r:
+        raise IcebergMetadataError(
+            f"ref {name!r} not found (known refs: {sorted(refs)})"
+        )
+    return int(r["snapshot-id"])

@@ -477,3 +477,77 @@ def test_update_where_prunes_scan_by_condition(spark, two_file_table):
     assert res["files_scanned"] == 1 and res["files_total"] == 2
     got = _rows(spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id = 2")
     assert got == [["Z"]]
+
+
+def test_version_as_of_tag_name(spark, two_file_table):
+    """VERSION AS OF '<name>' resolves through the Iceberg refs map."""
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id >= 5", timestamp_ms=T1 + 1000)
+    set_ref(root, "pre-cleanup", s1, timestamp_ms=T1 + 2000)
+    tagged = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') "
+        "VERSION AS OF 'pre-cleanup'",
+    )
+    assert tagged == [[10]]
+    cur = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
+    assert cur == [[5]]
+
+
+def test_write_audit_publish_flow(spark, two_file_table):
+    """WAP: stage a row delta on a ref without publishing, audit it via
+    VERSION AS OF '<ref>' while current readers see nothing, then publish
+    to fast-forward current."""
+    import os
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+        publish_ref,
+    )
+
+    root = two_file_table
+    p = os.path.join(root, "data", "staged.parquet")
+    pq.write_table(pa.table({"id": [100], "v": ["staged"]}), p)
+    commit_row_delta_snapshot(
+        root,
+        new_data_files=[(p, 1)],
+        timestamp_ms=T1 + 1000,
+        publish=False,
+        ref="audit",
+    )
+    # current readers: unchanged
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[10]]
+    # auditors: staged state visible through the ref
+    audit = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF 'audit'",
+    )
+    assert audit == [[11]]
+    publish_ref(root, "audit", timestamp_ms=T1 + 2000)
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[11]]
+
+
+def test_unpublished_commit_requires_ref(two_file_table):
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    with pytest.raises(ValueError, match="requires a ref"):
+        commit_row_delta_snapshot(
+            two_file_table, delete_files=[], timestamp_ms=T1, publish=False
+        )
+
+
+def test_unknown_ref_is_a_client_error(spark, two_file_table):
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError):
+        _rows(
+            spark,
+            f"SELECT 1 FROM iceberg_scan('{two_file_table}') "
+            "VERSION AS OF 'nope'",
+        )
