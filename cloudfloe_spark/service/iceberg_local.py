@@ -16,6 +16,7 @@ against local tables:
   OF``) → that snapshot's files; unknown ids/timestamps are a 400
 - ``iceberg_snapshots('<root>')``           → snapshot listing (DuckDB
   column names: sequence_number, snapshot_id, timestamp_ms, manifest_list)
+- ``iceberg_refs('<root>')``                → ref (tag/branch) listing
 - ``iceberg_metadata('<root>')``            → live file listing
   (manifest_path, manifest_content, status, content, file_path,
   file_format, record_count; enum columns rendered as DuckDB's STRINGS —
@@ -69,6 +70,9 @@ _METADATA_RE = re.compile(
 )
 _PARTITIONS_RE = re.compile(
     r"iceberg_partitions\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
+_REFS_RE = re.compile(
+    r"iceberg_refs\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
 
 
@@ -630,6 +634,33 @@ def _partitions_view(sess, root: str) -> str:
     return name
 
 
+def _refs_view(sess, root: str) -> str:
+    """``iceberg_refs('<root>')`` → one row per named ref (tag/branch)
+    with its target snapshot id (stringified — ids exceed 2^53) and
+    whether that snapshot is the published current one. Discoverability
+    for ``VERSION AS OF '<name>'`` and the write-audit-publish flow."""
+    try:
+        meta = im.load_metadata(root)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    cur = meta.get("current-snapshot-id")
+    rows = [
+        (
+            name,
+            r.get("type", "tag"),
+            str(r.get("snapshot-id")),
+            r.get("snapshot-id") == cur,
+        )
+        for name, r in sorted((meta.get("refs") or {}).items())
+        if isinstance(r, dict)
+    ]
+    name = _view_name("refs", root)
+    sess.createDataFrame(
+        rows, "ref STRING, type STRING, snapshot_id STRING, is_current BOOLEAN"
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -669,10 +700,17 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _partitions_view(sess, root)
 
+    def _refs(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _refs_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
     out = _sub_outside_literals(_PARTITIONS_RE, _partitions, out)
+    out = _sub_outside_literals(_REFS_RE, _refs, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

@@ -551,3 +551,23 @@ def test_unknown_ref_is_a_client_error(spark, two_file_table):
             f"SELECT 1 FROM iceberg_scan('{two_file_table}') "
             "VERSION AS OF 'nope'",
         )
+
+
+def test_iceberg_refs_listing(spark, two_file_table):
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "v1", s1, timestamp_ms=T1 + 1000)
+    rows = _rows(
+        spark,
+        f"SELECT ref, type, snapshot_id, is_current "
+        f"FROM iceberg_refs('{root}') ORDER BY ref",
+    )
+    assert rows == [["v1", "tag", str(s1), True]]
+    # no refs → empty listing, correct schema
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 2000)
+    rows2 = _rows(
+        spark, f"SELECT ref, is_current FROM iceberg_refs('{root}')"
+    )
+    assert rows2 == [["v1", False]]  # tag no longer the current snapshot
