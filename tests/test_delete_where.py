@@ -571,3 +571,31 @@ def test_iceberg_refs_listing(spark, two_file_table):
         spark, f"SELECT ref, is_current FROM iceberg_refs('{root}')"
     )
     assert rows2 == [["v1", False]]  # tag no longer the current snapshot
+
+
+def test_iceberg_changes_across_a_delete_snapshot(spark, two_file_table):
+    """A delete_where commit inside a change range keeps the append feed
+    coherent: files are neither added nor removed (guard passes), rows
+    appended in the range are reported with the TO snapshot's deletes
+    applied, and pre-range deletions are — per the documented append-feed
+    contract — not re-reported."""
+    import os
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    # append 3 rows, then delete one of them (and one pre-range row)
+    p = os.path.join(root, "data", "appended.parquet")
+    pq.write_table(pa.table({"id": [50, 51, 52], "v": ["x", "y", "z"]}), p)
+    commit_row_delta_snapshot(root, new_data_files=[(p, 3)], timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id IN (51, 0)", timestamp_ms=T1 + 2000)
+    s3 = im.resolve_snapshot(root)["snapshot-id"]
+    rows = _rows(
+        spark,
+        f"SELECT id FROM iceberg_changes('{root}', {s1}, {s3}) ORDER BY id",
+    )
+    assert [r[0] for r in rows] == [50, 52]  # appended minus its deletion
