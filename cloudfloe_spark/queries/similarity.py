@@ -1702,3 +1702,190 @@ def sim_ivf_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rr"),
         )
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_RRF_DEPTH = 50  # per-list ranking depth feeding the fusion
+_RRF_TOP = 15
+_RRF_QUERY_VEC = 0  # vec_id of the dense-side query vector
+_RRF_TOKS_SQL = (
+    "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), w -> w <> '')"
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST({_RRF_TOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+            FROM dl
+        ),
+        qterms AS (
+            SELECT term FROM (
+                SELECT term, SUM(tf) AS n FROM tf GROUP BY term
+                ORDER BY n DESC, term ASC LIMIT 5
+            )
+        ),
+        df AS (
+            SELECT t.term, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf t JOIN qterms q ON q.term = t.term GROUP BY t.term
+        ),
+        sparse AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                       ORDER BY ROUND(score, 6) DESC, doc_id ASC
+                   ) AS rk_s
+            FROM (
+                SELECT tf.doc_id,
+                       SUM(LN(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON df.term = tf.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+                GROUP BY tf.doc_id
+            )
+            ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+        ),
+        dense AS (
+            SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+                       ORDER BY cos_raw DESC, vec_id ASC
+                   ) AS rk_d
+            FROM (
+                SELECT c.vec_id,
+                       {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_raw
+                FROM embeddings c
+                JOIN embeddings q ON q.vec_id = {_RRF_QUERY_VEC}
+                WHERE c.vec_id <> {_RRF_QUERY_VEC}
+            )
+            ORDER BY cos_raw DESC, vec_id ASC LIMIT {_RRF_DEPTH}
+        )
+        SELECT doc_id, rrf,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT)
+                   AS rnk
+        FROM (
+            SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   ROUND(COALESCE(1.0 / ({_RRF_K} + s.rk_s), 0)
+                         + COALESCE(1.0 / ({_RRF_K} + d.rk_d), 0), 6) AS rrf
+            FROM sparse s FULL OUTER JOIN dense d ON d.doc_id = s.doc_id
+        )
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {_RRF_TOP}
+    """,
+    tags=("similarity", "retrieval", "hybrid"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (k=60): fuse the BM25
+    sparse ranking (corpus' top-5 terms as the lexical query) with the
+    dense cosine ranking against a query embedding, score = Σ 1/(60+rank)
+    over the lists a document appears in — the standard RAG-stack ranker
+    that needs no score calibration because it fuses RANKS, not scores.
+    Documents and embeddings join on the shared id (docs lacking an
+    embedding can still surface via the sparse list: FULL OUTER fusion).
+
+    Scale shape: the sparse side is the text_bm25_topk plan (one
+    (doc, term) shuffle, every derivation off the same subtree, broadcast
+    query-term prune); the dense side broadcasts the single query vector
+    across the embedding scan with rank pushdown; both lists are truncated
+    to depth 50 BEFORE the fusion join, so the full-outer join runs on
+    ≤100 rows. Fused ordering uses integer ranks — cross-engine exact."""
+    from cloudfloe_spark.functions.text import words
+    from cloudfloe_spark.sources.tables import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    toks = d.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(5)
+        .select("term")
+    )
+    dfreq = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * 2.2 / denom
+    sparse = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "rk_s",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rk_s")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dense = (
+        e.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(as_double(F.col("q_emb")), as_double(F.col("embedding"))).alias(
+                "cos_raw"
+            ),
+        )
+        .orderBy(F.desc("cos_raw"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "rk_d",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_raw"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rk_d")
+    )
+
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rk_s")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rk_d")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+    return fused.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .cast("int"),
+    )
