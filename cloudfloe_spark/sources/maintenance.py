@@ -214,8 +214,6 @@ def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
     ``v*.metadata.json`` files are kept as cheap history, matching
     Iceberg's own previous-metadata retention. At 100 TB this is what
     bounds snapshot-log growth and lets storage be reclaimed."""
-    import json
-
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.iceberg_fixture import write_next_metadata_version
 
