@@ -840,3 +840,29 @@ def delete_by_key(
         expected_metadata_path=meta_path,
     )
     return {"values": table.num_rows, "snapshot_id": snap_id}
+
+
+def rollback_to(root: str, snapshot_id: int, *, timestamp_ms: int) -> None:
+    """``rollback_to_snapshot`` analog: point the CURRENT snapshot back at
+    an earlier one — metadata-only, instant at any table size. Later
+    snapshots stay in the metadata (roll-forward = another rollback;
+    :func:`expire_snapshots` already retains the current snapshot even
+    when it is not the newest by sequence — the post-rollback state)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    meta = im.load_metadata(root)
+    known = {s.get("snapshot-id") for s in meta.get("snapshots", [])}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"rollback_to: snapshot {snapshot_id} not in table "
+            f"(known: {sorted(known)})"
+        )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = timestamp_ms
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": timestamp_ms}
+    )
+    write_next_metadata_version(root, meta)

@@ -599,3 +599,23 @@ def test_iceberg_changes_across_a_delete_snapshot(spark, two_file_table):
         f"SELECT id FROM iceberg_changes('{root}', {s1}, {s3}) ORDER BY id",
     )
     assert [r[0] for r in rows] == [50, 52]  # appended minus its deletion
+
+
+def test_rollback_to_undoes_a_delete(spark, two_file_table):
+    """rollback_to is the instant undo for any committed row delta: the
+    delete's snapshot stays in history (roll-forward possible), but the
+    CURRENT read is the pre-delete state again."""
+    from cloudfloe_spark.sources.maintenance import rollback_to
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    res = delete_where(spark, root, "id < 5", timestamp_ms=T1 + 1000)
+    s2 = res["snapshot_id"]
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[5]]
+    rollback_to(root, s1, timestamp_ms=T1 + 2000)
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[10]]
+    # roll-forward: the delete snapshot is still there
+    rollback_to(root, s2, timestamp_ms=T1 + 3000)
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[5]]
+    with pytest.raises(ValueError, match="not in table"):
+        rollback_to(root, 123, timestamp_ms=T1 + 4000)
