@@ -231,6 +231,19 @@ def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
         # newest by sequence — it is always retained.
         kept = [s for s in snaps if s["snapshot-id"] == current] + kept
         kept_ids.add(current)
+    # ref-reachable snapshots (tags/branches, incl. unpublished WAP
+    # stages) are retained too — expiring them would dangle
+    # ``VERSION AS OF '<name>'``. Matches Iceberg's own ref-aware expiry
+    # (per-ref retention policies collapse to "keep" here).
+    ref_ids = {
+        int(r["snapshot-id"])
+        for r in (meta.get("refs") or {}).values()
+        if isinstance(r, dict) and "snapshot-id" in r
+    }
+    for s in snaps:
+        if s["snapshot-id"] in ref_ids and s["snapshot-id"] not in kept_ids:
+            kept = [s] + kept
+            kept_ids.add(s["snapshot-id"])
     expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return {"expired": [], "kept": [s["snapshot-id"] for s in kept]}

@@ -619,3 +619,30 @@ def test_rollback_to_undoes_a_delete(spark, two_file_table):
     assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[5]]
     with pytest.raises(ValueError, match="not in table"):
         rollback_to(root, 123, timestamp_ms=T1 + 4000)
+
+
+def test_expire_retains_ref_reachable_snapshots(spark, two_file_table):
+    """A snapshot named by a tag (or an unpublished WAP stage's branch)
+    survives expiry even outside keep_last — expiring it would dangle
+    VERSION AS OF '<name>'; the orphan sweep keeps its files too."""
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+    from cloudfloe_spark.sources.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "keepme", s1, timestamp_ms=T1 + 500)
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    res = expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 3000)
+    assert s1 in res["kept"]
+    remove_orphan_files(root, older_than_ms=0)
+    tagged = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF 'keepme'",
+    )
+    assert tagged == [[10]]
+    cur = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
+    assert cur == [[8]]
