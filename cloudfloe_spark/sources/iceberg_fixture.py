@@ -1041,3 +1041,19 @@ def publish_ref(root: str, name: str, *, timestamp_ms: int) -> int:
     )
     write_next_metadata_version(root, meta)
     return sid
+
+
+def drop_ref(root: str, name: str, *, timestamp_ms: int) -> None:
+    """Remove a named ref. The snapshot it pointed at stays until normal
+    expiry — dropping the ref is what ALLOWS it to expire (expiry retains
+    ref-reachable snapshots)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root)
+    refs = meta.get("refs") or {}
+    if name not in refs:
+        raise ValueError(f"drop_ref: unknown ref {name!r} (known: {sorted(refs)})")
+    del refs[name]
+    meta["refs"] = refs
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)

@@ -646,3 +646,21 @@ def test_expire_retains_ref_reachable_snapshots(spark, two_file_table):
     assert tagged == [[10]]
     cur = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
     assert cur == [[8]]
+
+
+def test_drop_ref_releases_snapshot_for_expiry(spark, two_file_table):
+    from cloudfloe_spark.sources.iceberg_fixture import drop_ref, set_ref
+    from cloudfloe_spark.sources.maintenance import expire_snapshots
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "tmp", s1, timestamp_ms=T1 + 500)
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 1000)
+    drop_ref(root, "tmp", timestamp_ms=T1 + 2000)
+    res = expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 3000)
+    assert s1 in res["expired"]
+    with pytest.raises(Exception):
+        _rows(
+            spark,
+            f"SELECT 1 FROM iceberg_scan('{root}') VERSION AS OF 'tmp'",
+        )
