@@ -760,7 +760,7 @@ _CATALOG_REF_RE = re.compile(
     (`[^`]+`|[A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)
     (?:\s+(?:FOR\s+)?
         (?:
-            (?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+)
+            (?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+|'[^']+')
           | (?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']+)'
         )
     )?""",

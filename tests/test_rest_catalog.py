@@ -347,3 +347,31 @@ def test_rest_time_travel_and_mor_deletes_end_to_end(spark, rest_stub, tmp_path)
         _cfg(endpoint),
     )
     assert [r[0] for r in by_time.rows] == [1, 2, 3]
+
+
+def test_rest_table_version_as_of_ref_name(spark, rest_stub, tmp_path):
+    """Refs work through the REST-catalog table form too:
+    iceberg_catalog.ns.table VERSION AS OF '<tag>'."""
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    endpoint, state = rest_stub
+    root = str(tmp_path / "tagged")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    s1 = t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    t.append_snapshot([pa.table({"id": [3]})], timestamp_ms=T2)
+    set_ref(root, "v1", s1, timestamp_ms=T2 + 1000)
+    _register(state, root, tbl="tagged")
+
+    tagged = run_query(
+        spark,
+        "SELECT id FROM iceberg_catalog.demo.tagged VERSION AS OF 'v1' "
+        "ORDER BY id",
+        _cfg(endpoint),
+    )
+    assert [r[0] for r in tagged.rows] == [1, 2]
+    cur = run_query(
+        spark,
+        "SELECT COUNT(*) FROM iceberg_catalog.demo.tagged",
+        _cfg(endpoint),
+    )
+    assert cur.rows == [[3]]
