@@ -801,6 +801,8 @@ def resolve_rest_tables(sess, sql: str, config) -> str:
     except RestCatalogError as e:
         raise bad_request(f"REST catalog connection failed: {e}") from None
 
+    pending: dict = {}
+
     def _table(m: re.Match) -> str:
         ns = _unquote_ident(m.group(1))
         tbl = _unquote_ident(m.group(2))
@@ -819,8 +821,29 @@ def resolve_rest_tables(sess, sql: str, config) -> str:
                 "Iceberg tables need the S3A connector (hadoop-aws) on "
                 "the classpath."
             )
-        return _snapshot_view(
-            sess, root, m.group(3), m.group(4), metadata_path=meta_loc
+        name = _view_name("rest_q", root, (m.group(3), m.group(4)))
+        pending[name] = (root, m.group(3), m.group(4), meta_loc)
+        return name
+
+    out = _sub_outside_literals(_CATALOG_REF_RE, _table, sql)
+    if pending:
+        # Same two-phase shape as the path-scan form: substitute first,
+        # extract each view's WHERE conjuncts from the rewritten
+        # statement, then build the views WITH pruning — REST-cataloged
+        # tables get the identical transform + file-statistics skipping.
+        from cloudfloe_spark.sources.partition_pruning import (
+            extract_scan_conjuncts,
         )
 
-    return _sub_outside_literals(_CATALOG_REF_RE, _table, sql)
+        conj = extract_scan_conjuncts(out, set(pending))
+        for name, (root, ver, ts, meta_loc) in pending.items():
+            _snapshot_view(
+                sess,
+                root,
+                ver,
+                ts,
+                metadata_path=meta_loc,
+                view_name=name,
+                prune_conjuncts=conj.get(name),
+            )
+    return out
