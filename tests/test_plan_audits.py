@@ -637,3 +637,25 @@ def test_ivf_mrr_no_corpus_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_scd2_join_is_single_shuffle_asof(spark, sf_dir):
+    """scd2_point_in_time_tier composes from the as-of primitive: union +
+    one (user, ts) shuffle-sort — never an interval-expansion join."""
+    df = CATALOG["scd2_point_in_time_tier"].fn(spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    plan = executed_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Union" in plan, plan  # the as-of union construction
+
+
+def test_hybrid_rrf_fusion_runs_on_truncated_lists(spark, sf_dir):
+    """hybrid_rrf_retrieval: both rankings truncate to depth 50 BEFORE
+    the fusion join (GlobalLimit above each side), the dense side
+    broadcasts the single query vector, and the final top-15 never sorts
+    the corpus."""
+    df = CATALOG["hybrid_rrf_retrieval"].fn(spark, sf_dir)
+    plan = executed_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("GlobalLimit") >= 2 or plan.count("TakeOrdered") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
