@@ -88,6 +88,7 @@ HEADLINE = [
     "grouped_price_regression",  # single-pass per-group OLS moments
     "graph_kcore_peel",          # iterative degree-peel round-trip
     "text_bm25_topk",            # shared-subtree BM25 ranking + broadcast prune
+    "hybrid_rrf_retrieval",      # BM25 + dense cosine reciprocal-rank fusion
 ]
 
 
