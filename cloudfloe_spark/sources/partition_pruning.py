@@ -86,20 +86,25 @@ def _bucket_bytes(v: Any, iceberg_type: str) -> Optional[bytes]:
     int/long/date/time/timestamp hash as 8-byte little-endian long,
     strings as UTF-8 bytes. None for types we don't bucket."""
     t = iceberg_type
-    if t in ("int", "long"):
-        return struct.pack("<q", int(v))
-    if t == "string":
-        return str(v).encode("utf-8")
-    if t == "date":
-        d = v if isinstance(v, datetime.date) else _parse_date(str(v))
-        if d is None:
-            return None
-        return struct.pack("<q", (d - _EPOCH_DATE).days)
-    if t.startswith("timestamp"):
-        dt = v if isinstance(v, datetime.datetime) else _parse_ts(str(v))
-        if dt is None:
-            return None
-        return struct.pack("<q", _epoch_micros(dt))
+    try:
+        if t in ("int", "long"):
+            return struct.pack("<q", int(v))
+        if t == "string":
+            return str(v).encode("utf-8")
+        if t == "date":
+            d = v if isinstance(v, datetime.date) else _parse_date(str(v))
+            if d is None:
+                return None
+            return struct.pack("<q", (d - _EPOCH_DATE).days)
+        if t.startswith("timestamp"):
+            dt = v if isinstance(v, datetime.datetime) else _parse_ts(str(v))
+            if dt is None:
+                return None
+            return struct.pack("<q", _epoch_micros(dt))
+    except (ValueError, TypeError, struct.error, OverflowError):
+        # unserializable literal (wrong-type comparand, out-of-int64 range):
+        # no pruning rather than a planner crash — the query itself decides
+        return None
     return None
 
 
@@ -170,6 +175,9 @@ def transform_value(transform: str, v: Any, iceberg_type: str) -> Any:
     if kind == "day":
         return (dt.date() - _EPOCH_DATE).days
     if kind == "hour":
+        if iceberg_type == "date":
+            raise ValueError("hour transform on a date source column is "
+                             "invalid per the Iceberg spec")
         return _epoch_micros(dt) // 3_600_000_000
     raise AssertionError(kind)
 
@@ -255,6 +263,11 @@ def source_interval(
             lo = _EPOCH_DT + datetime.timedelta(days=n)
             hi = lo + datetime.timedelta(days=1)
         else:  # hour
+            if iceberg_type == "date":
+                # hour-on-date is invalid per the Iceberg spec; projecting it
+                # onto the date domain collapses to an empty interval that
+                # would prune every comparison — contribute no pruning instead
+                return None
             lo = _EPOCH_DT + datetime.timedelta(hours=n)
             hi = lo + datetime.timedelta(hours=1)
         if iceberg_type == "date":
@@ -527,12 +540,22 @@ def file_survives(
             if iv is None:
                 continue
             if isinstance(iv, _Bucket):
+                # Normalize literals into the SOURCE column's domain first
+                # (mirrors the interval path): Spark coerces '0123' = 123 to
+                # TRUE on numeric columns, so hashing the raw lexical form
+                # would bucket-prune files that actually hold matching rows.
                 if op == "=":
-                    b = bucket_value(lit, iv.n, iv.type)
+                    dlit = _literal_in_domain(lit, f["type"])
+                    if dlit is None:
+                        continue
+                    b = bucket_value(dlit, iv.n, iv.type)
                     if b is not None and b != iv.value:
                         return False
                 elif op == "in":
-                    bs = [bucket_value(v, iv.n, iv.type) for v in lit]
+                    dlits = [_literal_in_domain(v, f["type"]) for v in lit]
+                    if any(v is None for v in dlits):
+                        continue
+                    bs = [bucket_value(v, iv.n, iv.type) for v in dlits]
                     if all(b is not None for b in bs) and iv.value not in bs:
                         return False
                 continue

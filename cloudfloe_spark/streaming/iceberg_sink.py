@@ -3,11 +3,19 @@
 ``append_stream_to_iceberg`` runs a streaming DataFrame through
 ``foreachBatch`` and commits each micro-batch as an Iceberg APPEND snapshot
 (via :func:`iceberg_fixture.commit_row_delta_snapshot` with no delete
-files), recording the epoch id in the snapshot summary. On restart from
-the same checkpoint, Structured Streaming MAY replay the last batch —
-the sink dedups by epoch id (already-committed batch ids are skipped),
-giving the exactly-once table state Spark's own Iceberg sink provides
-through the same idempotent-commit construction.
+files), recording the (streaming query id, epoch id) pair in the snapshot
+summary. On restart from the same checkpoint, Structured Streaming MAY
+replay the last batch — the sink dedups by that pair, giving the
+exactly-once table state Spark's own Iceberg sink provides through the
+same idempotent-commit construction (it too keys on (queryId, epochId),
+not epochId alone: a SECOND ingest query into the same table starts its
+epochs back at 0, and keying on the epoch alone would silently drop its
+batches as "already seen").
+
+The query id is Spark's StreamMetadata id — written to
+``<checkpoint>/metadata`` when the query first starts, stable across
+restarts from the same checkpoint, fresh for a new checkpoint dir — which
+is exactly the lifetime the dedup key needs.
 
 Scale shape: each batch's rows are written as parquet by a DISTRIBUTED
 Spark job (files sized by the batch, not the table); the commit is a
@@ -20,13 +28,30 @@ usual schedule, exactly as Iceberg deployments do.
 from __future__ import annotations
 
 import glob as globmod
+import hashlib
+import json
 import os
+from typing import Optional
 
 from pyspark.sql import DataFrame
 
 
-def committed_epochs(root: str) -> set[int]:
-    """Epoch ids already committed to the table (from snapshot summaries)."""
+def _checkpoint_query_id(checkpoint_dir: str) -> Optional[str]:
+    """The StreamMetadata query id Spark records at ``<checkpoint>/metadata``
+    on first start (before any batch executes). None if not readable."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            qid = json.load(fh).get("id")
+        return str(qid) if qid else None
+    except (OSError, ValueError):
+        return None
+
+
+def committed_batches(root: str) -> set[tuple[Optional[str], int]]:
+    """(query_id, epoch_id) pairs already committed to the table (from
+    snapshot summaries). Pre-fix snapshots that recorded only an epoch id
+    surface with query_id None — they never match a live query's id, so
+    they are never used to skip a new query's batches."""
     from cloudfloe_spark.sources import iceberg_meta as im
 
     try:
@@ -35,9 +60,10 @@ def committed_epochs(root: str) -> set[int]:
         return set()
     out = set()
     for s in meta.get("snapshots", []):
-        e = (s.get("summary") or {}).get("streaming-epoch-id")
+        summary = s.get("summary") or {}
+        e = summary.get("streaming-epoch-id")
         if e is not None:
-            out.add(int(e))
+            out.add((summary.get("streaming-query-id"), int(e)))
     return out
 
 
@@ -50,8 +76,8 @@ def append_stream_to_iceberg(
     timeout_s: int = 180,
 ) -> dict:
     """Drain ``sdf`` (Trigger.AvailableNow) into the Iceberg table at
-    ``root``, one APPEND snapshot per micro-batch, exactly-once by epoch
-    id. The table must already exist (seed it with
+    ``root``, one APPEND snapshot per micro-batch, exactly-once by
+    (query id, epoch id). The table must already exist (seed it with
     ``LocalIcebergTable.append_snapshot`` — the sink appends, it does not
     create). Returns ``{"batches": n_committed, "skipped": n_deduped}``.
     """
@@ -61,14 +87,26 @@ def append_stream_to_iceberg(
         commit_row_delta_snapshot,
     )
 
-    seen = committed_epochs(root)
+    seen = committed_batches(root)
     stats = {"batches": 0, "skipped": 0}
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in seen:
+        # Read lazily: Spark writes the StreamMetadata file at query start,
+        # before the first batch runs. Fall back to the checkpoint path as
+        # the job key — same lifetime semantics (fresh dir → fresh key).
+        qid = _checkpoint_query_id(checkpoint_dir) or (
+            "ck:" + os.path.abspath(checkpoint_dir)
+        )
+        if (qid, epoch_id) in seen:
             stats["skipped"] += 1
             return
-        out_dir = os.path.join(root, "data", f"stream-{epoch_id:010d}")
+        # dir keyed by (query, epoch): a SECOND query's epoch 0 must not
+        # overwrite the first query's committed epoch-0 data files; a
+        # RESTARTED query (same id) maps back to the same dir for recovery
+        qtag = hashlib.sha256(qid.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            root, "data", f"stream-{qtag}-{epoch_id:010d}"
+        )
         # overwrite, not errorifexists: a crash between write and commit
         # leaves a half-written dir; the replayed epoch must supersede it
         # (the commit is what makes a batch visible — overwriting an
@@ -85,9 +123,12 @@ def append_stream_to_iceberg(
             root,
             new_data_files=files,
             timestamp_ms=timestamp_ms + epoch_id,
-            summary_extra={"streaming-epoch-id": str(epoch_id)},
+            summary_extra={
+                "streaming-epoch-id": str(epoch_id),
+                "streaming-query-id": qid,
+            },
         )
-        seen.add(epoch_id)
+        seen.add((qid, epoch_id))
         stats["batches"] += 1
 
     q = (

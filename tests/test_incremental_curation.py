@@ -273,3 +273,85 @@ def test_streaming_ingest_then_retroactive_dedup_loop(spark, tmp_path):
     ).rows
     assert [r[0] for r in final] == [1, 2, 10, 12]
     assert im.position_delete_paths(root, im.resolve_snapshot(root)) == []
+
+
+def test_second_ingest_query_not_deduped_and_replay_still_skipped(
+    spark, tmp_path
+):
+    """Exactly-once must key on (query id, epoch id), not epoch id alone:
+    a SECOND ingest query into the same table (fresh checkpoint) restarts
+    its epochs at 0 — its batches must COMMIT, must not overwrite the
+    first query's committed data files, while a true replay (same
+    checkpoint re-drained) is still skipped."""
+    import os
+
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        append_stream_to_iceberg,
+        committed_batches,
+    )
+
+    root = str(tmp_path / "docs_2q")
+    t = LocalIcebergTable(
+        root, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    t.append_snapshot([_docs([(1, "seed doc")])], timestamp_ms=T1)
+
+    schema = "doc_id LONG, text STRING"
+
+    def _stream_src(name, rows):
+        src = str(tmp_path / name)
+        os.makedirs(src)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    ck1 = str(tmp_path / "ck1")
+    r1 = append_stream_to_iceberg(
+        _stream_src("src1", [(10, "first query batch")]),
+        root,
+        checkpoint_dir=ck1,
+        timestamp_ms=T2,
+    )
+    assert r1 == {"batches": 1, "skipped": 0}
+
+    # second query, fresh checkpoint → epoch ids restart at 0; keying on
+    # the epoch alone would silently skip this batch (data loss)
+    r2 = append_stream_to_iceberg(
+        _stream_src("src2", [(20, "second query batch")]),
+        root,
+        checkpoint_dir=str(tmp_path / "ck2"),
+        timestamp_ms=T2 + 1000,
+    )
+    assert r2 == {"batches": 1, "skipped": 0}
+
+    # replay of query 1 from its own checkpoint: nothing new → 0 commits,
+    # and the drained-source replay (if any) dedups rather than re-commits
+    r1b = append_stream_to_iceberg(
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "src1")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src1")),
+        root,
+        checkpoint_dir=ck1,
+        timestamp_ms=T2,
+    )
+    assert r1b["batches"] == 0
+
+    pairs = committed_batches(root)
+    assert len(pairs) == 2
+    qids = {q for q, _ in pairs}
+    assert len(qids) == 2 and None not in qids
+    assert {e for _, e in pairs} == {0}  # both queries committed epoch 0
+
+    final = run_query(
+        spark,
+        f"SELECT doc_id FROM iceberg_scan('{root}') ORDER BY doc_id",
+        _cfg(),
+    ).rows
+    assert [r[0] for r in final] == [1, 10, 20]

@@ -232,6 +232,65 @@ class TestFileSurvives:
             _DAY_SPEC, {"ts_day": "19787"}, [("ts", "=", 123)]
         )
 
+    def test_bucket_literal_normalized_to_source_domain(self):
+        # Spark coerces string_col = 123 by casting the column, so '0123'
+        # matches 123 — hashing the raw int literal against a string bucket
+        # would false-prune the file holding '0123'. The bucket path must
+        # normalize through _literal_in_domain like the interval path does.
+        spec = [
+            {
+                "field_name": "s_bucket",
+                "column": "s",
+                "transform": "bucket[8]",
+                "type": "string",
+            }
+        ]
+        pv = {"s_bucket": str(pp.bucket_value("0123", 8, "string"))}
+        assert pp.file_survives(spec, pv, [("s", "=", 123)])
+        assert pp.file_survives(spec, pv, [("s", "in", [123, 456])])
+        # a genuinely-string literal still prunes
+        other = {
+            "s_bucket": str((pp.bucket_value("zz", 8, "string") + 1) % 8)
+        }
+        assert not pp.file_survives(spec, other, [("s", "=", "zz")])
+
+    def test_bucket_bad_literal_no_crash_no_prune(self):
+        # WHERE id = 'abc' / out-of-int64 literal on an int bucket column
+        # must neither raise from the planner nor prune anything.
+        spec = [
+            {
+                "field_name": "id_bucket",
+                "column": "id",
+                "transform": "bucket[4]",
+                "type": "long",
+            }
+        ]
+        pv = {"id_bucket": "2"}
+        assert pp.file_survives(spec, pv, [("id", "=", "abc")])
+        assert pp.file_survives(spec, pv, [("id", "in", ["abc", 1])])
+        assert pp._bucket_bytes("abc", "long") is None
+        assert pp._bucket_bytes(2 ** 70, "long") is None
+        assert pp.bucket_value("abc", 4, "long") is None
+
+    def test_hour_on_date_rejected_and_never_prunes(self):
+        import pytest
+
+        # invalid per the Iceberg spec: projecting hour onto the date
+        # domain collapses to an empty interval → must contribute nothing
+        assert pp.source_interval("hour", "473384", "date") is None
+        spec = [
+            {
+                "field_name": "d_hour",
+                "column": "d",
+                "transform": "hour",
+                "type": "date",
+            }
+        ]
+        pv = {"d_hour": "473384"}
+        assert pp.file_survives(spec, pv, [("d", "=", "2024-01-01")])
+        with pytest.raises(ValueError):
+            pp.transform_value("hour", datetime.date(2024, 1, 1), "date")
+
 
 class TestNullConjuncts:
     def test_extract_is_null(self):
