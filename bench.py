@@ -5,7 +5,8 @@ Output contract (r6 fix — VERDICT r05 #1): the FINAL stdout line is a
 COMPACT JSON object the driver's bounded tail buffer can always hold:
     {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
      "sf": <sf>, "n_queries": N, "normalized_total": X,
-     "calibration": {...}, "detail": "BENCH_DETAIL.json"}
+     "calibration": {...}, "drift": {...}, "norm_version": 2,
+     "detail": "BENCH_DETAIL.json"}
 The full per-query dicts (raw + drift-normalized seconds) are printed on an
 EARLIER stdout line and also written to BENCH_DETAIL.json next to this
 script. Round 5's single-line format (43 raw + 43 normalized entries)
@@ -13,22 +14,55 @@ overflowed the driver's tail capture mid-line, recording "parsed": null —
 the compact final line guarantees the headline number is always machine-
 readable regardless of how many queries the suite grows to.
 
+Drift methodology (r7 redesign — VERDICT r06 #1). This sandbox is a
+shared-host VM whose speed swings ±40% over minutes; r6's start-of-run
+min-of-2 probes read flat while every query in the 46-second suite ran
+~1.4× slower, so a real regression would have been indistinguishable from
+host noise. Now:
+
+- THREE fixed-work probes, independent of repo query code: ``scan`` (full
+  lineitem parquet decode), ``shuffle`` (SF-independent exchange +
+  hash-agg), ``cpu`` (in-memory codegen arithmetic, no I/O, no exchange).
+- Probe STATIONS are interleaved through the suite (before the first
+  query and after every ``PROBE_EVERY`` queries), so contention that
+  arrives mid-suite is observed mid-suite.
+- Each query reports the MEDIAN of 3 timed runs (after one untimed
+  warm-up), and its drift factor is the mean of the two adjacent
+  stations' factors — nearest-in-time, not start-of-run.
+- ``norm_version: 2`` normalized seconds = raw / drift, where drift is
+  the mean over probes of (probe_t / reference_t) against the fixed
+  reference constants below. Units are therefore "seconds on the
+  reference machine": when probes are flat at reference speed,
+  normalized == raw. (v1, rounds ≤6, divided by the start-of-run probe
+  total — a different scale; do not compare across versions.)
+- The final line publishes per-probe median and lo/hi spread across
+  stations, so the round log itself shows how turbulent the host was.
+
 Methodology: one warm SparkSession on local[$SPARK_GRAFT_CPUS]; a warm-up
 action first (JVM/codegen/parquet-footer costs land there, as they would in
 any long-running deployment); each headline query then timed end-to-end
-including its collect() of the (small) result.
+including its count() of the (small) result.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixed reference machine speeds for the three probes (seconds), measured
+# on this sandbox at r7 start in a quiet window. These are CONSTANTS: the
+# normalization target every future round is expressed against. Do not
+# re-measure casually — changing them rescales normalized_* round history.
+REF_PROBES = {"scan": 0.22, "shuffle": 0.47, "cpu": 0.18}
+
+PROBE_EVERY = 10  # queries between calibration stations
 
 # Headline set: one per operator family; each must be representative of the
 # shuffle/join/window/text/vector cost envelope, not a microbenchmark.
@@ -92,16 +126,12 @@ HEADLINE = [
 ]
 
 
-def _calibrate(spark, load_table) -> dict[str, float]:
-    """Machine-speed probe: fixed work whose cost is independent of this
-    repo's query code, so round-over-round comparisons can separate sandbox
-    drift from real regressions (the r02→r03 bench doubled purely from
-    environment slowdown and was indistinguishable without this).
-
-    Two probes, warm, min of 2: a full lineitem scan-count (I/O + parquet
-    decode path) and a fixed-size synthetic shuffle (spark.range → mod-key
-    groupBy, SF-independent exchange + hash-agg path).
-    """
+def _make_probes(spark, load_table):
+    """Three fixed-work probes independent of repo query code. ``scan``
+    exercises parquet I/O + decode, ``shuffle`` a fixed-size exchange +
+    hash agg, ``cpu`` pure whole-stage-codegen arithmetic (no I/O, no
+    exchange) — three distinct contention surfaces, because host drift
+    hits them asymmetrically."""
     from pyspark.sql import functions as F
 
     def shuffle_probe() -> None:
@@ -113,20 +143,39 @@ def _calibrate(spark, load_table) -> dict[str, float]:
             .count()
         )
 
-    probes = {
+    def cpu_probe() -> None:
+        (
+            spark.range(0, 30_000_000, 1, 32)
+            .select(
+                # pmod-bound before summing: raw xxhash64 spans int64 and
+                # sum() overflows under ANSI mode
+                F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1000003))).alias("h"),
+                F.sum(F.col("id") * 31 % 1000003).alias("m"),
+            )
+            .collect()
+        )
+
+    return {
         "scan": lambda: load_table(spark, SF_DIR, "lineitem").count(),
         "shuffle": shuffle_probe,
+        "cpu": cpu_probe,
     }
-    out: dict[str, float] = {}
+
+
+def _probe_station(probes) -> dict[str, float]:
+    """One timed run of each probe (call after the warm-up station)."""
+    out = {}
     for name, fn in probes.items():
-        fn()  # warm-up (codegen/planning)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
     return out
+
+
+def _drift_factor(station: dict[str, float]) -> float:
+    """Unitless host-speed factor: mean over probes of t/ref. 1.0 = the
+    reference machine; 1.4 = everything 40% slower."""
+    return sum(t / REF_PROBES[n] for n, t in station.items()) / len(station)
 
 
 def main() -> None:
@@ -143,39 +192,80 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         load_table(spark, SF_DIR, t).count()
 
-    calibration = _calibrate(spark, load_table)
+    probes = _make_probes(spark, load_table)
+    for fn in probes.values():  # probe warm-up (codegen/planning)
+        fn()
 
-    # Per query: one untimed warm-up run (Catalyst planning + codegen
-    # compilation, a fixed cost any long-running deployment amortizes),
-    # then min of two timed runs. count() executes the full plan; results
-    # are small, so count-vs-collect is negligible.
+    # Interleaved probe stations: station[k] runs before query index
+    # k*PROBE_EVERY; one final station closes the suite. Each query is
+    # normalized by the mean drift of its two surrounding stations.
+    stations: list[dict[str, float]] = [_probe_station(probes)]
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    spreads: dict[str, float] = {}
+    for i, name in enumerate(HEADLINE):
+        if i and i % PROBE_EVERY == 0:
+            stations.append(_probe_station(probes))
         fn = catalog[name].fn
+        fn(spark, SF_DIR).count()  # untimed warm-up (planning + codegen)
+        t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
-        best = float("inf")
-        for _ in range(2):
+        runs = [time.perf_counter() - t0]
+        # Adaptive reps: scheduler jitter is ~±30 ms regardless of query
+        # size, so a 0.15 s query needs more samples than a 3 s one for
+        # the same relative precision. 5 total for sub-0.4 s queries
+        # (cheap), 3 for the rest.
+        n_reps = 5 if runs[0] < 0.4 else 3
+        for _ in range(n_reps - 1):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        spreads[name] = round((max(runs) - min(runs)) / med, 3) if med else 0.0
+    stations.append(_probe_station(probes))
+
+    factors = [_drift_factor(s) for s in stations]
+
+    def query_drift(i: int) -> float:
+        s = min(i // PROBE_EVERY, len(factors) - 2)
+        return (factors[s] + factors[s + 1]) / 2
+
+    normalized = {
+        name: round(t / query_drift(i), 3)
+        for i, (name, t) in enumerate(timings.items())
+    }
 
     total = round(sum(timings.values()), 3)
-    cal_total = calibration["scan"] + calibration["shuffle"]
+    norm_total = round(sum(normalized.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full per-query detail: an EARLIER stdout line + a sidecar file. The
-    # `calibration` probes are fixed work independent of repo code — compare
-    # them across rounds first: if they moved, the environment moved.
-    # `normalized_*` = seconds per calibration second (drift-adjusted).
+
+    # Per-probe median + spread across ALL stations: if these are wide,
+    # the host was turbulent and raw seconds are untrustworthy this run.
+    calibration = {}
+    for pname in REF_PROBES:
+        vals = [s[pname] for s in stations]
+        calibration[pname] = {
+            "med": round(statistics.median(vals), 3),
+            "lo": round(min(vals), 3),
+            "hi": round(max(vals), 3),
+        }
+    drift_summary = {
+        "med": round(statistics.median(factors), 3),
+        "lo": round(min(factors), 3),
+        "hi": round(max(factors), 3),
+    }
+
+    # Full per-query detail: an EARLIER stdout line + a sidecar file.
     detail = {
         "metric": "headline_detail",
         "queries": timings,
-        "calibration": calibration,
-        "normalized_queries": (
-            {n: round(v / cal_total, 3) for n, v in timings.items()}
-            if cal_total
-            else None
-        ),
+        "query_spread": spreads,
+        "stations": stations,
+        "station_factors": [round(f, 3) for f in factors],
+        "ref_probes": REF_PROBES,
+        "normalized_queries": normalized,
+        "norm_version": 2,
         "sf": sf_val,
     }
     print(json.dumps(detail))
@@ -196,8 +286,10 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
-                "normalized_total": round(total / cal_total, 3) if cal_total else None,
+                "normalized_total": norm_total,
+                "norm_version": 2,
                 "calibration": calibration,
+                "drift": drift_summary,
                 "detail": "BENCH_DETAIL.json",
             }
         )
