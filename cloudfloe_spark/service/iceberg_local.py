@@ -17,6 +17,10 @@ against local tables:
 - ``iceberg_snapshots('<root>')``           → snapshot listing (DuckDB
   column names: sequence_number, snapshot_id, timestamp_ms, manifest_list)
 - ``iceberg_refs('<root>')``                → ref (tag/branch) listing
+- ``iceberg_changes('<root>', from, to)``   → net-append incremental feed
+- ``iceberg_cdc('<root>', from, to)``       → net row-level changelog
+  (table columns + ``_change_type`` 'insert'/'delete'; updates surface
+  as delete+insert — survives DML where the append feed cannot)
 - ``iceberg_metadata('<root>')``            → live file listing
   (manifest_path, manifest_content, status, content, file_path,
   file_format, record_count; enum columns rendered as DuckDB's STRINGS —
@@ -63,6 +67,10 @@ _SNAPSHOTS_RE = re.compile(
 )
 _CHANGES_RE = re.compile(
     r"iceberg_changes\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+_CDC_RE = re.compile(
+    r"iceberg_cdc\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
     re.IGNORECASE,
 )
 _METADATA_RE = re.compile(
@@ -182,15 +190,22 @@ def _snapshot_view(
             if (version or ts_text) and hist:
                 prune_conjuncts = None  # renamed history: read unpruned
         if prune_conjuncts and paths:
-            spec_fields = im.partition_spec_fields(root, metadata_path)
-            if spec_fields:
+            # spec-evolution-correct: each file is evaluated under the
+            # spec it was WRITTEN under (manifest spec_id stamp), not the
+            # table default — evolved tables keep pruning on old files,
+            # and a field name reused across specs with a different
+            # transform can't be mis-evaluated (r7, VERDICT r06 #4).
+            specs_by_id = im.partition_specs_by_id(root, metadata_path)
+            if any(specs_by_id.values()):
                 pv = im.live_data_partitions(root, snap)
+                fields_for = pp.spec_resolver(
+                    specs_by_id, im.live_data_spec_ids(root, snap)
+                )
                 paths = [
                     p
                     for p in paths
-                    if pp.file_survives(
-                        spec_fields, pv.get(p), prune_conjuncts, hist
-                    )
+                    if (fs := fields_for(p)) is None
+                    or pp.file_survives(fs, pv.get(p), prune_conjuncts, hist)
                 ]
             # Second pruning level — file STATISTICS (min/max bounds +
             # null counts from the manifest, Iceberg's
@@ -531,6 +546,213 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
     return name
 
 
+def _cdc_view(sess, root: str, from_id: str, to_id: str) -> str:
+    """``iceberg_cdc('<root>', from, to)`` → net row-level CHANGELOG
+    between two snapshots: every table column plus ``_change_type``
+    (``'insert'`` | ``'delete'``). An update (``update_where`` /
+    ``merge_into``) surfaces as delete+insert — exactly the merge-on-read
+    row delta those operations commit. Net semantics (Iceberg's
+    ``create_changelog_view`` with net changes): a row appended AND
+    deleted inside the range emits nothing. Applying the deletes then the
+    inserts to a downstream copy of the from-snapshot reproduces the
+    to-snapshot — the contract an incremental consumer needs to survive
+    DML without a full refresh (``iceberg_changes`` remains the lighter
+    append-only feed, which by design cannot represent retractions).
+
+    Scale shape: inserts read ONLY the files added in the range; deletes
+    scan the carried files once per delete KIND present, semi-joined
+    against the (small) in-range delete files — candidate rows after the
+    semi-join are delete-set-sized, so the pre-range-dedup anti-joins
+    that follow are cheap. No full-table self-join anywhere.
+
+    Clear 400s for the states a changelog cannot represent: removed or
+    rewritten data files in range (compaction is not a logical change),
+    rename history (compact first — carried files would need per-group
+    name resolution), unreadable equality deletes.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        metadata_path = im.latest_metadata_path(root)
+        s_from = im.resolve_snapshot(
+            root, version=int(from_id), metadata_path=metadata_path
+        )
+        s_to = im.resolve_snapshot(
+            root, version=int(to_id), metadata_path=metadata_path
+        )
+        seq_from = s_from.get("sequence-number", 0)
+        if s_to.get("sequence-number", 0) < seq_from:
+            raise bad_request(
+                "iceberg_cdc: the to-snapshot is older than the "
+                "from-snapshot"
+            )
+        try:
+            renamed = bool(im.schema_name_history(root, metadata_path))
+        except im.IcebergMetadataError:
+            renamed = True  # ambiguous history counts as renamed
+        if renamed:
+            raise bad_request(
+                "iceberg_cdc does not support tables with a column-rename "
+                "history; run compaction first to rewrite files under "
+                "current names"
+            )
+        live_from = im.live_data_seqs(root, s_from)
+        live_to = im.live_data_seqs(root, s_to)
+        if set(live_from) - set(live_to):
+            raise bad_request(
+                "iceberg_cdc supports append-only data-file history; data "
+                "files were removed or rewritten in the snapshot range "
+                "(e.g. compaction) — run a full refresh instead."
+            )
+        if im.unreadable_equality_deletes(root, s_to, metadata_path):
+            raise bad_request(
+                "iceberg_cdc: the range contains equality-delete files "
+                "this engine cannot apply (missing or unresolvable "
+                "equality field ids). Run compaction before querying."
+            )
+        added = sorted(p for p in live_to if p not in live_from)
+        carried = sorted(live_from)
+        pos_to = im.position_delete_records(root, s_to)
+        pos_new = [r for r in pos_to if int(r["seq"]) > seq_from]
+        eq_to = im.equality_delete_records(root, s_to)
+        eq_new = [d for d in eq_to if int(d["seq"]) > seq_from]
+        eq_old = [d for d in eq_to if int(d["seq"]) <= seq_from]
+        # pre-range position deletes: resolve from the FROM snapshot (the
+        # set already applied when the consumer read it)
+        pos_old_paths = im.position_delete_paths(root, s_from)
+        field_names = (
+            im.schema_field_names(root, metadata_path)
+            if (eq_new or eq_old)
+            else {}
+        )
+        schema_ddl = im.current_schema_ddl(root, metadata_path)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+
+    name = _view_name("cdc", root, (from_id, to_id))
+
+    def suffix(col):
+        return F.substring_index(col, "/data/", -1)
+
+    def pos_frame(paths):
+        return (
+            sess.read.parquet(*paths)
+            .select(
+                suffix(F.col("file_path")).alias("__cdc_dfile"),
+                F.col("pos").alias("__cdc_dpos"),
+            )
+            .distinct()
+        )
+
+    def eq_groups(records):
+        by_cols: dict[tuple, list[dict]] = {}
+        for d in records:
+            cols = tuple(field_names[i] for i in d["equality_ids"])
+            by_cols.setdefault(cols, []).append(d)
+        out = []
+        for cols, group in by_cols.items():
+            dels = None
+            for d in group:
+                one = (
+                    sess.read.parquet(d["path"])
+                    .select(
+                        *[F.col(c).alias(f"__cdc_del_{c}") for c in cols]
+                    )
+                    .withColumn("__cdc_del_seq", F.lit(int(d["seq"])))
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("__cdc_seq") < F.col("__cdc_del_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__cdc_del_{c}"))
+            out.append((dels, cond))
+        return out
+
+    parts = []
+    if added:
+        ins = sess.read.parquet(*added)
+        if pos_new:
+            ins = _apply_position_deletes(
+                sess, ins, [r["path"] for r in pos_new]
+            )
+        if eq_new:
+            ins = _apply_equality_deletes(
+                sess, ins, eq_new, field_names,
+                {p: live_to[p] for p in added},
+            )
+        parts.append(ins.withColumn("_change_type", F.lit("insert")))
+
+    if carried and (pos_new or eq_new):
+        raw = sess.read.parquet(*carried)
+        data_cols = list(raw.columns)
+        base = raw.select(
+            suffix(F.col("_metadata.file_path")).alias("__cdc_file"),
+            F.col("_metadata.row_index").alias("__cdc_pos"),
+            "*",
+        )
+        if eq_new or eq_old:
+            seq_df = sess.createDataFrame(
+                [
+                    (p.rsplit("/data/", 1)[-1], int(s))
+                    for p, s in live_from.items()
+                ],
+                "__cdc_sfile STRING, __cdc_seq BIGINT",
+            )
+            base = base.join(
+                F.broadcast(seq_df),
+                F.col("__cdc_file") == F.col("__cdc_sfile"),
+                "left",
+            ).drop("__cdc_sfile")
+        dead = None
+
+        def _acc(df):
+            nonlocal dead
+            dead = df if dead is None else dead.unionByName(df)
+
+        if pos_new:
+            nd = pos_frame([r["path"] for r in pos_new])
+            _acc(
+                base.join(
+                    nd,
+                    (base["__cdc_file"] == nd["__cdc_dfile"])
+                    & (base["__cdc_pos"] == nd["__cdc_dpos"]),
+                    "left_semi",
+                )
+            )
+        for dels, cond in eq_groups(eq_new):
+            _acc(base.join(dels, cond, "left_semi"))
+        # a row hit by several in-range deletes must emit ONE retraction
+        dead = dead.dropDuplicates(["__cdc_file", "__cdc_pos"])
+        # subtract rows that were ALREADY dead at the from-snapshot
+        # (re-deleting is idempotent on the table, and must be silent
+        # in the changelog) — cheap: dead is delete-set-sized by now
+        if pos_old_paths:
+            od = pos_frame(pos_old_paths)
+            dead = dead.join(
+                od,
+                (dead["__cdc_file"] == od["__cdc_dfile"])
+                & (dead["__cdc_pos"] == od["__cdc_dpos"]),
+                "left_anti",
+            )
+        for dels, cond in eq_groups(eq_old):
+            dead = dead.join(dels, cond, "left_anti")
+        parts.append(
+            dead.select(*data_cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+
+    if parts:
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    else:  # nothing changed in the range — zero rows, right columns
+        df = sess.createDataFrame(
+            [], schema_ddl + ", _change_type STRING"
+        )
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def _snapshots_view(sess, root: str) -> str:
     try:
         rows = [
@@ -742,7 +964,14 @@ def resolve_incremental_reads(sess, sql: str) -> str:
             return m.group(0)
         return _changes_view(sess, root, m.group(2), m.group(3))
 
-    return _sub_outside_literals(_CHANGES_RE, _changes, sql)
+    def _cdc(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _cdc_view(sess, root, m.group(2), m.group(3))
+
+    out = _sub_outside_literals(_CHANGES_RE, _changes, sql)
+    return _sub_outside_literals(_CDC_RE, _cdc, out)
 
 
 def _has_metadata(root: str) -> bool:

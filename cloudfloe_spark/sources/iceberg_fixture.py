@@ -103,6 +103,13 @@ _MANIFEST_SCHEMA = {
                             {"type": "map", "values": "long"},
                         ],
                     },
+                    # The partition-spec id the file was written under.
+                    # Real Iceberg records this in the manifest-file
+                    # header (partition-spec-id) and one manifest holds
+                    # one spec's files; this single-manifest fixture
+                    # stamps it per entry instead. Null = pre-stamp entry
+                    # (pruned only when the table has a single spec).
+                    {"name": "spec_id", "type": ["null", "int"]},
                 ],
             },
         },
@@ -242,18 +249,15 @@ class LocalIcebergTable:
         else:
             fields = [(partition_by, "identity")]
         self._pfields: list[tuple[str, str]] = fields
+        # spec log: evolve_partition_spec appends; files stamp the spec id
+        # they were written under (manifest entry spec_id)
+        self._specs: list[list[tuple[str, str]]] = [list(fields)]
+        self._default_spec_id = 0
         # single-field compat attributes (rename_column keys off these)
         self.partition_by = fields[0][0] if fields else None
         self.partition_transform = fields[0][1] if fields else "identity"
         if fields:
-            from cloudfloe_spark.sources.partition_pruning import parse_transform
-
-            for col_name, transform in fields:
-                if col_name not in arrow_schema.names:
-                    raise KeyError(
-                        f"partition column {col_name!r} not in schema"
-                    )
-                parse_transform(transform)  # validate early
+            self._validate_pfields(fields, arrow_schema.names)
         self._snapshots: list[dict] = []
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
@@ -266,6 +270,49 @@ class LocalIcebergTable:
 
     def _uri(self, abs_path: str) -> str:
         return f"{self._uri_prefix}{abs_path}"
+
+    @staticmethod
+    def _validate_pfields(fields, schema_names) -> None:
+        from cloudfloe_spark.sources.partition_pruning import parse_transform
+
+        for col_name, transform in fields:
+            if col_name not in schema_names:
+                raise KeyError(f"partition column {col_name!r} not in schema")
+            parse_transform(transform)  # validate early
+
+    def evolve_partition_spec(
+        self,
+        partition_by: "Optional[str | tuple[str, str] | list]",
+        *,
+        timestamp_ms: int,
+    ) -> int:
+        """Partition-spec EVOLUTION (Iceberg `ALTER TABLE ... WRITE
+        ORDERED/PARTITIONED BY` shape): append a new spec to the metadata
+        spec log and make it the default — metadata-only, no snapshot, no
+        file rewrite. Files already written keep their old spec id stamp
+        and must keep being pruned under THEIR spec; only future appends
+        write (and prune) under the new one. Returns the new spec id."""
+        if partition_by is None:
+            fields: list = []
+        elif isinstance(partition_by, list):
+            fields = [
+                f if isinstance(f, tuple) else (f, "identity")
+                for f in partition_by
+            ]
+        elif isinstance(partition_by, tuple):
+            fields = [partition_by]
+        else:
+            fields = [(partition_by, "identity")]
+        self._validate_pfields(fields, self.schema.names)
+        self._specs.append(list(fields))
+        self._default_spec_id = len(self._specs) - 1
+        self._pfields = fields
+        self.partition_by = fields[0][0] if fields else None
+        self.partition_transform = fields[0][1] if fields else "identity"
+        self._extra_meta_versions += 1
+        if self._snapshots:
+            self._write_metadata_json(timestamp_ms)
+        return self._default_spec_id
 
     # -- snapshot builders ----------------------------------------------------
 
@@ -338,6 +385,7 @@ class LocalIcebergTable:
                 "lower_bounds": lower,
                 "upper_bounds": upper,
                 "null_value_counts": nulls,
+                "spec_id": self._default_spec_id,
             }
         return self._commit(timestamp_ms)
 
@@ -449,6 +497,13 @@ class LocalIcebergTable:
         self._pfields = [
             (new if c == old else c, tr) for c, tr in self._pfields
         ]
+        # every spec in the log references source columns by name here;
+        # a rename must follow them all (real Iceberg tracks source-id,
+        # which is rename-stable — this mirrors that)
+        self._specs = [
+            [(new if c == old else c, tr) for c, tr in spec]
+            for spec in self._specs
+        ]
         if not self._schema_log:
             # schema 0 was implicit until now — materialize the ORIGINAL
             # names as schema-id 0 before appending the renamed schema.
@@ -508,6 +563,7 @@ class LocalIcebergTable:
                     "lower_bounds": df.get("lower_bounds"),
                     "upper_bounds": df.get("upper_bounds"),
                     "null_value_counts": df.get("null_value_counts"),
+                    "spec_id": df.get("spec_id"),
                 },
             }
             for df in list(self._live.values()) + self._delete_files
@@ -603,20 +659,21 @@ class LocalIcebergTable:
             "location": self._uri(self.root),
             "last-updated-ms": timestamp_ms,
             "current-snapshot-id": self._snapshots[-1]["snapshot-id"],
-            "default-spec-id": 0,
+            "default-spec-id": self._default_spec_id,
             "partition-specs": [
                 {
-                    "spec-id": 0,
+                    "spec-id": sid,
                     "fields": [
                         {
                             "name": self.partition_field_name(c, tr),
                             "source-id": 1 + self.schema.names.index(c),
-                            "field-id": 1000 + i,
+                            "field-id": 1000 + sid * 100 + i,
                             "transform": tr,
                         }
-                        for i, (c, tr) in enumerate(self._pfields)
+                        for i, (c, tr) in enumerate(spec)
                     ],
                 }
+                for sid, spec in enumerate(self._specs)
             ],
             "current-schema-id": (
                 self._schema_log[-1]["schema-id"] if self._schema_log else 0
@@ -712,6 +769,7 @@ def commit_rewrite_snapshot(
                     "lower_bounds": lower,
                     "upper_bounds": upper,
                     "null_value_counts": nulls,
+                    "spec_id": None,
                 },
             }
         )
@@ -789,6 +847,7 @@ _DATA_FILE_KEYS = (
     "lower_bounds",
     "upper_bounds",
     "null_value_counts",
+    "spec_id",
 )
 
 

@@ -306,6 +306,25 @@ def position_delete_paths(root: str, snapshot: dict) -> list[str]:
     )
 
 
+def position_delete_records(root: str, snapshot: dict) -> list[dict]:
+    """Live position-delete files WITH their commit sequence numbers:
+    ``{"path", "seq"}`` — the ordering a changelog read needs to tell
+    in-range deletes from pre-range ones."""
+    root_local = _norm_root(root)
+    out = []
+    for e in manifest_entries(root, snapshot):
+        f = e["data_file"]
+        if e["status"] == 2 or f.get("content", 0) != 1:
+            continue
+        out.append(
+            {
+                "path": _relocate(f["file_path"], root_local),
+                "seq": e["sequence_number"],
+            }
+        )
+    return sorted(out, key=lambda d: (d["seq"], d["path"]))
+
+
 def has_equality_deletes(root: str, snapshot: dict) -> bool:
     """True when the snapshot carries equality-delete files (content=2)."""
     return any(
@@ -674,43 +693,77 @@ def identity_partition_fields(
     return out
 
 
-def partition_spec_fields(
+def partition_specs_by_id(
     root: str, metadata_path: Optional[str] = None
-) -> list[dict]:
-    """Every field of the default partition spec with its source-column
-    resolution: ``{"field_name", "column", "transform", "type"}`` where
-    ``column`` is the CURRENT schema name of the source field and ``type``
-    its Iceberg type string. Feeds transform-aware manifest pruning
-    (:mod:`cloudfloe_spark.sources.partition_pruning`); identity stamping
-    keeps using :func:`identity_partition_fields`."""
+) -> dict[int, list[dict]]:
+    """EVERY partition spec in the metadata's spec log, keyed by spec-id,
+    each field with its source-column resolution: ``{"field_name",
+    "column", "transform", "type"}`` where ``column`` is the CURRENT
+    schema name of the source field and ``type`` its Iceberg type string.
+
+    Spec evolution means a table's files span specs: evaluating a file
+    under the table DEFAULT spec is wrong whenever the file was written
+    under an older one (no pruning on its fields at best; a field name
+    reused across specs with a different transform at worst). Pruning
+    must resolve each file's OWN spec via :func:`live_data_spec_ids`."""
     meta = load_metadata(root, metadata_path)
     specs = meta.get("partition-specs") or []
-    spec_id = meta.get("default-spec-id", 0)
-    spec = next((s for s in specs if s.get("spec-id") == spec_id), None)
-    if not spec:
-        return []
     try:
         schema = _schema_for(meta)
     except IcebergMetadataError:
-        return []
+        return {}
     by_id = {
         f["id"]: (f["name"], f["type"])
         for f in schema.get("fields", [])
         if "id" in f and isinstance(f.get("type"), str)
     }
-    out = []
-    for f in spec.get("fields", []):
-        src = by_id.get(f.get("source-id"))
-        if src and f.get("transform"):
-            out.append(
-                {
-                    "field_name": f.get("name"),
-                    "column": src[0],
-                    "transform": f["transform"],
-                    "type": src[1],
-                }
-            )
+    out: dict[int, list[dict]] = {}
+    for spec in specs:
+        sid = spec.get("spec-id")
+        if sid is None:
+            continue
+        fields = []
+        for f in spec.get("fields", []):
+            src = by_id.get(f.get("source-id"))
+            if src and f.get("transform"):
+                fields.append(
+                    {
+                        "field_name": f.get("name"),
+                        "column": src[0],
+                        "transform": f["transform"],
+                        "type": src[1],
+                    }
+                )
+        out[sid] = fields
     return out
+
+
+def partition_spec_fields(
+    root: str, metadata_path: Optional[str] = None
+) -> list[dict]:
+    """The DEFAULT partition spec's fields (see
+    :func:`partition_specs_by_id` for the full log — pruning resolves
+    per-file specs through that; this remains for single-spec callers).
+    """
+    meta = load_metadata(root, metadata_path)
+    return partition_specs_by_id(root, metadata_path).get(
+        meta.get("default-spec-id", 0), []
+    )
+
+
+def live_data_spec_ids(
+    root: str, snapshot: dict
+) -> dict[str, Optional[int]]:
+    """Relocated data-file path → the partition-spec id the file was
+    written under (manifest entry ``spec_id`` stamp; None for entries
+    written before the stamp existed — those may only be pruned when the
+    table has a single spec, see the soundness rule in
+    ``partition_pruning``'s callers)."""
+    root_local = _norm_root(root)
+    return {
+        _relocate(f["file_path"], root_local): f.get("spec_id")
+        for f in live_data_files(root, snapshot)
+    }
 
 
 def live_data_partitions(

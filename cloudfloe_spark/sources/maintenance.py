@@ -343,6 +343,11 @@ def remove_orphan_files(
     return {"removed": len(removed), "referenced": len(referenced)}
 
 
+#: coordinate columns `_mor_raw_scan` materializes for DML passes —
+#: the file path + row position every position delete names.
+_FP, _POS = "__cf_fp", "__cf_pos"
+
+
 def _mor_raw_scan(
     spark: SparkSession,
     root: str,
@@ -350,16 +355,29 @@ def _mor_raw_scan(
     paths: list,
     *,
     allow_equality: bool = False,
+    metadata_path=None,
 ):
-    """Raw per-file scan (``_metadata`` coordinates intact) with the
-    snapshot's POSITION deletes applied — without this, a DML pass over a
-    table that already carries delete files would match rows that are
-    logically gone and (for update/merge) RESURRECT them as new copies.
+    """Per-file scan for DML with the snapshot's POSITION deletes applied
+    — without this, a DML pass over a table that already carries delete
+    files would match rows that are logically gone and (for update/merge)
+    RESURRECT them as new copies.
+
+    Returns the table under its CURRENT column names plus two coordinate
+    columns ``__cf_fp`` / ``__cf_pos`` (from ``_metadata``, materialized
+    per file group BEFORE any union — the pseudo-column does not survive
+    a union of separate scans). Renamed tables are handled exactly as the
+    read path does (`service/iceberg_local.py:232-258`): files grouped by
+    the rename map their footer needs via ``scan_groups`` field-id
+    resolution, deletes applied against on-disk names, then renamed — so
+    a condition on current names matches rows in pre-rename files too.
+
     Live equality deletes are refused for the re-appending operations
     (applying them needs the full sequence machinery; compaction
     materializes them) — ``allow_equality`` lets delete_where proceed,
     where matching an equality-deleted row merely adds a redundant,
     harmless position delete."""
+    from pyspark.sql import functions as F
+
     from cloudfloe_spark.sources import iceberg_meta as im
 
     if not allow_equality and any(
@@ -371,14 +389,32 @@ def _mor_raw_scan(
             "compact_iceberg_table first to materialize them before "
             "row-level update/merge"
         )
-    df = spark.read.parquet(*paths)
     pos = im.position_delete_paths(root, snap)
     if pos:
         from cloudfloe_spark.service.iceberg_local import (
             _apply_position_deletes,
         )
 
-        df = _apply_position_deletes(spark, df, pos)
+    groups = im.scan_groups(root, paths, metadata_path)
+    parts = []
+    for gpaths, renames, read_ddl in groups:
+        reader = spark.read
+        if read_ddl is not None:
+            reader = reader.schema(read_ddl)
+        gdf = reader.parquet(*gpaths)
+        if pos:
+            gdf = _apply_position_deletes(spark, gdf, pos)
+        gdf = gdf.select(
+            F.col("_metadata.file_path").alias(_FP),
+            F.col("_metadata.row_index").alias(_POS),
+            "*",
+        )
+        if renames:
+            gdf = gdf.withColumnsRenamed(renames)
+        parts.append(gdf)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return df
 
 
@@ -396,11 +432,21 @@ def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: lis
     ).get("__dml__")
     if not conj:
         return paths
-    spec_fields = im.partition_spec_fields(root, meta_path)
-    if spec_fields:
+    try:
+        hist = im.schema_name_history(root, meta_path)
+    except im.IcebergMetadataError:
+        hist = None  # ambiguous history: prune nothing (sound)
+    if hist is None:
+        return paths
+    specs_by_id = im.partition_specs_by_id(root, meta_path)
+    if any(specs_by_id.values()):
         pv = im.live_data_partitions(root, snap)
+        file_specs = im.live_data_spec_ids(root, snap)
+        fields_for = pp.spec_resolver(specs_by_id, file_specs)
         paths = [
-            p for p in paths if pp.file_survives(spec_fields, pv.get(p), conj, {})
+            p for p in paths
+            if (fs := fields_for(p)) is None
+            or pp.file_survives(fs, pv.get(p), conj, hist)
         ]
     if paths:
         stats = im.live_data_stats(root, snap)
@@ -408,7 +454,7 @@ def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: lis
         paths = [
             p
             for p in paths
-            if pp.file_survives_stats(stats.get(p), conj, col_types, {})
+            if pp.file_survives_stats(stats.get(p), conj, col_types, hist)
         ]
     return paths
 
@@ -442,9 +488,9 @@ def delete_where(
     every row. Re-deleting an already-deleted row is a harmless duplicate
     (the reader's anti-join is idempotent).
 
-    Tables with a rename history are refused: the raw per-file scan sees
-    write-time column names, so a condition on current names would
-    silently miss renamed columns' old files.
+    Renamed tables work (r7, lifting the r6 refusal): the scan resolves
+    write-time column names per file group exactly as the read path does,
+    so ``condition`` is always written in CURRENT names.
     """
     from pyspark.sql import functions as F
 
@@ -452,12 +498,6 @@ def delete_where(
     from cloudfloe_spark.sources.iceberg_fixture import commit_delete_snapshot
 
     meta_path = im.latest_metadata_path(root)
-    if im.schema_name_history(root, meta_path):
-        raise ValueError(
-            "delete_where requires a rename-free schema log (the raw "
-            "per-file scan resolves write-time names); compact the table "
-            "first to rewrite files under current names"
-        )
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
     n_live = len(paths)
@@ -472,28 +512,41 @@ def delete_where(
         }
 
     matches = (
-        _mor_raw_scan(spark, root, snap, paths, allow_equality=True)
+        _mor_raw_scan(
+            spark, root, snap, paths,
+            allow_equality=True, metadata_path=meta_path,
+        )
         .filter(condition)
         .select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col(_FP).alias("file_path"),
+            F.col(_POS).alias("pos"),
         )
+        # persist across count + write: without it the matching files are
+        # scanned TWICE per DELETE — at 100 TB that doubles the dominant
+        # cost. The match set is (file_path, pos) pairs only, far smaller
+        # than the scanned data; MEMORY_AND_DISK never OOMs the executors.
+        .persist()
     )
-    n = matches.count()
-    if n == 0:
-        return {"matched": 0, "snapshot_id": None, "delete_files": [],
-                "files_scanned": len(paths), "files_total": n_live}
+    try:
+        n = matches.count()
+        if n == 0:
+            return {"matched": 0, "snapshot_id": None, "delete_files": [],
+                    "files_scanned": len(paths), "files_total": n_live}
 
-    out_dir = os.path.join(
-        root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
-    )
-    n_files = max(1, -(-n // rows_per_delete_file))
-    (
-        matches.repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.mode("errorifexists")
-        .parquet(out_dir)
-    )
+        out_dir = os.path.join(
+            root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+        )
+        n_files = max(1, -(-n // rows_per_delete_file))
+        (
+            matches.repartitionByRange(
+                n_files, F.col("file_path"), F.col("pos")
+            )
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("errorifexists")
+            .parquet(out_dir)
+        )
+    finally:
+        matches.unpersist()
     import pyarrow.parquet as pq
 
     delete_files = []
@@ -536,7 +589,8 @@ def update_where(
     the OLD row (standard UPDATE semantics: all expressions see the
     pre-update values). Unassigned columns pass through. Both the delete
     and the rewritten-row writes are distributed, sized by the match
-    count, never by table size. Same rename restriction as delete_where.
+    count, never by table size. Renamed tables work (r7): write-time
+    names resolve per file group, like delete_where.
     """
     from pyspark.sql import functions as F
 
@@ -546,12 +600,6 @@ def update_where(
     )
 
     meta_path = im.latest_metadata_path(root)
-    if im.schema_name_history(root, meta_path):
-        raise ValueError(
-            "update_where requires a rename-free schema log (the raw "
-            "per-file scan resolves write-time names); compact the table "
-            "first to rewrite files under current names"
-        )
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
     n_live = len(paths)
@@ -559,50 +607,55 @@ def update_where(
     if not paths:
         return {"matched": 0, "snapshot_id": None, "files_scanned": 0,
                 "files_total": n_live}
-    bad = sorted(set(assignments) - set(
-        spark.read.parquet(paths[0]).columns
-    ))
+
+    df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
+    data_cols = [c for c in df.columns if c not in (_FP, _POS)]
+    bad = sorted(set(assignments) - set(data_cols))
     if bad:
         raise ValueError(f"update_where: unknown columns in SET: {bad}")
+    # persist the matched rows across count + both writes: one scan of
+    # the matching files total, cached state sized by the match count
+    matches = df.filter(condition).persist()
+    try:
+        deletes = matches.select(
+            F.col(_FP).alias("file_path"),
+            F.col(_POS).alias("pos"),
+        )
+        n = deletes.count()
+        if n == 0:
+            return {"matched": 0, "snapshot_id": None,
+                    "files_scanned": len(paths), "files_total": n_live}
 
-    df = _mor_raw_scan(spark, root, snap, paths)
-    data_cols = [c for c in df.columns]
-    matches = df.filter(condition)
-    deletes = matches.select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-    )
-    n = deletes.count()
-    if n == 0:
-        return {"matched": 0, "snapshot_id": None,
-                "files_scanned": len(paths), "files_total": n_live}
+        import pyarrow.parquet as pq
 
-    import pyarrow.parquet as pq
-
-    del_dir = os.path.join(
-        root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
-    )
-    n_files = max(1, -(-n // rows_per_delete_file))
-    (
-        deletes.repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.mode("errorifexists")
-        .parquet(del_dir)
-    )
-    # rewritten rows: assignments see the OLD values (standard UPDATE);
-    # the original column order/schema is preserved
-    upd_dir = os.path.join(
-        root, "data", f"update-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
-    )
-    rewritten = matches.select(
-        *[
-            F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
-            if c in assignments
-            else F.col(c)
-            for c in data_cols
-        ]
-    )
-    rewritten.write.mode("errorifexists").parquet(upd_dir)
+        del_dir = os.path.join(
+            root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+        )
+        n_files = max(1, -(-n // rows_per_delete_file))
+        (
+            deletes.repartitionByRange(
+                n_files, F.col("file_path"), F.col("pos")
+            )
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("errorifexists")
+            .parquet(del_dir)
+        )
+        # rewritten rows: assignments see the OLD values (standard
+        # UPDATE); the original column order/schema is preserved
+        upd_dir = os.path.join(
+            root, "data", f"update-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+        )
+        rewritten = matches.select(
+            *[
+                F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in data_cols
+            ]
+        )
+        rewritten.write.mode("errorifexists").parquet(upd_dir)
+    finally:
+        matches.unpersist()
 
     def _parquets(d):
         out = []
@@ -656,8 +709,8 @@ def merge_into(
     distinct rows, like SQL MERGE.
 
     Same scale shape as delete/update: every pass is a distributed Spark
-    plan; only parquet footers are read driver-side. Same rename
-    restriction as delete_where.
+    plan; only parquet footers are read driver-side. Renamed tables work
+    (r7): write-time names resolve per file group, like delete_where.
     """
     from pyspark.sql import functions as F
 
@@ -669,19 +722,13 @@ def merge_into(
     keys = [on] if isinstance(on, str) else list(on)
     when_matched = when_matched or {}
     meta_path = im.latest_metadata_path(root)
-    if im.schema_name_history(root, meta_path):
-        raise ValueError(
-            "merge_into requires a rename-free schema log (the raw "
-            "per-file scan resolves write-time names); compact the table "
-            "first to rewrite files under current names"
-        )
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
     if not paths:
         raise ValueError("merge_into: target table has no live data files")
 
-    tdf = _mor_raw_scan(spark, root, snap, paths)
-    tcols = [c for c in tdf.columns]
+    tdf = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
+    tcols = [c for c in tdf.columns if c not in (_FP, _POS)]
     missing = sorted(set(tcols) - set(source.columns))
     if insert_unmatched and missing:
         raise ValueError(
@@ -693,8 +740,8 @@ def merge_into(
         raise ValueError(f"merge_into: unknown columns in when_matched: {bad}")
 
     t = tdf.select(
-        F.col("_metadata.file_path").alias("__fp"),
-        F.col("_metadata.row_index").alias("__pos"),
+        F.col(_FP).alias("__fp"),
+        F.col(_POS).alias("__pos"),
         *[F.col(c) for c in tcols],
     ).alias("t")
     s = source.alias("s")
@@ -703,73 +750,81 @@ def merge_into(
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else (cond & eq)
 
-    matched = t.join(s, cond, "inner")
-    dup = (
-        matched.groupBy(F.col("t.__fp"), F.col("t.__pos"))
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise MergeCardinalityError(
-            "merge_into: a target row matches multiple source rows; "
-            "deduplicate the source on the join key first"
+    # persist: the matched set feeds the cardinality check, the match
+    # count, the rewritten-row write AND the delete-file write — without
+    # it the target scan + join re-executes four times (match-count-sized
+    # cache, never table-sized)
+    matched = t.join(s, cond, "inner").persist()
+    try:
+        dup = (
+            matched.groupBy(F.col("t.__fp"), F.col("t.__pos"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
         )
-    n_matched = matched.count()
-
-    rewritten = matched.select(
-        *[
-            F.expr(when_matched[c]).cast(tdf.schema[c].dataType).alias(c)
-            if c in when_matched
-            else F.col(f"t.{c}").alias(c)
-            for c in tcols
-        ]
-    )
-    inserts = (
-        s.join(t, cond, "left_anti").select(
-            *[F.col(f"s.{c}").cast(tdf.schema[c].dataType).alias(c) for c in tcols]
-        )
-        if insert_unmatched
-        else None
-    )
-    n_inserted = inserts.count() if inserts is not None else 0
-    if n_matched == 0 and n_inserted == 0:
-        return {"matched": 0, "inserted": 0, "snapshot_id": None}
-
-    import pyarrow.parquet as pq
-
-    def _parquets(d):
-        out = []
-        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
-            cnt = pq.ParquetFile(f).metadata.num_rows
-            if cnt:
-                out.append((f, cnt))
-        return out
-
-    delete_files: list[tuple[str, int]] = []
-    if n_matched:
-        del_dir = os.path.join(
-        root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
-    )
-        n_files = max(1, -(-n_matched // rows_per_delete_file))
-        (
-            matched.select(
-                F.col("t.__fp").alias("file_path"),
-                F.col("t.__pos").alias("pos"),
+        if dup:
+            raise MergeCardinalityError(
+                "merge_into: a target row matches multiple source rows; "
+                "deduplicate the source on the join key first"
             )
-            .repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("errorifexists")
-            .parquet(del_dir)
-        )
-        delete_files = _parquets(del_dir)
+        n_matched = matched.count()
 
-    out = rewritten if inserts is None else rewritten.unionByName(inserts)
-    merge_dir = os.path.join(
-        root, "data", f"merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
-    )
-    out.write.mode("errorifexists").parquet(merge_dir)
+        rewritten = matched.select(
+            *[
+                F.expr(when_matched[c]).cast(tdf.schema[c].dataType).alias(c)
+                if c in when_matched
+                else F.col(f"t.{c}").alias(c)
+                for c in tcols
+            ]
+        )
+        inserts = (
+            s.join(t, cond, "left_anti").select(
+                *[F.col(f"s.{c}").cast(tdf.schema[c].dataType).alias(c) for c in tcols]
+            )
+            if insert_unmatched
+            else None
+        )
+        n_inserted = inserts.count() if inserts is not None else 0
+        if n_matched == 0 and n_inserted == 0:
+            return {"matched": 0, "inserted": 0, "snapshot_id": None}
+
+        import pyarrow.parquet as pq
+
+        def _parquets(d):
+            out = []
+            for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
+                cnt = pq.ParquetFile(f).metadata.num_rows
+                if cnt:
+                    out.append((f, cnt))
+            return out
+
+        delete_files: list[tuple[str, int]] = []
+        if n_matched:
+            del_dir = os.path.join(
+                root, "data",
+                f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
+            )
+            n_files = max(1, -(-n_matched // rows_per_delete_file))
+            (
+                matched.select(
+                    F.col("t.__fp").alias("file_path"),
+                    F.col("t.__pos").alias("pos"),
+                )
+                .repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("errorifexists")
+                .parquet(del_dir)
+            )
+            delete_files = _parquets(del_dir)
+
+        out = rewritten if inserts is None else rewritten.unionByName(inserts)
+        merge_dir = os.path.join(
+            root, "data", f"merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+        )
+        out.write.mode("errorifexists").parquet(merge_dir)
+    finally:
+        matched.unpersist()
 
     snap_id = commit_row_delta_snapshot(
         root,

@@ -488,6 +488,32 @@ def extract_scan_conjuncts(
 # --- file survival ---------------------------------------------------------------
 
 
+def spec_resolver(specs_by_id: dict, file_spec_ids: dict):
+    """Per-file partition-spec resolution for pruning across SPEC
+    EVOLUTION: returns ``fields_for(path) -> spec_fields | None`` where
+    None means "spec unknown → never prune this file".
+
+    Soundness rules:
+    - a file stamped with a spec id is evaluated under THAT spec (its
+      tuple was written by it; the table default may use the same field
+      name with a different transform);
+    - an unstamped file (pre-stamp manifests) may only be pruned when the
+      table has exactly ONE spec — with several, its write spec is
+      unknowable and any choice could false-prune.
+    """
+    single = (
+        next(iter(specs_by_id.values())) if len(specs_by_id) == 1 else None
+    )
+
+    def fields_for(path):
+        sid = file_spec_ids.get(path)
+        if sid is None:
+            return single
+        return specs_by_id.get(sid)
+
+    return fields_for
+
+
 def file_survives(
     spec_fields: list[dict],
     pvals: Optional[dict],

@@ -95,13 +95,94 @@ def test_delete_where_is_idempotent(spark, two_file_table):
     assert [r[0] for r in got] == [4, 5, 6, 7, 8, 9]
 
 
-def test_delete_where_refuses_renamed_tables(spark, tmp_path):
+def test_delete_where_works_on_renamed_tables(spark, tmp_path):
+    """r7 (VERDICT r06 #2): DML on a renamed-column table — the scan
+    resolves write-time names per file group like the read path, so a
+    condition in CURRENT names matches rows in pre-rename files, and a
+    post-rename append (current-name footers) participates in the same
+    pass. DuckDB computes the expected survivors from the raw parquet."""
+    import duckdb
+
     root = str(tmp_path / "tren")
-    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
-    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})], timestamp_ms=T1
+    )
     t.rename_column("id", "row_id", timestamp_ms=T1 + 500)
-    with pytest.raises(ValueError, match="rename-free"):
-        delete_where(spark, root, "row_id = 1", timestamp_ms=T1 + 1000)
+    # post-rename file: footer already carries the current name
+    t.append_snapshot(
+        [pa.table({"row_id": [4, 5], "v": ["d", "e"]})], timestamp_ms=T1 + 700
+    )
+    s_pre = im.resolve_snapshot(root)["snapshot-id"]
+
+    # DuckDB oracle over the RAW data files (read before the DML adds
+    # delete sidecars): normalize each footer's write-time first column
+    # to the current name, union, filter the survivors.
+    import glob as g
+    import os
+
+    raw = []
+    for f in sorted(g.glob(os.path.join(root, "data", "*.parquet"))):
+        # positional fetch: column 0 is id-then-renamed-row_id either way
+        raw += [tuple(r) for r in duckdb.sql(
+            f"SELECT * FROM read_parquet('{f}')"
+        ).fetchall()]
+    expected = sorted(t for t in raw if t[0] % 2 != 0)
+
+    res = delete_where(spark, root, "row_id % 2 = 0", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 2  # row_id 2 (pre-rename file) + 4 (post)
+
+    got = _rows(
+        spark,
+        f"SELECT row_id, v FROM iceberg_scan('{root}') ORDER BY row_id",
+    )
+    assert [tuple(r) for r in got] == expected
+    # time travel across the DML still shows every pre-delete row
+    old = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF {s_pre}",
+    )
+    assert old == [[5]]
+
+
+def test_update_and_merge_work_on_renamed_tables(spark, tmp_path):
+    """update_where assignments and merge_into join keys are written in
+    CURRENT names and must hit rows stored in pre-rename files."""
+    from cloudfloe_spark.sources.maintenance import merge_into, update_where
+
+    root = str(tmp_path / "tren2")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})], timestamp_ms=T1
+    )
+    t.rename_column("v", "val", timestamp_ms=T1 + 500)
+
+    update_where(
+        spark, root, "id = 2", {"val": "upper(val)"}, timestamp_ms=T1 + 1000
+    )
+    got = _rows(
+        spark, f"SELECT id, val FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [tuple(r) for r in got] == [(1, "a"), (2, "B"), (3, "c")]
+
+    src = spark.createDataFrame(
+        [(3, "merged"), (9, "new")], "id LONG, val STRING"
+    )
+    res = merge_into(
+        spark, root, src, "id",
+        when_matched={"val": "s.val"}, timestamp_ms=T1 + 2000,
+    )
+    assert res["matched"] == 1 and res["inserted"] == 1
+    got = _rows(
+        spark, f"SELECT id, val FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [tuple(r) for r in got] == [
+        (1, "a"), (2, "B"), (3, "merged"), (9, "new")
+    ]
 
 
 def test_delete_then_compact_materializes_deletion(spark, two_file_table):
@@ -388,7 +469,7 @@ def test_delete_by_key_rows_rewritten_after_survive(spark, two_file_table):
 def test_delete_by_key_works_after_rename(spark, tmp_path):
     """Equality deletes bind by field id; the delete parquet carries the
     CURRENT name and the reader resolves history — so key erasure works
-    on renamed tables (where delete_where refuses)."""
+    on renamed tables with no scan at all."""
     from cloudfloe_spark.sources.maintenance import delete_by_key
 
     root = str(tmp_path / "tekr")
@@ -664,3 +745,44 @@ def test_drop_ref_releases_snapshot_for_expiry(spark, two_file_table):
             spark,
             f"SELECT 1 FROM iceberg_scan('{root}') VERSION AS OF 'tmp'",
         )
+
+
+def test_dml_writes_read_cached_matches_not_parquet(
+    spark, two_file_table, monkeypatch
+):
+    """r7 (VERDICT r06 #3): the matching files must be scanned ONCE per
+    DML call. The count() materializes the persisted match set; every
+    subsequent write plan must read InMemoryTableScan, never re-scan the
+    table parquet (pre-fix, the write re-executed the full filter scan —
+    2× the dominant cost of a 100-TB DELETE). Captured by spying on the
+    write-side plan at write time."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    plans = []
+    orig = DataFrameWriter.parquet
+
+    def spy(self, path, **kw):
+        plans.append(
+            self._df._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
+
+    root = two_file_table
+    delete_where(spark, root, "id < 3", timestamp_ms=T1 + 1000)
+    update_where(
+        spark, root, "id = 5", {"v": "upper(v)"}, timestamp_ms=T1 + 2000
+    )
+    assert len(plans) == 3  # 1 delete write + update's delete + data write
+    for p in plans:
+        assert "InMemoryTableScan" in p, p
+        # A FileScan may appear INSIDE the InMemoryRelation node (that is
+        # the cache's stored definition being printed, not a re-scan);
+        # what must not exist is a parquet scan OUTSIDE the cache, i.e.
+        # before the first InMemoryRelation in the top-down tree text.
+        first_file_scan = p.find("FileScan parquet")
+        if first_file_scan != -1:
+            assert 0 <= p.find("InMemoryRelation") < first_file_scan, p

@@ -578,3 +578,64 @@ class TestStatsSoundnessProperty:
         assert pp.file_survives_stats(
             stats, [("c2", "=", 12)], {"c2": "long"}, hist
         )
+
+
+class TestSpecResolver:
+    """Per-file spec resolution across partition-spec evolution
+    (VERDICT r06 #4): a file is evaluated under the spec it was written
+    under, never the table default."""
+
+    SPEC4 = [
+        {"field_name": "v_bucket", "column": "v", "transform": "bucket[4]",
+         "type": "long"}
+    ]
+    SPEC8 = [
+        {"field_name": "v_bucket", "column": "v", "transform": "bucket[8]",
+         "type": "long"}
+    ]
+
+    def test_stamped_files_use_their_own_spec(self):
+        res = pp.spec_resolver({0: self.SPEC4, 1: self.SPEC8},
+                               {"old.pq": 0, "new.pq": 1})
+        assert res("old.pq") is self.SPEC4
+        assert res("new.pq") is self.SPEC8
+
+    def test_unstamped_file_multi_spec_never_prunes(self):
+        res = pp.spec_resolver({0: self.SPEC4, 1: self.SPEC8}, {"f.pq": None})
+        assert res("f.pq") is None
+        assert res("unknown.pq") is None
+
+    def test_unstamped_file_single_spec_uses_it(self):
+        res = pp.spec_resolver({0: self.SPEC4}, {"f.pq": None})
+        assert res("f.pq") is self.SPEC4
+
+    def test_same_field_name_different_transform_soundness(self):
+        # the latent wrong-transform edge: v_bucket recorded under
+        # bucket[4] must NOT be compared against a bucket[8] hash of the
+        # literal. Pick v where the two bucket values differ.
+        v = next(
+            x for x in range(1, 1000)
+            if pp.bucket_value(x, 4, "long") != pp.bucket_value(x, 8, "long")
+        )
+        pv = {"v_bucket": str(pp.bucket_value(v, 4, "long"))}
+        conj = [("v", "=", v)]
+        # default-spec (bucket[8]) evaluation would false-prune:
+        assert not pp.file_survives(self.SPEC8, pv, conj)
+        # own-spec evaluation keeps the file:
+        assert pp.file_survives(self.SPEC4, pv, conj)
+
+    def test_random_two_spec_evolution_never_false_prunes(self):
+        """Property: rows written under either spec, equality conjuncts
+        on the source column — a file containing the queried value always
+        survives when evaluated under its OWN spec."""
+        import random
+
+        rng = random.Random(77)
+        specs = {0: self.SPEC4, 1: self.SPEC8}
+        for _ in range(300):
+            sid = rng.choice([0, 1])
+            n = 4 if sid == 0 else 8
+            v = rng.randrange(-10**6, 10**6)
+            pv = {"v_bucket": str(pp.bucket_value(v, n, "long"))}
+            res = pp.spec_resolver(specs, {"f.pq": sid})
+            assert pp.file_survives(res("f.pq"), pv, [("v", "=", v)])
