@@ -21,10 +21,11 @@ pruning and the file is read normally.
 
 Predicates are extracted from the (view-substituted) statement text with
 DuckDB's ``json_serialize_sql`` parser — already a hard dependency as the
-correctness oracle — so no hand-rolled SQL parsing. A scan is only pruned
-when it appears exactly once in the statement AND is the sole relation of
-its SELECT's FROM (the reference's dashboard pattern); joins/self-unions
-read unpruned.
+correctness oracle — so no hand-rolled SQL parsing. A scan is pruned when
+it appears exactly once in the statement and is either the sole relation
+of its SELECT's FROM or a base-table leaf of that SELECT's JOIN tree
+(qualified-column, null-rejecting conjuncts only in the JOIN case — see
+``extract_scan_conjuncts``); self-unions read unpruned.
 
 At 100 TB this is manifest-level pruning on the driver: O(#live files)
 dict lookups per query against metadata already fetched for planning — the
@@ -366,11 +367,15 @@ def _unwrap_const(node: Any) -> tuple[bool, Any]:
     return False, None
 
 
-def _colname(node: Any, rel_names: set[str]) -> Optional[str]:
+def _colname(
+    node: Any, rel_names: set[str], qualified_only: bool = False
+) -> Optional[str]:
     if not (isinstance(node, dict) and node.get("class") == "COLUMN_REF"):
         return None
     names = node.get("column_names") or []
-    if len(names) == 1:
+    if len(names) == 1 and not qualified_only:
+        # sole-relation context: an unqualified column can only bind there.
+        # In a JOIN context it is ambiguous — qualified_only rejects it.
         return names[0]
     if len(names) == 2 and names[0] in rel_names:
         return names[1]
@@ -386,18 +391,33 @@ def _flatten_and(node: Any) -> list:
     return [node] if node else []
 
 
-def _conjuncts_from_where(where: Any, rel_names: set[str]) -> list[tuple]:
+def _conjuncts_from_where(
+    where: Any,
+    rel_names: set[str],
+    qualified_only: bool = False,
+    drop_isnull: bool = False,
+) -> list[tuple]:
     """Simple conjuncts ``(col, op, literal)`` — ``op`` in =,<,<=,>,>=,<>
     plus ``("in", [literals])``. Unrecognised conjuncts are dropped (no
-    pruning contribution), never guessed."""
+    pruning contribution), never guessed.
+
+    ``qualified_only``: in a multi-relation (JOIN) scope an unqualified
+    column is ambiguous — only ``alias.col`` references bind.
+    ``drop_isnull``: IS NULL is the one extracted conjunct a NULL row
+    SATISFIES; on the null-supplying side of an outer join, pruning files
+    by it could turn matched-and-filtered rows into null-extended rows
+    that PASS the filter — so JOIN contexts keep only null-rejecting
+    conjuncts (comparisons, IN, IS NOT NULL), which are side-agnostic."""
     out: list[tuple] = []
     for c in _flatten_and(where):
         if not isinstance(c, dict):
             continue
         cls, typ = c.get("class"), c.get("type")
+        if drop_isnull and cls == "OPERATOR" and typ == "OPERATOR_IS_NULL":
+            continue
         if cls == "COMPARISON" and typ in _OPS:
-            lcol = _colname(c.get("left"), rel_names)
-            rcol = _colname(c.get("right"), rel_names)
+            lcol = _colname(c.get("left"), rel_names, qualified_only)
+            rcol = _colname(c.get("right"), rel_names, qualified_only)
             lconst, lval = _unwrap_const(c.get("left"))
             rconst, rval = _unwrap_const(c.get("right"))
             if lcol and rconst and rval is not None:
@@ -406,7 +426,7 @@ def _conjuncts_from_where(where: Any, rel_names: set[str]) -> list[tuple]:
                 out.append((rcol, _FLIP[_OPS[typ]], lval))
         elif cls == "OPERATOR" and typ == "COMPARE_IN":
             kids = c.get("children") or []
-            col = _colname(kids[0], rel_names) if kids else None
+            col = _colname(kids[0], rel_names, qualified_only) if kids else None
             vals = [_unwrap_const(k) for k in kids[1:]]
             if col and vals and all(ok for ok, _ in vals):
                 vs = [v for _, v in vals]
@@ -414,13 +434,13 @@ def _conjuncts_from_where(where: Any, rel_names: set[str]) -> list[tuple]:
                     out.append((col, "in", vs))
         elif cls == "OPERATOR" and typ in ("OPERATOR_IS_NULL", "OPERATOR_IS_NOT_NULL"):
             kids = c.get("children") or []
-            col = _colname(kids[0], rel_names) if kids else None
+            col = _colname(kids[0], rel_names, qualified_only) if kids else None
             if col:
                 out.append(
                     (col, "isnull" if typ == "OPERATOR_IS_NULL" else "notnull", None)
                 )
         elif cls == "BETWEEN" and typ == "COMPARE_BETWEEN":
-            col = _colname(c.get("input"), rel_names)
+            col = _colname(c.get("input"), rel_names, qualified_only)
             lok, lval = _unwrap_const(c.get("lower"))
             uok, uval = _unwrap_const(c.get("upper"))
             if col and lok and lval is not None:
@@ -430,14 +450,39 @@ def _conjuncts_from_where(where: Any, rel_names: set[str]) -> list[tuple]:
     return out
 
 
+def _join_leaves(node: Any) -> list[dict]:
+    """BASE_TABLE leaves reachable through a FROM join tree (nested JOIN
+    nodes, incl. comma/CROSS joins — DuckDB models both as type JOIN).
+    Subquery/derived relations are skipped here: their own SELECT nodes
+    are visited by the outer walk and resolve independently."""
+    out: list[dict] = []
+
+    def rec(n: Any) -> None:
+        if not isinstance(n, dict):
+            return
+        if n.get("type") == "BASE_TABLE":
+            out.append(n)
+        elif n.get("type") == "JOIN":
+            rec(n.get("left"))
+            rec(n.get("right"))
+
+    rec(node)
+    return out
+
+
 def extract_scan_conjuncts(
     sql: str, view_names: set[str]
 ) -> dict[str, list[tuple]]:
     """Per-view simple WHERE conjuncts from the (already view-substituted)
-    statement. A view qualifies only when it is referenced EXACTLY once in
-    the whole statement and that reference is the sole FROM relation of
-    its SELECT node — otherwise its entry is absent (no pruning). Any
-    parse failure returns {} (every scan reads unpruned)."""
+    statement. A view qualifies when it is referenced EXACTLY once in the
+    whole statement AND that reference is either the sole FROM relation of
+    its SELECT node, or a base-table leaf of that SELECT's JOIN tree
+    (r7, VERDICT r06 #5 — the reference's DuckDB engine prunes joined
+    scans too, `README.md:199`). In the JOIN case only QUALIFIED column
+    references bind (unqualified ones are ambiguous across relations) and
+    IS NULL conjuncts are dropped (they are satisfiable by the null-
+    extended rows an outer join fabricates — see _conjuncts_from_where).
+    Any parse failure returns {} (every scan reads unpruned)."""
     try:
         import duckdb
 
@@ -472,6 +517,22 @@ def extract_scan_conjuncts(
                 hits.setdefault(name, []).extend(
                     _conjuncts_from_where(node.get("where_clause"), rel_names)
                 )
+            elif ft.get("type") == "JOIN":
+                for leaf in _join_leaves(ft):
+                    if leaf.get("table_name") not in view_names:
+                        continue
+                    name = leaf["table_name"]
+                    rel_names = {name}
+                    if leaf.get("alias"):
+                        rel_names.add(leaf["alias"])
+                    hits.setdefault(name, []).extend(
+                        _conjuncts_from_where(
+                            node.get("where_clause"),
+                            rel_names,
+                            qualified_only=True,
+                            drop_isnull=True,
+                        )
+                    )
         if node.get("type") == "BASE_TABLE" and node.get("table_name") in view_names:
             refs[node["table_name"]] = refs.get(node["table_name"], 0) + 1
         for v in node.values():

@@ -1435,9 +1435,11 @@ def test_month_partition_pruning(spark, tmp_path):
     assert len(set(df.inputFiles())) == 1
 
 
-def test_pruning_skipped_for_joins_and_multi_reference(spark, tmp_path):
-    """A scan referenced inside a join (or more than once) reads unpruned
-    — soundness over cleverness — and still returns correct rows."""
+def test_pruning_skipped_for_multi_reference(spark, tmp_path):
+    """A scan referenced MORE THAN ONCE (self-join: both references share
+    one view) reads unpruned — soundness over cleverness — and still
+    returns correct rows. (Joins of DISTINCT tables do prune since r7 —
+    see test_join_prunes_both_sides.)"""
     import datetime
 
     root = str(tmp_path / "tjoin")
@@ -1862,3 +1864,70 @@ def test_spec_evolution_dml_prunes_per_file_spec(spark, tmp_path):
     assert res["files_total"] == 4
     df = _resolved_df(spark, f"SELECT id FROM iceberg_scan('{root}')")
     assert sorted(r["id"] for r in df.collect()) == [0, 1]
+
+
+def test_join_prunes_both_sides(spark, tmp_path):
+    """r7 (VERDICT r06 #5): a join of two partitioned Iceberg tables
+    prunes EACH side by the WHERE conjuncts qualified to it — the
+    reference's DuckDB engine prunes joined scans (README.md:199).
+    Both sides read fewer file groups; result rows stay correct."""
+    import datetime
+
+    d = datetime.datetime
+    facts = str(tmp_path / "tjf")
+    tf = LocalIcebergTable(
+        facts,
+        pa.schema([("k", pa.int64()), ("ts", pa.timestamp("us"))]),
+        partition_by=("ts", "day"),
+    )
+    tf.append_snapshot(
+        [
+            pa.table(
+                {
+                    "k": [1, 2, 3],
+                    "ts": [d(2024, 3, 1), d(2024, 3, 2), d(2024, 3, 3)],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )  # three day files
+    dims = str(tmp_path / "tjd")
+    td = LocalIcebergTable(
+        dims,
+        pa.schema([("k", pa.int64()), ("cat", pa.string())]),
+        partition_by=("cat", "identity"),
+    )
+    td.append_snapshot(
+        [
+            pa.table(
+                {"k": [1, 2, 3], "cat": ["a", "b", "c"]}
+            )
+        ],
+        timestamp_ms=T1,
+    )  # three identity files
+
+    df = _resolved_df(
+        spark,
+        f"SELECT f.k FROM iceberg_scan('{facts}') f "
+        f"JOIN iceberg_scan('{dims}') d ON f.k = d.k "
+        "WHERE f.ts >= TIMESTAMP '2024-03-02 00:00:00' AND d.cat = 'b'",
+    )
+    assert sorted(r["k"] for r in df.collect()) == [2]
+    files = set(df.inputFiles())
+    fact_files = {p for p in files if "/tjf/" in p}
+    dim_files = {p for p in files if "/tjd/" in p}
+    assert len(fact_files) == 2  # day-1 pruned
+    assert len(dim_files) == 1   # only cat='b'
+
+    # left-join IS NULL on the null-supplying side: the MANIFEST pruner
+    # must not act on it (extractor drops isnull in join scope — unit
+    # tested); whatever Catalyst folds out of the identity-stamped
+    # literals is join-aware and sound, so the evidence here is the
+    # anti-join rows coming back complete and correct
+    df2 = _resolved_df(
+        spark,
+        f"SELECT f.k FROM iceberg_scan('{facts}') f "
+        f"LEFT JOIN iceberg_scan('{dims}') d "
+        "ON f.k = d.k AND d.cat = 'b' WHERE d.cat IS NULL",
+    )
+    assert sorted(r["k"] for r in df2.collect()) == [1, 3]

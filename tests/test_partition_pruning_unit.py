@@ -128,9 +128,54 @@ class TestConjunctExtraction:
         )
         assert "v1" not in out
 
-    def test_join_disqualifies(self):
+    def test_join_prunes_per_relation_qualified_only(self):
+        # r7 (VERDICT r06 #5): joined scans prune on conjuncts qualified
+        # to them; unqualified columns are ambiguous and contribute none
         out = pp.extract_scan_conjuncts(
-            "SELECT * FROM v1 JOIN t2 ON v1.k = t2.k WHERE v1.a = 1", {"v1"}
+            "SELECT * FROM v1 JOIN v2 ON v1.k = v2.k "
+            "WHERE v1.a = 1 AND v2.b = 2 AND c = 3",
+            {"v1", "v2"},
+        )
+        assert out["v1"] == [("a", "=", 1)]
+        assert out["v2"] == [("b", "=", 2)]
+
+    def test_join_alias_qualified_and_nested(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 AS x JOIN t2 ON x.k = t2.k "
+            "JOIN t3 ON t3.k = x.k WHERE x.d >= '2024-01-01'",
+            {"v1"},
+        )
+        assert out["v1"] == [("d", ">=", "2024-01-01")]
+
+    def test_join_comma_cross_prunes(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1, t2 WHERE v1.a = 1 AND v1.k = t2.k", {"v1"}
+        )
+        assert out["v1"] == [("a", "=", 1)]
+
+    def test_join_drops_is_null_keeps_not_null(self):
+        # IS NULL is satisfiable by outer-join null-extension — pruning
+        # the null-supplying side on it would fabricate extra rows
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM t0 LEFT JOIN v1 ON t0.k = v1.k "
+            "WHERE v1.a IS NULL AND v1.b IS NOT NULL",
+            {"v1"},
+        )
+        assert out.get("v1", []) == [("b", "notnull", None)]
+
+    def test_join_self_join_still_disqualifies(self):
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM v1 a JOIN v1 b ON a.k = b.k WHERE a.x = 1",
+            {"v1"},
+        )
+        assert "v1" not in out
+
+    def test_join_on_clause_not_extracted(self):
+        # only WHERE conjuncts prune; ON predicates of outer joins do not
+        # filter the preserved side
+        out = pp.extract_scan_conjuncts(
+            "SELECT * FROM t0 LEFT JOIN v1 ON t0.k = v1.k AND v1.a = 1",
+            {"v1"},
         )
         assert "v1" not in out
 
