@@ -878,6 +878,7 @@ def commit_row_delta_snapshot(
     summary_extra: "dict[str, str] | None" = None,
     publish: bool = True,
     ref: str | None = None,
+    parent_ref: str | None = None,
 ) -> int:
     """Append a ROW-DELTA snapshot to an EXISTING on-disk Iceberg v2
     table: the current snapshot's live entries are carried over verbatim
@@ -897,9 +898,27 @@ def commit_row_delta_snapshot(
     (``maintenance.update_where``) — the spec's "overwrite" summary. Like
     :func:`commit_rewrite_snapshot` this is an EXTERNAL commit — do not
     mix with further commits through a live LocalIcebergTable instance.
+
+    ``parent_ref`` (r7, branch-targeted writes): commit ON a branch — the
+    carried-over live entries come from the BRANCH HEAD snapshot instead
+    of the table's current one, the new snapshot records that head as its
+    ``parent-snapshot-id``, and only the branch ref advances
+    (``publish`` defaults off in this mode; main's current snapshot and
+    snapshot-log stay untouched until :func:`publish_ref` fast-forwards).
+    Tags are immutable per the Iceberg spec — a ``parent_ref``/``ref``
+    naming an existing tag errors.
     """
     from cloudfloe_spark.sources import iceberg_meta as im
 
+    if parent_ref is not None:
+        if ref is not None and ref != parent_ref:
+            raise ValueError(
+                "commit_row_delta_snapshot: parent_ref and ref must match "
+                f"when both given (got {parent_ref!r} vs {ref!r}) — a "
+                "branch commit advances the branch it reads from"
+            )
+        ref = parent_ref
+        publish = False
     if not publish and ref is None:
         raise ValueError(
             "commit_row_delta_snapshot: publish=False requires a ref name "
@@ -915,7 +934,23 @@ def commit_row_delta_snapshot(
             )
     meta = im.load_metadata(root)
     snaps = meta.get("snapshots", [])
-    cur = im.resolve_snapshot(root)
+    existing_ref = (meta.get("refs") or {}).get(ref) if ref else None
+    if existing_ref is not None and existing_ref.get("type") == "tag":
+        raise ValueError(
+            f"commit_row_delta_snapshot: ref {ref!r} is a tag — tags are "
+            "immutable; create a branch to write to"
+        )
+    if parent_ref is not None:
+        if existing_ref is None:
+            raise ValueError(
+                f"commit_row_delta_snapshot: parent_ref {parent_ref!r} "
+                f"not found (known refs: "
+                f"{sorted(meta.get('refs') or {})}) — create the branch "
+                "with set_ref(..., ref_type='branch') first"
+            )
+        cur = im.resolve_snapshot(root, version=int(existing_ref["snapshot-id"]))
+    else:
+        cur = im.resolve_snapshot(root)
     carried = [
         e for e in im.manifest_entries(root, cur) if e["status"] != 2
     ]
@@ -1014,6 +1049,7 @@ def commit_row_delta_snapshot(
     snaps.append(
         {
             "snapshot-id": snap_id,
+            "parent-snapshot-id": cur.get("snapshot-id"),
             "sequence-number": seq,
             "timestamp-ms": timestamp_ms,
             "manifest-list": f"file://{mlist}",
@@ -1082,17 +1118,71 @@ def set_ref(
     write_next_metadata_version(root, meta)
 
 
+def append_to_branch(
+    root: str,
+    branch: str,
+    new_data_files: list[tuple[str, int]],
+    *,
+    timestamp_ms: int,
+    expected_metadata_path: str | None = None,
+) -> int:
+    """Append data files to a named BRANCH (r7): the commit's parent is
+    the branch head (not main's current snapshot), and only the branch
+    ref advances — main is untouched until :func:`publish_ref`
+    fast-forwards it. Completes the refs lifecycle: ``set_ref(...,
+    ref_type='branch')`` → append_to_branch (repeatable) → audit via
+    ``VERSION AS OF '<branch>'`` → ``publish_ref`` — or ``drop_ref`` to
+    abandon (expiry then reclaims the branch-only snapshots).
+
+    Mirrors Spark/Iceberg's ``df.writeTo(t).option('branch', b).append()``
+    / ``spark.wap.branch`` semantics. Tags are immutable — appending to a
+    tag errors."""
+    return commit_row_delta_snapshot(
+        root,
+        new_data_files=new_data_files,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=expected_metadata_path,
+        parent_ref=branch,
+    )
+
+
 def publish_ref(root: str, name: str, *, timestamp_ms: int) -> int:
     """Write-audit-publish, the publish half: fast-forward the CURRENT
     snapshot to the ref's target. Stage with
     ``commit_row_delta_snapshot(..., publish=False, ref=name)``, audit the
     staged state through ``VERSION AS OF '<name>'`` queries, then publish —
     or simply never publish a failed audit (the staged snapshot stays
-    reachable only via its ref and expires on the normal schedule)."""
+    reachable only via its ref and expires on the normal schedule).
+
+    Fast-forward only (matching Iceberg's ``fast_forward`` procedure):
+    when parent lineage is recorded (r7+ snapshots carry
+    ``parent-snapshot-id``), the current snapshot must be an ancestor of
+    the ref target — publishing a ref whose history has diverged from
+    main would silently drop main's commits, so it errors instead.
+    Pre-lineage snapshots (no parent recorded anywhere on the walk) keep
+    the old lenient behavior."""
     from cloudfloe_spark.sources import iceberg_meta as im
 
     meta = im.load_metadata(root)
     sid = im.resolve_ref(root, name)
+    current = meta.get("current-snapshot-id")
+    if current is not None and current != sid:
+        by_id = {s.get("snapshot-id"): s for s in meta.get("snapshots", [])}
+        walk, lineage_known = sid, False
+        while walk is not None:
+            if walk == current:
+                break
+            parent = (by_id.get(walk) or {}).get("parent-snapshot-id")
+            if parent is not None:
+                lineage_known = True
+            walk = parent
+        if walk is None and lineage_known:
+            raise ValueError(
+                f"publish_ref: ref {name!r} (snapshot {sid}) does not "
+                f"descend from the current snapshot {current} — not a "
+                "fast-forward; rebase the branch (re-stage its changes on "
+                "the current snapshot) instead of publishing"
+            )
     meta["current-snapshot-id"] = sid
     meta["last-updated-ms"] = timestamp_ms
     meta.setdefault("snapshot-log", []).append(

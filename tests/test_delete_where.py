@@ -729,6 +729,143 @@ def test_expire_retains_ref_reachable_snapshots(spark, two_file_table):
     assert cur == [[8]]
 
 
+def test_append_to_branch_lifecycle(spark, two_file_table):
+    """r7 (VERDICT r06 #7): branch-targeted writes. Append twice to a
+    branch — each commit's parent is the BRANCH head, only the branch ref
+    advances, main readers see nothing — then fast-forward publish."""
+    import os
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        append_to_branch,
+        publish_ref,
+        set_ref,
+    )
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "dev", s1, ref_type="branch", timestamp_ms=T1 + 500)
+    for i, ts in ((1, 1000), (2, 2000)):
+        p = os.path.join(root, "data", f"branch-{i}.parquet")
+        pq.write_table(pa.table({"id": [100 + i], "v": [f"b{i}"]}), p)
+        append_to_branch(root, "dev", [(p, 1)], timestamp_ms=T1 + ts)
+        # main unchanged after every branch commit
+        assert _rows(
+            spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')"
+        ) == [[10]]
+        assert _rows(
+            spark,
+            f"SELECT COUNT(*) FROM iceberg_scan('{root}') "
+            "VERSION AS OF 'dev'",
+        ) == [[10 + i]]
+    # the second commit's parent is the branch head, not s1
+    head = im.resolve_ref(root, "dev")
+    snaps = {
+        s["snapshot-id"]: s
+        for s in im.load_metadata(root).get("snapshots", [])
+    }
+    parent = snaps[head]["parent-snapshot-id"]
+    assert parent != s1 and snaps[parent]["parent-snapshot-id"] == s1
+    rows = _rows(
+        spark,
+        f"SELECT ref, type FROM iceberg_refs('{root}') WHERE ref = 'dev'",
+    )
+    assert rows == [["dev", "branch"]]
+    publish_ref(root, "dev", timestamp_ms=T1 + 3000)
+    assert _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_scan('{root}') WHERE id > 100 ORDER BY id",
+    ) == [[101, "b1"], [102, "b2"]]
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[12]]
+
+
+def test_append_to_tag_or_missing_branch_errors(two_file_table):
+    """Tags are immutable; a branch must exist before it can be appended
+    to (set_ref creates it — implicit creation would hide typos)."""
+    import os
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        append_to_branch,
+        set_ref,
+    )
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "v1", s1, ref_type="tag", timestamp_ms=T1 + 500)
+    p = os.path.join(root, "data", "b.parquet")
+    pq.write_table(pa.table({"id": [200], "v": ["x"]}), p)
+    with pytest.raises(ValueError, match="immutable"):
+        append_to_branch(root, "v1", [(p, 1)], timestamp_ms=T1 + 1000)
+    with pytest.raises(ValueError, match="not found"):
+        append_to_branch(root, "nope", [(p, 1)], timestamp_ms=T1 + 1000)
+
+
+def test_publish_ref_rejects_diverged_branch(spark, two_file_table):
+    """Publishing a branch whose history does NOT descend from main's
+    current snapshot would silently drop main's commits — it errors
+    (Iceberg's fast_forward contract). The WAP flow (branch staged ON
+    current) keeps publishing fine — test_write_audit_publish_flow."""
+    import os
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        append_to_branch,
+        publish_ref,
+        set_ref,
+    )
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "dev", s1, ref_type="branch", timestamp_ms=T1 + 500)
+    p = os.path.join(root, "data", "b.parquet")
+    pq.write_table(pa.table({"id": [200], "v": ["x"]}), p)
+    append_to_branch(root, "dev", [(p, 1)], timestamp_ms=T1 + 1000)
+    # main advances independently → branch and main diverge
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 2000)
+    with pytest.raises(ValueError, match="fast-forward"):
+        publish_ref(root, "dev", timestamp_ms=T1 + 3000)
+    # main kept its commit
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[9]]
+
+
+def test_expire_retains_branch_head_after_branch_appends(spark, two_file_table):
+    """Extends the ref-retention test to branch WRITES: after appends to a
+    branch and further main commits, expiry keeps the branch head (its
+    manifest carries every file the branch needs) and the orphan sweep
+    keeps its files — VERSION AS OF '<branch>' stays readable."""
+    import os
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        append_to_branch,
+        set_ref,
+    )
+    from cloudfloe_spark.sources.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    root = two_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "dev", s1, ref_type="branch", timestamp_ms=T1 + 500)
+    for i, ts in ((1, 1000), (2, 2000)):
+        p = os.path.join(root, "data", f"branch-{i}.parquet")
+        pq.write_table(pa.table({"id": [100 + i], "v": [f"b{i}"]}), p)
+        append_to_branch(root, "dev", [(p, 1)], timestamp_ms=T1 + ts)
+    head = im.resolve_ref(root, "dev")
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 3000)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 4000)
+    res = expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 5000)
+    assert head in res["kept"]
+    remove_orphan_files(root, older_than_ms=0)
+    assert _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF 'dev'",
+    ) == [[12]]
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[8]]
+
+
 def test_drop_ref_releases_snapshot_for_expiry(spark, two_file_table):
     from cloudfloe_spark.sources.iceberg_fixture import drop_ref, set_ref
     from cloudfloe_spark.sources.maintenance import expire_snapshots

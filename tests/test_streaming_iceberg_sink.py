@@ -13,7 +13,7 @@ from cloudfloe_spark.sources import iceberg_meta as im
 from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
 from cloudfloe_spark.streaming.iceberg_sink import (
     append_stream_to_iceberg,
-    committed_epochs,
+    committed_batches,
 )
 
 T1 = 1700000000000
@@ -75,35 +75,77 @@ def test_stream_appends_one_snapshot_per_batch(spark, seeded_table, tmp_path):
     ]
     assert len(appends) == res["batches"]
     assert all(s["summary"]["operation"] == "append" for s in appends)
-    assert committed_epochs(root) == {
-        int(s["summary"]["streaming-epoch-id"]) for s in appends
+    assert committed_batches(root) == {
+        (
+            s["summary"]["streaming-query-id"],
+            int(s["summary"]["streaming-epoch-id"]),
+        )
+        for s in appends
     }
+    # one stable query id across the run's batches
+    assert len({s["summary"]["streaming-query-id"] for s in appends}) == 1
 
 
-def test_restart_with_fresh_checkpoint_dedups_by_epoch(
+def test_restart_same_checkpoint_dedups_by_query_and_epoch(
     spark, seeded_table, tmp_path
 ):
-    """Losing the checkpoint replays every batch from epoch 0 — the sink's
-    epoch dedup must skip all of them, leaving the table unchanged."""
+    """A restart from the SAME checkpoint replays already-committed epochs
+    under the SAME query id — the (query id, epoch id) dedup skips them,
+    leaving the table unchanged. Simulated by wiping the commit log (so
+    Spark re-offers every batch) while keeping the StreamMetadata file
+    (so the query id is stable) — the crash-between-commit-and-checkpoint
+    window."""
+    import shutil
+
     root = seeded_table
     src = _source_dir(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    ckpt = str(tmp_path / "ckpt1")
     append_stream_to_iceberg(
-        _stream(spark, src),
-        root,
-        checkpoint_dir=str(tmp_path / "ckpt1"),
-        timestamp_ms=T1 + 1000,
+        _stream(spark, src), root, checkpoint_dir=ckpt, timestamp_ms=T1 + 1000
     )
     before = _read_ids(spark, root)
     n_snaps = len(im.load_metadata(root)["snapshots"])
+    for sub in ("commits", "offsets", "sources"):
+        shutil.rmtree(os.path.join(ckpt, sub), ignore_errors=True)
     res2 = append_stream_to_iceberg(
-        _stream(spark, src),
-        root,
-        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh → full replay
-        timestamp_ms=T1 + 2000,
+        _stream(spark, src), root, checkpoint_dir=ckpt, timestamp_ms=T1 + 2000
     )
     assert res2["batches"] == 0 and res2["skipped"] >= 1
     assert _read_ids(spark, root) == before
     assert len(im.load_metadata(root)["snapshots"]) == n_snaps
+
+
+def test_second_query_fresh_checkpoint_is_not_deduped(
+    spark, seeded_table, tmp_path
+):
+    """A SECOND ingest query (fresh checkpoint → fresh query id) restarts
+    its epoch ids at 0 — keying dedup on the epoch alone would silently
+    drop its batches as "already seen" (the r6 ADVICE data-loss bug).
+    With the (query id, epoch id) key its data lands."""
+    root = seeded_table
+    src1 = _source_dir(spark, tmp_path, [[(1, "a")]])
+    append_stream_to_iceberg(
+        _stream(spark, src1),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        timestamp_ms=T1 + 1000,
+    )
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2, exist_ok=True)
+    spark.createDataFrame([(7, "q2")], "id LONG, v STRING").coalesce(
+        1
+    ).write.mode("append").parquet(src2)
+    res2 = append_stream_to_iceberg(
+        _stream(spark, src2),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # new query, epochs from 0
+        timestamp_ms=T1 + 2000,
+    )
+    assert res2["batches"] == 1 and res2["skipped"] == 0
+    assert _read_ids(spark, root) == [0, 1, 7]
+    # and the two queries' epoch-0 data files did not collide
+    qids = {q for q, _ in committed_batches(root)}
+    assert len(qids) == 2
 
 
 def test_incremental_source_growth_appends_only_new(
