@@ -325,6 +325,41 @@ def position_delete_records(root: str, snapshot: dict) -> list[dict]:
     return sorted(out, key=lambda d: (d["seq"], d["path"]))
 
 
+def position_delete_targets(paths: list[str]) -> set[str]:
+    """Distinct data-file path SUFFIXES (after the last ``/data/``
+    component — unique within a table: uuid file names) referenced by a
+    set of position-delete parquet files, read driver-side. Position
+    deletes name their target data files explicitly (spec column
+    ``file_path``), so a changelog/read planner can restrict the carried
+    scan to exactly the files a delete touches — a 10-row DELETE followed
+    by ``iceberg_cdc`` then scans those files, not the table. Driver-side
+    is the right side of the plan: delete files are delete-set-sized
+    (the write path caps them at ``rows_per_delete_file``), and this is
+    planning metadata, the same role manifests play. A production reader
+    gets the same answer cheaper from the manifest's
+    ``referenced_data_file`` / per-column bounds when present."""
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import fsio
+
+    out: set[str] = set()
+    for p in paths:
+        if fsio.is_remote(p):
+            import pyarrow as pa
+
+            tbl = pq.read_table(
+                pa.BufferReader(fsio.read_bytes(p)), columns=["file_path"]
+            )
+        else:
+            tbl = pq.read_table(
+                p.removeprefix("file://"), columns=["file_path"]
+            )
+        for v in tbl.column("file_path").to_pylist():
+            if v is not None:
+                out.add(v.rsplit("/data/", 1)[-1])
+    return out
+
+
 def has_equality_deletes(root: str, snapshot: dict) -> bool:
     """True when the snapshot carries equality-delete files (content=2)."""
     return any(

@@ -186,7 +186,7 @@ def test_cdc_empty_range_right_columns(spark, table):
     assert rows == []
 
 
-def test_cdc_rejects_compaction_and_renames(spark, table):
+def test_cdc_rejects_compaction_and_ambiguous_renames(spark, table):
     root, t = table
     s1 = _snap_ids(spark, root)[0]
     delete_where(spark, root, "id = 2", timestamp_ms=T1 + 1000)
@@ -195,7 +195,9 @@ def test_cdc_rejects_compaction_and_renames(spark, table):
     with pytest.raises(CloudfloeError, match="append-only|full refresh"):
         _cdc(spark, root, s1, s_last)
 
-    # rename history rejects with a clear message
+    # an AMBIGUOUS rename history (old name collides with a live column —
+    # the one shape footer mapping cannot resolve) still rejects; a plain
+    # rename is supported (test_cdc_on_renamed_table_matches_duckdb_diff)
     root2 = str(t.root) + "_r"
     t2 = LocalIcebergTable(
         root2, pa.schema([("id", pa.int64()), ("v", pa.string())])
@@ -204,12 +206,100 @@ def test_cdc_rejects_compaction_and_renames(spark, table):
         [pa.table({"id": [1], "v": ["a"]})], timestamp_ms=T1
     )
     t2.rename_column("v", "val", timestamp_ms=T1 + 500)
+    t2.add_column("v", pa.string(), timestamp_ms=T1 + 600)
     t2.append_snapshot(
-        [pa.table({"id": [2], "val": ["b"]})], timestamp_ms=T1 + 1000
+        [pa.table({"id": [2], "val": ["b"], "v": ["x"]})],
+        timestamp_ms=T1 + 1000,
     )
     ids = _snap_ids(spark, root2)
-    with pytest.raises(CloudfloeError, match="rename"):
+    with pytest.raises(CloudfloeError, match="[Aa]mbiguous"):
         _rows(
             spark,
             f"SELECT * FROM iceberg_cdc('{root2}', {ids[0]}, {ids[-1]})",
         )
+
+
+def test_cdc_on_renamed_table_matches_duckdb_diff(spark, table):
+    """r8 (VERDICT r07 #3): a metadata-only column rename no longer locks
+    the changelog out — carried/added files resolve through scan_groups
+    field-id mapping exactly as the DML path does, and the CDC output
+    (under CURRENT names) still equals the DuckDB snapshot diff."""
+    root, t = table
+    t.rename_column("v", "val", timestamp_ms=T1 + 500)
+    t.append_snapshot(
+        [pa.table({"id": [5], "val": ["e"]})], timestamp_ms=T1 + 1000
+    )
+    s_from = _snap_ids(spark, root)[0]
+    state_from = _state(spark, root, s_from)  # write-time names, same values
+    # DML on CURRENT names must hit pre-rename files (id=2,3) and the
+    # post-rename file (id=5) alike
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 2000)
+    update_where(
+        spark, root, "id = 3 OR id = 5", {"val": "upper(val)"},
+        timestamp_ms=T1 + 3000,
+    )
+    s_to = _snap_ids(spark, root)[-1]
+    state_to = _rows(
+        spark, f"SELECT id, val FROM iceberg_scan('{root}')"
+    )
+    exp_dels, exp_ins = _duckdb_diff(state_from, [tuple(r) for r in state_to])
+    rows = _rows(
+        spark,
+        f"SELECT id, val, _change_type FROM iceberg_cdc('{root}', "
+        f"{s_from}, {s_to}) ORDER BY _change_type, id, val",
+    )
+    dels = sorted((r[0], r[1]) for r in rows if r[2] == "delete")
+    ins = sorted((r[0], r[1]) for r in rows if r[2] == "insert")
+    assert dels == sorted(exp_dels)  # (2,'b') and (3,'c')
+    assert ins == sorted(exp_ins)    # (3,'C') and (5,'E')
+    # consumer contract on the renamed table too
+    replay = sorted([r for r in state_from if r not in dels] + ins)
+    assert replay == sorted(tuple(r) for r in state_to)
+
+
+def test_cdc_carried_scan_prunes_to_delete_referenced_files(
+    spark, tmp_path, monkeypatch
+):
+    """r8 (VERDICT r07 #1): with only POSITION deletes in range, the
+    carried (retraction) scan must read only the data files the delete
+    files name — a 1-file DELETE over a 3-file table scans 1 carried
+    file, not 3. Captured by spying on every DataFrameReader.parquet call
+    while the changelog builds and runs (plan-spy style,
+    test_delete_where.py::test_dml_writes_read_cached_matches_not_parquet)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    root = str(tmp_path / "tprune")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    # three data files in the FROM snapshot: ids 1-2 / 3-4 / 5-6
+    t.append_snapshot(
+        [
+            pa.table({"id": [1, 2], "v": ["a", "b"]}),
+            pa.table({"id": [3, 4], "v": ["c", "d"]}),
+            pa.table({"id": [5, 6], "v": ["e", "f"]}),
+        ],
+        timestamp_ms=T1,
+    )
+    s_from = _snap_ids(spark, root)[0]
+    delete_where(spark, root, "id = 3", timestamp_ms=T1 + 1000)
+    s_to = _snap_ids(spark, root)[-1]
+
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        calls.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    dels, ins = _cdc(spark, root, s_from, s_to)
+    assert dels == [(3, "c")] and ins == []
+    data_scans = [
+        ps for ps in calls
+        if any("/data/" in p and "/deletes-" not in p for p in ps)
+    ]
+    # exactly ONE data scan (the carried retraction side; no added files),
+    # listing exactly ONE file — the one the position delete names
+    assert len(data_scans) == 1, data_scans
+    assert len(data_scans[0]) == 1, data_scans
