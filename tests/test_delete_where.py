@@ -513,14 +513,74 @@ def test_update_where_does_not_resurrect_deleted_rows(spark, two_file_table):
     ]
 
 
-def test_update_refuses_live_equality_deletes(spark, tmp_path):
-    from cloudfloe_spark.sources.maintenance import update_where
+def test_update_applies_live_equality_deletes(spark, tmp_path):
+    """r8 (VERDICT r07 #5): a metadata-only erasure (equality delete) no
+    longer forces compaction before the next UPDATE — the DML scan applies
+    the equality deletes sequence-aware, so the erased row is neither
+    matched nor resurrected, and the updated rows (written at a HIGHER
+    sequence than the delete) survive the strictly-lower rule."""
+    from cloudfloe_spark.sources.maintenance import delete_by_key, update_where
 
     root = str(tmp_path / "teq")
     t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3, 4], "v": ["x", "y", "z", "y"]})],
+        timestamp_ms=T1,
+    )
+    delete_by_key(root, "v", ["y"], timestamp_ms=T1 + 500)  # erases 2 and 4
+    res = update_where(
+        spark, root, "id >= 1", {"v": "upper(v)"}, timestamp_ms=T1 + 1000
+    )
+    assert res["matched"] == 2  # only the LIVE rows 1 and 3
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    # DuckDB oracle on the same logical history: erase v='y', then upper()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(1, "x"), (2, "y"), (3, "z"), (4, "y")],
+    )
+    con.execute("DELETE FROM t WHERE v = 'y'")
+    con.execute("UPDATE t SET v = upper(v)")
+    exp = con.execute("SELECT id, v FROM t ORDER BY id").fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # resurrection guard: the erased rows stay gone after the update
+    assert [r[0] for r in got] == [1, 3]
+
+
+def test_merge_applies_live_equality_deletes(spark, tmp_path):
+    """MERGE after a metadata-only erasure: the erased key must take the
+    NOT-MATCHED (insert) path, never resurrect the erased row's values."""
+    from cloudfloe_spark.sources.maintenance import delete_by_key, merge_into
+
+    root = str(tmp_path / "teqm")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "v": ["x", "y"]})], timestamp_ms=T1
+    )
+    delete_by_key(root, "id", [2], timestamp_ms=T1 + 500)
+    res = merge_into(
+        spark, root,
+        spark.createDataFrame([(1, "u"), (2, "back")], "id BIGINT, v STRING"),
+        on="id", when_matched={"v": "s.v"}, timestamp_ms=T1 + 1000,
+    )
+    assert res["matched"] == 1 and res["inserted"] == 1
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == [[1, "u"], [2, "back"]]
+
+
+def test_update_refuses_unreadable_equality_deletes(spark, tmp_path):
+    """Equality deletes whose field ids don't resolve still refuse —
+    applying around them would silently resurrect erased rows."""
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = str(tmp_path / "tequr")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64()), ("v", pa.string())]))
     t.append_snapshot([pa.table({"id": [1, 2], "v": ["x", "y"]})], timestamp_ms=T1)
     t.equality_delete_snapshot(
-        pa.table({"v": ["y"]}), equality_ids=[2], timestamp_ms=T1 + 500
+        pa.table({"v": ["y"]}), equality_ids=[99], timestamp_ms=T1 + 500
     )
     with pytest.raises(ValueError, match="equality-delete"):
         update_where(spark, root, "id = 1", {"v": "'z'"}, timestamp_ms=T1 + 1000)
