@@ -653,6 +653,32 @@ class LocalIcebergTable:
         return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
     def _write_metadata_json(self, timestamp_ms: int) -> None:
+        # Partition field ids per the Iceberg spec: assigned MONOTONICALLY
+        # from 1000 across the spec log, and an unchanged (source-id,
+        # transform) pair REUSES its id when a later spec repeats it —
+        # recomputed deterministically here from the ordered spec walk, so
+        # every metadata rewrite yields the same ids (ADVICE r7: the old
+        # 1000+spec_id*100+i scheme collided past 100 fields and forked a
+        # fresh id for identical fields on every evolution).
+        assigned: dict[tuple, int] = {}
+        last_partition_id = 999
+        spec_entries = []
+        for sid, spec in enumerate(self._specs):
+            fields = []
+            for c, tr in spec:
+                src = 1 + self.schema.names.index(c)
+                if (src, tr) not in assigned:
+                    last_partition_id += 1
+                    assigned[(src, tr)] = last_partition_id
+                fields.append(
+                    {
+                        "name": self.partition_field_name(c, tr),
+                        "source-id": src,
+                        "field-id": assigned[(src, tr)],
+                        "transform": tr,
+                    }
+                )
+            spec_entries.append({"spec-id": sid, "fields": fields})
         meta = {
             "format-version": 2,
             "table-uuid": "00000000-0000-0000-0000-000000000000",
@@ -660,21 +686,8 @@ class LocalIcebergTable:
             "last-updated-ms": timestamp_ms,
             "current-snapshot-id": self._snapshots[-1]["snapshot-id"],
             "default-spec-id": self._default_spec_id,
-            "partition-specs": [
-                {
-                    "spec-id": sid,
-                    "fields": [
-                        {
-                            "name": self.partition_field_name(c, tr),
-                            "source-id": 1 + self.schema.names.index(c),
-                            "field-id": 1000 + sid * 100 + i,
-                            "transform": tr,
-                        }
-                        for i, (c, tr) in enumerate(spec)
-                    ],
-                }
-                for sid, spec in enumerate(self._specs)
-            ],
+            "last-partition-id": last_partition_id,
+            "partition-specs": spec_entries,
             "current-schema-id": (
                 self._schema_log[-1]["schema-id"] if self._schema_log else 0
             ),

@@ -38,13 +38,26 @@ from pyspark.sql import DataFrame
 
 def _checkpoint_query_id(checkpoint_dir: str) -> Optional[str]:
     """The StreamMetadata query id Spark records at ``<checkpoint>/metadata``
-    on first start (before any batch executes). None if not readable."""
+    on first start (before any batch executes). None when the file is
+    genuinely ABSENT (a non-local checkpoint scheme this process cannot
+    open — consistently absent on every run, so the path-derived fallback
+    key stays stable). A file that EXISTS but cannot be read (transient IO
+    error, corrupt JSON) raises instead of silently falling back: a dedup
+    key that switches between 'ck:<path>' and the real query id across
+    runs double-commits a replayed batch."""
+    path = os.path.join(checkpoint_dir, "metadata")
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+        with open(path) as fh:
             qid = json.load(fh).get("id")
-        return str(qid) if qid else None
-    except (OSError, ValueError):
+    except FileNotFoundError:
         return None
+    except (OSError, ValueError) as e:
+        raise RuntimeError(
+            f"append_stream_to_iceberg: checkpoint StreamMetadata at "
+            f"{path} exists but cannot be read ({e}); refusing to guess "
+            "the exactly-once dedup key"
+        ) from e
+    return str(qid) if qid else None
 
 
 def committed_batches(root: str) -> set[tuple[Optional[str], int]]:
@@ -89,15 +102,27 @@ def append_stream_to_iceberg(
 
     seen = committed_batches(root)
     stats = {"batches": 0, "skipped": 0}
+    resolved: dict[str, str] = {}
+
+    def _qid() -> str:
+        # Read lazily (Spark writes the StreamMetadata file at query start,
+        # before the first batch runs) but resolve ONCE per run, so the key
+        # cannot flip between batches. Fall back to the checkpoint path —
+        # realpath, so a dir reached via different symlinks/mounts keys the
+        # same — with the same lifetime semantics (fresh dir → fresh key).
+        if "v" not in resolved:
+            resolved["v"] = _checkpoint_query_id(checkpoint_dir) or (
+                "ck:" + os.path.realpath(checkpoint_dir)
+            )
+        return resolved["v"]
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # Read lazily: Spark writes the StreamMetadata file at query start,
-        # before the first batch runs. Fall back to the checkpoint path as
-        # the job key — same lifetime semantics (fresh dir → fresh key).
-        qid = _checkpoint_query_id(checkpoint_dir) or (
-            "ck:" + os.path.abspath(checkpoint_dir)
-        )
-        if (qid, epoch_id) in seen:
+        qid = _qid()
+        # (None, epoch) covers pre-(queryId, epochId)-format snapshots that
+        # recorded only the epoch: legacy tables had at most one writer per
+        # epoch, so a restart from a pre-upgrade checkpoint must treat the
+        # replayed epoch as committed rather than double-commit it.
+        if (qid, epoch_id) in seen or (None, epoch_id) in seen:
             stats["skipped"] += 1
             return
         # dir keyed by (query, epoch): a SECOND query's epoch 0 must not

@@ -1931,3 +1931,38 @@ def test_join_prunes_both_sides(spark, tmp_path):
         "ON f.k = d.k AND d.cat = 'b' WHERE d.cat IS NULL",
     )
     assert sorted(r["k"] for r in df2.collect()) == [1, 3]
+
+
+def test_partition_field_ids_monotonic_and_reused(tmp_path):
+    """ADVICE r7: partition field ids are assigned monotonically from 1000
+    across the spec log, and a later spec repeating an identical
+    (source-id, transform) pair REUSES the existing id instead of forking
+    a fresh one; last-partition-id is recorded."""
+    import json
+
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    root = str(tmp_path / "tids")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("k", pa.int64()), ("d", pa.string())]),
+        partition_by=[("k", "identity")],
+    )
+    t.append_snapshot(
+        [pa.table({"k": [1], "d": ["x"]})], timestamp_ms=1700000000000
+    )
+    # evolve: keep the identity field, add a bucket transform on d
+    t.evolve_partition_spec(
+        [("k", "identity"), ("d", "bucket[4]")],
+        timestamp_ms=1700000001000,
+    )
+    meta = json.load(open(im.latest_metadata_path(root)))
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    ids0 = {(f["source-id"], f["transform"]): f["field-id"] for f in specs[0]}
+    ids1 = {(f["source-id"], f["transform"]): f["field-id"] for f in specs[1]}
+    assert ids0[(1, "identity")] == 1000
+    assert ids1[(1, "identity")] == 1000  # identical field: id reused
+    assert ids1[(2, "bucket[4]")] == 1001  # new field: next monotonic id
+    assert meta["last-partition-id"] == 1001

@@ -166,3 +166,48 @@ def test_incremental_source_growth_appends_only_new(
     )
     assert res["batches"] == 1 and res["skipped"] == 0
     assert _read_ids(spark, root) == [0, 1, 9]
+
+
+def test_legacy_epoch_only_summary_dedups_replay(spark, seeded_table, tmp_path):
+    """ADVICE r7: a pre-upgrade snapshot that recorded only
+    streaming-epoch-id (no query id) must still dedup a replayed epoch —
+    legacy tables had at most one writer per epoch, so (None, epoch) in
+    the committed set counts as seen for ANY query's matching epoch."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    import pyarrow.parquet as pq
+
+    root = seeded_table
+    # simulate the legacy format: epoch 0 committed with no query id
+    p = os.path.join(root, "data", "legacy-epoch0.parquet")
+    pq.write_table(pa.table({"id": [100], "v": ["legacy"]}), p)
+    commit_row_delta_snapshot(
+        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 500,
+        summary_extra={"streaming-epoch-id": "0"},
+    )
+    assert (None, 0) in committed_batches(root)
+
+    src = _source_dir(spark, tmp_path, [[(1, "a")]])
+    ck = str(tmp_path / "ck")
+    stats = append_stream_to_iceberg(
+        _stream(spark, src), root, checkpoint_dir=ck, timestamp_ms=T1 + 1000
+    )
+    # the replayed epoch 0 is treated as already committed
+    assert stats == {"batches": 0, "skipped": 1}
+    assert _read_ids(spark, root) == [0, 100]
+
+
+def test_unreadable_stream_metadata_raises_not_guesses(tmp_path):
+    """ADVICE r7: <checkpoint>/metadata EXISTS but is unreadable → raise,
+    never silently fall back to the path key (a key that flips between
+    runs double-commits a replayed batch). Genuinely absent → stable
+    path-derived fallback (None here)."""
+    from cloudfloe_spark.streaming.iceberg_sink import _checkpoint_query_id
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    assert _checkpoint_query_id(str(ck)) is None  # absent: fallback path
+    (ck / "metadata").write_text("{not json")
+    with pytest.raises(RuntimeError, match="cannot be read"):
+        _checkpoint_query_id(str(ck))
