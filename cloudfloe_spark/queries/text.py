@@ -1376,11 +1376,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every input derives from the SAME (doc, term) tf aggregate
     subtree (dl = Σtf per doc, corpus term frequency = Σtf per term, df =
-    tf row count per term), so AQE's ReuseExchange serves the five
-    derivations from two materialized tokenize shuffles (measured on the
-    final adaptive plan: the first two leaf stages submit concurrently and
-    race past the reuse check; the other three reuse — persist(tf) is the
-    remaining knob if strictly one pass matters); the query-term table is LIMIT-5
+    tf row count per term). The subtree is PERSISTED (r8, VERDICT r07 #6):
+    AQE's ReuseExchange served only 3 of the 5 derivations because the
+    first two leaf stages submit concurrently and race past the reuse
+    check — an explicit persist makes the corpus tokenize + tf shuffle
+    run EXACTLY once, deterministically, with every derivation reading
+    the cache (MEMORY_AND_DISK: spills, never OOMs; the cached set is the
+    aggregated (doc, term, tf) triple, smaller than the token stream it
+    replaces). The query-term table is LIMIT-5
     tiny and broadcast, so per-doc scoring touches only rows whose term is
     a query term (the broadcast join prunes ~|vocab - q|/|vocab| of the tf
     table before any arithmetic); the final top-k is a
@@ -1391,14 +1394,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # The isNotNull pre-filter matches what the doc_id equi-joins push down
     # anyway; stamping it on the shared scan keeps every tf branch
-    # canonically IDENTICAL so AQE's ReuseExchange serves them all from one
-    # materialized shuffle (without it, join branches get the pushed filter
-    # and non-join branches don't, splitting the stage three ways).
+    # canonically IDENTICAL (see docstring; also lets Spark's cache manager
+    # recognize repeated invocations as the same plan).
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     toks = d.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("double").alias("tf")
-    )
+    ).persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
