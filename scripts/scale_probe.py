@@ -315,9 +315,193 @@ def skew_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     return timings
 
 
+# --- skewed-DML + CDC probes (VERDICT r06 #9 / r07 #2) ------------------------
+# delete_where's write path shuffles matched (file_path, pos) pairs via
+# repartitionByRange — a 90%-hot-key table whose hot rows sit in ONE data
+# file makes every match share the same file_path, so the range split must
+# happen on pos alone (the single-hot-file stress). The CDC probe measures
+# the r8 carried-scan pruning: a point DELETE followed by iceberg_cdc must
+# read only the delete-referenced file, so the read stays ~flat while the
+# table grows 8x in FILE COUNT.
+
+_DML_BASE_ROWS = 400_000
+_CDC_FILE_ROWS = 25_000
+_CDC_BASE_FILES = 16
+_T0 = 1_700_000_000_000
+
+
+def build_dml_table(spark, n: int, out_dir: str) -> tuple[str, int]:
+    """Fresh Iceberg fixture at scale n: ONE hot data file holding 90% of
+    all rows on a single key k=0, plus 8 cold files. Rebuilt per call
+    (DML mutates the table)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    parent = os.path.join(out_dir, f"dml_x{n}")
+    shutil.rmtree(parent, ignore_errors=True)
+    root = os.path.join(parent, "t")
+    rows = _DML_BASE_ROWS * n
+    hot = int(rows * 0.9)
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("k", pa.int64()), ("v", pa.float64())]
+        ),
+    )
+    tables = [
+        pa.table(
+            {
+                "id": np.arange(hot, dtype="int64"),
+                "k": np.zeros(hot, dtype="int64"),
+                "v": (np.arange(hot) % 97).astype("float64"),
+            }
+        )
+    ]
+    cold = rows - hot
+    per = max(cold // 8, 1)
+    for j in range(8):
+        lo, hi = hot + j * per, min(hot + (j + 1) * per, rows)
+        if lo >= hi:
+            break
+        ids = np.arange(lo, hi, dtype="int64")
+        tables.append(
+            pa.table(
+                {
+                    "id": ids,
+                    "k": (ids % 9973) + 1,
+                    "v": (ids % 97).astype("float64"),
+                }
+            )
+        )
+    t.append_snapshot(tables, timestamp_ms=_T0)
+    return root, hot
+
+
+def build_cdc_table(spark, n: int, out_dir: str) -> str:
+    """Fresh Iceberg fixture whose FILE COUNT grows with n (16·n files of
+    a fixed 25k rows, ids sequential across files) — the shape where the
+    r8 carried-scan pruning matters: a point delete touches file 0 only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    parent = os.path.join(out_dir, f"cdc_x{n}")
+    shutil.rmtree(parent, ignore_errors=True)
+    root = os.path.join(parent, "t")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.float64())])
+    )
+    tables = []
+    for j in range(_CDC_BASE_FILES * n):
+        ids = np.arange(
+            j * _CDC_FILE_ROWS, (j + 1) * _CDC_FILE_ROWS, dtype="int64"
+        )
+        tables.append(
+            pa.table({"id": ids, "v": (ids % 97).astype("float64")})
+        )
+    t.append_snapshot(tables, timestamp_ms=_T0)
+    return root
+
+
+def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
+    from cloudfloe_spark.service.config import ConnectionConfig
+    from cloudfloe_spark.service.engine import run_query
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    cfg = ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+    timings: dict[str, float] = {}
+
+    # DML cannot re-run on the same table (it mutates), so warm the path's
+    # one-time plan/codegen cost on a throwaway tiny table instead — the
+    # first timed scale would otherwise absorb ~5 s of JVM warm-up and
+    # poison every ratio against it.
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    wroot = os.path.join(out_dir, f"dml_warm_x{n}", "t")
+    shutil.rmtree(os.path.dirname(wroot), ignore_errors=True)
+    wt = LocalIcebergTable(
+        wroot,
+        pa.schema(
+            [("id", pa.int64()), ("k", pa.int64()), ("v", pa.float64())]
+        ),
+    )
+    ids = np.arange(1000, dtype="int64")
+    wt.append_snapshot(
+        [pa.table({"id": ids, "k": ids % 7, "v": ids.astype("float64")})],
+        timestamp_ms=_T0,
+    )
+    delete_where(spark, wroot, "k = 0", timestamp_ms=_T0 + 1000)
+
+    # (a) skewed DELETE: 90% of rows on one key in ONE hot file — times
+    # the full DML path (MOR scan + filter + sorted position-delete write
+    # + commit) under the single-file repartitionByRange stress.
+    root, hot = build_dml_table(spark, n, out_dir)
+    t0 = time.perf_counter()
+    res = delete_where(spark, root, "k = 0", timestamp_ms=_T0 + 1000)
+    timings["delete_where_hot90"] = round(time.perf_counter() - t0, 3)
+    assert res["matched"] == hot, res
+
+    # (b) CDC read after a POINT delete on a table whose file count grows
+    # with n: the carried scan must stay pruned to the one referenced
+    # file, so the read should stay ~flat 1x→8x.
+    root = build_cdc_table(spark, n, out_dir)
+    delete_where(spark, root, "id < 1000", timestamp_ms=_T0 + 1000)
+    snaps = [
+        int(r[0])
+        for r in run_query(
+            spark,
+            f"SELECT snapshot_id FROM iceberg_snapshots('{root}') "
+            "ORDER BY sequence_number",
+            cfg,
+        ).rows
+    ]
+    sql = (
+        f"SELECT count(*) AS n FROM "
+        f"iceberg_cdc('{root}', {snaps[0]}, {snaps[-1]})"
+    )
+    assert run_query(spark, sql, cfg).rows[0][0] == 1000  # warm + correct
+    t0 = time.perf_counter()
+    run_query(spark, sql, cfg)
+    timings["cdc_after_point_delete"] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
 def main() -> None:
-    max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cloudfloe_scale_probe"
+    dml_only = "--dml-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    max_scale = int(args[0]) if args else 4
+    out_dir = args[1] if len(args) > 1 else "/tmp/cloudfloe_scale_probe"
+    if dml_only:
+        spark = get_spark(app_name="scale-probe-dml")
+        spark.sparkContext.setLogLevel("ERROR")
+        scales = [n for n in (1, 2, 4, 8) if n <= max_scale]
+        dml_results: dict[int, dict[str, float]] = {}
+        for n in scales:
+            dml_results[n] = dml_probe(spark, n, out_dir)
+            print(
+                json.dumps({"scale": n, "dml_queries": dml_results[n]}),
+                flush=True,
+            )
+        base = dml_results[scales[0]]
+        summary = {
+            name: {
+                f"x{n}": round(dml_results[n][name] / max(base[name], 1e-9), 2)
+                for n in scales
+            }
+            for name in base
+        }
+        print(json.dumps({"metric": "dml_scale_ratios", "ratios": summary}))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+        return
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     catalog = all_queries()
@@ -339,6 +523,20 @@ def main() -> None:
         skew_results[n] = skew_probe(spark, n, out_dir)
         print(
             json.dumps({"scale": n, "skew_queries": skew_results[n]}),
+            flush=True,
+        )
+        skew_results[n].update(dml_probe(spark, n, out_dir))
+        print(
+            json.dumps(
+                {
+                    "scale": n,
+                    "dml_queries": {
+                        k: v
+                        for k, v in skew_results[n].items()
+                        if k.startswith(("delete_where", "cdc_"))
+                    },
+                }
+            ),
             flush=True,
         )
 
