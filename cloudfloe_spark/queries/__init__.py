@@ -28,6 +28,7 @@ from cloudfloe_spark.queries import tpch  # noqa: F401, E402
 from cloudfloe_spark.queries import funcpack  # noqa: F401, E402
 from cloudfloe_spark.queries import analytics  # noqa: F401, E402
 from cloudfloe_spark.queries import graph_metrics  # noqa: F401, E402
+from cloudfloe_spark.queries import changelog  # noqa: F401, E402
 
 # Driver-visibility ordering. The driver's per-round CORRECTNESS gate
 # checks the FIRST 50 entries of queries() in dict order. To convert every

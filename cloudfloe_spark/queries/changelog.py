@@ -1,0 +1,195 @@
+"""Changelog consumption: driver-provable queries over the ``iceberg_cdc``
+surface (round 8, VERDICT r07 stretch item).
+
+The CDC view itself (``service/iceberg_local._cdc_view``) is pytest-proven
+against a DuckDB snapshot-diff oracle; these catalog entries put a
+DRIVER-green row over the same surface. Each builds a small deterministic
+Iceberg table from the ``documents`` fixture (build-once per scale-factor
+dir, cached under ``/tmp``), applies a fixed DML script through the
+engine's own ``delete_where`` / ``update_where``, and then reads the
+changelog — so the oracle can reproduce the expected changes with plain
+SQL over the ORIGINAL ``documents`` table, exactly the cross-engine
+contract every other catalog entry follows.
+
+The fixture build is test scaffolding (driver-side pyarrow read of the
+small documents fixture), not the query path: the registered queries
+themselves are pure Spark plans over the changelog/time-travel views.
+At 100 TB the equivalent table already exists — only the reads are the
+operator under test, and their scale shape is the CDC view's
+(insert side reads only added files; the retraction side reads only
+delete-referenced files — see SCALING.md `cdc_after_point_delete`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfloe_spark.queries.catalog import register
+
+#: bump to invalidate previously built fixture tables when the DML script
+#: or schema below changes
+_FIXTURE_VERSION = 1
+_T0 = 1_700_000_000_000
+
+#: the fixed DML script, expressed identically in the engine calls below
+#: and in the oracles: DELETE one deterministic slice, then UPDATE another
+#: (conditions on the ORIGINAL integer column — engine-identical arithmetic)
+_DELETE_COND = "n_chars % 5 = 0"
+_UPDATE_COND = "n_chars % 7 = 1"
+_UPDATE_BUMP = 1000
+
+
+def _fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Build-once Iceberg table derived from ``documents`` (doc_id, lang,
+    n_chars) with the fixed DML script applied; returns (root, from_id,
+    to_id) — the full snapshot range."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    key = hashlib.md5(
+        f"{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_changelog", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 2000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    snaps = im.snapshots(root)
+    return root, snaps[0]["snapshot-id"], snaps[-1]["snapshot-id"]
+
+
+def _resolved(spark: SparkSession, sql: str) -> DataFrame:
+    from cloudfloe_spark.service.iceberg_local import (
+        resolve_iceberg_reads,
+        resolve_incremental_reads,
+    )
+
+    return spark.sql(
+        resolve_incremental_reads(spark, resolve_iceberg_reads(spark, sql))
+    )
+
+
+# The oracle reproduces the net changelog from the ORIGINAL documents
+# table: deletes = the delete slice (original values) plus the update
+# slice (update retracts the old row); inserts = the update slice with
+# the new value. The update condition applies only to rows the delete
+# left alive — exactly what update_where's MOR scan guarantees.
+@register(
+    "cdc_doc_changelog",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        del AS (SELECT * FROM base WHERE {_DELETE_COND}),
+        upd AS (
+            SELECT * FROM base
+            WHERE NOT ({_DELETE_COND}) AND {_UPDATE_COND}
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST('delete' AS VARCHAR) AS _change_type FROM del
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'delete' FROM upd
+        UNION ALL
+        SELECT doc_id, lang, n_chars + {_UPDATE_BUMP}, 'insert' FROM upd
+    """,
+    tags=("iceberg", "cdc"),
+)
+def cdc_doc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net row-level changelog across a DELETE + UPDATE range: every
+    retraction and insertion the two DML commits produced, as
+    (row, _change_type) — the feed an incremental consumer applies to
+    survive row-level DML without a full refresh (``iceberg_changes`` is
+    append-only and cannot represent these). Updates surface as
+    delete+insert pairs; a row hit by the DELETE never reappears.
+
+    Scale shape (the CDC view's): inserts read ONLY files added in the
+    range; retractions scan ONLY the data files the position-delete files
+    name (r8 pruning) — both delete-set-sized, never table-sized.
+    """
+    root, s_from, s_to = _fixture(spark, sf_dir)
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars, _change_type "
+        f"FROM iceberg_cdc('{root}', {s_from}, {s_to})",
+    )
+
+
+@register(
+    "cdc_incremental_lang_counts",
+    oracle=f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE NOT ({_DELETE_COND})
+        GROUP BY lang
+    """,
+    tags=("iceberg", "cdc"),
+)
+def cdc_incremental_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-consumer contract, driver-checked: a per-lang doc
+    count maintained WITHOUT rescanning the table — the from-snapshot
+    aggregate (time travel) plus the changelog's per-lang insert−delete
+    delta must equal the to-snapshot aggregate (the oracle computes the
+    final state directly; the update rewrites rows in place so only the
+    DELETE changes counts). Langs whose count reaches zero drop out,
+    matching a direct GROUP BY of the final state.
+
+    Scale shape: the corpus-sized input is the from-state aggregate a
+    real consumer already holds; the refresh itself touches only the
+    delete-set-sized changelog plus a |langs|-row join.
+    """
+    root, s_from, s_to = _fixture(spark, sf_dir)
+    base = (
+        _resolved(
+            spark,
+            f"SELECT lang FROM iceberg_scan('{root}') "
+            f"VERSION AS OF {s_from}",
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_base"))
+    )
+    delta = (
+        _resolved(
+            spark,
+            f"SELECT lang, _change_type "
+            f"FROM iceberg_cdc('{root}', {s_from}, {s_to})",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n_delta")
+        )
+    )
+    return (
+        base.join(delta, "lang", "full_outer")
+        .select(
+            "lang",
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("n_delta"), F.lit(0))
+            ).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
