@@ -193,3 +193,75 @@ def cdc_incremental_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+@register(
+    "cdc_incremental_dedup_refresh",
+    oracle=f"""
+        WITH final AS (
+            SELECT lang,
+                   CASE WHEN {_UPDATE_COND}
+                        THEN n_chars + {_UPDATE_BUMP}
+                        ELSE n_chars END AS fp
+            FROM documents
+            WHERE NOT ({_DELETE_COND})
+        )
+        SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp
+        FROM final GROUP BY lang
+    """,
+    tags=("iceberg", "cdc", "dedup"),
+)
+def cdc_incremental_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DEDUP-STATE refresh from the changelog (the loop
+    ``test_incremental_curation.py`` sketches batch-side, driver-checked):
+    an exact-dedup pass keyed on a fingerprint column maintains a
+    (fingerprint → multiplicity) state; applying the changelog's ±1
+    deltas and counting fingerprints whose multiplicity stays positive
+    reproduces the to-state's per-lang DISTINCT count — without
+    rescanning the corpus. Retractions can extinguish a fingerprint
+    (count→0 drops it) and an update can both retire an old fingerprint
+    and mint a new one, the two transitions an append-only feed cannot
+    express.
+
+    Scale shape: the corpus-sized side is the from-state fingerprint
+    aggregate a real pipeline already materializes; the refresh joins it
+    only against the delete-set-sized changelog delta on the
+    (lang, fingerprint) key — one small shuffle, no rescan.
+    """
+    root, s_from, s_to = _fixture(spark, sf_dir)
+    fp = F.col("n_chars")  # toy fingerprint: the dedup key under test
+    base = (
+        _resolved(
+            spark,
+            f"SELECT lang, n_chars FROM iceberg_scan('{root}') "
+            f"VERSION AS OF {s_from}",
+        )
+        .groupBy("lang", fp.alias("fp"))
+        .agg(F.count("*").alias("n_base"))
+    )
+    delta = (
+        _resolved(
+            spark,
+            f"SELECT lang, n_chars, _change_type "
+            f"FROM iceberg_cdc('{root}', {s_from}, {s_to})",
+        )
+        .groupBy("lang", fp.alias("fp"))
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n_delta")
+        )
+    )
+    live = base.join(delta, ["lang", "fp"], "full_outer").select(
+        "lang",
+        "fp",
+        (
+            F.coalesce(F.col("n_base"), F.lit(0))
+            + F.coalesce(F.col("n_delta"), F.lit(0))
+        ).alias("n"),
+    )
+    return (
+        live.filter(F.col("n") > 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_fp"))
+    )

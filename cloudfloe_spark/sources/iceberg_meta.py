@@ -333,10 +333,13 @@ def position_delete_targets(paths: list[str]) -> set[str]:
     ``file_path``), so a changelog/read planner can restrict the carried
     scan to exactly the files a delete touches — a 10-row DELETE followed
     by ``iceberg_cdc`` then scans those files, not the table. Driver-side
-    is the right side of the plan: delete files are delete-set-sized
-    (the write path caps them at ``rows_per_delete_file``), and this is
-    planning metadata, the same role manifests play. A production reader
-    gets the same answer cheaper from the manifest's
+    is the right side of the plan: this is planning metadata, the same
+    role manifests play — and it's almost always FOOTER-ONLY: the spec
+    requires position-delete files sorted by (file_path, pos), so a row
+    group whose file_path min == max names exactly one data file in its
+    statistics; only row groups spanning a file boundary (at most one per
+    referenced-file transition) need their column read. A production
+    reader gets the same answer from the manifest's
     ``referenced_data_file`` / per-column bounds when present."""
     import pyarrow.parquet as pq
 
@@ -347,16 +350,34 @@ def position_delete_targets(paths: list[str]) -> set[str]:
         if fsio.is_remote(p):
             import pyarrow as pa
 
-            tbl = pq.read_table(
-                pa.BufferReader(fsio.read_bytes(p)), columns=["file_path"]
-            )
+            pf = pq.ParquetFile(pa.BufferReader(fsio.read_bytes(p)))
         else:
-            tbl = pq.read_table(
-                p.removeprefix("file://"), columns=["file_path"]
-            )
-        for v in tbl.column("file_path").to_pylist():
-            if v is not None:
-                out.add(v.rsplit("/data/", 1)[-1])
+            pf = pq.ParquetFile(p.removeprefix("file://"))
+        col_idx = pf.schema_arrow.get_field_index("file_path")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(col_idx).statistics
+            # Trust the stats only when min == max AND the value ends in
+            # ".parquet": writers may TRUNCATE long string min/max, and a
+            # truncated prefix can read equal while the true paths differ —
+            # a data-file path ends in ".parquet" exactly once, so a value
+            # with that suffix is provably untruncated.
+            if (
+                st is not None
+                and st.has_min_max
+                and st.min is not None
+                and st.min == st.max
+                and str(st.min).endswith(".parquet")
+            ):
+                out.add(str(st.min).rsplit("/data/", 1)[-1])
+                continue
+            # boundary row group (or absent/truncated stats): read its column
+            for v in (
+                pf.read_row_group(rg, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            ):
+                if v is not None:
+                    out.add(v.rsplit("/data/", 1)[-1])
     return out
 
 
