@@ -265,3 +265,44 @@ def cdc_incremental_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("lang")
         .agg(F.count("*").alias("n_fp"))
     )
+
+
+@register(
+    "cdc_update_images",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        del AS (SELECT * FROM base WHERE {_DELETE_COND}),
+        upd AS (
+            SELECT * FROM base
+            WHERE NOT ({_DELETE_COND}) AND {_UPDATE_COND}
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST('delete' AS VARCHAR) AS _change_type FROM del
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'update_preimage' FROM upd
+        UNION ALL
+        SELECT doc_id, lang, n_chars + {_UPDATE_BUMP},
+               'update_postimage' FROM upd
+    """,
+    tags=("iceberg", "cdc"),
+)
+def cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with UPDATE pre/post images (the jarless analog of
+    Spark-Iceberg's ``create_changelog_view(identifier_columns=...)``):
+    passing the table's identifier column to ``iceberg_cdc`` relabels a
+    key with exactly one retraction + one insertion in the range as
+    ``update_preimage`` / ``update_postimage`` — the row-before /
+    row-after images an UPSERT consumer keys on — while rows the DELETE
+    removed outright keep the plain ``delete`` label (doc_id is unique in
+    the fixture, so every update pairs and nothing else does).
+
+    Scale shape: the pairing adds ONE changelog-sized (delete-set-sized)
+    shuffle on the identifier key on top of the CDC view's pruned reads —
+    never a table scan.
+    """
+    root, s_from, s_to = _fixture(spark, sf_dir)
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars, _change_type "
+        f"FROM iceberg_cdc('{root}', {s_from}, {s_to}, 'doc_id')",
+    )

@@ -70,7 +70,8 @@ _CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 _CDC_RE = re.compile(
-    r"iceberg_cdc\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    r"iceberg_cdc\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)"
+    r"(?:\s*,\s*['\"]([^'\"]+)['\"])?\s*\)",
     re.IGNORECASE,
 )
 _METADATA_RE = re.compile(
@@ -553,18 +554,34 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
     return name
 
 
-def _cdc_view(sess, root: str, from_id: str, to_id: str) -> str:
-    """``iceberg_cdc('<root>', from, to)`` → net row-level CHANGELOG
-    between two snapshots: every table column plus ``_change_type``
-    (``'insert'`` | ``'delete'``). An update (``update_where`` /
-    ``merge_into``) surfaces as delete+insert — exactly the merge-on-read
-    row delta those operations commit. Net semantics (Iceberg's
-    ``create_changelog_view`` with net changes): a row appended AND
-    deleted inside the range emits nothing. Applying the deletes then the
-    inserts to a downstream copy of the from-snapshot reproduces the
-    to-snapshot — the contract an incremental consumer needs to survive
-    DML without a full refresh (``iceberg_changes`` remains the lighter
-    append-only feed, which by design cannot represent retractions).
+def _cdc_view(
+    sess, root: str, from_id: str, to_id: str, key_cols: str | None = None
+) -> str:
+    """``iceberg_cdc('<root>', from, to[, 'key_col[,key_col...]'])`` →
+    net row-level CHANGELOG between two snapshots: every table column
+    plus ``_change_type`` (``'insert'`` | ``'delete'``). An update
+    (``update_where`` / ``merge_into``) surfaces as delete+insert —
+    exactly the merge-on-read row delta those operations commit. Net
+    semantics (Iceberg's ``create_changelog_view`` with net changes): a
+    row appended AND deleted inside the range emits nothing. Applying
+    the deletes then the inserts to a downstream copy of the
+    from-snapshot reproduces the to-snapshot — the contract an
+    incremental consumer needs to survive DML without a full refresh
+    (``iceberg_changes`` remains the lighter append-only feed, which by
+    design cannot represent retractions).
+
+    With the optional IDENTIFIER COLUMNS argument (r8 — the jarless
+    analog of Spark-Iceberg's ``create_changelog_view(identifier_columns
+    =...)``): a key whose net range holds exactly ONE retraction and ONE
+    insertion is relabeled ``'update_preimage'`` / ``'update_postimage'``
+    — the row-before and row-after images downstream UPSERT consumers
+    key on. Keys with any other multiplicity (pure inserts, pure
+    deletes, re-keyed rows, NULL identifier values) keep their plain
+    labels; net-range pairing, not Iceberg's per-commit-ordinal pairing
+    (one delete+insert of the same key across separate commits in the
+    range still reads as one update — consistent with net semantics).
+    The pairing costs one changelog-sized (delete-set-sized) shuffle on
+    the key, never a table scan.
 
     Scale shape: inserts read ONLY the files added in the range. For the
     retraction side, position deletes NAME their target data files (spec
@@ -658,10 +675,23 @@ def _cdc_view(sess, root: str, from_id: str, to_id: str) -> str:
             if carried_scan and (pos_new or eq_new)
             else []
         )
+        keys = (
+            [k.strip() for k in key_cols.split(",")] if key_cols else []
+        )
+        if keys:
+            schema_cols = set(
+                im.schema_column_types(root, metadata_path)
+            )
+            missing = [k for k in keys if k not in schema_cols]
+            if missing:
+                raise bad_request(
+                    f"iceberg_cdc: identifier column(s) {missing} not in "
+                    "the table's current schema"
+                )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
 
-    name = _view_name("cdc", root, (from_id, to_id))
+    name = _view_name("cdc", root, (from_id, to_id, key_cols))
 
     def suffix(col):
         return F.substring_index(col, "/data/", -1)
@@ -816,6 +846,33 @@ def _cdc_view(sess, root: str, from_id: str, to_id: str) -> str:
     else:  # nothing changed in the range — zero rows, right columns
         df = sess.createDataFrame(
             [], schema_ddl + ", _change_type STRING"
+        )
+    if keys and parts:
+        # Update-image pairing: a key whose net range carries exactly one
+        # retraction and one insertion is an UPDATE. One changelog-sized
+        # shuffle on the key; NULL identifier values never equi-match the
+        # count row, so they keep their plain labels (sound).
+        cnt = df.groupBy(*keys).agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("__cdc_ni"),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            ).alias("__cdc_nd"),
+        )
+        df = (
+            df.join(cnt, keys, "left")
+            .withColumn(
+                "_change_type",
+                F.when(
+                    (F.col("__cdc_ni") == 1) & (F.col("__cdc_nd") == 1),
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.lit("update_preimage"),
+                    ).otherwise(F.lit("update_postimage")),
+                ).otherwise(F.col("_change_type")),
+            )
+            .drop("__cdc_ni", "__cdc_nd")
         )
     df.createOrReplaceTempView(name)
     return name
@@ -1036,7 +1093,9 @@ def resolve_incremental_reads(sess, sql: str) -> str:
         root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
             return m.group(0)
-        return _cdc_view(sess, root, m.group(2), m.group(3))
+        return _cdc_view(
+            sess, root, m.group(2), m.group(3), key_cols=m.group(4)
+        )
 
     out = _sub_outside_literals(_CHANGES_RE, _changes, sql)
     return _sub_outside_literals(_CDC_RE, _cdc, out)

@@ -303,3 +303,78 @@ def test_cdc_carried_scan_prunes_to_delete_referenced_files(
     # listing exactly ONE file — the one the position delete names
     assert len(data_scans) == 1, data_scans
     assert len(data_scans[0]) == 1, data_scans
+
+
+def test_cdc_identifier_columns_pair_update_images(spark, table):
+    """r8: iceberg_cdc('<root>', f, t, 'id') — a key with exactly one
+    retraction and one insertion in the net range relabels as
+    update_preimage/update_postimage (the jarless analog of
+    create_changelog_view(identifier_columns=...)); pure deletes and
+    pure inserts keep their plain labels."""
+    root, t = table
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 1000)
+    update_where(
+        spark, root, "id = 3", {"v": "upper(v)"}, timestamp_ms=T1 + 2000
+    )
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    p = os.path.join(root, "data", "late-append5.parquet")
+    pq.write_table(pa.table({"id": [5], "v": ["e"]}), p)
+    commit_row_delta_snapshot(
+        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 3000
+    )
+    snaps = _snap_ids(spark, root)
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', "
+            f"{snaps[0]}, {snaps[-1]}, 'id')",
+        )
+    )
+    assert rows == sorted(
+        [
+            (2, "b", "delete"),            # only a retraction: plain
+            (3, "c", "update_preimage"),   # paired
+            (3, "C", "update_postimage"),
+            (5, "e", "insert"),            # only an insertion: plain
+        ]
+    )
+
+
+def test_cdc_identifier_columns_rekey_stays_plain(spark, table):
+    """A key hit by TWO retractions (or whose insert count != 1) cannot
+    pair — both rows keep plain labels rather than guessing."""
+    root, t = table
+    # duplicate key 7 twice, then delete both copies in range
+    t.append_snapshot(
+        [pa.table({"id": [7, 7], "v": ["x", "y"]})], timestamp_ms=T1 + 500
+    )
+    mid = _snap_ids(spark, root)[-1]
+    delete_where(spark, root, "id = 7", timestamp_ms=T1 + 1000)
+    snaps = _snap_ids(spark, root)
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', "
+            f"{mid}, {snaps[-1]}, 'id')",
+        )
+    )
+    assert rows == sorted([(7, "x", "delete"), (7, "y", "delete")])
+
+
+def test_cdc_identifier_columns_unknown_column_rejects(spark, table):
+    root, _ = table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    snaps = _snap_ids(spark, root)
+    with pytest.raises(CloudfloeError, match="identifier column"):
+        _rows(
+            spark,
+            f"SELECT * FROM iceberg_cdc('{root}', {snaps[0]}, "
+            f"{snaps[-1]}, 'nope')",
+        )
