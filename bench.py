@@ -130,6 +130,10 @@ HEADLINE = [
     "graph_kcore_peel",          # iterative degree-peel round-trip
     "text_bm25_topk",            # shared-subtree BM25 ranking + broadcast prune
     "hybrid_rrf_retrieval",      # BM25 + dense cosine reciprocal-rank fusion
+    # Round-8 breadth: the changelog family (CDC reads over a DML range;
+    # fixture build happens once in the untimed warm-up, so the timing
+    # tracks the pruned changelog READ).
+    "cdc_doc_changelog",
 ]
 
 

@@ -824,6 +824,52 @@ def commit_rewrite_snapshot(
     return snap_id
 
 
+def rename_column_on_disk(
+    root: str, old: str, new: str, *, timestamp_ms: int
+) -> None:
+    """``ALTER TABLE RENAME COLUMN`` on an EXISTING on-disk table — an
+    EXTERNAL commit like :func:`commit_row_delta_snapshot` (do not mix
+    with further commits through a live ``LocalIcebergTable`` instance,
+    whose in-memory state would clobber this). Appends a renamed copy of
+    the current schema to the metadata schema log (field ids stable, per
+    Iceberg rename semantics) and points ``current-schema-id`` at it —
+    metadata-only, no snapshot, already-written files keep their old
+    parquet column names. Partition specs are untouched: they reference
+    source FIELD IDS, which a rename never changes."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta_path = im.latest_metadata_path(root).removeprefix("file://")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    if not schemas:
+        raise ValueError("table metadata carries no schema")
+    cur_id = meta.get("current-schema-id", 0)
+    cur = next(
+        (s for s in schemas if s.get("schema-id") == cur_id), schemas[-1]
+    )
+    names = [f.get("name") for f in cur.get("fields", [])]
+    if old not in names:
+        raise KeyError(f"no column {old!r} to rename")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    next_id = max(s.get("schema-id", 0) for s in schemas) + 1
+    renamed = {
+        "type": "struct",
+        "schema-id": next_id,
+        "fields": [
+            {**f, "name": new if f.get("name") == old else f.get("name")}
+            for f in cur.get("fields", [])
+        ],
+    }
+    meta["schemas"] = schemas + [renamed]
+    meta["current-schema-id"] = next_id
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+
+
 def write_next_metadata_version(root: str, meta: dict) -> str:
     """Write ``meta`` as the next numeric metadata version and point
     ``version-hint.text`` at it when the table has one — the hint is

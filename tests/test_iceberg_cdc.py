@@ -378,3 +378,93 @@ def test_cdc_identifier_columns_unknown_column_rejects(spark, table):
             f"SELECT * FROM iceberg_cdc('{root}', {snaps[0]}, "
             f"{snaps[-1]}, 'nope')",
         )
+
+
+def test_cdc_replay_contract_across_mixed_dml_history(spark, tmp_path):
+    """End-to-end replay contract over a mixed history — appends, a
+    position DELETE, an UPDATE spanning pre- and post-range files, a
+    column RENAME, an equality delete, and an update AFTER the equality
+    delete (the r8 write path): for EVERY sampled snapshot range, the CDC
+    output must equal the DuckDB multiset diff of the two states, and
+    applying it to the from-state must reproduce the to-state."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    root = str(tmp_path / "tmix")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(10)),
+                    "v": [chr(97 + i) for i in range(10)],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    delete_where(spark, root, "id % 3 = 0", timestamp_ms=T1 + 1000)
+    p = os.path.join(root, "data", "mix-append.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": list(range(10, 15)), "v": [f"n{i}" for i in range(5)]}
+        ),
+        p,
+    )
+    commit_row_delta_snapshot(root, new_data_files=[(p, 5)], timestamp_ms=T1 + 2000)
+    update_where(
+        spark, root, "id >= 8 AND id <= 12", {"v": "upper(v)"},
+        timestamp_ms=T1 + 3000,
+    )
+    # rename MID-HISTORY through the external metadata commit (the live
+    # fixture object is stale after DML commits and would clobber them)
+    from cloudfloe_spark.sources.iceberg_fixture import rename_column_on_disk
+
+    rename_column_on_disk(root, "v", "w", timestamp_ms=T1 + 4000)
+    delete_by_key(root, "w", ["b"], timestamp_ms=T1 + 5000)
+    update_where(
+        spark, root, "id = 1", {"w": "concat(w, '!')"},
+        timestamp_ms=T1 + 6000,
+    )
+
+    snaps = _snap_ids(spark, root)
+
+    def state(snap_id):
+        # positional compare: write-time schema names the value column v
+        # before the rename, w after — SELECT * keeps (id, value) order
+        return _rows(
+            spark,
+            f"SELECT * FROM iceberg_scan('{root}') VERSION AS OF {snap_id}",
+        )
+
+    def cdc(s_from, s_to):
+        rows = _rows(
+            spark,
+            f"SELECT * FROM iceberg_cdc('{root}', {s_from}, {s_to})",
+        )
+        dels = sorted((r[0], r[1]) for r in rows if r[2] == "delete")
+        ins = sorted((r[0], r[1]) for r in rows if r[2] == "insert")
+        return dels, ins
+
+    pairs = [
+        (snaps[0], snaps[-1]),
+        (snaps[2], snaps[-1]),
+        (snaps[0], snaps[3]),
+        (snaps[1], snaps[4]),
+    ]
+    for s_from, s_to in pairs:
+        exp_dels, exp_ins = _duckdb_diff(state(s_from), state(s_to))
+        dels, ins = cdc(s_from, s_to)
+        assert dels == sorted(exp_dels), (s_from, s_to, dels, exp_dels)
+        assert ins == sorted(exp_ins), (s_from, s_to, ins, exp_ins)
+        replay = sorted(
+            [r for r in state(s_from) if r not in dels] + ins
+        )
+        assert replay == sorted(state(s_to)), (s_from, s_to)
