@@ -306,3 +306,69 @@ def cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, lang, n_chars, _change_type "
         f"FROM iceberg_cdc('{root}', {s_from}, {s_to}, 'doc_id')",
     )
+
+
+def _replica_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DOWNSTREAM replica: seeded from the changelog fixture's
+    from-state (the raw documents subset), then synced with ONE
+    apply_changelog of the full CDC range. Returns the replica root."""
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+
+    root, s_from, s_to = _fixture(spark, sf_dir)
+    parent = os.path.dirname(root)
+    replica = os.path.join(parent, "replica")
+    done = os.path.join(parent, "_REPLICA_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(replica, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(replica, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        changes = _resolved(
+            spark,
+            f"SELECT * FROM iceberg_cdc('{root}', {s_from}, {s_to}, "
+            f"'doc_id')",
+        )
+        apply_changelog(
+            spark, replica, changes, "doc_id", timestamp_ms=_T0 + 5000
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return replica
+
+
+@register(
+    "cdc_replica_sync",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_UPDATE_COND}
+                    THEN n_chars + {_UPDATE_BUMP}
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND})
+    """,
+    tags=("iceberg", "cdc"),
+)
+def cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the incremental-consumer loop, driver-checked:
+    a downstream replica seeded from the from-snapshot and synced with
+    ONE ``apply_changelog`` of the ``iceberg_cdc`` range must equal the
+    primary's to-snapshot row for row — the oracle computes that final
+    state directly from the original documents table (delete slice
+    removed, update slice bumped).
+
+    Scale shape: the sync's retraction pass is one MOR scan of the
+    replica semi-joined against BROADCAST changelog keys; inserts and
+    the commit are changelog-sized — a replica refresh never rescans or
+    rewrites the table.
+    """
+    replica = _replica_fixture(spark, sf_dir)
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{replica}')",
+    )

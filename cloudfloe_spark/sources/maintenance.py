@@ -687,6 +687,139 @@ def update_where(
             "files_scanned": len(paths), "files_total": n_live}
 
 
+def apply_changelog(
+    spark: SparkSession,
+    root: str,
+    changes,
+    key_cols: "str | list[str]",
+    *,
+    timestamp_ms: int,
+    rows_per_delete_file: int = 1_000_000,
+) -> dict:
+    """Apply a net row-level changelog (the ``iceberg_cdc`` output shape:
+    target columns + ``_change_type`` in insert / delete /
+    update_preimage / update_postimage) to a DOWNSTREAM Iceberg table as
+    ONE merge-on-read commit — the write half of the incremental-consumer
+    loop: ``apply_changelog(replica, iceberg_cdc(primary, a, b))`` makes
+    the replica equal the primary's b-snapshot without a full refresh.
+
+    Semantics are KEY-BASED replication (standard CDC apply): target rows
+    whose ``key_cols`` tuple appears among the changelog's retractions
+    (delete / update_preimage rows) are position-deleted, and the
+    changelog's insertions (insert / update_postimage rows) are appended
+    — when keys are unique (the replicated-table contract) this equals
+    the changelog's exact multiset replay.
+
+    Scale shape: the retraction pass is one MOR scan of the target
+    semi-joined against the BROADCAST (changelog-sized) retraction keys,
+    the delete/insert writes are distributed and sized by the changelog,
+    and the commit is metadata-only — never a table rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if "_change_type" not in changes.columns:
+        raise ValueError("apply_changelog: changes lacks _change_type")
+    missing = sorted(set(keys) - set(changes.columns))
+    if missing:
+        raise ValueError(
+            f"apply_changelog: key column(s) {missing} not in changes"
+        )
+    data_cols = [c for c in changes.columns if c != "_change_type"]
+
+    retract_keys = (
+        changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        )
+        .select(*keys)
+        .distinct()
+        .persist()
+    )
+    inserts = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+
+    meta_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    paths = im.live_data_paths(root, snap)
+
+    import pyarrow.parquet as pq
+
+    def _parquets(d):
+        out = []
+        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
+            cnt = pq.ParquetFile(f).metadata.num_rows
+            if cnt:
+                out.append((f, cnt))
+        return out
+
+    try:
+        n_retract_keys = retract_keys.count()
+        delete_files: list = []
+        n_del = 0
+        if n_retract_keys and paths:
+            tdf = _mor_raw_scan(
+                spark, root, snap, paths, metadata_path=meta_path
+            )
+            bad = sorted(set(keys) - set(tdf.columns))
+            if bad:
+                raise ValueError(
+                    f"apply_changelog: key column(s) {bad} not in target"
+                )
+            matched = (
+                tdf.join(F.broadcast(retract_keys), keys, "left_semi")
+                .select(
+                    F.col(_FP).alias("file_path"), F.col(_POS).alias("pos")
+                )
+                .persist()
+            )
+            try:
+                n_del = matched.count()
+                if n_del:
+                    del_dir = os.path.join(
+                        root,
+                        "data",
+                        f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
+                    )
+                    n_files = max(1, -(-n_del // rows_per_delete_file))
+                    (
+                        matched.repartitionByRange(
+                            n_files, F.col("file_path"), F.col("pos")
+                        )
+                        .sortWithinPartitions("file_path", "pos")
+                        .write.mode("errorifexists")
+                        .parquet(del_dir)
+                    )
+                    delete_files = _parquets(del_dir)
+            finally:
+                matched.unpersist()
+    finally:
+        retract_keys.unpersist()
+
+    ins_dir = os.path.join(
+        root, "data", f"changelog-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
+    inserts.write.mode("errorifexists").parquet(ins_dir)
+    new_files = _parquets(ins_dir)
+    n_ins = sum(c for _, c in new_files)
+
+    if not delete_files and not new_files:
+        return {"retracted": 0, "inserted": 0, "snapshot_id": None}
+    snap_id = commit_row_delta_snapshot(
+        root,
+        new_data_files=new_files,
+        delete_files=delete_files,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {"retracted": n_del, "inserted": n_ins, "snapshot_id": snap_id}
+
+
 class MergeCardinalityError(ValueError):
     """A target row matched more than one source row — the same
     nondeterministic-update condition Iceberg/Spark MERGE rejects."""

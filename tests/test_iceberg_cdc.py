@@ -468,3 +468,73 @@ def test_cdc_replay_contract_across_mixed_dml_history(spark, tmp_path):
             [r for r in state(s_from) if r not in dels] + ins
         )
         assert replay == sorted(state(s_to)), (s_from, s_to)
+
+
+def test_apply_changelog_syncs_replica_to_primary(spark, tmp_path):
+    """The write half of the incremental-consumer loop (r8):
+    apply_changelog(replica, iceberg_cdc(primary, a, b), key) makes a
+    replica seeded from snapshot a equal the primary's snapshot b — a
+    DELETE, an UPDATE, and an append replicated in ONE merge-on-read
+    commit, no full refresh. A second apply of the next range keeps it
+    in sync (incremental, not one-shot)."""
+    from cloudfloe_spark.service.iceberg_local import (
+        resolve_iceberg_reads,
+        resolve_incremental_reads,
+    )
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+
+    primary = str(tmp_path / "primary")
+    replica = str(tmp_path / "replica")
+    seed = pa.table({"id": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    for root in (primary, replica):
+        t = LocalIcebergTable(
+            root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+        )
+        t.append_snapshot([seed], timestamp_ms=T1)
+
+    delete_where(spark, primary, "id = 2", timestamp_ms=T1 + 1000)
+    update_where(
+        spark, primary, "id = 3", {"v": "upper(v)"}, timestamp_ms=T1 + 2000
+    )
+    snaps = _snap_ids(spark, primary)
+
+    def changes(s_from, s_to):
+        sql = (
+            f"SELECT * FROM iceberg_cdc('{primary}', {s_from}, {s_to}, 'id')"
+        )
+        return spark.sql(
+            resolve_incremental_reads(
+                spark, resolve_iceberg_reads(spark, sql)
+            )
+        )
+
+    res = apply_changelog(
+        spark, replica, changes(snaps[0], snaps[-1]), "id",
+        timestamp_ms=T1 + 3000,
+    )
+    assert res["retracted"] == 2 and res["inserted"] == 1
+    assert _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{replica}') ORDER BY id"
+    ) == _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{primary}') ORDER BY id"
+    )
+
+    # next range: another DML on the primary, apply only the NEW range
+    mark = snaps[-1]
+    delete_where(spark, primary, "id = 4", timestamp_ms=T1 + 4000)
+    s_new = _snap_ids(spark, primary)[-1]
+    res = apply_changelog(
+        spark, replica, changes(mark, s_new), "id", timestamp_ms=T1 + 5000
+    )
+    assert res["retracted"] == 1 and res["inserted"] == 0
+    assert _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{replica}') ORDER BY id"
+    ) == _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{primary}') ORDER BY id"
+    )
+
+    # empty range is a no-op commit-wise
+    res = apply_changelog(
+        spark, replica, changes(s_new, s_new), "id", timestamp_ms=T1 + 6000
+    )
+    assert res == {"retracted": 0, "inserted": 0, "snapshot_id": None}
