@@ -66,11 +66,13 @@ _SNAPSHOTS_RE = re.compile(
     r"iceberg_snapshots\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
 _CHANGES_RE = re.compile(
-    r"iceberg_changes\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    r"iceberg_changes\(\s*['\"]([^'\"]+)['\"]\s*,"
+    r"\s*(\d+|'[^']+')\s*,\s*(\d+|'[^']+')\s*\)",
     re.IGNORECASE,
 )
 _CDC_RE = re.compile(
-    r"iceberg_cdc\(\s*['\"]([^'\"]+)['\"]\s*,\s*(\d+)\s*,\s*(\d+)"
+    r"iceberg_cdc\(\s*['\"]([^'\"]+)['\"]\s*,"
+    r"\s*(\d+|'[^']+')\s*,\s*(\d+|'[^']+')"
     r"(?:\s*,\s*['\"]([^'\"]+)['\"])?\s*\)",
     re.IGNORECASE,
 )
@@ -377,6 +379,29 @@ def _apply_position_deletes(sess, data, delete_paths: list[str]):
     ).drop("__cf_file", "__cf_pos")
 
 
+def _resolve_range_endpoint(root: str, token: str, metadata_path) -> dict:
+    """Snapshot for an incremental-range endpoint: bare digits = snapshot
+    id; quoted = ref name (tag/branch) or, failing that, a timestamp —
+    the same spellings time travel accepts (r8:
+    ``iceberg_cdc('<root>', 'v1-tag', '2023-11-14 22:13:20')``)."""
+    if token.startswith("'"):
+        text = token[1:-1]
+        try:
+            ver = im.resolve_ref(root, text, metadata_path=metadata_path)
+            return im.resolve_snapshot(
+                root, version=ver, metadata_path=metadata_path
+            )
+        except im.IcebergMetadataError:
+            return im.resolve_snapshot(
+                root,
+                timestamp_ms=_parse_ts_ms(text),
+                metadata_path=metadata_path,
+            )
+    return im.resolve_snapshot(
+        root, version=int(token), metadata_path=metadata_path
+    )
+
+
 def _delete_file_column(path: str, current: str, hist: dict) -> str:
     """On-disk column name inside a delete parquet FILE for the current
     field name ``current``: a delete file written before a rename carries
@@ -492,12 +517,8 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
     observe retractions of already-processed rows needs a full refresh."""
     try:
         metadata_path = im.latest_metadata_path(root)
-        s_from = im.resolve_snapshot(
-            root, version=int(from_id), metadata_path=metadata_path
-        )
-        s_to = im.resolve_snapshot(
-            root, version=int(to_id), metadata_path=metadata_path
-        )
+        s_from = _resolve_range_endpoint(root, from_id, metadata_path)
+        s_to = _resolve_range_endpoint(root, to_id, metadata_path)
         seq_from = s_from.get("sequence-number", 0)
         seq_to = s_to.get("sequence-number", 0)
         if seq_to < seq_from:
@@ -608,12 +629,8 @@ def _cdc_view(
 
     try:
         metadata_path = im.latest_metadata_path(root)
-        s_from = im.resolve_snapshot(
-            root, version=int(from_id), metadata_path=metadata_path
-        )
-        s_to = im.resolve_snapshot(
-            root, version=int(to_id), metadata_path=metadata_path
-        )
+        s_from = _resolve_range_endpoint(root, from_id, metadata_path)
+        s_to = _resolve_range_endpoint(root, to_id, metadata_path)
         seq_from = s_from.get("sequence-number", 0)
         if s_to.get("sequence-number", 0) < seq_from:
             raise bad_request(

@@ -695,6 +695,7 @@ def apply_changelog(
     *,
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
+    changelog_id: "str | None" = None,
 ) -> dict:
     """Apply a net row-level changelog (the ``iceberg_cdc`` output shape:
     target columns + ``_change_type`` in insert / delete /
@@ -714,6 +715,14 @@ def apply_changelog(
     semi-joined against the BROADCAST (changelog-sized) retraction keys,
     the delete/insert writes are distributed and sized by the changelog,
     and the commit is metadata-only — never a table rewrite.
+
+    ``changelog_id`` makes the apply IDEMPOTENT under retries (the same
+    construction the streaming sink uses for exactly-once): the id is
+    recorded in the commit's snapshot summary, and a later call with an
+    id any existing snapshot already carries returns
+    ``{"skipped": True}`` without touching the table — without it, a
+    retried apply would re-append every insertion. Callers replicating
+    a CDC range should pass e.g. ``f"{src_root}:{from_id}:{to_id}"``.
     """
     from pyspark.sql import functions as F
 
@@ -745,6 +754,19 @@ def apply_changelog(
     ).select(*data_cols)
 
     meta_path = im.latest_metadata_path(root)
+    if changelog_id is not None:
+        applied = {
+            (s.get("summary") or {}).get("changelog-id")
+            for s in im.load_metadata(root, meta_path).get("snapshots", [])
+        }
+        if changelog_id in applied:
+            retract_keys.unpersist()
+            return {
+                "retracted": 0,
+                "inserted": 0,
+                "snapshot_id": None,
+                "skipped": True,
+            }
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
 
@@ -760,6 +782,19 @@ def apply_changelog(
 
     try:
         n_retract_keys = retract_keys.count()
+        # NULL keys never equi-match, so a null-keyed retraction would be
+        # SILENTLY skipped — reject instead (Iceberg identifier fields are
+        # required non-null; a changelog keyed on a nullable column is a
+        # caller bug this should surface, not absorb).
+        null_cond = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_cond = c if null_cond is None else (null_cond | c)
+        if n_retract_keys and retract_keys.filter(null_cond).limit(1).count():
+            raise ValueError(
+                "apply_changelog: retraction rows carry NULL key values; "
+                "identifier columns must be non-null"
+            )
         delete_files: list = []
         n_del = 0
         if n_retract_keys and paths:
@@ -816,6 +851,11 @@ def apply_changelog(
         delete_files=delete_files,
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
+        summary_extra=(
+            {"changelog-id": changelog_id}
+            if changelog_id is not None
+            else None
+        ),
     )
     return {"retracted": n_del, "inserted": n_ins, "snapshot_id": snap_id}
 

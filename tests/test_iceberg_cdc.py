@@ -538,3 +538,97 @@ def test_apply_changelog_syncs_replica_to_primary(spark, tmp_path):
         spark, replica, changes(s_new, s_new), "id", timestamp_ms=T1 + 6000
     )
     assert res == {"retracted": 0, "inserted": 0, "snapshot_id": None}
+
+
+def test_cdc_and_changes_accept_ref_and_timestamp_endpoints(spark, table):
+    """r8: range endpoints accept the same spellings as time travel —
+    bare snapshot ids, quoted ref names (tags/branches), and quoted
+    timestamps."""
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    root, _ = table
+    s1 = _snap_ids(spark, root)[0]
+    set_ref(root, "v1", s1, timestamp_ms=T1 + 500)
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 1000)
+    s2 = _snap_ids(spark, root)[-1]
+
+    by_id = _rows(
+        spark,
+        f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', {s1}, {s2}) "
+        "ORDER BY id",
+    )
+    assert by_id == [(2, "b", "delete")]
+    by_ref = _rows(
+        spark,
+        f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', 'v1', {s2}) "
+        "ORDER BY id",
+    )
+    assert by_ref == by_id
+    # timestamps: snapshot commit times are T1 and T1+1000 (epoch ms)
+    import datetime
+
+    def ts(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    by_ts = _rows(
+        spark,
+        f"SELECT id, v, _change_type FROM "
+        f"iceberg_cdc('{root}', '{ts(T1)}', '{ts(T1 + 1000)}') ORDER BY id",
+    )
+    assert by_ts == by_id
+    # iceberg_changes takes the same endpoint spellings (append feed)
+    ch = _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_changes('{root}', 'v1', '{ts(T1 + 1000)}')",
+    )
+    assert ch == []  # delete-only range appends nothing
+
+
+def test_apply_changelog_idempotent_by_changelog_id(spark, tmp_path):
+    """r8: a retried apply with the same changelog_id is a no-op (the
+    id is recorded in the commit summary) — without it, a retry would
+    re-append every insertion."""
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+
+    root = str(tmp_path / "tidem")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "v": ["a", "b"]})], timestamp_ms=T1
+    )
+    changes = spark.createDataFrame(
+        [(2, "b", "update_preimage"), (2, "B", "update_postimage"),
+         (9, "n", "insert")],
+        "id BIGINT, v STRING, _change_type STRING",
+    )
+    tag = "src:1:2"
+    res1 = apply_changelog(
+        spark, root, changes, "id", timestamp_ms=T1 + 1000, changelog_id=tag
+    )
+    assert res1["retracted"] == 1 and res1["inserted"] == 2
+    res2 = apply_changelog(
+        spark, root, changes, "id", timestamp_ms=T1 + 2000, changelog_id=tag
+    )
+    assert res2.get("skipped") is True
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == [(1, "a"), (2, "B"), (9, "n")]
+
+
+def test_apply_changelog_rejects_null_keys(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+
+    root = str(tmp_path / "tnull")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "v": ["a"]})], timestamp_ms=T1
+    )
+    changes = spark.createDataFrame(
+        [(None, "a", "delete")], "id BIGINT, v STRING, _change_type STRING"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        apply_changelog(spark, root, changes, "id", timestamp_ms=T1 + 1000)
