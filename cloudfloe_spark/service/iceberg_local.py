@@ -18,9 +18,12 @@ against local tables:
   column names: sequence_number, snapshot_id, timestamp_ms, manifest_list)
 - ``iceberg_refs('<root>')``                → ref (tag/branch) listing
 - ``iceberg_changes('<root>', from, to)``   → net-append incremental feed
-- ``iceberg_cdc('<root>', from, to)``       → net row-level changelog
+- ``iceberg_cdc('<root>', from, to[, 'key'])`` → net row-level changelog
   (table columns + ``_change_type`` 'insert'/'delete'; updates surface
-  as delete+insert — survives DML where the append feed cannot)
+  as delete+insert, or as update_preimage/update_postimage pairs when
+  identifier columns are given — survives DML where the append feed
+  cannot). Range endpoints for both: snapshot ids, quoted ref names,
+  or quoted timestamps.
 - ``iceberg_metadata('<root>')``            → live file listing
   (manifest_path, manifest_content, status, content, file_path,
   file_format, record_count; enum columns rendered as DuckDB's STRINGS —

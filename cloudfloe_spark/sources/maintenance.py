@@ -432,6 +432,26 @@ def _mor_raw_scan(
     return df
 
 
+def _sql_literal(v) -> "str | None":
+    """SQL literal for a Python value usable in a pruning conjunct, or
+    None for types the pruning machinery can't compare (sound: no
+    literal → no pruning on that key)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        from cloudfloe_spark.service.validation import sql_string_literal
+
+        try:
+            return sql_string_literal(v)
+        except ValueError:
+            return None  # control chars: not expressible, skip pruning
+    return None
+
+
 def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: list) -> list:
     """Manifest-level pruning for a DML condition: wrap it in a SELECT so
     the same conjunct extractor the read path uses applies both pruning
@@ -797,6 +817,33 @@ def apply_changelog(
             )
         delete_files: list = []
         n_del = 0
+        if n_retract_keys and paths:
+            # Prune the retraction scan by the retraction keys' [min, max]
+            # through the same manifest-stats machinery DML conditions use:
+            # files whose key bounds exclude the whole changelog range
+            # cannot hold a retracted row — a small CDC apply then scans
+            # delete-neighborhood files, not the table. Sound-by-omission
+            # (unprunable key types or absent stats scan normally).
+            bounds = retract_keys.agg(
+                *[
+                    f
+                    for k in keys
+                    for f in (
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    )
+                ]
+            ).first()
+            conjs = []
+            for k in keys:
+                lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+                lit_lo, lit_hi = _sql_literal(lo), _sql_literal(hi)
+                if lit_lo is not None and lit_hi is not None:
+                    conjs.append(f"{k} >= {lit_lo} AND {k} <= {lit_hi}")
+            if conjs:
+                paths = _prune_dml_scan(
+                    root, meta_path, snap, " AND ".join(conjs), paths
+                )
         if n_retract_keys and paths:
             tdf = _mor_raw_scan(
                 spark, root, snap, paths, metadata_path=meta_path

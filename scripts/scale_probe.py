@@ -439,6 +439,22 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
         timestamp_ms=_T0,
     )
     delete_where(spark, wroot, "k = 0", timestamp_ms=_T0 + 1000)
+    from pyspark.sql import functions as _F
+
+    from cloudfloe_spark.sources.maintenance import apply_changelog as _ac
+
+    _ac(
+        spark,
+        wroot,
+        spark.range(3).select(
+            _F.col("id"),
+            _F.col("id").alias("k"),
+            _F.col("id").cast("double").alias("v"),
+            _F.lit("delete").alias("_change_type"),
+        ),
+        "id",
+        timestamp_ms=_T0 + 2000,
+    )
 
     # (a) skewed DELETE: 90% of rows on one key in ONE hot file — times
     # the full DML path (MOR scan + filter + sorted position-delete write
@@ -471,6 +487,26 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     run_query(spark, sql, cfg)
     timings["cdc_after_point_delete"] = round(time.perf_counter() - t0, 3)
+
+    # (c) apply_changelog of a FIXED-SIZE changelog onto a replica whose
+    # file count grows with n: the retraction scan prunes by the keys'
+    # [min, max] through manifest stats, so the sync should stay ~flat.
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+
+    replica = build_cdc_table(spark, n, out_dir)  # fresh, un-deleted copy
+    changes = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.lit("delete").alias("_change_type"),
+    )
+    t0 = time.perf_counter()
+    res = apply_changelog(
+        spark, replica, changes, "id", timestamp_ms=_T0 + 2000
+    )
+    timings["apply_changelog_point"] = round(time.perf_counter() - t0, 3)
+    assert res["retracted"] == 500, res
     return timings
 
 

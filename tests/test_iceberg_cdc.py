@@ -632,3 +632,52 @@ def test_apply_changelog_rejects_null_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL key"):
         apply_changelog(spark, root, changes, "id", timestamp_ms=T1 + 1000)
+
+
+def test_apply_changelog_prunes_retraction_scan_by_key_bounds(
+    spark, tmp_path, monkeypatch
+):
+    """r8: the retraction pass prunes the target scan through the
+    manifest-stats machinery using the changelog keys' [min, max] — a
+    changelog touching one file's key range scans that file, not the
+    table (reader plan-spy, like the CDC carried-scan prune test)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+
+    root = str(tmp_path / "tpr")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    # three files with disjoint sorted id ranges -> disjoint manifest bounds
+    t.append_snapshot(
+        [
+            pa.table({"id": [1, 2], "v": ["a", "b"]}),
+            pa.table({"id": [10, 11], "v": ["c", "d"]}),
+            pa.table({"id": [20, 21], "v": ["e", "f"]}),
+        ],
+        timestamp_ms=T1,
+    )
+    changes = spark.createDataFrame(
+        [(10, "c", "delete"), (11, "d", "update_preimage"),
+         (11, "D", "update_postimage")],
+        "id BIGINT, v STRING, _change_type STRING",
+    )
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        calls.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    res = apply_changelog(spark, root, changes, "id", timestamp_ms=T1 + 1000)
+    assert res["retracted"] == 2 and res["inserted"] == 1
+    data_scans = [
+        ps for ps in calls
+        if any("/data/" in p and "/deletes-" not in p for p in ps)
+    ]
+    assert len(data_scans) == 1, data_scans
+    assert len(data_scans[0]) == 1, data_scans  # only the ids-10..11 file
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == [(1, "a"), (2, "b"), (11, "D"), (20, "e"), (21, "f")]
