@@ -681,3 +681,42 @@ def test_apply_changelog_prunes_retraction_scan_by_key_bounds(
     assert len(data_scans[0]) == 1, data_scans  # only the ids-10..11 file
     got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
     assert got == [(1, "a"), (2, "b"), (11, "D"), (20, "e"), (21, "f")]
+
+
+def test_position_delete_targets_stats_and_boundary_row_groups(tmp_path):
+    """Footer-only target resolution: single-file row groups resolve from
+    statistics alone; a row group spanning a file boundary (min != max)
+    falls back to reading just that group's column; truncation-suspect
+    stats (value not ending in .parquet) are never trusted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_meta import position_delete_targets
+
+    a = "/w/t/data/part-a.parquet"
+    b = "/w/t/data/part-b.parquet"
+    c = "/w/t/data/part-c.parquet"
+    p = str(tmp_path / "del.parquet")
+    # row group 1: all file a (min==max, trusted); row group 2: spans b+c
+    t1 = pa.table({"file_path": [a, a, a], "pos": [0, 1, 2]})
+    t2 = pa.table({"file_path": [b, c], "pos": [0, 0]})
+    w = pq.ParquetWriter(p, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    pf = pq.ParquetFile(p)
+    assert pf.metadata.num_row_groups == 2
+    assert position_delete_targets([p]) == {
+        "part-a.parquet",
+        "part-b.parquet",
+        "part-c.parquet",
+    }
+
+    # truncated-looking stats (no .parquet suffix): must read, not trust
+    d = str(tmp_path / "trunc.parquet")
+    pq.write_table(
+        pa.table({"file_path": ["/w/t/data/prefix-only", "/w/t/data/prefix-only"],
+                  "pos": [0, 1]}),
+        d,
+    )
+    assert position_delete_targets([d]) == {"prefix-only"}
