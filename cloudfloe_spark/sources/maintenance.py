@@ -452,6 +452,16 @@ def _sql_literal(v) -> "str | None":
     return None
 
 
+def _sized_write(df, n_rows: int, rows_per_file: int):
+    """Coalesce a small data write to ceil(n/rows_per_file) output files —
+    a 100-row update should commit ONE file, not one per task (small-file
+    accretion is exactly what compaction exists to undo; at a daily-DML
+    cadence it compounds into thousands of tiny files). Large writes keep
+    their distributed partitioning: coalesce only ever narrows, and a
+    target above the current partition count is a no-op."""
+    return df.coalesce(max(1, -(-n_rows // rows_per_file)))
+
+
 def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: list) -> list:
     """Manifest-level pruning for a DML condition: wrap it in a SELECT so
     the same conjunct extractor the read path uses applies both pruning
@@ -684,7 +694,9 @@ def update_where(
                 for c in data_cols
             ]
         )
-        rewritten.write.mode("errorifexists").parquet(upd_dir)
+        _sized_write(rewritten, n, rows_per_delete_file).write.mode(
+            "errorifexists"
+        ).parquet(upd_dir)
     finally:
         matches.unpersist()
 
@@ -886,7 +898,9 @@ def apply_changelog(
     ins_dir = os.path.join(
         root, "data", f"changelog-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
     )
-    inserts.write.mode("errorifexists").parquet(ins_dir)
+    _sized_write(
+        inserts, inserts.count(), rows_per_delete_file
+    ).write.mode("errorifexists").parquet(ins_dir)
     new_files = _parquets(ins_dir)
     n_ins = sum(c for _, c in new_files)
 
@@ -1053,7 +1067,9 @@ def merge_into(
         merge_dir = os.path.join(
             root, "data", f"merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
         )
-        out.write.mode("errorifexists").parquet(merge_dir)
+        _sized_write(
+            out, n_matched + n_inserted, rows_per_delete_file
+        ).write.mode("errorifexists").parquet(merge_dir)
     finally:
         matched.unpersist()
 

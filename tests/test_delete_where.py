@@ -983,3 +983,22 @@ def test_dml_writes_read_cached_matches_not_parquet(
         first_file_scan = p.find("FileScan parquet")
         if first_file_scan != -1:
             assert 0 <= p.find("InMemoryRelation") < first_file_scan, p
+
+
+def test_small_update_writes_one_data_file(spark, two_file_table):
+    """r8: a small UPDATE commits ONE rewritten data file, not one per
+    task — small-file accretion at a daily-DML cadence is what
+    compaction exists to undo, so the write is sized by row count."""
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    root = two_file_table
+    res = update_where(
+        spark, root, "id >= 7", {"v": "upper(v)"}, timestamp_ms=T1 + 1000
+    )
+    assert res["matched"] == 3
+    snap = im.resolve_snapshot(root)
+    added = [
+        f for f in im.live_data_files(root, snap)
+        if "/update-" in f["file_path"]
+    ]
+    assert len(added) == 1, [f["file_path"] for f in added]
