@@ -52,8 +52,13 @@ def _fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
     from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
     from cloudfloe_spark.sources.maintenance import delete_where, update_where
 
+    # Key on the SOURCE file's identity too: if the driver regenerates
+    # the testdata between rounds, a path-only key would serve a stale
+    # cached fixture whose rows no longer match the oracle's documents.
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}".encode()
+        f"{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     parent = os.path.join("/tmp", "cloudfloe_changelog", key)
     root = os.path.join(parent, "t")
