@@ -79,6 +79,12 @@ _CDC_RE = re.compile(
     r"(?:\s*,\s*['\"]([^'\"]+)['\"])?\s*\)",
     re.IGNORECASE,
 )
+_CDC_COMMITS_RE = re.compile(
+    r"iceberg_cdc_commits\(\s*['\"]([^'\"]+)['\"]\s*,"
+    r"\s*(\d+|'[^']+')\s*,\s*(\d+|'[^']+')"
+    r"(?:\s*,\s*['\"]([^'\"]+)['\"])?\s*\)",
+    re.IGNORECASE,
+)
 _METADATA_RE = re.compile(
     r"iceberg_metadata\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
@@ -578,10 +584,10 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
     return name
 
 
-def _cdc_view(
+def _cdc_frame(
     sess, root: str, from_id: str, to_id: str, key_cols: str | None = None
-) -> str:
-    """``iceberg_cdc('<root>', from, to[, 'key_col[,key_col...]'])`` →
+):
+    """DataFrame for ``iceberg_cdc('<root>', from, to[, 'keys'])`` →
     net row-level CHANGELOG between two snapshots: every table column
     plus ``_change_type`` (``'insert'`` | ``'delete'``). An update
     (``update_where`` / ``merge_into``) surfaces as delete+insert —
@@ -710,8 +716,6 @@ def _cdc_view(
                 )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
-
-    name = _view_name("cdc", root, (from_id, to_id, key_cols))
 
     def suffix(col):
         return F.substring_index(col, "/data/", -1)
@@ -893,6 +897,106 @@ def _cdc_view(
                 ).otherwise(F.col("_change_type")),
             )
             .drop("__cdc_ni", "__cdc_nd")
+        )
+    return df
+
+
+def _cdc_view(
+    sess, root: str, from_id: str, to_id: str, key_cols: str | None = None
+) -> str:
+    name = _view_name("cdc", root, (from_id, to_id, key_cols))
+    _cdc_frame(sess, root, from_id, to_id, key_cols).createOrReplaceTempView(
+        name
+    )
+    return name
+
+
+def _cdc_commits_view(
+    sess, root: str, from_id: str, to_id: str, key_cols: str | None = None
+) -> str:
+    """``iceberg_cdc_commits('<root>', from, to[, 'keys'])`` → PER-COMMIT row-level
+    changelog: the union of each commit's own delta across the range,
+    with ``_commit_snapshot_id`` and ``_commit_ordinal`` (1-based) —
+    Spark-Iceberg's default changelog granularity, where net CDC
+    intentionally collapses intermediate states (a row inserted by
+    commit 2 and deleted by commit 5 appears here in both, and not at
+    all in the net view). With identifier columns, delete+insert pairs
+    WITHIN a commit relabel as update pre/post images — Iceberg's
+    per-commit pairing, exactly.
+
+    REPLACE commits (compaction / rewrite — no logical row change) emit
+    NOTHING and do not break the range, matching Iceberg's changelog
+    skipping replace snapshots — so unlike the net view, this read
+    works across a compaction, as long as no DML pair straddles it.
+
+    Scale shape: each pair's delta costs what the net view costs on that
+    pair — added-file reads plus a delete-referenced-file carried scan —
+    so the whole union is bounded by the range's total churn, never
+    O(commits × table).
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        metadata_path = im.latest_metadata_path(root)
+        s_from = _resolve_range_endpoint(root, from_id, metadata_path)
+        s_to = _resolve_range_endpoint(root, to_id, metadata_path)
+        meta = im.load_metadata(root, metadata_path)
+        log_ids = [
+            e.get("snapshot-id") for e in meta.get("snapshot-log", [])
+        ]
+        by_id = {
+            sn.get("snapshot-id"): sn for sn in meta.get("snapshots", [])
+        }
+        a, b = s_from.get("snapshot-id"), s_to.get("snapshot-id")
+        if a in log_ids and b in log_ids and log_ids.index(a) <= log_ids.index(b):
+            chain = log_ids[log_ids.index(a): log_ids.index(b) + 1]
+        else:
+            # endpoints off the main snapshot-log (e.g. branch commits):
+            # fall back to sequence ordering between the two endpoints
+            lo = s_from.get("sequence-number", 0)
+            hi = s_to.get("sequence-number", 0)
+            if hi < lo:
+                raise bad_request(
+                    "iceberg_cdc_commits: the to-snapshot is older than "
+                    "the from-snapshot"
+                )
+            chain = [
+                sn.get("snapshot-id")
+                for sn in sorted(
+                    meta.get("snapshots", []),
+                    key=lambda x: x.get("sequence-number", 0),
+                )
+                if lo <= sn.get("sequence-number", 0) <= hi
+            ]
+        schema_ddl = im.current_schema_ddl(root, metadata_path)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+
+    name = _view_name("cdc_commits", root, (from_id, to_id, key_cols))
+    frames = []
+    ordinal = 0
+    for prev, cur in zip(chain, chain[1:]):
+        op = (by_id.get(cur, {}).get("summary") or {}).get("operation")
+        if op == "replace":
+            continue  # compaction/rewrite: no logical change to emit
+        ordinal += 1
+        frames.append(
+            _cdc_frame(sess, root, str(prev), str(cur), key_cols)
+            .withColumn(
+                "_commit_snapshot_id", F.lit(int(cur)).cast("long")
+            )
+            .withColumn("_commit_ordinal", F.lit(ordinal).cast("int"))
+        )
+    if frames:
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+    else:
+        df = sess.createDataFrame(
+            [],
+            schema_ddl
+            + ", _change_type STRING, _commit_snapshot_id BIGINT, "
+            "_commit_ordinal INT",
         )
     df.createOrReplaceTempView(name)
     return name
@@ -1117,7 +1221,16 @@ def resolve_incremental_reads(sess, sql: str) -> str:
             sess, root, m.group(2), m.group(3), key_cols=m.group(4)
         )
 
+    def _cdc_commits(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _cdc_commits_view(
+            sess, root, m.group(2), m.group(3), key_cols=m.group(4)
+        )
+
     out = _sub_outside_literals(_CHANGES_RE, _changes, sql)
+    out = _sub_outside_literals(_CDC_COMMITS_RE, _cdc_commits, out)
     return _sub_outside_literals(_CDC_RE, _cdc, out)
 
 

@@ -720,3 +720,73 @@ def test_position_delete_targets_stats_and_boundary_row_groups(tmp_path):
         d,
     )
     assert position_delete_targets([d]) == {"prefix-only"}
+
+
+def test_cdc_commits_per_commit_granularity(spark, table):
+    """r8: iceberg_cdc_commits — each commit's own delta with
+    _commit_snapshot_id/_commit_ordinal; a row inserted then deleted
+    INSIDE the range appears in both commits (where the net view shows
+    nothing), and a REPLACE (compaction) commit emits nothing without
+    breaking the range."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    root, t = table
+    p = os.path.join(root, "data", "eph.parquet")
+    pq.write_table(pa.table({"id": [9], "v": ["eph"]}), p)
+    commit_row_delta_snapshot(root, new_data_files=[(p, 1)], timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id = 9", timestamp_ms=T1 + 2000)
+    snaps = _snap_ids(spark, root)
+
+    # net view: nothing (added-and-deleted collapses)
+    dels, ins = _cdc(spark, root, snaps[0], snaps[-1])
+    assert dels == [] and ins == []
+
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type, _commit_snapshot_id, "
+            f"_commit_ordinal FROM "
+            f"iceberg_cdc_commits('{root}', {snaps[0]}, {snaps[-1]})",
+        )
+    )
+    assert rows == sorted(
+        [
+            (9, "eph", "insert", snaps[1], 1),
+            (9, "eph", "delete", snaps[2], 2),
+        ]
+    )
+
+
+def test_cdc_commits_skips_replace_commits(spark, table):
+    """A compaction inside the range emits nothing and does not 400 the
+    per-commit read (unlike the net view, which cannot represent a
+    rewritten file history)."""
+    root, _ = table
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 1000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    update_where(
+        spark, root, "id = 3", {"v": "upper(v)"}, timestamp_ms=T1 + 3000
+    )
+    snaps = _snap_ids(spark, root)
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type, _commit_ordinal FROM "
+            f"iceberg_cdc_commits('{root}', {snaps[0]}, {snaps[-1]}, 'id')",
+        )
+    )
+    # ordinal 1 = the DELETE commit; the compaction is skipped (no rows,
+    # no ordinal); ordinal 2 = the UPDATE commit (post-compaction files)
+    assert rows == sorted(
+        [
+            (2, "b", "delete", 1),
+            (3, "c", "update_preimage", 2),
+            (3, "C", "update_postimage", 2),
+        ]
+    ), rows
