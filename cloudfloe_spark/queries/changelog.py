@@ -28,6 +28,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from cloudfloe_spark.queries.catalog import register
 
@@ -376,4 +377,128 @@ def cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _resolved(
         spark,
         f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{replica}')",
+    )
+
+
+@register(
+    "cdc_commit_history",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        del AS (SELECT * FROM base WHERE {_DELETE_COND}),
+        upd AS (
+            SELECT * FROM base
+            WHERE NOT ({_DELETE_COND}) AND {_UPDATE_COND}
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST('delete' AS VARCHAR) AS _change_type,
+               1 AS _commit_ordinal
+        FROM del
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'update_preimage', 2 FROM upd
+        UNION ALL
+        SELECT doc_id, lang, n_chars + {_UPDATE_BUMP},
+               'update_postimage', 2 FROM upd
+    """,
+    tags=("iceberg", "cdc"),
+)
+def cdc_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COMMIT changelog (``iceberg_cdc_commits`` — Spark-Iceberg's
+    default changelog granularity, where the net view collapses
+    intermediate states): each DML commit's own delta stamped with its
+    1-based ordinal, updates paired within their commit via the
+    identifier column. The fixture's history makes the expectation
+    exact: ordinal 1 is the DELETE commit, ordinal 2 the UPDATE commit.
+
+    Scale shape: the union is bounded by the range's total churn — each
+    pair costs added-file reads plus a delete-referenced carried scan,
+    never O(commits × table).
+    """
+    root, s_from, s_to = _fixture(spark, sf_dir)
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars, _change_type, _commit_ordinal "
+        f"FROM iceberg_cdc_commits('{root}', {s_from}, {s_to}, 'doc_id')",
+    )
+
+
+@register(
+    "cdc_stream_tail",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        del AS (SELECT * FROM base WHERE {_DELETE_COND}),
+        upd AS (
+            SELECT * FROM base
+            WHERE NOT ({_DELETE_COND}) AND {_UPDATE_COND}
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST('delete' AS VARCHAR) AS _change_type,
+               1 AS _commit_ordinal
+        FROM del
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'delete', 2 FROM upd
+        UNION ALL
+        SELECT doc_id, lang, n_chars + {_UPDATE_BUMP}, 'insert', 2 FROM upd
+    """,
+    tags=("iceberg", "cdc", "streaming"),
+)
+def cdc_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC tail, driver-checked: the PySpark-4 Python Data
+    Source ``format("iceberg_commits")`` (streaming/iceberg_source.py)
+    pointed at the fixture table with ``mode=cdc``, started AFTER the
+    seed append, run to the head with a checkpointed single-pass
+    trigger into a parquet sink. The sink contents must equal the two
+    DML commits' row-level changelog — ordinal 1 the DELETE commit,
+    ordinal 2 the UPDATE commit (delete+insert pair), which the oracle
+    states from the original documents table. The streaming twin of
+    ``cdc_commit_history``: same change set, produced by the
+    microbatch engine through source offsets instead of a batch range
+    read.
+
+    Scale shape: each microbatch reads exactly the files its commits
+    touched — added files for inserts, position-delete-NAMED files for
+    retractions — one Arrow-read InputPartition per (kind, file), so a
+    tail over a 100-TB table costs per-commit IO, never a table scan.
+    """
+    import tempfile
+
+    from cloudfloe_spark.streaming.iceberg_source import (
+        register_iceberg_commits_source,
+    )
+
+    root, s_from, _ = _fixture(spark, sf_dir)
+    register_iceberg_commits_source(spark)
+    base = tempfile.mkdtemp(prefix="cf_cdctail_")
+    out = os.path.join(base, "out")
+    q = (
+        spark.readStream.format("iceberg_commits")
+        .option("mode", "cdc")
+        .option("start", str(s_from))
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("cdc_stream_tail run exceeded 180s")
+    finally:
+        q.stop()
+    sink = spark.read.parquet(out)
+    # snapshot ids are run-dependent: fold to the deterministic 1-based
+    # commit ordinal via the table's sequence ordering (tiny broadcast)
+    snaps = _resolved(
+        spark, f"SELECT * FROM iceberg_snapshots('{root}')"
+    ).select(
+        F.col("snapshot_id").cast("long").alias("_commit_snapshot_id"),
+        F.col("sequence_number").cast("long").alias("__seq"),
+    )
+    ordinals = snaps.withColumn(
+        "_commit_ordinal",
+        (F.row_number().over(W.orderBy("__seq")) - 1).cast("int"),
+    ).drop("__seq")
+    return sink.join(F.broadcast(ordinals), "_commit_snapshot_id").select(
+        "doc_id", "lang", "n_chars", "_change_type", "_commit_ordinal"
     )
