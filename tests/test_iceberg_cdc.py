@@ -790,3 +790,32 @@ def test_cdc_commits_skips_replace_commits(spark, table):
             (3, "C", "update_postimage", 2),
         ]
     ), rows
+
+
+def test_cdc_commits_on_renamed_table(spark, table):
+    """Per-commit changelog across a rename history: each pair's delta
+    resolves pre-rename files through the same scan_groups mapping as
+    the net view, so the per-commit read works on renamed tables too
+    (output under CURRENT names, ordinals unaffected by the metadata-only
+    rename, which commits no snapshot)."""
+    root, t = table
+    t.rename_column("v", "val", timestamp_ms=T1 + 500)
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 1000)
+    update_where(
+        spark, root, "id = 3", {"val": "upper(val)"}, timestamp_ms=T1 + 2000
+    )
+    snaps = _snap_ids(spark, root)
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, val, _change_type, _commit_ordinal FROM "
+            f"iceberg_cdc_commits('{root}', {snaps[0]}, {snaps[-1]}, 'id')",
+        )
+    )
+    assert rows == sorted(
+        [
+            (2, "b", "delete", 1),
+            (3, "c", "update_preimage", 2),
+            (3, "C", "update_postimage", 2),
+        ]
+    ), rows
