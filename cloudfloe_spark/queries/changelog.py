@@ -502,3 +502,83 @@ def cdc_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.join(F.broadcast(ordinals), "_commit_snapshot_id").select(
         "doc_id", "lang", "n_chars", "_change_type", "_commit_ordinal"
     )
+
+
+@register(
+    "cdc_stream_replica_sync",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_UPDATE_COND}
+                    THEN n_chars + {_UPDATE_BUMP}
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND})
+    """,
+    tags=("iceberg", "cdc", "streaming"),
+)
+def cdc_stream_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming replication loop, driver-checked
+    (``streaming/replication.py``): an EMPTY replica is synced by one
+    checkpointed pass of ``replicate_iceberg_table`` — the
+    ``iceberg_commits`` source tails the primary's whole history (seed
+    append + DELETE + UPDATE) in one batch, the per-key fold nets it to
+    each key's final state, and one idempotent ``apply_changelog``
+    commit lands it. The replica read back must equal the primary's
+    final state, which the oracle computes from the original documents
+    table. Unlike ``cdc_replica_sync`` (batch range read + apply), this
+    row proves the path a CONTINUOUS pipeline runs: source offsets,
+    microbatch planning, batch netting, epoch-keyed idempotent apply.
+
+    Scale shape: steady-state passes cost per-commit IO (touched files
+    only) + a changelog-sized netting shuffle + a metadata-only commit;
+    the initial sync is the one table-sized pass, same as any seed.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.streaming.replication import (
+        replicate_iceberg_table,
+    )
+
+    root, _, _ = _fixture(spark, sf_dir)
+    parent = os.path.dirname(root)
+    replica = os.path.join(parent, "stream_replica")
+    done = os.path.join(parent, "_STREAM_REPLICA_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+
+        shutil.rmtree(replica, ignore_errors=True)
+        ck = os.path.join(parent, "stream_replica_ck")
+        shutil.rmtree(ck, ignore_errors=True)
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        t = LocalIcebergTable(replica, schema)
+        t.append_snapshot(
+            [
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "lang": pa.array([], pa.string()),
+                        "n_chars": pa.array([], pa.int64()),
+                    }
+                )
+            ],
+            timestamp_ms=_T0,
+        )
+        replicate_iceberg_table(
+            spark,
+            root,
+            replica,
+            "doc_id",
+            ck,
+            base_timestamp_ms=_T0 + 9000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{replica}')",
+    )

@@ -456,6 +456,29 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
         timestamp_ms=_T0 + 2000,
     )
 
+    # ... and warm the STREAMING-source path the same way (python
+    # data-source worker spawn + stream-engine startup are one-time):
+    import tempfile as _tf
+
+    from cloudfloe_spark.streaming.iceberg_source import (
+        register_iceberg_commits_source as _reg,
+    )
+
+    _reg(spark)
+    _wbase = _tf.mkdtemp(dir=out_dir, prefix="tail_warm_")
+    _wq = (
+        spark.readStream.format("iceberg_commits")
+        .option("mode", "cdc")
+        .load(wroot)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(_wbase, "out"))
+        .option("checkpointLocation", os.path.join(_wbase, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert _wq.awaitTermination(300), "stream warm-up timed out"
+    _wq.stop()
+
     # (a) skewed DELETE: 90% of rows on one key in ONE hot file — times
     # the full DML path (MOR scan + filter + sorted position-delete write
     # + commit) under the single-file repartitionByRange stress.
@@ -487,6 +510,37 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     run_query(spark, sql, cfg)
     timings["cdc_after_point_delete"] = round(time.perf_counter() - t0, 3)
+
+    # (b2) streaming tail catch-up on the same growing table: one
+    # checkpointed pass over the point-delete commit through the
+    # iceberg_commits source (cdc mode). The microbatch plans only the
+    # delete-referenced file, so the pass — fixed streaming-engine
+    # overhead aside — should stay ~flat as the file count grows 16→128.
+    import tempfile
+
+    from cloudfloe_spark.streaming.iceberg_source import (
+        register_iceberg_commits_source,
+    )
+
+    register_iceberg_commits_source(spark)
+    sbase = tempfile.mkdtemp(dir=out_dir, prefix="tail_")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("iceberg_commits")
+        .option("mode", "cdc")
+        .option("start", str(snaps[0]))
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(sbase, "out"))
+        .option("checkpointLocation", os.path.join(sbase, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream tail probe timed out"
+    q.stop()
+    timings["stream_tail_point_delete"] = round(time.perf_counter() - t0, 3)
+    n_rows = spark.read.parquet(os.path.join(sbase, "out")).count()
+    assert n_rows == 1000, n_rows
 
     # (c) apply_changelog of a FIXED-SIZE changelog onto a replica whose
     # file count grows with n: the retraction scan prunes by the keys'
