@@ -582,3 +582,73 @@ def cdc_stream_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{replica}')",
     )
+
+
+@register(
+    "iceberg_partitioned_dml_scan",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "dml", "partition"),
+)
+def iceberg_partitioned_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML on a PARTITIONED Iceberg table, driver-checked: the fixture is
+    rebuilt identity-partitioned by ``lang``, the same DELETE + UPDATE
+    script runs through the engine's merge-on-read DML, and the final
+    per-lang aggregate must equal the oracle computed from the original
+    documents table. What this drives end-to-end (r8 partition-aware
+    writes): the UPDATE's rewritten rows fan out per partition tuple and
+    stamp it in the manifest, so the post-DML table still partition-prunes
+    (pinned structurally by tests/test_partition_dml.py; this row pins
+    cross-engine RESULT correctness of the partitioned write+read loop).
+
+    Scale shape: the DML scan prunes to the matched partitions' files;
+    the per-lang aggregate is a map-side-combinable groupBy on the
+    partition key over a pruned scan.
+    """
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"pdml{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_partdml", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(
+            root, tbl.schema, partition_by=[("lang", "identity")]
+        )
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 2000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
+    )

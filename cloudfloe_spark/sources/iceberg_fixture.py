@@ -757,7 +757,16 @@ def commit_rewrite_snapshot(
     meta_dir = os.path.join(root, "metadata")
     mpath = os.path.join(meta_dir, f"manifest-rw-{uuid.uuid4().hex[:12]}.avro")
     entries = []
-    for p, n in data_files:
+    for item in data_files:
+        # (path, n) — unpartitioned rewrite (coalesced across partitions,
+        # never pruned on partition fields) — or (path, n, pvals[,
+        # spec_id]) when the compaction fanned files out per partition
+        # tuple (r8): the rewritten layout then keeps pruning.
+        p, n = item[0], item[1]
+        pvals = item[2] if len(item) > 2 else None
+        entry_spec = item[3] if len(item) > 3 else None
+        if pvals is not None and entry_spec is None:
+            entry_spec = meta.get("default-spec-id", 0)
         # column statistics recomputed from the rewritten file — with a
         # sort_by compaction the bounds are tight and disjoint, which is
         # what lets metrics skipping prune the compacted layout
@@ -774,15 +783,11 @@ def commit_rewrite_snapshot(
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(p),
                     "equality_ids": None,
-                    # a compaction rewrite coalesces across partitions;
-                    # the rewritten file carries no partition tuple
-                    # (correct: it is a spec-less unpartitioned file in
-                    # this fixture)
-                    "partition": None,
+                    "partition": pvals,
                     "lower_bounds": lower,
                     "upper_bounds": upper,
                     "null_value_counts": nulls,
-                    "spec_id": None,
+                    "spec_id": entry_spec,
                 },
             }
         )
@@ -808,7 +813,7 @@ def commit_rewrite_snapshot(
             "manifest-list": f"file://{mlist}",
             "summary": {
                 "operation": "replace",
-                "total-records": str(sum(n for _, n in data_files)),
+                "total-records": str(sum(item[1] for item in data_files)),
                 "total-data-files": str(len(data_files)),
                 "total-delete-files": "0",
             },
@@ -1064,7 +1069,16 @@ def commit_row_delta_snapshot(
         for p, n, eq_ids in equality_delete_files
     ]
     new_data = []
-    for p, n in new_data_files:
+    for item in new_data_files:
+        # (path, n) — unpartitioned entry — or (path, n, pvals[, spec_id])
+        # for PARTITION-AWARE writes (r8): DML/apply paths that fan their
+        # new files out per partition tuple stamp the tuple + spec id so
+        # partition pruning keeps working on post-DML rows.
+        p, n = item[0], item[1]
+        pvals = item[2] if len(item) > 2 else None
+        entry_spec = item[3] if len(item) > 3 else None
+        if pvals is not None and entry_spec is None:
+            entry_spec = meta.get("default-spec-id", 0)
         lower, upper, nulls = _column_stats(pq.read_table(p))
         new_data.append(
             entry(
@@ -1079,6 +1093,8 @@ def commit_row_delta_snapshot(
                     "lower_bounds": lower,
                     "upper_bounds": upper,
                     "null_value_counts": nulls,
+                    "partition": pvals,
+                    "spec_id": entry_spec,
                 },
             )
         )

@@ -164,30 +164,70 @@ def compact_iceberg_table(
         _snapshot_view(sess, root, None, None, metadata_path=metadata_path)
     )
     out_dir = os.path.join(root, "data", f"compact-{uuid.uuid4().hex[:8]}")
-    if sort_by:
-        # Cluster while compacting: range-partition + sort so each output
-        # file owns a DISJOINT value interval of ``sort_by``. The rewritten
-        # manifests then carry tight non-overlapping min/max bounds, which
-        # is what makes metrics-based file skipping
-        # (partition_pruning.file_survives_stats) actually bite on range
-        # predicates — the rewrite_data_files(sort)/z-order play.
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        (
-            df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
-            .sortWithinPartitions(*sort_by)
-            .write.mode("overwrite")
-            .parquet(out_dir)
+    # PARTITION-PRESERVING compaction (r8): when the default spec's
+    # transforms are Spark-expressible, fan the rewrite out per partition
+    # tuple so the compacted layout keeps pruning (an unpartitioned
+    # coalesce would erase every tuple — sound but never-pruned). With
+    # sort_by, range-partition on (tuple, sort keys): each output file
+    # then owns one partition value AND a disjoint sort interval.
+    fields = im.partition_spec_fields(root, metadata_path)
+    pt_exprs = []
+    if fields:
+        old_tz = sess.conf.get("spark.sql.session.timeZone")
+        try:
+            sess.conf.set("spark.sql.session.timeZone", "UTC")
+            for f_ in fields:
+                e = _pt_expr(sess, f_)
+                if e is None:
+                    pt_exprs = []
+                    break
+                pt_exprs.append(e)
+            if pt_exprs:
+                pt_cols = [f"__cf_pt_{i}" for i in range(len(pt_exprs))]
+                fanned = df
+                for name, e in zip(pt_cols, pt_exprs):
+                    fanned = fanned.withColumn(name, e)
+                keys = pt_cols + list(sort_by or [])
+                w = fanned.repartitionByRange(
+                    n_out, *[F.col(c) for c in keys]
+                )
+                if sort_by:
+                    w = w.sortWithinPartitions(*keys)
+                w.write.mode("overwrite").partitionBy(*pt_cols).parquet(
+                    out_dir
+                )
+        finally:
+            sess.conf.set("spark.sql.session.timeZone", old_tz)
+    if fields and pt_exprs:
+        meta_now = im.load_metadata(root, metadata_path)
+        data_files = _collect_partitioned_files(
+            out_dir, fields, meta_now.get("default-spec-id", 0)
         )
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
-
-    files = sorted(
-        globmod.glob(os.path.join(out_dir, "part-*.parquet"))
-    )
-    data_files = [
-        (p, pq.ParquetFile(p).metadata.num_rows) for p in files
-    ]
+        if sort_by:
+            # Cluster while compacting: range-partition + sort so each
+            # output file owns a DISJOINT value interval of ``sort_by``.
+            # The rewritten manifests then carry tight non-overlapping
+            # min/max bounds, which is what makes metrics-based file
+            # skipping (partition_pruning.file_survives_stats) actually
+            # bite on range predicates — the rewrite_data_files(sort) /
+            # z-order play.
+            (
+                df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+                .sortWithinPartitions(*sort_by)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+        else:
+            df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+        files = sorted(
+            globmod.glob(os.path.join(out_dir, "part-*.parquet"))
+        )
+        data_files = [
+            (p, pq.ParquetFile(p).metadata.num_rows) for p in files
+        ]
     new_snap = commit_rewrite_snapshot(
         root,
         data_files,
@@ -200,7 +240,7 @@ def compact_iceberg_table(
         "snapshot_id": new_snap,
         "files_before": len(live),
         "files_after": len(data_files),
-        "rows": sum(n for _, n in data_files),
+        "rows": sum(item[1] for item in data_files),
     }
 
 
@@ -462,6 +502,186 @@ def _sized_write(df, n_rows: int, rows_per_file: int):
     return df.coalesce(max(1, -(-n_rows // rows_per_file)))
 
 
+#: transforms the Spark-side fanout can compute with EXACT Iceberg
+#: semantics (validated against partition_pruning.transform_value by
+#: tests/test_partition_dml.py property tests); identity is restricted to
+#: types whose stringified partition value matches the fixture format.
+_FANOUT_IDENTITY_TYPES = ("int", "long", "string", "date", "boolean")
+
+
+def _pt_expr(spark, field: dict):
+    """Spark Column computing ``field``'s Iceberg partition value per row
+    (spec semantics, matching ``partition_pruning.transform_value``), or
+    None when the transform/type isn't Spark-expressible — the caller
+    then skips fanout for the whole write (sound: entries without
+    partition tuples are simply never pruned)."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import partition_pruning as pp
+
+    c, t = field["column"], field["type"]
+    kind, param = pp.parse_transform(field["transform"])
+    col = F.col(c)
+    if kind == "identity":
+        return col if t in _FANOUT_IDENTITY_TYPES else None
+    if kind == "truncate":
+        if t in ("int", "long"):
+            # floor-mod: Python % semantics, also for negative values
+            return col - (((col % param) + param) % param)
+        if t == "string":
+            return F.substring(col, 1, param)
+        return None
+    if kind == "year":
+        return F.year(col) - F.lit(1970)
+    if kind == "month":
+        return (F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)
+    if kind == "day":
+        return F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if kind == "hour":
+        if t == "date":
+            return None  # invalid per spec; never fan out silently wrong
+        # epoch-seconds floor-div is timezone-independent (instants)
+        return F.floor(col.cast("double") / F.lit(3600.0)).cast("int")
+    if kind == "bucket":
+        # Iceberg bucket = murmur3_x86_32(serialize(v)) — not expressible
+        # with built-ins (Spark's hash() uses different seed/layout), so
+        # an Arrow-batched pandas UDF over the pure-Python spec hash. The
+        # write side is match-count-sized, never table-sized, so the
+        # Python hop is bounded by the DML's own output.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from cloudfloe_spark.sources.tables import ensure_package_shipped
+
+        ensure_package_shipped(spark)
+        n_buckets, src_t = param, t
+
+        def _bucket_fn(s):
+            from cloudfloe_spark.sources.partition_pruning import (
+                bucket_value,
+            )
+
+            return s.map(
+                lambda v: None
+                if v is None
+                else bucket_value(v, n_buckets, src_t)
+            )
+
+        # real annotation objects: the module's lazy (string) annotations
+        # would be unresolvable from pandas_udf's type-hint inspection
+        _bucket_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_bucket_fn, "int")(col)
+    return None
+
+
+def _collect_partitioned_files(
+    out_dir: str, fields: list, spec_id: int
+) -> list:
+    """Walk a ``partitionBy``-layout write and return
+    ``[(path, count, pvals, spec_id)]`` commit entries — the partition
+    tuple parsed back from the ``__cf_pt_<i>=<value>`` directory names
+    (Hive-escaped; ``__HIVE_DEFAULT_PARTITION__`` → None), keyed by the
+    spec's field names. Footer-only driver work."""
+    import glob as globmod_
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    fnames = [f_["field_name"] for f_ in fields]
+    out = []
+    for p in sorted(
+        globmod_.glob(
+            os.path.join(out_dir, *(["*"] * len(fields)), "*.parquet")
+        )
+    ):
+        cnt = pq.ParquetFile(p).metadata.num_rows
+        if not cnt:
+            continue
+        pvals: dict = {}
+        for comp in os.path.relpath(p, out_dir).split(os.sep)[:-1]:
+            k, _, v = comp.partition("=")
+            i = int(k.removeprefix("__cf_pt_"))
+            pvals[fnames[i]] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+        out.append((p, cnt, pvals, spec_id))
+    return out
+
+
+def _write_data_files(
+    spark, root: str, meta_path, df, n_rows, rows_per_file,
+    out_dir: str, mode: str = "errorifexists",
+) -> list:
+    """Write a DML/apply data batch as commit-ready files, PARTITION-AWARE
+    (r8): when the table's default spec has fields and every transform is
+    Spark-expressible, rows fan out per partition tuple
+    (``partitionBy`` on duplicated transform columns — the data columns
+    stay in the files, unlike a plain Hive layout) and each file returns
+    with its ``(path, count, pvals, spec_id)`` so the manifest entry
+    carries the tuple and partition pruning keeps working on post-DML
+    rows. Otherwise the plain sized write returns ``(path, count)``
+    entries (sound: never pruned).
+
+    Temporal transforms are computed under a UTC session timezone
+    (saved/restored) so calendar decomposition matches the spec's UTC
+    semantics regardless of the caller's session configuration.
+
+    Scale shape: one distributed write either way; fanout adds a
+    repartition on the tuple columns sized by ``n_rows`` (clusters each
+    partition's rows so a partition's files ≈ its row share, not one
+    sliver per task) — cost tracks the match count, never the table.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    fields = im.partition_spec_fields(root, meta_path)
+    exprs = []
+    if fields:
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            for f_ in fields:
+                e = _pt_expr(spark, f_)
+                if e is None:
+                    exprs = []
+                    break
+                exprs.append(e)
+            if exprs:
+                pt_cols = [f"__cf_pt_{i}" for i in range(len(exprs))]
+                fanned = df
+                for name, e in zip(pt_cols, exprs):
+                    fanned = fanned.withColumn(name, e)
+                if n_rows is not None:  # sized DML write: cluster tuples
+                    n_out = max(1, -(-n_rows // rows_per_file))
+                    fanned = fanned.repartition(
+                        n_out, *[F.col(c) for c in pt_cols]
+                    )
+                (
+                    fanned.write.mode(mode)
+                    .partitionBy(*pt_cols)
+                    .parquet(out_dir)
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        if exprs:
+            meta = im.load_metadata(root, meta_path)
+            return _collect_partitioned_files(
+                out_dir, fields, meta.get("default-spec-id", 0)
+            )
+    sized = (
+        df if n_rows is None else _sized_write(df, n_rows, rows_per_file)
+    )
+    sized.write.mode(mode).parquet(out_dir)
+    out = []
+    for p in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
+        cnt = pq.ParquetFile(p).metadata.num_rows
+        if cnt:
+            out.append((p, cnt))
+    return out
+
+
 def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: list) -> list:
     """Manifest-level pruning for a DML condition: wrap it in a SELECT so
     the same conjunct extractor the read path uses applies both pruning
@@ -694,9 +914,10 @@ def update_where(
                 for c in data_cols
             ]
         )
-        _sized_write(rewritten, n, rows_per_delete_file).write.mode(
-            "errorifexists"
-        ).parquet(upd_dir)
+        new_files = _write_data_files(
+            spark, root, meta_path, rewritten, n, rows_per_delete_file,
+            upd_dir,
+        )
     finally:
         matches.unpersist()
 
@@ -710,7 +931,7 @@ def update_where(
 
     snap_id = commit_row_delta_snapshot(
         root,
-        new_data_files=_parquets(upd_dir),
+        new_data_files=new_files,
         delete_files=_parquets(del_dir),
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
@@ -898,11 +1119,11 @@ def apply_changelog(
     ins_dir = os.path.join(
         root, "data", f"changelog-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
     )
-    _sized_write(
-        inserts, inserts.count(), rows_per_delete_file
-    ).write.mode("errorifexists").parquet(ins_dir)
-    new_files = _parquets(ins_dir)
-    n_ins = sum(c for _, c in new_files)
+    new_files = _write_data_files(
+        spark, root, meta_path, inserts, inserts.count(),
+        rows_per_delete_file, ins_dir,
+    )
+    n_ins = sum(e[1] for e in new_files)
 
     if not delete_files and not new_files:
         return {"retracted": 0, "inserted": 0, "snapshot_id": None}
@@ -1067,15 +1288,16 @@ def merge_into(
         merge_dir = os.path.join(
             root, "data", f"merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
         )
-        _sized_write(
-            out, n_matched + n_inserted, rows_per_delete_file
-        ).write.mode("errorifexists").parquet(merge_dir)
+        new_files = _write_data_files(
+            spark, root, meta_path, out, n_matched + n_inserted,
+            rows_per_delete_file, merge_dir,
+        )
     finally:
         matched.unpersist()
 
     snap_id = commit_row_delta_snapshot(
         root,
-        new_data_files=_parquets(merge_dir),
+        new_data_files=new_files,
         delete_files=delete_files,
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,

@@ -135,13 +135,15 @@ def append_stream_to_iceberg(
         # overwrite, not errorifexists: a crash between write and commit
         # leaves a half-written dir; the replayed epoch must supersede it
         # (the commit is what makes a batch visible — overwriting an
-        # uncommitted dir is the exactly-once recovery path)
-        batch_df.write.mode("overwrite").parquet(out_dir)
-        files = []
-        for f in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
-            cnt = pq.ParquetFile(f).metadata.num_rows
-            if cnt:
-                files.append((f, cnt))
+        # uncommitted dir is the exactly-once recovery path). The write
+        # is PARTITION-AWARE (r8): on a partitioned table each batch fans
+        # out per partition tuple so streamed-in rows stay prunable.
+        from cloudfloe_spark.sources.maintenance import _write_data_files
+
+        files = _write_data_files(
+            batch_df.sparkSession, root, None, batch_df, None, None,
+            out_dir, mode="overwrite",
+        )
         if not files:
             return
         commit_row_delta_snapshot(
