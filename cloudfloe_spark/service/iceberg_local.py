@@ -239,6 +239,11 @@ def _snapshot_view(
                         )
                     ]
         pos_deletes = im.position_delete_paths(root, snap)
+        if pos_deletes and paths:
+            # Delete-file pruning (r8): a pruned scan applies only the
+            # delete files that NAME its surviving data files —
+            # footer-stats driver work, cached per immutable delete file.
+            pos_deletes = im.prune_position_deletes(pos_deletes, paths)
         eq_deletes = im.equality_delete_records(root, snap)
         # TIME TRAVEL resolves under the SNAPSHOT's schema when the
         # metadata records one (spec field `schema-id` per snapshot) —

@@ -381,6 +381,44 @@ def position_delete_targets(paths: list[str]) -> set[str]:
     return out
 
 
+_DELETE_TARGET_CACHE: dict[str, frozenset] = {}
+
+
+def position_delete_targets_cached(path: str) -> frozenset:
+    """Per-file cached :func:`position_delete_targets` (delete files are
+    immutable, like data files — the footer answer never changes)."""
+    t = _DELETE_TARGET_CACHE.get(path)
+    if t is None:
+        t = frozenset(position_delete_targets([path]))
+        _DELETE_TARGET_CACHE[path] = t
+    return t
+
+
+def prune_position_deletes(
+    delete_paths: list[str], scanned_paths: list[str]
+) -> list[str]:
+    """Restrict a scan's position-delete file list to the files that NAME
+    at least one scanned data file — sound because the delete anti-join
+    keys on (file suffix, pos): a delete file whose referenced data files
+    are all outside the scan cannot match any scanned row.
+
+    This is the READ-side twin of the CDC carried-scan pruning: after
+    partition/stats pruning cuts a 100-TB scan to one partition, the scan
+    should not pay an anti-join against every delete file the table has
+    accumulated — only against the ones targeting its files. Driver cost
+    is footer-stats-only per delete file (cached across queries); an
+    unreadable footer keeps the file (sound)."""
+    scanned = {p.rsplit("/data/", 1)[-1] for p in scanned_paths}
+    kept = []
+    for d in delete_paths:
+        try:
+            if position_delete_targets_cached(d) & scanned:
+                kept.append(d)
+        except Exception:
+            kept.append(d)
+    return kept
+
+
 def has_equality_deletes(root: str, snapshot: dict) -> bool:
     """True when the snapshot carries equality-delete files (content=2)."""
     return any(

@@ -430,6 +430,10 @@ def _mor_raw_scan(
             "compact_iceberg_table first"
         )
     pos = im.position_delete_paths(root, snap)
+    if pos:
+        # delete-file pruning, same as the read path (r8): a pruned DML
+        # scan anti-joins only against delete files naming its files
+        pos = im.prune_position_deletes(pos, paths)
     if pos or eq_recs:
         from cloudfloe_spark.service.iceberg_local import (
             _apply_equality_deletes,

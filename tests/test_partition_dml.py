@@ -28,6 +28,7 @@ from cloudfloe_spark.sources.maintenance import (
     merge_into,
     update_where,
 )
+from cloudfloe_spark.sources.maintenance import delete_where as delete_where_
 from cloudfloe_spark.sources.partition_pruning import transform_value
 
 T1 = 1700000000000
@@ -430,3 +431,47 @@ def test_streaming_sink_stamps_partitions(spark, lang_table, tmp_path):
     assert sorted(pv["lang"] for pv in new.values()) == ["en", "pt"]
     rows = _rows(spark, f"SELECT id, n FROM iceberg_scan('{root}') ORDER BY id")
     assert (10, 100) in rows and (11, 110) in rows
+
+
+def test_pruned_read_skips_nontargeting_delete_files(
+    spark, lang_table, monkeypatch
+):
+    """Delete-FILE pruning on the read path (r8): after partition pruning
+    cuts the scan to one partition, the merge-on-read anti-join applies
+    only the delete files that NAME the surviving data files — a
+    WHERE lang='de' read after an en-only DELETE reads ZERO delete
+    parquet files, and a lang='en' read reads exactly the one."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    root, _ = lang_table
+    res = delete_where_(spark, root, "lang = 'en' AND id = 1", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 1
+
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        calls.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    rows = _rows(
+        spark,
+        f"SELECT id, n FROM iceberg_scan('{root}') WHERE lang = 'de' "
+        f"ORDER BY id",
+    )
+    assert rows == [(3, 30), (4, 40)]
+    del_reads = [
+        ps for ps in calls if any("/deletes-" in p for p in ps)
+    ]
+    assert del_reads == [], del_reads  # en's delete file never read
+
+    calls.clear()
+    rows = _rows(
+        spark,
+        f"SELECT id, n FROM iceberg_scan('{root}') WHERE lang = 'en' "
+        f"ORDER BY id",
+    )
+    assert rows == [(2, 20)]  # id=1 deleted
+    del_reads = [ps for ps in calls if any("/deletes-" in p for p in ps)]
+    assert len(del_reads) == 1, del_reads
