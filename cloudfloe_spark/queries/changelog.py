@@ -652,3 +652,72 @@ def iceberg_partitioned_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
         f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
     )
+
+
+@register(
+    "iceberg_zorder_scan",
+    oracle="""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE doc_id < 100 AND n_chars BETWEEN 100 AND 300
+    """,
+    tags=("iceberg", "maintenance", "zorder"),
+)
+def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order rewrite, driver-checked end-to-end: the fixture table
+    (doc_id, n_chars) is compacted with
+    ``compact_iceberg_table(zorder_by=["doc_id", "n_chars"])`` — Morton
+    interleave of equi-depth bucket ids (``maintenance._zorder_value``) —
+    and then range-filtered on BOTH dimensions; the result must equal the
+    same filter over the original ``documents`` table (the rewrite may
+    reorder and recluster, never add/drop/alter a row).
+
+    Scale shape: each compacted file owns a small (doc_id, n_chars)
+    hyper-rectangle with exact manifest bounds, so the stats evaluator
+    skips most files for a predicate on either column — multi-dimensional
+    skipping that lexicographic sort cannot give (pinned structurally by
+    tests/test_stats_file_skipping.py::
+    test_zorder_compaction_skips_on_both_dimensions; this row pins
+    cross-engine RESULT correctness of the z-ordered write+read loop).
+    """
+    import glob as globmod
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"zord{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_zorder", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        live = sum(
+            os.path.getsize(p)
+            for p in globmod.glob(os.path.join(root, "data", "*.parquet"))
+        )
+        compact_iceberg_table(
+            spark,
+            root,
+            timestamp_ms=_T0 + 1000,
+            target_file_bytes=max(1, live // 10),
+            zorder_by=["doc_id", "n_chars"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, n_chars FROM iceberg_scan('{root}') "
+        "WHERE doc_id < 100 AND n_chars BETWEEN 100 AND 300",
+    )

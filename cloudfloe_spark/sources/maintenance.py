@@ -113,6 +113,74 @@ def compact_parquet(
     return {"before": before, "after": plan_compaction(dest, target_file_bytes)}
 
 
+#: bucket resolution per z-order dimension (2^8 = 256 equi-depth buckets
+#: per column — far above any realistic output file count, so the bucket
+#: grid never limits how tightly files can cluster).
+_ZORDER_BITS = 8
+
+
+def _zorder_value(df, cols: "list[str]", *, rel_err: float = 0.005):
+    """Column expression interleaving per-column EQUI-DEPTH bucket ids of
+    ``cols`` into one z-value (Morton code) — the clustering key behind
+    ``compact_iceberg_table(zorder_by=...)``.
+
+    Scale shape (the Delta Lake OSS ``range_partition_id`` play without
+    its extra per-column shuffles): boundaries come from ONE driver-side
+    ``approxQuantile`` pass (Greenwald-Khanna sketch, sample-sized driver
+    state), then every row maps to its bucket MAP-SIDE by counting
+    boundaries <= value over a 255-element array literal — O(2^bits) of
+    vectorized JVM work per row, no shuffle, no UDF. Equi-depth (not
+    equi-width) buckets keep skewed columns from collapsing onto a few
+    z-codes. Returns None when the table is empty (nothing to cluster).
+
+    Supported: numeric, date, timestamp columns (each mapped monotonically
+    to double first). Strings would need byte-prefix tricks that break the
+    monotone-bucket guarantee — refused explicitly.
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    nums = []
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"zorder_by column {c!r} not in table")
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith("decimal"):
+            nums.append(F.col(c).cast("double"))
+        elif dt == "date":
+            nums.append(F.datediff(F.col(c), F.lit("1970-01-01")).cast("double"))
+        elif dt.startswith("timestamp"):
+            nums.append(F.col(c).cast("double"))
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has unsupported type {dt} "
+                "(numeric/date/timestamp only)"
+            )
+    n_buckets = 1 << _ZORDER_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qnames = [f"__cf_zq_{i}" for i in range(len(nums))]
+    qdf = df.select(*[e.alias(n) for e, n in zip(nums, qnames)])
+    bounds = qdf.approxQuantile(qnames, probs, rel_err)
+    if any(not b for b in bounds):
+        return None  # empty table (or all-null column): nothing to cluster
+    buckets = []
+    for e, bnds in zip(nums, bounds):
+        arr = F.lit([float(b) for b in sorted(bnds)])
+        # bucket = #boundaries <= value; NULLs fall in bucket 0 (the
+        # predicate is NULL per element, so the filtered array is empty)
+        buckets.append(F.size(F.filter(arr, lambda b: b <= e)))
+    z = F.lit(0)
+    for i in range(_ZORDER_BITS):
+        for k, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)),
+                    i * len(buckets) + k,
+                )
+            )
+    return z
+
+
 def compact_iceberg_table(
     spark: SparkSession,
     root: str,
@@ -120,6 +188,7 @@ def compact_iceberg_table(
     timestamp_ms: int,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     sort_by: "list[str] | None" = None,
+    zorder_by: "list[str] | None" = None,
 ) -> dict:
     """``rewrite_data_files`` + ``rewrite_position_delete_files`` analog
     for local Iceberg-layout tables — the operation the reference's own
@@ -138,6 +207,16 @@ def compact_iceberg_table(
     Tables whose equality deletes have unresolvable field ids cannot be
     compacted here either — reading them is the prerequisite, and the
     reader rejects exactly that case.
+
+    ``zorder_by`` (mutually exclusive with ``sort_by``) clusters the
+    rewrite on a Morton code interleaving equi-depth bucket ids of the
+    named columns (:func:`_zorder_value`) — the ``rewrite_data_files``
+    z-order strategy. Where ``sort_by=[a, b]`` gives tight bounds on
+    ``a`` only (every file spans b's full range past the first file
+    boundary), z-order gives every file a small hyper-rectangle in
+    (a, b) space, so the stats evaluator skips files for predicates on
+    EITHER column — the 100-TB play for tables queried along two or
+    more independent dimensions.
     """
     import uuid
 
@@ -166,6 +245,15 @@ def compact_iceberg_table(
     out_dir = os.path.join(root, "data", f"compact-{uuid.uuid4().hex[:8]}")
     from pyspark.sql import functions as F
 
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    zcol = None
+    if zorder_by:
+        zexpr = _zorder_value(df, zorder_by)
+        if zexpr is not None:
+            zcol = "__cf_z"
+            df = df.withColumn(zcol, zexpr)
+
     # PARTITION-PRESERVING compaction (r8): when the default spec's
     # transforms are Spark-expressible, fan the rewrite out per partition
     # tuple so the compacted layout keeps pruning (an unpartitioned
@@ -189,12 +277,15 @@ def compact_iceberg_table(
                 fanned = df
                 for name, e in zip(pt_cols, pt_exprs):
                     fanned = fanned.withColumn(name, e)
-                keys = pt_cols + list(sort_by or [])
+                keys = pt_cols + ([zcol] if zcol else list(sort_by or []))
                 w = fanned.repartitionByRange(
                     n_out, *[F.col(c) for c in keys]
                 )
-                if sort_by:
+                if sort_by or zcol:
                     w = w.sortWithinPartitions(*keys)
+                if zcol:
+                    # clustering key only — never written to data files
+                    w = w.drop(zcol)
                 w.write.mode("overwrite").partitionBy(*pt_cols).parquet(
                     out_dir
                 )
@@ -206,20 +297,23 @@ def compact_iceberg_table(
             out_dir, fields, meta_now.get("default-spec-id", 0)
         )
     else:
-        if sort_by:
+        if sort_by or zcol:
             # Cluster while compacting: range-partition + sort so each
-            # output file owns a DISJOINT value interval of ``sort_by``.
-            # The rewritten manifests then carry tight non-overlapping
+            # output file owns a DISJOINT value interval of ``sort_by``
+            # (or of the z-code: a small hyper-rectangle per file). The
+            # rewritten manifests then carry tight non-overlapping
             # min/max bounds, which is what makes metrics-based file
             # skipping (partition_pruning.file_survives_stats) actually
             # bite on range predicates — the rewrite_data_files(sort) /
             # z-order play.
-            (
-                df.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
-                .sortWithinPartitions(*sort_by)
-                .write.mode("overwrite")
-                .parquet(out_dir)
+            keys = [zcol] if zcol else list(sort_by)
+            w = (
+                df.repartitionByRange(n_out, *[F.col(c) for c in keys])
+                .sortWithinPartitions(*keys)
             )
+            if zcol:
+                w = w.drop(zcol)
+            w.write.mode("overwrite").parquet(out_dir)
         else:
             df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
         files = sorted(

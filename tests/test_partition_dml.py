@@ -400,6 +400,25 @@ def test_compaction_sorted_and_partitioned(spark, lang_table):
     assert [r[0] for r in rows] == [1, 2, 3, 4, 5, 6]
 
 
+def test_compaction_zorder_and_partitioned(spark, lang_table):
+    """zorder_by composes with the partition fanout: output files keep
+    their partition tuple (still prunable) and cluster on the z-code
+    within each tuple; the helper z column never reaches the data files."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root, _ = lang_table
+    compact_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000, zorder_by=["id", "n"]
+    )
+    snap = im.resolve_snapshot(root)
+    parts = im.live_data_partitions(root, snap)
+    assert all(pv is not None for pv in parts.values())
+    df = spark.read.parquet(*list(parts))
+    assert "__cf_z" not in df.columns
+    rows = _rows(spark, f"SELECT id, n FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5, 6]
+
+
 def test_streaming_sink_stamps_partitions(spark, lang_table, tmp_path):
     """The exactly-once streaming sink fans each micro-batch out per
     partition tuple on a partitioned table — streamed-in rows stay

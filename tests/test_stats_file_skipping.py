@@ -225,6 +225,113 @@ def test_sorted_compaction_enables_range_skipping(spark, tmp_path):
     assert len(set(post.inputFiles())) == 1  # disjoint bounds: skipped
 
 
+def _grid_table(tmp_path, name, n=64):
+    """n x n grid of (x, y) in one file: pre-compaction bounds span the
+    full range of both columns, so nothing skips."""
+    root = str(tmp_path / name)
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("x", pa.int64()), ("y", pa.int64()), ("v", pa.int64())]),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "x": [i // n for i in range(n * n)],
+                    "y": [i % n for i in range(n * n)],
+                    "v": list(range(n * n)),
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    return root
+
+
+def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
+    """compact_iceberg_table(zorder_by=[x, y]): every output file owns a
+    small hyper-rectangle in (x, y) space, so range predicates on EITHER
+    column skip most files — where lexicographic sort_by=[x, y] clusters
+    x only (each file spans y's full range, y predicates read everything).
+    This is the multi-dimensional file-skipping property that makes
+    z-order the 100-TB layout for tables queried along independent axes.
+    """
+    import glob
+    import os
+
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    zroot = _grid_table(tmp_path, "tz")
+    lroot = _grid_table(tmp_path, "tlex")
+    # size the rewrite to ~16 output files whatever parquet compression does
+    live = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(zroot, "data", "*.parquet"))
+    )
+    target = max(1, live // 16)
+    rz = compact_iceberg_table(
+        spark, zroot, timestamp_ms=T1 + 1000,
+        target_file_bytes=target, zorder_by=["x", "y"],
+    )
+    rl = compact_iceberg_table(
+        spark, lroot, timestamp_ms=T1 + 1000,
+        target_file_bytes=target, sort_by=["x", "y"],
+    )
+    assert rz["files_after"] >= 8, rz
+    assert rz["rows"] == 64 * 64
+
+    def files_read(root, cond):
+        df = _resolved_df(
+            spark,
+            f"SELECT v FROM iceberg_scan('{root}') WHERE {cond}",
+        )
+        return len(set(df.inputFiles())), df.count()
+
+    # top-1/8 slice of x: both layouts skip (x is the leading sort key)
+    zx, zx_rows = files_read(zroot, "x >= 56")
+    lx, _ = files_read(lroot, "x >= 56")
+    assert zx_rows == 8 * 64
+    assert zx <= rz["files_after"] // 2, (zx, rz)
+    assert lx <= rl["files_after"] // 2, (lx, rl)
+
+    # top-1/8 slice of y: ONLY the z-ordered layout skips
+    zy, zy_rows = files_read(zroot, "y >= 56")
+    ly, ly_rows = files_read(lroot, "y >= 56")
+    assert zy_rows == ly_rows == 8 * 64
+    assert zy <= rz["files_after"] // 2, (zy, rz)
+    assert ly >= rl["files_after"] - 1, (ly, rl)  # lexicographic: no skip
+
+    # point query in both dimensions: a z-ordered tile corner
+    zp, zp_rows = files_read(zroot, "x = 3 AND y = 3")
+    assert zp_rows == 1
+    assert zp <= max(2, rz["files_after"] // 4), (zp, rz)
+
+
+def test_zorder_validation(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root = str(tmp_path / "tzv")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000,
+            sort_by=["id"], zorder_by=["id"],
+        )
+    with pytest.raises(ValueError, match="unsupported type"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000, zorder_by=["name"]
+        )
+    with pytest.raises(ValueError, match="not in table"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000, zorder_by=["missing"]
+        )
+
+
 def test_rename_then_stats_skip_on_new_name(spark, tmp_path):
     """Bounds are recorded under write-time column names; after a rename
     the conjunct on the CURRENT name must still skip via the history map."""
