@@ -937,6 +937,7 @@ def commit_row_delta_snapshot(
     new_data_files: list[tuple[str, int]] = (),
     delete_files: list[tuple[str, int]] = (),
     equality_delete_files: "list[tuple[str, int, list[int]]]" = (),
+    removed_data_files: "list[str]" = (),
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
     summary_extra: "dict[str, str] | None" = None,
@@ -962,6 +963,14 @@ def commit_row_delta_snapshot(
     (``maintenance.update_where``) — the spec's "overwrite" summary. Like
     :func:`commit_rewrite_snapshot` this is an EXTERNAL commit — do not
     mix with further commits through a live LocalIcebergTable instance.
+
+    ``removed_data_files`` (r8, the copy-on-write shape): live data files
+    whose rows this commit REWRITES — they are dropped from the carried
+    set and recorded as status=2 (DELETED) entries, exactly how the spec
+    expresses a partial rewrite. Matched by their path under ``data/``
+    (the same key the position-delete anti-join uses), so relocated
+    tables behave; a path matching no carried live data file raises
+    (caller bug — silently ignoring it would commit a wrong live set).
 
     ``parent_ref`` (r7, branch-targeted writes): commit ON a branch — the
     carried-over live entries come from the BRANCH HEAD snapshot instead
@@ -1029,11 +1038,25 @@ def commit_row_delta_snapshot(
             "data_file": {k: data_file.get(k) for k in _DATA_FILE_KEYS},
         }
 
-    carry_data = [
-        entry(0, e["sequence_number"], e["data_file"])
-        for e in carried
-        if e["data_file"].get("content", 0) == 0
-    ]
+    def _data_key(p: str) -> str:
+        return p.rsplit("/data/", 1)[-1]
+
+    removed_keys = {_data_key(p) for p in removed_data_files}
+    carry_data = []
+    removed_entries = []
+    for e in carried:
+        if e["data_file"].get("content", 0) != 0:
+            continue
+        if removed_keys and _data_key(e["data_file"]["file_path"]) in removed_keys:
+            removed_entries.append(entry(2, e["sequence_number"], e["data_file"]))
+            removed_keys.discard(_data_key(e["data_file"]["file_path"]))
+        else:
+            carry_data.append(entry(0, e["sequence_number"], e["data_file"]))
+    if removed_keys:
+        raise ValueError(
+            "commit_row_delta_snapshot: removed_data_files name no live "
+            f"data file: {sorted(removed_keys)}"
+        )
     carry_dels = [
         entry(0, e["sequence_number"], e["data_file"])
         for e in carried
@@ -1102,7 +1125,7 @@ def commit_row_delta_snapshot(
     meta_dir = os.path.join(root, "metadata")
     manifests = []
     for tag, content, entries in (
-        ("data", 0, carry_data + new_data),
+        ("data", 0, carry_data + removed_entries + new_data),
         ("del", 1, carry_dels + new_dels),
     ):
         if not entries:
@@ -1132,7 +1155,16 @@ def commit_row_delta_snapshot(
                 "operation": (
                     "delete"
                     if not new_data
-                    else ("overwrite" if new_dels else "append")
+                    else (
+                        "overwrite"
+                        if (new_dels or removed_entries)
+                        else "append"
+                    )
+                ),
+                **(
+                    {"deleted-data-files": str(len(removed_entries))}
+                    if removed_entries
+                    else {}
                 ),
                 "total-records": str(
                     sum(

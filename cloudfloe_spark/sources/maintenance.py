@@ -821,6 +821,114 @@ def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: lis
     return paths
 
 
+def _cow_dml(
+    spark,
+    root: str,
+    condition: str,
+    assignments: "dict[str, str] | None",
+    *,
+    timestamp_ms: int,
+    rows_per_file: int,
+    meta_path,
+    snap: dict,
+    paths: list,
+    n_live: int,
+) -> dict:
+    """Copy-on-write DML core (``mode="copy-on-write"`` of
+    :func:`delete_where` / :func:`update_where`): instead of committing
+    position-delete files (merge-on-read), REWRITE exactly the data files
+    that contain matching rows and commit them as removed + their
+    replacements — Iceberg's ``write.delete.mode=copy-on-write``. The
+    table stays delete-file-free, so reads pay no anti-join and engines
+    without delete support (the reference's own guard!) keep working;
+    the trade is write amplification proportional to the affected files.
+
+    Scale shape: pass 1 scans only the PRUNED candidate files and reduces
+    to per-file match counts (driver state = one row per affected file,
+    never row-sized); pass 2 re-scans only the AFFECTED files and writes
+    their surviving/updated rows partition-aware. Untouched files — even
+    pruned-in candidates with zero matches — are carried verbatim at
+    their original sequence numbers; time travel to the pre-DML snapshot
+    is intact.
+
+    ``assignments=None`` means DELETE (drop matching rows); otherwise
+    UPDATE (rewrite matching rows with the assignments applied, standard
+    see-old-values semantics). NULL conditions keep rows, matching the
+    merge-on-read path exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    def _key(p: str) -> str:
+        return p.rsplit("/data/", 1)[-1]
+
+    df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
+    data_cols = [c for c in df.columns if c not in (_FP, _POS)]
+    if assignments:
+        bad = sorted(set(assignments) - set(data_cols))
+        if bad:
+            raise ValueError(f"update_where: unknown columns in SET: {bad}")
+    hits = (
+        df.filter(condition).groupBy(F.col(_FP).alias("fp")).count().collect()
+    )
+    n = sum(r["count"] for r in hits)
+    if n == 0:
+        return {"matched": 0, "snapshot_id": None, "delete_files": [],
+                "files_scanned": len(paths), "files_total": n_live,
+                "files_rewritten": 0}
+    affected_keys = {_key(r["fp"]) for r in hits}
+    affected = [p for p in paths if _key(p) in affected_keys]
+
+    # output sizing from manifest record counts — no extra count() action
+    stats = im.live_data_stats(root, snap)
+    recs = [
+        (stats.get(p) or {}).get("records") for p in affected
+    ]
+    total_affected = sum(recs) if all(r is not None for r in recs) else None
+    n_out = None
+    if total_affected is not None:
+        n_out = total_affected - (n if assignments is None else 0)
+
+    df2 = _mor_raw_scan(spark, root, snap, affected, metadata_path=meta_path)
+    cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    if assignments is None:
+        rewritten = df2.filter(~cond).select(*data_cols)
+    else:
+        rewritten = df2.select(
+            *[
+                F.when(
+                    cond,
+                    F.expr(assignments[c]).cast(df2.schema[c].dataType),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in data_cols
+            ]
+        )
+    out_dir = os.path.join(
+        root, "data", f"cow-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
+    new_files = _write_data_files(
+        spark, root, meta_path, rewritten, n_out, rows_per_file, out_dir,
+    )
+    snap_id = commit_row_delta_snapshot(
+        root,
+        new_data_files=new_files,
+        removed_data_files=affected,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {"matched": n, "snapshot_id": snap_id, "delete_files": [],
+            "files_scanned": len(paths), "files_total": n_live,
+            "files_rewritten": len(affected)}
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
@@ -828,6 +936,7 @@ def delete_where(
     *,
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
+    mode: str = "merge-on-read",
 ) -> dict:
     """``DELETE FROM <iceberg table> WHERE condition`` via merge-on-read
     position deletes — rows are marked deleted in a NEW snapshot without
@@ -853,12 +962,18 @@ def delete_where(
     Renamed tables work (r7, lifting the r6 refusal): the scan resolves
     write-time column names per file group exactly as the read path does,
     so ``condition`` is always written in CURRENT names.
+
+    ``mode="copy-on-write"`` (r8) rewrites the affected data files
+    instead of committing delete files — see :func:`_cow_dml` for the
+    trade-off and scale shape.
     """
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.iceberg_fixture import commit_delete_snapshot
 
+    if mode not in ("merge-on-read", "copy-on-write"):
+        raise ValueError(f"delete_where: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
@@ -872,6 +987,13 @@ def delete_where(
             "files_scanned": 0,
             "files_total": n_live,
         }
+    if mode == "copy-on-write":
+        return _cow_dml(
+            spark, root, condition, None,
+            timestamp_ms=timestamp_ms,
+            rows_per_file=rows_per_delete_file,
+            meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
+        )
 
     matches = (
         _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
@@ -936,6 +1058,7 @@ def update_where(
     *,
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
+    mode: str = "merge-on-read",
 ) -> dict:
     """``UPDATE <iceberg table> SET col = expr, ... WHERE condition`` via
     merge-on-read: matching rows are position-deleted (exactly like
@@ -950,6 +1073,9 @@ def update_where(
     and the rewritten-row writes are distributed, sized by the match
     count, never by table size. Renamed tables work (r7): write-time
     names resolve per file group, like delete_where.
+
+    ``mode="copy-on-write"`` (r8) rewrites the affected data files in
+    place of the delete+re-append row delta — see :func:`_cow_dml`.
     """
     from pyspark.sql import functions as F
 
@@ -958,6 +1084,8 @@ def update_where(
         commit_row_delta_snapshot,
     )
 
+    if mode not in ("merge-on-read", "copy-on-write"):
+        raise ValueError(f"update_where: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
@@ -966,6 +1094,13 @@ def update_where(
     if not paths:
         return {"matched": 0, "snapshot_id": None, "files_scanned": 0,
                 "files_total": n_live}
+    if mode == "copy-on-write":
+        return _cow_dml(
+            spark, root, condition, assignments,
+            timestamp_ms=timestamp_ms,
+            rows_per_file=rows_per_delete_file,
+            meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
+        )
 
     df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
     data_cols = [c for c in df.columns if c not in (_FP, _POS)]

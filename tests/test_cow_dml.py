@@ -1,0 +1,239 @@
+"""Copy-on-write DML (``mode="copy-on-write"``): DELETE/UPDATE rewrite
+exactly the data files containing matches and commit them as removed +
+replacements — Iceberg's ``write.delete.mode=copy-on-write`` twin of the
+merge-on-read path. The table stays delete-file-free (reads pay no
+anti-join; engines without delete support — the reference's own guard,
+``backend/main.py:398-414`` — keep working), at the cost of write
+amplification bounded by the affected files.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+T1 = 1700000000000
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _rows(spark, sql):
+    return run_query(spark, sql, _cfg()).rows
+
+
+def _has_deletes(spark, root):
+    agg = _rows(
+        spark,
+        f"""SELECT BOOL_OR(manifest_content <> 'DATA') AS has_deletes
+            FROM iceberg_metadata('{root}')""",
+    )
+    return bool(agg and agg[0][0])
+
+
+@pytest.fixture()
+def three_file_table(tmp_path):
+    """Three data files with disjoint id ranges — exact bounds in the
+    manifests, so a DML condition on one range prunes to one file."""
+    root = str(tmp_path / "tcow")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(0, 5)), "v": list("abcde")}),
+            pa.table({"id": list(range(5, 10)), "v": list("fghij")}),
+            pa.table({"id": list(range(10, 15)), "v": list("klmno")}),
+        ],
+        timestamp_ms=T1,
+    )
+    return root
+
+
+def test_cow_delete_rewrites_only_affected_files(spark, three_file_table):
+    root = three_file_table
+    pre = set(im.live_data_paths(root, im.resolve_snapshot(root)))
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+
+    res = delete_where(
+        spark, root, "id IN (6, 8)", timestamp_ms=T1 + 1000,
+        mode="copy-on-write",
+    )
+    assert res["matched"] == 2
+    assert res["files_rewritten"] == 1
+    assert res["delete_files"] == []
+    # bounds-pruned scan: only the [5,9] file was a candidate
+    assert res["files_scanned"] == 1 and res["files_total"] == 3
+
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [0, 1, 2, 3, 4, 5, 7, 9, 10, 11, 12, 13, 14]
+
+    # no delete files, ever — that's the point of copy-on-write
+    assert not _has_deletes(spark, root)
+
+    # untouched files carried verbatim; the affected one replaced
+    post = set(im.live_data_paths(root, im.resolve_snapshot(root)))
+    assert len(pre & post) == 2
+    assert len(post - pre) >= 1
+
+    # summary records the partial rewrite
+    snap = im.resolve_snapshot(root)
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["deleted-data-files"] == "1"
+
+    # time travel to the pre-DML snapshot still shows every row
+    old = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+    )
+    assert old == [[15]]
+
+
+def test_cow_delete_can_empty_a_file(spark, three_file_table):
+    root = three_file_table
+    res = delete_where(
+        spark, root, "id >= 10", timestamp_ms=T1 + 1000,
+        mode="copy-on-write",
+    )
+    assert res["matched"] == 5 and res["files_rewritten"] == 1
+    got = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
+    assert got == [[10]]
+    snap = im.resolve_snapshot(root)
+    # nothing survived the affected file: a pure delete commit
+    assert snap["summary"]["operation"] == "delete"
+
+
+def test_cow_update_applies_assignments_old_values(spark, three_file_table):
+    root = three_file_table
+    res = update_where(
+        spark, root, "id BETWEEN 5 AND 7",
+        {"id": "id + 100", "v": "concat(v, '!')"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    assert res["matched"] == 3 and res["files_rewritten"] == 1
+    assert not _has_deletes(spark, root)
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [tuple(r) for r in got] == [
+        (0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"),
+        (8, "i"), (9, "j"), (10, "k"), (11, "l"), (12, "m"),
+        (13, "n"), (14, "o"), (105, "f!"), (106, "g!"), (107, "h!"),
+    ]
+
+
+def test_cow_null_condition_keeps_rows(spark, tmp_path):
+    """Rows where the condition evaluates NULL are kept — parity with the
+    merge-on-read path's matched-rows-only semantics."""
+    root = str(tmp_path / "tnull")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("n", pa.int64())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "n": pa.array([10, None, 30], pa.int64())})],
+        timestamp_ms=T1,
+    )
+    res = delete_where(
+        spark, root, "n > 20", timestamp_ms=T1 + 1000, mode="copy-on-write"
+    )
+    assert res["matched"] == 1
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [1, 2]
+
+
+def test_cow_update_after_mor_delete_no_resurrection(spark, three_file_table):
+    """A COW rewrite of a file carrying merge-on-read deletes must apply
+    them (the rewrite reads MOR-applied rows) — and the rewritten file
+    then needs no delete files at all."""
+    root = three_file_table
+    delete_where(spark, root, "id = 6", timestamp_ms=T1 + 1000)
+    assert _has_deletes(spark, root)
+    res = update_where(
+        spark, root, "id BETWEEN 5 AND 9", {"v": "upper(v)"},
+        timestamp_ms=T1 + 2000, mode="copy-on-write",
+    )
+    assert res["matched"] == 4  # id=6 already gone
+    got = _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_scan('{root}') WHERE id BETWEEN 5 AND 9 "
+        "ORDER BY id",
+    )
+    assert [tuple(r) for r in got] == [(5, "F"), (7, "H"), (8, "I"), (9, "J")]
+    # the delete file still exists table-wide (it may target other files'
+    # history) but the REWRITTEN file's rows no longer depend on it:
+    # deleting the dangling delete file is compaction's job, correctness
+    # here is that id=6 stays gone through the rewrite
+    assert [r[0] for r in _rows(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id"
+    )] == [0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14]
+
+
+def test_cow_partitioned_table_keeps_tuples(spark, tmp_path):
+    root = str(tmp_path / "tpart")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string()), ("n", pa.int64())]),
+        partition_by=[("lang", "identity")],
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": [1, 2], "lang": ["en", "en"], "n": [10, 20]}),
+            pa.table({"id": [3, 4], "lang": ["de", "de"], "n": [30, 40]}),
+        ],
+        timestamp_ms=T1,
+    )
+    res = update_where(
+        spark, root, "lang = 'en' AND id = 1", {"n": "n + 1"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    assert res["matched"] == 1 and res["files_rewritten"] == 1
+    snap = im.resolve_snapshot(root)
+    parts = im.live_data_partitions(root, snap)
+    assert parts and all(pv is not None for pv in parts.values()), parts
+    assert sorted(pv["lang"] for pv in parts.values()) == ["de", "en"]
+    got = _rows(spark, f"SELECT id, n FROM iceberg_scan('{root}') ORDER BY id")
+    assert [tuple(r) for r in got] == [(1, 11), (2, 20), (3, 30), (4, 40)]
+    # post-COW partition pruning still works: de-only DML scans one file
+    res2 = delete_where(spark, root, "lang = 'de'", timestamp_ms=T1 + 2000)
+    assert res2["files_scanned"] == 1 and res2["files_total"] == 2
+    assert res2["matched"] == 2
+
+
+def test_cow_no_match_commits_nothing(spark, three_file_table):
+    root = three_file_table
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    res = delete_where(
+        spark, root, "id = 999", timestamp_ms=T1 + 1000, mode="copy-on-write"
+    )
+    assert res["matched"] == 0 and res["snapshot_id"] is None
+    assert im.resolve_snapshot(root)["snapshot-id"] == s1
+
+
+def test_cow_unknown_mode_rejected(spark, three_file_table):
+    with pytest.raises(ValueError, match="unknown mode"):
+        delete_where(
+            spark, three_file_table, "id = 1", timestamp_ms=T1 + 1000,
+            mode="lazy",
+        )
+
+
+def test_removed_files_must_name_live_files(three_file_table):
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    with pytest.raises(ValueError, match="no live data file"):
+        commit_row_delta_snapshot(
+            three_file_table,
+            removed_data_files=["/nowhere/data/ghost.parquet"],
+            timestamp_ms=T1 + 1000,
+        )
