@@ -657,7 +657,9 @@ def _cdc_frame(
             raise bad_request(
                 "iceberg_cdc supports append-only data-file history; data "
                 "files were removed or rewritten in the snapshot range "
-                "(e.g. compaction) — run a full refresh instead."
+                "(e.g. compaction) — use iceberg_cdc_commits (which reads "
+                "across copy-on-write and replace commits) or run a full "
+                "refresh instead."
             )
         if im.unreadable_equality_deletes(root, s_to, metadata_path):
             raise bad_request(
@@ -877,33 +879,40 @@ def _cdc_frame(
             [], schema_ddl + ", _change_type STRING"
         )
     if keys and parts:
-        # Update-image pairing: a key whose net range carries exactly one
-        # retraction and one insertion is an UPDATE. One changelog-sized
-        # shuffle on the key; NULL identifier values never equi-match the
-        # count row, so they keep their plain labels (sound).
-        cnt = df.groupBy(*keys).agg(
-            F.sum(
-                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
-            ).alias("__cdc_ni"),
-            F.sum(
-                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
-            ).alias("__cdc_nd"),
-        )
-        df = (
-            df.join(cnt, keys, "left")
-            .withColumn(
-                "_change_type",
-                F.when(
-                    (F.col("__cdc_ni") == 1) & (F.col("__cdc_nd") == 1),
-                    F.when(
-                        F.col("_change_type") == "delete",
-                        F.lit("update_preimage"),
-                    ).otherwise(F.lit("update_postimage")),
-                ).otherwise(F.col("_change_type")),
-            )
-            .drop("__cdc_ni", "__cdc_nd")
-        )
+        df = _pair_update_images(df, keys)
     return df
+
+
+def _pair_update_images(df, keys: list):
+    """Update-image pairing: a key carrying exactly one retraction and
+    one insertion in ``df`` is relabeled ``update_preimage`` /
+    ``update_postimage``. One changelog-sized shuffle on the key; NULL
+    identifier values never equi-match the count row, so they keep
+    their plain labels (sound)."""
+    from pyspark.sql import functions as F
+
+    cnt = df.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        ).alias("__cdc_ni"),
+        F.sum(
+            F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+        ).alias("__cdc_nd"),
+    )
+    return (
+        df.join(cnt, keys, "left")
+        .withColumn(
+            "_change_type",
+            F.when(
+                (F.col("__cdc_ni") == 1) & (F.col("__cdc_nd") == 1),
+                F.when(
+                    F.col("_change_type") == "delete",
+                    F.lit("update_preimage"),
+                ).otherwise(F.lit("update_postimage")),
+            ).otherwise(F.col("_change_type")),
+        )
+        .drop("__cdc_ni", "__cdc_nd")
+    )
 
 
 def _cdc_view(
@@ -914,6 +923,89 @@ def _cdc_view(
         name
     )
     return name
+
+
+def _cow_commit_frame(
+    sess,
+    root: str,
+    s_prev: dict,
+    s_cur: dict,
+    live_prev: dict,
+    live_cur: dict,
+    metadata_path,
+    key_cols: str | None = None,
+):
+    """Per-commit delta of a COPY-ON-WRITE commit (data files removed and
+    replaced in ONE commit, no new delete files — the shape
+    ``delete_where``/``update_where`` ``mode="copy-on-write"`` produces):
+    multiset row-diff restricted to the touched files. old = the removed
+    files' rows MOR-applied at the parent snapshot, new = the added
+    files' rows MOR-applied at the commit; deletes = old EXCEPT ALL new,
+    inserts = new EXCEPT ALL old. A pure rewrite (compaction recorded as
+    overwrite) therefore emits nothing — strictly more precise than
+    refusing. Commits that both remove data files and add delete files
+    keep the clear 400 (no sound restricted diff exists for them).
+
+    Scale shape: reads only the removed+added files and shuffles
+    churn-sized inputs through two exceptAll passes — never O(table).
+    """
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.maintenance import _FP, _POS, _mor_raw_scan
+
+    seq_prev = s_prev.get("sequence-number", 0)
+    removed = sorted(set(live_prev) - set(live_cur))
+    added = sorted(set(live_cur) - set(live_prev))
+    try:
+        pos_new = [
+            r
+            for r in im.position_delete_records(root, s_cur)
+            if int(r["seq"]) > seq_prev
+        ]
+        eq_new = [
+            d
+            for d in im.equality_delete_records(root, s_cur)
+            if int(d["seq"]) > seq_prev
+        ]
+        if pos_new or eq_new:
+            raise bad_request(
+                "iceberg_cdc_commits: a commit in the range both removed "
+                "data files and added delete files — no sound restricted "
+                "row-diff exists for that shape; run a full refresh."
+            )
+        old = _mor_raw_scan(
+            sess, root, s_prev, removed, metadata_path=metadata_path
+        )
+        cols = [c for c in old.columns if c not in (_FP, _POS)]
+        old = old.select(*cols)
+        new = (
+            _mor_raw_scan(
+                sess, root, s_cur, added, metadata_path=metadata_path
+            ).select(*cols)
+            if added
+            else None
+        )
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    except ValueError as e:
+        raise bad_request(f"iceberg_cdc_commits: {e}") from None
+    if new is None:
+        dels, ins = old, old.limit(0)
+    else:
+        dels, ins = old.exceptAll(new), new.exceptAll(old)
+    df = dels.withColumn("_change_type", F.lit("delete")).unionByName(
+        ins.withColumn("_change_type", F.lit("insert"))
+    )
+    keys = [k.strip() for k in key_cols.split(",")] if key_cols else []
+    if keys:
+        missing = [k for k in keys if k not in set(cols)]
+        if missing:
+            raise bad_request(
+                f"iceberg_cdc: identifier column(s) {missing} not in "
+                "the table's current schema"
+            )
+        df = _pair_update_images(df, keys)
+    return df
 
 
 def _cdc_commits_view(
@@ -933,6 +1025,11 @@ def _cdc_commits_view(
     NOTHING and do not break the range, matching Iceberg's changelog
     skipping replace snapshots — so unlike the net view, this read
     works across a compaction, as long as no DML pair straddles it.
+    COPY-ON-WRITE commits (r8 — ``mode="copy-on-write"`` DML: data files
+    removed and replaced in one commit, no delete files) read as a
+    restricted row-diff of exactly the touched files
+    (:func:`_cow_commit_frame`), so this view works across every DML
+    mode the engine can write.
 
     Scale shape: each pair's delta costs what the net view costs on that
     pair — added-file reads plus a delete-referenced-file carried scan —
@@ -985,9 +1082,23 @@ def _cdc_commits_view(
         if op == "replace":
             continue  # compaction/rewrite: no logical change to emit
         ordinal += 1
+        try:
+            sp = _resolve_range_endpoint(root, str(prev), metadata_path)
+            sc = _resolve_range_endpoint(root, str(cur), metadata_path)
+            live_p = im.live_data_seqs(root, sp)
+            live_c = im.live_data_seqs(root, sc)
+        except im.IcebergMetadataError as e:
+            raise bad_request(f"Iceberg read failed: {e}") from None
+        if set(live_p) - set(live_c):
+            # copy-on-write commit (r8): data files removed and replaced
+            # in one commit — restricted row-diff instead of a refusal
+            frame = _cow_commit_frame(
+                sess, root, sp, sc, live_p, live_c, metadata_path, key_cols
+            )
+        else:
+            frame = _cdc_frame(sess, root, str(prev), str(cur), key_cols)
         frames.append(
-            _cdc_frame(sess, root, str(prev), str(cur), key_cols)
-            .withColumn(
+            frame.withColumn(
                 "_commit_snapshot_id", F.lit(int(cur)).cast("long")
             )
             .withColumn("_commit_ordinal", F.lit(ordinal).cast("int"))

@@ -819,3 +819,97 @@ def test_cdc_commits_on_renamed_table(spark, table):
             (3, "C", "update_postimage", 2),
         ]
     ), rows
+
+
+def test_cdc_commits_over_cow_delete_matches_duckdb_diff(spark, table):
+    """r8: a copy-on-write DELETE commit (files removed + replaced, no
+    delete files) reads as a restricted row-diff — per-commit CDC equals
+    the DuckDB snapshot diff, where the pre-r8 behavior was a 400."""
+    root, _ = table
+    delete_where(
+        spark, root, "id IN (2, 4)", timestamp_ms=T1 + 1000,
+        mode="copy-on-write",
+    )
+    snaps = _snap_ids(spark, root)
+    exp_dels, exp_ins = _duckdb_diff(
+        _state(spark, root, snaps[0]), _state(spark, root, snaps[-1])
+    )
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type, _commit_ordinal FROM "
+            f"iceberg_cdc_commits('{root}', {snaps[0]}, {snaps[-1]})",
+        )
+    )
+    assert sorted((r[0], r[1]) for r in rows if r[2] == "delete") == exp_dels
+    assert sorted((r[0], r[1]) for r in rows if r[2] == "insert") == exp_ins
+    assert all(r[3] == 1 for r in rows)
+
+
+def test_cdc_commits_over_cow_update_pairs_images(spark, table):
+    root, _ = table
+    update_where(
+        spark, root, "id = 3", {"v": "upper(v)"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    snaps = _snap_ids(spark, root)
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type FROM "
+            f"iceberg_cdc_commits('{root}', {snaps[0]}, {snaps[-1]}, 'id')",
+        )
+    )
+    assert rows == sorted(
+        [(3, "c", "update_preimage"), (3, "C", "update_postimage")]
+    ), rows
+
+
+def test_cdc_commits_mixed_mor_and_cow_range(spark, table):
+    """A range holding one merge-on-read commit and one copy-on-write
+    commit: each reads with its own machinery, ordinals in order."""
+    root, _ = table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)  # MOR
+    update_where(
+        spark, root, "id = 3", {"v": "'z'"},
+        timestamp_ms=T1 + 2000, mode="copy-on-write",
+    )
+    snaps = _snap_ids(spark, root)
+    rows = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type, _commit_ordinal FROM "
+            f"iceberg_cdc_commits('{root}', {snaps[0]}, {snaps[-1]})",
+        )
+    )
+    assert rows == sorted(
+        [
+            (1, "a", "delete", 1),
+            (3, "c", "delete", 2),
+            (3, "z", "insert", 2),
+        ]
+    ), rows
+    # replaying the per-commit deltas in ordinal order reproduces the
+    # final state from the initial one
+    state = set(_state(spark, root, snaps[0]))
+    for r in sorted(rows, key=lambda r: r[3]):
+        if r[2] == "delete":
+            state.discard((r[0], r[1]))
+        else:
+            state.add((r[0], r[1]))
+    assert state == set(_state(spark, root, snaps[-1]))
+
+
+def test_cdc_net_view_still_refuses_cow_range(spark, table):
+    """The net view keeps its clear refusal over rewritten histories —
+    now pointing the caller at iceberg_cdc_commits."""
+    root, _ = table
+    delete_where(
+        spark, root, "id = 2", timestamp_ms=T1 + 1000, mode="copy-on-write"
+    )
+    snaps = _snap_ids(spark, root)
+    with pytest.raises(CloudfloeError, match="iceberg_cdc_commits"):
+        _rows(
+            spark,
+            f"SELECT * FROM iceberg_cdc('{root}', {snaps[0]}, {snaps[-1]})",
+        )

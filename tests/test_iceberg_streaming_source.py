@@ -371,3 +371,42 @@ def test_schema_evolution_mid_stream_fails_with_restart_hint(spark, table):
     ids = _snap_log(root)
     with pytest.raises(IcebergSourceError, match="restart"):
         r.partitions({"snapshot_id": ids0[0]}, {"snapshot_id": ids[-1]})
+
+
+def test_cdc_stream_over_cow_commit_replays(spark, table, tmp_path):
+    """A copy-on-write DML commit (files removed + replaced, no delete
+    files) tailed in cdc mode: the source emits full-file retractions
+    for the removed files and inserts for their replacements — noisier
+    than the batch iceberg_cdc_commits net diff, but replay-exact:
+    applying deletes-then-inserts per commit reproduces the scan."""
+    root, _ = table
+    update_where(
+        spark, root, "id = 3", {"v": "upper(v)"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    rows = _run_once(spark, root, out, cp, "r1", mode="cdc")
+    seq_of = {
+        int(r[0]): int(r[1])
+        for r in _sql(
+            spark,
+            f"SELECT snapshot_id, sequence_number FROM "
+            f"iceberg_snapshots('{root}')",
+        )
+    }
+    state: list = []
+    for r in sorted(rows, key=lambda r: (seq_of[r[3]], r[2] == "insert")):
+        if r[2] == "delete":
+            state.remove((r[0], r[1]))
+        else:
+            state.append((r[0], r[1]))
+    assert sorted(state) == _scan(spark, root)
+    # the COW commit retracts the rewritten file's rows and re-inserts
+    # the survivors + the updated row — full-file granularity
+    cow = [r for r in rows if seq_of[r[3]] == 2]
+    assert sorted(
+        (r[0], r[1]) for r in cow if r[2] == "delete"
+    ) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert sorted(
+        (r[0], r[1]) for r in cow if r[2] == "insert"
+    ) == [(1, "a"), (2, "b"), (3, "C"), (4, "d")]
