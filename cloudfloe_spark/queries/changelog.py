@@ -721,3 +721,142 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, n_chars FROM iceberg_scan('{root}') "
         "WHERE doc_id < 100 AND n_chars BETWEEN 100 AND 300",
     )
+
+
+@register(
+    "iceberg_cow_dml_scan",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "dml", "cow"),
+)
+def iceberg_cow_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE DML, driver-checked: the same partitioned fixture
+    and DML script as ``iceberg_partitioned_dml_scan``, but run with
+    ``mode="copy-on-write"`` (`maintenance._cow_dml`) — affected data
+    files are rewritten and committed as removed + replacements, never
+    a delete file — and the final per-lang aggregate must equal the
+    merge-on-read entry's oracle exactly (the two modes are
+    semantically interchangeable; only the physical layout differs).
+
+    Scale shape: pass 1 reduces the pruned candidate scan to per-file
+    match counts; pass 2 rewrites only the affected files,
+    partition-aware. Reads of the result pay NO merge-on-read anti-join
+    (the table carries zero delete files — pinned structurally by
+    tests/test_cow_dml.py).
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"cow{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_cowdml", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(
+            root, tbl.schema, partition_by=[("lang", "identity")]
+        )
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(
+            spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000,
+            mode="copy-on-write",
+        )
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 2000,
+            mode="copy-on-write",
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
+    )
+
+
+@register(
+    "cdc_cow_commit_diff",
+    oracle=f"""
+        SELECT doc_id, n_chars AS n_chars, 'update_preimage' AS _change_type
+        FROM documents WHERE {_UPDATE_COND}
+        UNION ALL
+        SELECT doc_id, n_chars + {_UPDATE_BUMP} AS n_chars,
+               'update_postimage' AS _change_type
+        FROM documents WHERE {_UPDATE_COND}
+    """,
+    tags=("iceberg", "cdc", "cow"),
+)
+def cdc_cow_commit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDC over a COPY-ON-WRITE update (r8): the commit
+    removed and replaced whole data files, yet the changelog emits
+    EXACTLY the changed rows — `_cow_commit_frame`'s restricted
+    exceptAll row-diff cancels every rewritten-but-unchanged row — and
+    identifier-column pairing labels them update_preimage /
+    update_postimage. The oracle reproduces both images from the
+    original ``documents`` table.
+
+    Scale shape: reads only the removed+added files of the one commit
+    (churn-sized, never O(table)); the diff shuffles churn-sized inputs
+    through two exceptAll passes.
+    """
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import update_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"cowcdc{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_cowcdc", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 1000,
+            mode="copy-on-write",
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    snaps = im.snapshots(root)
+    s0, s1 = snaps[0]["snapshot-id"], snaps[-1]["snapshot-id"]
+    return _resolved(
+        spark,
+        f"SELECT doc_id, n_chars, _change_type "
+        f"FROM iceberg_cdc_commits('{root}', {s0}, {s1}, 'doc_id')",
+    )
