@@ -542,6 +542,40 @@ class LocalIcebergTable:
         if self._snapshots:
             self._write_metadata_json(timestamp_ms)
 
+    def promote_column(
+        self, name: str, new_pa_type, *, timestamp_ms: int
+    ) -> None:
+        """Metadata-only TYPE PROMOTION per the Iceberg v2 spec (int →
+        long, float → double): the field keeps its id and position, only
+        its type changes in a new schema appended to the log. Files
+        written before keep their narrower physical type on disk;
+        CURRENT reads resolve under the promoted schema via
+        ``scan_groups``'s explicit read DDL (Spark 4's parquet reader
+        widens int32→long / float→double natively under an explicit
+        schema), while time travel keeps resolving under each snapshot's
+        own schema-id — pre-promotion snapshots read the narrow type."""
+        if name not in self.schema.names:
+            raise ValueError(f"column {name!r} not found")
+        i = self.schema.names.index(name)
+        old_t = _ARROW_TO_ICEBERG.get(self.schema.field(i).type)
+        new_t = _ARROW_TO_ICEBERG.get(new_pa_type)
+        if (old_t, new_t) not in {("int", "long"), ("float", "double")}:
+            raise ValueError(
+                f"illegal type promotion {old_t} -> {new_t} for "
+                f"{name!r} (Iceberg v2 allows int->long, float->double)"
+            )
+        import pyarrow as pa
+
+        if not self._schema_log:
+            self._schema_log.append(self._iceberg_schema(0))
+        self.schema = self.schema.set(i, pa.field(name, new_pa_type))
+        self._schema_log.append(
+            self._iceberg_schema(len(self._schema_log))
+        )
+        self._extra_meta_versions += 1
+        if self._snapshots:
+            self._write_metadata_json(timestamp_ms)
+
     def _commit(self, timestamp_ms: int) -> int:
         self._seq += 1
         snap_id = 7_000_000_000_000_000_000 + self._seq  # > 2^53: JS-unsafe

@@ -561,6 +561,45 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     )
     timings["apply_changelog_point"] = round(time.perf_counter() - t0, 3)
     assert res["retracted"] == 500, res
+
+    # (d) COPY-ON-WRITE point delete on the growing-file-count table:
+    # pass 1 scans only the stats-pruned candidate file and pass 2
+    # rewrites the one affected file, so the whole op should stay ~flat
+    # as the table grows 16n files — the COW scale contract (cost tracks
+    # affected files, never the table).
+    root = build_cdc_table(spark, n, out_dir)
+    t0 = time.perf_counter()
+    res = delete_where(
+        spark, root, "id < 1000", timestamp_ms=_T0 + 1000,
+        mode="copy-on-write",
+    )
+    timings["cow_delete_point"] = round(time.perf_counter() - t0, 3)
+    assert res["matched"] == 1000 and res["files_rewritten"] == 1, res
+
+    # (e) COW delete matching the 90%-hot file: the rewrite IS the hot
+    # file, so this grows ~linearly with n by design — the documented
+    # write-amplification trade against (a)'s flat-commit MOR delete.
+    root, hot = build_dml_table(spark, n, out_dir)
+    t0 = time.perf_counter()
+    res = delete_where(
+        spark, root, "k = 0 AND id % 10 = 0", timestamp_ms=_T0 + 1000,
+        mode="copy-on-write",
+    )
+    timings["cow_delete_hot_rewrite"] = round(time.perf_counter() - t0, 3)
+    assert res["files_rewritten"] == 1, res
+
+    # (f) z-order compaction of the 16n-file table: a whole-table rewrite
+    # is linear by definition; this pins that the Morton machinery
+    # (approxQuantile pass + map-side bucketing) adds no super-linear
+    # term on top of the rewrite itself.
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root = build_cdc_table(spark, n, out_dir)
+    t0 = time.perf_counter()
+    compact_iceberg_table(
+        spark, root, timestamp_ms=_T0 + 1000, zorder_by=["id", "v"],
+    )
+    timings["zorder_compact_full"] = round(time.perf_counter() - t0, 3)
     return timings
 
 

@@ -1966,3 +1966,173 @@ def test_partition_field_ids_monotonic_and_reused(tmp_path):
     assert ids1[(1, "identity")] == 1000  # identical field: id reused
     assert ids1[(2, "bucket[4]")] == 1001  # new field: next monotonic id
     assert meta["last-partition-id"] == 1001
+
+
+def test_promote_column_widens_old_files(spark, tmp_path):
+    """Iceberg v2 type promotion (int->long, float->double) is
+    metadata-only: files written before keep their narrow physical type
+    and must read under the promoted one (Spark 4 widens int32/float
+    natively under scan_groups' explicit read DDL); appends after the
+    promotion can hold values the narrow type cannot."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("qty", pa.int32()), ("w", pa.float32())]
+        ),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2],
+                    "qty": pa.array([10, 20], pa.int32()),
+                    "w": pa.array([1.5, 2.5], pa.float32()),
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    t.promote_column("qty", pa.int64(), timestamp_ms=T1 + 10)
+    t.promote_column("w", pa.float64(), timestamp_ms=T1 + 20)
+    big = 1 << 40
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [3],
+                    "qty": pa.array([big], pa.int64()),
+                    "w": pa.array([3.5], pa.float64()),
+                }
+            )
+        ],
+        timestamp_ms=T2,
+    )
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess,
+            f"SELECT id, qty, w FROM iceberg_scan('{root}') ORDER BY id",
+        )
+    )
+    assert dict(df.dtypes) == {"id": "bigint", "qty": "bigint", "w": "double"}
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 10, 1.5),
+        (2, 20, 2.5),
+        (3, big, 3.5),
+    ]
+    # aggregate spanning narrow and wide files
+    agg = run_query(
+        spark,
+        f"SELECT SUM(qty) AS s FROM iceberg_scan('{root}')",
+        _cfg(),
+    )
+    assert [tuple(r) for r in agg.rows] == [(30 + big,)]
+
+
+def test_promote_time_travel_reads_narrow_type(spark, tmp_path):
+    """Snapshots record their schema-id: VERSION AS OF a pre-promotion
+    snapshot reads the NARROW type, the current read the wide one."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("qty", pa.int32())])
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1], "qty": pa.array([7], pa.int32())})],
+        timestamp_ms=T1,
+    )
+    t.promote_column("qty", pa.int64(), timestamp_ms=T1 + 10)
+    t.append_snapshot(
+        [pa.table({"id": [2], "qty": pa.array([8], pa.int64())})],
+        timestamp_ms=T2,
+    )
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    old = sess.sql(
+        resolve_iceberg_reads(
+            sess,
+            f"SELECT qty FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+        )
+    )
+    assert dict(old.dtypes) == {"qty": "int"}
+    cur = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT qty FROM iceberg_scan('{root}')"
+        )
+    )
+    assert dict(cur.dtypes) == {"qty": "bigint"}
+
+
+def test_promote_illegal_promotions_rejected(tmp_path):
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("qty", pa.int32()), ("name", pa.string())]
+        ),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1],
+                    "qty": pa.array([1], pa.int32()),
+                    "name": ["a"],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    with pytest.raises(ValueError, match="illegal type promotion"):
+        t.promote_column("id", pa.int32(), timestamp_ms=T1 + 10)  # narrow
+    with pytest.raises(ValueError, match="illegal type promotion"):
+        t.promote_column("name", pa.int64(), timestamp_ms=T1 + 10)
+    with pytest.raises(ValueError, match="illegal type promotion"):
+        t.promote_column("qty", pa.float64(), timestamp_ms=T1 + 10)
+    with pytest.raises(ValueError, match="not found"):
+        t.promote_column("ghost", pa.int64(), timestamp_ms=T1 + 10)
+
+
+def test_promote_stats_skipping_and_dml(spark, tmp_path):
+    """Pre-promotion manifest bounds (written as int strings) keep
+    pruning conjuncts on the promoted BIGINT column, and row-level DML
+    conditions on it scan across narrow and wide files alike."""
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("qty", pa.int32())])
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {"id": [1, 2], "qty": pa.array([10, 19], pa.int32())}
+            ),
+            pa.table(
+                {"id": [3, 4], "qty": pa.array([100, 190], pa.int32())}
+            ),
+        ],
+        timestamp_ms=T1,
+    )
+    t.promote_column("qty", pa.int64(), timestamp_ms=T1 + 10)
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess,
+            f"SELECT id FROM iceberg_scan('{root}') WHERE qty >= 100",
+        )
+    )
+    assert sorted(r[0] for r in df.collect()) == [3, 4]
+    assert len(set(df.inputFiles())) == 1  # narrow-file bounds still prune
+
+    res = delete_where(spark, root, "qty = 19", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 1 and res["files_scanned"] == 1
+    got = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert [r[0] for r in got.rows] == [1, 3, 4]
