@@ -1091,11 +1091,42 @@ def commit_row_delta_snapshot(
             "commit_row_delta_snapshot: removed_data_files name no live "
             f"data file: {sorted(removed_keys)}"
         )
-    carry_dels = [
-        entry(0, e["sequence_number"], e["data_file"])
-        for e in carried
-        if e["data_file"].get("content", 0) != 0
-    ]
+    # With removals (copy-on-write), carried POSITION-delete files whose
+    # footer-recorded targets are all among the removed files dangle —
+    # they can never match a live row again — so they are dropped
+    # (status=2) in the same commit, keeping pure-COW tables
+    # delete-file-free without waiting for compaction. Footer reads are
+    # per-immutable-file cached; an unreadable footer keeps the file
+    # (sound). Equality deletes name VALUES, not files — always carried.
+    live_keys = (
+        {_data_key(e["data_file"]["file_path"]) for e in carry_data}
+        if removed_entries
+        else set()
+    )
+    carry_dels = []
+    dropped_dels = []
+    for e in carried:
+        df_ = e["data_file"]
+        if df_.get("content", 0) == 0:
+            continue
+        if removed_entries and df_.get("content", 0) == 1:
+            from cloudfloe_spark.sources.iceberg_meta import (
+                position_delete_targets_cached,
+            )
+
+            local = df_["file_path"]
+            if local.startswith("file://"):
+                local = local[7:]
+            try:
+                tgts = position_delete_targets_cached(local)
+            except Exception:
+                tgts = None
+            if tgts is not None and not (tgts & live_keys):
+                dropped_dels.append(
+                    entry(2, e["sequence_number"], df_)
+                )
+                continue
+        carry_dels.append(entry(0, e["sequence_number"], df_))
     new_dels = [
         entry(
             1,
@@ -1160,7 +1191,7 @@ def commit_row_delta_snapshot(
     manifests = []
     for tag, content, entries in (
         ("data", 0, carry_data + removed_entries + new_data),
-        ("del", 1, carry_dels + new_dels),
+        ("del", 1, carry_dels + dropped_dels + new_dels),
     ):
         if not entries:
             continue

@@ -1390,6 +1390,7 @@ def merge_into(
     insert_unmatched: bool = True,
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
+    mode: str = "merge-on-read",
 ) -> dict:
     """``MERGE INTO <iceberg table> t USING <source> s ON t.k = s.k``
     as one merge-on-read row delta: matched target rows are
@@ -1410,6 +1411,11 @@ def merge_into(
     Same scale shape as delete/update: every pass is a distributed Spark
     plan; only parquet footers are read driver-side. Renamed tables work
     (r7): write-time names resolve per file group, like delete_where.
+
+    ``mode="copy-on-write"`` (r8): matched rows' files are rewritten
+    (match applied via one left join against the source) and committed
+    as removed + replacements together with the unmatched-source
+    inserts — no delete files, same trade as :func:`_cow_dml`.
     """
     from pyspark.sql import functions as F
 
@@ -1420,6 +1426,8 @@ def merge_into(
 
     keys = [on] if isinstance(on, str) else list(on)
     when_matched = when_matched or {}
+    if mode not in ("merge-on-read", "copy-on-write"):
+        raise ValueError(f"merge_into: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
@@ -1487,6 +1495,88 @@ def merge_into(
         n_inserted = inserts.count() if inserts is not None else 0
         if n_matched == 0 and n_inserted == 0:
             return {"matched": 0, "inserted": 0, "snapshot_id": None}
+
+        if mode == "copy-on-write":
+            # rewrite the matched rows' files (match re-applied via one
+            # left join against the source inside those files only) and
+            # commit them as removed + replacements with the inserts —
+            # no delete files, write amplification = the affected files
+            def _key(p: str) -> str:
+                return p.rsplit("/data/", 1)[-1]
+
+            aff_keys = {
+                _key(r[0])
+                for r in matched.select(F.col("t.__fp")).distinct().collect()
+            }
+            affected = [p for p in paths if _key(p) in aff_keys]
+            out_parts = []
+            n_aff = 0
+            if affected:
+                stats = im.live_data_stats(root, snap)
+                recs = [
+                    (stats.get(p) or {}).get("records") for p in affected
+                ]
+                n_aff = (
+                    sum(recs) if all(r is not None for r in recs) else None
+                )
+                df2 = (
+                    _mor_raw_scan(
+                        spark, root, snap, affected, metadata_path=meta_path
+                    )
+                    .drop(_FP, _POS)
+                    .alias("t")
+                )
+                sm = source.withColumn("__cf_sm", F.lit(True)).alias("s")
+                cond2 = None
+                for k in keys:
+                    eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+                    cond2 = eq if cond2 is None else (cond2 & eq)
+                out_parts.append(
+                    df2.join(sm, cond2, "left").select(
+                        *[
+                            F.when(
+                                F.col("__cf_sm").isNotNull(),
+                                F.expr(when_matched[c]).cast(
+                                    tdf.schema[c].dataType
+                                ),
+                            )
+                            .otherwise(F.col(f"t.{c}"))
+                            .alias(c)
+                            if c in when_matched
+                            else F.col(f"t.{c}").alias(c)
+                            for c in tcols
+                        ]
+                    )
+                )
+            if inserts is not None and n_inserted:
+                out_parts.append(inserts)
+            out = out_parts[0]
+            for p_ in out_parts[1:]:
+                out = out.unionByName(p_)
+            merge_dir = os.path.join(
+                root, "data",
+                f"cow-merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
+            )
+            n_rows_out = (
+                (n_aff + n_inserted) if n_aff is not None else None
+            )
+            new_files = _write_data_files(
+                spark, root, meta_path, out, n_rows_out,
+                rows_per_delete_file, merge_dir,
+            )
+            snap_id = commit_row_delta_snapshot(
+                root,
+                new_data_files=new_files,
+                removed_data_files=affected,
+                timestamp_ms=timestamp_ms,
+                expected_metadata_path=meta_path,
+            )
+            return {
+                "matched": n_matched,
+                "inserted": n_inserted,
+                "snapshot_id": snap_id,
+                "files_rewritten": len(affected),
+            }
 
         import pyarrow.parquet as pq
 

@@ -168,13 +168,14 @@ def test_cow_update_after_mor_delete_no_resurrection(spark, three_file_table):
         "ORDER BY id",
     )
     assert [tuple(r) for r in got] == [(5, "F"), (7, "H"), (8, "I"), (9, "J")]
-    # the delete file still exists table-wide (it may target other files'
-    # history) but the REWRITTEN file's rows no longer depend on it:
-    # deleting the dangling delete file is compaction's job, correctness
-    # here is that id=6 stays gone through the rewrite
     assert [r[0] for r in _rows(
         spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id"
     )] == [0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14]
+    # the MOR delete file targeted ONLY the rewritten (removed) file, so
+    # the COW commit drops it as dangling — the table is live-delete-free
+    # again without a compaction
+    snap = im.resolve_snapshot(root)
+    assert im.position_delete_paths(root, snap) == []
 
 
 def test_cow_partitioned_table_keeps_tuples(spark, tmp_path):
@@ -236,4 +237,68 @@ def test_removed_files_must_name_live_files(three_file_table):
             three_file_table,
             removed_data_files=["/nowhere/data/ghost.parquet"],
             timestamp_ms=T1 + 1000,
+        )
+
+
+def test_cow_merge_upsert(spark, three_file_table):
+    """merge_into mode='copy-on-write': matched rows' files are rewritten
+    with the source values applied, inserts append, no delete files —
+    one atomic commit."""
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root = three_file_table
+    src = spark.createDataFrame(
+        [(6, "G!"), (99, "new")], "id LONG, v STRING"
+    )
+    res = merge_into(
+        spark, root, src, "id", when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    assert res["matched"] == 1 and res["inserted"] == 1
+    assert res["files_rewritten"] == 1
+    assert not _has_deletes(spark, root)
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert (6, "G!") in [tuple(r) for r in got]
+    assert (99, "new") in [tuple(r) for r in got]
+    assert len(got) == 16
+    # untouched rows of the rewritten file carried through
+    assert (5, "f") in [tuple(r) for r in got]
+    snap = im.resolve_snapshot(root)
+    assert snap["summary"]["operation"] == "overwrite"
+
+
+def test_cow_merge_insert_only_commits_append(spark, three_file_table):
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root = three_file_table
+    pre = set(im.live_data_paths(root, im.resolve_snapshot(root)))
+    src = spark.createDataFrame([(50, "x")], "id LONG, v STRING")
+    res = merge_into(
+        spark, root, src, "id", when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    assert res["matched"] == 0 and res["inserted"] == 1
+    assert res["files_rewritten"] == 0
+    post = set(im.live_data_paths(root, im.resolve_snapshot(root)))
+    assert pre < post  # pure append: nothing removed
+    snap = im.resolve_snapshot(root)
+    assert snap["summary"]["operation"] == "append"
+
+
+def test_cow_merge_cardinality_guard(spark, three_file_table):
+    from cloudfloe_spark.sources.maintenance import (
+        MergeCardinalityError,
+        merge_into,
+    )
+
+    root = three_file_table
+    src = spark.createDataFrame(
+        [(6, "x"), (6, "y")], "id LONG, v STRING"
+    )
+    with pytest.raises(MergeCardinalityError):
+        merge_into(
+            spark, root, src, "id", when_matched={"v": "s.v"},
+            timestamp_ms=T1 + 1000, mode="copy-on-write",
         )
