@@ -262,6 +262,12 @@ class LocalIcebergTable:
         self._live: dict[str, dict] = {}  # file_path → data_file record
         self._delete_files: list[dict] = []
         self._seq = 0
+        # Field ids per the spec: assigned once, stable across renames
+        # and promotions (position-preserving), NOT reassigned on drops,
+        # fresh for re-added names — tracked explicitly so a dropped
+        # middle column cannot shift later columns onto its id.
+        self._field_ids: list[int] = list(range(1, len(arrow_schema) + 1))
+        self._last_field_id = len(arrow_schema)
         # schema log: rename_column appends entries; current id = last
         self._schema_log: list[dict] = []
         self._extra_meta_versions = 0
@@ -535,6 +541,45 @@ class LocalIcebergTable:
         if not self._schema_log:
             self._schema_log.append(self._iceberg_schema(0))
         self.schema = self.schema.append(pa.field(name, pa_type))
+        self._last_field_id += 1
+        self._field_ids.append(self._last_field_id)
+        self._schema_log.append(
+            self._iceberg_schema(len(self._schema_log))
+        )
+        self._extra_meta_versions += 1
+        if self._snapshots:
+            self._write_metadata_json(timestamp_ms)
+
+    def drop_column(self, name: str, *, timestamp_ms: int) -> None:
+        """Metadata-only DROP COLUMN: the field leaves the current schema
+        (new schema in the log, no snapshot); already-written files keep
+        the column bytes on disk, but reads under the explicit
+        current-schema DDL never project them. The field's id is retired,
+        never reassigned — a later ``add_column`` with the SAME name gets
+        a fresh id, and the name-history resolver then flags the old
+        name as ambiguous for footer mapping (compaction is the remedy),
+        instead of silently resurrecting dropped data. Columns any
+        partition spec sources refuse to drop (evolve the spec first),
+        matching Iceberg's own constraint."""
+        if name not in self.schema.names:
+            raise KeyError(f"no column {name!r} to drop")
+        for spec in self._specs:
+            if any(c == name for c, _ in spec):
+                raise ValueError(
+                    f"drop_column: {name!r} is a partition source column "
+                    "— evolve the partition spec away from it first"
+                )
+        if len(self.schema) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        import pyarrow as pa
+
+        if not self._schema_log:
+            self._schema_log.append(self._iceberg_schema(0))
+        i = self.schema.names.index(name)
+        self.schema = pa.schema(
+            [f for j, f in enumerate(self.schema) if j != i]
+        )
+        del self._field_ids[i]
         self._schema_log.append(
             self._iceberg_schema(len(self._schema_log))
         )
@@ -682,7 +727,12 @@ class LocalIcebergTable:
                 else:
                     raise ValueError(f"unmapped arrow type {f.type}")
             fields.append(
-                {"id": i + 1, "name": f.name, "required": False, "type": t}
+                {
+                    "id": self._field_ids[i],
+                    "name": f.name,
+                    "required": False,
+                    "type": t,
+                }
             )
         return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
@@ -700,7 +750,7 @@ class LocalIcebergTable:
         for sid, spec in enumerate(self._specs):
             fields = []
             for c, tr in spec:
-                src = 1 + self.schema.names.index(c)
+                src = self._field_ids[self.schema.names.index(c)]
                 if (src, tr) not in assigned:
                     last_partition_id += 1
                     assigned[(src, tr)] = last_partition_id

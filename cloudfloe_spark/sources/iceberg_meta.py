@@ -634,11 +634,28 @@ def schema_name_history(
     cur_names = set(cur_by_id.values())
     hist: dict[str, str] = {}
     ambiguous: set[str] = set()
+    # Only schemas UP TO the target matter: a snapshot's files were all
+    # written under schema-ids <= the snapshot's own, so later schemas
+    # can neither supply mappings nor create collisions for this read
+    # (keeps time travel working across an evolution that happened
+    # AFTER the pinned snapshot).
     for s in schemas:
+        if s.get("schema-id", 0) > current_id:
+            continue
         for f in s.get("fields", []):
-            cur = cur_by_id.get(f.get("id"))
-            old = f.get("name")
-            if cur is None or old is None or cur == old:
+            fid, old = f.get("id"), f.get("name")
+            cur = cur_by_id.get(fid)
+            if old is None:
+                continue
+            if cur is None:
+                # retired field id (DROP COLUMN). If its NAME was later
+                # re-used by a different live field, name-based footer
+                # mapping would RESURRECT the dropped column's bytes
+                # into the new field — refuse instead.
+                if old in cur_names:
+                    ambiguous.add(old)
+                continue
+            if cur == old:
                 continue
             if old in cur_names or (old in hist and hist[old] != cur):
                 ambiguous.add(old)
@@ -646,11 +663,11 @@ def schema_name_history(
                 hist[old] = cur
     if ambiguous:
         raise IcebergMetadataError(
-            f"ambiguous column-rename history for {sorted(ambiguous)}: an "
-            "old name collides with a live column (or maps to two current "
-            "names), so name-based footer mapping cannot resolve old data "
-            "files. Compact the table to rewrite files under the current "
-            "schema."
+            f"ambiguous column history for {sorted(ambiguous)}: an old "
+            "name collides with a live column (renamed away and re-used, "
+            "or dropped and re-added), so name-based footer mapping "
+            "cannot resolve old data files. Compact the table to rewrite "
+            "files under the current schema."
         )
     return hist
 

@@ -2136,3 +2136,117 @@ def test_promote_stats_skipping_and_dml(spark, tmp_path):
         spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
     )
     assert [r[0] for r in got.rows] == [1, 3, 4]
+
+
+def test_drop_column_reads_and_time_travel(spark, tmp_path):
+    """DROP COLUMN is metadata-only: current reads never project the
+    dropped column (old files keep the bytes on disk), later appends
+    omit it, and time travel to a pre-drop snapshot still shows it."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("x", pa.string()), ("y", pa.int64())]
+        ),
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1], "x": ["gone"], "y": [10]})], timestamp_ms=T1
+    )
+    t.drop_column("x", timestamp_ms=T1 + 10)
+    t.append_snapshot(
+        [pa.table({"id": [2], "y": [20]})], timestamp_ms=T2
+    )
+    cur = run_query(
+        spark, f"SELECT * FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    )
+    assert cur.columns == ["id", "y"]
+    assert [tuple(r) for r in cur.rows] == [(1, 10), (2, 20)]
+    old = run_query(
+        spark,
+        f"SELECT * FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+        _cfg(),
+    )
+    assert old.columns == ["id", "x", "y"]
+    assert [tuple(r) for r in old.rows] == [(1, "gone", 10)]
+
+
+def test_drop_then_readd_same_name_rejected_not_resurrected(spark, tmp_path):
+    """Re-adding a dropped column's NAME creates a DIFFERENT field id;
+    name-based footer mapping would resurrect the dropped bytes into the
+    new field, so current reads refuse with the compaction remedy —
+    while time travel to the pre-drop snapshot (old schema-id) still
+    reads cleanly."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("x", pa.string()), ("y", pa.int64())]
+        ),
+    )
+    s1 = t.append_snapshot(
+        [pa.table({"id": [1], "x": ["secret"], "y": [10]})], timestamp_ms=T1
+    )
+    t.drop_column("x", timestamp_ms=T1 + 10)
+    t.add_column("x", pa.string(), timestamp_ms=T1 + 20)
+    t.append_snapshot(
+        [pa.table({"id": [2], "y": [20], "x": ["fresh"]})], timestamp_ms=T2
+    )
+    with pytest.raises(CloudfloeError) as ei:
+        run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
+    assert "dropped and re-added" in str(ei.value)
+    assert "compact" in str(ei.value).lower()
+    old = run_query(
+        spark,
+        f"SELECT x FROM iceberg_scan('{root}') VERSION AS OF {s1}",
+        _cfg(),
+    )
+    assert [tuple(r) for r in old.rows] == [("secret",)]
+
+
+def test_drop_column_guards(tmp_path):
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by=[("lang", "identity")],
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "lang": ["en"]})], timestamp_ms=T1
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("lang", timestamp_ms=T1 + 10)
+    with pytest.raises(KeyError):
+        t.drop_column("ghost", timestamp_ms=T1 + 10)
+    t2 = LocalIcebergTable(
+        str(tmp_path / "tbl2"), pa.schema([("id", pa.int64())])
+    )
+    t2.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    with pytest.raises(ValueError, match="last column"):
+        t2.drop_column("id", timestamp_ms=T1 + 10)
+
+
+def test_drop_middle_column_keeps_later_field_ids(spark, tmp_path):
+    """Field ids are tracked explicitly: dropping a middle column must
+    not shift later columns onto the dropped id — a rename AFTER the
+    drop still resolves the renamed column's old files by its stable
+    id."""
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [("id", pa.int64()), ("x", pa.string()), ("y", pa.int64())]
+        ),
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "x": ["a"], "y": [10]})], timestamp_ms=T1
+    )
+    t.drop_column("x", timestamp_ms=T1 + 10)
+    t.rename_column("y", "z", timestamp_ms=T1 + 20)
+    t.append_snapshot(
+        [pa.table({"id": [2], "z": [20]})], timestamp_ms=T2
+    )
+    cur = run_query(
+        spark, f"SELECT id, z FROM iceberg_scan('{root}') ORDER BY id",
+        _cfg(),
+    )
+    assert [tuple(r) for r in cur.rows] == [(1, 10), (2, 20)]
