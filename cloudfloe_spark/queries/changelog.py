@@ -860,3 +860,93 @@ def cdc_cow_commit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, n_chars, _change_type "
         f"FROM iceberg_cdc_commits('{root}', {s0}, {s1}, 'doc_id')",
     )
+
+
+@register(
+    "iceberg_schema_evolution_scan",
+    oracle="""
+        SELECT lang AS language,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(SUM(CASE WHEN doc_id % 2 = 1
+                              THEN n_chars * 0.5 ELSE 0 END), 6)
+                   AS sum_quality
+        FROM documents
+        WHERE lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "schema-evolution"),
+)
+def iceberg_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full schema-evolution surface in one driver-checked read: the
+    fixture is written in two generations around a metadata-only
+    evolution burst — promote (``n_chars`` int→long), rename
+    (``lang``→``language``), add (``quality``, so generation-1 files
+    read it as NULL), and an add+drop of a scratch column (retired field
+    id) — then aggregated under the CURRENT schema. Generation-1 files
+    carry the narrow type and the old column name on disk; the oracle
+    reproduces the same numbers from the original ``documents`` table.
+
+    Scale shape: scan_groups resolves the two file generations into two
+    read groups by field id (footer reads cached per immutable file);
+    everything else is one map-side-combinable groupBy.
+    """
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"sev{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_schemaevo", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        odd = pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1)
+        gen1 = tbl.filter(pc.invert(odd))
+        gen2 = tbl.filter(odd)
+        narrow = pa.table(
+            {
+                "doc_id": gen1["doc_id"],
+                "lang": gen1["lang"],
+                "n_chars": pc.cast(gen1["n_chars"], pa.int32()),
+            }
+        )
+        t = LocalIcebergTable(root, narrow.schema)
+        t.append_snapshot([narrow], timestamp_ms=_T0)
+        t.promote_column("n_chars", pa.int64(), timestamp_ms=_T0 + 10)
+        t.rename_column("lang", "language", timestamp_ms=_T0 + 20)
+        t.add_column("quality", pa.float64(), timestamp_ms=_T0 + 30)
+        t.add_column("scratch", pa.int64(), timestamp_ms=_T0 + 40)
+        t.drop_column("scratch", timestamp_ms=_T0 + 50)
+        wide = pa.table(
+            {
+                "doc_id": gen2["doc_id"],
+                "language": gen2["lang"],
+                "n_chars": gen2["n_chars"],
+                "quality": pc.multiply(
+                    pc.cast(gen2["n_chars"], pa.float64()), 0.5
+                ),
+            }
+        )
+        t.append_snapshot([wide], timestamp_ms=_T0 + 60)
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT language, count(*) AS n_docs, "
+        f"sum(n_chars) AS sum_chars, "
+        f"ROUND(SUM(COALESCE(quality, 0)), 6) AS sum_quality "
+        f"FROM iceberg_scan('{root}') WHERE language IS NOT NULL "
+        f"GROUP BY language",
+    )
