@@ -1641,7 +1641,7 @@ _ICEBERG_TO_ARROW = {
 
 def delete_by_key(
     root: str,
-    key_column: str,
+    key_column: "str | list[str]",
     values: list,
     *,
     timestamp_ms: int,
@@ -1655,9 +1655,16 @@ def delete_by_key(
     jarless reader already applies sequence-correctly (rows re-written
     AFTER the delete survive, per the v2 strictly-lower rule).
 
-    The delete parquet carries the key column under its CURRENT name; the
-    reader resolves renames per delete file via the schema history, so
-    this works on renamed tables too (equality deletes bind by FIELD ID).
+    COMPOSITE keys (r8): pass a list of column names and ``values`` as
+    matching tuples — the delete file carries all key columns and the
+    reader's anti-join conjunction binds them by field id together (a
+    row is erased only when EVERY key column matches, the v2 multi-
+    column equality-delete semantics).
+
+    The delete parquet carries the key column(s) under their CURRENT
+    names; the reader resolves renames per delete file via the schema
+    history, so this works on renamed tables too (equality deletes bind
+    by FIELD ID).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1667,28 +1674,50 @@ def delete_by_key(
         commit_row_delta_snapshot,
     )
 
+    cols = [key_column] if isinstance(key_column, str) else list(key_column)
     if not values:
         return {"values": 0, "snapshot_id": None}
+    if len(cols) > 1:
+        bad = [
+            v for v in values
+            if not isinstance(v, (tuple, list)) or len(v) != len(cols)
+        ]
+        if bad:
+            raise ValueError(
+                f"delete_by_key: composite key {cols} needs "
+                f"{len(cols)}-tuples, got {bad[:3]}"
+            )
     meta_path = im.latest_metadata_path(root)
     field_names = im.schema_field_names(root, meta_path)
-    fids = [i for i, n in field_names.items() if n == key_column]
-    if not fids:
-        raise ValueError(
-            f"delete_by_key: column {key_column!r} not in current schema "
-            f"(have {sorted(field_names.values())})"
+    col_types = im.schema_column_types(root, meta_path)
+    fids: list[int] = []
+    arrays: dict[str, "pa.Array"] = {}
+    for k, col in enumerate(cols):
+        cfids = [i for i, n in field_names.items() if n == col]
+        if not cfids:
+            raise ValueError(
+                f"delete_by_key: column {col!r} not in current schema "
+                f"(have {sorted(field_names.values())})"
+            )
+        fids.extend(cfids)
+        col_type = col_types.get(col)
+        arrow_name = _ICEBERG_TO_ARROW.get(col_type or "")
+        if arrow_name is None and not (col_type or "").startswith(
+            "timestamp"
+        ):
+            raise ValueError(
+                f"delete_by_key: unsupported key type {col_type!r}"
+            )
+        pa_type = (
+            pa.timestamp("us")
+            if (col_type or "").startswith("timestamp")
+            else getattr(pa, arrow_name)()
         )
-    col_type = im.schema_column_types(root, meta_path).get(key_column)
-    arrow_name = _ICEBERG_TO_ARROW.get(col_type or "")
-    if arrow_name is None and not (col_type or "").startswith("timestamp"):
-        raise ValueError(
-            f"delete_by_key: unsupported key type {col_type!r}"
+        col_vals = (
+            [v[k] for v in values] if len(cols) > 1 else list(values)
         )
-    pa_type = (
-        pa.timestamp("us")
-        if (col_type or "").startswith("timestamp")
-        else getattr(pa, arrow_name)()
-    )
-    table = pa.table({key_column: pa.array(values, pa_type)})
+        arrays[col] = pa.array(col_vals, pa_type)
+    table = pa.table(arrays)
     out = os.path.join(
         root, "data", f"edel-{timestamp_ms}-{_uuid.uuid4().hex[:8]}.parquet"
     )

@@ -302,3 +302,39 @@ def test_cow_merge_cardinality_guard(spark, three_file_table):
             spark, root, src, "id", when_matched={"v": "s.v"},
             timestamp_ms=T1 + 1000, mode="copy-on-write",
         )
+
+
+def test_cow_passes_scan_only_what_they_must(spark, three_file_table, monkeypatch):
+    """Structural pin of the two-pass COW shape: with an UNPRUNABLE
+    condition, pass 1 scans every candidate file once (match discovery),
+    and pass 2 re-reads ONLY the files that contained matches — the
+    unaffected file is never read twice and never rewritten."""
+    from collections import Counter
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    root = three_file_table
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        calls.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    # id % 7 = 6 → ids 6 and 13: files 2 and 3 affected, file 1 clean;
+    # the modulo isn't conjunct-extractable, so nothing prunes pass 1
+    res = delete_where(
+        spark, root, "id % 7 = 6", timestamp_ms=T1 + 1000,
+        mode="copy-on-write",
+    )
+    assert res["matched"] == 2 and res["files_rewritten"] == 2
+    assert res["files_scanned"] == 3
+    cnt = Counter(
+        p.rsplit("/data/", 1)[-1]
+        for ps in calls
+        for p in ps
+        if "/data/" in p and "/cow-" not in p
+    )
+    reads = sorted(cnt.values())
+    assert reads == [1, 2, 2], cnt  # clean file once, affected twice

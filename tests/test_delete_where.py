@@ -1002,3 +1002,35 @@ def test_small_update_writes_one_data_file(spark, two_file_table):
         if "/update-" in f["file_path"]
     ]
     assert len(added) == 1, [f["file_path"] for f in added]
+
+
+def test_delete_by_composite_key(spark, two_file_table):
+    """Multi-column equality delete (r8): a row is erased only when
+    EVERY key column matches — rows sharing just one value survive."""
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    root = two_file_table
+    # rows: (0,'a') (1,'b') ... (9,'j'). Erase exactly (1,'b') and (4,'e');
+    # (1,'x') / (9,'b') shapes don't exist but the per-column values DO
+    # appear in other rows — the conjunction must not erase those.
+    res = delete_by_key(
+        root, ["id", "v"], [(1, "b"), (4, "e"), (7, "zzz")],
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["values"] == 3
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [tuple(r) for r in got] == [
+        (0, "a"), (2, "c"), (3, "d"), (5, "f"),
+        (6, "g"), (7, "h"), (8, "i"), (9, "j"),
+    ]
+
+
+def test_delete_by_composite_key_arity_validated(two_file_table):
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    with pytest.raises(ValueError, match="tuples"):
+        delete_by_key(
+            two_file_table, ["id", "v"], [1, 2], timestamp_ms=T1 + 1000
+        )
