@@ -17,6 +17,10 @@ against local tables:
 - ``iceberg_snapshots('<root>')``           → snapshot listing (DuckDB
   column names: sequence_number, snapshot_id, timestamp_ms, manifest_list)
 - ``iceberg_refs('<root>')``                → ref (tag/branch) listing
+- ``iceberg_history('<root>')``             → current-pointer history
+  (made_current_at, snapshot_id, parent_id, is_current_ancestor —
+  Spark-Iceberg's ``history`` metadata table; rollbacks leave
+  is_current_ancestor=False rows)
 - ``iceberg_changes('<root>', from, to)``   → net-append incremental feed
 - ``iceberg_cdc('<root>', from, to[, 'key'])`` → net row-level changelog
   (table columns + ``_change_type`` 'insert'/'delete'; updates surface
@@ -93,6 +97,9 @@ _PARTITIONS_RE = re.compile(
 )
 _REFS_RE = re.compile(
     r"iceberg_refs\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
+_HISTORY_RE = re.compile(
+    r"iceberg_history\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
 
 
@@ -1248,6 +1255,46 @@ def _refs_view(sess, root: str) -> str:
     return name
 
 
+def _history_view(sess, root: str) -> str:
+    """``iceberg_history('<root>')`` → Spark-Iceberg's ``history``
+    metadata table: one row per time the table's CURRENT pointer moved
+    (snapshot-log entry) with ``made_current_at``, the snapshot id, its
+    parent, and ``is_current_ancestor`` — False marks commits rolled off
+    the main line by a rollback (the audit trail a rollback leaves)."""
+    try:
+        meta = im.load_metadata(root)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    by_id = {s.get("snapshot-id"): s for s in meta.get("snapshots", [])}
+    anc: set = set()
+    cur = meta.get("current-snapshot-id")
+    while cur is not None and cur in by_id and cur not in anc:
+        anc.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    rows = []
+    for e in meta.get("snapshot-log", []):
+        sid = e.get("snapshot-id")
+        parent = (by_id.get(sid) or {}).get("parent-snapshot-id")
+        rows.append(
+            (
+                datetime.datetime.fromtimestamp(
+                    e.get("timestamp-ms", 0) / 1000,
+                    tz=datetime.timezone.utc,
+                ).replace(tzinfo=None),
+                str(sid),
+                str(parent) if parent is not None else None,
+                sid in anc,
+            )
+        )
+    name = _view_name("history", root)
+    sess.createDataFrame(
+        rows,
+        "made_current_at TIMESTAMP_NTZ, snapshot_id STRING, "
+        "parent_id STRING, is_current_ancestor BOOLEAN",
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -1293,11 +1340,18 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _refs_view(sess, root)
 
+    def _history(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _history_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
     out = _sub_outside_literals(_PARTITIONS_RE, _partitions, out)
     out = _sub_outside_literals(_REFS_RE, _refs, out)
+    out = _sub_outside_literals(_HISTORY_RE, _history, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

@@ -2250,3 +2250,36 @@ def test_drop_middle_column_keeps_later_field_ids(spark, tmp_path):
         _cfg(),
     )
     assert [tuple(r) for r in cur.rows] == [(1, 10), (2, 20)]
+
+
+def test_iceberg_history_tracks_rollback(spark, tmp_path):
+    """iceberg_history: one row per current-pointer move; a rollback
+    appends a new entry pointing at the old snapshot and leaves the
+    rolled-off commit with is_current_ancestor = False."""
+    from cloudfloe_spark.sources.maintenance import delete_where, rollback_to
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    s1 = t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    rows = run_query(
+        spark,
+        f"SELECT snapshot_id, parent_id, is_current_ancestor "
+        f"FROM iceberg_history('{root}') ORDER BY made_current_at",
+        _cfg(),
+    ).rows
+    assert len(rows) == 2
+    assert rows[0][0] == str(s1) and rows[0][1] is None
+    assert rows[1][1] == str(s1)
+    assert [r[2] for r in rows] == [True, True]
+
+    rollback_to(root, s1, timestamp_ms=T1 + 2000)
+    rows = run_query(
+        spark,
+        f"SELECT snapshot_id, is_current_ancestor "
+        f"FROM iceberg_history('{root}') ORDER BY made_current_at",
+        _cfg(),
+    ).rows
+    assert len(rows) == 3
+    assert rows[2][0] == str(s1) and rows[2][1] is True
+    assert rows[1][1] is False  # the rolled-off DELETE commit
