@@ -1391,6 +1391,7 @@ def merge_into(
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
     mode: str = "merge-on-read",
+    summary_extra: "dict[str, str] | None" = None,
 ) -> dict:
     """``MERGE INTO <iceberg table> t USING <source> s ON t.k = s.k``
     as one merge-on-read row delta: matched target rows are
@@ -1570,6 +1571,7 @@ def merge_into(
                 removed_data_files=affected,
                 timestamp_ms=timestamp_ms,
                 expected_metadata_path=meta_path,
+                summary_extra=summary_extra,
             )
             return {
                 "matched": n_matched,
@@ -1624,6 +1626,7 @@ def merge_into(
         delete_files=delete_files,
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
+        summary_extra=summary_extra,
     )
     return {"matched": n_matched, "inserted": n_inserted, "snapshot_id": snap_id}
 

@@ -170,3 +170,88 @@ def append_stream_to_iceberg(
             f"append_stream_to_iceberg: drain exceeded {timeout_s}s"
         )
     return stats
+
+
+def upsert_stream_to_iceberg(
+    sdf: DataFrame,
+    root: str,
+    keys: "str | list[str]",
+    *,
+    checkpoint_dir: str,
+    timestamp_ms: int,
+    when_matched: "dict[str, str] | None" = None,
+    mode: str = "merge-on-read",
+    timeout_s: int = 180,
+) -> dict:
+    """Drain a KEYED stream (Trigger.AvailableNow) into the Iceberg table
+    at ``root`` as per-micro-batch UPSERTs — each batch is one
+    ``maintenance.merge_into`` commit (matched rows updated, new keys
+    inserted), exactly-once by the same (query id, epoch id) summary
+    dedup the append sink uses. The streaming twin of a CDC-consumer /
+    dimension-table maintenance loop: a replayed epoch after a crash is
+    skipped, never double-applied (an upsert is NOT idempotent when
+    ``when_matched`` reads the old value, e.g. counters — so replay
+    protection is load-bearing here, not just tidy).
+
+    Rows within one batch are deduplicated on ``keys`` first (micro-
+    batches have no intrinsic order; keep-one is the standard foreachBatch
+    upsert contract) — without it, merge_into's cardinality guard would
+    correctly refuse the batch. ``when_matched`` defaults to taking every
+    non-key column from the source row (``s.<col>``).
+    ``mode="copy-on-write"`` passes through to merge_into.
+
+    Returns ``{"batches": n_committed, "skipped": n_deduped}``.
+    """
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    kcols = [keys] if isinstance(keys, str) else list(keys)
+    seen = committed_batches(root)
+    stats = {"batches": 0, "skipped": 0}
+    resolved: dict[str, str] = {}
+
+    def _qid() -> str:
+        if "v" not in resolved:
+            resolved["v"] = _checkpoint_query_id(checkpoint_dir) or (
+                "ck:" + os.path.realpath(checkpoint_dir)
+            )
+        return resolved["v"]
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        qid = _qid()
+        if (qid, epoch_id) in seen or (None, epoch_id) in seen:
+            stats["skipped"] += 1
+            return
+        batch = batch_df.dropDuplicates(kcols)
+        wm = when_matched or {
+            c: f"s.{c}" for c in batch.columns if c not in kcols
+        }
+        res = merge_into(
+            batch.sparkSession,
+            root,
+            batch,
+            kcols,
+            when_matched=wm,
+            timestamp_ms=timestamp_ms + epoch_id,
+            mode=mode,
+            summary_extra={
+                "streaming-epoch-id": str(epoch_id),
+                "streaming-query-id": qid,
+            },
+        )
+        if res["snapshot_id"] is None:
+            return  # empty batch: re-applying on replay is a no-op
+        seen.add((qid, epoch_id))
+        stats["batches"] += 1
+
+    q = (
+        sdf.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"upsert_stream_to_iceberg: drain exceeded {timeout_s}s"
+        )
+    return stats

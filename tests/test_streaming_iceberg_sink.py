@@ -211,3 +211,117 @@ def test_unreadable_stream_metadata_raises_not_guesses(tmp_path):
     (ck / "metadata").write_text("{not json")
     with pytest.raises(RuntimeError, match="cannot be read"):
         _checkpoint_query_id(str(ck))
+
+
+def _read_rows(spark, root):
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT id, v FROM iceberg_scan('{root}')"
+        )
+    )
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_upsert_stream_merges_batches(spark, seeded_table, tmp_path):
+    """upsert_stream_to_iceberg: each micro-batch is one merge_into
+    commit — existing keys update, new keys insert, within-batch
+    duplicates collapse to one row."""
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        upsert_stream_to_iceberg,
+    )
+
+    root = seeded_table
+    src = _source_dir(
+        spark,
+        tmp_path,
+        [
+            [(0, "seed-v2"), (1, "a"), (1, "a")],  # update + insert + dup
+            [(1, "a2"), (2, "b")],                 # update batch-1's insert
+        ],
+    )
+    res = upsert_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        "id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["batches"] >= 1 and res["skipped"] == 0
+    assert _read_rows(spark, root) == [(0, "seed-v2"), (1, "a2"), (2, "b")]
+
+
+def test_upsert_stream_replay_is_skipped(spark, seeded_table, tmp_path):
+    """Replay protection is load-bearing for upserts whose when_matched
+    reads the old value (counters): the same checkpoint re-run applies
+    nothing, so the non-idempotent increment happens exactly once."""
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        upsert_stream_to_iceberg,
+    )
+
+    root = str(tmp_path / "tctr")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("n", pa.int64())])
+    )
+    t.append_snapshot([pa.table({"id": [1], "n": [10]})], timestamp_ms=T1)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame([(1, 5)], "id LONG, n LONG").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ck = str(tmp_path / "ckpt")
+
+    def run():
+        return upsert_stream_to_iceberg(
+            spark.readStream.schema(schema).parquet(src),
+            root,
+            "id",
+            checkpoint_dir=ck,
+            timestamp_ms=T1 + 1000,
+            when_matched={"n": "t.n + s.n"},
+        )
+
+    r1 = run()
+    assert r1["batches"] == 1
+    # wipe the checkpoint's commit log so Spark REPLAYS epoch 0; the
+    # table-summary dedup alone must refuse the second apply
+    import shutil
+
+    shutil.rmtree(os.path.join(ck, "commits"), ignore_errors=True)
+    r2 = run()
+    assert r2["batches"] == 0 and r2["skipped"] >= 1
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    rows = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT id, n FROM iceberg_scan('{root}')"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 15)]  # incremented ONCE
+
+
+def test_upsert_stream_cow_mode(spark, seeded_table, tmp_path):
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        upsert_stream_to_iceberg,
+    )
+
+    root = seeded_table
+    src = _source_dir(spark, tmp_path, [[(0, "new-seed"), (5, "e")]])
+    res = upsert_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        "id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        timestamp_ms=T1 + 1000,
+        mode="copy-on-write",
+    )
+    assert res["batches"] == 1
+    assert _read_rows(spark, root) == [(0, "new-seed"), (5, "e")]
+    snaps = im.load_metadata(root)["snapshots"]
+    assert all(
+        int(s["summary"].get("total-delete-files", "0")) == 0 for s in snaps
+    )
