@@ -950,3 +950,81 @@ def iceberg_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         f"FROM iceberg_scan('{root}') WHERE language IS NOT NULL "
         f"GROUP BY language",
     )
+
+
+@register(
+    "stream_upsert_dimension",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN n_chars % 3 = 0 THEN n_chars + 7
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE lang IS NOT NULL
+    """,
+    tags=("iceberg", "streaming", "upsert"),
+)
+def stream_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink, driver-checked
+    (``streaming/iceberg_sink.upsert_stream_to_iceberg``): the dimension
+    table is seeded with every document, then a checkpointed stream of
+    corrections (the ``n_chars % 3 = 0`` slice with ``n_chars + 7``)
+    drains through one merge_into commit per micro-batch — matched keys
+    update in place. The final scan must equal the oracle's CASE over
+    the original documents table.
+
+    Scale shape: each micro-batch costs a broadcast-source merge against
+    the manifest-pruned candidate files plus a batch-sized write —
+    steady-state dimension maintenance never rescans the table.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        upsert_stream_to_iceberg,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"ups{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_upsert", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        # the correction stream, written as a parquet source dir
+        # driver-side (pyarrow/numpy — no Spark collect in a query path)
+        nch = tbl["n_chars"].to_numpy()
+        mask = (nch % 3) == 0
+        upd = tbl.filter(pa.array(mask)).set_column(
+            2, "n_chars", pa.array(nch[mask] + 7, pa.int64())
+        )
+        src = os.path.join(parent, "src")
+        os.makedirs(src, exist_ok=True)
+        pq.write_table(upd, os.path.join(src, "batch-0.parquet"))
+        sdf = spark.readStream.schema(
+            "doc_id LONG, lang STRING, n_chars LONG"
+        ).parquet(src)
+        upsert_stream_to_iceberg(
+            sdf,
+            root,
+            "doc_id",
+            checkpoint_dir=os.path.join(parent, "ck"),
+            timestamp_ms=_T0 + 1000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{root}') "
+        "WHERE lang IS NOT NULL",
+    )
