@@ -1005,6 +1005,7 @@ def commit_delete_snapshot(
     *,
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
+    parent_ref: str | None = None,
 ) -> int:
     """DELETE-only row delta — see :func:`commit_row_delta_snapshot`."""
     return commit_row_delta_snapshot(
@@ -1012,6 +1013,7 @@ def commit_delete_snapshot(
         delete_files=delete_files,
         timestamp_ms=timestamp_ms,
         expected_metadata_path=expected_metadata_path,
+        parent_ref=parent_ref,
     )
 
 

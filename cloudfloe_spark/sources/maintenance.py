@@ -821,6 +821,29 @@ def _prune_dml_scan(root: str, meta_path, snap: dict, condition: str, paths: lis
     return paths
 
 
+def _ref_snapshot(root: str, meta_path, ref: str, op: str) -> dict:
+    """Resolve a BRANCH ref to its head snapshot for branch-targeted DML
+    (write-audit-publish on row-level changes: stage the DML on a branch,
+    audit through ``VERSION AS OF '<ref>'``, fast-forward publish)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root, meta_path)
+    r = (meta.get("refs") or {}).get(ref)
+    if not isinstance(r, dict):
+        raise ValueError(
+            f"{op}: unknown ref {ref!r} "
+            f"(known: {sorted(meta.get('refs') or {})})"
+        )
+    if r.get("type") == "tag":
+        raise ValueError(
+            f"{op}: ref {ref!r} is a tag — tags are immutable; create a "
+            "branch to write to"
+        )
+    return im.resolve_snapshot(
+        root, version=int(r["snapshot-id"]), metadata_path=meta_path
+    )
+
+
 def _cow_dml(
     spark,
     root: str,
@@ -833,6 +856,7 @@ def _cow_dml(
     snap: dict,
     paths: list,
     n_live: int,
+    ref: "str | None" = None,
 ) -> dict:
     """Copy-on-write DML core (``mode="copy-on-write"`` of
     :func:`delete_where` / :func:`update_where`): instead of committing
@@ -923,6 +947,7 @@ def _cow_dml(
         removed_data_files=affected,
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
+        parent_ref=ref,
     )
     return {"matched": n, "snapshot_id": snap_id, "delete_files": [],
             "files_scanned": len(paths), "files_total": n_live,
@@ -937,6 +962,7 @@ def delete_where(
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
     mode: str = "merge-on-read",
+    ref: "str | None" = None,
 ) -> dict:
     """``DELETE FROM <iceberg table> WHERE condition`` via merge-on-read
     position deletes — rows are marked deleted in a NEW snapshot without
@@ -975,7 +1001,11 @@ def delete_where(
     if mode not in ("merge-on-read", "copy-on-write"):
         raise ValueError(f"delete_where: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
-    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    snap = (
+        _ref_snapshot(root, meta_path, ref, "delete_where")
+        if ref is not None
+        else im.resolve_snapshot(root, metadata_path=meta_path)
+    )
     paths = im.live_data_paths(root, snap)
     n_live = len(paths)
     paths = _prune_dml_scan(root, meta_path, snap, condition, paths)
@@ -993,6 +1023,7 @@ def delete_where(
             timestamp_ms=timestamp_ms,
             rows_per_file=rows_per_delete_file,
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
+            ref=ref,
         )
 
     matches = (
@@ -1040,6 +1071,7 @@ def delete_where(
         delete_files,
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
+        parent_ref=ref,
     )
     return {
         "matched": n,
@@ -1059,6 +1091,7 @@ def update_where(
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
     mode: str = "merge-on-read",
+    ref: "str | None" = None,
 ) -> dict:
     """``UPDATE <iceberg table> SET col = expr, ... WHERE condition`` via
     merge-on-read: matching rows are position-deleted (exactly like
@@ -1087,7 +1120,11 @@ def update_where(
     if mode not in ("merge-on-read", "copy-on-write"):
         raise ValueError(f"update_where: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
-    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    snap = (
+        _ref_snapshot(root, meta_path, ref, "update_where")
+        if ref is not None
+        else im.resolve_snapshot(root, metadata_path=meta_path)
+    )
     paths = im.live_data_paths(root, snap)
     n_live = len(paths)
     paths = _prune_dml_scan(root, meta_path, snap, condition, paths)
@@ -1100,6 +1137,7 @@ def update_where(
             timestamp_ms=timestamp_ms,
             rows_per_file=rows_per_delete_file,
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
+            ref=ref,
         )
 
     df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
@@ -1168,6 +1206,7 @@ def update_where(
         delete_files=_parquets(del_dir),
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
+        parent_ref=ref,
     )
     return {"matched": n, "snapshot_id": snap_id,
             "files_scanned": len(paths), "files_total": n_live}
@@ -1392,6 +1431,7 @@ def merge_into(
     rows_per_delete_file: int = 1_000_000,
     mode: str = "merge-on-read",
     summary_extra: "dict[str, str] | None" = None,
+    ref: "str | None" = None,
 ) -> dict:
     """``MERGE INTO <iceberg table> t USING <source> s ON t.k = s.k``
     as one merge-on-read row delta: matched target rows are
@@ -1430,7 +1470,11 @@ def merge_into(
     if mode not in ("merge-on-read", "copy-on-write"):
         raise ValueError(f"merge_into: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
-    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    snap = (
+        _ref_snapshot(root, meta_path, ref, "merge_into")
+        if ref is not None
+        else im.resolve_snapshot(root, metadata_path=meta_path)
+    )
     paths = im.live_data_paths(root, snap)
     if not paths:
         raise ValueError("merge_into: target table has no live data files")
@@ -1572,6 +1616,7 @@ def merge_into(
                 timestamp_ms=timestamp_ms,
                 expected_metadata_path=meta_path,
                 summary_extra=summary_extra,
+                parent_ref=ref,
             )
             return {
                 "matched": n_matched,
@@ -1627,6 +1672,7 @@ def merge_into(
         timestamp_ms=timestamp_ms,
         expected_metadata_path=meta_path,
         summary_extra=summary_extra,
+        parent_ref=ref,
     )
     return {"matched": n_matched, "inserted": n_inserted, "snapshot_id": snap_id}
 

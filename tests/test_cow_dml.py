@@ -338,3 +338,94 @@ def test_cow_passes_scan_only_what_they_must(spark, three_file_table, monkeypatc
     )
     reads = sorted(cnt.values())
     assert reads == [1, 2, 2], cnt  # clean file once, affected twice
+
+
+# --- branch-targeted DML (write-audit-publish on row-level changes) --------
+
+
+def test_branch_dml_stages_then_publishes(spark, three_file_table):
+    """delete_where/update_where/merge_into on a BRANCH: main readers are
+    unaffected while the branch accumulates DML; VERSION AS OF '<ref>'
+    audits it; fast-forward publish lands the whole staged chain."""
+    from cloudfloe_spark.sources.iceberg_fixture import publish_ref, set_ref
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root = three_file_table
+    set_ref(
+        root, "audit",
+        im.resolve_snapshot(root)["snapshot-id"],
+        ref_type="branch", timestamp_ms=T1 + 500,
+    )
+    res = delete_where(
+        spark, root, "id = 6", timestamp_ms=T1 + 1000, ref="audit"
+    )
+    assert res["matched"] == 1
+    res = update_where(
+        spark, root, "id = 5", {"v": "'F'"},
+        timestamp_ms=T1 + 2000, ref="audit",
+    )
+    assert res["matched"] == 1
+    src = spark.createDataFrame([(99, "new")], "id LONG, v STRING")
+    res = merge_into(
+        spark, root, src, "id", when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 3000, ref="audit",
+    )
+    assert res["inserted"] == 1
+
+    # main is untouched: 15 original rows
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[15]]
+    # the branch shows all three staged changes
+    branch = _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_scan('{root}') VERSION AS OF 'audit' "
+        "ORDER BY id",
+    )
+    ids = [r[0] for r in branch]
+    assert 6 not in ids and 99 in ids
+    assert (5, "F") in [tuple(r) for r in branch]
+    assert len(branch) == 15  # 15 - 1 deleted + 1 inserted
+
+    publish_ref(root, "audit", timestamp_ms=T1 + 4000)
+    main = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [tuple(r) for r in main] == [tuple(r) for r in branch]
+
+
+def test_branch_dml_cow_mode(spark, three_file_table):
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    root = three_file_table
+    set_ref(
+        root, "b1", im.resolve_snapshot(root)["snapshot-id"],
+        ref_type="branch", timestamp_ms=T1 + 500,
+    )
+    res = delete_where(
+        spark, root, "id = 6", timestamp_ms=T1 + 1000,
+        ref="b1", mode="copy-on-write",
+    )
+    assert res["matched"] == 1 and res["files_rewritten"] == 1
+    assert _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')") == [[15]]
+    b = _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF 'b1'",
+    )
+    assert b == [[14]]
+
+
+def test_branch_dml_unknown_or_tag_ref_rejected(spark, three_file_table):
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    root = three_file_table
+    with pytest.raises(ValueError, match="unknown ref"):
+        delete_where(
+            spark, root, "id = 1", timestamp_ms=T1 + 1000, ref="ghost"
+        )
+    set_ref(
+        root, "v1", im.resolve_snapshot(root)["snapshot-id"],
+        ref_type="tag", timestamp_ms=T1 + 500,
+    )
+    with pytest.raises(ValueError, match="tag"):
+        delete_where(
+            spark, root, "id = 1", timestamp_ms=T1 + 1000, ref="v1"
+        )
