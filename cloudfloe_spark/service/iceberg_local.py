@@ -101,6 +101,9 @@ _REFS_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"iceberg_history\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+_COLSTATS_RE = re.compile(
+    r"iceberg_column_stats\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -1295,6 +1298,61 @@ def _history_view(sess, root: str) -> str:
     return name
 
 
+def _column_stats_view(sess, root: str) -> str:
+    """``iceberg_column_stats('<root>')`` → the table's latest ANALYZE
+    statistics (``maintenance.analyze_iceberg_table``): one row per
+    analyzed column with NDV (HLL), null count, the snapshot's row
+    count, whether that snapshot is still current (stale stats are a
+    fact to surface, not hide), and when it was analyzed. Reads the
+    newest entry in the metadata's ``statistics`` list — the v2
+    statistics-file surface a cost-based optimizer keys on."""
+    import json as _json
+
+    try:
+        meta = im.load_metadata(root)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    entries = meta.get("statistics") or []
+    if not entries:
+        raise bad_request(
+            f"iceberg_column_stats: table {root} has no statistics — run "
+            "analyze_iceberg_table first"
+        )
+    entry = entries[-1]
+    path = entry.get("statistics-path", "")
+    local = path[7:] if path.startswith("file://") else path
+    try:
+        with open(local) as fh:
+            stats = _json.load(fh)
+    except OSError as e:
+        raise bad_request(
+            f"iceberg_column_stats: statistics file unreadable: {e}"
+        ) from None
+    cur = meta.get("current-snapshot-id")
+    ts = datetime.datetime.fromtimestamp(
+        stats.get("analyzed-at-ms", 0) / 1000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    rows = [
+        (
+            c,
+            int(stats["ndv"].get(c, 0)),
+            int(stats["null-counts"].get(c, 0)),
+            int(stats.get("row-count", 0)),
+            str(stats.get("snapshot-id")),
+            stats.get("snapshot-id") == cur,
+            ts,
+        )
+        for c in sorted(stats.get("ndv", {}))
+    ]
+    name = _view_name("colstats", root)
+    sess.createDataFrame(
+        rows,
+        "column STRING, ndv BIGINT, null_count BIGINT, row_count BIGINT, "
+        "snapshot_id STRING, is_current BOOLEAN, analyzed_at TIMESTAMP_NTZ",
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -1346,12 +1404,19 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _history_view(sess, root)
 
+    def _colstats(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _column_stats_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
     out = _sub_outside_literals(_PARTITIONS_RE, _partitions, out)
     out = _sub_outside_literals(_REFS_RE, _refs, out)
     out = _sub_outside_literals(_HISTORY_RE, _history, out)
+    out = _sub_outside_literals(_COLSTATS_RE, _colstats, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

@@ -1804,3 +1804,104 @@ def rollback_to(root: str, snapshot_id: int, *, timestamp_ms: int) -> None:
         {"snapshot-id": snapshot_id, "timestamp-ms": timestamp_ms}
     )
     write_next_metadata_version(root, meta)
+
+
+def analyze_iceberg_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    timestamp_ms: int,
+    columns: "list[str] | None" = None,
+) -> dict:
+    """``ANALYZE TABLE`` analog writing an Iceberg STATISTICS file (the
+    v2 metadata ``statistics`` list): ONE distributed aggregate pass over
+    the CURRENT snapshot (merge-on-read applied — deleted rows never
+    count) computes per-column NDV (HyperLogLog ``approx_count_distinct``)
+    and null counts plus the row count, lands them in a JSON sidecar
+    under ``metadata/``, and registers it against the snapshot id in a
+    new metadata version. The spec's blob container is Puffin; this
+    sidecar is JSON with the same addressing (snapshot-scoped,
+    path+size recorded in table metadata, blob type
+    ``cloudfloe-ndv-json-v1``) — NDV is what a cost-based optimizer
+    needs for join ordering at 100 TB, and manifests cannot provide it
+    (min/max/null yes, distinct no).
+
+    ``columns`` defaults to every atomic (non-nested) column. Scale
+    shape: one scan, map-side-combinable HLL sketches, a 1-row driver
+    result — never a per-column pass.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    from cloudfloe_spark.service.iceberg_local import _snapshot_view
+
+    metadata_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=metadata_path)
+    df = sess.table(
+        _snapshot_view(sess, root, None, None, metadata_path=metadata_path)
+    )
+    atomic = [
+        c
+        for c, t in df.dtypes
+        if not t.startswith(("array", "map", "struct"))
+    ]
+    cols = list(columns) if columns is not None else atomic
+    bad = sorted(set(cols) - set(df.columns))
+    if bad:
+        raise ValueError(f"analyze_iceberg_table: unknown columns {bad}")
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c).alias(f"ndv__{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nul__{c}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    stats = {
+        "snapshot-id": snap["snapshot-id"],
+        "row-count": int(row["__rc"]),
+        "ndv": {c: int(row[f"ndv__{c}"]) for c in cols},
+        "null-counts": {c: int(row[f"nul__{c}"]) for c in cols},
+        "analyzed-at-ms": timestamp_ms,
+    }
+    path = os.path.join(
+        root,
+        "metadata",
+        f"stats-{snap['snapshot-id']}-{_uuid.uuid4().hex[:8]}.json",
+    )
+    with open(path, "w") as fh:
+        _json.dump(stats, fh)
+    size = os.path.getsize(path)
+    meta = im.load_metadata(root, metadata_path)
+    meta.setdefault("statistics", []).append(
+        {
+            "snapshot-id": snap["snapshot-id"],
+            "statistics-path": f"file://{path}",
+            "file-size-in-bytes": size,
+            "file-footer-size-in-bytes": size,  # JSON: whole file
+            "blob-metadata": [
+                {
+                    "type": "cloudfloe-ndv-json-v1",
+                    "snapshot-id": snap["snapshot-id"],
+                    "sequence-number": snap.get("sequence-number", 0),
+                    "fields": cols,
+                }
+            ],
+        }
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+    return {
+        "snapshot_id": snap["snapshot-id"],
+        "row_count": stats["row-count"],
+        "columns": cols,
+        "statistics_path": path,
+    }

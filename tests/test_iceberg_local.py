@@ -2283,3 +2283,85 @@ def test_iceberg_history_tracks_rollback(spark, tmp_path):
     assert len(rows) == 3
     assert rows[2][0] == str(s1) and rows[2][1] is True
     assert rows[1][1] is False  # the rolled-off DELETE commit
+
+
+def test_analyze_table_stats_and_listing(spark, tmp_path):
+    """analyze_iceberg_table: one aggregate pass over the MOR-applied
+    current snapshot; NDV within HLL tolerance, nulls and row count
+    exact (deleted rows never counted); iceberg_column_stats lists the
+    latest entry and flags staleness after a later commit."""
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        delete_where,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(100)),
+                    "v": [None if i % 10 == 0 else f"s{i % 7}" for i in range(100)],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    delete_where(spark, root, "id < 20", timestamp_ms=T1 + 1000)
+    res = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    assert res["row_count"] == 80  # MOR-applied: the 20 deleted excluded
+    rows = {
+        r[0]: tuple(r[1:])
+        for r in run_query(
+            spark,
+            f"SELECT column, ndv, null_count, row_count, is_current "
+            f"FROM iceberg_column_stats('{root}')",
+            _cfg(),
+        ).rows
+    }
+    assert set(rows) == {"id", "v"}
+    ndv_id, nulls_id, rc, cur = rows["id"]
+    assert rc == 80 and cur is True and nulls_id == 0
+    assert abs(ndv_id - 80) <= 8  # HLL default rsd 5%
+    ndv_v, nulls_v, _, _ = rows["v"]
+    assert nulls_v == 8  # ids 20,30,...,90
+    assert abs(ndv_v - 7) <= 1
+
+    # a later commit makes the stats stale — surfaced, not hidden
+    delete_where(spark, root, "id = 50", timestamp_ms=T1 + 3000)
+    rows = run_query(
+        spark,
+        f"SELECT DISTINCT is_current FROM iceberg_column_stats('{root}')",
+        _cfg(),
+    ).rows
+    assert [r[0] for r in rows] == [False]
+    # re-analyze: fresh entry wins
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    rows = run_query(
+        spark,
+        f"SELECT DISTINCT row_count, is_current "
+        f"FROM iceberg_column_stats('{root}')",
+        _cfg(),
+    ).rows
+    assert [tuple(r) for r in rows] == [(79, True)]
+
+
+def test_analyze_table_unknown_column_and_missing_stats(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    with pytest.raises(ValueError, match="unknown columns"):
+        analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000, columns=["ghost"]
+        )
+    with pytest.raises(CloudfloeError, match="no statistics"):
+        run_query(
+            spark,
+            f"SELECT * FROM iceberg_column_stats('{root}')",
+            _cfg(),
+        )
