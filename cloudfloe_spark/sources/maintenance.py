@@ -381,6 +381,28 @@ def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
     expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return {"expired": [], "kept": [s["snapshot-id"] for s in kept]}
+    # statistics files are snapshot-scoped: entries for expired snapshots
+    # leave the metadata and their sidecar files are deleted, matching
+    # Iceberg's expireSnapshots clean-up of statistics files
+    if meta.get("statistics"):
+        dropped = [
+            e
+            for e in meta["statistics"]
+            if e.get("snapshot-id") not in kept_ids
+        ]
+        meta["statistics"] = [
+            e
+            for e in meta["statistics"]
+            if e.get("snapshot-id") in kept_ids
+        ]
+        for e in dropped:
+            p = e.get("statistics-path", "")
+            if p.startswith("file://"):
+                p = p[7:]
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     meta["snapshots"] = kept
     meta["snapshot-log"] = [
         e

@@ -2365,3 +2365,36 @@ def test_analyze_table_unknown_column_and_missing_stats(spark, tmp_path):
             f"SELECT * FROM iceberg_column_stats('{root}')",
             _cfg(),
         )
+
+
+def test_expire_snapshots_cleans_stale_statistics(spark, tmp_path):
+    """Statistics are snapshot-scoped: expiring the analyzed snapshot
+    drops its statistics entry and deletes the sidecar; stats for
+    retained snapshots survive."""
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        delete_where,
+        expire_snapshots,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    r1 = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    r2 = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    res = expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 4000)
+    assert res["expired"]
+    meta = im.load_metadata(root)
+    ids = {e["snapshot-id"] for e in meta.get("statistics", [])}
+    assert ids == {r2["snapshot_id"]}
+    import os as _os
+
+    assert not _os.path.exists(r1["statistics_path"])
+    assert _os.path.exists(r2["statistics_path"])
+    rows = run_query(
+        spark,
+        f"SELECT DISTINCT row_count FROM iceberg_column_stats('{root}')",
+        _cfg(),
+    ).rows
+    assert [r[0] for r in rows] == [2]
