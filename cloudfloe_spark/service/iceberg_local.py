@@ -104,6 +104,11 @@ _HISTORY_RE = re.compile(
 _COLSTATS_RE = re.compile(
     r"iceberg_column_stats\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+_SCANPLAN_RE = re.compile(
+    r"iceberg_scan_plan\(\s*['\"]([^'\"]+)['\"]"
+    r"(?:\s*,\s*'((?:[^']|'')*)')?\s*\)",  # '' = escaped quote in pred
+    re.IGNORECASE,
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -1353,6 +1358,137 @@ def _column_stats_view(sess, root: str) -> str:
     return name
 
 
+def _scan_plan_view(sess, root: str, predicate: str | None) -> str:
+    """``iceberg_scan_plan('<root>'[, '<predicate>'])`` → the pruning
+    EXPLAIN for a hypothetical scan: one row per planning stage with the
+    file count and bytes that survive it — data files total → after
+    partition pruning → after stats (min/max/null) skipping — plus the
+    delete-file stages (total position-delete files → the subset
+    naming surviving data files; equality-delete files). This is the
+    observability admins need at 100 TB: it answers "would this WHERE
+    clause actually skip?" from metadata alone, without running the
+    scan. Metadata-only driver work (footers only for delete-file
+    targets, cached per immutable file)."""
+    try:
+        mp = im.latest_metadata_path(root)
+        snap = im.resolve_snapshot(root, metadata_path=mp)
+        root_local = im._norm_root(root)
+        sizes: dict[str, int] = {}
+        for f in im.live_data_files(root, snap):
+            sizes[im._relocate(f["file_path"], root_local)] = int(
+                f.get("file_size_in_bytes") or 0
+            )
+        paths = sorted(sizes)
+        rows = [
+            (
+                "data_files_total",
+                len(paths),
+                sum(sizes.values()),
+                "the snapshot's live data files",
+            )
+        ]
+        surviving = paths
+        if predicate:
+            from cloudfloe_spark.sources import partition_pruning as pp
+
+            conj = pp.extract_scan_conjuncts(
+                f"SELECT * FROM __t__ WHERE {predicate}", {"__t__"}
+            ).get("__t__")
+            hist = im.schema_name_history(root, mp)
+            after_part = surviving
+            if conj:
+                specs_by_id = im.partition_specs_by_id(root, mp)
+                if any(specs_by_id.values()):
+                    pv = im.live_data_partitions(root, snap)
+                    file_specs = im.live_data_spec_ids(root, snap)
+                    fields_for = pp.spec_resolver(specs_by_id, file_specs)
+                    after_part = [
+                        p
+                        for p in surviving
+                        if (fs := fields_for(p)) is None
+                        or pp.file_survives(fs, pv.get(p), conj, hist)
+                    ]
+            rows.append(
+                (
+                    "after_partition_pruning",
+                    len(after_part),
+                    sum(sizes[p] for p in after_part),
+                    "transform-aware inclusive projection of the WHERE "
+                    "conjuncts (identity/bucket/truncate/temporal)",
+                )
+            )
+            after_stats = after_part
+            if conj and after_part:
+                stats = im.live_data_stats(root, snap)
+                col_types = im.schema_column_types(root, mp)
+                after_stats = [
+                    p
+                    for p in after_part
+                    if pp.file_survives_stats(
+                        stats.get(p), conj, col_types, hist
+                    )
+                ]
+            rows.append(
+                (
+                    "after_stats_skipping",
+                    len(after_stats),
+                    sum(sizes[p] for p in after_stats),
+                    "per-file min/max bounds + null counts "
+                    "(InclusiveMetricsEvaluator)",
+                )
+            )
+            surviving = after_stats
+        pos = im.position_delete_paths(root, snap)
+
+        def _fsize(p: str) -> int:
+            import os as _os
+
+            try:
+                return _os.path.getsize(
+                    p[7:] if p.startswith("file://") else p
+                )
+            except OSError:
+                return 0
+
+        rows.append(
+            (
+                "position_delete_files_total",
+                len(pos),
+                sum(_fsize(p) for p in pos),
+                "the snapshot's live position-delete files",
+            )
+        )
+        pos_kept = (
+            im.prune_position_deletes(pos, surviving) if pos else []
+        )
+        rows.append(
+            (
+                "position_delete_files_applied",
+                len(pos_kept),
+                sum(_fsize(p) for p in pos_kept),
+                "only delete files naming a surviving data file "
+                "join the merge-on-read anti-join",
+            )
+        )
+        eq = im.equality_delete_records(root, snap)
+        rows.append(
+            (
+                "equality_delete_files",
+                len(eq),
+                sum(_fsize(d["path"]) for d in eq),
+                "equality deletes name values, never files — always "
+                "applied when present",
+            )
+        )
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    name = _view_name("scanplan", root, (predicate,))
+    sess.createDataFrame(
+        rows, "stage STRING, files BIGINT, bytes BIGINT, detail STRING"
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -1410,6 +1546,15 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _column_stats_view(sess, root)
 
+    def _scanplan(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        pred = m.group(2)
+        if pred is not None:
+            pred = pred.replace("''", "'")
+        return _scan_plan_view(sess, root, pred)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
@@ -1417,6 +1562,7 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     out = _sub_outside_literals(_REFS_RE, _refs, out)
     out = _sub_outside_literals(_HISTORY_RE, _history, out)
     out = _sub_outside_literals(_COLSTATS_RE, _colstats, out)
+    out = _sub_outside_literals(_SCANPLAN_RE, _scanplan, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

@@ -2398,3 +2398,57 @@ def test_expire_snapshots_cleans_stale_statistics(spark, tmp_path):
         _cfg(),
     ).rows
     assert [r[0] for r in rows] == [2]
+
+
+def test_iceberg_scan_plan_stages(spark, tmp_path):
+    """iceberg_scan_plan: the pruning EXPLAIN answers 'would this WHERE
+    skip?' from metadata alone — partition stage prunes the non-matching
+    lang, stats stage prunes by id bounds, and the delete-file stage
+    keeps only files naming survivors."""
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by=[("lang", "identity")],
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": [1, 2], "lang": ["en", "en"]}),
+            pa.table({"id": [100, 101], "lang": ["en", "en"]}),
+            pa.table({"id": [3, 4], "lang": ["de", "de"]}),
+        ],
+        timestamp_ms=T1,
+    )
+    delete_where(spark, root, "id = 3", timestamp_ms=T1 + 1000)  # de file
+
+    rows = {
+        r[0]: (r[1], r[3])
+        for r in run_query(
+            spark,
+            f"SELECT stage, files, bytes, detail FROM "
+            f"iceberg_scan_plan('{root}', 'lang = ''en'' AND id < 50')",
+            _cfg(),
+        ).rows
+    }
+    assert rows["data_files_total"][0] == 3
+    assert rows["after_partition_pruning"][0] == 2  # de pruned
+    assert rows["after_stats_skipping"][0] == 1     # [100,101] pruned
+    assert rows["position_delete_files_total"][0] == 1
+    # the delete targets the de file, which did not survive → not applied
+    assert rows["position_delete_files_applied"][0] == 0
+    assert rows["equality_delete_files"][0] == 0
+
+    # no predicate: totals only, all delete files applied
+    rows = {
+        r[0]: r[1]
+        for r in run_query(
+            spark,
+            f"SELECT stage, files FROM iceberg_scan_plan('{root}')",
+            _cfg(),
+        ).rows
+    }
+    assert rows["data_files_total"] == 3
+    assert "after_partition_pruning" not in rows
+    assert rows["position_delete_files_applied"] == 1
