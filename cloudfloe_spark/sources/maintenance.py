@@ -338,26 +338,49 @@ def compact_iceberg_table(
     }
 
 
-def expire_snapshots(root: str, *, keep_last: int, timestamp_ms: int) -> dict:
+def expire_snapshots(
+    root: str,
+    *,
+    keep_last: "int | None" = None,
+    older_than_ms: "int | None" = None,
+    timestamp_ms: int,
+) -> dict:
     """``expire_snapshots`` analog for local Iceberg-layout tables: keep
-    the newest ``keep_last`` snapshots (always including the CURRENT one,
-    whatever its age — expiry must never make the table unreadable) in a
-    new metadata version. Reclaims nothing by itself — data parquet and
-    expired-snapshot manifests stay on disk until
-    :func:`remove_orphan_files` sweeps them; superseded
+    the newest ``keep_last`` snapshots and/or every snapshot with
+    ``timestamp-ms >= older_than_ms`` (Iceberg's primary
+    ``expire_snapshots(older_than=...)`` retention form — give both and
+    a snapshot must satisfy BOTH to expire, exactly Iceberg's
+    retain-last + older-than composition). The CURRENT snapshot is
+    always retained, whatever its age — expiry must never make the
+    table unreadable. Writes a new metadata version; reclaims nothing
+    by itself — data parquet and expired-snapshot manifests stay on
+    disk until :func:`remove_orphan_files` sweeps them; superseded
     ``v*.metadata.json`` files are kept as cheap history, matching
     Iceberg's own previous-metadata retention. At 100 TB this is what
     bounds snapshot-log growth and lets storage be reclaimed."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.iceberg_fixture import write_next_metadata_version
 
-    if keep_last < 1:
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("expire_snapshots: give keep_last, older_than_ms, or both")
+    if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     meta = im.load_metadata(root)
     snaps = sorted(
         meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
     )
-    kept = snaps[-keep_last:]
+    # each rule PROTECTS snapshots; a snapshot expires only when no
+    # given rule protects it (= it satisfies both expiry conditions)
+    protected: set = set()
+    if keep_last is not None:
+        protected |= {s["snapshot-id"] for s in snaps[-keep_last:]}
+    if older_than_ms is not None:
+        protected |= {
+            s["snapshot-id"]
+            for s in snaps
+            if s.get("timestamp-ms", 0) >= older_than_ms
+        }
+    kept = [s for s in snaps if s["snapshot-id"] in protected]
     kept_ids = {s["snapshot-id"] for s in kept}
     current = meta.get("current-snapshot-id")
     if current is not None and current not in kept_ids:

@@ -2452,3 +2452,38 @@ def test_iceberg_scan_plan_stages(spark, tmp_path):
     assert rows["data_files_total"] == 3
     assert "after_partition_pruning" not in rows
     assert rows["position_delete_files_applied"] == 1
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Timestamp-based retention (Iceberg's primary expire form): only
+    snapshots older than the bound AND outside keep_last expire; the
+    current snapshot survives any age bound."""
+    from cloudfloe_spark.sources.maintenance import expire_snapshots
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    s1 = t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    s2 = t.append_snapshot([pa.table({"id": [2]})], timestamp_ms=T1 + 1000)
+    s3 = t.append_snapshot([pa.table({"id": [3]})], timestamp_ms=T1 + 2000)
+
+    # age alone: s1 expires, s2/s3 are new enough
+    res = expire_snapshots(
+        root, older_than_ms=T1 + 500, timestamp_ms=T1 + 9000
+    )
+    assert res["expired"] == [s1]
+
+    # both rules: s2 is old enough to expire but protected by keep_last=2
+    res = expire_snapshots(
+        root, keep_last=2, older_than_ms=T1 + 9000, timestamp_ms=T1 + 9500
+    )
+    assert res["expired"] == []
+
+    # current always survives, even when older than the bound
+    res = expire_snapshots(
+        root, keep_last=1, older_than_ms=T1 + 9000, timestamp_ms=T1 + 9900
+    )
+    assert s3 not in res["expired"]
+    assert set(res["expired"]) == {s2}
+
+    with pytest.raises(ValueError, match="keep_last, older_than_ms"):
+        expire_snapshots(root, timestamp_ms=T1 + 9999)
