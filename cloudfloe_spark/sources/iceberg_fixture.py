@@ -1017,6 +1017,45 @@ def commit_delete_snapshot(
     )
 
 
+def _reusable_parent_manifests(root: str, cur: dict):
+    """Manifest-list records of ``cur`` that a pure row-delta commit can
+    reference VERBATIM (Iceberg's own append model: new snapshots add a
+    small manifest and reuse the parent's, instead of rewriting the full
+    live set — at 1M files that turns each commit's metadata write from
+    O(table) to O(new files)). Returns None when reuse would be unsound:
+    any raw entry missing an explicit data sequence number (inheritance
+    would re-stamp it at the NEW snapshot's sequence, breaking
+    equality-delete ordering) or carrying status=2 (a removal recorded
+    by an ancestor must not replay in later manifests)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    mlist_uri = cur.get("manifest-list")
+    if not mlist_uri:
+        return None
+    root_n = im._norm_root(root)
+    records = []
+    try:
+        for m in im._read_manifest(im._relocate(mlist_uri, root_n)):
+            for e in im._read_manifest(
+                im._relocate(m["manifest_path"], root_n)
+            ):
+                if e.get("sequence_number") is None:
+                    return None
+                if e.get("status", 0) == 2:
+                    return None
+            records.append(
+                {
+                    "manifest_path": m["manifest_path"],
+                    "manifest_length": m["manifest_length"],
+                    "content": m.get("content", 0),
+                    "added_snapshot_id": m.get("added_snapshot_id"),
+                }
+            )
+    except (OSError, KeyError, im.IcebergMetadataError):
+        return None
+    return records
+
+
 def commit_row_delta_snapshot(
     root: str,
     *,
@@ -1241,10 +1280,24 @@ def commit_row_delta_snapshot(
 
     meta_dir = os.path.join(root, "metadata")
     manifests = []
-    for tag, content, entries in (
-        ("data", 0, carry_data + removed_entries + new_data),
-        ("del", 1, carry_dels + dropped_dels + new_dels),
-    ):
+    # Pure row-delta (nothing removed): REUSE the parent's manifests in
+    # the new manifest list and write only the new entries — the commit's
+    # metadata write is then O(new files), not O(table files). Removals
+    # (copy-on-write) and unsound parents fall back to the full rewrite.
+    reused = (
+        _reusable_parent_manifests(root, cur)
+        if not removed_data_files
+        else None
+    )
+    if reused is not None:
+        manifests.extend(reused)
+        groups = (("data", 0, new_data), ("del", 1, new_dels))
+    else:
+        groups = (
+            ("data", 0, carry_data + removed_entries + new_data),
+            ("del", 1, carry_dels + dropped_dels + new_dels),
+        )
+    for tag, content, entries in groups:
         if not entries:
             continue
         mpath = os.path.join(

@@ -1034,3 +1034,44 @@ def test_delete_by_composite_key_arity_validated(two_file_table):
         delete_by_key(
             two_file_table, ["id", "v"], [1, 2], timestamp_ms=T1 + 1000
         )
+
+
+def test_row_delta_commit_reuses_parent_manifests(spark, two_file_table):
+    """Pure row-delta commits reference the parent's manifest files
+    verbatim and write only the delta — O(new files) metadata writes
+    (Iceberg's own append model). A second DML chains the reuse."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    root = two_file_table
+
+    def mlist_paths(snap):
+        root_n = im._norm_root(root)
+        return [
+            m["manifest_path"]
+            for m in im._read_manifest(
+                im._relocate(snap["manifest-list"], root_n)
+            )
+        ]
+
+    s0 = im.resolve_snapshot(root)
+    base_manifests = set(mlist_paths(s0))
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    s1 = im.resolve_snapshot(root)
+    p1 = mlist_paths(s1)
+    assert base_manifests <= set(p1)          # parent manifests reused
+    assert len(set(p1) - base_manifests) == 1  # + exactly one delta manifest
+
+    delete_where(spark, root, "id = 5", timestamp_ms=T1 + 2000)
+    s2 = im.resolve_snapshot(root)
+    p2 = mlist_paths(s2)
+    assert set(p1) <= set(p2)
+    assert len(set(p2) - set(p1)) == 1
+
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [0, 2, 3, 4, 6, 7, 8, 9]
+    # time travel through the chain still resolves
+    assert _rows(
+        spark,
+        f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF "
+        f"{s1['snapshot-id']}",
+    ) == [[9]]
