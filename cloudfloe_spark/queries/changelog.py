@@ -1028,3 +1028,73 @@ def stream_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{root}') "
         "WHERE lang IS NOT NULL",
     )
+
+
+@register(
+    "iceberg_view_scan",
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang IS NOT NULL AND n_chars >= 200
+        GROUP BY lang
+    """,
+    tags=("iceberg", "views"),
+)
+def iceberg_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg VIEWS end-to-end, driver-checked: a versioned view
+    (view-spec v1 metadata, ``sources/iceberg_views.py``) is created
+    over the fixture table, then REPLACED — the query reads through
+    ``iceberg_view('<root>')``, which must inline the CURRENT version's
+    SQL (the replaced definition with the ``n_chars >= 200`` filter),
+    resolve the ``iceberg_scan`` inside it, and match the oracle over
+    the original documents table.
+
+    Scale shape: views are metadata-only indirection — the inlined
+    statement plans exactly like the hand-written one (same pruning,
+    same pushdown), so there is nothing view-specific to pay at 100 TB.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        replace_iceberg_view,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"view{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_views", key)
+    root = os.path.join(parent, "t")
+    vroot = os.path.join(parent, "v")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT lang, n_chars FROM iceberg_scan('{root}') "
+            "WHERE lang IS NOT NULL",
+            timestamp_ms=_T0 + 1000,
+        )
+        replace_iceberg_view(
+            vroot,
+            f"SELECT lang, n_chars FROM iceberg_scan('{root}') "
+            "WHERE lang IS NOT NULL AND n_chars >= 200",
+            timestamp_ms=_T0 + 2000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_view('{vroot}') GROUP BY lang",
+    )

@@ -109,6 +109,9 @@ _SCANPLAN_RE = re.compile(
     r"(?:\s*,\s*'((?:[^']|'')*)')?\s*\)",  # '' = escaped quote in pred
     re.IGNORECASE,
 )
+_VIEW_RE = re.compile(
+    r"iceberg_view\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -1493,6 +1496,35 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
     layouts pass through unchanged (handled by convert.py's fallback)."""
+
+    # Iceberg VIEWS inline first (their stored SQL may itself contain
+    # iceberg_scan/other view references — resolved by the passes below;
+    # nesting is depth-capped). The stored definition was validated as a
+    # read-only query at CREATE time, and the full statement passes the
+    # service gate again after inlining.
+    from cloudfloe_spark.sources.iceberg_views import (
+        IcebergViewError,
+        current_view_sql,
+    )
+
+    def _view(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None:
+            return m.group(0)
+        try:
+            vsql = current_view_sql(root)
+        except IcebergViewError as e:
+            raise bad_request(f"iceberg_view: {e}") from None
+        return f"({vsql})"
+
+    for _ in range(8):
+        expanded = _sub_outside_literals(_VIEW_RE, _view, sql)
+        if expanded == sql:
+            break
+        sql = expanded
+    else:
+        if _VIEW_RE.search(sql):
+            raise bad_request("iceberg_view: nesting depth exceeds 8")
 
     # Scans resolve in two phases: phase 1 substitutes a deterministic view
     # name per (root, time-travel clause) WITHOUT creating the view; the

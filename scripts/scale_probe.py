@@ -588,6 +588,17 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     timings["cow_delete_hot_rewrite"] = round(time.perf_counter() - t0, 3)
     assert res["files_rewritten"] == 1, res
 
+    # (e2) MOR point delete on the growing-FILE-COUNT table: with
+    # manifest reuse (r8) the commit writes only the delta manifest, so
+    # the whole op — pruned scan + tiny delete write + commit — should
+    # stay ~flat as the table grows 16n files (pre-reuse, the commit
+    # rewrote the full O(files) manifest every time).
+    root = build_cdc_table(spark, n, out_dir)
+    t0 = time.perf_counter()
+    res = delete_where(spark, root, "id < 1000", timestamp_ms=_T0 + 1000)
+    timings["mor_delete_point_commit"] = round(time.perf_counter() - t0, 3)
+    assert res["matched"] == 1000, res
+
     # (f) z-order compaction of the 16n-file table: a whole-table rewrite
     # is linear by definition; this pins that the Morton machinery
     # (approxQuantile pass + map-side bucketing) adds no super-linear
