@@ -110,7 +110,12 @@ _SCANPLAN_RE = re.compile(
     re.IGNORECASE,
 )
 _VIEW_RE = re.compile(
-    r"iceberg_view\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+    r"iceberg_view\(\s*['\"]([^'\"]+)['\"]\s*\)"
+    r"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+))?",
+    re.IGNORECASE,
+)
+_VIEW_VERSIONS_RE = re.compile(
+    r"iceberg_view_versions\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
 
 
@@ -1492,6 +1497,52 @@ def _scan_plan_view(sess, root: str, predicate: str | None) -> str:
     return name
 
 
+def _view_versions_view(sess, root: str) -> str:
+    """``iceberg_view_versions('<root>')`` → one row per view version:
+    id, created-at, operation, the spark-dialect SQL, and whether it is
+    current — the audit listing behind view time travel
+    (``iceberg_view('<root>') VERSION AS OF n``)."""
+    from cloudfloe_spark.sources.iceberg_views import (
+        IcebergViewError,
+        load_view,
+    )
+
+    try:
+        meta = load_view(root)
+    except IcebergViewError as e:
+        raise bad_request(f"iceberg_view_versions: {e}") from None
+    cur = meta.get("current-version-id")
+    rows = []
+    for v in meta.get("versions", []):
+        sql_rep = next(
+            (
+                r["sql"]
+                for r in v.get("representations", [])
+                if r.get("type") == "sql" and r.get("dialect") == "spark"
+            ),
+            None,
+        )
+        rows.append(
+            (
+                int(v["version-id"]),
+                datetime.datetime.fromtimestamp(
+                    v.get("timestamp-ms", 0) / 1000,
+                    tz=datetime.timezone.utc,
+                ).replace(tzinfo=None),
+                (v.get("summary") or {}).get("operation"),
+                sql_rep,
+                v["version-id"] == cur,
+            )
+        )
+    name = _view_name("viewversions", root)
+    sess.createDataFrame(
+        rows,
+        "version_id INT, created_at TIMESTAMP_NTZ, operation STRING, "
+        "sql STRING, is_current BOOLEAN",
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -1512,7 +1563,9 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
         if root is None:
             return m.group(0)
         try:
-            vsql = current_view_sql(root)
+            # VERSION AS OF n pins an older DEFINITION (view time travel)
+            vid = int(m.group(2)) if m.group(2) else None
+            vsql = current_view_sql(root, version_id=vid)
         except IcebergViewError as e:
             raise bad_request(f"iceberg_view: {e}") from None
         return f"({vsql})"
@@ -1587,6 +1640,12 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             pred = pred.replace("''", "'")
         return _scan_plan_view(sess, root, pred)
 
+    def _view_versions(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None:
+            return m.group(0)
+        return _view_versions_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
@@ -1595,6 +1654,7 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     out = _sub_outside_literals(_HISTORY_RE, _history, out)
     out = _sub_outside_literals(_COLSTATS_RE, _colstats, out)
     out = _sub_outside_literals(_SCANPLAN_RE, _scanplan, out)
+    out = _sub_outside_literals(_VIEW_VERSIONS_RE, _view_versions, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

@@ -62,11 +62,15 @@ def load_view(root: str) -> dict:
     return meta
 
 
-def current_view_sql(root: str, dialect: str = "spark") -> str:
-    """The current version's SQL in ``dialect`` (falling back to any
-    representation — the caller transpiles if it must)."""
+def current_view_sql(
+    root: str, dialect: str = "spark", version_id: "int | None" = None
+) -> str:
+    """The current (or ``version_id``-pinned — view TIME TRAVEL) version's
+    SQL in ``dialect``, falling back to any representation."""
     meta = load_view(root)
-    cur = meta.get("current-version-id")
+    cur = version_id if version_id is not None else meta.get(
+        "current-version-id"
+    )
     for v in meta.get("versions", []):
         if v.get("version-id") == cur:
             reps = v.get("representations", [])

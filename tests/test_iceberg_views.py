@@ -136,3 +136,36 @@ def test_view_errors_are_clean(spark, table, tmp_path):
     create_iceberg_view(vroot, "SELECT 1 AS one", timestamp_ms=T1 + 1000)
     with pytest.raises(IcebergViewError, match="already exists"):
         create_iceberg_view(vroot, "SELECT 2 AS two", timestamp_ms=T1 + 2000)
+
+
+def test_view_version_time_travel_and_listing(spark, table, tmp_path):
+    """iceberg_view VERSION AS OF n pins an older DEFINITION, and
+    iceberg_view_versions lists the full version history."""
+    vroot = str(tmp_path / "v")
+    create_iceberg_view(
+        vroot,
+        f"SELECT COUNT(*) AS n FROM iceberg_scan('{table}')",
+        timestamp_ms=T1 + 1000,
+    )
+    replace_iceberg_view(
+        vroot,
+        f"SELECT COUNT(*) AS n FROM iceberg_scan('{table}') "
+        "WHERE lang = 'en'",
+        timestamp_ms=T1 + 2000,
+    )
+    assert _rows(spark, f"SELECT n FROM iceberg_view('{vroot}')") == [(2,)]
+    assert _rows(
+        spark,
+        f"SELECT n FROM iceberg_view('{vroot}') VERSION AS OF 1",
+    ) == [(4,)]
+    with pytest.raises(CloudfloeError, match="no SQL for version"):
+        _rows(
+            spark,
+            f"SELECT n FROM iceberg_view('{vroot}') VERSION AS OF 9",
+        )
+    rows = _rows(
+        spark,
+        f"SELECT version_id, operation, is_current FROM "
+        f"iceberg_view_versions('{vroot}') ORDER BY version_id",
+    )
+    assert rows == [(1, "create", False), (2, "replace", True)]
