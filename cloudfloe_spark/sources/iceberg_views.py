@@ -175,3 +175,216 @@ def replace_iceberg_view(root: str, sql: str, *, timestamp_ms: int) -> dict:
     )
     _write_next(root, meta)
     return {"version_id": vid}
+
+
+# --- materialized views ------------------------------------------------------
+
+
+def _base_tables(sql: str) -> list[str]:
+    """The iceberg_scan roots a view definition reads — the tables whose
+    snapshots decide the materialization's freshness. Views referenced
+    inside are expanded first (their bases count too)."""
+    from cloudfloe_spark.service.iceberg_local import _SCAN_TT_RE, _VIEW_RE
+
+    for _ in range(8):
+        expanded = _VIEW_RE.sub(
+            lambda m: f"({current_view_sql(m.group(1))})", sql
+        )
+        if expanded == sql:
+            break
+        sql = expanded
+    return sorted(
+        {m.group(1).rstrip("/") for m in _SCAN_TT_RE.finditer(sql)}
+    )
+
+
+def _snapshot_fingerprint(roots: list[str]) -> dict[str, str]:
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    out = {}
+    for r in roots:
+        try:
+            out[r] = str(im.resolve_snapshot(r)["snapshot-id"])
+        except im.IcebergMetadataError:
+            out[r] = "?"
+    return out
+
+
+def _run_view(spark, view_root: str):
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    return sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT * FROM iceberg_view('{view_root}')"
+        )
+    )
+
+
+def _commit_materialization(
+    spark, view_root: str, target_root: str, *, timestamp_ms: int, first: bool
+) -> dict:
+    import glob as globmod
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        commit_rewrite_snapshot,
+    )
+
+    meta_view = load_view(view_root)
+    version_id = meta_view["current-version-id"]
+    bases = _base_tables(current_view_sql(view_root))
+    fp = _snapshot_fingerprint(bases)
+    df = _run_view(spark, view_root)
+    out_dir = _os.path.join(
+        target_root, "data", f"mv-{timestamp_ms}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("errorifexists").parquet(out_dir)
+    files = []
+    for p in sorted(globmod.glob(_os.path.join(out_dir, "*.parquet"))):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n:
+            files.append((p, n))
+    summary = {
+        "materialized-view": view_root,
+        "materialized-view-version": str(version_id),
+        "materialized-bases": json.dumps(fp, sort_keys=True),
+    }
+    if first:
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                (f.name, _spark_to_arrow(f.dataType.simpleString()))
+                for f in df.schema.fields
+            ]
+        )
+        t = LocalIcebergTable(target_root, schema)
+        # seed an EMPTY table, then land the data as one rewrite commit
+        t.append_snapshot(
+            [schema.empty_table()], timestamp_ms=timestamp_ms - 1
+        )
+    snap = commit_rewrite_snapshot(
+        target_root, files, timestamp_ms=timestamp_ms
+    )
+    # rewrite commits carry no summary passthrough: stamp freshness in a
+    # metadata property instead (one more metadata version, still O(1))
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    meta = im.load_metadata(target_root)
+    meta.setdefault("properties", {})["cloudfloe.mv"] = json.dumps(
+        {
+            "view": view_root,
+            "view-version": version_id,
+            "bases": fp,
+            "refreshed-at-ms": timestamp_ms,
+        },
+        sort_keys=True,
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(target_root, meta)
+    return {
+        "snapshot_id": snap,
+        "rows": sum(n for _, n in files),
+        "view_version": version_id,
+        "bases": fp,
+    }
+
+
+_SPARK_TO_ARROW = {
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool_",
+    "date": "date32",
+    "binary": "binary",
+}
+
+
+def _spark_to_arrow(t: str):
+    import pyarrow as pa
+
+    if t.startswith("timestamp"):
+        return pa.timestamp("us")
+    if t.startswith("decimal"):
+        p, s = t[t.index("(") + 1 : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    name = _SPARK_TO_ARROW.get(t)
+    if name is None:
+        raise IcebergViewError(
+            f"materialize: unsupported column type {t!r}"
+        )
+    return getattr(pa, name)()
+
+
+def materialize_iceberg_view(
+    spark, view_root: str, target_root: str, *, timestamp_ms: int
+) -> dict:
+    """Materialize a view into a real Iceberg table (distributed Spark
+    write, footer-only driver work): the target records the view
+    version and every base table's snapshot id, so staleness is a
+    metadata-only check (:func:`materialized_view_status`) — Iceberg's
+    materialized-view direction (a storage table + freshness lineage),
+    jarless."""
+    if os.path.isdir(os.path.join(target_root, "metadata")):
+        raise IcebergViewError(
+            f"materialize: target {target_root} already exists — use "
+            "refresh_materialized_view"
+        )
+    return _commit_materialization(
+        spark, view_root, target_root, timestamp_ms=timestamp_ms, first=True
+    )
+
+
+def materialized_view_status(target_root: str) -> dict:
+    """Freshness check from metadata alone: stale when any base table's
+    current snapshot moved past the recorded one, or the view definition
+    gained a version since the last refresh."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(target_root)
+    raw = (meta.get("properties") or {}).get("cloudfloe.mv")
+    if not raw:
+        raise IcebergViewError(
+            f"{target_root} is not a materialized view target"
+        )
+    rec = json.loads(raw)
+    cur_fp = _snapshot_fingerprint(sorted(rec.get("bases", {})))
+    view_version = load_view(rec["view"])["current-version-id"]
+    stale = cur_fp != rec.get("bases") or view_version != rec.get(
+        "view-version"
+    )
+    return {
+        "stale": stale,
+        "view": rec["view"],
+        "view_version_recorded": rec.get("view-version"),
+        "view_version_current": view_version,
+        "bases_recorded": rec.get("bases"),
+        "bases_current": cur_fp,
+        "refreshed_at_ms": rec.get("refreshed-at-ms"),
+    }
+
+
+def refresh_materialized_view(
+    spark, view_root: str, target_root: str, *, timestamp_ms: int
+) -> dict:
+    """Re-materialize iff stale (full refresh — the sound default for
+    arbitrary view SQL; incremental refresh for specific shapes is the
+    `apply_changelog` consumer loop). A fresh target returns
+    ``{"skipped": True}`` without running anything."""
+    status = materialized_view_status(target_root)
+    if not status["stale"]:
+        return {"skipped": True, "snapshot_id": None}
+    return _commit_materialization(
+        spark, view_root, target_root, timestamp_ms=timestamp_ms, first=False
+    )

@@ -169,3 +169,84 @@ def test_view_version_time_travel_and_listing(spark, table, tmp_path):
         f"iceberg_view_versions('{vroot}') ORDER BY version_id",
     )
     assert rows == [(1, "create", False), (2, "replace", True)]
+
+
+def test_materialized_view_lifecycle(spark, table, tmp_path):
+    """Materialize → query equals the view; base DML flips staleness
+    (metadata-only check); refresh re-lands and goes fresh; a fresh
+    refresh is a no-op skip; a replaced view definition is stale too."""
+    from cloudfloe_spark.sources.iceberg_views import (
+        materialize_iceberg_view,
+        materialized_view_status,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    vroot = str(tmp_path / "v")
+    troot = str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT lang, COUNT(*) AS n FROM iceberg_scan('{table}') "
+        "GROUP BY lang",
+        timestamp_ms=T1 + 1000,
+    )
+    res = materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000
+    )
+    assert res["rows"] == 3
+    got = _rows(
+        spark, f"SELECT lang, n FROM iceberg_scan('{troot}') ORDER BY lang"
+    )
+    assert got == [("de", 1), ("en", 2), ("fr", 1)]
+    assert materialized_view_status(troot)["stale"] is False
+
+    # fresh: refresh skips without running anything
+    assert refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 3000
+    )["skipped"] is True
+
+    # base DML → stale → refresh reflects the change
+    delete_where(spark, table, "lang = 'fr'", timestamp_ms=T1 + 4000)
+    assert materialized_view_status(troot)["stale"] is True
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 5000
+    )
+    assert res.get("skipped") is None
+    got = _rows(
+        spark, f"SELECT lang, n FROM iceberg_scan('{troot}') ORDER BY lang"
+    )
+    assert got == [("de", 1), ("en", 2)]
+    assert materialized_view_status(troot)["stale"] is False
+
+    # a new view VERSION is also staleness
+    replace_iceberg_view(
+        vroot,
+        f"SELECT lang, COUNT(*) AS n FROM iceberg_scan('{table}') "
+        "WHERE lang = 'en' GROUP BY lang",
+        timestamp_ms=T1 + 6000,
+    )
+    assert materialized_view_status(troot)["stale"] is True
+    refresh_materialized_view(spark, vroot, troot, timestamp_ms=T1 + 7000)
+    got = _rows(spark, f"SELECT lang, n FROM iceberg_scan('{troot}')")
+    assert got == [("en", 2)]
+
+
+def test_materialize_guards(spark, table, tmp_path):
+    from cloudfloe_spark.sources.iceberg_views import (
+        materialize_iceberg_view,
+        materialized_view_status,
+    )
+
+    vroot = str(tmp_path / "v")
+    create_iceberg_view(
+        vroot, f"SELECT id FROM iceberg_scan('{table}')",
+        timestamp_ms=T1 + 1000,
+    )
+    troot = str(tmp_path / "mv")
+    materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 2000)
+    with pytest.raises(IcebergViewError, match="already exists"):
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=T1 + 3000
+        )
+    with pytest.raises(IcebergViewError, match="not a materialized view"):
+        materialized_view_status(table)
