@@ -1098,3 +1098,77 @@ def iceberg_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
         f"FROM iceberg_view('{vroot}') GROUP BY lang",
     )
+
+
+@register(
+    "iceberg_matview_refresh",
+    oracle=f"""
+        SELECT lang, count(*) AS n_docs
+        FROM documents
+        WHERE lang IS NOT NULL AND NOT ({_DELETE_COND})
+        GROUP BY lang
+    """,
+    tags=("iceberg", "views", "matview"),
+)
+def iceberg_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view loop, driver-checked: a per-lang aggregate
+    view is materialized, the base table takes a DELETE (making the
+    target stale — a metadata-only determination), and
+    ``refresh_materialized_view`` re-lands it; the final scan of the
+    TARGET table must equal the oracle over the post-DML state. Pins
+    that staleness tracking reacts to base-table snapshots and that the
+    refreshed storage table is a first-class Iceberg table (plain
+    ``iceberg_scan`` read).
+
+    Scale shape: staleness is O(bases) metadata reads; the refresh costs
+    what the view costs — here one pruned scan + a |langs|-row result.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mv{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_matview", key)
+    root = os.path.join(parent, "t")
+    vroot = os.path.join(parent, "v")
+    troot = os.path.join(parent, "mv")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT lang, COUNT(*) AS n_docs "
+            f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL "
+            "GROUP BY lang",
+            timestamp_ms=_T0 + 1000,
+        )
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 2000
+        )
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 3000)
+        res = refresh_materialized_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 4000
+        )
+        assert res.get("skipped") is None  # stale → must have refreshed
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, n_docs FROM iceberg_scan('{troot}')",
+    )
