@@ -378,3 +378,55 @@ def test_static_frontend_serving(spark, tmp_path_factory):
         assert s == 200 and "json" in ct
     finally:
         server.shutdown()
+
+
+def test_query_new_table_functions_over_http(api, tmp_path_factory):
+    """The r8 metadata surfaces — history, column stats, scan-plan
+    EXPLAIN, and views — all answer through the plain /api/query route
+    (same validation gate, same payload shape as any scan)."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import create_iceberg_view
+
+    d = tmp_path_factory.mktemp("api_fns")
+    root = str(d / "t")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})],
+        timestamp_ms=1700000000000,
+    )
+    vroot = str(d / "view")
+    create_iceberg_view(
+        vroot,
+        f"SELECT COUNT(*) AS n FROM iceberg_scan('{root}')",
+        timestamp_ms=1700000001000,
+    )
+    conn = {
+        "storageType": "local", "endpoint": "",
+        "accessKey": "", "secretKey": "",
+    }
+    for sql, check in [
+        (
+            f"SELECT snapshot_id, is_current_ancestor "
+            f"FROM iceberg_history('{root}')",
+            lambda b: len(b["rows"]) == 1 and b["rows"][0][1] is True,
+        ),
+        (
+            f"SELECT stage, files FROM iceberg_scan_plan('{root}', "
+            f"'id > 2') ORDER BY stage",
+            lambda b: len(b["rows"]) >= 4,
+        ),
+        (
+            f"SELECT n FROM iceberg_view('{vroot}')",
+            lambda b: b["rows"] == [[3]],
+        ),
+    ]:
+        status, body = _post(
+            api, "/api/query",
+            {"sql": sql, "connection": conn, "rowLimit": 100},
+        )
+        assert status == 200, (sql, body)
+        assert check(body), (sql, body["rows"])
