@@ -186,10 +186,12 @@ def _base_tables(sql: str) -> list[str]:
     inside are expanded first (their bases count too)."""
     from cloudfloe_spark.service.iceberg_local import _SCAN_TT_RE, _VIEW_RE
 
+    def _expand(m):
+        vid = int(m.group(2)) if m.group(2) else None
+        return f"({current_view_sql(m.group(1), version_id=vid)})"
+
     for _ in range(8):
-        expanded = _VIEW_RE.sub(
-            lambda m: f"({current_view_sql(m.group(1))})", sql
-        )
+        expanded = _VIEW_RE.sub(_expand, sql)
         if expanded == sql:
             break
         sql = expanded
