@@ -134,6 +134,11 @@ HEADLINE = [
     # fixture build happens once in the untimed warm-up, so the timing
     # tracks the pruned changelog READ).
     "cdc_doc_changelog",
+    # Round-8 late breadth: the z-ordered read (2-D stats-pruned scan)
+    # and the copy-on-write read (delete-file-free post-DML aggregate) —
+    # fixture builds are warm-up-only here too.
+    "iceberg_zorder_scan",
+    "iceberg_cow_dml_scan",
 ]
 
 

@@ -684,3 +684,61 @@ class TestSpecResolver:
             pv = {"v_bucket": str(pp.bucket_value(v, n, "long"))}
             res = pp.spec_resolver(specs, {"f.pq": sid})
             assert pp.file_survives(res("f.pq"), pv, [("v", "=", v)])
+
+
+class TestPrunePositionDeletesProperty:
+    """Soundness property of the delete-file pruning (r8): a delete file
+    whose footer-recorded targets intersect the scanned set is ALWAYS
+    kept; one that provably targets nothing scanned is dropped; an
+    unreadable footer keeps the file."""
+
+    def test_property_sound(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from cloudfloe_spark.sources import iceberg_meta as im
+
+        names = st.text(
+            alphabet="abcdef0123456789", min_size=1, max_size=8
+        ).map(lambda s: f"{s}.parquet")
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            targets_per_delete=st.lists(
+                st.frozensets(names, max_size=4), min_size=0, max_size=5
+            ),
+            scanned=st.sets(names, max_size=6),
+        )
+        def check(targets_per_delete, scanned):
+            cache = {}
+            dpaths = []
+            for i, tg in enumerate(targets_per_delete):
+                p = f"/w/t/data/deletes-{i}.parquet"
+                dpaths.append(p)
+                cache[p] = tg
+            old = dict(im._DELETE_TARGET_CACHE)
+            im._DELETE_TARGET_CACHE.clear()
+            im._DELETE_TARGET_CACHE.update(cache)
+            try:
+                kept = im.prune_position_deletes(
+                    dpaths, [f"/w/t/data/{s}" for s in scanned]
+                )
+            finally:
+                im._DELETE_TARGET_CACHE.clear()
+                im._DELETE_TARGET_CACHE.update(old)
+            for p, tg in zip(dpaths, targets_per_delete):
+                if tg & scanned:
+                    assert p in kept  # NEVER drop a targeting file
+                else:
+                    assert p not in kept
+
+        check()
+
+    def test_unreadable_footer_keeps_file(self, tmp_path):
+        from cloudfloe_spark.sources import iceberg_meta as im
+
+        bogus = str(tmp_path / "data" / "deletes-x.parquet")
+        kept = im.prune_position_deletes(
+            [bogus], ["/w/t/data/a.parquet"]
+        )
+        assert kept == [bogus]  # sound-by-keeping on any failure
