@@ -913,6 +913,126 @@ def commit_rewrite_snapshot(
     return snap_id
 
 
+def commit_delete_rewrite_snapshot(
+    root: str,
+    delete_files: list[tuple[str, int]],
+    *,
+    timestamp_ms: int,
+    expected_metadata_path: str | None = None,
+) -> int:
+    """Replace the table's POSITION-DELETE file set while carrying every
+    data file verbatim at its original sequence number — the commit half
+    of ``maintenance.rewrite_position_deletes`` (Iceberg's
+    ``rewrite_position_delete_files``). Old delete entries are recorded
+    removed (status=2); the new consolidated files land at the next
+    sequence, which keeps them applying to every current data file (all
+    have lower-or-equal sequence) and irrelevant to later appends (their
+    (path, pos) coordinates name only existing files). Equality-delete
+    entries are carried untouched — their value semantics are
+    sequence-sensitive and consolidation is compaction's job. The
+    summary operation is ``replace``: no logical row changed, so the
+    changelog readers skip it."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    if expected_metadata_path is not None:
+        latest = im.latest_metadata_path(root)
+        if os.path.realpath(latest) != os.path.realpath(expected_metadata_path):
+            raise CommitConflictError(
+                f"table {root} moved on during delete rewrite: read "
+                f"{expected_metadata_path}, current {latest}"
+            )
+    meta = im.load_metadata(root)
+    snaps = meta.get("snapshots", [])
+    cur = im.resolve_snapshot(root)
+    seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
+    snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
+
+    def entry(status, sequence, data_file):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": sequence,
+            "data_file": {k: data_file.get(k) for k in _DATA_FILE_KEYS},
+        }
+
+    carry_data, carry_eq, dropped = [], [], []
+    for e in im.manifest_entries(root, cur):
+        if e["status"] == 2:
+            continue
+        c = e["data_file"].get("content", 0)
+        if c == 0:
+            carry_data.append(entry(0, e["sequence_number"], e["data_file"]))
+        elif c == 2:
+            carry_eq.append(entry(0, e["sequence_number"], e["data_file"]))
+        else:
+            dropped.append(entry(2, e["sequence_number"], e["data_file"]))
+    new_dels = [
+        entry(
+            1,
+            seq,
+            {
+                "content": 1,
+                "file_path": f"file://{p}",
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        )
+        for p, n in delete_files
+    ]
+    meta_dir = os.path.join(root, "metadata")
+    manifests = []
+    for tag, content, entries in (
+        ("data", 0, carry_data),
+        ("del", 1, carry_eq + dropped + new_dels),
+    ):
+        if not entries:
+            continue
+        mpath = os.path.join(
+            meta_dir, f"manifest-{tag}-{uuid.uuid4().hex[:12]}.avro"
+        )
+        write_avro(mpath, _MANIFEST_SCHEMA, entries)
+        manifests.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "content": content,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": cur.get("snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": f"file://{mlist}",
+            "summary": {
+                "operation": "replace",
+                "total-records": str(
+                    sum(
+                        e["data_file"].get("record_count") or 0
+                        for e in carry_data
+                    )
+                ),
+                "total-data-files": str(len(carry_data)),
+                "total-delete-files": str(len(carry_eq) + len(new_dels)),
+                "removed-delete-files": str(len(dropped)),
+            },
+        }
+    )
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = snap_id
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+    return snap_id
+
+
 def rename_column_on_disk(
     root: str, old: str, new: str, *, timestamp_ms: int
 ) -> None:

@@ -1950,3 +1950,93 @@ def analyze_iceberg_table(
         "columns": cols,
         "statistics_path": path,
     }
+
+
+def rewrite_position_deletes(
+    spark: SparkSession,
+    root: str,
+    *,
+    timestamp_ms: int,
+    rows_per_delete_file: int = 1_000_000,
+) -> dict:
+    """``rewrite_position_delete_files`` analog: consolidate the delete
+    files a stream of small DML commits accumulates into few sorted ones
+    — WITHOUT touching a single data file (the cheap counterpart to
+    ``compact_iceberg_table`` when the data layout is fine but the
+    merge-on-read anti-join input has fragmented). Dangling coordinates
+    (naming data files no longer live — e.g. after a copy-on-write
+    rewrite) and duplicate re-deletes are dropped; equality-delete files
+    are carried untouched (their value semantics are sequence-sensitive;
+    consolidating them is full compaction's job). Commits with operation
+    ``replace`` — no logical row changes, so changelog readers skip it.
+
+    Scale shape: reads only the delete files (delete-set-sized, never the
+    table), one hash join against the manifest-derived live-file keys
+    (metadata-scale), one range-partitioned sorted write, footer-only
+    driver work.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_delete_rewrite_snapshot,
+    )
+
+    meta_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    pos = im.position_delete_paths(root, snap)
+    if not pos:
+        return {"files_before": 0, "files_after": 0, "snapshot_id": None}
+    live_keys = [
+        p.rsplit("/data/", 1)[-1] for p in im.live_data_paths(root, snap)
+    ]
+    keys_df = spark.createDataFrame(
+        [(k,) for k in live_keys], "__k STRING"
+    )
+    dels = (
+        spark.read.parquet(*pos)
+        .select("file_path", "pos")
+        .distinct()  # re-deleting a row is idempotent: one coordinate
+        .withColumn(
+            "__k", F.substring_index(F.col("file_path"), "/data/", -1)
+        )
+        .join(keys_df, "__k", "left_semi")  # drop dangling coordinates
+        .drop("__k")
+        .persist()
+    )
+    try:
+        n = dels.count()
+        out_dir = os.path.join(
+            root, "data",
+            f"deletes-rw-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
+        )
+        files: list = []
+        if n:
+            n_files = max(1, -(-n // rows_per_delete_file))
+            (
+                dels.repartitionByRange(
+                    n_files, F.col("file_path"), F.col("pos")
+                )
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("errorifexists")
+                .parquet(out_dir)
+            )
+            for f in sorted(
+                globmod.glob(os.path.join(out_dir, "*.parquet"))
+            ):
+                cnt = pq.ParquetFile(f).metadata.num_rows
+                if cnt:
+                    files.append((f, cnt))
+    finally:
+        dels.unpersist()
+    snap_id = commit_delete_rewrite_snapshot(
+        root, files, timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {
+        "files_before": len(pos),
+        "files_after": len(files),
+        "rows_after": n,
+        "snapshot_id": snap_id,
+    }

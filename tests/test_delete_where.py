@@ -1075,3 +1075,102 @@ def test_row_delta_commit_reuses_parent_manifests(spark, two_file_table):
         f"SELECT COUNT(*) FROM iceberg_scan('{root}') VERSION AS OF "
         f"{s1['snapshot-id']}",
     ) == [[9]]
+
+
+def test_rewrite_position_deletes_consolidates(spark, two_file_table):
+    """rewrite_position_delete_files analog: many small DML delete files
+    consolidate to one sorted file without touching data files; reads
+    identical before/after; time travel intact; duplicates and dangling
+    coordinates dropped; per-commit CDC skips the replace."""
+    from cloudfloe_spark.sources.maintenance import (
+        rewrite_position_deletes,
+        update_where,
+    )
+
+    root = two_file_table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id = 7", timestamp_ms=T1 + 2000)
+    delete_where(spark, root, "id <= 1", timestamp_ms=T1 + 3000)  # re-delete
+    # COW update removes file 2 → its delete coordinate (id=7) dangles...
+    # actually the COW rewrite drops that delete file as dangling already;
+    # keep this pure-MOR: three delete files, one duplicate coordinate.
+    snap = im.resolve_snapshot(root)
+    pre_files = set(im.live_data_paths(root, snap))
+    assert len(im.position_delete_paths(root, snap)) == 3
+
+    pre_rows = _rows(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    res = rewrite_position_deletes(spark, root, timestamp_ms=T1 + 4000)
+    assert res["files_before"] == 3 and res["files_after"] == 1
+    assert res["rows_after"] == 3  # ids 0, 1, 7 — duplicate collapsed
+
+    snap2 = im.resolve_snapshot(root)
+    assert set(im.live_data_paths(root, snap2)) == pre_files  # data untouched
+    assert len(im.position_delete_paths(root, snap2)) == 1
+    assert snap2["summary"]["operation"] == "replace"
+    assert snap2["summary"]["removed-delete-files"] == "3"
+
+    post_rows = _rows(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert post_rows == pre_rows
+    # time travel to a mid-DML snapshot still applies the OLD delete set
+    snaps = sorted(
+        im.load_metadata(root)["snapshots"],
+        key=lambda s: s["sequence-number"],
+    )
+    mid = snaps[1]["snapshot-id"]  # after the first delete only
+    got = _rows(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {mid} "
+        "ORDER BY id",
+    )
+    assert [r[0] for r in got] == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+    # further DML composes on the consolidated layout
+    res = update_where(
+        spark, root, "id = 9", {"v": "'Z'"}, timestamp_ms=T1 + 5000
+    )
+    assert res["matched"] == 1
+    got = _rows(
+        spark,
+        f"SELECT v FROM iceberg_scan('{root}') WHERE id = 9",
+    )
+    assert [r[0] for r in got] == ["Z"]
+
+
+def test_rewrite_position_deletes_noop_and_empty(spark, two_file_table):
+    from cloudfloe_spark.sources.maintenance import (
+        rewrite_position_deletes,
+    )
+
+    root = two_file_table
+    res = rewrite_position_deletes(spark, root, timestamp_ms=T1 + 1000)
+    assert res == {"files_before": 0, "files_after": 0, "snapshot_id": None}
+
+
+def test_rewrite_position_deletes_drops_dangling_coordinates(
+    spark, two_file_table
+):
+    """A delete file targeting TWO data files survives a COW rewrite of
+    one of them (it still targets the other) — but its coordinates into
+    the removed file dangle. The delete rewrite drops exactly those."""
+    from cloudfloe_spark.sources.maintenance import (
+        rewrite_position_deletes,
+    )
+
+    root = two_file_table
+    delete_where(spark, root, "id IN (1, 7)", timestamp_ms=T1 + 1000)
+    delete_where(
+        spark, root, "id = 3", timestamp_ms=T1 + 2000, mode="copy-on-write"
+    )
+    snap = im.resolve_snapshot(root)
+    assert len(im.position_delete_paths(root, snap)) == 1  # still targets f2
+    pre = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in pre] == [0, 2, 4, 5, 6, 8, 9]
+
+    res = rewrite_position_deletes(spark, root, timestamp_ms=T1 + 3000)
+    assert res["rows_after"] == 1  # only id=7's coordinate is still live
+    post = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert post == pre
