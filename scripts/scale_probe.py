@@ -599,6 +599,23 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     timings["mor_delete_point_commit"] = round(time.perf_counter() - t0, 3)
     assert res["matched"] == 1000, res
 
+    # (e3) position-delete rewrite on the growing-file-count table with a
+    # FIXED number of small DML delete files: reads only the delete
+    # files + a metadata-scale key join, so it should stay ~flat.
+    from cloudfloe_spark.sources.maintenance import (
+        rewrite_position_deletes,
+    )
+
+    root = build_cdc_table(spark, n, out_dir)
+    for j in range(4):
+        delete_where(
+            spark, root, f"id = {j * 100}", timestamp_ms=_T0 + 1000 + j
+        )
+    t0 = time.perf_counter()
+    res = rewrite_position_deletes(spark, root, timestamp_ms=_T0 + 2000)
+    timings["rewrite_pos_deletes"] = round(time.perf_counter() - t0, 3)
+    assert res["files_before"] == 4 and res["files_after"] == 1, res
+
     # (f) z-order compaction of the 16n-file table: a whole-table rewrite
     # is linear by definition; this pins that the Morton machinery
     # (approxQuantile pass + map-side bucketing) adds no super-linear
