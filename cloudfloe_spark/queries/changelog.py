@@ -1031,6 +1031,70 @@ def stream_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_full_table_sync",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_UPDATE_COND}
+                    THEN n_chars + {_UPDATE_BUMP}
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND})
+    """,
+    tags=("iceberg", "dml", "merge"),
+)
+def merge_full_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica sync as ONE MERGE statement (r9 — VERDICT r08 #2): a
+    replica seeded from the PRE-DML state is mirrored to the primary's
+    current state by a single ``merge_into`` carrying all three clauses —
+    ``WHEN MATCHED`` updates, ``WHEN NOT MATCHED`` inserts, and the new
+    ``WHEN NOT MATCHED BY SOURCE`` deletes — in one atomic commit. The
+    final replica scan must equal the oracle's post-DML state of the
+    original documents table; ``cdc_replica_sync`` proves the same state
+    via changelog netting, this row proves the full-outer MERGE path.
+
+    Scale shape: one target MOR scan drives the matched join AND the
+    by-source anti-join; retractions are position deletes sized by the
+    non-matching row count; the commit is metadata-only.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root, _, _ = _fixture(spark, sf_dir)
+    parent = os.path.dirname(root)
+    replica = os.path.join(parent, "merge_replica")
+    done = os.path.join(parent, "_MERGE_REPLICA_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(replica, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(replica, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        src = _resolved(
+            spark,
+            f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{root}')",
+        )
+        merge_into(
+            spark,
+            replica,
+            src,
+            "doc_id",
+            when_matched={"lang": "s.lang", "n_chars": "s.n_chars"},
+            when_not_matched_by_source="delete",
+            timestamp_ms=_T0 + 5000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars FROM iceberg_scan('{replica}')",
+    )
+
+
+@register(
     "iceberg_view_scan",
     oracle="""
         SELECT lang, count(*) AS n_docs,
@@ -1097,6 +1161,188 @@ def iceberg_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
         f"FROM iceberg_view('{vroot}') GROUP BY lang",
+    )
+
+
+@register(
+    "iceberg_matview_incremental",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang IS NOT NULL AND NOT ({_DELETE_COND})
+        GROUP BY lang
+    """,
+    tags=("iceberg", "views", "matview", "cdc"),
+)
+def iceberg_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized-view refresh, aggregate shape (r9 —
+    VERDICT r08 #1, composing the CDC and matview surfaces): a per-lang
+    aggregate view is materialized, the base takes the standard DELETE +
+    UPDATE script, and the refresh applies ``iceberg_cdc`` deltas —
+    retract + recompute ONLY the touched groups — never re-running the
+    view. The builder asserts ``path == "incremental-agg"`` (a silent
+    full-refresh fallback fails the entry), and the final target scan
+    must hash-match the oracle's direct post-DML aggregate — i.e. the
+    full-refresh result.
+
+    Scale shape: the delta reads added + delete-referenced files only;
+    the recompute scans the base bounded by the touched keys' [min,max]
+    manifest pruning then exacted by a broadcast semi-join; the target
+    retraction/insert is |touched groups|-sized. A small DML on a 100-TB
+    base refreshes in delta-sized time (SCALING `matview_incremental`).
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mvinc{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_matview_inc", key)
+    root = os.path.join(parent, "t")
+    vroot = os.path.join(parent, "v")
+    troot = os.path.join(parent, "mv")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        # NULL group keys can't be key-retracted; the engine would fall
+        # back to full (sound) — keep the fixture NULL-free so this row
+        # PINS the incremental path
+        tbl = tbl.filter(pc.is_valid(tbl["lang"]))
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            f"FROM iceberg_scan('{root}') GROUP BY lang",
+            timestamp_ms=_T0 + 1000,
+        )
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 2000
+        )
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 3000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 4000,
+        )
+        res = refresh_materialized_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 5000
+        )
+        assert res["path"] == "incremental-agg", res
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, n_docs, sum_chars FROM iceberg_scan('{troot}')",
+    )
+
+
+@register(
+    "iceberg_matview_row_incremental",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN {_UPDATE_COND}
+                    THEN n_chars + {_UPDATE_BUMP}
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND})
+          AND (CASE WHEN {_UPDATE_COND}
+                    THEN n_chars + {_UPDATE_BUMP}
+                    ELSE n_chars END) >= 200
+    """,
+    tags=("iceberg", "views", "matview", "cdc"),
+)
+def iceberg_matview_row_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL refresh, row shape: a keyed projection/filter view
+    (``WHERE n_chars >= 200``, key doc_id) refreshes by projecting the
+    base changelog through the view's SELECT + WHERE and applying it with
+    ``apply_changelog`` — retractions by key, insertions appended, one
+    commit. The UPDATE can move rows across the filter boundary (bumped
+    rows join the slice); the oracle applies the same boundary to the
+    post-DML state, so a wrong filter-crossing transform hash-mismatches.
+    Builder asserts ``path == "incremental-row"``.
+
+    Scale shape: delta-file reads + a per-row projection of the delta +
+    broadcast-keys retraction against the manifest-pruned target — no
+    base rescan, no view recompute, no target rewrite.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mvrow{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_matview_row", key)
+    root = os.path.join(parent, "t")
+    vroot = os.path.join(parent, "v")
+    troot = os.path.join(parent, "mv")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT doc_id, n_chars FROM iceberg_scan('{root}') "
+            "WHERE n_chars >= 200",
+            timestamp_ms=_T0 + 1000,
+        )
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 2000,
+            key_cols=["doc_id"],
+        )
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 3000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 4000,
+        )
+        res = refresh_materialized_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 5000
+        )
+        assert res["path"] == "incremental-row", res
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, n_chars FROM iceberg_scan('{troot}')",
     )
 
 

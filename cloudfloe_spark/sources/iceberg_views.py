@@ -180,6 +180,191 @@ def replace_iceberg_view(root: str, sql: str, *, timestamp_ms: int) -> dict:
 # --- materialized views ------------------------------------------------------
 
 
+# --- incremental-refresh shape detection (r9, VERDICT r08 #1) -----------------
+#
+# A view qualifies for CHANGELOG-based refresh when it is a single-block
+# SELECT over exactly one iceberg_scan with no construct that makes a
+# row's/group's contribution depend on OTHER rows outside its group:
+#   row shape:  SELECT <exprs> FROM iceberg_scan('<root>') [WHERE <cond>]
+#   agg shape:  ... GROUP BY <plain columns also present in the output>
+# Everything else falls back to full refresh (sound-by-omission). The
+# detection is deliberately lexical-conservative: any blocked keyword at
+# ANY level (even where it might be benign) rejects, and the row shape is
+# re-verified at refresh time by checking the ANALYZED Spark plan for
+# Aggregate nodes, so an exotic aggregate function can never slip through
+# as a per-row projection.
+
+import re as _re
+
+_INCR_BLOCK = _re.compile(
+    r"(?i)\b(join|union|intersect|except|distinct|having|limit|order|"
+    r"lateral|pivot|unpivot|qualify|window|over|tablesample|values|with)\b"
+    r"|iceberg_view\s*\("
+    r"|\(\s*select\b"
+)
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _mask(sql: str, parens_too: bool) -> str:
+    """Same-length copy with string/quoted-identifier contents (and,
+    optionally, anything inside parentheses) blanked, so clause keywords
+    can be located positionally without a SQL parser."""
+    out = []
+    depth = 0
+    quote = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            out.append(" ")
+            if ch == quote:
+                if quote == "'" and i + 1 < n and sql[i + 1] == "'":
+                    out.append(" ")
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(" ")
+        elif ch == "(":
+            depth += 1
+            out.append("(")
+        elif ch == ")":
+            depth -= 1
+            out.append(")")
+        else:
+            out.append(ch if (depth == 0 or not parens_too) else " ")
+        i += 1
+    return "".join(out)
+
+
+def _split_top_commas(fragment: str) -> list[str]:
+    m = _mask(fragment, parens_too=True)
+    items, start = [], 0
+    for i, ch in enumerate(m):
+        if ch == ",":
+            items.append(fragment[start:i])
+            start = i + 1
+    items.append(fragment[start:])
+    return [it.strip() for it in items]
+
+
+def incremental_shape(sql: str) -> "dict | None":
+    """Parse a view definition into its incremental-refresh shape, or
+    ``None`` when only a full refresh is sound. Returns ``{"kind":
+    "row"|"agg", "base": root, "select": str, "where": str|None,
+    "group_base": [cols], "group_out": [output names]}``."""
+    sql = sql.strip().rstrip(";").strip()
+    smask = _mask(sql, parens_too=False)
+    if _INCR_BLOCK.search(smask):
+        return None
+    if "_change_type" in sql:
+        return None  # would collide with the changelog label column
+    tmask = _mask(sql, parens_too=True)
+    m_sel = _re.match(r"(?i)\s*select\b", tmask)
+    m_from = _re.search(r"(?i)\bfrom\b", tmask)
+    if not m_sel or not m_from:
+        return None
+    sel = sql[m_sel.end():m_from.start()].strip()
+    rest_at = m_from.end()
+    m_where = _re.search(r"(?i)\bwhere\b", tmask[rest_at:])
+    m_group = _re.search(r"(?i)\bgroup\s+by\b", tmask[rest_at:])
+    from_end = min(
+        x.start() + rest_at for x in (m_where, m_group) if x
+    ) if (m_where or m_group) else len(sql)
+    from_part = sql[rest_at:from_end]
+    m_scan = _re.match(
+        r"(?is)^\s*iceberg_scan\s*\(\s*'([^']+)'\s*\)\s*$", from_part
+    )
+    if not m_scan:
+        return None  # aliases, time travel, table functions: full refresh
+    base = m_scan.group(1).rstrip("/")
+    where = None
+    if m_where:
+        w_end = (
+            m_group.start() + rest_at
+            if m_group and m_group.start() > m_where.start()
+            else len(sql)
+        )
+        where = sql[m_where.end() + rest_at:w_end].strip() or None
+    group_base: list[str] = []
+    group_out: list[str] = []
+    if m_group:
+        gpart = sql[m_group.end() + rest_at:].strip()
+        items = _split_top_commas(sel)
+        by_expr: dict[str, str] = {}
+        for it in items:
+            m_alias = _re.match(
+                rf"(?is)^\s*({_IDENT})\s+as\s+({_IDENT})\s*$", it
+            )
+            m_bare = _re.match(rf"(?is)^\s*({_IDENT})\s*$", it)
+            if m_alias:
+                by_expr[m_alias.group(1).lower()] = m_alias.group(2)
+            elif m_bare:
+                by_expr[m_bare.group(1).lower()] = m_bare.group(1)
+        for g in _split_top_commas(gpart):
+            if not _re.match(rf"(?s)^{_IDENT}$", g):
+                return None  # GROUP BY expression: full refresh
+            out_name = by_expr.get(g.lower())
+            if out_name is None:
+                return None  # group key absent from the output: can't key
+            group_base.append(g)
+            group_out.append(out_name)
+        return {
+            "kind": "agg",
+            "base": base,
+            "select": sel,
+            "where": where,
+            "group_base": group_base,
+            "group_out": group_out,
+        }
+    if _re.search(r"(?<![\w.])\*", _mask(sel, parens_too=True)) and \
+            sel.strip() != "*":
+        return None  # mixed star projection: names would collide
+    return {
+        "kind": "row",
+        "base": base,
+        "select": sel,
+        "where": where,
+        "group_base": [],
+        "group_out": [],
+    }
+
+
+def _stamp_mv_property(
+    target_root: str,
+    *,
+    view_root: str,
+    view_version: int,
+    bases: dict,
+    timestamp_ms: int,
+    key_cols: "list[str] | None",
+) -> None:
+    """Record/refresh the freshness lineage in a table property — one
+    metadata version, O(1)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    meta = im.load_metadata(target_root)
+    rec = {
+        "view": view_root,
+        "view-version": view_version,
+        "bases": bases,
+        "refreshed-at-ms": timestamp_ms,
+    }
+    if key_cols:
+        rec["key-cols"] = list(key_cols)
+    meta.setdefault("properties", {})["cloudfloe.mv"] = json.dumps(
+        rec, sort_keys=True
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(target_root, meta)
+
+
 def _base_tables(sql: str) -> list[str]:
     """The iceberg_scan roots a view definition reads — the tables whose
     snapshots decide the materialization's freshness. Views referenced
@@ -226,7 +411,8 @@ def _run_view(spark, view_root: str):
 
 
 def _commit_materialization(
-    spark, view_root: str, target_root: str, *, timestamp_ms: int, first: bool
+    spark, view_root: str, target_root: str, *, timestamp_ms: int,
+    first: bool, key_cols: "list[str] | None" = None,
 ) -> dict:
     import glob as globmod
     import os as _os
@@ -276,23 +462,27 @@ def _commit_materialization(
         target_root, files, timestamp_ms=timestamp_ms
     )
     # rewrite commits carry no summary passthrough: stamp freshness in a
-    # metadata property instead (one more metadata version, still O(1))
-    from cloudfloe_spark.sources.iceberg_fixture import (
-        write_next_metadata_version,
+    # metadata property instead (one more metadata version, still O(1)).
+    # On a refresh of an existing target, preserve previously recorded
+    # key columns unless the caller supplied new ones.
+    if key_cols is None and not first:
+        try:
+            prior = json.loads(
+                (im.load_metadata(target_root).get("properties") or {}).get(
+                    "cloudfloe.mv", "{}"
+                )
+            )
+            key_cols = prior.get("key-cols")
+        except (ValueError, im.IcebergMetadataError):
+            key_cols = None
+    _stamp_mv_property(
+        target_root,
+        view_root=view_root,
+        view_version=version_id,
+        bases=fp,
+        timestamp_ms=timestamp_ms,
+        key_cols=key_cols,
     )
-
-    meta = im.load_metadata(target_root)
-    meta.setdefault("properties", {})["cloudfloe.mv"] = json.dumps(
-        {
-            "view": view_root,
-            "view-version": version_id,
-            "bases": fp,
-            "refreshed-at-ms": timestamp_ms,
-        },
-        sort_keys=True,
-    )
-    meta["last-updated-ms"] = timestamp_ms
-    write_next_metadata_version(target_root, meta)
     return {
         "snapshot_id": snap,
         "rows": sum(n for _, n in files),
@@ -330,21 +520,29 @@ def _spark_to_arrow(t: str):
 
 
 def materialize_iceberg_view(
-    spark, view_root: str, target_root: str, *, timestamp_ms: int
+    spark, view_root: str, target_root: str, *, timestamp_ms: int,
+    key_cols: "list[str] | None" = None,
 ) -> dict:
     """Materialize a view into a real Iceberg table (distributed Spark
     write, footer-only driver work): the target records the view
     version and every base table's snapshot id, so staleness is a
     metadata-only check (:func:`materialized_view_status`) — Iceberg's
     materialized-view direction (a storage table + freshness lineage),
-    jarless."""
+    jarless.
+
+    ``key_cols`` (r9): output columns that uniquely identify a row of
+    the view — recorded in the freshness property so later refreshes of
+    row-shaped views can apply changelog deltas instead of recomputing
+    (see :func:`refresh_materialized_view`). Aggregate views need no
+    keys (their GROUP BY columns are the key)."""
     if os.path.isdir(os.path.join(target_root, "metadata")):
         raise IcebergViewError(
             f"materialize: target {target_root} already exists — use "
             "refresh_materialized_view"
         )
     return _commit_materialization(
-        spark, view_root, target_root, timestamp_ms=timestamp_ms, first=True
+        spark, view_root, target_root, timestamp_ms=timestamp_ms,
+        first=True, key_cols=key_cols,
     )
 
 
@@ -377,16 +575,239 @@ def materialized_view_status(target_root: str) -> dict:
     }
 
 
+def _incremental_refresh(
+    spark, view_root: str, target_root: str, rec: dict,
+    *, timestamp_ms: int, key_cols: "list[str] | None",
+) -> "dict | None":
+    """Attempt a CHANGELOG-based refresh (r9, VERDICT r08 #1): for a
+    single-base view whose SQL is a projection/filter (row shape) or a
+    per-key aggregate (agg shape), apply ``iceberg_cdc(base,
+    recorded_snapshot, current)`` deltas to the target instead of
+    re-materializing — one small DML on a 100-TB base then costs
+    delta-sized work, not a view recompute. Returns ``None`` when only a
+    full refresh is sound (unsupported shape, multi-base view, expired or
+    compaction-crossed range, missing keys); the caller records which
+    path ran.
+
+    Scale shape, row: the delta reads only added + delete-referenced
+    files (the CDC view's pruning); the transform is a per-row projection
+    of the delta; the apply is ``apply_changelog``'s broadcast-keys
+    retraction + delta-sized insert. Agg: the recompute scans the base
+    ONLY where manifest stats admit the touched group keys' [min, max]
+    (a broadcast semi-join then exacts the groups), and the target
+    retraction/insert is |touched groups|-sized. Neither path ever
+    rewrites the target table."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.service.errors import CloudfloeError
+    from cloudfloe_spark.service.iceberg_local import (
+        _cdc_frame,
+        resolve_iceberg_reads,
+    )
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.maintenance import (
+        _sql_literal,
+        apply_changelog,
+    )
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    shape = incremental_shape(current_view_sql(view_root))
+    if shape is None:
+        return None
+    bases = rec.get("bases") or {}
+    if list(bases) != [shape["base"]]:
+        return None  # fingerprint/base mismatch: full refresh
+    from_id = bases[shape["base"]]
+    if not str(from_id).lstrip("-").isdigit():
+        return None  # base was unreadable at materialize time
+    base = shape["base"]
+    try:
+        to_id = im.resolve_snapshot(base)["snapshot-id"]
+    except im.IcebergMetadataError:
+        return None
+    if str(to_id) == str(from_id):
+        return None  # base unchanged; staleness came from elsewhere
+    keys = list(key_cols or rec.get("key-cols") or [])
+    if shape["kind"] == "row" and not keys:
+        return None  # row-level apply needs identifier columns
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    try:
+        delta = _cdc_frame(sess, base, str(from_id), str(to_id))
+    except (CloudfloeError, im.IcebergMetadataError):
+        return None  # expired range / compaction in range / eq-deletes
+    changelog_id = f"mv:{view_root}:{from_id}:{to_id}"
+    tmp = f"__cf_mv_delta_{uuid.uuid4().hex[:8]}"
+    delta.createOrReplaceTempView(tmp)
+    try:
+        if shape["kind"] == "row":
+            if shape["select"].strip() == "*":
+                sql = f"SELECT * FROM {tmp}"
+            else:
+                sql = f"SELECT {shape['select']}, _change_type FROM {tmp}"
+            if shape["where"]:
+                sql += f" WHERE {shape['where']}"
+            from pyspark.errors import AnalysisException
+
+            try:
+                changes = sess.sql(sql)
+                # belt-and-braces: the lexical guard already blocks
+                # grouping, but an aggregate smuggled through would
+                # corrupt the target (a GLOBAL aggregate usually fails
+                # analysis outright — `agg, _change_type` has no GROUP
+                # BY — which the except turns into the full path)
+                plan = changes._jdf.queryExecution().analyzed().toString()
+            except AnalysisException:
+                return None
+            if "Aggregate" in plan:
+                return None
+            missing = sorted(set(keys) - set(changes.columns))
+            if missing:
+                return None  # keys not produced by the view's output
+            res = apply_changelog(
+                sess, target_root, changes, keys,
+                timestamp_ms=timestamp_ms, changelog_id=changelog_id,
+            )
+            path = "incremental-row"
+        else:
+            gb, gout = shape["group_base"], shape["group_out"]
+            touched = delta.select(*gb).distinct().persist()
+            try:
+                null_cond = None
+                for g in gb:
+                    c = F.col(g).isNull()
+                    null_cond = c if null_cond is None else (null_cond | c)
+                if touched.filter(null_cond).limit(1).count():
+                    # a NULL group key can't be retracted by equi-join;
+                    # fall back to the always-sound full refresh
+                    return None
+                if touched.limit(1).count() == 0:
+                    res = {"snapshot_id": None, "retracted": 0,
+                           "inserted": 0}
+                else:
+                    # [min, max] of the touched keys as pushable literals
+                    # so manifest stats / partition pruning bound the
+                    # recompute scan (2-value driver fetch, metadata-scale
+                    # — same as the DML paths); the broadcast semi-join
+                    # below then exacts it to the touched groups
+                    bounds = touched.agg(
+                        *[
+                            f
+                            for g in gb
+                            for f in (
+                                F.min(g).alias(f"__lo_{g}"),
+                                F.max(g).alias(f"__hi_{g}"),
+                            )
+                        ]
+                    ).first()
+                    conjs = []
+                    for g in gb:
+                        lo = _sql_literal(bounds[f"__lo_{g}"])
+                        hi = _sql_literal(bounds[f"__hi_{g}"])
+                        if lo is not None and hi is not None:
+                            conjs.append(f"{g} >= {lo} AND {g} <= {hi}")
+                    scan_sql = f"SELECT * FROM iceberg_scan('{base}')"
+                    if conjs:
+                        scan_sql += " WHERE " + " AND ".join(conjs)
+                    restricted = sess.sql(
+                        resolve_iceberg_reads(sess, scan_sql)
+                    ).join(F.broadcast(touched), gb, "left_semi")
+                    rtmp = f"__cf_mv_groups_{uuid.uuid4().hex[:8]}"
+                    restricted.createOrReplaceTempView(rtmp)
+                    try:
+                        rsql = f"SELECT {shape['select']} FROM {rtmp}"
+                        if shape["where"]:
+                            rsql += f" WHERE {shape['where']}"
+                        rsql += " GROUP BY " + ", ".join(gb)
+                        recomputed = sess.sql(rsql)
+                        inserts = recomputed.withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                        # retraction rows: the touched keys under their
+                        # OUTPUT names; non-key columns are never read by
+                        # the apply's retraction side — NULL placeholders
+                        retract = touched.select(
+                            *[
+                                F.col(g).alias(o)
+                                for g, o in zip(gb, gout)
+                            ]
+                        )
+                        for f_ in recomputed.schema.fields:
+                            if f_.name not in gout:
+                                retract = retract.withColumn(
+                                    f_.name, F.lit(None).cast(f_.dataType)
+                                )
+                        changes = inserts.unionByName(
+                            retract.select(*recomputed.columns).withColumn(
+                                "_change_type", F.lit("delete")
+                            )
+                        )
+                        res = apply_changelog(
+                            sess, target_root, changes, gout,
+                            timestamp_ms=timestamp_ms,
+                            changelog_id=changelog_id,
+                        )
+                    finally:
+                        sess.catalog.dropTempView(rtmp)
+                path = "incremental-agg"
+            finally:
+                touched.unpersist()
+    finally:
+        sess.catalog.dropTempView(tmp)
+    _stamp_mv_property(
+        target_root,
+        view_root=view_root,
+        view_version=rec.get("view-version"),
+        bases={base: str(to_id)},
+        timestamp_ms=timestamp_ms,
+        key_cols=keys or None,
+    )
+    return {
+        "path": path,
+        "snapshot_id": res.get("snapshot_id"),
+        "retracted": res.get("retracted", 0),
+        "inserted": res.get("inserted", 0),
+        "applied_already": bool(res.get("skipped")),
+        "bases": {base: str(to_id)},
+    }
+
+
 def refresh_materialized_view(
-    spark, view_root: str, target_root: str, *, timestamp_ms: int
+    spark, view_root: str, target_root: str, *, timestamp_ms: int,
+    key_cols: "list[str] | None" = None, allow_incremental: bool = True,
 ) -> dict:
-    """Re-materialize iff stale (full refresh — the sound default for
-    arbitrary view SQL; incremental refresh for specific shapes is the
-    `apply_changelog` consumer loop). A fresh target returns
-    ``{"skipped": True}`` without running anything."""
+    """Refresh iff stale. When the view is a projection/filter or
+    per-key aggregate over ONE base table and the recorded base snapshot
+    is still changelog-reachable, the refresh applies ``iceberg_cdc``
+    deltas to the target (``path: "incremental-row" | "incremental-agg"``
+    in the result — r9, composing the r7/r8 CDC + matview surfaces);
+    otherwise it re-materializes (``path: "full"``), the sound default
+    for arbitrary SQL. A fresh target returns ``{"skipped": True}``
+    without running anything. Incremental applies are IDEMPOTENT under
+    retry (changelog-id keyed, like the streaming sink)."""
     status = materialized_view_status(target_root)
     if not status["stale"]:
         return {"skipped": True, "snapshot_id": None}
-    return _commit_materialization(
-        spark, view_root, target_root, timestamp_ms=timestamp_ms, first=False
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    raw = (im.load_metadata(target_root).get("properties") or {}).get(
+        "cloudfloe.mv"
     )
+    rec = json.loads(raw)
+    if (
+        allow_incremental
+        and status["view_version_current"] == status["view_version_recorded"]
+    ):
+        inc = _incremental_refresh(
+            spark, view_root, target_root, rec,
+            timestamp_ms=timestamp_ms, key_cols=key_cols,
+        )
+        if inc is not None:
+            return inc
+    out = _commit_materialization(
+        spark, view_root, target_root, timestamp_ms=timestamp_ms,
+        first=False, key_cols=key_cols,
+    )
+    out["path"] = "full"
+    return out

@@ -1472,6 +1472,8 @@ def merge_into(
     *,
     when_matched: "dict[str, str] | None" = None,
     insert_unmatched: bool = True,
+    when_not_matched_by_source: "str | dict[str, str] | None" = None,
+    not_matched_by_source_condition: "str | None" = None,
     timestamp_ms: int,
     rows_per_delete_file: int = 1_000_000,
     mode: str = "merge-on-read",
@@ -1502,6 +1504,24 @@ def merge_into(
     (match applied via one left join against the source) and committed
     as removed + replacements together with the unmatched-source
     inserts — no delete files, same trade as :func:`_cow_dml`.
+
+    ``when_not_matched_by_source`` (r9 — Spark/Iceberg MERGE's ``WHEN
+    NOT MATCHED BY SOURCE`` clause, the full-table-sync idiom): target
+    rows with NO source match are deleted (``"delete"``) or rewritten
+    with t.-side assignments (a dict, e.g. ``{"status": "'stale'"}``),
+    optionally gated by ``not_matched_by_source_condition`` (a boolean
+    SQL expression over ``t.`` columns; NULL keeps the row, like
+    WHERE). With ``"delete"`` + ``insert_unmatched`` + ``when_matched``
+    in one call, the target becomes an exact mirror of the source in a
+    single atomic commit — what ``replication.py`` previously emulated
+    with CDC netting.
+
+    Scale shape of the by-source clause: one extra left-anti join of
+    the SAME target scan against the source (broadcast when small) —
+    the retraction write is sized by the non-matching row count in
+    merge-on-read mode; copy-on-write additionally rewrites the files
+    holding those rows (for a true full sync that is most of the
+    table, which is inherent to the semantics, not the plan).
     """
     from pyspark.sql import functions as F
 
@@ -1535,6 +1555,33 @@ def merge_into(
     bad = sorted(set(when_matched) - set(tcols))
     if bad:
         raise ValueError(f"merge_into: unknown columns in when_matched: {bad}")
+    nms_assign: "dict[str, str] | None" = None
+    if when_not_matched_by_source is not None:
+        if isinstance(when_not_matched_by_source, str):
+            if when_not_matched_by_source != "delete":
+                raise ValueError(
+                    "merge_into: when_not_matched_by_source must be "
+                    "'delete' or an assignments dict, got "
+                    f"{when_not_matched_by_source!r}"
+                )
+        elif isinstance(when_not_matched_by_source, dict):
+            nms_assign = dict(when_not_matched_by_source)
+            bad = sorted(set(nms_assign) - set(tcols))
+            if bad:
+                raise ValueError(
+                    "merge_into: unknown columns in "
+                    f"when_not_matched_by_source: {bad}"
+                )
+        else:
+            raise ValueError(
+                "merge_into: when_not_matched_by_source must be "
+                "'delete' or an assignments dict"
+            )
+    elif not_matched_by_source_condition is not None:
+        raise ValueError(
+            "merge_into: not_matched_by_source_condition requires "
+            "when_not_matched_by_source"
+        )
 
     t = tdf.select(
         F.col(_FP).alias("__fp"),
@@ -1552,6 +1599,7 @@ def merge_into(
     # it the target scan + join re-executes four times (match-count-sized
     # cache, never table-sized)
     matched = t.join(s, cond, "inner").persist()
+    nms = None
     try:
         dup = (
             matched.groupBy(F.col("t.__fp"), F.col("t.__pos"))
@@ -1566,6 +1614,24 @@ def merge_into(
                 "deduplicate the source on the join key first"
             )
         n_matched = matched.count()
+
+        n_nms = 0
+        if when_not_matched_by_source is not None:
+            # persisted: feeds the count, the delete-position write and
+            # (for assignments) the rewritten-row write — sized by the
+            # non-matching row count, never re-scanning the target
+            nms = t.join(s, cond, "left_anti")
+            if not_matched_by_source_condition is not None:
+                nms = nms.filter(
+                    F.coalesce(
+                        F.expr(not_matched_by_source_condition).cast(
+                            "boolean"
+                        ),
+                        F.lit(False),
+                    )
+                )
+            nms = nms.persist()
+            n_nms = nms.count()
 
         rewritten = matched.select(
             *[
@@ -1582,9 +1648,23 @@ def merge_into(
             if insert_unmatched
             else None
         )
+        if nms is not None and nms_assign is not None and n_nms:
+            rewritten = rewritten.unionByName(
+                nms.select(
+                    *[
+                        F.expr(nms_assign[c])
+                        .cast(tdf.schema[c].dataType)
+                        .alias(c)
+                        if c in nms_assign
+                        else F.col(f"t.{c}").alias(c)
+                        for c in tcols
+                    ]
+                )
+            )
         n_inserted = inserts.count() if inserts is not None else 0
-        if n_matched == 0 and n_inserted == 0:
-            return {"matched": 0, "inserted": 0, "snapshot_id": None}
+        if n_matched == 0 and n_inserted == 0 and n_nms == 0:
+            return {"matched": 0, "inserted": 0, "snapshot_id": None,
+                    "not_matched_by_source": 0}
 
         if mode == "copy-on-write":
             # rewrite the matched rows' files (match re-applied via one
@@ -1598,6 +1678,11 @@ def merge_into(
                 _key(r[0])
                 for r in matched.select(F.col("t.__fp")).distinct().collect()
             }
+            if nms is not None and n_nms:
+                aff_keys |= {
+                    _key(r[0])
+                    for r in nms.select(F.col("t.__fp")).distinct().collect()
+                }
             affected = [p for p in paths if _key(p) in aff_keys]
             out_parts = []
             n_aff = 0
@@ -1621,23 +1706,40 @@ def merge_into(
                 for k in keys:
                     eq = F.col(f"t.{k}") == F.col(f"s.{k}")
                     cond2 = eq if cond2 is None else (cond2 & eq)
-                out_parts.append(
-                    df2.join(sm, cond2, "left").select(
-                        *[
-                            F.when(
-                                F.col("__cf_sm").isNotNull(),
-                                F.expr(when_matched[c]).cast(
-                                    tdf.schema[c].dataType
-                                ),
-                            )
-                            .otherwise(F.col(f"t.{c}"))
-                            .alias(c)
-                            if c in when_matched
-                            else F.col(f"t.{c}").alias(c)
-                            for c in tcols
-                        ]
-                    )
-                )
+                joined = df2.join(sm, cond2, "left")
+                nms_pred = None
+                if when_not_matched_by_source is not None:
+                    nms_pred = F.col("__cf_sm").isNull()
+                    if not_matched_by_source_condition is not None:
+                        nms_pred = nms_pred & F.coalesce(
+                            F.expr(
+                                not_matched_by_source_condition
+                            ).cast("boolean"),
+                            F.lit(False),
+                        )
+                if nms_pred is not None and nms_assign is None:
+                    joined = joined.filter(~nms_pred)
+
+                def _out_col(c):
+                    e = F.col(f"t.{c}")
+                    if nms_pred is not None and nms_assign is not None \
+                            and c in nms_assign:
+                        e = F.when(
+                            nms_pred,
+                            F.expr(nms_assign[c]).cast(
+                                tdf.schema[c].dataType
+                            ),
+                        ).otherwise(e)
+                    if c in when_matched:
+                        e = F.when(
+                            F.col("__cf_sm").isNotNull(),
+                            F.expr(when_matched[c]).cast(
+                                tdf.schema[c].dataType
+                            ),
+                        ).otherwise(e)
+                    return e.alias(c)
+
+                out_parts.append(joined.select(*[_out_col(c) for c in tcols]))
             if inserts is not None and n_inserted:
                 out_parts.append(inserts)
             out = out_parts[0]
@@ -1647,9 +1749,14 @@ def merge_into(
                 root, "data",
                 f"cow-merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
             )
-            n_rows_out = (
-                (n_aff + n_inserted) if n_aff is not None else None
-            )
+            n_rows_out = None
+            if n_aff is not None:
+                n_rows_out = n_aff + n_inserted - (
+                    n_nms
+                    if (when_not_matched_by_source is not None
+                        and nms_assign is None)
+                    else 0
+                )
             new_files = _write_data_files(
                 spark, root, meta_path, out, n_rows_out,
                 rows_per_delete_file, merge_dir,
@@ -1666,6 +1773,7 @@ def merge_into(
             return {
                 "matched": n_matched,
                 "inserted": n_inserted,
+                "not_matched_by_source": n_nms,
                 "snapshot_id": snap_id,
                 "files_rewritten": len(affected),
             }
@@ -1681,17 +1789,26 @@ def merge_into(
             return out
 
         delete_files: list[tuple[str, int]] = []
-        if n_matched:
+        n_del = n_matched + n_nms
+        if n_del:
             del_dir = os.path.join(
                 root, "data",
                 f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
             )
-            n_files = max(1, -(-n_matched // rows_per_delete_file))
-            (
-                matched.select(
-                    F.col("t.__fp").alias("file_path"),
-                    F.col("t.__pos").alias("pos"),
+            positions = matched.select(
+                F.col("t.__fp").alias("file_path"),
+                F.col("t.__pos").alias("pos"),
+            )
+            if nms is not None and n_nms:
+                positions = positions.unionByName(
+                    nms.select(
+                        F.col("t.__fp").alias("file_path"),
+                        F.col("t.__pos").alias("pos"),
+                    )
                 )
+            n_files = max(1, -(-n_del // rows_per_delete_file))
+            (
+                positions
                 .repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
                 .sortWithinPartitions("file_path", "pos")
                 .write.mode("errorifexists")
@@ -1703,12 +1820,17 @@ def merge_into(
         merge_dir = os.path.join(
             root, "data", f"merge-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
         )
+        n_rewrite = n_matched + n_inserted + (
+            n_nms if nms_assign is not None else 0
+        )
         new_files = _write_data_files(
-            spark, root, meta_path, out, n_matched + n_inserted,
+            spark, root, meta_path, out, n_rewrite,
             rows_per_delete_file, merge_dir,
         )
     finally:
         matched.unpersist()
+        if nms is not None:
+            nms.unpersist()
 
     snap_id = commit_row_delta_snapshot(
         root,
@@ -1719,7 +1841,8 @@ def merge_into(
         summary_extra=summary_extra,
         parent_ref=ref,
     )
-    return {"matched": n_matched, "inserted": n_inserted, "snapshot_id": snap_id}
+    return {"matched": n_matched, "inserted": n_inserted,
+            "not_matched_by_source": n_nms, "snapshot_id": snap_id}
 
 
 _ICEBERG_TO_ARROW = {
