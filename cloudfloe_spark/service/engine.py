@@ -439,9 +439,30 @@ def _probe_parquet(local: str) -> tuple[int, int]:
 # --- A11: connection test -------------------------------------------------------
 
 
+def _reject_unimplemented_catalog(config: Optional[ConnectionConfig]) -> None:
+    """catalogType 'glue' is accepted by the config model for wire
+    compatibility (the reference accepts it too, `backend/main.py:151`,
+    and then silently falls through to path reads). r9: fail EXPLICITLY
+    instead — a silent dead-end costs a user a debugging session; a 501
+    with guidance costs them one retry."""
+    if config is not None and config.catalogType == "glue":
+        from cloudfloe_spark.service.errors import CloudfloeError
+
+        raise CloudfloeError(
+            501,
+            "catalogType 'glue' is not implemented. Use catalogType "
+            "'rest' with catalogEndpoint, or query the table directly "
+            "via tablePath / iceberg_scan('<table root>').",
+        )
+
+
 def run_connection_test(spark, config: ConnectionConfig) -> Optional[TableInfo]:
     """Branching per `backend/main.py:529-564`; returns ``None`` on failure
-    (details logged, not leaked — `backend/main.py:533-537`)."""
+    (details logged, not leaked — `backend/main.py:533-537`). An
+    unimplemented catalogType raises 501 BEFORE the swallow-to-None guard:
+    'connection failed' would be the wrong diagnosis for 'feature
+    missing'."""
+    _reject_unimplemented_catalog(config)
     try:
         sess = request_session(spark, config)
         if config.catalogType == "rest" and config.catalogEndpoint:
@@ -542,6 +563,7 @@ def run_query(
     rewrites' ``cf_*`` temp views cannot leak across requests."""
     t0 = time.perf_counter()
     validate_statement_shape(sql)
+    _reject_unimplemented_catalog(config)
     sess = request_session(spark, config)
 
     guard_root = None

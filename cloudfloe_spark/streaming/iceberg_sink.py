@@ -80,6 +80,45 @@ def committed_batches(root: str) -> set[tuple[Optional[str], int]]:
     return out
 
 
+_CUTOVER_PROP = "cloudfloe.sink.format-cutover"
+
+
+def _format_cutover(root: str) -> bool:
+    """True once any post-upgrade sink run has committed a (queryId,
+    epochId)-stamped batch (r9, VERDICT r08 #3-of-'wrong'): from that
+    point legacy (None, epoch) summaries stop deduping ANYONE — they can
+    only predate the cutover, and honoring them forever would silently
+    skip a second query's genuine batch whose epoch number happens to
+    collide (epochs restart at 0 per query)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    try:
+        meta = im.load_metadata(root)
+    except im.IcebergMetadataError:
+        return False
+    return _CUTOVER_PROP in (meta.get("properties") or {})
+
+
+def _stamp_format_cutover(root: str, qid: str, timestamp_ms: int) -> None:
+    """One-time table property marking the first new-format commit; a
+    single extra metadata version, idempotent under races/retries."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    meta = im.load_metadata(root)
+    props = meta.setdefault("properties", {})
+    if _CUTOVER_PROP in props:
+        return
+    props[_CUTOVER_PROP] = json.dumps(
+        {"first-query-id": qid, "stamped-at-ms": timestamp_ms},
+        sort_keys=True,
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+
+
 def append_stream_to_iceberg(
     sdf: DataFrame,
     root: str,
@@ -101,6 +140,13 @@ def append_stream_to_iceberg(
     )
 
     seen = committed_batches(root)
+    # Legacy (None, epoch) summaries dedup ONLY until the first new-format
+    # commit stamps the cutover property: legacy tables had one writer per
+    # epoch, so the FIRST post-upgrade run resuming a pre-upgrade
+    # checkpoint must treat its replayed epoch as committed — but once any
+    # new-format commit exists, a (None, epoch) match is more likely a
+    # SECOND query's colliding epoch number, which must land (r9).
+    honor_legacy = not _format_cutover(root)
     stats = {"batches": 0, "skipped": 0}
     resolved: dict[str, str] = {}
 
@@ -118,11 +164,9 @@ def append_stream_to_iceberg(
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         qid = _qid()
-        # (None, epoch) covers pre-(queryId, epochId)-format snapshots that
-        # recorded only the epoch: legacy tables had at most one writer per
-        # epoch, so a restart from a pre-upgrade checkpoint must treat the
-        # replayed epoch as committed rather than double-commit it.
-        if (qid, epoch_id) in seen or (None, epoch_id) in seen:
+        if (qid, epoch_id) in seen or (
+            honor_legacy and (None, epoch_id) in seen
+        ):
             stats["skipped"] += 1
             return
         # dir keyed by (query, epoch): a SECOND query's epoch 0 must not
@@ -155,6 +199,7 @@ def append_stream_to_iceberg(
                 "streaming-query-id": qid,
             },
         )
+        _stamp_format_cutover(root, qid, timestamp_ms + epoch_id)
         seen.add((qid, epoch_id))
         stats["batches"] += 1
 
@@ -206,6 +251,7 @@ def upsert_stream_to_iceberg(
 
     kcols = [keys] if isinstance(keys, str) else list(keys)
     seen = committed_batches(root)
+    honor_legacy = not _format_cutover(root)  # see append sink (r9)
     stats = {"batches": 0, "skipped": 0}
     resolved: dict[str, str] = {}
 
@@ -218,7 +264,9 @@ def upsert_stream_to_iceberg(
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         qid = _qid()
-        if (qid, epoch_id) in seen or (None, epoch_id) in seen:
+        if (qid, epoch_id) in seen or (
+            honor_legacy and (None, epoch_id) in seen
+        ):
             stats["skipped"] += 1
             return
         batch = batch_df.dropDuplicates(kcols)
@@ -240,6 +288,7 @@ def upsert_stream_to_iceberg(
         )
         if res["snapshot_id"] is None:
             return  # empty batch: re-applying on replay is a no-op
+        _stamp_format_cutover(root, qid, timestamp_ms + epoch_id)
         seen.add((qid, epoch_id))
         stats["batches"] += 1
 

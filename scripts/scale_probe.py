@@ -456,6 +456,31 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
         timestamp_ms=_T0 + 2000,
     )
 
+    # ... warm the incremental matview-refresh path too (CDC frame +
+    # touched-group recompute + apply all compile once):
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view as _civ,
+        materialize_iceberg_view as _miv,
+        refresh_materialized_view as _rmv,
+    )
+
+    _wp = os.path.dirname(wroot)
+    _civ(
+        os.path.join(_wp, "v"),
+        f"SELECT k, COUNT(*) AS n FROM iceberg_scan('{wroot}') GROUP BY k",
+        timestamp_ms=_T0 + 3000,
+    )
+    _miv(
+        spark, os.path.join(_wp, "v"), os.path.join(_wp, "mv"),
+        timestamp_ms=_T0 + 3100,
+    )
+    delete_where(spark, wroot, "id = 5", timestamp_ms=_T0 + 3200)
+    _wres = _rmv(
+        spark, os.path.join(_wp, "v"), os.path.join(_wp, "mv"),
+        timestamp_ms=_T0 + 3300,
+    )
+    assert _wres["path"] == "incremental-agg", _wres
+
     # ... and warm the STREAMING-source path the same way (python
     # data-source worker spawn + stream-engine startup are one-time):
     import tempfile as _tf
@@ -628,6 +653,94 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
         spark, root, timestamp_ms=_T0 + 1000, zorder_by=["id", "v"],
     )
     timings["zorder_compact_full"] = round(time.perf_counter() - t0, 3)
+
+    # (g) INCREMENTAL matview refresh (r9, VERDICT r08 #1) on a table
+    # whose file count grows with n, after a FIXED-size point DML: the
+    # refresh must track the DELTA (CDC reads only touched files; the agg
+    # recompute prunes to the touched groups' [min,max] files; the row
+    # apply retracts against the bounds-pruned target) — ~flat 1x→8x,
+    # while a full refresh would grow linearly with the table.
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+
+    def build_mv_table(tag: str) -> str:
+        import numpy as np
+        import pyarrow as pa
+
+        from cloudfloe_spark.sources.iceberg_fixture import (
+            LocalIcebergTable,
+        )
+
+        parent = os.path.join(out_dir, f"mv_{tag}_x{n}")
+        shutil.rmtree(parent, ignore_errors=True)
+        mroot = os.path.join(parent, "t")
+        mt = LocalIcebergTable(
+            mroot,
+            pa.schema(
+                [("id", pa.int64()), ("g", pa.int64()), ("v", pa.float64())]
+            ),
+        )
+        tables = []
+        for j in range(_CDC_BASE_FILES * n):
+            ids = np.arange(
+                j * _CDC_FILE_ROWS, (j + 1) * _CDC_FILE_ROWS, dtype="int64"
+            )
+            # g is file-clustered (one value per file) so the touched
+            # groups' bounds prune the recompute scan — the layout a
+            # partitioned/sorted 100-TB table gives for free
+            tables.append(
+                pa.table(
+                    {
+                        "id": ids,
+                        "g": ids // _CDC_FILE_ROWS,
+                        "v": (ids % 97).astype("float64"),
+                    }
+                )
+            )
+        mt.append_snapshot(tables, timestamp_ms=_T0)
+        return parent, mroot
+
+    parent, mroot = build_mv_table("agg")
+    create_iceberg_view(
+        os.path.join(parent, "v"),
+        f"SELECT g, COUNT(*) AS n_rows, SUM(v) AS sum_v "
+        f"FROM iceberg_scan('{mroot}') GROUP BY g",
+        timestamp_ms=_T0 + 500,
+    )
+    materialize_iceberg_view(  # one-time build, untimed
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 600,
+    )
+    delete_where(spark, mroot, "id < 1000", timestamp_ms=_T0 + 1000)
+    t0 = time.perf_counter()
+    res = refresh_materialized_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 2000,
+    )
+    timings["matview_incremental_agg"] = round(time.perf_counter() - t0, 3)
+    assert res["path"] == "incremental-agg", res
+
+    parent, mroot = build_mv_table("row")
+    create_iceberg_view(
+        os.path.join(parent, "v"),
+        f"SELECT id, g, v FROM iceberg_scan('{mroot}') WHERE v >= 0",
+        timestamp_ms=_T0 + 500,
+    )
+    materialize_iceberg_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 600, key_cols=["id"],
+    )
+    delete_where(spark, mroot, "id < 500", timestamp_ms=_T0 + 1000)
+    t0 = time.perf_counter()
+    res = refresh_materialized_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 2000,
+    )
+    timings["matview_incremental_row"] = round(time.perf_counter() - t0, 3)
+    assert res["path"] == "incremental-row", res
     return timings
 
 

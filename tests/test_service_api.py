@@ -117,6 +117,28 @@ def test_query_roundtrip(api, sf_dir):
     assert body["truncated"] is False
 
 
+def test_glue_catalog_type_returns_explicit_501(api, sf_dir):
+    """r9 (VERDICT r08 #7): catalogType 'glue' is accepted by the config
+    model for wire parity but implemented by nothing — the API must say
+    so explicitly (501 + guidance) on BOTH query and connection-test
+    routes, instead of the reference's silent fall-through."""
+    conn = {
+        "storageType": "s3",
+        "endpoint": "https://example.invalid",
+        "accessKey": "k",
+        "secretKey": "s",
+        "catalogType": "glue",
+    }
+    status, body = _post(
+        api, "/api/query", {"sql": "SELECT 1 AS one", "connection": conn}
+    )
+    assert status == 501
+    assert "glue" in body["detail"] and "not implemented" in body["detail"]
+    assert "rest" in body["detail"]  # the guidance half
+    status, body = _post(api, "/api/connect/test", {"connection": conn})
+    assert status == 501 and "glue" in body["detail"]
+
+
 def test_query_write_rejected_400(api):
     status, body = _post(
         api,

@@ -198,6 +198,58 @@ def test_legacy_epoch_only_summary_dedups_replay(spark, seeded_table, tmp_path):
     assert _read_ids(spark, root) == [0, 100]
 
 
+def test_format_cutover_stops_legacy_dedup_for_later_queries(
+    spark, seeded_table, tmp_path
+):
+    """r9 (VERDICT r08 'wrong' #3): once any new-format (queryId,
+    epochId) commit stamps the ``cloudfloe.sink.format-cutover`` table
+    property, legacy (None, epoch) summaries stop deduping — a SECOND
+    query whose epoch number collides with a legacy-only summary must
+    COMMIT (pre-fix it silently skipped the batch forever)."""
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.streaming.iceberg_sink import _format_cutover
+
+    root = seeded_table
+    # legacy epoch-0 summary (pre-upgrade writer, no query id)
+    p = os.path.join(root, "data", "legacy-epoch0.parquet")
+    pq.write_table(pa.table({"id": [100], "v": ["legacy"]}), p)
+    commit_row_delta_snapshot(
+        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 500,
+        summary_extra={"streaming-epoch-id": "0"},
+    )
+    assert not _format_cutover(root)
+
+    # query 1 resumes the legacy lineage: epoch 0 replay dedups (the
+    # sanctioned pre-cutover behavior), epoch 1 commits AND stamps the
+    # cutover property
+    src1 = _source_dir(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    stats1 = append_stream_to_iceberg(
+        _stream(spark, src1), root,
+        checkpoint_dir=str(tmp_path / "ck1"), timestamp_ms=T1 + 1000,
+    )
+    assert stats1 == {"batches": 1, "skipped": 1}
+    assert _format_cutover(root)
+    assert _read_ids(spark, root) == [0, 2, 100]
+
+    # query 2 (fresh checkpoint) starts at epoch 0 — which only a LEGACY
+    # summary recorded. Post-cutover it must land, not silently skip.
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2, exist_ok=True)
+    spark.createDataFrame([(7, "q2")], "id LONG, v STRING").coalesce(
+        1
+    ).write.mode("append").parquet(src2)
+    stats2 = append_stream_to_iceberg(
+        _stream(spark, src2), root,
+        checkpoint_dir=str(tmp_path / "ck2"), timestamp_ms=T1 + 2000,
+    )
+    assert stats2 == {"batches": 1, "skipped": 0}
+    assert _read_ids(spark, root) == [0, 2, 7, 100]
+
+
 def test_unreadable_stream_metadata_raises_not_guesses(tmp_path):
     """ADVICE r7: <checkpoint>/metadata EXISTS but is unreadable → raise,
     never silently fall back to the path key (a key that flips between
