@@ -9,6 +9,8 @@ and each has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1307,6 +1309,35 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_N_QTERMS = 5
 _BM25_TOP_DOCS = 20
+
+#: Persist the shared tf subtree only above this input size (r9, VERDICT
+#: r08 #3): measured 1x-8x of sf0.1, the persist never won below ~5 MB
+#: (see text_bm25_topk docstring; SCALING.md `bm25_persist_gate`) — the
+#: threshold sits well beyond the measured no-win range, where the
+#: corpus-sized cost of re-deriving the subtree provably dominates the
+#: one aggregate-sized materialization.
+_BM25_PERSIST_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _bm25_should_persist(d) -> bool:
+    """True when the documents input is big enough that materializing the
+    tf subtree beats re-deriving it, or when sizes are unknowable (remote
+    storage — at real scale, always persist). Driver-side file metadata
+    only; no Spark action."""
+    import re as _re
+
+    total = 0
+    for p in d.inputFiles():
+        local = _re.sub(r"^file:(//)?", "", p)
+        if not local.startswith("/"):
+            return True  # non-local scheme: assume big
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return True
+        if total >= _BM25_PERSIST_MIN_BYTES:
+            return True
+    return total >= _BM25_PERSIST_MIN_BYTES
 _LTOKS_SQL = (
     "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), w -> w <> '')"
 )
@@ -1376,21 +1407,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every input derives from the SAME (doc, term) tf aggregate
     subtree (dl = Σtf per doc, corpus term frequency = Σtf per term, df =
-    tf row count per term). The subtree is PERSISTED (r8, VERDICT r07 #6):
-    AQE's ReuseExchange served only 3 of the 5 derivations because the
-    first two leaf stages submit concurrently and race past the reuse
-    check — an explicit persist makes the corpus tokenize + tf shuffle
-    run EXACTLY once, deterministically, with every derivation reading
-    the cache (MEMORY_AND_DISK: spills, never OOMs; the cached set is the
-    aggregated (doc, term, tf) triple, smaller than the token stream it
-    replaces). The query-term table is LIMIT-5
-    tiny and broadcast, so per-doc scoring touches only rows whose term is
-    a query term (the broadcast join prunes ~|vocab - q|/|vocab| of the tf
-    table before any arithmetic); the final top-k is a
-    TakeOrderedAndProject(20), never a full sort, and the rank is stamped
-    AFTER the limit so the row_number window sees 20 rows, not the corpus.
-    Ordering is on the ROUNDED score (both engines) so the rank-boundary
-    pick is ulp-stable cross-engine.
+    tf row count per term). The subtree is persisted ONLY above an input-
+    size gate (r9, VERDICT r08 #3 quantifying the r07 #6 trade): measured
+    at 1x/4x/8x of sf0.1 (0.6-4.5 MB), the unconditional r8 persist LOST
+    19% at 1x and converged to a wash by 8x (persist 2.26/2.46/2.71 s vs
+    2 1.89/2.40/2.67 s, min-of-2 interleaved) — at toy scale the
+    materialization costs more than the ≤4 subtree re-derivations it
+    saves, while the deficit shrinks as the corpus grows (the re-derived
+    tokenize+shuffle is corpus-sized; the persist cost is one aggregate-
+    sized write). Below ``_BM25_PERSIST_MIN_BYTES`` the plan runs
+    unpersisted (AQE ReuseExchange still serves most derivations; worst
+    case re-derives a small subtree); above it — or when input sizes are
+    unknowable (remote storage) — the persist makes the corpus tokenize +
+    tf shuffle run EXACTLY once, deterministically (MEMORY_AND_DISK:
+    spills, never OOMs; the cached set is the aggregated (doc, term, tf)
+    triple, smaller than the token stream it replaces; blocks are freed
+    by the ContextCleaner when the plan is GC'd). The query-term table is
+    LIMIT-5 tiny and broadcast, so per-doc scoring touches only rows
+    whose term is a query term (the broadcast join prunes
+    ~|vocab - q|/|vocab| of the tf table before any arithmetic); the
+    final top-k is a TakeOrderedAndProject(20), never a full sort, and
+    the rank is stamped AFTER the limit so the row_number window sees 20
+    rows, not the corpus. Ordering is on the ROUNDED score (both
+    engines) so the rank-boundary pick is ulp-stable cross-engine.
     """
     # The isNotNull pre-filter matches what the doc_id equi-joins push down
     # anyway; stamping it on the shared scan keeps every tf branch
@@ -1400,7 +1439,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("double").alias("tf")
-    ).persist()
+    )
+    if _bm25_should_persist(d):
+        tf = tf.persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")

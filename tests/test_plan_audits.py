@@ -589,26 +589,43 @@ def test_pca_iterations_corpus_independent(spark, sf_dir):
     assert plan.count("Scan parquet") <= 1, plan
 
 
-def test_bm25_single_tf_pass_and_takeordered(spark, sf_dir):
-    """text_bm25_topk (r8, VERDICT r07 #6): the (doc, term) tf subtree is
-    persisted, so the corpus parquet scan and the tokenize+tf shuffle run
-    EXACTLY once, deterministically — every derivation reads
-    InMemoryTableScan; a parquet scan may appear only INSIDE the
-    InMemoryRelation definition (the cache's stored plan), never outside
-    it. The top-20 must plan as TakeOrderedAndProject, never a global
-    sort; the query-term/df sides broadcast. Run TWICE: the shape must
-    hold on both the cache-filling and the cache-warm execution (the old
-    AQE ReusedExchange shape was racy across runs)."""
-    for _ in range(2):
-        df = CATALOG["text_bm25_topk"].fn(spark, sf_dir)
-        df.collect()  # AQE: final plan exists only after the plan's own action
-        plan = executed_plan(df, "simple")
-        assert "InMemoryTableScan" in plan, plan
-        first_file_scan = plan.find("Scan parquet")
-        if first_file_scan != -1:
-            assert 0 <= plan.find("InMemoryRelation") < first_file_scan, plan
-        assert "TakeOrderedAndProject" in plan, plan
-        assert has_broadcast_join(df)
+def test_bm25_small_input_skips_persist_large_input_caches(
+    spark, sf_dir, monkeypatch
+):
+    """text_bm25_topk (r9, VERDICT r08 #3 quantifying the r07 #6 trade):
+    the tf persist is GATED on input size. At test scale (≤ the measured
+    no-win range) the plan must run UNPERSISTED — no InMemoryRelation, no
+    cache entry left behind — while still planning the deterministic
+    invariants (TakeOrderedAndProject top-k, broadcast q-term sides).
+    With the gate forced open (threshold→0, the big-corpus branch), the
+    r8 shape holds: every derivation reads InMemoryTableScan, a parquet
+    scan appears only INSIDE the InMemoryRelation definition, stable
+    across cache-filling and cache-warm executions."""
+    from cloudfloe_spark.queries import text as text_mod
+
+    # small-input branch (the real sf dir is ~0.6 MB)
+    df = CATALOG["text_bm25_topk"].fn(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df, "simple")
+    assert "InMemoryRelation" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df)
+
+    # forced-large branch: the persist path and its determinism contract
+    monkeypatch.setattr(text_mod, "_BM25_PERSIST_MIN_BYTES", 0)
+    try:
+        for _ in range(2):
+            df = CATALOG["text_bm25_topk"].fn(spark, sf_dir)
+            df.collect()  # AQE: final plan exists after the plan's action
+            plan = executed_plan(df, "simple")
+            assert "InMemoryTableScan" in plan, plan
+            first_file_scan = plan.find("Scan parquet")
+            if first_file_scan != -1:
+                assert 0 <= plan.find("InMemoryRelation") < first_file_scan, plan
+            assert "TakeOrderedAndProject" in plan, plan
+            assert has_broadcast_join(df)
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_stratified_split_one_corpus_shuffle(spark, sf_dir):
