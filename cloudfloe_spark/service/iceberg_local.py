@@ -367,6 +367,7 @@ def _snapshot_view(
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        df = _stats_broadcast_hint(sess, df, root, snap, metadata_path)
     else:  # legitimate empty snapshot — zero rows, correct columns
         df = sess.createDataFrame(
             [],
@@ -374,6 +375,96 @@ def _snapshot_view(
         )
     df.createOrReplaceTempView(name)
     return name
+
+
+def _ndv_stats(root: str, metadata_path, snapshot_id) -> "dict | None":
+    """The ANALYZE sidecar (``cloudfloe-ndv-json-v1``, written by
+    ``maintenance.analyze_iceberg_table``) registered for EXACTLY this
+    snapshot id, or None. The exact-snapshot match is the staleness
+    guard: stats from any other snapshot never drive a decision."""
+    try:
+        meta = im.load_metadata(root, metadata_path)
+    except im.IcebergMetadataError:
+        return None
+    for rec in reversed(meta.get("statistics") or []):
+        if rec.get("snapshot-id") != snapshot_id:
+            continue
+        p = str(rec.get("statistics-path") or "")
+        if p.startswith("file://"):
+            p = p[7:]
+        try:
+            with open(p) as fh:
+                import json as _json
+
+                return _json.load(fh)
+        except (OSError, ValueError):
+            return None
+    return None
+
+
+def _stats_broadcast_estimate(
+    root: str, snap: dict, metadata_path
+) -> "tuple[int, int] | None":
+    """(live row count, estimated scan bytes) from ANALYZE stats +
+    manifest byte sizes, or None when either half is missing. The row
+    count is the sidecar's (computed merge-on-read-APPLIED, so delete
+    files are accounted for — the case Spark's file-size heuristic gets
+    wrong: a dimension with most rows deleted still LOOKS file-big);
+    bytes/row comes from the manifests' file_size_in_bytes /
+    record_count."""
+    stats = _ndv_stats(root, metadata_path, snap.get("snapshot-id"))
+    if not stats or not isinstance(stats.get("row-count"), int):
+        return None
+    total_bytes = 0
+    total_records = 0
+    for f in im.live_data_files(root, snap):
+        b, r = f.get("file_size_in_bytes"), f.get("record_count")
+        if b is None or r is None:
+            return None  # incomplete manifests: no estimate (sound)
+        total_bytes += int(b)
+        total_records += int(r)
+    if total_records <= 0:
+        return (stats["row-count"], 0)
+    est = int(stats["row-count"] * (total_bytes / total_records))
+    return (stats["row-count"], est)
+
+
+def _broadcast_threshold_bytes(sess) -> int:
+    raw = sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    s = str(raw or "-1").strip().lower()
+    mult = 1
+    for suf, m in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
+
+def _stats_broadcast_hint(sess, df, root, snap, metadata_path):
+    """Stats-DRIVEN broadcast (r9, VERDICT r08 #4): when ANALYZE stats
+    for the exact snapshot say the merge-on-read-applied relation fits
+    under ``spark.sql.autoBroadcastJoinThreshold``, stamp a broadcast
+    hint on the scan view. Without it, a jarless Iceberg read plans as a
+    union of file scans under an anti-join, whose static sizeInBytes
+    estimate tracks FILE bytes — a small dimension whose files are
+    mostly dead rows plans as a shuffle join until AQE happens to
+    notice. The hint is advisory: Spark ignores it where a broadcast is
+    illegal (e.g. the preserved side of an outer join)."""
+    est = _stats_broadcast_estimate(root, snap, metadata_path)
+    if est is None:
+        return df
+    threshold = _broadcast_threshold_bytes(sess)
+    if threshold > 0 and est[1] <= threshold:
+        return df.hint("broadcast")
+    return df
 
 
 def _apply_position_deletes(sess, data, delete_paths: list[str]):
@@ -1488,6 +1579,33 @@ def _scan_plan_view(sess, root: str, predicate: str | None) -> str:
                 "applied when present",
             )
         )
+        # r9 (VERDICT r08 #4): surface the ANALYZE-stats planning input —
+        # the row count and byte estimate the broadcast decision reads,
+        # and whether this scan would be hinted broadcast-eligible.
+        est = _stats_broadcast_estimate(root, snap, mp)
+        if est is None:
+            rows.append(
+                (
+                    "stats_broadcast_estimate",
+                    None,
+                    None,
+                    "no ANALYZE statistics registered for the current "
+                    "snapshot — broadcast eligibility falls back to "
+                    "Spark's file-size heuristic / AQE",
+                )
+            )
+        else:
+            rows.append(
+                (
+                    "stats_broadcast_estimate",
+                    est[0],
+                    est[1],
+                    "ANALYZE row-count (merge-on-read-applied) x manifest "
+                    "avg row bytes; scans at or under "
+                    "spark.sql.autoBroadcastJoinThreshold are hinted "
+                    "broadcast (files column = live rows)",
+                )
+            )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("scanplan", root, (predicate,))

@@ -628,8 +628,8 @@ def _incremental_refresh(
     if str(to_id) == str(from_id):
         return None  # base unchanged; staleness came from elsewhere
     keys = list(key_cols or rec.get("key-cols") or [])
-    if shape["kind"] == "row" and not keys:
-        return None  # row-level apply needs identifier columns
+    # (keyless row views still qualify when the range turns out to be
+    # append-only — checked below once the delta frame exists)
 
     sess = spark.newSession()
     ensure_runtime_conf(sess)
@@ -662,14 +662,41 @@ def _incremental_refresh(
                 return None
             if "Aggregate" in plan:
                 return None
-            missing = sorted(set(keys) - set(changes.columns))
-            if missing:
-                return None  # keys not produced by the view's output
-            res = apply_changelog(
-                sess, target_root, changes, keys,
-                timestamp_ms=timestamp_ms, changelog_id=changelog_id,
-            )
-            path = "incremental-row"
+            if not keys:
+                # keyless views can still refresh an APPEND-ONLY range:
+                # no retractions to key, the transformed inserts just
+                # land (the event-stream matview case). Any retraction
+                # SURVIVING the view's WHERE → full refresh (can't
+                # retract without keys); retractions the filter excludes
+                # were never in the target and are correctly ignored.
+                has_retraction = (
+                    changes.filter(
+                        F.col("_change_type").isin(
+                            "delete", "update_preimage"
+                        )
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if has_retraction:
+                    return None
+                # apply_changelog's key argument only drives retraction
+                # matching (none here) and presence validation
+                keys_for_apply = [changes.columns[0]]
+                res = apply_changelog(
+                    sess, target_root, changes, keys_for_apply,
+                    timestamp_ms=timestamp_ms, changelog_id=changelog_id,
+                )
+                path = "incremental-row-append"
+            else:
+                missing = sorted(set(keys) - set(changes.columns))
+                if missing:
+                    return None  # keys not produced by the view's output
+                res = apply_changelog(
+                    sess, target_root, changes, keys,
+                    timestamp_ms=timestamp_ms, changelog_id=changelog_id,
+                )
+                path = "incremental-row"
         else:
             gb, gout = shape["group_base"], shape["group_out"]
             touched = delta.select(*gb).distinct().persist()

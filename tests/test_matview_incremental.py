@@ -246,6 +246,61 @@ def test_unsupported_shapes_fall_back_to_full(spark, base, tmp_path):
     assert got == [("de",), ("en",)]
 
 
+def test_keyless_row_view_refreshes_append_only_range(
+    spark, base, tmp_path
+):
+    """A keyless projection view still refreshes incrementally when the
+    CDC range is APPEND-ONLY (the event-stream matview case): the
+    transformed inserts land without any retraction machinery. A
+    retraction SURVIVING the view filter then forces full; one the
+    filter excludes does not."""
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT id, lang, n FROM iceberg_scan('{base}') WHERE n >= 100",
+        timestamp_ms=T1 + 1000,
+    )
+    materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 2000)
+    # append-only growth: one new snapshot of two rows (one passes WHERE)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    p = os.path.join(base, "data", "append-r9.parquet")
+    pq.write_table(
+        pa.table({"id": [10, 11], "lang": ["en", "de"], "n": [500, 50]}), p
+    )
+    commit_row_delta_snapshot(
+        base, new_data_files=[(p, 2)], timestamp_ms=T1 + 3000
+    )
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "incremental-row-append"
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{troot}') ORDER BY id")
+    assert [r[0] for r in got] == [1, 2, 4, 5, 6, 7, 9, 10]
+
+    # a delete EXCLUDED by the filter stays incremental; one surviving
+    # the filter forces full (keyless retraction is impossible)
+    delete_where(spark, base, "id = 11", timestamp_ms=T1 + 5000)  # n=50
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 6000
+    )
+    assert res["path"] == "incremental-row-append"
+    delete_where(spark, base, "id = 10", timestamp_ms=T1 + 7000)  # n=500
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 8000
+    )
+    assert res["path"] == "full"
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{troot}') ORDER BY id")
+    assert [r[0] for r in got] == [1, 2, 4, 5, 6, 7, 9]
+
+
 def test_row_shape_without_keys_falls_back_to_full(spark, base, tmp_path):
     vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
     create_iceberg_view(
