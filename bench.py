@@ -139,6 +139,11 @@ HEADLINE = [
     # fixture builds are warm-up-only here too.
     "iceberg_zorder_scan",
     "iceberg_cow_dml_scan",
+    # Round-9 breadth: the incremental-matview read (target refreshed via
+    # CDC deltas in the warm-up build; the timing tracks the target scan)
+    # and the one-statement full-table MERGE sync replica read.
+    "iceberg_matview_incremental",
+    "merge_full_table_sync",
 ]
 
 

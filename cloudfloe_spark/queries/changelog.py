@@ -1095,6 +1095,86 @@ def merge_full_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_manifest_rewrite_scan",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "maintenance", "manifests"),
+)
+def iceberg_manifest_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_manifests`` end-to-end (r9): the standard DELETE+UPDATE
+    chain leaves one delta manifest per commit (the r8 manifest-reuse
+    trade); consolidating them into one data + one delete manifest must
+    leave every row EXACTLY as the chain wrote it — same aggregate as
+    the DML oracles, delete files still applying at their original
+    sequence numbers, zero data movement (the builder asserts the
+    manifest count actually dropped and the live file set is unchanged).
+
+    Scale shape: the op is driver-side metadata, O(total manifest
+    entries) — it exists so READ planning over a long DML chain pays
+    O(1) manifest opens instead of O(commits); SCALING
+    `rewrite_manifests_meta` pins ms-scale absolute cost 16→128 files.
+    """
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        rewrite_manifests,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mrw{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_manifestrw", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 2000,
+        )
+        files_before = sorted(
+            im.live_data_paths(root, im.resolve_snapshot(root))
+        )
+        res = rewrite_manifests(root, timestamp_ms=_T0 + 3000)
+        assert res["manifests_after"] < res["manifests_before"], res
+        files_after = sorted(
+            im.live_data_paths(root, im.resolve_snapshot(root))
+        )
+        assert files_after == files_before  # zero data movement
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
+    )
+
+
+@register(
     "iceberg_view_scan",
     oracle="""
         SELECT lang, count(*) AS n_docs,

@@ -1033,6 +1033,120 @@ def commit_delete_rewrite_snapshot(
     return snap_id
 
 
+def commit_manifest_rewrite_snapshot(
+    root: str,
+    *,
+    timestamp_ms: int,
+    expected_metadata_path: str | None = None,
+) -> dict:
+    """Iceberg's ``rewrite_manifests`` (r9): consolidate the current
+    snapshot's manifest FILES without touching a single data or delete
+    file. Manifest-reuse commits (r8) write O(new files) per commit — the
+    right trade per write — but a long DML chain then accumulates one
+    small delta manifest per commit, and every read pays O(#manifests)
+    avro opens at planning time. This commit carries every LIVE entry
+    verbatim at its original sequence number into exactly one data
+    manifest (+ one delete manifest when delete files exist); dead
+    (status=2) entries vanish. The live file sets are IDENTICAL before
+    and after, so time travel, changelog ranges (``iceberg_cdc`` checks
+    live-set containment, unchanged) and delete application semantics
+    (sequence numbers preserved) all survive. Summary operation is
+    ``replace``: no logical row changed, changelog readers skip it.
+
+    Driver-side metadata work only, O(total manifest entries); returns
+    ``{"snapshot_id", "manifests_before", "manifests_after",
+    "entries"}``."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    if expected_metadata_path is not None:
+        latest = im.latest_metadata_path(root)
+        if os.path.realpath(latest) != os.path.realpath(
+            expected_metadata_path
+        ):
+            raise CommitConflictError(
+                f"table {root} moved on during manifest rewrite: read "
+                f"{expected_metadata_path}, current {latest}"
+            )
+    meta = im.load_metadata(root)
+    snaps = meta.get("snapshots", [])
+    cur = im.resolve_snapshot(root)
+    root_n = im._norm_root(root)
+    n_before = len(
+        list(im._read_manifest(im._relocate(cur["manifest-list"], root_n)))
+    )
+    seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
+    snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
+
+    data_entries, delete_entries = [], []
+    for e in im.manifest_entries(root, cur):
+        if e["status"] == 2:
+            continue  # dead entries are dropped, not carried
+        rec = {
+            "status": 0,
+            "snapshot_id": None,
+            "sequence_number": e["sequence_number"],
+            "data_file": {
+                k: e["data_file"].get(k) for k in _DATA_FILE_KEYS
+            },
+        }
+        if e["data_file"].get("content", 0) == 0:
+            data_entries.append(rec)
+        else:
+            delete_entries.append(rec)
+
+    meta_dir = os.path.join(root, "metadata")
+    manifests = []
+    for tag, content, entries in (
+        ("data", 0, data_entries),
+        ("del", 1, delete_entries),
+    ):
+        if not entries:
+            continue
+        mpath = os.path.join(
+            meta_dir, f"manifest-{tag}-{uuid.uuid4().hex[:12]}.avro"
+        )
+        write_avro(mpath, _MANIFEST_SCHEMA, entries)
+        manifests.append(
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "content": content,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": cur.get("snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": f"file://{mlist}",
+            "summary": {
+                "operation": "replace",
+                "total-data-files": str(len(data_entries)),
+                "total-delete-files": str(len(delete_entries)),
+                "manifests-replaced": str(n_before),
+                "manifests-created": str(len(manifests)),
+            },
+        }
+    )
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = snap_id
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+    return {
+        "snapshot_id": snap_id,
+        "manifests_before": n_before,
+        "manifests_after": len(manifests),
+        "entries": len(data_entries) + len(delete_entries),
+    }
+
+
 def rename_column_on_disk(
     root: str, old: str, new: str, *, timestamp_ms: int
 ) -> None:

@@ -1974,6 +1974,31 @@ def rollback_to(root: str, snapshot_id: int, *, timestamp_ms: int) -> None:
     write_next_metadata_version(root, meta)
 
 
+def rewrite_manifests(root: str, *, timestamp_ms: int) -> dict:
+    """Iceberg's ``rewrite_manifests`` maintenance op (r9): consolidate
+    the manifest files a long manifest-reuse DML chain accumulates (one
+    small delta manifest per commit) into one data + one delete manifest,
+    carrying every live entry verbatim at its original sequence number —
+    no data or delete file is touched, the live sets are identical, time
+    travel and CDC ranges survive, and read planning drops from
+    O(#commits) to O(1) manifest opens. Pure driver-side metadata work
+    (no SparkSession needed); commits under the usual conflict check.
+
+    The complement of :func:`rewrite_position_deletes` (which rewrites
+    delete FILES) and :func:`compact_iceberg_table` (which rewrites DATA
+    files): this one rewrites only the METADATA layer above both."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_manifest_rewrite_snapshot,
+    )
+
+    return commit_manifest_rewrite_snapshot(
+        root,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=im.latest_metadata_path(root),
+    )
+
+
 def analyze_iceberg_table(
     spark: SparkSession,
     root: str,

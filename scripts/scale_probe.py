@@ -641,6 +641,22 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     timings["rewrite_pos_deletes"] = round(time.perf_counter() - t0, 3)
     assert res["files_before"] == 4 and res["files_after"] == 1, res
 
+    # (e4) manifest rewrite (r9) on the growing-file-count table after a
+    # 4-commit DML chain: pure driver-side metadata, O(total manifest
+    # entries) by design — expected LINEAR in the table's file count at
+    # ms-scale absolute cost, with zero data movement.
+    from cloudfloe_spark.sources.maintenance import rewrite_manifests
+
+    root = build_cdc_table(spark, n, out_dir)
+    for j in range(4):
+        delete_where(
+            spark, root, f"id = {j * 100}", timestamp_ms=_T0 + 1000 + j
+        )
+    t0 = time.perf_counter()
+    res = rewrite_manifests(root, timestamp_ms=_T0 + 2000)
+    timings["rewrite_manifests_meta"] = round(time.perf_counter() - t0, 3)
+    assert res["manifests_after"] <= 2, res
+
     # (f) z-order compaction of the 16n-file table: a whole-table rewrite
     # is linear by definition; this pins that the Morton machinery
     # (approxQuantile pass + map-side bucketing) adds no super-linear
