@@ -202,6 +202,15 @@ _INCR_BLOCK = _re.compile(
     r"|iceberg_view\s*\("
     r"|\(\s*select\b"
 )
+# the join shape allows ONE inner `JOIN ... ON`; everything else on the
+# block list stays blocked, and any outer/semi/cross modifier rejects
+_INCR_BLOCK_JOIN = _re.compile(
+    r"(?i)\b(union|intersect|except|distinct|having|limit|order|"
+    r"lateral|pivot|unpivot|qualify|window|over|tablesample|values|with|"
+    r"left|right|full|outer|cross|semi|anti|natural|using|group)\b"
+    r"|iceberg_view\s*\("
+    r"|\(\s*select\b"
+)
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
@@ -258,10 +267,13 @@ def incremental_shape(sql: str) -> "dict | None":
     "group_base": [cols], "group_out": [output names]}``."""
     sql = sql.strip().rstrip(";").strip()
     smask = _mask(sql, parens_too=False)
-    if _INCR_BLOCK.search(smask):
-        return None
     if "_change_type" in sql:
         return None  # would collide with the changelog label column
+    if _INCR_BLOCK.search(smask):
+        joins = list(_re.finditer(r"(?i)\bjoin\b", smask))
+        if len(joins) == 1 and not _INCR_BLOCK_JOIN.search(smask):
+            return _join_shape(sql)
+        return None
     tmask = _mask(sql, parens_too=True)
     m_sel = _re.match(r"(?i)\s*select\b", tmask)
     m_from = _re.search(r"(?i)\bfrom\b", tmask)
@@ -327,6 +339,62 @@ def incremental_shape(sql: str) -> "dict | None":
         "kind": "row",
         "base": base,
         "select": sel,
+        "where": where,
+        "group_base": [],
+        "group_out": [],
+    }
+
+
+def _join_shape(sql: str) -> "dict | None":
+    """The two-base enrichment shape (r9): ``SELECT <exprs> FROM
+    iceberg_scan('A') a [INNER] JOIN iceberg_scan('B') b ON <cond>
+    [WHERE <cond>]`` — both scans ALIASED, one inner join, no GROUP BY.
+    Incrementally refreshable when exactly one base changed since the
+    recorded snapshots: delta(changed) ⋈ unchanged-side projects to the
+    view's delta. Returns ``{"kind": "join", "aliases": {alias: root},
+    "select", "on", "where"}`` or None."""
+    tmask = _mask(sql, parens_too=True)
+    m_sel = _re.match(r"(?i)\s*select\b", tmask)
+    m_from = _re.search(r"(?i)\bfrom\b", tmask)
+    m_join = _re.search(r"(?i)\b(?:inner\s+)?join\b", tmask)
+    m_on = _re.search(r"(?i)\bon\b", tmask)
+    if not (m_sel and m_from and m_join and m_on):
+        return None
+    if not (m_from.start() < m_join.start() < m_on.start()):
+        return None
+    m_where = _re.search(r"(?i)\bwhere\b", tmask[m_on.end():])
+    sel = sql[m_sel.end():m_from.start()].strip()
+    if _re.search(r"(?<![\w.])\*", _mask(sel, parens_too=True)):
+        return None  # star would drag _change_type/ambiguous names in
+    left = sql[m_from.end():m_join.start()]
+    right = sql[m_join.end():m_on.start()]
+    scan_re = (
+        rf"(?is)^\s*iceberg_scan\s*\(\s*'([^']+)'\s*\)\s+"
+        rf"(?:as\s+)?({_IDENT})\s*$"
+    )
+    ml, mr = _re.match(scan_re, left), _re.match(scan_re, right)
+    if not ml or not mr:
+        return None  # both sides must be ALIASED plain scans
+    on_end = (
+        m_on.end() + m_where.start() if m_where else len(sql)
+    )
+    on_cond = sql[m_on.end():on_end].strip()
+    where = (
+        sql[m_on.end() + m_where.end():].strip() or None
+        if m_where
+        else None
+    )
+    root_l, alias_l = ml.group(1).rstrip("/"), ml.group(2)
+    root_r, alias_r = mr.group(1).rstrip("/"), mr.group(2)
+    if alias_l.lower() == alias_r.lower() or root_l == root_r:
+        return None  # self-joins / duplicate aliases: full refresh
+    if not on_cond:
+        return None
+    return {
+        "kind": "join",
+        "aliases": {alias_l: root_l, alias_r: root_r},
+        "select": sel,
+        "on": on_cond,
         "where": where,
         "group_base": [],
         "group_out": [],
@@ -615,18 +683,37 @@ def _incremental_refresh(
     if shape is None:
         return None
     bases = rec.get("bases") or {}
-    if list(bases) != [shape["base"]]:
-        return None  # fingerprint/base mismatch: full refresh
-    from_id = bases[shape["base"]]
+    if shape["kind"] == "join":
+        # two-base enrichment: incrementally refreshable iff EXACTLY one
+        # base moved — delta(changed) ⋈ unchanged-side IS the view delta
+        roots = sorted(shape["aliases"].values())
+        if sorted(bases) != roots:
+            return None
+        cur_ids = {}
+        for r in roots:
+            try:
+                cur_ids[r] = im.resolve_snapshot(r)["snapshot-id"]
+            except im.IcebergMetadataError:
+                return None
+        changed = [r for r in roots if str(cur_ids[r]) != str(bases[r])]
+        if len(changed) != 1:
+            return None  # both moved (or none): full refresh
+        base = changed[0]
+        from_id = bases[base]
+        to_id = cur_ids[base]
+    else:
+        if list(bases) != [shape["base"]]:
+            return None  # fingerprint/base mismatch: full refresh
+        base = shape["base"]
+        from_id = bases[base]
+        try:
+            to_id = im.resolve_snapshot(base)["snapshot-id"]
+        except im.IcebergMetadataError:
+            return None
+        if str(to_id) == str(from_id):
+            return None  # base unchanged; staleness came from elsewhere
     if not str(from_id).lstrip("-").isdigit():
         return None  # base was unreadable at materialize time
-    base = shape["base"]
-    try:
-        to_id = im.resolve_snapshot(base)["snapshot-id"]
-    except im.IcebergMetadataError:
-        return None
-    if str(to_id) == str(from_id):
-        return None  # base unchanged; staleness came from elsewhere
     keys = list(key_cols or rec.get("key-cols") or [])
     # (keyless row views still qualify when the range turns out to be
     # append-only — checked below once the delta frame exists)
@@ -641,8 +728,27 @@ def _incremental_refresh(
     tmp = f"__cf_mv_delta_{uuid.uuid4().hex[:8]}"
     delta.createOrReplaceTempView(tmp)
     try:
-        if shape["kind"] == "row":
-            if shape["select"].strip() == "*":
+        if shape["kind"] in ("row", "join"):
+            if shape["kind"] == "join":
+                fact_alias = next(
+                    a for a, r in shape["aliases"].items() if r == base
+                )
+                static_alias = next(
+                    a for a, r in shape["aliases"].items() if r != base
+                )
+                static_sql = resolve_iceberg_reads(
+                    sess,
+                    "SELECT * FROM iceberg_scan("
+                    f"'{shape['aliases'][static_alias]}')",
+                )
+                sql = (
+                    f"SELECT {shape['select']}, "
+                    f"{fact_alias}._change_type AS _change_type "
+                    f"FROM {tmp} AS {fact_alias} "
+                    f"JOIN ({static_sql}) AS {static_alias} "
+                    f"ON {shape['on']}"
+                )
+            elif shape["select"].strip() == "*":
                 sql = f"SELECT * FROM {tmp}"
             else:
                 sql = f"SELECT {shape['select']}, _change_type FROM {tmp}"
@@ -687,7 +793,7 @@ def _incremental_refresh(
                     sess, target_root, changes, keys_for_apply,
                     timestamp_ms=timestamp_ms, changelog_id=changelog_id,
                 )
-                path = "incremental-row-append"
+                path = f"incremental-{shape['kind']}-append"
             else:
                 missing = sorted(set(keys) - set(changes.columns))
                 if missing:
@@ -696,7 +802,7 @@ def _incremental_refresh(
                     sess, target_root, changes, keys,
                     timestamp_ms=timestamp_ms, changelog_id=changelog_id,
                 )
-                path = "incremental-row"
+                path = f"incremental-{shape['kind']}"
         else:
             gb, gout = shape["group_base"], shape["group_out"]
             touched = delta.select(*gb).distinct().persist()
@@ -782,11 +888,13 @@ def _incremental_refresh(
                 touched.unpersist()
     finally:
         sess.catalog.dropTempView(tmp)
+    new_bases = dict(bases)  # unchanged bases keep their recorded ids
+    new_bases[base] = str(to_id)
     _stamp_mv_property(
         target_root,
         view_root=view_root,
         view_version=rec.get("view-version"),
-        bases={base: str(to_id)},
+        bases=new_bases,
         timestamp_ms=timestamp_ms,
         key_cols=keys or None,
     )
@@ -796,7 +904,7 @@ def _incremental_refresh(
         "retracted": res.get("retracted", 0),
         "inserted": res.get("inserted", 0),
         "applied_already": bool(res.get("skipped")),
-        "bases": {base: str(to_id)},
+        "bases": new_bases,
     }
 
 
@@ -805,10 +913,13 @@ def refresh_materialized_view(
     key_cols: "list[str] | None" = None, allow_incremental: bool = True,
 ) -> dict:
     """Refresh iff stale. When the view is a projection/filter or
-    per-key aggregate over ONE base table and the recorded base snapshot
-    is still changelog-reachable, the refresh applies ``iceberg_cdc``
-    deltas to the target (``path: "incremental-row" | "incremental-agg"``
-    in the result — r9, composing the r7/r8 CDC + matview surfaces);
+    per-key aggregate over ONE base table — or a two-base ALIASED inner
+    join (fact enrichment) where exactly one base changed — and the
+    recorded snapshot is still changelog-reachable, the refresh applies
+    ``iceberg_cdc`` deltas to the target (``path: "incremental-row" |
+    "incremental-agg" | "incremental-join"``, with ``-append`` variants
+    for keyless views over append-only ranges — r9, composing the r7/r8
+    CDC + matview surfaces);
     otherwise it re-materializes (``path: "full"``), the sound default
     for arbitrary SQL. A fresh target returns ``{"skipped": True}``
     without running anything. Incremental applies are IDEMPOTENT under

@@ -374,6 +374,122 @@ def test_compaction_in_range_falls_back_to_full(spark, base, tmp_path):
     assert got == [("de", 3), ("en", 2), ("fr", 3)]
 
 
+@pytest.fixture()
+def fact_dim(tmp_path):
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    tf = LocalIcebergTable(
+        fact,
+        pa.schema([("id", pa.int64()), ("k", pa.int64()), ("n", pa.int64())]),
+    )
+    tf.append_snapshot(
+        [
+            pa.table({"id": [1, 2, 3], "k": [0, 1, 2], "n": [10, 20, 30]}),
+            pa.table({"id": [4, 5, 6], "k": [0, 1, 2], "n": [40, 50, 60]}),
+        ],
+        timestamp_ms=T1,
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [0, 1, 2], "name": ["red", "green", "blue"]})],
+        timestamp_ms=T1,
+    )
+    return fact, dim
+
+
+def _join_view(fact, dim, vroot):
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id, f.n, d.name FROM iceberg_scan('{fact}') f "
+        f"JOIN iceberg_scan('{dim}') d ON f.k = d.k WHERE f.n < 900",
+        timestamp_ms=T1 + 1000,
+    )
+
+
+def test_join_view_fact_delta_refreshes_incrementally(
+    spark, fact_dim, tmp_path
+):
+    """Fact ⋈ dim enrichment view: a fact-side DML refreshes by joining
+    the fact CHANGELOG to the (unchanged) dim — including a filter
+    crossing — and equals a full recompute."""
+    fact, dim = fact_dim
+    vroot = str(tmp_path / "v")
+    t_inc, t_full = str(tmp_path / "mv_inc"), str(tmp_path / "mv_full")
+    _join_view(fact, dim, vroot)
+    materialize_iceberg_view(
+        spark, vroot, t_inc, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    materialize_iceberg_view(
+        spark, vroot, t_full, timestamp_ms=T1 + 2001, key_cols=["id"]
+    )
+    delete_where(spark, fact, "id = 2", timestamp_ms=T1 + 3000)
+    update_where(
+        spark, fact, "id = 5", {"n": "1000"}, timestamp_ms=T1 + 4000
+    )  # leaves the n < 900 slice
+    r1 = refresh_materialized_view(spark, vroot, t_inc,
+                                   timestamp_ms=T1 + 5000)
+    assert r1["path"] == "incremental-join"
+    r2 = refresh_materialized_view(spark, vroot, t_full,
+                                   timestamp_ms=T1 + 5001,
+                                   allow_incremental=False)
+    assert r2["path"] == "full"
+    q = "SELECT id, n, name FROM iceberg_scan('{}') ORDER BY id"
+    got = _rows(spark, q.format(t_inc))
+    assert got == _rows(spark, q.format(t_full))
+    assert [r[0] for r in got] == [1, 3, 4, 6]
+    assert materialized_view_status(t_inc)["stale"] is False
+
+
+def test_join_view_dim_delta_is_symmetric(spark, fact_dim, tmp_path):
+    """The join shape is base-symmetric: a DIM-side update refreshes via
+    delta(dim) ⋈ fact — every enriched row re-keys through the view's id."""
+    fact, dim = fact_dim
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    _join_view(fact, dim, vroot)
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    update_where(
+        spark, dim, "k = 1", {"name": "'GREEN'"}, timestamp_ms=T1 + 3000
+    )
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "incremental-join"
+    got = _rows(
+        spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert got == [
+        (1, "red"), (2, "GREEN"), (3, "blue"),
+        (4, "red"), (5, "GREEN"), (6, "blue"),
+    ]
+
+
+def test_join_view_both_bases_changed_forces_full(spark, fact_dim, tmp_path):
+    fact, dim = fact_dim
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    _join_view(fact, dim, vroot)
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    delete_where(spark, fact, "id = 1", timestamp_ms=T1 + 3000)
+    update_where(
+        spark, dim, "k = 0", {"name": "'RED'"}, timestamp_ms=T1 + 4000
+    )
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 5000
+    )
+    assert res["path"] == "full"
+    got = _rows(
+        spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert got == [
+        (2, "green"), (3, "blue"), (4, "RED"), (5, "green"), (6, "blue"),
+    ]
+
+
 def test_incremental_shape_parser_rejects_unsafe_sql():
     """The lexical gate: anything whose delta/group transform could be
     unsound parses to None (full refresh)."""
