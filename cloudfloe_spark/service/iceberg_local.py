@@ -117,6 +117,9 @@ _VIEW_RE = re.compile(
 _VIEW_VERSIONS_RE = re.compile(
     r"iceberg_view_versions\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+_MATVIEW_STATUS_RE = re.compile(
+    r"iceberg_matview_status\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -1661,6 +1664,77 @@ def _view_versions_view(sess, root: str) -> str:
     return name
 
 
+def _matview_status_view(sess, target_root: str) -> str:
+    """``iceberg_matview_status('<target>')`` → the freshness lineage as
+    rows (r9): one ``view-definition`` row (recorded vs current version)
+    and one ``base-table`` row per base (recorded vs current snapshot),
+    each with its own ``stale`` flag plus the last refresh time and
+    recorded key columns. Metadata-only driver work — the SQL-surface
+    twin of :func:`iceberg_views.materialized_view_status`, so an admin
+    can answer "which base moved?" without library access."""
+    import json as _json
+
+    from cloudfloe_spark.sources.iceberg_views import (
+        IcebergViewError,
+        load_view,
+    )
+
+    try:
+        meta = im.load_metadata(target_root)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"iceberg_matview_status: {e}") from None
+    raw = (meta.get("properties") or {}).get("cloudfloe.mv")
+    if not raw:
+        raise bad_request(
+            f"iceberg_matview_status: {target_root} is not a "
+            "materialized view target"
+        )
+    rec = _json.loads(raw)
+    refreshed = datetime.datetime.fromtimestamp(
+        (rec.get("refreshed-at-ms") or 0) / 1000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    key_cols = ",".join(rec.get("key-cols") or []) or None
+    rows = []
+    try:
+        cur_ver = load_view(rec["view"])["current-version-id"]
+    except IcebergViewError:
+        cur_ver = None
+    rows.append(
+        (
+            str(rec.get("view-version")) != str(cur_ver),
+            "view-definition",
+            rec.get("view"),
+            str(rec.get("view-version")),
+            None if cur_ver is None else str(cur_ver),
+            refreshed,
+            key_cols,
+        )
+    )
+    for b, recorded in sorted((rec.get("bases") or {}).items()):
+        try:
+            cur = str(im.resolve_snapshot(b)["snapshot-id"])
+        except im.IcebergMetadataError:
+            cur = None
+        rows.append(
+            (
+                str(recorded) != cur,
+                "base-table",
+                b,
+                str(recorded),
+                cur,
+                refreshed,
+                key_cols,
+            )
+        )
+    name = _view_name("mvstatus", target_root)
+    sess.createDataFrame(
+        rows,
+        "stale BOOLEAN, kind STRING, ref STRING, recorded STRING, "
+        "current STRING, refreshed_at TIMESTAMP_NTZ, key_cols STRING",
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -1764,6 +1838,12 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _view_versions_view(sess, root)
 
+    def _mv_status(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _matview_status_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
@@ -1773,6 +1853,7 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     out = _sub_outside_literals(_COLSTATS_RE, _colstats, out)
     out = _sub_outside_literals(_SCANPLAN_RE, _scanplan, out)
     out = _sub_outside_literals(_VIEW_VERSIONS_RE, _view_versions, out)
+    out = _sub_outside_literals(_MATVIEW_STATUS_RE, _mv_status, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

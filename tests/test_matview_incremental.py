@@ -518,6 +518,39 @@ def test_incremental_shape_parser_rejects_unsafe_sql():
         assert incremental_shape(bad) is None, bad
 
 
+def test_matview_status_table_function(spark, base, tmp_path):
+    """``iceberg_matview_status('<target>')`` (r9): per-row freshness —
+    the view-definition row and one base-table row, each with its own
+    stale flag; flips with a base DML and settles after a refresh."""
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT lang, COUNT(*) AS n FROM iceberg_scan('{base}') "
+        "GROUP BY lang",
+        timestamp_ms=T1 + 1000,
+    )
+    materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 2000)
+    q = (
+        f"SELECT kind, ref, stale FROM iceberg_matview_status('{troot}') "
+        "ORDER BY kind"
+    )
+    rows = _rows(spark, q)
+    assert rows == [("base-table", base, False),
+                    ("view-definition", vroot, False)]
+    delete_where(spark, base, "id = 1", timestamp_ms=T1 + 3000)
+    rows = _rows(spark, q)
+    assert rows == [("base-table", base, True),
+                    ("view-definition", vroot, False)]
+    refresh_materialized_view(spark, vroot, troot, timestamp_ms=T1 + 4000)
+    rows = _rows(spark, q)
+    assert all(r[2] is False for r in rows)
+    # non-matview target is a clean 400
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError, match="not a materialized view"):
+        _rows(spark, f"SELECT * FROM iceberg_matview_status('{base}')")
+
+
 def test_global_aggregate_row_misparse_is_caught_at_runtime(
     spark, base, tmp_path
 ):
