@@ -1974,6 +1974,195 @@ def rollback_to(root: str, snapshot_id: int, *, timestamp_ms: int) -> None:
     write_next_metadata_version(root, meta)
 
 
+def compact_small_files(
+    spark: SparkSession,
+    root: str,
+    *,
+    timestamp_ms: int,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    min_files: int = 2,
+    rows_per_file: int = 1_000_000,
+) -> dict:
+    """BIN-PACK partial compaction (the ``rewrite_data_files`` bin-pack
+    strategy, r9): rewrite ONLY the data files under ``small_file_bytes``
+    into consolidated files — merge-on-read deletes applied to exactly
+    the rewritten subset, every other data file carried verbatim at its
+    original sequence number. This is the 100-TB answer to streaming /
+    DML file fragmentation: :func:`compact_iceberg_table` rewrites the
+    WHOLE table (right for layout changes like z-order), while a table
+    service unsticking small files must pay only small-file-sized IO.
+
+    Position-delete entries naming the rewritten files become dangling
+    (harmless: the read anti-join matches nothing) —
+    :func:`rewrite_position_deletes` sweeps them; equality deletes stay
+    live and cannot re-kill the rewritten rows (they land at the
+    commit's HIGHER sequence, same argument as the COW DML path).
+
+    Fewer than ``min_files`` qualifying files commits nothing."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    meta_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    root_local = im._norm_root(root)
+    sizes = {
+        im._relocate(f["file_path"], root_local): int(
+            f.get("file_size_in_bytes") or 0
+        )
+        for f in im.live_data_files(root, snap)
+    }
+    small = sorted(p for p, b in sizes.items() if b < small_file_bytes)
+    if len(small) < min_files:
+        return {"files_rewritten": 0, "snapshot_id": None,
+                "files_small": len(small), "files_total": len(sizes)}
+    df = _mor_raw_scan(
+        spark, root, snap, small, metadata_path=meta_path
+    ).drop(_FP, _POS)
+    stats = im.live_data_stats(root, snap)
+    recs = [(stats.get(p) or {}).get("records") for p in small]
+    n_rows = sum(recs) if all(r is not None for r in recs) else None
+    out_dir = os.path.join(
+        root, "data", f"binpack-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
+    )
+    new_files = _write_data_files(
+        spark, root, meta_path, df, n_rows, rows_per_file, out_dir,
+    )
+    snap_id = commit_row_delta_snapshot(
+        root,
+        new_data_files=new_files,
+        removed_data_files=small,
+        timestamp_ms=timestamp_ms,
+        expected_metadata_path=meta_path,
+    )
+    return {
+        "files_rewritten": len(small),
+        "files_written": len(new_files),
+        "snapshot_id": snap_id,
+        "files_small": len(small),
+        "files_total": len(sizes),
+    }
+
+
+def maintain_iceberg_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    timestamp_ms: int,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    min_small_files: int = 4,
+    max_delete_files: int = 4,
+    max_manifests: int = 8,
+    expire_keep_last: "int | None" = None,
+    expire_older_than_ms: "int | None" = None,
+    dry_run: bool = False,
+) -> dict:
+    """ONE policy pass of the standard Iceberg table-service loop (r9):
+    the composition a 100-TB deployment schedules instead of hand-running
+    each op —
+
+    1. bin-pack small data files (``≥ min_small_files`` under
+       ``small_file_bytes`` → :func:`compact_small_files`, small-file-
+       sized IO, never a table rewrite);
+    2. consolidate fragmented/dangling position-delete files (count >
+       ``max_delete_files`` → :func:`rewrite_position_deletes` — run
+       AFTER bin-pack, which strands delete entries naming rewritten
+       files);
+    3. consolidate delta manifests (count > ``max_manifests`` →
+       :func:`rewrite_manifests`, driver-side metadata only);
+    4. expire snapshots when a retention policy is given.
+
+    Every step reports ``{ran, reason, ...op result}``; ``dry_run``
+    evaluates the triggers from metadata alone and runs nothing. Each
+    trigger re-reads the CURRENT metadata, so steps see their
+    predecessors' commits. Idempotent: a freshly maintained table
+    triggers nothing."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    report: dict = {"dry_run": dry_run}
+
+    def _counts():
+        meta_path = im.latest_metadata_path(root)
+        snap = im.resolve_snapshot(root, metadata_path=meta_path)
+        root_local = im._norm_root(root)
+        small = sum(
+            1
+            for f in im.live_data_files(root, snap)
+            if int(f.get("file_size_in_bytes") or 0) < small_file_bytes
+        )
+        n_deletes = len(im.position_delete_paths(root, snap))
+        n_manifests = len(
+            list(
+                im._read_manifest(
+                    im._relocate(snap["manifest-list"], root_local)
+                )
+            )
+        )
+        return small, n_deletes, n_manifests
+
+    small, n_del, n_man = _counts()
+    if small >= min_small_files:
+        step = {"ran": not dry_run,
+                "reason": f"{small} files under {small_file_bytes} bytes"}
+        if not dry_run:
+            step.update(
+                compact_small_files(
+                    spark, root, timestamp_ms=timestamp_ms,
+                    small_file_bytes=small_file_bytes,
+                    min_files=min_small_files,
+                )
+            )
+    else:
+        step = {"ran": False,
+                "reason": f"only {small} small files (< {min_small_files})"}
+    report["compact_small_files"] = step
+
+    _, n_del, _ = _counts() if not dry_run else (small, n_del, n_man)
+    if n_del > max_delete_files:
+        step = {"ran": not dry_run,
+                "reason": f"{n_del} position-delete files (> {max_delete_files})"}
+        if not dry_run:
+            step.update(
+                rewrite_position_deletes(
+                    spark, root, timestamp_ms=timestamp_ms + 1
+                )
+            )
+    else:
+        step = {"ran": False,
+                "reason": f"{n_del} position-delete files (<= {max_delete_files})"}
+    report["rewrite_position_deletes"] = step
+
+    _, _, n_man = _counts() if not dry_run else (small, n_del, n_man)
+    if n_man > max_manifests:
+        step = {"ran": not dry_run,
+                "reason": f"{n_man} manifests (> {max_manifests})"}
+        if not dry_run:
+            step.update(
+                rewrite_manifests(root, timestamp_ms=timestamp_ms + 2)
+            )
+    else:
+        step = {"ran": False,
+                "reason": f"{n_man} manifests (<= {max_manifests})"}
+    report["rewrite_manifests"] = step
+
+    if expire_keep_last is not None or expire_older_than_ms is not None:
+        step = {"ran": not dry_run, "reason": "retention policy supplied"}
+        if not dry_run:
+            step.update(
+                expire_snapshots(
+                    root,
+                    keep_last=expire_keep_last,
+                    older_than_ms=expire_older_than_ms,
+                    timestamp_ms=timestamp_ms + 3,
+                )
+            )
+    else:
+        step = {"ran": False, "reason": "no retention policy supplied"}
+    report["expire_snapshots"] = step
+    return report
+
+
 def rewrite_manifests(root: str, *, timestamp_ms: int) -> dict:
     """Iceberg's ``rewrite_manifests`` maintenance op (r9): consolidate
     the manifest files a long manifest-reuse DML chain accumulates (one

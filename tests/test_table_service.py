@@ -1,0 +1,183 @@
+"""Bin-pack partial compaction + the policy-driven table-service loop
+(r9): `compact_small_files` rewrites ONLY the fragmented data files
+(small-file-sized IO — `compact_iceberg_table` remains the whole-table
+layout rewrite), and `maintain_iceberg_table` composes
+bin-pack → delete-rewrite → manifest-rewrite → expiry behind metadata
+triggers, the loop a 100-TB deployment schedules.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+from cloudfloe_spark.sources.maintenance import (
+    compact_small_files,
+    delete_where,
+    maintain_iceberg_table,
+)
+
+T1 = 1700000000000
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _rows(spark, sql):
+    return [tuple(r) for r in run_query(spark, sql, _cfg()).rows]
+
+
+def _live_paths(root):
+    return sorted(im.live_data_paths(root, im.resolve_snapshot(root)))
+
+
+@pytest.fixture()
+def fragmented_table(tmp_path):
+    """One big file (10k rows) + 6 tiny files (5 rows each)."""
+    root = str(tmp_path / "t")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.int64())])
+    )
+    batches = [
+        pa.table(
+            {"id": list(range(10_000)), "v": [i % 97 for i in range(10_000)]}
+        )
+    ]
+    for j in range(6):
+        ids = list(range(10_000 + j * 5, 10_000 + (j + 1) * 5))
+        batches.append(pa.table({"id": ids, "v": [1] * 5}))
+    t.append_snapshot(batches, timestamp_ms=T1)
+    return root
+
+
+def test_compact_small_files_rewrites_only_small(spark, fragmented_table):
+    root = fragmented_table
+    before = _live_paths(root)
+    assert len(before) == 7
+    big = max(before, key=lambda p: im.live_data_stats(
+        root, im.resolve_snapshot(root))[p]["records"])
+    # a delete inside a SMALL file must survive the rewrite (MOR applied)
+    delete_where(spark, root, "id = 10001", timestamp_ms=T1 + 500)
+    res = compact_small_files(
+        spark, root, timestamp_ms=T1 + 1000,
+        small_file_bytes=16 * 1024, min_files=2,
+    )
+    assert res["files_rewritten"] == 6
+    assert res["snapshot_id"] is not None
+    after = _live_paths(root)
+    # the big file is carried VERBATIM; the 6 small ones are gone
+    assert big in after
+    assert not (set(after) & (set(before) - {big}))
+    got = _rows(spark, f"SELECT COUNT(*), SUM(id) FROM iceberg_scan('{root}')")
+    # 10030 rows minus the one deleted
+    exp_n = 10_029
+    exp_sum = sum(range(10_030)) - 10001
+    assert got == [(exp_n, exp_sum)]
+
+
+def test_compact_small_files_below_threshold_is_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    res = compact_small_files(
+        spark, root, timestamp_ms=T1 + 1000, min_files=2
+    )
+    assert res["snapshot_id"] is None and res["files_rewritten"] == 0
+    assert len(im.load_metadata(root)["snapshots"]) == 1
+
+
+def test_maintain_runs_triggered_steps_and_is_idempotent(
+    spark, fragmented_table
+):
+    root = fragmented_table
+    # fragment the delete-file layer too: 5 point deletes = 5 delete files
+    for j in range(5):
+        delete_where(spark, root, f"id = {j * 3}", timestamp_ms=T1 + 500 + j)
+
+    # dry run: reports triggers, commits nothing
+    n_snaps = len(im.load_metadata(root)["snapshots"])
+    rep = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000,
+        small_file_bytes=16 * 1024, min_small_files=4,
+        max_delete_files=4, max_manifests=3, dry_run=True,
+    )
+    assert rep["compact_small_files"]["ran"] is False
+    assert "6 files under" in rep["compact_small_files"]["reason"]
+    assert rep["rewrite_position_deletes"]["ran"] is False
+    assert rep["expire_snapshots"]["ran"] is False
+    assert len(im.load_metadata(root)["snapshots"]) == n_snaps
+
+    before_rows = _rows(
+        spark, f"SELECT COUNT(*), SUM(id) FROM iceberg_scan('{root}')"
+    )
+    rep = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 2000,
+        small_file_bytes=16 * 1024, min_small_files=4,
+        max_delete_files=4, max_manifests=3,
+    )
+    assert rep["compact_small_files"]["ran"] is True
+    assert rep["compact_small_files"]["files_rewritten"] == 6
+    assert rep["rewrite_position_deletes"]["ran"] is True
+    assert rep["rewrite_position_deletes"]["files_after"] <= 1
+    # the delete-rewrite commit consolidates manifests as a side effect,
+    # so the manifest trigger correctly reads "already tidy" — each step
+    # re-evaluates against its predecessors' commits
+    assert rep["rewrite_manifests"]["ran"] is False
+    assert rep["expire_snapshots"]["ran"] is False
+    # rows identical through the whole service pass
+    assert _rows(
+        spark, f"SELECT COUNT(*), SUM(id) FROM iceberg_scan('{root}')"
+    ) == before_rows
+
+    # a second pass triggers NOTHING (idempotent)
+    rep2 = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 3000,
+        small_file_bytes=16 * 1024, min_small_files=4,
+        max_delete_files=4, max_manifests=3,
+    )
+    assert not any(
+        rep2[k]["ran"]
+        for k in ("compact_small_files", "rewrite_position_deletes",
+                  "rewrite_manifests", "expire_snapshots")
+    )
+
+
+def test_maintain_manifest_trigger_alone(spark, fragmented_table):
+    """With the other layers tidy (thresholds effectively off), a long
+    DML chain's delta manifests alone trip the manifest step."""
+    root = fragmented_table
+    for j in range(5):
+        delete_where(spark, root, f"id = {j * 3}", timestamp_ms=T1 + 500 + j)
+    rep = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 2000,
+        min_small_files=99, max_delete_files=99, max_manifests=3,
+    )
+    assert rep["compact_small_files"]["ran"] is False
+    assert rep["rewrite_position_deletes"]["ran"] is False
+    assert rep["rewrite_manifests"]["ran"] is True
+    assert rep["rewrite_manifests"]["manifests_after"] <= 2
+    got = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
+    assert got == [(10_025,)]
+
+
+def test_maintain_expiry_runs_when_policy_given(spark, fragmented_table):
+    root = fragmented_table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 500)
+    n_before = len(im.load_metadata(root)["snapshots"])
+    assert n_before >= 2
+    rep = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000,
+        min_small_files=99, max_delete_files=99, max_manifests=99,
+        expire_keep_last=1,
+    )
+    assert rep["expire_snapshots"]["ran"] is True
+    assert len(im.load_metadata(root)["snapshots"]) == 1
+    got = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
+    assert got == [(10_029,)]
