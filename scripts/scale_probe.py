@@ -657,6 +657,43 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     timings["rewrite_manifests_meta"] = round(time.perf_counter() - t0, 3)
     assert res["manifests_after"] <= 2, res
 
+    # (e5) BIN-PACK partial compaction (r9) on the growing-file-count
+    # table with a FIXED set of 6 appended tiny files: the rewrite reads
+    # and writes only the small files, so the op should stay ~flat as
+    # the table grows 16n files — cost tracks small-file bytes, never
+    # the table (contrast (f): the whole-table rewrite is linear).
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot as _crds,
+    )
+    from cloudfloe_spark.sources.maintenance import compact_small_files
+
+    root = build_cdc_table(spark, n, out_dir)
+    base_rows = _CDC_FILE_ROWS * _CDC_BASE_FILES * n
+    small_dir = os.path.join(root, "data")
+    small_files = []
+    for j in range(6):
+        ids = np.arange(
+            base_rows + j * 50, base_rows + (j + 1) * 50, dtype="int64"
+        )
+        p = os.path.join(small_dir, f"tiny-{j}.parquet")
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(
+            pa.table({"id": ids, "v": (ids % 97).astype("float64")}), p
+        )
+        small_files.append((p, 50))
+    _crds(root, new_data_files=small_files, timestamp_ms=_T0 + 500)
+    t0 = time.perf_counter()
+    res = compact_small_files(
+        spark, root, timestamp_ms=_T0 + 1000,
+        small_file_bytes=16 * 1024, min_files=2,
+    )
+    timings["binpack_small_files"] = round(time.perf_counter() - t0, 3)
+    assert res["files_rewritten"] == 6, res
+
     # (f) z-order compaction of the 16n-file table: a whole-table rewrite
     # is linear by definition; this pins that the Morton machinery
     # (approxQuantile pass + map-side bucketing) adds no super-linear
