@@ -1175,6 +1175,124 @@ def iceberg_manifest_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "iceberg_table_service_scan",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "maintenance", "table-service"),
+)
+def iceberg_table_service_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLICY-driven table-service loop end-to-end (r9,
+    ``maintenance.maintain_iceberg_table``): the standard DELETE+UPDATE
+    chain plus a burst of tiny appends leaves the table fragmented on
+    every layer (small data files, per-commit delete files, per-commit
+    delta manifests); ONE maintenance pass bin-packs the small files,
+    consolidates the delete files and tidies the manifests — and the
+    final aggregate must equal the same oracle as the plain DML entries
+    (a service pass changes LAYOUT, never a row). The builder asserts
+    the bin-pack and delete-rewrite steps actually triggered, and that
+    the appended rows are filtered back out by the second DELETE so the
+    oracle stays the canonical post-DML state.
+
+    Scale shape: bin-pack reads/writes only the small files (SCALING
+    `binpack_small_files` flat 16→128); the delete and manifest rewrites
+    are delete-set / metadata sized; triggers are metadata-only reads.
+    """
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        maintain_iceberg_table,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"tsvc{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_tablesvc", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 2000,
+        )
+        # fragment the data layer: 5 tiny appended files of scratch rows
+        # (negative ids, outside every oracle condition)
+        tiny = []
+        for j in range(5):
+            p = os.path.join(root, "data", f"tiny-{j}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [-(j * 10 + i) - 1 for i in range(3)],
+                            pa.int64(),
+                        ),
+                        "lang": pa.array([None] * 3, pa.string()),
+                        "n_chars": pa.array([0, 0, 0], pa.int64()),
+                    }
+                ),
+                p,
+            )
+            tiny.append((p, 3))
+        commit_row_delta_snapshot(
+            root, new_data_files=tiny, timestamp_ms=_T0 + 3000
+        )
+        # ... and remove the scratch rows again via a point DML, adding
+        # one more delete file to the fragmented delete layer
+        delete_where(spark, root, "doc_id < 0", timestamp_ms=_T0 + 4000)
+        res = maintain_iceberg_table(
+            spark, root, timestamp_ms=_T0 + 5000,
+            small_file_bytes=16 * 1024, min_small_files=3,
+            max_delete_files=1, max_manifests=4,
+        )
+        assert res["compact_small_files"]["ran"] is True, res
+        # the delete layer must come out CLEAN either way: consolidated
+        # by the delete-rewrite step, or (when bin-pack rewrote every
+        # referenced file, as happens at small fixture scales) dropped
+        # as dangling by the bin-pack commit itself
+        from cloudfloe_spark.sources import iceberg_meta as im
+
+        n_del = len(
+            im.position_delete_paths(root, im.resolve_snapshot(root))
+        )
+        assert n_del <= 1, (n_del, res)
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
+    )
+
+
+@register(
     "iceberg_view_scan",
     oracle="""
         SELECT lang, count(*) AS n_docs,
