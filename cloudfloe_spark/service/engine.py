@@ -28,6 +28,7 @@ import glob as globmod
 import json
 import math
 import os
+import re
 import threading
 import time
 from typing import Optional
@@ -439,21 +440,41 @@ def _probe_parquet(local: str) -> tuple[int, int]:
 # --- A11: connection test -------------------------------------------------------
 
 
-def _reject_unimplemented_catalog(config: Optional[ConnectionConfig]) -> None:
+_PATH_FUNC_RE = re.compile(
+    r"(?i)\b(?:iceberg_[a-z_]+|read_(?:parquet|csv|json|text)(?:_auto)?)"
+    r"\s*\(",
+)
+
+
+def _reject_unimplemented_catalog(
+    config: Optional[ConnectionConfig], sql: "str | None" = None
+) -> None:
     """catalogType 'glue' is accepted by the config model for wire
     compatibility (the reference accepts it too, `backend/main.py:151`,
-    and then silently falls through to path reads). r9: fail EXPLICITLY
-    instead — a silent dead-end costs a user a debugging session; a 501
-    with guidance costs them one retry."""
-    if config is not None and config.catalogType == "glue":
-        from cloudfloe_spark.service.errors import CloudfloeError
+    and then silently falls through to path reads). r9 made it an
+    explicit 501; r10 (ADVICE r9 #4) narrows that to requests that
+    actually DEPEND on catalog resolution — a glue config with a usable
+    ``tablePath``, or a query that reads through explicit path functions
+    (``iceberg_scan``/``read_parquet``/...), is served by the same path
+    reads the reference falls through to, so rejecting it regressed
+    previously-working requests. Only when neither is present would the
+    request need the (unimplemented) catalog, and THERE a 501 with
+    guidance beats a 'table not found' mis-diagnosis."""
+    if config is None or config.catalogType != "glue":
+        return
+    if config.tablePath:
+        return  # path reads serve it, reference-parity fall-through
+    if sql is not None and _PATH_FUNC_RE.search(sql):
+        return  # self-contained path-function query
+    from cloudfloe_spark.service.errors import CloudfloeError
 
-        raise CloudfloeError(
-            501,
-            "catalogType 'glue' is not implemented. Use catalogType "
-            "'rest' with catalogEndpoint, or query the table directly "
-            "via tablePath / iceberg_scan('<table root>').",
-        )
+    raise CloudfloeError(
+        501,
+        "catalogType 'glue' is not implemented and this request has no "
+        "tablePath or path-function read to fall back on. Use "
+        "catalogType 'rest' with catalogEndpoint, or query the table "
+        "directly via tablePath / iceberg_scan('<table root>').",
+    )
 
 
 def run_connection_test(spark, config: ConnectionConfig) -> Optional[TableInfo]:
@@ -563,7 +584,7 @@ def run_query(
     rewrites' ``cf_*`` temp views cannot leak across requests."""
     t0 = time.perf_counter()
     validate_statement_shape(sql)
-    _reject_unimplemented_catalog(config)
+    _reject_unimplemented_catalog(config, sql)
     sess = request_session(spark, config)
 
     guard_root = None

@@ -1695,10 +1695,20 @@ def _matview_status_view(sess, target_root: str) -> str:
     ).replace(tzinfo=None)
     key_cols = ",".join(rec.get("key-cols") or []) or None
     rows = []
-    try:
-        cur_ver = load_view(rec["view"])["current-version-id"]
-    except IcebergViewError:
-        cur_ver = None
+    # The view/base roots come from a TABLE PROPERTY — user-writable
+    # content, not a validated request path. Pass each through the same
+    # _readable_root gate every scan function applies before touching the
+    # filesystem (r10, ADVICE r9 #5): a crafted property must not let a
+    # service caller probe arbitrary local paths' Iceberg metadata. A
+    # non-readable root surfaces with current=NULL, same as an expired
+    # base — the row still tells the admin WHICH ref is unresolvable.
+    view_root = _readable_root(sess, str(rec.get("view") or ""))
+    cur_ver = None
+    if view_root is not None:
+        try:
+            cur_ver = load_view(view_root)["current-version-id"]
+        except IcebergViewError:
+            cur_ver = None
     rows.append(
         (
             str(rec.get("view-version")) != str(cur_ver),
@@ -1711,10 +1721,13 @@ def _matview_status_view(sess, target_root: str) -> str:
         )
     )
     for b, recorded in sorted((rec.get("bases") or {}).items()):
-        try:
-            cur = str(im.resolve_snapshot(b)["snapshot-id"])
-        except im.IcebergMetadataError:
-            cur = None
+        cur = None
+        base_root = _readable_root(sess, str(b))
+        if base_root is not None:
+            try:
+                cur = str(im.resolve_snapshot(base_root)["snapshot-id"])
+            except im.IcebergMetadataError:
+                cur = None
         rows.append(
             (
                 str(recorded) != cur,

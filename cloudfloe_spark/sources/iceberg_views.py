@@ -213,6 +213,33 @@ _INCR_BLOCK_JOIN = _re.compile(
 )
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
+# Nondeterministic expressions disqualify a view from CHANGELOG-based
+# refresh (r10, VERDICT r9 #5): an incremental apply re-evaluates the
+# projection only over the delta, so rand()/uuid()/current_timestamp()
+# would give fresh values to touched rows while untouched rows keep old
+# ones — a target state no single full refresh could produce. Call-form
+# names require the '('; the current_* family is valid WITHOUT parens in
+# Spark SQL, so those block as bare words (a column genuinely named
+# current_date would be parsed as the function by Spark anyway unless
+# backquoted — and backquoted identifiers are masked before this check).
+_INCR_NONDET = _re.compile(
+    r"(?i)(?:\b(?:rand|randn|random|uuid|shuffle|"
+    r"monotonically_increasing_id|unix_timestamp|input_file_name|"
+    r"spark_partition_id)\s*\("
+    r"|\b(?:current_timestamp|current_date|current_timezone|"
+    r"current_user|session_user|localtimestamp|now)\b)"
+)
+
+
+def _star_item(item: str) -> bool:
+    """True when a projection ITEM is a star (`*` or `alias.*`) — the
+    only positions where `*` means a star projection. A `*` elsewhere in
+    an item is multiplication (r10, ADVICE r9 #3: `n_chars * 2 AS d` was
+    misread as a mixed star and silently lost the incremental path)."""
+    return bool(
+        _re.match(rf"(?s)^\s*(?:{_IDENT}\s*\.\s*)?\*\s*$", item)
+    )
+
 
 def _mask(sql: str, parens_too: bool) -> str:
     """Same-length copy with string/quoted-identifier contents (and,
@@ -269,6 +296,8 @@ def incremental_shape(sql: str) -> "dict | None":
     smask = _mask(sql, parens_too=False)
     if "_change_type" in sql:
         return None  # would collide with the changelog label column
+    if _INCR_NONDET.search(smask):
+        return None  # nondeterministic expression: only full is sound
     if _INCR_BLOCK.search(smask):
         joins = list(_re.finditer(r"(?i)\bjoin\b", smask))
         if len(joins) == 1 and not _INCR_BLOCK_JOIN.search(smask):
@@ -332,9 +361,11 @@ def incremental_shape(sql: str) -> "dict | None":
             "group_base": group_base,
             "group_out": group_out,
         }
-    if _re.search(r"(?<![\w.])\*", _mask(sel, parens_too=True)) and \
-            sel.strip() != "*":
-        return None  # mixed star projection: names would collide
+    sel_items = _split_top_commas(sel)
+    if any(_star_item(it) for it in sel_items) and (
+        len(sel_items) != 1 or sel_items[0].strip() != "*"
+    ):
+        return None  # mixed / qualified star projection: names collide
     return {
         "kind": "row",
         "base": base,
@@ -364,7 +395,7 @@ def _join_shape(sql: str) -> "dict | None":
         return None
     m_where = _re.search(r"(?i)\bwhere\b", tmask[m_on.end():])
     sel = sql[m_sel.end():m_from.start()].strip()
-    if _re.search(r"(?<![\w.])\*", _mask(sel, parens_too=True)):
+    if any(_star_item(it) for it in _split_top_commas(sel)):
         return None  # star would drag _change_type/ambiguous names in
     left = sql[m_from.end():m_join.start()]
     right = sql[m_join.end():m_on.start()]
@@ -643,6 +674,98 @@ def materialized_view_status(target_root: str) -> dict:
     }
 
 
+def _keyed_apply_safe(sess, target_root: str, changes, keys: list) -> bool:
+    """Validate the unique-keys contract a keyed changelog apply relies on
+    (r10, ADVICE r9 #2): ``apply_changelog`` retracts EVERY target row
+    matching a retraction key, so a key that maps to more than one view
+    row silently diverges from a full refresh. Checks, all bounded by the
+    delta plus ONE [min,max]-restricted key-pruned scan of the target
+    (manifest stats skip files outside the touched-key range — the same
+    shape as the agg path's recompute scan):
+
+    1. the delta's insert side has no duplicate keys;
+    2. no key touched by this delta maps to >1 existing target row
+       (a retraction would over-delete; the state already violates);
+    3. no insert key lands on a surviving (non-retracted) target row
+       (the apply would create a duplicate).
+
+    False → the caller falls back to the always-sound full refresh."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.maintenance import _sql_literal
+
+    retract = (
+        changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        )
+        .select(*keys)
+        .distinct()
+    )
+    ins_keys = (
+        changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cf_n"))
+        .persist()
+    )
+    tgt = None
+    touched = None
+    try:
+        if ins_keys.filter(F.col("__cf_n") > 1).limit(1).count():
+            return False
+        touched = (
+            ins_keys.select(*keys).union(retract).distinct().persist()
+        )
+        bounds = touched.agg(
+            *[
+                f
+                for k in keys
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
+        ).first()
+        conjs = []
+        for k in keys:
+            lo = _sql_literal(bounds[f"__lo_{k}"])
+            hi = _sql_literal(bounds[f"__hi_{k}"])
+            if lo is not None and hi is not None:
+                conjs.append(f"{k} >= {lo} AND {k} <= {hi}")
+        scan_sql = (
+            f"SELECT {', '.join(keys)} FROM iceberg_scan('{target_root}')"
+        )
+        if conjs:
+            scan_sql += " WHERE " + " AND ".join(conjs)
+        tgt = (
+            sess.sql(resolve_iceberg_reads(sess, scan_sql))
+            .join(F.broadcast(touched), keys, "left_semi")
+            .persist()
+        )
+        per_key = tgt.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cf_n"))
+        if per_key.filter(F.col("__cf_n") > 1).limit(1).count():
+            return False
+        surviving = tgt.select(*keys).distinct().join(
+            retract, keys, "left_anti"
+        )
+        if (
+            ins_keys.select(*keys)
+            .join(surviving, keys, "left_semi")
+            .limit(1)
+            .count()
+        ):
+            return False
+        return True
+    finally:
+        ins_keys.unpersist()
+        if touched is not None:
+            touched.unpersist()
+        if tgt is not None:
+            tgt.unpersist()
+
+
 def _incremental_refresh(
     spark, view_root: str, target_root: str, rec: dict,
     *, timestamp_ms: int, key_cols: "list[str] | None",
@@ -696,8 +819,14 @@ def _incremental_refresh(
             except im.IcebergMetadataError:
                 return None
         changed = [r for r in roots if str(cur_ids[r]) != str(bases[r])]
-        if len(changed) != 1:
-            return None  # both moved (or none): full refresh
+        if len(changed) == 0:
+            return None  # staleness came from elsewhere
+        if len(changed) == 2:
+            # both bases moved (r10, VERDICT r9 #3): algebraic delta
+            return _join_both_moved_refresh(
+                spark, shape, view_root, target_root, rec, bases,
+                cur_ids, timestamp_ms=timestamp_ms, key_cols=key_cols,
+            )
         base = changed[0]
         from_id = bases[base]
         to_id = cur_ids[base]
@@ -766,7 +895,11 @@ def _incremental_refresh(
                 plan = changes._jdf.queryExecution().analyzed().toString()
             except AnalysisException:
                 return None
-            if "Aggregate" in plan:
+            if "Aggregate" in plan or "Generate" in plan:
+                # Generate (r10, ADVICE r9 #2): explode/posexplode/inline
+                # make the shape one-to-many — a keyed retraction would
+                # delete EVERY target row sharing the key when one base
+                # row goes, silently diverging from a full refresh
                 return None
             if not keys:
                 # keyless views can still refresh an APPEND-ONLY range:
@@ -798,6 +931,8 @@ def _incremental_refresh(
                 missing = sorted(set(keys) - set(changes.columns))
                 if missing:
                     return None  # keys not produced by the view's output
+                if not _keyed_apply_safe(sess, target_root, changes, keys):
+                    return None  # unique-keys contract violated (r10)
                 res = apply_changelog(
                     sess, target_root, changes, keys,
                     timestamp_ms=timestamp_ms, changelog_id=changelog_id,
@@ -890,6 +1025,180 @@ def _incremental_refresh(
         sess.catalog.dropTempView(tmp)
     new_bases = dict(bases)  # unchanged bases keep their recorded ids
     new_bases[base] = str(to_id)
+    _stamp_mv_property(
+        target_root,
+        view_root=view_root,
+        view_version=rec.get("view-version"),
+        bases=new_bases,
+        timestamp_ms=timestamp_ms,
+        key_cols=keys or None,
+    )
+    return {
+        "path": path,
+        "snapshot_id": res.get("snapshot_id"),
+        "retracted": res.get("retracted", 0),
+        "inserted": res.get("inserted", 0),
+        "applied_already": bool(res.get("skipped")),
+        "bases": new_bases,
+    }
+
+
+def _join_both_moved_refresh(
+    spark, shape: dict, view_root: str, target_root: str, rec: dict,
+    bases: dict, cur_ids: dict, *, timestamp_ms: int,
+    key_cols: "list[str] | None",
+) -> "dict | None":
+    """Incremental refresh of the two-base join shape when BOTH bases
+    moved in one staleness window (r10, VERDICT r9 #3) — previously a
+    full recompute. The algebraic delta, in ℤ-weighted (changelog)
+    multiset algebra with A_new = A_old + ΔA:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    (expand A_new ⋈ B_new − A_old ⋈ B_old; the ΔA term uses the NEW right
+    side and the ΔB term the OLD left side, so no intersection correction
+    is needed). Signs multiply — each product row inherits the delta
+    side's change type. Because a key-based apply cannot cancel a
+    same-row retraction against a same-row insertion the way the algebra
+    does (e.g. a fact delete combined with a dim update emits both
+    −(a,b_new) and +(a,b_new)), the combined changelog is NETTED by full
+    row first: group by all output columns, sum ±1, keep nonzero. A net
+    magnitude >1 means duplicate view rows — fall back to full refresh.
+
+    Scale shape: each term joins a CDC delta (delta-sized) against one
+    full-side scan — the same cost as two single-moved refreshes; the
+    netting groupBy is over the combined delta only. The target is never
+    rewritten."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    from cloudfloe_spark.service.errors import CloudfloeError
+    from cloudfloe_spark.service.iceberg_local import (
+        _cdc_frame,
+        resolve_iceberg_reads,
+    )
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.maintenance import apply_changelog
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    aliases = list(shape["aliases"])  # insertion order: left, right
+    alias_a, alias_b = aliases[0], aliases[1]
+    root_a, root_b = shape["aliases"][alias_a], shape["aliases"][alias_b]
+    for r in (root_a, root_b):
+        if not str(bases[r]).lstrip("-").isdigit():
+            return None  # a base was unreadable at materialize time
+    keys = list(key_cols or rec.get("key-cols") or [])
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    try:
+        delta_a = _cdc_frame(
+            sess, root_a, str(bases[root_a]), str(cur_ids[root_a])
+        )
+        delta_b = _cdc_frame(
+            sess, root_b, str(bases[root_b]), str(cur_ids[root_b])
+        )
+    except (CloudfloeError, im.IcebergMetadataError):
+        return None  # expired range / compaction in range / eq-deletes
+    tmp_a = f"__cf_mv_da_{uuid.uuid4().hex[:8]}"
+    tmp_b = f"__cf_mv_db_{uuid.uuid4().hex[:8]}"
+    delta_a.createOrReplaceTempView(tmp_a)
+    delta_b.createOrReplaceTempView(tmp_b)
+    try:
+        try:
+            b_new_sql = resolve_iceberg_reads(
+                sess, f"SELECT * FROM iceberg_scan('{root_b}')"
+            )
+            a_old_sql = resolve_iceberg_reads(
+                sess,
+                f"SELECT * FROM iceberg_scan('{root_a}') "
+                f"VERSION AS OF {bases[root_a]}",
+            )
+        except (CloudfloeError, im.IcebergMetadataError):
+            return None  # A_old's snapshot expired: only full is sound
+        where = f" WHERE {shape['where']}" if shape["where"] else ""
+        t1 = (
+            f"SELECT {shape['select']}, "
+            f"{alias_a}._change_type AS _change_type "
+            f"FROM {tmp_a} AS {alias_a} "
+            f"JOIN ({b_new_sql}) AS {alias_b} ON {shape['on']}{where}"
+        )
+        t2 = (
+            f"SELECT {shape['select']}, "
+            f"{alias_b}._change_type AS _change_type "
+            f"FROM ({a_old_sql}) AS {alias_a} "
+            f"JOIN {tmp_b} AS {alias_b} ON {shape['on']}{where}"
+        )
+        try:
+            combined = sess.sql(t1).unionAll(sess.sql(t2))
+            plan = combined._jdf.queryExecution().analyzed().toString()
+        except AnalysisException:
+            return None
+        if "Aggregate" in plan or "Generate" in plan:
+            return None  # same one-to-many guards as the single-moved path
+        data_cols = [c for c in combined.columns if c != "_change_type"]
+        net = (
+            combined.withColumn(
+                "__cf_sign",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            .groupBy(*data_cols)
+            .agg(F.sum("__cf_sign").alias("__cf_net"))
+            .filter(F.col("__cf_net") != 0)
+            .persist()
+        )
+        try:
+            if net.filter(F.abs(F.col("__cf_net")) > 1).limit(1).count():
+                return None  # duplicate view rows: keyed apply can't net
+            changes = net.select(
+                *data_cols,
+                F.when(F.col("__cf_net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+            )
+            changelog_id = (
+                f"mv:{view_root}:{root_a}:{bases[root_a]}:"
+                f"{cur_ids[root_a]}:{root_b}:{bases[root_b]}:"
+                f"{cur_ids[root_b]}"
+            )
+            if not keys:
+                # keyless: sound only when the netted delta is pure
+                # inserts (both ranges effectively append-only after
+                # netting)
+                if (
+                    changes.filter(F.col("_change_type") == "delete")
+                    .limit(1)
+                    .count()
+                ):
+                    return None
+                res = apply_changelog(
+                    sess, target_root, changes, [changes.columns[0]],
+                    timestamp_ms=timestamp_ms, changelog_id=changelog_id,
+                )
+                path = "incremental-join-both-append"
+            else:
+                if sorted(set(keys) - set(data_cols)):
+                    return None  # keys not produced by the view's output
+                if not _keyed_apply_safe(sess, target_root, changes, keys):
+                    return None  # unique-keys contract violated (r10)
+                res = apply_changelog(
+                    sess, target_root, changes, keys,
+                    timestamp_ms=timestamp_ms, changelog_id=changelog_id,
+                )
+                path = "incremental-join-both"
+        finally:
+            net.unpersist()
+    finally:
+        sess.catalog.dropTempView(tmp_a)
+        sess.catalog.dropTempView(tmp_b)
+    new_bases = dict(bases)
+    new_bases[root_a] = str(cur_ids[root_a])
+    new_bases[root_b] = str(cur_ids[root_b])
     _stamp_mv_property(
         target_root,
         view_root=view_root,

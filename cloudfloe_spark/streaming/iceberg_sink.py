@@ -83,6 +83,27 @@ def committed_batches(root: str) -> set[tuple[Optional[str], int]]:
 _CUTOVER_PROP = "cloudfloe.sink.format-cutover"
 
 
+def _prior_epochs(checkpoint_dir: str) -> set[int]:
+    """Epoch ids this checkpoint had already STARTED before the current
+    run — the ``offsets/<batchId>`` entries Structured Streaming writes
+    before executing each batch. Only these epochs can be genuine replays
+    of a pre-upgrade (legacy) run; a FRESH checkpoint has none, so its
+    epochs are always new work (r10, ADVICE r9 #1: latching the legacy
+    honor on table state alone silently dropped every batch of a fresh
+    query on a legacy table whose epoch numbers all collided)."""
+    out: set[int] = set()
+    try:
+        names = os.listdir(os.path.join(checkpoint_dir, "offsets"))
+    except OSError:
+        return out
+    for n in names:
+        try:
+            out.add(int(n))
+        except ValueError:
+            continue  # .tmp / .crc noise
+    return out
+
+
 def _format_cutover(root: str) -> bool:
     """True once any post-upgrade sink run has committed a (queryId,
     epochId)-stamped batch (r9, VERDICT r08 #3-of-'wrong'): from that
@@ -140,13 +161,24 @@ def append_stream_to_iceberg(
     )
 
     seen = committed_batches(root)
-    # Legacy (None, epoch) summaries dedup ONLY until the first new-format
-    # commit stamps the cutover property: legacy tables had one writer per
-    # epoch, so the FIRST post-upgrade run resuming a pre-upgrade
-    # checkpoint must treat its replayed epoch as committed — but once any
-    # new-format commit exists, a (None, epoch) match is more likely a
-    # SECOND query's colliding epoch number, which must land (r9).
-    honor_legacy = not _format_cutover(root)
+    # Legacy (None, epoch) summaries dedup ONLY a genuine replay: the
+    # epoch must already appear in this checkpoint's pre-run offsets log
+    # (a fresh checkpoint's epochs are new work even when the numbers
+    # collide with legacy summaries — r10, ADVICE r9 #1), and the table
+    # must not yet carry the format-cutover stamp. The cutover check is
+    # re-evaluated at each skip decision (monotone False→True latch), so
+    # a query started before another query's first stamped commit picks
+    # the stamp up mid-run instead of keeping a stale latch (r9/r10).
+    prior_epochs = _prior_epochs(checkpoint_dir)
+    cutover = {"v": _format_cutover(root)}
+
+    def _legacy_dedups(epoch_id: int) -> bool:
+        if epoch_id not in prior_epochs or (None, epoch_id) not in seen:
+            return False
+        if not cutover["v"]:
+            cutover["v"] = _format_cutover(root)
+        return not cutover["v"]
+
     stats = {"batches": 0, "skipped": 0}
     resolved: dict[str, str] = {}
 
@@ -164,9 +196,7 @@ def append_stream_to_iceberg(
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         qid = _qid()
-        if (qid, epoch_id) in seen or (
-            honor_legacy and (None, epoch_id) in seen
-        ):
+        if (qid, epoch_id) in seen or _legacy_dedups(epoch_id):
             stats["skipped"] += 1
             return
         # dir keyed by (query, epoch): a SECOND query's epoch 0 must not
@@ -251,7 +281,17 @@ def upsert_stream_to_iceberg(
 
     kcols = [keys] if isinstance(keys, str) else list(keys)
     seen = committed_batches(root)
-    honor_legacy = not _format_cutover(root)  # see append sink (r9)
+    # replay-gated legacy dedup + live cutover re-check — see append sink
+    prior_epochs = _prior_epochs(checkpoint_dir)
+    cutover = {"v": _format_cutover(root)}
+
+    def _legacy_dedups(epoch_id: int) -> bool:
+        if epoch_id not in prior_epochs or (None, epoch_id) not in seen:
+            return False
+        if not cutover["v"]:
+            cutover["v"] = _format_cutover(root)
+        return not cutover["v"]
+
     stats = {"batches": 0, "skipped": 0}
     resolved: dict[str, str] = {}
 
@@ -264,9 +304,7 @@ def upsert_stream_to_iceberg(
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         qid = _qid()
-        if (qid, epoch_id) in seen or (
-            honor_legacy and (None, epoch_id) in seen
-        ):
+        if (qid, epoch_id) in seen or _legacy_dedups(epoch_id):
             stats["skipped"] += 1
             return
         batch = batch_df.dropDuplicates(kcols)

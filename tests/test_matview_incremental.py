@@ -467,27 +467,101 @@ def test_join_view_dim_delta_is_symmetric(spark, fact_dim, tmp_path):
     ]
 
 
-def test_join_view_both_bases_changed_forces_full(spark, fact_dim, tmp_path):
+def test_join_view_both_bases_moved_refreshes_incrementally(
+    spark, fact_dim, tmp_path
+):
+    """r10 (VERDICT r9 #3): BOTH bases moved in one staleness window —
+    the algebraic delta Δfact ⋈ dim_new ∪ fact_old ⋈ Δdim refreshes at
+    delta cost instead of the r9 full recompute. The chosen DML pair is
+    the adversarial cancellation case: fact id=1 is DELETED while its
+    dim row (k=0) is UPDATED, so the raw combined changelog contains both
+    −(1, RED) and +(1, RED) — only row-level NETTING keeps the keyed
+    apply from resurrecting the deleted row."""
     fact, dim = fact_dim
-    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    vroot = str(tmp_path / "v")
+    t_inc, t_full = str(tmp_path / "mv_inc"), str(tmp_path / "mv_full")
     _join_view(fact, dim, vroot)
     materialize_iceberg_view(
-        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["id"]
+        spark, vroot, t_inc, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    materialize_iceberg_view(
+        spark, vroot, t_full, timestamp_ms=T1 + 2001, key_cols=["id"]
     )
     delete_where(spark, fact, "id = 1", timestamp_ms=T1 + 3000)
     update_where(
         spark, dim, "k = 0", {"name": "'RED'"}, timestamp_ms=T1 + 4000
     )
-    res = refresh_materialized_view(
-        spark, vroot, troot, timestamp_ms=T1 + 5000
+    # plus a fact-side insert joining the UPDATED dim row
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    merge_into(
+        spark, fact,
+        spark.createDataFrame([(7, 0, 70)], "id LONG, k LONG, n LONG"),
+        ["id"], timestamp_ms=T1 + 4500,
     )
-    assert res["path"] == "full"
+    res = refresh_materialized_view(
+        spark, vroot, t_inc, timestamp_ms=T1 + 5000
+    )
+    assert res["path"] == "incremental-join-both"
+    full = refresh_materialized_view(
+        spark, vroot, t_full, timestamp_ms=T1 + 5001,
+        allow_incremental=False,
+    )
+    assert full["path"] == "full"
+    q = "SELECT id, n, name FROM iceberg_scan('{}') ORDER BY id"
+    got = _rows(spark, q.format(t_inc))
+    assert got == _rows(spark, q.format(t_full))
+    assert got == [
+        (2, 20, "green"), (3, 30, "blue"), (4, 40, "RED"),
+        (5, 50, "green"), (6, 60, "blue"), (7, 70, "RED"),
+    ]
+    assert materialized_view_status(t_inc)["stale"] is False
+
+
+def test_join_both_moved_without_keys_falls_back_when_retracting(
+    spark, fact_dim, tmp_path
+):
+    """Keyless both-moved: a netted delta containing retractions cannot
+    be applied without keys → full refresh (sound), while a pure-append
+    window refreshes via the keyless path."""
+    fact, dim = fact_dim
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    _join_view(fact, dim, vroot)
+    materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 2000)
+    # append-only on BOTH bases → keyless both-moved path
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    merge_into(
+        spark, fact,
+        spark.createDataFrame([(8, 3, 80)], "id LONG, k LONG, n LONG"),
+        ["id"], timestamp_ms=T1 + 3000,
+    )
+    merge_into(
+        spark, dim,
+        spark.createDataFrame([(3, "teal")], "k LONG, name STRING"),
+        ["k"], timestamp_ms=T1 + 3500,
+    )
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "incremental-join-both-append"
     got = _rows(
         spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
     )
-    assert got == [
-        (2, "green"), (3, "blue"), (4, "RED"), (5, "green"), (6, "blue"),
-    ]
+    assert got[-1] == (8, "teal") and len(got) == 7
+    # now a retracting window without keys → full
+    delete_where(spark, fact, "id = 2", timestamp_ms=T1 + 5000)
+    update_where(
+        spark, dim, "k = 2", {"name": "'BLUE'"}, timestamp_ms=T1 + 5500
+    )
+    res2 = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 6000
+    )
+    assert res2["path"] == "full"
+    got2 = _rows(
+        spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert (3, "BLUE") in got2 and all(r[0] != 2 for r in got2)
 
 
 def test_incremental_shape_parser_rejects_unsafe_sql():
@@ -501,6 +575,34 @@ def test_incremental_shape_parser_rejects_unsafe_sql():
         "SELECT id, n FROM iceberg_scan('/t') WHERE n > 5"
     )
     assert ok_row["kind"] == "row" and ok_row["where"] == "n > 5"
+    # r10 (ADVICE r9 #3): a top-level `*` that is MULTIPLICATION is not a
+    # star projection — `n_chars * 2` must keep the incremental path
+    arith = incremental_shape(
+        "SELECT doc_id, n_chars * 2 AS d FROM iceberg_scan('/t')"
+    )
+    assert arith is not None and arith["kind"] == "row"
+    assert incremental_shape(
+        "SELECT id, n * 2 AS d FROM iceberg_scan('/t') WHERE n * 3 > 5"
+    )["kind"] == "row"
+    # ... while genuine star ITEMS still gate: bare `*` alone is the row
+    # shape, `alias.*` or mixed stars are not
+    assert incremental_shape("SELECT * FROM iceberg_scan('/t')") is not None
+    for bad in [
+        "SELECT t.* FROM iceberg_scan('/t')",
+        "SELECT id, * FROM iceberg_scan('/t')",
+        # r10 (VERDICT r9 #5): nondeterministic expressions would give
+        # delta rows fresh values while untouched rows keep old ones
+        "SELECT id, rand() AS r FROM iceberg_scan('/t')",
+        "SELECT id, uuid() AS u FROM iceberg_scan('/t')",
+        "SELECT id, current_timestamp AS ts FROM iceberg_scan('/t')",
+        "SELECT id, current_date() AS d FROM iceberg_scan('/t')",
+        "SELECT id, now() AS ts FROM iceberg_scan('/t')",
+        "SELECT id FROM iceberg_scan('/t') "
+        "WHERE ts > current_timestamp - INTERVAL 1 DAY",
+        "SELECT id, monotonically_increasing_id() AS m "
+        "FROM iceberg_scan('/t')",
+    ]:
+        assert incremental_shape(bad) is None, bad
     for bad in [
         "SELECT a FROM iceberg_scan('/t') JOIN x ON a = b",
         "SELECT DISTINCT a FROM iceberg_scan('/t')",
@@ -516,6 +618,64 @@ def test_incremental_shape_parser_rejects_unsafe_sql():
         "SELECT a, (SELECT MAX(b) FROM y) AS m FROM iceberg_scan('/t')",
     ]:
         assert incremental_shape(bad) is None, bad
+
+
+def test_generator_projection_falls_back_to_full(spark, base, tmp_path):
+    """r10 (ADVICE r9 #2): a generator projection (explode) is
+    one-to-many — it passes the lexical row gate but the analyzed plan's
+    Generate node must reject it at refresh time, else a keyed retraction
+    would delete every target row sharing the key."""
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT id, explode(split(lang, 'x')) AS part "
+        f"FROM iceberg_scan('{base}')",
+        timestamp_ms=T1 + 1000,
+    )
+    assert incremental_shape(
+        "SELECT id, explode(split(lang, 'x')) AS part "
+        "FROM iceberg_scan('/t')"
+    ) is not None  # the lexical gate alone does NOT catch it
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    delete_where(spark, base, "id = 1", timestamp_ms=T1 + 3000)
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "full"
+    got = _rows(
+        spark,
+        f"SELECT id FROM iceberg_scan('{troot}') ORDER BY id",
+    )
+    assert [r[0] for r in got] == [2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_nonunique_keys_fall_back_to_full(spark, base, tmp_path):
+    """r10 (ADVICE r9 #2): keys that do not uniquely identify view rows
+    (here key_cols=['lang'] while lang repeats) would make a keyed
+    retraction over-delete — _keyed_apply_safe detects the violation and
+    the refresh falls back to full instead of silently diverging."""
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT id, lang, n FROM iceberg_scan('{base}')",
+        timestamp_ms=T1 + 1000,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["lang"]
+    )
+    # delete ONE of the three en rows; a lang-keyed apply would retract
+    # all three and reinsert none
+    delete_where(spark, base, "id = 1", timestamp_ms=T1 + 3000)
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "full"
+    got = _rows(
+        spark, f"SELECT id FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert [r[0] for r in got] == [2, 3, 4, 5, 6, 7, 8, 9]
 
 
 def test_matview_status_table_function(spark, base, tmp_path):

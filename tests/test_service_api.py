@@ -139,6 +139,47 @@ def test_glue_catalog_type_returns_explicit_501(api, sf_dir):
     assert status == 501 and "glue" in body["detail"]
 
 
+def test_glue_with_path_fallback_is_served(api, sf_dir):
+    """r10 (ADVICE r9 #4): the 501 applies only when the request DEPENDS
+    on catalog resolution. A glue config with a usable tablePath — or a
+    self-contained path-function query — is served via path reads, the
+    same fall-through the reference implements (`backend/main.py`)."""
+    conn = {
+        "storageType": "local",
+        "endpoint": "",
+        "accessKey": "",
+        "secretKey": "",
+        "catalogType": "glue",
+        "tablePath": f"{sf_dir}/region.parquet",
+    }
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": f"SELECT count(*) AS n "
+            f"FROM read_parquet('{sf_dir}/region.parquet')",
+            "connection": conn,
+        },
+    )
+    assert status == 200 and body["rows"][0][0] == 5
+    status, body = _post(api, "/api/connect/test", {"connection": conn})
+    assert status == 200 and body["status"] == "success"
+    assert body["tableInfo"]["rows"] == 5
+    # no tablePath but the SQL reads through a path function → served
+    conn2 = dict(conn)
+    conn2.pop("tablePath")
+    status, body = _post(
+        api,
+        "/api/query",
+        {
+            "sql": f"SELECT count(*) AS n "
+            f"FROM read_parquet('{sf_dir}/nation.parquet')",
+            "connection": conn2,
+        },
+    )
+    assert status == 200 and body["rows"][0][0] == 25
+
+
 def test_query_write_rejected_400(api):
     status, body = _post(
         api,

@@ -168,44 +168,62 @@ def test_incremental_source_growth_appends_only_new(
     assert _read_ids(spark, root) == [0, 1, 9]
 
 
-def test_legacy_epoch_only_summary_dedups_replay(spark, seeded_table, tmp_path):
-    """ADVICE r7: a pre-upgrade snapshot that recorded only
-    streaming-epoch-id (no query id) must still dedup a replayed epoch —
-    legacy tables had at most one writer per epoch, so (None, epoch) in
-    the committed set counts as seen for ANY query's matching epoch."""
+def _make_table_legacy(root):
+    """Doctor the table metadata into the pre-upgrade sink format: strip
+    streaming-query-id from every snapshot summary and remove the
+    format-cutover property — what a table written entirely by the legacy
+    sink looks like."""
     from cloudfloe_spark.sources.iceberg_fixture import (
-        commit_row_delta_snapshot,
+        write_next_metadata_version,
     )
-    import pyarrow.parquet as pq
+    from cloudfloe_spark.streaming.iceberg_sink import _CUTOVER_PROP
+
+    meta = im.load_metadata(root)
+    for s in meta.get("snapshots", []):
+        (s.get("summary") or {}).pop("streaming-query-id", None)
+    (meta.get("properties") or {}).pop(_CUTOVER_PROP, None)
+    write_next_metadata_version(root, meta)
+
+
+def test_legacy_epoch_only_summary_dedups_genuine_replay(
+    spark, seeded_table, tmp_path
+):
+    """ADVICE r7 + r10: a pre-upgrade snapshot that recorded only
+    streaming-epoch-id (no query id) must still dedup a REPLAYED epoch —
+    one this checkpoint had already started (pre-run offsets entry) in its
+    pre-upgrade life. Simulated by running once, rewriting the table
+    metadata to the legacy format, then wiping the checkpoint commit log
+    so the epoch replays (the crash-between-commit-and-checkpoint
+    window)."""
+    import shutil
 
     root = seeded_table
-    # simulate the legacy format: epoch 0 committed with no query id
-    p = os.path.join(root, "data", "legacy-epoch0.parquet")
-    pq.write_table(pa.table({"id": [100], "v": ["legacy"]}), p)
-    commit_row_delta_snapshot(
-        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 500,
-        summary_extra={"streaming-epoch-id": "0"},
-    )
-    assert (None, 0) in committed_batches(root)
-
     src = _source_dir(spark, tmp_path, [[(1, "a")]])
     ck = str(tmp_path / "ck")
+    append_stream_to_iceberg(
+        _stream(spark, src), root, checkpoint_dir=ck, timestamp_ms=T1 + 500
+    )
+    _make_table_legacy(root)
+    assert (None, 0) in committed_batches(root)
+    shutil.rmtree(os.path.join(ck, "commits"), ignore_errors=True)
+
     stats = append_stream_to_iceberg(
         _stream(spark, src), root, checkpoint_dir=ck, timestamp_ms=T1 + 1000
     )
     # the replayed epoch 0 is treated as already committed
     assert stats == {"batches": 0, "skipped": 1}
-    assert _read_ids(spark, root) == [0, 100]
+    assert _read_ids(spark, root) == [0, 1]
 
 
-def test_format_cutover_stops_legacy_dedup_for_later_queries(
+def test_fresh_checkpoint_on_legacy_table_commits_everything(
     spark, seeded_table, tmp_path
 ):
-    """r9 (VERDICT r08 'wrong' #3): once any new-format (queryId,
-    epochId) commit stamps the ``cloudfloe.sink.format-cutover`` table
-    property, legacy (None, epoch) summaries stop deduping — a SECOND
-    query whose epoch number collides with a legacy-only summary must
-    COMMIT (pre-fix it silently skipped the batch forever)."""
+    """ADVICE r9 #1: a FRESH-checkpoint query against a legacy table whose
+    epoch numbers all collide with legacy (None, epoch) summaries must
+    commit every batch (pre-fix: every epoch matched a legacy entry, the
+    cutover was never stamped, and the query's batches were silently
+    dropped forever). The legacy honor now applies only to epochs in the
+    checkpoint's PRE-RUN offsets log — a fresh checkpoint has none."""
     import pyarrow.parquet as pq
 
     from cloudfloe_spark.sources.iceberg_fixture import (
@@ -214,40 +232,84 @@ def test_format_cutover_stops_legacy_dedup_for_later_queries(
     from cloudfloe_spark.streaming.iceberg_sink import _format_cutover
 
     root = seeded_table
-    # legacy epoch-0 summary (pre-upgrade writer, no query id)
+    # legacy summaries covering epochs 0 AND 1 — the new query's entire
+    # epoch range collides
+    for e in (0, 1):
+        p = os.path.join(root, "data", f"legacy-epoch{e}.parquet")
+        pq.write_table(pa.table({"id": [100 + e], "v": ["legacy"]}), p)
+        commit_row_delta_snapshot(
+            root, new_data_files=[(p, 1)], timestamp_ms=T1 + 500 + e,
+            summary_extra={"streaming-epoch-id": str(e)},
+        )
+    assert not _format_cutover(root)
+
+    src = _source_dir(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    stats = append_stream_to_iceberg(
+        _stream(spark, src), root,
+        checkpoint_dir=str(tmp_path / "ck-fresh"), timestamp_ms=T1 + 1000,
+    )
+    assert stats == {"batches": 2, "skipped": 0}
+    assert _format_cutover(root)
+    assert _read_ids(spark, root) == [0, 1, 2, 100, 101]
+
+
+def test_format_cutover_stops_legacy_dedup_even_for_replays(
+    spark, seeded_table, tmp_path
+):
+    """r9 (VERDICT r08 'wrong' #3), retargeted for the r10 replay gate:
+    once the ``cloudfloe.sink.format-cutover`` property is stamped, a
+    legacy (None, epoch) summary stops deduping even a REPLAY-GATED match
+    (an epoch in this checkpoint's pre-run offsets). Ambiguity between
+    'my own pre-upgrade replay' and 'another legacy query's colliding
+    epoch' is resolved in favor of committing — a possible duplicate over
+    a silent drop."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        _format_cutover,
+        _stamp_format_cutover,
+    )
+
+    root = seeded_table
+    src = _source_dir(spark, tmp_path, [[(1, "a")]])
+    ck = str(tmp_path / "ck")
+    # Build REAL checkpoint state (offsets/0) by draining into a throwaway
+    # table, then wipe the commit log so epoch 0 replays on the next run.
+    scratch = str(tmp_path / "scratch-table")
+    LocalIcebergTable(
+        scratch, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    ).append_snapshot([pa.table({"id": [0], "v": ["seed"]})], timestamp_ms=T1)
+    append_stream_to_iceberg(
+        _stream(spark, src), scratch, checkpoint_dir=ck, timestamp_ms=T1 + 500
+    )
+    shutil.rmtree(os.path.join(ck, "commits"), ignore_errors=True)
+
+    # Target table: legacy (None, 0) summary from a pre-upgrade writer,
+    # but the cutover already stamped (some other new-format query).
     p = os.path.join(root, "data", "legacy-epoch0.parquet")
     pq.write_table(pa.table({"id": [100], "v": ["legacy"]}), p)
     commit_row_delta_snapshot(
-        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 500,
+        root, new_data_files=[(p, 1)], timestamp_ms=T1 + 400,
         summary_extra={"streaming-epoch-id": "0"},
     )
-    assert not _format_cutover(root)
-
-    # query 1 resumes the legacy lineage: epoch 0 replay dedups (the
-    # sanctioned pre-cutover behavior), epoch 1 commits AND stamps the
-    # cutover property
-    src1 = _source_dir(spark, tmp_path, [[(1, "a")], [(2, "b")]])
-    stats1 = append_stream_to_iceberg(
-        _stream(spark, src1), root,
-        checkpoint_dir=str(tmp_path / "ck1"), timestamp_ms=T1 + 1000,
-    )
-    assert stats1 == {"batches": 1, "skipped": 1}
+    _stamp_format_cutover(root, "other-query", T1 + 450)
+    assert (None, 0) in committed_batches(root)
     assert _format_cutover(root)
-    assert _read_ids(spark, root) == [0, 2, 100]
 
-    # query 2 (fresh checkpoint) starts at epoch 0 — which only a LEGACY
-    # summary recorded. Post-cutover it must land, not silently skip.
-    src2 = str(tmp_path / "src2")
-    os.makedirs(src2, exist_ok=True)
-    spark.createDataFrame([(7, "q2")], "id LONG, v STRING").coalesce(
-        1
-    ).write.mode("append").parquet(src2)
-    stats2 = append_stream_to_iceberg(
-        _stream(spark, src2), root,
-        checkpoint_dir=str(tmp_path / "ck2"), timestamp_ms=T1 + 2000,
+    # epoch 0 replays into root; it matches the replay gate ((None, 0) in
+    # seen, 0 in pre-run offsets) but the cutover is stamped → it must
+    # COMMIT, not skip
+    stats = append_stream_to_iceberg(
+        _stream(spark, src), root, checkpoint_dir=ck, timestamp_ms=T1 + 1000
     )
-    assert stats2 == {"batches": 1, "skipped": 0}
-    assert _read_ids(spark, root) == [0, 2, 7, 100]
+    assert stats == {"batches": 1, "skipped": 0}
+    assert _read_ids(spark, root) == [0, 1, 100]
 
 
 def test_unreadable_stream_metadata_raises_not_guesses(tmp_path):
