@@ -36,12 +36,22 @@ host noise. Now:
   per-query double-run delta |p1-p2|/mean is published (median/p90/max
   in the final line) so round-over-round deltas can be gated on the
   measured repeatability of this very run.
-- ``norm_version: 2`` normalized seconds = raw / drift, where drift is
-  the mean over probes of (probe_t / reference_t) against the fixed
-  reference constants below. Units are therefore "seconds on the
-  reference machine": when probes are flat at reference speed,
-  normalized == raw. (v1, rounds ≤6, divided by the start-of-run probe
-  total — a different scale; do not compare across versions.)
+- ``norm_version: 3`` (r10, VERDICT r9 #2) normalized seconds =
+  raw / drift_q where drift_q is the SURFACE-MATCHED weighted factor:
+  each query's {scan, shuffle, cpu} cost mix (static weight table
+  ``bench_weights.json``, derived once from Spark stage byte metrics by
+  ``scripts/bench_calibrate.py``) dotted with the per-probe factors of
+  the adjacent stations. Rationale: host drift is ASYMMETRIC across
+  surfaces (r9 measured scan 0.67x vs cpu 1.92x in one run) — dividing a
+  cpu-bound query by the MEAN of the probes inflated it ~25% and
+  manufactured phantom regressions two rounds running (r8
+  dedup_minhash_signatures +39%, r9 total +18%). The v2 mean-of-probes
+  series is still published (``normalized_total_v2``/
+  ``normalized_v2_queries``) for round-over-round continuity. Units of
+  both: "seconds on the reference machine"; when probes are flat at
+  reference speed, normalized == raw. (v1, rounds ≤6, divided by the
+  start-of-run probe total — a different scale; do not compare across
+  versions.)
 - The final line publishes per-probe median and lo/hi spread across
   stations, so the round log itself shows how turbulent the host was.
 
@@ -199,6 +209,26 @@ def _drift_factor(station: dict[str, float]) -> float:
     return sum(t / REF_PROBES[n] for n, t in station.items()) / len(station)
 
 
+def _probe_factors(station: dict[str, float]) -> dict[str, float]:
+    """Per-probe host-speed factors (v3): the drift of each surface
+    separately, because the host moves them asymmetrically."""
+    return {n: t / REF_PROBES[n] for n, t in station.items()}
+
+
+def _load_weights() -> dict[str, dict[str, float]]:
+    """The checked-in per-query cost-surface mix (scripts/
+    bench_calibrate.py). Missing file or missing query → empty mapping →
+    that query falls back to the v2 mean-of-probes factor."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_weights.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f).get("weights", {})
+    except (OSError, ValueError):
+        return {}
+
+
 #: adaptive-rep policy (r8, VERDICT r07 #1): keep sampling while the
 #: relative spread of the collected runs exceeds this, up to MAX_REPS —
 #: noise-triggered, not just runtime-triggered.
@@ -209,7 +239,7 @@ MAX_REPS = 7
 REP_BUDGET_S = 20.0
 
 
-def _run_pass(spark, catalog, probes) -> dict:
+def _run_pass(spark, catalog, probes, weights) -> dict:
     """One full timed pass over HEADLINE with interleaved probe stations.
     Per query: one untimed warm-up, then MEDIAN of adaptively many timed
     runs — at least 3 (5 for sub-0.4 s queries, where ±30 ms scheduler
@@ -248,13 +278,34 @@ def _run_pass(spark, catalog, probes) -> dict:
     stations.append(_probe_station(probes))
 
     factors = [_drift_factor(s) for s in stations]
+    pfactors = [_probe_factors(s) for s in stations]
 
-    def query_drift(i: int) -> float:
+    def query_drift_v2(i: int) -> float:
         s = min(i // PROBE_EVERY, len(factors) - 2)
         return (factors[s] + factors[s + 1]) / 2
 
+    def query_drift_v3(i: int, name: str) -> float:
+        """Surface-matched drift (r10): the query's cost-mix weights
+        dotted with the adjacent stations' PER-PROBE factors. No weight
+        entry → v2 mean-of-probes (new queries calibrate next run)."""
+        w = weights.get(name)
+        if not w:
+            return query_drift_v2(i)
+        s = min(i // PROBE_EVERY, len(pfactors) - 2)
+        near = {
+            p: (pfactors[s][p] + pfactors[s + 1][p]) / 2
+            for p in REF_PROBES
+        }
+        return sum(w.get(p, 0.0) * near[p] for p in REF_PROBES) or (
+            query_drift_v2(i)
+        )
+
     normalized = {
-        name: round(t / query_drift(i), 3)
+        name: round(t / query_drift_v3(i, name), 3)
+        for i, (name, t) in enumerate(timings.items())
+    }
+    normalized_v2 = {
+        name: round(t / query_drift_v2(i), 3)
         for i, (name, t) in enumerate(timings.items())
     }
     return {
@@ -264,6 +315,7 @@ def _run_pass(spark, catalog, probes) -> dict:
         "stations": stations,
         "factors": [round(f, 3) for f in factors],
         "normalized": normalized,
+        "normalized_v2": normalized_v2,
     }
 
 
@@ -291,11 +343,16 @@ def main() -> None:
     # variance), and the per-query DOUBLE-RUN DELTA |p1-p2|/mean is
     # published so round-over-round comparisons can be gated on measured
     # repeatability instead of assumed stability.
-    p1 = _run_pass(spark, catalog, probes)
-    p2 = _run_pass(spark, catalog, probes)
+    weights = _load_weights()
+    p1 = _run_pass(spark, catalog, probes, weights)
+    p2 = _run_pass(spark, catalog, probes, weights)
 
     normalized = {
         n: round((p1["normalized"][n] + p2["normalized"][n]) / 2, 3)
+        for n in HEADLINE
+    }
+    normalized_v2 = {
+        n: round((p1["normalized_v2"][n] + p2["normalized_v2"][n]) / 2, 3)
         for n in HEADLINE
     }
     run_delta = {}
@@ -318,6 +375,7 @@ def main() -> None:
     factors = p1["factors"] + p2["factors"]
     total = round(sum(timings.values()), 3)
     norm_total = round(sum(normalized.values()), 3)
+    norm_total_v2 = round(sum(normalized_v2.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Per-probe median + spread across ALL stations: if these are wide,
@@ -348,10 +406,12 @@ def main() -> None:
         "station_factors": factors,
         "ref_probes": REF_PROBES,
         "normalized_queries": normalized,
+        "normalized_v2_queries": normalized_v2,
         "normalized_pass1": p1["normalized"],
         "normalized_pass2": p2["normalized"],
         "double_run_delta": run_delta,
-        "norm_version": 2,
+        "norm_version": 3,
+        "weights_used": sorted(n for n in HEADLINE if n in weights),
         "sf": sf_val,
     }
     print(json.dumps(detail))
@@ -373,7 +433,11 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "normalized_total": norm_total,
-                "norm_version": 2,
+                "normalized_total_v2": norm_total_v2,
+                "norm_version": 3,
+                "weighted_queries": len(
+                    [n for n in HEADLINE if n in weights]
+                ),
                 "double_run_delta": delta_summary,
                 "calibration": calibration,
                 "drift": drift_summary,
