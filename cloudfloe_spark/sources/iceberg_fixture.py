@@ -1199,7 +1199,21 @@ def write_next_metadata_version(root: str, meta: dict) -> str:
     authoritative for HadoopCatalog-style tables (honored by
     ``iceberg_meta.latest_metadata_path``), so leaving it stale would make
     every subsequent read resolve the PREVIOUS version and un-commit the
-    change."""
+    change.
+
+    REST-bound roots (r10, VERDICT r9 #4): when the table was bound to a
+    REST catalog via ``rest_catalog.bind_rest_table``, this — the shared
+    commit point of every write op — routes through the catalog's POST
+    commit protocol instead of writing locally: the catalog validates the
+    ``assert-ref-snapshot-id`` CAS, materializes the new metadata
+    version, and its 409 surfaces as :class:`CommitConflictError`, which
+    the maintenance layer's optimistic retry handles exactly like a local
+    conflict."""
+    from cloudfloe_spark.sources import rest_catalog as _rc
+
+    binding = _rc.binding_for(root)
+    if binding is not None:
+        return _rc.commit_table_metadata(binding, root, meta)
     meta_dir = os.path.join(root, "metadata")
     versions = [
         m.group(1)

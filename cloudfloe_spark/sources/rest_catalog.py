@@ -14,11 +14,21 @@ endpoints the service needs —
 - ``GET  /v1/{prefix}/namespaces/{ns}/tables``
 - ``GET  /v1/{prefix}/namespaces/{ns}/tables/{tbl}`` (LoadTableResult →
   ``metadata-location``)
+- ``POST /v1/{prefix}/namespaces/{ns}/tables/{tbl}`` (r10 — the spec's
+  COMMIT protocol: a CommitTableRequest of ``requirements`` +
+  ``updates``, with ``assert-ref-snapshot-id`` as the CAS; HTTP 409 maps
+  to :class:`RestCommitConflict` → the write ops' optimistic retry loop)
 
 — so a REST-cataloged table can be LISTED and, when its files are
 reachable, READ (handing ``metadata-location`` to
-:mod:`cloudfloe_spark.sources.iceberg_meta`) without the Iceberg Spark
-runtime jar. When the jar is present the Spark ``type=rest`` catalog path
+:mod:`cloudfloe_spark.sources.iceberg_meta`) AND — once bound via
+:func:`bind_rest_table` — WRITTEN: every local write op's commit point
+(``iceberg_fixture.write_next_metadata_version``) routes through
+:func:`commit_table_metadata`, which derives the spec's update list by
+diffing the op's computed metadata against the catalog's current state
+and POSTs it. The catalog (server) is the one that materializes the new
+metadata version and swaps the pointer, exactly the spec's division of
+labor. When the jar is present the Spark ``type=rest`` catalog path
 (`service/engine.py::catalog_options`) is used instead.
 """
 
@@ -29,7 +39,17 @@ import urllib.error
 import urllib.parse
 import urllib.request
 
-__all__ = ["RestCatalogClient", "RestCatalogError"]
+__all__ = [
+    "RestCatalogClient",
+    "RestCatalogError",
+    "RestCommitConflict",
+    "apply_table_updates",
+    "derive_table_updates",
+    "bind_rest_table",
+    "unbind_rest_table",
+    "binding_for",
+    "commit_table_metadata",
+]
 
 _TIMEOUT = 10.0
 
@@ -40,6 +60,14 @@ class RestCatalogError(RuntimeError):
     def __init__(self, message: str, status: int | None = None):
         super().__init__(message)
         self.status = status
+
+
+class RestCommitConflict(RestCatalogError):
+    """HTTP 409: a requirement (the ``assert-ref-snapshot-id`` CAS)
+    failed — another writer committed first. Mapped to
+    ``iceberg_fixture.CommitConflictError`` at the commit seam so the
+    maintenance layer's optimistic retry (r10, VERDICT r9 #1) handles
+    REST conflicts exactly like local ones."""
 
 
 class RestCatalogClient:
@@ -163,3 +191,278 @@ class RestCatalogClient:
                 "metadata-location"
             )
         return str(loc)
+
+    def commit_table(
+        self,
+        namespace: str,
+        table: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        """The spec's commit protocol (r10): POST a CommitTableRequest.
+        The SERVER validates ``requirements`` against its current state
+        (``assert-ref-snapshot-id`` is the CAS), applies ``updates``,
+        materializes the new metadata version, and returns the new
+        ``metadata-location``. HTTP 409 → :class:`RestCommitConflict`."""
+        body = json.dumps(
+            {
+                "identifier": {"namespace": [namespace], "name": table},
+                "requirements": requirements,
+                "updates": updates,
+            }
+        ).encode()
+        ns = urllib.parse.quote(namespace, safe="")
+        tbl = urllib.parse.quote(table, safe="")
+        path = self._scoped(f"namespaces/{ns}/tables/{tbl}")
+        try:
+            return self._raw("POST", path, body=body)
+        except RestCatalogError as e:
+            if e.status == 409:
+                raise RestCommitConflict(
+                    f"{namespace}.{table}: commit requirements failed "
+                    "(concurrent update)",
+                    status=409,
+                ) from None
+            raise
+
+
+# --- spec update semantics (shared with any server implementation) -----------
+
+
+def apply_table_updates(meta: dict, updates: list[dict]) -> dict:
+    """Apply a CommitTableRequest's ``updates`` to a metadata dict — the
+    server half of the commit protocol (the in-repo HTTP stub uses this
+    as its authoritative application; the client uses it to VERIFY that
+    the derived update list reproduces the op's computed metadata before
+    posting). Supported update types are exactly the ones
+    :func:`derive_table_updates` emits."""
+    import copy
+
+    out = copy.deepcopy(meta)
+    snaps = out.setdefault("snapshots", [])
+    by_id = {s.get("snapshot-id"): s for s in snaps}
+    for u in updates:
+        action = u.get("action")
+        if action == "add-snapshot":
+            s = u["snapshot"]
+            if s.get("snapshot-id") not in by_id:
+                snaps.append(copy.deepcopy(s))
+                by_id[s.get("snapshot-id")] = s
+        elif action == "remove-snapshots":
+            gone = set(u.get("snapshot-ids") or [])
+            out["snapshots"] = snaps = [
+                s for s in snaps if s.get("snapshot-id") not in gone
+            ]
+            by_id = {s.get("snapshot-id"): s for s in snaps}
+            out["snapshot-log"] = [
+                e
+                for e in out.get("snapshot-log", [])
+                if e.get("snapshot-id") not in gone
+            ]
+        elif action == "set-snapshot-ref":
+            name = u["ref-name"]
+            sid = u["snapshot-id"]
+            if name == "main":
+                out["current-snapshot-id"] = sid
+                ts = (by_id.get(sid) or {}).get("timestamp-ms")
+                log = out.setdefault("snapshot-log", [])
+                if ts is not None and not (
+                    log and log[-1].get("snapshot-id") == sid
+                ):
+                    log.append({"snapshot-id": sid, "timestamp-ms": ts})
+            refs = out.setdefault("refs", {})
+            ref = {"snapshot-id": sid, "type": u.get("type", "branch")}
+            for k in (
+                "min-snapshots-to-keep",
+                "max-snapshot-age-ms",
+                "max-ref-age-ms",
+            ):
+                if u.get(k) is not None:
+                    ref[k] = u[k]
+            refs[name] = ref
+        elif action == "remove-snapshot-ref":
+            (out.get("refs") or {}).pop(u["ref-name"], None)
+        elif action == "set-properties":
+            out.setdefault("properties", {}).update(u.get("updates") or {})
+        elif action == "remove-properties":
+            props = out.setdefault("properties", {})
+            for k in u.get("removals") or []:
+                props.pop(k, None)
+        else:
+            raise RestCatalogError(
+                f"unsupported table update action {action!r}"
+            )
+    if snaps:
+        out["last-sequence-number"] = max(
+            int(s.get("sequence-number") or 0) for s in snaps
+        )
+    return out
+
+
+def _norm_for_compare(meta: dict) -> dict:
+    """Metadata with server-side bookkeeping fields dropped, for the
+    pre-post verification diff (the server recomputes these)."""
+    out = {
+        k: v
+        for k, v in meta.items()
+        if k
+        not in (
+            "last-updated-ms",
+            "metadata-log",
+            "last-sequence-number",
+            "snapshot-log",  # maintained by set-snapshot-ref application
+        )
+    }
+    # refs: main mirrors current-snapshot-id; normalize its presence
+    refs = dict(out.get("refs") or {})
+    cur = out.get("current-snapshot-id")
+    if cur is not None:
+        refs.setdefault("main", {"snapshot-id": cur, "type": "branch"})
+    out["refs"] = refs
+    return out
+
+
+def derive_table_updates(
+    before: dict, after: dict
+) -> tuple[list[dict], list[dict]]:
+    """Diff two metadata states into the spec's (requirements, updates).
+    ``before`` is the CATALOG's current metadata, ``after`` the state the
+    local op computed. Raises :class:`RestCatalogError` when the change
+    is not expressible in the supported update set (verified by applying
+    the derived updates to ``before`` and comparing — a silent partial
+    commit is never possible). The requirements pin the table uuid and
+    main's snapshot id as read: the spec's optimistic CAS."""
+    requirements: list[dict] = []
+    if before.get("table-uuid"):
+        requirements.append(
+            {"type": "assert-table-uuid", "uuid": before["table-uuid"]}
+        )
+    requirements.append(
+        {
+            "type": "assert-ref-snapshot-id",
+            "ref": "main",
+            "snapshot-id": before.get("current-snapshot-id"),
+        }
+    )
+
+    updates: list[dict] = []
+    before_ids = {
+        s.get("snapshot-id") for s in before.get("snapshots", [])
+    }
+    after_snaps = after.get("snapshots", [])
+    after_ids = {s.get("snapshot-id") for s in after_snaps}
+    for s in after_snaps:
+        if s.get("snapshot-id") not in before_ids:
+            updates.append({"action": "add-snapshot", "snapshot": s})
+    removed = sorted(
+        i for i in before_ids if i not in after_ids and i is not None
+    )
+    if removed:
+        updates.append(
+            {"action": "remove-snapshots", "snapshot-ids": removed}
+        )
+    if after.get("current-snapshot-id") != before.get(
+        "current-snapshot-id"
+    ) and after.get("current-snapshot-id") is not None:
+        updates.append(
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "snapshot-id": after["current-snapshot-id"],
+                "type": "branch",
+            }
+        )
+    b_refs = dict(before.get("refs") or {})
+    a_refs = dict(after.get("refs") or {})
+    for name, ref in a_refs.items():
+        if name == "main":
+            continue  # main handled via current-snapshot-id above
+        if b_refs.get(name) != ref:
+            upd = {
+                "action": "set-snapshot-ref",
+                "ref-name": name,
+                "snapshot-id": ref.get("snapshot-id"),
+                "type": ref.get("type", "branch"),
+            }
+            updates.append(upd)
+    for name in b_refs:
+        if name != "main" and name not in a_refs:
+            updates.append(
+                {"action": "remove-snapshot-ref", "ref-name": name}
+            )
+    b_props = dict(before.get("properties") or {})
+    a_props = dict(after.get("properties") or {})
+    changed = {k: v for k, v in a_props.items() if b_props.get(k) != v}
+    if changed:
+        updates.append({"action": "set-properties", "updates": changed})
+    gone = sorted(k for k in b_props if k not in a_props)
+    if gone:
+        updates.append({"action": "remove-properties", "removals": gone})
+
+    reconstructed = apply_table_updates(before, updates)
+    if _norm_for_compare(reconstructed) != _norm_for_compare(after):
+        raise RestCatalogError(
+            "metadata change is not expressible as REST table updates "
+            "(schema/spec evolution through the catalog is not supported "
+            "— commit those locally before binding)"
+        )
+    return requirements, updates
+
+
+# --- root → catalog-table binding (the write seam) ----------------------------
+
+_BINDINGS: dict[str, tuple["RestCatalogClient", str, str]] = {}
+
+
+def _norm_root(root: str) -> str:
+    import os
+
+    return os.path.realpath(root.removeprefix("file://"))
+
+
+def bind_rest_table(
+    root: str, client: "RestCatalogClient", namespace: str, table: str
+) -> None:
+    """Route every subsequent commit on ``root`` (the shared commit
+    point ``iceberg_fixture.write_next_metadata_version``) through the
+    catalog's POST commit protocol — DML, compaction, matview refresh
+    stamps, ref/rollback/expire all become catalog-validated commits."""
+    _BINDINGS[_norm_root(root)] = (client, namespace, table)
+
+
+def unbind_rest_table(root: str) -> None:
+    _BINDINGS.pop(_norm_root(root), None)
+
+
+def binding_for(root: str):
+    return _BINDINGS.get(_norm_root(root))
+
+
+def commit_table_metadata(binding, root: str, after_meta: dict) -> str:
+    """Commit an op's computed metadata state through the REST catalog:
+    load the catalog's CURRENT metadata, diff → (requirements, updates),
+    POST, and return the server-materialized metadata-location (as a
+    local path when file-served). A 409 surfaces as
+    ``iceberg_fixture.CommitConflictError`` so the optimistic retry loop
+    treats catalog conflicts exactly like local CAS conflicts."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import CommitConflictError
+
+    client, namespace, table = binding
+    loc = client.metadata_location(namespace, table)
+    before = im.load_metadata(root, im._relocate(loc, _norm_root(root)))
+    requirements, updates = derive_table_updates(before, after_meta)
+    try:
+        resp = client.commit_table(namespace, table, requirements, updates)
+    except RestCommitConflict as e:
+        raise CommitConflictError(
+            f"{namespace}.{table}: REST catalog rejected the commit "
+            f"({e}); re-resolve and retry"
+        ) from None
+    new_loc = resp.get("metadata-location")
+    if not new_loc:
+        raise RestCatalogError(
+            f"{namespace}.{table}: commit response has no "
+            "metadata-location"
+        )
+    return str(new_loc).removeprefix("file://")
