@@ -1930,3 +1930,100 @@ def iceberg_matview_join_both_moved(
         spark,
         f"SELECT doc_id, n_chars, lang_code FROM iceberg_scan('{troot}')",
     )
+
+
+@register(
+    "iceberg_matview_stream_follow",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN {_UPDATE_COND}
+                    THEN n_chars + {_UPDATE_BUMP}
+                    ELSE n_chars END AS n_chars,
+               upper(lang) AS lang_up
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+    """,
+    tags=("iceberg", "views", "matview", "streaming", "cdc"),
+)
+def iceberg_matview_stream_follow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS matview maintenance, driver-checked (r10, VERDICT r9
+    #6): instead of polled refresh calls, a streaming query tails the
+    base's commit log in CDC mode and applies each micro-batch to the
+    target exactly-once — the standard DELETE + UPDATE script lands as
+    streamed epochs, and the final target must equal the row transform
+    over the post-DML base. The builder drains the SAME checkpoint twice
+    (the second drain applies nothing) to pin restartability inside the
+    driver-checked path.
+
+    Scale shape: per epoch, only the commit's touched files are read
+    (source-side pruning), the transform is delta-sized, the apply is
+    broadcast-keys retraction + delta insert; the base is never
+    re-scanned, the target never rewritten."""
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+    from cloudfloe_spark.streaming.matview_follow import (
+        follow_materialized_view,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mvfollow{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_matview_follow", key)
+    base = os.path.join(parent, "base")
+    vroot = os.path.join(parent, "v")
+    troot = os.path.join(parent, "mv")
+    ck = os.path.join(parent, "ck")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(base, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT doc_id, n_chars, upper(lang) AS lang_up "
+            f"FROM iceberg_scan('{base}') WHERE lang IS NOT NULL",
+            timestamp_ms=_T0 + 1000,
+        )
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 2000,
+            key_cols=["doc_id"],
+        )
+        delete_where(spark, base, _DELETE_COND, timestamp_ms=_T0 + 3000)
+        update_where(
+            spark,
+            base,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 4000,
+        )
+        stats = follow_materialized_view(
+            spark, vroot, troot, checkpoint_dir=ck,
+            timestamp_ms=_T0 + 5000,
+        )
+        assert stats["batches"] >= 1, stats
+        # second drain from the SAME checkpoint: nothing new to apply
+        stats2 = follow_materialized_view(
+            spark, vroot, troot, checkpoint_dir=ck,
+            timestamp_ms=_T0 + 6000,
+        )
+        assert stats2["batches"] == 0, stats2
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, n_chars, lang_up FROM iceberg_scan('{troot}')",
+    )
