@@ -2027,3 +2027,76 @@ def iceberg_matview_stream_follow(
         spark,
         f"SELECT doc_id, n_chars, lang_up FROM iceberg_scan('{troot}')",
     )
+
+
+@register(
+    "iceberg_v3_dv_scan",
+    oracle=f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "v3", "deletion-vectors"),
+)
+def iceberg_v3_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS, driver-checked (r10 stretch, VERDICT
+    r9 #8): the standard delete slice is committed as per-data-file
+    roaring-bitmap DVs in a Puffin blob (``commit_deletion_vector_
+    snapshot`` — format-version 3), and the scan must equal the oracle's
+    post-delete aggregate. The deleted positions are computed from the
+    parquet itself with pyarrow (no Spark collect), so the DV fixture is
+    deterministic and the read path — Puffin footer → blob → bitmap →
+    broadcast anti-join — is the only thing under test.
+
+    Scale shape: decoding is delete-set-sized driver work per referenced
+    file (like a position-delete footer read); the apply is the same
+    anti-join as v2 position deletes, broadcast-sized by construction."""
+    import numpy as np
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        commit_deletion_vector_snapshot,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"v3dv{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_v3dv", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        # deleted positions per data file, straight from the written
+        # parquet (row order within the file IS the position)
+        dvs = {}
+        for p in im.live_data_paths(root, im.resolve_snapshot(root)):
+            chars = pq.read_table(p, columns=["n_chars"])[
+                "n_chars"
+            ].to_numpy(zero_copy_only=False)
+            positions = np.nonzero((chars % 5) == 0)[0].tolist()
+            if positions:
+                dvs[p] = positions
+        commit_deletion_vector_snapshot(
+            root, dvs, timestamp_ms=_T0 + 1000
+        )
+        assert im.load_metadata(root)["format-version"] == 3
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
+    )

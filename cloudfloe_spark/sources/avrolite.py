@@ -166,7 +166,12 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
         out.write(data)
     elif t == "record":
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], out)
+            # .get: an absent key encodes as null when the field is
+            # nullable — lets the manifest schema grow optional fields
+            # (e.g. v3 deletion-vector refs) without touching every
+            # writer; a missing NON-nullable field still fails, in the
+            # union/type encoder.
+            _encode(f["type"], value.get(f["name"]), out)
     elif t == "enum":
         _write_long(out, schema["symbols"].index(value))
     elif t == "fixed":

@@ -110,6 +110,20 @@ _MANIFEST_SCHEMA = {
                     # stamps it per entry instead. Null = pre-stamp entry
                     # (pruned only when the table has a single spec).
                     {"name": "spec_id", "type": ["null", "int"]},
+                    # v3 deletion vectors (r10): a content=1 entry whose
+                    # file is a Puffin blob reference — the DV of ONE
+                    # data file at (content_offset, content_size) inside
+                    # file_path. Null on every v2 entry (the avro writer
+                    # encodes absent keys as null).
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                    },
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                    },
                 ],
             },
         },
@@ -1244,6 +1258,10 @@ _DATA_FILE_KEYS = (
     "upper_bounds",
     "null_value_counts",
     "spec_id",
+    # v3 deletion-vector reference (null on v2 entries)
+    "referenced_data_file",
+    "content_offset",
+    "content_size_in_bytes",
 )
 
 
@@ -1607,6 +1625,180 @@ def commit_row_delta_snapshot(
         meta.setdefault("snapshot-log", []).append(
             {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
         )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+    return snap_id
+
+
+def commit_deletion_vector_snapshot(
+    root: str,
+    deletes: "dict[str, list[int]]",
+    *,
+    timestamp_ms: int,
+    expected_metadata_path: str | None = None,
+) -> int:
+    """Commit Iceberg v3 DELETION VECTORS (r10 stretch, VERDICT r9 #8):
+    ``deletes`` maps live data-file paths (absolute or table-relative
+    suffix) to deleted row positions. Writes ONE Puffin file holding a
+    ``deletion-vector-v1`` blob per data file and a DELETE snapshot whose
+    content=1 entries reference the blobs via ``referenced_data_file`` /
+    ``content_offset`` / ``content_size_in_bytes`` — the v3 layout. The
+    table's ``format-version`` advances to 3 (DVs are a v3 feature;
+    readers below v3 must reject, which this repo's reader did before
+    this round).
+
+    The v3 invariant "at most ONE deletion vector per data file" is kept:
+    an existing DV for a targeted file is superseded — its positions are
+    MERGED into the new vector and the old entry is dropped in the same
+    commit. v2 position-delete parquet entries are carried untouched
+    (the spec allows mixed tables mid-migration; the reader applies
+    both)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources import puffin
+
+    if expected_metadata_path is not None:
+        latest = im.latest_metadata_path(root)
+        if os.path.realpath(latest) != os.path.realpath(
+            expected_metadata_path
+        ):
+            raise CommitConflictError(
+                f"table {root} moved on during deletion-vector commit"
+            )
+    if not deletes:
+        raise ValueError("commit_deletion_vector_snapshot: empty deletes")
+    meta = im.load_metadata(root)
+    snaps = meta.get("snapshots", [])
+    cur = im.resolve_snapshot(root)
+    carried = [
+        e for e in im.manifest_entries(root, cur) if e["status"] != 2
+    ]
+    seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
+    snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
+
+    def _suffix(p: str) -> str:
+        return p.rsplit("/data/", 1)[-1]
+
+    live = {
+        _suffix(e["data_file"]["file_path"]): e["data_file"]["file_path"]
+        for e in carried
+        if e["data_file"].get("content", 0) == 0
+    }
+    # resolve targets to the MANIFEST-recorded path (what the reader's
+    # anti-join matches on) and validate they are live
+    merged: dict[str, set] = {}
+    for p, positions in deletes.items():
+        key = _suffix(p)
+        if key not in live:
+            raise ValueError(
+                f"commit_deletion_vector_snapshot: {p!r} names no live "
+                "data file"
+            )
+        merged.setdefault(live[key], set()).update(
+            int(x) for x in positions
+        )
+
+    def entry(status, sequence, data_file):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": sequence,
+            "data_file": {k: data_file.get(k) for k in _DATA_FILE_KEYS},
+        }
+
+    # carry everything, superseding old DVs of the targeted files
+    carry = []
+    superseded = []
+    for e in carried:
+        df_ = e["data_file"]
+        if (
+            df_.get("content", 0) == 1
+            and df_.get("referenced_data_file") in merged
+        ):
+            try:
+                old = puffin.read_deletion_vector(
+                    im._relocate(df_["file_path"], im._norm_root(root)),
+                    int(df_["content_offset"]),
+                    int(df_["content_size_in_bytes"]),
+                )
+            except (OSError, puffin.PuffinError) as e2:
+                raise ValueError(
+                    f"cannot merge existing deletion vector: {e2}"
+                ) from None
+            merged[df_["referenced_data_file"]].update(old)
+            superseded.append(entry(2, e["sequence_number"], df_))
+            continue
+        carry.append(entry(0, e["sequence_number"], df_))
+
+    meta_dir = os.path.join(root, "metadata")
+    pf = os.path.join(
+        root, "data", f"dv-{timestamp_ms}-{uuid.uuid4().hex[:8]}.puffin"
+    )
+    refs = puffin.write_puffin_dvs(
+        pf,
+        {k: sorted(v) for k, v in merged.items()},
+        snapshot_id=snap_id,
+        sequence_number=seq,
+    )
+    new_entries = [
+        entry(
+            1,
+            seq,
+            {
+                "content": 1,
+                "file_path": f"file://{pf}",
+                "file_format": "PUFFIN",
+                "record_count": m["cardinality"],
+                "file_size_in_bytes": os.path.getsize(pf),
+                "referenced_data_file": ref,
+                "content_offset": m["offset"],
+                "content_size_in_bytes": m["length"],
+            },
+        )
+        for ref, m in sorted(refs.items())
+    ]
+    mpath = os.path.join(
+        meta_dir, f"manifest-dv-{uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(mpath, _MANIFEST_SCHEMA, carry + superseded + new_entries)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": cur.get("snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": f"file://{mlist}",
+            "summary": {
+                "operation": "delete",
+                "added-dvs": str(len(new_entries)),
+                "total-data-files": str(
+                    sum(
+                        1
+                        for e in carry
+                        if e["data_file"].get("content", 0) == 0
+                    )
+                ),
+            },
+        }
+    )
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = snap_id
+    meta["format-version"] = 3
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
     meta["last-updated-ms"] = timestamp_ms
     write_next_metadata_version(root, meta)
     return snap_id

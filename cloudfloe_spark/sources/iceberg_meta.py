@@ -293,17 +293,119 @@ def delete_file_records(root: str, snapshot: dict) -> list[dict]:
     ]
 
 
+def _is_dv(f: dict) -> bool:
+    """True for a v3 DELETION-VECTOR entry: content=1 but the file is a
+    Puffin blob reference, not position-delete parquet."""
+    return (
+        str(f.get("file_format") or "").upper() == "PUFFIN"
+        or f.get("referenced_data_file") is not None
+    )
+
+
 def position_delete_paths(root: str, snapshot: dict) -> list[str]:
     """Local paths of the snapshot's position-delete parquet files
     (content=1: rows of ``(file_path, pos)`` naming deleted rows). These
     ARE readable without the Iceberg runtime — apply with an anti-join
-    against the data scan's per-file row index."""
+    against the data scan's per-file row index. v3 deletion-vector
+    entries are EXCLUDED (Puffin, not parquet) — they surface through
+    :func:`deletion_vector_records` and consumers that cannot apply them
+    must check :func:`has_deletion_vectors` explicitly."""
     root_local = _norm_root(root)
     return sorted(
         _relocate(f["file_path"], root_local)
         for f in delete_file_records(root, snapshot)
-        if f.get("content", 0) == 1
+        if f.get("content", 0) == 1 and not _is_dv(f)
     )
+
+
+def deletion_vector_records(root: str, snapshot: dict) -> list[dict]:
+    """Live v3 DELETION-VECTOR entries (r10 stretch): ``{"path"`` (the
+    Puffin file), ``"referenced_data_file", "offset", "length", "seq"}``
+    — everything :mod:`sources.puffin` needs to decode the deleted
+    positions of one data file. Entries missing the blob coordinates
+    raise (reading AROUND a delete would silently resurrect rows)."""
+    root_local = _norm_root(root)
+    out = []
+    for e in manifest_entries(root, snapshot):
+        f = e["data_file"]
+        if e["status"] == 2 or f.get("content", 0) != 1 or not _is_dv(f):
+            continue
+        if (
+            f.get("referenced_data_file") is None
+            or f.get("content_offset") is None
+            or f.get("content_size_in_bytes") is None
+        ):
+            raise IcebergMetadataError(
+                "v3 deletion-vector entry lacks referenced_data_file/"
+                "content_offset/content_size_in_bytes — cannot apply it, "
+                "and reading around it would resurrect deleted rows"
+            )
+        out.append(
+            {
+                "path": _relocate(f["file_path"], root_local),
+                "referenced_data_file": f["referenced_data_file"],
+                "offset": int(f["content_offset"]),
+                "length": int(f["content_size_in_bytes"]),
+                "seq": e.get("sequence_number"),
+            }
+        )
+    return sorted(out, key=lambda d: (d["referenced_data_file"], d["path"]))
+
+
+def has_deletion_vectors(root: str, snapshot: dict) -> bool:
+    """Cheap manifest-level check for consumers that cannot apply DVs
+    (CDC ranges, the streaming source, position-delete rewrites) — they
+    must FAIL clearly rather than silently miss deletions."""
+    return any(
+        f.get("content", 0) == 1 and _is_dv(f)
+        for f in delete_file_records(root, snapshot)
+    )
+
+
+#: v3 column types this reader cannot materialize
+_V3_UNSUPPORTED_TYPES = {
+    "variant",
+    "geometry",
+    "geography",
+    "timestamp_ns",
+    "timestamptz_ns",
+    "unknown",
+}
+
+
+def unsupported_v3_features(
+    root: str, metadata_path: "Optional[str]" = None
+) -> list[str]:
+    """Iceberg v3 features in this table's metadata that the reader does
+    NOT support — deletion vectors ARE supported (r10); schema default
+    values, the v3-only column types, and any format-version above 3 are
+    not. Row-lineage bookkeeping fields (``next-row-id``,
+    ``first-row-id``) are additive metadata a plain read can safely
+    ignore, so they do not reject. Empty list ⇒ the table is readable."""
+    meta = load_metadata(root, metadata_path)
+    fv = int(meta.get("format-version") or 1)
+    out: list[str] = []
+    if fv > 3:
+        out.append(f"format-version {fv}")
+        return out
+    if fv < 3:
+        return out
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    for sch in schemas:
+        for f in sch.get("fields", []):
+            if (
+                f.get("initial-default") is not None
+                or f.get("write-default") is not None
+            ):
+                out.append(
+                    f"default value on column {f.get('name')!r}"
+                )
+            t = f.get("type")
+            if isinstance(t, str) and t in _V3_UNSUPPORTED_TYPES:
+                out.append(f"v3 type {t!r} on column {f.get('name')!r}")
+    return out
 
 
 def position_delete_records(root: str, snapshot: dict) -> list[dict]:
@@ -314,7 +416,7 @@ def position_delete_records(root: str, snapshot: dict) -> list[dict]:
     out = []
     for e in manifest_entries(root, snapshot):
         f = e["data_file"]
-        if e["status"] == 2 or f.get("content", 0) != 1:
+        if e["status"] == 2 or f.get("content", 0) != 1 or _is_dv(f):
             continue
         out.append(
             {

@@ -321,6 +321,23 @@ def _reruns_on_conflict(op_name: str):
     return deco
 
 
+def _reject_mor_position_deletes_on_v3(root: str, meta_path, op: str):
+    """Iceberg v3 forbids adding position-delete FILES (deletion vectors
+    replace them, r10). The merge-on-read DML paths write exactly those —
+    on a v3 table they fail with guidance instead of committing a
+    spec-violating snapshot. Copy-on-write stays fully available (it
+    writes no delete files at all)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
+    if fv >= 3:
+        raise ValueError(
+            f"{op}: this is an Iceberg v3 table — the spec forbids new "
+            "position-delete files (deletion vectors replace them); use "
+            "mode='copy-on-write'"
+        )
+
+
 @_reruns_on_conflict("compact_iceberg_table")
 def compact_iceberg_table(
     spark: SparkSession,
@@ -726,8 +743,19 @@ def _mor_raw_scan(
         # delete-file pruning, same as the read path (r8): a pruned DML
         # scan anti-joins only against delete files naming its files
         pos = im.prune_position_deletes(pos, paths)
-    if pos or eq_recs:
+    # v3 deletion vectors (r10): applied exactly like the read path, so
+    # DML over a v3 table never matches (or resurrects) deleted rows
+    dvs = im.deletion_vector_records(root, snap)
+    if dvs:
+        scanned = {p.rsplit("/data/", 1)[-1] for p in paths}
+        dvs = [
+            r
+            for r in dvs
+            if r["referenced_data_file"].rsplit("/data/", 1)[-1] in scanned
+        ]
+    if pos or eq_recs or dvs:
         from cloudfloe_spark.service.iceberg_local import (
+            _apply_deletion_vectors,
             _apply_equality_deletes,
             _apply_position_deletes,
         )
@@ -749,6 +777,8 @@ def _mor_raw_scan(
         gdf = reader.parquet(*gpaths)
         if pos:
             gdf = _apply_position_deletes(spark, gdf, pos)
+        if dvs:
+            gdf = _apply_deletion_vectors(spark, gdf, dvs)
         if eq_recs:
             gdf = _apply_equality_deletes(
                 spark, gdf, eq_recs, field_names, file_seqs,
@@ -1232,6 +1262,7 @@ def delete_where(
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
             ref=ref,
         )
+    _reject_mor_position_deletes_on_v3(root, meta_path, "delete_where")
 
     matches = (
         _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
@@ -1354,6 +1385,7 @@ def update_where(
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
             ref=ref,
         )
+    _reject_mor_position_deletes_on_v3(root, meta_path, "update_where")
 
     df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
     data_cols = [c for c in df.columns if c not in (_FP, _POS)]
@@ -1531,6 +1563,12 @@ def apply_changelog(
 
     try:
         n_retract_keys = retract_keys.count()
+        if n_retract_keys:
+            # retractions commit as position-delete parquet — forbidden
+            # on v3 tables (deletion vectors replace them, r10)
+            _reject_mor_position_deletes_on_v3(
+                root, meta_path, "apply_changelog"
+            )
         # NULL keys never equi-match, so a null-keyed retraction would be
         # SILENTLY skipped — reject instead (Iceberg identifier fields are
         # required non-null; a changelog keyed on a nullable column is a
@@ -1729,6 +1767,8 @@ def merge_into(
     if mode not in ("merge-on-read", "copy-on-write"):
         raise ValueError(f"merge_into: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
+    if mode == "merge-on-read":
+        _reject_mor_position_deletes_on_v3(root, meta_path, "merge_into")
     snap = (
         _ref_snapshot(root, meta_path, ref, "merge_into")
         if ref is not None
@@ -2558,6 +2598,12 @@ def rewrite_position_deletes(
 
     meta_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    if im.has_deletion_vectors(root, snap):
+        raise ValueError(
+            "rewrite_position_deletes: the table carries v3 deletion "
+            "vectors — the delete-REWRITE commit would drop them and "
+            "resurrect rows; compact the data files instead"
+        )
     pos = im.position_delete_paths(root, snap)
     if not pos:
         return {"files_before": 0, "files_after": 0, "snapshot_id": None}

@@ -411,6 +411,12 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
                 "files, which a per-file streaming read cannot apply — "
                 "run compaction, then restart the stream past it"
             )
+        if im.has_deletion_vectors(self.root, snap):
+            raise IcebergSourceError(
+                f"iceberg_commits: commit {sid} carries v3 deletion "
+                "vectors, which this source cannot represent as a "
+                "changelog yet — run compaction, then restart past it"
+            )
         pos_new = tuple(
             r["path"]
             for r in im.position_delete_records(self.root, snap)
