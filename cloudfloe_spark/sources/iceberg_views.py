@@ -865,11 +865,23 @@ def _incremental_refresh(
                 static_alias = next(
                     a for a, r in shape["aliases"].items() if r != base
                 )
-                static_sql = resolve_iceberg_reads(
-                    sess,
-                    "SELECT * FROM iceberg_scan("
-                    f"'{shape['aliases'][static_alias]}')",
+                # bound the STATIC side's scan by the delta's join-key
+                # [min,max] (r10): manifest stats then skip its files
+                # outside the delta's key neighborhood — without this
+                # the unchanged side is a full scan per refresh
+                pairs = _parse_equi_pairs(
+                    shape["on"], fact_alias, static_alias
                 )
+                static_where = _key_bounds_where(
+                    delta, [a for a, _ in pairs], [b for _, b in pairs]
+                )
+                static_scan = (
+                    "SELECT * FROM iceberg_scan("
+                    f"'{shape['aliases'][static_alias]}')"
+                )
+                if static_where:
+                    static_scan += f" WHERE {static_where}"
+                static_sql = resolve_iceberg_reads(sess, static_scan)
                 sql = (
                     f"SELECT {shape['select']}, "
                     f"{fact_alias}._change_type AS _change_type "
@@ -1043,6 +1055,73 @@ def _incremental_refresh(
     }
 
 
+def _parse_equi_pairs(
+    on: str, alias_a: str, alias_b: str
+) -> "list[tuple[str, str]]":
+    """``ON`` condition → [(col_a, col_b)] when it is PURELY a
+    conjunction of ``a.x = b.y`` equality terms; [] otherwise. Feeds the
+    join-key bounds pushdown below — [] just skips the pruning, never
+    changes semantics."""
+    masked = _mask(on, parens_too=True)
+    parts, start = [], 0
+    for m in _re.finditer(r"(?i)\bAND\b", masked):
+        parts.append(on[start:m.start()])
+        start = m.end()
+    parts.append(on[start:])
+    pairs: list[tuple[str, str]] = []
+    for part in parts:
+        m = _re.match(
+            rf"(?is)^\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*"
+            rf"({_IDENT})\s*\.\s*({_IDENT})\s*$",
+            part,
+        )
+        if not m:
+            return []
+        t1, c1, t2, c2 = m.groups()
+        if t1.lower() == alias_a.lower() and t2.lower() == alias_b.lower():
+            pairs.append((c1, c2))
+        elif t1.lower() == alias_b.lower() and t2.lower() == alias_a.lower():
+            pairs.append((c2, c1))
+        else:
+            return []
+    return pairs
+
+
+def _key_bounds_where(delta, src_cols: list, dst_cols: list) -> "str | None":
+    """[min, max] of the delta's join-key values as a WHERE conjunction
+    over the OTHER side's column names — pushable literals, so manifest
+    stats / partition pruning bound the full-side scan of a join-shaped
+    incremental refresh to the delta's key neighborhood (r10: without
+    this, the static/old-side term scans the whole table and the refresh
+    stops being delta-sized). A 2·|keys|-value driver fetch,
+    metadata-scale. None ⇒ no usable bounds (empty delta, NULL-only
+    keys, unliterizable types) — the caller scans unpruned, still
+    correct."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.maintenance import _sql_literal
+
+    if not src_cols:
+        return None
+    bounds = delta.agg(
+        *[
+            f
+            for c in src_cols
+            for f in (
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            )
+        ]
+    ).first()
+    conjs = []
+    for s, d in zip(src_cols, dst_cols):
+        lo = _sql_literal(bounds[f"__lo_{s}"])
+        hi = _sql_literal(bounds[f"__hi_{s}"])
+        if lo is not None and hi is not None:
+            conjs.append(f"{d} >= {lo} AND {d} <= {hi}")
+    return " AND ".join(conjs) or None
+
+
 def _join_both_moved_refresh(
     spark, shape: dict, view_root: str, target_root: str, rec: dict,
     bases: dict, cur_ids: dict, *, timestamp_ms: int,
@@ -1102,18 +1181,35 @@ def _join_both_moved_refresh(
         return None  # expired range / compaction in range / eq-deletes
     tmp_a = f"__cf_mv_da_{uuid.uuid4().hex[:8]}"
     tmp_b = f"__cf_mv_db_{uuid.uuid4().hex[:8]}"
+    delta_a = delta_a.persist()  # bounds fetch + term join read it twice
+    delta_b = delta_b.persist()
     delta_a.createOrReplaceTempView(tmp_a)
     delta_b.createOrReplaceTempView(tmp_b)
     try:
+        # bound each FULL-side scan by the other delta's join-key
+        # [min,max] (r10): B_new joins only ΔA's keys and A_old only
+        # ΔB's, so manifest stats prune both scans to the deltas' key
+        # neighborhoods — the terms stay delta-sized instead of paying a
+        # table scan per refresh
+        pairs = _parse_equi_pairs(shape["on"], alias_a, alias_b)
+        where_b = _key_bounds_where(
+            delta_a, [a for a, _ in pairs], [b for _, b in pairs]
+        )
+        where_a = _key_bounds_where(
+            delta_b, [b for _, b in pairs], [a for a, _ in pairs]
+        )
+        b_scan = f"SELECT * FROM iceberg_scan('{root_b}')"
+        if where_b:
+            b_scan += f" WHERE {where_b}"
+        a_scan = (
+            f"SELECT * FROM iceberg_scan('{root_a}') "
+            f"VERSION AS OF {bases[root_a]}"
+        )
+        if where_a:
+            a_scan += f" WHERE {where_a}"
         try:
-            b_new_sql = resolve_iceberg_reads(
-                sess, f"SELECT * FROM iceberg_scan('{root_b}')"
-            )
-            a_old_sql = resolve_iceberg_reads(
-                sess,
-                f"SELECT * FROM iceberg_scan('{root_a}') "
-                f"VERSION AS OF {bases[root_a]}",
-            )
+            b_new_sql = resolve_iceberg_reads(sess, b_scan)
+            a_old_sql = resolve_iceberg_reads(sess, a_scan)
         except (CloudfloeError, im.IcebergMetadataError):
             return None  # A_old's snapshot expired: only full is sound
         where = f" WHERE {shape['where']}" if shape["where"] else ""
@@ -1196,6 +1292,8 @@ def _join_both_moved_refresh(
     finally:
         sess.catalog.dropTempView(tmp_a)
         sess.catalog.dropTempView(tmp_b)
+        delta_a.unpersist()
+        delta_b.unpersist()
     new_bases = dict(bases)
     new_bases[root_a] = str(cur_ids[root_a])
     new_bases[root_b] = str(cur_ids[root_b])

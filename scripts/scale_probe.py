@@ -409,7 +409,7 @@ def build_cdc_table(spark, n: int, out_dir: str) -> str:
 def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     from cloudfloe_spark.service.config import ConnectionConfig
     from cloudfloe_spark.service.engine import run_query
-    from cloudfloe_spark.sources.maintenance import delete_where
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
 
     cfg = ConnectionConfig(
         storageType="local", endpoint="", accessKey="", secretKey=""
@@ -794,6 +794,79 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     )
     timings["matview_incremental_row"] = round(time.perf_counter() - t0, 3)
     assert res["path"] == "incremental-row", res
+
+    # (h) BOTH-BASES-MOVED join refresh (r10, VERDICT r9 #3): the fact
+    # side grows with n (file-clustered on the join key), the dim stays
+    # small, and BOTH take a point DML inside one staleness window. The
+    # algebraic delta's full-side terms are bounded by the deltas'
+    # join-key [min,max] (manifest pruning), so the refresh must stay
+    # ~flat while the fact grows 1x→8x.
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    parent = os.path.join(out_dir, f"mv_both_x{n}")
+    shutil.rmtree(parent, ignore_errors=True)
+    froot = os.path.join(parent, "fact")
+    droot = os.path.join(parent, "dim")
+    ft = LocalIcebergTable(
+        froot,
+        pa.schema(
+            [("id", pa.int64()), ("k", pa.int64()), ("v", pa.float64())]
+        ),
+    )
+    tables = []
+    for j in range(_CDC_BASE_FILES * n):
+        ids = np.arange(
+            j * _CDC_FILE_ROWS, (j + 1) * _CDC_FILE_ROWS, dtype="int64"
+        )
+        tables.append(
+            pa.table(
+                {
+                    "id": ids,
+                    "k": ids // _CDC_FILE_ROWS,  # file-clustered join key
+                    "v": (ids % 97).astype("float64"),
+                }
+            )
+        )
+    ft.append_snapshot(tables, timestamp_ms=_T0)
+    n_keys = _CDC_BASE_FILES * n
+    dt = LocalIcebergTable(
+        droot, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    dt.append_snapshot(
+        [
+            pa.table(
+                {
+                    "k": np.arange(n_keys, dtype="int64"),
+                    "name": [f"k{j}" for j in range(n_keys)],
+                }
+            )
+        ],
+        timestamp_ms=_T0,
+    )
+    create_iceberg_view(
+        os.path.join(parent, "v"),
+        f"SELECT f.id, f.v, d.name FROM iceberg_scan('{froot}') f "
+        f"JOIN iceberg_scan('{droot}') d ON f.k = d.k",
+        timestamp_ms=_T0 + 500,
+    )
+    materialize_iceberg_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 600, key_cols=["id"],
+    )
+    delete_where(spark, froot, "id < 500", timestamp_ms=_T0 + 1000)
+    update_where(
+        spark, droot, "k = 0", {"name": "'K0'"}, timestamp_ms=_T0 + 1100
+    )
+    t0 = time.perf_counter()
+    res = refresh_materialized_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 2000,
+    )
+    timings["matview_join_both_moved"] = round(time.perf_counter() - t0, 3)
+    assert res["path"] == "incremental-join-both", res
     return timings
 
 

@@ -225,6 +225,78 @@ def test_row_refresh_reads_only_delta_base_files(
     assert got == [(8,)]
 
 
+def test_join_refresh_prunes_static_side_by_key_bounds(
+    spark, tmp_path, monkeypatch
+):
+    """r10: the join refresh bounds the UNCHANGED side's scan by the
+    delta's join-key [min, max] — on a key-clustered fact (the layout a
+    partitioned 100-TB table gives for free), a dim-side update must not
+    re-scan every fact file."""
+    import pyarrow as pa
+    from pyspark.sql.readwriter import DataFrameReader
+
+    fact = str(tmp_path / "factK")
+    dim = str(tmp_path / "dimK")
+    tf = LocalIcebergTable(
+        fact,
+        pa.schema([("id", pa.int64()), ("k", pa.int64()), ("n", pa.int64())]),
+    )
+    # 4 files, k-clustered: k ∈ {0},{1},{2},{3} per file
+    tf.append_snapshot(
+        [
+            pa.table({"id": [10 * k, 10 * k + 1], "k": [k, k],
+                      "n": [k, k]})
+            for k in range(4)
+        ],
+        timestamp_ms=T1,
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [0, 1, 2, 3], "name": ["a", "b", "c", "d"]})],
+        timestamp_ms=T1,
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id, f.n, d.name FROM iceberg_scan('{fact}') f "
+        f"JOIN iceberg_scan('{dim}') d ON f.k = d.k",
+        timestamp_ms=T1 + 1000,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    update_where(
+        spark, dim, "k = 2", {"name": "'C'"}, timestamp_ms=T1 + 3000
+    )
+
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        calls.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "incremental-join"
+    fact_scans = {
+        p
+        for ps in calls
+        for p in ps
+        if p.startswith(fact) and "/data/" in p
+    }
+    # only the k=2 fact file survives the bounds pruning (4 files total)
+    assert len(fact_scans) == 1, sorted(fact_scans)
+    got = _rows(
+        spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert [r[1] for r in got] == ["a", "a", "b", "b", "C", "C", "d", "d"]
+
+
 def test_unsupported_shapes_fall_back_to_full(spark, base, tmp_path):
     """Joins/DISTINCT/multi-scan views refresh via the full path and say
     so; the result is still correct."""
