@@ -154,6 +154,11 @@ HEADLINE = [
     # and the one-statement full-table MERGE sync replica read.
     "iceberg_matview_incremental",
     "merge_full_table_sync",
+    # Round-10 breadth: the both-bases-moved join-matview read (algebraic
+    # delta + netting in the warm-up build) and the v3 deletion-vector
+    # read (Puffin → roaring bitmap → anti-join on every scan).
+    "iceberg_matview_join_both_moved",
+    "iceberg_v3_dv_scan",
 ]
 
 

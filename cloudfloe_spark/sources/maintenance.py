@@ -321,6 +321,44 @@ def _reruns_on_conflict(op_name: str):
     return deco
 
 
+def _collect_deletion_vectors(spark, matches) -> "dict[str, list[int]]":
+    """Per-file deletion vectors from a DML match set, built DISTRIBUTED
+    (r10, v3 write path): executors serialize each affected file's
+    positions into a roaring bitmap (``applyInPandas``, one group per
+    file), and the driver collects only the compressed BLOBS — bounded by
+    ~2 bytes/position before run compression, never raw position rows —
+    then decodes them into the commit's position lists. ``matches`` must
+    have columns ``file_path`` (the scan's ``_metadata.file_path``) and
+    ``pos``."""
+    from cloudfloe_spark.sources import puffin
+    from cloudfloe_spark.sources.tables import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def encode(pdf):
+        import pandas as pd
+
+        from cloudfloe_spark.sources.puffin import serialize_positions
+
+        positions = sorted({int(p) for p in pdf["pos"]})
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [serialize_positions(positions)],
+            }
+        )
+
+    rows = (
+        matches.groupBy("file_path")
+        .applyInPandas(encode, schema="file_path string, blob binary")
+        .collect()
+    )
+    return {
+        r["file_path"]: puffin.deserialize_positions(bytes(r["blob"]))
+        for r in rows
+    }
+
+
 def _reject_mor_position_deletes_on_v3(root: str, meta_path, op: str):
     """Iceberg v3 forbids adding position-delete FILES (deletion vectors
     replace them, r10). The merge-on-read DML paths write exactly those —
@@ -1262,7 +1300,7 @@ def delete_where(
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
             ref=ref,
         )
-    _reject_mor_position_deletes_on_v3(root, meta_path, "delete_where")
+    fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
 
     matches = (
         _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
@@ -1282,6 +1320,44 @@ def delete_where(
         if n == 0:
             return {"matched": 0, "snapshot_id": None, "delete_files": [],
                     "files_scanned": len(paths), "files_total": n_live}
+
+        if fv >= 3:
+            # v3 write path (r10): the spec forbids new position-delete
+            # FILES — matched positions commit as per-file DELETION
+            # VECTORS instead (executor-side roaring build, driver
+            # collects only compressed blobs). Branch-targeted DML keeps
+            # the parquet path out of scope for v3 (refs + DVs unmixed).
+            if ref is not None:
+                raise ValueError(
+                    "delete_where: branch-targeted deletes on an Iceberg "
+                    "v3 table are not supported yet — delete on main or "
+                    "use mode='copy-on-write'"
+                )
+            from cloudfloe_spark.sources.iceberg_fixture import (
+                commit_deletion_vector_snapshot,
+            )
+
+            dvs = _collect_deletion_vectors(spark, matches)
+            snap_id = _commit_with_rebase(
+                root, "delete_where",
+                lambda mp: commit_deletion_vector_snapshot(
+                    root, dvs, timestamp_ms=timestamp_ms,
+                    expected_metadata_path=mp,
+                ),
+                meta_path,
+                lambda: _rebase_ok(
+                    root, scanned_paths=paths, pinned_snap=snap,
+                    forbid_new_data=True,
+                ),
+            )
+            return {
+                "matched": n,
+                "snapshot_id": snap_id,
+                "delete_files": [],
+                "deletion_vectors": len(dvs),
+                "files_scanned": len(paths),
+                "files_total": n_live,
+            }
 
         out_dir = os.path.join(
             root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"

@@ -131,15 +131,40 @@ def test_dv_mixed_with_v2_position_deletes(spark, tmp_path):
     assert [r[0] for r in got] == [0, 1, 3, 4, 6, 7]
 
 
-def test_v3_mor_dml_rejected_cow_works(spark, v3_table):
-    """Merge-on-read DML would commit position-delete parquet — forbidden
-    on v3 (clear error + guidance); copy-on-write DML works, applying the
-    DVs during its scan so deleted rows are not resurrected."""
+def test_v3_mor_delete_writes_deletion_vectors(spark, v3_table):
+    """delete_where in merge-on-read mode on a v3 table commits DELETION
+    VECTORS (never position-delete parquet, which v3 forbids): the
+    matched positions are roaring-built on executors, merged with the
+    file's existing DV (supersede), and the read reflects them."""
     from cloudfloe_spark.sources.maintenance import delete_where
 
     root, _, _ = v3_table
+    res = delete_where(spark, root, "id IN (0, 6)", timestamp_ms=T1 + 2000)
+    assert res["matched"] == 2 and res["deletion_vectors"] == 2
+    assert res["delete_files"] == []  # no position-delete parquet
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [2, 4, 7, 8]
+    # one DV per data file, v2 delete parquet never appeared
+    snap = im.resolve_snapshot(root)
+    assert im.position_delete_paths(root, snap) == []
+    dvs = im.deletion_vector_records(root, snap)
+    per_file = {}
+    for r in dvs:
+        per_file.setdefault(r["referenced_data_file"], []).append(r)
+    assert all(len(v) == 1 for v in per_file.values())
+
+
+def test_v3_mor_update_rejected_cow_works(spark, v3_table):
+    """update/merge still reject merge-on-read on v3 (their row delta
+    needs new data files + deletes in one commit — DV-composed updates
+    are future work) with copy-on-write guidance; COW works, applying
+    the DVs during its scan so deleted rows are not resurrected."""
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    root, _, _ = v3_table
     with pytest.raises(ValueError, match="copy-on-write"):
-        delete_where(spark, root, "id = 0", timestamp_ms=T1 + 2000)
+        update_where(spark, root, "id = 0", {"v": "'Z'"},
+                     timestamp_ms=T1 + 2000)
     res = delete_where(
         spark, root, "id = 0", timestamp_ms=T1 + 3000,
         mode="copy-on-write",
