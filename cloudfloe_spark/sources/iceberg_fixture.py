@@ -1634,8 +1634,10 @@ def commit_deletion_vector_snapshot(
     root: str,
     deletes: "dict[str, list[int]]",
     *,
+    new_data_files: "list[tuple] | tuple" = (),
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
+    summary_extra: "dict[str, str] | None" = None,
 ) -> int:
     """Commit Iceberg v3 DELETION VECTORS (r10 stretch, VERDICT r9 #8):
     ``deletes`` maps live data-file paths (absolute or table-relative
@@ -1652,7 +1654,13 @@ def commit_deletion_vector_snapshot(
     MERGED into the new vector and the old entry is dropped in the same
     commit. v2 position-delete parquet entries are carried untouched
     (the spec allows mixed tables mid-migration; the reader applies
-    both)."""
+    both).
+
+    ``new_data_files`` (r10): parquet files ``(path, n[, pvals[,
+    spec_id]])`` added as content=0 entries at the commit's sequence —
+    the v3 UPDATE/MERGE row-delta shape (DVs retract the old rows, the
+    rewritten/inserted rows land at the higher sequence in the same
+    atomic commit). The summary becomes ``overwrite``."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin
 
@@ -1756,10 +1764,38 @@ def commit_deletion_vector_snapshot(
         )
         for ref, m in sorted(refs.items())
     ]
+    new_data = []
+    for item in new_data_files:
+        p, n = item[0], item[1]
+        pvals = item[2] if len(item) > 2 else None
+        entry_spec = item[3] if len(item) > 3 else None
+        if pvals is not None and entry_spec is None:
+            entry_spec = meta.get("default-spec-id", 0)
+        lower, upper, nulls = _column_stats(pq.read_table(p))
+        new_data.append(
+            entry(
+                1,
+                seq,
+                {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "null_value_counts": nulls,
+                    "partition": pvals,
+                    "spec_id": entry_spec,
+                },
+            )
+        )
     mpath = os.path.join(
         meta_dir, f"manifest-dv-{uuid.uuid4().hex[:12]}.avro"
     )
-    write_avro(mpath, _MANIFEST_SCHEMA, carry + superseded + new_entries)
+    write_avro(
+        mpath, _MANIFEST_SCHEMA, carry + superseded + new_entries + new_data
+    )
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
     write_avro(
         mlist,
@@ -1781,7 +1817,7 @@ def commit_deletion_vector_snapshot(
             "timestamp-ms": timestamp_ms,
             "manifest-list": f"file://{mlist}",
             "summary": {
-                "operation": "delete",
+                "operation": "overwrite" if new_data else "delete",
                 "added-dvs": str(len(new_entries)),
                 "total-data-files": str(
                     sum(
@@ -1789,7 +1825,9 @@ def commit_deletion_vector_snapshot(
                         for e in carry
                         if e["data_file"].get("content", 0) == 0
                     )
+                    + len(new_data)
                 ),
+                **(summary_extra or {}),
             },
         }
     )

@@ -359,23 +359,6 @@ def _collect_deletion_vectors(spark, matches) -> "dict[str, list[int]]":
     }
 
 
-def _reject_mor_position_deletes_on_v3(root: str, meta_path, op: str):
-    """Iceberg v3 forbids adding position-delete FILES (deletion vectors
-    replace them, r10). The merge-on-read DML paths write exactly those —
-    on a v3 table they fail with guidance instead of committing a
-    spec-violating snapshot. Copy-on-write stays fully available (it
-    writes no delete files at all)."""
-    from cloudfloe_spark.sources import iceberg_meta as im
-
-    fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
-    if fv >= 3:
-        raise ValueError(
-            f"{op}: this is an Iceberg v3 table — the spec forbids new "
-            "position-delete files (deletion vectors replace them); use "
-            "mode='copy-on-write'"
-        )
-
-
 @_reruns_on_conflict("compact_iceberg_table")
 def compact_iceberg_table(
     spark: SparkSession,
@@ -1461,7 +1444,7 @@ def update_where(
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
             ref=ref,
         )
-    _reject_mor_position_deletes_on_v3(root, meta_path, "update_where")
+    fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
 
     df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
     data_cols = [c for c in df.columns if c not in (_FP, _POS)]
@@ -1481,20 +1464,34 @@ def update_where(
             return {"matched": 0, "snapshot_id": None,
                     "files_scanned": len(paths), "files_total": n_live}
 
-        import pyarrow.parquet as pq
+        dvs = None
+        if fv >= 3:
+            # v3 row delta (r10): retractions commit as DELETION VECTORS
+            # (v3 forbids new position-delete files) and the rewritten
+            # rows land at the same commit's higher sequence
+            if ref is not None:
+                raise ValueError(
+                    "update_where: branch-targeted updates on an Iceberg "
+                    "v3 table are not supported yet — update main or use "
+                    "mode='copy-on-write'"
+                )
+            dvs = _collect_deletion_vectors(spark, deletes)
+        else:
+            import pyarrow.parquet as pq
 
-        del_dir = os.path.join(
-            root, "data", f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
-        )
-        n_files = max(1, -(-n // rows_per_delete_file))
-        (
-            deletes.repartitionByRange(
-                n_files, F.col("file_path"), F.col("pos")
+            del_dir = os.path.join(
+                root, "data",
+                f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
             )
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("errorifexists")
-            .parquet(del_dir)
-        )
+            n_files = max(1, -(-n // rows_per_delete_file))
+            (
+                deletes.repartitionByRange(
+                    n_files, F.col("file_path"), F.col("pos")
+                )
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("errorifexists")
+                .parquet(del_dir)
+            )
         # rewritten rows: assignments see the OLD values (standard
         # UPDATE); the original column order/schema is preserved
         upd_dir = os.path.join(
@@ -1514,6 +1511,27 @@ def update_where(
         )
     finally:
         matches.unpersist()
+
+    if dvs is not None:
+        from cloudfloe_spark.sources.iceberg_fixture import (
+            commit_deletion_vector_snapshot,
+        )
+
+        snap_id = _commit_with_rebase(
+            root, "update_where",
+            lambda mp: commit_deletion_vector_snapshot(
+                root, dvs, new_data_files=new_files,
+                timestamp_ms=timestamp_ms, expected_metadata_path=mp,
+            ),
+            meta_path,
+            lambda: _rebase_ok(
+                root, scanned_paths=paths, pinned_snap=snap,
+                forbid_new_data=True,
+            ),
+        )
+        return {"matched": n, "snapshot_id": snap_id,
+                "deletion_vectors": len(dvs),
+                "files_scanned": len(paths), "files_total": n_live}
 
     def _parquets(d):
         out = []
@@ -1639,12 +1657,9 @@ def apply_changelog(
 
     try:
         n_retract_keys = retract_keys.count()
-        if n_retract_keys:
-            # retractions commit as position-delete parquet — forbidden
-            # on v3 tables (deletion vectors replace them, r10)
-            _reject_mor_position_deletes_on_v3(
-                root, meta_path, "apply_changelog"
-            )
+        fv = int(
+            im.load_metadata(root, meta_path).get("format-version") or 1
+        )
         # NULL keys never equi-match, so a null-keyed retraction would be
         # SILENTLY skipped — reject instead (Iceberg identifier fields are
         # required non-null; a changelog keyed on a nullable column is a
@@ -1659,6 +1674,7 @@ def apply_changelog(
                 "identifier columns must be non-null"
             )
         delete_files: list = []
+        dvs = None
         n_del = 0
         if n_retract_keys and paths:
             # Prune the retraction scan by the retraction keys' [min, max]
@@ -1705,7 +1721,11 @@ def apply_changelog(
             )
             try:
                 n_del = matched.count()
-                if n_del:
+                if n_del and fv >= 3:
+                    # v3 (r10): retractions commit as DELETION VECTORS
+                    # in the same atomic commit as the insertions
+                    dvs = _collect_deletion_vectors(spark, matched)
+                elif n_del:
                     del_dir = os.path.join(
                         root,
                         "data",
@@ -1735,8 +1755,29 @@ def apply_changelog(
     )
     n_ins = sum(e[1] for e in new_files)
 
-    if not delete_files and not new_files:
+    if not delete_files and not new_files and not dvs:
         return {"retracted": 0, "inserted": 0, "snapshot_id": None}
+    if dvs:
+        from cloudfloe_spark.sources.iceberg_fixture import (
+            commit_deletion_vector_snapshot,
+        )
+
+        snap_id = _commit_with_rebase(
+            root, "apply_changelog",
+            lambda mp: commit_deletion_vector_snapshot(
+                root, dvs, new_data_files=new_files,
+                timestamp_ms=timestamp_ms, expected_metadata_path=mp,
+                summary_extra=(
+                    {"changelog-id": changelog_id}
+                    if changelog_id is not None
+                    else None
+                ),
+            ),
+            meta_path,
+            lambda: _rebase_ok(root, scanned_paths=paths, pinned_snap=snap),
+        )
+        return {"retracted": n_del, "inserted": n_ins,
+                "snapshot_id": snap_id, "deletion_vectors": len(dvs)}
     # snapshot isolation (r10): a changelog apply replicates a FIXED
     # delta, so concurrent appends coexist — only a lost retraction
     # (scanned file gone, or a foreign delete landing in between) forces
@@ -1843,8 +1884,13 @@ def merge_into(
     if mode not in ("merge-on-read", "copy-on-write"):
         raise ValueError(f"merge_into: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
-    if mode == "merge-on-read":
-        _reject_mor_position_deletes_on_v3(root, meta_path, "merge_into")
+    fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
+    if mode == "merge-on-read" and fv >= 3 and ref is not None:
+        raise ValueError(
+            "merge_into: branch-targeted merge-on-read on an Iceberg v3 "
+            "table is not supported yet — merge on main or use "
+            "mode='copy-on-write'"
+        )
     snap = (
         _ref_snapshot(root, meta_path, ref, "merge_into")
         if ref is not None
@@ -2107,12 +2153,9 @@ def merge_into(
             return out
 
         delete_files: list[tuple[str, int]] = []
+        dvs = None
         n_del = n_matched + n_nms
         if n_del:
-            del_dir = os.path.join(
-                root, "data",
-                f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
-            )
             positions = matched.select(
                 F.col("t.__fp").alias("file_path"),
                 F.col("t.__pos").alias("pos"),
@@ -2124,15 +2167,26 @@ def merge_into(
                         F.col("t.__pos").alias("pos"),
                     )
                 )
-            n_files = max(1, -(-n_del // rows_per_delete_file))
-            (
-                positions
-                .repartitionByRange(n_files, F.col("file_path"), F.col("pos"))
-                .sortWithinPartitions("file_path", "pos")
-                .write.mode("errorifexists")
-                .parquet(del_dir)
-            )
-            delete_files = _parquets(del_dir)
+            if fv >= 3:
+                # v3 (r10): retractions commit as DELETION VECTORS in the
+                # same atomic commit as the rewritten/inserted rows
+                dvs = _collect_deletion_vectors(spark, positions)
+            else:
+                del_dir = os.path.join(
+                    root, "data",
+                    f"deletes-{timestamp_ms}-{_uuid.uuid4().hex[:8]}",
+                )
+                n_files = max(1, -(-n_del // rows_per_delete_file))
+                (
+                    positions
+                    .repartitionByRange(
+                        n_files, F.col("file_path"), F.col("pos")
+                    )
+                    .sortWithinPartitions("file_path", "pos")
+                    .write.mode("errorifexists")
+                    .parquet(del_dir)
+                )
+                delete_files = _parquets(del_dir)
 
         out = rewritten if inserts is None else rewritten.unionByName(inserts)
         merge_dir = os.path.join(
@@ -2150,6 +2204,27 @@ def merge_into(
         if nms is not None:
             nms.unpersist()
 
+    if dvs is not None:
+        from cloudfloe_spark.sources.iceberg_fixture import (
+            commit_deletion_vector_snapshot,
+        )
+
+        snap_id = _commit_with_rebase(
+            root, "merge_into",
+            lambda mp: commit_deletion_vector_snapshot(
+                root, dvs, new_data_files=new_files,
+                timestamp_ms=timestamp_ms, expected_metadata_path=mp,
+                summary_extra=summary_extra,
+            ),
+            meta_path,
+            lambda: _rebase_ok(
+                root, scanned_paths=paths, pinned_snap=snap,
+                forbid_new_data=True,
+            ),
+        )
+        return {"matched": n_matched, "inserted": n_inserted,
+                "not_matched_by_source": n_nms, "snapshot_id": snap_id,
+                "deletion_vectors": len(dvs)}
     snap_id = _commit_with_rebase(
         root, "merge_into",
         lambda mp: commit_row_delta_snapshot(

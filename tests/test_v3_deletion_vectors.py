@@ -154,24 +154,109 @@ def test_v3_mor_delete_writes_deletion_vectors(spark, v3_table):
     assert all(len(v) == 1 for v in per_file.values())
 
 
-def test_v3_mor_update_rejected_cow_works(spark, v3_table):
-    """update/merge still reject merge-on-read on v3 (their row delta
-    needs new data files + deletes in one commit — DV-composed updates
-    are future work) with copy-on-write guidance; COW works, applying
-    the DVs during its scan so deleted rows are not resurrected."""
-    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+def test_v3_mor_update_commits_dv_row_delta(spark, v3_table):
+    """update_where on v3: old positions commit as DELETION VECTORS and
+    the rewritten rows land in the SAME atomic commit — the v3 row-delta
+    shape; a re-update of a rewritten row survives (the new file is at a
+    higher sequence than the DV)."""
+    from cloudfloe_spark.sources.maintenance import update_where
 
     root, _, _ = v3_table
-    with pytest.raises(ValueError, match="copy-on-write"):
-        update_where(spark, root, "id = 0", {"v": "'Z'"},
-                     timestamp_ms=T1 + 2000)
-    res = delete_where(
+    res = update_where(
+        spark, root, "id = 0", {"v": "'Z'"}, timestamp_ms=T1 + 2000
+    )
+    assert res["matched"] == 1 and res["deletion_vectors"] == 1
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got == [
+        (0, "Z"), (2, "c"), (4, "e"), (6, "g"), (7, "h"), (8, "i"),
+    ]
+    snap = im.resolve_snapshot(root)
+    assert im.position_delete_paths(root, snap) == []  # never parquet
+    # the rewritten row updates AGAIN (its new file is post-DV)
+    update_where(spark, root, "id = 0", {"v": "'ZZ'"},
+                 timestamp_ms=T1 + 3000)
+    got2 = _rows(spark, f"SELECT v FROM iceberg_scan('{root}') "
+                 "WHERE id = 0")
+    assert got2 == [("ZZ",)]
+
+
+def test_v3_merge_and_cow_work(spark, v3_table):
+    """MERGE on v3 commits DVs + inserts atomically; COW DML stays
+    available and applies the DVs during its scan."""
+    from cloudfloe_spark.sources.maintenance import delete_where, merge_into
+
+    root, _, _ = v3_table
+    src = spark.createDataFrame(
+        [(2, "C"), (99, "new")], "id LONG, v STRING"
+    )
+    res = merge_into(
+        spark, root, src, ["id"], when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 2000,
+    )
+    assert res["matched"] == 1 and res["inserted"] == 1
+    assert res["deletion_vectors"] == 1
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got == [
+        (0, "a"), (2, "C"), (4, "e"), (6, "g"), (7, "h"), (8, "i"),
+        (99, "new"),
+    ]
+    res2 = delete_where(
         spark, root, "id = 0", timestamp_ms=T1 + 3000,
         mode="copy-on-write",
     )
-    assert res["matched"] == 1
-    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
-    assert [r[0] for r in got] == [2, 4, 6, 7, 8]
+    assert res2["matched"] == 1
+    got2 = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got2] == [2, 4, 6, 7, 8, 99]
+
+
+def test_v3_matview_incremental_refresh_on_v3_target(spark, tmp_path):
+    """apply_changelog's v3 path composes upward: an incremental matview
+    refresh whose TARGET is a v3 table applies its retractions as DVs —
+    replication/refresh never writes position-delete parquet on v3."""
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    base = str(tmp_path / "base")
+    t = LocalIcebergTable(
+        base, pa.schema([("id", pa.int64()), ("n", pa.int64())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": list(range(6)), "n": [i * 10 for i in range(6)]})],
+        timestamp_ms=T1,
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT id, n FROM iceberg_scan('{base}')",
+        timestamp_ms=T1 + 500,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 1000, key_cols=["id"]
+    )
+    # flip the TARGET to v3 by committing an (empty-effect) DV on it
+    tpaths = im.live_data_paths(troot, im.resolve_snapshot(troot))
+    commit_deletion_vector_snapshot(
+        troot, {tpaths[0]: []}, timestamp_ms=T1 + 1500
+    )
+    assert im.load_metadata(troot)["format-version"] == 3
+    delete_where(spark, base, "id = 3", timestamp_ms=T1 + 2000)
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 3000
+    )
+    assert res["path"] == "incremental-row" and res["retracted"] == 1
+    snap = im.resolve_snapshot(troot)
+    assert im.position_delete_paths(troot, snap) == []
+    assert len(im.deletion_vector_records(troot, snap)) >= 1
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{troot}') ORDER BY id")
+    assert [r[0] for r in got] == [0, 1, 2, 4, 5]
 
 
 def test_v3_compaction_clears_dvs(spark, v3_table):
