@@ -1638,6 +1638,7 @@ def commit_deletion_vector_snapshot(
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
     summary_extra: "dict[str, str] | None" = None,
+    drop_position_deletes: bool = False,
 ) -> int:
     """Commit Iceberg v3 DELETION VECTORS (r10 stretch, VERDICT r9 #8):
     ``deletes`` maps live data-file paths (absolute or table-relative
@@ -1660,7 +1661,14 @@ def commit_deletion_vector_snapshot(
     spec_id]])`` added as content=0 entries at the commit's sequence —
     the v3 UPDATE/MERGE row-delta shape (DVs retract the old rows, the
     rewritten/inserted rows land at the higher sequence in the same
-    atomic commit). The summary becomes ``overwrite``."""
+    atomic commit). The summary becomes ``overwrite``.
+
+    ``drop_position_deletes`` (r10, the v2→v3 MIGRATION switch): carried
+    v2 position-delete PARQUET entries are recorded removed in the same
+    commit — callers must have folded their coordinates into ``deletes``
+    first (``maintenance.migrate_position_deletes_to_dvs`` does), or
+    deleted rows would resurrect. Equality deletes are always carried
+    (v3 keeps them)."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin
 
@@ -1718,6 +1726,15 @@ def commit_deletion_vector_snapshot(
     superseded = []
     for e in carried:
         df_ = e["data_file"]
+        if (
+            drop_position_deletes
+            and df_.get("content", 0) == 1
+            and df_.get("referenced_data_file") is None
+            and str(df_.get("file_format") or "").upper() != "PUFFIN"
+        ):
+            # v2 position-delete parquet being MIGRATED into the new DVs
+            superseded.append(entry(2, e["sequence_number"], df_))
+            continue
         if (
             df_.get("content", 0) == 1
             and df_.get("referenced_data_file") in merged

@@ -2715,6 +2715,83 @@ def analyze_iceberg_table(
     }
 
 
+@_reruns_on_conflict("migrate_position_deletes_to_dvs")
+def migrate_position_deletes_to_dvs(
+    spark: SparkSession, root: str, *, timestamp_ms: int
+) -> dict:
+    """The v2→v3 UPGRADE path (r10): fold the table's accumulated
+    position-delete PARQUET files into per-data-file DELETION VECTORS and
+    advance ``format-version`` to 3, one atomic commit — after it, the
+    table carries at most one roaring vector per data file, reads pay one
+    delete-set-sized decode instead of N delete-file scans, and every
+    subsequent merge-on-read DML commits DVs natively.
+
+    Mechanics mirror ``rewrite_position_deletes``: read only the delete
+    files (delete-set-sized, never the table), dedup coordinates, drop
+    dangling ones (naming dead files), roaring-build per file on the
+    executors, and commit the DVs while recording the old parquet delete
+    entries removed. Equality deletes are carried (v3 keeps them). A
+    delete-free v2 table migrates as a metadata-only format bump."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_deletion_vector_snapshot,
+        write_next_metadata_version,
+    )
+
+    meta_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    meta = im.load_metadata(root, meta_path)
+    fv = int(meta.get("format-version") or 1)
+    pos = im.position_delete_paths(root, snap)
+    if not pos:
+        if fv >= 3:
+            return {"position_delete_files": 0, "deletion_vectors": 0,
+                    "snapshot_id": None, "format_version": fv}
+        meta["format-version"] = 3
+        meta["last-updated-ms"] = timestamp_ms
+        write_next_metadata_version(root, meta)
+        return {"position_delete_files": 0, "deletion_vectors": 0,
+                "snapshot_id": None, "format_version": 3}
+    live_keys = [
+        p.rsplit("/data/", 1)[-1] for p in im.live_data_paths(root, snap)
+    ]
+    keys_df = spark.createDataFrame([(k,) for k in live_keys], "__k STRING")
+    dels = (
+        spark.read.parquet(*pos)
+        .select("file_path", "pos")
+        .distinct()
+        .withColumn(
+            "__k", F.substring_index(F.col("file_path"), "/data/", -1)
+        )
+        .join(keys_df, "__k", "left_semi")  # drop dangling coordinates
+        .drop("__k")
+    )
+    dvs = _collect_deletion_vectors(spark, dels)
+    if not dvs:
+        # every coordinate dangled: equivalent to the delete-free bump,
+        # but the stale delete entries still need dropping — commit a DV
+        # on one live file with no positions to carry the drop
+        first_live = im.live_data_paths(root, snap)[0]
+        dvs = {first_live: []}
+    snap_id = _commit_with_rebase(
+        root, "migrate_position_deletes_to_dvs",
+        lambda mp: commit_deletion_vector_snapshot(
+            root, dvs, timestamp_ms=timestamp_ms,
+            expected_metadata_path=mp, drop_position_deletes=True,
+        ),
+        meta_path,
+        lambda: False,  # any conflict re-runs the (cheap) migration
+    )
+    return {
+        "position_delete_files": len(pos),
+        "deletion_vectors": len(dvs),
+        "snapshot_id": snap_id,
+        "format_version": 3,
+    }
+
+
 @_reruns_on_conflict("rewrite_position_deletes")
 def rewrite_position_deletes(
     spark: SparkSession,

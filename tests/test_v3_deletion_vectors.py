@@ -324,3 +324,92 @@ def test_format_version_4_rejects(spark, tmp_path):
     with pytest.raises(CloudfloeError) as ei:
         run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
     assert ei.value.status_code == 400 and "format-version 4" in str(ei.value)
+
+
+def test_migrate_position_deletes_to_dvs(spark, tmp_path):
+    """The v2→v3 upgrade path: accumulated position-delete parquet folds
+    into per-file DVs in one atomic commit (format-version → 3), reads
+    are unchanged, pre-migration time travel still applies the old
+    parquet deletes, and the next MOR delete commits DVs natively."""
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        migrate_position_deletes_to_dvs,
+    )
+
+    root = str(tmp_path / "mig")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(5)), "v": list("abcde")}),
+            pa.table({"id": list(range(5, 10)), "v": list("fghij")}),
+        ],
+        timestamp_ms=T1,
+    )
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    s_pre = delete_where(spark, root, "id = 7", timestamp_ms=T1 + 2000)[
+        "snapshot_id"
+    ]
+    before = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in before] == [0, 2, 3, 4, 5, 6, 8, 9]
+
+    res = migrate_position_deletes_to_dvs(spark, root, timestamp_ms=T1 + 3000)
+    assert res["format_version"] == 3
+    assert res["position_delete_files"] == 2
+    assert res["deletion_vectors"] == 2  # one per affected data file
+    snap = im.resolve_snapshot(root)
+    assert im.position_delete_paths(root, snap) == []
+    assert im.load_metadata(root)["format-version"] == 3
+    after = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert after == before
+    # pre-migration time travel still reads through the parquet deletes
+    tt = _rows(
+        spark,
+        f"SELECT id FROM iceberg_scan('{root}') VERSION AS OF {s_pre} "
+        "ORDER BY id",
+    )
+    assert tt == before
+    # and the next MOR delete is a native DV commit
+    res2 = delete_where(spark, root, "id = 0", timestamp_ms=T1 + 4000)
+    assert res2["deletion_vectors"] == 1
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [2, 3, 4, 5, 6, 8, 9]
+
+
+def test_migrate_delete_free_table_is_metadata_only(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import (
+        migrate_position_deletes_to_dvs,
+    )
+
+    root = str(tmp_path / "clean")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    n_snaps = len(im.load_metadata(root)["snapshots"])
+    res = migrate_position_deletes_to_dvs(spark, root, timestamp_ms=T1 + 1000)
+    assert res["format_version"] == 3 and res["snapshot_id"] is None
+    assert len(im.load_metadata(root)["snapshots"]) == n_snaps
+    assert im.load_metadata(root)["format-version"] == 3
+    # idempotent
+    res2 = migrate_position_deletes_to_dvs(
+        spark, root, timestamp_ms=T1 + 2000
+    )
+    assert res2["snapshot_id"] is None and res2["format_version"] == 3
+
+
+def test_deletion_vectors_table_function(spark, v3_table):
+    """``iceberg_deletion_vectors('<root>')`` lists the live DVs —
+    referenced file, cardinality, blob coordinates — from metadata
+    alone (the merge-on-read-debt listing for v3 tables)."""
+    root, _, paths = v3_table
+    rows = _rows(
+        spark,
+        "SELECT referenced_data_file, cardinality, content_size_in_bytes "
+        f"FROM iceberg_deletion_vectors('{root}') "
+        "ORDER BY referenced_data_file",
+    )
+    assert len(rows) == 2
+    assert [r[1] for r in rows] == [2, 2]  # two positions per file
+    assert all(r[2] > 0 for r in rows)
+    suffixes = sorted(r[0].rsplit("/data/", 1)[-1] for r in rows)
+    assert suffixes == sorted(p.rsplit("/data/", 1)[-1] for p in paths)
