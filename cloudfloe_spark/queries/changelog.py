@@ -2100,3 +2100,81 @@ def iceberg_v3_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
         f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
     )
+
+
+@register(
+    "iceberg_v3_migrate_scan",
+    oracle=f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "v3", "deletion-vectors", "dml"),
+)
+def iceberg_v3_migrate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2→v3 lifecycle driver-checked end-to-end (r10): a v2 table
+    takes the standard DELETE (merge-on-read position-delete parquet), is
+    MIGRATED to v3 (`migrate_position_deletes_to_dvs` — parquet deletes
+    folded into per-file deletion vectors, format-version → 3), and then
+    takes the standard UPDATE through the NATIVE v3 row delta (DV
+    retraction + rewritten rows in one commit). The final scan must equal
+    the oracle's post-script aggregate — pinning that deletes survive the
+    format migration and that v3 DML composes with v2 history.
+
+    Scale shape: migration reads only the delete files (delete-set-sized)
+    and roaring-builds per file on executors; the v3 UPDATE costs the
+    same pruned scan + delta-sized writes as its v2 twin, with the
+    retraction landing as one compressed vector per affected file."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        migrate_position_deletes_to_dvs,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"v3mig{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_v3mig", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000)
+        res = migrate_position_deletes_to_dvs(
+            spark, root, timestamp_ms=_T0 + 2000
+        )
+        assert res["format_version"] == 3, res
+        upd = update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 3000,
+        )
+        assert upd.get("deletion_vectors"), upd  # native v3 row delta
+        assert not im.position_delete_paths(
+            root, im.resolve_snapshot(root)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
+    )

@@ -331,20 +331,52 @@ def _collect_deletion_vectors(spark, matches) -> "dict[str, list[int]]":
     have columns ``file_path`` (the scan's ``_metadata.file_path``) and
     ``pos``."""
     from cloudfloe_spark.sources import puffin
-    from cloudfloe_spark.sources.tables import ensure_package_shipped
-
-    ensure_package_shipped(spark)
 
     def encode(pdf):
+        # SELF-CONTAINED closure (stdlib + pandas only): Arrow UDF
+        # workers do not resolve repo modules when the driver runs from
+        # another cwd (the addPyFile zip covers RDD workers, not these),
+        # so the portable-roaring WRITE side is inlined — byte-compatible
+        # with sources/puffin.serialize_positions, which the driver
+        # decodes with (and tests pin the round-trip).
+        import struct
+
         import pandas as pd
 
-        from cloudfloe_spark.sources.puffin import serialize_positions
+        def rb32(values):  # sorted u32 → 32-bit roaring (no-run cookie)
+            containers = {}
+            for v in values:
+                containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+            keys = sorted(containers)
+            out = bytearray(struct.pack("<ii", 12346, len(keys)))
+            for k in keys:
+                out += struct.pack("<HH", k, len(containers[k]) - 1)
+            off = len(out) + 4 * len(keys)
+            body = bytearray()
+            offsets = bytearray()
+            for k in keys:
+                vals = containers[k]
+                offsets += struct.pack("<I", off + len(body))
+                if len(vals) <= 4096:
+                    body += struct.pack(f"<{len(vals)}H", *vals)
+                else:
+                    bits = bytearray(8192)
+                    for v in vals:
+                        bits[v >> 3] |= 1 << (v & 7)
+                    body += bits
+            return bytes(out + offsets + body)
 
         positions = sorted({int(p) for p in pdf["pos"]})
+        buckets = {}
+        for p in positions:
+            buckets.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+        blob = bytearray(struct.pack("<Q", len(buckets)))
+        for hi in sorted(buckets):
+            blob += struct.pack("<I", hi) + rb32(buckets[hi])
         return pd.DataFrame(
             {
                 "file_path": [pdf["file_path"].iloc[0]],
-                "blob": [serialize_positions(positions)],
+                "blob": [bytes(blob)],
             }
         )
 
