@@ -808,6 +808,19 @@ class LocalIcebergTable:
             json.dump(meta, f)
 
 
+
+def _sync_main_ref(meta: dict, snap_id: int) -> None:
+    """Keep an EXISTING explicit ``refs["main"]`` entry mirroring the
+    published current snapshot (r10): REST-materialized metadata carries
+    main explicitly (the spec's set-snapshot-ref), and a local commit
+    that moved only ``current-snapshot-id`` would leave ``VERSION AS OF
+    'main'`` resolving the PREVIOUS snapshot. Tables without an explicit
+    main entry are untouched (current-snapshot-id is authoritative)."""
+    refs = meta.get("refs")
+    if isinstance(refs, dict) and isinstance(refs.get("main"), dict):
+        refs["main"]["snapshot-id"] = snap_id
+
+
 class CommitConflictError(RuntimeError):
     """Another commit landed between a rewrite's read and its commit."""
 
@@ -919,6 +932,7 @@ def commit_rewrite_snapshot(
     )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
+    _sync_main_ref(meta, snap_id)
     meta["last-updated-ms"] = timestamp_ms
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
@@ -1039,6 +1053,7 @@ def commit_delete_rewrite_snapshot(
     )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
+    _sync_main_ref(meta, snap_id)
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
     )
@@ -1148,6 +1163,7 @@ def commit_manifest_rewrite_snapshot(
     )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
+    _sync_main_ref(meta, snap_id)
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
     )
@@ -1622,6 +1638,7 @@ def commit_row_delta_snapshot(
         }
     if publish:
         meta["current-snapshot-id"] = snap_id
+        _sync_main_ref(meta, snap_id)
         meta.setdefault("snapshot-log", []).append(
             {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
         )
@@ -1850,6 +1867,7 @@ def commit_deletion_vector_snapshot(
     )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
+    _sync_main_ref(meta, snap_id)
     meta["format-version"] = 3
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
@@ -1956,6 +1974,7 @@ def publish_ref(root: str, name: str, *, timestamp_ms: int) -> int:
                 "the current snapshot) instead of publishing"
             )
     meta["current-snapshot-id"] = sid
+    _sync_main_ref(meta, sid)
     meta["last-updated-ms"] = timestamp_ms
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": sid, "timestamp-ms": timestamp_ms}

@@ -2407,6 +2407,9 @@ def rollback_to(root: str, snapshot_id: int, *, timestamp_ms: int) -> None:
             f"(known: {sorted(known)})"
         )
     meta["current-snapshot-id"] = snapshot_id
+    from cloudfloe_spark.sources.iceberg_fixture import _sync_main_ref
+
+    _sync_main_ref(meta, snapshot_id)  # explicit main follows current
     meta["last-updated-ms"] = timestamp_ms
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snapshot_id, "timestamp-ms": timestamp_ms}

@@ -671,3 +671,36 @@ def test_rest_commit_derivation_round_trips(tmp_path):
     bad["current-schema-id"] = 7
     with pytest.raises(RestCatalogError, match="not expressible"):
         derive_table_updates(before, bad)
+
+
+def test_rest_two_writer_interleave_rebases(spark, bound_table, monkeypatch):
+    """A GENUINE catalog race (not an injected 409): a second writer
+    commits THROUGH the catalog between writer A's metadata read and its
+    POST, so A's assert-ref-snapshot-id is stale at the server. The 409
+    maps into the optimistic retry, A re-derives against the catalog's
+    new current, and BOTH commits land."""
+    from cloudfloe_spark.sources import iceberg_fixture as fx
+    from cloudfloe_spark.sources.maintenance import delete_by_key, delete_where
+
+    endpoint, state, client, root = bound_table
+    real = fx.commit_delete_snapshot
+    calls = []
+
+    def racing(*a, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            # writer B: an equality-delete commit through the SAME
+            # binding — advances the catalog pointer first
+            delete_by_key(root, "id", [4], timestamp_ms=T1 + 500)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fx, "commit_delete_snapshot", racing)
+    res = delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    assert res["matched"] == 1 and res["snapshot_id"] is not None
+    assert state.commits == 2  # both writers landed through the catalog
+    resp = run_query(
+        spark,
+        "SELECT id FROM iceberg_catalog.demo.bound ORDER BY id",
+        _cfg(endpoint),
+    )
+    assert [r[0] for r in resp.rows] == [2, 3]  # B erased 4, A deleted 1
