@@ -534,34 +534,151 @@ def _apply_position_deletes(sess, data, delete_paths: list[str]):
     ).drop("__cf_file", "__cf_pos")
 
 
+#: above this combined blob size the DV decode moves to the executors —
+#: a driver-side Python list of every deleted position would not survive
+#: a 100-TB table's delete debt (compressed roaring ≈ ≤2 bytes/position,
+#: so 8 MB ≈ ≥4M positions)
+_DV_DRIVER_DECODE_MAX_BYTES = 8 * 1024 * 1024
+
+
 def _apply_deletion_vectors(sess, data, dv_records: list[dict]):
     """Merge-on-read for Iceberg v3 DELETION VECTORS (r10 stretch): each
-    record names one data file's Puffin blob; the bitmap is decoded
-    DRIVER-side (delete-set-sized, like a position-delete footer read)
-    into (file suffix, pos) rows and applied through the same anti-join
-    as v2 position deletes. The decoded frame is broadcast-sized by
-    construction — a DV lists deleted rows of one file."""
+    record names one data file's Puffin blob; the bitmaps decode into
+    (file suffix, pos) rows applied through the same anti-join as v2
+    position deletes. Small delete sets decode DRIVER-side (one seek per
+    blob, no Python-worker round trip); past
+    ``_DV_DRIVER_DECODE_MAX_BYTES`` of combined blob bytes the decode
+    runs ON THE EXECUTORS — one task per vector reads its own blob from
+    shared storage and emits that file's positions, so the deleted-row
+    frame is born distributed and the driver never materializes it
+    (the v2 path's scale shape, where delete parquet is executor-read)."""
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.sources import puffin
 
-    rows = []
-    for r in dv_records:
-        try:
-            positions = puffin.read_deletion_vector(
-                r["path"], r["offset"], r["length"]
-            )
-        except (OSError, puffin.PuffinError) as e:
-            raise bad_request(
-                f"Iceberg v3 deletion vector unreadable: {e}"
-            ) from None
-        suf = r["referenced_data_file"].rsplit("/data/", 1)[-1]
-        rows.extend((suf, int(p)) for p in positions)
-    if not rows:
-        return data
-    dels = sess.createDataFrame(
-        rows, "__cf_del_file STRING, __cf_del_pos BIGINT"
-    ).distinct()
+    total = sum(int(r["length"]) for r in dv_records)
+    if total <= _DV_DRIVER_DECODE_MAX_BYTES:
+        rows = []
+        for r in dv_records:
+            try:
+                positions = puffin.read_deletion_vector(
+                    r["path"], r["offset"], r["length"]
+                )
+            except (OSError, puffin.PuffinError) as e:
+                raise bad_request(
+                    f"Iceberg v3 deletion vector unreadable: {e}"
+                ) from None
+            suf = r["referenced_data_file"].rsplit("/data/", 1)[-1]
+            rows.extend((suf, int(p)) for p in positions)
+        if not rows:
+            return data
+        dels = sess.createDataFrame(
+            rows, "__cf_del_file STRING, __cf_del_pos BIGINT"
+        ).distinct()
+        dels = F.broadcast(dels)
+    else:
+        refs = sess.createDataFrame(
+            [
+                (
+                    r["path"],
+                    int(r["offset"]),
+                    int(r["length"]),
+                    r["referenced_data_file"].rsplit("/data/", 1)[-1],
+                )
+                for r in dv_records
+            ],
+            "path STRING, offset BIGINT, length BIGINT, suffix STRING",
+        ).repartition(min(len(dv_records), 256))
+
+        def decode(batches):
+            # SELF-CONTAINED closure (stdlib + pandas): Arrow UDF workers
+            # do not resolve repo modules — the portable-roaring READ
+            # side is inlined, format-matched to sources/puffin.py.
+            import struct
+            import zlib
+
+            import pandas as pd
+
+            def rb32(buf, pos):
+                (cookie,) = struct.unpack_from("<i", buf, pos)
+                run_bits = b""
+                if (cookie & 0xFFFF) == 12347:
+                    n = (cookie >> 16) + 1
+                    pos += 4
+                    nb = (n + 7) // 8
+                    run_bits = buf[pos:pos + nb]
+                    pos += nb
+                elif cookie == 12346:
+                    (n,) = struct.unpack_from("<i", buf, pos + 4)
+                    pos += 8
+                else:
+                    raise ValueError(f"roaring cookie {cookie}")
+                kc = []
+                for i in range(n):
+                    k, c = struct.unpack_from("<HH", buf, pos)
+                    kc.append((k, c + 1))
+                    pos += 4
+                if cookie == 12346 or n >= 4:
+                    pos += 4 * n
+                vals = []
+                for i, (k, card) in enumerate(kc):
+                    base = k << 16
+                    if run_bits and (run_bits[i // 8] & (1 << (i % 8))):
+                        (nr,) = struct.unpack_from("<H", buf, pos)
+                        pos += 2
+                        for _ in range(nr):
+                            s, ln = struct.unpack_from("<HH", buf, pos)
+                            pos += 4
+                            vals.extend(
+                                base + v for v in range(s, s + ln + 1)
+                            )
+                    elif card <= 4096:
+                        vs = struct.unpack_from(f"<{card}H", buf, pos)
+                        pos += 2 * card
+                        vals.extend(base + v for v in vs)
+                    else:
+                        bits = buf[pos:pos + 8192]
+                        pos += 8192
+                        for bi, byte in enumerate(bits):
+                            while byte:
+                                low = byte & -byte
+                                vals.append(
+                                    base + bi * 8 + low.bit_length() - 1
+                                )
+                                byte ^= low
+                return vals, pos
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    with open(row["path"], "rb") as fh:
+                        fh.seek(int(row["offset"]))
+                        blob = fh.read(int(row["length"]))
+                    (ln,) = struct.unpack_from(">I", blob, 0)
+                    body = blob[4:4 + ln]
+                    if body[:4] != b"\xd1\xd3\x39\x64":
+                        raise ValueError("deletion vector: bad magic")
+                    (crc,) = struct.unpack_from(">I", blob, 4 + ln)
+                    if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+                        raise ValueError("deletion vector: CRC mismatch")
+                    vec = body[4:]
+                    (nb,) = struct.unpack_from("<Q", vec, 0)
+                    p = 8
+                    out = []
+                    for _ in range(nb):
+                        (hi,) = struct.unpack_from("<I", vec, p)
+                        p += 4
+                        lows, p = rb32(vec, p)
+                        out.extend((hi << 32) | v for v in lows)
+                    yield pd.DataFrame(
+                        {
+                            "__cf_del_file": [row["suffix"]] * len(out),
+                            "__cf_del_pos": out,
+                        }
+                    )
+
+        dels = refs.mapInPandas(
+            decode, schema="__cf_del_file STRING, __cf_del_pos BIGINT"
+        )
     keyed = data.withColumns(
         {
             "__cf_file": F.substring_index(
@@ -571,7 +688,7 @@ def _apply_deletion_vectors(sess, data, dv_records: list[dict]):
         }
     )
     return keyed.join(
-        F.broadcast(dels),
+        dels,
         (keyed["__cf_file"] == dels["__cf_del_file"])
         & (keyed["__cf_pos"] == dels["__cf_del_pos"]),
         "left_anti",

@@ -413,3 +413,18 @@ def test_deletion_vectors_table_function(spark, v3_table):
     assert all(r[2] > 0 for r in rows)
     suffixes = sorted(r[0].rsplit("/data/", 1)[-1] for r in rows)
     assert suffixes == sorted(p.rsplit("/data/", 1)[-1] for p in paths)
+
+
+def test_dv_decode_distributes_past_threshold(spark, v3_table, monkeypatch):
+    """Past _DV_DRIVER_DECODE_MAX_BYTES the DV decode runs ON THE
+    EXECUTORS (mapInPandas over the blob references, self-contained
+    roaring reader) — the deleted-position frame is never materialized
+    on the driver. Forced here by zeroing the threshold; the result must
+    be identical to the driver-side path."""
+    from cloudfloe_spark.service import iceberg_local as il
+
+    root, _, _ = v3_table
+    expect = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    monkeypatch.setattr(il, "_DV_DRIVER_DECODE_MAX_BYTES", 0)
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == expect == [(0,), (2,), (4,), (6,), (7,), (8,)]
