@@ -282,6 +282,14 @@ def apply_table_updates(meta: dict, updates: list[dict]) -> dict:
             refs[name] = ref
         elif action == "remove-snapshot-ref":
             (out.get("refs") or {}).pop(u["ref-name"], None)
+        elif action == "upgrade-format-version":
+            new_fv = int(u["format-version"])
+            cur_fv = int(out.get("format-version") or 1)
+            if new_fv < cur_fv:
+                raise RestCatalogError(
+                    f"cannot downgrade format-version {cur_fv}→{new_fv}"
+                )
+            out["format-version"] = new_fv
         elif action == "set-properties":
             out.setdefault("properties", {}).update(u.get("updates") or {})
         elif action == "remove-properties":
@@ -346,6 +354,14 @@ def derive_table_updates(
     )
 
     updates: list[dict] = []
+    b_fv = int(before.get("format-version") or 1)
+    a_fv = int(after.get("format-version") or 1)
+    if a_fv > b_fv:
+        # the spec's upgrade action — a v3 deletion-vector commit on a
+        # bound v2 table advances the format in the same commit (r10)
+        updates.append(
+            {"action": "upgrade-format-version", "format-version": a_fv}
+        )
     before_ids = {
         s.get("snapshot-id") for s in before.get("snapshots", [])
     }

@@ -867,6 +867,21 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     )
     timings["matview_join_both_moved"] = round(time.perf_counter() - t0, 3)
     assert res["path"] == "incremental-join-both", res
+
+    # (i) Iceberg v3 DV point delete (r10): the table grows 16n files;
+    # a fixed-size MOR delete commits per-file DELETION VECTORS
+    # (executor-side roaring build, blob-only driver collect) — the cost
+    # must track the pruned match scan + delete-set-sized blobs, ~flat.
+    from cloudfloe_spark.sources.maintenance import (
+        migrate_position_deletes_to_dvs,
+    )
+
+    root3 = build_cdc_table(spark, n, os.path.join(out_dir, "v3"))
+    migrate_position_deletes_to_dvs(spark, root3, timestamp_ms=_T0 + 500)
+    t0 = time.perf_counter()
+    res = delete_where(spark, root3, "id < 500", timestamp_ms=_T0 + 1000)
+    timings["v3_dv_delete_point"] = round(time.perf_counter() - t0, 3)
+    assert res.get("deletion_vectors"), res
     return timings
 
 

@@ -704,3 +704,33 @@ def test_rest_two_writer_interleave_rebases(spark, bound_table, monkeypatch):
         _cfg(endpoint),
     )
     assert [r[0] for r in resp.rows] == [2, 3]  # B erased 4, A deleted 1
+
+
+def test_rest_bound_v3_dv_commit_upgrades_format(spark, bound_table):
+    """A merge-on-read delete on a REST-bound table that was migrated to
+    v3 — and the migration itself — both commit through the catalog: the
+    format-version advance travels as the spec's upgrade-format-version
+    update, and the DV entries land server-materialized."""
+    from cloudfloe_spark.sources import iceberg_meta as im2
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        migrate_position_deletes_to_dvs,
+    )
+
+    endpoint, state, client, root = bound_table
+    res = migrate_position_deletes_to_dvs(spark, root, timestamp_ms=T1 + 900)
+    assert res["format_version"] == 3
+    res2 = delete_where(spark, root, "id <= 2", timestamp_ms=T1 + 1000)
+    assert res2["matched"] == 2 and res2["deletion_vectors"] == 1
+    # catalog-resolved state: v3, DVs live, rows gone
+    loc = client.metadata_location("demo", "bound")
+    meta = json.load(open(loc.removeprefix("file://")))
+    assert meta["format-version"] == 3
+    snap = im2.resolve_snapshot(root)
+    assert im2.deletion_vector_records(root, snap)
+    resp = run_query(
+        spark,
+        "SELECT id FROM iceberg_catalog.demo.bound ORDER BY id",
+        _cfg(endpoint),
+    )
+    assert [r[0] for r in resp.rows] == [3, 4]

@@ -428,3 +428,113 @@ def test_dv_decode_distributes_past_threshold(spark, v3_table, monkeypatch):
     monkeypatch.setattr(il, "_DV_DRIVER_DECODE_MAX_BYTES", 0)
     got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
     assert got == expect == [(0,), (2,), (4,), (6,), (7,), (8,)]
+
+
+def test_orphan_sweep_keeps_referenced_puffins(spark, v3_table):
+    """remove_orphan_files treats Puffin DV files like any referenced
+    file: a live DV's blob container survives the sweep and the table
+    still reads with its deletions applied."""
+    import glob
+
+    from cloudfloe_spark.sources.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    root, _, _ = v3_table
+    puffins = glob.glob(os.path.join(root, "data", "*.puffin"))
+    assert puffins
+    expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 2000)
+    remove_orphan_files(root, older_than_ms=T1 + 10_000_000)
+    assert all(os.path.exists(p) for p in puffins)
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [0, 2, 4, 6, 7, 8]
+
+
+def test_v3_streaming_upsert_commits_dvs(spark, tmp_path):
+    """The streaming UPSERT sink composes with the v3 write path: each
+    micro-batch's merge_into commits deletion vectors (never delete
+    parquet), and the (queryId, epochId) replay protection still holds."""
+    import shutil
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.streaming.iceberg_sink import (
+        upsert_stream_to_iceberg,
+    )
+
+    root = str(tmp_path / "v3up")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "v": ["a", "b"]})], timestamp_ms=T1
+    )
+    meta = im.load_metadata(root)
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(2, "B"), (3, "c")], "id LONG, v STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ck = str(tmp_path / "ck")
+    stats = upsert_stream_to_iceberg(
+        stream, root, "id", checkpoint_dir=ck, timestamp_ms=T1 + 1000
+    )
+    assert stats["batches"] == 1
+    snap = im.resolve_snapshot(root)
+    assert im.position_delete_paths(root, snap) == []
+    assert im.deletion_vector_records(root, snap)
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+    # replay: wipe the commit log, re-drain — epoch deduped, table unchanged
+    shutil.rmtree(os.path.join(ck, "commits"), ignore_errors=True)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stats2 = upsert_stream_to_iceberg(
+        stream2, root, "id", checkpoint_dir=ck, timestamp_ms=T1 + 2000
+    )
+    assert stats2 == {"batches": 0, "skipped": 1}
+    assert _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    ) == got
+
+
+def test_v3_table_service_pass(spark, tmp_path):
+    """maintain_iceberg_table runs cleanly on a v3 table carrying DVs:
+    bin-pack applies the vectors during its rewrite (deleted rows never
+    resurrect), and the delete-rewrite step stays off (no position-delete
+    parquet exists on v3)."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_deletion_vector_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import maintain_iceberg_table
+
+    root = str(tmp_path / "v3svc")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot(
+        [pa.table({"id": [i]}) for i in range(6)], timestamp_ms=T1
+    )
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    commit_deletion_vector_snapshot(
+        root, {paths[0]: [0]}, timestamp_ms=T1 + 1000  # deletes id=0
+    )
+    report = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 2000, min_small_files=4
+    )
+    assert report["compact_small_files"]["ran"] is True
+    assert report["rewrite_position_deletes"]["ran"] is False
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5]
