@@ -1777,6 +1777,34 @@ def _scan_plan_view(sess, root: str, predicate: str | None) -> str:
                 "applied when present",
             )
         )
+        dvs = im.deletion_vector_records(root, snap)
+        if dvs:
+            surviving_sufs = {
+                p.rsplit("/data/", 1)[-1] for p in surviving
+            }
+            dv_kept = [
+                r
+                for r in dvs
+                if r["referenced_data_file"].rsplit("/data/", 1)[-1]
+                in surviving_sufs
+            ]
+            rows.append(
+                (
+                    "deletion_vectors_total",
+                    len(dvs),
+                    sum(int(r["length"]) for r in dvs),
+                    "v3 per-data-file deletion vectors (Puffin blobs)",
+                )
+            )
+            rows.append(
+                (
+                    "deletion_vectors_applied",
+                    len(dv_kept),
+                    sum(int(r["length"]) for r in dv_kept),
+                    "only vectors referencing a surviving data file "
+                    "are decoded for the anti-join",
+                )
+            )
         # r9 (VERDICT r08 #4): surface the ANALYZE-stats planning input —
         # the row count and byte estimate the broadcast decision reads,
         # and whether this scan would be hinted broadcast-eligible.

@@ -538,3 +538,17 @@ def test_v3_table_service_pass(spark, tmp_path):
     assert report["rewrite_position_deletes"]["ran"] is False
     got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
     assert [r[0] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_scan_plan_reports_deletion_vectors(spark, v3_table):
+    """iceberg_scan_plan on a v3 table reports the DV stages: total
+    vectors and how many reference files surviving the pruning levels."""
+    root, _, _ = v3_table
+    rows = _rows(
+        spark,
+        f"SELECT stage, files FROM iceberg_scan_plan('{root}', 'id < 5')",
+    )
+    stages = dict(rows)
+    assert stages["deletion_vectors_total"] == 2
+    # the predicate prunes to one data file → only its vector is decoded
+    assert stages["deletion_vectors_applied"] == 1
