@@ -953,16 +953,6 @@ def _cdc_frame(
                 "iceberg_cdc: the to-snapshot is older than the "
                 "from-snapshot"
             )
-        if im.has_deletion_vectors(root, s_to):
-            # v3 DVs mutate per-file delete state in place (one vector
-            # per data file, superseded on each commit) — a range
-            # changelog over them would silently misattribute deletions;
-            # clear 400 instead (r10).
-            raise bad_request(
-                "iceberg_cdc: the range ends at a snapshot carrying v3 "
-                "deletion vectors, which the changelog reader does not "
-                "support yet"
-            )
         live_from = im.live_data_seqs(root, s_from)
         live_to = im.live_data_seqs(root, s_to)
         if set(live_from) - set(live_to):
@@ -983,6 +973,54 @@ def _cdc_frame(
         carried = sorted(live_from)
         pos_to = im.position_delete_records(root, s_to)
         pos_new = [r for r in pos_to if int(r["seq"]) > seq_from]
+        # v3 DELETION VECTORS in range (r10): a file's vector is an
+        # immutable blob superseded per commit, so the NEWLY deleted
+        # positions of the range are (to-vector − from-vector) per
+        # referenced file — a driver-side decode bounded by the blobs'
+        # compressed size (the same delete-set scale as reading the v2
+        # delete parquet). A migration commit in range nets to zero: its
+        # vectors reproduce positions the from-snapshot's parquet deletes
+        # already killed, and those rows are subtracted below with the
+        # rest of the already-dead set.
+        dv_to = im.deletion_vector_records(root, s_to)
+        dv_from_map = {
+            r["referenced_data_file"].rsplit("/data/", 1)[-1]: r
+            for r in im.deletion_vector_records(root, s_from)
+        }
+        dv_new_positions: dict[str, list[int]] = {}
+        dv_to_records = list(dv_to)
+        for r in dv_to_records:
+            suf = r["referenced_data_file"].rsplit("/data/", 1)[-1]
+            prev = dv_from_map.get(suf)
+            if prev is not None and (
+                prev["path"] == r["path"]
+                and prev["offset"] == r["offset"]
+            ):
+                continue  # vector unchanged in range
+            from cloudfloe_spark.sources import puffin as _puffin
+
+            try:
+                now = set(
+                    _puffin.read_deletion_vector(
+                        r["path"], r["offset"], r["length"]
+                    )
+                )
+                before = (
+                    set(
+                        _puffin.read_deletion_vector(
+                            prev["path"], prev["offset"], prev["length"]
+                        )
+                    )
+                    if prev is not None
+                    else set()
+                )
+            except (OSError, _puffin.PuffinError) as e:
+                raise bad_request(
+                    f"iceberg_cdc: deletion vector unreadable: {e}"
+                ) from None
+            fresh = sorted(now - before)
+            if fresh:
+                dv_new_positions[suf] = fresh
         eq_to = im.equality_delete_records(root, s_to)
         eq_new = [d for d in eq_to if int(d["seq"]) > seq_from]
         eq_old = [d for d in eq_to if int(d["seq"]) <= seq_from]
@@ -1003,21 +1041,24 @@ def _cdc_frame(
             im.scan_groups(root, added, metadata_path) if added else []
         )
         carried_scan = carried
-        if carried and pos_new and not eq_new:
-            # Position deletes name their target files: prune the carried
-            # (retraction) scan to exactly those — delete-set-sized IO
-            # instead of a table-sized scan. Equality deletes name VALUES,
-            # so any in range keeps the full carried scan (sound).
-            targets = im.position_delete_targets(
-                [r["path"] for r in pos_new]
-            )
+        if carried and (pos_new or dv_new_positions) and not eq_new:
+            # Position deletes name their target files (and a DV names
+            # exactly one): prune the carried (retraction) scan to
+            # exactly those — delete-set-sized IO instead of a
+            # table-sized scan. Equality deletes name VALUES, so any in
+            # range keeps the full carried scan (sound).
+            targets = set(dv_new_positions)
+            if pos_new:
+                targets |= im.position_delete_targets(
+                    [r["path"] for r in pos_new]
+                )
             carried_scan = [
                 p for p in carried
                 if p.rsplit("/data/", 1)[-1] in targets
             ]
         carried_groups = (
             im.scan_groups(root, carried_scan, metadata_path)
-            if carried_scan and (pos_new or eq_new)
+            if carried_scan and (pos_new or eq_new or dv_new_positions)
             else []
         )
         keys = (
@@ -1094,6 +1135,18 @@ def _cdc_frame(
                 g = _apply_position_deletes(
                     sess, g, [r["path"] for r in pos_new]
                 )
+            if dv_to_records:
+                # a row added in range then DV-deleted in range must not
+                # emit an insert (net semantics)
+                added_sufs = {p.rsplit("/data/", 1)[-1] for p in added}
+                dv_added = [
+                    r
+                    for r in dv_to_records
+                    if r["referenced_data_file"].rsplit("/data/", 1)[-1]
+                    in added_sufs
+                ]
+                if dv_added:
+                    g = _apply_deletion_vectors(sess, g, dv_added)
             if eq_new:
                 g = _apply_equality_deletes(
                     sess, g, eq_new, field_names,
@@ -1156,6 +1209,23 @@ def _cdc_frame(
                     nd,
                     (base["__cdc_file"] == nd["__cdc_dfile"])
                     & (base["__cdc_pos"] == nd["__cdc_dpos"]),
+                    "left_semi",
+                )
+            )
+        if dv_new_positions:
+            dvd = sess.createDataFrame(
+                [
+                    (suf, int(p))
+                    for suf, ps in dv_new_positions.items()
+                    for p in ps
+                ],
+                "__cdc_dfile STRING, __cdc_dpos BIGINT",
+            )
+            _acc(
+                base.join(
+                    F.broadcast(dvd),
+                    (base["__cdc_file"] == dvd["__cdc_dfile"])
+                    & (base["__cdc_pos"] == dvd["__cdc_dpos"]),
                     "left_semi",
                 )
             )
@@ -1383,6 +1453,17 @@ def _cdc_commits_view(
                 if lo <= sn.get("sequence-number", 0) <= hi
             ]
         schema_ddl = im.current_schema_ddl(root, metadata_path)
+        if im.has_deletion_vectors(root, s_to) or im.has_deletion_vectors(
+            root, s_from
+        ):
+            # per-commit granularity over superseded-in-place vectors is
+            # not implemented — fail clearly and point at the net view,
+            # which diffs DVs per referenced file (r10)
+            raise bad_request(
+                "iceberg_cdc_commits: the range touches v3 deletion "
+                "vectors; use iceberg_cdc (the net changelog), which "
+                "supports deletion-vector ranges"
+            )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
 

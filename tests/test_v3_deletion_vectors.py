@@ -270,16 +270,154 @@ def test_v3_compaction_clears_dvs(spark, v3_table):
     assert [r[0] for r in got] == [0, 2, 4, 6, 7, 8]
 
 
-def test_cdc_range_over_dv_commit_rejects(spark, v3_table):
+def test_cdc_over_dv_range_emits_retractions(spark, v3_table):
+    """The NET changelog reads across deletion-vector commits (r10): the
+    newly deleted positions are the per-file to-vector minus from-vector
+    diff, and the retraction scan reads only the referenced files."""
+    root, s1, _ = v3_table
+    cur = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', {s1}, "
+        f"{cur}) ORDER BY id",
+    )
+    assert got == [
+        (1, "b", "delete"), (3, "d", "delete"),
+        (5, "f", "delete"), (9, "j", "delete"),
+    ]
+    # a second DV on one file: the NEW range emits only the fresh diff
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    delete_where(spark, root, "id = 6", timestamp_ms=T1 + 2000)
+    cur2 = im.resolve_snapshot(root)["snapshot-id"]
+    got2 = _rows(
+        spark,
+        f"SELECT id, _change_type FROM iceberg_cdc('{root}', {cur}, "
+        f"{cur2}) ORDER BY id",
+    )
+    assert got2 == [(6, "delete")]
+
+
+def test_cdc_across_migration_commit_is_silent(spark, tmp_path):
+    """A v2→v3 migration inside a CDC range nets to ZERO: its vectors
+    reproduce positions the from-snapshot's parquet deletes already
+    killed, and re-deleting must be silent in the changelog."""
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        migrate_position_deletes_to_dvs,
+    )
+
+    root = str(tmp_path / "m")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": list(range(6)), "v": list("abcdef")})],
+        timestamp_ms=T1,
+    )
+    s_pre = delete_where(spark, root, "id = 2", timestamp_ms=T1 + 1000)[
+        "snapshot_id"
+    ]
+    migrate_position_deletes_to_dvs(spark, root, timestamp_ms=T1 + 2000)
+    cur = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark, f"SELECT * FROM iceberg_cdc('{root}', {s_pre}, {cur})"
+    )
+    assert got == []
+    # and a post-migration delete surfaces normally across the SAME span
+    delete_where(spark, root, "id = 4", timestamp_ms=T1 + 3000)
+    cur2 = im.resolve_snapshot(root)["snapshot-id"]
+    got2 = _rows(
+        spark,
+        f"SELECT id, _change_type FROM iceberg_cdc('{root}', {s_pre}, "
+        f"{cur2})",
+    )
+    assert got2 == [(4, "delete")]
+
+
+def test_cdc_added_then_dv_deleted_nets_out(spark, v3_table):
+    """A row appended in range and DV-deleted in the same range emits
+    NOTHING (net semantics) while its surviving batch-mates insert."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    root, _, _ = v3_table
+    import pyarrow.parquet as pq
+
+    start = im.resolve_snapshot(root)["snapshot-id"]
+    p = os.path.join(root, "data", "late.parquet")
+    pq.write_table(pa.table({"id": [100, 101], "v": ["x", "y"]}), p)
+    commit_row_delta_snapshot(
+        root, new_data_files=[(p, 2)], timestamp_ms=T1 + 2000
+    )
+    delete_where(spark, root, "id = 100", timestamp_ms=T1 + 3000)
+    cur = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT id, _change_type FROM iceberg_cdc('{root}', {start}, "
+        f"{cur}) ORDER BY id",
+    )
+    assert got == [(101, "insert")]
+
+
+def test_cdc_commits_over_dv_range_points_at_net_view(spark, v3_table):
     root, s1, _ = v3_table
     cur = im.resolve_snapshot(root)["snapshot-id"]
     with pytest.raises(CloudfloeError) as ei:
         run_query(
             spark,
-            f"SELECT * FROM iceberg_cdc('{root}', {s1}, {cur})",
+            f"SELECT * FROM iceberg_cdc_commits('{root}', {s1}, {cur})",
             _cfg(),
         )
-    assert "deletion vector" in str(ei.value)
+    assert "iceberg_cdc" in str(ei.value)
+
+
+def test_v3_base_matview_refreshes_incrementally(spark, tmp_path):
+    """A v3 table works as an incremental matview BASE: the refresh
+    consumes the DV-diff changelog and applies delta-sized work — path
+    'incremental-agg', result equal to a full recompute."""
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        migrate_position_deletes_to_dvs,
+    )
+
+    base = str(tmp_path / "b")
+    t = LocalIcebergTable(
+        base, pa.schema([("g", pa.string()), ("n", pa.int64())])
+    )
+    t.append_snapshot(
+        [
+            pa.table({"g": ["a", "a", "b"], "n": [1, 2, 3]}),
+            pa.table({"g": ["b", "c", "c"], "n": [4, 5, 6]}),
+        ],
+        timestamp_ms=T1,
+    )
+    migrate_position_deletes_to_dvs(spark, base, timestamp_ms=T1 + 500)
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT g, COUNT(*) AS c, SUM(n) AS s "
+        f"FROM iceberg_scan('{base}') GROUP BY g",
+        timestamp_ms=T1 + 600,
+    )
+    materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 1000)
+    res = delete_where(spark, base, "n = 2", timestamp_ms=T1 + 2000)
+    assert res["deletion_vectors"] == 1  # the base is v3
+    ref = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 3000
+    )
+    assert ref["path"] == "incremental-agg"
+    got = _rows(
+        spark, f"SELECT g, c, s FROM iceberg_scan('{troot}') ORDER BY g"
+    )
+    assert got == [("a", 1, 1), ("b", 2, 7), ("c", 2, 11)]
 
 
 def test_v3_features_beyond_dvs_reject_400(spark, v3_table):
