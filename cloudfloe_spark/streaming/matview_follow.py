@@ -34,7 +34,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Optional
+
 
 from cloudfloe_spark.sources.iceberg_views import IcebergViewError
 

@@ -7,7 +7,6 @@ features beyond DVs reject with a clear 400."""
 
 from __future__ import annotations
 
-import json
 import os
 
 import pyarrow as pa
