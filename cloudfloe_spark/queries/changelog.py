@@ -2178,3 +2178,115 @@ def iceberg_v3_migrate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
         f"FROM iceberg_scan('{root}') WHERE lang IS NOT NULL GROUP BY lang",
     )
+
+
+@register(
+    "iceberg_matview_left_join_incremental",
+    oracle=f"""
+        SELECT f.doc_id,
+               CASE WHEN {_UPDATE_COND.replace('n_chars', 'f.n_chars')}
+                    THEN f.n_chars + {_UPDATE_BUMP}
+                    ELSE f.n_chars END AS n_chars,
+               d.lang_code
+        FROM documents f
+        LEFT JOIN (
+            SELECT DISTINCT lang, upper(lang) AS lang_code
+            FROM documents WHERE lang IS NOT NULL AND lang < 'm'
+        ) d ON f.lang = d.lang
+        WHERE NOT ({_DELETE_COND.replace('n_chars', 'f.n_chars')})
+    """,
+    tags=("iceberg", "views", "matview", "cdc", "join", "outer"),
+)
+def iceberg_matview_left_join_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL refresh, LEFT JOIN shape (r10): the dim covers only a
+    SUBSET of langs (lang < 'm'), so the view carries genuine
+    null-extended rows — including every NULL-lang document. The fact
+    side takes the standard DELETE + UPDATE script and the refresh joins
+    the fact changelog LEFT to the unchanged dim (``path ==
+    "incremental-join"``); null-extension must survive the delta
+    transform exactly (a retracted null-extended row, an updated matched
+    row, and the filter crossing all ride the same keyed apply).
+
+    Scale shape: same as the inner join row — delta ⟕ dim with the
+    static side bounded by the delta's join-key range; the fact table is
+    never rescanned."""
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+        refresh_materialized_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mvljoin{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_matview_ljoin", key)
+    fact = os.path.join(parent, "fact")
+    dim = os.path.join(parent, "dim")
+    vroot = os.path.join(parent, "v")
+    troot = os.path.join(parent, "mv")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        tf = LocalIcebergTable(fact, tbl.schema)
+        tf.append_snapshot([tbl], timestamp_ms=_T0)
+        langs = (
+            tbl.filter(
+                pc.and_(
+                    pc.is_valid(tbl["lang"]), pc.less(tbl["lang"], "m")
+                )
+            )
+            .group_by("lang")
+            .aggregate([])
+            .sort_by("lang")
+        )
+        dim_tbl = pa.table(
+            {
+                "lang": langs["lang"],
+                "lang_code": pc.utf8_upper(langs["lang"]),
+            }
+        )
+        td = LocalIcebergTable(dim, dim_tbl.schema)
+        td.append_snapshot([dim_tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT f.doc_id, f.n_chars, d.lang_code "
+            f"FROM iceberg_scan('{fact}') f "
+            f"LEFT JOIN iceberg_scan('{dim}') d ON f.lang = d.lang",
+            timestamp_ms=_T0 + 1000,
+        )
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 2000,
+            key_cols=["doc_id"],
+        )
+        delete_where(spark, fact, _DELETE_COND, timestamp_ms=_T0 + 3000)
+        update_where(
+            spark,
+            fact,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 4000,
+        )
+        res = refresh_materialized_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 5000
+        )
+        assert res["path"] == "incremental-join", res
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, n_chars, lang_code FROM iceberg_scan('{troot}')",
+    )

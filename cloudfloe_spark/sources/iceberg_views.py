@@ -202,12 +202,13 @@ _INCR_BLOCK = _re.compile(
     r"|iceberg_view\s*\("
     r"|\(\s*select\b"
 )
-# the join shape allows ONE inner `JOIN ... ON`; everything else on the
-# block list stays blocked, and any outer/semi/cross modifier rejects
+# the join shape allows ONE inner or LEFT [OUTER] `JOIN ... ON` (r10);
+# everything else on the block list stays blocked, and any right/full/
+# semi/cross modifier rejects
 _INCR_BLOCK_JOIN = _re.compile(
     r"(?i)\b(union|intersect|except|distinct|having|limit|order|"
     r"lateral|pivot|unpivot|qualify|window|over|tablesample|values|with|"
-    r"left|right|full|outer|cross|semi|anti|natural|using|group)\b"
+    r"right|full|cross|semi|anti|natural|using|group)\b"
     r"|iceberg_view\s*\("
     r"|\(\s*select\b"
 )
@@ -377,17 +378,22 @@ def incremental_shape(sql: str) -> "dict | None":
 
 
 def _join_shape(sql: str) -> "dict | None":
-    """The two-base enrichment shape (r9): ``SELECT <exprs> FROM
-    iceberg_scan('A') a [INNER] JOIN iceberg_scan('B') b ON <cond>
-    [WHERE <cond>]`` — both scans ALIASED, one inner join, no GROUP BY.
-    Incrementally refreshable when exactly one base changed since the
-    recorded snapshots: delta(changed) ⋈ unchanged-side projects to the
-    view's delta. Returns ``{"kind": "join", "aliases": {alias: root},
-    "select", "on", "where"}`` or None."""
+    """The two-base enrichment shape (r9, LEFT joins r10): ``SELECT
+    <exprs> FROM iceberg_scan('A') a [INNER|LEFT [OUTER]] JOIN
+    iceberg_scan('B') b ON <cond> [WHERE <cond>]`` — both scans ALIASED,
+    one join, no GROUP BY. Incrementally refreshable when exactly one
+    base changed since the recorded snapshots (for LEFT joins, only when
+    the LEFT side moved — a dim-side change flips null-extensions, which
+    only a recompute can express): delta(changed) ⋈ unchanged-side
+    projects to the view's delta. Returns ``{"kind": "join",
+    "join_type": "inner"|"left", "aliases": {alias: root}, "select",
+    "on", "where"}`` or None."""
     tmask = _mask(sql, parens_too=True)
     m_sel = _re.match(r"(?i)\s*select\b", tmask)
     m_from = _re.search(r"(?i)\bfrom\b", tmask)
-    m_join = _re.search(r"(?i)\b(?:inner\s+)?join\b", tmask)
+    m_join = _re.search(
+        r"(?i)\b(?:(left)\s+(?:outer\s+)?|inner\s+)?join\b", tmask
+    )
     m_on = _re.search(r"(?i)\bon\b", tmask)
     if not (m_sel and m_from and m_join and m_on):
         return None
@@ -423,6 +429,7 @@ def _join_shape(sql: str) -> "dict | None":
         return None
     return {
         "kind": "join",
+        "join_type": "left" if m_join.group(1) else "inner",
         "aliases": {alias_l: root_l, alias_r: root_r},
         "select": sel,
         "on": on_cond,
@@ -822,12 +829,24 @@ def _incremental_refresh(
         if len(changed) == 0:
             return None  # staleness came from elsewhere
         if len(changed) == 2:
-            # both bases moved (r10, VERDICT r9 #3): algebraic delta
+            # both bases moved (r10, VERDICT r9 #3): algebraic delta —
+            # INNER joins only (the ℤ-weighted expansion does not hold
+            # for outer joins' null-extension terms)
+            if shape.get("join_type", "inner") != "inner":
+                return None
             return _join_both_moved_refresh(
                 spark, shape, view_root, target_root, rec, bases,
                 cur_ids, timestamp_ms=timestamp_ms, key_cols=key_cols,
             )
         base = changed[0]
+        if shape.get("join_type") == "left":
+            # LEFT joins refresh incrementally only when the LEFT (fact)
+            # side moved: a dim-side change flips existing fact rows
+            # between null-extended and matched, which no per-row delta
+            # transform can express — full refresh (r10)
+            left_alias = next(iter(shape["aliases"]))
+            if shape["aliases"][left_alias] != base:
+                return None
         from_id = bases[base]
         to_id = cur_ids[base]
     else:
@@ -882,11 +901,16 @@ def _incremental_refresh(
                 if static_where:
                     static_scan += f" WHERE {static_where}"
                 static_sql = resolve_iceberg_reads(sess, static_scan)
+                jt = (
+                    "LEFT JOIN"
+                    if shape.get("join_type") == "left"
+                    else "JOIN"
+                )
                 sql = (
                     f"SELECT {shape['select']}, "
                     f"{fact_alias}._change_type AS _change_type "
                     f"FROM {tmp} AS {fact_alias} "
-                    f"JOIN ({static_sql}) AS {static_alias} "
+                    f"{jt} ({static_sql}) AS {static_alias} "
                     f"ON {shape['on']}"
                 )
             elif shape["select"].strip() == "*":

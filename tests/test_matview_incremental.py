@@ -675,6 +675,19 @@ def test_incremental_shape_parser_rejects_unsafe_sql():
         "FROM iceberg_scan('/t')",
     ]:
         assert incremental_shape(bad) is None, bad
+    # r10: LEFT [OUTER] joins parse as the join shape; right/full reject
+    lj = incremental_shape(
+        "SELECT f.a, d.b FROM iceberg_scan('/f') f "
+        "LEFT JOIN iceberg_scan('/d') d ON f.k = d.k"
+    )
+    assert lj["kind"] == "join" and lj["join_type"] == "left"
+    for bad_join in (
+        "SELECT f.a FROM iceberg_scan('/f') f RIGHT JOIN "
+        "iceberg_scan('/d') d ON f.k = d.k",
+        "SELECT f.a FROM iceberg_scan('/f') f FULL OUTER JOIN "
+        "iceberg_scan('/d') d ON f.k = d.k",
+    ):
+        assert incremental_shape(bad_join) is None, bad_join
     for bad in [
         "SELECT a FROM iceberg_scan('/t') JOIN x ON a = b",
         "SELECT DISTINCT a FROM iceberg_scan('/t')",
@@ -803,3 +816,130 @@ def test_global_aggregate_row_misparse_is_caught_at_runtime(
     )
     assert res["path"] == "full"
     assert _rows(spark, f"SELECT n FROM iceberg_scan('{troot}')") == [(8,)]
+
+
+def test_left_join_view_fact_delta_refreshes_incrementally(
+    spark, tmp_path
+):
+    """r10: LEFT JOIN enrichment views refresh incrementally on a
+    FACT-side delta — null-extended rows (fact keys with no dim match)
+    included — and equal a full recompute."""
+    fact = str(tmp_path / "factL")
+    dim = str(tmp_path / "dimL")
+    tf = LocalIcebergTable(
+        fact,
+        pa.schema([("id", pa.int64()), ("k", pa.int64()), ("n", pa.int64())]),
+    )
+    # k=9 has NO dim row → null-extended in the view
+    tf.append_snapshot(
+        [
+            pa.table({"id": [1, 2, 3], "k": [0, 1, 9], "n": [10, 20, 30]}),
+            pa.table({"id": [4, 5, 6], "k": [0, 9, 1], "n": [40, 50, 60]}),
+        ],
+        timestamp_ms=T1,
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [0, 1], "name": ["red", "green"]})], timestamp_ms=T1
+    )
+    vroot = str(tmp_path / "v")
+    t_inc, t_full = str(tmp_path / "mv_inc"), str(tmp_path / "mv_full")
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id, f.n, d.name FROM iceberg_scan('{fact}') f "
+        f"LEFT JOIN iceberg_scan('{dim}') d ON f.k = d.k",
+        timestamp_ms=T1 + 1000,
+    )
+    materialize_iceberg_view(
+        spark, vroot, t_inc, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    materialize_iceberg_view(
+        spark, vroot, t_full, timestamp_ms=T1 + 2001, key_cols=["id"]
+    )
+    # delete a null-extended row, update a matched one, and insert a NEW
+    # null-extended one (k=7 unmatched)
+    delete_where(spark, fact, "id = 3", timestamp_ms=T1 + 3000)
+    update_where(spark, fact, "id = 2", {"n": "22"}, timestamp_ms=T1 + 4000)
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    merge_into(
+        spark, fact,
+        spark.createDataFrame([(7, 7, 70)], "id LONG, k LONG, n LONG"),
+        ["id"], timestamp_ms=T1 + 5000,
+    )
+    r1 = refresh_materialized_view(spark, vroot, t_inc,
+                                   timestamp_ms=T1 + 6000)
+    assert r1["path"] == "incremental-join"
+    r2 = refresh_materialized_view(spark, vroot, t_full,
+                                   timestamp_ms=T1 + 6001,
+                                   allow_incremental=False)
+    assert r2["path"] == "full"
+    q = "SELECT id, n, name FROM iceberg_scan('{}') ORDER BY id"
+    got = _rows(spark, q.format(t_inc))
+    assert got == _rows(spark, q.format(t_full))
+    assert got == [
+        (1, 10, "red"), (2, 22, "green"), (4, 40, "red"),
+        (5, 50, None), (6, 60, "green"), (7, 70, None),
+    ]
+    assert materialized_view_status(t_inc)["stale"] is False
+
+
+def test_left_join_dim_delta_falls_back_to_full(spark, tmp_path):
+    """A DIM-side change under a LEFT join flips rows between
+    null-extended and matched — only a full refresh is sound, and the
+    result reflects the flip."""
+    fact = str(tmp_path / "factL2")
+    dim = str(tmp_path / "dimL2")
+    tf = LocalIcebergTable(
+        fact, pa.schema([("id", pa.int64()), ("k", pa.int64())])
+    )
+    tf.append_snapshot(
+        [pa.table({"id": [1, 2], "k": [0, 9]})], timestamp_ms=T1
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [0], "name": ["red"]})], timestamp_ms=T1
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id, d.name FROM iceberg_scan('{fact}') f "
+        f"LEFT JOIN iceberg_scan('{dim}') d ON f.k = d.k",
+        timestamp_ms=T1 + 1000,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 2000, key_cols=["id"]
+    )
+    # the k=9 dim row APPEARS: id=2 must flip from null-extended to matched
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    merge_into(
+        spark, dim,
+        spark.createDataFrame([(9, "blue")], "k LONG, name STRING"),
+        ["k"], timestamp_ms=T1 + 3000,
+    )
+    res = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 4000
+    )
+    assert res["path"] == "full"
+    got = _rows(
+        spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert got == [(1, "red"), (2, "blue")]
+    # both-moved under LEFT also stays full
+    delete_where(spark, fact, "id = 1", timestamp_ms=T1 + 5000)
+    update_where(
+        spark, dim, "k = 9", {"name": "'BLUE'"}, timestamp_ms=T1 + 6000
+    )
+    res2 = refresh_materialized_view(
+        spark, vroot, troot, timestamp_ms=T1 + 7000
+    )
+    assert res2["path"] == "full"
+    got2 = _rows(
+        spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
+    )
+    assert got2 == [(2, "BLUE")]
