@@ -2505,6 +2505,7 @@ def maintain_iceberg_table(
     small_file_bytes: int = 32 * 1024 * 1024,
     min_small_files: int = 4,
     max_delete_files: int = 4,
+    max_dv_files: int = 4,
     max_manifests: int = 8,
     expire_keep_last: "int | None" = None,
     expire_older_than_ms: "int | None" = None,
@@ -2520,7 +2521,9 @@ def maintain_iceberg_table(
     2. consolidate fragmented/dangling position-delete files (count >
        ``max_delete_files`` → :func:`rewrite_position_deletes` — run
        AFTER bin-pack, which strands delete entries naming rewritten
-       files);
+       files) — or, on a v3 table, consolidate the DELETION-VECTOR
+       Puffin containers (distinct files > ``max_dv_files`` →
+       :func:`rewrite_deletion_vectors`, r10);
     3. consolidate delta manifests (count > ``max_manifests`` →
        :func:`rewrite_manifests`, driver-side metadata only);
     4. expire snapshots when a retention policy is given.
@@ -2584,6 +2587,30 @@ def maintain_iceberg_table(
         step = {"ran": False,
                 "reason": f"{n_del} position-delete files (<= {max_delete_files})"}
     report["rewrite_position_deletes"] = step
+
+    # v3: the DV analog — each MOR commit writes one Puffin container;
+    # consolidate when they fragment (r10)
+    n_dv_files = len(
+        {
+            r["path"]
+            for r in im.deletion_vector_records(
+                root, im.resolve_snapshot(root)
+            )
+        }
+    )
+    if n_dv_files > max_dv_files:
+        step = {"ran": not dry_run,
+                "reason": f"{n_dv_files} DV Puffin files (> {max_dv_files})"}
+        if not dry_run:
+            step.update(
+                rewrite_deletion_vectors(
+                    root, timestamp_ms=timestamp_ms + 1
+                )
+            )
+    else:
+        step = {"ran": False,
+                "reason": f"{n_dv_files} DV Puffin files (<= {max_dv_files})"}
+    report["rewrite_deletion_vectors"] = step
 
     _, _, n_man = _counts() if not dry_run else (small, n_del, n_man)
     if n_man > max_manifests:
@@ -2824,6 +2851,173 @@ def migrate_position_deletes_to_dvs(
         "deletion_vectors": len(dvs),
         "snapshot_id": snap_id,
         "format_version": 3,
+    }
+
+
+@_reruns_on_conflict("rewrite_deletion_vectors")
+def rewrite_deletion_vectors(
+    root: str, *, timestamp_ms: int, min_files: int = 2
+) -> dict:
+    """Consolidate a v3 table's DELETION-VECTOR storage (r10): every DV
+    commit writes ONE Puffin container, so a long MOR DML chain scatters
+    the live vectors across many small files — this op copies each live
+    blob VERBATIM into a single new Puffin and re-points the manifest
+    entries (positions unchanged, logical live sets identical; the v3
+    counterpart of ``rewrite_position_deletes``). Pure driver-side
+    blob-copy IO sized by the delete set; no Spark job, no decode.
+
+    Fewer than ``min_files`` distinct Puffin files commits nothing."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources import puffin
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        CommitConflictError,
+        _DATA_FILE_KEYS,
+        _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_SCHEMA,
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.sources.avrolite import write_avro
+
+    meta_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    dvs = im.deletion_vector_records(root, snap)
+    n_files = len({r["path"] for r in dvs})
+    if n_files < min_files:
+        return {"puffin_files_before": n_files, "puffin_files_after": n_files,
+                "deletion_vectors": len(dvs), "snapshot_id": None}
+
+    import json
+
+    # one new container holding every live blob, copied verbatim
+    out = bytearray(puffin.MAGIC)
+    blobs_meta = []
+    coords = {}
+    meta = im.load_metadata(root, meta_path)
+    snaps = meta.get("snapshots", [])
+    seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
+    snap_id = (_uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
+    for r in dvs:
+        with open(r["path"], "rb") as fh:
+            fh.seek(r["offset"])
+            blob = fh.read(r["length"])
+        offset = len(out)
+        out += blob
+        blobs_meta.append(
+            {
+                "type": puffin.BLOB_TYPE,
+                "fields": [],
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "offset": offset,
+                "length": len(blob),
+                "properties": {
+                    "referenced-data-file": r["referenced_data_file"]
+                },
+            }
+        )
+        coords[r["referenced_data_file"]] = (offset, len(blob))
+    payload = json.dumps(
+        {"blobs": blobs_meta, "properties": {}}, sort_keys=True
+    ).encode()
+    out += puffin.MAGIC + payload
+    import struct as _struct
+
+    out += _struct.pack("<I", len(payload)) + _struct.pack("<I", 0)
+    out += puffin.MAGIC
+    pf = os.path.join(
+        root, "data", f"dv-rw-{timestamp_ms}-{_uuid.uuid4().hex[:8]}.puffin"
+    )
+    with open(pf, "w+b") as fh:
+        fh.write(bytes(out))
+
+    def entry(status, sequence, data_file):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": sequence,
+            "data_file": {k: data_file.get(k) for k in _DATA_FILE_KEYS},
+        }
+
+    carried = [
+        e for e in im.manifest_entries(root, snap) if e["status"] != 2
+    ]
+    carry, dropped, new_entries = [], [], []
+    for e in carried:
+        df_ = e["data_file"]
+        if (
+            df_.get("content", 0) == 1
+            and df_.get("referenced_data_file") in coords
+        ):
+            # the old DV entry, superseded by its copy in the new
+            # container — the VECTOR keeps its ORIGINAL sequence number
+            # (its deletes' ordering vs data files must not shift)
+            off, ln = coords[df_["referenced_data_file"]]
+            new_entries.append(
+                entry(
+                    1,
+                    e["sequence_number"],
+                    {
+                        **{k: df_.get(k) for k in _DATA_FILE_KEYS},
+                        "file_path": f"file://{pf}",
+                        "file_size_in_bytes": os.path.getsize(pf),
+                        "content_offset": off,
+                        "content_size_in_bytes": ln,
+                    },
+                )
+            )
+            dropped.append(entry(2, e["sequence_number"], df_))
+            continue
+        carry.append(entry(0, e["sequence_number"], df_))
+    meta_dir = os.path.join(root, "metadata")
+    mpath = os.path.join(
+        meta_dir, f"manifest-dvrw-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_avro(mpath, _MANIFEST_SCHEMA, carry + dropped + new_entries)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    # CAS: abort (and re-run via the decorator) if the table moved on
+    latest_now = im.latest_metadata_path(root)
+    if os.path.realpath(latest_now) != os.path.realpath(meta_path):
+        raise _ScanInvalidated("rewrite_deletion_vectors")
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": snap.get("snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": f"file://{mlist}",
+            "summary": {
+                "operation": "replace",
+                "rewritten-dv-files": str(n_files),
+            },
+        }
+    )
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = snap_id
+    from cloudfloe_spark.sources.iceberg_fixture import _sync_main_ref
+
+    _sync_main_ref(meta, snap_id)
+    meta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    meta["last-updated-ms"] = timestamp_ms
+    write_next_metadata_version(root, meta)
+    return {
+        "puffin_files_before": n_files,
+        "puffin_files_after": 1,
+        "deletion_vectors": len(new_entries),
+        "snapshot_id": snap_id,
     }
 
 

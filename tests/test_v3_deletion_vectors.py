@@ -689,3 +689,73 @@ def test_scan_plan_reports_deletion_vectors(spark, v3_table):
     assert stages["deletion_vectors_total"] == 2
     # the predicate prunes to one data file → only its vector is decoded
     assert stages["deletion_vectors_applied"] == 1
+
+
+def test_rewrite_deletion_vectors_consolidates_puffins(spark, tmp_path):
+    """Each MOR commit writes one Puffin container — after a DML chain
+    the live vectors scatter across many files. rewrite_deletion_vectors
+    copies every live blob verbatim into ONE container (vectors keep
+    their original sequence numbers), reads are unchanged, CDC ranges
+    crossing it stay silent, and the table service triggers it."""
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        maintain_iceberg_table,
+        migrate_position_deletes_to_dvs,
+        rewrite_deletion_vectors,
+    )
+
+    root = str(tmp_path / "frag")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    # FIVE data files: commits deleting from different files write
+    # different per-file vectors (same-file deletes would supersede
+    # into one), so the Puffin containers genuinely fragment
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(4 * j, 4 * j + 4)),
+                    "v": [str(i) for i in range(4 * j, 4 * j + 4)],
+                }
+            )
+            for j in range(5)
+        ],
+        timestamp_ms=T1,
+    )
+    migrate_position_deletes_to_dvs(spark, root, timestamp_ms=T1 + 500)
+    for i, ts in enumerate(range(1000, 6000, 1000)):
+        delete_where(spark, root, f"id = {4 * i}", timestamp_ms=T1 + ts)
+    snap = im.resolve_snapshot(root)
+    before_files = {r["path"] for r in im.deletion_vector_records(root, snap)}
+    assert len(before_files) >= 2  # fragmented (supersedes merge per file)
+    pre = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    s_pre = snap["snapshot-id"]
+
+    res = rewrite_deletion_vectors(root, timestamp_ms=T1 + 9000)
+    assert res["puffin_files_after"] == 1 and res["snapshot_id"]
+    snap2 = im.resolve_snapshot(root)
+    after = {r["path"] for r in im.deletion_vector_records(root, snap2)}
+    assert len(after) == 1
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == pre == [(i,) for i in range(20) if i % 4 != 0]
+    # CDC across the consolidation (a 'replace' commit) is silent
+    cur = snap2["snapshot-id"]
+    assert _rows(
+        spark, f"SELECT * FROM iceberg_cdc('{root}', {s_pre}, {cur})"
+    ) == []
+    # idempotent: one file → below min_files → no-op
+    res2 = rewrite_deletion_vectors(root, timestamp_ms=T1 + 9500)
+    assert res2["snapshot_id"] is None
+
+    # the table service triggers it when fragmentation returns
+    for i, ts in enumerate(range(10000, 15000, 1000)):
+        delete_where(spark, root, f"id = {4 * i + 1}", timestamp_ms=T1 + ts)
+    report = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 20000,
+        min_small_files=999, max_dv_files=2,
+    )
+    assert report["rewrite_deletion_vectors"]["ran"] is True
+    assert report["rewrite_deletion_vectors"]["puffin_files_after"] == 1
+    got2 = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got2] == [i for i in range(20) if i % 4 not in (0, 1)]
