@@ -699,6 +699,13 @@ def remove_orphan_files(
             referenced.add(
                 os.path.realpath(im._relocate(e["manifest_path"], root_n))
             )
+            if e["status"] == 2:
+                # DELETED entry: this snapshot cannot read the file — any
+                # retained snapshot that CAN (the parent chain, where it
+                # was live) adds it on its own walk. Without this skip, a
+                # replace commit's drop records (e.g. DV consolidation's
+                # superseded Puffins) pin their files forever.
+                continue
             referenced.add(
                 os.path.realpath(
                     im._relocate(e["data_file"]["file_path"], root_n)
@@ -706,9 +713,20 @@ def remove_orphan_files(
             )
 
     cutoff = _time.time() - older_than_ms / 1000.0
-    candidates = globmod.glob(
-        os.path.join(root_n, "data", "**", "*.parquet"), recursive=True
-    ) + globmod.glob(os.path.join(root_n, "metadata", "*.avro"))
+    candidates = (
+        globmod.glob(
+            os.path.join(root_n, "data", "**", "*.parquet"), recursive=True
+        )
+        # Puffin deletion-vector containers (v3): DV commits write
+        # data/dv-*.puffin and consolidation writes data/dv-rw-*.puffin —
+        # superseded containers (post-expiry) and abandoned commit-retry
+        # attempts are orphans exactly like parquet; live containers are
+        # already in `referenced` via their content=1 manifest entries.
+        + globmod.glob(
+            os.path.join(root_n, "data", "**", "*.puffin"), recursive=True
+        )
+        + globmod.glob(os.path.join(root_n, "metadata", "*.avro"))
+    )
     removed = []
     for p in candidates:
         if os.path.realpath(p) in referenced:
@@ -730,7 +748,7 @@ def remove_orphan_files(
     for dirpath, _dirs, files in os.walk(data_root, topdown=False):
         if dirpath == data_root:
             continue
-        if any(f.endswith(".parquet") for f in files):
+        if any(f.endswith((".parquet", ".puffin")) for f in files):
             continue
         for f in files:
             if f == "_SUCCESS" or f.endswith(".crc"):
