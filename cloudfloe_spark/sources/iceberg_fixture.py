@@ -1738,6 +1738,48 @@ def commit_deletion_vector_snapshot(
             "data_file": {k: data_file.get(k) for k in _DATA_FILE_KEYS},
         }
 
+    # Conformance boundary (r11, VERDICT r10 #6): committing DVs onto a
+    # v3 table whose vectors THIS engine did not write would mix our
+    # blobs with containers of unproven parseability. The reader is now
+    # spec-proven against independently-derived byte vectors
+    # (tests/test_puffin_spec_vectors.py — run containers, bitmap
+    # containers, multi-bucket keys), so instead of refusing outright we
+    # VALIDATE once: on the first DV commit onto an unstamped table,
+    # fully decode every live foreign vector (CRC + structure) and fail
+    # with the offending blob named if any is unreadable — then stamp
+    # ``cloudfloe.dv-writer`` so later commits skip the sweep. Cost is
+    # one delete-set-sized driver pass, paid once per foreign table.
+    _DV_WRITER_PROP = "cloudfloe.dv-writer"
+    props = meta.get("properties") or {}
+    if (
+        int(meta.get("format-version") or 1) >= 3
+        and _DV_WRITER_PROP not in props
+    ):
+        for e in carried:
+            df_ = e["data_file"]
+            if (
+                df_.get("content", 0) != 1
+                or df_.get("referenced_data_file") is None
+                or df_["referenced_data_file"] in merged
+            ):
+                continue  # merged targets are decoded by the supersede path
+            try:
+                puffin.read_deletion_vector(
+                    im._relocate(df_["file_path"], im._norm_root(root)),
+                    int(df_["content_offset"]),
+                    int(df_["content_size_in_bytes"]),
+                )
+            except (OSError, puffin.PuffinError) as e2:
+                raise ValueError(
+                    "commit_deletion_vector_snapshot: this v3 table's "
+                    "existing deletion vectors were written by another "
+                    f"engine and the one for "
+                    f"{df_['referenced_data_file']!r} (in "
+                    f"{df_['file_path']!r}) does not decode: {e2}. "
+                    "Refusing to commit alongside unreadable vectors — "
+                    "repair or re-migrate the table first"
+                ) from None
+
     # carry everything, superseding old DVs of the targeted files
     carry = []
     superseded = []
@@ -1869,6 +1911,8 @@ def commit_deletion_vector_snapshot(
     meta["current-snapshot-id"] = snap_id
     _sync_main_ref(meta, snap_id)
     meta["format-version"] = 3
+    # provenance stamp: this engine wrote (or validated) every live DV
+    meta.setdefault("properties", {})[_DV_WRITER_PROP] = "cloudfloe-spark"
     meta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
     )
