@@ -340,7 +340,7 @@ def _snapshot_view(
         from pyspark.sql import functions as F
 
         parts = []
-        for gpaths, renames, read_ddl in groups:
+        for gpaths, renames, read_ddl, default_fills in groups:
             # Sub-group by identity-partition tuple so each sub-group can
             # be stamped with its values as typed literals (None tuple =
             # files without partition metadata, read unstamped).
@@ -365,6 +365,15 @@ def _snapshot_view(
                     # written read as NULL; dropped columns are ignored.
                     reader = reader.schema(read_ddl)
                 gdf = reader.parquet(*spaths)
+                # v3 initial-default (r11): columns this group's files
+                # predate read as NULL under the explicit DDL — overwrite
+                # with the default literal BEFORE deletes, so equality
+                # deletes on a defaulted column compare against the value
+                # the rows logically carry. Absent columns expose under
+                # their CURRENT name (the rename map only covers footer
+                # columns), so the fill survives the rename untouched.
+                for _fc, (_fv, _ft) in (default_fills or {}).items():
+                    gdf = gdf.withColumn(_fc, F.lit(_fv).cast(_ft))
                 # Deletes apply BEFORE the rename: both use _metadata
                 # pseudo-columns of the fresh scan, and equality-delete
                 # value columns translate into each group's on-disk names.
@@ -1124,11 +1133,13 @@ def _cdc_frame(
     parts = []
     if added:
         ins_parts = []
-        for gpaths, renames, read_ddl in added_groups:
+        for gpaths, renames, read_ddl, default_fills in added_groups:
             reader = sess.read
             if read_ddl is not None:
                 reader = reader.schema(read_ddl)
             g = reader.parquet(*gpaths)
+            for _fc, (_fv, _ft) in (default_fills or {}).items():
+                g = g.withColumn(_fc, F.lit(_fv).cast(_ft))
             # deletes apply BEFORE the rename (both resolve delete-file
             # columns against on-disk names), exactly as the read path
             if pos_new:
@@ -1163,11 +1174,14 @@ def _cdc_frame(
 
     if carried_groups:
         base_parts = []
-        for gpaths, renames, read_ddl in carried_groups:
+        for gpaths, renames, read_ddl, default_fills in carried_groups:
             reader = sess.read
             if read_ddl is not None:
                 reader = reader.schema(read_ddl)
-            g = reader.parquet(*gpaths).select(
+            g = reader.parquet(*gpaths)
+            for _fc, (_fv, _ft) in (default_fills or {}).items():
+                g = g.withColumn(_fc, F.lit(_fv).cast(_ft))
+            g = g.select(
                 suffix(F.col("_metadata.file_path")).alias("__cdc_file"),
                 F.col("_metadata.row_index").alias("__cdc_pos"),
                 "*",

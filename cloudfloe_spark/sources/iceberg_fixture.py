@@ -152,6 +152,29 @@ _ARROW_TO_ICEBERG = {
 }
 
 
+def _default_single_value_json(v):
+    """Iceberg JSON single-value serialization for the primitive default
+    values this engine honors (v3 ``initial-default``/``write-default``):
+    bool/int/float/str pass through; date/timestamp/decimal serialize to
+    their spec string forms. Anything else raises — defaults the engine
+    cannot honor must be rejected at declaration, not mis-written."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    raise ValueError(
+        f"unsupported column default {v!r}: only primitive defaults "
+        "(bool/int/float/str/date/timestamp/decimal) are honored"
+    )
+
+
 def _stat_str(v) -> str:
     """Stringify a bound value so the reader's domain parsers
     (partition_pruning._parse_date/_parse_ts, int()/float()) round-trip it
@@ -282,6 +305,10 @@ class LocalIcebergTable:
         # middle column cannot shift later columns onto its id.
         self._field_ids: list[int] = list(range(1, len(arrow_schema) + 1))
         self._last_field_id = len(arrow_schema)
+        # v3 column defaults (r11): field id → python default value;
+        # serialized as initial-default/write-default in the schema JSON.
+        # Any entry forces format-version 3 on the next metadata write.
+        self._defaults: dict[int, object] = {}
         # schema log: rename_column appends entries; current id = last
         self._schema_log: list[dict] = []
         self._extra_meta_versions = 0
@@ -348,6 +375,21 @@ class LocalIcebergTable:
         snapshot id."""
         for path in remove or []:
             self._live.pop(path, None)
+        # v3 write-default: an appended table that OMITS a defaulted
+        # column gets it filled at write time (the spec's write-side
+        # semantic — new files must materialize write-default, never
+        # fall back to initial-default on read)
+        if self._defaults:
+            filled = []
+            for t in tables:
+                for i, f in enumerate(self.schema):
+                    dv = self._defaults.get(self._field_ids[i])
+                    if dv is not None and f.name not in t.column_names:
+                        t = t.append_column(
+                            f, pa.array([dv] * t.num_rows, type=f.type)
+                        )
+                filled.append(t.select(self.schema.names))
+            tables = filled
         parts: list[tuple[pa.Table, Optional[dict]]] = []
         for t in tables:
             if not self._pfields:
@@ -543,11 +585,17 @@ class LocalIcebergTable:
         if self._snapshots:
             self._write_metadata_json(timestamp_ms)
 
-    def add_column(self, name: str, pa_type, *, timestamp_ms: int) -> None:
+    def add_column(
+        self, name: str, pa_type, *, timestamp_ms: int, default=None
+    ) -> None:
         """Metadata-only ADD COLUMN (appended, so existing positional
         field ids stay stable): new schema in the log, current-schema-id
         bumped, new metadata version, no snapshot. Files written before
-        lack the column and must read as NULL."""
+        lack the column and must read as NULL — unless ``default`` is
+        given (Iceberg v3 add-column-with-default): the field then
+        carries ``initial-default`` (readers fill it for pre-existing
+        files) and ``write-default`` (appends that omit the column get
+        it filled), and the table's format-version advances to 3."""
         if name in self.schema.names:
             raise ValueError(f"column {name!r} already exists")
         import pyarrow as pa
@@ -557,6 +605,9 @@ class LocalIcebergTable:
         self.schema = self.schema.append(pa.field(name, pa_type))
         self._last_field_id += 1
         self._field_ids.append(self._last_field_id)
+        if default is not None:
+            _default_single_value_json(default)  # validate: primitive only
+            self._defaults[self._last_field_id] = default
         self._schema_log.append(
             self._iceberg_schema(len(self._schema_log))
         )
@@ -725,6 +776,8 @@ class LocalIcebergTable:
             t = "timestamptz" if f.type.tz else "timestamp"
         if t is None and pa.types.is_date(f.type):
             t = "date"
+        if t is None and pa.types.is_decimal(f.type):
+            t = f"decimal({f.type.precision}, {f.type.scale})"
         if t is None:
             raise ValueError(f"unmapped arrow type {f.type}")
         return t
@@ -738,16 +791,22 @@ class LocalIcebergTable:
                     t = "timestamptz" if f.type.tz else "timestamp"
                 elif pa.types.is_date(f.type):
                     t = "date"
+                elif pa.types.is_decimal(f.type):
+                    t = f"decimal({f.type.precision}, {f.type.scale})"
                 else:
                     raise ValueError(f"unmapped arrow type {f.type}")
-            fields.append(
-                {
-                    "id": self._field_ids[i],
-                    "name": f.name,
-                    "required": False,
-                    "type": t,
-                }
-            )
+            fld = {
+                "id": self._field_ids[i],
+                "name": f.name,
+                "required": False,
+                "type": t,
+            }
+            dv = self._defaults.get(self._field_ids[i])
+            if dv is not None:
+                j = _default_single_value_json(dv)
+                fld["initial-default"] = j
+                fld["write-default"] = j
+            fields.append(fld)
         return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
     def _write_metadata_json(self, timestamp_ms: int) -> None:
@@ -778,7 +837,8 @@ class LocalIcebergTable:
                 )
             spec_entries.append({"spec-id": sid, "fields": fields})
         meta = {
-            "format-version": 2,
+            # column defaults are a v3-only schema feature
+            "format-version": 3 if self._defaults else 2,
             "table-uuid": "00000000-0000-0000-0000-000000000000",
             "location": self._uri(self.root),
             "last-updated-ms": timestamp_ms,

@@ -841,11 +841,16 @@ def _mor_raw_scan(
 
     groups = im.scan_groups(root, paths, metadata_path)
     parts = []
-    for gpaths, renames, read_ddl in groups:
+    for gpaths, renames, read_ddl, default_fills in groups:
         reader = spark.read
         if read_ddl is not None:
             reader = reader.schema(read_ddl)
         gdf = reader.parquet(*gpaths)
+        # v3 initial-default: a DML pass must see (and REWRITE) the value
+        # the rows logically carry, not NULL — otherwise an update/merge
+        # would materialize NULL into the new data files
+        for _fc, (_fv, _ft) in (default_fills or {}).items():
+            gdf = gdf.withColumn(_fc, F.lit(_fv).cast(_ft))
         if pos:
             gdf = _apply_position_deletes(spark, gdf, pos)
         if dvs:

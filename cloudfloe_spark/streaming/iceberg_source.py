@@ -156,6 +156,7 @@ class CommitSlice(InputPartition):
         column_ddls: tuple,
         snapshot_id: int,
         emit_cdc: bool,
+        default_fills: tuple = (),
     ):
         self.kind = kind
         self.data_file = data_file
@@ -167,6 +168,10 @@ class CommitSlice(InputPartition):
         self.column_ddls = column_ddls
         self.snapshot_id = snapshot_id
         self.emit_cdc = emit_cdc
+        # v3 initial-default (r11): ((current_name, json_value), ...) for
+        # columns this data file predates — read() materializes the
+        # default instead of nulls, matching the batch scan
+        self.default_fills = default_fills
 
 
 def _local(p: str) -> str:
@@ -437,11 +442,14 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
             removed, pos_new = [], ()
 
         rename_of: dict[str, tuple] = {}
-        for paths, rmap, _ in im.scan_groups(
+        fill_of: dict[str, tuple] = {}
+        for paths, rmap, _ddl, fills in im.scan_groups(
             self.root, sorted(set(added) | set(removed)), mp
         ):
+            fill_t = tuple(sorted((n, v) for n, (v, _t) in fills.items()))
             for p in paths:
                 rename_of[p] = tuple(sorted(rmap.items()))
+                fill_of[p] = fill_t
 
         out = []
         for p in added:
@@ -457,6 +465,7 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
                     self._ddls,
                     sid,
                     self.mode == "cdc",
+                    default_fills=fill_of.get(p, ()),
                 )
             )
         if self.mode == "cdc" and pos_new:
@@ -465,6 +474,11 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
             targets = im.position_delete_targets(list(pos_new))
             for p in sorted(prev_live):
                 if _suffix(p) in targets and p in cur_live:
+                    rn, fl = (
+                        (rename_of[p], fill_of.get(p, ()))
+                        if p in rename_of
+                        else self._group_for(p, mp)
+                    )
                     out.append(
                         CommitSlice(
                             "delete",
@@ -472,12 +486,12 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
                             pos_new,
                             pos_old,  # already-deleted rows: net no-op
                             False,
-                            rename_of.get(p)
-                            or self._rename_for(p, mp),
+                            rn,
                             self._cols,
                             self._ddls,
                             sid,
                             True,
+                            default_fills=fl,
                         )
                     )
         if self.mode == "cdc" and removed:
@@ -494,15 +508,21 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
                         self._ddls,
                         sid,
                         True,
+                        default_fills=fill_of.get(p, ()),
                     )
                 )
         return out
 
-    def _rename_for(self, path: str, mp) -> tuple:
-        for paths, rmap, _ in _im().scan_groups(self.root, [path], mp):
+    def _group_for(self, path: str, mp) -> "tuple[tuple, tuple]":
+        for paths, rmap, _ddl, fills in _im().scan_groups(
+            self.root, [path], mp
+        ):
             if path in paths:
-                return tuple(sorted(rmap.items()))
-        return ()
+                return (
+                    tuple(sorted(rmap.items())),
+                    tuple(sorted((n, v) for n, (v, _t) in fills.items())),
+                )
+        return ((), ())
 
     # -- executor-side read -------------------------------------------------
 
@@ -526,6 +546,7 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
 
         rename = dict(partition.rename_map)  # on-disk name -> current
         t = t.rename_columns([rename.get(n, n) for n in t.column_names])
+        fills = dict(partition.default_fills)  # v3 initial-default values
         arrays, names = [], []
         for name, ddl in zip(partition.columns, partition.column_ddls):
             target = _ddl_to_arrow(ddl)
@@ -533,6 +554,14 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
                 col = t.column(name)
                 if col.type != target:
                     col = pc.cast(col, target)
+            elif name in fills:
+                # column added WITH a default after this file was
+                # written: rows logically carry the default (the JSON
+                # single-value form casts — date/timestamp/decimal
+                # defaults arrive as their ISO/decimal strings)
+                col = pc.cast(
+                    pa.array([fills[name]] * t.num_rows), target
+                )
             else:  # column added after this file was written
                 col = pa.nulls(t.num_rows, type=target)
             arrays.append(col)

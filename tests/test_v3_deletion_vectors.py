@@ -420,9 +420,10 @@ def test_v3_base_matview_refreshes_incrementally(spark, tmp_path):
 
 
 def test_v3_features_beyond_dvs_reject_400(spark, v3_table):
-    """A v3 schema default value (a feature the reader cannot honor —
-    rows written before the ADD COLUMN must READ as the default) rejects
-    with a clear 400, never a silent wrong read."""
+    """Primitive schema defaults are HONORED as of r11 (rows written
+    before the ADD COLUMN read as the default — test_v3_default_values);
+    a default the reader cannot materialize (non-primitive type) still
+    rejects with a clear 400, never a silent wrong read."""
     from cloudfloe_spark.sources.iceberg_fixture import (
         write_next_metadata_version,
     )
@@ -434,9 +435,9 @@ def test_v3_features_beyond_dvs_reject_400(spark, v3_table):
         {
             "id": 99,
             "name": "flag",
-            "type": "int",
+            "type": "binary",
             "required": False,
-            "initial-default": 7,
+            "initial-default": "0xDEAD",
         }
     )
     meta["schemas"] = schemas
