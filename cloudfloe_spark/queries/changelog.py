@@ -2375,3 +2375,104 @@ def iceberg_v3_defaults_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sum(n_chars) AS sum_chars FROM iceberg_scan('{root}') "
         f"WHERE lang IS NOT NULL GROUP BY lang, quality_tier",
     )
+
+
+@register(
+    "iceberg_matview_stream_follow_agg",
+    oracle=f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_UPDATE_COND}
+                             THEN n_chars + {_UPDATE_BUMP}
+                             ELSE n_chars END) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE NOT ({_DELETE_COND}) AND lang IS NOT NULL
+        GROUP BY lang
+    """,
+    tags=("iceberg", "views", "matview", "streaming", "cdc", "agg"),
+)
+def iceberg_matview_stream_follow_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS maintenance of an AGGREGATE matview, driver-checked
+    (r11, VERDICT r10 #3): the follower tails the base's commit log and,
+    per epoch, runs the SAME touched-group incremental recompute the
+    batch refresh uses — pinned to the epoch's commit range and
+    exactly-once by a range-keyed changelog id. The standard DELETE +
+    UPDATE script lands as streamed epochs; the final target must equal
+    the aggregate over the post-DML base. The builder drains the SAME
+    checkpoint twice (the second drain applies nothing — crash/restart
+    pinned inside the driver-checked path) and asserts every epoch took
+    the incremental-agg path, never a full recompute.
+
+    Scale shape: per epoch the recompute scans the base only where
+    manifest stats admit the touched group keys' [min,max], the target
+    retraction/insert is |touched groups|-sized, and the freshness stamp
+    is one O(1) metadata version."""
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.iceberg_views import (
+        create_iceberg_view,
+        materialize_iceberg_view,
+    )
+    from cloudfloe_spark.sources.maintenance import delete_where, update_where
+    from cloudfloe_spark.streaming.matview_follow import (
+        follow_materialized_view,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"mvfollowagg{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_mvfollowagg", key)
+    base = os.path.join(parent, "base")
+    vroot = os.path.join(parent, "view")
+    troot = os.path.join(parent, "target")
+    ck = os.path.join(parent, "ck")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(base, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        create_iceberg_view(
+            vroot,
+            f"SELECT lang, count(*) AS n_docs, "
+            f"sum(n_chars) AS sum_chars "
+            f"FROM iceberg_scan('{base}') WHERE lang IS NOT NULL "
+            f"GROUP BY lang",
+            timestamp_ms=_T0 + 1000,
+        )
+        materialize_iceberg_view(
+            spark, vroot, troot, timestamp_ms=_T0 + 2000
+        )
+        delete_where(spark, base, _DELETE_COND, timestamp_ms=_T0 + 3000)
+        update_where(
+            spark,
+            base,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 4000,
+        )
+        stats = follow_materialized_view(
+            spark, vroot, troot, checkpoint_dir=ck,
+            timestamp_ms=_T0 + 5000,
+        )
+        assert stats["batches"] >= 1, stats
+        assert all(p == "incremental-agg" for p in stats["paths"]), stats
+        # second drain from the SAME checkpoint: nothing new to apply
+        stats2 = follow_materialized_view(
+            spark, vroot, troot, checkpoint_dir=ck,
+            timestamp_ms=_T0 + 6000,
+        )
+        assert stats2["batches"] == 0, stats2
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT lang, n_docs, sum_chars FROM iceberg_scan('{troot}')",
+    )

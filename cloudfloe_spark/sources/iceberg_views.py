@@ -464,9 +464,11 @@ def _stamp_mv_property(
     }
     if key_cols:
         rec["key-cols"] = list(key_cols)
-    meta.setdefault("properties", {})["cloudfloe.mv"] = json.dumps(
-        rec, sort_keys=True
-    )
+    props = meta.setdefault("properties", {})
+    props["cloudfloe.mv"] = json.dumps(rec, sort_keys=True)
+    # a successful stamp supersedes any pending follower epoch intent
+    # (streaming/matview_follow.py's two-phase apply)
+    props.pop("cloudfloe.mv-intent", None)
     meta["last-updated-ms"] = timestamp_ms
     write_next_metadata_version(target_root, meta)
 
@@ -776,6 +778,8 @@ def _keyed_apply_safe(sess, target_root: str, changes, keys: list) -> bool:
 def _incremental_refresh(
     spark, view_root: str, target_root: str, rec: dict,
     *, timestamp_ms: int, key_cols: "list[str] | None",
+    pinned_to: "dict[str, str] | None" = None,
+    changelog_id: "str | None" = None,
 ) -> "dict | None":
     """Attempt a CHANGELOG-based refresh (r9, VERDICT r08 #1): for a
     single-base view whose SQL is a projection/filter (row shape) or a
@@ -794,7 +798,16 @@ def _incremental_refresh(
     ONLY where manifest stats admit the touched group keys' [min, max]
     (a broadcast semi-join then exacts the groups), and the target
     retraction/insert is |touched groups|-sized. Neither path ever
-    rewrites the target table."""
+    rewrites the target table.
+
+    ``pinned_to`` (r11, the streaming follower): per-base target
+    snapshot ids to refresh TO instead of "current" — an epoch's apply
+    must cover a deterministic range so a crash-replay hits the
+    changelog-id dedup with the SAME range, never a shifted one.
+    ``changelog_id`` overrides the range-derived apply id for the same
+    reason. Reads of a pinned base use ``VERSION AS OF`` so the result
+    equals the view AT the pinned snapshot, not at whatever has landed
+    since."""
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.service.errors import CloudfloeError
@@ -821,6 +834,9 @@ def _incremental_refresh(
             return None
         cur_ids = {}
         for r in roots:
+            if pinned_to and r in pinned_to:
+                cur_ids[r] = pinned_to[r]
+                continue
             try:
                 cur_ids[r] = im.resolve_snapshot(r)["snapshot-id"]
             except im.IcebergMetadataError:
@@ -837,6 +853,7 @@ def _incremental_refresh(
             return _join_both_moved_refresh(
                 spark, shape, view_root, target_root, rec, bases,
                 cur_ids, timestamp_ms=timestamp_ms, key_cols=key_cols,
+                changelog_id=changelog_id,
             )
         base = changed[0]
         if shape.get("join_type") == "left":
@@ -854,10 +871,13 @@ def _incremental_refresh(
             return None  # fingerprint/base mismatch: full refresh
         base = shape["base"]
         from_id = bases[base]
-        try:
-            to_id = im.resolve_snapshot(base)["snapshot-id"]
-        except im.IcebergMetadataError:
-            return None
+        if pinned_to and base in pinned_to:
+            to_id = pinned_to[base]
+        else:
+            try:
+                to_id = im.resolve_snapshot(base)["snapshot-id"]
+            except im.IcebergMetadataError:
+                return None
         if str(to_id) == str(from_id):
             return None  # base unchanged; staleness came from elsewhere
     if not str(from_id).lstrip("-").isdigit():
@@ -872,7 +892,8 @@ def _incremental_refresh(
         delta = _cdc_frame(sess, base, str(from_id), str(to_id))
     except (CloudfloeError, im.IcebergMetadataError):
         return None  # expired range / compaction in range / eq-deletes
-    changelog_id = f"mv:{view_root}:{from_id}:{to_id}"
+    if changelog_id is None:
+        changelog_id = f"mv:{view_root}:{from_id}:{to_id}"
     tmp = f"__cf_mv_delta_{uuid.uuid4().hex[:8]}"
     delta.createOrReplaceTempView(tmp)
     try:
@@ -894,9 +915,15 @@ def _incremental_refresh(
                 static_where = _key_bounds_where(
                     delta, [a for a, _ in pairs], [b for _, b in pairs]
                 )
+                # pin the static side AT its resolved id (r11): equal to
+                # a plain current read in batch mode, and in follower
+                # mode it keeps an epoch's result independent of dim
+                # commits landing mid-apply (the stamp must describe
+                # exactly what was joined)
                 static_scan = (
                     "SELECT * FROM iceberg_scan("
-                    f"'{shape['aliases'][static_alias]}')"
+                    f"'{shape['aliases'][static_alias]}') "
+                    f"VERSION AS OF {cur_ids[shape['aliases'][static_alias]]}"
                 )
                 if static_where:
                     static_scan += f" WHERE {static_where}"
@@ -976,7 +1003,23 @@ def _incremental_refresh(
                 path = f"incremental-{shape['kind']}"
         else:
             gb, gout = shape["group_base"], shape["group_out"]
-            touched = delta.select(*gb).distinct().persist()
+            # rows the view's WHERE excludes cannot affect any group —
+            # filter the delta BEFORE computing touched keys (r11): an
+            # update moving a row across the filter boundary still
+            # touches the group through whichever image passes, and
+            # deltas the filter drops (e.g. NULL group keys the view
+            # never sees) no longer force the full-refresh fallback
+            from pyspark.errors import AnalysisException
+
+            d_groups = delta
+            if shape["where"]:
+                try:
+                    d_groups = sess.sql(
+                        f"SELECT * FROM {tmp} WHERE {shape['where']}"
+                    )
+                except AnalysisException:
+                    d_groups = delta  # unevaluable on the delta: sound
+            touched = d_groups.select(*gb).distinct().persist()
             try:
                 null_cond = None
                 for g in gb:
@@ -1011,7 +1054,14 @@ def _incremental_refresh(
                         hi = _sql_literal(bounds[f"__hi_{g}"])
                         if lo is not None and hi is not None:
                             conjs.append(f"{g} >= {lo} AND {g} <= {hi}")
-                    scan_sql = f"SELECT * FROM iceberg_scan('{base}')"
+                    # recompute AT the target snapshot (r11): in batch
+                    # mode to_id IS current; in follower mode the pin
+                    # makes the epoch's recompute deterministic under
+                    # replay even while later commits land
+                    scan_sql = (
+                        f"SELECT * FROM iceberg_scan('{base}') "
+                        f"VERSION AS OF {to_id}"
+                    )
                     if conjs:
                         scan_sql += " WHERE " + " AND ".join(conjs)
                     restricted = sess.sql(
@@ -1150,6 +1200,7 @@ def _join_both_moved_refresh(
     spark, shape: dict, view_root: str, target_root: str, rec: dict,
     bases: dict, cur_ids: dict, *, timestamp_ms: int,
     key_cols: "list[str] | None",
+    changelog_id: "str | None" = None,
 ) -> "dict | None":
     """Incremental refresh of the two-base join shape when BOTH bases
     moved in one staleness window (r10, VERDICT r9 #3) — previously a
@@ -1222,7 +1273,13 @@ def _join_both_moved_refresh(
         where_a = _key_bounds_where(
             delta_b, [b for _, b in pairs], [a for a, _ in pairs]
         )
-        b_scan = f"SELECT * FROM iceberg_scan('{root_b}')"
+        # B_new pinned AT its resolved id (r11): identical to a current
+        # read in batch mode; deterministic under epoch replay in
+        # follower mode
+        b_scan = (
+            f"SELECT * FROM iceberg_scan('{root_b}') "
+            f"VERSION AS OF {cur_ids[root_b]}"
+        )
         if where_b:
             b_scan += f" WHERE {where_b}"
         a_scan = (
@@ -1281,11 +1338,12 @@ def _join_both_moved_refresh(
                 .otherwise(F.lit("delete"))
                 .alias("_change_type"),
             )
-            changelog_id = (
-                f"mv:{view_root}:{root_a}:{bases[root_a]}:"
-                f"{cur_ids[root_a]}:{root_b}:{bases[root_b]}:"
-                f"{cur_ids[root_b]}"
-            )
+            if changelog_id is None:
+                changelog_id = (
+                    f"mv:{view_root}:{root_a}:{bases[root_a]}:"
+                    f"{cur_ids[root_a]}:{root_b}:{bases[root_b]}:"
+                    f"{cur_ids[root_b]}"
+                )
             if not keys:
                 # keyless: sound only when the netted delta is pure
                 # inserts (both ranges effectively append-only after

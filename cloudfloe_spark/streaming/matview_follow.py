@@ -1,42 +1,70 @@
 """Continuous materialized-view maintenance from the commit-tail source
-(r10, VERDICT r9 #6): instead of POLLING ``refresh_materialized_view``,
-a streaming query tails the view's base table in CDC mode
-(``streaming/iceberg_source.py``) and applies each micro-batch's
-changelog to the target through the SAME transform + keyed-apply path
-the batch incremental refresh uses — exactly-once per epoch by the
-``changelog-id`` summary dedup (the construction the streaming sink and
-batch applies already share), so a crash-replayed epoch is a no-op.
+(r10, VERDICT r9 #6; agg + join shapes r11, VERDICT r10 #3): instead of
+POLLING ``refresh_materialized_view``, a streaming query tails the
+view's base table in CDC mode (``streaming/iceberg_source.py``) and
+applies each micro-batch's changes to the target through the SAME
+machinery the batch incremental refresh uses — exactly-once per epoch.
 
-Scope: single-base ROW-shaped views (projection/filter), the shape whose
-delta transform is a pure per-row function of the changelog — keyed, or
-keyless over insert-only batches. Aggregate and join shapes need
-base-side recompute per delta and stay on the batch
-``refresh_materialized_view`` path (which IS incremental for them); a
-non-qualifying view fails at start with a clear error instead of
-silently degrading.
+Shapes:
 
-The target's ``cloudfloe.mv`` freshness property advances with every
-applied epoch (to the LATEST base commit the batch covered, resolved by
-snapshot-log order — ids are random, not ordered), so the batch
-``materialized_view_status`` / ``refresh_materialized_view`` surface
-stays coherent with the stream: a stopped follower can be polled, a
-polled target can start following.
+- **row** (projection/filter): the batch's changelog IS the delta — the
+  view transform runs directly on the micro-batch and applies through
+  ``apply_changelog`` keyed by ``mvstream:{qid}:{epoch}`` (a replayed
+  epoch re-presents the identical batch, so the dedup is exact).
+- **agg / join** (r11): the epoch defines a COMMIT RANGE — from the
+  target's recorded base snapshot to the last commit the batch covered
+  (snapshot-log order; ids are random) — and the apply is
+  ``_incremental_refresh`` with that range PINNED (``pinned_to``), so
+  the same delta algebra the batch path uses (touched-group recompute /
+  ΔA⋈B with key-bounds pushdown / both-moved netting) runs per epoch.
+  For join views the stream tails the FACT (left) base; the other
+  base's target id is resolved once per epoch and recorded in a
+  ``cloudfloe.mv-intent`` property BEFORE the apply — a crash-replayed
+  epoch reads the intent back and re-applies the IDENTICAL range, which
+  the changelog-id dedup then skips. The freshness stamp clears the
+  intent in the same metadata write (two-phase: intent → apply →
+  stamp).
+
+A non-qualifying view fails at start with a clear error instead of
+silently degrading; an epoch whose incremental apply would be unsound
+(expired range, NULL group keys, shape guards) fails loudly with a
+pointer at ``refresh_materialized_view`` — a follower must never skip a
+range silently.
 
 Scale shape: each micro-batch reads only the files its commits touched
-(the source's per-commit pruning), the transform is delta-sized, the
-apply is the broadcast-keys retraction + delta-sized insert, and the
-property stamp is one O(1) metadata version. The base is never
+(the source's per-commit pruning); row applies are delta-sized; agg
+recomputes scan only where manifest stats admit the touched keys'
+bounds; join terms are bounded by the delta's join-key range; the
+intent/stamp writes are O(1) metadata versions. The base is never
 re-scanned; the target is never rewritten.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
 
 
 from cloudfloe_spark.sources.iceberg_views import IcebergViewError
+
+
+def _write_intent(target_root: str, tag: str, to: dict, ts_ms: int) -> None:
+    """Record the epoch's pinned refresh targets BEFORE applying — the
+    replay side of the two-phase apply (cleared by the freshness
+    stamp)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    meta = im.load_metadata(target_root)
+    meta.setdefault("properties", {})["cloudfloe.mv-intent"] = json.dumps(
+        {"tag": tag, "to": to}, sort_keys=True
+    )
+    meta["last-updated-ms"] = ts_ms
+    write_next_metadata_version(target_root, meta)
 
 
 def follow_materialized_view(
@@ -52,15 +80,18 @@ def follow_materialized_view(
     materialized-view target at ``target_root``. The target must have
     been created by ``materialize_iceberg_view`` for the view at
     ``view_root`` (the freshness property supplies the start offset and
-    the key columns). Returns ``{"batches": n, "skipped": n,
-    "retracted": n, "inserted": n}``; restartable from the same
-    checkpoint with exactly-once application.
-    """
+    the key columns). Row, aggregate, and two-base join shapes qualify;
+    join views tail the LEFT (fact) base — dim-only movement is picked
+    up opportunistically on the next fact epoch, or by a polled refresh.
+    Returns ``{"batches": n, "skipped": n, "retracted": n,
+    "inserted": n, "paths": [...]}``; restartable from the same
+    checkpoint with exactly-once application."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.iceberg_views import (
+        _incremental_refresh,
         _keyed_apply_safe,
         _stamp_mv_property,
         current_view_sql,
@@ -73,14 +104,21 @@ def follow_materialized_view(
     )
 
     shape = incremental_shape(current_view_sql(view_root))
-    if shape is None or shape["kind"] != "row":
+    if shape is None:
         raise IcebergViewError(
-            "follow_materialized_view: only single-base row-shaped views "
-            "(projection/filter) can be followed continuously; aggregate "
-            "and join shapes use refresh_materialized_view, which applies "
-            "their deltas incrementally per call"
+            "follow_materialized_view: the view is not incrementally "
+            "maintainable (row, per-key aggregate, or two-base aliased "
+            "join over iceberg_scan bases) — use "
+            "refresh_materialized_view"
         )
-    base = shape["base"]
+    kind = shape["kind"]
+    if kind == "join":
+        aliases = list(shape["aliases"])  # insertion order: left, right
+        base = shape["aliases"][aliases[0]]  # tail the fact/left side
+        expect_bases = sorted(shape["aliases"].values())
+    else:
+        base = shape["base"]
+        expect_bases = [base]
     meta = im.load_metadata(target_root)
     raw = (meta.get("properties") or {}).get("cloudfloe.mv")
     if not raw:
@@ -94,11 +132,11 @@ def follow_materialized_view(
             f"follow_materialized_view: target records view "
             f"{rec.get('view')!r}, not {view_root!r}"
         )
-    if list(rec.get("bases") or {}) != [base]:
+    if sorted(rec.get("bases") or {}) != expect_bases:
         raise IcebergViewError(
             "follow_materialized_view: target's recorded bases "
             f"{sorted(rec.get('bases') or {})} do not match the view's "
-            f"single base {base!r}"
+            f"bases {expect_bases}"
         )
     keys = list(rec.get("key-cols") or [])
     start = str(rec["bases"][base])
@@ -116,7 +154,10 @@ def follow_materialized_view(
         .load(base)
     )
 
-    stats = {"batches": 0, "skipped": 0, "retracted": 0, "inserted": 0}
+    stats = {
+        "batches": 0, "skipped": 0, "retracted": 0, "inserted": 0,
+        "paths": [],
+    }
     resolved: dict[str, str] = {}
 
     def _qid() -> str:
@@ -126,7 +167,24 @@ def follow_materialized_view(
             )
         return resolved["v"]
 
-    def apply_batch(batch_df, epoch_id: int) -> None:
+    def _covered_to(batch_df) -> "str | None":
+        """Last base commit the batch covered, by snapshot-log order."""
+        sids = {
+            r[0]
+            for r in batch_df.select("_commit_snapshot_id")
+            .distinct()
+            .collect()
+        }
+        if not sids:
+            return None
+        log_ids = [
+            e["snapshot-id"]
+            for e in im.load_metadata(base).get("snapshot-log", [])
+        ]
+        applied = [i for i in log_ids if i in sids]
+        return str(applied[-1]) if applied else None
+
+    def _apply_row_batch(batch_df, epoch_id: int) -> None:
         sess = batch_df.sparkSession
         base_cols = [
             c
@@ -194,36 +252,111 @@ def follow_materialized_view(
                 )
             if res.get("skipped"):
                 stats["skipped"] += 1
-                return
-            stats["batches"] += 1
-            stats["retracted"] += res.get("retracted", 0)
-            stats["inserted"] += res.get("inserted", 0)
+            else:
+                stats["batches"] += 1
+                stats["retracted"] += res.get("retracted", 0)
+                stats["inserted"] += res.get("inserted", 0)
+                stats["paths"].append("stream-row")
             # advance the freshness lineage to the LAST base commit this
-            # batch covered (snapshot-log order — ids are random)
-            sids = {
-                r[0]
-                for r in batch_df.select("_commit_snapshot_id")
-                .distinct()
-                .collect()
-            }
-            if sids:
-                log_ids = [
-                    e["snapshot-id"]
-                    for e in im.load_metadata(base).get("snapshot-log", [])
-                ]
-                applied = [i for i in log_ids if i in sids]
-                if applied:
-                    _stamp_mv_property(
-                        target_root,
-                        view_root=view_root,
-                        view_version=rec.get("view-version"),
-                        bases={base: str(applied[-1])},
-                        timestamp_ms=timestamp_ms + int(epoch_id),
-                        key_cols=keys or None,
-                    )
+            # batch covered — ALSO after a dedup skip (r11): the batch is
+            # replay-deterministic, so a crash between the apply commit
+            # and the stamp heals here instead of leaving the recorded
+            # base behind (where a later POLLED refresh would re-derive
+            # an overlapping range)
+            to_id = _covered_to(batch_df)
+            if to_id is not None:
+                _stamp_mv_property(
+                    target_root,
+                    view_root=view_root,
+                    view_version=rec.get("view-version"),
+                    bases={base: to_id},
+                    timestamp_ms=timestamp_ms + int(epoch_id),
+                    key_cols=keys or None,
+                )
         finally:
             sess.catalog.dropTempView(tmp)
             batch_df.unpersist()
+
+    def _apply_range_batch(batch_df, epoch_id: int) -> None:
+        """agg/join epochs: pin the commit range, then run the batch
+        incremental-apply machinery over it (two-phase for join's
+        second base: intent → apply → stamp)."""
+        sess = batch_df.sparkSession
+        to_followed = _covered_to(batch_df)
+        if to_followed is None:
+            # empty epoch: a replay after BOTH the apply and the stamp
+            # landed (the advanced start offset re-plans the range to
+            # nothing), or a drain with no new commits
+            stats["skipped"] += 1
+            return
+        tmeta = im.load_metadata(target_root)
+        props = tmeta.get("properties") or {}
+        raw_now = props.get("cloudfloe.mv")
+        if not raw_now:
+            raise IcebergViewError(
+                "follow_materialized_view: target lost its cloudfloe.mv "
+                "property mid-stream"
+            )
+        rec_now = json.loads(raw_now)
+        pinned = {base: to_followed}
+        tag = f"{_qid()}:{epoch_id}"
+        if kind == "join":
+            other = next(
+                r for r in shape["aliases"].values() if r != base
+            )
+            intent = None
+            if props.get("cloudfloe.mv-intent"):
+                intent = json.loads(props["cloudfloe.mv-intent"])
+            if intent and intent.get("tag") == tag:
+                # crash-replay: reuse the EXACT range the first attempt
+                # pinned, so the changelog-id dedup can recognize it
+                pinned = {k: str(v) for k, v in intent["to"].items()}
+                pinned[base] = to_followed
+            else:
+                try:
+                    pinned[other] = str(
+                        im.resolve_snapshot(other)["snapshot-id"]
+                    )
+                except im.IcebergMetadataError:
+                    pinned[other] = str(rec_now["bases"].get(other))
+                _write_intent(
+                    target_root, tag, pinned,
+                    timestamp_ms + int(epoch_id),
+                )
+        if all(
+            str(rec_now["bases"].get(r)) == str(v)
+            for r, v in pinned.items()
+        ):
+            stats["skipped"] += 1
+            return  # replay after a completed stamp: range already covered
+        rng = hashlib.md5(
+            json.dumps(
+                {"from": rec_now["bases"], "to": pinned}, sort_keys=True
+            ).encode()
+        ).hexdigest()[:10]
+        res = _incremental_refresh(
+            sess, view_root, target_root, rec_now,
+            timestamp_ms=timestamp_ms + int(epoch_id),
+            key_cols=keys or None,
+            pinned_to=pinned,
+            changelog_id=f"mvstream:{tag}:{rng}",
+        )
+        if res is None:
+            raise IcebergViewError(
+                "follow_materialized_view: this epoch's incremental "
+                "apply is not sound (expired/compaction-crossed range, "
+                "NULL group keys, or a shape guard) — stop the stream "
+                "and run refresh_materialized_view"
+            )
+        if res.get("applied_already"):
+            stats["skipped"] += 1
+        else:
+            stats["batches"] += 1
+            stats["retracted"] += res.get("retracted", 0)
+            stats["inserted"] += res.get("inserted", 0)
+            stats["paths"].append(res.get("path"))
+
+    apply_batch = _apply_row_batch if kind == "row" else _apply_range_batch
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

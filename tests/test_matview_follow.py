@@ -126,7 +126,190 @@ def test_restart_applies_only_new_commits(spark, followed, tmp_path):
     assert materialized_view_status(troot)["stale"] is False
 
 
-def test_agg_view_refuses_to_follow(spark, tmp_path):
+@pytest.fixture()
+def agg_followed(spark, tmp_path):
+    """Base + per-key aggregate view + materialized target (r11: agg
+    shapes follow through the pinned-range incremental apply)."""
+    base = str(tmp_path / "base")
+    t = LocalIcebergTable(
+        base,
+        pa.schema(
+            [("id", pa.int64()), ("lang", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": [1, 2, 3], "lang": ["en", "de", "en"],
+                      "n": [10, 20, 30]}),
+            pa.table({"id": [4, 5, 6], "lang": ["fr", "en", "de"],
+                      "n": [40, 50, 60]}),
+        ],
+        timestamp_ms=T1,
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT lang, COUNT(*) AS c, SUM(n) AS s "
+        f"FROM iceberg_scan('{base}') GROUP BY lang",
+        timestamp_ms=T1 + 500,
+    )
+    materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 1000)
+    return base, vroot, troot
+
+
+def test_agg_view_follows_incrementally(spark, agg_followed, tmp_path):
+    """VERDICT r10 #3: a stream of base DMLs converges an AGGREGATE
+    matview through the follower — each epoch applies the same
+    touched-group recompute the batch incremental refresh uses, pinned
+    to the epoch's commit range."""
+    base, vroot, troot = agg_followed
+    ck = str(tmp_path / "ck")
+    delete_where(spark, base, "id = 2", timestamp_ms=T1 + 2000)  # de -1
+    update_where(spark, base, "id = 5", {"n": "55"}, timestamp_ms=T1 + 3000)
+    stats = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 4000
+    )
+    assert stats["batches"] >= 1 and stats["skipped"] == 0
+    assert all(p == "incremental-agg" for p in stats["paths"]), stats
+    got = _rows(spark, troot, "lang, c, s")
+    assert got == [("de", 1, 60), ("en", 3, 95), ("fr", 1, 40)]
+    assert materialized_view_status(troot)["stale"] is False
+
+
+def test_agg_follow_crash_replayed_epoch_is_noop(
+    spark, agg_followed, tmp_path
+):
+    base, vroot, troot = agg_followed
+    ck = str(tmp_path / "ck")
+    delete_where(spark, base, "id = 1", timestamp_ms=T1 + 2000)
+    s1 = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 3000
+    )
+    assert s1["batches"] == 1
+    before = _rows(spark, troot, "lang, c, s")
+    # crash window: the streaming commit log is lost, the epoch replays
+    shutil.rmtree(os.path.join(ck, "commits"), ignore_errors=True)
+    s2 = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 4000
+    )
+    assert s2["batches"] == 0 and s2["skipped"] == 1
+    assert _rows(spark, troot, "lang, c, s") == before
+    # and new commits still flow after the replay
+    update_where(spark, base, "id = 6", {"n": "66"}, timestamp_ms=T1 + 5000)
+    s3 = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 6000
+    )
+    assert s3["batches"] == 1
+    assert _rows(spark, troot, "lang, c, s") == [
+        ("de", 2, 86), ("en", 2, 80), ("fr", 1, 40),
+    ]
+
+
+def test_join_view_follows_both_bases_moved_in_one_epoch(
+    spark, tmp_path
+):
+    """VERDICT r10 #3 (join shape): the follower tails the FACT base;
+    when the dim ALSO moved inside the epoch's window, the pinned-range
+    apply routes through the both-moved ℤ-netted delta — and a crash
+    replay reuses the intent-recorded range, making the epoch a no-op."""
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    tf = LocalIcebergTable(
+        fact, pa.schema([("id", pa.int64()), ("k", pa.int64()),
+                         ("amt", pa.int64())])
+    )
+    tf.append_snapshot(
+        [pa.table({"id": [1, 2, 3, 4], "k": [10, 10, 20, 30],
+                   "amt": [100, 200, 300, 400]})],
+        timestamp_ms=T1,
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [10, 20, 30], "name": ["a", "b", "c"]})],
+        timestamp_ms=T1,
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id AS id, f.amt AS amt, d.name AS name "
+        f"FROM iceberg_scan('{fact}') f JOIN iceberg_scan('{dim}') d "
+        f"ON f.k = d.k",
+        timestamp_ms=T1 + 500,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 1000, key_cols=["id"]
+    )
+    # both bases move before the drain: fact DML + dim update
+    delete_where(spark, fact, "id = 2", timestamp_ms=T1 + 2000)
+    update_where(
+        spark, dim, "k = 20", {"name": "'B'"}, timestamp_ms=T1 + 3000
+    )
+    ck = str(tmp_path / "ck")
+    stats = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 4000
+    )
+    assert stats["batches"] == 1, stats
+    assert stats["paths"] == ["incremental-join-both"], stats
+    got = _rows(spark, troot, "id, amt, name")
+    assert got == [(1, 100, "a"), (3, 300, "B"), (4, 400, "c")]
+    assert materialized_view_status(troot)["stale"] is False
+    # the stamp cleared the epoch intent
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    assert "cloudfloe.mv-intent" not in (
+        im.load_metadata(troot).get("properties") or {}
+    )
+    # crash replay: commit log lost, epoch re-runs — dedup no-op
+    before = _rows(spark, troot, "id, amt, name")
+    shutil.rmtree(os.path.join(ck, "commits"), ignore_errors=True)
+    s2 = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 5000
+    )
+    assert s2["batches"] == 0 and s2["skipped"] == 1, s2
+    assert _rows(spark, troot, "id, amt, name") == before
+
+
+def test_join_follow_single_side_epoch_uses_fact_delta(spark, tmp_path):
+    """Only the fact side moved in the epoch: the pinned-range apply
+    takes the ordinary Δfact ⋈ dim path."""
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    tf = LocalIcebergTable(
+        fact, pa.schema([("id", pa.int64()), ("k", pa.int64())])
+    )
+    tf.append_snapshot(
+        [pa.table({"id": [1, 2], "k": [10, 20]})], timestamp_ms=T1
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [10, 20], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id AS id, d.name AS name "
+        f"FROM iceberg_scan('{fact}') f JOIN iceberg_scan('{dim}') d "
+        f"ON f.k = d.k",
+        timestamp_ms=T1 + 500,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 1000, key_cols=["id"]
+    )
+    delete_where(spark, fact, "id = 1", timestamp_ms=T1 + 2000)
+    stats = follow_materialized_view(
+        spark, vroot, troot,
+        checkpoint_dir=str(tmp_path / "ck"), timestamp_ms=T1 + 3000,
+    )
+    assert stats["paths"] == ["incremental-join"], stats
+    assert _rows(spark, troot, "id, name") == [(2, "b")]
+
+
+def test_nonqualifying_view_refuses_to_follow(spark, tmp_path):
+    """Shapes outside row/agg/join (here: a GROUP BY expression) still
+    fail at start with a clear pointer at the batch refresh."""
     base = str(tmp_path / "base")
     t = LocalIcebergTable(
         base, pa.schema([("lang", pa.string()), ("n", pa.int64())])
@@ -137,12 +320,12 @@ def test_agg_view_refuses_to_follow(spark, tmp_path):
     vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
     create_iceberg_view(
         vroot,
-        f"SELECT lang, COUNT(*) AS c FROM iceberg_scan('{base}') "
-        "GROUP BY lang",
+        f"SELECT upper(lang) AS lang_up, COUNT(*) AS c "
+        f"FROM iceberg_scan('{base}') GROUP BY upper(lang)",
         timestamp_ms=T1 + 500,
     )
     materialize_iceberg_view(spark, vroot, troot, timestamp_ms=T1 + 1000)
-    with pytest.raises(IcebergViewError, match="row-shaped"):
+    with pytest.raises(IcebergViewError, match="refresh_materialized_view"):
         follow_materialized_view(
             spark, vroot, troot,
             checkpoint_dir=str(tmp_path / "ck"), timestamp_ms=T1 + 2000,
