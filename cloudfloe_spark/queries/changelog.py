@@ -2476,3 +2476,89 @@ def iceberg_matview_stream_follow_agg(
         spark,
         f"SELECT lang, n_docs, sum_chars FROM iceberg_scan('{troot}')",
     )
+
+
+@register(
+    "iceberg_cdc_lineage_compaction",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+        FROM documents WHERE {_DELETE_COND}
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'update_preimage' AS _change_type
+        FROM documents WHERE NOT ({_DELETE_COND}) AND {_UPDATE_COND}
+        UNION ALL
+        SELECT doc_id, lang, n_chars + {_UPDATE_BUMP} AS n_chars,
+               'update_postimage' AS _change_type
+        FROM documents WHERE NOT ({_DELETE_COND}) AND {_UPDATE_COND}
+    """,
+    tags=("iceberg", "v3", "cdc", "row-lineage", "compaction"),
+)
+def iceberg_cdc_lineage_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC ACROSS A COMPACTION via v3 row lineage, driver-checked (r11,
+    VERDICT r10 #5): on a row-lineage table, the standard DELETE +
+    UPDATE script runs, then the WHOLE table is compacted — and
+    ``iceberg_cdc`` over the full range (which the coordinate diff
+    cannot represent: every file was rewritten) must emit exactly the
+    logical changes, with the compaction contributing nothing. Row ids
+    are assigned at commit (file first_row_id + position), carried
+    through the rewrite as a materialized ``_row_id`` column, and the
+    changelog is the (rid, row)-keyed net difference — moved rows cancel
+    exactly. Identifier-column pairing (doc_id) relabels the update's
+    images across the rewrite.
+
+    Scale shape: the diff shuffle is sized by the rewritten set (the
+    honest price of crossing a compaction — here the whole table, in
+    production the compacted partitions); no coordinate machinery, no
+    full-table self-join beyond that set."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+        delete_where,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"rlcdc{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_rlcdc", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    sid_file = os.path.join(parent, "_S0")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema, row_lineage=True)
+        s0 = t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, _DELETE_COND, timestamp_ms=_T0 + 1000)
+        update_where(
+            spark,
+            root,
+            _UPDATE_COND,
+            {"n_chars": f"n_chars + {_UPDATE_BUMP}"},
+            timestamp_ms=_T0 + 2000,
+        )
+        res = compact_iceberg_table(spark, root, timestamp_ms=_T0 + 3000)
+        assert res["snapshot_id"], res
+        assert im.load_metadata(root)["next-row-id"] > 0
+        with open(sid_file, "w") as f:
+            f.write(str(s0))
+        with open(done, "w") as f:
+            f.write("ok")
+    with open(sid_file) as f:
+        s0 = int(f.read().strip())
+    cur = im.resolve_snapshot(root)["snapshot-id"]
+    return _resolved(
+        spark,
+        f"SELECT doc_id, lang, n_chars, _change_type "
+        f"FROM iceberg_cdc('{root}', {s0}, {cur}, 'doc_id')",
+    )

@@ -123,6 +123,9 @@ _MATVIEW_STATUS_RE = re.compile(
 _DVS_RE = re.compile(
     r"iceberg_deletion_vectors\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+_ROW_LINEAGE_RE = re.compile(
+    r"iceberg_row_lineage\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -964,13 +967,27 @@ def _cdc_frame(
             )
         live_from = im.live_data_seqs(root, s_from)
         live_to = im.live_data_seqs(root, s_to)
-        if set(live_from) - set(live_to):
+        removed = sorted(set(live_from) - set(live_to))
+        # v3 ROW LINEAGE rescue (r11, VERDICT r10 #5): a range with
+        # removed/rewritten files (compaction, COW) used to refuse —
+        # coordinates don't survive a rewrite. Row ids DO: compute the
+        # net changelog as the (rid, row)-keyed difference between the
+        # retraction candidates (rows visible at FROM in removed files +
+        # carried rows newly deleted) and the insertion candidates (rows
+        # visible at TO in added files) — a compaction's moved rows
+        # cancel exactly, a real change survives with its sign. Cost is
+        # one diff shuffle sized by the rewritten set (the honest price
+        # of crossing a compaction), never a full-table self-join.
+        lineage_mode = bool(removed)
+        if removed and not im.row_lineage_available(root, metadata_path):
             raise bad_request(
                 "iceberg_cdc supports append-only data-file history; data "
                 "files were removed or rewritten in the snapshot range "
-                "(e.g. compaction) — use iceberg_cdc_commits (which reads "
-                "across copy-on-write and replace commits) or run a full "
-                "refresh instead."
+                "(e.g. compaction) and the table carries no row lineage "
+                "(v3 next-row-id), so changes cannot be tracked across "
+                "the rewrite — use iceberg_cdc_commits (which reads "
+                "across copy-on-write and replace commits), enable row "
+                "lineage, or run a full refresh instead."
             )
         if im.unreadable_equality_deletes(root, s_to, metadata_path):
             raise bad_request(
@@ -979,7 +996,23 @@ def _cdc_frame(
                 "equality field ids). Run compaction before querying."
             )
         added = sorted(p for p in live_to if p not in live_from)
-        carried = sorted(live_from)
+        carried = sorted(set(live_from) & set(live_to))
+        first_ids: "dict | None" = None
+        if lineage_mode:
+            first_ids = {
+                **im.first_row_ids(root, s_from),
+                **im.first_row_ids(root, s_to),
+            }
+            for p in list(removed) + list(added):
+                sfx = p.rsplit("/data/", 1)[-1]
+                if first_ids.get(sfx) is None and (
+                    "_row_id" not in im.parquet_column_names(p)
+                ):
+                    raise bad_request(
+                        "iceberg_cdc: row lineage is incomplete — file "
+                        f"{sfx} carries neither a manifest first_row_id "
+                        "nor a materialized _row_id column"
+                    )
         pos_to = im.position_delete_records(root, s_to)
         pos_new = [r for r in pos_to if int(r["seq"]) > seq_from]
         # v3 DELETION VECTORS in range (r10): a file's vector is an
@@ -1131,11 +1164,16 @@ def _cdc_frame(
         return out
 
     parts = []
+    ins_lineage = dead_lineage = None
     if added:
         ins_parts = []
         for gpaths, renames, read_ddl, default_fills in added_groups:
             reader = sess.read
             if read_ddl is not None:
+                if lineage_mode:
+                    # lineage tables read under explicit DDL; surface
+                    # the rewritten files' materialized _row_id column
+                    read_ddl = f"{read_ddl}, `_row_id` BIGINT"
                 reader = reader.schema(read_ddl)
             g = reader.parquet(*gpaths)
             for _fc, (_fv, _ft) in (default_fills or {}).items():
@@ -1164,19 +1202,34 @@ def _cdc_frame(
                     {p: live_to[p] for p in added},
                     renames=renames, name_history=name_hist,
                 )
+            if lineage_mode:
+                # coordinates for rid resolution — _metadata survives
+                # the anti-join applies above
+                g = g.select(
+                    suffix(F.col("_metadata.file_path")).alias(
+                        "__cdc_afile"
+                    ),
+                    F.col("_metadata.row_index").alias("__cdc_apos"),
+                    "*",
+                )
             if renames:
                 g = g.withColumnsRenamed(renames)
             ins_parts.append(g)
         ins = ins_parts[0]
         for g in ins_parts[1:]:
             ins = ins.unionByName(g)
-        parts.append(ins.withColumn("_change_type", F.lit("insert")))
+        if lineage_mode:
+            ins_lineage = ins  # rid resolved in the lineage tail below
+        else:
+            parts.append(ins.withColumn("_change_type", F.lit("insert")))
 
     if carried_groups:
         base_parts = []
         for gpaths, renames, read_ddl, default_fills in carried_groups:
             reader = sess.read
             if read_ddl is not None:
+                if lineage_mode:
+                    read_ddl = f"{read_ddl}, `_row_id` BIGINT"
                 reader = reader.schema(read_ddl)
             g = reader.parquet(*gpaths)
             for _fc, (_fv, _ft) in (default_fills or {}).items():
@@ -1195,7 +1248,10 @@ def _cdc_frame(
         for g in base_parts[1:]:
             base = base.unionByName(g)
         data_cols = [
-            c for c in base.columns if c not in ("__cdc_file", "__cdc_pos")
+            c
+            for c in base.columns
+            if c not in ("__cdc_file", "__cdc_pos")
+            and not (lineage_mode and c == "_row_id")
         ]
         if eq_new or eq_old:
             seq_df = sess.createDataFrame(
@@ -1260,11 +1316,84 @@ def _cdc_frame(
             )
         for dels, cond in eq_groups(eq_old):
             dead = dead.join(dels, cond, "left_anti")
-        parts.append(
-            dead.select(*data_cols).withColumn(
-                "_change_type", F.lit("delete")
+        if lineage_mode:
+            dead_lineage = dead  # keep coords + _row_id for rid below
+        else:
+            parts.append(
+                dead.select(*data_cols).withColumn(
+                    "_change_type", F.lit("delete")
+                )
             )
+
+    if lineage_mode:
+        from cloudfloe_spark.sources.maintenance import (
+            _FP,
+            _POS,
+            _mor_raw_scan,
         )
+
+        fmap = sess.createDataFrame(
+            [(s, f) for s, f in first_ids.items() if f is not None],
+            "__cdc_msfx STRING, __cdc_first BIGINT",
+        )
+
+        def _with_rid(d, file_col, pos_col):
+            j = d.join(
+                F.broadcast(fmap),
+                F.col(file_col) == F.col("__cdc_msfx"),
+                "left",
+            )
+            rid = F.col("__cdc_first") + F.col(pos_col)
+            if "_row_id" in d.columns:
+                rid = F.coalesce(F.col("_row_id"), rid)
+            return j.withColumn("__cdc_rid", rid)
+
+        # rows visible at FROM in the files the range removed/rewrote
+        # (their FROM-state deletes applied by the MOR machinery)
+        rem = _mor_raw_scan(
+            sess, root, s_from, removed,
+            metadata_path=metadata_path, extra_footer_cols=["_row_id"],
+        ).withColumn(
+            "__cdc_rfile", F.substring_index(F.col(_FP), "/data/", -1)
+        )
+        lin_cols = [
+            c
+            for c in rem.columns
+            if c not in (_FP, _POS, "_row_id", "__cdc_rfile")
+        ]
+        neg = _with_rid(rem, "__cdc_rfile", _POS).select(
+            *lin_cols, "__cdc_rid"
+        )
+        if dead_lineage is not None:
+            neg = neg.unionByName(
+                _with_rid(dead_lineage, "__cdc_file", "__cdc_pos").select(
+                    *lin_cols, "__cdc_rid"
+                )
+            )
+        combined = neg.withColumn("__cdc_sign", F.lit(-1))
+        if ins_lineage is not None:
+            combined = combined.unionByName(
+                _with_rid(ins_lineage, "__cdc_afile", "__cdc_apos")
+                .select(*lin_cols, "__cdc_rid")
+                .withColumn("__cdc_sign", F.lit(1))
+            )
+        # (rid, row)-keyed netting: a compaction's moved rows cancel
+        # exactly (same id, same values); a genuine change keeps its
+        # sign. Each rid appears at most once per side, so |net| <= 1.
+        net = (
+            combined.groupBy("__cdc_rid", *lin_cols)
+            .agg(F.sum("__cdc_sign").alias("__cdc_net"))
+            .filter(F.col("__cdc_net") != 0)
+        )
+        df = net.select(
+            *lin_cols,
+            F.when(F.col("__cdc_net") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+        )
+        if keys:
+            df = _pair_update_images(df, keys)
+        return df
 
     if parts:
         df = parts[0]
@@ -2109,6 +2238,25 @@ def _deletion_vectors_view(sess, root: str) -> str:
     return name
 
 
+def _row_lineage_view(sess, root: str) -> str:
+    """``iceberg_row_lineage('<root>')`` → the MOR-applied table plus
+    ``_row_id`` (r11, VERDICT r10 #5): a row's id is its file's
+    manifest-assigned ``first_row_id`` + position, or the materialized
+    ``_row_id`` column of rewritten (compacted) files — stable across
+    compaction, the v3 row-lineage contract."""
+    from cloudfloe_spark.sources.maintenance import row_lineage_scan
+
+    try:
+        df = row_lineage_scan(sess, root)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"iceberg_row_lineage: {e}") from None
+    except ValueError as e:
+        raise bad_request(str(e)) from None
+    name = _view_name("rowlineage", root)
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def resolve_iceberg_reads(sess, sql: str) -> str:
     """Rewrite local-table Iceberg scan functions into temp-view references
     backed by the pure-Python snapshot reader. Remote roots and non-Iceberg
@@ -2224,6 +2372,12 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _deletion_vectors_view(sess, root)
 
+    def _row_lineage(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _row_lineage_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
@@ -2235,6 +2389,7 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     out = _sub_outside_literals(_VIEW_VERSIONS_RE, _view_versions, out)
     out = _sub_outside_literals(_MATVIEW_STATUS_RE, _mv_status, out)
     out = _sub_outside_literals(_DVS_RE, _dvs, out)
+    out = _sub_outside_literals(_ROW_LINEAGE_RE, _row_lineage, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

@@ -124,6 +124,13 @@ _MANIFEST_SCHEMA = {
                         "name": "content_size_in_bytes",
                         "type": ["null", "long"],
                     },
+                    # v3 row lineage (r11): the row id of this data
+                    # file's first row — row N's id is first_row_id + N.
+                    # Null on non-lineage tables AND on rewritten
+                    # (compacted) files, whose rows carry a MATERIALIZED
+                    # _row_id parquet column instead (ids must survive
+                    # compaction; merged files are not contiguous).
+                    {"name": "first_row_id", "type": ["null", "long"]},
                 ],
             },
         },
@@ -173,6 +180,32 @@ def _default_single_value_json(v):
         f"unsupported column default {v!r}: only primitive defaults "
         "(bool/int/float/str/date/timestamp/decimal) are honored"
     )
+
+
+def _assign_row_ids(meta: dict, new_entries: list) -> "int | None":
+    """v3 row lineage (r11): on a lineage-carrying table (metadata has
+    ``next-row-id``), stamp each NEW content=0 manifest entry's
+    ``first_row_id`` from the table counter and advance it by the file's
+    record count — the spec's commit-time assignment. Returns the
+    snapshot's ``first-row-id`` (the counter before this commit), or
+    None for non-lineage tables. Entries already carrying a
+    ``first_row_id`` (an apply replaying preserved files) are left
+    alone."""
+    nri = meta.get("next-row-id")
+    if nri is None:
+        return None
+    mark = int(nri)
+    cur = mark
+    for e in new_entries:
+        df_ = e["data_file"]
+        if df_.get("content", 0) != 0:
+            continue
+        if df_.get("first_row_id") is not None:
+            continue
+        df_["first_row_id"] = cur
+        cur += int(df_.get("record_count") or 0)
+    meta["next-row-id"] = cur
+    return mark
 
 
 def _stat_str(v) -> str:
@@ -264,6 +297,7 @@ class LocalIcebergTable:
         arrow_schema: pa.Schema,
         uri_prefix: str = "file://",
         partition_by: "Optional[str | tuple[str, str]]" = None,
+        row_lineage: bool = False,
     ):
         self.root = root
         self.schema = arrow_schema
@@ -309,6 +343,12 @@ class LocalIcebergTable:
         # serialized as initial-default/write-default in the schema JSON.
         # Any entry forces format-version 3 on the next metadata write.
         self._defaults: dict[int, object] = {}
+        # v3 row lineage (r11): every appended data file gets a
+        # first_row_id; the table metadata tracks next-row-id; each
+        # snapshot records its first-row-id. Forces format-version 3.
+        self._row_lineage = bool(row_lineage)
+        self._next_row_id = 0
+        self._pending_row_mark: "int | None" = None
         # schema log: rename_column appends entries; current id = last
         self._schema_log: list[dict] = []
         self._extra_meta_versions = 0
@@ -432,6 +472,8 @@ class LocalIcebergTable:
                             },
                         )
                     )
+        if self._row_lineage and self._pending_row_mark is None:
+            self._pending_row_mark = self._next_row_id
         for t, pvals in parts:
             fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
             fpath = os.path.join(self.root, fname)
@@ -449,6 +491,11 @@ class LocalIcebergTable:
                 "null_value_counts": nulls,
                 "spec_id": self._default_spec_id,
             }
+            if self._row_lineage:
+                # spec assignment: file first_row_id = table next-row-id
+                # before the file, advanced by its record count
+                self._live[fpath]["first_row_id"] = self._next_row_id
+                self._next_row_id += t.num_rows
         return self._commit(timestamp_ms)
 
     def add_delete_file_snapshot(self, *, timestamp_ms: int) -> int:
@@ -729,6 +776,16 @@ class LocalIcebergTable:
             ],
         )
         n_deletes = len(self._delete_files)
+        row_mark = None
+        if self._row_lineage:
+            # the snapshot's first-row-id: where this commit's id block
+            # starts (== next-row-id when the commit added no rows)
+            row_mark = (
+                self._pending_row_mark
+                if self._pending_row_mark is not None
+                else self._next_row_id
+            )
+            self._pending_row_mark = None
         self._snapshots.append(
             {
                 "snapshot-id": snap_id,
@@ -752,6 +809,8 @@ class LocalIcebergTable:
                 },
             }
         )
+        if row_mark is not None:
+            self._snapshots[-1]["first-row-id"] = row_mark
         self._write_metadata_json(timestamp_ms)
         return snap_id
 
@@ -837,8 +896,10 @@ class LocalIcebergTable:
                 )
             spec_entries.append({"spec-id": sid, "fields": fields})
         meta = {
-            # column defaults are a v3-only schema feature
-            "format-version": 3 if self._defaults else 2,
+            # column defaults and row lineage are v3-only schema features
+            "format-version": (
+                3 if (self._defaults or self._row_lineage) else 2
+            ),
             "table-uuid": "00000000-0000-0000-0000-000000000000",
             "location": self._uri(self.root),
             "last-updated-ms": timestamp_ms,
@@ -850,6 +911,11 @@ class LocalIcebergTable:
                 self._schema_log[-1]["schema-id"] if self._schema_log else 0
             ),
             "schemas": self._schema_log or [self._iceberg_schema()],
+            **(
+                {"next-row-id": self._next_row_id}
+                if self._row_lineage
+                else {}
+            ),
             "snapshots": self._snapshots,
             "snapshot-log": [
                 {
@@ -1338,6 +1404,8 @@ _DATA_FILE_KEYS = (
     "referenced_data_file",
     "content_offset",
     "content_size_in_bytes",
+    # v3 row lineage (null on non-lineage tables / rewritten files)
+    "first_row_id",
 )
 
 
@@ -1619,6 +1687,7 @@ def commit_row_delta_snapshot(
                 },
             )
         )
+    row_mark = _assign_row_ids(meta, new_data)
 
     meta_dir = os.path.join(root, "metadata")
     manifests = []
@@ -1690,6 +1759,8 @@ def commit_row_delta_snapshot(
             },
         }
     )
+    if row_mark is not None:
+        snaps[-1]["first-row-id"] = row_mark
     meta["snapshots"] = snaps
     if ref is not None:
         meta.setdefault("refs", {})[ref] = {
@@ -1926,6 +1997,7 @@ def commit_deletion_vector_snapshot(
                 },
             )
         )
+    row_mark = _assign_row_ids(meta, new_data)
     mpath = os.path.join(
         meta_dir, f"manifest-dv-{uuid.uuid4().hex[:12]}.avro"
     )
@@ -1967,6 +2039,8 @@ def commit_deletion_vector_snapshot(
             },
         }
     )
+    if row_mark is not None:
+        snaps[-1]["first-row-id"] = row_mark
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
     _sync_main_ref(meta, snap_id)

@@ -465,6 +465,31 @@ def unsupported_v3_features(
     return out
 
 
+def row_lineage_available(
+    root: str, metadata_path: "Optional[str]" = None
+) -> bool:
+    """Does this table carry v3 row lineage (``next-row-id`` in the
+    table metadata)? Lineage-carrying tables expose ``_row_id`` through
+    ``iceberg_row_lineage()`` and let changelogs survive compaction."""
+    return (
+        load_metadata(root, metadata_path).get("next-row-id") is not None
+    )
+
+
+def first_row_ids(root: str, snapshot: dict) -> "dict[str, int | None]":
+    """Live data files' ``first_row_id`` keyed by path suffix under
+    ``data/`` — row N of a file has id ``first_row_id + N``. ``None``
+    for rewritten (compacted) files, whose rows carry a materialized
+    ``_row_id`` parquet column instead."""
+    out: dict = {}
+    for e in manifest_entries(root, snapshot):
+        f = e["data_file"]
+        if e["status"] == 2 or f.get("content", 0) != 0:
+            continue
+        out[f["file_path"].rsplit("/data/", 1)[-1]] = f.get("first_row_id")
+    return out
+
+
 def position_delete_records(root: str, snapshot: dict) -> list[dict]:
     """Live position-delete files WITH their commit sequence numbers:
     ``{"path", "seq"}`` — the ordering a changelog read needs to tell
@@ -896,6 +921,11 @@ def scan_groups(
         else meta.get("current-schema-id", 0)
     )
     evolved = len(schemas) > 1 or target_sid not in (0, None)
+    # row-lineage tables (r11) ALWAYS read under an explicit DDL: their
+    # rewritten (compacted) files carry a materialized ``_row_id``
+    # parquet column that a footer-inferred read would leak into the
+    # table's schema
+    lineage = meta.get("next-row-id") is not None
     hist = schema_name_history(root, metadata_path, schema_id=target_sid)
     fills = (
         schema_default_fills(meta, target_sid)
@@ -905,7 +935,7 @@ def scan_groups(
     if not hist and not fills:
         ddl = (
             current_schema_ddl(root, metadata_path, schema_id=target_sid)
-            if evolved
+            if (evolved or lineage)
             else None
         )
         return [(list(paths), {}, ddl, {})]

@@ -450,9 +450,22 @@ def compact_iceberg_table(
     live_bytes = sum(int(f.get("file_size_in_bytes", 0)) for f in live)
     n_out = max(1, -(-live_bytes // target_file_bytes))
 
-    df = sess.table(
-        _snapshot_view(sess, root, None, None, metadata_path=metadata_path)
-    )
+    if im.row_lineage_available(root, metadata_path):
+        # v3 row lineage (r11): a compaction is not a logical change —
+        # rewritten rows must KEEP their ids. Read with _row_id resolved
+        # (manifest first_row_id + position, or the previous rewrite's
+        # materialized column) and write it as a materialized parquet
+        # column; the rewritten entries carry no first_row_id and
+        # readers use the column.
+        df = row_lineage_scan(
+            sess, root, metadata_path=metadata_path, snapshot=snap
+        )
+    else:
+        df = sess.table(
+            _snapshot_view(
+                sess, root, None, None, metadata_path=metadata_path
+            )
+        )
     out_dir = os.path.join(root, "data", f"compact-{uuid.uuid4().hex[:8]}")
     from pyspark.sql import functions as F
 
@@ -775,6 +788,7 @@ def _mor_raw_scan(
     paths: list,
     *,
     metadata_path=None,
+    extra_footer_cols: "list[str] | None" = None,
 ):
     """Per-file scan for DML with the snapshot's row-level deletes applied
     — without this, a DML pass over a table that already carries delete
@@ -844,6 +858,13 @@ def _mor_raw_scan(
     for gpaths, renames, read_ddl, default_fills in groups:
         reader = spark.read
         if read_ddl is not None:
+            # extra_footer_cols (r11, row lineage): physical columns
+            # outside the table schema (the materialized ``_row_id`` of
+            # compacted files) — appended to the explicit DDL so files
+            # carrying them surface the values and files without read
+            # NULL (the caller coalesces with first_row_id + position)
+            for c in extra_footer_cols or []:
+                read_ddl = f"{read_ddl}, `{c}` BIGINT"
             reader = reader.schema(read_ddl)
         gdf = reader.parquet(*gpaths)
         # v3 initial-default: a DML pass must see (and REWRITE) the value
@@ -872,6 +893,87 @@ def _mor_raw_scan(
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+def row_lineage_scan(
+    spark: SparkSession,
+    root: str,
+    *,
+    metadata_path=None,
+    snapshot: "dict | None" = None,
+):
+    """v3 ROW LINEAGE read (r11, VERDICT r10 #5): the MOR-applied table
+    plus ``_row_id`` — a row's id is its file's ``first_row_id`` +
+    position, or the MATERIALIZED ``_row_id`` parquet column for
+    rewritten (compacted) files, which is how ids survive compaction.
+
+    Scale shape: the id is computed from a broadcast (file-count-sized)
+    suffix→first_row_id map joined against the scan's per-file
+    coordinates — no shuffle of table rows, no extra IO beyond the
+    footer-name reads the lineage validation needs (cached per
+    immutable file)."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta_path = metadata_path or im.latest_metadata_path(root)
+    if not im.row_lineage_available(root, meta_path):
+        raise ValueError(
+            f"row_lineage_scan: {root} carries no row lineage "
+            "(no next-row-id in the table metadata)"
+        )
+    snap = snapshot or im.resolve_snapshot(root, metadata_path=meta_path)
+    paths = im.live_data_paths(root, snap)
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            im.current_schema_ddl(root, meta_path) + ", _row_id BIGINT",
+        )
+    firsts = im.first_row_ids(root, snap)
+    by_sfx = {p.rsplit("/data/", 1)[-1]: p for p in paths}
+    holes = [
+        sfx
+        for sfx, fr in firsts.items()
+        if fr is None
+        and sfx in by_sfx
+        and "_row_id" not in im.parquet_column_names(by_sfx[sfx])
+    ]
+    if holes:
+        raise ValueError(
+            "row_lineage_scan: data file(s) carry neither a manifest "
+            f"first_row_id nor a materialized _row_id column: {holes}"
+        )
+    df = _mor_raw_scan(
+        spark, root, snap, paths,
+        metadata_path=meta_path, extra_footer_cols=["_row_id"],
+    )
+    pairs = [(s, f) for s, f in firsts.items() if f is not None]
+    df = df.withColumn(
+        "__rl_sfx", F.substring_index(F.col(_FP), "/data/", -1)
+    )
+    if pairs:
+        fmap = spark.createDataFrame(
+            pairs, "__rl_msfx STRING, __rl_first BIGINT"
+        )
+        df = df.join(
+            F.broadcast(fmap),
+            F.col("__rl_sfx") == F.col("__rl_msfx"),
+            "left",
+        )
+    else:
+        df = df.withColumn("__rl_first", F.lit(None).cast("bigint"))
+    out_cols = [
+        c
+        for c in df.columns
+        if c
+        not in (_FP, _POS, "_row_id", "__rl_sfx", "__rl_msfx", "__rl_first")
+    ]
+    return df.select(
+        *out_cols,
+        F.coalesce(
+            F.col("_row_id"), F.col("__rl_first") + F.col(_POS)
+        ).alias("_row_id"),
+    )
 
 
 def _sql_literal(v) -> "str | None":

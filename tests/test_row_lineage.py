@@ -1,0 +1,239 @@
+"""Iceberg v3 ROW LINEAGE (r11, VERDICT r10 #5): commits assign
+``first_row_id`` per data file and maintain the table's ``next-row-id``;
+``iceberg_row_lineage('<root>')`` exposes ``_row_id`` (file
+first_row_id + position, or the materialized ``_row_id`` column of
+rewritten files); ids are STABLE ACROSS COMPACTION — the spec's whole
+point — which lets ``iceberg_cdc`` track net changes across ranges that
+rewrite files, where the coordinate diff is undefined."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+from cloudfloe_spark.sources.maintenance import (
+    compact_iceberg_table,
+    delete_where,
+    row_lineage_scan,
+    update_where,
+)
+
+T1 = 1700000000000
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _rows(spark, sql):
+    return [tuple(r) for r in run_query(spark, sql, _cfg()).rows]
+
+
+@pytest.fixture()
+def lineage_table(tmp_path):
+    root = str(tmp_path / "t")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        row_lineage=True,
+    )
+    t.append_snapshot(
+        [
+            pa.table({"id": [0, 1, 2], "v": list("abc")}),
+            pa.table({"id": [3, 4], "v": list("de")}),
+        ],
+        timestamp_ms=T1,
+    )
+    return root, t
+
+
+def test_commit_assigns_first_row_ids(lineage_table):
+    root, t = lineage_table
+    meta = im.load_metadata(root)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 5
+    assert meta["snapshots"][-1]["first-row-id"] == 0
+    snap = im.resolve_snapshot(root)
+    firsts = sorted(im.first_row_ids(root, snap).values())
+    assert firsts == [0, 3]  # two files, contiguous id blocks
+    # a second append continues the counter and stamps the snapshot
+    t.append_snapshot([pa.table({"id": [5], "v": ["f"]})], timestamp_ms=T1 + 1000)
+    meta2 = im.load_metadata(root)
+    assert meta2["next-row-id"] == 6
+    assert meta2["snapshots"][-1]["first-row-id"] == 5
+
+
+def test_row_lineage_scan_and_dml_fresh_ids(spark, lineage_table):
+    root, _ = lineage_table
+    got = _rows(
+        spark,
+        f"SELECT id, _row_id FROM iceberg_row_lineage('{root}') ORDER BY id",
+    )
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+    # DML: the delete retracts an id; the update's rewritten row gets a
+    # FRESH id (this engine does not carry ids through row mutation)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 2000)
+    got2 = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    assert got2 == [(0, "a", 0), (2, "c", 2), (3, "D", 5), (4, "e", 4)]
+    assert im.load_metadata(root)["next-row-id"] == 6
+
+
+def test_row_ids_stable_across_compaction(spark, lineage_table):
+    """The spec's whole point: compaction is not a logical change, so
+    every surviving row keeps its id — through TWO rounds (the second
+    rewrite must carry the first's materialized column forward)."""
+    root, _ = lineage_table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 2000)
+    before = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    res = compact_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    assert res["files_after"] < res["files_before"]
+    after = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    assert after == before
+    # the compacted file carries a materialized _row_id column, and the
+    # NORMAL scan must not leak it
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    assert any("_row_id" in im.parquet_column_names(p) for p in paths)
+    plain = run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
+    assert plain.columns == ["id", "v"]
+    # round 2: DML then compact again — ids still stable
+    update_where(spark, root, "id = 0", {"v": "'A'"}, timestamp_ms=T1 + 4000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 5000)
+    final = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    assert final == [(0, "A", 6), (2, "c", 2), (3, "D", 5), (4, "e", 4)]
+
+
+def test_cdc_by_row_id_matches_cdc_by_coordinates(spark, lineage_table):
+    """The verdict's bar: on the same logical history, the row-id diff
+    (used when a compaction makes coordinates undefined) emits exactly
+    the changelog the coordinate diff emits — the compaction itself
+    contributes nothing."""
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 2000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    by_coords = sorted(
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    )
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    s2 = im.resolve_snapshot(root)["snapshot-id"]
+    # compaction-only range: zero net changes
+    assert _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s1}, {s2})") == []
+    # range crossing the compaction: row-id netting reproduces the
+    # coordinate changelog exactly
+    by_rid = sorted(
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s2})")
+    )
+    assert by_rid == by_coords
+    assert sorted(r[2] for r in by_rid) == [
+        "delete", "delete", "insert",
+    ]  # id=1 delete; id=3 delete+insert
+    # identifier-column pairing works across the rewrite too
+    paired = _rows(
+        spark,
+        f"SELECT id, v, _change_type "
+        f"FROM iceberg_cdc('{root}', {s0}, {s2}, 'id') ORDER BY id, v",
+    )
+    assert paired == [
+        (1, "b", "delete"),
+        (3, "D", "update_postimage"),
+        (3, "d", "update_preimage"),
+    ]
+
+
+def test_cdc_with_dml_after_compaction_in_range(spark, lineage_table):
+    """DMLs on BOTH sides of a compaction inside one range: the rewrite
+    cancels, both DMLs surface."""
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id = 4", timestamp_ms=T1 + 1000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    update_where(spark, root, "id = 2", {"v": "'C'"}, timestamp_ms=T1 + 3000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = sorted(
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    )
+    assert got == [
+        (2, "C", "insert"),
+        (2, "c", "delete"),
+        (4, "e", "delete"),
+    ]
+
+
+def test_cdc_compaction_without_lineage_still_refuses(spark, tmp_path):
+    root = str(tmp_path / "nolineage")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    assert ei.value.status_code == 400
+    assert "row lineage" in str(ei.value)
+
+
+def test_row_lineage_fn_rejects_non_lineage_table(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_row_lineage('{root}')")
+    assert ei.value.status_code == 400
+    assert "no row lineage" in str(ei.value)
+
+
+def test_lineage_composes_with_deletion_vectors(spark, lineage_table):
+    """Lineage tables are v3, so their MOR deletes land as deletion
+    vectors — the lineage scan applies them, and a DV commit only
+    advances next-row-id by its NEW data files."""
+    root, _ = lineage_table
+    nri = im.load_metadata(root)["next-row-id"]
+    delete_where(spark, root, "id IN (0, 4)", timestamp_ms=T1 + 1000)
+    snap = im.resolve_snapshot(root)
+    assert im.deletion_vector_records(root, snap)  # v3 MOR delete
+    assert im.load_metadata(root)["next-row-id"] == nri  # no new rows
+    got = _rows(
+        spark,
+        f"SELECT id, _row_id FROM iceberg_row_lineage('{root}') ORDER BY id",
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_lineage_scan_empty_after_full_delete(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64())]), row_lineage=True
+    )
+    t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    df = row_lineage_scan(spark, root)
+    assert "_row_id" in df.columns and df.count() == 1
