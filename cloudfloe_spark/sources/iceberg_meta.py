@@ -461,7 +461,23 @@ def unsupported_v3_features(
                 )
             t = f.get("type")
             if isinstance(t, str) and t in _V3_UNSUPPORTED_TYPES:
-                out.append(f"v3 type {t!r} on column {f.get('name')!r}")
+                if t == "variant":
+                    # r11 scoping spike (COVERAGE.md "Variant (v3) —
+                    # scoping note"): name the gap precisely
+                    out.append(
+                        f"variant type on column {f.get('name')!r} — "
+                        "reading variant requires the variant binary "
+                        "decoder (metadata dictionary + recursive value "
+                        "encoding) and, for shredded columns, "
+                        "typed_value reassembly; neither is implemented "
+                        "(see COVERAGE.md, 'Variant (v3) — scoping "
+                        "note'). Cast the column to a supported type or "
+                        "drop it from the query's table"
+                    )
+                else:
+                    out.append(
+                        f"v3 type {t!r} on column {f.get('name')!r}"
+                    )
     return out
 
 
