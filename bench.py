@@ -159,6 +159,12 @@ HEADLINE = [
     # read (Puffin → roaring bitmap → anti-join on every scan).
     "iceberg_matview_join_both_moved",
     "iceberg_v3_dv_scan",
+    # Round-11 breadth: the v3 defaults read (per-group fill literals over
+    # files that predate the column) and the row-lineage changelog read
+    # across a whole-table compaction (rid-keyed net diff; fixture DML +
+    # compaction happen in the untimed warm-up build).
+    "iceberg_v3_defaults_scan",
+    "iceberg_cdc_lineage_compaction",
 ]
 
 

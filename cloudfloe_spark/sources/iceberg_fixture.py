@@ -208,6 +208,17 @@ def _assign_row_ids(meta: dict, new_entries: list) -> "int | None":
     return mark
 
 
+def _stamp_row_lineage(snap: dict, mark: "int | None", nri: int) -> None:
+    """Record the commit's row-id block on its snapshot: ``first-row-id``
+    plus an ``assigned-rows`` summary — what lets a REST catalog server
+    (``rest_catalog.apply_table_updates``) recompute ``next-row-id`` as
+    server-side bookkeeping instead of the client posting it."""
+    if mark is None:
+        return
+    snap["first-row-id"] = mark
+    snap.setdefault("summary", {})["assigned-rows"] = str(nri - mark)
+
+
 def _stat_str(v) -> str:
     """Stringify a bound value so the reader's domain parsers
     (partition_pruning._parse_date/_parse_ts, int()/float()) round-trip it
@@ -810,7 +821,9 @@ class LocalIcebergTable:
             }
         )
         if row_mark is not None:
-            self._snapshots[-1]["first-row-id"] = row_mark
+            _stamp_row_lineage(
+                self._snapshots[-1], row_mark, self._next_row_id
+            )
         self._write_metadata_json(timestamp_ms)
         return snap_id
 
@@ -1759,8 +1772,7 @@ def commit_row_delta_snapshot(
             },
         }
     )
-    if row_mark is not None:
-        snaps[-1]["first-row-id"] = row_mark
+    _stamp_row_lineage(snaps[-1], row_mark, int(meta.get("next-row-id") or 0))
     meta["snapshots"] = snaps
     if ref is not None:
         meta.setdefault("refs", {})[ref] = {
@@ -2039,8 +2051,7 @@ def commit_deletion_vector_snapshot(
             },
         }
     )
-    if row_mark is not None:
-        snaps[-1]["first-row-id"] = row_mark
+    _stamp_row_lineage(snaps[-1], row_mark, int(meta.get("next-row-id") or 0))
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
     _sync_main_ref(meta, snap_id)

@@ -248,6 +248,19 @@ def apply_table_updates(meta: dict, updates: list[dict]) -> dict:
             if s.get("snapshot-id") not in by_id:
                 snaps.append(copy.deepcopy(s))
                 by_id[s.get("snapshot-id")] = s
+                # v3 row lineage (r11): next-row-id is SERVER bookkeeping
+                # — advance it from the snapshot's assigned id block
+                # (first-row-id + assigned-rows summary), mirroring how
+                # the spec's catalog maintains the counter on commit
+                fr = s.get("first-row-id")
+                if fr is not None:
+                    assigned = int(
+                        (s.get("summary") or {}).get("assigned-rows") or 0
+                    )
+                    out["next-row-id"] = max(
+                        int(out.get("next-row-id") or 0),
+                        int(fr) + assigned,
+                    )
         elif action == "remove-snapshots":
             gone = set(u.get("snapshot-ids") or [])
             out["snapshots"] = snaps = [
@@ -319,6 +332,7 @@ def _norm_for_compare(meta: dict) -> dict:
             "metadata-log",
             "last-sequence-number",
             "snapshot-log",  # maintained by set-snapshot-ref application
+            "next-row-id",  # v3 row lineage: advanced on add-snapshot
         )
     }
     # refs: main mirrors current-snapshot-id; normalize its presence

@@ -882,6 +882,139 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     res = delete_where(spark, root3, "id < 500", timestamp_ms=_T0 + 1000)
     timings["v3_dv_delete_point"] = round(time.perf_counter() - t0, 3)
     assert res.get("deletion_vectors"), res
+
+    # (j) STREAMING matview follower, AGG shape (r11, VERDICT r10 #3):
+    # the base grows 16n files; after a fixed-size point DML, ONE
+    # follower drain applies the epoch through the pinned-range
+    # incremental machinery — the epoch cost must track the delta
+    # (touched-group recompute bounded by key [min,max]), ~flat, plus
+    # the fixed streaming-query startup.
+    from cloudfloe_spark.streaming.matview_follow import (
+        follow_materialized_view,
+    )
+
+    parent, mroot = build_mv_table("fol")
+    create_iceberg_view(
+        os.path.join(parent, "v"),
+        f"SELECT g, COUNT(*) AS n_rows, SUM(v) AS sum_v "
+        f"FROM iceberg_scan('{mroot}') GROUP BY g",
+        timestamp_ms=_T0 + 500,
+    )
+    materialize_iceberg_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        timestamp_ms=_T0 + 600,
+    )
+    delete_where(spark, mroot, "id < 1000", timestamp_ms=_T0 + 1000)
+    t0 = time.perf_counter()
+    fstats = follow_materialized_view(
+        spark, os.path.join(parent, "v"), os.path.join(parent, "mv"),
+        checkpoint_dir=os.path.join(parent, "ck"),
+        timestamp_ms=_T0 + 2000,
+    )
+    timings["matview_follow_agg_epoch"] = round(time.perf_counter() - t0, 3)
+    assert fstats["paths"] == ["incremental-agg"], fstats
+
+    # (k) v3 READ-SIDE DEFAULTS scan (r11, VERDICT r10 #4): every file
+    # predates the defaulted column, so the whole scan pays the fill —
+    # which is a constant literal folded into codegen; the aggregate
+    # must scale exactly like the plain scan (scan-linear, overhead-
+    # dominated at these sizes), with no per-row Python anywhere.
+    import pyarrow as pa_
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable as _LIT,
+    )
+
+    droot2 = os.path.join(out_dir, f"defaults_x{n}", "t")
+    shutil.rmtree(os.path.dirname(droot2), ignore_errors=True)
+    dt2 = _LIT(
+        droot2, pa_.schema([("id", pa_.int64()), ("v", pa_.float64())])
+    )
+    import numpy as np_
+
+    dt2.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _CDC_FILE_ROWS,
+                        (j + 1) * _CDC_FILE_ROWS,
+                        dtype="int64",
+                    ),
+                    "v": np_.zeros(_CDC_FILE_ROWS),
+                }
+            )
+            for j in range(_CDC_BASE_FILES * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    dt2.add_column("tier", pa_.int32(), timestamp_ms=_T0 + 500, default=3)
+    run_query(  # warm plan/codegen for the filled scan shape
+        spark,
+        f"SELECT tier, COUNT(*) AS c FROM iceberg_scan('{droot2}') "
+        "GROUP BY tier",
+        cfg,
+    )
+    t0 = time.perf_counter()
+    out = run_query(
+        spark,
+        f"SELECT tier, COUNT(*) AS c, SUM(v) AS s "
+        f"FROM iceberg_scan('{droot2}') GROUP BY tier",
+        cfg,
+    )
+    timings["v3_defaults_scan_agg"] = round(time.perf_counter() - t0, 3)
+    assert out.rows and out.rows[0][0] == 3, out.rows
+
+    # (l) CDC ACROSS COMPACTION via row lineage (r11, VERDICT r10 #5):
+    # a lineage table (16n files) takes a point delete, then a WHOLE-
+    # TABLE compaction; the timed read is iceberg_cdc over the full
+    # range — the rid-keyed net diff. Expected ~LINEAR in n: the diff is
+    # sized by the REWRITTEN set, which here is the whole table — the
+    # documented, honest price of crossing a compaction (a DML-only
+    # range on the same table stays flat via the coordinate path, row
+    # `cdc_after_point_delete`).
+    from cloudfloe_spark.sources import iceberg_meta as _im
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table as _compact,
+    )
+
+    lroot = os.path.join(out_dir, f"lineage_x{n}", "t")
+    shutil.rmtree(os.path.dirname(lroot), ignore_errors=True)
+    lt = _LIT(
+        lroot,
+        pa_.schema([("id", pa_.int64()), ("v", pa_.float64())]),
+        row_lineage=True,
+    )
+    lt.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _CDC_FILE_ROWS,
+                        (j + 1) * _CDC_FILE_ROWS,
+                        dtype="int64",
+                    ),
+                    "v": np_.zeros(_CDC_FILE_ROWS),
+                }
+            )
+            for j in range(_CDC_BASE_FILES * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    s0_l = _im.resolve_snapshot(lroot)["snapshot-id"]
+    delete_where(spark, lroot, "id < 500", timestamp_ms=_T0 + 1000)
+    _compact(spark, lroot, timestamp_ms=_T0 + 2000)
+    cur_l = _im.resolve_snapshot(lroot)["snapshot-id"]
+    t0 = time.perf_counter()
+    out = run_query(
+        spark,
+        f"SELECT COUNT(*) AS c FROM iceberg_cdc('{lroot}', {s0_l}, {cur_l})",
+        cfg,
+    )
+    timings["cdc_lineage_across_compaction"] = round(
+        time.perf_counter() - t0, 3
+    )
+    assert out.rows[0][0] == 500, out.rows
     return timings
 
 

@@ -734,3 +734,55 @@ def test_rest_bound_v3_dv_commit_upgrades_format(spark, bound_table):
         _cfg(endpoint),
     )
     assert [r[0] for r in resp.rows] == [3, 4]
+
+
+def test_rest_bound_row_lineage_commits_advance_next_row_id(
+    spark, rest_stub, tmp_path
+):
+    """v3 ROW LINEAGE through the catalog (r11): next-row-id is SERVER
+    bookkeeping — each add-snapshot carries its first-row-id +
+    assigned-rows summary and the server advances the counter, so
+    commits on a REST-bound lineage table are expressible (previously
+    the derivation would have raised 'not expressible') and fresh ids
+    never collide across commits."""
+    from cloudfloe_spark.sources import iceberg_meta as im2
+    from cloudfloe_spark.sources.maintenance import (
+        row_lineage_scan,
+        update_where,
+    )
+    from cloudfloe_spark.sources.rest_catalog import (
+        bind_rest_table,
+        unbind_rest_table,
+    )
+
+    endpoint, state = rest_stub
+    root = str(tmp_path / "rl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        row_lineage=True,
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})],
+        timestamp_ms=T1,
+    )
+    assert im2.load_metadata(root)["next-row-id"] == 3
+    _register(state, root, tbl="rl")
+    client = RestCatalogClient(endpoint, "tenant_a:secret_a")
+    bind_rest_table(root, client, "demo", "rl")
+    try:
+        res = update_where(
+            spark, root, "id = 2", {"v": "'B'"}, timestamp_ms=T1 + 1000
+        )
+        assert res["matched"] == 1 and state.commits == 1
+        # the catalog-materialized metadata carries the advanced counter
+        loc = client.metadata_location("demo", "rl")
+        meta = json.load(open(loc.removeprefix("file://")))
+        assert meta["next-row-id"] == 4
+        got = sorted(
+            (r["id"], r["v"], r["_row_id"])
+            for r in row_lineage_scan(spark, root).collect()
+        )
+        assert got == [(1, "a", 0), (2, "B", 3), (3, "c", 2)]
+    finally:
+        unbind_rest_table(root)
