@@ -237,3 +237,70 @@ def test_lineage_scan_empty_after_full_delete(spark, tmp_path):
     t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
     df = row_lineage_scan(spark, root)
     assert "_row_id" in df.columns and df.count() == 1
+
+
+def test_lineage_composes_with_defaults_and_compaction(spark, tmp_path):
+    """The r11 features composed on ONE table: row lineage + a defaulted
+    column added mid-history + DV deletes + compaction. After the
+    rewrite, the compacted files carry BOTH the materialized _row_id and
+    the (previously filled) default values; every surviving row keeps
+    its id and its logical column values; the normal scan stays clean."""
+    import pyarrow as pa2
+
+    root = str(tmp_path / "combo")
+    t = LocalIcebergTable(
+        root,
+        pa2.schema([("id", pa2.int64()), ("v", pa2.string())]),
+        row_lineage=True,
+    )
+    t.append_snapshot(
+        [pa2.table({"id": [0, 1, 2, 3], "v": list("abcd")})],
+        timestamp_ms=T1,
+    )
+    t.add_column("flag", pa2.int32(), timestamp_ms=T1 + 100, default=7)
+    t.append_snapshot(  # post-default rows, explicit values
+        [pa2.table({"id": [4, 5], "v": list("ef"), "flag": [1, 2]})],
+        timestamp_ms=T1 + 200,
+    )
+    # condition reads the FILLED column; commits DVs (v3)
+    delete_where(spark, root, "flag = 7 AND id = 1", timestamp_ms=T1 + 300)
+    before = _rows(
+        spark,
+        f"SELECT id, v, flag, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    assert before == [
+        (0, "a", 7, 0), (2, "c", 7, 2), (3, "d", 7, 3),
+        (4, "e", 1, 4), (5, "f", 2, 5),
+    ]
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 400)
+    after = _rows(
+        spark,
+        f"SELECT id, v, flag, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    assert after == before
+    # the rewritten files MATERIALIZE the default (the fill rule no
+    # longer applies to them — they contain the column)
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    assert all("flag" in im.parquet_column_names(p) for p in paths)
+    plain = run_query(
+        spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg()
+    )
+    assert plain.columns == ["id", "v", "flag"]
+    # and the lineage CDC across the whole history (add-column + DV
+    # delete + compaction in range) nets to exactly the logical change
+    s_first = im.load_metadata(root)["snapshots"][0]["snapshot-id"]
+    cur = im.resolve_snapshot(root)["snapshot-id"]
+    changes = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, flag, _change_type "
+            f"FROM iceberg_cdc('{root}', {s_first}, {cur})",
+        )
+    )
+    assert changes == [
+        (1, "b", 7, "delete"),
+        (4, "e", 1, "insert"),
+        (5, "f", 2, "insert"),
+    ]
