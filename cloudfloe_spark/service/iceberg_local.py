@@ -1106,7 +1106,18 @@ def _cdc_frame(
         keys = (
             [k.strip() for k in key_cols.split(",")] if key_cols else []
         )
-        if keys:
+        if keys == ["_row_id"]:
+            # lineage-native identifier (r11): valid only on the row-id
+            # diff path — on a coordinate-consistent range the rid is
+            # never computed (and pre-lineage tables have none)
+            if not lineage_mode:
+                raise bad_request(
+                    "iceberg_cdc: '_row_id' identifier pairing runs on "
+                    "the row-lineage diff (a range whose files were "
+                    "rewritten, on a lineage-carrying table) — pass "
+                    "column identifiers for coordinate-consistent ranges"
+                )
+        elif keys:
             schema_cols = set(
                 im.schema_column_types(root, metadata_path)
             )
@@ -1377,12 +1388,35 @@ def _cdc_frame(
                 .select(*lin_cols, "__cdc_rid")
                 .withColumn("__cdc_sign", F.lit(1))
             )
-        # (rid, row)-keyed netting: a compaction's moved rows cancel
-        # exactly (same id, same values); a genuine change keeps its
-        # sign. Each rid appears at most once per side, so |net| <= 1.
+        # ℤ-weighted MULTISET netting by row VALUES: a rewrite's
+        # carry-over rows cancel whether their ids were preserved
+        # (compaction materializes _row_id) or freshly assigned (a COW
+        # update's untouched co-located rows) — net row-level semantics
+        # care about the multiset, not row identity. |net| > 1 (several
+        # identical rows deleted/added) expands to that many rows, so
+        # duplicate-carrying tables replay exactly. Row ids still ride
+        # along where they are UNAMBIGUOUS (exactly one candidate on the
+        # surviving side): with carried-through ids they let update
+        # images pair WITHOUT identifier columns below.
+        pos_rid = F.max(
+            F.when(F.col("__cdc_sign") > 0, F.col("__cdc_rid"))
+        )
+        neg_rid = F.max(
+            F.when(F.col("__cdc_sign") < 0, F.col("__cdc_rid"))
+        )
         net = (
-            combined.groupBy("__cdc_rid", *lin_cols)
-            .agg(F.sum("__cdc_sign").alias("__cdc_net"))
+            combined.groupBy(*lin_cols)
+            .agg(
+                F.sum("__cdc_sign").alias("__cdc_net"),
+                F.count(
+                    F.when(F.col("__cdc_sign") > 0, F.lit(1))
+                ).alias("__cdc_np"),
+                F.count(
+                    F.when(F.col("__cdc_sign") < 0, F.lit(1))
+                ).alias("__cdc_nn"),
+                pos_rid.alias("__cdc_rid_pos"),
+                neg_rid.alias("__cdc_rid_neg"),
+            )
             .filter(F.col("__cdc_net") != 0)
         )
         df = net.select(
@@ -1390,9 +1424,28 @@ def _cdc_frame(
             F.when(F.col("__cdc_net") > 0, F.lit("insert"))
             .otherwise(F.lit("delete"))
             .alias("_change_type"),
-        )
-        if keys:
-            df = _pair_update_images(df, keys)
+            F.when(
+                (F.col("__cdc_net") == 1) & (F.col("__cdc_np") == 1),
+                F.col("__cdc_rid_pos"),
+            )
+            .when(
+                (F.col("__cdc_net") == -1) & (F.col("__cdc_nn") == 1),
+                F.col("__cdc_rid_neg"),
+            )
+            .alias("__cdc_rid"),
+            F.explode(
+                F.sequence(F.lit(1), F.abs(F.col("__cdc_net")))
+            ).alias("__cdc_dup"),
+        ).drop("__cdc_dup")
+        if keys == ["_row_id"]:
+            # lineage-native pairing: the row id IS the identifier —
+            # update images pair across the rewrite with no user keys
+            # (the MOR update/merge rewrites carry source ids forward)
+            df = _pair_update_images_by_rid(df)
+        elif keys:
+            df = _pair_update_images(df.drop("__cdc_rid"), keys)
+        else:
+            df = df.drop("__cdc_rid")
         return df
 
     if parts:
@@ -1406,6 +1459,45 @@ def _cdc_frame(
     if keys and parts:
         df = _pair_update_images(df, keys)
     return df
+
+
+def _pair_update_images_by_rid(df):
+    """Lineage-native update pairing (r11): a retraction and an
+    insertion carrying the SAME row id are one update — the pairing v3
+    row lineage exists to enable, with no identifier columns needed.
+    Only rows whose net group had an unambiguous surviving candidate
+    carry a rid (others are NULL and never equi-match). Ids collide
+    across the two sides only when a write path carried them through a
+    row mutation (the MOR update/merge rewrites do); fresh-id engines
+    simply get no pairs, and the plain labels stand."""
+    from pyspark.sql import functions as F
+
+    cnt = (
+        df.filter(F.col("__cdc_rid").isNotNull())
+        .groupBy("__cdc_rid")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).alias("__cdc_rni"),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            ).alias("__cdc_rnd"),
+        )
+    )
+    return (
+        df.join(cnt, "__cdc_rid", "left")
+        .withColumn(
+            "_change_type",
+            F.when(
+                (F.col("__cdc_rni") == 1) & (F.col("__cdc_rnd") == 1),
+                F.when(
+                    F.col("_change_type") == "delete",
+                    F.lit("update_preimage"),
+                ).otherwise(F.lit("update_postimage")),
+            ).otherwise(F.col("_change_type")),
+        )
+        .drop("__cdc_rid", "__cdc_rni", "__cdc_rnd")
+    )
 
 
 def _pair_update_images(df, keys: list):

@@ -895,6 +895,45 @@ def _mor_raw_scan(
     return df
 
 
+def _with_source_row_ids(spark: SparkSession, root: str, snap: dict, df):
+    """Resolve each row's CURRENT row id onto a ``_mor_raw_scan``-shaped
+    frame (``_FP``/``_POS`` coordinates plus, on lineage tables, the
+    rewritten files' materialized ``_row_id`` column) as
+    ``__cf_src_rid`` — one broadcast (file-count-sized) map join, zero
+    row shuffle."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    firsts = im.first_row_ids(root, snap)
+    pairs = [(s, f) for s, f in firsts.items() if f is not None]
+    out = df.withColumn(
+        "__cf_src_sfx", F.substring_index(F.col(_FP), "/data/", -1)
+    )
+    if pairs:
+        fmap = spark.createDataFrame(
+            pairs, "__cf_src_msfx STRING, __cf_src_first BIGINT"
+        )
+        out = out.join(
+            F.broadcast(fmap),
+            F.col("__cf_src_sfx") == F.col("__cf_src_msfx"),
+            "left",
+        )
+    else:
+        out = out.withColumn(
+            "__cf_src_first", F.lit(None).cast("bigint")
+        )
+    rid = F.col("__cf_src_first") + F.col(_POS)
+    if "_row_id" in df.columns:
+        rid = F.coalesce(F.col("_row_id"), rid)
+    return out.withColumn("__cf_src_rid", rid.cast("bigint"))
+
+
+_RID_HELPER_COLS = (
+    "__cf_src_sfx", "__cf_src_msfx", "__cf_src_first", "__cf_src_rid",
+)
+
+
 def row_lineage_scan(
     spark: SparkSession,
     root: str,
@@ -947,32 +986,14 @@ def row_lineage_scan(
         spark, root, snap, paths,
         metadata_path=meta_path, extra_footer_cols=["_row_id"],
     )
-    pairs = [(s, f) for s, f in firsts.items() if f is not None]
-    df = df.withColumn(
-        "__rl_sfx", F.substring_index(F.col(_FP), "/data/", -1)
-    )
-    if pairs:
-        fmap = spark.createDataFrame(
-            pairs, "__rl_msfx STRING, __rl_first BIGINT"
-        )
-        df = df.join(
-            F.broadcast(fmap),
-            F.col("__rl_sfx") == F.col("__rl_msfx"),
-            "left",
-        )
-    else:
-        df = df.withColumn("__rl_first", F.lit(None).cast("bigint"))
+    df = _with_source_row_ids(spark, root, snap, df)
     out_cols = [
         c
         for c in df.columns
-        if c
-        not in (_FP, _POS, "_row_id", "__rl_sfx", "__rl_msfx", "__rl_first")
+        if c not in (_FP, _POS, "_row_id") and c not in _RID_HELPER_COLS
     ]
     return df.select(
-        *out_cols,
-        F.coalesce(
-            F.col("_row_id"), F.col("__rl_first") + F.col(_POS)
-        ).alias("_row_id"),
+        *out_cols, F.col("__cf_src_rid").alias("_row_id")
     )
 
 
@@ -1296,8 +1317,19 @@ def _cow_dml(
     def _key(p: str) -> str:
         return p.rsplit("/data/", 1)[-1]
 
-    df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
-    data_cols = [c for c in df.columns if c not in (_FP, _POS)]
+    lineage = (
+        im.load_metadata(root, meta_path).get("next-row-id") is not None
+    )
+    extra = ["_row_id"] if lineage else None
+    df = _mor_raw_scan(
+        spark, root, snap, paths,
+        metadata_path=meta_path, extra_footer_cols=extra,
+    )
+    data_cols = [
+        c
+        for c in df.columns
+        if c not in (_FP, _POS) and not (lineage and c == "_row_id")
+    ]
     if assignments:
         bad = sorted(set(assignments) - set(data_cols))
         if bad:
@@ -1323,24 +1355,37 @@ def _cow_dml(
     if total_affected is not None:
         n_out = total_affected - (n if assignments is None else 0)
 
-    df2 = _mor_raw_scan(spark, root, snap, affected, metadata_path=meta_path)
+    df2 = _mor_raw_scan(
+        spark, root, snap, affected,
+        metadata_path=meta_path, extra_footer_cols=extra,
+    )
     cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    out_cols = (
+        [F.col(c) for c in data_cols]
+        if assignments is None
+        else [
+            F.when(
+                cond,
+                F.expr(assignments[c]).cast(df2.schema[c].dataType),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in data_cols
+        ]
+    )
+    if lineage:
+        # v3 row lineage (r11): a COW rewrite is a PHYSICAL move for the
+        # unmatched co-located rows and a carried-id update for the
+        # matched ones — every rewritten row materializes its source id
+        # (carry-over rows MUST keep theirs; the spec's whole point)
+        df2 = _with_source_row_ids(spark, root, snap, df2)
+        out_cols = out_cols + [F.col("__cf_src_rid").alias("_row_id")]
     if assignments is None:
-        rewritten = df2.filter(~cond).select(*data_cols)
+        rewritten = df2.filter(~cond).select(*out_cols)
     else:
-        rewritten = df2.select(
-            *[
-                F.when(
-                    cond,
-                    F.expr(assignments[c]).cast(df2.schema[c].dataType),
-                )
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in data_cols
-            ]
-        )
+        rewritten = df2.select(*out_cols)
     out_dir = os.path.join(
         root, "data", f"cow-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
     )
@@ -1601,10 +1646,19 @@ def update_where(
             meta_path=meta_path, snap=snap, paths=paths, n_live=n_live,
             ref=ref,
         )
-    fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
+    meta_now = im.load_metadata(root, meta_path)
+    fv = int(meta_now.get("format-version") or 1)
+    lineage = meta_now.get("next-row-id") is not None
 
-    df = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
-    data_cols = [c for c in df.columns if c not in (_FP, _POS)]
+    df = _mor_raw_scan(
+        spark, root, snap, paths, metadata_path=meta_path,
+        extra_footer_cols=["_row_id"] if lineage else None,
+    )
+    data_cols = [
+        c
+        for c in df.columns
+        if c not in (_FP, _POS) and not (lineage and c == "_row_id")
+    ]
     bad = sorted(set(assignments) - set(data_cols))
     if bad:
         raise ValueError(f"update_where: unknown columns in SET: {bad}")
@@ -1654,14 +1708,22 @@ def update_where(
         upd_dir = os.path.join(
             root, "data", f"update-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
         )
-        rewritten = matches.select(
-            *[
-                F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in data_cols
-            ]
-        )
+        out_cols = [
+            F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in data_cols
+        ]
+        src = matches
+        if lineage:
+            # v3 row lineage (r11): an UPDATE carries the row's id
+            # forward — the rewritten rows materialize their SOURCE
+            # _row_id (the spec's preferred write behavior; the column
+            # is per-row nullable, so files mixing carried and fresh
+            # rows still work: null falls back to first_row_id + pos)
+            src = _with_source_row_ids(spark, root, snap, matches)
+            out_cols.append(F.col("__cf_src_rid").alias("_row_id"))
+        rewritten = src.select(*out_cols)
         new_files = _write_data_files(
             spark, root, meta_path, rewritten, n, rows_per_delete_file,
             upd_dir,
@@ -2057,8 +2119,18 @@ def merge_into(
     if not paths:
         raise ValueError("merge_into: target table has no live data files")
 
-    tdf = _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
-    tcols = [c for c in tdf.columns if c not in (_FP, _POS)]
+    lineage = (
+        im.load_metadata(root, meta_path).get("next-row-id") is not None
+    )
+    tdf = _mor_raw_scan(
+        spark, root, snap, paths, metadata_path=meta_path,
+        extra_footer_cols=["_row_id"] if lineage else None,
+    )
+    tcols = [
+        c
+        for c in tdf.columns
+        if c not in (_FP, _POS) and not (lineage and c == "_row_id")
+    ]
     missing = sorted(set(tcols) - set(source.columns))
     if insert_unmatched and missing:
         raise ValueError(
@@ -2096,10 +2168,16 @@ def merge_into(
             "when_not_matched_by_source"
         )
 
+    if lineage:
+        # v3 row lineage (r11): matched/reassigned rewrites carry their
+        # source row ids forward (materialized per-row; inserts get
+        # NULL and fall back to first_row_id + position)
+        tdf = _with_source_row_ids(spark, root, snap, tdf)
     t = tdf.select(
         F.col(_FP).alias("__fp"),
         F.col(_POS).alias("__pos"),
         *[F.col(c) for c in tcols],
+        *([F.col("__cf_src_rid").alias("__rid")] if lineage else []),
     ).alias("t")
     s = source.alias("s")
     cond = None
@@ -2146,17 +2224,26 @@ def merge_into(
             nms = nms.persist()
             n_nms = nms.count()
 
+        rid_out = (
+            [F.col("t.__rid").alias("_row_id")] if lineage else []
+        )
         rewritten = matched.select(
             *[
                 F.expr(when_matched[c]).cast(tdf.schema[c].dataType).alias(c)
                 if c in when_matched
                 else F.col(f"t.{c}").alias(c)
                 for c in tcols
-            ]
+            ],
+            *rid_out,
         )
         inserts = (
             s.join(t, cond, "left_anti").select(
-                *[F.col(f"s.{c}").cast(tdf.schema[c].dataType).alias(c) for c in tcols]
+                *[F.col(f"s.{c}").cast(tdf.schema[c].dataType).alias(c) for c in tcols],
+                *(
+                    [F.lit(None).cast("bigint").alias("_row_id")]
+                    if lineage
+                    else []
+                ),
             )
             if insert_unmatched
             else None
@@ -2171,7 +2258,8 @@ def merge_into(
                         if c in nms_assign
                         else F.col(f"t.{c}").alias(c)
                         for c in tcols
-                    ]
+                    ],
+                    *rid_out,
                 )
             )
         n_inserted = inserts.count() if inserts is not None else 0
@@ -2207,13 +2295,18 @@ def merge_into(
                 n_aff = (
                     sum(recs) if all(r is not None for r in recs) else None
                 )
-                df2 = (
-                    _mor_raw_scan(
-                        spark, root, snap, affected, metadata_path=meta_path
-                    )
-                    .drop(_FP, _POS)
-                    .alias("t")
+                df2 = _mor_raw_scan(
+                    spark, root, snap, affected,
+                    metadata_path=meta_path,
+                    extra_footer_cols=["_row_id"] if lineage else None,
                 )
+                if lineage:
+                    # every rewritten row keeps its id (carry-overs MUST;
+                    # updated rows do too)
+                    df2 = _with_source_row_ids(
+                        spark, root, snap, df2
+                    ).drop("_row_id")
+                df2 = df2.drop(_FP, _POS).alias("t")
                 sm = source.withColumn("__cf_sm", F.lit(True)).alias("s")
                 cond2 = None
                 for k in keys:
@@ -2252,7 +2345,16 @@ def merge_into(
                         ).otherwise(e)
                     return e.alias(c)
 
-                out_parts.append(joined.select(*[_out_col(c) for c in tcols]))
+                out_parts.append(
+                    joined.select(
+                        *[_out_col(c) for c in tcols],
+                        *(
+                            [F.col("t.__cf_src_rid").alias("_row_id")]
+                            if lineage
+                            else []
+                        ),
+                    )
+                )
             if inserts is not None and n_inserted:
                 out_parts.append(inserts)
             out = out_parts[0]

@@ -783,6 +783,8 @@ def test_rest_bound_row_lineage_commits_advance_next_row_id(
             (r["id"], r["v"], r["_row_id"])
             for r in row_lineage_scan(spark, root).collect()
         )
-        assert got == [(1, "a", 0), (2, "B", 3), (3, "c", 2)]
+        # the update CARRIED rid 1 (r11: ids survive row mutation);
+        # the counter still advanced by the rewritten file's block
+        assert got == [(1, "a", 0), (2, "B", 1), (3, "c", 2)]
     finally:
         unbind_rest_table(root)

@@ -69,15 +69,16 @@ def test_commit_assigns_first_row_ids(lineage_table):
     assert meta2["snapshots"][-1]["first-row-id"] == 5
 
 
-def test_row_lineage_scan_and_dml_fresh_ids(spark, lineage_table):
+def test_row_lineage_scan_and_dml_carries_ids(spark, lineage_table):
     root, _ = lineage_table
     got = _rows(
         spark,
         f"SELECT id, _row_id FROM iceberg_row_lineage('{root}') ORDER BY id",
     )
     assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
-    # DML: the delete retracts an id; the update's rewritten row gets a
-    # FRESH id (this engine does not carry ids through row mutation)
+    # DML: the delete retracts an id; the UPDATE carries the row's id
+    # forward (the spec's preferred write behavior — the rewritten row
+    # materializes its source _row_id)
     delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
     update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 2000)
     got2 = _rows(
@@ -85,7 +86,9 @@ def test_row_lineage_scan_and_dml_fresh_ids(spark, lineage_table):
         f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
         "ORDER BY id",
     )
-    assert got2 == [(0, "a", 0), (2, "c", 2), (3, "D", 5), (4, "e", 4)]
+    assert got2 == [(0, "a", 0), (2, "c", 2), (3, "D", 3), (4, "e", 4)]
+    # the counter still advanced by the rewritten file's record count
+    # (the spec's commit rule; the unused block is just skipped ids)
     assert im.load_metadata(root)["next-row-id"] == 6
 
 
@@ -115,7 +118,8 @@ def test_row_ids_stable_across_compaction(spark, lineage_table):
     assert any("_row_id" in im.parquet_column_names(p) for p in paths)
     plain = run_query(spark, f"SELECT * FROM iceberg_scan('{root}')", _cfg())
     assert plain.columns == ["id", "v"]
-    # round 2: DML then compact again — ids still stable
+    # round 2: DML then compact again — ids still stable (and the
+    # update carried id 0 through both the rewrite and the compaction)
     update_where(spark, root, "id = 0", {"v": "'A'"}, timestamp_ms=T1 + 4000)
     compact_iceberg_table(spark, root, timestamp_ms=T1 + 5000)
     final = _rows(
@@ -123,7 +127,7 @@ def test_row_ids_stable_across_compaction(spark, lineage_table):
         f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
         "ORDER BY id",
     )
-    assert final == [(0, "A", 6), (2, "c", 2), (3, "D", 5), (4, "e", 4)]
+    assert final == [(0, "A", 0), (2, "c", 2), (3, "D", 3), (4, "e", 4)]
 
 
 def test_cdc_by_row_id_matches_cdc_by_coordinates(spark, lineage_table):
@@ -304,3 +308,128 @@ def test_lineage_composes_with_defaults_and_compaction(spark, tmp_path):
         (4, "e", 1, "insert"),
         (5, "f", 2, "insert"),
     ]
+
+
+def test_cdc_pairs_updates_by_row_id_identifier(spark, lineage_table):
+    """'_row_id' as the identifier argument (r11): on the lineage diff
+    path, a retraction and an insertion carrying the same row id — the
+    MOR update carries ids forward — pair as update images with NO user
+    key columns. On a coordinate-consistent range the argument is
+    rejected with guidance."""
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type "
+            f"FROM iceberg_cdc('{root}', {s0}, {s1}, '_row_id')",
+        )
+    )
+    assert got == [
+        (1, "b", "delete"),
+        (3, "D", "update_postimage"),
+        (3, "d", "update_preimage"),
+    ]
+    # coordinate-consistent range: the identifier is rejected clearly
+    update_where(spark, root, "id = 2", {"v": "'C'"}, timestamp_ms=T1 + 4000)
+    s2 = im.resolve_snapshot(root)["snapshot-id"]
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(
+            spark,
+            f"SELECT * FROM iceberg_cdc('{root}', {s1}, {s2}, '_row_id')",
+        )
+    assert ei.value.status_code == 400
+    assert "coordinate-consistent" in str(ei.value)
+
+
+def test_cdc_cow_carryover_rows_net_out(spark, lineage_table):
+    """A COW update rewrites whole files — the untouched co-located rows
+    are carry-overs that must emit NOTHING in the net changelog (the
+    value-multiset netting cancels them; with (rid,data)-keyed netting
+    they'd only cancel if ids were preserved, which COW does too — but
+    the cancellation must not DEPEND on it)."""
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    update_where(
+        spark, root, "id = 1", {"v": "'B'"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = sorted(
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    )
+    # ids 0 and 2 shared the rewritten file but are carry-overs
+    assert got == [(1, "B", "insert"), (1, "b", "delete")]
+    # COW also preserved every row's id (carry-overs AND the update)
+    ids = _rows(
+        spark,
+        f"SELECT id, _row_id FROM iceberg_row_lineage('{root}') ORDER BY id",
+    )
+    assert ids == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_cdc_duplicate_rows_net_with_multiplicity(spark, tmp_path):
+    """Value-identical rows are distinct multiset members: deleting ONE
+    of two duplicates across a compaction emits exactly one delete."""
+    root = str(tmp_path / "dups")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        row_lineage=True,
+    )
+    # two VALUE-IDENTICAL rows (same id, same v) plus a bystander
+    t.append_snapshot(
+        [pa.table({"id": [7, 7, 8], "v": ["x", "x", "y"]})],
+        timestamp_ms=T1,
+    )
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    # delete exactly one duplicate by position: DV on position 0
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_deletion_vector_snapshot,
+    )
+
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    commit_deletion_vector_snapshot(
+        root, {paths[0]: [0]}, timestamp_ms=T1 + 1000
+    )
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = sorted(
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    )
+    assert got == [(7, "x", "delete")]  # exactly ONE, not zero, not two
+    left = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert left == [(7, "x"), (8, "y")]
+
+
+def test_merge_carries_ids_and_inserts_get_fresh(spark, lineage_table):
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root, _ = lineage_table
+    src = spark.createDataFrame(
+        [(2, "CC"), (9, "new")], "id LONG, v STRING"
+    )
+    res = merge_into(
+        spark, root, src, "id", when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["matched"] == 1 and res["inserted"] == 1
+    got = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    # id=2 kept rid 2 through the merge rewrite; id=9 got a fresh id
+    # from the new file's first_row_id block
+    assert (2, "CC", 2) in got
+    new_rid = [r[2] for r in got if r[0] == 9][0]
+    assert new_rid >= 5
+    assert len({r[2] for r in got}) == len(got)  # ids unique
