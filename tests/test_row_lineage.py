@@ -433,3 +433,56 @@ def test_merge_carries_ids_and_inserts_get_fresh(spark, lineage_table):
     new_rid = [r[2] for r in got if r[0] == 9][0]
     assert new_rid >= 5
     assert len({r[2] for r in got}) == len(got)  # ids unique
+
+
+def test_row_lineage_scan_plan_broadcast_no_row_shuffle(
+    spark, lineage_table
+):
+    """Plan audit: the lineage scan's id resolution is a BROADCAST map
+    join against per-file coordinates — zero exchanges of table rows
+    (the only acceptable cost of exposing _row_id at 100 TB)."""
+    from cloudfloe_spark.plans import has_broadcast_join, shuffle_count
+
+    from cloudfloe_spark.plans import executed_plan
+
+    root, _ = lineage_table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    # pre-compaction: manifest first_row_ids resolve through a broadcast
+    # LEFT OUTER map join; the only exchange in the plan is the
+    # DELETE-SET-sized distinct inside the DV apply — table rows never
+    # shuffle (scan → broadcast anti-join → broadcast outer → project)
+    df_pre = row_lineage_scan(spark, root)
+    assert has_broadcast_join(df_pre)
+    assert shuffle_count(df_pre) <= 1, executed_plan(df_pre)
+    assert "BroadcastHashJoin LeftOuter" in executed_plan(df_pre)
+    assert df_pre.count() == 4
+    # post-compaction: every file materializes _row_id — the map join
+    # disappears entirely (still zero exchanges)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    df_post = row_lineage_scan(spark, root)
+    assert shuffle_count(df_post) == 0
+    assert df_post.count() == 4
+
+
+def test_cdc_lineage_netting_single_shuffle(spark, lineage_table):
+    """Plan audit: the rewritten-set diff is ONE value-keyed exchange
+    (the netting groupBy, with map-side partial aggregation); the rid
+    map joins broadcast."""
+    from cloudfloe_spark.plans import executed_plan, shuffle_count
+    from cloudfloe_spark.service.iceberg_local import _cdc_frame
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    df = _cdc_frame(sess, root, str(s0), str(s1))
+    # one exchange for the netting groupBy; anything table-joined rides
+    # broadcasts (AQE may add a read-side coalesce, not a new exchange)
+    assert shuffle_count(df) <= 2, executed_plan(df)
+    plan = executed_plan(df)
+    assert "partial" in plan.lower()  # map-side combine on the netting
+    assert df.count() == 1  # the one delete
