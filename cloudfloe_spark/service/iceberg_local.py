@@ -979,6 +979,11 @@ def _cdc_frame(
         # one diff shuffle sized by the rewritten set (the honest price
         # of crossing a compaction), never a full-table self-join.
         lineage_mode = bool(removed)
+        # '_row_id' identifier (r11): rid columns are also materialized
+        # on coordinate-consistent ranges so preimages and the carried
+        # postimage ids of update/merge rewrites can pair
+        rid_pairing = (key_cols or "").strip() == "_row_id"
+        want_rid = lineage_mode or rid_pairing
         if removed and not im.row_lineage_available(root, metadata_path):
             raise bad_request(
                 "iceberg_cdc supports append-only data-file history; data "
@@ -998,7 +1003,7 @@ def _cdc_frame(
         added = sorted(p for p in live_to if p not in live_from)
         carried = sorted(set(live_from) & set(live_to))
         first_ids: "dict | None" = None
-        if lineage_mode:
+        if want_rid:
             first_ids = {
                 **im.first_row_ids(root, s_from),
                 **im.first_row_ids(root, s_to),
@@ -1107,15 +1112,14 @@ def _cdc_frame(
             [k.strip() for k in key_cols.split(",")] if key_cols else []
         )
         if keys == ["_row_id"]:
-            # lineage-native identifier (r11): valid only on the row-id
-            # diff path — on a coordinate-consistent range the rid is
-            # never computed (and pre-lineage tables have none)
-            if not lineage_mode:
+            # lineage-native identifier (r11): needs the table to carry
+            # row lineage — ids then collide between a retraction and
+            # the update/merge rewrite that carried them forward
+            if not im.row_lineage_available(root, metadata_path):
                 raise bad_request(
-                    "iceberg_cdc: '_row_id' identifier pairing runs on "
-                    "the row-lineage diff (a range whose files were "
-                    "rewritten, on a lineage-carrying table) — pass "
-                    "column identifiers for coordinate-consistent ranges"
+                    "iceberg_cdc: '_row_id' identifier pairing requires "
+                    "a row-lineage table (v3 next-row-id) — pass column "
+                    "identifiers instead"
                 )
         elif keys:
             schema_cols = set(
@@ -1181,7 +1185,7 @@ def _cdc_frame(
         for gpaths, renames, read_ddl, default_fills in added_groups:
             reader = sess.read
             if read_ddl is not None:
-                if lineage_mode:
+                if want_rid:
                     # lineage tables read under explicit DDL; surface
                     # the rewritten files' materialized _row_id column
                     read_ddl = f"{read_ddl}, `_row_id` BIGINT"
@@ -1213,7 +1217,7 @@ def _cdc_frame(
                     {p: live_to[p] for p in added},
                     renames=renames, name_history=name_hist,
                 )
-            if lineage_mode:
+            if want_rid:
                 # coordinates for rid resolution — _metadata survives
                 # the anti-join applies above
                 g = g.select(
@@ -1229,8 +1233,8 @@ def _cdc_frame(
         ins = ins_parts[0]
         for g in ins_parts[1:]:
             ins = ins.unionByName(g)
-        if lineage_mode:
-            ins_lineage = ins  # rid resolved in the lineage tail below
+        if want_rid:
+            ins_lineage = ins  # rid resolved in the rid tails below
         else:
             parts.append(ins.withColumn("_change_type", F.lit("insert")))
 
@@ -1239,7 +1243,7 @@ def _cdc_frame(
         for gpaths, renames, read_ddl, default_fills in carried_groups:
             reader = sess.read
             if read_ddl is not None:
-                if lineage_mode:
+                if want_rid:
                     read_ddl = f"{read_ddl}, `_row_id` BIGINT"
                 reader = reader.schema(read_ddl)
             g = reader.parquet(*gpaths)
@@ -1262,7 +1266,7 @@ def _cdc_frame(
             c
             for c in base.columns
             if c not in ("__cdc_file", "__cdc_pos")
-            and not (lineage_mode and c == "_row_id")
+            and not (want_rid and c == "_row_id")
         ]
         if eq_new or eq_old:
             seq_df = sess.createDataFrame(
@@ -1327,7 +1331,7 @@ def _cdc_frame(
             )
         for dels, cond in eq_groups(eq_old):
             dead = dead.join(dels, cond, "left_anti")
-        if lineage_mode:
+        if want_rid:
             dead_lineage = dead  # keep coords + _row_id for rid below
         else:
             parts.append(
@@ -1336,7 +1340,7 @@ def _cdc_frame(
                 )
             )
 
-    if lineage_mode:
+    if want_rid:
         from cloudfloe_spark.sources.maintenance import (
             _FP,
             _POS,
@@ -1359,6 +1363,40 @@ def _cdc_frame(
                 rid = F.coalesce(F.col("_row_id"), rid)
             return j.withColumn("__cdc_rid", rid)
 
+    if rid_pairing and not lineage_mode:
+        # '_row_id' pairing on a COORDINATE-consistent range: the parts
+        # are the ordinary insert/retraction frames with rids attached —
+        # a MOR update's preimage (first_row_id + position) collides
+        # with the rewrite's carried materialized id, so the images pair
+        # with no user key columns.
+        rid_parts = []
+        if ins_lineage is not None:
+            i_cols = [
+                c
+                for c in ins_lineage.columns
+                if c not in ("__cdc_afile", "__cdc_apos", "_row_id")
+            ]
+            rid_parts.append(
+                _with_rid(ins_lineage, "__cdc_afile", "__cdc_apos")
+                .select(*i_cols, "__cdc_rid")
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        if dead_lineage is not None:
+            rid_parts.append(
+                _with_rid(dead_lineage, "__cdc_file", "__cdc_pos")
+                .select(*data_cols, "__cdc_rid")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if not rid_parts:
+            return sess.createDataFrame(
+                [], schema_ddl + ", _change_type STRING"
+            )
+        df = rid_parts[0]
+        for p in rid_parts[1:]:
+            df = df.unionByName(p)
+        return _pair_update_images_by_rid(df)
+
+    if lineage_mode:
         # rows visible at FROM in the files the range removed/rewrote
         # (their FROM-state deletes applied by the MOR machinery)
         rem = _mor_raw_scan(

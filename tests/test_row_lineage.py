@@ -311,11 +311,13 @@ def test_lineage_composes_with_defaults_and_compaction(spark, tmp_path):
 
 
 def test_cdc_pairs_updates_by_row_id_identifier(spark, lineage_table):
-    """'_row_id' as the identifier argument (r11): on the lineage diff
-    path, a retraction and an insertion carrying the same row id — the
-    MOR update carries ids forward — pair as update images with NO user
-    key columns. On a coordinate-consistent range the argument is
-    rejected with guidance."""
+    """'_row_id' as the identifier argument (r11): a retraction and an
+    insertion carrying the same row id — the MOR update carries ids
+    forward — pair as update images with NO user key columns, both
+    across a rewrite (the lineage diff) and on a plain
+    coordinate-consistent DML range (preimage first_row_id + position
+    collides with the rewrite's carried materialized id). Non-lineage
+    tables reject the identifier clearly."""
     root, _ = lineage_table
     s0 = im.resolve_snapshot(root)["snapshot-id"]
     update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 1000)
@@ -334,18 +336,40 @@ def test_cdc_pairs_updates_by_row_id_identifier(spark, lineage_table):
         (3, "D", "update_postimage"),
         (3, "d", "update_preimage"),
     ]
-    # coordinate-consistent range: the identifier is rejected clearly
+    # coordinate-consistent range (no rewrite): pairing works there too
     update_where(spark, root, "id = 2", {"v": "'C'"}, timestamp_ms=T1 + 4000)
+    delete_where(spark, root, "id = 4", timestamp_ms=T1 + 5000)
     s2 = im.resolve_snapshot(root)["snapshot-id"]
+    got2 = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type "
+            f"FROM iceberg_cdc('{root}', {s1}, {s2}, '_row_id')",
+        )
+    )
+    assert got2 == [
+        (2, "C", "update_postimage"),
+        (2, "c", "update_preimage"),
+        (4, "e", "delete"),
+    ]
+
+
+def test_cdc_row_id_identifier_rejected_without_lineage(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
     from cloudfloe_spark.service.errors import CloudfloeError
 
     with pytest.raises(CloudfloeError) as ei:
         _rows(
             spark,
-            f"SELECT * FROM iceberg_cdc('{root}', {s1}, {s2}, '_row_id')",
+            f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1}, '_row_id')",
         )
     assert ei.value.status_code == 400
-    assert "coordinate-consistent" in str(ei.value)
+    assert "row-lineage" in str(ei.value) or "row lineage" in str(ei.value)
 
 
 def test_cdc_cow_carryover_rows_net_out(spark, lineage_table):
