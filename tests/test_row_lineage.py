@@ -510,3 +510,26 @@ def test_cdc_lineage_netting_single_shuffle(spark, lineage_table):
     plan = executed_plan(df)
     assert "partial" in plan.lower()  # map-side combine on the netting
     assert df.count() == 1  # the one delete
+
+
+def test_cdc_equality_delete_folded_by_compaction(spark, lineage_table):
+    """An EQUALITY delete in range, folded away by a later compaction in
+    the same range: the eq-deleted rows were visible at FROM in the
+    rewritten files and absent from the compaction's outputs — the value
+    netting emits exactly them as deletes, with no equality machinery
+    involved."""
+    from cloudfloe_spark.sources.maintenance import delete_by_key
+
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_by_key(root, "id", [1, 4], timestamp_ms=T1 + 1000)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    snap = im.resolve_snapshot(root)
+    assert not im.equality_delete_records(root, snap)  # folded
+    s1 = snap["snapshot-id"]
+    got = sorted(
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    )
+    assert got == [(1, "b", "delete"), (4, "e", "delete")]
+    left = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in left] == [0, 2, 3]
