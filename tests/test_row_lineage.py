@@ -533,3 +533,27 @@ def test_cdc_equality_delete_folded_by_compaction(spark, lineage_table):
     assert got == [(1, "b", "delete"), (4, "e", "delete")]
     left = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
     assert [r[0] for r in left] == [0, 2, 3]
+
+
+def test_row_lineage_time_travel(spark, lineage_table):
+    """``iceberg_row_lineage(...) VERSION AS OF n`` pins the snapshot —
+    the historical id assignment is readable after later DML and even
+    after a compaction rewrote the files it names."""
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    update_where(spark, root, "id = 3", {"v": "'D'"}, timestamp_ms=T1 + 2000)
+    tt = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        f"VERSION AS OF {s0} ORDER BY id",
+    )
+    assert tt == [
+        (0, "a", 0), (1, "b", 1), (2, "c", 2), (3, "d", 3), (4, "e", 4),
+    ]
+    cur = _rows(
+        spark,
+        f"SELECT id, v, _row_id FROM iceberg_row_lineage('{root}') "
+        "ORDER BY id",
+    )
+    assert cur == [(0, "a", 0), (2, "c", 2), (3, "D", 3), (4, "e", 4)]
