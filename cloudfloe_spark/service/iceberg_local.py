@@ -986,6 +986,18 @@ def _cdc_frame(
         # postimage ids of update/merge rewrites can pair
         rid_pairing = (key_cols or "").strip() == "_row_id"
         want_rid = lineage_mode or rid_pairing
+        # check the '_row_id' precondition BEFORE the per-file first_ids
+        # completeness walk below: a non-lineage table that added files in
+        # range would otherwise surface the misleading "lineage is
+        # incomplete" message instead of this one
+        if rid_pairing and not im.row_lineage_available(
+            root, metadata_path
+        ):
+            raise bad_request(
+                "iceberg_cdc: '_row_id' identifier pairing requires "
+                "a row-lineage table (v3 next-row-id) — pass column "
+                "identifiers instead"
+            )
         if removed and not im.row_lineage_available(root, metadata_path):
             raise bad_request(
                 "iceberg_cdc supports append-only data-file history; data "

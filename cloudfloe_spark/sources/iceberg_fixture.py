@@ -1041,6 +1041,11 @@ def commit_rewrite_snapshot(
                 },
             }
         )
+    # v3 row lineage: a rewrite's ADDED files receive fresh id ranges and
+    # the snapshot carries first-row-id, per spec — even though readers
+    # prefer the materialized per-row `_row_id` column the compaction
+    # wrote, a conformant external reader must see complete assignment.
+    row_mark = _assign_row_ids(meta, entries)
     write_avro(mpath, _MANIFEST_SCHEMA, entries)
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
     write_avro(
@@ -1068,6 +1073,9 @@ def commit_rewrite_snapshot(
                 "total-delete-files": "0",
             },
         }
+    )
+    _stamp_row_lineage(
+        snaps[-1], row_mark, int(meta.get("next-row-id") or 0)
     )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
@@ -1190,6 +1198,15 @@ def commit_delete_rewrite_snapshot(
             },
         }
     )
+    # v3 row lineage: delete-file rewrites add no data rows, but every v3
+    # snapshot must still carry first-row-id (assigned-rows = 0); carried
+    # data entries keep their first_row_id verbatim via _DATA_FILE_KEYS.
+    if meta.get("next-row-id") is not None:
+        _stamp_row_lineage(
+            snaps[-1],
+            int(meta["next-row-id"]),
+            int(meta["next-row-id"]),
+        )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
     _sync_main_ref(meta, snap_id)
@@ -1300,6 +1317,14 @@ def commit_manifest_rewrite_snapshot(
             },
         }
     )
+    # v3 row lineage: no data file added — stamp first-row-id with zero
+    # assigned rows; carried entries keep first_row_id via _DATA_FILE_KEYS.
+    if meta.get("next-row-id") is not None:
+        _stamp_row_lineage(
+            snaps[-1],
+            int(meta["next-row-id"]),
+            int(meta["next-row-id"]),
+        )
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = snap_id
     _sync_main_ref(meta, snap_id)

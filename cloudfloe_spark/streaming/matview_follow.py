@@ -50,6 +50,33 @@ import uuid
 from cloudfloe_spark.sources.iceberg_views import IcebergViewError
 
 
+def _last_covered_commit(base: str, sids: set) -> "str | None":
+    """Last base commit among ``sids``, by snapshot-log order. ``None``
+    means a genuinely EMPTY batch (no snapshot ids at all); a non-empty
+    batch whose commits are all missing from the log is an error, not an
+    empty epoch — expire_snapshots ran between commit and drain, and
+    treating it as empty would silently skip the changes while the
+    checkpoint advances past them (ADVICE r11)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    if not sids:
+        return None
+    log_ids = [
+        e["snapshot-id"]
+        for e in im.load_metadata(base).get("snapshot-log", [])
+    ]
+    applied = [i for i in log_ids if i in sids]
+    if not applied:
+        raise IcebergViewError(
+            "follow_materialized_view: the batch's commits "
+            f"(snapshot ids {sorted(map(str, sids))[:3]}) are no "
+            "longer in the base's snapshot-log — snapshots were "
+            "expired between commit and drain; stop the stream and "
+            "run refresh_materialized_view"
+        )
+    return str(applied[-1])
+
+
 def _write_intent(target_root: str, tag: str, to: dict, ts_ms: int) -> None:
     """Record the epoch's pinned refresh targets BEFORE applying — the
     replay side of the two-phase apply (cleared by the freshness
@@ -175,14 +202,7 @@ def follow_materialized_view(
             .distinct()
             .collect()
         }
-        if not sids:
-            return None
-        log_ids = [
-            e["snapshot-id"]
-            for e in im.load_metadata(base).get("snapshot-log", [])
-        ]
-        applied = [i for i in log_ids if i in sids]
-        return str(applied[-1]) if applied else None
+        return _last_covered_commit(base, sids)
 
     def _apply_row_batch(batch_df, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -318,7 +338,15 @@ def follow_materialized_view(
                         im.resolve_snapshot(other)["snapshot-id"]
                     )
                 except im.IcebergMetadataError:
-                    pinned[other] = str(rec_now["bases"].get(other))
+                    prev = rec_now["bases"].get(other)
+                    if prev is None:
+                        raise IcebergViewError(
+                            "follow_materialized_view: cannot pin base "
+                            f"'{other}' — its current snapshot is "
+                            "unresolvable and the view record carries no "
+                            "prior id; run refresh_materialized_view"
+                        )
+                    pinned[other] = str(prev)
                 _write_intent(
                     target_root, tag, pinned,
                     timestamp_ms + int(epoch_id),

@@ -330,3 +330,112 @@ def test_nonqualifying_view_refuses_to_follow(spark, tmp_path):
             spark, vroot, troot,
             checkpoint_dir=str(tmp_path / "ck"), timestamp_ms=T1 + 2000,
         )
+
+
+def test_expired_batch_commits_fail_loudly_not_skip(tmp_path):
+    """ADVICE r11 (medium): a non-empty batch whose commits are all gone
+    from the base's snapshot-log (expire_snapshots ran between commit and
+    drain) must raise — not count as an empty epoch and silently advance
+    the checkpoint past the changes. An actually-empty batch stays a
+    clean None."""
+    from cloudfloe_spark.streaming.matview_follow import (
+        _last_covered_commit,
+    )
+
+    base = str(tmp_path / "base")
+    t = LocalIcebergTable(base, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    t.append_snapshot([pa.table({"id": [2]})], timestamp_ms=T1 + 1000)
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    log = [
+        e["snapshot-id"]
+        for e in im.load_metadata(base).get("snapshot-log", [])
+    ]
+    assert _last_covered_commit(base, set()) is None  # empty epoch
+    assert _last_covered_commit(base, {log[0]}) == str(log[0])
+    assert _last_covered_commit(base, set(log)) == str(log[-1])
+    with pytest.raises(IcebergViewError, match="expired"):
+        _last_covered_commit(base, {123456789})
+
+
+def _join_followed(spark, tmp_path):
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    tf = LocalIcebergTable(
+        fact, pa.schema([("id", pa.int64()), ("k", pa.int64())])
+    )
+    tf.append_snapshot(
+        [pa.table({"id": [1, 2], "k": [10, 20]})], timestamp_ms=T1
+    )
+    td = LocalIcebergTable(
+        dim, pa.schema([("k", pa.int64()), ("name", pa.string())])
+    )
+    td.append_snapshot(
+        [pa.table({"k": [10, 20], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    vroot, troot = str(tmp_path / "v"), str(tmp_path / "mv")
+    create_iceberg_view(
+        vroot,
+        f"SELECT f.id AS id, d.name AS name "
+        f"FROM iceberg_scan('{fact}') f JOIN iceberg_scan('{dim}') d "
+        f"ON f.k = d.k",
+        timestamp_ms=T1 + 500,
+    )
+    materialize_iceberg_view(
+        spark, vroot, troot, timestamp_ms=T1 + 1000, key_cols=["id"]
+    )
+    return fact, dim, vroot, troot
+
+
+def test_join_follow_dim_only_movement_next_fact_epoch(spark, tmp_path):
+    """VERDICT r11 #7: the follower tails the FACT base, so a dim-only
+    movement produces no epoch on its own drain — and is then picked up
+    by the NEXT fact epoch, whose pinned range resolves the dim's
+    CURRENT snapshot (both-moved netting)."""
+    fact, dim, vroot, troot = _join_followed(spark, tmp_path)
+    ck = str(tmp_path / "ck")
+    # dim-only movement: the drain sees no fact commits -> no apply
+    update_where(
+        spark, dim, "k = 10", {"name": "'A'"}, timestamp_ms=T1 + 2000
+    )
+    s1 = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 3000
+    )
+    assert s1["batches"] == 0, s1
+    assert _rows(spark, troot, "id, name") == [(1, "a"), (2, "b")]
+    # next fact epoch picks the dim movement up too
+    delete_where(spark, fact, "id = 2", timestamp_ms=T1 + 4000)
+    s2 = follow_materialized_view(
+        spark, vroot, troot, checkpoint_dir=ck, timestamp_ms=T1 + 5000
+    )
+    assert s2["batches"] == 1, s2
+    assert s2["paths"] == ["incremental-join-both"], s2
+    assert _rows(spark, troot, "id, name") == [(1, "A")]
+    assert materialized_view_status(troot)["stale"] is False
+
+
+def test_join_follow_unresolvable_unrecorded_dim_raises(spark, tmp_path):
+    """ADVICE r11 (low): when the dim base is unresolvable AND the
+    target's record carries no prior id for it, the epoch raises a
+    descriptive error instead of pinning the literal string 'None' into
+    a VERSION AS OF clause."""
+    import json as _json
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    fact, dim, vroot, troot = _join_followed(spark, tmp_path)
+    meta = im.load_metadata(troot)
+    rec = _json.loads(meta["properties"]["cloudfloe.mv"])
+    rec["bases"][dim] = None  # unrecorded
+    meta["properties"]["cloudfloe.mv"] = _json.dumps(rec, sort_keys=True)
+    write_next_metadata_version(troot, meta)
+    shutil.rmtree(dim)  # unreadable
+    delete_where(spark, fact, "id = 1", timestamp_ms=T1 + 2000)
+    with pytest.raises(Exception, match="cannot pin base"):
+        follow_materialized_view(
+            spark, vroot, troot,
+            checkpoint_dir=str(tmp_path / "ck"), timestamp_ms=T1 + 3000,
+        )

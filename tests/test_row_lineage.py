@@ -557,3 +557,67 @@ def test_row_lineage_time_travel(spark, lineage_table):
         "ORDER BY id",
     )
     assert cur == [(0, "a", 0), (2, "c", 2), (3, "D", 3), (4, "e", 4)]
+
+
+def test_external_rewrite_commits_stamp_lineage(spark, lineage_table):
+    """ADVICE r11 (low): the EXTERNAL rewrite commits are v3-conformant
+    on lineage tables — compaction's added files receive fresh assigned
+    id ranges (readers still prefer the materialized ``_row_id`` per
+    row) and the snapshot carries ``first-row-id``/``assigned-rows``;
+    manifest rewrite adds no rows and stamps a zero-width block."""
+    root, t = lineage_table
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    nri = im.load_metadata(root)["next-row-id"]
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    meta = im.load_metadata(root)
+    snap = meta["snapshots"][-1]
+    assert snap["first-row-id"] == nri
+    assigned = int(snap["summary"]["assigned-rows"])
+    assert assigned > 0
+    assert meta["next-row-id"] == nri + assigned
+    # every live data file now carries a manifest first_row_id
+    firsts = im.first_row_ids(root, im.resolve_snapshot(root))
+    assert firsts and all(v is not None for v in firsts.values())
+    # the materialized column still wins: ids are the PRE-compaction ones
+    got = sorted(
+        tuple(r)
+        for r in row_lineage_scan(spark, root).select("_row_id", "id")
+        .collect()
+    )
+    assert got == [(0, 0), (2, 2), (3, 3), (4, 4)]
+    # manifest rewrite: zero assigned rows, still stamped
+    from cloudfloe_spark.sources.maintenance import rewrite_manifests
+
+    rewrite_manifests(root, timestamp_ms=T1 + 3000)
+    meta2 = im.load_metadata(root)
+    snap2 = meta2["snapshots"][-1]
+    assert snap2["first-row-id"] == meta2["next-row-id"] == nri + assigned
+    assert snap2["summary"]["assigned-rows"] == "0"
+    got2 = sorted(
+        tuple(r)
+        for r in row_lineage_scan(spark, root).select("_row_id", "id")
+        .collect()
+    )
+    assert got2 == got
+
+
+def test_cdc_row_id_on_nonlineage_table_with_added_files(spark, tmp_path):
+    """ADVICE r11 (low): '_row_id' pairing on a NON-lineage table whose
+    range added files must surface the precise 'requires a row-lineage
+    table' message, not the misleading 'lineage is incomplete' one."""
+    root = str(tmp_path / "plain")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    t.append_snapshot([pa.table({"id": [3]})], timestamp_ms=T1 + 1000)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(
+            spark,
+            f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1}, '_row_id')",
+        )
+    assert ei.value.status_code == 400
+    assert "requires a row-lineage table" in str(ei.value)
+    assert "incomplete" not in str(ei.value)
