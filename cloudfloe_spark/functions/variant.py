@@ -1,0 +1,477 @@
+"""Parquet/Iceberg VARIANT binary codec (r12, VERDICT r11 #1).
+
+Implements the PUBLIC Parquet variant binary encoding (the format
+Iceberg v3 adopts for its ``variant`` type, and the same binary layout
+Spark 4's ``VariantType`` uses — see the r11 scoping spike in
+COVERAGE.md, "Variant (v3)"):
+
+- **metadata**: one header byte (``version=1`` in bits 0-3,
+  ``sorted_strings`` in bit 4, ``offset_size - 1`` in bits 6-7), a
+  dictionary size (``offset_size`` bytes, little-endian), ``size + 1``
+  offsets, then the dictionary's UTF-8 name bytes.
+- **value**: recursive; first byte packs ``basic_type`` (bits 0-1) and
+  ``value_header`` (bits 2-7):
+
+  - basic_type 0 = primitive, ``value_header`` is the type id
+    (0 null, 1 true, 2 false, 3/4/5/6 int8/16/32/64 LE signed,
+    7 double, 8/9/10 decimal4/8/16 (scale byte + LE two's-complement
+    unscaled), 11 date (int32 days), 12 timestamptz-micros,
+    13 timestampntz-micros, 14 float, 15 binary (int32 size + bytes),
+    16 string (int32 size + bytes), 17 time-ntz-micros,
+    18 timestamptz-nanos, 19 timestampntz-nanos, 20 uuid (16B
+    big-endian));
+  - basic_type 1 = short string, ``value_header`` is the byte length
+    (0..63);
+  - basic_type 2 = object: ``value_header = is_large << 4 |
+    (field_id_size - 1) << 2 | (field_offset_size - 1)``; then
+    ``num_elements`` (1 byte, or 4 LE when large), ``num`` field ids
+    (dictionary indexes, sorted by field NAME), ``num + 1`` offsets
+    into the values section, then the concatenated child values;
+  - basic_type 3 = array: ``value_header = is_large << 2 |
+    (field_offset_size - 1)``; same layout without field ids.
+
+The READ surface this engine exposes for an unshredded variant column
+is a **canonical JSON string** (shredded files keep a precise 400 —
+``typed_value`` reassembly is not implemented): scans decode the
+``(metadata, value)`` pair per row via an Arrow-batched pandas UDF and
+surface the column as ``STRING``; typed extraction then runs JVM-side
+(``variant_get(parse_json(col), '$.path', 'type')`` or
+``get_json_object``). Canonical rendering, documented and pinned by
+``tests/test_variant_spec_vectors.py``:
+
+- null/bool/int/string → the JSON natural form; object members in
+  field-name order (the spec stores them sorted);
+- double/float → shortest round-trip decimal (``repr``); non-finite
+  floats render as the JSON STRINGS ``"NaN"`` / ``"Infinity"`` /
+  ``"-Infinity"`` (JSON has no literals for them);
+- decimal → an exact unquoted JSON number (never exponent form);
+- date → ``"YYYY-MM-DD"``; timestamps → ``"YYYY-MM-DD HH:MM:SS[.ffffff]"``
+  with ``+00:00`` appended for the tz-bearing ids (micros rendered only
+  when nonzero — Python ``isoformat(sep=' ')``); nanosecond ids render
+  a 9-digit fraction; time → ``"HH:MM:SS[.ffffff]"``;
+- binary → base64 string; uuid → canonical hyphenated string.
+
+The decode functions are built inside a factory (``_build_codec``) so
+cloudpickle serializes them BY VALUE — Spark 4's Arrow UDF workers do
+not import ``cloudfloe_spark`` (see the r10 finding in
+.claude/skills/verify/SKILL.md); only stdlib modules (pickled by name)
+are referenced.
+
+The encoder (driver/fixture side, no pickling constraint) writes the
+same spec: fixtures use it to build variant test tables, and the golden
+vectors in ``tests/test_variant_spec_vectors.py`` pin both directions
+against bytes hand-derived from the spec (never captured from this
+codec).
+"""
+
+from __future__ import annotations
+
+import datetime
+import struct
+import uuid as _uuidlib
+from decimal import Decimal
+
+
+def _build_codec():
+    """Factory for the self-contained decode functions (see module
+    docstring for why they must be locals, not module attributes)."""
+
+    def _uint(b, off, n):
+        return int.from_bytes(b[off : off + n], "little", signed=False)
+
+    def metadata_names(md):
+        """Dictionary of field-name strings from a metadata buffer."""
+        if not md:
+            raise ValueError("variant metadata is empty")
+        h = md[0]
+        version = h & 0x0F
+        if version != 1:
+            raise ValueError(
+                f"unsupported variant metadata version {version}"
+            )
+        osz = ((h >> 6) & 0x3) + 1
+        n = _uint(md, 1, osz)
+        offs = [_uint(md, 1 + osz * (i + 1), osz) for i in range(n + 1)]
+        base = 1 + osz * (n + 2)
+        if base + offs[-1] > len(md):
+            raise ValueError("variant metadata truncated")
+        return [
+            md[base + offs[i] : base + offs[i + 1]].decode("utf-8")
+            for i in range(n)
+        ]
+
+    def decode_at(names, buf, pos):
+        """Decode the value rooted at ``pos`` into a Python object."""
+        import base64 as _b64
+        import datetime as _dt
+        import struct as _struct
+        import uuid as _uuid
+        from decimal import Decimal as _Dec
+
+        if pos >= len(buf):
+            raise ValueError("variant value truncated")
+        b0 = buf[pos]
+        bt = b0 & 0x3
+        hdr = b0 >> 2
+        p = pos + 1
+        if bt == 1:  # short string
+            if p + hdr > len(buf):
+                raise ValueError("variant short string truncated")
+            return buf[p : p + hdr].decode("utf-8")
+        if bt == 2:  # object
+            fo_sz = (hdr & 0x3) + 1
+            fid_sz = ((hdr >> 2) & 0x3) + 1
+            large = (hdr >> 4) & 0x1
+            n = _uint(buf, p, 4 if large else 1)
+            p += 4 if large else 1
+            fids = [_uint(buf, p + i * fid_sz, fid_sz) for i in range(n)]
+            p += n * fid_sz
+            offs = [
+                _uint(buf, p + i * fo_sz, fo_sz) for i in range(n + 1)
+            ]
+            p += (n + 1) * fo_sz
+            out = {}
+            for i in range(n):
+                out[names[fids[i]]] = decode_at(names, buf, p + offs[i])
+            return out
+        if bt == 3:  # array
+            fo_sz = (hdr & 0x3) + 1
+            large = (hdr >> 2) & 0x1
+            n = _uint(buf, p, 4 if large else 1)
+            p += 4 if large else 1
+            offs = [
+                _uint(buf, p + i * fo_sz, fo_sz) for i in range(n + 1)
+            ]
+            p += (n + 1) * fo_sz
+            return [decode_at(names, buf, p + offs[i]) for i in range(n)]
+        # primitive
+        tid = hdr
+        if tid == 0:
+            return None
+        if tid == 1:
+            return True
+        if tid == 2:
+            return False
+        if tid in (3, 4, 5, 6):
+            sz = {3: 1, 4: 2, 5: 4, 6: 8}[tid]
+            return int.from_bytes(buf[p : p + sz], "little", signed=True)
+        if tid == 7:
+            return _struct.unpack("<d", buf[p : p + 8])[0]
+        if tid in (8, 9, 10):
+            sz = {8: 4, 9: 8, 10: 16}[tid]
+            scale = buf[p]
+            unscaled = int.from_bytes(
+                buf[p + 1 : p + 1 + sz], "little", signed=True
+            )
+            return _Dec(unscaled).scaleb(-scale)
+        if tid == 11:
+            days = int.from_bytes(buf[p : p + 4], "little", signed=True)
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+        if tid in (12, 13):
+            us = int.from_bytes(buf[p : p + 8], "little", signed=True)
+            base = _dt.datetime(
+                1970, 1, 1,
+                tzinfo=_dt.timezone.utc if tid == 12 else None,
+            )
+            return base + _dt.timedelta(microseconds=us)
+        if tid == 14:
+            return _struct.unpack("<f", buf[p : p + 4])[0]
+        if tid in (15, 16):
+            ln = _uint(buf, p, 4)
+            raw = buf[p + 4 : p + 4 + ln]
+            if len(raw) != ln:
+                raise ValueError("variant binary/string truncated")
+            return raw.decode("utf-8") if tid == 16 else bytes(raw)
+        if tid == 17:
+            us = int.from_bytes(buf[p : p + 8], "little", signed=True)
+            return (
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=us)
+            ).time()
+        if tid in (18, 19):
+            ns = int.from_bytes(buf[p : p + 8], "little", signed=True)
+            # nanos render with a 9-digit fraction (no stdlib ns type);
+            # mark tz-ness so the JSON form matches the micros ids'
+            return ("__variant_ns__", tid == 18, ns)
+        if tid == 20:
+            return _uuid.UUID(bytes=bytes(buf[p : p + 16]))
+        raise ValueError(f"unsupported variant primitive type id {tid}")
+
+    def decode(md, val):
+        """(metadata, value) bytes → Python object tree."""
+        return decode_at(metadata_names(md), val, 0)
+
+    def to_json(md, val):
+        """(metadata, value) bytes → canonical JSON text (None-safe)."""
+        import base64 as _b64
+        import datetime as _dt
+        import json as _json
+        import uuid as _uuid
+        from decimal import Decimal as _Dec
+
+        if md is None or val is None:
+            return None
+
+        def ser(v):
+            if v is None:
+                return "null"
+            if v is True:
+                return "true"
+            if v is False:
+                return "false"
+            if isinstance(v, int):
+                return str(v)
+            if isinstance(v, float):
+                if v != v:
+                    return '"NaN"'
+                if v == float("inf"):
+                    return '"Infinity"'
+                if v == float("-inf"):
+                    return '"-Infinity"'
+                return repr(v)
+            if isinstance(v, str):
+                return _json.dumps(v, ensure_ascii=False)
+            if isinstance(v, _Dec):
+                return format(v, "f")
+            if isinstance(v, _dt.datetime):
+                return _json.dumps(v.isoformat(sep=" "))
+            if isinstance(v, (_dt.date, _dt.time)):
+                return _json.dumps(v.isoformat())
+            if isinstance(v, (bytes, bytearray)):
+                return _json.dumps(_b64.b64encode(bytes(v)).decode())
+            if isinstance(v, _uuid.UUID):
+                return _json.dumps(str(v))
+            if (
+                isinstance(v, tuple)
+                and len(v) == 3
+                and v[0] == "__variant_ns__"
+            ):
+                _, tz, ns = v
+                secs, frac = divmod(ns, 1_000_000_000)
+                base = _dt.datetime(
+                    1970, 1, 1,
+                    tzinfo=_dt.timezone.utc if tz else None,
+                ) + _dt.timedelta(seconds=secs)
+                txt = base.isoformat(sep=" ")
+                if tz:  # splice the fraction before the +00:00 suffix
+                    txt = f"{txt[:-6]}.{frac:09d}{txt[-6:]}"
+                else:
+                    txt = f"{txt}.{frac:09d}"
+                return _json.dumps(txt)
+            if isinstance(v, dict):
+                return (
+                    "{"
+                    + ",".join(
+                        f"{_json.dumps(k, ensure_ascii=False)}:{ser(x)}"
+                        for k, x in v.items()
+                    )
+                    + "}"
+                )
+            if isinstance(v, list):
+                return "[" + ",".join(ser(x) for x in v) + "]"
+                # pragma: no cover — decode_at never yields other types
+            raise ValueError(f"unrenderable variant value {type(v)}")
+
+        return ser(decode(bytes(md), bytes(val)))
+
+    return metadata_names, decode, to_json
+
+
+_metadata_names, decode_variant, variant_to_json = _build_codec()
+
+
+def variant_json_udf():
+    """Arrow-batched pandas UDF: ``struct<metadata binary, value
+    binary>`` column → canonical-JSON ``STRING`` column. Built inside
+    this factory so everything shipped to the worker pickles by value
+    (the decoder is a ``_build_codec`` local; stdlib pickles by name)."""
+    from pyspark.sql.functions import pandas_udf
+
+    to_json = variant_to_json
+
+    def _conv(s):
+        import pandas as pd
+
+        md = s["metadata"]
+        val = s["value"]
+        return pd.Series(
+            [to_json(m, v) for m, v in zip(md, val)], dtype=object
+        )
+
+    return pandas_udf(_conv, "string")
+
+
+def decode_variant_columns(df, cols: "list[str]"):
+    """Replace each physical variant struct column with its canonical
+    JSON string form (the engine's variant read surface)."""
+    if not cols:
+        return df
+    from pyspark.sql import functions as F
+
+    udf = variant_json_udf()
+    for c in cols:
+        df = df.withColumn(c, udf(F.col(c)))
+    return df
+
+
+# --- encoder (driver/fixture side) -------------------------------------------
+
+
+def _collect_keys(obj, keys: set) -> None:
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if not isinstance(k, str):
+                raise TypeError("variant object keys must be strings")
+            keys.add(k)
+            _collect_keys(v, keys)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _collect_keys(v, keys)
+
+
+def _min_bytes(n: int) -> int:
+    """Smallest 1..4-byte width that holds unsigned ``n``."""
+    for w in (1, 2, 3, 4):
+        if n < (1 << (8 * w)):
+            return w
+    raise ValueError(f"variant offset {n} exceeds 4 bytes")
+
+
+def _ule(n: int, w: int) -> bytes:
+    return int(n).to_bytes(w, "little", signed=False)
+
+
+def _encode_value(obj, fid: "dict[str, int]") -> bytes:
+    """Recursive value encoding (spec layout in the module docstring)."""
+
+    def prim(tid: int, payload: bytes = b"") -> bytes:
+        return bytes([tid << 2]) + payload
+
+    if obj is None:
+        return prim(0)
+    if obj is True:
+        return prim(1)
+    if obj is False:
+        return prim(2)
+    if isinstance(obj, int):
+        for tid, w in ((3, 1), (4, 2), (5, 4), (6, 8)):
+            if -(1 << (8 * w - 1)) <= obj < (1 << (8 * w - 1)):
+                return prim(tid, obj.to_bytes(w, "little", signed=True))
+        raise ValueError(f"variant int {obj} exceeds int64")
+    if isinstance(obj, float):
+        return prim(7, struct.pack("<d", obj))
+    if isinstance(obj, Decimal):
+        sign, digits, exp = obj.as_tuple()
+        if exp > 0:  # normalize 1E+2 → scale-0 unscaled 100
+            obj = obj.quantize(Decimal(1))
+            sign, digits, exp = obj.as_tuple()
+        scale = -exp
+        if not 0 <= scale <= 255:
+            raise ValueError(f"variant decimal scale {scale} out of range")
+        unscaled = int(obj.scaleb(scale))
+        for tid, w in ((8, 4), (9, 8), (10, 16)):
+            if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
+                return prim(
+                    tid,
+                    bytes([scale])
+                    + unscaled.to_bytes(w, "little", signed=True),
+                )
+        raise ValueError("variant decimal exceeds decimal16")
+    if isinstance(obj, datetime.datetime):
+        if obj.tzinfo is not None:
+            us = (
+                obj - datetime.datetime(
+                    1970, 1, 1, tzinfo=datetime.timezone.utc
+                )
+            ) // datetime.timedelta(microseconds=1)
+            return prim(12, us.to_bytes(8, "little", signed=True))
+        us = (
+            obj - datetime.datetime(1970, 1, 1)
+        ) // datetime.timedelta(microseconds=1)
+        return prim(13, us.to_bytes(8, "little", signed=True))
+    if isinstance(obj, datetime.date):
+        days = (obj - datetime.date(1970, 1, 1)).days
+        return prim(11, days.to_bytes(4, "little", signed=True))
+    if isinstance(obj, datetime.time):
+        us = (
+            obj.hour * 3600 + obj.minute * 60 + obj.second
+        ) * 1_000_000 + obj.microsecond
+        return prim(17, us.to_bytes(8, "little", signed=True))
+    if isinstance(obj, _uuidlib.UUID):
+        return prim(20, obj.bytes)  # spec: big-endian field order
+    if isinstance(obj, (bytes, bytearray)):
+        return prim(15, _ule(len(obj), 4) + bytes(obj))
+    if isinstance(obj, str):
+        raw = obj.encode("utf-8")
+        if len(raw) < 64:
+            return bytes([(len(raw) << 2) | 1]) + raw
+        return prim(16, _ule(len(raw), 4) + raw)
+    if isinstance(obj, dict):
+        items = sorted(obj.items(), key=lambda kv: kv[0])
+        vals = [_encode_value(v, fid) for _, v in items]
+        offs, total = [], 0
+        for v in vals:
+            offs.append(total)
+            total += len(v)
+        offs.append(total)
+        n = len(items)
+        fids = [fid[k] for k, _ in items]
+        fid_sz = _min_bytes(max(fids) if fids else 0)
+        fo_sz = _min_bytes(total)
+        large = n > 255
+        hdr = (int(large) << 4) | ((fid_sz - 1) << 2) | (fo_sz - 1)
+        out = bytearray([(hdr << 2) | 2])
+        out += _ule(n, 4 if large else 1)
+        for f in fids:
+            out += _ule(f, fid_sz)
+        for o in offs:
+            out += _ule(o, fo_sz)
+        for v in vals:
+            out += v
+        return bytes(out)
+    if isinstance(obj, (list, tuple)):
+        vals = [_encode_value(v, fid) for v in obj]
+        offs, total = [], 0
+        for v in vals:
+            offs.append(total)
+            total += len(v)
+        offs.append(total)
+        n = len(vals)
+        fo_sz = _min_bytes(total)
+        large = n > 255
+        hdr = (int(large) << 2) | (fo_sz - 1)
+        out = bytearray([(hdr << 2) | 3])
+        out += _ule(n, 4 if large else 1)
+        for o in offs:
+            out += _ule(o, fo_sz)
+        for v in vals:
+            out += v
+        return bytes(out)
+    raise TypeError(f"cannot encode {type(obj).__name__} as variant")
+
+
+def encode_variant(obj) -> "tuple[bytes, bytes]":
+    """Python object tree → spec-conformant ``(metadata, value)`` bytes.
+    The metadata dictionary holds every object key in the tree, sorted
+    (``sorted_strings`` set). Supported leaves: None, bool, int (→
+    smallest intN), float (→ double), str, bytes, Decimal, date,
+    datetime (tz-aware → timestamptz-micros, naive → ntz), time, UUID;
+    dict/list nest."""
+    keys: set = set()
+    _collect_keys(obj, keys)
+    names = sorted(keys, key=lambda s: s.encode("utf-8"))
+    fid = {k: i for i, k in enumerate(names)}
+    raw = [k.encode("utf-8") for k in names]
+    offs, total = [], 0
+    for r in raw:
+        offs.append(total)
+        total += len(r)
+    offs.append(total)
+    osz = _min_bytes(max(total, len(names)))
+    md = bytearray([0x01 | (1 << 4) | ((osz - 1) << 6)])
+    md += _ule(len(names), osz)
+    for o in offs:
+        md += _ule(o, osz)
+    for r in raw:
+        md += r
+    return bytes(md), _encode_value(obj, fid)

@@ -2622,3 +2622,110 @@ def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, lang, _row_id "
         f"FROM iceberg_row_lineage('{root}')",
     )
+
+
+@register(
+    "iceberg_v3_variant_scan",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE lang END AS v_lang,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE n_chars END AS chars,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE source END AS tag0,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE n_chars * 0.25 END AS score
+            FROM documents
+        )
+        SELECT v_lang, count(*) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS sum_chars,
+               count(tag0) AS n_tagged,
+               CAST(max(score) AS DOUBLE) AS max_score
+        FROM t GROUP BY v_lang
+    """,
+    tags=("iceberg", "v3", "variant"),
+)
+def iceberg_v3_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 VARIANT reads driver-checked (r12, VERDICT r11 #1):
+    every document row carries an UNSHREDDED variant payload — the
+    Parquet ``(metadata, value)`` binary pair, encoded per the public
+    variant binary spec (``functions/variant.py``, spec-pinned by
+    ``tests/test_variant_spec_vectors.py``) — built deterministically
+    from the row's own columns (``{"lang", "stats": {"chars"}, "tags":
+    [source, lang], "score"}``; every 11th row a NULL variant). The scan
+    decodes the pair to the engine's canonical-JSON STRING surface, and
+    the query extracts FOUR typed paths JVM-side
+    (``variant_get(parse_json(payload), ...)``: a string leaf, a nested
+    int, an array element, a double) and aggregates — so a decode error
+    anywhere (dictionary, nesting, arrays, numerics, nulls) breaks the
+    hash against an oracle that recomputes the same values from the
+    ORIGINAL columns.
+
+    Scale shape: the decode is one Arrow-batched pandas UDF over exactly
+    the two binary subcolumns (blobs never shuffle — decode happens at
+    the scan, the aggregate exchanges only the extracted scalars);
+    shredding detection is one cached footer read per file,
+    metadata-scale. Shredded files 400 precisely
+    (``test_variant_reads.py``)."""
+    from cloudfloe_spark.functions.variant import encode_variant
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"v3var{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_v3variant", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "source", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        enc = []
+        for r in rows:
+            if r["doc_id"] % 11 == 0:
+                enc.append(None)
+                continue
+            md, val = encode_variant(
+                {
+                    "lang": r["lang"],
+                    "stats": {"chars": r["n_chars"]},
+                    "tags": [r["source"], r["lang"]],
+                    "score": r["n_chars"] * 0.25,
+                }
+            )
+            enc.append({"metadata": md, "value": val})
+        vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+        out = pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "payload": pa.array(enc, vt),
+            }
+        )
+        t = LocalIcebergTable(root, out.schema, variant_cols=("payload",))
+        t.append_snapshot([out], timestamp_ms=_T0)
+        assert im.load_metadata(root)["format-version"] == 3
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        "SELECT variant_get(parse_json(payload), '$.lang', 'string') "
+        "         AS v_lang, "
+        "       count(*) AS n_docs, "
+        "       sum(variant_get(parse_json(payload), '$.stats.chars', "
+        "           'bigint')) AS sum_chars, "
+        "       count(variant_get(parse_json(payload), '$.tags[0]', "
+        "           'string')) AS n_tagged, "
+        "       max(variant_get(parse_json(payload), '$.score', "
+        "           'double')) AS max_score "
+        f"FROM iceberg_scan('{root}') GROUP BY v_lang",
+    )

@@ -309,6 +309,7 @@ class LocalIcebergTable:
         uri_prefix: str = "file://",
         partition_by: "Optional[str | tuple[str, str]]" = None,
         row_lineage: bool = False,
+        variant_cols: "tuple[str, ...] | list[str]" = (),
     ):
         self.root = root
         self.schema = arrow_schema
@@ -360,6 +361,25 @@ class LocalIcebergTable:
         self._row_lineage = bool(row_lineage)
         self._next_row_id = 0
         self._pending_row_mark: "int | None" = None
+        # v3 variant (r12): these arrow struct<metadata: binary,
+        # value: binary> columns record the Iceberg type "variant" in
+        # the schema JSON (the unshredded physical layout). Forces
+        # format-version 3.
+        self._variant_cols = tuple(variant_cols)
+        for vc in self._variant_cols:
+            if vc not in arrow_schema.names:
+                raise KeyError(f"variant column {vc!r} not in schema")
+            t = arrow_schema.field(vc).type
+            names = (
+                {t.field(i).name for i in range(t.num_fields)}
+                if pa.types.is_struct(t)
+                else set()
+            )
+            if names != {"metadata", "value"}:
+                raise ValueError(
+                    f"variant column {vc!r} must be "
+                    "struct<metadata: binary, value: binary>"
+                )
         # schema log: rename_column appends entries; current id = last
         self._schema_log: list[dict] = []
         self._extra_meta_versions = 0
@@ -857,6 +877,16 @@ class LocalIcebergTable:
     def _iceberg_schema(self, schema_id: int = 0) -> dict:
         fields = []
         for i, f in enumerate(self.schema):
+            if f.name in self._variant_cols:
+                fields.append(
+                    {
+                        "id": self._field_ids[i],
+                        "name": f.name,
+                        "required": False,
+                        "type": "variant",
+                    }
+                )
+                continue
             t = _ARROW_TO_ICEBERG.get(f.type)
             if t is None:
                 if pa.types.is_timestamp(f.type):
@@ -909,9 +939,15 @@ class LocalIcebergTable:
                 )
             spec_entries.append({"spec-id": sid, "fields": fields})
         meta = {
-            # column defaults and row lineage are v3-only schema features
+            # defaults, row lineage and variant are v3-only features
             "format-version": (
-                3 if (self._defaults or self._row_lineage) else 2
+                3
+                if (
+                    self._defaults
+                    or self._row_lineage
+                    or self._variant_cols
+                )
+                else 2
             ),
             "table-uuid": "00000000-0000-0000-0000-000000000000",
             "location": self._uri(self.root),

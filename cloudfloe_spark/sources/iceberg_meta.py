@@ -362,9 +362,9 @@ def has_deletion_vectors(root: str, snapshot: dict) -> bool:
     )
 
 
-#: v3 column types this reader cannot materialize
+#: v3 column types this reader cannot materialize (variant left this
+#: set in r12 — unshredded reads decode to a JSON-string surface)
 _V3_UNSUPPORTED_TYPES = {
-    "variant",
     "geometry",
     "geography",
     "timestamp_ns",
@@ -425,6 +425,77 @@ def schema_default_fills(
     return out
 
 
+def variant_columns(
+    meta: dict, schema_id: Optional[int] = None
+) -> list[str]:
+    """Top-level column names of the target schema typed ``variant``
+    (Iceberg v3) — the columns the batch scan decodes to the engine's
+    canonical-JSON STRING surface (r12)."""
+    try:
+        sch = _schema_for(meta, schema_id)
+    except IcebergMetadataError:
+        return []
+    return [
+        f["name"]
+        for f in sch.get("fields", [])
+        if f.get("type") == "variant"
+    ]
+
+
+def variant_shredding_errors(
+    paths: "list[str]", cols: "list[str]"
+) -> list[str]:
+    """Per-file footer probe of the variant columns' physical layout:
+    an UNSHREDDED column is exactly the ``(metadata, value)`` binary
+    pair; anything else — a ``typed_value`` subcolumn (spec shredding),
+    a missing ``value``, or a non-struct physical type — is named here
+    so the read can 400 precisely instead of decoding garbage. Only
+    variant tables pay the footer read (cached per immutable file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import fsio
+
+    out: list[str] = []
+    for p in paths:
+        sch = _FOOTER_SCHEMA_CACHE.get(p)
+        if sch is None:
+            if fsio.is_remote(p):
+                sch = pq.read_schema(pa.BufferReader(fsio.read_bytes(p)))
+            else:
+                sch = pq.read_schema(p.removeprefix("file://"))
+            _FOOTER_SCHEMA_CACHE[p] = sch
+        suffix = p.rsplit("/data/", 1)[-1]
+        for c in cols:
+            if c not in sch.names:
+                continue  # file predates the column: reads as NULL
+            t = sch.field(c).type
+            if not pa.types.is_struct(t):
+                out.append(
+                    f"variant column {c!r} in {suffix} has non-struct "
+                    f"physical type {t}"
+                )
+                continue
+            sub = {t.field(i).name for i in range(t.num_fields)}
+            extra = sub - {"metadata", "value"}
+            if extra:
+                out.append(
+                    f"variant column {c!r} in {suffix} is SHREDDED "
+                    f"(subcolumns {sorted(extra)}); typed_value "
+                    "reassembly is not implemented — rewrite the file "
+                    "unshredded or drop the column from the query"
+                )
+            elif "value" not in sub or "metadata" not in sub:
+                out.append(
+                    f"variant column {c!r} in {suffix} lacks the "
+                    "(metadata, value) pair"
+                )
+    return out
+
+
+_FOOTER_SCHEMA_CACHE: dict = {}
+
+
 def unsupported_v3_features(
     root: str, metadata_path: "Optional[str]" = None
 ) -> list[str]:
@@ -460,24 +531,15 @@ def unsupported_v3_features(
                     f"{f.get('name')!r}"
                 )
             t = f.get("type")
+            # variant (r12, VERDICT r11 #1) is READABLE unshredded: the
+            # batch scan decodes the (metadata, value) pair to a
+            # canonical-JSON STRING column (functions/variant.py);
+            # shredded FILES are rejected per file at scan time
+            # (variant_shredding_errors), not here at the schema level.
             if isinstance(t, str) and t in _V3_UNSUPPORTED_TYPES:
-                if t == "variant":
-                    # r11 scoping spike (COVERAGE.md "Variant (v3) —
-                    # scoping note"): name the gap precisely
-                    out.append(
-                        f"variant type on column {f.get('name')!r} — "
-                        "reading variant requires the variant binary "
-                        "decoder (metadata dictionary + recursive value "
-                        "encoding) and, for shredded columns, "
-                        "typed_value reassembly; neither is implemented "
-                        "(see COVERAGE.md, 'Variant (v3) — scoping "
-                        "note'). Cast the column to a supported type or "
-                        "drop it from the query's table"
-                    )
-                else:
-                    out.append(
-                        f"v3 type {t!r} on column {f.get('name')!r}"
-                    )
+                out.append(
+                    f"v3 type {t!r} on column {f.get('name')!r}"
+                )
     return out
 
 
@@ -738,8 +800,32 @@ _PRIMITIVES = {
 }
 
 
-def _iceberg_type_to_ddl(t: Any) -> str:
+#: physical Parquet layout of an UNSHREDDED v3 variant column — the
+#: (metadata, value) binary pair the batch scan reads before decoding
+#: to the engine's JSON-string surface (functions/variant.py)
+VARIANT_PHYSICAL_DDL = "STRUCT<`metadata`: BINARY, `value`: BINARY>"
+
+
+def _iceberg_type_to_ddl(t: Any, variant_as: "str | None" = None) -> str:
+    """``variant_as`` controls the v3 ``variant`` type (r12):
+    ``"physical"`` emits the unshredded (metadata, value) struct the
+    parquet reader needs; ``"string"`` emits the engine's surfaced type
+    (canonical JSON text); the default rejects with the gap named —
+    only the batch ``iceberg_scan`` path implements the decode, so
+    every OTHER consumer (CDC, DML, streaming, changelog) keeps its
+    clear 400 instead of silently emitting raw binary structs."""
     if isinstance(t, str):
+        if t == "variant":
+            if variant_as == "physical":
+                return VARIANT_PHYSICAL_DDL
+            if variant_as == "string":
+                return "STRING"
+            raise IcebergMetadataError(
+                "variant column is only readable through the batch "
+                "iceberg_scan path (decoded to a canonical-JSON STRING "
+                "column); CDC, DML, streaming and changelog reads over "
+                "variant tables are not supported"
+            )
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]
         if t.startswith("decimal("):
@@ -749,6 +835,8 @@ def _iceberg_type_to_ddl(t: Any) -> str:
         raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
     kind = t.get("type")
     if kind == "struct":
+        # nested variant stays rejected (no variant_as pass-through):
+        # the decode surface is top-level columns only
         inner = ", ".join(
             f"`{f['name']}`: {_iceberg_type_to_ddl(f['type'])}"
             for f in t["fields"]
@@ -764,10 +852,22 @@ def _iceberg_type_to_ddl(t: Any) -> str:
     raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
 
 
+def _ddl_ok(t: Any) -> bool:
+    """Whether ``_iceberg_type_to_ddl`` can map ``t`` without a variant
+    surface decision (used to SKIP fields in contexts where the column
+    could never participate anyway, e.g. identity-partition sources)."""
+    try:
+        _iceberg_type_to_ddl(t)
+        return True
+    except IcebergMetadataError:
+        return False
+
+
 def current_schema_ddl(
     root: str,
     metadata_path: Optional[str] = None,
     schema_id: Optional[int] = None,
+    variant_as: "str | None" = None,
 ) -> str:
     """Spark DDL column list for ``schema_id`` (default current) — lets an
     empty snapshot read return zero rows WITH the right columns.
@@ -786,7 +886,7 @@ def current_schema_ddl(
     if schema is None:
         raise IcebergMetadataError("metadata carries no schema")
     return ", ".join(
-        f"`{f['name']}` {_iceberg_type_to_ddl(f['type'])}"
+        f"`{f['name']}` {_iceberg_type_to_ddl(f['type'], variant_as)}"
         for f in schema["fields"]
     )
 
@@ -906,6 +1006,7 @@ def scan_groups(
     paths: list[str],
     metadata_path: Optional[str] = None,
     schema_id: Optional[int] = None,
+    variant_as: "str | None" = None,
 ) -> list[tuple[list[str], dict[str, str], Optional[str], dict]]:
     """Partition a snapshot's data files for a schema-evolution-correct
     read: ``(paths, rename_map, read_schema_ddl, default_fills)`` per
@@ -942,6 +1043,10 @@ def scan_groups(
     # parquet column that a footer-inferred read would leak into the
     # table's schema
     lineage = meta.get("next-row-id") is not None
+    # variant tables (r12) also read under an explicit DDL: the reader
+    # needs the PHYSICAL (metadata, value) struct form, never a
+    # footer-inferred schema
+    has_variant = bool(variant_columns(meta, target_sid))
     hist = schema_name_history(root, metadata_path, schema_id=target_sid)
     fills = (
         schema_default_fills(meta, target_sid)
@@ -950,14 +1055,20 @@ def scan_groups(
     )
     if not hist and not fills:
         ddl = (
-            current_schema_ddl(root, metadata_path, schema_id=target_sid)
-            if (evolved or lineage)
+            current_schema_ddl(
+                root, metadata_path, schema_id=target_sid,
+                variant_as=variant_as,
+            )
+            if (evolved or lineage or has_variant)
             else None
         )
         return [(list(paths), {}, ddl, {})]
 
     cur = _schema_for(meta, target_sid)
-    fields = [(f["name"], _iceberg_type_to_ddl(f["type"])) for f in cur["fields"]]
+    fields = [
+        (f["name"], _iceberg_type_to_ddl(f["type"], variant_as))
+        for f in cur["fields"]
+    ]
 
     def _ddl(rmap: dict[str, str]) -> str:
         inv = {v: k for k, v in rmap.items()}
@@ -1011,7 +1122,9 @@ def identity_partition_fields(
         by_id = {
             f["id"]: (f["name"], _iceberg_type_to_ddl(f["type"]))
             for f in schema.get("fields", [])
-            if "id" in f
+            # variant/unknown fields can never be identity-partition
+            # SOURCES; skip them instead of failing the whole table
+            if "id" in f and _ddl_ok(f["type"])
         }
     out = []
     for f in spec.get("fields", []):
