@@ -2567,7 +2567,13 @@ def iceberg_cdc_lineage_compaction(
 @register(
     "iceberg_row_lineage_scan",
     oracle="""
-        SELECT doc_id, lang, _row_id FROM (
+        SELECT doc_id, lang,
+               CASE WHEN n_chars % 7 = 0 THEN n_chars + 55
+                    ELSE n_chars END AS n_chars,
+               _row_id,
+               CAST(CASE WHEN n_chars % 7 = 0 THEN 3 ELSE 1 END AS BIGINT)
+                   AS _last_updated_sequence_number
+        FROM (
             SELECT doc_id, lang, n_chars,
                    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
                        AS _row_id
@@ -2578,23 +2584,34 @@ def iceberg_cdc_lineage_compaction(
 )
 def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``iceberg_row_lineage('<root>')`` driver-checked (r11, VERDICT
-    r10 #5): one sorted append assigns row ids equal to each row's rank
-    (file first_row_id 0 + position), a MOR DELETE retracts some ids
-    (committed as v3 deletion vectors — lineage tables are v3), and the
-    lineage scan must show every SURVIVING row still carrying its
-    ORIGINAL id — which the oracle reconstructs as the doc_id rank over
-    the full corpus, filtered to survivors.
+    r10 #5; r12 VERDICT r11 #2 extends it with
+    ``_last_updated_sequence_number``): one sorted append assigns row
+    ids equal to each row's rank (file first_row_id 0 + position) at
+    data sequence 1, a MOR DELETE retracts some ids (committed as v3
+    deletion vectors — lineage tables are v3) at sequence 2, a MOR
+    UPDATE rewrites some survivors at sequence 3, and a full compaction
+    (sequence 4) rewrites every file. The lineage scan must show every
+    SURVIVING row still carrying its ORIGINAL id AND the sequence of the
+    commit that last CHANGED it — 3 for updated rows, 1 for everything
+    else; the compaction must contribute nothing to either column. The
+    oracle reconstructs ids as the doc_id rank over the full corpus and
+    sequence numbers from the update predicate.
 
-    Scale shape: the id is a broadcast map join against per-file
-    coordinates (file-count-sized map, zero row shuffle); the DV apply
-    is the standard anti-join."""
+    Scale shape: both lineage columns come from one broadcast map join
+    against per-file coordinates (file-count-sized map, zero row
+    shuffle); the DV apply is the standard anti-join; the compaction
+    carry is a materialized-column read, not recomputation."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
-    from cloudfloe_spark.sources.maintenance import delete_where
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+        delete_where,
+        update_where,
+    )
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"rlscan{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"rlseq{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
         f"|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     parent = os.path.join("/tmp", "cloudfloe_rlscan", key)
@@ -2614,12 +2631,19 @@ def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, "n_chars % 9 = 0", timestamp_ms=_T0 + 1000
         )
         assert res.get("deletion_vectors"), res
-        assert im.load_metadata(root)["next-row-id"] == tbl.num_rows
+        update_where(
+            spark, root, "n_chars % 7 = 0",
+            {"n_chars": "n_chars + 55"}, timestamp_ms=_T0 + 2000,
+        )
+        res2 = compact_iceberg_table(spark, root, timestamp_ms=_T0 + 3000)
+        assert res2["snapshot_id"], res2
+        assert im.load_metadata(root)["next-row-id"] >= tbl.num_rows
         with open(done, "w") as f:
             f.write("ok")
     return _resolved(
         spark,
-        f"SELECT doc_id, lang, _row_id "
+        f"SELECT doc_id, lang, n_chars, _row_id, "
+        f"_last_updated_sequence_number "
         f"FROM iceberg_row_lineage('{root}')",
     )
 

@@ -568,6 +568,23 @@ def first_row_ids(root: str, snapshot: dict) -> "dict[str, int | None]":
     return out
 
 
+def file_sequence_numbers(root: str, snapshot: dict) -> "dict[str, int]":
+    """Live data files' DATA sequence numbers keyed by path suffix under
+    ``data/`` — the inherited ``_last_updated_sequence_number`` for rows
+    whose files don't materialize the column (Iceberg v3 row lineage:
+    a row's last-updated sequence is the materialized parquet value when
+    present, else its file's data sequence number)."""
+    out: dict = {}
+    for e in manifest_entries(root, snapshot):
+        f = e["data_file"]
+        if e["status"] == 2 or f.get("content", 0) != 0:
+            continue
+        out[f["file_path"].rsplit("/data/", 1)[-1]] = int(
+            e.get("sequence_number") or 0
+        )
+    return out
+
+
 def position_delete_records(root: str, snapshot: dict) -> list[dict]:
     """Live position-delete files WITH their commit sequence numbers:
     ``{"path", "seq"}`` — the ordering a changelog read needs to tell

@@ -895,24 +895,38 @@ def _mor_raw_scan(
     return df
 
 
-def _with_source_row_ids(spark: SparkSession, root: str, snap: dict, df):
+def _with_source_row_ids(
+    spark: SparkSession, root: str, snap: dict, df, *, with_seq: bool = False
+):
     """Resolve each row's CURRENT row id onto a ``_mor_raw_scan``-shaped
     frame (``_FP``/``_POS`` coordinates plus, on lineage tables, the
     rewritten files' materialized ``_row_id`` column) as
     ``__cf_src_rid`` — one broadcast (file-count-sized) map join, zero
-    row shuffle."""
+    row shuffle.
+
+    ``with_seq=True`` additionally resolves the v3 row-lineage twin
+    ``_last_updated_sequence_number`` as ``__cf_src_seq``: the
+    materialized parquet value when the frame carries the column, else
+    the file's data sequence number (spec inheritance)."""
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.sources import iceberg_meta as im
 
     firsts = im.first_row_ids(root, snap)
-    pairs = [(s, f) for s, f in firsts.items() if f is not None]
+    seqs = im.file_sequence_numbers(root, snap) if with_seq else {}
+    pairs = [
+        (s, f, seqs.get(s))
+        for s, f in firsts.items()
+        if f is not None or s in seqs
+    ]
     out = df.withColumn(
         "__cf_src_sfx", F.substring_index(F.col(_FP), "/data/", -1)
     )
     if pairs:
         fmap = spark.createDataFrame(
-            pairs, "__cf_src_msfx STRING, __cf_src_first BIGINT"
+            pairs,
+            "__cf_src_msfx STRING, __cf_src_first BIGINT, "
+            "__cf_src_fseq BIGINT",
         )
         out = out.join(
             F.broadcast(fmap),
@@ -922,15 +936,23 @@ def _with_source_row_ids(spark: SparkSession, root: str, snap: dict, df):
     else:
         out = out.withColumn(
             "__cf_src_first", F.lit(None).cast("bigint")
-        )
+        ).withColumn("__cf_src_fseq", F.lit(None).cast("bigint"))
     rid = F.col("__cf_src_first") + F.col(_POS)
     if "_row_id" in df.columns:
         rid = F.coalesce(F.col("_row_id"), rid)
-    return out.withColumn("__cf_src_rid", rid.cast("bigint"))
+    out = out.withColumn("__cf_src_rid", rid.cast("bigint"))
+    if with_seq:
+        seq = F.col("__cf_src_fseq")
+        if _SEQ in df.columns:
+            seq = F.coalesce(F.col(_SEQ), seq)
+        out = out.withColumn("__cf_src_seq", seq.cast("bigint"))
+    return out
 
 
+_SEQ = "_last_updated_sequence_number"
 _RID_HELPER_COLS = (
-    "__cf_src_sfx", "__cf_src_msfx", "__cf_src_first", "__cf_src_rid",
+    "__cf_src_sfx", "__cf_src_msfx", "__cf_src_first", "__cf_src_fseq",
+    "__cf_src_rid", "__cf_src_seq",
 )
 
 
@@ -944,12 +966,17 @@ def row_lineage_scan(
     """v3 ROW LINEAGE read (r11, VERDICT r10 #5): the MOR-applied table
     plus ``_row_id`` — a row's id is its file's ``first_row_id`` +
     position, or the MATERIALIZED ``_row_id`` parquet column for
-    rewritten (compacted) files, which is how ids survive compaction.
+    rewritten (compacted) files, which is how ids survive compaction —
+    and ``_last_updated_sequence_number`` (r12, VERDICT r11 #2): the
+    data sequence number of the commit that last CHANGED the row — its
+    file's data sequence number, or the materialized parquet column for
+    files rewritten by a change-free pass (compaction, COW carry-over),
+    which is how "when did this row last change" survives rewrites.
 
-    Scale shape: the id is computed from a broadcast (file-count-sized)
-    suffix→first_row_id map joined against the scan's per-file
-    coordinates — no shuffle of table rows, no extra IO beyond the
-    footer-name reads the lineage validation needs (cached per
+    Scale shape: both columns come from one broadcast (file-count-sized)
+    suffix→(first_row_id, data_seq) map joined against the scan's
+    per-file coordinates — no shuffle of table rows, no extra IO beyond
+    the footer-name reads the lineage validation needs (cached per
     immutable file)."""
     from pyspark.sql import functions as F
 
@@ -966,7 +993,8 @@ def row_lineage_scan(
     if not paths:
         return spark.createDataFrame(
             [],
-            im.current_schema_ddl(root, meta_path) + ", _row_id BIGINT",
+            im.current_schema_ddl(root, meta_path)
+            + f", _row_id BIGINT, {_SEQ} BIGINT",
         )
     firsts = im.first_row_ids(root, snap)
     by_sfx = {p.rsplit("/data/", 1)[-1]: p for p in paths}
@@ -984,16 +1012,19 @@ def row_lineage_scan(
         )
     df = _mor_raw_scan(
         spark, root, snap, paths,
-        metadata_path=meta_path, extra_footer_cols=["_row_id"],
+        metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
     )
-    df = _with_source_row_ids(spark, root, snap, df)
+    df = _with_source_row_ids(spark, root, snap, df, with_seq=True)
     out_cols = [
         c
         for c in df.columns
-        if c not in (_FP, _POS, "_row_id") and c not in _RID_HELPER_COLS
+        if c not in (_FP, _POS, "_row_id", _SEQ)
+        and c not in _RID_HELPER_COLS
     ]
     return df.select(
-        *out_cols, F.col("__cf_src_rid").alias("_row_id")
+        *out_cols,
+        F.col("__cf_src_rid").alias("_row_id"),
+        F.col("__cf_src_seq").alias(_SEQ),
     )
 
 
@@ -1320,7 +1351,7 @@ def _cow_dml(
     lineage = (
         im.load_metadata(root, meta_path).get("next-row-id") is not None
     )
-    extra = ["_row_id"] if lineage else None
+    extra = ["_row_id", _SEQ] if lineage else None
     df = _mor_raw_scan(
         spark, root, snap, paths,
         metadata_path=meta_path, extra_footer_cols=extra,
@@ -1328,7 +1359,7 @@ def _cow_dml(
     data_cols = [
         c
         for c in df.columns
-        if c not in (_FP, _POS) and not (lineage and c == "_row_id")
+        if c not in (_FP, _POS) and not (lineage and c in ("_row_id", _SEQ))
     ]
     if assignments:
         bad = sorted(set(assignments) - set(data_cols))
@@ -1379,9 +1410,23 @@ def _cow_dml(
         # v3 row lineage (r11): a COW rewrite is a PHYSICAL move for the
         # unmatched co-located rows and a carried-id update for the
         # matched ones — every rewritten row materializes its source id
-        # (carry-over rows MUST keep theirs; the spec's whole point)
-        df2 = _with_source_row_ids(spark, root, snap, df2)
+        # (carry-over rows MUST keep theirs; the spec's whole point).
+        # r12: _last_updated_sequence_number materializes the SOURCE
+        # value for carried rows (their last change predates this
+        # rewrite) and NULL for matched rows — inheriting the new
+        # file's data sequence, i.e. this commit, which DID change them.
+        df2 = _with_source_row_ids(spark, root, snap, df2, with_seq=True)
         out_cols = out_cols + [F.col("__cf_src_rid").alias("_row_id")]
+        src_seq = F.col("__cf_src_seq")
+        out_cols = out_cols + [
+            (
+                src_seq
+                if assignments is None
+                else F.when(
+                    cond, F.lit(None).cast("bigint")
+                ).otherwise(src_seq)
+            ).alias(_SEQ)
+        ]
     if assignments is None:
         rewritten = df2.filter(~cond).select(*out_cols)
     else:
@@ -2124,12 +2169,13 @@ def merge_into(
     )
     tdf = _mor_raw_scan(
         spark, root, snap, paths, metadata_path=meta_path,
-        extra_footer_cols=["_row_id"] if lineage else None,
+        extra_footer_cols=["_row_id", _SEQ] if lineage else None,
     )
     tcols = [
         c
         for c in tdf.columns
-        if c not in (_FP, _POS) and not (lineage and c == "_row_id")
+        if c not in (_FP, _POS)
+        and not (lineage and c in ("_row_id", _SEQ))
     ]
     missing = sorted(set(tcols) - set(source.columns))
     if insert_unmatched and missing:
@@ -2298,14 +2344,19 @@ def merge_into(
                 df2 = _mor_raw_scan(
                     spark, root, snap, affected,
                     metadata_path=meta_path,
-                    extra_footer_cols=["_row_id"] if lineage else None,
+                    extra_footer_cols=["_row_id", _SEQ]
+                    if lineage
+                    else None,
                 )
                 if lineage:
                     # every rewritten row keeps its id (carry-overs MUST;
-                    # updated rows do too)
+                    # updated rows do too); carry-overs also keep their
+                    # _last_updated_sequence_number — rows this MERGE
+                    # actually changes get NULL and inherit the new
+                    # file's (this commit's) sequence
                     df2 = _with_source_row_ids(
-                        spark, root, snap, df2
-                    ).drop("_row_id")
+                        spark, root, snap, df2, with_seq=True
+                    ).drop("_row_id", _SEQ)
                 df2 = df2.drop(_FP, _POS).alias("t")
                 sm = source.withColumn("__cf_sm", F.lit(True)).alias("s")
                 cond2 = None
@@ -2345,18 +2396,41 @@ def merge_into(
                         ).otherwise(e)
                     return e.alias(c)
 
+                lineage_out = []
+                if lineage:
+                    lineage_out.append(
+                        F.col("t.__cf_src_rid").alias("_row_id")
+                    )
+                    # seq carry: NULL (inherit this commit) only for rows
+                    # whose values this MERGE can change
+                    seq_e = F.col("t.__cf_src_seq")
+                    changed = None
+                    if when_matched:
+                        changed = F.col("__cf_sm").isNotNull()
+                    if nms_pred is not None and nms_assign is not None:
+                        changed = (
+                            nms_pred
+                            if changed is None
+                            else (changed | nms_pred)
+                        )
+                    if changed is not None:
+                        seq_e = F.when(
+                            changed, F.lit(None).cast("bigint")
+                        ).otherwise(seq_e)
+                    lineage_out.append(seq_e.alias(_SEQ))
                 out_parts.append(
                     joined.select(
-                        *[_out_col(c) for c in tcols],
-                        *(
-                            [F.col("t.__cf_src_rid").alias("_row_id")]
-                            if lineage
-                            else []
-                        ),
+                        *[_out_col(c) for c in tcols], *lineage_out
                     )
                 )
             if inserts is not None and n_inserted:
-                out_parts.append(inserts)
+                ins = inserts
+                if lineage:
+                    # fresh rows: inherit this commit's sequence
+                    ins = ins.withColumn(
+                        _SEQ, F.lit(None).cast("bigint")
+                    )
+                out_parts.append(ins)
             out = out_parts[0]
             for p_ in out_parts[1:]:
                 out = out.unionByName(p_)

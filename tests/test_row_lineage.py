@@ -621,3 +621,153 @@ def test_cdc_row_id_on_nonlineage_table_with_added_files(spark, tmp_path):
     assert ei.value.status_code == 400
     assert "requires a row-lineage table" in str(ei.value)
     assert "incomplete" not in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# _last_updated_sequence_number (r12, VERDICT r11 #2) — the second of the
+# v3 row-lineage spec's two inherited metadata columns: the data sequence
+# number of the commit that last CHANGED the row. Inherited from the
+# file's data sequence number unless a change-free rewrite (compaction,
+# COW carry-over) materialized the pre-rewrite value.
+# ---------------------------------------------------------------------------
+
+
+def _lineage_rows(spark, root, **kw):
+    return sorted(
+        (r["id"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in row_lineage_scan(spark, root, **kw).collect()
+    )
+
+
+def test_last_updated_seq_fresh_rows_inherit_commit_seq(
+    spark, lineage_table
+):
+    root, t = lineage_table
+    assert _lineage_rows(spark, root) == [
+        (0, 0, 1), (1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 4, 1),
+    ]
+    # a second append's rows inherit THAT commit's sequence
+    t.append_snapshot([pa.table({"id": [5], "v": ["f"]})], timestamp_ms=T1 + 1000)
+    assert _lineage_rows(spark, root)[-1] == (5, 5, 2)
+
+
+def test_last_updated_seq_mor_update_bumps_touched_only(
+    spark, lineage_table
+):
+    root, _ = lineage_table
+    update_where(spark, root, "id IN (1, 3)", {"v": "'X'"}, timestamp_ms=T1 + 1000)
+    assert _lineage_rows(spark, root) == [
+        (0, 0, 1), (1, 1, 2), (2, 2, 1), (3, 3, 2), (4, 4, 1),
+    ]
+    # a MOR delete (deletion vector) does not touch survivors' seq
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 2000)
+    assert _lineage_rows(spark, root) == [
+        (1, 1, 2), (2, 2, 1), (3, 3, 2), (4, 4, 1),
+    ]
+
+
+def test_last_updated_seq_preserved_across_compaction(spark, lineage_table):
+    """Compaction is not a logical change: rewritten rows keep their
+    pre-rewrite last-updated sequence via the materialized column, even
+    though the rewritten file's own data sequence is higher."""
+    root, _ = lineage_table
+    update_where(spark, root, "id = 2", {"v": "'Z'"}, timestamp_ms=T1 + 1000)
+    before = _lineage_rows(spark, root)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    assert _lineage_rows(spark, root) == before
+    # the compacted file carries BOTH materialized lineage columns
+    snap = im.resolve_snapshot(root)
+    for p in im.live_data_paths(root, snap):
+        cols = im.parquet_column_names(p)
+        assert "_row_id" in cols
+        assert "_last_updated_sequence_number" in cols
+    # and a second compaction still preserves (materialized col wins)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    assert _lineage_rows(spark, root) == before
+
+
+def test_last_updated_seq_cow_update_and_delete_carry(spark, lineage_table):
+    """COW rewrites: matched rows inherit the new commit's sequence;
+    co-located carried rows and COW-delete survivors MATERIALIZE their
+    source value."""
+    root, _ = lineage_table
+    update_where(
+        spark, root, "id = 1", {"v": "'U'"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    assert _lineage_rows(spark, root) == [
+        (0, 0, 1), (1, 1, 2), (2, 2, 1), (3, 3, 1), (4, 4, 1),
+    ]
+    delete_where(
+        spark, root, "id = 0", timestamp_ms=T1 + 2000, mode="copy-on-write"
+    )
+    # survivors keep their values — including the carried id=1 bump
+    assert _lineage_rows(spark, root) == [
+        (1, 1, 2), (2, 2, 1), (3, 3, 1), (4, 4, 1),
+    ]
+
+
+def test_last_updated_seq_merge_paths(spark, lineage_table):
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    root, _ = lineage_table
+    # MOR merge: matched rewrites + an insert both land at commit seq 2
+    src = spark.createDataFrame([(1, "m"), (9, "n")], "id BIGINT, v STRING")
+    merge_into(
+        spark, root, src, on="id", when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 1000,
+    )
+    rows = _lineage_rows(spark, root)
+    assert [(i, s) for i, _, s in rows] == [
+        (0, 1), (1, 2), (2, 1), (3, 1), (4, 1), (9, 2),
+    ]
+    # COW merge: matched row bumps, co-located rows carry, insert fresh
+    src2 = spark.createDataFrame([(2, "c"), (10, "i")], "id BIGINT, v STRING")
+    merge_into(
+        spark, root, src2, on="id", when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 2000, mode="copy-on-write",
+    )
+    rows = _lineage_rows(spark, root)
+    assert [(i, s) for i, _, s in rows] == [
+        (0, 1), (1, 2), (2, 3), (3, 1), (4, 1), (9, 2), (10, 3),
+    ]
+
+
+def test_last_updated_seq_through_service_view(spark, lineage_table):
+    """``iceberg_row_lineage('<root>')`` exposes the column; VERSION AS
+    OF reconstructs the HISTORICAL values from the pinned snapshot."""
+    root, _ = lineage_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    update_where(spark, root, "id = 4", {"v": "'W'"}, timestamp_ms=T1 + 1000)
+    got = _rows(
+        spark,
+        "SELECT id, _row_id, _last_updated_sequence_number "
+        f"FROM iceberg_row_lineage('{root}') ORDER BY id",
+    )
+    assert got == [
+        (0, 0, 1), (1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 4, 2),
+    ]
+    tt = _rows(
+        spark,
+        "SELECT id, _last_updated_sequence_number "
+        f"FROM iceberg_row_lineage('{root}') VERSION AS OF {s0} "
+        "ORDER BY id",
+    )
+    assert tt == [(0, 1), (1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+def test_last_updated_seq_empty_table_schema(spark, tmp_path):
+    """Zero live data files (a COW delete of everything): the empty
+    frame still carries BOTH lineage columns."""
+    root = str(tmp_path / "empty")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64())]), row_lineage=True
+    )
+    t.append_snapshot([pa.table({"id": [1]})], timestamp_ms=T1)
+    delete_where(
+        spark, root, "id = 1", timestamp_ms=T1 + 1000, mode="copy-on-write"
+    )
+    df = row_lineage_scan(spark, root)
+    assert "_last_updated_sequence_number" in df.columns
+    assert "_row_id" in df.columns
+    assert df.count() == 0
