@@ -188,6 +188,62 @@ def decode_dv_blob(blob: bytes) -> list[int]:
 # --- Puffin container ----------------------------------------------------------
 
 
+def write_puffin(
+    path: str,
+    blobs: "list[dict]",
+    *,
+    file_properties: "dict | None" = None,
+) -> "list[dict]":
+    """Write a generic Puffin container. Each blob dict carries
+    ``data`` (bytes) plus its footer BlobMetadata fields (``type``,
+    ``fields``, ``snapshot-id``, ``sequence-number``, optional
+    ``properties``); offsets/lengths are computed here. Returns the
+    footer blob-metadata list (offset/length filled in)."""
+    blobs_meta = []
+    out = bytearray(MAGIC)
+    for b in blobs:
+        data = b["data"]
+        offset = len(out)
+        out += data
+        meta = {
+            "type": b["type"],
+            "fields": list(b.get("fields") or []),
+            "snapshot-id": b["snapshot-id"],
+            "sequence-number": b["sequence-number"],
+            "offset": offset,
+            "length": len(data),
+        }
+        if b.get("properties"):
+            meta["properties"] = dict(b["properties"])
+        blobs_meta.append(meta)
+    payload = json.dumps(
+        {"blobs": blobs_meta, "properties": dict(file_properties or {})},
+        sort_keys=True,
+    ).encode()
+    out += MAGIC + payload
+    out += struct.pack("<I", len(payload))
+    out += struct.pack("<I", 0)  # flags: uncompressed footer
+    out += MAGIC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return blobs_meta
+
+
+def puffin_footer_size(path: str) -> int:
+    """The spec's FileFooter length for ``file-footer-size-in-bytes``:
+    Magic + FooterPayload + FooterPayloadSize(4) + Flags(4) + Magic."""
+    with open(path, "rb") as f:
+        data = f.read()
+    (psize,) = struct.unpack_from("<I", data, len(data) - 12)
+    return 4 + psize + 4 + 4 + 4
+
+
+def read_blob(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
 def write_puffin_dvs(
     path: str,
     dvs: "dict[str, list[int]]",
@@ -199,43 +255,31 @@ def write_puffin_dvs(
     entry of ``dvs`` (referenced data-file path → deleted positions).
     Returns ``{data_file: {"offset", "length", "cardinality"}}`` — what
     the manifest entry needs."""
-    blobs_meta = []
-    out = bytearray(MAGIC)
-    refs = {}
+    blobs = []
     for ref, positions in dvs.items():
-        blob = encode_dv_blob(positions)
-        offset = len(out)
-        out += blob
         card = len(set(int(p) for p in positions))
-        blobs_meta.append(
+        blobs.append(
             {
                 "type": BLOB_TYPE,
                 "fields": [],
                 "snapshot-id": snapshot_id,
                 "sequence-number": sequence_number,
-                "offset": offset,
-                "length": len(blob),
+                "data": encode_dv_blob(positions),
                 "properties": {
                     "referenced-data-file": ref,
                     "cardinality": str(card),
                 },
             }
         )
-        refs[ref] = {
-            "offset": offset,
-            "length": len(blob),
-            "cardinality": card,
+    metas = write_puffin(path, blobs)
+    return {
+        m["properties"]["referenced-data-file"]: {
+            "offset": m["offset"],
+            "length": m["length"],
+            "cardinality": int(m["properties"]["cardinality"]),
         }
-    payload = json.dumps(
-        {"blobs": blobs_meta, "properties": {}}, sort_keys=True
-    ).encode()
-    out += MAGIC + payload
-    out += struct.pack("<I", len(payload))
-    out += struct.pack("<I", 0)  # flags: uncompressed footer
-    out += MAGIC
-    with open(path, "wb") as f:
-        f.write(bytes(out))
-    return refs
+        for m in metas
+    }
 
 
 def read_puffin_footer(path: str) -> dict:
