@@ -2753,3 +2753,82 @@ def iceberg_v3_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "           'double')) AS max_score "
         f"FROM iceberg_scan('{root}') GROUP BY v_lang",
     )
+
+
+@register(
+    "iceberg_v3_timestamp_ns_scan",
+    oracle="""
+        SELECT event_type,
+               date_trunc('hour', ts) AS hr,
+               count(*) AS n,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY event_type, hr
+    """,
+    tags=("iceberg", "v3", "timestamp-ns"),
+)
+def iceberg_v3_timestamp_ns_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 ``timestamp_ns`` reads driver-checked (r12, VERDICT r11 #4):
+    the fixture re-encodes the events table at NANOSECOND precision
+    with a deterministic sub-µs residue (``ts_ns = ts_µs·1000 +
+    event_id % 1000``), so the engine's µs-truncating scan must
+    reproduce the ORIGINAL µs values exactly — the oracle is the plain
+    events table. A truncation-rule drift (floor vs toward-zero, or a
+    1000× misscale) breaks every group boundary and min/max.
+
+    Scale shape: the conversion is one codegen'd integer division per
+    value folded into the scan projection — no UDF, no extra pass."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(
+        f"v3ns{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_v3ns", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type"],
+        ).sort_by("event_id")
+        us = tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        residue = pc.subtract(
+            tbl["event_id"],
+            pc.multiply(
+                pc.divide(tbl["event_id"], pa.scalar(1000, pa.int64())),
+                pa.scalar(1000, pa.int64()),
+            ),
+        )
+        ns = pc.add(pc.multiply(us, pa.scalar(1000, pa.int64())), residue)
+        out = pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "ts": ns.cast(pa.timestamp("ns")),
+                "event_type": tbl["event_type"],
+            }
+        )
+        t = LocalIcebergTable(root, out.schema)
+        t.append_snapshot([out], timestamp_ms=_T0)
+        meta = im.load_metadata(root)
+        assert meta["format-version"] == 3
+        assert any(
+            f["type"] == "timestamp_ns"
+            for f in meta["schemas"][0]["fields"]
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        "SELECT event_type, date_trunc('hour', ts) AS hr, "
+        "count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts "
+        f"FROM iceberg_scan('{root}') GROUP BY event_type, hr",
+    )

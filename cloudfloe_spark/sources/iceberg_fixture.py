@@ -890,7 +890,15 @@ class LocalIcebergTable:
             t = _ARROW_TO_ICEBERG.get(f.type)
             if t is None:
                 if pa.types.is_timestamp(f.type):
-                    t = "timestamptz" if f.type.tz else "timestamp"
+                    # v3 nanosecond types (r12): arrow ns precision maps
+                    # to timestamp_ns/timestamptz_ns and forces v3
+                    if f.type.unit == "ns":
+                        t = (
+                            "timestamptz_ns" if f.type.tz
+                            else "timestamp_ns"
+                        )
+                    else:
+                        t = "timestamptz" if f.type.tz else "timestamp"
                 elif pa.types.is_date(f.type):
                     t = "date"
                 elif pa.types.is_decimal(f.type):
@@ -939,13 +947,19 @@ class LocalIcebergTable:
                 )
             spec_entries.append({"spec-id": sid, "fields": fields})
         meta = {
-            # defaults, row lineage and variant are v3-only features
+            # defaults, row lineage, variant and ns timestamps are
+            # v3-only features
             "format-version": (
                 3
                 if (
                     self._defaults
                     or self._row_lineage
                     or self._variant_cols
+                    or any(
+                        pa.types.is_timestamp(f.type)
+                        and f.type.unit == "ns"
+                        for f in self.schema
+                    )
                 )
                 else 2
             ),

@@ -363,14 +363,17 @@ def has_deletion_vectors(root: str, snapshot: dict) -> bool:
 
 
 #: v3 column types this reader cannot materialize (variant left this
-#: set in r12 — unshredded reads decode to a JSON-string surface)
+#: set in r12 — unshredded reads decode to a JSON-string surface;
+#: timestamp_ns/timestamptz_ns left in r12 too — batch scans read them
+#: as microsecond-truncated TIMESTAMP, matching DuckDB's own ns→µs
+#: truncation and the engine's events-table rule)
 _V3_UNSUPPORTED_TYPES = {
     "geometry",
     "geography",
-    "timestamp_ns",
-    "timestamptz_ns",
     "unknown",
 }
+
+_NS_TYPES = ("timestamp_ns", "timestamptz_ns")
 
 #: primitive Iceberg types whose JSON single-value default the reader
 #: can materialize as a Spark literal-cast (``lit(v).cast(ddl)``) —
@@ -494,6 +497,64 @@ def variant_shredding_errors(
 
 
 _FOOTER_SCHEMA_CACHE: dict = {}
+
+
+def ns_timestamp_columns(
+    meta: dict, schema_id: Optional[int] = None
+) -> list[str]:
+    """Top-level column names of the target schema typed
+    ``timestamp_ns`` / ``timestamptz_ns`` (Iceberg v3) — the columns
+    the batch scan reads as raw nanosecond longs (physical DDL BIGINT
+    under ``spark.sql.legacy.parquet.nanosAsLong``) and truncates to
+    microsecond TIMESTAMP (r12, VERDICT r11 #4). Truncation toward
+    zero is Spark's ``div`` on the long — the same rule DuckDB applies
+    casting TIMESTAMP_NS to TIMESTAMP (verified on pre-epoch values),
+    so oracles see identical values; int64 ns→µs division cannot
+    overflow."""
+    try:
+        sch = _schema_for(meta, schema_id)
+    except IcebergMetadataError:
+        return []
+    return [
+        f["name"]
+        for f in sch.get("fields", [])
+        if f.get("type") in _NS_TYPES
+    ]
+
+
+def ns_precision_errors(paths: "list[str]", cols: "list[str]") -> list[str]:
+    """Per-file footer probe of the ns columns' physical precision: a
+    v3 ``timestamp → timestamp_ns`` type promotion leaves older files
+    at MICROsecond physical precision, which the raw-long read would
+    misscale by 1000× — such files are named here so the read can 400
+    precisely. Only ns tables pay the footer read (cached per immutable
+    file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import fsio
+
+    out: list[str] = []
+    for p in paths:
+        sch = _FOOTER_SCHEMA_CACHE.get(p)
+        if sch is None:
+            if fsio.is_remote(p):
+                sch = pq.read_schema(pa.BufferReader(fsio.read_bytes(p)))
+            else:
+                sch = pq.read_schema(p.removeprefix("file://"))
+            _FOOTER_SCHEMA_CACHE[p] = sch
+        suffix = p.rsplit("/data/", 1)[-1]
+        for c in cols:
+            if c not in sch.names:
+                continue  # file predates the column: reads as NULL
+            t = sch.field(c).type
+            if not (pa.types.is_timestamp(t) and t.unit == "ns"):
+                out.append(
+                    f"timestamp_ns column {c!r} in {suffix} has physical "
+                    f"type {t} (written before a µs→ns type promotion?) "
+                    "— rewrite the file at nanosecond precision first"
+                )
+    return out
 
 
 def unsupported_v3_features(
@@ -823,14 +884,23 @@ _PRIMITIVES = {
 VARIANT_PHYSICAL_DDL = "STRUCT<`metadata`: BINARY, `value`: BINARY>"
 
 
-def _iceberg_type_to_ddl(t: Any, variant_as: "str | None" = None) -> str:
+def _iceberg_type_to_ddl(
+    t: Any, variant_as: "str | None" = None, ns_as: "str | None" = None
+) -> str:
     """``variant_as`` controls the v3 ``variant`` type (r12):
     ``"physical"`` emits the unshredded (metadata, value) struct the
     parquet reader needs; ``"string"`` emits the engine's surfaced type
     (canonical JSON text); the default rejects with the gap named —
     only the batch ``iceberg_scan`` path implements the decode, so
     every OTHER consumer (CDC, DML, streaming, changelog) keeps its
-    clear 400 instead of silently emitting raw binary structs."""
+    clear 400 instead of silently emitting raw binary structs.
+
+    ``ns_as`` controls the v3 nanosecond timestamps the same way:
+    ``"physical"`` emits BIGINT (the raw nanosecond long the parquet
+    reader produces under ``nanosAsLong``), ``"timestamp"`` emits the
+    surfaced µs-truncated TIMESTAMP, and the default rejects — a
+    non-scan consumer reading the raw long would silently emit
+    nanosecond integers where timestamps belong."""
     if isinstance(t, str):
         if t == "variant":
             if variant_as == "physical":
@@ -842,6 +912,17 @@ def _iceberg_type_to_ddl(t: Any, variant_as: "str | None" = None) -> str:
                 "iceberg_scan path (decoded to a canonical-JSON STRING "
                 "column); CDC, DML, streaming and changelog reads over "
                 "variant tables are not supported"
+            )
+        if t in _NS_TYPES:
+            if ns_as == "physical":
+                return "BIGINT"
+            if ns_as == "timestamp":
+                return "TIMESTAMP"
+            raise IcebergMetadataError(
+                f"{t} column is only readable through the batch "
+                "iceberg_scan path (truncated to microsecond TIMESTAMP); "
+                "CDC, DML, streaming and changelog reads over "
+                "nanosecond-timestamp tables are not supported"
             )
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]
@@ -885,6 +966,7 @@ def current_schema_ddl(
     metadata_path: Optional[str] = None,
     schema_id: Optional[int] = None,
     variant_as: "str | None" = None,
+    ns_as: "str | None" = None,
 ) -> str:
     """Spark DDL column list for ``schema_id`` (default current) — lets an
     empty snapshot read return zero rows WITH the right columns.
@@ -903,7 +985,7 @@ def current_schema_ddl(
     if schema is None:
         raise IcebergMetadataError("metadata carries no schema")
     return ", ".join(
-        f"`{f['name']}` {_iceberg_type_to_ddl(f['type'], variant_as)}"
+        f"`{f['name']}` {_iceberg_type_to_ddl(f['type'], variant_as, ns_as)}"
         for f in schema["fields"]
     )
 
@@ -1024,6 +1106,7 @@ def scan_groups(
     metadata_path: Optional[str] = None,
     schema_id: Optional[int] = None,
     variant_as: "str | None" = None,
+    ns_as: "str | None" = None,
 ) -> list[tuple[list[str], dict[str, str], Optional[str], dict]]:
     """Partition a snapshot's data files for a schema-evolution-correct
     read: ``(paths, rename_map, read_schema_ddl, default_fills)`` per
@@ -1064,6 +1147,10 @@ def scan_groups(
     # needs the PHYSICAL (metadata, value) struct form, never a
     # footer-inferred schema
     has_variant = bool(variant_columns(meta, target_sid))
+    # ns-timestamp tables (r12) too: the physical BIGINT surface only
+    # exists under an explicit DDL (an inferred read may pick a µs
+    # file's TIMESTAMP and fork the union's schema)
+    has_ns = bool(ns_timestamp_columns(meta, target_sid))
     hist = schema_name_history(root, metadata_path, schema_id=target_sid)
     fills = (
         schema_default_fills(meta, target_sid)
@@ -1074,16 +1161,16 @@ def scan_groups(
         ddl = (
             current_schema_ddl(
                 root, metadata_path, schema_id=target_sid,
-                variant_as=variant_as,
+                variant_as=variant_as, ns_as=ns_as,
             )
-            if (evolved or lineage or has_variant)
+            if (evolved or lineage or has_variant or has_ns)
             else None
         )
         return [(list(paths), {}, ddl, {})]
 
     cur = _schema_for(meta, target_sid)
     fields = [
-        (f["name"], _iceberg_type_to_ddl(f["type"], variant_as))
+        (f["name"], _iceberg_type_to_ddl(f["type"], variant_as, ns_as))
         for f in cur["fields"]
     ]
 

@@ -1,0 +1,220 @@
+"""Iceberg v3 ``timestamp_ns`` / ``timestamptz_ns`` reads (r12, VERDICT
+r11 #4): the batch scan reads the raw nanosecond longs (physical BIGINT
+under ``spark.sql.legacy.parquet.nanosAsLong``) and truncates to
+microsecond TIMESTAMP — toward zero, the SAME rule DuckDB applies
+casting TIMESTAMP_NS to TIMESTAMP, which makes DuckDB the perfect
+referee. Non-scan consumers (CDC, DML, streaming, changelog) keep a
+precise rejection; files at the wrong physical precision (written
+before a µs→ns promotion) 400 naming the file."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.service.errors import CloudfloeError
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import (
+    LocalIcebergTable,
+    write_next_metadata_version,
+)
+
+T1 = 1700000000000
+
+# pre-epoch with sub-µs residue, post-epoch, far past, None — the
+# corners where a truncation-rule mismatch with the oracle would show
+NS_VALUES = [-1500, 1500, 1700000000123456789, -999999999123456789, None]
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _rows(spark, sql):
+    return [tuple(r) for r in run_query(spark, sql, _cfg()).rows]
+
+
+@pytest.fixture()
+def ns_table(tmp_path):
+    root = str(tmp_path / "t")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("ns"))]),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(1, len(NS_VALUES) + 1)),
+                    "ts": pa.array(NS_VALUES, pa.timestamp("ns")),
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    return root, t
+
+
+def _duckdb_oracle(root, cast="TIMESTAMP"):
+    files = glob.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    )
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT id, CAST(ts AS {cast}) FROM read_parquet({files!r}) "
+        "ORDER BY id"
+    ).fetchall()
+
+
+def test_ns_table_is_v3_with_ns_type(ns_table):
+    root, _ = ns_table
+    meta = im.load_metadata(root)
+    assert meta["format-version"] == 3
+    types = {f["name"]: f["type"] for f in meta["schemas"][0]["fields"]}
+    assert types["ts"] == "timestamp_ns"
+
+
+def test_ns_scan_matches_duckdb_truncation(spark, ns_table):
+    """DuckDB reads the ns parquet natively and casts to µs — our scan
+    must render byte-identical values, incl. pre-epoch truncation
+    toward zero."""
+    root, _ = ns_table
+    got = _rows(
+        spark, f"SELECT id, ts FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    exp = [
+        (r[0], r[1].isoformat() if r[1] is not None else None)
+        for r in _duckdb_oracle(root)
+    ]
+    assert got == exp
+    # the surfaced type is a real TIMESTAMP: date functions work
+    agg = _rows(
+        spark,
+        f"SELECT count(*) FROM iceberg_scan('{root}') "
+        "WHERE year(ts) = 2023",
+    )
+    assert agg == [(1,)]
+
+
+def test_timestamptz_ns_scan(spark, tmp_path):
+    root = str(tmp_path / "tz")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("ns", tz="UTC"))]),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2],
+                    "ts": pa.array(
+                        [1700000000123456789, -1500],
+                        pa.timestamp("ns", tz="UTC"),
+                    ),
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    meta = im.load_metadata(root)
+    assert meta["schemas"][0]["fields"][1]["type"] == "timestamptz_ns"
+    got = _rows(
+        spark, f"SELECT id, ts FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got[0][1].startswith("2023-11-14T22:13:20.123456")
+    assert got[1][1].startswith("1969-12-31T23:59:59.999999")
+
+
+def test_ns_time_travel_and_empty_schema(spark, tmp_path):
+    root = str(tmp_path / "tt")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("ts", pa.timestamp("ns"))])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "ts": pa.array([1500], pa.timestamp("ns"))})],
+        timestamp_ms=T1,
+    )
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    t.append_snapshot(
+        [pa.table({"id": [2], "ts": pa.array([2500], pa.timestamp("ns"))})],
+        timestamp_ms=T1 + 1000,
+    )
+    tt = _rows(
+        spark,
+        f"SELECT id, ts FROM iceberg_scan('{root}') VERSION AS OF {s0}",
+    )
+    assert tt == [(1, "1970-01-01T00:00:00.000001")]
+    # empty snapshot: zero rows, TIMESTAMP-typed column
+    root2 = str(tmp_path / "empty")
+    t2 = LocalIcebergTable(
+        root2, pa.schema([("id", pa.int64()), ("ts", pa.timestamp("ns"))])
+    )
+    t2.append_snapshot(
+        [pa.table({"id": [1], "ts": pa.array([1500], pa.timestamp("ns"))})],
+        timestamp_ms=T1,
+    )
+    paths = im.live_data_paths(root2, im.resolve_snapshot(root2))
+    t2.append_snapshot([], remove=paths, timestamp_ms=T1 + 1000)
+    got = run_query(
+        spark, f"SELECT * FROM iceberg_scan('{root2}')", _cfg()
+    )
+    assert got.rows == []
+    assert "ts" in got.columns
+
+
+def test_ns_deletes_compose(spark, ns_table):
+    """Coordinate-based deletes (position deletes) apply BEFORE the ns
+    conversion — a deleted row never surfaces."""
+    root, t = ns_table
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    t.position_delete_snapshot([(paths[0], 0)], timestamp_ms=T1 + 1000)
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got] == [2, 3, 4, 5]
+
+
+def test_ns_cdc_and_dml_reject_precisely(spark, ns_table):
+    root, _ = ns_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(
+            spark,
+            f"SELECT * FROM iceberg_changes('{root}', {s0}, {s0})",
+        )
+    assert "batch iceberg_scan" in str(ei.value)
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    with pytest.raises(im.IcebergMetadataError, match="batch iceberg_scan"):
+        delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+
+
+def test_ns_mixed_precision_file_rejects(spark, tmp_path):
+    """A µs-physical file inside a ns table (the footprint of a v3
+    µs→ns type promotion) must 400 naming the file — a raw-long read
+    would misscale it by 1000×."""
+    root = str(tmp_path / "promoted")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "ts": pa.array([1500], pa.timestamp("us"))})],
+        timestamp_ms=T1,
+    )
+    meta = im.load_metadata(root)
+    for f in meta["schemas"][-1]["fields"]:
+        if f["name"] == "ts":
+            f["type"] = "timestamp_ns"  # simulate the promotion
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_scan('{root}')")
+    assert ei.value.status_code == 400
+    assert "µs→ns type promotion" in str(ei.value)
