@@ -788,3 +788,132 @@ def test_rest_bound_row_lineage_commits_advance_next_row_id(
         assert got == [(1, "a", 0), (2, "B", 1), (3, "c", 2)]
     finally:
         unbind_rest_table(root)
+
+
+def test_rest_bound_row_lineage_full_lifecycle(
+    spark, rest_stub, tmp_path, monkeypatch
+):
+    """r12 (VERDICT r11 #5): the FULL v3 lineage lifecycle through the
+    REST catalog — append (merge-insert) → MOR UPDATE → MOR DELETE →
+    full compaction, every commit CASed through the stub — then
+    ``iceberg_row_lineage`` (ids + last-updated sequence numbers
+    preserved across the rewrite) and rid-keyed ``iceberg_cdc`` across
+    the compaction. Includes a concurrent FOREIGN commit landing
+    between a lineage commit's id assignment and its CAS: the 409 → 
+    rebase retry must re-assign fresh ids from the catalog's REBASED
+    ``next-row-id`` — no id collides, and carried rows keep theirs."""
+    from cloudfloe_spark.sources import iceberg_fixture as fx
+    from cloudfloe_spark.sources import iceberg_meta as im2
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+        delete_where,
+        merge_into,
+        update_where,
+    )
+    from cloudfloe_spark.sources.rest_catalog import (
+        bind_rest_table,
+        unbind_rest_table,
+    )
+
+    endpoint, state = rest_stub
+    root = str(tmp_path / "rl2")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        row_lineage=True,
+    )
+    t.append_snapshot(
+        [pa.table({"id": [0, 1, 2, 3, 4, 5], "v": list("abcdef")})],
+        timestamp_ms=T1,
+    )
+    _register(state, root, tbl="rl2")
+    client = RestCatalogClient(endpoint, "tenant_a:secret_a")
+    bind_rest_table(root, client, "demo", "rl2")
+    try:
+        # -- append through the catalog (merge-insert; ids 6..7) --
+        src = spark.createDataFrame(
+            [(10, "x"), (11, "y")], "id BIGINT, v STRING"
+        )
+        merge_into(
+            spark, root, src, on="id", when_matched={},
+            timestamp_ms=T1 + 1000,
+        )
+        s0 = im2.resolve_snapshot(root)["snapshot-id"]
+        # -- MOR UPDATE (carries rid 1, bumps its sequence) + DELETE --
+        update_where(
+            spark, root, "id = 1", {"v": "'B'"}, timestamp_ms=T1 + 2000
+        )
+        delete_where(spark, root, "id = 3", timestamp_ms=T1 + 3000)
+        # -- full compaction, with a FOREIGN commit racing its CAS --
+        real = fx.commit_rewrite_snapshot
+        calls = []
+
+        def racing(*a, **kw):
+            calls.append(1)
+            if len(calls) == 1:
+                # foreign writer: a merge-INSERT through the same
+                # binding — advances the catalog pointer AND the
+                # server-side next-row-id before A's CAS
+                merge_into(
+                    spark, root,
+                    spark.createDataFrame([(12, "z")], "id BIGINT, v STRING"),
+                    on="id", when_matched={}, timestamp_ms=T1 + 3500,
+                )
+            return real(*a, **kw)
+
+        monkeypatch.setattr(fx, "commit_rewrite_snapshot", racing)
+        res = compact_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+        assert res["snapshot_id"]
+        assert len(calls) >= 2  # the first attempt 409ed and re-ran
+        # every commit (append, update, delete, foreign insert,
+        # compaction incl. its failed attempt) went through the stub
+        assert state.commits >= 5
+
+        # -- lineage after the rewrite: ids + sequences preserved --
+        got = {
+            r[0]: (r[1], r[2])
+            for r in run_query(
+                spark,
+                "SELECT id, _row_id, _last_updated_sequence_number "
+                f"FROM iceberg_row_lineage('{root}')",
+                _cfg(endpoint),
+            ).rows
+        }
+        # original rows keep rids 0..5 (minus deleted 3); the update
+        # bumped only id=1's sequence; inserts carry fresh blocks
+        assert {k: v[0] for k, v in got.items() if k <= 5} == {
+            0: 0, 1: 1, 2: 2, 4: 4, 5: 5,
+        }
+        seqs = {k: v[1] for k, v in got.items() if k <= 5}
+        assert seqs[1] > seqs[0] == seqs[2] == seqs[4] == seqs[5]
+        # no id collides and all are below the server counter
+        meta = json.load(
+            open(client.metadata_location("demo", "rl2").removeprefix("file://"))
+        )
+        rids = [v[0] for v in got.values()]
+        assert len(set(rids)) == len(rids)
+        assert max(rids) < meta["next-row-id"]
+        # the foreign insert's id comes from the REBASED counter — it
+        # must not collide with the compaction's carried ids
+        assert got[12][0] not in {0, 1, 2, 4, 5}
+
+        # -- rid-keyed CDC across the compaction --
+        cur = im2.resolve_snapshot(root)["snapshot-id"]
+        changes = sorted(
+            tuple(r)
+            for r in run_query(
+                spark,
+                "SELECT id, v, _change_type FROM "
+                f"iceberg_cdc('{root}', {s0}, {cur}, '_row_id')",
+                _cfg(endpoint),
+            ).rows
+        )
+        assert (3, "d", "delete") in changes
+        assert (1, "b", "update_preimage") in changes
+        assert (1, "B", "update_postimage") in changes
+        # the foreign insert surfaces as an insert; the compaction
+        # contributes nothing else
+        assert (12, "z", "insert") in changes
+        assert len(changes) == 4
+    finally:
+        unbind_rest_table(root)
