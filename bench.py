@@ -165,6 +165,12 @@ HEADLINE = [
     # compaction happen in the untimed warm-up build).
     "iceberg_v3_defaults_scan",
     "iceberg_cdc_lineage_compaction",
+    # Round-12 breadth: the unshredded variant read (Arrow decode to a
+    # JSON surface + JVM-side typed extraction) and the ns-timestamp
+    # read (raw-long scan + codegen'd µs truncation) — fixture builds
+    # are warm-up-only, the timing tracks the reads.
+    "iceberg_v3_variant_scan",
+    "iceberg_v3_timestamp_ns_scan",
 ]
 
 
