@@ -3109,7 +3109,13 @@ def analyze_iceberg_table(
         },
     )
     meta = im.load_metadata(root, metadata_path)
-    meta.setdefault("statistics", []).append(
+    # spec semantics (set-statistics): ONE StatisticsFile per snapshot —
+    # a re-ANALYZE at the same snapshot replaces its entry
+    meta["statistics"] = [
+        e
+        for e in meta.get("statistics") or []
+        if e.get("snapshot-id") != snap["snapshot-id"]
+    ] + [
         {
             "snapshot-id": snap["snapshot-id"],
             "statistics-path": f"file://{path}",
@@ -3120,7 +3126,7 @@ def analyze_iceberg_table(
                 for b in blobs
             ],
         }
-    )
+    ]
     meta["last-updated-ms"] = timestamp_ms
     write_next_metadata_version(root, meta)
     return {

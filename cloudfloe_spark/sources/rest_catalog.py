@@ -309,6 +309,23 @@ def apply_table_updates(meta: dict, updates: list[dict]) -> dict:
             props = out.setdefault("properties", {})
             for k in u.get("removals") or []:
                 props.pop(k, None)
+        elif action == "set-statistics":
+            # spec: one StatisticsFile per snapshot — setting replaces
+            stat = u["statistics"]
+            sid = stat.get("snapshot-id")
+            out["statistics"] = [
+                e
+                for e in out.get("statistics") or []
+                if e.get("snapshot-id") != sid
+            ] + [stat]
+        elif action == "remove-statistics":
+            out["statistics"] = [
+                e
+                for e in out.get("statistics") or []
+                if e.get("snapshot-id") != u["snapshot-id"]
+            ]
+            if not out["statistics"]:
+                out.pop("statistics", None)
         else:
             raise RestCatalogError(
                 f"unsupported table update action {action!r}"
@@ -428,6 +445,29 @@ def derive_table_updates(
     gone = sorted(k for k in b_props if k not in a_props)
     if gone:
         updates.append({"action": "remove-properties", "removals": gone})
+    # statistics (r12, spec set-statistics/remove-statistics): ANALYZE
+    # registers a StatisticsFile; expire_snapshots drops entries for
+    # expired snapshots. One entry per snapshot id (set replaces).
+    b_stats = {
+        e.get("snapshot-id"): e for e in before.get("statistics") or []
+    }
+    a_stats = {
+        e.get("snapshot-id"): e for e in after.get("statistics") or []
+    }
+    for sid, e in a_stats.items():
+        if b_stats.get(sid) != e:
+            updates.append(
+                {
+                    "action": "set-statistics",
+                    "snapshot-id": sid,
+                    "statistics": e,
+                }
+            )
+    for sid in b_stats:
+        if sid not in a_stats:
+            updates.append(
+                {"action": "remove-statistics", "snapshot-id": sid}
+            )
 
     reconstructed = apply_table_updates(before, updates)
     if _norm_for_compare(reconstructed) != _norm_for_compare(after):

@@ -917,3 +917,59 @@ def test_rest_bound_row_lineage_full_lifecycle(
         assert len(changes) == 4
     finally:
         unbind_rest_table(root)
+
+
+def test_rest_bound_analyze_statistics_through_catalog(spark, bound_table):
+    """r12: ANALYZE on a REST-bound table commits its StatisticsFile
+    registration through the catalog as the spec's ``set-statistics``
+    update (previously 'not expressible'); a re-ANALYZE at the same
+    snapshot REPLACES the entry (spec: one StatisticsFile per
+    snapshot); ``expire_snapshots`` travels as ``remove-statistics``."""
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        delete_where,
+        expire_snapshots,
+    )
+
+    endpoint, state, client, root = bound_table
+    res = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    assert state.commits == 1  # the registration went through the stub
+    loc = client.metadata_location("demo", "bound")
+    meta = json.load(open(loc.removeprefix("file://")))
+    assert len(meta["statistics"]) == 1
+    entry = meta["statistics"][0]
+    assert entry["snapshot-id"] == res["snapshot_id"]
+    assert entry["statistics-path"].endswith(".stats")
+    assert all(
+        b["type"] == "apache-datasketches-theta-v1"
+        for b in entry["blob-metadata"]
+    )
+    # re-ANALYZE at the SAME snapshot replaces, never duplicates
+    res2 = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    meta = json.load(
+        open(
+            client.metadata_location("demo", "bound").removeprefix("file://")
+        )
+    )
+    assert len(meta["statistics"]) == 1
+    assert meta["statistics"][0]["statistics-path"].endswith(".stats")
+    assert res2["snapshot_id"] == res["snapshot_id"]
+    # the service read resolves through the catalog-materialized metadata
+    rows = run_query(
+        spark,
+        f"SELECT column, ndv FROM iceberg_column_stats('{root}') "
+        "ORDER BY column",
+        _cfg(endpoint),
+    ).rows
+    assert [tuple(r) for r in rows] == [("id", 4), ("v", 4)]
+    # a new commit + expiry: the stale entry leaves as remove-statistics
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 3000)
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 5000)
+    meta = json.load(
+        open(
+            client.metadata_location("demo", "bound").removeprefix("file://")
+        )
+    )
+    sids = [e["snapshot-id"] for e in meta["statistics"]]
+    assert sids == [im.resolve_snapshot(root)["snapshot-id"]]
