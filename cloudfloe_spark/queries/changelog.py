@@ -2832,3 +2832,79 @@ def iceberg_v3_timestamp_ns_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts "
         f"FROM iceberg_scan('{root}') GROUP BY event_type, hr",
     )
+
+
+@register(
+    "iceberg_analyze_column_stats",
+    oracle="""
+        WITH live AS (
+            SELECT lang, source FROM documents WHERE NOT (n_chars % 9 = 0)
+        )
+        SELECT 'lang' AS column,
+               count(DISTINCT lang) AS ndv,
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_count,
+               count(*) AS row_count
+        FROM live
+        UNION ALL
+        SELECT 'source' AS column,
+               count(DISTINCT source) AS ndv,
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_count,
+               count(*) AS row_count
+        FROM live
+    """,
+    tags=("iceberg", "maintenance", "statistics", "theta"),
+)
+def iceberg_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE → spec StatisticsFile → ``iceberg_column_stats``
+    driver-checked end-to-end (r12, VERDICT r11 #3): the fixture takes
+    a MOR DELETE first, so the counts prove the sketch pass is
+    merge-on-read-applied (deleted rows never hash); the oracle
+    recomputes exact NDV / null counts / row count over the survivors.
+    Exact-mode theta (≤4096 distinct per column here) makes the NDV
+    EXACT, so the comparison is equality, not tolerance — a murmur or
+    wire-format drift in ``sources/theta.py`` breaks this entry.
+
+    Scale shape: one mapInPandas pass with per-partition KMV partials
+    (≤ 32 KB per column per partition crosses to the driver); the
+    read-back deserializes the Puffin blobs driver-side."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        delete_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"thstats{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_thstats", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "source", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(root, tbl.schema)
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, "n_chars % 9 = 0", timestamp_ms=_T0 + 1000)
+        res = analyze_iceberg_table(
+            spark, root, timestamp_ms=_T0 + 2000,
+            columns=["lang", "source"],
+        )
+        assert res["statistics_path"].endswith(".stats"), res
+        assert im.load_metadata(root)["statistics"], res
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        "SELECT column, ndv, null_count, row_count "
+        f"FROM iceberg_column_stats('{root}')",
+    )
