@@ -201,16 +201,13 @@ def _build_codec():
         """(metadata, value) bytes → Python object tree."""
         return decode_at(metadata_names(md), val, 0)
 
-    def to_json(md, val):
-        """(metadata, value) bytes → canonical JSON text (None-safe)."""
+    def render(v):
+        """Decoded Python object tree → canonical JSON text."""
         import base64 as _b64
         import datetime as _dt
         import json as _json
         import uuid as _uuid
         from decimal import Decimal as _Dec
-
-        if md is None or val is None:
-            return None
 
         def ser(v):
             if v is None:
@@ -272,12 +269,24 @@ def _build_codec():
                 # pragma: no cover — decode_at never yields other types
             raise ValueError(f"unrenderable variant value {type(v)}")
 
-        return ser(decode(bytes(md), bytes(val)))
+        return ser(v)
 
-    return metadata_names, decode, to_json
+    def to_json(md, val):
+        """(metadata, value) bytes → canonical JSON text (None-safe)."""
+        if md is None or val is None:
+            return None
+        return render(decode(bytes(md), bytes(val)))
+
+    return metadata_names, decode_at, decode, render, to_json
 
 
-_metadata_names, decode_variant, variant_to_json = _build_codec()
+(
+    _metadata_names,
+    _decode_at,
+    decode_variant,
+    _render_variant,
+    variant_to_json,
+) = _build_codec()
 
 
 def variant_json_udf():
@@ -475,3 +484,427 @@ def encode_variant(obj) -> "tuple[bytes, bytes]":
     for r in raw:
         md += r
     return bytes(md), _encode_value(obj, fid)
+
+
+
+# --- shredded reads (r12): typed_value reassembly -----------------------------
+#
+# The Parquet variant SHREDDING spec stores a variant column as
+#   group v { metadata binary, value binary?, typed_value T? }
+# where ``typed_value`` is a physical primitive, a list of
+# ``{ value?, typed_value? }`` element groups, or a group with one
+# ``{ value?, typed_value? }`` sub-group per shredded OBJECT field; the
+# ``value`` at each level holds the variant-encoded RESIDUAL (whatever
+# the shredding schema didn't capture). Reassembly (spec rules):
+#
+#   - ``typed_value`` non-null → the value is the typed one; for
+#     objects, merge its present fields with the residual object's
+#     fields (the spec guarantees the two sets are disjoint);
+#   - else ``value`` non-null → decode the residual as variant against
+#     the TOP-LEVEL metadata dictionary;
+#   - both null → field MISSING (inside objects) / SQL NULL (top).
+#
+# The reassembly descriptor is derived from the parquet FOOTER (pyarrow
+# types, `shred_descriptor`) because Spark normalizes physical types
+# before pandas sees them — tz and ntz µs timestamps both arrive
+# session-UTC, and ns timestamps arrive as raw longs under
+# ``nanosAsLong`` — so the descriptor is what tells the UDF how to
+# render each leaf exactly as the unshredded decoder would.
+
+_SHRED_LEAVES = (
+    "bool", "int", "float", "double", "string", "binary", "decimal",
+    "date", "ts_us", "ts_us_tz", "ts_ns", "ts_ns_tz", "uuid",
+)
+
+
+def shred_descriptor(arrow_type) -> dict:
+    """pyarrow ``typed_value`` type → reassembly descriptor
+    (``{"kind": leaf}`` / ``{"kind": "object", "fields": {name:
+    {"value": bool, "typed": desc|None}}}`` / ``{"kind": "array",
+    "element": {"value": bool, "typed": desc|None}}``). Raises
+    ``ValueError`` naming any leaf this reader cannot render."""
+    import pyarrow as pa
+
+    t = arrow_type
+
+    def _vt_group(gt, what):
+        names = {gt.field(i).name: gt.field(i).type
+                 for i in range(gt.num_fields)}
+        extra = set(names) - {"value", "typed_value"}
+        if extra or not names:
+            raise ValueError(
+                f"shredded {what} is not a (value, typed_value) group "
+                f"(fields {sorted(names)})"
+            )
+        return {
+            "value": "value" in names,
+            "typed": (
+                shred_descriptor(names["typed_value"])
+                if "typed_value" in names
+                else None
+            ),
+        }
+
+    if pa.types.is_struct(t):
+        fields = {}
+        for i in range(t.num_fields):
+            f = t.field(i)
+            if not pa.types.is_struct(f.type):
+                raise ValueError(
+                    f"shredded object field {f.name!r} is not a group"
+                )
+            fields[f.name] = _vt_group(f.type, f"object field {f.name!r}")
+        return {"kind": "object", "fields": fields}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        et = t.value_type
+        if not pa.types.is_struct(et):
+            raise ValueError("shredded array element is not a group")
+        return {"kind": "array", "element": _vt_group(et, "array element")}
+    if pa.types.is_boolean(t):
+        return {"kind": "bool"}
+    if pa.types.is_integer(t):
+        return {"kind": "int"}
+    if pa.types.is_float32(t):
+        return {"kind": "float"}
+    if pa.types.is_float64(t):
+        return {"kind": "double"}
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return {"kind": "string"}
+    if pa.types.is_decimal(t):
+        return {"kind": "decimal"}
+    if pa.types.is_date(t):
+        return {"kind": "date"}
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return {"kind": "ts_ns_tz" if t.tz else "ts_ns"}
+        if t.unit == "us":
+            return {"kind": "ts_us_tz" if t.tz else "ts_us"}
+        raise ValueError(f"unsupported shredded timestamp unit {t.unit}")
+    if pa.types.is_fixed_size_binary(t) and t.byte_width == 16:
+        return {"kind": "uuid"}
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return {"kind": "binary"}
+    raise ValueError(f"unsupported shredded leaf type {t}")
+
+
+def shredded_variant_json_udf(descriptor: dict):
+    """Arrow-batched pandas UDF rendering a SHREDDED variant struct
+    column to the same canonical-JSON STRING surface as the unshredded
+    decoder. Fully self-contained closure: the codec functions are
+    ``_build_codec()`` locals captured by value, the descriptor is a
+    plain dict, and only stdlib/pandas are referenced by name."""
+    from pyspark.sql.functions import pandas_udf
+
+    metadata_names, decode_at, _decode, render, _to_json = _build_codec()
+    desc = descriptor
+    _MISSING = object()
+
+    def _udf(pdf):
+        import datetime as _dt
+        import uuid as _uuid
+
+        import pandas as pd
+
+        def conv(kind, v):
+            if kind == "bool":
+                return bool(v)
+            if kind == "int":
+                return int(v)
+            if kind in ("float", "double"):
+                return float(v)
+            if kind == "string":
+                return str(v)
+            if kind == "binary":
+                return bytes(v)
+            if kind in ("decimal", "date"):
+                return v
+            if kind in ("ts_us", "ts_us_tz"):
+                d = (
+                    v.to_pydatetime()
+                    if hasattr(v, "to_pydatetime")
+                    else v
+                )
+                if kind == "ts_us":
+                    return d.replace(tzinfo=None) if d.tzinfo else d
+                return (
+                    d.astimezone(_dt.timezone.utc)
+                    if d.tzinfo
+                    else d.replace(tzinfo=_dt.timezone.utc)
+                )
+            if kind == "ts_ns":
+                return ("__variant_ns__", False, int(v))
+            if kind == "ts_ns_tz":
+                return ("__variant_ns__", True, int(v))
+            if kind == "uuid":
+                return _uuid.UUID(bytes=bytes(v))
+            raise ValueError(f"unknown shred leaf kind {kind!r}")
+
+        def _null(x):
+            return x is None or (isinstance(x, float) and x != x)
+
+        def node(names, d, val_b, tv):
+            if d is not None and not _null(tv):
+                if d["kind"] == "object":
+                    out = {}
+                    for fname, fd in d["fields"].items():
+                        fn = tv.get(fname)
+                        if _null(fn):
+                            continue  # null field group → missing
+                        fv = node(
+                            names,
+                            fd["typed"],
+                            fn.get("value") if fd["value"] else None,
+                            fn.get("typed_value"),
+                        )
+                        if fv is not _MISSING:
+                            out[fname] = fv
+                    if not _null(val_b):
+                        resid = decode_at(names, bytes(val_b), 0)
+                        if not isinstance(resid, dict):
+                            raise ValueError(
+                                "shredded object residual is not an "
+                                "object"
+                            )
+                        for k, v in resid.items():
+                            out.setdefault(k, v)
+                    return dict(
+                        sorted(
+                            out.items(),
+                            key=lambda kv: kv[0].encode("utf-8"),
+                        )
+                    )
+                if d["kind"] == "array":
+                    ed = d["element"]
+                    out_l = []
+                    for el in tv:
+                        if _null(el):
+                            raise ValueError(
+                                "shredded array element group is null"
+                            )
+                        ev = node(
+                            names,
+                            ed["typed"],
+                            el.get("value") if ed["value"] else None,
+                            el.get("typed_value"),
+                        )
+                        if ev is _MISSING:
+                            raise ValueError(
+                                "shredded array element has neither "
+                                "value nor typed_value"
+                            )
+                        out_l.append(ev)
+                    return out_l
+                return conv(d["kind"], tv)
+            if not _null(val_b):
+                return decode_at(names, bytes(val_b), 0)
+            return _MISSING
+
+        out = []
+        md_s = pdf["metadata"]
+        v_s = pdf["value"] if "value" in pdf.columns else None
+        tv_s = pdf["typed_value"] if "typed_value" in pdf.columns else None
+        for i in range(len(pdf)):
+            md = md_s.iloc[i]
+            if _null(md):
+                out.append(None)  # whole variant struct is NULL
+                continue
+            names = metadata_names(bytes(md))
+            vb = v_s.iloc[i] if v_s is not None else None
+            tv = tv_s.iloc[i] if tv_s is not None else None
+            res = node(names, desc, vb, tv)
+            out.append(None if res is _MISSING else render(res))
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(_udf, "string")
+
+
+def decode_shredded_variant_columns(df, col_descriptors: "dict[str, dict]"):
+    """Replace each SHREDDED physical variant struct column with its
+    canonical JSON string form."""
+    if not col_descriptors:
+        return df
+    from pyspark.sql import functions as F
+
+    for c, d in col_descriptors.items():
+        df = df.withColumn(c, shredded_variant_json_udf(d)(F.col(c)))
+    return df
+
+
+def shred_rows(objs: list, shred: dict):
+    """Fixture/test helper: shred Python object trees per a descriptor
+    shaped like :func:`shred_descriptor` output (leaf kinds name arrow
+    types) → a ``pyarrow`` StructArray for the full shredded variant
+    column (``metadata``, ``value``, ``typed_value``). The residual at
+    each level is variant-encoded against the row's full metadata
+    dictionary — exactly the writer behavior the shredding spec
+    describes."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    def _leaf_type(kind):
+        return {
+            "bool": pa.bool_(),
+            "int": pa.int64(),
+            "float": pa.float32(),
+            "double": pa.float64(),
+            "string": pa.string(),
+            "binary": pa.binary(),
+            "decimal": pa.decimal128(18, 4),
+            "date": pa.date32(),
+            "ts_us": pa.timestamp("us"),
+            "ts_us_tz": pa.timestamp("us", tz="UTC"),
+            "ts_ns": pa.timestamp("ns"),
+            "ts_ns_tz": pa.timestamp("ns", tz="UTC"),
+            "uuid": pa.binary(16),
+        }[kind]
+
+    def _vt_type(d):
+        if d is None:
+            return None
+        if d["kind"] == "object":
+            return pa.struct(
+                [
+                    (
+                        n,
+                        pa.struct(
+                            ([("value", pa.binary())] if g["value"] else [])
+                            + (
+                                [("typed_value", _vt_type(g["typed"]))]
+                                if g["typed"] is not None
+                                else []
+                            )
+                        ),
+                    )
+                    for n, g in d["fields"].items()
+                ]
+            )
+        if d["kind"] == "array":
+            g = d["element"]
+            return pa.list_(
+                pa.struct(
+                    ([("value", pa.binary())] if g["value"] else [])
+                    + (
+                        [("typed_value", _vt_type(g["typed"]))]
+                        if g["typed"] is not None
+                        else []
+                    )
+                )
+            )
+        return _leaf_type(d["kind"])
+
+    def _leaf_matches(kind, v):
+        return {
+            "bool": lambda: isinstance(v, bool),
+            "int": lambda: isinstance(v, int) and not isinstance(v, bool),
+            "float": lambda: isinstance(v, float),
+            "double": lambda: isinstance(v, float),
+            "string": lambda: isinstance(v, str),
+            "binary": lambda: isinstance(v, (bytes, bytearray)),
+            "decimal": lambda: type(v).__name__ == "Decimal",
+            "date": lambda: isinstance(v, _dt.date)
+            and not isinstance(v, _dt.datetime),
+            "ts_us": lambda: isinstance(v, _dt.datetime)
+            and v.tzinfo is None,
+            "ts_us_tz": lambda: isinstance(v, _dt.datetime)
+            and v.tzinfo is not None,
+            "ts_ns": lambda: False,
+            "ts_ns_tz": lambda: False,
+            "uuid": lambda: isinstance(v, _uuid.UUID),
+        }[kind]()
+
+    def split(obj, d, fid):
+        """One VALUE (never a missing field) → ``(residual_value_bytes
+        | None, typed_py | None)``; exactly one side is non-None except
+        for objects, where both may contribute (typed fields + residual
+        fields). A Python None is a variant NULL — it always lands in
+        the residual (no typed leaf represents null)."""
+        if obj is None or d is None:
+            return _encode_value(obj, fid), None
+        if d["kind"] == "object":
+            if not isinstance(obj, dict):
+                return _encode_value(obj, fid), None
+            typed = {}
+            resid = {}
+            for k, v in obj.items():
+                if k in d["fields"]:
+                    g = d["fields"][k]
+                    rv, tv = split(v, g["typed"], fid)
+                    fld = {}
+                    if g["value"]:
+                        fld["value"] = rv
+                    elif rv is not None:
+                        raise ValueError(
+                            f"field {k!r} needs a residual but the "
+                            "shred schema has no value column"
+                        )
+                    if g["typed"] is not None:
+                        fld["typed_value"] = tv
+                    typed[k] = fld
+                else:
+                    resid[k] = v
+            for k, g in d["fields"].items():
+                if k not in obj:  # MISSING field: both sides null
+                    fld = {}
+                    if g["value"]:
+                        fld["value"] = None
+                    if g["typed"] is not None:
+                        fld["typed_value"] = None
+                    typed[k] = fld
+            rb = _encode_value(resid, fid) if resid else None
+            return rb, typed
+        if d["kind"] == "array":
+            if not isinstance(obj, list):
+                return _encode_value(obj, fid), None
+            g = d["element"]
+            els = []
+            for v in obj:
+                rv, tv = split(v, g["typed"], fid)
+                fld = {}
+                if g["value"]:
+                    fld["value"] = rv
+                elif rv is not None:
+                    raise ValueError(
+                        "array element needs a residual but the shred "
+                        "schema has no value column"
+                    )
+                if g["typed"] is not None:
+                    fld["typed_value"] = tv
+                els.append(fld)
+            return None, els
+        if _leaf_matches(d["kind"], obj):
+            if d["kind"] == "uuid":
+                return None, obj.bytes  # arrow stores fixed(16) bytes
+            return None, obj
+        return _encode_value(obj, fid), None
+
+    mds, vals, tvs = [], [], []
+    for obj in objs:
+        if obj is None:
+            mds.append(None)
+            vals.append(None)
+            tvs.append(None)
+            continue
+        md, _full = encode_variant(obj)
+        names = _metadata_names(md)
+        fid = {k: i for i, k in enumerate(names)}
+        rv, tv = split(obj, shred, fid)
+        mds.append(md)
+        vals.append(rv)
+        tvs.append(tv)
+
+    vt = _vt_type(shred)
+    struct_t = pa.struct(
+        [("metadata", pa.binary()), ("value", pa.binary()),
+         ("typed_value", vt)]
+    )
+    return pa.array(
+        [
+            None
+            if m is None
+            else {"metadata": m, "value": v, "typed_value": t}
+            for m, v, t in zip(mds, vals, tvs)
+        ],
+        struct_t,
+    )

@@ -2908,3 +2908,103 @@ def iceberg_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT column, ndv, null_count, row_count "
         f"FROM iceberg_column_stats('{root}')",
     )
+
+
+@register(
+    "iceberg_v3_variant_shredded_scan",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END
+                       AS v_lang,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 7 = 0 THEN NULL  -- chars holds a string
+                        ELSE n_chars END AS chars,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE n_chars * 0.5 END AS score
+            FROM documents
+        )
+        SELECT v_lang, count(*) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS sum_chars,
+               CAST(max(score) AS DOUBLE) AS max_score
+        FROM t GROUP BY v_lang
+    """,
+    tags=("iceberg", "v3", "variant", "shredded"),
+)
+def iceberg_v3_variant_shredded_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHREDDED variant reads driver-checked (r12): the fixture writes
+    the documents payload with ``lang`` and ``chars`` SHREDDED as typed
+    subcolumns and ``score`` left in the residual; every 7th doc stores
+    a STRING in the int-shredded ``chars`` field (type-mismatch →
+    residual per the spec) and every 13th doc is a variant NULL. The
+    scan reassembles per file footer, typed extraction runs JVM-side,
+    and the oracle recomputes from the original columns —
+    ``try_variant_get`` nulls the mismatched chars exactly like the
+    oracle's CASE.
+
+    Scale shape: one Arrow-batched reassembly pass per shred group;
+    blobs never shuffle (aggregates exchange extracted scalars)."""
+    from cloudfloe_spark.functions.variant import shred_rows
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"v3shred{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_v3shred", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        objs = []
+        for r in tbl.to_pylist():
+            if r["doc_id"] % 13 == 0:
+                objs.append(None)
+                continue
+            objs.append(
+                {
+                    "lang": r["lang"],
+                    "chars": (
+                        f'{r["n_chars"]} glyphs'
+                        if r["doc_id"] % 7 == 0
+                        else r["n_chars"]
+                    ),
+                    "score": r["n_chars"] * 0.5,
+                }
+            )
+        shred = {
+            "kind": "object",
+            "fields": {
+                "lang": {"value": True, "typed": {"kind": "string"}},
+                "chars": {"value": True, "typed": {"kind": "int"}},
+            },
+        }
+        out = pa.table(
+            {"doc_id": tbl["doc_id"], "payload": shred_rows(objs, shred)}
+        )
+        t = LocalIcebergTable(root, out.schema, variant_cols=("payload",))
+        t.append_snapshot([out], timestamp_ms=_T0)
+        assert im.load_metadata(root)["format-version"] == 3
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        "SELECT variant_get(parse_json(payload), '$.lang', 'string') "
+        "         AS v_lang, "
+        "       count(*) AS n_docs, "
+        "       sum(try_variant_get(parse_json(payload), '$.chars', "
+        "           'bigint')) AS sum_chars, "
+        "       max(variant_get(parse_json(payload), '$.score', "
+        "           'double')) AS max_score "
+        f"FROM iceberg_scan('{root}') GROUP BY v_lang",
+    )

@@ -319,29 +319,49 @@ def _snapshot_view(
         # column's old data files keep the old parquet name; reading by
         # name alone would null the column out). One group with an empty
         # map is the no-rename fast path (single read, footers untouched).
-        groups = (
-            im.scan_groups(
-                root, paths, metadata_path, schema_id=snap_sid,
-                variant_as="physical", ns_as="physical",
-            )
-            if paths
-            else []
-        )
-        # v3 variant (r12, VERDICT r11 #1): the scan reads the column's
-        # physical (metadata, value) pair and decodes it to the engine's
+        # v3 variant (r12, VERDICT r11 #1): the scan reads each file's
+        # physical variant layout and decodes it to the engine's
         # canonical-JSON STRING surface after deletes + renames.
-        # Shredded files keep a precise 400 — decoding the residual
-        # alone would silently drop the typed_value halves.
+        # UNSHREDDED files read the (metadata, value) pair; SHREDDED
+        # files (typed_value subcolumns) are grouped by footer shape
+        # and REASSEMBLED per the shredding spec (typed wins, residual
+        # merges, both-null = missing); shapes this reader cannot
+        # render 400 naming the file and leaf.
         variant_cols = im.variant_columns(
             im.load_metadata(root, metadata_path), snap_sid
         )
+        shred_groups: list = []
+        plain_paths = paths
         if variant_cols and paths:
-            shred = im.variant_shredding_errors(paths, variant_cols)
-            if shred:
+            plain_paths, shred_groups, verr = im.variant_shred_groups(
+                paths, variant_cols
+            )
+            if verr:
                 raise bad_request(
                     "Iceberg v3 variant read failed: "
-                    + "; ".join(sorted(set(shred)))
+                    + "; ".join(sorted(set(verr)))
                 )
+            if shred_groups and (
+                im.schema_name_history(
+                    root, metadata_path, schema_id=snap_sid
+                )
+                or im.schema_default_fills(
+                    im.load_metadata(root, metadata_path), snap_sid
+                )
+            ):
+                raise bad_request(
+                    "Iceberg v3 variant read failed: shredded variant "
+                    "files on a table with column renames or default "
+                    "values are not supported yet"
+                )
+        groups = (
+            im.scan_groups(
+                root, plain_paths, metadata_path, schema_id=snap_sid,
+                variant_as="physical", ns_as="physical",
+            )
+            if plain_paths
+            else []
+        )
         # v3 timestamp_ns (r12, VERDICT r11 #4): read as raw nanosecond
         # longs (physical BIGINT under nanosAsLong), truncate to µs
         # TIMESTAMP after deletes + renames — DuckDB's own ns→µs cast
@@ -438,15 +458,65 @@ def _snapshot_view(
                                 col, F.lit(v).cast(ddl_type)
                             )
                 parts.append(gdf)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if variant_cols:
+        df = None
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if variant_cols:
+                from cloudfloe_spark.functions.variant import (
+                    decode_variant_columns,
+                )
+
+                df = decode_variant_columns(df, variant_cols)
+        if shred_groups:
+            # shredded groups read footer-inferred (their physical
+            # variant shape IS the schema), apply the same deletes,
+            # reassemble to the JSON surface, then align to the table
+            # schema for the union (non-variant columns cast to the
+            # plain groups' DDL types; ns columns stay raw longs so the
+            # post-union truncation below sees one shape)
             from cloudfloe_spark.functions.variant import (
-                decode_variant_columns,
+                decode_shredded_variant_columns,
             )
 
-            df = decode_variant_columns(df, variant_cols)
+            read_pairs = im.schema_read_pairs(
+                root, metadata_path, schema_id=snap_sid,
+                variant_as="string", ns_as="physical",
+            )
+            for spaths, descs in shred_groups:
+                gdf = sess.read.parquet(*spaths)
+                if pos_deletes:
+                    gdf = _apply_position_deletes(sess, gdf, pos_deletes)
+                if dv_records:
+                    gdf = _apply_deletion_vectors(sess, gdf, dv_records)
+                if eq_deletes:
+                    gdf = _apply_equality_deletes(
+                        sess, gdf, eq_deletes, field_names, file_seqs,
+                        renames={}, name_history={},
+                    )
+                gdf = decode_shredded_variant_columns(gdf, descs)
+                plain_vc = [
+                    c
+                    for c in variant_cols
+                    if c in gdf.columns and c not in descs
+                ]
+                if plain_vc:  # unshredded variant cols in the same file
+                    from cloudfloe_spark.functions.variant import (
+                        decode_variant_columns as _dvc,
+                    )
+
+                    gdf = _dvc(gdf, plain_vc)
+                aligned = []
+                for _cn, _ct in read_pairs:
+                    if _cn not in gdf.columns:
+                        aligned.append(F.lit(None).cast(_ct).alias(_cn))
+                    else:
+                        aligned.append(
+                            F.col(_cn).cast(_ct).alias(_cn)
+                        )
+                part = gdf.select(*aligned)
+                df = part if df is None else df.unionByName(part)
         for _nc in ns_cols:
             # `div` truncates toward zero on longs — exactly DuckDB's
             # TIMESTAMP_NS→TIMESTAMP cast (verified on pre-epoch

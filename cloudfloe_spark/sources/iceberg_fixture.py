@@ -375,10 +375,15 @@ class LocalIcebergTable:
                 if pa.types.is_struct(t)
                 else set()
             )
-            if names != {"metadata", "value"}:
+            # unshredded (metadata, value) or any SHREDDED layout with
+            # a typed_value subcolumn (r12) — per-file physical shapes
+            # are preserved at write time (see append_snapshot)
+            if "metadata" not in names or not names <= {
+                "metadata", "value", "typed_value"
+            }:
                 raise ValueError(
-                    f"variant column {vc!r} must be "
-                    "struct<metadata: binary, value: binary>"
+                    f"variant column {vc!r} must be a struct of "
+                    "(metadata, value[, typed_value])"
                 )
         # schema log: rename_column appends entries; current id = last
         self._schema_log: list[dict] = []
@@ -508,7 +513,22 @@ class LocalIcebergTable:
         for t, pvals in parts:
             fname = f"data/{len(self._live):05d}-{uuid.uuid4().hex[:8]}.parquet"
             fpath = os.path.join(self.root, fname)
-            pq.write_table(t.cast(self.schema), fpath)
+            if self._variant_cols:
+                # variant columns keep their PER-FILE physical shape
+                # (unshredded (metadata, value) or any shredded layout)
+                # — casting would destroy typed_value subcolumns; only
+                # non-variant columns normalize to the table schema
+                cols = {}
+                for f in self.schema:
+                    col = t.column(f.name)
+                    cols[f.name] = (
+                        col
+                        if f.name in self._variant_cols
+                        else col.cast(f.type)
+                    )
+                pq.write_table(pa.table(cols), fpath)
+            else:
+                pq.write_table(t.cast(self.schema), fpath)
             lower, upper, nulls = _column_stats(t)
             self._live[fpath] = {
                 "content": 0,

@@ -445,58 +445,108 @@ def variant_columns(
     ]
 
 
-def variant_shredding_errors(
+_FOOTER_SCHEMA_CACHE: dict = {}
+
+
+def variant_shred_groups(
     paths: "list[str]", cols: "list[str]"
-) -> list[str]:
-    """Per-file footer probe of the variant columns' physical layout:
-    an UNSHREDDED column is exactly the ``(metadata, value)`` binary
-    pair; anything else — a ``typed_value`` subcolumn (spec shredding),
-    a missing ``value``, or a non-struct physical type — is named here
-    so the read can 400 precisely instead of decoding garbage. Only
-    variant tables pay the footer read (cached per immutable file)."""
+) -> "tuple[list[str], list[tuple[list[str], dict]], list[str]]":
+    """Split a snapshot's data files by variant PHYSICAL layout (r12,
+    shredded reads): ``(unshredded_paths, shred_groups, errors)`` where
+    each shred group is ``(paths, {col: reassembly descriptor})`` for
+    files sharing an identical footer schema (same descriptors AND same
+    non-variant physical shape, so one footer-inferred read per group
+    is sound). ``errors`` names files whose shredding shape this reader
+    cannot render (unsupported leaf types, malformed groups) — the
+    caller 400s precisely. Cached per immutable file."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    from cloudfloe_spark.sources import fsio
+    from cloudfloe_spark.functions.variant import shred_descriptor
 
-    out: list[str] = []
+    plain: list[str] = []
+    groups: dict = {}
+    errors: list[str] = []
     for p in paths:
         sch = _FOOTER_SCHEMA_CACHE.get(p)
         if sch is None:
+            import pyarrow.parquet as pq
+
+            from cloudfloe_spark.sources import fsio
+
             if fsio.is_remote(p):
                 sch = pq.read_schema(pa.BufferReader(fsio.read_bytes(p)))
             else:
                 sch = pq.read_schema(p.removeprefix("file://"))
             _FOOTER_SCHEMA_CACHE[p] = sch
         suffix = p.rsplit("/data/", 1)[-1]
+        descs: dict = {}
+        bad = False
         for c in cols:
             if c not in sch.names:
-                continue  # file predates the column: reads as NULL
+                continue  # predates the column: NULL either way
             t = sch.field(c).type
             if not pa.types.is_struct(t):
-                out.append(
+                errors.append(
                     f"variant column {c!r} in {suffix} has non-struct "
                     f"physical type {t}"
                 )
+                bad = True
                 continue
             sub = {t.field(i).name for i in range(t.num_fields)}
-            extra = sub - {"metadata", "value"}
-            if extra:
-                out.append(
-                    f"variant column {c!r} in {suffix} is SHREDDED "
-                    f"(subcolumns {sorted(extra)}); typed_value "
-                    "reassembly is not implemented — rewrite the file "
-                    "unshredded or drop the column from the query"
-                )
-            elif "value" not in sub or "metadata" not in sub:
-                out.append(
+            if "typed_value" not in sub:
+                if "metadata" in sub and "value" in sub and not (
+                    sub - {"metadata", "value"}
+                ):
+                    continue  # unshredded
+                errors.append(
                     f"variant column {c!r} in {suffix} lacks the "
                     "(metadata, value) pair"
                 )
-    return out
+                bad = True
+                continue
+            if "metadata" not in sub or sub - {
+                "metadata", "value", "typed_value"
+            }:
+                errors.append(
+                    f"variant column {c!r} in {suffix} has unexpected "
+                    f"subcolumns {sorted(sub)}"
+                )
+                bad = True
+                continue
+            try:
+                descs[c] = shred_descriptor(
+                    t.field("typed_value").type
+                )
+            except ValueError as e:
+                errors.append(
+                    f"variant column {c!r} in {suffix}: {e}"
+                )
+                bad = True
+        if bad:
+            continue
+        if descs:
+            groups.setdefault(str(sch), ([], descs))[0].append(p)
+        else:
+            plain.append(p)
+    return plain, [(ps, d) for ps, d in groups.values()], errors
 
 
-_FOOTER_SCHEMA_CACHE: dict = {}
+def schema_read_pairs(
+    root: str,
+    metadata_path: "Optional[str]" = None,
+    schema_id: "Optional[int]" = None,
+    variant_as: "str | None" = None,
+    ns_as: "str | None" = None,
+) -> "list[tuple[str, str]]":
+    """``(column name, spark DDL type)`` pairs of the target schema —
+    what a non-DDL (footer-inferred) read uses to align its columns
+    with the explicit-DDL groups before a union."""
+    meta = load_metadata(root, metadata_path)
+    sch = _schema_for(meta, schema_id)
+    return [
+        (f["name"], _iceberg_type_to_ddl(f["type"], variant_as, ns_as))
+        for f in sch["fields"]
+    ]
 
 
 def ns_timestamp_columns(

@@ -1015,6 +1015,82 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
         time.perf_counter() - t0, 3
     )
     assert out.rows[0][0] == 500, out.rows
+
+    # (m) theta-sketch ANALYZE (r12, VERDICT r11 #3): the stats pass
+    # over the defaults table (16n files × 25k rows; `id` all-distinct →
+    # estimation mode, numpy-vectorized hashing; `v` constant → 1 hash
+    # per batch). Expected scan-linear: the Python cost is per-batch
+    # dedup + KMV truncation, bounded by k=4096 retained per column per
+    # partition; the driver unions ≤32 KB rows.
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table as _analyze,
+    )
+
+    t0 = time.perf_counter()
+    ares = _analyze(spark, droot2, timestamp_ms=_T0 + 3000)
+    timings["analyze_theta_stats"] = round(time.perf_counter() - t0, 3)
+    assert ares["statistics_path"].endswith(".stats"), ares
+
+    # (n) v3 timestamp_ns scan (r12, VERDICT r11 #4): the truncating
+    # read is one codegen'd integer division per value — the aggregate
+    # must scale exactly like a plain scan-agg.
+    nroot = os.path.join(out_dir, f"tsns_x{n}", "t")
+    shutil.rmtree(os.path.dirname(nroot), ignore_errors=True)
+    nt = _LIT(
+        nroot,
+        pa_.schema([("id", pa_.int64()), ("ts", pa_.timestamp("ns"))]),
+    )
+    nt.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _CDC_FILE_ROWS,
+                        (j + 1) * _CDC_FILE_ROWS,
+                        dtype="int64",
+                    ),
+                    "ts": (
+                        1_700_000_000_000_000_000
+                        + np_.arange(_CDC_FILE_ROWS, dtype="int64") * 1000
+                        + 7
+                    ).view("datetime64[ns]"),
+                }
+            )
+            for j in range(_CDC_BASE_FILES * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    run_query(  # warm the plan shape
+        spark,
+        f"SELECT COUNT(*) AS c FROM iceberg_scan('{nroot}')",
+        cfg,
+    )
+    t0 = time.perf_counter()
+    out = run_query(
+        spark,
+        "SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c "
+        f"FROM iceberg_scan('{nroot}') GROUP BY hr",
+        cfg,
+    )
+    timings["v3_timestamp_ns_scan_agg"] = round(
+        time.perf_counter() - t0, 3
+    )
+    assert out.rows, out.rows
+
+    # (o) row-lineage scan with BOTH inherited columns (r12, VERDICT
+    # r11 #2): the post-compaction lineage table reads _row_id AND
+    # _last_updated_sequence_number from the materialized columns via
+    # ONE broadcast file-count-sized map join — scan-linear, zero row
+    # shuffle.
+    t0 = time.perf_counter()
+    out = run_query(
+        spark,
+        "SELECT COUNT(*) AS c, MAX(_last_updated_sequence_number) AS m "
+        f"FROM iceberg_row_lineage('{lroot}')",
+        cfg,
+    )
+    timings["row_lineage_seq_scan"] = round(time.perf_counter() - t0, 3)
+    assert out.rows[0][1] is not None, out.rows
     return timings
 
 

@@ -182,7 +182,11 @@ def test_typed_leaves_render_canonically(spark, tmp_path):
     assert '"dec":12.340' in txt  # exact digits preserved in the text
 
 
-def test_shredded_file_gets_precise_400(spark, tmp_path):
+def test_externally_committed_shredded_file_reads(spark, tmp_path):
+    """r12: an EXTERNALLY committed shredded file — the column shredded
+    as a bare typed_value primitive alongside an unshredded file —
+    reads reassembled (previously a 400; `tests/test_variant_shredded.py`
+    covers the full shredding matrix)."""
     root = str(tmp_path / "t")
     tbl = pa.table(
         {
@@ -192,9 +196,6 @@ def test_shredded_file_gets_precise_400(spark, tmp_path):
     )
     t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
     t.append_snapshot([tbl], timestamp_ms=T1)
-    # a SHREDDED file: same column with a typed_value subcolumn —
-    # hand-written and committed EXTERNALLY (append_snapshot would
-    # normalize the table back to the registered unshredded schema)
     import pyarrow.parquet as pq
 
     from cloudfloe_spark.sources.iceberg_fixture import (
@@ -227,13 +228,8 @@ def test_shredded_file_gets_precise_400(spark, tmp_path):
     commit_row_delta_snapshot(
         root, new_data_files=[(sp, 1)], timestamp_ms=T1 + 1000
     )
-    from cloudfloe_spark.service.errors import CloudfloeError
-
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}')")
-    assert ei.value.status_code == 400
-    assert "SHREDDED" in str(ei.value)
-    assert "typed_value" in str(ei.value)
+    got = _rows(spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id")
+    assert got == [(1, '{"a":1}'), (2, "7")]
 
 
 def test_dml_on_variant_table_rejects_clearly(spark, variant_table):

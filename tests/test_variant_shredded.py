@@ -1,0 +1,340 @@
+"""Iceberg v3 SHREDDED variant reads (r12): files storing a variant
+column as ``(metadata, value?, typed_value)`` per the Parquet variant
+shredding spec are REASSEMBLED to the engine's canonical-JSON surface —
+typed wins, residuals merge, both-null means missing — with the
+reassembly descriptor derived from each file's parquet footer. One
+table may mix shredded and unshredded files; unsupported shred shapes
+400 naming the file and leaf."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid as uuid_mod
+from decimal import Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cloudfloe_spark.functions.variant import (
+    encode_variant,
+    shred_descriptor,
+    shred_rows,
+    variant_to_json,
+)
+from cloudfloe_spark.service.config import ConnectionConfig
+from cloudfloe_spark.service.engine import run_query
+from cloudfloe_spark.service.errors import CloudfloeError
+from cloudfloe_spark.sources import iceberg_meta as im
+from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+T1 = 1700000000000
+UTC = datetime.timezone.utc
+
+
+def _cfg():
+    return ConnectionConfig(
+        storageType="local", endpoint="", accessKey="", secretKey=""
+    )
+
+
+def _rows(spark, sql):
+    return [tuple(r) for r in run_query(spark, sql, _cfg()).rows]
+
+
+def _expected_json(objs):
+    out = []
+    for o in objs:
+        if o is None:
+            out.append(None)
+        else:
+            md, val = encode_variant(o)
+            out.append(variant_to_json(md, val))
+    return out
+
+
+def _shredded_table(tmp_path, objs, shred, name="t"):
+    root = str(tmp_path / name)
+    col = shred_rows(objs, shred)
+    tbl = pa.table(
+        {"id": pa.array(list(range(len(objs))), pa.int64()), "v": col}
+    )
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    return root, t
+
+
+OBJS = [
+    {"a": 1, "s": {"x": "hi", "y": 2.5}, "tags": ["p", "q"], "extra": True},
+    {"a": "not-an-int", "s": {"x": "yo"}, "tags": [1, None]},
+    {"s": None, "tags": "not-a-list", "a": 7},
+    None,
+    "just-a-string",
+    {"a": None, "tags": []},
+    {"deep": {"only": "residual"}},
+]
+SHRED = {
+    "kind": "object",
+    "fields": {
+        "a": {"value": True, "typed": {"kind": "int"}},
+        "s": {
+            "value": True,
+            "typed": {
+                "kind": "object",
+                "fields": {
+                    "x": {"value": True, "typed": {"kind": "string"}}
+                },
+            },
+        },
+        "tags": {
+            "value": True,
+            "typed": {
+                "kind": "array",
+                "element": {"value": True, "typed": {"kind": "string"}},
+            },
+        },
+    },
+}
+
+
+def test_shredded_scan_matches_unshredded_rendering(spark, tmp_path):
+    """Every reassembly rule in one corpus: typed object fields,
+    type-mismatch residuals (int field holding a string; array field
+    holding a scalar), nested-object partial shredding, null vs missing
+    fields, arrays with typed hits and residual elements (incl. null
+    elements), whole-row NULL, top-level non-object, empty array, and a
+    row whose every field is residual."""
+    root, _ = _shredded_table(tmp_path, OBJS, SHRED)
+    got = [
+        r[1]
+        for r in _rows(
+            spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+        )
+    ]
+    assert got == _expected_json(OBJS)
+
+
+def test_shredded_typed_extraction_jvm_side(spark, tmp_path):
+    root, _ = _shredded_table(tmp_path, OBJS, SHRED)
+    got = _rows(
+        spark,
+        "SELECT sum(try_variant_get(parse_json(v), '$.a', 'bigint')) AS s, "
+        "count(try_variant_get(parse_json(v), '$.s.x', 'string')) AS n "
+        f"FROM iceberg_scan('{root}')",
+    )
+    assert got == [(8, 2)]  # a: 1 + 7 ('not-an-int' nulls); s.x: hi, yo
+
+
+def test_typed_leaves_match_unshredded(spark, tmp_path):
+    objs = [
+        {
+            "ts": datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+            "tz": datetime.datetime(2024, 6, 7, 8, 9, 10, 654321, tzinfo=UTC),
+            "d": datetime.date(2020, 2, 29),
+            "dec": Decimal("12.3456"),
+            "u": uuid_mod.UUID("12345678-1234-5678-1234-567812345678"),
+            "b": b"\x01\x02\xff",
+            "f": 2.75,
+            "flag": True,
+        },
+        {"ts": "not-a-ts", "dec": 5, "d": None, "flag": 0},
+    ]
+    shred = {
+        "kind": "object",
+        "fields": {
+            "ts": {"value": True, "typed": {"kind": "ts_us"}},
+            "tz": {"value": True, "typed": {"kind": "ts_us_tz"}},
+            "d": {"value": True, "typed": {"kind": "date"}},
+            "dec": {"value": True, "typed": {"kind": "decimal"}},
+            "u": {"value": True, "typed": {"kind": "uuid"}},
+            "b": {"value": True, "typed": {"kind": "binary"}},
+            "f": {"value": True, "typed": {"kind": "double"}},
+            "flag": {"value": True, "typed": {"kind": "bool"}},
+        },
+    }
+    root, _ = _shredded_table(tmp_path, objs, shred)
+    got = [
+        r[1]
+        for r in _rows(
+            spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+        )
+    ]
+    assert got == _expected_json(objs)
+
+
+def test_shredded_ns_timestamp_leaf(spark, tmp_path):
+    """A FOREIGN writer's shredded ns-timestamp leaf reads back with the
+    9-digit fraction the unshredded ns primitive ids render — the
+    descriptor (footer: timestamp[ns]) tells the UDF the raw long it
+    receives under nanosAsLong is nanoseconds."""
+    root = str(tmp_path / "ns")
+    md, _ = encode_variant({"t": None})
+    ns_val = 1700000000123456789
+    col = pa.array(
+        [{"metadata": md, "value": None,
+          "typed_value": {"t": {"typed_value": ns_val}}}],
+        pa.struct(
+            [
+                ("metadata", pa.binary()),
+                ("value", pa.binary()),
+                (
+                    "typed_value",
+                    pa.struct(
+                        [
+                            (
+                                "t",
+                                pa.struct(
+                                    [("typed_value", pa.timestamp("ns"))]
+                                ),
+                            )
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    )
+    tbl = pa.table({"id": pa.array([1], pa.int64()), "v": col})
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    got = _rows(spark, f"SELECT v FROM iceberg_scan('{root}')")
+    assert got == [('{"t":"2023-11-14 22:13:20.123456789"}',)]
+
+
+def test_mixed_shredded_and_unshredded_files(spark, tmp_path):
+    root = str(tmp_path / "mix")
+    objs1 = OBJS[:3]
+    objs2 = OBJS[3:]
+    col1 = shred_rows(objs1, SHRED)
+    vt_un = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+    col2 = pa.array(
+        [
+            None
+            if o is None
+            else dict(zip(("metadata", "value"), encode_variant(o)))
+            for o in objs2
+        ],
+        vt_un,
+    )
+    t1 = pa.table({"id": pa.array([0, 1, 2], pa.int64()), "v": col1})
+    t2 = pa.table({"id": pa.array([3, 4, 5, 6], pa.int64()), "v": col2})
+    t = LocalIcebergTable(root, t1.schema, variant_cols=("v",))
+    t.append_snapshot([t1], timestamp_ms=T1)
+    t.append_snapshot([t2], timestamp_ms=T1 + 1000)
+    got = [
+        r[1]
+        for r in _rows(
+            spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+        )
+    ]
+    assert got == _expected_json(OBJS)
+
+
+def test_shredded_deletes_compose(spark, tmp_path):
+    """Position deletes apply to shredded file groups before decode."""
+    root, t = _shredded_table(tmp_path, OBJS, SHRED)
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    t.position_delete_snapshot([(paths[0], 0)], timestamp_ms=T1 + 1000)
+    got = [
+        r[0]
+        for r in _rows(
+            spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id"
+        )
+    ]
+    assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_unsupported_shred_leaf_gets_precise_400(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    md, _ = encode_variant({"t": 1})
+    col = pa.array(
+        [{"metadata": md, "value": None,
+          "typed_value": {"t": {"typed_value": 1}}}],
+        pa.struct(
+            [
+                ("metadata", pa.binary()),
+                ("value", pa.binary()),
+                (
+                    "typed_value",
+                    pa.struct(
+                        [
+                            (
+                                "t",
+                                pa.struct(
+                                    [("typed_value", pa.time64("us"))]
+                                ),
+                            )
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    )
+    tbl = pa.table({"id": pa.array([1], pa.int64()), "v": col})
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT v FROM iceberg_scan('{root}')")
+    assert ei.value.status_code == 400
+    assert "unsupported shredded leaf" in str(ei.value)
+
+
+def test_malformed_shred_group_gets_precise_400(spark, tmp_path):
+    root = str(tmp_path / "mal")
+    md, _ = encode_variant({"t": 1})
+    col = pa.array(
+        [{"metadata": md, "value": None,
+          "typed_value": {"t": {"typed_value": 1, "bogus": 2}}}],
+        pa.struct(
+            [
+                ("metadata", pa.binary()),
+                ("value", pa.binary()),
+                (
+                    "typed_value",
+                    pa.struct(
+                        [
+                            (
+                                "t",
+                                pa.struct(
+                                    [
+                                        ("typed_value", pa.int64()),
+                                        ("bogus", pa.int64()),
+                                    ]
+                                ),
+                            )
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    )
+    tbl = pa.table({"id": pa.array([1], pa.int64()), "v": col})
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT v FROM iceberg_scan('{root}')")
+    assert ei.value.status_code == 400
+    assert "value, typed_value" in str(ei.value)
+
+
+def test_shredded_with_renames_rejected(spark, tmp_path):
+    root, t = _shredded_table(tmp_path, OBJS[:2], SHRED, name="ren")
+    t.rename_column("id", "doc_id", timestamp_ms=T1 + 1000)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT v FROM iceberg_scan('{root}')")
+    assert ei.value.status_code == 400
+    assert "renames" in str(ei.value)
+
+
+def test_shred_descriptor_from_footer(tmp_path):
+    col = shred_rows(OBJS[:1], SHRED)
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(pa.table({"v": col}), p)
+    t = pq.read_schema(p).field("v").type
+    d = shred_descriptor(t.field("typed_value").type)
+    assert d["kind"] == "object"
+    assert d["fields"]["a"]["typed"] == {"kind": "int"}
+    assert d["fields"]["s"]["typed"]["kind"] == "object"
+    assert d["fields"]["tags"]["typed"]["kind"] == "array"
+    with pytest.raises(ValueError, match="unsupported shredded leaf"):
+        shred_descriptor(pa.time64("us"))
