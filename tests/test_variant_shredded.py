@@ -338,3 +338,29 @@ def test_shred_descriptor_from_footer(tmp_path):
     assert d["fields"]["tags"]["typed"]["kind"] == "array"
     with pytest.raises(ValueError, match="unsupported shredded leaf"):
         shred_descriptor(pa.time64("us"))
+
+
+def test_shredded_aggregate_plan_decodes_before_exchange(spark, tmp_path):
+    """Scale shape: the shredded reassembly (ArrowEvalPython) runs on
+    the SCAN side of the aggregate's exchange — blobs never shuffle;
+    only extracted scalars cross — and one Arrow eval serves each shred
+    group (here: one)."""
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    root, _ = _shredded_table(tmp_path, OBJS, SHRED, name="plan")
+    sess = spark.newSession()
+    sql = resolve_iceberg_reads(
+        sess,
+        "SELECT try_variant_get(parse_json(v), '$.a', 'bigint') AS a, "
+        f"count(*) AS n FROM iceberg_scan('{root}') GROUP BY a",
+    )
+    df = sess.sql(sql)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE: final plan only
+    assert final.count("ArrowEvalPython") == 1, final
+    # decode below the exchange: the Arrow eval appears after (deeper
+    # than) the first Exchange in the tree rendering
+    first_exchange = final.find("Exchange")
+    arrow_at = final.find("ArrowEvalPython")
+    assert first_exchange != -1 and arrow_at > first_exchange, final
