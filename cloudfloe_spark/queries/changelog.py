@@ -3008,3 +3008,65 @@ def iceberg_v3_variant_shredded_scan(
         "           'double')) AS max_score "
         f"FROM iceberg_scan('{root}') GROUP BY v_lang",
     )
+
+
+@register(
+    "iceberg_partition_stats_scan",
+    oracle="""
+        SELECT lang,
+               count(*) AS data_record_count,
+               1 AS data_file_count
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("iceberg", "maintenance", "partition-statistics"),
+)
+def iceberg_partition_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec's PARTITION STATISTICS file driver-checked (r12): a
+    lang-identity-partitioned table (one file per lang per append)
+    takes a MOR DELETE (which must NOT change the raw data-file record
+    counts — delete files count separately), then
+    ``compute_partition_stats`` registers the parquet and
+    ``iceberg_partition_stats`` lists it; the oracle recomputes the
+    per-partition record and file counts from the source rows.
+
+    Scale shape: metadata-only — one driver-side manifest walk and a
+    partition-count-sized parquet; the data is never scanned."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        compute_partition_stats,
+        delete_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"pstats{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_pstats", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        t = LocalIcebergTable(
+            root, tbl.schema, partition_by=[("lang", "identity")]
+        )
+        t.append_snapshot([tbl], timestamp_ms=_T0)
+        delete_where(spark, root, "n_chars % 9 = 0", timestamp_ms=_T0 + 1000)
+        res = compute_partition_stats(root, timestamp_ms=_T0 + 2000)
+        assert res["statistics_path"].endswith(".parquet"), res
+        assert im.load_metadata(root)["partition-statistics"], res
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        "SELECT lang, data_record_count, data_file_count "
+        f"FROM iceberg_partition_stats('{root}') WHERE lang IS NOT NULL",
+    )

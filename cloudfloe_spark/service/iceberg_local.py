@@ -128,6 +128,9 @@ _ROW_LINEAGE_RE = re.compile(
     r"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+))?",
     re.IGNORECASE,
 )
+_PARTITION_STATS_RE = re.compile(
+    r"iceberg_partition_stats\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
+)
 
 
 def _local_root(path: str) -> str | None:
@@ -2185,6 +2188,82 @@ def _column_stats_view(sess, root: str) -> str:
     return name
 
 
+def _partition_stats_view(sess, root: str) -> str:
+    """``iceberg_partition_stats('<root>')`` → the table's registered
+    PARTITION STATISTICS file (spec ``partition-statistics`` list,
+    written by ``maintenance.compute_partition_stats``): one row per
+    (partition tuple, spec id) with the spec's count columns, partition
+    fields flattened to one column each, plus staleness. Driver-side
+    parquet read — the file is partition-count-sized."""
+    import pyarrow.parquet as _pq
+
+    try:
+        meta = im.load_metadata(root)
+    except im.IcebergMetadataError as e:
+        raise bad_request(f"Iceberg read failed: {e}") from None
+    entries = meta.get("partition-statistics") or []
+    if not entries:
+        raise bad_request(
+            f"iceberg_partition_stats: table {root} has no partition "
+            "statistics — run compute_partition_stats first"
+        )
+    entry = entries[-1]
+    path = entry.get("statistics-path", "")
+    local = path[7:] if path.startswith("file://") else path
+    try:
+        tbl = _pq.read_table(local)
+    except OSError as e:
+        raise bad_request(
+            f"iceberg_partition_stats: statistics file unreadable: {e}"
+        ) from None
+    cur = meta.get("current-snapshot-id")
+    pdf = tbl.to_pylist()
+    pf_names = sorted(
+        {k for r in pdf for k in (r.get("partition") or {})}
+    )
+    rows = []
+    for r in pdf:
+        pv = r.get("partition") or {}
+        rows.append(
+            tuple(
+                [
+                    None if pv.get(n) is None else str(pv[n])
+                    for n in pf_names
+                ]
+                + [
+                    int(r["spec_id"]),
+                    int(r["data_record_count"]),
+                    int(r["data_file_count"]),
+                    int(r["total_data_file_size_in_bytes"]),
+                    int(r["position_delete_record_count"]),
+                    int(r["position_delete_file_count"]),
+                    int(r["equality_delete_record_count"]),
+                    int(r["equality_delete_file_count"]),
+                    str(entry.get("snapshot-id")),
+                    entry.get("snapshot-id") == cur,
+                ]
+            )
+        )
+    ddl = ", ".join(
+        [f"`{n}` STRING" for n in pf_names]
+        + [
+            "spec_id INT",
+            "data_record_count BIGINT",
+            "data_file_count INT",
+            "total_data_file_size_in_bytes BIGINT",
+            "position_delete_record_count BIGINT",
+            "position_delete_file_count INT",
+            "equality_delete_record_count BIGINT",
+            "equality_delete_file_count INT",
+            "snapshot_id STRING",
+            "is_current BOOLEAN",
+        ]
+    )
+    name = _view_name("pstats", root)
+    sess.createDataFrame(rows, ddl).createOrReplaceTempView(name)
+    return name
+
+
 def _theta_stats_rows(root: str, local: str, entry: dict, cur) -> list:
     """Decode a spec StatisticsFile (Puffin + theta blobs) into
     ``iceberg_column_stats`` rows. Column names resolve from the blob's
@@ -2752,6 +2831,12 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _row_lineage_view(sess, root, version=m.group(2))
 
+    def _pstats(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        return _partition_stats_view(sess, root)
+
     out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
@@ -2764,6 +2849,7 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
     out = _sub_outside_literals(_MATVIEW_STATUS_RE, _mv_status, out)
     out = _sub_outside_literals(_DVS_RE, _dvs, out)
     out = _sub_outside_literals(_ROW_LINEAGE_RE, _row_lineage, out)
+    out = _sub_outside_literals(_PARTITION_STATS_RE, _pstats, out)
     if pending:
         from cloudfloe_spark.sources.partition_pruning import (
             extract_scan_conjuncts,

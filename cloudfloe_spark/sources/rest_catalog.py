@@ -326,6 +326,22 @@ def apply_table_updates(meta: dict, updates: list[dict]) -> dict:
             ]
             if not out["statistics"]:
                 out.pop("statistics", None)
+        elif action == "set-partition-statistics":
+            stat = u["partition-statistics"]
+            sid = stat.get("snapshot-id")
+            out["partition-statistics"] = [
+                e
+                for e in out.get("partition-statistics") or []
+                if e.get("snapshot-id") != sid
+            ] + [stat]
+        elif action == "remove-partition-statistics":
+            out["partition-statistics"] = [
+                e
+                for e in out.get("partition-statistics") or []
+                if e.get("snapshot-id") != u["snapshot-id"]
+            ]
+            if not out["partition-statistics"]:
+                out.pop("partition-statistics", None)
         else:
             raise RestCatalogError(
                 f"unsupported table update action {action!r}"
@@ -467,6 +483,30 @@ def derive_table_updates(
         if sid not in a_stats:
             updates.append(
                 {"action": "remove-statistics", "snapshot-id": sid}
+            )
+    b_pstats = {
+        e.get("snapshot-id"): e
+        for e in before.get("partition-statistics") or []
+    }
+    a_pstats = {
+        e.get("snapshot-id"): e
+        for e in after.get("partition-statistics") or []
+    }
+    for sid, e in a_pstats.items():
+        if b_pstats.get(sid) != e:
+            updates.append(
+                {
+                    "action": "set-partition-statistics",
+                    "partition-statistics": e,
+                }
+            )
+    for sid in b_pstats:
+        if sid not in a_pstats:
+            updates.append(
+                {
+                    "action": "remove-partition-statistics",
+                    "snapshot-id": sid,
+                }
             )
 
     reconstructed = apply_table_updates(before, updates)

@@ -2626,3 +2626,109 @@ def test_expire_snapshots_older_than(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_last, older_than_ms"):
         expire_snapshots(root, timestamp_ms=T1 + 9999)
+
+
+def test_partition_stats_file_and_view(spark, tmp_path):
+    """r12: compute_partition_stats writes the spec's PARTITION
+    STATISTICS parquet (one row per partition tuple + spec id, raw
+    data-file record counts with delete-file counts separate) and
+    registers it snapshot-scoped; the view lists it with staleness;
+    re-running at the same snapshot REPLACES the entry."""
+    import pyarrow.parquet as _pq
+
+    from cloudfloe_spark.sources.maintenance import (
+        compute_partition_stats,
+        delete_where,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("lang", pa.string())]),
+        partition_by=[("lang", "identity")],
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 2, 3, 4, 5],
+                    "lang": ["en", "en", "de", "de", "fr"],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    res = compute_partition_stats(root, timestamp_ms=T1 + 2000)
+    assert res["partitions"] == 4  # en/de/fr + the delete file's NULL
+    # spec columns present in the parquet itself
+    sch = _pq.read_schema(res["statistics_path"])
+    assert {
+        "partition", "spec_id", "data_record_count", "data_file_count",
+        "total_data_file_size_in_bytes", "position_delete_record_count",
+        "position_delete_file_count", "equality_delete_record_count",
+        "equality_delete_file_count",
+    } <= set(sch.names)
+    rows = {
+        r[0]: tuple(r[1:4])
+        for r in run_query(
+            spark,
+            "SELECT lang, data_record_count, data_file_count, "
+            "position_delete_record_count "
+            f"FROM iceberg_partition_stats('{root}') WHERE lang IS NOT NULL",
+            _cfg(),
+        ).rows
+    }
+    # raw data-file record counts (the MOR delete does NOT subtract)
+    assert rows == {"en": (2, 1, 0), "de": (2, 1, 0), "fr": (1, 1, 0)}
+    nulls = run_query(
+        spark,
+        "SELECT position_delete_record_count, position_delete_file_count "
+        f"FROM iceberg_partition_stats('{root}') WHERE lang IS NULL",
+        _cfg(),
+    ).rows
+    assert [tuple(r) for r in nulls] == [(1, 1)]
+    # replace semantics + staleness
+    meta = im.load_metadata(root)
+    assert len(meta["partition-statistics"]) == 1
+    compute_partition_stats(root, timestamp_ms=T1 + 3000)
+    assert len(im.load_metadata(root)["partition-statistics"]) == 1
+    delete_where(spark, root, "id = 5", timestamp_ms=T1 + 4000)
+    got = run_query(
+        spark,
+        "SELECT DISTINCT is_current "
+        f"FROM iceberg_partition_stats('{root}')",
+        _cfg(),
+    ).rows
+    assert [r[0] for r in got] == [False]
+
+
+def test_partition_stats_expire_and_orphan_sweep(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import (
+        compute_partition_stats,
+        delete_where,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    r1 = compute_partition_stats(root, timestamp_ms=T1 + 1000)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    r2 = compute_partition_stats(root, timestamp_ms=T1 + 3000)
+    expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 4000)
+    assert not os.path.exists(r1["statistics_path"])
+    assert os.path.exists(r2["statistics_path"])
+    ids = {
+        e["snapshot-id"]
+        for e in im.load_metadata(root)["partition-statistics"]
+    }
+    assert ids == {r2["snapshot_id"]}
+    # crash-leftover: an unregistered partition-stats parquet is swept
+    stray = os.path.join(root, "metadata", "partition-stats-999-dead.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    remove_orphan_files(root, older_than_ms=0)
+    assert not os.path.exists(stray)
+    assert os.path.exists(r2["statistics_path"])

@@ -973,3 +973,34 @@ def test_rest_bound_analyze_statistics_through_catalog(spark, bound_table):
     )
     sids = [e["snapshot-id"] for e in meta["statistics"]]
     assert sids == [im.resolve_snapshot(root)["snapshot-id"]]
+
+
+def test_rest_bound_partition_stats_through_catalog(spark, bound_table):
+    """r12: compute_partition_stats on a REST-bound table commits as
+    the spec's ``set-partition-statistics`` update; expiry travels as
+    ``remove-partition-statistics``."""
+    from cloudfloe_spark.sources.maintenance import (
+        compute_partition_stats,
+        delete_where,
+        expire_snapshots,
+    )
+
+    endpoint, state, client, root = bound_table
+    res = compute_partition_stats(root, timestamp_ms=T1 + 1000)
+    assert state.commits == 1
+    loc = client.metadata_location("demo", "bound")
+    meta = json.load(open(loc.removeprefix("file://")))
+    assert [e["snapshot-id"] for e in meta["partition-statistics"]] == [
+        res["snapshot_id"]
+    ]
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    res2 = compute_partition_stats(root, timestamp_ms=T1 + 3000)
+    expire_snapshots(root, keep_last=1, timestamp_ms=T1 + 4000)
+    meta = json.load(
+        open(
+            client.metadata_location("demo", "bound").removeprefix("file://")
+        )
+    )
+    assert [e["snapshot-id"] for e in meta["partition-statistics"]] == [
+        res2["snapshot_id"]
+    ]
