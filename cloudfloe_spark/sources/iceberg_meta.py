@@ -363,14 +363,15 @@ def has_deletion_vectors(root: str, snapshot: dict) -> bool:
 
 
 #: v3 column types this reader cannot materialize (variant left this
-#: set in r12 — unshredded reads decode to a JSON-string surface;
-#: timestamp_ns/timestamptz_ns left in r12 too — batch scans read them
-#: as microsecond-truncated TIMESTAMP, matching DuckDB's own ns→µs
-#: truncation and the engine's events-table rule)
+#: set in r12 — reads decode both physical layouts to a JSON-string
+#: surface; timestamp_ns/timestamptz_ns left in r12 too — batch scans
+#: read them as microsecond-truncated TIMESTAMP, matching DuckDB's own
+#: ns→µs truncation; `unknown` left in r12 — the spec's always-null
+#: placeholder type surfaces as an all-NULL STRING column, which is
+#: exact: no data file may carry a non-null value for it)
 _V3_UNSUPPORTED_TYPES = {
     "geometry",
     "geography",
-    "unknown",
 }
 
 _NS_TYPES = ("timestamp_ns", "timestamptz_ns")
@@ -925,6 +926,10 @@ _PRIMITIVES = {
     "string": "STRING",
     "uuid": "STRING",
     "binary": "BINARY",
+    # v3 `unknown` (r12): the spec's type-not-yet-known placeholder —
+    # every value is null by definition, so an all-NULL STRING column
+    # is an exact read (files never carry non-null values for it)
+    "unknown": "STRING",
 }
 
 

@@ -218,3 +218,42 @@ def test_ns_mixed_precision_file_rejects(spark, tmp_path):
         _rows(spark, f"SELECT * FROM iceberg_scan('{root}')")
     assert ei.value.status_code == 400
     assert "µs→ns type promotion" in str(ei.value)
+
+
+def test_v3_unknown_type_reads_all_null(spark, tmp_path):
+    """r12: the v3 `unknown` placeholder type (every value null by
+    definition) surfaces as an all-NULL STRING column instead of a 400;
+    geometry/geography stay clearly rejected."""
+    root = str(tmp_path / "unk")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
+    meta = im.load_metadata(root)
+    # the realistic unknown-column shape: ADDED by schema evolution (a
+    # new schema id), the way engines introduce a not-yet-typed column
+    import copy
+
+    sch2 = copy.deepcopy(meta["schemas"][-1])
+    sch2["schema-id"] = sch2.get("schema-id", 0) + 1
+    sch2["fields"].append(
+        {"id": 99, "name": "pending", "required": False,
+         "type": "unknown"}
+    )
+    meta["schemas"].append(sch2)
+    meta["current-schema-id"] = sch2["schema-id"]
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+    got = _rows(
+        spark, f"SELECT id, pending FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got == [(1, None), (2, None)]
+    # geometry keeps the clear 400
+    meta = im.load_metadata(root)
+    for sch in meta["schemas"]:
+        sch["fields"].append(
+            {"id": 100, "name": "geo", "required": False,
+             "type": "geometry"}
+        )
+    write_next_metadata_version(root, meta)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_scan('{root}')")
+    assert "geometry" in str(ei.value)
