@@ -161,15 +161,26 @@ def load_metadata(root: str, metadata_path: Optional[str] = None) -> dict:
             # immutable — commits write a NEW version — so the remote
             # fetch caches by resolved path. Resolution itself (directory
             # listing / version-hint) stays uncached above.
-            return json.loads(_read_remote_text_cached(path))
-        return json.loads(_read_text(path))
+            raw = _read_remote_bytes_cached(path)
+        else:
+            with open(_local_path(path), "rb") as fh:
+                raw = fh.read()
+        # gzip-compressed metadata (r12): tables written with
+        # write.metadata.compression-codec=gzip name their files
+        # vN.gz.metadata.json — detected by magic, not name, so catalog
+        # locations without the marker read too
+        if raw[:2] == b"\x1f\x8b":
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
+        return json.loads(raw.decode("utf-8"))
     except (OSError, json.JSONDecodeError) as e:
         raise IcebergMetadataError(f"cannot read metadata {path!r}: {e}")
 
 
 @_functools.lru_cache(maxsize=64)
-def _read_remote_text_cached(path: str) -> str:
-    return fsio.read_text(path)
+def _read_remote_bytes_cached(path: str) -> bytes:
+    return fsio.read_bytes(path)
 
 
 def snapshots(root: str) -> list[dict]:

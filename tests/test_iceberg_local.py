@@ -2732,3 +2732,40 @@ def test_partition_stats_expire_and_orphan_sweep(spark, tmp_path):
     remove_orphan_files(root, older_than_ms=0)
     assert not os.path.exists(stray)
     assert os.path.exists(r2["statistics_path"])
+
+
+def test_gzip_compressed_metadata_reads(spark, tmp_path):
+    """r12: tables written with write.metadata.compression-codec=gzip
+    (vN.gz.metadata.json) read — detection is by gzip magic, not file
+    name, so catalog-addressed metadata locations work too; a follow-up
+    local commit interoperates with the compressed history."""
+    import gzip as _gzip
+
+    from cloudfloe_spark.sources.maintenance import delete_where
+
+    root = str(tmp_path / "gz")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    mdir = os.path.join(root, "metadata")
+    import glob as _glob
+
+    src = _glob.glob(os.path.join(mdir, "v*.metadata.json"))[0]
+    with open(src, "rb") as fh:
+        data = fh.read()
+    n = int(os.path.basename(src)[1:].split(".")[0])
+    with open(os.path.join(mdir, f"v{n + 1}.gz.metadata.json"), "wb") as fh:
+        fh.write(_gzip.compress(data))
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        os.remove(hint)
+    os.remove(src)
+    got = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    ).rows
+    assert [r[0] for r in got] == [1, 2, 3]
+    # a local commit on top of the gzip history still works
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    got = run_query(
+        spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
+    ).rows
+    assert [r[0] for r in got] == [2, 3]
