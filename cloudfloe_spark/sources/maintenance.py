@@ -3211,6 +3211,11 @@ def analyze_iceberg_table(
             "analyze_iceberg_table: no theta single-value serialization "
             f"for columns {unsupported}"
         )
+    if not cols:
+        raise ValueError(
+            "analyze_iceberg_table: the table has no analyzable "
+            "(atomic, theta-serializable) columns"
+        )
     specs = [(c, kinds[c]) for c in cols]
     parts = df.select(*cols).mapInPandas(
         th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
