@@ -373,17 +373,15 @@ def has_deletion_vectors(root: str, snapshot: dict) -> bool:
     )
 
 
-#: v3 column types this reader cannot materialize (variant left this
-#: set in r12 — reads decode both physical layouts to a JSON-string
-#: surface; timestamp_ns/timestamptz_ns left in r12 too — batch scans
-#: read them as microsecond-truncated TIMESTAMP, matching DuckDB's own
-#: ns→µs truncation; `unknown` left in r12 — the spec's always-null
-#: placeholder type surfaces as an all-NULL STRING column, which is
-#: exact: no data file may carry a non-null value for it)
-_V3_UNSUPPORTED_TYPES = {
-    "geometry",
-    "geography",
-}
+#: v3 column types this reader cannot materialize. EMPTY as of r12 —
+#: every v3 type reads: variant decodes both physical layouts to a
+#: JSON-string surface; timestamp_ns/timestamptz_ns read as
+#: microsecond-truncated TIMESTAMP (DuckDB's own ns→µs rule);
+#: `unknown` (the always-null placeholder) reads as an all-NULL STRING
+#: column; geometry/geography surface their PHYSICAL form — raw WKB
+#: bytes as BINARY (Spark has no geo type; WKB is what geo engines
+#: consume). The set stays for future spec types.
+_V3_UNSUPPORTED_TYPES: set = set()
 
 _NS_TYPES = ("timestamp_ns", "timestamptz_ns")
 
@@ -995,6 +993,11 @@ def _iceberg_type_to_ddl(
         if t.startswith("decimal("):
             return t.upper()
         if t.startswith("fixed["):
+            return "BINARY"
+        if t.startswith(("geometry", "geography")):
+            # v3 geo types (r12): surfaced as their PHYSICAL form — raw
+            # WKB bytes (the optional CRS parameter rides in the type
+            # string only); what Sedona-style consumers decode
             return "BINARY"
         raise IcebergMetadataError(f"unsupported iceberg type {t!r}")
     kind = t.get("type")

@@ -222,8 +222,8 @@ def test_ns_mixed_precision_file_rejects(spark, tmp_path):
 
 def test_v3_unknown_type_reads_all_null(spark, tmp_path):
     """r12: the v3 `unknown` placeholder type (every value null by
-    definition) surfaces as an all-NULL STRING column instead of a 400;
-    geometry/geography stay clearly rejected."""
+    definition) surfaces as an all-NULL STRING column instead of a
+    400."""
     root = str(tmp_path / "unk")
     t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
     t.append_snapshot([pa.table({"id": [1, 2]})], timestamp_ms=T1)
@@ -246,14 +246,39 @@ def test_v3_unknown_type_reads_all_null(spark, tmp_path):
         spark, f"SELECT id, pending FROM iceberg_scan('{root}') ORDER BY id"
     )
     assert got == [(1, None), (2, None)]
-    # geometry keeps the clear 400
+
+
+def test_v3_geometry_reads_raw_wkb(spark, tmp_path):
+    """r12: v3 geometry/geography surface their PHYSICAL form — raw WKB
+    bytes as BINARY (Spark has no geo type; WKB is what geo consumers
+    decode). The fixture writes a WKB point and the scan returns its
+    exact bytes; the CRS parameter in the type string is accepted."""
+    import struct as _struct
+
+    root = str(tmp_path / "geo")
+    wkb = b"\x01\x01\x00\x00\x00" + _struct.pack("<dd", 1.5, -2.25)
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("geo", pa.binary())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "geo": pa.array([wkb], pa.binary())})],
+        timestamp_ms=T1,
+    )
     meta = im.load_metadata(root)
     for sch in meta["schemas"]:
-        sch["fields"].append(
-            {"id": 100, "name": "geo", "required": False,
-             "type": "geometry"}
-        )
+        for f in sch["fields"]:
+            if f["name"] == "geo":
+                f["type"] = "geometry(srid:4326)"
+    meta["format-version"] = 3
     write_next_metadata_version(root, meta)
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(spark, f"SELECT * FROM iceberg_scan('{root}')")
-    assert "geometry" in str(ei.value)
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT id, geo FROM iceberg_scan('{root}')"
+        )
+    )
+    rows = df.collect()
+    assert rows[0]["geo"] == wkb
+    assert dict(df.dtypes)["geo"] == "binary"
