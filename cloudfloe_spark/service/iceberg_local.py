@@ -336,8 +336,11 @@ def _snapshot_view(
         shred_groups: list = []
         plain_paths = paths
         if variant_cols and paths:
+            vhist = im.schema_name_history(
+                root, metadata_path, schema_id=snap_sid
+            )
             plain_paths, shred_groups, verr = im.variant_shred_groups(
-                paths, variant_cols
+                paths, variant_cols, name_history=vhist
             )
             if verr:
                 raise bad_request(
@@ -345,9 +348,7 @@ def _snapshot_view(
                     + "; ".join(sorted(set(verr)))
                 )
             if shred_groups and (
-                im.schema_name_history(
-                    root, metadata_path, schema_id=snap_sid
-                )
+                vhist
                 or im.schema_default_fills(
                     im.load_metadata(root, metadata_path), snap_sid
                 )

@@ -459,7 +459,9 @@ _FOOTER_SCHEMA_CACHE: dict = {}
 
 
 def variant_shred_groups(
-    paths: "list[str]", cols: "list[str]"
+    paths: "list[str]",
+    cols: "list[str]",
+    name_history: "dict[str, str] | None" = None,
 ) -> "tuple[list[str], list[tuple[list[str], dict]], list[str]]":
     """Split a snapshot's data files by variant PHYSICAL layout (r12,
     shredded reads): ``(unshredded_paths, shred_groups, errors)`` where
@@ -468,10 +470,24 @@ def variant_shred_groups(
     non-variant physical shape, so one footer-inferred read per group
     is sound). ``errors`` names files whose shredding shape this reader
     cannot render (unsupported leaf types, malformed groups) — the
-    caller 400s precisely. Cached per immutable file."""
+    caller 400s precisely. Cached per immutable file.
+
+    ``name_history`` (historical→current names): a variant column
+    RENAMED after shredded files were written keeps its OLD parquet
+    name in those footers — without checking historical names, the
+    plain path's explicit (metadata, value) DDL would silently DROP
+    every typed_value (struct pruning), so such files are detected
+    here under their old names and reported as errors (the
+    rename-aware shredded read is not implemented; compaction is the
+    remedy)."""
     import pyarrow as pa
 
     from cloudfloe_spark.functions.variant import shred_descriptor
+
+    old_names = {}
+    for old, cur in (name_history or {}).items():
+        if cur in cols and old != cur:
+            old_names.setdefault(cur, []).append(old)
 
     plain: list[str] = []
     groups: dict = {}
@@ -492,6 +508,27 @@ def variant_shred_groups(
         descs: dict = {}
         bad = False
         for c in cols:
+            # a renamed variant column keeps its OLD parquet name in
+            # pre-rename files — a shredded layout hiding there must
+            # surface as an error, never as a silent typed_value drop
+            for old in old_names.get(c, []):
+                if old in sch.names and pa.types.is_struct(
+                    sch.field(old).type
+                ):
+                    t_old = sch.field(old).type
+                    subs = {
+                        t_old.field(i).name
+                        for i in range(t_old.num_fields)
+                    }
+                    if "typed_value" in subs:
+                        errors.append(
+                            f"variant column {c!r} (on-disk name "
+                            f"{old!r}) in {suffix} is SHREDDED and the "
+                            "column was renamed since — the "
+                            "rename-aware shredded read is not "
+                            "implemented; compact the table first"
+                        )
+                        bad = True
             if c not in sch.names:
                 continue  # predates the column: NULL either way
             t = sch.field(c).type

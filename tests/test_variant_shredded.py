@@ -364,3 +364,40 @@ def test_shredded_aggregate_plan_decodes_before_exchange(spark, tmp_path):
     first_exchange = final.find("Exchange")
     arrow_at = final.find("ArrowEvalPython")
     assert first_exchange != -1 and arrow_at > first_exchange, final
+
+
+def test_renamed_shredded_column_never_silently_drops(spark, tmp_path):
+    """Soundness (r12 self-review): a variant column RENAMED after
+    shredded files were written keeps its OLD parquet name in those
+    footers — without historical-name detection the plain path's
+    explicit (metadata, value) DDL would silently DROP every
+    typed_value. Must 400 naming the on-disk name, never read wrong."""
+    import copy
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    root = str(tmp_path / "ren2")
+    shred = {
+        "kind": "object",
+        "fields": {"a": {"value": True, "typed": {"kind": "int"}}},
+    }
+    col = shred_rows([{"a": 1, "b": "x"}, {"a": 2}], shred)
+    t1 = pa.table({"id": pa.array([1, 2], pa.int64()), "v": col})
+    t = LocalIcebergTable(root, t1.schema, variant_cols=("v",))
+    t.append_snapshot([t1], timestamp_ms=T1)
+    meta = im.load_metadata(root)
+    sch2 = copy.deepcopy(meta["schemas"][-1])
+    sch2["schema-id"] = sch2.get("schema-id", 0) + 1
+    for f in sch2["fields"]:
+        if f["name"] == "v":
+            f["name"] = "payload"
+    meta["schemas"].append(sch2)
+    meta["current-schema-id"] = sch2["schema-id"]
+    write_next_metadata_version(root, meta)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT id, payload FROM iceberg_scan('{root}')")
+    assert ei.value.status_code == 400
+    assert "on-disk name 'v'" in str(ei.value)
+    assert "SHREDDED" in str(ei.value)
