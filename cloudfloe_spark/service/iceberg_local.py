@@ -375,7 +375,12 @@ def _snapshot_view(
             im.load_metadata(root, metadata_path), snap_sid
         )
         if ns_cols and paths:
-            nerr = im.ns_precision_errors(paths, ns_cols)
+            nerr = im.ns_precision_errors(
+                paths, ns_cols,
+                name_history=im.schema_name_history(
+                    root, metadata_path, schema_id=snap_sid
+                ),
+            )
             if nerr:
                 raise bad_request(
                     "Iceberg v3 timestamp_ns read failed: "

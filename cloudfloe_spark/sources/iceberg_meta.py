@@ -619,17 +619,28 @@ def ns_timestamp_columns(
     ]
 
 
-def ns_precision_errors(paths: "list[str]", cols: "list[str]") -> list[str]:
+def ns_precision_errors(
+    paths: "list[str]",
+    cols: "list[str]",
+    name_history: "dict[str, str] | None" = None,
+) -> list[str]:
     """Per-file footer probe of the ns columns' physical precision: a
     v3 ``timestamp → timestamp_ns`` type promotion leaves older files
     at MICROsecond physical precision, which the raw-long read would
     misscale by 1000× — such files are named here so the read can 400
-    precisely. Only ns tables pay the footer read (cached per immutable
-    file)."""
+    precisely. ``name_history`` (historical→current) extends the probe
+    to files written before a RENAME of the ns column (their footers
+    carry the old name). Only ns tables pay the footer read (cached per
+    immutable file)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from cloudfloe_spark.sources import fsio
+
+    names_for: dict[str, list[str]] = {c: [c] for c in cols}
+    for old, cur in (name_history or {}).items():
+        if cur in names_for and old != cur:
+            names_for[cur].append(old)
 
     out: list[str] = []
     for p in paths:
@@ -641,10 +652,11 @@ def ns_precision_errors(paths: "list[str]", cols: "list[str]") -> list[str]:
                 sch = pq.read_schema(p.removeprefix("file://"))
             _FOOTER_SCHEMA_CACHE[p] = sch
         suffix = p.rsplit("/data/", 1)[-1]
-        for c in cols:
-            if c not in sch.names:
+        for c, cand in names_for.items():
+            disk = next((n for n in cand if n in sch.names), None)
+            if disk is None:
                 continue  # file predates the column: reads as NULL
-            t = sch.field(c).type
+            t = sch.field(disk).type
             if not (pa.types.is_timestamp(t) and t.unit == "ns"):
                 out.append(
                     f"timestamp_ns column {c!r} in {suffix} has physical "

@@ -282,3 +282,35 @@ def test_v3_geometry_reads_raw_wkb(spark, tmp_path):
     rows = df.collect()
     assert rows[0]["geo"] == wkb
     assert dict(df.dtypes)["geo"] == "binary"
+
+
+def test_ns_mixed_precision_rejects_under_rename_too(spark, tmp_path):
+    """Soundness (r12 self-review): the precision probe resolves
+    HISTORICAL names — a µs-physical file written before BOTH a µs→ns
+    promotion and a RENAME still 400s instead of surfacing as a raw
+    Spark read error (or worse)."""
+    import copy
+
+    root = str(tmp_path / "promren")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1], "ts": pa.array([1500], pa.timestamp("us"))})],
+        timestamp_ms=T1,
+    )
+    meta = im.load_metadata(root)
+    sch2 = copy.deepcopy(meta["schemas"][-1])
+    sch2["schema-id"] = sch2.get("schema-id", 0) + 1
+    for f in sch2["fields"]:
+        if f["name"] == "ts":
+            f["name"] = "event_ts"          # rename
+            f["type"] = "timestamp_ns"       # + promotion
+    meta["schemas"].append(sch2)
+    meta["current-schema-id"] = sch2["schema-id"]
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_scan('{root}')")
+    assert ei.value.status_code == 400
+    assert "µs→ns type promotion" in str(ei.value)
