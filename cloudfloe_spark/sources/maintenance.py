@@ -445,6 +445,22 @@ def compact_iceberg_table(
     # rewrite read to it — a commit landing in between must not make them
     # disagree about which snapshot is being compacted.
     metadata_path = im.latest_metadata_path(root)
+    # types whose PHYSICAL form the rewrite cannot preserve yet: the
+    # scan surfaces variant as decoded JSON text and ns timestamps as
+    # µs — writing those back would commit a broken current snapshot
+    # (every subsequent read 400s on the physical-shape probes). Refuse
+    # BEFORE committing anything. (geometry/unknown round-trip: BINARY
+    # WKB and all-NULL survive a rewrite byte-faithfully.)
+    _meta_now = im.load_metadata(root, metadata_path)
+    _unpreservable = sorted(
+        im.variant_columns(_meta_now) + im.ns_timestamp_columns(_meta_now)
+    )
+    if _unpreservable:
+        raise ValueError(
+            "compact_iceberg_table: the rewrite cannot preserve the "
+            "physical form of variant / nanosecond-timestamp columns "
+            f"yet: {_unpreservable}"
+        )
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
     live = im.live_data_files(root, snap)
     live_bytes = sum(int(f.get("file_size_in_bytes", 0)) for f in live)

@@ -314,3 +314,15 @@ def test_ns_mixed_precision_rejects_under_rename_too(spark, tmp_path):
         _rows(spark, f"SELECT * FROM iceberg_scan('{root}')")
     assert ei.value.status_code == 400
     assert "µs→ns type promotion" in str(ei.value)
+
+
+def test_compaction_refuses_ns_tables(spark, ns_table):
+    """Soundness (r12 self-review): the rewrite would downgrade ns
+    columns to the µs surface — refuse before committing."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root, _ = ns_table
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    with pytest.raises(ValueError, match="cannot preserve the physical"):
+        compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    assert im.resolve_snapshot(root)["snapshot-id"] == s0

@@ -401,3 +401,20 @@ def test_renamed_shredded_column_never_silently_drops(spark, tmp_path):
     assert ei.value.status_code == 400
     assert "on-disk name 'v'" in str(ei.value)
     assert "SHREDDED" in str(ei.value)
+
+
+def test_compaction_refuses_variant_tables(spark, tmp_path):
+    """Soundness (r12 self-review): compact_iceberg_table on a variant
+    table previously SUCCEEDED while writing the decoded JSON text back
+    as the physical column — committing a current snapshot every read
+    then 400s on. Must refuse BEFORE committing anything."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root, _ = _shredded_table(tmp_path, OBJS[:2], SHRED, name="cmp")
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    with pytest.raises(ValueError, match="cannot preserve the physical"):
+        compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    # nothing committed; the table still reads
+    assert im.resolve_snapshot(root)["snapshot-id"] == s0
+    got = _rows(spark, f"SELECT count(*) FROM iceberg_scan('{root}')")
+    assert got == [(2,)]
