@@ -2977,6 +2977,62 @@ def maintain_iceberg_table(
     else:
         step = {"ran": False, "reason": "no retention policy supplied"}
     report["expire_snapshots"] = step
+
+    # 5. statistics freshness (r12): a table that HAS statistics whose
+    # registered snapshot is no longer current gets a re-ANALYZE and a
+    # partition-stats refresh — the stats-driven planner inputs stay
+    # live without a separate scheduler. Tables that never ran ANALYZE
+    # are left alone (opting into stats is the operator's call; this
+    # loop only keeps an existing opt-in fresh).
+    meta_now = im.load_metadata(root)
+    cur_id = meta_now.get("current-snapshot-id")
+
+    def _stale(key: str) -> bool:
+        entries = meta_now.get(key) or []
+        return bool(entries) and all(
+            e.get("snapshot-id") != cur_id for e in entries
+        )
+
+    if _stale("statistics"):
+        step = {"ran": not dry_run,
+                "reason": "registered statistics are stale"}
+        if not dry_run:
+            step.update(
+                analyze_iceberg_table(
+                    spark, root, timestamp_ms=timestamp_ms + 4
+                )
+            )
+    else:
+        step = {
+            "ran": False,
+            "reason": (
+                "statistics current"
+                if meta_now.get("statistics")
+                else "table has no statistics (ANALYZE is opt-in)"
+            ),
+        }
+    report["analyze_iceberg_table"] = step
+
+    meta_now = im.load_metadata(root)
+    if _stale("partition-statistics"):
+        step = {"ran": not dry_run,
+                "reason": "registered partition statistics are stale"}
+        if not dry_run:
+            step.update(
+                compute_partition_stats(
+                    root, timestamp_ms=timestamp_ms + 5
+                )
+            )
+    else:
+        step = {
+            "ran": False,
+            "reason": (
+                "partition statistics current"
+                if meta_now.get("partition-statistics")
+                else "table has no partition statistics (opt-in)"
+            ),
+        }
+    report["compute_partition_stats"] = step
     return report
 
 

@@ -181,3 +181,51 @@ def test_maintain_expiry_runs_when_policy_given(spark, fragmented_table):
     assert len(im.load_metadata(root)["snapshots"]) == 1
     got = _rows(spark, f"SELECT COUNT(*) FROM iceberg_scan('{root}')")
     assert got == [(10_029,)]
+
+
+def test_service_pass_refreshes_stale_statistics(spark, tmp_path):
+    """r12: the table-service loop keeps an EXISTING stats opt-in fresh
+    — stale statistics/partition-statistics re-run; tables that never
+    analyzed are left alone; dry_run only reports."""
+    import pyarrow as pa
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        compute_partition_stats,
+        delete_where,
+        maintain_iceberg_table,
+    )
+
+    root = str(tmp_path / "svc")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": list(range(10))})], timestamp_ms=T1)
+    # no stats yet: the loop must NOT start analyzing on its own
+    rep = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    assert rep["analyze_iceberg_table"]["ran"] is False
+    assert "opt-in" in rep["analyze_iceberg_table"]["reason"]
+    # opt in, then go stale
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    compute_partition_stats(root, timestamp_ms=T1 + 3000)
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 4000)
+    dry = maintain_iceberg_table(
+        spark, root, timestamp_ms=T1 + 5000, dry_run=True
+    )
+    assert dry["analyze_iceberg_table"]["ran"] is False
+    assert "stale" in dry["analyze_iceberg_table"]["reason"]
+    rep2 = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 6000)
+    assert rep2["analyze_iceberg_table"]["ran"] is True
+    assert rep2["compute_partition_stats"]["ran"] is True
+    meta = im.load_metadata(root)
+    cur = meta["current-snapshot-id"]
+    assert any(
+        e["snapshot-id"] == cur for e in meta["statistics"]
+    )
+    assert any(
+        e["snapshot-id"] == cur for e in meta["partition-statistics"]
+    )
+    # idempotent: a second pass triggers nothing
+    rep3 = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 7000)
+    assert rep3["analyze_iceberg_table"]["ran"] is False
+    assert rep3["compute_partition_stats"]["ran"] is False
