@@ -2769,3 +2769,30 @@ def test_gzip_compressed_metadata_reads(spark, tmp_path):
         spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id", _cfg()
     ).rows
     assert [r[0] for r in got] == [2, 3]
+
+
+def test_analyze_typed_columns_exact_ndv(spark, tmp_path):
+    """r12: the theta pass dispatches every kind correctly THROUGH
+    Spark's pandas conversion (timestamps arrive datetime64, dates as
+    objects, decimals as Decimal, booleans as numpy bools) — exact-mode
+    NDV must equal the exact distinct count per column."""
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    root = str(tmp_path / "typed")
+    ts = pa.array(
+        [1_700_000_000_000_000 + i % 37 for i in range(200)],
+        pa.timestamp("us"),
+    )
+    dt = pa.array([19000 + (i % 11) for i in range(200)], pa.date32())
+    bl = pa.array([i % 2 == 0 for i in range(200)], pa.bool_())
+    dec = pa.array([i % 5 for i in range(200)], pa.decimal128(10, 2))
+    tbl = pa.table({"ts": ts, "d": dt, "b": bl, "x": dec})
+    t = LocalIcebergTable(root, tbl.schema)
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    rows = run_query(
+        spark,
+        f"SELECT column, ndv FROM iceberg_column_stats('{root}')",
+        _cfg(),
+    ).rows
+    assert {r[0]: r[1] for r in rows} == {"ts": 37, "d": 11, "b": 2, "x": 5}
