@@ -1047,7 +1047,38 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
             im.schema_field_names(root, metadata_path) if eq_deletes else {}
         )
         file_seqs = {p: live_to[p] for p in added} if eq_deletes else {}
-        schema_ddl = None if added else im.current_schema_ddl(root, metadata_path)
+        schema_ddl = (
+            None
+            if added
+            else im.current_schema_ddl(
+                root, metadata_path, variant_as="string", ns_as="timestamp"
+            )
+        )
+        # v3 variant / ns (r12): the appended files are decoded to the
+        # same surfaces the batch scan exposes — previously a variant
+        # table's append feed silently emitted RAW binary structs
+        variant_cols = im.variant_columns(
+            im.load_metadata(root, metadata_path)
+        )
+        ns_cols = im.ns_timestamp_columns(
+            im.load_metadata(root, metadata_path)
+        )
+        if added and variant_cols:
+            _, vshred, verr = im.variant_shred_groups(
+                added, variant_cols,
+                name_history=im.schema_name_history(root, metadata_path),
+            )
+            if verr:
+                raise bad_request(
+                    "iceberg_changes: variant read failed: "
+                    + "; ".join(sorted(set(verr)))
+                )
+            if vshred:
+                raise bad_request(
+                    "iceberg_changes: the range appended SHREDDED "
+                    "variant files — the append feed supports "
+                    "unshredded variant only; compact the table first"
+                )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("changes", root, (from_id, to_id))
@@ -1059,6 +1090,13 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
             df = _apply_equality_deletes(
                 sess, df, eq_deletes, field_names, file_seqs
             )
+        if variant_cols:
+            from cloudfloe_spark.functions.variant import (
+                decode_variant_columns as _dvc,
+            )
+
+            df = _dvc(df, [c for c in variant_cols if c in df.columns])
+        df = _surface_ns(df, ns_cols)
     else:  # no files appended in the range — zero rows, right columns
         df = sess.createDataFrame([], schema_ddl)
     df.createOrReplaceTempView(name)
@@ -1253,13 +1291,32 @@ def _cdc_frame(
             if (eq_new or eq_old)
             else {}
         )
-        schema_ddl = im.current_schema_ddl(root, metadata_path)
+        schema_ddl = im.current_schema_ddl(
+            root, metadata_path, variant_as="string", ns_as="timestamp"
+        )
         # Rename resolution (metadata-only schema evolution): raises on an
         # AMBIGUOUS history — the one rename shape footer mapping cannot
         # resolve — which the except below turns into the 400.
         name_hist = im.schema_name_history(root, metadata_path)
+        # v3 variant / ns timestamps (r12): the changelog reads the
+        # PHYSICAL forms (struct / raw ns longs) so ℤ-netting compares
+        # stable values, decodes variant to the JSON surface per group,
+        # and converts ns to µs TIMESTAMP on the OUTPUT frame. Shredded
+        # variant files keep a 400 (per-file shapes on both netting
+        # sides are not supported — compaction is the remedy).
+        variant_cols = im.variant_columns(
+            im.load_metadata(root, metadata_path)
+        )
+        ns_cols = im.ns_timestamp_columns(
+            im.load_metadata(root, metadata_path)
+        )
         added_groups = (
-            im.scan_groups(root, added, metadata_path) if added else []
+            im.scan_groups(
+                root, added, metadata_path,
+                variant_as="physical", ns_as="physical",
+            )
+            if added
+            else []
         )
         carried_scan = carried
         if carried and (pos_new or dv_new_positions) and not eq_new:
@@ -1278,10 +1335,33 @@ def _cdc_frame(
                 if p.rsplit("/data/", 1)[-1] in targets
             ]
         carried_groups = (
-            im.scan_groups(root, carried_scan, metadata_path)
+            im.scan_groups(
+                root, carried_scan, metadata_path,
+                variant_as="physical", ns_as="physical",
+            )
             if carried_scan and (pos_new or eq_new or dv_new_positions)
             else []
         )
+        if variant_cols:
+            probe_paths = list(added) + (
+                list(carried_scan)
+                if carried_scan and (pos_new or eq_new or dv_new_positions)
+                else []
+            )
+            _, vshred, verr = im.variant_shred_groups(
+                probe_paths, variant_cols, name_history=name_hist
+            )
+            if verr:
+                raise bad_request(
+                    "iceberg_cdc: variant read failed: "
+                    + "; ".join(sorted(set(verr)))
+                )
+            if vshred:
+                raise bad_request(
+                    "iceberg_cdc: the range touches SHREDDED variant "
+                    "files — the changelog supports unshredded variant "
+                    "only; compact the table first"
+                )
         keys = (
             [k.strip() for k in key_cols.split(",")] if key_cols else []
         )
@@ -1403,6 +1483,14 @@ def _cdc_frame(
                 )
             if renames:
                 g = g.withColumnsRenamed(renames)
+            if variant_cols:
+                from cloudfloe_spark.functions.variant import (
+                    decode_variant_columns as _dvc,
+                )
+
+                g = _dvc(
+                    g, [c for c in variant_cols if c in g.columns]
+                )
             ins_parts.append(g)
         ins = ins_parts[0]
         for g in ins_parts[1:]:
@@ -1432,6 +1520,14 @@ def _cdc_frame(
                 # coords are materialized; downstream delete matching and
                 # output run on CURRENT names
                 g = g.withColumnsRenamed(renames)
+            if variant_cols:
+                from cloudfloe_spark.functions.variant import (
+                    decode_variant_columns as _dvc,
+                )
+
+                g = _dvc(
+                    g, [c for c in variant_cols if c in g.columns]
+                )
             base_parts.append(g)
         base = base_parts[0]
         for g in base_parts[1:]:
@@ -1658,7 +1754,7 @@ def _cdc_frame(
             df = _pair_update_images(df.drop("__cdc_rid"), keys)
         else:
             df = df.drop("__cdc_rid")
-        return df
+        return _surface_ns(df, ns_cols)
 
     if parts:
         df = parts[0]
@@ -1670,6 +1766,21 @@ def _cdc_frame(
         )
     if keys and parts:
         df = _pair_update_images(df, keys)
+    return _surface_ns(df, ns_cols)
+
+
+def _surface_ns(df, ns_cols):
+    """ns-timestamp columns travel through changelog netting as their
+    RAW nanosecond longs (stable, exact); the output surfaces them as
+    µs-truncated TIMESTAMP — the same rule as the batch scan."""
+    from pyspark.sql import functions as F
+
+    types = dict(df.dtypes)
+    for c in ns_cols or []:
+        if types.get(c) == "bigint":  # empty frames are pre-surfaced
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            )
     return df
 
 
@@ -1899,7 +2010,9 @@ def _cdc_commits_view(
                 )
                 if lo <= sn.get("sequence-number", 0) <= hi
             ]
-        schema_ddl = im.current_schema_ddl(root, metadata_path)
+        schema_ddl = im.current_schema_ddl(
+            root, metadata_path, variant_as="string", ns_as="timestamp"
+        )
         if im.has_deletion_vectors(root, s_to) or im.has_deletion_vectors(
             root, s_from
         ):

@@ -1022,9 +1022,9 @@ def _iceberg_type_to_ddl(
                 return "STRING"
             raise IcebergMetadataError(
                 "variant column is only readable through the batch "
-                "iceberg_scan path (decoded to a canonical-JSON STRING "
-                "column); CDC, DML, streaming and changelog reads over "
-                "variant tables are not supported"
+                "iceberg_scan and changelog (iceberg_changes / "
+                "iceberg_cdc) paths — DML and streaming over variant "
+                "tables are not supported"
             )
         if t in _NS_TYPES:
             if ns_as == "physical":
@@ -1033,8 +1033,9 @@ def _iceberg_type_to_ddl(
                 return "TIMESTAMP"
             raise IcebergMetadataError(
                 f"{t} column is only readable through the batch "
-                "iceberg_scan path (truncated to microsecond TIMESTAMP); "
-                "CDC, DML, streaming and changelog reads over "
+                "iceberg_scan and changelog (iceberg_changes / "
+                "iceberg_cdc) paths (truncated to microsecond "
+                "TIMESTAMP) — DML and streaming over "
                 "nanosecond-timestamp tables are not supported"
             )
         if t in _PRIMITIVES:

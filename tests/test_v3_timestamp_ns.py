@@ -181,19 +181,43 @@ def test_ns_deletes_compose(spark, ns_table):
     assert [r[0] for r in got] == [2, 3, 4, 5]
 
 
-def test_ns_cdc_and_dml_reject_precisely(spark, ns_table):
-    root, _ = ns_table
+def test_ns_changelog_surfaces_and_dml_rejects(spark, ns_table):
+    """r12 (late): the changelog surfaces convert ns to the µs
+    TIMESTAMP surface (netting runs on the raw longs — exact); DML over
+    ns tables keeps its precise rejection."""
+    root, t = ns_table
     s0 = im.resolve_snapshot(root)["snapshot-id"]
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(
-            spark,
-            f"SELECT * FROM iceberg_changes('{root}', {s0}, {s0})",
-        )
-    assert "batch iceberg_scan" in str(ei.value)
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [9],
+                    "ts": pa.array(
+                        [1700000000123456789], pa.timestamp("ns")
+                    ),
+                }
+            )
+        ],
+        timestamp_ms=T1 + 1000,
+    )
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    cdc = _rows(
+        spark,
+        "SELECT id, ts, _change_type "
+        f"FROM iceberg_cdc('{root}', {s0}, {s1})",
+    )
+    assert cdc == [(9, "2023-11-14T22:13:20.123456", "insert")]
+    chg = _rows(
+        spark,
+        f"SELECT id, ts FROM iceberg_changes('{root}', {s0}, {s1})",
+    )
+    assert chg == [(9, "2023-11-14T22:13:20.123456")]
     from cloudfloe_spark.sources.maintenance import delete_where
 
-    with pytest.raises(im.IcebergMetadataError, match="batch iceberg_scan"):
-        delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    with pytest.raises(
+        im.IcebergMetadataError, match="DML and streaming"
+    ):
+        delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
 
 
 def test_ns_mixed_precision_file_rejects(spark, tmp_path):

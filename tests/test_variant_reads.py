@@ -240,7 +240,10 @@ def test_dml_on_variant_table_rejects_clearly(spark, variant_table):
         delete_where(spark, root, "doc_id = 1", timestamp_ms=T1 + 1000)
 
 
-def test_cdc_on_variant_table_rejects_clearly(spark, variant_table):
+def test_cdc_on_variant_table_decodes(spark, variant_table):
+    """r12 (late): the changelog surfaces decode variant exactly like
+    the batch scan — previously a 400 (and iceberg_changes previously
+    LEAKED raw binary structs). Values net on the canonical JSON."""
     root, t = variant_table
     s0 = im.resolve_snapshot(root)["snapshot-id"]
     tbl = pa.table(
@@ -250,17 +253,25 @@ def test_cdc_on_variant_table_rejects_clearly(spark, variant_table):
         }
     )
     t.append_snapshot([tbl], timestamp_ms=T1 + 1000)
+    # external retraction: position-delete the appended row's twin range
+    paths = sorted(
+        im.live_data_paths(root, im.resolve_snapshot(root))
+    )
+    t.position_delete_snapshot([(paths[0], 0)], timestamp_ms=T1 + 2000)
     s1 = im.resolve_snapshot(root)["snapshot-id"]
-    from cloudfloe_spark.service.errors import CloudfloeError
-
-    with pytest.raises(
-        (CloudfloeError, im.IcebergMetadataError),
-        match="variant column is only readable",
-    ):
-        _rows(
-            spark,
-            f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})",
-        )
+    cdc = _rows(
+        spark,
+        "SELECT doc_id, payload, _change_type "
+        f"FROM iceberg_cdc('{root}', {s0}, {s1}) ORDER BY doc_id",
+    )
+    assert cdc[-1] == (9, '{"lang":"it"}', "insert")
+    assert any(ct == "delete" for _, _, ct in cdc)
+    chg = _rows(
+        spark,
+        f"SELECT doc_id, payload FROM iceberg_changes('{root}', {s0}, {s1})",
+    )
+    assert (9, '{"lang":"it"}') in chg
+    assert all(isinstance(p, str) or p is None for _, p in chg)
 
 
 def test_empty_snapshot_surfaces_string_schema(spark, tmp_path):

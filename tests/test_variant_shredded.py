@@ -418,3 +418,26 @@ def test_compaction_refuses_variant_tables(spark, tmp_path):
     assert im.resolve_snapshot(root)["snapshot-id"] == s0
     got = _rows(spark, f"SELECT count(*) FROM iceberg_scan('{root}')")
     assert got == [(2,)]
+
+
+def test_cdc_over_shredded_files_rejects_precisely(spark, tmp_path):
+    """The changelog supports unshredded variant only — a range
+    touching SHREDDED files 400s pointing at compaction, never nets
+    mixed physical shapes."""
+    root, t = _shredded_table(tmp_path, OBJS[:3], SHRED, name="cdc")
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    col2 = shred_rows(OBJS[5:6], SHRED)
+    t.append_snapshot(
+        [pa.table({"id": pa.array([9], pa.int64()), "v": col2})],
+        timestamp_ms=T1 + 1000,
+    )
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
+    assert ei.value.status_code == 400
+    assert "SHREDDED" in str(ei.value)
+    with pytest.raises(CloudfloeError) as ei2:
+        _rows(
+            spark, f"SELECT * FROM iceberg_changes('{root}', {s0}, {s1})"
+        )
+    assert "SHREDDED" in str(ei2.value)
