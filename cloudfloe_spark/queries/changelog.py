@@ -3070,3 +3070,110 @@ def iceberg_partition_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT lang, data_record_count, data_file_count "
         f"FROM iceberg_partition_stats('{root}') WHERE lang IS NOT NULL",
     )
+
+
+@register(
+    "iceberg_cdc_variant",
+    oracle="""
+        SELECT doc_id, lang AS v_lang, 'delete' AS _change_type
+        FROM documents
+        WHERE doc_id % 2 = 0 AND n_chars % 9 = 0
+        UNION ALL
+        SELECT doc_id, lang AS v_lang, 'insert' AS _change_type
+        FROM documents
+        WHERE doc_id % 2 = 1
+    """,
+    tags=("iceberg", "v3", "variant", "cdc"),
+)
+def iceberg_cdc_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over a VARIANT table driver-checked (r12 late): the even
+    docs load first (snapshot s0), the odd docs append in range, and an
+    EXTERNAL position delete retracts the even docs with n_chars%9==0 —
+    the net changelog must decode the variant payloads to the JSON
+    surface on BOTH netting sides (typed extraction labels the rows)
+    and emit exactly the logical delta. Previously a 400.
+
+    Scale shape: same as the plain changelog — inserts read only the
+    added files; the retraction scan is pruned to the delete-referenced
+    files; the decode is one Arrow pass per side."""
+    from cloudfloe_spark.functions.variant import encode_variant
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"cdcvar{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_cdcvar", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    sid_file = os.path.join(parent, "_S0")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+
+        def chunk(pred):
+            sel = [r for r in rows if pred(r["doc_id"])]
+            col = pa.array(
+                [
+                    dict(
+                        zip(
+                            ("metadata", "value"),
+                            encode_variant(
+                                {"lang": r["lang"], "chars": r["n_chars"]}
+                            ),
+                        )
+                    )
+                    for r in sel
+                ],
+                vt,
+            )
+            return sel, pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in sel], pa.int64()
+                    ),
+                    "payload": col,
+                }
+            )
+
+        even_rows, even_t = chunk(lambda i: i % 2 == 0)
+        _, odd_t = chunk(lambda i: i % 2 == 1)
+        t = LocalIcebergTable(root, even_t.schema, variant_cols=("payload",))
+        s0 = t.append_snapshot([even_t], timestamp_ms=_T0)
+        t.append_snapshot([odd_t], timestamp_ms=_T0 + 1000)
+        # external retraction: delete the even docs with n_chars%9==0
+        # by position within the (sorted) even file
+        even_path = sorted(
+            im.live_data_paths(root, im.resolve_snapshot(root))
+        )[0]
+        dels = [
+            (even_path, pos)
+            for pos, r in enumerate(even_rows)
+            if r["n_chars"] % 9 == 0
+        ]
+        assert dels, "fixture needs at least one retraction"
+        t.position_delete_snapshot(dels, timestamp_ms=_T0 + 2000)
+        with open(sid_file, "w") as f:
+            f.write(str(s0))
+        with open(done, "w") as f:
+            f.write("ok")
+    with open(sid_file) as f:
+        s0 = int(f.read().strip())
+    cur = im.resolve_snapshot(root)["snapshot-id"]
+    return _resolved(
+        spark,
+        "SELECT doc_id, "
+        "variant_get(parse_json(payload), '$.lang', 'string') AS v_lang, "
+        "_change_type "
+        f"FROM iceberg_cdc('{root}', {s0}, {cur})",
+    )
