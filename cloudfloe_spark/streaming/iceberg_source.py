@@ -301,9 +301,25 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
         self.max_commits = int(mcb) if mcb else None
         im = _im()
         mp = im.latest_metadata_path(self.root)
-        self.pinned_ddl = im.current_schema_ddl(self.root, mp)
+        # v3 variant / ns (r12 late): the stream surfaces the same
+        # forms the batch scan does — variant as canonical-JSON STRING,
+        # ns timestamps as µs TIMESTAMP. The decode closure is captured
+        # HERE (driver side) from the codec factory so it pickles BY
+        # VALUE with the reader instance — executors never import the
+        # package (the standing Arrow-worker constraint).
+        self.pinned_ddl = im.current_schema_ddl(
+            self.root, mp, variant_as="string", ns_as="timestamp"
+        )
         self._cols = tuple(n for n, _ in _parse_ddl(self.pinned_ddl))
         self._ddls = tuple(t for _, t in _parse_ddl(self.pinned_ddl))
+        meta_now = im.load_metadata(self.root, mp)
+        self._variant_cols = tuple(im.variant_columns(meta_now))
+        self._ns_cols = tuple(im.ns_timestamp_columns(meta_now))
+        self._variant_to_json = None
+        if self._variant_cols:
+            from cloudfloe_spark.functions.variant import _build_codec
+
+            self._variant_to_json = _build_codec()[4]  # to_json
         self._last_planned: Optional[int] = None
 
     # -- offset bookkeeping -------------------------------------------------
@@ -356,7 +372,9 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
         im = _im()
         mp = im.latest_metadata_path(self.root)
         meta = im.load_metadata(self.root, mp)
-        if im.current_schema_ddl(self.root, mp) != self.pinned_ddl:
+        if im.current_schema_ddl(
+            self.root, mp, variant_as="string", ns_as="timestamp"
+        ) != self.pinned_ddl:
             raise IcebergSourceError(
                 "iceberg_commits: the table's schema evolved after the "
                 "stream started; restart the streaming query to pick up "
@@ -444,7 +462,8 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
         rename_of: dict[str, tuple] = {}
         fill_of: dict[str, tuple] = {}
         for paths, rmap, _ddl, fills in im.scan_groups(
-            self.root, sorted(set(added) | set(removed)), mp
+            self.root, sorted(set(added) | set(removed)), mp,
+            variant_as="physical", ns_as="physical",
         ):
             fill_t = tuple(sorted((n, v) for n, (v, _t) in fills.items()))
             for p in paths:
@@ -515,7 +534,8 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
 
     def _group_for(self, path: str, mp) -> "tuple[tuple, tuple]":
         for paths, rmap, _ddl, fills in _im().scan_groups(
-            self.root, [path], mp
+            self.root, [path], mp,
+            variant_as="physical", ns_as="physical",
         ):
             if path in paths:
                 return (
@@ -552,6 +572,46 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
             target = _ddl_to_arrow(ddl)
             if name in t.column_names:
                 col = t.column(name)
+                # v3 variant (r12 late): decode the physical struct to
+                # the canonical-JSON surface with the codec closure
+                # captured at stream start (pickled by value — workers
+                # never import the package)
+                if name in getattr(self, "_variant_cols", ()):
+                    if pa.types.is_struct(col.type):
+                        sub = {
+                            col.type.field(i).name
+                            for i in range(col.type.num_fields)
+                        }
+                        if "typed_value" in sub:
+                            raise IcebergSourceError(
+                                "iceberg_commits: SHREDDED variant "
+                                f"file {sfx} — the stream supports "
+                                "unshredded variant only; compact the "
+                                "table first"
+                            )
+                        tj = self._variant_to_json
+                        col = pa.array(
+                            [
+                                None
+                                if r is None
+                                else tj(r["metadata"], r["value"])
+                                for r in col.to_pylist()
+                            ],
+                            pa.string(),
+                        )
+                # v3 ns timestamps (r12 late): truncate toward zero to
+                # the µs surface — integer division, the batch rule
+                if (
+                    name in getattr(self, "_ns_cols", ())
+                    and pa.types.is_timestamp(col.type)
+                    and col.type.unit == "ns"
+                ):
+                    col = pc.cast(
+                        pc.divide(
+                            pc.cast(col, pa.int64()), pa.scalar(1000)
+                        ),
+                        target,
+                    )
                 if col.type != target:
                     col = pc.cast(col, target)
             elif name in fills:
@@ -604,7 +664,9 @@ class IcebergCommitsDataSource(DataSource):
             raise IcebergSourceError(
                 "iceberg_commits requires .load('<table root>')"
             )
-        ddl = _im().current_schema_ddl(root.rstrip("/"))
+        ddl = _im().current_schema_ddl(
+            root.rstrip("/"), variant_as="string", ns_as="timestamp"
+        )
         if (self.options.get("mode") or "append").lower() == "cdc":
             ddl += ", _change_type STRING, _commit_snapshot_id BIGINT"
         return ddl

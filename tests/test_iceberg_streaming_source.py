@@ -410,3 +410,81 @@ def test_cdc_stream_over_cow_commit_replays(spark, table, tmp_path):
     assert sorted(
         (r[0], r[1]) for r in cow if r[2] == "insert"
     ) == [(1, "a"), (2, "b"), (3, "C"), (4, "d")]
+
+
+def test_stream_decodes_variant_and_surfaces_ns(spark, tmp_path):
+    """r12 (late): the commit-tail source surfaces variant as
+    canonical-JSON STRING and ns timestamps as µs TIMESTAMP — the same
+    forms the batch scan exposes. The codec closure travels BY VALUE
+    with the reader (executors never import the package); SHREDDED
+    variant files fail the batch with a clear error."""
+    from cloudfloe_spark.functions.variant import encode_variant, shred_rows
+
+    root = str(tmp_path / "vsrc")
+    vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+
+    def mk(n0, n):
+        col = pa.array(
+            [
+                dict(
+                    zip(("metadata", "value"), encode_variant({"a": i}))
+                )
+                for i in range(n0, n0 + n)
+            ],
+            vt,
+        )
+        return pa.table(
+            {
+                "id": pa.array(range(n0, n0 + n), pa.int64()),
+                "v": col,
+                "ts": pa.array(
+                    [1700000000123456789 + i for i in range(n0, n0 + n)],
+                    pa.timestamp("ns"),
+                ),
+            }
+        )
+
+    t = LocalIcebergTable(root, mk(0, 2).schema, variant_cols=("v",))
+    t.append_snapshot([mk(0, 2)], timestamp_ms=T1)
+    t.append_snapshot([mk(2, 2)], timestamp_ms=T1 + 1000)
+    rows = sorted(
+        _run_once(
+            spark, root, str(tmp_path / "out"), str(tmp_path / "cp"),
+            "r1", mode="cdc",
+        )
+    )
+    assert [r[1] for r in rows] == [
+        '{"a":0}', '{"a":1}', '{"a":2}', '{"a":3}',
+    ]
+    assert all(
+        str(r[2]).startswith("2023-11-14 22:13:20.123456") for r in rows
+    )
+    assert all(r[3] == "insert" for r in rows)
+
+    # a SHREDDED commit fails the batch with the shredding named
+    shred = {
+        "kind": "object",
+        "fields": {"a": {"value": True, "typed": {"kind": "int"}}},
+    }
+    scol = shred_rows([{"a": 9}], shred)
+    sp = os.path.join(root, "data", "shred-00001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([9], pa.int64()),
+                "v": scol,
+                "ts": pa.array(
+                    [1700000000123456789], pa.timestamp("ns")
+                ),
+            }
+        ),
+        sp,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(sp, 1)], timestamp_ms=T1 + 2000
+    )
+    with pytest.raises(Exception, match="SHREDDED"):
+        _run_once(
+            spark, root, str(tmp_path / "out"), str(tmp_path / "cp"),
+            "r2", mode="cdc",
+        )
