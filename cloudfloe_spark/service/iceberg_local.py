@@ -1077,7 +1077,8 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
                 raise bad_request(
                     "iceberg_changes: the range appended SHREDDED "
                     "variant files — the append feed supports "
-                    "unshredded variant only; compact the table first"
+                    "unshredded variant only; rewrite the shredded "
+                    "files with a shredding-aware engine"
                 )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
@@ -1303,7 +1304,7 @@ def _cdc_frame(
         # stable values, decodes variant to the JSON surface per group,
         # and converts ns to µs TIMESTAMP on the OUTPUT frame. Shredded
         # variant files keep a 400 (per-file shapes on both netting
-        # sides are not supported — compaction is the remedy).
+        # sides are not supported — rewrite them unshredded first).
         variant_cols = im.variant_columns(
             im.load_metadata(root, metadata_path)
         )
@@ -1360,7 +1361,8 @@ def _cdc_frame(
                 raise bad_request(
                     "iceberg_cdc: the range touches SHREDDED variant "
                     "files — the changelog supports unshredded variant "
-                    "only; compact the table first"
+                    "only; rewrite the shredded files with a "
+                    "shredding-aware engine"
                 )
         keys = (
             [k.strip() for k in key_cols.split(",")] if key_cols else []

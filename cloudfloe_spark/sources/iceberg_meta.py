@@ -526,7 +526,8 @@ def variant_shred_groups(
                             f"{old!r}) in {suffix} is SHREDDED and the "
                             "column was renamed since — the "
                             "rename-aware shredded read is not "
-                            "implemented; compact the table first"
+                            "implemented; rewrite the files with a "
+                            "shredding-aware engine"
                         )
                         bad = True
             if c not in sch.names:

@@ -445,28 +445,56 @@ def compact_iceberg_table(
     # rewrite read to it — a commit landing in between must not make them
     # disagree about which snapshot is being compacted.
     metadata_path = im.latest_metadata_path(root)
-    # types whose PHYSICAL form the rewrite cannot preserve yet: the
-    # scan surfaces variant as decoded JSON text and ns timestamps as
-    # µs — writing those back would commit a broken current snapshot
-    # (every subsequent read 400s on the physical-shape probes). Refuse
-    # BEFORE committing anything. (geometry/unknown round-trip: BINARY
-    # WKB and all-NULL survive a rewrite byte-faithfully.)
+    # Physical-form preservation (r12): ns timestamps refuse (Spark has
+    # no nanosecond parquet writer — a rewrite would silently demote
+    # the logical type); UNSHREDDED variant compacts via a PHYSICAL
+    # passthrough read (the (metadata, value) struct round-trips
+    # byte-faithfully); SHREDDED files refuse — this engine does not
+    # re-encode typed_value trees back to the binary form. Refusals
+    # happen BEFORE anything commits. (geometry/unknown round-trip:
+    # BINARY WKB and all-NULL survive a rewrite byte-faithfully.)
     _meta_now = im.load_metadata(root, metadata_path)
-    _unpreservable = sorted(
-        im.variant_columns(_meta_now) + im.ns_timestamp_columns(_meta_now)
-    )
-    if _unpreservable:
+    _ns = im.ns_timestamp_columns(_meta_now)
+    if _ns:
         raise ValueError(
-            "compact_iceberg_table: the rewrite cannot preserve the "
-            "physical form of variant / nanosecond-timestamp columns "
-            f"yet: {_unpreservable}"
+            "compact_iceberg_table: Spark cannot write nanosecond "
+            f"parquet timestamps — columns {sorted(_ns)} would demote "
+            "to the µs surface; rewrite with a ns-capable engine"
         )
+    _variant = im.variant_columns(_meta_now)
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
     live = im.live_data_files(root, snap)
     live_bytes = sum(int(f.get("file_size_in_bytes", 0)) for f in live)
     n_out = max(1, -(-live_bytes // target_file_bytes))
 
-    if im.row_lineage_available(root, metadata_path):
+    if _variant:
+        if im.row_lineage_available(root, metadata_path):
+            raise ValueError(
+                "compact_iceberg_table: variant + row-lineage tables "
+                "are not compactable yet"
+            )
+        _paths = [
+            im._relocate(f["file_path"], im._norm_root(root))
+            for f in live
+        ]
+        _plain, _shred, _verr = im.variant_shred_groups(
+            _paths, _variant,
+            name_history=im.schema_name_history(root, metadata_path),
+        )
+        if _verr or _shred:
+            raise ValueError(
+                "compact_iceberg_table: the table carries SHREDDED "
+                "variant files — re-encoding typed_value trees back to "
+                "the binary form is not supported; rewrite them with a "
+                "shredding-aware engine"
+            )
+        # physical passthrough: MOR-applied read with the variant
+        # struct INTACT (never decoded), written back verbatim
+        df = _mor_raw_scan(
+            sess, root, snap, _paths,
+            metadata_path=metadata_path, variant_as="physical",
+        ).drop(_FP, _POS)
+    elif im.row_lineage_available(root, metadata_path):
         # v3 row lineage (r11): a compaction is not a logical change —
         # rewritten rows must KEEP their ids. Read with _row_id resolved
         # (manifest first_row_id + position, or the previous rewrite's
@@ -826,6 +854,7 @@ def _mor_raw_scan(
     *,
     metadata_path=None,
     extra_footer_cols: "list[str] | None" = None,
+    variant_as: "str | None" = None,
 ):
     """Per-file scan for DML with the snapshot's row-level deletes applied
     — without this, a DML pass over a table that already carries delete
@@ -890,7 +919,9 @@ def _mor_raw_scan(
         im.schema_name_history(root, metadata_path) if eq_recs else {}
     )
 
-    groups = im.scan_groups(root, paths, metadata_path)
+    groups = im.scan_groups(
+        root, paths, metadata_path, variant_as=variant_as
+    )
     parts = []
     for gpaths, renames, read_ddl, default_fills in groups:
         reader = spark.read

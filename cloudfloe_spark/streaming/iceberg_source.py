@@ -586,8 +586,9 @@ class IcebergCommitsStreamReader(DataSourceStreamReader):
                             raise IcebergSourceError(
                                 "iceberg_commits: SHREDDED variant "
                                 f"file {sfx} — the stream supports "
-                                "unshredded variant only; compact the "
-                                "table first"
+                                "unshredded variant only; rewrite the "
+                                "shredded files with a shredding-aware "
+                                "engine"
                             )
                         tj = self._variant_to_json
                         col = pa.array(

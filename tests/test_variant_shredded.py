@@ -412,7 +412,7 @@ def test_compaction_refuses_variant_tables(spark, tmp_path):
 
     root, _ = _shredded_table(tmp_path, OBJS[:2], SHRED, name="cmp")
     s0 = im.resolve_snapshot(root)["snapshot-id"]
-    with pytest.raises(ValueError, match="cannot preserve the physical"):
+    with pytest.raises(ValueError, match="SHREDDED variant files"):
         compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
     # nothing committed; the table still reads
     assert im.resolve_snapshot(root)["snapshot-id"] == s0
@@ -441,3 +441,48 @@ def test_cdc_over_shredded_files_rejects_precisely(spark, tmp_path):
             spark, f"SELECT * FROM iceberg_changes('{root}', {s0}, {s1})"
         )
     assert "SHREDDED" in str(ei2.value)
+
+
+def test_compaction_passthrough_on_unshredded_variant(spark, tmp_path):
+    """r12 (late): UNSHREDDED variant tables compact via a PHYSICAL
+    passthrough — the (metadata, value) struct round-trips
+    byte-faithfully and reads are identical after the rewrite; SHREDDED
+    files keep the refusal (see test_compaction_refuses_variant_tables,
+    now scoped to shredded)."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root = str(tmp_path / "vcmp")
+    vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+
+    def mk(n0, n):
+        col = pa.array(
+            [
+                dict(
+                    zip(("metadata", "value"), encode_variant({"a": i}))
+                )
+                for i in range(n0, n0 + n)
+            ],
+            vt,
+        )
+        return pa.table(
+            {"id": pa.array(range(n0, n0 + n), pa.int64()), "v": col}
+        )
+
+    t = LocalIcebergTable(root, mk(0, 3).schema, variant_cols=("v",))
+    t.append_snapshot([mk(0, 3)], timestamp_ms=T1)
+    t.append_snapshot([mk(3, 2)], timestamp_ms=T1 + 1000)
+    paths = sorted(im.live_data_paths(root, im.resolve_snapshot(root)))
+    t.position_delete_snapshot([(paths[0], 1)], timestamp_ms=T1 + 2000)
+    before = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    res = compact_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    assert res["snapshot_id"] and res["files_after"] >= 1
+    after = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert after == before
+    # the compacted files keep the PHYSICAL struct (never JSON text)
+    for p in im.live_data_paths(root, im.resolve_snapshot(root)):
+        sch = pq.read_schema(p)
+        assert pa.types.is_struct(sch.field("v").type)
