@@ -30,11 +30,13 @@ COVERAGE.md, "Variant (v3)"):
   - basic_type 3 = array: ``value_header = is_large << 2 |
     (field_offset_size - 1)``; same layout without field ids.
 
-The READ surface this engine exposes for an unshredded variant column
-is a **canonical JSON string** (shredded files keep a precise 400 —
-``typed_value`` reassembly is not implemented): scans decode the
-``(metadata, value)`` pair per row via an Arrow-batched pandas UDF and
-surface the column as ``STRING``; typed extraction then runs JVM-side
+The READ surface this engine exposes for a variant column is a
+**canonical JSON string** — BOTH physical layouts: unshredded scans
+decode the ``(metadata, value)`` pair per row via an Arrow-batched
+pandas UDF, and SHREDDED files are reassembled per the shredding spec
+(``shredded_variant_json_udf``: typed_value wins, residuals merge,
+both-null means missing, per-file footer descriptors) — the column
+surfaces as ``STRING``; typed extraction then runs JVM-side
 (``variant_get(parse_json(col), '$.path', 'type')`` or
 ``get_json_object``). Canonical rendering, documented and pinned by
 ``tests/test_variant_spec_vectors.py``:
@@ -640,7 +642,20 @@ def shredded_variant_json_udf(descriptor: dict):
             raise ValueError(f"unknown shred leaf kind {kind!r}")
 
         def _null(x):
-            return x is None or (isinstance(x, float) and x != x)
+            # Scalar null test covering None, float NaN, pd.NaT and
+            # np.datetime64('NaT') — a top-level timestamp typed_value
+            # leaf arrives as a datetime64 series whose nulls are NaT
+            # (spec-legal foreign shredding); containers are never null.
+            if x is None:
+                return True
+            if isinstance(
+                x, (dict, list, tuple, bytes, bytearray, str)
+            ):
+                return False
+            try:
+                return bool(pd.isna(x))
+            except (TypeError, ValueError):
+                return False
 
         def node(names, d, val_b, tv):
             if d is not None and not _null(tv):

@@ -3028,11 +3028,49 @@ def maintain_iceberg_table(
         step = {"ran": not dry_run,
                 "reason": "registered statistics are stale"}
         if not dry_run:
-            step.update(
-                analyze_iceberg_table(
-                    spark, root, timestamp_ms=timestamp_ms + 4
-                )
+            # Refresh the SAME column set the operator's last ANALYZE
+            # chose (recovered from the registered blob metadata —
+            # `cloudfloe.column` property, else the single field id),
+            # not the widen-to-everything default; a deliberate subset
+            # stays a subset. A refresh that can no longer run (column
+            # dropped, analyzable set empty) reports a skipped step
+            # instead of failing the whole maintenance pass.
+            fid_names = im.schema_field_names(root)
+            prev_cols: list = []
+            entries = meta_now.get("statistics") or []
+            snap_ts = {
+                s.get("snapshot-id"): s.get("timestamp-ms", 0)
+                for s in meta_now.get("snapshots") or []
+            }
+            latest = max(
+                entries,
+                key=lambda e: snap_ts.get(e.get("snapshot-id"), -1),
             )
+            for b in latest.get("blob-metadata") or []:
+                c = (b.get("properties") or {}).get("cloudfloe.column")
+                if c is None:
+                    fids = b.get("fields") or []
+                    c = (
+                        fid_names.get(fids[0])
+                        if len(fids) == 1
+                        else None
+                    )
+                if c is not None and c not in prev_cols:
+                    prev_cols.append(c)
+            try:
+                step.update(
+                    analyze_iceberg_table(
+                        spark,
+                        root,
+                        timestamp_ms=timestamp_ms + 4,
+                        columns=prev_cols or None,
+                    )
+                )
+            except ValueError as exc:
+                step = {
+                    "ran": False,
+                    "reason": f"stats refresh not runnable: {exc}",
+                }
     else:
         step = {
             "ran": False,
@@ -3116,9 +3154,9 @@ def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
     Scale shape: pure METADATA work — one driver-side manifest walk
     (cached avro reads), one small parquet write; the table's data is
     never touched. Partition values are typed by each field's
-    transform result type where the stringified manifest form converts
-    cleanly (int-result transforms, numeric identities), else kept as
-    strings."""
+    transform result type: int for the int-result transforms, the
+    source column type for identity/truncate over int/long/date/string
+    sources; other source types keep a string fallback."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3132,25 +3170,54 @@ def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
     specs = im.partition_specs_by_id(root, metadata_path)
 
     # unified partition struct: every field across the spec log, typed
-    # by the transform result where convertible
+    # by the spec's transform RESULT type — int for the int-result
+    # transforms, the SOURCE column type for identity/truncate
+    # (int/long/date/string; other source types keep the string
+    # fallback) — so foreign readers of the file see ints and dates
+    # where the table's unified partition type puts them, not strings.
     int_result = ("bucket", "year", "month", "day", "hour")
+    src_typed = {"int": "int", "long": "long",
+                 "date": "date", "string": "string"}
     field_defs: dict[str, str] = {}
     for fields in specs.values():
         for f in fields:
             tr = str(f.get("transform", "identity"))
             kind = tr.split("[", 1)[0]
-            field_defs.setdefault(
-                f["field_name"], "int" if kind in int_result else "string"
-            )
+            if kind in int_result:
+                t = "int"
+            elif kind in ("identity", "truncate"):
+                t = src_typed.get(str(f.get("type")), "string")
+            else:
+                t = "string"
+            field_defs.setdefault(f["field_name"], t)
     fnames = sorted(field_defs)
 
     def _conv(name, v):
         if v is None:
             return None
-        if field_defs[name] == "int":
+        t = field_defs[name]
+        if t in ("int", "long"):
             try:
                 return int(v)
             except (TypeError, ValueError):
+                return None
+        if t == "date":
+            # avrolite surfaces date partition values as epoch days;
+            # tolerate ISO strings from older fixture manifests
+            if isinstance(v, int):
+                return v
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                pass
+            try:
+                import datetime as _dt
+
+                return (
+                    _dt.date.fromisoformat(str(v))
+                    - _dt.date(1970, 1, 1)
+                ).days
+            except ValueError:
                 return None
         return str(v)
 
@@ -3182,11 +3249,14 @@ def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
     keys = sorted(agg, key=lambda k: (tuple(map(str, k[0])), k[1]))
     part_cols = {}
     if fnames:
+        arrow_t = {
+            "int": pa.int32(),
+            "long": pa.int64(),
+            "date": pa.date32(),
+            "string": pa.string(),
+        }
         part_t = pa.struct(
-            [
-                (n, pa.int32() if field_defs[n] == "int" else pa.string())
-                for n in fnames
-            ]
+            [(n, arrow_t[field_defs[n]]) for n in fnames]
         )
         part_cols["partition"] = pa.array(
             [dict(zip(fnames, k[0])) for k in keys], part_t

@@ -188,7 +188,15 @@ def value_bytes(v, kind: str) -> "bytes | None":
 
             scale = int(kind.split(":", 1)[1]) if ":" in kind else 0
             v = int(_decimal.Decimal(v).scaleb(scale))
-        length = max(1, (v.bit_length() + 8) // 8)
+        # Minimal two's-complement length, matching Java
+        # BigInteger.toByteArray (Appendix D's reference): for v < 0
+        # the sign bit of the top byte carries the sign, so exact
+        # negative powers of two (-128, -32768, ...) need one byte
+        # FEWER than (bit_length + 8) // 8 would allocate.
+        if v >= 0:
+            length = v.bit_length() // 8 + 1
+        else:
+            length = (v + 1).bit_length() // 8 + 1
         return v.to_bytes(length, "big", signed=True)
     if kind == "binary":
         return bytes(v)
@@ -458,7 +466,13 @@ def build_partial_sketch_fn(
 
             scale = int(kind.split(":", 1)[1]) if ":" in kind else 0
             unscaled = int(_decimal.Decimal(v).scaleb(scale))
-            length = max(1, (unscaled.bit_length() + 8) // 8)
+            # Java BigInteger.toByteArray minimal signed length (see
+            # value_bytes): negative exact powers of two fit one byte
+            # tighter than the naive (bit_length + 8) // 8.
+            if unscaled >= 0:
+                length = unscaled.bit_length() // 8 + 1
+            else:
+                length = (unscaled + 1).bit_length() // 8 + 1
             return unscaled.to_bytes(length, "big", signed=True)
         return bytes(v)  # binary
 

@@ -229,3 +229,119 @@ def test_service_pass_refreshes_stale_statistics(spark, tmp_path):
     rep3 = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 7000)
     assert rep3["analyze_iceberg_table"]["ran"] is False
     assert rep3["compute_partition_stats"]["ran"] is False
+
+
+def test_service_stats_refresh_preserves_column_subset(spark, tmp_path):
+    """r13 (ADVICE r12): the stats-freshness step refreshes the SAME
+    column set the operator's last ANALYZE chose — a deliberate subset
+    must not silently widen to every analyzable column."""
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    root = str(tmp_path / "svc_subset")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})],
+        timestamp_ms=T1,
+    )
+    analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000, columns=["id"]
+    )
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 2000)
+    rep = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    assert rep["analyze_iceberg_table"]["ran"] is True
+    assert rep["analyze_iceberg_table"]["columns"] == ["id"]
+    meta = im.load_metadata(root)
+    cur = meta["current-snapshot-id"]
+    entry = [e for e in meta["statistics"] if e["snapshot-id"] == cur][0]
+    cols = {
+        b["properties"]["cloudfloe.column"]
+        for b in entry["blob-metadata"]
+    }
+    assert cols == {"id"}
+
+
+def test_service_stats_refresh_unrunnable_reports_skip(spark, tmp_path):
+    """r13 (ADVICE r12): when the previously-analyzed column no longer
+    exists, the freshness step reports {ran: False, reason} instead of
+    failing the whole maintenance pass."""
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    root = str(tmp_path / "svc_dropped")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2], "name": ["a", "b"]})], timestamp_ms=T1
+    )
+    analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000, columns=["id"]
+    )
+    # simulate the analyzed column disappearing from the schema: point
+    # the registered blob at a name (and field id) that no longer
+    # resolves, then go stale
+    meta = im.load_metadata(root)
+    blob = meta["statistics"][-1]["blob-metadata"][0]
+    blob["properties"]["cloudfloe.column"] = "gone"
+    blob["fields"] = [9999]
+    meta["last-updated-ms"] = T1 + 1500
+    write_next_metadata_version(root, meta)
+    delete_where(spark, root, "id = 2", timestamp_ms=T1 + 2000)
+    rep = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    step = rep["analyze_iceberg_table"]
+    assert step["ran"] is False
+    assert "not runnable" in step["reason"]
+
+
+def test_partition_stats_identity_fields_keep_source_types(tmp_path):
+    """r13 (ADVICE r12): identity partition fields in the written
+    partition-statistics struct carry the SOURCE column type (long →
+    int64, date → date32), not strings."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.maintenance import compute_partition_stats
+
+    root = str(tmp_path / "pstats_typed")
+    t = LocalIcebergTable(
+        root,
+        pa.schema(
+            [
+                ("id", pa.int64()),
+                ("day", pa.date32()),
+                ("v", pa.float64()),
+            ]
+        ),
+        partition_by=[("id", "identity"), ("day", "identity")],
+    )
+    d0 = dt.date(2024, 1, 1)
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [1, 1, 2],
+                    "day": [d0, d0, dt.date(2024, 3, 5)],
+                    "v": [0.5, 1.5, 2.5],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    res = compute_partition_stats(root, timestamp_ms=T1 + 1000)
+    tbl = pq.read_table(res["statistics_path"])
+    part_t = tbl.schema.field("partition").type
+    assert part_t.field("id").type == pa.int64()
+    assert part_t.field("day").type == pa.date32()
+    rows = sorted(
+        tbl.to_pylist(), key=lambda r: (r["partition"]["id"],
+                                        str(r["partition"]["day"]))
+    )
+    assert rows[0]["partition"] == {"id": 1, "day": d0}
+    assert rows[0]["data_record_count"] == 2
+    assert rows[1]["partition"] == {"id": 2, "day": dt.date(2024, 3, 5)}

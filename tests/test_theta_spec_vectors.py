@@ -95,6 +95,12 @@ def test_hash_value_is_h1_ushr_1():
         (123, "decimal", b"\x7b"),  # unscaled, minimal big-endian
         (-1, "decimal", b"\xff"),
         (128, "decimal", b"\x00\x80"),  # sign byte required
+        # negative exact powers of two: BigInteger.toByteArray packs
+        # -2^(8k-1) into k bytes (the sign bit IS the top payload bit)
+        (-128, "decimal", b"\x80"),
+        (-129, "decimal", b"\xff\x7f"),
+        (-32768, "decimal", b"\x80\x00"),
+        (-256, "decimal", b"\xff\x00"),
         (b"\x01\x02", "binary", b"\x01\x02"),
     ],
 )
@@ -328,6 +334,33 @@ def test_partial_fn_numpy_matches_scalar():
     assert nulls_s == 1
     assert hs_s == sorted(
         T.hash_value(T.value_bytes(s, "string")) for s in ("a", "b", "é")
+    )
+
+
+def test_partial_fn_decimal_matches_scalar_incl_neg_pow2():
+    import decimal
+
+    import pandas as pd
+
+    vals = [
+        decimal.Decimal("-1.28"),   # unscaled -128 = -2^7 → 1 byte
+        decimal.Decimal("1.28"),
+        decimal.Decimal("-327.68"),  # unscaled -32768 = -2^15 → 2 bytes
+        decimal.Decimal("0.00"),
+        decimal.Decimal("-0.01"),
+    ]
+    pdf = pd.DataFrame({"dec": vals})
+    out = _run_partial([("dec", "decimal:2")], pdf)
+    rows, nulls, theta, hs = out["dec"]
+    assert rows == len(vals) and nulls == 0 and theta == LONG_MAX
+    assert hs == sorted(
+        T.hash_value(T.value_bytes(v, "decimal:2")) for v in vals
+    )
+    # pin the conformant byte images through the driver-side path too
+    assert T.value_bytes(decimal.Decimal("-1.28"), "decimal:2") == b"\x80"
+    assert (
+        T.value_bytes(decimal.Decimal("-327.68"), "decimal:2")
+        == b"\x80\x00"
     )
 
 

@@ -486,3 +486,38 @@ def test_compaction_passthrough_on_unshredded_variant(spark, tmp_path):
     for p in im.live_data_paths(root, im.resolve_snapshot(root)):
         sch = pq.read_schema(p)
         assert pa.types.is_struct(sch.field("v").type)
+
+
+def test_shredded_us_timestamp_null_leaf_falls_to_residual(spark, tmp_path):
+    """r13 (ADVICE r12): a TOP-LEVEL µs-timestamp typed_value leaf
+    (spec-legal foreign shredding) reaches the UDF as a datetime64
+    series whose nulls are pd.NaT — a row whose datum lives in the
+    residual ``value`` must render the residual, never the string
+    "NaT"."""
+    root = str(tmp_path / "nat")
+    ts = datetime.datetime(2024, 5, 6, 7, 8, 9, 123456)
+    md0, _ = encode_variant(None)
+    md1, v1 = encode_variant("fallback")
+    col = pa.array(
+        [
+            {"metadata": md0, "value": None, "typed_value": ts},
+            {"metadata": md1, "value": v1, "typed_value": None},
+        ],
+        pa.struct(
+            [
+                ("metadata", pa.binary()),
+                ("value", pa.binary()),
+                ("typed_value", pa.timestamp("us")),
+            ]
+        ),
+    )
+    tbl = pa.table({"id": pa.array([0, 1], pa.int64()), "v": col})
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got == [
+        (0, '"2024-05-06 07:08:09.123456"'),
+        (1, '"fallback"'),
+    ]
