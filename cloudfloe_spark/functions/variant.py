@@ -325,168 +325,226 @@ def decode_variant_columns(df, cols: "list[str]"):
     return df
 
 
-# --- encoder (driver/fixture side) -------------------------------------------
+# --- encoder ------------------------------------------------------------------
+#
+# Like the decoder, the encode functions are built inside a factory so
+# a worker-side UDF (``json_variant_encode_udf``, the write half of
+# variant DML) ships them BY VALUE — module-level functions would
+# pickle by name and fail on Arrow workers that never import
+# ``cloudfloe_spark``. The driver/fixture surface (``encode_variant``)
+# wraps one shared instance.
 
 
-def _collect_keys(obj, keys: set) -> None:
-    if isinstance(obj, dict):
-        for k, v in obj.items():
-            if not isinstance(k, str):
-                raise TypeError("variant object keys must be strings")
-            keys.add(k)
-            _collect_keys(v, keys)
-    elif isinstance(obj, (list, tuple)):
-        for v in obj:
-            _collect_keys(v, keys)
+def _build_encoder():
+    """Factory for the self-contained encode function: Python object
+    tree → spec-conformant ``(metadata, value)`` bytes. Only stdlib
+    names are referenced (pickled by name); everything else is a
+    local."""
+    import datetime
+    import struct
+    import uuid as _uuidlib
+    from decimal import Decimal
+
+    def _collect_keys(obj, keys: set) -> None:
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                if not isinstance(k, str):
+                    raise TypeError("variant object keys must be strings")
+                keys.add(k)
+                _collect_keys(v, keys)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                _collect_keys(v, keys)
 
 
-def _min_bytes(n: int) -> int:
-    """Smallest 1..4-byte width that holds unsigned ``n``."""
-    for w in (1, 2, 3, 4):
-        if n < (1 << (8 * w)):
-            return w
-    raise ValueError(f"variant offset {n} exceeds 4 bytes")
+    def _min_bytes(n: int) -> int:
+        """Smallest 1..4-byte width that holds unsigned ``n``."""
+        for w in (1, 2, 3, 4):
+            if n < (1 << (8 * w)):
+                return w
+        raise ValueError(f"variant offset {n} exceeds 4 bytes")
 
 
-def _ule(n: int, w: int) -> bytes:
-    return int(n).to_bytes(w, "little", signed=False)
+    def _ule(n: int, w: int) -> bytes:
+        return int(n).to_bytes(w, "little", signed=False)
 
 
-def _encode_value(obj, fid: "dict[str, int]") -> bytes:
-    """Recursive value encoding (spec layout in the module docstring)."""
+    def _encode_value(obj, fid: "dict[str, int]") -> bytes:
+        """Recursive value encoding (spec layout in the module docstring)."""
 
-    def prim(tid: int, payload: bytes = b"") -> bytes:
-        return bytes([tid << 2]) + payload
+        def prim(tid: int, payload: bytes = b"") -> bytes:
+            return bytes([tid << 2]) + payload
 
-    if obj is None:
-        return prim(0)
-    if obj is True:
-        return prim(1)
-    if obj is False:
-        return prim(2)
-    if isinstance(obj, int):
-        for tid, w in ((3, 1), (4, 2), (5, 4), (6, 8)):
-            if -(1 << (8 * w - 1)) <= obj < (1 << (8 * w - 1)):
-                return prim(tid, obj.to_bytes(w, "little", signed=True))
-        raise ValueError(f"variant int {obj} exceeds int64")
-    if isinstance(obj, float):
-        return prim(7, struct.pack("<d", obj))
-    if isinstance(obj, Decimal):
-        sign, digits, exp = obj.as_tuple()
-        if exp > 0:  # normalize 1E+2 → scale-0 unscaled 100
-            obj = obj.quantize(Decimal(1))
+        if obj is None:
+            return prim(0)
+        if obj is True:
+            return prim(1)
+        if obj is False:
+            return prim(2)
+        if isinstance(obj, int):
+            for tid, w in ((3, 1), (4, 2), (5, 4), (6, 8)):
+                if -(1 << (8 * w - 1)) <= obj < (1 << (8 * w - 1)):
+                    return prim(tid, obj.to_bytes(w, "little", signed=True))
+            raise ValueError(f"variant int {obj} exceeds int64")
+        if isinstance(obj, float):
+            return prim(7, struct.pack("<d", obj))
+        if isinstance(obj, Decimal):
             sign, digits, exp = obj.as_tuple()
-        scale = -exp
-        if not 0 <= scale <= 255:
-            raise ValueError(f"variant decimal scale {scale} out of range")
-        unscaled = int(obj.scaleb(scale))
-        for tid, w in ((8, 4), (9, 8), (10, 16)):
-            if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
-                return prim(
-                    tid,
-                    bytes([scale])
-                    + unscaled.to_bytes(w, "little", signed=True),
-                )
-        raise ValueError("variant decimal exceeds decimal16")
-    if isinstance(obj, datetime.datetime):
-        if obj.tzinfo is not None:
+            if exp > 0:  # normalize 1E+2 → scale-0 unscaled 100
+                obj = obj.quantize(Decimal(1))
+                sign, digits, exp = obj.as_tuple()
+            scale = -exp
+            if not 0 <= scale <= 255:
+                raise ValueError(f"variant decimal scale {scale} out of range")
+            unscaled = int(obj.scaleb(scale))
+            for tid, w in ((8, 4), (9, 8), (10, 16)):
+                if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
+                    return prim(
+                        tid,
+                        bytes([scale])
+                        + unscaled.to_bytes(w, "little", signed=True),
+                    )
+            raise ValueError("variant decimal exceeds decimal16")
+        if isinstance(obj, datetime.datetime):
+            if obj.tzinfo is not None:
+                us = (
+                    obj - datetime.datetime(
+                        1970, 1, 1, tzinfo=datetime.timezone.utc
+                    )
+                ) // datetime.timedelta(microseconds=1)
+                return prim(12, us.to_bytes(8, "little", signed=True))
             us = (
-                obj - datetime.datetime(
-                    1970, 1, 1, tzinfo=datetime.timezone.utc
-                )
+                obj - datetime.datetime(1970, 1, 1)
             ) // datetime.timedelta(microseconds=1)
-            return prim(12, us.to_bytes(8, "little", signed=True))
-        us = (
-            obj - datetime.datetime(1970, 1, 1)
-        ) // datetime.timedelta(microseconds=1)
-        return prim(13, us.to_bytes(8, "little", signed=True))
-    if isinstance(obj, datetime.date):
-        days = (obj - datetime.date(1970, 1, 1)).days
-        return prim(11, days.to_bytes(4, "little", signed=True))
-    if isinstance(obj, datetime.time):
-        us = (
-            obj.hour * 3600 + obj.minute * 60 + obj.second
-        ) * 1_000_000 + obj.microsecond
-        return prim(17, us.to_bytes(8, "little", signed=True))
-    if isinstance(obj, _uuidlib.UUID):
-        return prim(20, obj.bytes)  # spec: big-endian field order
-    if isinstance(obj, (bytes, bytearray)):
-        return prim(15, _ule(len(obj), 4) + bytes(obj))
-    if isinstance(obj, str):
-        raw = obj.encode("utf-8")
-        if len(raw) < 64:
-            return bytes([(len(raw) << 2) | 1]) + raw
-        return prim(16, _ule(len(raw), 4) + raw)
-    if isinstance(obj, dict):
-        items = sorted(obj.items(), key=lambda kv: kv[0])
-        vals = [_encode_value(v, fid) for _, v in items]
-        offs, total = [], 0
-        for v in vals:
+            return prim(13, us.to_bytes(8, "little", signed=True))
+        if isinstance(obj, datetime.date):
+            days = (obj - datetime.date(1970, 1, 1)).days
+            return prim(11, days.to_bytes(4, "little", signed=True))
+        if isinstance(obj, datetime.time):
+            us = (
+                obj.hour * 3600 + obj.minute * 60 + obj.second
+            ) * 1_000_000 + obj.microsecond
+            return prim(17, us.to_bytes(8, "little", signed=True))
+        if isinstance(obj, _uuidlib.UUID):
+            return prim(20, obj.bytes)  # spec: big-endian field order
+        if isinstance(obj, (bytes, bytearray)):
+            return prim(15, _ule(len(obj), 4) + bytes(obj))
+        if isinstance(obj, str):
+            raw = obj.encode("utf-8")
+            if len(raw) < 64:
+                return bytes([(len(raw) << 2) | 1]) + raw
+            return prim(16, _ule(len(raw), 4) + raw)
+        if isinstance(obj, dict):
+            items = sorted(obj.items(), key=lambda kv: kv[0])
+            vals = [_encode_value(v, fid) for _, v in items]
+            offs, total = [], 0
+            for v in vals:
+                offs.append(total)
+                total += len(v)
             offs.append(total)
-            total += len(v)
-        offs.append(total)
-        n = len(items)
-        fids = [fid[k] for k, _ in items]
-        fid_sz = _min_bytes(max(fids) if fids else 0)
-        fo_sz = _min_bytes(total)
-        large = n > 255
-        hdr = (int(large) << 4) | ((fid_sz - 1) << 2) | (fo_sz - 1)
-        out = bytearray([(hdr << 2) | 2])
-        out += _ule(n, 4 if large else 1)
-        for f in fids:
-            out += _ule(f, fid_sz)
-        for o in offs:
-            out += _ule(o, fo_sz)
-        for v in vals:
-            out += v
-        return bytes(out)
-    if isinstance(obj, (list, tuple)):
-        vals = [_encode_value(v, fid) for v in obj]
-        offs, total = [], 0
-        for v in vals:
+            n = len(items)
+            fids = [fid[k] for k, _ in items]
+            fid_sz = _min_bytes(max(fids) if fids else 0)
+            fo_sz = _min_bytes(total)
+            large = n > 255
+            hdr = (int(large) << 4) | ((fid_sz - 1) << 2) | (fo_sz - 1)
+            out = bytearray([(hdr << 2) | 2])
+            out += _ule(n, 4 if large else 1)
+            for f in fids:
+                out += _ule(f, fid_sz)
+            for o in offs:
+                out += _ule(o, fo_sz)
+            for v in vals:
+                out += v
+            return bytes(out)
+        if isinstance(obj, (list, tuple)):
+            vals = [_encode_value(v, fid) for v in obj]
+            offs, total = [], 0
+            for v in vals:
+                offs.append(total)
+                total += len(v)
             offs.append(total)
-            total += len(v)
+            n = len(vals)
+            fo_sz = _min_bytes(total)
+            large = n > 255
+            hdr = (int(large) << 2) | (fo_sz - 1)
+            out = bytearray([(hdr << 2) | 3])
+            out += _ule(n, 4 if large else 1)
+            for o in offs:
+                out += _ule(o, fo_sz)
+            for v in vals:
+                out += v
+            return bytes(out)
+        raise TypeError(f"cannot encode {type(obj).__name__} as variant")
+
+
+    def encode_variant(obj) -> "tuple[bytes, bytes]":
+        """Python object tree → spec-conformant ``(metadata, value)`` bytes.
+        The metadata dictionary holds every object key in the tree, sorted
+        (``sorted_strings`` set). Supported leaves: None, bool, int (→
+        smallest intN), float (→ double), str, bytes, Decimal, date,
+        datetime (tz-aware → timestamptz-micros, naive → ntz), time, UUID;
+        dict/list nest."""
+        keys: set = set()
+        _collect_keys(obj, keys)
+        names = sorted(keys, key=lambda s: s.encode("utf-8"))
+        fid = {k: i for i, k in enumerate(names)}
+        raw = [k.encode("utf-8") for k in names]
+        offs, total = [], 0
+        for r in raw:
+            offs.append(total)
+            total += len(r)
         offs.append(total)
-        n = len(vals)
-        fo_sz = _min_bytes(total)
-        large = n > 255
-        hdr = (int(large) << 2) | (fo_sz - 1)
-        out = bytearray([(hdr << 2) | 3])
-        out += _ule(n, 4 if large else 1)
+        osz = _min_bytes(max(total, len(names)))
+        md = bytearray([0x01 | (1 << 4) | ((osz - 1) << 6)])
+        md += _ule(len(names), osz)
         for o in offs:
-            out += _ule(o, fo_sz)
-        for v in vals:
-            out += v
-        return bytes(out)
-    raise TypeError(f"cannot encode {type(obj).__name__} as variant")
+            md += _ule(o, osz)
+        for r in raw:
+            md += r
+        return bytes(md), _encode_value(obj, fid)
+
+    return encode_variant, _encode_value
 
 
-def encode_variant(obj) -> "tuple[bytes, bytes]":
-    """Python object tree → spec-conformant ``(metadata, value)`` bytes.
-    The metadata dictionary holds every object key in the tree, sorted
-    (``sorted_strings`` set). Supported leaves: None, bool, int (→
-    smallest intN), float (→ double), str, bytes, Decimal, date,
-    datetime (tz-aware → timestamptz-micros, naive → ntz), time, UUID;
-    dict/list nest."""
-    keys: set = set()
-    _collect_keys(obj, keys)
-    names = sorted(keys, key=lambda s: s.encode("utf-8"))
-    fid = {k: i for i, k in enumerate(names)}
-    raw = [k.encode("utf-8") for k in names]
-    offs, total = [], 0
-    for r in raw:
-        offs.append(total)
-        total += len(r)
-    offs.append(total)
-    osz = _min_bytes(max(total, len(names)))
-    md = bytearray([0x01 | (1 << 4) | ((osz - 1) << 6)])
-    md += _ule(len(names), osz)
-    for o in offs:
-        md += _ule(o, osz)
-    for r in raw:
-        md += r
-    return bytes(md), _encode_value(obj, fid)
+#: shared driver-side instances — fixtures, changelog builders, the
+#: shredding test writer and the golden-vector tests call these; UDF
+#: factories call ``_build_encoder()`` themselves so the closure ships
+#: by value.
+encode_variant, _encode_value = _build_encoder()
 
+
+def json_variant_encode_udf():
+    """Arrow-batched pandas UDF: canonical/user JSON text column →
+    physical ``struct<metadata binary, value binary>`` — the write half
+    of variant DML (r13, VERDICT r12 #1). Parsing uses
+    ``parse_float=Decimal`` so fractional literals round-trip digit-
+    exact through the decimal primitive ids ("2.50" stays "2.50" on
+    re-read, never a double's shortest form); ints stay ints. A SQL
+    NULL input row yields a NULL struct (SQL-null variant)."""
+    from pyspark.sql.functions import pandas_udf
+
+    encode, _ = _build_encoder()
+
+    def _conv(s):
+        import json
+        from decimal import Decimal as _Dec
+
+        import pandas as pd
+
+        mds, vals = [], []
+        for txt in s:
+            if txt is None or (isinstance(txt, float) and txt != txt):
+                mds.append(None)
+                vals.append(None)
+                continue
+            obj = json.loads(txt, parse_float=_Dec)
+            md, val = encode(obj)
+            mds.append(md)
+            vals.append(val)
+        return pd.DataFrame({"metadata": mds, "value": vals})
+
+    return pandas_udf(_conv, "metadata BINARY, value BINARY")
 
 
 # --- shredded reads (r12): typed_value reassembly -----------------------------

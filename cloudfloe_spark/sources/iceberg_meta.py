@@ -1022,10 +1022,11 @@ def _iceberg_type_to_ddl(
             if variant_as == "string":
                 return "STRING"
             raise IcebergMetadataError(
-                "variant column is only readable through the batch "
-                "iceberg_scan and changelog (iceberg_changes / "
-                "iceberg_cdc) paths — DML and streaming over variant "
-                "tables are not supported"
+                "variant column is supported by the batch iceberg_scan, "
+                "changelog (iceberg_changes / iceberg_cdc), streaming "
+                "READ, and row-level DELETE/UPDATE paths — this "
+                "consumer (merge / streaming writes) does not support "
+                "variant tables yet"
             )
         if t in _NS_TYPES:
             if ns_as == "physical":
@@ -1033,11 +1034,12 @@ def _iceberg_type_to_ddl(
             if ns_as == "timestamp":
                 return "TIMESTAMP"
             raise IcebergMetadataError(
-                f"{t} column is only readable through the batch "
-                "iceberg_scan and changelog (iceberg_changes / "
-                "iceberg_cdc) paths (truncated to microsecond "
-                "TIMESTAMP) — DML and streaming over "
-                "nanosecond-timestamp tables are not supported"
+                f"{t} column is supported by the batch iceberg_scan, "
+                "changelog (iceberg_changes / iceberg_cdc), streaming "
+                "READ (truncated to microsecond TIMESTAMP), and "
+                "row-level DELETE/UPDATE paths — this consumer (merge "
+                "/ streaming writes) does not support "
+                "nanosecond-timestamp tables yet"
             )
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]

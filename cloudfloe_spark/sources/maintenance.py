@@ -855,6 +855,7 @@ def _mor_raw_scan(
     metadata_path=None,
     extra_footer_cols: "list[str] | None" = None,
     variant_as: "str | None" = None,
+    ns_as: "str | None" = None,
 ):
     """Per-file scan for DML with the snapshot's row-level deletes applied
     — without this, a DML pass over a table that already carries delete
@@ -920,7 +921,7 @@ def _mor_raw_scan(
     )
 
     groups = im.scan_groups(
-        root, paths, metadata_path, variant_as=variant_as
+        root, paths, metadata_path, variant_as=variant_as, ns_as=ns_as
     )
     parts = []
     for gpaths, renames, read_ddl, default_fills in groups:
@@ -961,6 +962,133 @@ def _mor_raw_scan(
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+#: prefix for the preserved PHYSICAL form of a v3 variant / ns column on
+#: a DML scan — untouched rows pass these bytes through verbatim
+_PHYS = "__cf_phys_"
+
+
+def _dml_v3_cols(
+    root, meta_path, paths: list, op: str
+) -> "tuple[list[str], list[str]]":
+    """v3 variant / ns-timestamp column resolution + guards for a DML
+    pass (r13, VERDICT r12 #1/#5): returns ``(variant_cols, ns_cols)``
+    of the CURRENT schema so the caller can scan the physical layouts
+    (``variant_as="physical"``, ``ns_as="physical"``) and decorate the
+    engine surface for predicate evaluation. SHREDDED variant files
+    refuse precisely — position deletes never touch the variant bytes,
+    but an UPDATE/COW rewrite would have to re-encode typed_value
+    trees; normalize with ``compact_iceberg_table`` first. Files at the
+    wrong ns physical precision refuse exactly like the read path."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root, meta_path)
+    variant_cols = im.variant_columns(meta)
+    ns_cols = im.ns_timestamp_columns(meta)
+    if not variant_cols and not ns_cols:
+        return [], []
+    hist = im.schema_name_history(root, meta_path)
+    if variant_cols and paths:
+        _plain, shred, verr = im.variant_shred_groups(
+            paths, variant_cols, name_history=hist
+        )
+        if verr:
+            raise ValueError(
+                f"{op}: variant read failed: "
+                + "; ".join(sorted(set(verr)))
+            )
+        if shred:
+            raise ValueError(
+                f"{op}: the table carries SHREDDED variant files — "
+                "DML over the shredded layout is not supported; "
+                "compact_iceberg_table normalizes it to the unshredded "
+                "form first"
+            )
+    if ns_cols and paths:
+        nerr = im.ns_precision_errors(paths, ns_cols, name_history=hist)
+        if nerr:
+            raise ValueError(
+                f"{op}: timestamp_ns read failed: "
+                + "; ".join(sorted(set(nerr)))
+            )
+    return variant_cols, ns_cols
+
+
+def _decorate_dml_surface(df, variant_cols: list, ns_cols: list):
+    """Physical scan → the engine's query surface for DML predicate and
+    assignment evaluation: variant structs decode to canonical-JSON
+    STRINGs, ns longs truncate to µs TIMESTAMPs — exactly what the
+    batch scan exposes, so a DELETE predicate means the same thing in
+    both places. The physical forms stay aboard as ``__cf_phys_<col>``
+    so rewrites pass untouched rows through byte-verbatim (Catalyst
+    prunes the decode UDF when the predicate never references the
+    column)."""
+    from pyspark.sql import functions as F
+
+    for c in list(variant_cols) + list(ns_cols):
+        if c in df.columns:
+            df = df.withColumn(_PHYS + c, F.col(c))
+    present_v = [c for c in variant_cols if c in df.columns]
+    if present_v:
+        from cloudfloe_spark.functions.variant import (
+            decode_variant_columns,
+        )
+
+        df = decode_variant_columns(df, present_v)
+    for c in ns_cols:
+        if c in df.columns:
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            )
+    return df
+
+
+def _dml_out_col(c, assignments, cond, df_surface, variant_cols, ns_cols):
+    """The written form of column ``c`` for a DML rewrite: plain columns
+    keep today's when(cond, expr).otherwise(old) shape; v3 variant / ns
+    columns write their PHYSICAL form — untouched rows verbatim from
+    ``__cf_phys_<col>``, assigned rows re-encoded (JSON text → spec
+    binary via ``json_variant_encode_udf``; timestamps → ns longs at
+    µs·1000, the finest precision a Spark expression can carry).
+    ``cond=None`` means every selected row is assigned (the MOR-update
+    shape)."""
+    from pyspark.sql import functions as F
+
+    if c in variant_cols:
+        phys = F.col(_PHYS + c)
+        if assignments and c in assignments:
+            from cloudfloe_spark.functions.variant import (
+                json_variant_encode_udf,
+            )
+
+            enc = json_variant_encode_udf()(
+                F.expr(assignments[c]).cast("string")
+            )
+            new = enc if cond is None else F.when(cond, enc).otherwise(phys)
+            return new.alias(c)
+        return phys.alias(c)
+    if c in ns_cols:
+        phys = F.col(_PHYS + c)
+        if assignments and c in assignments:
+            ns_val = (
+                F.unix_micros(
+                    F.expr(assignments[c]).cast("timestamp")
+                )
+                * F.lit(1000).cast("bigint")
+            )
+            new = (
+                ns_val
+                if cond is None
+                else F.when(cond, ns_val).otherwise(phys)
+            )
+            return new.alias(c)
+        return phys.alias(c)
+    if assignments and c in assignments:
+        expr = F.expr(assignments[c]).cast(df_surface.schema[c].dataType)
+        new = expr if cond is None else F.when(cond, expr).otherwise(F.col(c))
+        return new.alias(c)
+    return F.col(c)
 
 
 def _with_source_row_ids(
@@ -1078,15 +1206,26 @@ def row_lineage_scan(
             "row_lineage_scan: data file(s) carry neither a manifest "
             f"first_row_id nor a materialized _row_id column: {holes}"
         )
-    df = _mor_raw_scan(
-        spark, root, snap, paths,
-        metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
+    # v3 variant / ns columns (r13): the lineage read surfaces the same
+    # decoded forms the batch scan does (canonical JSON / µs TIMESTAMP)
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, paths, "row_lineage_scan"
+    )
+    df = _decorate_dml_surface(
+        _mor_raw_scan(
+            spark, root, snap, paths,
+            metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
+            variant_as="physical" if variant_cols else None,
+            ns_as="physical" if ns_cols else None,
+        ),
+        variant_cols, ns_cols,
     )
     df = _with_source_row_ids(spark, root, snap, df, with_seq=True)
     out_cols = [
         c
         for c in df.columns
         if c not in (_FP, _POS, "_row_id", _SEQ)
+        and not c.startswith(_PHYS)
         and c not in _RID_HELPER_COLS
     ]
     return df.select(
@@ -1232,9 +1371,83 @@ def _collect_partitioned_files(
     return out
 
 
+def _ns_tz_map(root, meta_path, ns_cols: list) -> dict:
+    """``col → is_timestamptz_ns`` for the table's ns columns — what the
+    arrow write needs to stamp the spec's physical logical type."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    meta = im.load_metadata(root, meta_path)
+    sch = im._schema_for(meta)
+    return {
+        f["name"]: f.get("type") == "timestamptz_ns"
+        for f in sch.get("fields", [])
+        if f.get("name") in ns_cols
+    }
+
+
+def _write_data_files_arrow_ns(
+    spark, df, n_rows, rows_per_file, out_dir: str, ns_tz: dict
+) -> list:
+    """Distributed data-file write for tables with NANOSECOND timestamp
+    columns (r13, VERDICT r12 #5): Spark's parquet writer cannot emit
+    ns logical types, so each output partition converts its rows to
+    Arrow under the Spark schema (ns columns aboard as raw BIGINT
+    longs), casts the ns columns to ``timestamp[ns]`` (tz per the
+    Iceberg type), and writes the parquet file with pyarrow ON THE
+    EXECUTOR — one file per partition, the same distribution shape as
+    the plain sized write. The driver collects only ``(path, count)``
+    per file. Partition fanout is skipped on this path (sound: the new
+    files carry no partition tuple and are simply never pruned)."""
+    import pandas as _pd  # noqa: F401 — mapInPandas contract
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    target = to_arrow_schema(df.schema)
+    n_out = (
+        max(1, -(-n_rows // rows_per_file)) if n_rows is not None else None
+    )
+    w = df.repartition(n_out) if n_out else df
+
+    def _write_part(batches):
+        import os as _os
+        import uuid as _uuid_w
+
+        import pandas as pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tables = [
+            _pa.Table.from_pandas(
+                pdf, schema=target, preserve_index=False
+            )
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not tables:
+            return
+        tbl = _pa.concat_tables(tables)
+        for c, tz in ns_tz.items():
+            i = tbl.schema.get_field_index(c)
+            t = _pa.timestamp("ns", tz="UTC") if tz else _pa.timestamp("ns")
+            tbl = tbl.set_column(
+                i, _pa.field(c, t), tbl.column(c).cast(t)
+            )
+        path = _os.path.join(
+            out_dir, f"part-{_uuid_w.uuid4().hex}.parquet"
+        )
+        _pq.write_table(tbl, path)
+        yield pd.DataFrame({"path": [path], "count": [tbl.num_rows]})
+
+    rows = w.mapInPandas(
+        _write_part, "path STRING, count BIGINT"
+    ).collect()
+    return sorted((r["path"], int(r["count"])) for r in rows)
+
+
 def _write_data_files(
     spark, root: str, meta_path, df, n_rows, rows_per_file,
     out_dir: str, mode: str = "errorifexists",
+    ns_tz: "dict | None" = None,
 ) -> list:
     """Write a DML/apply data batch as commit-ready files, PARTITION-AWARE
     (r8): when the table's default spec has fields and every transform is
@@ -1260,6 +1473,12 @@ def _write_data_files(
 
     from cloudfloe_spark.sources import iceberg_meta as im
 
+    if ns_tz:
+        # ns tables take the Arrow executor-write path (Spark's writer
+        # would demote the ns logical type); partition fanout skipped
+        return _write_data_files_arrow_ns(
+            spark, df, n_rows, rows_per_file, out_dir, ns_tz
+        )
     fields = im.partition_spec_fields(root, meta_path)
     exprs = []
     if fields:
@@ -1420,14 +1639,26 @@ def _cow_dml(
         im.load_metadata(root, meta_path).get("next-row-id") is not None
     )
     extra = ["_row_id", _SEQ] if lineage else None
-    df = _mor_raw_scan(
-        spark, root, snap, paths,
-        metadata_path=meta_path, extra_footer_cols=extra,
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, paths,
+        "update_where" if assignments else "delete_where",
+    )
+    _vas = "physical" if variant_cols else None
+    _nas = "physical" if ns_cols else None
+    df = _decorate_dml_surface(
+        _mor_raw_scan(
+            spark, root, snap, paths,
+            metadata_path=meta_path, extra_footer_cols=extra,
+            variant_as=_vas, ns_as=_nas,
+        ),
+        variant_cols, ns_cols,
     )
     data_cols = [
         c
         for c in df.columns
-        if c not in (_FP, _POS) and not (lineage and c in ("_row_id", _SEQ))
+        if c not in (_FP, _POS)
+        and not c.startswith(_PHYS)
+        and not (lineage and c in ("_row_id", _SEQ))
     ]
     if assignments:
         bad = sorted(set(assignments) - set(data_cols))
@@ -1454,26 +1685,19 @@ def _cow_dml(
     if total_affected is not None:
         n_out = total_affected - (n if assignments is None else 0)
 
-    df2 = _mor_raw_scan(
-        spark, root, snap, affected,
-        metadata_path=meta_path, extra_footer_cols=extra,
+    df2 = _decorate_dml_surface(
+        _mor_raw_scan(
+            spark, root, snap, affected,
+            metadata_path=meta_path, extra_footer_cols=extra,
+            variant_as=_vas, ns_as=_nas,
+        ),
+        variant_cols, ns_cols,
     )
     cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
-    out_cols = (
-        [F.col(c) for c in data_cols]
-        if assignments is None
-        else [
-            F.when(
-                cond,
-                F.expr(assignments[c]).cast(df2.schema[c].dataType),
-            )
-            .otherwise(F.col(c))
-            .alias(c)
-            if c in assignments
-            else F.col(c)
-            for c in data_cols
-        ]
-    )
+    out_cols = [
+        _dml_out_col(c, assignments, cond, df2, variant_cols, ns_cols)
+        for c in data_cols
+    ]
     if lineage:
         # v3 row lineage (r11): a COW rewrite is a PHYSICAL move for the
         # unmatched co-located rows and a carried-id update for the
@@ -1504,6 +1728,7 @@ def _cow_dml(
     )
     new_files = _write_data_files(
         spark, root, meta_path, rewritten, n_out, rows_per_file, out_dir,
+        ns_tz=_ns_tz_map(root, meta_path, ns_cols) if ns_cols else None,
     )
     snap_id = _commit_with_rebase(
         root, "cow_dml",
@@ -1565,6 +1790,15 @@ def delete_where(
     ``mode="copy-on-write"`` (r8) rewrites the affected data files
     instead of committing delete files — see :func:`_cow_dml` for the
     trade-off and scale shape.
+
+    v3 variant / ns-timestamp tables (r13, VERDICT r12 #1/#5): the
+    condition evaluates on the engine's read surface (canonical-JSON
+    STRING / µs TIMESTAMP); position deletes and DVs never touch the
+    variant bytes or ns longs, and COW rewrites pass untouched rows
+    through PHYSICALLY (variant structs verbatim; ns files rewritten
+    by pyarrow on the executors so the nanosecond logical type — and
+    every sub-µs digit — survives). SHREDDED variant files refuse
+    precisely (compaction normalizes the layout first).
     """
     from pyspark.sql import functions as F
 
@@ -1600,8 +1834,22 @@ def delete_where(
         )
     fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
 
+    # v3 variant / ns tables (r13): a MOR DELETE never touches the
+    # variant bytes or ns longs — the scan reads the physical layouts,
+    # the predicate evaluates on the decoded surface, and only
+    # (file_path, pos) coordinates are written
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, paths, "delete_where"
+    )
     matches = (
-        _mor_raw_scan(spark, root, snap, paths, metadata_path=meta_path)
+        _decorate_dml_surface(
+            _mor_raw_scan(
+                spark, root, snap, paths, metadata_path=meta_path,
+                variant_as="physical" if variant_cols else None,
+                ns_as="physical" if ns_cols else None,
+            ),
+            variant_cols, ns_cols,
+        )
         .filter(condition)
         .select(
             F.col(_FP).alias("file_path"),
@@ -1729,6 +1977,15 @@ def update_where(
 
     ``mode="copy-on-write"`` (r8) rewrites the affected data files in
     place of the delete+re-append row delta — see :func:`_cow_dml`.
+
+    v3 variant / ns-timestamp tables (r13): assignments and the
+    condition evaluate on the engine's read surface; a SET on a
+    variant column takes JSON text and re-encodes it to spec binary
+    (fractional literals parse as decimals, digit-exact on re-read); a
+    SET on an ns column carries µs precision (the finest a Spark
+    expression expresses, ×1000 to the stored long). UNTOUCHED rows
+    pass through physically — variant bytes verbatim, ns longs exact.
+    Shredded variant files refuse precisely.
     """
     from pyspark.sql import functions as F
 
@@ -1763,14 +2020,24 @@ def update_where(
     fv = int(meta_now.get("format-version") or 1)
     lineage = meta_now.get("next-row-id") is not None
 
-    df = _mor_raw_scan(
-        spark, root, snap, paths, metadata_path=meta_path,
-        extra_footer_cols=["_row_id"] if lineage else None,
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, paths, "update_where"
+    )
+    df = _decorate_dml_surface(
+        _mor_raw_scan(
+            spark, root, snap, paths, metadata_path=meta_path,
+            extra_footer_cols=["_row_id"] if lineage else None,
+            variant_as="physical" if variant_cols else None,
+            ns_as="physical" if ns_cols else None,
+        ),
+        variant_cols, ns_cols,
     )
     data_cols = [
         c
         for c in df.columns
-        if c not in (_FP, _POS) and not (lineage and c == "_row_id")
+        if c not in (_FP, _POS)
+        and not c.startswith(_PHYS)
+        and not (lineage and c == "_row_id")
     ]
     bad = sorted(set(assignments) - set(data_cols))
     if bad:
@@ -1822,9 +2089,7 @@ def update_where(
             root, "data", f"update-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
         )
         out_cols = [
-            F.expr(assignments[c]).cast(df.schema[c].dataType).alias(c)
-            if c in assignments
-            else F.col(c)
+            _dml_out_col(c, assignments, None, df, variant_cols, ns_cols)
             for c in data_cols
         ]
         src = matches
@@ -1840,6 +2105,7 @@ def update_where(
         new_files = _write_data_files(
             spark, root, meta_path, rewritten, n, rows_per_delete_file,
             upd_dir,
+            ns_tz=_ns_tz_map(root, meta_path, ns_cols) if ns_cols else None,
         )
     finally:
         matches.unpersist()

@@ -181,10 +181,11 @@ def test_ns_deletes_compose(spark, ns_table):
     assert [r[0] for r in got] == [2, 3, 4, 5]
 
 
-def test_ns_changelog_surfaces_and_dml_rejects(spark, ns_table):
+def test_ns_changelog_surfaces_and_dml_works(spark, ns_table):
     """r12 (late): the changelog surfaces convert ns to the µs
-    TIMESTAMP surface (netting runs on the raw longs — exact); DML over
-    ns tables keeps its precise rejection."""
+    TIMESTAMP surface (netting runs on the raw longs — exact). r13:
+    DML over ns tables works (dedicated coverage in
+    tests/test_variant_dml.py)."""
     root, t = ns_table
     s0 = im.resolve_snapshot(root)["snapshot-id"]
     t.append_snapshot(
@@ -214,10 +215,10 @@ def test_ns_changelog_surfaces_and_dml_rejects(spark, ns_table):
     assert chg == [(9, "2023-11-14T22:13:20.123456")]
     from cloudfloe_spark.sources.maintenance import delete_where
 
-    with pytest.raises(
-        im.IcebergMetadataError, match="DML and streaming"
-    ):
-        delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    r = delete_where(spark, root, "id = 1", timestamp_ms=T1 + 2000)
+    assert r["matched"] == 1
+    got = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert all(row[0] != 1 for row in got)
 
 
 def test_ns_mixed_precision_file_rejects(spark, tmp_path):
