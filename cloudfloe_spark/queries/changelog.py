@@ -3177,3 +3177,222 @@ def iceberg_cdc_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type "
         f"FROM iceberg_cdc('{root}', {s0}, {cur})",
     )
+
+
+@register(
+    "iceberg_variant_dml_scan",
+    oracle="""
+        WITH alive AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (n_chars % 9 = 0)
+        )
+        SELECT CASE WHEN doc_id % 7 = 3 THEN doc_id + 1000000
+                    ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                   '{"chars":' || CAST(n_chars * 2 AS VARCHAR)
+                   || ',"lang":"' || lang || '","patched":true}'
+               ELSE
+                   '{"chars":' || CAST(n_chars AS VARCHAR)
+                   || ',"lang":"' || lang || '"}'
+               END AS payload
+        FROM alive
+    """,
+    tags=("iceberg", "v3", "variant", "dml"),
+)
+def iceberg_variant_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML over an UNSHREDDED variant table driver-checked
+    (r13, VERDICT r12 #1): a MOR DELETE whose predicate reads the
+    variant surface (``chars % 9 = 0``), a MOR UPDATE that re-encodes
+    the variant column from JSON text (docs with ``doc_id % 5 = 0``
+    double their chars and gain a flag), and a COW UPDATE on a plain
+    column (``doc_id % 7 = 3`` shifts the id) whose rewrite passes the
+    variant bytes through verbatim. The oracle rebuilds the exact
+    canonical-JSON surface in SQL — a drift in the encoder, the
+    decoder, the netting of deletes, or the passthrough breaks the
+    value hash.
+
+    Scale shape: the DELETE writes only DVs (coordinates, never variant
+    bytes); the UPDATE's rewrite is sized by the match count; the COW
+    pass rewrites only the affected files with the struct intact —
+    exactly the 100-TB GDPR-delete shape (`sources/maintenance.py`
+    ``_dml_v3_cols`` / ``_dml_out_col``)."""
+    from cloudfloe_spark.functions.variant import encode_variant
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"vardml{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_vardml", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+        col = pa.array(
+            [
+                dict(
+                    zip(
+                        ("metadata", "value"),
+                        encode_variant(
+                            {"lang": r["lang"], "chars": r["n_chars"]}
+                        ),
+                    )
+                )
+                for r in rows
+            ],
+            vt,
+        )
+        data = pa.table(
+            {
+                "doc_id": pa.array(
+                    [r["doc_id"] for r in rows], pa.int64()
+                ),
+                "payload": col,
+            }
+        )
+        t = LocalIcebergTable(root, data.schema, variant_cols=("payload",))
+        t.append_snapshot([data], timestamp_ms=_T0)
+        delete_where(
+            spark, root,
+            "CAST(get_json_object(payload, '$.chars') AS BIGINT) % 9 = 0",
+            timestamp_ms=_T0 + 1000,
+        )
+        update_where(
+            spark, root, "doc_id % 5 = 0",
+            {
+                "payload": (
+                    "to_json(named_struct("
+                    "'chars', CAST(get_json_object(payload, '$.chars')"
+                    " AS BIGINT) * 2, "
+                    "'lang', get_json_object(payload, '$.lang'), "
+                    "'patched', true))"
+                )
+            },
+            timestamp_ms=_T0 + 2000,
+        )
+        update_where(
+            spark, root, "doc_id % 7 = 3",
+            {"doc_id": "doc_id + 1000000"},
+            timestamp_ms=_T0 + 3000, mode="copy-on-write",
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, payload FROM iceberg_scan('{root}')",
+    )
+
+
+@register(
+    "iceberg_ns_dml_scan",
+    oracle="""
+        WITH alive AS (
+            SELECT event_id, ts, event_type FROM events
+            WHERE NOT (event_id % 9 = 0)
+        ),
+        upd AS (
+            SELECT CASE WHEN event_id % 11 = 0
+                        THEN event_id + 10000000
+                        ELSE event_id END AS event_id,
+                   ts, event_type
+            FROM alive
+        )
+        SELECT event_type,
+               date_trunc('hour', ts) AS hr,
+               count(*) AS n,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM upd
+        GROUP BY event_type, hr
+    """,
+    tags=("iceberg", "v3", "timestamp-ns", "dml"),
+)
+def iceberg_ns_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML over a NANOSECOND-timestamp table driver-checked
+    (r13, VERDICT r12 #5): the fixture re-encodes events at ns
+    precision with a sub-µs residue (``ts·1000 + event_id % 1000``),
+    then a MOR DELETE and a MOR UPDATE (id shift) land; the scan's
+    µs-truncating surface must reproduce the ORIGINAL µs values for
+    every surviving row — possible only if the rewrite carried the raw
+    ns longs physically (a µs-routed write would have zeroed residues
+    AND shifted nothing, a 1000× misscale breaks every group).
+
+    Scale shape: the DELETE writes DVs only; the UPDATE's rewritten
+    rows are written by pyarrow on the executors so the files keep the
+    ns logical type (``_write_data_files_arrow_ns``)."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(
+        f"nsdml{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_nsdml", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type"],
+        ).sort_by("event_id")
+        us = tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        residue = pc.subtract(
+            tbl["event_id"],
+            pc.multiply(
+                pc.divide(tbl["event_id"], pa.scalar(1000, pa.int64())),
+                pa.scalar(1000, pa.int64()),
+            ),
+        )
+        ns = pc.add(pc.multiply(us, pa.scalar(1000, pa.int64())), residue)
+        out = pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "ts": ns.cast(pa.timestamp("ns")),
+                "event_type": tbl["event_type"],
+            }
+        )
+        t = LocalIcebergTable(root, out.schema)
+        t.append_snapshot([out], timestamp_ms=_T0)
+        assert im.load_metadata(root)["format-version"] == 3
+        delete_where(
+            spark, root, "event_id % 9 = 0", timestamp_ms=_T0 + 1000
+        )
+        update_where(
+            spark, root, "event_id % 11 = 0",
+            {"event_id": "event_id + 10000000"},
+            timestamp_ms=_T0 + 2000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        "SELECT event_type, date_trunc('hour', ts) AS hr, "
+        "count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts, "
+        "sum(event_id) AS id_sum "
+        f"FROM iceberg_scan('{root}') GROUP BY event_type, hr",
+    )
