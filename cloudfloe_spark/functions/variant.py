@@ -791,6 +791,52 @@ def shredded_variant_json_udf(descriptor: dict):
     return pandas_udf(_udf, "string")
 
 
+#: SQL extraction types a native typed_value projection can serve, and
+#: the shred-descriptor leaf kinds whose values are representable in
+#: that type without a semantics change (a cast that can fail — e.g.
+#: int64 → INT — is excluded: ``variant_get`` raises where CAST nulls).
+_TYPED_PUSH = {
+    "bigint": ("int",),
+    "long": ("int",),
+    "string": ("string",),
+    "double": ("double", "float"),
+    "boolean": ("bool",),
+}
+
+
+def shredded_typed_steps(
+    descriptor: dict, path_parts: "list[str]", sql_type: str
+):
+    """Physical struct-navigation steps for extracting ``$.f1.f2`` from
+    a SHREDDED variant column NATIVELY (r13, VERDICT r12 #2) — e.g.
+    ``["typed_value", "f1", "typed_value", "f2", "typed_value"]`` — or
+    ``None`` when the layout cannot guarantee equivalence with the
+    reassemble-then-extract surface: a ``value`` residual exists
+    anywhere along the path (the datum could hide there), the field is
+    not shredded, or the leaf kind does not match the requested SQL
+    type. The caller additionally requires the TOP-LEVEL ``value``
+    subcolumn to be absent (checked against the file group's footer —
+    presence is per-file, not in the descriptor)."""
+    want = _TYPED_PUSH.get(sql_type.strip().lower())
+    if want is None or not path_parts:
+        return None
+    d = descriptor
+    steps = ["typed_value"]
+    for part in path_parts:
+        if not isinstance(d, dict) or d.get("kind") != "object":
+            return None
+        g = d.get("fields", {}).get(part)
+        if g is None or g.get("value"):
+            return None
+        d = g.get("typed")
+        if d is None:
+            return None
+        steps += [part, "typed_value"]
+    if not isinstance(d, dict) or d.get("kind") not in want:
+        return None
+    return steps
+
+
 def decode_shredded_variant_columns(df, col_descriptors: "dict[str, dict]"):
     """Replace each SHREDDED physical variant struct column with its
     canonical JSON string form."""
@@ -803,14 +849,17 @@ def decode_shredded_variant_columns(df, col_descriptors: "dict[str, dict]"):
     return df
 
 
-def shred_rows(objs: list, shred: dict):
+def shred_rows(objs: list, shred: dict, *, top_value: bool = True):
     """Fixture/test helper: shred Python object trees per a descriptor
     shaped like :func:`shred_descriptor` output (leaf kinds name arrow
     types) → a ``pyarrow`` StructArray for the full shredded variant
     column (``metadata``, ``value``, ``typed_value``). The residual at
     each level is variant-encoded against the row's full metadata
     dictionary — exactly the writer behavior the shredding spec
-    describes."""
+    describes. ``top_value=False`` models a perfectly-shredding writer:
+    the top-level residual column is omitted (rows that would need one
+    raise), which is the layout the typed-path pushdown serves
+    natively."""
     import datetime as _dt
     import uuid as _uuid
 
@@ -968,6 +1017,28 @@ def shred_rows(objs: list, shred: dict):
         tvs.append(tv)
 
     vt = _vt_type(shred)
+    if not top_value:
+        # a perfectly-shredding writer omits the top-level residual
+        # column entirely (what makes typed-path pushdown provably
+        # safe); any row that actually NEEDS one is a caller bug
+        bad = [i for i, v in enumerate(vals) if v is not None]
+        if bad:
+            raise ValueError(
+                f"shred_rows(top_value=False): rows {bad} carry a "
+                "top-level residual"
+            )
+        struct_t = pa.struct(
+            [("metadata", pa.binary()), ("typed_value", vt)]
+        )
+        return pa.array(
+            [
+                None
+                if m is None
+                else {"metadata": m, "typed_value": t}
+                for m, t in zip(mds, tvs)
+            ],
+            struct_t,
+        )
     struct_t = pa.struct(
         [("metadata", pa.binary()), ("value", pa.binary()),
          ("typed_value", vt)]
