@@ -375,6 +375,19 @@ def _build_encoder():
         def prim(tid: int, payload: bytes = b"") -> bytes:
             return bytes([tid << 2]) + payload
 
+        if (
+            isinstance(obj, tuple)
+            and len(obj) == 3
+            and obj[0] == "__variant_ns__"
+        ):
+            # nanosecond-timestamp marker from the shredded reassembly
+            # (spec ids 18 tz / 19 ntz) — lets a shredded ns leaf
+            # re-encode to the unshredded binary without precision loss
+            _, _tz, _ns = obj
+            return prim(
+                18 if _tz else 19,
+                int(_ns).to_bytes(8, "little", signed=True),
+            )
         if obj is None:
             return prim(0)
         if obj is True:
@@ -647,15 +660,23 @@ def shred_descriptor(arrow_type) -> dict:
     raise ValueError(f"unsupported shredded leaf type {t}")
 
 
-def shredded_variant_json_udf(descriptor: dict):
+def shredded_variant_json_udf(descriptor: dict, *, binary_out: bool = False):
     """Arrow-batched pandas UDF rendering a SHREDDED variant struct
     column to the same canonical-JSON STRING surface as the unshredded
     decoder. Fully self-contained closure: the codec functions are
     ``_build_codec()`` locals captured by value, the descriptor is a
-    plain dict, and only stdlib/pandas are referenced by name."""
+    plain dict, and only stdlib/pandas are referenced by name.
+
+    ``binary_out=True`` (r13, VERDICT r12 #3) re-encodes the
+    reassembled VALUE TREE — not the JSON rendering, so timestamps,
+    decimals, dates, uuids and binaries keep their exact primitive ids
+    (ns leaves ride an internal marker → ids 18/19) — to the UNSHREDDED
+    ``(metadata, value)`` pair: the shredded→unshredded normalization
+    compaction applies."""
     from pyspark.sql.functions import pandas_udf
 
     metadata_names, decode_at, _decode, render, _to_json = _build_codec()
+    encode, _ = _build_encoder()
     desc = descriptor
     _MISSING = object()
 
@@ -772,10 +793,30 @@ def shredded_variant_json_udf(descriptor: dict):
                 return decode_at(names, bytes(val_b), 0)
             return _MISSING
 
-        out = []
         md_s = pdf["metadata"]
         v_s = pdf["value"] if "value" in pdf.columns else None
         tv_s = pdf["typed_value"] if "typed_value" in pdf.columns else None
+        if binary_out:
+            mds, vals = [], []
+            for i in range(len(pdf)):
+                md = md_s.iloc[i]
+                if _null(md):
+                    mds.append(None)
+                    vals.append(None)
+                    continue
+                names = metadata_names(bytes(md))
+                vb = v_s.iloc[i] if v_s is not None else None
+                tv = tv_s.iloc[i] if tv_s is not None else None
+                res = node(names, desc, vb, tv)
+                if res is _MISSING:
+                    mds.append(None)
+                    vals.append(None)
+                else:
+                    m2, v2 = encode(res)
+                    mds.append(m2)
+                    vals.append(v2)
+            return pd.DataFrame({"metadata": mds, "value": vals})
+        out = []
         for i in range(len(pdf)):
             md = md_s.iloc[i]
             if _null(md):
@@ -788,6 +829,8 @@ def shredded_variant_json_udf(descriptor: dict):
             out.append(None if res is _MISSING else render(res))
         return pd.Series(out, dtype=object)
 
+    if binary_out:
+        return pandas_udf(_udf, "metadata BINARY, value BINARY")
     return pandas_udf(_udf, "string")
 
 
@@ -846,6 +889,21 @@ def decode_shredded_variant_columns(df, col_descriptors: "dict[str, dict]"):
 
     for c, d in col_descriptors.items():
         df = df.withColumn(c, shredded_variant_json_udf(d)(F.col(c)))
+    return df
+
+
+def shredded_to_unshredded_columns(df, col_descriptors: "dict[str, dict]"):
+    """Replace each SHREDDED physical variant struct column with the
+    UNSHREDDED ``(metadata, value)`` pair — value-tree re-encode, type
+    fidelity preserved (r13: the normalization compaction applies)."""
+    if not col_descriptors:
+        return df
+    from pyspark.sql import functions as F
+
+    for c, d in col_descriptors.items():
+        df = df.withColumn(
+            c, shredded_variant_json_udf(d, binary_out=True)(F.col(c))
+        )
     return df
 
 

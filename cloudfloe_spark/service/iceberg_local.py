@@ -1745,9 +1745,19 @@ def _cdc_frame(
         rem = _mor_raw_scan(
             sess, root, s_from, removed,
             metadata_path=metadata_path, extra_footer_cols=["_row_id"],
+            variant_as="physical" if variant_cols else None,
+            ns_as="physical" if ns_cols else None,
         ).withColumn(
             "__cdc_rfile", F.substring_index(F.col(_FP), "/data/", -1)
         )
+        if variant_cols:
+            from cloudfloe_spark.functions.variant import (
+                decode_variant_columns as _dvc_rem,
+            )
+
+            rem = _dvc_rem(
+                rem, [c for c in variant_cols if c in rem.columns]
+            )
         lin_cols = [
             c
             for c in rem.columns
@@ -1986,14 +1996,47 @@ def _cow_commit_frame(
                 "data files and added delete files — no sound restricted "
                 "row-diff exists for that shape; run a full refresh."
             )
-        old = _mor_raw_scan(
-            sess, root, s_prev, removed, metadata_path=metadata_path
+        vcols = im.variant_columns(im.load_metadata(root, metadata_path))
+        nscols = im.ns_timestamp_columns(
+            im.load_metadata(root, metadata_path)
+        )
+        _vas = "physical" if vcols else None
+        _nas = "physical" if nscols else None
+        if vcols:
+            _p, _sh, _ve = im.variant_shred_groups(
+                sorted(set(removed) | set(added)), vcols,
+                name_history=im.schema_name_history(root, metadata_path),
+            )
+            if _ve or _sh:
+                raise bad_request(
+                    "iceberg_cdc_commits: the range touches SHREDDED "
+                    "variant files — the changelog supports unshredded "
+                    "variant only"
+                )
+
+        def _vdec(d):
+            if not vcols:
+                return d
+            from cloudfloe_spark.functions.variant import (
+                decode_variant_columns as _dvc_c,
+            )
+
+            return _dvc_c(d, [c for c in vcols if c in d.columns])
+
+        old = _vdec(
+            _mor_raw_scan(
+                sess, root, s_prev, removed, metadata_path=metadata_path,
+                variant_as=_vas, ns_as=_nas,
+            )
         )
         cols = [c for c in old.columns if c not in (_FP, _POS)]
         old = old.select(*cols)
         new = (
-            _mor_raw_scan(
-                sess, root, s_cur, added, metadata_path=metadata_path
+            _vdec(
+                _mor_raw_scan(
+                    sess, root, s_cur, added, metadata_path=metadata_path,
+                    variant_as=_vas, ns_as=_nas,
+                )
             ).select(*cols)
             if added
             else None
@@ -2009,6 +2052,7 @@ def _cow_commit_frame(
     df = dels.withColumn("_change_type", F.lit("delete")).unionByName(
         ins.withColumn("_change_type", F.lit("insert"))
     )
+    df = _surface_ns(df, nscols)
     keys = [k.strip() for k in key_cols.split(",")] if key_cols else []
     if keys:
         missing = [k for k in keys if k not in set(cols)]

@@ -468,32 +468,98 @@ def compact_iceberg_table(
     n_out = max(1, -(-live_bytes // target_file_bytes))
 
     if _variant:
-        if im.row_lineage_available(root, metadata_path):
-            raise ValueError(
-                "compact_iceberg_table: variant + row-lineage tables "
-                "are not compactable yet"
-            )
+        _lineage_t = im.row_lineage_available(root, metadata_path)
+        _hist = im.schema_name_history(root, metadata_path)
         _paths = [
             im._relocate(f["file_path"], im._norm_root(root))
             for f in live
         ]
         _plain, _shred, _verr = im.variant_shred_groups(
-            _paths, _variant,
-            name_history=im.schema_name_history(root, metadata_path),
+            _paths, _variant, name_history=_hist,
         )
-        if _verr or _shred:
+        if _verr:
             raise ValueError(
-                "compact_iceberg_table: the table carries SHREDDED "
-                "variant files — re-encoding typed_value trees back to "
-                "the binary form is not supported; rewrite them with a "
-                "shredding-aware engine"
+                "compact_iceberg_table: variant read failed: "
+                + "; ".join(sorted(set(_verr)))
             )
-        # physical passthrough: MOR-applied read with the variant
-        # struct INTACT (never decoded), written back verbatim
-        df = _mor_raw_scan(
-            sess, root, snap, _paths,
-            metadata_path=metadata_path, variant_as="physical",
-        ).drop(_FP, _POS)
+        if _shred and _lineage_t:
+            raise ValueError(
+                "compact_iceberg_table: SHREDDED variant + row-lineage "
+                "tables are not compactable yet"
+            )
+        if _shred and (
+            _hist or im.schema_default_fills(_meta_now)
+        ):
+            raise ValueError(
+                "compact_iceberg_table: shredded variant files on a "
+                "table with column renames or default values are not "
+                "supported yet"
+            )
+        if _lineage_t:
+            # variant + row lineage (r13, VERDICT r12 #4): both
+            # passthroughs composed — the physical variant struct rides
+            # verbatim, _row_id / _last_updated_sequence_number are
+            # materialized so ids and change-sequences survive
+            df = row_lineage_scan(
+                sess, root, metadata_path=metadata_path, snapshot=snap,
+                physical_v3=True,
+            )
+        else:
+            # physical passthrough: MOR-applied read with the variant
+            # struct INTACT (never decoded), written back verbatim;
+            # SHREDDED files (r13, VERDICT r12 #3) reassemble the value
+            # tree and re-encode it UNSHREDDED — compaction normalizes
+            # the layout (type-exact: the tree is re-encoded, never the
+            # JSON rendering)
+            df = None
+            if _plain:
+                df = _mor_raw_scan(
+                    sess, root, snap, _plain,
+                    metadata_path=metadata_path, variant_as="physical",
+                ).drop(_FP, _POS)
+            if _shred:
+                from pyspark.sql import functions as _Fv
+
+                from cloudfloe_spark.functions.variant import (
+                    shredded_to_unshredded_columns,
+                )
+                from cloudfloe_spark.service.iceberg_local import (
+                    _apply_deletion_vectors,
+                    _apply_equality_deletes,
+                    _apply_position_deletes,
+                )
+
+                _pos = im.position_delete_paths(root, snap)
+                _dvs = im.deletion_vector_records(root, snap)
+                _eq = im.equality_delete_records(root, snap)
+                _fnames = (
+                    im.schema_field_names(root, metadata_path)
+                    if _eq else {}
+                )
+                _fseqs = im.live_data_seqs(root, snap) if _eq else {}
+                _pairs = im.schema_read_pairs(
+                    root, metadata_path, variant_as="physical",
+                )
+                for _spaths, _descs in _shred:
+                    gdf = sess.read.parquet(*_spaths)
+                    if _pos:
+                        gdf = _apply_position_deletes(sess, gdf, _pos)
+                    if _dvs:
+                        gdf = _apply_deletion_vectors(sess, gdf, _dvs)
+                    if _eq:
+                        gdf = _apply_equality_deletes(
+                            sess, gdf, _eq, _fnames, _fseqs,
+                            renames={}, name_history={},
+                        )
+                    gdf = shredded_to_unshredded_columns(gdf, _descs)
+                    aligned = [
+                        _Fv.lit(None).cast(_ct).alias(_cn)
+                        if _cn not in gdf.columns
+                        else _Fv.col(_cn).cast(_ct).alias(_cn)
+                        for _cn, _ct in _pairs
+                    ]
+                    part = gdf.select(*aligned)
+                    df = part if df is None else df.unionByName(part)
     elif im.row_lineage_available(root, metadata_path):
         # v3 row lineage (r11): a compaction is not a logical change —
         # rewritten rows must KEEP their ids. Read with _row_id resolved
@@ -1158,6 +1224,7 @@ def row_lineage_scan(
     *,
     metadata_path=None,
     snapshot: "dict | None" = None,
+    physical_v3: bool = False,
 ):
     """v3 ROW LINEAGE read (r11, VERDICT r10 #5): the MOR-applied table
     plus ``_row_id`` — a row's id is its file's ``first_row_id`` +
@@ -1207,19 +1274,21 @@ def row_lineage_scan(
             f"first_row_id nor a materialized _row_id column: {holes}"
         )
     # v3 variant / ns columns (r13): the lineage read surfaces the same
-    # decoded forms the batch scan does (canonical JSON / µs TIMESTAMP)
+    # decoded forms the batch scan does (canonical JSON / µs TIMESTAMP);
+    # ``physical_v3=True`` (the variant+lineage compaction, VERDICT r12
+    # #4) keeps the physical struct / raw longs intact for a verbatim
+    # rewrite
     variant_cols, ns_cols = _dml_v3_cols(
         root, meta_path, paths, "row_lineage_scan"
     )
-    df = _decorate_dml_surface(
-        _mor_raw_scan(
-            spark, root, snap, paths,
-            metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
-            variant_as="physical" if variant_cols else None,
-            ns_as="physical" if ns_cols else None,
-        ),
-        variant_cols, ns_cols,
+    df = _mor_raw_scan(
+        spark, root, snap, paths,
+        metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
+        variant_as="physical" if variant_cols else None,
+        ns_as="physical" if ns_cols else None,
     )
+    if not physical_v3:
+        df = _decorate_dml_surface(df, variant_cols, ns_cols)
     df = _with_source_row_ids(spark, root, snap, df, with_seq=True)
     out_cols = [
         c
