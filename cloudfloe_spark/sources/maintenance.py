@@ -3399,6 +3399,7 @@ def maintain_iceberg_table(
                         root,
                         timestamp_ms=timestamp_ms + 4,
                         columns=prev_cols or None,
+                        incremental=True,
                     )
                 )
             except ValueError as exc:
@@ -3653,12 +3654,118 @@ def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
     }
 
 
+def _incremental_stats(sess, root, metadata_path, snap, columns):
+    """Append-only delta path for ANALYZE (r13, VERDICT r12 #6): theta
+    sketches are exactly mergeable, so when the table only GAINED data
+    files since the last registered StatisticsFile (no removals, no
+    delete-record changes, no renames/defaults), the refresh scans ONLY
+    the new files and unions their partial sketches into the previous
+    blobs. Returns ``(cols, by_col, nulls, row_count)`` or None when
+    the delta path is unsound (caller falls back to a full recompute).
+    Cost tracks the appended data, never the table."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources import puffin as pf
+    from cloudfloe_spark.sources import theta as th
+
+    meta = im.load_metadata(root, metadata_path)
+    entries = meta.get("statistics") or []
+    if not entries:
+        return None
+    if im.schema_name_history(root, metadata_path) or (
+        im.schema_default_fills(meta)
+    ):
+        return None  # footer-inferred new-file read would be wrong
+    snaps = {s.get("snapshot-id"): s for s in meta.get("snapshots") or []}
+    entry = max(
+        entries,
+        key=lambda e: (snaps.get(e.get("snapshot-id")) or {}).get(
+            "timestamp-ms", -1
+        ),
+    )
+    s0 = snaps.get(entry.get("snapshot-id"))
+    if s0 is None:
+        return None  # base snapshot expired
+    live0 = set(im.live_data_paths(root, s0))
+    live1 = set(im.live_data_paths(root, snap))
+    if not live0 <= live1:
+        return None  # files removed/rewritten: deltas can't subtract
+    if sorted(im.position_delete_paths(root, s0)) != sorted(
+        im.position_delete_paths(root, snap)
+    ):
+        return None
+    if sorted(map(repr, im.deletion_vector_records(root, s0))) != sorted(
+        map(repr, im.deletion_vector_records(root, snap))
+    ):
+        return None
+    if sorted(map(repr, im.equality_delete_records(root, s0))) != sorted(
+        map(repr, im.equality_delete_records(root, snap))
+    ):
+        return None
+    p = str(entry.get("statistics-path") or "")
+    if p.startswith("file://"):
+        p = p[7:]
+    try:
+        footer = pf.read_puffin_footer(p)
+    except (OSError, pf.PuffinError):
+        return None
+    try:
+        row_count = int(
+            (footer.get("properties") or {})["cloudfloe.row-count"]
+        )
+    except (KeyError, ValueError):
+        return None  # foreign stats: no engine row/null counts to add to
+    fid_names = im.schema_field_names(root, metadata_path)
+    cols, by_col, nulls = [], {}, {}
+    for b in footer.get("blobs") or []:
+        if b.get("type") != "apache-datasketches-theta-v1":
+            return None
+        props = b.get("properties") or {}
+        c = props.get("cloudfloe.column")
+        if c is None:
+            fids = b.get("fields") or []
+            c = fid_names.get(fids[0]) if len(fids) == 1 else None
+        if c is None or "cloudfloe.null-count" not in props:
+            return None
+        try:
+            data = pf.read_blob(p, int(b["offset"]), int(b["length"]))
+            hs, theta = th.deserialize_compact(data)
+        except (KeyError, OSError, ValueError):
+            return None
+        cols.append(c)
+        by_col[c] = [(hs, theta)]
+        nulls[c] = int(props["cloudfloe.null-count"])
+    if not cols:
+        return None
+    if columns is not None and set(columns) != set(cols):
+        return None  # caller chose a different set: recompute
+    new_paths = sorted(live1 - live0)
+    if new_paths:
+        df = sess.read.parquet(*new_paths)
+        kinds = {c: th.spark_kind(t) for c, t in df.dtypes}
+        if any(kinds.get(c) is None for c in cols):
+            return None  # column missing/un-analyzable in new files
+        specs = [(c, kinds[c]) for c in cols]
+        parts = df.select(*cols).mapInPandas(
+            th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
+        ).collect()
+        row_count += sum(
+            int(r["rows"]) for r in parts if r["column"] == cols[0]
+        )
+        for r in parts:
+            by_col[r["column"]].append(
+                (th.unpack_hashes(bytes(r["hashes"])), int(r["theta"]))
+            )
+            nulls[r["column"]] += int(r["nulls"])
+    return cols, by_col, nulls, row_count
+
+
 def analyze_iceberg_table(
     spark: SparkSession,
     root: str,
     *,
     timestamp_ms: int,
     columns: "list[str] | None" = None,
+    incremental: bool = False,
 ) -> dict:
     """``ANALYZE TABLE`` analog writing the Iceberg spec's
     StatisticsFile (r12, VERDICT r11 #4 → #3): a **Puffin container
@@ -3689,6 +3796,15 @@ def analyze_iceberg_table(
     per partition — and the driver unions partials. Python-side work
     is bounded by per-partition distinct values (k=4096 retained),
     never row count; no per-column pass, no driver-side value set.
+
+    ``incremental=True`` (r13, VERDICT r12 #6): when the table only
+    GAINED files since the last registered stats (append-only history —
+    no removals, no delete-record changes, no renames/defaults), scan
+    ONLY the new files and union their partials into the previous
+    blobs (theta sketches are exactly mergeable); anything else falls
+    back to the full recompute silently. The returned dict's ``mode``
+    says which path ran. The table-service stats-freshness step uses
+    this, so an append-heavy table's ANALYZE cost tracks the delta.
     """
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin as pf
@@ -3704,39 +3820,55 @@ def analyze_iceberg_table(
 
     metadata_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
-    df = sess.table(
-        _snapshot_view(sess, root, None, None, metadata_path=metadata_path)
+    mode = "full"
+    inc = (
+        _incremental_stats(sess, root, metadata_path, snap, columns)
+        if incremental
+        else None
     )
-    kinds = {c: th.spark_kind(t) for c, t in df.dtypes}
-    atomic = [c for c, kd in kinds.items() if kd is not None]
-    cols = list(columns) if columns is not None else atomic
-    bad = sorted(set(cols) - set(df.columns))
-    if bad:
-        raise ValueError(f"analyze_iceberg_table: unknown columns {bad}")
-    unsupported = sorted(c for c in cols if kinds.get(c) is None)
-    if unsupported:
-        raise ValueError(
-            "analyze_iceberg_table: no theta single-value serialization "
-            f"for columns {unsupported}"
+    if inc is not None:
+        cols, by_col, nulls, row_count = inc
+        mode = "incremental"
+    else:
+        df = sess.table(
+            _snapshot_view(
+                sess, root, None, None, metadata_path=metadata_path
+            )
         )
-    if not cols:
-        raise ValueError(
-            "analyze_iceberg_table: the table has no analyzable "
-            "(atomic, theta-serializable) columns"
-        )
-    specs = [(c, kinds[c]) for c in cols]
-    parts = df.select(*cols).mapInPandas(
-        th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
-    ).collect()
+        kinds = {c: th.spark_kind(t) for c, t in df.dtypes}
+        atomic = [c for c, kd in kinds.items() if kd is not None]
+        cols = list(columns) if columns is not None else atomic
+        bad = sorted(set(cols) - set(df.columns))
+        if bad:
+            raise ValueError(
+                f"analyze_iceberg_table: unknown columns {bad}"
+            )
+        unsupported = sorted(c for c in cols if kinds.get(c) is None)
+        if unsupported:
+            raise ValueError(
+                "analyze_iceberg_table: no theta single-value "
+                f"serialization for columns {unsupported}"
+            )
+        if not cols:
+            raise ValueError(
+                "analyze_iceberg_table: the table has no analyzable "
+                "(atomic, theta-serializable) columns"
+            )
+        specs = [(c, kinds[c]) for c in cols]
+        parts = df.select(*cols).mapInPandas(
+            th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
+        ).collect()
 
-    row_count = sum(int(r["rows"]) for r in parts if r["column"] == cols[0])
-    by_col: dict = {c: [] for c in cols}
-    nulls = {c: 0 for c in cols}
-    for r in parts:
-        by_col[r["column"]].append(
-            (th.unpack_hashes(bytes(r["hashes"])), int(r["theta"]))
+        row_count = sum(
+            int(r["rows"]) for r in parts if r["column"] == cols[0]
         )
-        nulls[r["column"]] += int(r["nulls"])
+        by_col = {c: [] for c in cols}
+        nulls = {c: 0 for c in cols}
+        for r in parts:
+            by_col[r["column"]].append(
+                (th.unpack_hashes(bytes(r["hashes"])), int(r["theta"]))
+            )
+            nulls[r["column"]] += int(r["nulls"])
 
     field_ids = {
         name: fid
@@ -3803,6 +3935,7 @@ def analyze_iceberg_table(
         "row_count": row_count,
         "columns": cols,
         "statistics_path": path,
+        "mode": mode,
     }
 
 

@@ -1176,6 +1176,65 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     )
     timings["variant_mor_delete"] = round(time.perf_counter() - t0, 3)
     assert dres["matched"] == _CDC_FILE_ROWS * _CDC_BASE_FILES * n // 10
+
+    # (r) incremental ANALYZE (r13, VERDICT r12 #6): analyze a fresh
+    # 16n-file table, append ONE file (1/16n of the data), refresh with
+    # incremental=True — cost must track the DELTA (one file scanned +
+    # a sketch union), not the table; the x8 row should stay flat while
+    # the full analyze row (m) grows with the table.
+    import pyarrow.parquet as pq_
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot as _crds,
+    )
+
+    iroot = os.path.join(out_dir, f"inc_analyze_x{n}", "t")
+    shutil.rmtree(os.path.dirname(iroot), ignore_errors=True)
+    it_ = _LIT(
+        iroot, pa_.schema([("id", pa_.int64()), ("v", pa_.float64())])
+    )
+    it_.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _CDC_FILE_ROWS,
+                        (j + 1) * _CDC_FILE_ROWS,
+                        dtype="int64",
+                    ),
+                    "v": np_.full(_CDC_FILE_ROWS, 0.5),
+                }
+            )
+            for j in range(_CDC_BASE_FILES * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    _analyze(spark, iroot, timestamp_ms=_T0 + 3000)
+    base_rows = _CDC_FILE_ROWS * _CDC_BASE_FILES * n
+    extra = os.path.join(os.path.dirname(iroot), "inc-extra.parquet")
+    pq_.write_table(
+        pa_.table(
+            {
+                "id": np_.arange(
+                    base_rows, base_rows + _CDC_FILE_ROWS, dtype="int64"
+                ),
+                "v": np_.full(_CDC_FILE_ROWS, 0.5),
+            }
+        ),
+        extra,
+    )
+    _crds(
+        iroot, new_data_files=[(extra, _CDC_FILE_ROWS)],
+        timestamp_ms=_T0 + 4000,
+    )
+    t0 = time.perf_counter()
+    ares2 = _analyze(
+        spark, iroot, timestamp_ms=_T0 + 5000, incremental=True
+    )
+    timings["analyze_incremental_delta"] = round(
+        time.perf_counter() - t0, 3
+    )
+    assert ares2["mode"] == "incremental", ares2
+    assert ares2["row_count"] == base_rows + _CDC_FILE_ROWS, ares2
     return timings
 
 

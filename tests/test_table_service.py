@@ -8,6 +8,8 @@ triggers, the loop a 100-TB deployment schedules.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -345,3 +347,121 @@ def test_partition_stats_identity_fields_keep_source_types(tmp_path):
     assert rows[0]["partition"] == {"id": 1, "day": d0}
     assert rows[0]["data_record_count"] == 2
     assert rows[1]["partition"] == {"id": 2, "day": dt.date(2024, 3, 5)}
+
+
+def test_incremental_analyze_appends_union_exactly(spark, tmp_path):
+    """r13 (VERDICT r12 #6): after an append-only delta, ANALYZE with
+    incremental=True scans only the new files and unions partials into
+    the previous blobs — the resulting sketches, ndv, null counts and
+    row count are IDENTICAL to a full recompute."""
+    from cloudfloe_spark.sources import puffin as pf
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        delete_where,
+    )
+
+    def _stats_image(root):
+        meta = im.load_metadata(root)
+        cur = meta["current-snapshot-id"]
+        entry = [
+            e for e in meta["statistics"] if e["snapshot-id"] == cur
+        ][0]
+        p = entry["statistics-path"].removeprefix("file://")
+        footer = pf.read_puffin_footer(p)
+        out = {"rows": footer["properties"]["cloudfloe.row-count"]}
+        for b in footer["blobs"]:
+            c = b["properties"]["cloudfloe.column"]
+            out[c] = (
+                pf.read_blob(p, b["offset"], b["length"]),
+                b["properties"]["ndv"],
+                b["properties"]["cloudfloe.null-count"],
+            )
+        return out
+
+    root = str(tmp_path / "inc")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(100)),
+                    "name": [f"n{i % 7}" for i in range(100)],
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    # append-only delta (delete_where-free path preserves statistics
+    # via write_next_metadata_version — use the commit helper)
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    import pyarrow.parquet as pq
+
+    new_path = os.path.join(root, "data", "extra-00001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(100, 150)),
+                "name": [None if i % 10 == 0 else f"m{i}" for i in
+                         range(50)],
+            },
+            schema=pa.schema([("id", pa.int64()), ("name", pa.string())]),
+        ),
+        new_path,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(new_path, 50)], timestamp_ms=T1 + 2000
+    )
+    r_inc = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 3000, incremental=True
+    )
+    assert r_inc["mode"] == "incremental"
+    inc_image = _stats_image(root)
+    # full recompute at the same snapshot must be bit-identical
+    r_full = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    assert r_full["mode"] == "full"
+    assert _stats_image(root) == inc_image
+    assert inc_image["rows"] == "150"
+
+    # a delete makes the delta unsound: incremental falls back to full
+    delete_where(spark, root, "id = 0", timestamp_ms=T1 + 5000)
+    r3 = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 6000, incremental=True
+    )
+    assert r3["mode"] == "full"
+    assert r3["row_count"] == 149
+
+
+def test_service_stats_refresh_runs_incremental(spark, tmp_path):
+    """The table-service freshness step takes the delta path on an
+    append-only history."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "svc_inc")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot(
+        [pa.table({"id": list(range(20))})], timestamp_ms=T1
+    )
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    new_path = os.path.join(root, "data", "extra-00002.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(20, 30))},
+                 schema=pa.schema([("id", pa.int64())])),
+        new_path,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(new_path, 10)], timestamp_ms=T1 + 2000
+    )
+    rep = maintain_iceberg_table(spark, root, timestamp_ms=T1 + 3000)
+    step = rep["analyze_iceberg_table"]
+    assert step["ran"] is True
+    assert step["mode"] == "incremental"
+    assert step["row_count"] == 30
