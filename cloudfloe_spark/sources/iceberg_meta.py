@@ -1024,9 +1024,9 @@ def _iceberg_type_to_ddl(
             raise IcebergMetadataError(
                 "variant column is supported by the batch iceberg_scan, "
                 "changelog (iceberg_changes / iceberg_cdc), streaming "
-                "READ, and row-level DELETE/UPDATE paths — this "
-                "consumer (merge / streaming writes) does not support "
-                "variant tables yet"
+                "READ, and row-level DELETE/UPDATE/MERGE paths — this "
+                "consumer (streaming writes / changelog apply / "
+                "bin-pack) does not support variant tables yet"
             )
         if t in _NS_TYPES:
             if ns_as == "physical":
@@ -1037,9 +1037,9 @@ def _iceberg_type_to_ddl(
                 f"{t} column is supported by the batch iceberg_scan, "
                 "changelog (iceberg_changes / iceberg_cdc), streaming "
                 "READ (truncated to microsecond TIMESTAMP), and "
-                "row-level DELETE/UPDATE paths — this consumer (merge "
-                "/ streaming writes) does not support "
-                "nanosecond-timestamp tables yet"
+                "row-level DELETE/UPDATE/MERGE paths — this consumer "
+                "(streaming writes / changelog apply / bin-pack) does "
+                "not support nanosecond-timestamp tables yet"
             )
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]

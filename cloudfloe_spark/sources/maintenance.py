@@ -2570,16 +2570,53 @@ def merge_into(
     lineage = (
         im.load_metadata(root, meta_path).get("next-row-id") is not None
     )
-    tdf = _mor_raw_scan(
-        spark, root, snap, paths, metadata_path=meta_path,
-        extra_footer_cols=["_row_id", _SEQ] if lineage else None,
+    # v3 variant / ns tables (r13): expressions, join keys and the
+    # by-source condition evaluate on the decoded surface; every write
+    # path below re-encodes assigned/inserted values and passes
+    # untouched rows through physically (__cf_phys_<col>)
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, paths, "merge_into"
+    )
+    _v3 = list(variant_cols) + list(ns_cols)
+    _vas = "physical" if variant_cols else None
+    _nas = "physical" if ns_cols else None
+    tdf = _decorate_dml_surface(
+        _mor_raw_scan(
+            spark, root, snap, paths, metadata_path=meta_path,
+            extra_footer_cols=["_row_id", _SEQ] if lineage else None,
+            variant_as=_vas, ns_as=_nas,
+        ),
+        variant_cols, ns_cols,
     )
     tcols = [
         c
         for c in tdf.columns
         if c not in (_FP, _POS)
+        and not c.startswith(_PHYS)
         and not (lineage and c in ("_row_id", _SEQ))
     ]
+
+    def _enc_json(col):
+        from cloudfloe_spark.functions.variant import (
+            json_variant_encode_udf,
+        )
+
+        return json_variant_encode_udf()(col.cast("string"))
+
+    def _ns_long(col):
+        return (
+            F.unix_micros(col.cast("timestamp"))
+            * F.lit(1000).cast("bigint")
+        )
+
+    def _v3_write(c, col):
+        """Physical write form of an ASSIGNED/INSERTED value for column
+        ``c`` (surface-typed Column ``col``)."""
+        if c in variant_cols:
+            return _enc_json(col)
+        if c in ns_cols:
+            return _ns_long(col)
+        return col.cast(tdf.schema[c].dataType)
     missing = sorted(set(tcols) - set(source.columns))
     if insert_unmatched and missing:
         raise ValueError(
@@ -2626,6 +2663,7 @@ def merge_into(
         F.col(_FP).alias("__fp"),
         F.col(_POS).alias("__pos"),
         *[F.col(c) for c in tcols],
+        *[F.col(_PHYS + c) for c in _v3],
         *([F.col("__cf_src_rid").alias("__rid")] if lineage else []),
     ).alias("t")
     s = source.alias("s")
@@ -2676,18 +2714,27 @@ def merge_into(
         rid_out = (
             [F.col("t.__rid").alias("_row_id")] if lineage else []
         )
+        def _t_col(c):
+            # the PHYSICAL form of an untouched t-side column
+            if c in _v3:
+                return F.col(f"t.{_PHYS}{c}").alias(c)
+            return F.col(f"t.{c}").alias(c)
+
         rewritten = matched.select(
             *[
-                F.expr(when_matched[c]).cast(tdf.schema[c].dataType).alias(c)
+                _v3_write(c, F.expr(when_matched[c])).alias(c)
                 if c in when_matched
-                else F.col(f"t.{c}").alias(c)
+                else _t_col(c)
                 for c in tcols
             ],
             *rid_out,
         )
         inserts = (
             s.join(t, cond, "left_anti").select(
-                *[F.col(f"s.{c}").cast(tdf.schema[c].dataType).alias(c) for c in tcols],
+                *[
+                    _v3_write(c, F.col(f"s.{c}")).alias(c)
+                    for c in tcols
+                ],
                 *(
                     [F.lit(None).cast("bigint").alias("_row_id")]
                     if lineage
@@ -2701,11 +2748,9 @@ def merge_into(
             rewritten = rewritten.unionByName(
                 nms.select(
                     *[
-                        F.expr(nms_assign[c])
-                        .cast(tdf.schema[c].dataType)
-                        .alias(c)
+                        _v3_write(c, F.expr(nms_assign[c])).alias(c)
                         if c in nms_assign
-                        else F.col(f"t.{c}").alias(c)
+                        else _t_col(c)
                         for c in tcols
                     ],
                     *rid_out,
@@ -2744,12 +2789,16 @@ def merge_into(
                 n_aff = (
                     sum(recs) if all(r is not None for r in recs) else None
                 )
-                df2 = _mor_raw_scan(
-                    spark, root, snap, affected,
-                    metadata_path=meta_path,
-                    extra_footer_cols=["_row_id", _SEQ]
-                    if lineage
-                    else None,
+                df2 = _decorate_dml_surface(
+                    _mor_raw_scan(
+                        spark, root, snap, affected,
+                        metadata_path=meta_path,
+                        extra_footer_cols=["_row_id", _SEQ]
+                        if lineage
+                        else None,
+                        variant_as=_vas, ns_as=_nas,
+                    ),
+                    variant_cols, ns_cols,
                 )
                 if lineage:
                     # every rewritten row keeps its id (carry-overs MUST;
@@ -2781,21 +2830,21 @@ def merge_into(
                     joined = joined.filter(~nms_pred)
 
                 def _out_col(c):
-                    e = F.col(f"t.{c}")
+                    e = (
+                        F.col(f"t.{_PHYS}{c}")
+                        if c in _v3
+                        else F.col(f"t.{c}")
+                    )
                     if nms_pred is not None and nms_assign is not None \
                             and c in nms_assign:
                         e = F.when(
                             nms_pred,
-                            F.expr(nms_assign[c]).cast(
-                                tdf.schema[c].dataType
-                            ),
+                            _v3_write(c, F.expr(nms_assign[c])),
                         ).otherwise(e)
                     if c in when_matched:
                         e = F.when(
                             F.col("__cf_sm").isNotNull(),
-                            F.expr(when_matched[c]).cast(
-                                tdf.schema[c].dataType
-                            ),
+                            _v3_write(c, F.expr(when_matched[c])),
                         ).otherwise(e)
                     return e.alias(c)
 
@@ -2852,6 +2901,8 @@ def merge_into(
             new_files = _write_data_files(
                 spark, root, meta_path, out, n_rows_out,
                 rows_per_delete_file, merge_dir,
+                ns_tz=_ns_tz_map(root, meta_path, ns_cols)
+                if ns_cols else None,
             )
             snap_id = _commit_with_rebase(
                 root, "merge_into",
@@ -2934,6 +2985,8 @@ def merge_into(
         new_files = _write_data_files(
             spark, root, meta_path, out, n_rewrite,
             rows_per_delete_file, merge_dir,
+            ns_tz=_ns_tz_map(root, meta_path, ns_cols)
+            if ns_cols else None,
         )
     finally:
         matched.unpersist()
@@ -3165,9 +3218,41 @@ def compact_small_files(
     if len(small) < min_files:
         return {"files_rewritten": 0, "snapshot_id": None,
                 "files_small": len(small), "files_total": len(sizes)}
+    # v3 variant / ns tables (r13): bin-pack is a pure physical rewrite
+    # — the variant struct passes through verbatim and ns files rewrite
+    # via the pyarrow executor write (shredded small files refuse
+    # precisely; compact_iceberg_table normalizes them first)
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, small, "compact_small_files"
+    )
+    lineage = im.load_metadata(root, meta_path).get("next-row-id") is not None
     df = _mor_raw_scan(
-        spark, root, snap, small, metadata_path=meta_path
-    ).drop(_FP, _POS)
+        spark, root, snap, small, metadata_path=meta_path,
+        extra_footer_cols=["_row_id", _SEQ] if lineage else None,
+        variant_as="physical" if variant_cols else None,
+        ns_as="physical" if ns_cols else None,
+    )
+    if lineage:
+        # v3 row lineage (r13 fix): a bin-pack is not a logical change —
+        # rewritten rows MUST keep their ids and last-updated sequence
+        # numbers (previously the new files were committed with fresh
+        # first_row_ids, silently reassigning every compacted row's id)
+        from pyspark.sql import functions as _Fl
+
+        df = _with_source_row_ids(spark, root, snap, df, with_seq=True)
+        keep = [
+            c
+            for c in df.columns
+            if c not in (_FP, _POS, "_row_id", _SEQ)
+            and c not in _RID_HELPER_COLS
+        ]
+        df = df.select(
+            *keep,
+            _Fl.col("__cf_src_rid").alias("_row_id"),
+            _Fl.col("__cf_src_seq").alias(_SEQ),
+        )
+    else:
+        df = df.drop(_FP, _POS)
     stats = im.live_data_stats(root, snap)
     recs = [(stats.get(p) or {}).get("records") for p in small]
     n_rows = sum(recs) if all(r is not None for r in recs) else None
@@ -3176,6 +3261,7 @@ def compact_small_files(
     )
     new_files = _write_data_files(
         spark, root, meta_path, df, n_rows, rows_per_file, out_dir,
+        ns_tz=_ns_tz_map(root, meta_path, ns_cols) if ns_cols else None,
     )
     # bin-pack rebases iff its rewritten small files are still live and
     # no foreign delete landed (its positions could name a rewritten

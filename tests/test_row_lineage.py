@@ -771,3 +771,31 @@ def test_last_updated_seq_empty_table_schema(spark, tmp_path):
     assert "_last_updated_sequence_number" in df.columns
     assert "_row_id" in df.columns
     assert df.count() == 0
+
+
+def test_binpack_preserves_row_ids_and_sequences(spark, tmp_path):
+    """r13 regression: compact_small_files on a lineage table must
+    MATERIALIZE the source _row_id / _last_updated_sequence_number into
+    the consolidated files — previously the new files committed with
+    fresh first_row_ids, silently reassigning every compacted row's
+    id."""
+    from cloudfloe_spark.sources.maintenance import compact_small_files
+
+    root = str(tmp_path / "bp")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64())]), row_lineage=True
+    )
+    t.append_snapshot(
+        [pa.table({"id": [1, 2]}), pa.table({"id": [3, 4]})],
+        timestamp_ms=T1,
+    )
+    sql = (
+        "SELECT id, _row_id, _last_updated_sequence_number "
+        f"FROM iceberg_row_lineage('{root}') ORDER BY id"
+    )
+    before = _rows(spark, sql)
+    r = compact_small_files(
+        spark, root, timestamp_ms=T1 + 1000, min_files=2
+    )
+    assert r["files_rewritten"] == 2
+    assert _rows(spark, sql) == before

@@ -361,3 +361,166 @@ def test_variant_lineage_compaction(spark, tmp_path):
         (2, 200, "update_postimage"),
         (2, 2, "update_preimage"),
     ]
+
+
+def test_merge_into_variant_table(spark, tmp_path):
+    """r13: MERGE over an unshredded variant table — matched rows
+    re-encode the when_matched JSON expression, unmatched source rows
+    (variant as JSON text, the engine surface) insert encoded, and
+    untouched co-located rows pass their bytes through verbatim in COW
+    mode."""
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    objs = [{"k": i, "v": f"old{i}"} for i in range(4)]
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(4)), pa.int64()),
+            "v": _variant_col(objs),
+        }
+    )
+    root = str(tmp_path / "mrg")
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    src = spark.createDataFrame(
+        [(1, '{"k": 1, "v": "new1"}'), (9, '{"k": 9, "v": "new9"}')],
+        "id BIGINT, v STRING",
+    )
+    r = merge_into(
+        spark, root, src, "id",
+        when_matched={"v": "s.v"},
+        timestamp_ms=T1 + 1000,
+    )
+    assert r["matched"] == 1 and r["inserted"] == 1
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert got == [
+        (0, '{"k":0,"v":"old0"}'),
+        (1, '{"k":1,"v":"new1"}'),
+        (2, '{"k":2,"v":"old2"}'),
+        (3, '{"k":3,"v":"old3"}'),
+        (9, '{"k":9,"v":"new9"}'),
+    ]
+    # COW merge: untouched rows byte-verbatim
+    before = _physical_variant_bytes(root)
+    src2 = spark.createDataFrame(
+        [(2, '{"k": 2, "v": "cow2"}')], "id BIGINT, v STRING"
+    )
+    r2 = merge_into(
+        spark, root, src2, "id",
+        when_matched={"v": "s.v"},
+        insert_unmatched=False,
+        timestamp_ms=T1 + 2000, mode="copy-on-write",
+    )
+    assert r2["matched"] == 1
+    after = _physical_variant_bytes(root)
+    for rid in (1, 9):  # rows outside the rewritten file
+        assert after[rid] == before[rid]
+    got2 = _rows(spark, f"SELECT v FROM iceberg_scan('{root}') WHERE id = 2")
+    assert got2 == [('{"k":2,"v":"cow2"}',)]
+    # rows co-located with id=2 but unmatched: bytes verbatim
+    for rid in (0, 3):
+        assert after[rid] == before[rid]
+
+
+def test_merge_into_ns_table(spark, tmp_path):
+    """r13: MERGE over a nanosecond-timestamp table — untouched and
+    carried rows keep their exact ns longs; inserted/assigned rows
+    carry µs precision (×1000); rewritten files keep the ns logical
+    type."""
+    import datetime as dt
+
+    from cloudfloe_spark.sources.maintenance import merge_into
+
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(4)), pa.int64()),
+            "ts": pa.array(NS[:4], pa.timestamp("ns")),
+        }
+    )
+    root = str(tmp_path / "mrgns")
+    t = LocalIcebergTable(root, tbl.schema)
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    new_ts = dt.datetime(2024, 6, 1, 12, 0, 0, 500000)
+    src = spark.createDataFrame(
+        [(1, new_ts), (9, new_ts)], "id BIGINT, ts TIMESTAMP"
+    )
+    r = merge_into(
+        spark, root, src, "id",
+        when_matched={"ts": "s.ts"},
+        timestamp_ms=T1 + 1000,
+    )
+    assert r["matched"] == 1 and r["inserted"] == 1
+    phys = _physical_ns(root)
+    exp_us = (
+        new_ts - dt.datetime(1970, 1, 1)
+    ) // dt.timedelta(microseconds=1)
+    assert phys[1] == exp_us * 1000
+    assert phys[9] == exp_us * 1000
+    for i in (0, 2, 3):
+        assert phys[i] == NS[i]
+
+
+def test_binpack_on_variant_and_ns_tables(spark, tmp_path):
+    """r13: bin-pack compaction passes variant structs through verbatim
+    and keeps ns files at the ns logical type."""
+    from cloudfloe_spark.sources.maintenance import compact_small_files
+
+    objs = [{"k": i} for i in range(4)]
+    root = str(tmp_path / "bpv")
+    t = LocalIcebergTable(
+        root,
+        pa.table(
+            {"id": pa.array([0], pa.int64()), "v": _variant_col([objs[0]])}
+        ).schema,
+        variant_cols=("v",),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([2 * j, 2 * j + 1], pa.int64()),
+                    "v": _variant_col(objs[2 * j:2 * j + 2]),
+                }
+            )
+            for j in range(2)
+        ],
+        timestamp_ms=T1,
+    )
+    before = _physical_variant_bytes(root)
+    r = compact_small_files(spark, root, timestamp_ms=T1 + 1000,
+                            min_files=2)
+    assert r["files_rewritten"] == 2
+    assert _physical_variant_bytes(root) == before
+    snap = im.resolve_snapshot(root)
+    assert len(im.live_data_paths(root, snap)) == 1
+
+    nroot = str(tmp_path / "bpn")
+    nt = LocalIcebergTable(
+        nroot,
+        pa.table(
+            {
+                "id": pa.array([0], pa.int64()),
+                "ts": pa.array(NS[:1], pa.timestamp("ns")),
+            }
+        ).schema,
+    )
+    nt.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([2 * j, 2 * j + 1], pa.int64()),
+                    "ts": pa.array(
+                        NS[2 * j:2 * j + 2], pa.timestamp("ns")
+                    ),
+                }
+            )
+            for j in range(2)
+        ],
+        timestamp_ms=T1,
+    )
+    r = compact_small_files(spark, nroot, timestamp_ms=T1 + 1000,
+                            min_files=2)
+    assert r["files_rewritten"] == 2
+    phys = _physical_ns(nroot)
+    assert phys == {i: NS[i] for i in range(4)}
