@@ -171,6 +171,13 @@ HEADLINE = [
     # are warm-up-only, the timing tracks the reads.
     "iceberg_v3_variant_scan",
     "iceberg_v3_timestamp_ns_scan",
+    # Round-13 breadth: variant DML (MOR delete + JSON re-encode update +
+    # COW passthrough in the warm-up build; the timing tracks the
+    # post-DML read), and the typed-path pushdown read (every
+    # variant_get served by a native typed_value subcolumn — zero
+    # Python in the plan).
+    "iceberg_variant_dml_scan",
+    "iceberg_variant_typed_pushdown",
 ]
 
 

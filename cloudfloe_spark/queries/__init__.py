@@ -63,19 +63,21 @@ _ROUND_PRIORITY_MODULES = [
 _DRIVER_WINDOW = 50
 
 
-def _driver_row_status() -> tuple[set[str], set[str], int]:
-    """(green, red, n_rounds) per the latest driver verdict for each name
-    across all CORRECTNESS_r*.json rounds — later rounds override earlier
-    ones. ``n_rounds`` (count of round files seen) drives the green-sample
-    rotation offset."""
+def _driver_row_status() -> tuple[set[str], set[str], dict]:
+    """(green, red, last_checked) per the latest driver verdict for each
+    name across all CORRECTNESS_r*.json rounds — later rounds override
+    earlier ones. ``last_checked[name]`` is the index of the most recent
+    round that verified the name (green or red); it drives the
+    stale-first re-verification order."""
     import glob as _glob
     import json as _json
     import os as _os
 
     latest: dict[str, bool] = {}
+    last_checked: dict[str, int] = {}
     root = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
     paths = sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
-    for path in paths:
+    for i, path in enumerate(paths):
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -89,20 +91,23 @@ def _driver_row_status() -> tuple[set[str], set[str], int]:
                     and row.get("hash_match")
                     and not row.get("err")
                 )
+                last_checked[name] = i
     green = {n for n, ok in latest.items() if ok}
     red = {n for n, ok in latest.items() if not ok}
-    return green, red, len(paths)
+    return green, red, last_checked
 
 
 def driver_priority_order() -> list[str]:
     """Catalog names ordered for the driver's first-N correctness window:
     failed (recorded driver failure, since fixed — converting it to a pass
-    is worth more than a first datapoint) → never-checked → a rotating
-    sample of proven-green entries filling the window's leftover slots →
-    remaining greens. The rotation offset advances with the number of
-    recorded rounds, so every green entry re-enters the checked window
-    within ceil(len(green) / slots) rounds and a regression to an
-    already-proven operator cannot hide indefinitely."""
+    is worth more than a first datapoint) → never-checked → proven-green
+    entries STALEST-FIRST (fewest-recently-verified; ties broken by
+    family order). Stale-first (r13, replacing the offset rotation)
+    guarantees the window always re-verifies exactly the entries whose
+    last driver check is oldest, so no family can drift unverified while
+    fresher ones re-enter the sample — a regression to any proven
+    operator is caught within ceil(len(green) / slots) rounds, worst
+    case, and typically sooner."""
     from cloudfloe_spark.queries.catalog import registration_order
 
     cqs = all_queries()
@@ -115,14 +120,14 @@ def driver_priority_order() -> list[str]:
         family_order.extend(by_module.pop(mod, []))
     for mod in sorted(by_module):  # any future module not listed above
         family_order.extend(by_module[mod])
-    green, red, n_rounds = _driver_row_status()
+    green, red, last_checked = _driver_row_status()
     failed = [n for n in family_order if n in red]
     pending = [n for n in family_order if n not in red and n not in green]
-    proven = [n for n in family_order if n in green]
-    slots = max(0, _DRIVER_WINDOW - len(failed) - len(pending))
-    if proven and slots:
-        start = (n_rounds * slots) % len(proven)
-        proven = proven[start:] + proven[:start]
+    pos = {n: i for i, n in enumerate(family_order)}
+    proven = sorted(
+        (n for n in family_order if n in green),
+        key=lambda n: (last_checked.get(n, -1), pos[n]),
+    )
     return failed + pending + proven
 
 

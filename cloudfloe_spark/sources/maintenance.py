@@ -1455,7 +1455,8 @@ def _ns_tz_map(root, meta_path, ns_cols: list) -> dict:
 
 
 def _write_data_files_arrow_ns(
-    spark, df, n_rows, rows_per_file, out_dir: str, ns_tz: dict
+    spark, df, n_rows, rows_per_file, out_dir: str, ns_tz: dict,
+    mode: str = "errorifexists",
 ) -> list:
     """Distributed data-file write for tables with NANOSECOND timestamp
     columns (r13, VERDICT r12 #5): Spark's parquet writer cannot emit
@@ -1470,6 +1471,12 @@ def _write_data_files_arrow_ns(
     import pandas as _pd  # noqa: F401 — mapInPandas contract
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if mode == "overwrite":
+        # streaming-replay recovery: a crash between write and commit
+        # leaves a half-written dir the replayed epoch must supersede
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     target = to_arrow_schema(df.schema)
     n_out = (
@@ -1546,7 +1553,7 @@ def _write_data_files(
         # ns tables take the Arrow executor-write path (Spark's writer
         # would demote the ns logical type); partition fanout skipped
         return _write_data_files_arrow_ns(
-            spark, df, n_rows, rows_per_file, out_dir, ns_tz
+            spark, df, n_rows, rows_per_file, out_dir, ns_tz, mode=mode
         )
     fields = im.partition_spec_fields(root, meta_path)
     exprs = []
@@ -2311,6 +2318,11 @@ def apply_changelog(
             }
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
     paths = im.live_data_paths(root, snap)
+    # v3 variant / ns targets (r13): key matching runs on the decoded
+    # surface; insertions encode back to the physical forms below
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, meta_path, paths, "apply_changelog"
+    )
 
     import pyarrow.parquet as pq
 
@@ -2371,8 +2383,13 @@ def apply_changelog(
                     root, meta_path, snap, " AND ".join(conjs), paths
                 )
         if n_retract_keys and paths:
-            tdf = _mor_raw_scan(
-                spark, root, snap, paths, metadata_path=meta_path
+            tdf = _decorate_dml_surface(
+                _mor_raw_scan(
+                    spark, root, snap, paths, metadata_path=meta_path,
+                    variant_as="physical" if variant_cols else None,
+                    ns_as="physical" if ns_cols else None,
+                ),
+                variant_cols, ns_cols,
             )
             bad = sorted(set(keys) - set(tdf.columns))
             if bad:
@@ -2416,9 +2433,35 @@ def apply_changelog(
     ins_dir = os.path.join(
         root, "data", f"changelog-{timestamp_ms}-{_uuid.uuid4().hex[:8]}"
     )
+    if variant_cols or ns_cols:
+        # v3 (r13): insertions arrive on the SURFACE (variant as JSON
+        # text, ns as µs timestamps) and encode to the physical forms
+        from cloudfloe_spark.functions.variant import (
+            json_variant_encode_udf,
+        )
+
+        ins_cols = []
+        for c in inserts.columns:
+            if c in variant_cols:
+                ins_cols.append(
+                    json_variant_encode_udf()(
+                        F.col(c).cast("string")
+                    ).alias(c)
+                )
+            elif c in ns_cols:
+                ins_cols.append(
+                    (
+                        F.unix_micros(F.col(c).cast("timestamp"))
+                        * F.lit(1000).cast("bigint")
+                    ).alias(c)
+                )
+            else:
+                ins_cols.append(F.col(c))
+        inserts = inserts.select(*ins_cols)
     new_files = _write_data_files(
         spark, root, meta_path, inserts, inserts.count(),
         rows_per_delete_file, ins_dir,
+        ns_tz=_ns_tz_map(root, meta_path, ns_cols) if ns_cols else None,
     )
     n_ins = sum(e[1] for e in new_files)
 

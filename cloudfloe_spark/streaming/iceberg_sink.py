@@ -161,6 +161,23 @@ def append_stream_to_iceberg(
     )
 
     seen = committed_batches(root)
+    # v3 variant / ns targets (r13): streamed batches arrive on the
+    # engine SURFACE (variant as canonical-JSON text, ns timestamps as
+    # µs TIMESTAMP) and encode to the physical forms at write; ns files
+    # are written by pyarrow so the nanosecond logical type survives.
+    # Shredded variant targets refuse precisely (normalize first).
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.maintenance import (
+        _dml_v3_cols,
+        _ns_tz_map,
+    )
+
+    _snap0 = im.resolve_snapshot(root)
+    variant_cols, ns_cols = _dml_v3_cols(
+        root, None, im.live_data_paths(root, _snap0),
+        "append_stream_to_iceberg",
+    )
+    ns_tz = _ns_tz_map(root, None, ns_cols) if ns_cols else None
     # Legacy (None, epoch) summaries dedup ONLY a genuine replay: the
     # epoch must already appear in this checkpoint's pre-run offsets log
     # (a fresh checkpoint's epochs are new work even when the numbers
@@ -214,9 +231,34 @@ def append_stream_to_iceberg(
         # out per partition tuple so streamed-in rows stay prunable.
         from cloudfloe_spark.sources.maintenance import _write_data_files
 
+        if variant_cols or ns_cols:
+            from pyspark.sql import functions as F
+
+            from cloudfloe_spark.functions.variant import (
+                json_variant_encode_udf,
+            )
+
+            cols = []
+            for c in batch_df.columns:
+                if c in variant_cols:
+                    cols.append(
+                        json_variant_encode_udf()(
+                            F.col(c).cast("string")
+                        ).alias(c)
+                    )
+                elif c in ns_cols:
+                    cols.append(
+                        (
+                            F.unix_micros(F.col(c).cast("timestamp"))
+                            * F.lit(1000).cast("bigint")
+                        ).alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            batch_df = batch_df.select(*cols)
         files = _write_data_files(
             batch_df.sparkSession, root, None, batch_df, None, None,
-            out_dir, mode="overwrite",
+            out_dir, mode="overwrite", ns_tz=ns_tz,
         )
         if not files:
             return

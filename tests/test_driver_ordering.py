@@ -5,10 +5,10 @@ The driver's correctness gate samples the first ``_DRIVER_WINDOW`` entries of
 
 - importing ``cloudfloe_spark.queries`` does NOT mutate registration order
   (the reorder is an explicit hook, not an import side effect);
-- the window leads with failed rows, then never-checked entries, then a
-  rotating sample of proven greens so regressions to green operators are
+- the window leads with failed rows, then never-checked entries, then
+  proven greens STALEST-FIRST so regressions to green operators are
   re-checked within a bounded number of rounds;
-- the rotation offset advances with the number of recorded rounds.
+- a re-verified entry moves to the back of the staleness order.
 """
 
 from __future__ import annotations
@@ -72,29 +72,36 @@ def test_window_leads_failed_then_pending_then_green_sample():
     assert len(red) + len(pending) + len(greens) == len(window)
 
 
-def test_green_rotation_advances_with_rounds(monkeypatch):
+def test_green_reverification_is_stale_first(monkeypatch):
+    """r13: proven greens order STALEST-FIRST — the window always
+    re-verifies the entries whose last driver check is oldest, so no
+    family drifts unverified while fresher ones re-enter the sample."""
     from cloudfloe_spark import queries as q
 
     latest = _latest_status()
-    greens_exist = any(latest.values())
-    if not greens_exist:
+    if not any(latest.values()):
         return
     base_green = {n for n, ok in latest.items() if ok}
     base_red = {n for n, ok in latest.items() if not ok}
-
-    orders = []
-    for n_rounds in (3, 4):
-        monkeypatch.setattr(
-            q, "_driver_row_status", lambda nr=n_rounds: (base_green, base_red, nr)
-        )
-        orders.append(q.driver_priority_order())
-    slots = q._DRIVER_WINDOW - sum(
-        1 for n in orders[0][: q._DRIVER_WINDOW] if n not in base_green
+    # synthetic staleness: alternate entries checked at round 0 vs 9
+    names = sorted(base_green)
+    last = {n: (0 if i % 2 == 0 else 9) for i, n in enumerate(names)}
+    monkeypatch.setattr(
+        q, "_driver_row_status", lambda: (base_green, base_red, last)
     )
-    if 0 < slots < len(base_green):
-        w0 = [n for n in orders[0][: q._DRIVER_WINDOW] if n in base_green]
-        w1 = [n for n in orders[1][: q._DRIVER_WINDOW] if n in base_green]
-        assert w0 != w1, "green sample must rotate between rounds"
-    # Every order is a permutation of the catalog regardless of rotation.
-    for o in orders:
-        assert sorted(o) == sorted(q.all_queries().keys())
+    order = q.driver_priority_order()
+    greens = [n for n in order if n in base_green]
+    stale_count = sum(1 for n in names if last[n] == 0)
+    assert all(last[n] == 0 for n in greens[:stale_count])
+    assert all(last[n] == 9 for n in greens[stale_count:])
+    # a re-check updates staleness and pushes the entry to the back
+    bumped = dict(last)
+    bumped[greens[0]] = 10
+    monkeypatch.setattr(
+        q, "_driver_row_status", lambda: (base_green, base_red, bumped)
+    )
+    order2 = q.driver_priority_order()
+    greens2 = [n for n in order2 if n in base_green]
+    assert greens2[-1] == greens[0]
+    # Every order is a permutation of the catalog regardless of staleness.
+    assert sorted(order) == sorted(q.all_queries().keys())

@@ -439,3 +439,104 @@ def test_upsert_stream_cow_mode(spark, seeded_table, tmp_path):
     assert all(
         int(s["summary"].get("total-delete-files", "0")) == 0 for s in snaps
     )
+
+
+def test_stream_append_into_variant_table(spark, tmp_path):
+    """r13: the append sink over a VARIANT table encodes streamed JSON
+    text to the physical (metadata, value) pair; batch reads decode it
+    back canonically."""
+    from cloudfloe_spark.functions.variant import encode_variant
+
+    root = str(tmp_path / "vsink")
+    seed = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "v": pa.array(
+                [dict(zip(("metadata", "value"),
+                          encode_variant({"k": 0})))],
+                pa.struct(
+                    [("metadata", pa.binary()), ("value", pa.binary())]
+                ),
+            ),
+        }
+    )
+    t = LocalIcebergTable(root, seed.schema, variant_cols=("v",))
+    t.append_snapshot([seed], timestamp_ms=T1)
+    src = _source_dir(
+        spark, tmp_path,
+        [[(1, '{"k": 1, "tag": "s"}')], [(2, '{"k": 2.50}')]],
+    )
+    res = append_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        checkpoint_dir=str(tmp_path / "vck"),
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["batches"] == 2
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    got = sorted(
+        tuple(r)
+        for r in sess.sql(
+            resolve_iceberg_reads(
+                sess, f"SELECT id, v FROM iceberg_scan('{root}')"
+            )
+        ).collect()
+    )
+    assert got == [
+        (0, '{"k":0}'),
+        (1, '{"k":1,"tag":"s"}'),
+        (2, '{"k":2.50}'),  # decimal fidelity through the sink
+    ]
+
+
+def test_stream_append_into_ns_table(spark, tmp_path):
+    """r13: the append sink over an ns-timestamp table writes real
+    timestamp[ns] files (µs precision ×1000); existing ns rows keep
+    their exact longs."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "nssink")
+    seed = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "ts": pa.array(
+                [1700000000000000123], pa.timestamp("ns")
+            ),
+        }
+    )
+    t = LocalIcebergTable(root, seed.schema)
+    t.append_snapshot([seed], timestamp_ms=T1)
+    src = str(tmp_path / "nssrc")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00.123456")], "id LONG, ts_s STRING"
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+    res = append_stream_to_iceberg(
+        sdf, root,
+        checkpoint_dir=str(tmp_path / "nsck"),
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["batches"] == 1
+    snap = im.resolve_snapshot(root)
+    phys = {}
+    for p in im.live_data_paths(root, snap):
+        lt = pq.read_table(p.removeprefix("file://"))
+        assert lt.schema.field("ts").type == pa.timestamp("ns")
+        for rid, v in zip(
+            lt["id"].to_pylist(), lt["ts"].cast(pa.int64()).to_pylist()
+        ):
+            phys[rid] = v
+    assert phys[0] == 1700000000000000123
+    import datetime as dt
+
+    exp_us = (
+        dt.datetime(2024, 6, 1, 12, 0, 0, 123456)
+        - dt.datetime(1970, 1, 1)
+    ) // dt.timedelta(microseconds=1)
+    assert phys[1] == exp_us * 1000
