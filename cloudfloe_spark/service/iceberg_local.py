@@ -615,6 +615,8 @@ def _vget_sql(fn: str, col: str, path_parts: "list[str]", st: str) -> str:
     exact expression the resolver replaced, re-aimed at the decoded
     STRING column."""
     path = "$." + ".".join(path_parts)
+    if fn == "get_json_object":
+        return f"get_json_object(`{col}`, '{path}')"
     return f"{fn}(parse_json(`{col}`), '{path}', '{st}')"
 
 
@@ -3121,6 +3123,17 @@ _VGET_RE = re.compile(
 #: ``functions.variant._TYPED_PUSH``)
 _VGET_TYPES = {"bigint", "long", "string", "double", "boolean"}
 
+#: get_json_object over the decoded surface — equivalent to a native
+#: STRING-leaf projection (a JSON string value renders as its raw
+#: string; missing/null → NULL); non-string leaves render as JSON text
+#: and stay on the surface expression
+_GJO_RE = re.compile(
+    r"\bget_json_object\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*,\s*'(\$(?:\.[A-Za-z0-9_]+)+)'\s*\)",
+    re.IGNORECASE,
+)
+
 
 def _factor_typed_extractions(sess, out: str, pending: dict):
     """Factor ``variant_get(parse_json(col), '$.path', 'type')``
@@ -3160,7 +3173,21 @@ def _factor_typed_extractions(sess, out: str, pending: dict):
         typed[h] = (fn, col, parts, st)
         return f"{qual}{h}" if qual else h
 
+    def _sub_gjo(m: re.Match) -> str:
+        qual = (m.group(1) or "").strip()
+        col = m.group(2).strip("`")
+        path = m.group(3)
+        if col not in vcols:
+            return m.group(0)
+        parts = path[2:].split(".")
+        h = "__cf_vx_" + hashlib.md5(
+            f"get_json_object|{col}|{path}|string".encode()
+        ).hexdigest()[:10]
+        typed[h] = ("get_json_object", col, parts, "string")
+        return f"{qual}{h}" if qual else h
+
     new_out = _sub_outside_literals(_VGET_RE, _sub, out)
+    new_out = _sub_outside_literals(_GJO_RE, _sub_gjo, new_out)
     if not typed:
         return {}, out
     return {name: typed}, new_out

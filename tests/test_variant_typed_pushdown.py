@@ -254,3 +254,24 @@ def test_json_surface_still_whole(spark, tmp_path):
         f"FROM iceberg_scan('{root}') WHERE id = 1",
     )
     assert got == [(1, '{"a":1,"n":{"x":0.5},"s":"x1"}')]
+
+
+def test_get_json_object_pushdown_string_leaf(spark, tmp_path):
+    """r13: get_json_object over a typed-only STRING leaf is served
+    natively (a JSON string value renders as its raw string); other
+    leaves keep the surface expression, value-identical."""
+    root, _ = _typed_table(tmp_path)
+    got = _rows(
+        spark,
+        "SELECT count(get_json_object(v, '$.s')) AS n, "
+        "max(get_json_object(v, '$.s')) AS m, "
+        "max(get_json_object(v, '$.a')) AS a "
+        f"FROM iceberg_scan('{root}')",
+    )
+    assert got == [(8, "x7", "99")]
+    _, plan = _plan(
+        spark,
+        "SELECT count(get_json_object(v, '$.s')) AS n "
+        f"FROM iceberg_scan('{root}')",
+    )
+    assert "ArrowEvalPython" not in plan
