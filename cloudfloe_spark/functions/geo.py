@@ -1,0 +1,156 @@
+"""WKB geometry helpers over the v3 ``geometry``/``geography`` surface.
+
+The engine reads Iceberg v3 geo columns as their PHYSICAL form — raw
+WKB bytes as BINARY (``sources/iceberg_meta.py`` r12; the reference has
+no geo support at all, so this is envelope-completeness). This module
+adds the minimal spatial surface a pipeline needs WITHOUT a geo
+library: an Arrow-batched WKB parser producing the geometry type, the
+point count, and the 2-D envelope (bbox), plus the point-XY fast path.
+
+Format (PUBLIC, OGC 99-049 / ISO SQL/MM §3): byte 0 endianness
+(0 big / 1 little), uint32 geometry type, payload per type:
+
+- Point (1): 2·float64 (x, y)
+- LineString (2): uint32 n, n·point
+- Polygon (3): uint32 nrings, per ring uint32 n + n·point
+- MultiPoint/MultiLineString/MultiPolygon/GeometryCollection (4-7):
+  uint32 n, n embedded full WKB geometries (each with its own byte
+  order)
+
+Dimension variants are handled by SKIPPING the extra ordinates: ISO
+codes (type % 1000 = base, type // 1000 ∈ {1 Z, 2 M, 3 ZM}) and EWKB
+flags (0x80000000 Z, 0x40000000 M, 0x20000000 SRID — SRID payload
+skipped). The envelope is always the XY plane.
+
+Like every decoder in this package the parser is built inside a
+factory so cloudpickle ships it BY VALUE to Arrow workers that never
+import ``cloudfloe_spark``; only stdlib names are referenced.
+"""
+
+from __future__ import annotations
+
+_GEOM_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+    5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION",
+}
+
+
+def _build_wkb_parser():
+    """Factory for the self-contained WKB envelope parser:
+    ``parse(buf) -> (type_name, npoints, xmin, ymin, xmax, ymax)``."""
+    import struct as _struct
+
+    names = {
+        1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+        5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION",
+    }
+
+    def _geom(buf, pos, acc):
+        """Parse one full WKB geometry at ``pos``; extend ``acc`` (the
+        flat [x0, y0, x1, y1, ...] list); return (base_type, new_pos)."""
+        if pos + 5 > len(buf):
+            raise ValueError("WKB truncated (header)")
+        bo = "<" if buf[pos] == 1 else ">"
+        (raw_t,) = _struct.unpack_from(bo + "I", buf, pos + 1)
+        pos += 5
+        # EWKB flags
+        has_z = bool(raw_t & 0x80000000)
+        has_m = bool(raw_t & 0x40000000)
+        if raw_t & 0x20000000:  # SRID present
+            pos += 4
+        t = raw_t & 0x0FFFFFFF
+        # ISO dimension codes
+        if t >= 1000:
+            dim_code, t = divmod(t, 1000)
+            has_z = has_z or dim_code in (1, 3)
+            has_m = has_m or dim_code in (2, 3)
+        extra = (1 if has_z else 0) + (1 if has_m else 0)
+        step = 8 * (2 + extra)
+        if t not in names:
+            raise ValueError(f"WKB geometry type {t} not supported")
+
+        def _points(n, p):
+            if p + n * step > len(buf):
+                raise ValueError("WKB truncated (points)")
+            for i in range(n):
+                x, y = _struct.unpack_from(bo + "dd", buf, p + i * step)
+                acc.append(x)
+                acc.append(y)
+            return p + n * step
+
+        if t == 1:  # Point
+            return t, _points(1, pos)
+        if t == 2:  # LineString
+            (n,) = _struct.unpack_from(bo + "I", buf, pos)
+            return t, _points(n, pos + 4)
+        if t == 3:  # Polygon
+            (nr,) = _struct.unpack_from(bo + "I", buf, pos)
+            p = pos + 4
+            for _ in range(nr):
+                (n,) = _struct.unpack_from(bo + "I", buf, p)
+                p = _points(n, p + 4)
+            return t, p
+        # Multi* / GeometryCollection: n embedded full geometries
+        (n,) = _struct.unpack_from(bo + "I", buf, pos)
+        p = pos + 4
+        for _ in range(n):
+            _, p = _geom(buf, p, acc)
+        return t, p
+
+    def parse(buf):
+        acc: list = []
+        t, _end = _geom(bytes(buf), 0, acc)
+        xs = acc[0::2]
+        ys = acc[1::2]
+        if not xs:  # EMPTY geometry (n = 0)
+            return names[t], 0, None, None, None, None
+        return (
+            names[t], len(xs), min(xs), min(ys), max(xs), max(ys)
+        )
+
+    return parse
+
+
+#: shared driver-side instance (tests, fixtures)
+parse_wkb_envelope = _build_wkb_parser()
+
+
+def wkb_envelope_udf():
+    """Arrow-batched pandas UDF: WKB BINARY column → ``struct<
+    geom_type string, npoints int, xmin double, ymin double,
+    xmax double, ymax double>`` (NULL input → NULL struct)."""
+    from pyspark.sql.functions import pandas_udf
+
+    parse = _build_wkb_parser()
+
+    def _conv(s):
+        import pandas as pd
+
+        out = {k: [] for k in
+               ("geom_type", "npoints", "xmin", "ymin", "xmax", "ymax")}
+        for b in s:
+            if b is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            t, n, x0, y0, x1, y1 = parse(b)
+            out["geom_type"].append(t)
+            out["npoints"].append(n)
+            out["xmin"].append(x0)
+            out["ymin"].append(y0)
+            out["xmax"].append(x1)
+            out["ymax"].append(y1)
+        return pd.DataFrame(out)
+
+    return pandas_udf(
+        _conv,
+        "geom_type STRING, npoints INT, xmin DOUBLE, ymin DOUBLE, "
+        "xmax DOUBLE, ymax DOUBLE",
+    )
+
+
+def encode_wkb_point(x: float, y: float) -> bytes:
+    """Fixture/test helper: little-endian 2-D WKB point."""
+    import struct as _struct
+
+    return b"\x01\x01\x00\x00\x00" + _struct.pack("<dd", x, y)

@@ -226,3 +226,115 @@ def mm_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 2)
     )
+
+
+@register(
+    "iceberg_geometry_bbox_scan",
+    oracle="""
+        SELECT lang,
+               count(*) AS n,
+               min(CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
+                   AS xmin,
+               max(CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
+                   AS xmax,
+               min(CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
+                   AS ymin,
+               max(CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
+                   AS ymax
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("iceberg", "v3", "geometry", "wkb"),
+)
+def iceberg_geometry_bbox_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v3 GEOMETRY envelope aggregation driver-checked (r13): the
+    fixture writes a WKB POINT per document (coordinates synthesized
+    deterministically from doc_id / n_chars — exact dyadic doubles),
+    declares the column ``geometry(srid:4326)``, and the query decodes
+    the raw-WKB surface with the Arrow-batched envelope UDF
+    (``functions/geo.py`` — pure stdlib WKB parsing, OGC layout) into a
+    per-lang bbox. The oracle recomputes the same coordinates
+    arithmetically — a byte-order, offset, or truncation bug in the
+    parser shifts every envelope.
+
+    Scale shape: one Arrow pass over the geometry bytes (blobs never
+    shuffle; the exchange carries only (lang, 4 doubles) partials)."""
+    import hashlib
+    import os
+    import shutil
+
+    from cloudfloe_spark.functions.geo import (
+        encode_wkb_point,
+        wkb_envelope_udf,
+    )
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"geobbox1|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_geobbox", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        geos = [
+            encode_wkb_point(
+                float(r["doc_id"] % 360) - 180.0 + 0.25,
+                float(r["n_chars"] % 180) - 90.0 + 0.5,
+            )
+            for r in rows
+        ]
+        data = pa.table(
+            {
+                "doc_id": pa.array(
+                    [r["doc_id"] for r in rows], pa.int64()
+                ),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "geo": pa.array(geos, pa.binary()),
+            }
+        )
+        t = LocalIcebergTable(root, data.schema)
+        t.append_snapshot([data], timestamp_ms=1700000000000)
+        meta = im.load_metadata(root)
+        for sch in meta["schemas"]:
+            for f in sch["fields"]:
+                if f["name"] == "geo":
+                    f["type"] = "geometry(srid:4326)"
+        meta["format-version"] = 3
+        write_next_metadata_version(root, meta)
+        with open(done, "w") as f:
+            f.write("ok")
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT lang, geo FROM iceberg_scan('{root}')"
+        )
+    )
+    env = df.withColumn("e", wkb_envelope_udf()(F.col("geo")))
+    return env.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("e.xmin").alias("xmin"),
+        F.max("e.xmax").alias("xmax"),
+        F.min("e.ymin").alias("ymin"),
+        F.max("e.ymax").alias("ymax"),
+    )

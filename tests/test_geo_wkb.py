@@ -1,0 +1,139 @@
+"""WKB envelope parsing over the v3 geometry surface (r13): golden
+byte vectors hand-assembled from the OGC WKB layout — never captured
+from the parser — plus the Spark UDF path over an Iceberg geometry
+table."""
+
+from __future__ import annotations
+
+import struct
+
+import pyarrow as pa
+import pytest
+
+from cloudfloe_spark.functions.geo import (
+    encode_wkb_point,
+    parse_wkb_envelope,
+    wkb_envelope_udf,
+)
+
+LE = b"\x01"
+BE = b"\x00"
+
+
+def _le(t, payload):
+    return LE + struct.pack("<I", t) + payload
+
+
+def test_point_le_and_be():
+    assert parse_wkb_envelope(encode_wkb_point(1.5, -2.25)) == (
+        "POINT", 1, 1.5, -2.25, 1.5, -2.25
+    )
+    be = BE + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    assert parse_wkb_envelope(be) == ("POINT", 1, 3.0, 4.0, 3.0, 4.0)
+
+
+def test_linestring_envelope():
+    pts = [(0.0, 0.0), (2.0, -1.0), (1.0, 5.0)]
+    payload = struct.pack("<I", 3) + b"".join(
+        struct.pack("<dd", x, y) for x, y in pts
+    )
+    assert parse_wkb_envelope(_le(2, payload)) == (
+        "LINESTRING", 3, 0.0, -1.0, 2.0, 5.0
+    )
+
+
+def test_polygon_with_hole():
+    outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (1.0, 1.0)]
+    payload = struct.pack("<I", 2)
+    for ring in (outer, hole):
+        payload += struct.pack("<I", len(ring)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in ring
+        )
+    assert parse_wkb_envelope(_le(3, payload)) == (
+        "POLYGON", 8, 0.0, 0.0, 4.0, 4.0
+    )
+
+
+def test_multipoint_mixed_endianness():
+    p1 = encode_wkb_point(-1.0, 2.0)
+    p2 = BE + struct.pack(">I", 1) + struct.pack(">dd", 7.0, -3.0)
+    payload = struct.pack("<I", 2) + p1 + p2
+    assert parse_wkb_envelope(_le(4, payload)) == (
+        "MULTIPOINT", 2, -1.0, -3.0, 7.0, 2.0
+    )
+
+
+def test_iso_z_point_skips_third_ordinate():
+    # ISO code 1001 = Point Z: three doubles, envelope stays XY
+    payload = struct.pack("<ddd", 1.0, 2.0, 99.0)
+    assert parse_wkb_envelope(_le(1001, payload)) == (
+        "POINT", 1, 1.0, 2.0, 1.0, 2.0
+    )
+
+
+def test_ewkb_srid_and_z_flags():
+    # EWKB: Z flag + SRID flag, srid payload skipped
+    t = 1 | 0x80000000 | 0x20000000
+    buf = LE + struct.pack("<I", t) + struct.pack("<I", 4326)
+    buf += struct.pack("<ddd", 5.0, 6.0, 7.0)
+    assert parse_wkb_envelope(buf) == ("POINT", 1, 5.0, 6.0, 5.0, 6.0)
+
+
+def test_rejects_truncated_and_unknown():
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wkb_envelope(encode_wkb_point(1.0, 2.0)[:-1])
+    with pytest.raises(ValueError, match="not supported"):
+        parse_wkb_envelope(_le(99, b""))
+
+
+def test_udf_over_iceberg_geometry_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+
+    root = str(tmp_path / "geo")
+    wkbs = [encode_wkb_point(float(i), float(-i)) for i in range(5)]
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("geo", pa.binary())])
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array(list(range(5)), pa.int64()),
+                    "geo": pa.array(wkbs + [], pa.binary()),
+                }
+            )
+        ],
+        timestamp_ms=1700000000000,
+    )
+    meta = im.load_metadata(root)
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            if f["name"] == "geo":
+                f["type"] = "geometry(srid:4326)"
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+    sess = spark.newSession()
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT id, geo FROM iceberg_scan('{root}')"
+        )
+    )
+    env = df.withColumn("e", wkb_envelope_udf()(F.col("geo")))
+    row = env.agg(
+        F.min("e.xmin").alias("x0"),
+        F.max("e.xmax").alias("x1"),
+        F.min("e.ymin").alias("y0"),
+        F.max("e.ymax").alias("y1"),
+        F.count_distinct("e.geom_type").alias("t"),
+    ).first()
+    assert (row["x0"], row["x1"], row["y0"], row["y1"], row["t"]) == (
+        0.0, 4.0, -4.0, 0.0, 1
+    )
