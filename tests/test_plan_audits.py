@@ -697,3 +697,28 @@ def test_variant_typed_pushdown_plan_has_no_python(spark, sf_dir):
     assert "pythonudf" not in plan.lower(), plan
     flat = plan.replace(" ", "")
     assert "typed_value" in flat  # the native subfield path is read
+
+
+def test_geometry_bbox_blobs_never_shuffle(spark, sf_dir):
+    """r13: the WKB envelope aggregation decodes blobs BEFORE the only
+    exchange — the shuffle carries (lang, 4-double partials), never
+    geometry bytes."""
+    df = CATALOG["iceberg_geometry_bbox_scan"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "ArrowEvalPython" in plan, plan
+    # partial aggregation sits between the decode and the exchange:
+    # in the numbered formatted plan the Arrow decode node is BELOW
+    # (appears after) the Exchange node in the tree listing
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Exchange") < tree.index("ArrowEvalPython"), tree
+
+
+def test_variant_dml_scan_is_exchange_free(spark, sf_dir):
+    """r13: the post-DML variant scan is a pure projection — one Arrow
+    decode pass, zero exchanges (deletes apply as broadcast anti-joins
+    against coordinate sets, never row shuffles)."""
+    df = CATALOG["iceberg_variant_dml_scan"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 0, plan
+    assert not has_cartesian_or_bnl(df), plan
