@@ -178,6 +178,9 @@ HEADLINE = [
     # Python in the plan).
     "iceberg_variant_dml_scan",
     "iceberg_variant_typed_pushdown",
+    # the geometry envelope read (Arrow WKB decode before the only
+    # exchange; blobs never shuffle)
+    "iceberg_geometry_bbox_scan",
 ]
 
 

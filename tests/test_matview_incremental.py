@@ -943,3 +943,57 @@ def test_left_join_dim_delta_falls_back_to_full(spark, tmp_path):
         spark, f"SELECT id, name FROM iceberg_scan('{troot}') ORDER BY id"
     )
     assert got2 == [(2, "BLUE")]
+
+
+def test_matview_over_variant_base(spark, tmp_path):
+    """r13: a materialized view over a VARIANT base table — the stored
+    SQL extracts from the decoded JSON surface, the target is a plain
+    typed table, and a refresh after variant DML reproduces the view
+    exactly (full path: the extraction is a function of the variant
+    column, outside the incremental shapes — sound fallback)."""
+    from cloudfloe_spark.functions.variant import encode_variant
+
+    objs = [
+        {"k": i, "tag": "even" if i % 2 == 0 else "odd"}
+        for i in range(8)
+    ]
+    col = pa.array(
+        [
+            dict(zip(("metadata", "value"), encode_variant(o)))
+            for o in objs
+        ],
+        pa.struct([("metadata", pa.binary()), ("value", pa.binary())]),
+    )
+    base = str(tmp_path / "b")
+    tb = pa.table(
+        {"id": pa.array(list(range(8)), pa.int64()), "v": col}
+    )
+    t = LocalIcebergTable(base, tb.schema, variant_cols=("v",))
+    t.append_snapshot([tb], timestamp_ms=T1)
+    view = str(tmp_path / "view")
+    tgt = str(tmp_path / "tgt")
+    create_iceberg_view(
+        view,
+        "SELECT get_json_object(v, '$.tag') AS tag, count(*) AS n "
+        f"FROM iceberg_scan('{base}') GROUP BY tag",
+        timestamp_ms=T1 + 500,
+    )
+    materialize_iceberg_view(
+        spark, view, tgt, timestamp_ms=T1 + 1000, key_cols=["tag"]
+    )
+    assert _rows(
+        spark, f"SELECT * FROM iceberg_scan('{tgt}') ORDER BY tag"
+    ) == [("even", 4), ("odd", 4)]
+    delete_where(
+        spark, base, "get_json_object(v, '$.k') = 0",
+        timestamp_ms=T1 + 2000,
+    )
+    update_where(
+        spark, base, "id = 1",
+        {"v": "to_json(named_struct('k', 1, 'tag', 'even'))"},
+        timestamp_ms=T1 + 3000,
+    )
+    refresh_materialized_view(spark, view, tgt, timestamp_ms=T1 + 4000)
+    assert _rows(
+        spark, f"SELECT * FROM iceberg_scan('{tgt}') ORDER BY tag"
+    ) == [("even", 4), ("odd", 3)]
