@@ -1136,8 +1136,9 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
         ns_cols = im.ns_timestamp_columns(
             im.load_metadata(root, metadata_path)
         )
+        added_plain, added_shred = list(added), []
         if added and variant_cols:
-            _, vshred, verr = im.variant_shred_groups(
+            added_plain, added_shred, verr = im.variant_shred_groups(
                 added, variant_cols,
                 name_history=im.schema_name_history(root, metadata_path),
             )
@@ -1146,30 +1147,69 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
                     "iceberg_changes: variant read failed: "
                     + "; ".join(sorted(set(verr)))
                 )
-            if vshred:
-                raise bad_request(
-                    "iceberg_changes: the range appended SHREDDED "
-                    "variant files — the append feed supports "
-                    "unshredded variant only; rewrite the shredded "
-                    "files with a shredding-aware engine"
-                )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("changes", root, (from_id, to_id))
     if added:
-        df = sess.read.parquet(*added)
-        if pos_deletes:
-            df = _apply_position_deletes(sess, df, pos_deletes)
-        if eq_deletes:
-            df = _apply_equality_deletes(
-                sess, df, eq_deletes, field_names, file_seqs
-            )
-        if variant_cols:
-            from cloudfloe_spark.functions.variant import (
-                decode_variant_columns as _dvc,
+        from pyspark.sql import functions as F
+
+        from cloudfloe_spark.functions.variant import (
+            decode_variant_columns as _dvc,
+        )
+
+        def _feed(paths, descs):
+            d = sess.read.parquet(*paths)
+            if pos_deletes:
+                d = _apply_position_deletes(sess, d, pos_deletes)
+            if eq_deletes:
+                d = _apply_equality_deletes(
+                    sess, d, eq_deletes, field_names, file_seqs
+                )
+            if descs:
+                # r13: SHREDDED appends (a foreign shredding writer's
+                # files) reassemble to the same canonical-JSON surface
+                from cloudfloe_spark.functions.variant import (
+                    decode_shredded_variant_columns,
+                )
+
+                d = decode_shredded_variant_columns(d, descs)
+            if variant_cols:
+                plain_vc = [
+                    c
+                    for c in variant_cols
+                    if c in d.columns and c not in (descs or {})
+                ]
+                if plain_vc:
+                    d = _dvc(d, plain_vc)
+            return d
+
+        if added_shred:
+            # mixed footer shapes: align every part to the table schema
+            read_pairs = im.schema_read_pairs(
+                root, metadata_path,
+                variant_as="string", ns_as="physical",
             )
 
-            df = _dvc(df, [c for c in variant_cols if c in df.columns])
+            def _aligned(d):
+                return d.select(
+                    *[
+                        F.lit(None).cast(_ct).alias(_cn)
+                        if _cn not in d.columns
+                        else F.col(_cn).cast(_ct).alias(_cn)
+                        for _cn, _ct in read_pairs
+                    ]
+                )
+
+            parts = []
+            if added_plain:
+                parts.append(_aligned(_feed(added_plain, None)))
+            for spaths, descs in added_shred:
+                parts.append(_aligned(_feed(spaths, descs)))
+            df = parts[0]
+            for p_ in parts[1:]:
+                df = df.unionByName(p_)
+        else:
+            df = _feed(added_plain, None)
         df = _surface_ns(df, ns_cols)
     else:  # no files appended in the range — zero rows, right columns
         df = sess.createDataFrame([], schema_ddl)
@@ -1433,9 +1473,10 @@ def _cdc_frame(
             if vshred:
                 raise bad_request(
                     "iceberg_cdc: the range touches SHREDDED variant "
-                    "files — the changelog supports unshredded variant "
-                    "only; rewrite the shredded files with a "
-                    "shredding-aware engine"
+                    "files — CDC netting supports unshredded variant "
+                    "only; compact_iceberg_table normalizes the layout, "
+                    "or use iceberg_changes for an append-only range "
+                    "(it reads shredded appends)"
                 )
         keys = (
             [k.strip() for k in key_cols.split(",")] if key_cols else []

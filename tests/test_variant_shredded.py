@@ -493,9 +493,10 @@ def test_compaction_shredded_preserves_typed_fidelity(spark, tmp_path):
 
 
 def test_cdc_over_shredded_files_rejects_precisely(spark, tmp_path):
-    """The changelog supports unshredded variant only — a range
-    touching SHREDDED files 400s pointing at compaction, never nets
-    mixed physical shapes."""
+    """CDC NETTING supports unshredded variant only — a range touching
+    SHREDDED files 400s naming the remedies. The append feed
+    (iceberg_changes) READS shredded appends (r13) — covered by
+    test_changes_feed_reads_shredded_appends."""
     root, t = _shredded_table(tmp_path, OBJS[:3], SHRED, name="cdc")
     s0 = im.resolve_snapshot(root)["snapshot-id"]
     col2 = shred_rows(OBJS[5:6], SHRED)
@@ -508,11 +509,12 @@ def test_cdc_over_shredded_files_rejects_precisely(spark, tmp_path):
         _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
     assert ei.value.status_code == 400
     assert "SHREDDED" in str(ei.value)
-    with pytest.raises(CloudfloeError) as ei2:
-        _rows(
-            spark, f"SELECT * FROM iceberg_changes('{root}', {s0}, {s1})"
-        )
-    assert "SHREDDED" in str(ei2.value)
+    # the suggested remedy works: the append feed reads the same range
+    got = _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_changes('{root}', {s0}, {s1})",
+    )
+    assert got == [(9, _expected_json(OBJS[5:6])[0])]
 
 
 def test_compaction_passthrough_on_unshredded_variant(spark, tmp_path):
@@ -592,4 +594,63 @@ def test_shredded_us_timestamp_null_leaf_falls_to_residual(spark, tmp_path):
     assert got == [
         (0, '"2024-05-06 07:08:09.123456"'),
         (1, '"fallback"'),
+    ]
+
+
+def test_changes_feed_reads_shredded_appends(spark, tmp_path):
+    """r13: the append feed (`iceberg_changes`) reads SHREDDED appended
+    files — a foreign shredding writer's appends reassemble to the same
+    canonical-JSON surface; mixed shredded + unshredded appends in one
+    range align and union."""
+    root, t = _shredded_table(tmp_path, OBJS[:2], SHRED, name="feed")
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    # shredded append
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([10, 11], pa.int64()),
+                    "v": shred_rows(OBJS[2:4], SHRED),
+                }
+            )
+        ],
+        timestamp_ms=T1 + 1000,
+    )
+    # unshredded append in the same range
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([20], pa.int64()),
+                    "v": pa.array(
+                        [
+                            dict(
+                                zip(
+                                    ("metadata", "value"),
+                                    encode_variant({"plain": 1}),
+                                )
+                            )
+                        ],
+                        pa.struct(
+                            [
+                                ("metadata", pa.binary()),
+                                ("value", pa.binary()),
+                            ]
+                        ),
+                    ),
+                }
+            )
+        ],
+        timestamp_ms=T1 + 2000,
+    )
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_changes('{root}', {s0}, {s1}) "
+        "ORDER BY id",
+    )
+    assert got == [
+        (10, _expected_json(OBJS[2:3])[0]),
+        (11, _expected_json(OBJS[3:4])[0]),
+        (20, '{"plain":1}'),
     ]
