@@ -398,26 +398,39 @@ def _build_encoder():
             for tid, w in ((3, 1), (4, 2), (5, 4), (6, 8)):
                 if -(1 << (8 * w - 1)) <= obj < (1 << (8 * w - 1)):
                     return prim(tid, obj.to_bytes(w, "little", signed=True))
-            raise ValueError(f"variant int {obj} exceeds int64")
+            # beyond int64 (a JSON integer literal can be arbitrarily
+            # wide): the spec has no wider int id — ride decimal16
+            # (scale 0, ±2^127), else the double fallback below
+            obj = Decimal(obj)
         if isinstance(obj, float):
             return prim(7, struct.pack("<d", obj))
         if isinstance(obj, Decimal):
+            # digit-exact normalization WITHOUT quantize/scaleb (both
+            # are context-precision-bound and raise InvalidOperation on
+            # wide values like 1E+300 — found by the round-trip fuzz)
             sign, digits, exp = obj.as_tuple()
-            if exp > 0:  # normalize 1E+2 → scale-0 unscaled 100
-                obj = obj.quantize(Decimal(1))
-                sign, digits, exp = obj.as_tuple()
-            scale = -exp
-            if not 0 <= scale <= 255:
-                raise ValueError(f"variant decimal scale {scale} out of range")
-            unscaled = int(obj.scaleb(scale))
-            for tid, w in ((8, 4), (9, 8), (10, 16)):
-                if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
-                    return prim(
-                        tid,
-                        bytes([scale])
-                        + unscaled.to_bytes(w, "little", signed=True),
-                    )
-            raise ValueError("variant decimal exceeds decimal16")
+            if not isinstance(exp, int):  # NaN/Inf markers
+                return prim(7, struct.pack("<d", float(obj)))
+            unscaled = int("".join(map(str, digits)) or "0")
+            if sign:
+                unscaled = -unscaled
+            if exp > 0:  # integral with trailing zeros → scale 0
+                unscaled *= 10 ** exp
+                scale = 0
+            else:
+                scale = -exp
+            if 0 <= scale <= 255:
+                for tid, w in ((8, 4), (9, 8), (10, 16)):
+                    if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
+                        return prim(
+                            tid,
+                            bytes([scale])
+                            + unscaled.to_bytes(w, "little", signed=True),
+                        )
+            # beyond decimal16 precision or scale range: the value is
+            # only representable as a double — lossy past 2^127 / 1e-255,
+            # exactly like JSON consumers that parse numbers as doubles
+            return prim(7, struct.pack("<d", float(obj)))
         if isinstance(obj, datetime.datetime):
             if obj.tzinfo is not None:
                 us = (

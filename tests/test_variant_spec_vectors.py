@@ -280,3 +280,89 @@ def test_json_object_members_in_name_order():
 
 def test_null_pair_is_sql_null():
     assert variant_to_json(None, None) is None
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: encode → decode round-trip over random JSON-ish trees
+# ---------------------------------------------------------------------------
+
+
+def _json_scalars():
+    from hypothesis import strategies as st
+
+    return st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=80),
+    )
+
+
+def _json_trees():
+    from hypothesis import strategies as st
+
+    return st.recursive(
+        _json_scalars(),
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=6),
+            st.dictionaries(st.text(max_size=12), kids, max_size=6),
+        ),
+        max_leaves=25,
+    )
+
+
+def test_encode_decode_roundtrip_fuzz():
+    """Any JSON-representable tree survives encode → decode EXACTLY
+    (the decoder returns the same Python values the encoder consumed;
+    lists come back as lists, dict keys complete)."""
+    from hypothesis import given, settings
+
+    from cloudfloe_spark.functions import variant as V
+
+    names_decode = V._build_codec()
+
+    @settings(max_examples=300, deadline=None)
+    @given(_json_trees())
+    def run(obj):
+        md, val = V.encode_variant(obj)
+        metadata_names, decode_at = names_decode[0], names_decode[1]
+        got = decode_at(metadata_names(md), val, 0)
+
+        def norm(x):
+            if isinstance(x, tuple):
+                return [norm(e) for e in x]
+            if isinstance(x, list):
+                return [norm(e) for e in x]
+            if isinstance(x, dict):
+                return {k: norm(v) for k, v in x.items()}
+            return x
+
+        assert norm(got) == norm(obj)
+
+    run()
+
+
+def test_json_text_roundtrip_fuzz():
+    """The DML write path's exact contract: JSON text → encode (via the
+    UDF's parse rules, Decimal floats) → canonical JSON → re-parse is a
+    fixpoint (parsing the canonical output and re-encoding yields the
+    same canonical text)."""
+    import json
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+
+    from cloudfloe_spark.functions import variant as V
+
+    @settings(max_examples=200, deadline=None)
+    @given(_json_trees())
+    def run(obj):
+        txt = json.dumps(obj)
+        o1 = json.loads(txt, parse_float=Decimal)
+        c1 = V.variant_to_json(*V.encode_variant(o1))
+        o2 = json.loads(c1, parse_float=Decimal)
+        c2 = V.variant_to_json(*V.encode_variant(o2))
+        assert c1 == c2
+
+    run()
