@@ -1235,6 +1235,45 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     )
     assert ares2["mode"] == "incremental", ares2
     assert ares2["row_count"] == base_rows + _CDC_FILE_ROWS, ares2
+
+    # (s) ns MOR UPDATE (r13, VERDICT r12 #5): rewritten rows route
+    # through the pyarrow executor write so files keep the ns logical
+    # type — cost must be sized by the MATCH COUNT (constant here: one
+    # file's worth of ids), not the table.
+    n2root = os.path.join(out_dir, f"nsdml_x{n}", "t")
+    shutil.rmtree(os.path.dirname(n2root), ignore_errors=True)
+    n2t = _LIT(
+        n2root,
+        pa_.schema([("id", pa_.int64()), ("ts", pa_.timestamp("ns"))]),
+    )
+    n2t.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _CDC_FILE_ROWS,
+                        (j + 1) * _CDC_FILE_ROWS,
+                        dtype="int64",
+                    ),
+                    "ts": (
+                        1_700_000_000_000_000_000
+                        + np_.arange(_CDC_FILE_ROWS, dtype="int64") * 1000
+                        + 3
+                    ).view("datetime64[ns]"),
+                }
+            )
+            for j in range(_CDC_BASE_FILES * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    t0 = time.perf_counter()
+    ures = update_where(
+        spark, n2root, f"id < {_CDC_FILE_ROWS}",
+        {"id": "id + 1000000000"},
+        timestamp_ms=_T0 + 1000,
+    )
+    timings["ns_mor_update"] = round(time.perf_counter() - t0, 3)
+    assert ures["matched"] == _CDC_FILE_ROWS, ures
     return timings
 
 
