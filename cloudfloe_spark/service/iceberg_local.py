@@ -1424,12 +1424,28 @@ def _cdc_frame(
         ns_cols = im.ns_timestamp_columns(
             im.load_metadata(root, metadata_path)
         )
+        # r13: SHREDDED variant files among the ADDED set read as their
+        # own footer-inferred groups (a foreign shredding writer's
+        # appends) — the explicit physical DDL would silently drop
+        # typed_value. Shredded files on the RETRACTION side stay a
+        # precise 400 below.
+        added_plain = list(added)
+        added_shred: list = []
+        if variant_cols and added:
+            added_plain, added_shred, _verr_a = im.variant_shred_groups(
+                added, variant_cols, name_history=name_hist
+            )
+            if _verr_a:
+                raise bad_request(
+                    "iceberg_cdc: variant read failed: "
+                    + "; ".join(sorted(set(_verr_a)))
+                )
         added_groups = (
             im.scan_groups(
-                root, added, metadata_path,
+                root, added_plain, metadata_path,
                 variant_as="physical", ns_as="physical",
             )
-            if added
+            if added_plain
             else []
         )
         carried_scan = carried
@@ -1456,14 +1472,11 @@ def _cdc_frame(
             if carried_scan and (pos_new or eq_new or dv_new_positions)
             else []
         )
-        if variant_cols:
-            probe_paths = list(added) + (
-                list(carried_scan)
-                if carried_scan and (pos_new or eq_new or dv_new_positions)
-                else []
-            )
+        if variant_cols and carried_scan and (
+            pos_new or eq_new or dv_new_positions
+        ):
             _, vshred, verr = im.variant_shred_groups(
-                probe_paths, variant_cols, name_history=name_hist
+                carried_scan, variant_cols, name_history=name_hist
             )
             if verr:
                 raise bad_request(
@@ -1472,11 +1485,10 @@ def _cdc_frame(
                 )
             if vshred:
                 raise bad_request(
-                    "iceberg_cdc: the range touches SHREDDED variant "
-                    "files — CDC netting supports unshredded variant "
-                    "only; compact_iceberg_table normalizes the layout, "
-                    "or use iceberg_changes for an append-only range "
-                    "(it reads shredded appends)"
+                    "iceberg_cdc: the range RETRACTS rows from SHREDDED "
+                    "variant files — CDC netting supports unshredded "
+                    "retraction sides only; compact_iceberg_table "
+                    "normalizes the layout first"
                 )
         keys = (
             [k.strip() for k in key_cols.split(",")] if key_cols else []
@@ -1608,6 +1620,69 @@ def _cdc_frame(
                     g, [c for c in variant_cols if c in g.columns]
                 )
             ins_parts.append(g)
+        if added_shred:
+            # r13: shredded appended files reassemble to the canonical
+            # JSON surface and align to the table schema for the union
+            if want_rid:
+                raise bad_request(
+                    "iceberg_cdc: shredded appends on a row-lineage / "
+                    "'_row_id'-paired range are not supported — "
+                    "compact_iceberg_table normalizes the layout first"
+                )
+            from cloudfloe_spark.functions.variant import (
+                decode_shredded_variant_columns,
+            )
+            from cloudfloe_spark.functions.variant import (
+                decode_variant_columns as _dvc_s,
+            )
+
+            read_pairs = im.schema_read_pairs(
+                root, metadata_path,
+                variant_as="string", ns_as="physical",
+            )
+            for spaths, descs in added_shred:
+                g = sess.read.parquet(*spaths)
+                if pos_new:
+                    g = _apply_position_deletes(
+                        sess, g, [r["path"] for r in pos_new]
+                    )
+                if dv_to_records:
+                    added_sufs = {
+                        p.rsplit("/data/", 1)[-1] for p in added
+                    }
+                    dv_added = [
+                        r
+                        for r in dv_to_records
+                        if r["referenced_data_file"].rsplit(
+                            "/data/", 1
+                        )[-1]
+                        in added_sufs
+                    ]
+                    if dv_added:
+                        g = _apply_deletion_vectors(sess, g, dv_added)
+                if eq_new:
+                    g = _apply_equality_deletes(
+                        sess, g, eq_new, field_names,
+                        {p: live_to[p] for p in added},
+                        renames={}, name_history={},
+                    )
+                g = decode_shredded_variant_columns(g, descs)
+                plain_vc = [
+                    c
+                    for c in variant_cols
+                    if c in g.columns and c not in descs
+                ]
+                if plain_vc:
+                    g = _dvc_s(g, plain_vc)
+                g = g.select(
+                    *[
+                        F.lit(None).cast(_ct).alias(_cn)
+                        if _cn not in g.columns
+                        else F.col(_cn).cast(_ct).alias(_cn)
+                        for _cn, _ct in read_pairs
+                    ]
+                )
+                ins_parts.append(g)
         ins = ins_parts[0]
         for g in ins_parts[1:]:
             ins = ins.unionByName(g)

@@ -492,11 +492,12 @@ def test_compaction_shredded_preserves_typed_fidelity(spark, tmp_path):
     assert _rows(spark, sql) == before
 
 
-def test_cdc_over_shredded_files_rejects_precisely(spark, tmp_path):
-    """CDC NETTING supports unshredded variant only — a range touching
-    SHREDDED files 400s naming the remedies. The append feed
-    (iceberg_changes) READS shredded appends (r13) — covered by
-    test_changes_feed_reads_shredded_appends."""
+def test_cdc_shredded_appends_read_retractions_reject(spark, tmp_path):
+    """r13: CDC reads SHREDDED files on the INSERT side (a foreign
+    shredding writer's appends decode to the canonical surface); a
+    range that RETRACTS rows from shredded files keeps a precise 400
+    (netting both physical shapes is not supported — compaction is the
+    remedy)."""
     root, t = _shredded_table(tmp_path, OBJS[:3], SHRED, name="cdc")
     s0 = im.resolve_snapshot(root)["snapshot-id"]
     col2 = shred_rows(OBJS[5:6], SHRED)
@@ -505,16 +506,29 @@ def test_cdc_over_shredded_files_rejects_precisely(spark, tmp_path):
         timestamp_ms=T1 + 1000,
     )
     s1 = im.resolve_snapshot(root)["snapshot-id"]
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s0}, {s1})")
-    assert ei.value.status_code == 400
-    assert "SHREDDED" in str(ei.value)
-    # the suggested remedy works: the append feed reads the same range
+    # insert-only range over a shredded append: reads
+    got = _rows(
+        spark,
+        "SELECT id, v, _change_type "
+        f"FROM iceberg_cdc('{root}', {s0}, {s1})",
+    )
+    assert got == [(9, _expected_json(OBJS[5:6])[0], "insert")]
+    # the append feed reads the same range too
     got = _rows(
         spark,
         f"SELECT id, v FROM iceberg_changes('{root}', {s0}, {s1})",
     )
     assert got == [(9, _expected_json(OBJS[5:6])[0])]
+    # retraction touching a shredded file: precise 400
+    base_file = sorted(
+        im.live_data_paths(root, im.resolve_snapshot(root))
+    )[0]
+    t.position_delete_snapshot([(base_file, 0)], timestamp_ms=T1 + 2000)
+    s2 = im.resolve_snapshot(root)["snapshot-id"]
+    with pytest.raises(CloudfloeError) as ei:
+        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s1}, {s2})")
+    assert ei.value.status_code == 400
+    assert "SHREDDED" in str(ei.value)
 
 
 def test_compaction_passthrough_on_unshredded_variant(spark, tmp_path):
