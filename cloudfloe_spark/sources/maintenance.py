@@ -445,22 +445,18 @@ def compact_iceberg_table(
     # rewrite read to it — a commit landing in between must not make them
     # disagree about which snapshot is being compacted.
     metadata_path = im.latest_metadata_path(root)
-    # Physical-form preservation (r12): ns timestamps refuse (Spark has
-    # no nanosecond parquet writer — a rewrite would silently demote
-    # the logical type); UNSHREDDED variant compacts via a PHYSICAL
+    # Physical-form preservation (r12/r13): ns timestamps read as raw
+    # longs and REWRITE through the pyarrow executor write
+    # (`_write_data_files_arrow_ns` — Spark's own writer would demote
+    # the ns logical type); UNSHREDDED variant compacts via a PHYSICAL
     # passthrough read (the (metadata, value) struct round-trips
-    # byte-faithfully); SHREDDED files refuse — this engine does not
-    # re-encode typed_value trees back to the binary form. Refusals
-    # happen BEFORE anything commits. (geometry/unknown round-trip:
-    # BINARY WKB and all-NULL survive a rewrite byte-faithfully.)
+    # byte-faithfully); SHREDDED files reassemble and re-encode
+    # UNSHREDDED (layout normalization). Remaining refusals happen
+    # BEFORE anything commits. (geometry/unknown round-trip: BINARY
+    # WKB and all-NULL survive a rewrite byte-faithfully.)
     _meta_now = im.load_metadata(root, metadata_path)
     _ns = im.ns_timestamp_columns(_meta_now)
-    if _ns:
-        raise ValueError(
-            "compact_iceberg_table: Spark cannot write nanosecond "
-            f"parquet timestamps — columns {sorted(_ns)} would demote "
-            "to the µs surface; rewrite with a ns-capable engine"
-        )
+    _ns_tz = _ns_tz_map(root, metadata_path, _ns) if _ns else None
     _variant = im.variant_columns(_meta_now)
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
     live = im.live_data_files(root, snap)
@@ -516,6 +512,7 @@ def compact_iceberg_table(
                 df = _mor_raw_scan(
                     sess, root, snap, _plain,
                     metadata_path=metadata_path, variant_as="physical",
+                    ns_as="physical" if _ns else None,
                 ).drop(_FP, _POS)
             if _shred:
                 from pyspark.sql import functions as _Fv
@@ -539,6 +536,7 @@ def compact_iceberg_table(
                 _fseqs = im.live_data_seqs(root, snap) if _eq else {}
                 _pairs = im.schema_read_pairs(
                     root, metadata_path, variant_as="physical",
+                    ns_as="physical" if _ns else None,
                 )
                 for _spaths, _descs in _shred:
                     gdf = sess.read.parquet(*_spaths)
@@ -566,10 +564,24 @@ def compact_iceberg_table(
         # (manifest first_row_id + position, or the previous rewrite's
         # materialized column) and write it as a materialized parquet
         # column; the rewritten entries carry no first_row_id and
-        # readers use the column.
+        # readers use the column. physical_v3 keeps ns columns as raw
+        # longs for the byte-exact rewrite (r13).
         df = row_lineage_scan(
-            sess, root, metadata_path=metadata_path, snapshot=snap
+            sess, root, metadata_path=metadata_path, snapshot=snap,
+            physical_v3=True,
         )
+    elif _ns:
+        # ns tables (r13, lifting the r12 refusal): read the raw
+        # nanosecond longs MOR-applied; the write below goes through
+        # the pyarrow executor writer so the ns logical type survives
+        _paths_ns = [
+            im._relocate(f["file_path"], im._norm_root(root))
+            for f in live
+        ]
+        df = _mor_raw_scan(
+            sess, root, snap, _paths_ns,
+            metadata_path=metadata_path, ns_as="physical",
+        ).drop(_FP, _POS)
     else:
         df = sess.table(
             _snapshot_view(
@@ -606,6 +618,11 @@ def compact_iceberg_table(
                     pt_exprs = []
                     break
                 pt_exprs.append(e)
+            if pt_exprs and _ns:
+                # ns tables skip partition fanout (the fanout path uses
+                # Spark's writer, which would demote the ns logical
+                # type) — sound: the files are simply never pruned
+                pt_exprs = []
             if pt_exprs:
                 pt_cols = [f"__cf_pt_{i}" for i in range(len(pt_exprs))]
                 fanned = df
@@ -647,15 +664,23 @@ def compact_iceberg_table(
             )
             if zcol:
                 w = w.drop(zcol)
-            w.write.mode("overwrite").parquet(out_dir)
         else:
-            df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
-        files = sorted(
-            globmod.glob(os.path.join(out_dir, "part-*.parquet"))
-        )
-        data_files = [
-            (p, pq.ParquetFile(p).metadata.num_rows) for p in files
-        ]
+            w = df.repartition(n_out)
+        if _ns:
+            # pyarrow executor write: the clustering (range partition +
+            # sort) above is preserved — n_rows=None writes one file
+            # per existing partition (r13, lifting the ns refusal)
+            data_files = _write_data_files_arrow_ns(
+                sess, w, None, None, out_dir, _ns_tz, mode="overwrite"
+            )
+        else:
+            w.write.mode("overwrite").parquet(out_dir)
+            files = sorted(
+                globmod.glob(os.path.join(out_dir, "part-*.parquet"))
+            )
+            data_files = [
+                (p, pq.ParquetFile(p).metadata.num_rows) for p in files
+            ]
     # Full-table rewrite (r10): rebases only when the live set is
     # untouched AND no delete file landed in between (a foreign MOR
     # delete's positions reference the files this rewrite replaces — the
@@ -1468,9 +1493,6 @@ def _write_data_files_arrow_ns(
     the plain sized write. The driver collects only ``(path, count)``
     per file. Partition fanout is skipped on this path (sound: the new
     files carry no partition tuple and are simply never pruned)."""
-    import pandas as _pd  # noqa: F401 — mapInPandas contract
-    from pyspark.sql.pandas.types import to_arrow_schema
-
     if mode == "overwrite":
         # streaming-replay recovery: a crash between write and commit
         # leaves a half-written dir the replayed epoch must supersede
@@ -1478,26 +1500,24 @@ def _write_data_files_arrow_ns(
 
         _shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    target = to_arrow_schema(df.schema)
     n_out = (
         max(1, -(-n_rows // rows_per_file)) if n_rows is not None else None
     )
     w = df.repartition(n_out) if n_out else df
 
+    # mapInArrow, NOT mapInPandas: Arrow batches keep nullable int64
+    # columns exact — the pandas bridge widens them to float64, which
+    # silently rounds ns longs above 2^53 (caught by the NULL-bearing
+    # ns compaction test)
     def _write_part(batches):
         import os as _os
         import uuid as _uuid_w
 
-        import pandas as pd
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         tables = [
-            _pa.Table.from_pandas(
-                pdf, schema=target, preserve_index=False
-            )
-            for pdf in batches
-            if len(pdf)
+            _pa.Table.from_batches([b]) for b in batches if b.num_rows
         ]
         if not tables:
             return
@@ -1512,9 +1532,14 @@ def _write_data_files_arrow_ns(
             out_dir, f"part-{_uuid_w.uuid4().hex}.parquet"
         )
         _pq.write_table(tbl, path)
-        yield pd.DataFrame({"path": [path], "count": [tbl.num_rows]})
+        yield _pa.RecordBatch.from_pylist(
+            [{"path": path, "count": tbl.num_rows}],
+            schema=_pa.schema(
+                [("path", _pa.string()), ("count", _pa.int64())]
+            ),
+        )
 
-    rows = w.mapInPandas(
+    rows = w.mapInArrow(
         _write_part, "path STRING, count BIGINT"
     ).collect()
     return sorted((r["path"], int(r["count"])) for r in rows)

@@ -341,13 +341,54 @@ def test_ns_mixed_precision_rejects_under_rename_too(spark, tmp_path):
     assert "µs→ns type promotion" in str(ei.value)
 
 
-def test_compaction_refuses_ns_tables(spark, ns_table):
-    """Soundness (r12 self-review): the rewrite would downgrade ns
-    columns to the µs surface — refuse before committing."""
-    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+def test_compaction_preserves_ns_precision(spark, ns_table):
+    """r13 (lifting the r12 refusal): compaction reads the raw ns longs
+    MOR-applied and rewrites through the pyarrow executor writer — the
+    consolidated files keep the ns logical type and every sub-µs digit
+    is byte-exact."""
+    import pyarrow.parquet as pq
 
-    root, _ = ns_table
-    s0 = im.resolve_snapshot(root)["snapshot-id"]
-    with pytest.raises(ValueError, match="nanosecond"):
-        compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
-    assert im.resolve_snapshot(root)["snapshot-id"] == s0
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+        delete_where,
+    )
+
+    root, t = ns_table
+    # a second small file + a MOR delete: compaction must fold both
+    extra_ns = [1700000000999999001]
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": [99],
+                    "ts": pa.array(extra_ns, pa.timestamp("ns")),
+                }
+            )
+        ],
+        timestamp_ms=T1 + 500,
+    )
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 1000)
+    sql = f"SELECT id, ts FROM iceberg_scan('{root}') ORDER BY id"
+    before = _rows(spark, sql)
+    res = compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    assert res["files_after"] <= res["files_before"] if isinstance(
+        res, dict
+    ) and "files_after" in res else True
+    assert _rows(spark, sql) == before
+    snap = im.resolve_snapshot(root)
+    live = im.live_data_paths(root, snap)
+    assert len(live) == 1  # consolidated
+    assert not im.position_delete_paths(root, snap)
+    lt = pq.read_table(live[0].removeprefix("file://"))
+    assert lt.schema.field("ts").type == pa.timestamp("ns")
+    got_ns = dict(
+        zip(
+            lt["id"].to_pylist(),
+            lt["ts"].cast(pa.int64()).to_pylist(),
+        )
+    )
+    expect = {
+        i + 1: v for i, v in enumerate(NS_VALUES) if i + 1 != 1
+    }
+    expect[99] = extra_ns[0]
+    assert got_ns == expect  # byte-exact ns, deleted row folded out

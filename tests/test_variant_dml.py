@@ -524,3 +524,36 @@ def test_binpack_on_variant_and_ns_tables(spark, tmp_path):
     assert r["files_rewritten"] == 2
     phys = _physical_ns(nroot)
     assert phys == {i: NS[i] for i in range(4)}
+
+
+def test_ns_update_with_null_ns_rows_stays_exact(spark, tmp_path):
+    """r13 regression: the Arrow executor write must keep nullable ns
+    longs EXACT — the pandas bridge widened nullable int64 to float64,
+    silently rounding values above 2^53 (caught by the NULL-bearing
+    compaction test; this pins the DML path)."""
+    big = 1700000000999999001  # not representable in float64
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([big, None, NS[2]], pa.timestamp("ns")),
+        }
+    )
+    root = str(tmp_path / "nsnull")
+    t = LocalIcebergTable(root, tbl.schema)
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    update_where(spark, root, "id >= 0", {"id": "id + 10"},
+                 timestamp_ms=T1 + 1000)
+    snap = im.resolve_snapshot(root)
+    phys = {}
+    for p in im.live_data_paths(root, snap):
+        lt = pq.read_table(p.removeprefix("file://"))
+        assert lt.schema.field("ts").type == pa.timestamp("ns")
+        for rid, v in zip(
+            lt["id"].to_pylist(),
+            lt["ts"].cast(pa.int64()).to_pylist(),
+        ):
+            phys.setdefault(rid, v)
+    # every row was rewritten (all matched): values byte-exact, NULL kept
+    assert phys[10] == big
+    assert phys[11] is None
+    assert phys[12] == NS[2]
