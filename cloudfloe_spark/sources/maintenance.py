@@ -478,11 +478,6 @@ def compact_iceberg_table(
                 "compact_iceberg_table: variant read failed: "
                 + "; ".join(sorted(set(_verr)))
             )
-        if _shred and _lineage_t:
-            raise ValueError(
-                "compact_iceberg_table: SHREDDED variant + row-lineage "
-                "tables are not compactable yet"
-            )
         if _shred and (
             _hist or im.schema_default_fills(_meta_now)
         ):
@@ -491,73 +486,90 @@ def compact_iceberg_table(
                 "table with column renames or default values are not "
                 "supported yet"
             )
-        if _lineage_t:
-            # variant + row lineage (r13, VERDICT r12 #4): both
-            # passthroughs composed — the physical variant struct rides
-            # verbatim, _row_id / _last_updated_sequence_number are
-            # materialized so ids and change-sequences survive
-            df = row_lineage_scan(
-                sess, root, metadata_path=metadata_path, snapshot=snap,
-                physical_v3=True,
-            )
-        else:
-            # physical passthrough: MOR-applied read with the variant
-            # struct INTACT (never decoded), written back verbatim;
-            # SHREDDED files (r13, VERDICT r12 #3) reassemble the value
-            # tree and re-encode it UNSHREDDED — compaction normalizes
-            # the layout (type-exact: the tree is re-encoded, never the
-            # JSON rendering)
-            df = None
-            if _plain:
+        # variant + row lineage (r13, VERDICT r12 #4): both passthroughs
+        # composed — the physical variant struct rides verbatim (or, for
+        # SHREDDED files, reassembles and re-encodes UNSHREDDED),
+        # _row_id / _last_updated_sequence_number are materialized so
+        # ids and change-sequences survive.
+        df = None
+        if _plain:
+            if _lineage_t:
+                df = row_lineage_scan(
+                    sess, root, metadata_path=metadata_path,
+                    snapshot=snap, physical_v3=True, paths=_plain,
+                )
+            else:
+                # physical passthrough: MOR-applied read with the
+                # variant struct INTACT (never decoded), written back
+                # verbatim
                 df = _mor_raw_scan(
                     sess, root, snap, _plain,
                     metadata_path=metadata_path, variant_as="physical",
                     ns_as="physical" if _ns else None,
                 ).drop(_FP, _POS)
-            if _shred:
-                from pyspark.sql import functions as _Fv
+        if _shred:
+            # SHREDDED files (r13, VERDICT r12 #3) reassemble the value
+            # tree and re-encode it UNSHREDDED — compaction normalizes
+            # the layout (type-exact: the tree is re-encoded, never the
+            # JSON rendering); on lineage tables each row additionally
+            # materializes its source id and sequence
+            from pyspark.sql import functions as _Fv
 
-                from cloudfloe_spark.functions.variant import (
-                    shredded_to_unshredded_columns,
-                )
-                from cloudfloe_spark.service.iceberg_local import (
-                    _apply_deletion_vectors,
-                    _apply_equality_deletes,
-                    _apply_position_deletes,
-                )
+            from cloudfloe_spark.functions.variant import (
+                shredded_to_unshredded_columns,
+            )
+            from cloudfloe_spark.service.iceberg_local import (
+                _apply_deletion_vectors,
+                _apply_equality_deletes,
+                _apply_position_deletes,
+            )
 
-                _pos = im.position_delete_paths(root, snap)
-                _dvs = im.deletion_vector_records(root, snap)
-                _eq = im.equality_delete_records(root, snap)
-                _fnames = (
-                    im.schema_field_names(root, metadata_path)
-                    if _eq else {}
-                )
-                _fseqs = im.live_data_seqs(root, snap) if _eq else {}
-                _pairs = im.schema_read_pairs(
-                    root, metadata_path, variant_as="physical",
-                    ns_as="physical" if _ns else None,
-                )
-                for _spaths, _descs in _shred:
-                    gdf = sess.read.parquet(*_spaths)
-                    if _pos:
-                        gdf = _apply_position_deletes(sess, gdf, _pos)
-                    if _dvs:
-                        gdf = _apply_deletion_vectors(sess, gdf, _dvs)
-                    if _eq:
-                        gdf = _apply_equality_deletes(
-                            sess, gdf, _eq, _fnames, _fseqs,
-                            renames={}, name_history={},
-                        )
-                    gdf = shredded_to_unshredded_columns(gdf, _descs)
-                    aligned = [
-                        _Fv.lit(None).cast(_ct).alias(_cn)
-                        if _cn not in gdf.columns
-                        else _Fv.col(_cn).cast(_ct).alias(_cn)
-                        for _cn, _ct in _pairs
+            _pos = im.position_delete_paths(root, snap)
+            _dvs = im.deletion_vector_records(root, snap)
+            _eq = im.equality_delete_records(root, snap)
+            _fnames = (
+                im.schema_field_names(root, metadata_path)
+                if _eq else {}
+            )
+            _fseqs = im.live_data_seqs(root, snap) if _eq else {}
+            _pairs = im.schema_read_pairs(
+                root, metadata_path, variant_as="physical",
+                ns_as="physical" if _ns else None,
+            )
+            for _spaths, _descs in _shred:
+                gdf = sess.read.parquet(*_spaths)
+                if _pos:
+                    gdf = _apply_position_deletes(sess, gdf, _pos)
+                if _dvs:
+                    gdf = _apply_deletion_vectors(sess, gdf, _dvs)
+                if _eq:
+                    gdf = _apply_equality_deletes(
+                        sess, gdf, _eq, _fnames, _fseqs,
+                        renames={}, name_history={},
+                    )
+                lineage_out = []
+                if _lineage_t:
+                    gdf = gdf.select(
+                        _Fv.col("_metadata.file_path").alias(_FP),
+                        _Fv.col("_metadata.row_index").alias(_POS),
+                        "*",
+                    )
+                    gdf = _with_source_row_ids(
+                        sess, root, snap, gdf, with_seq=True
+                    )
+                    lineage_out = [
+                        _Fv.col("__cf_src_rid").alias("_row_id"),
+                        _Fv.col("__cf_src_seq").alias(_SEQ),
                     ]
-                    part = gdf.select(*aligned)
-                    df = part if df is None else df.unionByName(part)
+                gdf = shredded_to_unshredded_columns(gdf, _descs)
+                aligned = [
+                    _Fv.lit(None).cast(_ct).alias(_cn)
+                    if _cn not in gdf.columns
+                    else _Fv.col(_cn).cast(_ct).alias(_cn)
+                    for _cn, _ct in _pairs
+                ]
+                part = gdf.select(*aligned, *lineage_out)
+                df = part if df is None else df.unionByName(part)
     elif im.row_lineage_available(root, metadata_path):
         # v3 row lineage (r11): a compaction is not a logical change —
         # rewritten rows must KEEP their ids. Read with _row_id resolved
@@ -1250,6 +1262,7 @@ def row_lineage_scan(
     metadata_path=None,
     snapshot: "dict | None" = None,
     physical_v3: bool = False,
+    paths: "list | None" = None,
 ):
     """v3 ROW LINEAGE read (r11, VERDICT r10 #5): the MOR-applied table
     plus ``_row_id`` — a row's id is its file's ``first_row_id`` +
@@ -1277,7 +1290,8 @@ def row_lineage_scan(
             "(no next-row-id in the table metadata)"
         )
     snap = snapshot or im.resolve_snapshot(root, metadata_path=meta_path)
-    paths = im.live_data_paths(root, snap)
+    if paths is None:  # caller may scope to a subset (mixed-layout
+        paths = im.live_data_paths(root, snap)  # compaction reads
     if not paths:
         return spark.createDataFrame(
             [],
@@ -1299,21 +1313,136 @@ def row_lineage_scan(
             f"first_row_id nor a materialized _row_id column: {holes}"
         )
     # v3 variant / ns columns (r13): the lineage read surfaces the same
-    # decoded forms the batch scan does (canonical JSON / µs TIMESTAMP);
-    # ``physical_v3=True`` (the variant+lineage compaction, VERDICT r12
-    # #4) keeps the physical struct / raw longs intact for a verbatim
-    # rewrite
-    variant_cols, ns_cols = _dml_v3_cols(
-        root, meta_path, paths, "row_lineage_scan"
-    )
-    df = _mor_raw_scan(
-        spark, root, snap, paths,
-        metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
-        variant_as="physical" if variant_cols else None,
-        ns_as="physical" if ns_cols else None,
-    )
+    # decoded forms the batch scan does (canonical JSON / µs TIMESTAMP)
+    # — including SHREDDED files, reassembled per group like the batch
+    # scan; ``physical_v3=True`` (the variant+lineage compaction,
+    # VERDICT r12 #4) keeps the physical struct / raw longs intact for
+    # a verbatim rewrite (its callers pre-split shredded files).
+    meta_now = im.load_metadata(root, meta_path)
+    variant_cols = im.variant_columns(meta_now)
+    ns_cols = im.ns_timestamp_columns(meta_now)
+    plain, shred = list(paths), []
+    if variant_cols and paths:
+        hist = im.schema_name_history(root, meta_path)
+        plain, shred, verr = im.variant_shred_groups(
+            paths, variant_cols, name_history=hist
+        )
+        if verr:
+            raise ValueError(
+                "row_lineage_scan: variant read failed: "
+                + "; ".join(sorted(set(verr)))
+            )
+        if shred and physical_v3:
+            raise ValueError(
+                "row_lineage_scan: physical_v3 over SHREDDED variant "
+                "files is not supported — split the layouts first"
+            )
+        if shred and (hist or im.schema_default_fills(meta_now)):
+            raise ValueError(
+                "row_lineage_scan: shredded variant files on a table "
+                "with column renames or default values are not "
+                "supported yet"
+            )
+    if ns_cols and paths:
+        nerr = im.ns_precision_errors(
+            paths, ns_cols,
+            name_history=im.schema_name_history(root, meta_path),
+        )
+        if nerr:
+            raise ValueError(
+                "row_lineage_scan: timestamp_ns read failed: "
+                + "; ".join(sorted(set(nerr)))
+            )
+    df = None
+    if plain:
+        df = _mor_raw_scan(
+            spark, root, snap, plain,
+            metadata_path=meta_path, extra_footer_cols=["_row_id", _SEQ],
+            variant_as="physical" if variant_cols else None,
+            ns_as="physical" if ns_cols else None,
+        )
+        if not physical_v3:
+            # variant decode only — ns stays the raw long so mixed
+            # plain+shredded unions type-align; converted after the
+            # union below
+            df = _decorate_dml_surface(df, variant_cols, [])
+            df = df.drop(
+                *[c for c in df.columns if c.startswith(_PHYS)]
+            )
+    if shred:
+        from cloudfloe_spark.functions.variant import (
+            decode_shredded_variant_columns,
+        )
+        from cloudfloe_spark.functions.variant import (
+            decode_variant_columns as _dvc_l,
+        )
+        from cloudfloe_spark.service.iceberg_local import (
+            _apply_deletion_vectors,
+            _apply_equality_deletes,
+            _apply_position_deletes,
+        )
+
+        _pos = im.position_delete_paths(root, snap)
+        _dvs = im.deletion_vector_records(root, snap)
+        _eq = im.equality_delete_records(root, snap)
+        _fnames = (
+            im.schema_field_names(root, meta_path) if _eq else {}
+        )
+        _fseqs = im.live_data_seqs(root, snap) if _eq else {}
+        read_pairs = im.schema_read_pairs(
+            root, meta_path,
+            variant_as="string", ns_as="physical",
+        )
+        for spaths, descs in shred:
+            g = spark.read.parquet(*spaths)
+            if _pos:
+                g = _apply_position_deletes(spark, g, _pos)
+            if _dvs:
+                g = _apply_deletion_vectors(spark, g, _dvs)
+            if _eq:
+                g = _apply_equality_deletes(
+                    spark, g, _eq, _fnames, _fseqs,
+                    renames={}, name_history={},
+                )
+            has_rid = "_row_id" in g.columns
+            has_seq = _SEQ in g.columns
+            g = g.select(
+                F.col("_metadata.file_path").alias(_FP),
+                F.col("_metadata.row_index").alias(_POS),
+                "*",
+            )
+            g = decode_shredded_variant_columns(g, descs)
+            plain_vc = [
+                c
+                for c in variant_cols
+                if c in g.columns and c not in descs
+            ]
+            if plain_vc:
+                g = _dvc_l(g, plain_vc)
+            aligned = [F.col(_FP), F.col(_POS)]
+            for _cn, _ct in read_pairs:
+                if _cn not in g.columns:
+                    aligned.append(F.lit(None).cast(_ct).alias(_cn))
+                else:
+                    aligned.append(F.col(_cn).cast(_ct).alias(_cn))
+            aligned.append(
+                F.col("_row_id")
+                if has_rid
+                else F.lit(None).cast("bigint").alias("_row_id")
+            )
+            aligned.append(
+                F.col(_SEQ)
+                if has_seq
+                else F.lit(None).cast("bigint").alias(_SEQ)
+            )
+            part = g.select(*aligned)
+            df = part if df is None else df.unionByName(part)
     if not physical_v3:
-        df = _decorate_dml_surface(df, variant_cols, ns_cols)
+        for _nc in ns_cols:
+            if _nc in df.columns:
+                df = df.withColumn(
+                    _nc, F.expr(f"timestamp_micros(`{_nc}` div 1000)")
+                )
     df = _with_source_row_ids(spark, root, snap, df, with_seq=True)
     out_cols = [
         c

@@ -557,3 +557,64 @@ def test_ns_update_with_null_ns_rows_stays_exact(spark, tmp_path):
     assert phys[10] == big
     assert phys[11] is None
     assert phys[12] == NS[2]
+
+
+def test_shredded_lineage_compaction_normalizes_and_carries_ids(
+    spark, tmp_path
+):
+    """r13 late: the LAST compaction refusal lifted — a row-lineage
+    table with SHREDDED variant files compacts: the shredded rows
+    reassemble and re-encode UNSHREDDED, ids/sequences materialize, and
+    the lineage read is identical before and after."""
+    from cloudfloe_spark.functions.variant import shred_rows
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    shred = {
+        "kind": "object",
+        "fields": {"k": {"value": True, "typed": {"kind": "int"}}},
+    }
+    objs = [{"k": i} for i in range(4)]
+    col = shred_rows(objs, shred)
+    root = str(tmp_path / "shl")
+    t = LocalIcebergTable(
+        root,
+        pa.table(
+            {"id": pa.array(range(4), pa.int64()), "v": col}
+        ).schema,
+        variant_cols=("v",),
+        row_lineage=True,
+    )
+    # one shredded + one unshredded file
+    t.append_snapshot(
+        [
+            pa.table(
+                {"id": pa.array([0, 1, 2, 3], pa.int64()), "v": col}
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([10], pa.int64()),
+                    "v": _variant_col([{"k": 10}]),
+                }
+            )
+        ],
+        timestamp_ms=T1 + 500,
+    )
+    sql = (
+        "SELECT id, v, _row_id, _last_updated_sequence_number "
+        f"FROM iceberg_row_lineage('{root}') ORDER BY id"
+    )
+    before = _rows(spark, sql)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    assert _rows(spark, sql) == before
+    # every live file is unshredded after the normalization
+    snap = im.resolve_snapshot(root)
+    for p in im.live_data_paths(root, snap):
+        sch = pq.read_schema(p.removeprefix("file://"))
+        vt = sch.field("v").type
+        subs = {vt.field(i).name for i in range(vt.num_fields)}
+        assert subs == {"metadata", "value"}, subs
