@@ -55,9 +55,8 @@ surfaces as ``STRING``; typed extraction then runs JVM-side
 
 The decode functions are built inside a factory (``_build_codec``) so
 cloudpickle serializes them BY VALUE — Spark 4's Arrow UDF workers do
-not import ``cloudfloe_spark`` (see the r10 finding in
-.claude/skills/verify/SKILL.md); only stdlib modules (pickled by name)
-are referenced.
+not import ``cloudfloe_spark``, so closures shipped to them must
+pickle by value; only stdlib modules (pickled by name) are referenced.
 
 The encoder (driver/fixture side, no pickling constraint) writes the
 same spec: fixtures use it to build variant test tables, and the golden
@@ -165,7 +164,18 @@ def _build_codec():
             unscaled = int.from_bytes(
                 buf[p + 1 : p + 1 + sz], "little", signed=True
             )
-            return _Dec(unscaled).scaleb(-scale)
+            # digit-exact construction from the sign/digits tuple:
+            # Decimal(n).scaleb(-s) is bound by the active context
+            # precision (default 28) and silently ROUNDS spec-legal
+            # decimal16 values up to 38 digits; tuple construction
+            # never consults the context
+            return _Dec(
+                (
+                    1 if unscaled < 0 else 0,
+                    tuple(int(d) for d in str(abs(unscaled))),
+                    -scale,
+                )
+            )
         if tid == 11:
             days = int.from_bytes(buf[p : p + 4], "little", signed=True)
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
@@ -944,7 +954,9 @@ def shred_rows(objs: list, shred: dict, *, top_value: bool = True):
             "double": pa.float64(),
             "string": pa.string(),
             "binary": pa.binary(),
-            "decimal": pa.decimal128(18, 4),
+            # full decimal16 precision so >28-digit values shred
+            # without rescale loss (scale 4 matches the test corpus)
+            "decimal": pa.decimal128(38, 4),
             "date": pa.date32(),
             "ts_us": pa.timestamp("us"),
             "ts_us_tz": pa.timestamp("us", tz="UTC"),

@@ -1022,11 +1022,10 @@ def _iceberg_type_to_ddl(
             if variant_as == "string":
                 return "STRING"
             raise IcebergMetadataError(
-                "variant column is supported by the batch iceberg_scan, "
-                "changelog (iceberg_changes / iceberg_cdc), streaming "
-                "READ, and row-level DELETE/UPDATE/MERGE paths — this "
-                "consumer (streaming writes / changelog apply / "
-                "bin-pack) does not support variant tables yet"
+                "variant column: this consumer did not declare a "
+                "variant read surface (pass variant_as='string' for "
+                "the canonical-JSON surface or 'physical' for the raw "
+                "struct) — refusing to emit raw binary structs"
             )
         if t in _NS_TYPES:
             if ns_as == "physical":
@@ -1034,12 +1033,12 @@ def _iceberg_type_to_ddl(
             if ns_as == "timestamp":
                 return "TIMESTAMP"
             raise IcebergMetadataError(
-                f"{t} column is supported by the batch iceberg_scan, "
-                "changelog (iceberg_changes / iceberg_cdc), streaming "
-                "READ (truncated to microsecond TIMESTAMP), and "
-                "row-level DELETE/UPDATE/MERGE paths — this consumer "
-                "(streaming writes / changelog apply / bin-pack) does "
-                "not support nanosecond-timestamp tables yet"
+                f"{t} column: this consumer did not declare a "
+                "nanosecond-timestamp read surface (pass "
+                "ns_as='timestamp' for the µs-truncated TIMESTAMP "
+                "surface or 'physical' for the raw nanosecond BIGINT) "
+                "— refusing to silently emit nanosecond integers "
+                "where timestamps belong"
             )
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]

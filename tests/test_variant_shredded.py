@@ -481,6 +481,10 @@ def test_compaction_shredded_preserves_typed_fidelity(spark, tmp_path):
         {"ts": dt.datetime(2024, 5, 6, 7, 8, 9, 123456),
          "amt": Decimal("12.3400")},
         {"ts": "not-a-ts", "amt": Decimal("-0.0001")},
+        # 38-digit decimal16: the decode→re-encode pass must be
+        # digit-exact, not default-context-rounded (ADVICE r13 high)
+        {"ts": "n/a",
+         "amt": Decimal("1234567890123456789012345678901234.5678")},
     ]
     root, _ = _shredded_table(tmp_path, objs, shred, name="fid")
     sql = f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
@@ -488,6 +492,10 @@ def test_compaction_shredded_preserves_typed_fidelity(spark, tmp_path):
     assert before[0][1] == (
         '{"amt":12.3400,"ts":"2024-05-06 07:08:09.123456"}'
     )
+    assert (
+        '"amt":1234567890123456789012345678901234.5678'
+        in before[2][1]
+    ), before[2][1]
     compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
     assert _rows(spark, sql) == before
 

@@ -312,6 +312,68 @@ def _json_trees():
     )
 
 
+def test_wide_decimal_decode_is_digit_exact():
+    """decimal16 carries up to 38 digits; the decoder must not consult
+    the active decimal context (default precision 28) when rebuilding
+    the value — ``Decimal(n).scaleb(-s)`` silently rounds, tuple
+    construction never does. Regression for the decode→re-encode
+    persistence paths (shredded compaction, variant UPDATE/MERGE)."""
+    from decimal import Decimal
+
+    from cloudfloe_spark.functions.variant import (
+        encode_variant,
+        variant_to_json,
+    )
+
+    wide = "12345678901234567890123456789012345678"
+    for txt in (
+        wide,
+        "-" + wide,
+        wide[:2] + "." + wide[2:],
+        "-0." + wide[:37],
+        "0." + "0" * 37 + "1",
+    ):
+        md, val = encode_variant({"x": Decimal(txt)})
+        out = variant_to_json(md, val)
+        assert out == '{"x":%s}' % format(Decimal(txt), "f"), (txt, out)
+
+
+def _wide_decimals():
+    from hypothesis import strategies as st
+
+    return st.builds(
+        lambda unscaled, scale: __import__("decimal").Decimal(
+            (
+                1 if unscaled < 0 else 0,
+                tuple(int(d) for d in str(abs(unscaled))),
+                -scale,
+            )
+        ),
+        st.integers(min_value=-(2**127), max_value=2**127 - 1),
+        st.integers(min_value=0, max_value=38),
+    )
+
+
+def test_wide_decimal_roundtrip_fuzz():
+    """encode → decode over the full decimal16 domain (±2^127 unscaled,
+    scale 0–38) is value-exact."""
+    from hypothesis import given, settings
+
+    from cloudfloe_spark.functions import variant as V
+
+    names_decode = V._build_codec()
+    metadata_names, decode_at = names_decode[0], names_decode[1]
+
+    @settings(max_examples=200, deadline=None)
+    @given(_wide_decimals())
+    def run(d):
+        md, val = V.encode_variant({"x": d})
+        got = decode_at(metadata_names(md), val, 0)["x"]
+        assert got == d, (d, got)
+
+    run()
+
+
 def test_encode_decode_roundtrip_fuzz():
     """Any JSON-representable tree survives encode → decode EXACTLY
     (the decoder returns the same Python values the encoder consumed;
