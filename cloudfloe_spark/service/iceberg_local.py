@@ -3265,6 +3265,18 @@ def _factor_typed_extractions(sess, out: str, pending: dict):
         return {}, out
     if re.search(r"(?i)\bjoin\b", out):
         return {}, out
+    # a CTE or nested SELECT can re-alias/derive the variant column so
+    # the hidden scan column isn't visible where the extraction sits —
+    # rewriting would turn a valid query into an AnalysisException.
+    # Count structural tokens OUTSIDE string literals only.
+    toks: list = []
+    _sub_outside_literals(
+        re.compile(r"(?i)\bselect\b|\bwith\b"),
+        lambda m: (toks.append(m.group(0).lower()), m.group(0))[1],
+        out,
+    )
+    if toks.count("select") != 1 or "with" in toks:
+        return {}, out
     (name, (root, _ver, _ts)) = next(iter(pending.items()))
     try:
         vcols = set(im.variant_columns(im.load_metadata(root)))

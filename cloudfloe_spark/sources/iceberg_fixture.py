@@ -1666,10 +1666,17 @@ def commit_row_delta_snapshot(
             )
         cur = im.resolve_snapshot(root, version=int(existing_ref["snapshot-id"]))
     else:
-        cur = im.resolve_snapshot(root)
-    carried = [
-        e for e in im.manifest_entries(root, cur) if e["status"] != 2
-    ]
+        try:
+            cur = im.resolve_snapshot(root)
+        except im.IcebergMetadataError:
+            # created-but-empty table (no snapshot yet): the delta is
+            # the table's FIRST snapshot — nothing to carry
+            cur = None
+    carried = (
+        [e for e in im.manifest_entries(root, cur) if e["status"] != 2]
+        if cur is not None
+        else []
+    )
     seq = max((s.get("sequence-number", 0) for s in snaps), default=0) + 1
     snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
 
@@ -1805,7 +1812,7 @@ def commit_row_delta_snapshot(
     # (copy-on-write) and unsound parents fall back to the full rewrite.
     reused = (
         _reusable_parent_manifests(root, cur)
-        if not removed_data_files
+        if not removed_data_files and cur is not None
         else None
     )
     if reused is not None:
@@ -1836,7 +1843,7 @@ def commit_row_delta_snapshot(
     snaps.append(
         {
             "snapshot-id": snap_id,
-            "parent-snapshot-id": cur.get("snapshot-id"),
+            "parent-snapshot-id": (cur.get("snapshot-id") if cur is not None else None),
             "sequence-number": seq,
             "timestamp-ms": timestamp_ms,
             "manifest-list": f"file://{mlist}",

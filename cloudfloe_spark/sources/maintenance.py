@@ -620,26 +620,25 @@ def compact_iceberg_table(
     # then owns one partition value AND a disjoint sort interval.
     fields = im.partition_spec_fields(root, metadata_path)
     pt_exprs = []
+    ns_fanout_files = None
     if fields:
         old_tz = sess.conf.get("spark.sql.session.timeZone")
         try:
             sess.conf.set("spark.sql.session.timeZone", "UTC")
-            for f_ in fields:
-                e = _pt_expr(sess, f_)
-                if e is None:
-                    pt_exprs = []
-                    break
-                pt_exprs.append(e)
-            if pt_exprs and _ns:
-                # ns tables skip partition fanout (the fanout path uses
-                # Spark's writer, which would demote the ns logical
-                # type) — sound: the files are simply never pruned
-                pt_exprs = []
+            fanned, pt_exprs = _pt_exprs_ns_aware(
+                sess, df, fields, _ns_tz if _ns else {}
+            )
             if pt_exprs:
                 pt_cols = [f"__cf_pt_{i}" for i in range(len(pt_exprs))]
-                fanned = df
                 for name, e in zip(pt_cols, pt_exprs):
                     fanned = fanned.withColumn(name, e)
+                fanned = fanned.drop(
+                    *[
+                        c
+                        for c in fanned.columns
+                        if c.startswith("__cf_nsts_")
+                    ]
+                )
                 keys = pt_cols + ([zcol] if zcol else list(sort_by or []))
                 w = fanned.repartitionByRange(
                     n_out, *[F.col(c) for c in keys]
@@ -649,16 +648,38 @@ def compact_iceberg_table(
                 if zcol:
                     # clustering key only — never written to data files
                     w = w.drop(zcol)
-                w.write.mode("overwrite").partitionBy(*pt_cols).parquet(
-                    out_dir
-                )
+                if _ns:
+                    # pyarrow executor write, clustering preserved —
+                    # one file per tuple per task, tuples in the
+                    # manifest (r14, ADVICE r13: ns tables no longer
+                    # de-partition on compaction)
+                    meta_now = im.load_metadata(root, metadata_path)
+                    ns_fanout_files = _write_data_files_arrow_ns(
+                        sess, w, None, None, out_dir, _ns_tz,
+                        mode="overwrite",
+                        pt_info=(
+                            pt_cols,
+                            [f_["field_name"] for f_ in fields],
+                            meta_now.get("default-spec-id", 0),
+                        ),
+                        repartition_on_tuple=False,
+                    )
+                else:
+                    (
+                        w.write.mode("overwrite")
+                        .partitionBy(*pt_cols)
+                        .parquet(out_dir)
+                    )
         finally:
             sess.conf.set("spark.sql.session.timeZone", old_tz)
     if fields and pt_exprs:
-        meta_now = im.load_metadata(root, metadata_path)
-        data_files = _collect_partitioned_files(
-            out_dir, fields, meta_now.get("default-spec-id", 0)
-        )
+        if ns_fanout_files is not None:
+            data_files = ns_fanout_files
+        else:
+            meta_now = im.load_metadata(root, metadata_path)
+            data_files = _collect_partitioned_files(
+                out_dir, fields, meta_now.get("default-spec-id", 0)
+            )
     else:
         if sort_by or zcol:
             # Cluster while compacting: range-partition + sort so each
@@ -1608,9 +1629,50 @@ def _ns_tz_map(root, meta_path, ns_cols: list) -> dict:
     }
 
 
+def _pt_exprs_ns_aware(spark, df, fields: list, ns_tz: dict):
+    """``(df_with_temp_cols, exprs)`` — one Spark Column per spec field
+    computing its Iceberg partition value. Temporal transforms SOURCED
+    FROM an ns column (the common ``day(ts)`` layout) evaluate on an
+    EXACT integer µs conversion of the raw BIGINT ns longs (decimal
+    division — a double divide would round up to ±1 µs near boundaries
+    and misplace boundary rows' tuples). Returns ``(df, [])`` when any
+    transform isn't expressible — the caller then skips fanout (sound:
+    null tuples are never pruned). Temp ``__cf_nsts_*`` columns carry
+    the conversions; drop them after attaching the tuple columns."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources import partition_pruning as pp
+
+    exprs: list = []
+    fanned = df
+    for i, f_ in enumerate(fields):
+        c = f_["column"]
+        if c in (ns_tz or {}):
+            kind, _param = pp.parse_transform(f_["transform"])
+            if kind not in ("year", "month", "day", "hour"):
+                return df, []
+            col = F.col(c)
+            mod = ((col % 1000) + 1000) % 1000  # floor-mod for pre-1970
+            us = (
+                (col - mod).cast("decimal(38,0)") / F.lit(1000)
+            ).cast("long")
+            tmp = f"__cf_nsts_{i}"
+            fanned = fanned.withColumn(tmp, F.timestamp_micros(us))
+            e = _pt_expr(
+                spark, {**f_, "column": tmp, "type": "timestamptz"}
+            )
+        else:
+            e = _pt_expr(spark, f_)
+        if e is None:
+            return df, []
+        exprs.append(e)
+    return fanned, exprs
+
+
 def _write_data_files_arrow_ns(
     spark, df, n_rows, rows_per_file, out_dir: str, ns_tz: dict,
-    mode: str = "errorifexists",
+    mode: str = "errorifexists", pt_info: "tuple | None" = None,
+    repartition_on_tuple: bool = True,
 ) -> list:
     """Distributed data-file write for tables with NANOSECOND timestamp
     columns (r13, VERDICT r12 #5): Spark's parquet writer cannot emit
@@ -1618,10 +1680,18 @@ def _write_data_files_arrow_ns(
     Arrow under the Spark schema (ns columns aboard as raw BIGINT
     longs), casts the ns columns to ``timestamp[ns]`` (tz per the
     Iceberg type), and writes the parquet file with pyarrow ON THE
-    EXECUTOR — one file per partition, the same distribution shape as
-    the plain sized write. The driver collects only ``(path, count)``
-    per file. Partition fanout is skipped on this path (sound: the new
-    files carry no partition tuple and are simply never pruned)."""
+    EXECUTOR — the same distribution shape as the plain sized write.
+    The driver collects only per-file coordinates.
+
+    Partition fanout (r14, ADVICE r13): when ``pt_info`` carries the
+    spec's precomputed tuple columns, rows repartition on the tuple and
+    each task writes ONE FILE PER TUPLE VALUE it holds, returning
+    ``(path, count, pvals, spec_id)`` so the manifest entry keeps the
+    partition tuple — a foreign reader that prunes on manifest
+    partition values stays correct, and partition locality survives
+    DML/compaction/streaming writes on partitioned ns tables. Without
+    ``pt_info`` the entries commit with no tuple (sound here: this
+    engine never prunes null tuples)."""
     if mode == "overwrite":
         # streaming-replay recovery: a crash between write and commit
         # leaves a half-written dir the replayed epoch must supersede
@@ -1629,20 +1699,35 @@ def _write_data_files_arrow_ns(
 
         _shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    pt_cols, field_names, spec_id = pt_info if pt_info else ([], [], 0)
     n_out = (
         max(1, -(-n_rows // rows_per_file)) if n_rows is not None else None
     )
-    w = df.repartition(n_out) if n_out else df
+    if pt_cols and not repartition_on_tuple:
+        w = df  # caller pre-clustered (e.g. sorted compaction)
+    elif pt_cols and n_out:
+        w = df.repartition(n_out, *[F.col(c) for c in pt_cols])
+    elif pt_cols:
+        w = df.repartition(*[F.col(c) for c in pt_cols])
+    elif n_out:
+        w = df.repartition(n_out)
+    else:
+        w = df
 
     # mapInArrow, NOT mapInPandas: Arrow batches keep nullable int64
     # columns exact — the pandas bridge widens them to float64, which
     # silently rounds ns longs above 2^53 (caught by the NULL-bearing
     # ns compaction test)
     def _write_part(batches):
+        import datetime as _dt
+        import json as _json
         import os as _os
         import uuid as _uuid_w
 
         import pyarrow as _pa
+        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         tables = [
@@ -1651,27 +1736,86 @@ def _write_data_files_arrow_ns(
         if not tables:
             return
         tbl = _pa.concat_tables(tables)
-        for c, tz in ns_tz.items():
-            i = tbl.schema.get_field_index(c)
-            t = _pa.timestamp("ns", tz="UTC") if tz else _pa.timestamp("ns")
-            tbl = tbl.set_column(
-                i, _pa.field(c, t), tbl.column(c).cast(t)
+
+        def _pstr(v):
+            # Hive-dir-style stringification, matching what
+            # _collect_partitioned_files parses back from partitionBy
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, _dt.date):
+                return v.isoformat()
+            return str(v)
+
+        def _emit(sub, pvals_json):
+            out = sub.drop_columns(pt_cols) if pt_cols else sub
+            for c, tz in ns_tz.items():
+                i = out.schema.get_field_index(c)
+                t = (
+                    _pa.timestamp("ns", tz="UTC")
+                    if tz
+                    else _pa.timestamp("ns")
+                )
+                out = out.set_column(
+                    i, _pa.field(c, t), out.column(c).cast(t)
+                )
+            path = _os.path.join(
+                out_dir, f"part-{_uuid_w.uuid4().hex}.parquet"
             )
-        path = _os.path.join(
-            out_dir, f"part-{_uuid_w.uuid4().hex}.parquet"
+            _pq.write_table(out, path)
+            return {
+                "path": path,
+                "count": out.num_rows,
+                "pvals": pvals_json,
+            }
+
+        schema = _pa.schema(
+            [
+                ("path", _pa.string()),
+                ("count", _pa.int64()),
+                ("pvals", _pa.string()),
+            ]
         )
-        _pq.write_table(tbl, path)
-        yield _pa.RecordBatch.from_pylist(
-            [{"path": path, "count": tbl.num_rows}],
-            schema=_pa.schema(
-                [("path", _pa.string()), ("count", _pa.int64())]
-            ),
-        )
+        if not pt_cols:
+            yield _pa.RecordBatch.from_pylist(
+                [_emit(tbl, None)], schema=schema
+            )
+            return
+        key_rows = tbl.select(pt_cols).to_pylist()
+        results = []
+        seen = set()
+        for kr in key_rows:
+            key = tuple(kr[c] for c in pt_cols)
+            if key in seen:
+                continue
+            seen.add(key)
+            mask = None
+            for c, v in zip(pt_cols, key):
+                m = (
+                    _pc.is_null(tbl.column(c))
+                    if v is None
+                    else _pc.equal(tbl.column(c), v)
+                )
+                mask = m if mask is None else _pc.and_(mask, m)
+            sub = tbl.filter(mask)
+            pvals = {
+                fn: _pstr(v) for fn, v in zip(field_names, key)
+            }
+            results.append(_emit(sub, _json.dumps(pvals)))
+        yield _pa.RecordBatch.from_pylist(results, schema=schema)
 
     rows = w.mapInArrow(
-        _write_part, "path STRING, count BIGINT"
+        _write_part, "path STRING, count BIGINT, pvals STRING"
     ).collect()
-    return sorted((r["path"], int(r["count"])) for r in rows)
+    if not pt_cols:
+        return sorted((r["path"], int(r["count"])) for r in rows)
+    import json as _json_d
+
+    return sorted(
+        (r["path"], int(r["count"]), _json_d.loads(r["pvals"]), spec_id)
+        for r in rows
+    )
 
 
 def _write_data_files(
@@ -1705,7 +1849,50 @@ def _write_data_files(
 
     if ns_tz:
         # ns tables take the Arrow executor-write path (Spark's writer
-        # would demote the ns logical type); partition fanout skipped
+        # would demote the ns logical type). Partition fanout (r14):
+        # compute the spec's tuple columns Spark-side first — temporal
+        # transforms on the ns column itself run on an EXACT integer
+        # µs conversion of the raw BIGINT longs (decimal division, no
+        # double rounding near boundaries); identity/bucket/truncate
+        # on an ns source aren't expressible → no fanout (sound).
+        fields = im.partition_spec_fields(root, meta_path)
+        if fields:
+            old_tz = spark.conf.get("spark.sql.session.timeZone")
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                fanned, exprs = _pt_exprs_ns_aware(
+                    spark, df, fields, ns_tz
+                )
+                pt_info = None
+                if exprs:
+                    pt_cols = [f"__cf_pt_{i}" for i in range(len(exprs))]
+                    for name, e in zip(pt_cols, exprs):
+                        fanned = fanned.withColumn(name, e)
+                    fanned = fanned.drop(
+                        *[
+                            c
+                            for c in fanned.columns
+                            if c.startswith("__cf_nsts_")
+                        ]
+                    )
+                    meta = im.load_metadata(root, meta_path)
+                    pt_info = (
+                        pt_cols,
+                        [f_["field_name"] for f_ in fields],
+                        meta.get("default-spec-id", 0),
+                    )
+                return _write_data_files_arrow_ns(
+                    spark,
+                    fanned if pt_info else df,
+                    n_rows,
+                    rows_per_file,
+                    out_dir,
+                    ns_tz,
+                    mode=mode,
+                    pt_info=pt_info,
+                )
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", old_tz)
         return _write_data_files_arrow_ns(
             spark, df, n_rows, rows_per_file, out_dir, ns_tz, mode=mode
         )
@@ -3991,10 +4178,16 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         footer = pf.read_puffin_footer(p)
     except (OSError, pf.PuffinError):
         return None
+    fprops = footer.get("properties") or {}
+    if fprops.get("cloudfloe.hash-encoding") != str(
+        th.HASH_ENCODING_VERSION
+    ):
+        # blob hashed under an older single-value encoding (or a
+        # foreign writer): unioning new partials would double-count
+        # values whose encoding changed — full recompute instead
+        return None
     try:
-        row_count = int(
-            (footer.get("properties") or {})["cloudfloe.row-count"]
-        )
+        row_count = int(fprops["cloudfloe.row-count"])
     except (KeyError, ValueError):
         return None  # foreign stats: no engine row/null counts to add to
     fid_names = im.schema_field_names(root, metadata_path)
@@ -4190,6 +4383,7 @@ def analyze_iceberg_table(
         file_properties={
             "cloudfloe.row-count": str(row_count),
             "cloudfloe.analyzed-at-ms": str(timestamp_ms),
+            "cloudfloe.hash-encoding": str(th.HASH_ENCODING_VERSION),
         },
     )
     meta = im.load_metadata(root, metadata_path)

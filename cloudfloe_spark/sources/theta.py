@@ -56,6 +56,15 @@ DEFAULT_SEED = 9001
 DEFAULT_LG_K = 12
 LONG_MAX = (1 << 63) - 1  # thetaLong of 1.0
 
+#: version of the single-value serialization feeding the hash. Bumped
+#: to 2 when the decimal encoding adopted minimal two's-complement
+#: length (Java BigInteger.toByteArray semantics) — blobs hashed under
+#: version 1 encode negative exact powers of two differently, so
+#: incremental ANALYZE must NOT union partials across versions (the
+#: same logical value would count twice). Stamped into the Puffin file
+#: properties as ``cloudfloe.hash-encoding``.
+HASH_ENCODING_VERSION = 2
+
 _FLAG_READ_ONLY = 0x02
 _FLAG_EMPTY = 0x04
 _FLAG_COMPACT = 0x08

@@ -172,10 +172,16 @@ def append_stream_to_iceberg(
         _ns_tz_map,
     )
 
-    _snap0 = im.resolve_snapshot(root)
+    # a created-but-empty table (metadata committed, no snapshot yet)
+    # is a valid append target: no live paths, no per-file layout
+    # guards to evaluate — the first micro-batch seeds it (ADVICE r13)
+    try:
+        _snap0 = im.resolve_snapshot(root)
+        _live0 = im.live_data_paths(root, _snap0)
+    except im.IcebergMetadataError:
+        _live0 = []
     variant_cols, ns_cols = _dml_v3_cols(
-        root, None, im.live_data_paths(root, _snap0),
-        "append_stream_to_iceberg",
+        root, None, _live0, "append_stream_to_iceberg",
     )
     ns_tz = _ns_tz_map(root, None, ns_cols) if ns_cols else None
     # Legacy (None, epoch) summaries dedup ONLY a genuine replay: the

@@ -86,6 +86,42 @@ def test_stream_appends_one_snapshot_per_batch(spark, seeded_table, tmp_path):
     assert len({s["summary"]["streaming-query-id"] for s in appends}) == 1
 
 
+def test_stream_append_into_snapshotless_table(spark, tmp_path):
+    """ADVICE r13: a created-but-empty table (metadata committed, no
+    snapshot, current-snapshot-id -1) must accept its first streamed
+    micro-batch — the unconditional resolve_snapshot guard used to fail
+    with 'table has no current snapshot' before any data drained."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        write_next_metadata_version,
+    )
+
+    root = str(tmp_path / "empty")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("v", pa.string())])
+    )
+    t.append_snapshot([pa.table({"id": [99], "v": ["tmp"]})],
+                      timestamp_ms=T1)
+    # rewrite the metadata as a freshly-CREATEd table: no snapshots yet
+    meta = im.load_metadata(root)
+    meta["snapshots"] = []
+    meta["current-snapshot-id"] = -1
+    meta.pop("refs", None)
+    meta["snapshot-log"] = []
+    write_next_metadata_version(root, meta)
+    with pytest.raises(im.IcebergMetadataError):
+        im.resolve_snapshot(root)
+
+    src = _source_dir(spark, tmp_path, [[(1, "a"), (2, "b")]])
+    res = append_stream_to_iceberg(
+        _stream(spark, src),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        timestamp_ms=T1 + 1000,
+    )
+    assert res["batches"] == 1 and res["skipped"] == 0
+    assert _read_ids(spark, root) == [1, 2]
+
+
 def test_restart_same_checkpoint_dedups_by_query_and_epoch(
     spark, seeded_table, tmp_path
 ):

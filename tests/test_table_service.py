@@ -436,6 +436,53 @@ def test_incremental_analyze_appends_union_exactly(spark, tmp_path):
     assert r3["row_count"] == 149
 
 
+def test_incremental_analyze_rejects_stale_hash_encoding(spark, tmp_path):
+    """ADVICE r13: blobs hashed under an older single-value encoding
+    (negative exact powers of two changed length in v2) must not be
+    unioned with new partials — a registered stats file without the
+    current ``cloudfloe.hash-encoding`` stamp forces a full recompute."""
+    from cloudfloe_spark.sources import puffin as pf
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "stale")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot(
+        [pa.table({"id": list(range(50))})], timestamp_ms=T1
+    )
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+
+    # strip the encoding stamp in place — simulates a pre-v2 writer
+    meta = im.load_metadata(root)
+    entry = meta["statistics"][0]
+    p = entry["statistics-path"].removeprefix("file://")
+    footer = pf.read_puffin_footer(p)
+    blobs = [
+        {
+            **{k: v for k, v in b.items() if k not in ("offset", "length")},
+            "data": pf.read_blob(p, b["offset"], b["length"]),
+        }
+        for b in footer["blobs"]
+    ]
+    props = dict(footer["properties"])
+    props.pop("cloudfloe.hash-encoding")
+    pf.write_puffin(p, blobs, file_properties=props)
+
+    new_path = os.path.join(root, "data", "extra-stale-1.parquet")
+    pq.write_table(pa.table({"id": list(range(50, 80))}), new_path)
+    commit_row_delta_snapshot(
+        root, new_data_files=[(new_path, 30)], timestamp_ms=T1 + 2000
+    )
+    r = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 3000, incremental=True
+    )
+    assert r["mode"] == "full"
+    assert r["row_count"] == 80
+
+
 def test_service_stats_refresh_runs_incremental(spark, tmp_path):
     """The table-service freshness step takes the delta path on an
     append-only history."""

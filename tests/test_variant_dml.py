@@ -311,6 +311,78 @@ def test_ns_set_on_ns_column_carries_us_precision(spark, ns_table):
         assert phys[i] == NS[i]
 
 
+def test_ns_writes_keep_partition_fanout(spark, tmp_path):
+    """ADVICE r13: the arrow-ns executor write used to skip partition
+    fanout, committing null partition tuples on PARTITIONED ns tables —
+    sound for this engine's never-prune-null rule but silently wrong
+    for a foreign reader that prunes on manifest partition values (and
+    it degraded locality). DML/compaction writes on a day(ts)+identity
+    spec must now commit typed partition tuples, exactly the spec
+    transform values, with ns precision intact."""
+    import datetime as dt
+
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    # two distinct days so the fanout produces multiple tuples
+    day0 = 1700000000000000001  # 2023-11-14 (UTC)
+    day1 = day0 + 86_400_000_000_000  # next day, same sub-µs tail
+    ns_vals = [day0, day0 + 1, day1, day1 + 1]
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+            "cat": pa.array(["a", "a", "b", "b"], pa.string()),
+            "ts": pa.array(ns_vals, pa.timestamp("ns")),
+        }
+    )
+    root = str(tmp_path / "nspart")
+    t = LocalIcebergTable(
+        root, tbl.schema, partition_by=[("ts", "day"), ("cat", "identity")]
+    )
+    t.append_snapshot([tbl], timestamp_ms=T1)
+
+    epoch = dt.date(1970, 1, 1)
+    d0 = (dt.date(2023, 11, 14) - epoch).days
+    assert day0 // 86_400_000_000_000 == d0  # fixture day math sanity
+
+    def _tuples():
+        snap = im.resolve_snapshot(root)
+        pv = im.live_data_partitions(root, snap)
+        out = {}
+        for p, vals in pv.items():
+            tt = pq.read_table(p.removeprefix("file://"))
+            assert tt.schema.field("ts").type == pa.timestamp("ns")
+            for rid in tt["id"].to_pylist():
+                out[rid] = vals
+        return out
+
+    # COW update rewrites touched files through the arrow-ns path
+    r = update_where(
+        spark, root, "id = 1", {"id": "10"},
+        timestamp_ms=T1 + 1000, mode="copy-on-write",
+    )
+    assert r["matched"] == 1
+    tups = _tuples()
+    assert all(v is not None for v in tups.values()), tups
+    for rid, day, cat in ((0, d0, "a"), (10, d0, "a"),
+                          (2, d0 + 1, "b"), (3, d0 + 1, "b")):
+        got = tups[rid]
+        assert (str(got["ts_day"]), got["cat"]) == (str(day), cat), (
+            rid, got
+        )
+
+    # compaction keeps the layout partitioned too
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    tups = _tuples()
+    assert all(v is not None for v in tups.values()), tups
+    assert {str(v["ts_day"]) for v in tups.values()} == {
+        str(d0), str(d0 + 1)
+    }
+    # ns precision survived both rewrites
+    phys = _physical_ns(root)
+    assert phys[10] == day0 + 1
+    assert phys[3] == day1 + 1
+
+
 def test_variant_lineage_compaction(spark, tmp_path):
     """r13 (VERDICT r12 #4): a row-lineage table WITH a variant column
     compacts — both passthroughs composed: _row_id and

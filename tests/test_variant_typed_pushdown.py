@@ -228,6 +228,50 @@ def test_no_rewrite_on_join_or_star(spark, tmp_path):
     assert got == [(sum(range(8)) + 99,)]
 
 
+def test_no_rewrite_on_cte_or_subquery(spark, tmp_path):
+    """ADVICE r13 medium: a CTE or nested SELECT can derive/re-alias
+    the variant column, so the hidden ``__cf_vx_*`` scan column would
+    not be visible where the extraction sits — the rewrite must bail
+    (the JSON-surface UDF path still answers, value-identical)."""
+    root, _ = _typed_table(tmp_path)
+    expected = [(sum(range(8)) + 99,)]
+    # CTE re-exposing the variant column
+    cte = (
+        f"WITH c AS (SELECT id, v FROM iceberg_scan('{root}')) "
+        "SELECT sum(variant_get(parse_json(v), '$.a', 'bigint')) AS s "
+        "FROM c"
+    )
+    assert _rows(spark, cte) == expected
+    resolved, _ = _plan(spark, cte)
+    assert "__cf_vx_" not in resolved
+    # derived-table (nested SELECT) alias
+    sub = (
+        "SELECT sum(variant_get(parse_json(w), '$.a', 'bigint')) AS s "
+        f"FROM (SELECT v AS w FROM iceberg_scan('{root}'))"
+    )
+    assert _rows(spark, sub) == expected
+    resolved, _ = _plan(spark, sub)
+    assert "__cf_vx_" not in resolved
+    # IN (SELECT ...) predicate — second select token, must also bail
+    inq = (
+        "SELECT sum(variant_get(parse_json(v), '$.a', 'bigint')) AS s "
+        f"FROM iceberg_scan('{root}') WHERE id IN "
+        f"(SELECT id FROM iceberg_scan('{root}') WHERE id < 8)"
+    )
+    assert _rows(spark, inq) == [(sum(range(8)),)]
+    # a string literal containing the words must NOT trip the guard
+    lit = (
+        "SELECT variant_get(parse_json(v), '$.s', 'string') AS s "
+        f"FROM iceberg_scan('{root}') "
+        "WHERE variant_get(parse_json(v), '$.s', 'string') "
+        "<> 'select with select' AND id = 1"
+    )
+    assert _rows(spark, lit) == [("x1",)]
+    resolved, plan = _plan(spark, lit)
+    assert "__cf_vx_" in resolved
+    assert "ArrowEvalPython" not in plan
+
+
 def test_qualified_alias_reference(spark, tmp_path):
     root, _ = _typed_table(tmp_path)
     got = _rows(
