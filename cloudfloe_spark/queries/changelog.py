@@ -3629,3 +3629,162 @@ def iceberg_shredded_compaction_scan(
         spark,
         f"SELECT doc_id, payload FROM iceberg_scan('{root}')",
     )
+
+
+@register(
+    "iceberg_shredded_dml_scan",
+    oracle="""
+        WITH alive AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (n_chars % 9 = 0)
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                   '{"chars":' || CAST(n_chars * 2 AS VARCHAR)
+                   || ',"lang":"' || lang || '","patched":true}'
+               ELSE
+                   '{"chars":' || CAST(n_chars AS VARCHAR)
+                   || ',"lang":"' || lang || '"}'
+               END AS payload
+        FROM alive
+    """,
+    tags=("iceberg", "v3", "variant", "shredded", "dml"),
+)
+def iceberg_shredded_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML over a MIXED-LAYOUT variant table driver-checked
+    (r14, VERDICT r13 #1): the even docs land as SHREDDED variant files
+    (typed_value subcolumns + residual), the odd docs as UNSHREDDED,
+    then a MOR DELETE whose predicate reads the reassembled surface
+    (``chars % 9 = 0``) commits ONLY deletion vectors — the fixture
+    asserts the live data-file set is untouched, the one-row-delete-
+    costs-a-full-rewrite gap this round closed — and a MOR UPDATE
+    (``doc_id % 5 = 0`` doubles chars, adds a flag) re-encodes exactly
+    the matched rows, landing them unshredded while untouched shredded
+    files stay byte-intact. The oracle rebuilds the canonical-JSON twin
+    in SQL across both physical layouts.
+
+    Scale shape: the DELETE is one decode pass over the stats-pruned
+    candidates plus a match-sized coordinate shuffle (zero re-encode,
+    zero data files); the UPDATE's reassemble→re-encode runs only on
+    candidate-file rows and its write is match-sized
+    (`sources/maintenance.py` ``_dml_raw_scan`` / ``_shred_group_scan``).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.functions.variant import encode_variant, shred_rows
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"shdml{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_shdml", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        even = [r for r in rows if r["doc_id"] % 2 == 0]
+        odd = [r for r in rows if r["doc_id"] % 2 == 1]
+        shred = {
+            "kind": "object",
+            "fields": {
+                "lang": {"value": True, "typed": {"kind": "string"}},
+                "chars": {"value": True, "typed": {"kind": "int"}},
+            },
+        }
+        shred_col = shred_rows(
+            [{"lang": r["lang"], "chars": r["n_chars"]} for r in even],
+            shred,
+        )
+        vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+        plain_col = pa.array(
+            [
+                dict(
+                    zip(
+                        ("metadata", "value"),
+                        encode_variant(
+                            {"lang": r["lang"], "chars": r["n_chars"]}
+                        ),
+                    )
+                )
+                for r in odd
+            ],
+            vt,
+        )
+        t = LocalIcebergTable(
+            root,
+            pa.schema(
+                [("doc_id", pa.int64()), ("payload", shred_col.type)]
+            ),
+            variant_cols=("payload",),
+        )
+        t.append_snapshot(
+            [
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [r["doc_id"] for r in even], pa.int64()
+                        ),
+                        "payload": shred_col,
+                    }
+                )
+            ],
+            timestamp_ms=_T0,
+        )
+        t.append_snapshot(
+            [
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [r["doc_id"] for r in odd], pa.int64()
+                        ),
+                        "payload": plain_col,
+                    }
+                )
+            ],
+            timestamp_ms=_T0 + 1000,
+        )
+        live_before = sorted(
+            im.live_data_paths(root, im.resolve_snapshot(root))
+        )
+        delete_where(
+            spark, root,
+            "CAST(get_json_object(payload, '$.chars') AS BIGINT) % 9 = 0",
+            timestamp_ms=_T0 + 2000,
+        )
+        # the MOR delete wrote ZERO data files — coordinates only
+        live_after = sorted(
+            im.live_data_paths(root, im.resolve_snapshot(root))
+        )
+        assert live_after == live_before, "MOR delete rewrote data files"
+        update_where(
+            spark, root, "doc_id % 5 = 0",
+            {
+                "payload": (
+                    "to_json(named_struct("
+                    "'chars', CAST(get_json_object(payload, '$.chars')"
+                    " AS BIGINT) * 2, "
+                    "'lang', get_json_object(payload, '$.lang'), "
+                    "'patched', true))"
+                )
+            },
+            timestamp_ms=_T0 + 3000,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, payload FROM iceberg_scan('{root}')",
+    )

@@ -180,8 +180,12 @@ def append_stream_to_iceberg(
         _live0 = im.live_data_paths(root, _snap0)
     except im.IcebergMetadataError:
         _live0 = []
-    variant_cols, ns_cols = _dml_v3_cols(
+    # appends never scan existing files — a target already carrying
+    # SHREDDED variant files is fine (new micro-batches land unshredded;
+    # the read path serves the mixed layout), so declare the surface
+    variant_cols, ns_cols, _shred0 = _dml_v3_cols(
         root, None, _live0, "append_stream_to_iceberg",
+        allow_shredded=True,
     )
     ns_tz = _ns_tz_map(root, None, ns_cols) if ns_cols else None
     # Legacy (None, epoch) summaries dedup ONLY a genuine replay: the
