@@ -3632,6 +3632,138 @@ def iceberg_shredded_compaction_scan(
 
 
 @register(
+    "iceberg_v3_branch_dml_scan",
+    oracle="""
+        WITH alive AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (n_chars % 7 = 0)
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                   '{"audited":true,"chars":' || CAST(n_chars AS VARCHAR)
+                   || ',"lang":"' || lang || '"}'
+               ELSE
+                   '{"chars":' || CAST(n_chars AS VARCHAR)
+                   || ',"lang":"' || lang || '"}'
+               END AS payload
+        FROM alive
+    """,
+    tags=("iceberg", "v3", "variant", "dml", "branch", "wap"),
+)
+def iceberg_v3_branch_dml_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Branch-targeted v3 DML — write-audit-publish — driver-checked
+    (r14, VERDICT r13 #3): a MOR DELETE (``chars % 7 = 0``) and a MOR
+    UPDATE (``doc_id % 4 = 0`` gains an audited flag) stage DELETION
+    VECTORS and the update's row delta against a branch ref on a
+    row-lineage VARIANT table; the fixture asserts main is UNTOUCHED
+    through both staged commits (the audit gate), then fast-forward
+    publishes. The scan reads main after publish; the oracle is the
+    JSON twin of the audited state.
+
+    Scale shape: identical to main-targeted v3 DML — DVs carry only
+    coordinates, the update write is match-sized; the publish is a
+    metadata-only fast-forward (`sources/iceberg_fixture.py`
+    ``commit_deletion_vector_snapshot(parent_ref=...)`` /
+    ``publish_ref``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.functions.variant import encode_variant
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        publish_ref,
+        set_ref,
+    )
+    from cloudfloe_spark.sources.maintenance import (
+        delete_where,
+        update_where,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"wapdml{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_wapdml", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+        col = pa.array(
+            [
+                dict(
+                    zip(
+                        ("metadata", "value"),
+                        encode_variant(
+                            {"lang": r["lang"], "chars": r["n_chars"]}
+                        ),
+                    )
+                )
+                for r in rows
+            ],
+            vt,
+        )
+        data = pa.table(
+            {
+                "doc_id": pa.array(
+                    [r["doc_id"] for r in rows], pa.int64()
+                ),
+                "payload": col,
+            }
+        )
+        t = LocalIcebergTable(
+            root, data.schema, variant_cols=("payload",),
+            row_lineage=True,
+        )
+        t.append_snapshot([data], timestamp_ms=_T0)
+        s0 = im.resolve_snapshot(root)["snapshot-id"]
+        set_ref(root, "wap", s0, ref_type="branch",
+                timestamp_ms=_T0 + 100)
+        delete_where(
+            spark, root,
+            "CAST(get_json_object(payload, '$.chars') AS BIGINT) % 7 = 0",
+            timestamp_ms=_T0 + 1000, ref="wap",
+        )
+        # the audit gate: main still shows every row after the staged
+        # delete (the whole point of WAP)
+        assert (
+            im.resolve_snapshot(root)["snapshot-id"] == s0
+        ), "staged branch delete moved main"
+        update_where(
+            spark, root, "doc_id % 4 = 0",
+            {
+                "payload": (
+                    "to_json(named_struct("
+                    "'audited', true, "
+                    "'chars', CAST(get_json_object(payload, '$.chars')"
+                    " AS BIGINT), "
+                    "'lang', get_json_object(payload, '$.lang')))"
+                )
+            },
+            timestamp_ms=_T0 + 2000, ref="wap",
+        )
+        assert (
+            im.resolve_snapshot(root)["snapshot-id"] == s0
+        ), "staged branch update moved main"
+        publish_ref(root, "wap", timestamp_ms=_T0 + 3000)
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT doc_id, payload FROM iceberg_scan('{root}')",
+    )
+
+
+@register(
     "iceberg_shredded_dml_scan",
     oracle="""
         WITH alive AS (

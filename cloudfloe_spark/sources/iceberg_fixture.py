@@ -1901,6 +1901,7 @@ def commit_deletion_vector_snapshot(
     expected_metadata_path: str | None = None,
     summary_extra: "dict[str, str] | None" = None,
     drop_position_deletes: bool = False,
+    parent_ref: str | None = None,
 ) -> int:
     """Commit Iceberg v3 DELETION VECTORS (r10 stretch, VERDICT r9 #8):
     ``deletes`` maps live data-file paths (absolute or table-relative
@@ -1930,7 +1931,14 @@ def commit_deletion_vector_snapshot(
     commit — callers must have folded their coordinates into ``deletes``
     first (``maintenance.migrate_position_deletes_to_dvs`` does), or
     deleted rows would resurrect. Equality deletes are always carried
-    (v3 keeps them)."""
+    (v3 keeps them).
+
+    ``parent_ref`` (r14, VERDICT r13 #3 — branch-targeted v3 DML /
+    write-audit-publish): commit ON a branch — the parent and the
+    carried live set are the BRANCH head, the branch ref advances to
+    the new snapshot, and main's current snapshot and snapshot-log stay
+    untouched until :func:`publish_ref` fast-forwards. Tags refuse (the
+    spec makes them immutable)."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin
 
@@ -1946,7 +1954,23 @@ def commit_deletion_vector_snapshot(
         raise ValueError("commit_deletion_vector_snapshot: empty deletes")
     meta = im.load_metadata(root)
     snaps = meta.get("snapshots", [])
-    cur = im.resolve_snapshot(root)
+    if parent_ref is not None:
+        r_ = (meta.get("refs") or {}).get(parent_ref)
+        if r_ is None:
+            raise ValueError(
+                f"commit_deletion_vector_snapshot: parent_ref "
+                f"{parent_ref!r} not found (known refs: "
+                f"{sorted(meta.get('refs') or {})}) — create the branch "
+                "with set_ref(..., ref_type='branch') first"
+            )
+        if r_.get("type") == "tag":
+            raise ValueError(
+                f"commit_deletion_vector_snapshot: ref {parent_ref!r} is "
+                "a tag — tags are immutable; create a branch to write to"
+            )
+        cur = im.resolve_snapshot(root, version=int(r_["snapshot-id"]))
+    else:
+        cur = im.resolve_snapshot(root)
     carried = [
         e for e in im.manifest_entries(root, cur) if e["status"] != 2
     ]
@@ -2155,14 +2179,21 @@ def commit_deletion_vector_snapshot(
     )
     _stamp_row_lineage(snaps[-1], row_mark, int(meta.get("next-row-id") or 0))
     meta["snapshots"] = snaps
-    meta["current-snapshot-id"] = snap_id
-    _sync_main_ref(meta, snap_id)
+    if parent_ref is not None:
+        # staged on the branch only (WAP); publish_ref fast-forwards
+        meta.setdefault("refs", {})[parent_ref] = {
+            "snapshot-id": snap_id,
+            "type": "branch",
+        }
+    else:
+        meta["current-snapshot-id"] = snap_id
+        _sync_main_ref(meta, snap_id)
+        meta.setdefault("snapshot-log", []).append(
+            {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+        )
     meta["format-version"] = 3
     # provenance stamp: this engine wrote (or validated) every live DV
     meta.setdefault("properties", {})[_DV_WRITER_PROP] = "cloudfloe-spark"
-    meta.setdefault("snapshot-log", []).append(
-        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
-    )
     meta["last-updated-ms"] = timestamp_ms
     write_next_metadata_version(root, meta)
     return snap_id

@@ -2450,14 +2450,9 @@ def delete_where(
             # v3 write path (r10): the spec forbids new position-delete
             # FILES — matched positions commit as per-file DELETION
             # VECTORS instead (executor-side roaring build, driver
-            # collects only compressed blobs). Branch-targeted DML keeps
-            # the parquet path out of scope for v3 (refs + DVs unmixed).
-            if ref is not None:
-                raise ValueError(
-                    "delete_where: branch-targeted deletes on an Iceberg "
-                    "v3 table are not supported yet — delete on main or "
-                    "use mode='copy-on-write'"
-                )
+            # collects only compressed blobs). Branch-targeted deletes
+            # (r14, VERDICT r13 #3) stage the DVs against the branch
+            # head — write-audit-publish on v3 tables.
             from cloudfloe_spark.sources.iceberg_fixture import (
                 commit_deletion_vector_snapshot,
             )
@@ -2467,11 +2462,11 @@ def delete_where(
                 root, "delete_where",
                 lambda mp: commit_deletion_vector_snapshot(
                     root, dvs, timestamp_ms=timestamp_ms,
-                    expected_metadata_path=mp,
+                    expected_metadata_path=mp, parent_ref=ref,
                 ),
                 meta_path,
                 lambda: _rebase_ok(
-                    root, scanned_paths=paths, pinned_snap=snap,
+                    root, scanned_paths=paths, pinned_snap=snap, ref=ref,
                     forbid_new_data=True,
                 ),
             )
@@ -2641,13 +2636,8 @@ def update_where(
         if fv >= 3:
             # v3 row delta (r10): retractions commit as DELETION VECTORS
             # (v3 forbids new position-delete files) and the rewritten
-            # rows land at the same commit's higher sequence
-            if ref is not None:
-                raise ValueError(
-                    "update_where: branch-targeted updates on an Iceberg "
-                    "v3 table are not supported yet — update main or use "
-                    "mode='copy-on-write'"
-                )
+            # rows land at the same commit's higher sequence. On a
+            # branch (r14) the whole delta stages against the ref head.
             dvs = _collect_deletion_vectors(spark, deletes)
         else:
             import pyarrow.parquet as pq
@@ -2702,10 +2692,11 @@ def update_where(
             lambda mp: commit_deletion_vector_snapshot(
                 root, dvs, new_data_files=new_files,
                 timestamp_ms=timestamp_ms, expected_metadata_path=mp,
+                parent_ref=ref,
             ),
             meta_path,
             lambda: _rebase_ok(
-                root, scanned_paths=paths, pinned_snap=snap,
+                root, scanned_paths=paths, pinned_snap=snap, ref=ref,
                 forbid_new_data=True,
             ),
         )
@@ -3108,12 +3099,6 @@ def merge_into(
         raise ValueError(f"merge_into: unknown mode {mode!r}")
     meta_path = im.latest_metadata_path(root)
     fv = int(im.load_metadata(root, meta_path).get("format-version") or 1)
-    if mode == "merge-on-read" and fv >= 3 and ref is not None:
-        raise ValueError(
-            "merge_into: branch-targeted merge-on-read on an Iceberg v3 "
-            "table is not supported yet — merge on main or use "
-            "mode='copy-on-write'"
-        )
     snap = (
         _ref_snapshot(root, meta_path, ref, "merge_into")
         if ref is not None
@@ -3562,11 +3547,11 @@ def merge_into(
             lambda mp: commit_deletion_vector_snapshot(
                 root, dvs, new_data_files=new_files,
                 timestamp_ms=timestamp_ms, expected_metadata_path=mp,
-                summary_extra=summary_extra,
+                summary_extra=summary_extra, parent_ref=ref,
             ),
             meta_path,
             lambda: _rebase_ok(
-                root, scanned_paths=paths, pinned_snap=snap,
+                root, scanned_paths=paths, pinned_snap=snap, ref=ref,
                 forbid_new_data=True,
             ),
         )

@@ -334,6 +334,107 @@ def test_shredded_merge_into_mixed_layout(spark, tmp_path):
     assert sorted(got) == [0, 1, 2, 3, 10, 11, 99], r
 
 
+def test_v3_branch_dml_wap_lifecycle(spark, tmp_path):
+    """r14 (VERDICT r13 #3): write-audit-publish on a v3 VARIANT table
+    with row lineage — a MOR DELETE and a MOR UPDATE stage DELETION
+    VECTORS (and the update's row delta) against a branch ref; main is
+    untouched until fast-forward publish; the audit reads through
+    ``VERSION AS OF '<ref>'``; lineage ids survive the publish."""
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        publish_ref,
+        set_ref,
+    )
+
+    objs = [{"k": i, "tag": "even" if i % 2 == 0 else "odd"}
+            for i in range(6)]
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(6)), pa.int64()),
+            "v": _variant_col(objs),
+        }
+    )
+    root = str(tmp_path / "wap")
+    t = LocalIcebergTable(
+        root, tbl.schema, variant_cols=("v",), row_lineage=True
+    )
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "audit", s0, ref_type="branch", timestamp_ms=T1 + 100)
+
+    # stage: delete the odd-tagged rows, bump k on id=0 — on the branch
+    r1 = delete_where(
+        spark, root, "get_json_object(v, '$.tag') = 'odd'",
+        timestamp_ms=T1 + 1000, ref="audit",
+    )
+    assert r1["matched"] == 3 and r1.get("deletion_vectors", 0) >= 1
+    r2 = update_where(
+        spark, root, "id = 0",
+        {"v": "to_json(named_struct('k', 100, 'tag', 'even'))"},
+        timestamp_ms=T1 + 2000, ref="audit",
+    )
+    assert r2["matched"] == 1
+
+    # main untouched: all six rows, original values
+    main_rows = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [x[0] for x in main_rows] == [0, 1, 2, 3, 4, 5]
+    assert main_rows[0][1] == '{"k":0,"tag":"even"}'
+    # audit view: deletes + update applied
+    audit = _rows(
+        spark,
+        f"SELECT id, v FROM iceberg_scan('{root}') "
+        "VERSION AS OF 'audit' ORDER BY id",
+    )
+    assert [x[0] for x in audit] == [0, 2, 4]
+    assert audit[0][1] == '{"k":100,"tag":"even"}'
+
+    # lineage on the branch: carried rows keep their original ids
+    rid_before = dict(
+        _rows(
+            spark,
+            f"SELECT id, _row_id FROM iceberg_row_lineage('{root}') "
+            "ORDER BY id",
+        )
+    )
+    publish_ref(root, "audit", timestamp_ms=T1 + 3000)
+    after = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert after == audit
+    rid_after = dict(
+        _rows(
+            spark,
+            f"SELECT id, _row_id FROM iceberg_row_lineage('{root}') "
+            "ORDER BY id",
+        )
+    )
+    # untouched survivors keep their pre-publish ids; the updated row
+    # carries its source id forward (the lineage contract)
+    for i in (2, 4):
+        assert rid_after[i] == rid_before[i]
+    assert rid_after[0] == rid_before[0]
+
+
+def test_branch_dml_on_tag_refuses(spark, tmp_path):
+    """Tags are immutable: a v3 MOR delete targeting a tag ref errors
+    before any write."""
+    from cloudfloe_spark.sources.iceberg_fixture import set_ref
+
+    objs = [{"k": 0}]
+    tbl = pa.table(
+        {"id": pa.array([0], pa.int64()), "v": _variant_col(objs)}
+    )
+    root = str(tmp_path / "wtag")
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    set_ref(root, "pin", s0, ref_type="tag", timestamp_ms=T1 + 100)
+    with pytest.raises(ValueError, match="tag"):
+        delete_where(spark, root, "id = 0", timestamp_ms=T1 + 1000,
+                     ref="pin")
+
+
 def test_binpack_normalizes_shredded_small_files(spark, tmp_path):
     """r14: bin-pack over SHREDDED small files normalizes them through
     the same reassemble→re-encode pass compaction uses — the scan
