@@ -154,3 +154,44 @@ def encode_wkb_point(x: float, y: float) -> bytes:
     import struct as _struct
 
     return b"\x01\x01\x00\x00\x00" + _struct.pack("<dd", x, y)
+
+
+def bbox_intersects(a, b):
+    """Closed-box intersection of two envelope structs (or any structs
+    carrying ``xmin/ymin/xmax/ymax``) as a PURE column expression —
+    JVM-side, whole-stage-codegen-able, no Python after the decode.
+    Boxes sharing only an edge/corner intersect (closed semantics,
+    matching DE-9IM ``ST_Intersects`` on envelopes)."""
+    return ~(
+        (a["xmax"] < b["xmin"])
+        | (b["xmax"] < a["xmin"])
+        | (a["ymax"] < b["ymin"])
+        | (b["ymax"] < a["ymin"])
+    )
+
+
+def bbox_contains(outer, e):
+    """Envelope-in-box containment as a pure column expression: the
+    envelope struct ``e`` lies entirely inside ``outer`` (closed). For
+    a POINT geometry the envelope degenerates to the point, so this is
+    the point-in-bbox filter."""
+    return (
+        (e["xmin"] >= outer["xmin"])
+        & (e["xmax"] <= outer["xmax"])
+        & (e["ymin"] >= outer["ymin"])
+        & (e["ymax"] <= outer["ymax"])
+    )
+
+
+def bbox_expand(e, margin):
+    """Envelope grown by ``margin`` on every side, as a struct column —
+    the buffer step of a distance-bounded bbox join."""
+    from pyspark.sql import functions as F
+
+    m = F.lit(float(margin))
+    return F.struct(
+        (e["xmin"] - m).alias("xmin"),
+        (e["ymin"] - m).alias("ymin"),
+        (e["xmax"] + m).alias("xmax"),
+        (e["ymax"] + m).alias("ymax"),
+    )

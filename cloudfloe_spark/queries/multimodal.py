@@ -228,47 +228,16 @@ def mm_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "iceberg_geometry_bbox_scan",
-    oracle="""
-        SELECT lang,
-               count(*) AS n,
-               min(CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
-                   AS xmin,
-               max(CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
-                   AS xmax,
-               min(CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
-                   AS ymin,
-               max(CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
-                   AS ymax
-        FROM documents
-        GROUP BY lang
-    """,
-    tags=("iceberg", "v3", "geometry", "wkb"),
-)
-def iceberg_geometry_bbox_scan(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """v3 GEOMETRY envelope aggregation driver-checked (r13): the
-    fixture writes a WKB POINT per document (coordinates synthesized
-    deterministically from doc_id / n_chars — exact dyadic doubles),
-    declares the column ``geometry(srid:4326)``, and the query decodes
-    the raw-WKB surface with the Arrow-batched envelope UDF
-    (``functions/geo.py`` — pure stdlib WKB parsing, OGC layout) into a
-    per-lang bbox. The oracle recomputes the same coordinates
-    arithmetically — a byte-order, offset, or truncation bug in the
-    parser shifts every envelope.
-
-    Scale shape: one Arrow pass over the geometry bytes (blobs never
-    shuffle; the exchange carries only (lang, 4 doubles) partials)."""
+def _geo_fixture(sf_dir: str) -> str:
+    """Deterministic v3 geometry table shared by the geo entries: one
+    WKB POINT per document, coordinates synthesized from doc_id /
+    n_chars as exact dyadic doubles, column declared
+    ``geometry(srid:4326)``."""
     import hashlib
     import os
     import shutil
 
-    from cloudfloe_spark.functions.geo import (
-        encode_wkb_point,
-        wkb_envelope_udf,
-    )
+    from cloudfloe_spark.functions.geo import encode_wkb_point
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.iceberg_fixture import (
         LocalIcebergTable,
@@ -320,9 +289,47 @@ def iceberg_geometry_bbox_scan(
         write_next_metadata_version(root, meta)
         with open(done, "w") as f:
             f.write("ok")
+    return root
+
+
+@register(
+    "iceberg_geometry_bbox_scan",
+    oracle="""
+        SELECT lang,
+               count(*) AS n,
+               min(CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
+                   AS xmin,
+               max(CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
+                   AS xmax,
+               min(CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
+                   AS ymin,
+               max(CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
+                   AS ymax
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("iceberg", "v3", "geometry", "wkb"),
+)
+def iceberg_geometry_bbox_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v3 GEOMETRY envelope aggregation driver-checked (r13): the
+    fixture writes a WKB POINT per document (coordinates synthesized
+    deterministically from doc_id / n_chars — exact dyadic doubles),
+    declares the column ``geometry(srid:4326)``, and the query decodes
+    the raw-WKB surface with the Arrow-batched envelope UDF
+    (``functions/geo.py`` — pure stdlib WKB parsing, OGC layout) into a
+    per-lang bbox. The oracle recomputes the same coordinates
+    arithmetically — a byte-order, offset, or truncation bug in the
+    parser shifts every envelope.
+
+    Scale shape: one Arrow pass over the geometry bytes (blobs never
+    shuffle; the exchange carries only (lang, 4 doubles) partials)."""
+    from cloudfloe_spark.functions.geo import wkb_envelope_udf
     from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
     from cloudfloe_spark.sources.tables import ensure_runtime_conf
 
+    root = _geo_fixture(sf_dir)
     sess = spark.newSession()
     ensure_runtime_conf(sess)
     df = sess.sql(
@@ -338,3 +345,122 @@ def iceberg_geometry_bbox_scan(
         F.min("e.ymin").alias("ymin"),
         F.max("e.ymax").alias("ymax"),
     )
+
+
+@register(
+    "geo_point_filter",
+    oracle="""
+        SELECT lang, count(*) AS n
+        FROM documents
+        WHERE (CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
+                  BETWEEN -90.0 AND 0.0
+          AND (CAST(n_chars % 180 AS DOUBLE) - 90.0 + 0.5)
+                  BETWEEN 0.0 AND 45.0
+        GROUP BY lang
+    """,
+    tags=("geo", "v3", "geometry", "filter"),
+)
+def geo_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-bbox spatial FILTER (r14, VERDICT r13 #6): decode each
+    document's WKB point to its envelope once, then a PURE column
+    predicate (``functions/geo.py bbox_contains`` — closed semantics)
+    keeps the points inside a fixed query window; count per lang. The
+    oracle recomputes the synthetic coordinates arithmetically.
+
+    Scale shape: one Arrow decode pass, then JVM-side filter +
+    combinable count — the geometry bytes never cross an exchange, the
+    only shuffle carries (lang, partial count)."""
+    from cloudfloe_spark.functions.geo import (
+        bbox_contains,
+        wkb_envelope_udf,
+    )
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    root = _geo_fixture(sf_dir)
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT lang, geo FROM iceberg_scan('{root}')"
+        )
+    )
+    window = F.struct(
+        F.lit(-90.0).alias("xmin"),
+        F.lit(0.0).alias("ymin"),
+        F.lit(0.0).alias("xmax"),
+        F.lit(45.0).alias("ymax"),
+    )
+    env = df.withColumn("e", wkb_envelope_udf()(F.col("geo")))
+    return (
+        env.filter(bbox_contains(window, F.col("e")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "geo_bbox_join",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25 AS x
+            FROM documents
+        ), tiles AS (
+            SELECT t, -180.0 + 45.0 * t AS xlo,
+                   -180.0 + 45.0 * (t + 1) AS xhi
+            FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS v(t)
+        )
+        SELECT t AS tile, count(*) AS n
+        FROM pts JOIN tiles
+          ON NOT (x + 1.5 < xlo OR xhi < x - 1.5)
+        GROUP BY t
+    """,
+    tags=("geo", "v3", "geometry", "join"),
+)
+def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox-INTERSECTS spatial join (r14, VERDICT r13 #6): each
+    document's point envelope is buffered ±1.5° (``bbox_expand``) and
+    joined against 8 longitude tiles on the closed-box intersection
+    predicate (``bbox_intersects``) — documents near a tile boundary
+    genuinely match TWO tiles, so the join is one-to-many, not a
+    disguised assignment. The oracle replays the interval arithmetic.
+
+    Scale shape: the tile table is broadcast (8 rows); the geometry
+    decode happens before the join, the predicate is a pure column
+    expression, and the only exchange carries (tile, partial count) —
+    the classic broadcast-range spatial-join plan at any corpus size."""
+    from cloudfloe_spark.functions.geo import (
+        bbox_expand,
+        bbox_intersects,
+        wkb_envelope_udf,
+    )
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    root = _geo_fixture(sf_dir)
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess, f"SELECT geo FROM iceberg_scan('{root}')"
+        )
+    )
+    env = df.select(
+        bbox_expand(wkb_envelope_udf()(F.col("geo")), 1.5).alias("box")
+    )
+    tiles = sess.range(8).select(
+        F.col("id").alias("tile"),
+        F.struct(
+            (F.lit(-180.0) + F.lit(45.0) * F.col("id")).alias("xmin"),
+            F.lit(-90.0).alias("ymin"),
+            (F.lit(-180.0) + F.lit(45.0) * (F.col("id") + 1)).alias(
+                "xmax"
+            ),
+            F.lit(90.0).alias("ymax"),
+        ).alias("tbox"),
+    )
+    joined = env.join(
+        F.broadcast(tiles),
+        bbox_intersects(F.col("box"), F.col("tbox")),
+    )
+    return joined.groupBy("tile").agg(F.count("*").alias("n"))

