@@ -73,11 +73,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fixed reference machine speeds for the three probes (seconds), measured
-# on this sandbox at r7 start in a quiet window. These are CONSTANTS: the
-# normalization target every future round is expressed against. Do not
-# re-measure casually — changing them rescales normalized_* round history.
-REF_PROBES = {"scan": 0.22, "shuffle": 0.47, "cpu": 0.18}
+# Fixed reference machine speeds for the probes (seconds), measured on
+# this sandbox in a quiet window (scan/shuffle/cpu at r7 start; sustain
+# at r14 — min of repeated runs while the other probes read ~1.0x).
+# These are CONSTANTS: the normalization target every future round is
+# expressed against. Do not re-measure casually — changing them rescales
+# normalized_* round history.
+#
+# "sustain" (r14, the bench-drift A/B): ~1 s of full-width parallel
+# aggregate. The three short probes under-capture SUSTAINED multi-core
+# contention on this shared host — the r13 A/B showed heavy shuffle/CPU
+# queries 1.5-1.7x slower on UNCHANGED code while the short probes read
+# only 1.1-1.25x. sustain is recorded at every station for attribution
+# but EXCLUDED from the v2 drift mean (see _V2_DRIFT_PROBES) so the
+# normalized_v2 series stays comparable across rounds.
+REF_PROBES = {"scan": 0.22, "shuffle": 0.47, "cpu": 0.18, "sustain": 0.93}
+
+#: probes whose mean defines the v2 drift factor — the original three,
+#: frozen so the normalized_v2 round history keeps one definition
+_V2_DRIFT_PROBES = ("scan", "shuffle", "cpu")
 
 PROBE_EVERY = 10  # queries between calibration stations
 
@@ -213,10 +227,23 @@ def _make_probes(spark, load_table):
             .collect()
         )
 
+    def sustain_probe() -> None:
+        # ~1 s of all-32-core work: long enough that a loaded host's
+        # scheduler cannot hide behind a sub-200ms burst (r14)
+        (
+            spark.range(0, 960_000_000, 1, 32)
+            .select(
+                F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1000003))).alias("h"),
+                F.sum(F.col("id") * 31 % 1000003).alias("m"),
+            )
+            .collect()
+        )
+
     return {
         "scan": lambda: load_table(spark, SF_DIR, "lineitem").count(),
         "shuffle": shuffle_probe,
         "cpu": cpu_probe,
+        "sustain": sustain_probe,
     }
 
 
@@ -231,9 +258,13 @@ def _probe_station(probes) -> dict[str, float]:
 
 
 def _drift_factor(station: dict[str, float]) -> float:
-    """Unitless host-speed factor: mean over probes of t/ref. 1.0 = the
-    reference machine; 1.4 = everything 40% slower."""
-    return sum(t / REF_PROBES[n] for n, t in station.items()) / len(station)
+    """Unitless host-speed factor: mean over the ORIGINAL three probes
+    of t/ref (sustain is recorded but excluded — one definition across
+    the round history). 1.0 = the reference machine; 1.4 = everything
+    40% slower."""
+    return sum(
+        station[n] / REF_PROBES[n] for n in _V2_DRIFT_PROBES
+    ) / len(_V2_DRIFT_PROBES)
 
 
 def _probe_factors(station: dict[str, float]) -> dict[str, float]:
