@@ -4284,15 +4284,111 @@ def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
     }
 
 
+#: engine-internal per-file partial sketches cached in the stats Puffin
+#: (r14, VERDICT r13 #7) — foreign readers ignore unknown blob types
+_PARTIAL_BLOB_TYPE = "cloudfloe-partial-theta-v1"
+#: cache guards: beyond these the .stats file would bloat — skip caching
+#: (correctness unaffected; removals then fall back to a full rescan).
+#: A 100-TB/1M-file table needs a hierarchical (per-manifest) cache
+#: instead; these bounds keep this one honest at the scale it serves.
+_PARTIAL_CACHE_MAX_FILES = 4096
+_PARTIAL_CACHE_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _stats_suffix(p: str) -> str:
+    from urllib.parse import unquote
+
+    s = unquote(str(p))
+    if s.startswith("file://"):
+        s = s[7:]
+    return s.rsplit("/data/", 1)[-1]
+
+
+def _scan_file_partials(sess, paths, cols, th):
+    """Raw-parquet scan of ``paths`` producing per-(file, column)
+    partial sketches: ``{suffix: {col: (hashes, theta, nulls, rows)}}``
+    or None when a column is missing/un-analyzable. One distributed
+    pass; the driver merges per-file partials across tasks (theta
+    union, exact)."""
+    from pyspark.sql import functions as F
+
+    df = sess.read.parquet(*paths)
+    kinds = {c: th.spark_kind(t) for c, t in df.dtypes}
+    if any(kinds.get(c) is None for c in cols):
+        return None
+    specs = [(c, kinds[c]) for c in cols]
+    parts = df.select(
+        F.input_file_name().alias("__cf_theta_file"), *cols
+    ).mapInPandas(
+        th.build_partial_sketch_fn(specs, file_col="__cf_theta_file"),
+        th.FILE_PARTIAL_SCHEMA,
+    ).collect()
+    out: dict = {}
+    for r in parts:
+        sfx = _stats_suffix(r["file"])
+        if not sfx:
+            return None  # file lineage lost: don't cache wrong keys
+        hs = th.unpack_hashes(bytes(r["hashes"]))
+        theta = int(r["theta"])
+        cur = out.setdefault(sfx, {}).get(r["column"])
+        if cur is None:
+            out[sfx][r["column"]] = (
+                hs, theta, int(r["nulls"]), int(r["rows"])
+            )
+        else:
+            mh, mt = th.sketch_union([(cur[0], cur[1]), (hs, theta)])
+            out[sfx][r["column"]] = (
+                mh, mt, cur[2] + int(r["nulls"]), cur[3] + int(r["rows"])
+            )
+    return out
+
+
+def _read_partial_cache(p, footer, cols, th, pf):
+    """Per-file partial blobs of a registered stats Puffin →
+    ``{suffix: {col: (hashes, theta, nulls, rows)}}``; unreadable blobs
+    → None (callers treat as no cache)."""
+    cache: dict = {}
+    for b in footer.get("blobs") or []:
+        if b.get("type") != _PARTIAL_BLOB_TYPE:
+            continue
+        props = b.get("properties") or {}
+        c = props.get("cloudfloe.column")
+        sfx = props.get("cloudfloe.file")
+        if not c or not sfx or c not in cols:
+            continue
+        try:
+            data = pf.read_blob(p, int(b["offset"]), int(b["length"]))
+            hs, theta = th.deserialize_compact(data)
+            cache.setdefault(sfx, {})[c] = (
+                hs, theta,
+                int(props["cloudfloe.null-count"]),
+                int(props["cloudfloe.row-count"]),
+            )
+        except (KeyError, OSError, ValueError):
+            return None
+    return cache
+
+
 def _incremental_stats(sess, root, metadata_path, snap, columns):
-    """Append-only delta path for ANALYZE (r13, VERDICT r12 #6): theta
-    sketches are exactly mergeable, so when the table only GAINED data
-    files since the last registered StatisticsFile (no removals, no
-    delete-record changes, no renames/defaults), the refresh scans ONLY
-    the new files and unions their partial sketches into the previous
-    blobs. Returns ``(cols, by_col, nulls, row_count)`` or None when
-    the delta path is unsound (caller falls back to a full recompute).
-    Cost tracks the appended data, never the table."""
+    """Delta path for ANALYZE: theta sketches are exactly mergeable, so
+    the refresh can avoid rescanning data that the last registered
+    StatisticsFile already sketched. Two shapes:
+
+    - **Append-only** (r13, VERDICT r12 #6): no removals, no
+      delete-record changes → scan ONLY the new files and union their
+      partials into the previous blobs. Cost tracks the appended data.
+    - **Removals** (r14, VERDICT r13 #7): files were removed/rewritten
+      (compaction, COW DML) and the previous stats file carries the
+      per-file partial cache → result = union of the SURVIVING files'
+      cached partials + a scan of the new files only. Sound only when
+      every surviving file's delete records (position/DV) are unchanged
+      and no delete touches a new file — theta can't subtract, but it
+      never needs to: removals drop whole per-file partials.
+
+    Returns ``(cols, by_col, nulls, row_count, file_partials, mode)``
+    or None when neither delta path is sound (caller falls back to a
+    full recompute). ``file_partials`` is the forward cache for the
+    writer (None when the cache can't be carried complete)."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin as pf
     from cloudfloe_spark.sources import theta as th
@@ -4317,19 +4413,21 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         return None  # base snapshot expired
     live0 = set(im.live_data_paths(root, s0))
     live1 = set(im.live_data_paths(root, snap))
-    if not live0 <= live1:
-        return None  # files removed/rewritten: deltas can't subtract
-    if sorted(im.position_delete_paths(root, s0)) != sorted(
-        im.position_delete_paths(root, snap)
-    ):
-        return None
-    if sorted(map(repr, im.deletion_vector_records(root, s0))) != sorted(
-        map(repr, im.deletion_vector_records(root, snap))
-    ):
-        return None
-    if sorted(map(repr, im.equality_delete_records(root, s0))) != sorted(
-        map(repr, im.equality_delete_records(root, snap))
-    ):
+    append_only = live0 <= live1
+    if append_only:
+        # global delete-record equality: any change invalidates the
+        # MOR-applied base sketches
+        if sorted(im.position_delete_paths(root, s0)) != sorted(
+            im.position_delete_paths(root, snap)
+        ):
+            return None
+        if sorted(
+            map(repr, im.deletion_vector_records(root, s0))
+        ) != sorted(map(repr, im.deletion_vector_records(root, snap))):
+            return None
+    if sorted(
+        map(repr, im.equality_delete_records(root, s0))
+    ) != sorted(map(repr, im.equality_delete_records(root, snap))):
         return None
     p = str(entry.get("statistics-path") or "")
     if p.startswith("file://"):
@@ -4353,6 +4451,8 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
     fid_names = im.schema_field_names(root, metadata_path)
     cols, by_col, nulls = [], {}, {}
     for b in footer.get("blobs") or []:
+        if b.get("type") == _PARTIAL_BLOB_TYPE:
+            continue  # engine cache blobs, read separately below
         if b.get("type") != "apache-datasketches-theta-v1":
             return None
         props = b.get("properties") or {}
@@ -4374,25 +4474,100 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         return None
     if columns is not None and set(columns) != set(cols):
         return None  # caller chose a different set: recompute
-    new_paths = sorted(live1 - live0)
-    if new_paths:
-        df = sess.read.parquet(*new_paths)
-        kinds = {c: th.spark_kind(t) for c, t in df.dtypes}
-        if any(kinds.get(c) is None for c in cols):
-            return None  # column missing/un-analyzable in new files
-        specs = [(c, kinds[c]) for c in cols]
-        parts = df.select(*cols).mapInPandas(
-            th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
-        ).collect()
-        row_count += sum(
-            int(r["rows"]) for r in parts if r["column"] == cols[0]
+    cache = _read_partial_cache(p, footer, set(cols), th, pf)
+
+    def _complete(c_, paths_):
+        return cache is not None and all(
+            _stats_suffix(q) in cache
+            and c_ in cache[_stats_suffix(q)]
+            for q in paths_
         )
-        for r in parts:
-            by_col[r["column"]].append(
-                (th.unpack_hashes(bytes(r["hashes"])), int(r["theta"]))
+
+    if not append_only:
+        # removal path: rebuild the whole result from per-file partials
+        surviving = sorted(live0 & live1)
+        new_paths = sorted(live1 - live0)
+        if not all(_complete(c, surviving) for c in cols):
+            return None  # no (complete) cache: full recompute
+        # per-file delete guards on the surviving files; new files must
+        # be delete-free (a delete record naming one means the "new"
+        # data is already MOR-mutated — the raw scan would over-count)
+        pos0 = im.position_delete_paths(root, s0)
+        pos1 = im.position_delete_paths(root, snap)
+        dvs0 = im.deletion_vector_records(root, s0)
+        dvs1 = im.deletion_vector_records(root, snap)
+
+        def _dv_for(recs, sfx):
+            return sorted(
+                repr(r)
+                for r in recs
+                if _stats_suffix(r["referenced_data_file"]) == sfx
             )
-            nulls[r["column"]] += int(r["nulls"])
-    return cols, by_col, nulls, row_count
+
+        for f in surviving:
+            if sorted(im.prune_position_deletes(pos0, [f])) != sorted(
+                im.prune_position_deletes(pos1, [f])
+            ):
+                return None
+            if _dv_for(dvs0, _stats_suffix(f)) != _dv_for(
+                dvs1, _stats_suffix(f)
+            ):
+                return None
+        new_sfx = {_stats_suffix(q) for q in new_paths}
+        if any(
+            _stats_suffix(r["referenced_data_file"]) in new_sfx
+            for r in dvs1
+        ) or any(
+            im.prune_position_deletes(pos1, [q]) for q in new_paths
+        ):
+            return None
+        file_partials = {
+            _stats_suffix(q): cache[_stats_suffix(q)] for q in surviving
+        }
+        if new_paths:
+            fresh = _scan_file_partials(sess, new_paths, cols, th)
+            if fresh is None:
+                return None
+            file_partials.update(fresh)
+        by_col = {c: [] for c in cols}
+        nulls = {c: 0 for c in cols}
+        row_count = 0
+        for sfx, per_col in file_partials.items():
+            for c in cols:
+                hs, theta, n_null, _n_rows = per_col[c]
+                by_col[c].append((hs, theta))
+                nulls[c] += n_null
+            row_count += per_col[cols[0]][3]
+        return (
+            cols, by_col, nulls, row_count, file_partials,
+            "incremental-removal",
+        )
+
+    # append-only path (r13): prior MAIN blobs + new-file partials
+    new_paths = sorted(live1 - live0)
+    file_partials = None
+    if cache is not None and all(
+        _complete(c, sorted(live0)) for c in cols
+    ):
+        # carry the cache forward so the NEXT refresh can survive a
+        # removal; incomplete caches are dropped, not guessed at
+        file_partials = {
+            _stats_suffix(q): cache[_stats_suffix(q)]
+            for q in sorted(live0)
+        }
+    if new_paths:
+        fresh = _scan_file_partials(sess, new_paths, cols, th)
+        if fresh is None:
+            return None
+        for sfx, per_col in fresh.items():
+            row_count += per_col[cols[0]][3]
+            for c in cols:
+                hs, theta, n_null, _n_rows = per_col[c]
+                by_col[c].append((hs, theta))
+                nulls[c] += n_null
+        if file_partials is not None:
+            file_partials.update(fresh)
+    return cols, by_col, nulls, row_count, file_partials, "incremental"
 
 
 def analyze_iceberg_table(
@@ -4462,9 +4637,9 @@ def analyze_iceberg_table(
         if incremental
         else None
     )
+    file_partials = None
     if inc is not None:
-        cols, by_col, nulls, row_count = inc
-        mode = "incremental"
+        cols, by_col, nulls, row_count, file_partials, mode = inc
     else:
         df = sess.table(
             _snapshot_view(
@@ -4491,10 +4666,58 @@ def analyze_iceberg_table(
                 "(atomic, theta-serializable) columns"
             )
         specs = [(c, kinds[c]) for c in cols]
-        parts = df.select(*cols).mapInPandas(
-            th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
-        ).collect()
+        # per-FILE partials (r14, VERDICT r13 #7): the same one
+        # distributed pass, keyed by source file so the result doubles
+        # as a cache — a later ANALYZE after a compaction/COW unions
+        # the surviving files' sketches instead of rescanning them.
+        # Theta union is exact, so the final per-column sketch is
+        # bit-identical to the unkeyed pass. ``input_file_name()``
+        # refuses multi-source plans (MOR anti-joins, mixed-layout
+        # unions) — those snapshots fall back to the unkeyed pass and
+        # skip caching (a compaction folds the deletes, after which the
+        # cache builds normally).
+        from pyspark.sql import functions as F
+        from pyspark.sql.utils import AnalysisException
 
+        try:
+            parts = df.select(
+                F.input_file_name().alias("__cf_theta_file"), *cols
+            ).mapInPandas(
+                th.build_partial_sketch_fn(
+                    specs, file_col="__cf_theta_file"
+                ),
+                th.FILE_PARTIAL_SCHEMA,
+            ).collect()
+            keyed = True
+        except AnalysisException:
+            parts = df.select(*cols).mapInPandas(
+                th.build_partial_sketch_fn(specs), th.PARTIAL_SCHEMA
+            ).collect()
+            keyed = False
+
+        file_partials = {} if keyed else None
+        if keyed:
+            for r in parts:
+                sfx = _stats_suffix(r["file"])
+                if not sfx:
+                    file_partials = None  # lineage lost: don't cache
+                    break
+                cur = file_partials.setdefault(sfx, {}).get(r["column"])
+                hs = th.unpack_hashes(bytes(r["hashes"]))
+                theta = int(r["theta"])
+                if cur is None:
+                    file_partials[sfx][r["column"]] = (
+                        hs, theta, int(r["nulls"]), int(r["rows"])
+                    )
+                else:
+                    mh, mt = th.sketch_union(
+                        [(cur[0], cur[1]), (hs, theta)]
+                    )
+                    file_partials[sfx][r["column"]] = (
+                        mh, mt,
+                        cur[2] + int(r["nulls"]),
+                        cur[3] + int(r["rows"]),
+                    )
         row_count = sum(
             int(r["rows"]) for r in parts if r["column"] == cols[0]
         )
@@ -4532,6 +4755,41 @@ def analyze_iceberg_table(
                 },
             }
         )
+    # per-file partial cache (r14): written as extra engine-typed blobs
+    # (foreign readers skip unknown types) within hard size bounds; NOT
+    # listed in the table metadata's blob-metadata (only this engine's
+    # footer reader consumes them — metadata.json stays small)
+    cache_blobs = []
+    if file_partials and len(file_partials) <= _PARTIAL_CACHE_MAX_FILES:
+        total = 0
+        for sfx in sorted(file_partials):
+            per_col = file_partials[sfx]
+            for c in cols:
+                hs_t = per_col.get(c)
+                if hs_t is None:
+                    cache_blobs = []
+                    total = _PARTIAL_CACHE_MAX_BYTES + 1
+                    break
+                data = th.serialize_compact(hs_t[0], hs_t[1])
+                total += len(data)
+                cache_blobs.append(
+                    {
+                        "type": _PARTIAL_BLOB_TYPE,
+                        "fields": [],
+                        "snapshot-id": snap["snapshot-id"],
+                        "sequence-number": seq,
+                        "data": data,
+                        "properties": {
+                            "cloudfloe.column": c,
+                            "cloudfloe.file": sfx,
+                            "cloudfloe.null-count": str(hs_t[2]),
+                            "cloudfloe.row-count": str(hs_t[3]),
+                        },
+                    }
+                )
+            if total > _PARTIAL_CACHE_MAX_BYTES:
+                cache_blobs = []
+                break
     path = os.path.join(
         root,
         "metadata",
@@ -4539,7 +4797,7 @@ def analyze_iceberg_table(
     )
     pf.write_puffin(
         path,
-        blobs,
+        blobs + cache_blobs,
         file_properties={
             "cloudfloe.row-count": str(row_count),
             "cloudfloe.analyzed-at-ms": str(timestamp_ms),

@@ -1236,6 +1236,25 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     assert ares2["mode"] == "incremental", ares2
     assert ares2["row_count"] == base_rows + _CDC_FILE_ROWS, ares2
 
+    # (r2) incremental ANALYZE under REMOVALS (r14, VERDICT r13 #7): a
+    # COW delete rewrites ONE of the 16n files; the refresh unions the
+    # surviving files' cached per-file partials with a scan of the one
+    # replacement file — cost tracks the rewritten set, not the table,
+    # so the x8 row should stay flat while full analyze grows.
+    delete_where(
+        spark, iroot, "id = 7", timestamp_ms=_T0 + 6000,
+        mode="copy-on-write",
+    )
+    t0 = time.perf_counter()
+    ares3 = _analyze(
+        spark, iroot, timestamp_ms=_T0 + 7000, incremental=True
+    )
+    timings["analyze_incremental_removal"] = round(
+        time.perf_counter() - t0, 3
+    )
+    assert ares3["mode"] == "incremental-removal", ares3
+    assert ares3["row_count"] == base_rows + _CDC_FILE_ROWS - 1, ares3
+
     # (s) ns MOR UPDATE (r13, VERDICT r12 #5): rewritten rows route
     # through the pyarrow executor write so files keep the ns logical
     # type — cost must be sized by the MATCH COUNT (constant here: one

@@ -370,6 +370,8 @@ def test_incremental_analyze_appends_union_exactly(spark, tmp_path):
         footer = pf.read_puffin_footer(p)
         out = {"rows": footer["properties"]["cloudfloe.row-count"]}
         for b in footer["blobs"]:
+            if b["type"] != "apache-datasketches-theta-v1":
+                continue  # r14: per-file partial cache blobs
             c = b["properties"]["cloudfloe.column"]
             out[c] = (
                 pf.read_blob(p, b["offset"], b["length"]),
@@ -434,6 +436,96 @@ def test_incremental_analyze_appends_union_exactly(spark, tmp_path):
     )
     assert r3["mode"] == "full"
     assert r3["row_count"] == 149
+
+
+def test_incremental_analyze_survives_removals_via_partial_cache(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 #7): the stats Puffin carries per-FILE partial
+    sketches; after a COW rewrite removes one file, incremental ANALYZE
+    unions the SURVIVING files' cached partials with a scan of the new
+    file only — mode 'incremental-removal', result bit-identical to a
+    full recompute."""
+    from cloudfloe_spark.sources import puffin as pf
+    from cloudfloe_spark.sources.maintenance import (
+        analyze_iceberg_table,
+        delete_where,
+    )
+
+    def _stats_image(root):
+        meta = im.load_metadata(root)
+        cur = meta["current-snapshot-id"]
+        entry = [
+            e for e in meta["statistics"] if e["snapshot-id"] == cur
+        ][0]
+        p = entry["statistics-path"].removeprefix("file://")
+        footer = pf.read_puffin_footer(p)
+        out = {"rows": footer["properties"]["cloudfloe.row-count"]}
+        for b in footer["blobs"]:
+            if b["type"] != "apache-datasketches-theta-v1":
+                continue
+            c = b["properties"]["cloudfloe.column"]
+            out[c] = (
+                pf.read_blob(p, b["offset"], b["length"]),
+                b["properties"]["ndv"],
+                b["properties"]["cloudfloe.null-count"],
+            )
+        return out
+
+    root = str(tmp_path / "rmcache")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    # two files in one snapshot: one will survive the COW, one won't
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(60)),
+                      "name": [f"a{i % 11}" for i in range(60)]}),
+            pa.table({"id": list(range(60, 120)),
+                      "name": [None if i % 9 == 0 else f"b{i % 13}"
+                               for i in range(60)]}),
+        ],
+        timestamp_ms=T1,
+    )
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    # the cache landed: partial blobs per (file, column)
+    meta = im.load_metadata(root)
+    entry = meta["statistics"][0]
+    p0 = entry["statistics-path"].removeprefix("file://")
+    footer0 = pf.read_puffin_footer(p0)
+    partials = [
+        b for b in footer0["blobs"]
+        if b["type"] == "cloudfloe-partial-theta-v1"
+    ]
+    assert len(partials) == 2 * 2  # 2 files x 2 columns
+    # partial blobs are NOT advertised in the table metadata
+    assert all(
+        bm["type"] == "apache-datasketches-theta-v1"
+        for bm in entry["blob-metadata"]
+    )
+
+    # COW delete: one file rewritten (removed + replaced), one survives
+    r = delete_where(spark, root, "id = 70", timestamp_ms=T1 + 2000,
+                     mode="copy-on-write")
+    assert r["files_rewritten"] == 1
+    r_inc = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 3000, incremental=True
+    )
+    assert r_inc["mode"] == "incremental-removal"
+    assert r_inc["row_count"] == 119
+    inc_image = _stats_image(root)
+    r_full = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    assert r_full["mode"] == "full"
+    assert _stats_image(root) == inc_image
+
+    # a MOR delete (delete records change on a surviving file) must
+    # fall back to full — cached partials are MOR-applied at build time
+    delete_where(spark, root, "id = 3", timestamp_ms=T1 + 5000)
+    r2 = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 6000, incremental=True
+    )
+    assert r2["mode"] == "full"
+    assert r2["row_count"] == 118
 
 
 def test_incremental_analyze_rejects_stale_hash_encoding(spark, tmp_path):
