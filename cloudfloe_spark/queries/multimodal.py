@@ -464,3 +464,118 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bbox_intersects(F.col("box"), F.col("tbox")),
     )
     return joined.groupBy("tile").agg(F.count("*").alias("n"))
+
+
+@register(
+    "iceberg_geo_scan_pushdown",
+    oracle="""
+        SELECT lang, count(*) AS n
+        FROM documents
+        WHERE (CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25)
+                  BETWEEN -50.0 AND -10.0
+        GROUP BY lang
+    """,
+    tags=("geo", "v3", "geometry", "pushdown", "iceberg"),
+)
+def iceberg_geo_scan_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Geometry bbox FILE SKIPPING driver-checked (r14, VERDICT r13 #6
+    optional leg): the fixture writes the corpus as four spatially
+    DISJOINT files (x bands of 90°), ``compute_geo_bounds`` stamps each
+    file's envelope into the manifest bounds via a manifest rewrite,
+    and ``iceberg_geo_scan(root, col, x0, y0, x1, y1)`` prunes to the
+    one band intersecting the query window before applying the exact
+    row-level envelope intersect — the fixture asserts exactly one
+    file survives at execution. Oracle: the same interval arithmetic.
+
+    Scale shape: the skip is manifest-metadata work (no parquet
+    opened for pruned bands); the survivors pay one Arrow decode +
+    JVM filter, blobs never shuffle."""
+    import hashlib
+    import os
+    import shutil
+
+    from cloudfloe_spark.functions.geo import encode_wkb_point
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"geoskip1|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_geoskip", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        bands: list[list[dict]] = [[], [], [], []]
+        for r in rows:
+            bands[(r["doc_id"] % 360) // 90].append(r)
+
+        def _band_table(band_rows):
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in band_rows], pa.int64()
+                    ),
+                    "lang": pa.array(
+                        [r["lang"] for r in band_rows], pa.string()
+                    ),
+                    "geo": pa.array(
+                        [
+                            encode_wkb_point(
+                                float(r["doc_id"] % 360) - 180.0 + 0.25,
+                                float(r["n_chars"] % 180) - 90.0 + 0.5,
+                            )
+                            for r in band_rows
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        tables = [_band_table(b) for b in bands if b]
+        t = LocalIcebergTable(root, tables[0].schema)
+        t.append_snapshot(tables, timestamp_ms=1700000000000)
+        meta = im.load_metadata(root)
+        for sch in meta["schemas"]:
+            for f in sch["fields"]:
+                if f["name"] == "geo":
+                    f["type"] = "geometry(srid:4326)"
+        meta["format-version"] = 3
+        write_next_metadata_version(root, meta)
+        rep = compute_geo_bounds(
+            spark, root, timestamp_ms=1700000001000
+        )
+        assert rep["files_stamped"] == len(tables), rep
+        with open(done, "w") as f:
+            f.write("ok")
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    sql = (
+        f"SELECT lang, geo FROM iceberg_geo_scan('{root}', 'geo', "
+        "-50.0, -90.0, -10.0, 90.0)"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    # the skip is real: the query window lies inside ONE 90° band
+    n_files = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert n_files <= 1, f"bbox skip failed: {n_files} files scanned"
+    return df.groupBy("lang").agg(F.count("*").alias("n"))

@@ -72,6 +72,17 @@ _SCAN_TT_RE = re.compile(
 _SNAPSHOTS_RE = re.compile(
     r"iceberg_snapshots\(\s*['\"]([^'\"]+)['\"]\s*\)", re.IGNORECASE
 )
+#: spatial scan: iceberg_geo_scan('<root>', '<geo col>', x0, y0, x1, y1)
+#: — rows whose geometry envelope intersects the (closed) query box,
+#: with per-file bbox skipping when compute_geo_bounds stamped bounds
+_NUM = r"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+_GEO_SCAN_RE = re.compile(
+    r"iceberg_geo_scan\(\s*['\"]([^'\"]+)['\"]\s*,\s*"
+    r"['\"]([A-Za-z_][A-Za-z0-9_]*)['\"]\s*,\s*"
+    + _NUM + r"\s*,\s*" + _NUM + r"\s*,\s*"
+    + _NUM + r"\s*,\s*" + _NUM + r"\s*\)",
+    re.IGNORECASE,
+)
 _CHANGES_RE = re.compile(
     r"iceberg_changes\(\s*['\"]([^'\"]+)['\"]\s*,"
     r"\s*(\d+|'[^']+')\s*,\s*(\d+|'[^']+')\s*\)",
@@ -190,6 +201,7 @@ def _snapshot_view(
     view_name=None,
     prune_conjuncts=None,
     typed_paths: "dict[str, tuple] | None" = None,
+    geo_prune: "tuple | None" = None,
 ) -> str:
     """``typed_paths`` (r13, VERDICT r12 #2): hidden extraction columns
     ``{hidden_name: (fn, col, path_parts, sql_type)}`` the resolver
@@ -283,6 +295,30 @@ def _snapshot_view(
                             stats.get(p), prune_conjuncts, col_types, hist
                         )
                     ]
+        if geo_prune and paths:
+            # geometry bbox FILE SKIPPING (r14): compute_geo_bounds
+            # stamped per-file envelopes into the manifest bounds
+            # ("xmin ymin" / "xmax ymax" strings); a file whose stored
+            # box provably misses the query window never opens. Files
+            # without stamped bounds read normally (sound-by-omission).
+            gcol, (qx0, qy0, qx1, qy1) = geo_prune
+            stats = im.live_data_stats(root, snap)
+
+            def _geo_survives(st) -> bool:
+                try:
+                    lo = (st or {}).get("lower") or {}
+                    hi = (st or {}).get("upper") or {}
+                    if gcol not in lo or gcol not in hi:
+                        return True
+                    x0, y0 = (float(v) for v in str(lo[gcol]).split())
+                    x1, y1 = (float(v) for v in str(hi[gcol]).split())
+                except (ValueError, TypeError):
+                    return True  # unparseable bounds: read normally
+                return not (
+                    x1 < qx0 or qx1 < x0 or y1 < qy0 or qy1 < y0
+                )
+
+            paths = [p for p in paths if _geo_survives(stats.get(p))]
         pos_deletes = im.position_delete_paths(root, snap)
         if pos_deletes and paths:
             # Delete-file pruning (r8): a pruned scan applies only the
@@ -410,7 +446,9 @@ def _snapshot_view(
         )
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
-    name = view_name or _view_name("scan", root, snap.get("snapshot-id"))
+    name = view_name or _view_name(
+        "scan", root, (snap.get("snapshot-id"), geo_prune)
+    )
     if paths:
         from pyspark.sql import functions as F
 
@@ -3116,6 +3154,44 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
         pending[name] = (root, m.group(2), m.group(3))
         return name
 
+    def _geo_scan(m: re.Match) -> str:
+        root = _readable_root(sess, m.group(1).rstrip("/"))
+        if root is None or not _has_metadata(root):
+            return m.group(0)
+        gcol = m.group(2)
+        box = tuple(float(m.group(i)) for i in (3, 4, 5, 6))
+        col_types = im.schema_column_types(root)
+        if not str(col_types.get(gcol, "")).startswith(
+            ("geometry", "geography")
+        ):
+            raise bad_request(
+                f"iceberg_geo_scan: {gcol!r} is not a geometry/"
+                "geography column of the table"
+            )
+        base = _snapshot_view(
+            sess, root, None, None, geo_prune=(gcol, box)
+        )
+        from pyspark.sql import functions as F
+
+        from cloudfloe_spark.functions.geo import (
+            bbox_intersects,
+            wkb_envelope_udf,
+        )
+
+        window = F.struct(
+            F.lit(box[0]).alias("xmin"),
+            F.lit(box[1]).alias("ymin"),
+            F.lit(box[2]).alias("xmax"),
+            F.lit(box[3]).alias("ymax"),
+        )
+        env = wkb_envelope_udf()(F.col(gcol))
+        out_df = sess.table(base).filter(
+            F.col(gcol).isNotNull() & bbox_intersects(env, window)
+        )
+        name = _view_name("geo_scan", root, (gcol,) + box)
+        out_df.createOrReplaceTempView(name)
+        return name
+
     def _snapshots(m: re.Match) -> str:
         root = _readable_root(sess, m.group(1).rstrip("/"))
         if root is None or not _has_metadata(root):
@@ -3191,7 +3267,8 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             return m.group(0)
         return _partition_stats_view(sess, root)
 
-    out = _sub_outside_literals(_SCAN_TT_RE, _scan, sql)
+    out = _sub_outside_literals(_GEO_SCAN_RE, _geo_scan, sql)
+    out = _sub_outside_literals(_SCAN_TT_RE, _scan, out)
     out = _sub_outside_literals(_SNAPSHOTS_RE, _snapshots, out)
     out = _sub_outside_literals(_METADATA_RE, _metadata, out)
     out = _sub_outside_literals(_PARTITIONS_RE, _partitions, out)

@@ -1293,6 +1293,7 @@ def commit_manifest_rewrite_snapshot(
     *,
     timestamp_ms: int,
     expected_metadata_path: str | None = None,
+    patch_bounds: "dict | None" = None,
 ) -> dict:
     """Iceberg's ``rewrite_manifests`` (r9): consolidate the current
     snapshot's manifest FILES without touching a single data or delete
@@ -1333,18 +1334,35 @@ def commit_manifest_rewrite_snapshot(
     snap_id = (uuid.uuid4().int & ((1 << 62) - 1)) | (1 << 62)
 
     data_entries, delete_entries = [], []
+    # ``patch_bounds`` (r14, geo file stats): ``{file_suffix: (lower,
+    # upper)}`` dicts of per-column bound strings merged into the
+    # carried entries' lower/upper maps — how compute_geo_bounds stamps
+    # geometry envelopes (the v3 spec stores these as WKB points; this
+    # fixture's manifests use its name-keyed stringified stand-in, like
+    # every other bound it records). Live file sets stay identical.
+    def _pb_key(p: str) -> str:
+        return str(p).rsplit("/data/", 1)[-1]
+
     for e in im.manifest_entries(root, cur):
         if e["status"] == 2:
             continue  # dead entries are dropped, not carried
+        df_rec = {k: e["data_file"].get(k) for k in _DATA_FILE_KEYS}
+        pb = (patch_bounds or {}).get(_pb_key(df_rec["file_path"]))
+        if pb is not None and df_rec.get("content", 0) == 0:
+            lo, hi = pb
+            df_rec["lower_bounds"] = {
+                **(df_rec.get("lower_bounds") or {}), **lo
+            }
+            df_rec["upper_bounds"] = {
+                **(df_rec.get("upper_bounds") or {}), **hi
+            }
         rec = {
             "status": 0,
             "snapshot_id": None,
             "sequence_number": e["sequence_number"],
-            "data_file": {
-                k: e["data_file"].get(k) for k in _DATA_FILE_KEYS
-            },
+            "data_file": df_rec,
         }
-        if e["data_file"].get("content", 0) == 0:
+        if df_rec.get("content", 0) == 0:
             data_entries.append(rec)
         else:
             delete_entries.append(rec)

@@ -4105,6 +4105,90 @@ def rewrite_manifests(root: str, *, timestamp_ms: int) -> dict:
                 raise
 
 
+@_reruns_on_conflict("compute_geo_bounds")
+def compute_geo_bounds(
+    spark: SparkSession, root: str, *, timestamp_ms: int
+) -> dict:
+    """Stamp per-FILE geometry ENVELOPES into the manifest bounds (r14,
+    VERDICT r13 #6 optional leg): for every ``geometry``/``geography``
+    column, one distributed pass decodes each row's WKB envelope
+    (``functions/geo.py``) and aggregates a per-file bbox; a
+    manifest-rewrite commit (live file set identical, operation
+    ``replace``) merges the boxes into each data file's
+    ``lower_bounds``/``upper_bounds`` — lower = "xmin ymin", upper =
+    "xmax ymax" (the v3 spec stores WKB points there; this engine's
+    manifests use their name-keyed stringified stand-in throughout).
+    ``iceberg_geo_scan(root, col, x0, y0, x1, y1)`` then SKIPS files
+    whose stored box provably misses the query window.
+
+    Scale shape: one scan of the geometry bytes (decode before the only
+    exchange; the groupBy carries (file, 4 doubles) partials), then
+    driver-side metadata work O(manifest entries)."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.functions.geo import wkb_envelope_udf
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_manifest_rewrite_snapshot,
+    )
+
+    meta_path = im.latest_metadata_path(root)
+    snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    col_types = im.schema_column_types(root, meta_path)
+    geo_cols = sorted(
+        c
+        for c, t in col_types.items()
+        if str(t).startswith(("geometry", "geography"))
+    )
+    if not geo_cols:
+        raise ValueError(
+            "compute_geo_bounds: the table has no geometry/geography "
+            "columns"
+        )
+    paths = im.live_data_paths(root, snap)
+    if not paths:
+        raise ValueError("compute_geo_bounds: table has no live data files")
+    # raw per-file scan: bounds describe the FILE's physical rows, so
+    # MOR deletes are deliberately ignored (a superset box stays sound)
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__cf_fp"),
+        *[c for c in geo_cols],
+    )
+    aggs = []
+    for c in geo_cols:
+        df = df.withColumn(f"__cf_env_{c}", wkb_envelope_udf()(F.col(c)))
+        aggs += [
+            F.min(f"__cf_env_{c}.xmin").alias(f"{c}__xmin"),
+            F.min(f"__cf_env_{c}.ymin").alias(f"{c}__ymin"),
+            F.max(f"__cf_env_{c}.xmax").alias(f"{c}__xmax"),
+            F.max(f"__cf_env_{c}.ymax").alias(f"{c}__ymax"),
+        ]
+    rows = df.groupBy("__cf_fp").agg(*aggs).collect()
+    patch: dict = {}
+    stamped = 0
+    for r in rows:
+        lo, hi = {}, {}
+        for c in geo_cols:
+            if r[f"{c}__xmin"] is None:
+                continue  # all-NULL column in this file: no bounds
+            lo[c] = f"{r[f'{c}__xmin']!r} {r[f'{c}__ymin']!r}"
+            hi[c] = f"{r[f'{c}__xmax']!r} {r[f'{c}__ymax']!r}"
+        if lo:
+            sfx = str(r["__cf_fp"]).rsplit("/data/", 1)[-1]
+            patch[sfx] = (lo, hi)
+            stamped += 1
+    rep = commit_manifest_rewrite_snapshot(
+        root, timestamp_ms=timestamp_ms, patch_bounds=patch,
+        expected_metadata_path=meta_path,
+    )
+    return {
+        "snapshot_id": rep["snapshot_id"],
+        "geo_columns": geo_cols,
+        "files_stamped": stamped,
+        "files_total": len(paths),
+    }
+
+
 def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
     """Write the Iceberg spec's PARTITION STATISTICS file (r12): one
     parquet row per (partition tuple, spec_id) of the CURRENT snapshot
@@ -4332,21 +4416,39 @@ def _scan_file_partials(sess, paths, cols, th):
         theta = int(r["theta"])
         cur = out.setdefault(sfx, {}).get(r["column"])
         if cur is None:
-            out[sfx][r["column"]] = (
-                hs, theta, int(r["nulls"]), int(r["rows"])
-            )
+            out[sfx][r["column"]] = {
+                "hs": hs, "theta": theta,
+                "nulls": int(r["nulls"]), "rows": int(r["rows"]),
+                "raw": None,
+            }
         else:
-            mh, mt = th.sketch_union([(cur[0], cur[1]), (hs, theta)])
-            out[sfx][r["column"]] = (
-                mh, mt, cur[2] + int(r["nulls"]), cur[3] + int(r["rows"])
+            mh, mt = th.sketch_union(
+                [(cur["hs"], cur["theta"]), (hs, theta)]
             )
+            out[sfx][r["column"]] = {
+                "hs": mh, "theta": mt,
+                "nulls": cur["nulls"] + int(r["nulls"]),
+                "rows": cur["rows"] + int(r["rows"]),
+                "raw": None,
+            }
     return out
 
 
-def _read_partial_cache(p, footer, cols, th, pf):
+def _partial_sketch(e, th):
+    """(hashes, theta) of one cache/scan partial entry — cached blobs
+    carry raw serialized bytes and deserialize LAZILY (only the removal
+    union needs the hashes; the append carry copies bytes verbatim, so
+    the hot path stays O(new files), never O(table files))."""
+    if e["hs"] is not None:
+        return e["hs"], e["theta"]
+    return th.deserialize_compact(e["raw"])
+
+
+def _read_partial_cache(p, footer, cols, pf):
     """Per-file partial blobs of a registered stats Puffin →
-    ``{suffix: {col: (hashes, theta, nulls, rows)}}``; unreadable blobs
-    → None (callers treat as no cache)."""
+    ``{suffix: {col: {raw, nulls, rows, hs=None, theta=None}}}`` — raw
+    bytes, NOT deserialized (see :func:`_partial_sketch`); unreadable
+    blobs → None (callers treat as no cache)."""
     cache: dict = {}
     for b in footer.get("blobs") or []:
         if b.get("type") != _PARTIAL_BLOB_TYPE:
@@ -4358,12 +4460,11 @@ def _read_partial_cache(p, footer, cols, th, pf):
             continue
         try:
             data = pf.read_blob(p, int(b["offset"]), int(b["length"]))
-            hs, theta = th.deserialize_compact(data)
-            cache.setdefault(sfx, {})[c] = (
-                hs, theta,
-                int(props["cloudfloe.null-count"]),
-                int(props["cloudfloe.row-count"]),
-            )
+            cache.setdefault(sfx, {})[c] = {
+                "raw": data, "hs": None, "theta": None,
+                "nulls": int(props["cloudfloe.null-count"]),
+                "rows": int(props["cloudfloe.row-count"]),
+            }
         except (KeyError, OSError, ValueError):
             return None
     return cache
@@ -4474,7 +4575,7 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         return None
     if columns is not None and set(columns) != set(cols):
         return None  # caller chose a different set: recompute
-    cache = _read_partial_cache(p, footer, set(cols), th, pf)
+    cache = _read_partial_cache(p, footer, set(cols), pf)
 
     def _complete(c_, paths_):
         return cache is not None and all(
@@ -4532,12 +4633,15 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         by_col = {c: [] for c in cols}
         nulls = {c: 0 for c in cols}
         row_count = 0
-        for sfx, per_col in file_partials.items():
-            for c in cols:
-                hs, theta, n_null, _n_rows = per_col[c]
-                by_col[c].append((hs, theta))
-                nulls[c] += n_null
-            row_count += per_col[cols[0]][3]
+        try:
+            for sfx, per_col in file_partials.items():
+                for c in cols:
+                    e = per_col[c]
+                    by_col[c].append(_partial_sketch(e, th))
+                    nulls[c] += e["nulls"]
+                row_count += per_col[cols[0]]["rows"]
+        except ValueError:
+            return None  # corrupt cached blob: full recompute
         return (
             cols, by_col, nulls, row_count, file_partials,
             "incremental-removal",
@@ -4560,11 +4664,11 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         if fresh is None:
             return None
         for sfx, per_col in fresh.items():
-            row_count += per_col[cols[0]][3]
+            row_count += per_col[cols[0]]["rows"]
             for c in cols:
-                hs, theta, n_null, _n_rows = per_col[c]
-                by_col[c].append((hs, theta))
-                nulls[c] += n_null
+                e = per_col[c]
+                by_col[c].append((e["hs"], e["theta"]))
+                nulls[c] += e["nulls"]
         if file_partials is not None:
             file_partials.update(fresh)
     return cols, by_col, nulls, row_count, file_partials, "incremental"
@@ -4706,18 +4810,22 @@ def analyze_iceberg_table(
                 hs = th.unpack_hashes(bytes(r["hashes"]))
                 theta = int(r["theta"])
                 if cur is None:
-                    file_partials[sfx][r["column"]] = (
-                        hs, theta, int(r["nulls"]), int(r["rows"])
-                    )
+                    file_partials[sfx][r["column"]] = {
+                        "hs": hs, "theta": theta,
+                        "nulls": int(r["nulls"]),
+                        "rows": int(r["rows"]),
+                        "raw": None,
+                    }
                 else:
                     mh, mt = th.sketch_union(
-                        [(cur[0], cur[1]), (hs, theta)]
+                        [(cur["hs"], cur["theta"]), (hs, theta)]
                     )
-                    file_partials[sfx][r["column"]] = (
-                        mh, mt,
-                        cur[2] + int(r["nulls"]),
-                        cur[3] + int(r["rows"]),
-                    )
+                    file_partials[sfx][r["column"]] = {
+                        "hs": mh, "theta": mt,
+                        "nulls": cur["nulls"] + int(r["nulls"]),
+                        "rows": cur["rows"] + int(r["rows"]),
+                        "raw": None,
+                    }
         row_count = sum(
             int(r["rows"]) for r in parts if r["column"] == cols[0]
         )
@@ -4765,12 +4873,19 @@ def analyze_iceberg_table(
         for sfx in sorted(file_partials):
             per_col = file_partials[sfx]
             for c in cols:
-                hs_t = per_col.get(c)
-                if hs_t is None:
+                e = per_col.get(c)
+                if e is None:
                     cache_blobs = []
                     total = _PARTIAL_CACHE_MAX_BYTES + 1
                     break
-                data = th.serialize_compact(hs_t[0], hs_t[1])
+                # carried cache entries copy their bytes VERBATIM —
+                # the append-only refresh never (de)serializes the
+                # table's existing sketches
+                data = (
+                    e["raw"]
+                    if e["raw"] is not None
+                    else th.serialize_compact(e["hs"], e["theta"])
+                )
                 total += len(data)
                 cache_blobs.append(
                     {
@@ -4782,8 +4897,8 @@ def analyze_iceberg_table(
                         "properties": {
                             "cloudfloe.column": c,
                             "cloudfloe.file": sfx,
-                            "cloudfloe.null-count": str(hs_t[2]),
-                            "cloudfloe.row-count": str(hs_t[3]),
+                            "cloudfloe.null-count": str(e["nulls"]),
+                            "cloudfloe.row-count": str(e["rows"]),
                         },
                     }
                 )

@@ -192,3 +192,105 @@ def test_geo_bbox_join_broadcasts_tiles(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_geo_bounds_stamp_and_bbox_file_skip(spark, tmp_path):
+    """r14: compute_geo_bounds stamps per-file envelopes into the
+    manifest bounds (manifest rewrite, live set identical);
+    iceberg_geo_scan then SKIPS files whose stored box misses the query
+    window and applies the exact row-level intersect on the survivors."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    root = str(tmp_path / "geoskip")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("geo", pa.binary())])
+    )
+    # three files with disjoint x ranges: [0,9], [100,109], [200,209]
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array(
+                        [base * 100 + i for i in range(10)], pa.int64()
+                    ),
+                    "geo": pa.array(
+                        [
+                            encode_wkb_point(
+                                float(base * 100 + i), float(i)
+                            )
+                            for i in range(10)
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+            for base in range(3)
+        ],
+        timestamp_ms=1700000000000,
+    )
+    meta = im.load_metadata(root)
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            if f["name"] == "geo":
+                f["type"] = "geometry(srid:4326)"
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+
+    rep = compute_geo_bounds(
+        spark, root, timestamp_ms=1700000001000
+    )
+    assert rep["files_stamped"] == 3 and rep["geo_columns"] == ["geo"]
+    # live file set untouched; bounds stamped as "x y" strings
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    boxes = sorted(
+        (
+            tuple(float(v) for v in s["lower"]["geo"].split()),
+            tuple(float(v) for v in s["upper"]["geo"].split()),
+        )
+        for s in stats.values()
+    )
+    assert boxes[0] == ((0.0, 0.0), (9.0, 9.0))
+    assert boxes[2] == ((200.0, 0.0), (209.0, 9.0))
+
+    sess = spark.newSession()
+    sql = (
+        f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
+        "95.0, -1.0, 115.0, 50.0) ORDER BY id"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    assert [r["id"] for r in df.collect()] == [100 + i for i in range(10)]
+    # file skip proven at execution: only the middle file was read
+    resolved = resolve_iceberg_reads(sess, sql)
+    files = (
+        sess.sql(resolved.replace("SELECT id", "SELECT id", 1))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert files == 1
+    # a window crossing two files reads exactly two
+    sql2 = (
+        f"SELECT count(*) AS n FROM iceberg_geo_scan('{root}', 'geo', "
+        "5.0, -1.0, 105.0, 50.0)"
+    )
+    assert sess.sql(resolve_iceberg_reads(sess, sql2)).first()["n"] == (
+        5 + 6
+    )
+    # non-geometry column → precise 400
+    from cloudfloe_spark.service.errors import CloudfloeError
+
+    with pytest.raises(CloudfloeError, match="geometry"):
+        resolve_iceberg_reads(
+            sess,
+            f"SELECT * FROM iceberg_geo_scan('{root}', 'id', "
+            "0.0, 0.0, 1.0, 1.0)",
+        )

@@ -2430,12 +2430,14 @@ def test_analyze_writes_spec_statistics_file(spark, tmp_path):
     assert path.endswith(".stats")
     footer = pf.read_puffin_footer(path)
     blobs = {
-        b["properties"]["cloudfloe.column"]: b for b in footer["blobs"]
+        b["properties"]["cloudfloe.column"]: b
+        for b in footer["blobs"]
+        # r14: per-file partial cache blobs ride alongside the spec ones
+        if b["type"] == "apache-datasketches-theta-v1"
     }
     assert set(blobs) == {"id", "v"}
     names = im.schema_field_names(root)
     for col, b in blobs.items():
-        assert b["type"] == "apache-datasketches-theta-v1"
         # spec addressing: fields = the column's FIELD ID
         assert names[b["fields"][0]] == col
         assert b["snapshot-id"] == res["snapshot_id"]
