@@ -195,6 +195,15 @@ HEADLINE = [
     # the geometry envelope read (Arrow WKB decode before the only
     # exchange; blobs never shuffle)
     "iceberg_geometry_bbox_scan",
+    # Round-14 breadth: the mixed-layout shredded DML read (MOR DELETE
+    # committed coordinates only + re-encoded UPDATE rows in the
+    # warm-up build; the timing tracks the post-DML mixed-layout read),
+    # the branch-staged WAP read (publish is a metadata fast-forward),
+    # and the geometry bbox-skipping scan (manifest-bounds file skip +
+    # row-level envelope intersect on the one surviving band).
+    "iceberg_shredded_dml_scan",
+    "iceberg_v3_branch_dml_scan",
+    "iceberg_geo_scan_pushdown",
 ]
 
 
