@@ -1341,7 +1341,7 @@ def commit_manifest_rewrite_snapshot(
     # fixture's manifests use its name-keyed stringified stand-in, like
     # every other bound it records). Live file sets stay identical.
     def _pb_key(p: str) -> str:
-        return str(p).rsplit("/data/", 1)[-1]
+        return im.data_file_suffix(p)
 
     for e in im.manifest_entries(root, cur):
         if e["status"] == 2:
@@ -1895,7 +1895,10 @@ def commit_row_delta_snapshot(
     _stamp_row_lineage(snaps[-1], row_mark, int(meta.get("next-row-id") or 0))
     meta["snapshots"] = snaps
     if ref is not None:
-        meta.setdefault("refs", {})[ref] = {
+        # merge: spec-optional retention fields survive staged commits
+        refs_ = meta.setdefault("refs", {})
+        refs_[ref] = {
+            **(refs_.get(ref) or {}),
             "snapshot-id": snap_id,
             "type": "branch",
         }
@@ -2198,8 +2201,12 @@ def commit_deletion_vector_snapshot(
     _stamp_row_lineage(snaps[-1], row_mark, int(meta.get("next-row-id") or 0))
     meta["snapshots"] = snaps
     if parent_ref is not None:
-        # staged on the branch only (WAP); publish_ref fast-forwards
-        meta.setdefault("refs", {})[parent_ref] = {
+        # staged on the branch only (WAP); publish_ref fast-forwards.
+        # Merge, don't overwrite: spec-optional retention fields
+        # (max-ref-age-ms, min-snapshots-to-keep, ...) must survive
+        refs_ = meta.setdefault("refs", {})
+        refs_[parent_ref] = {
+            **(refs_.get(parent_ref) or {}),
             "snapshot-id": snap_id,
             "type": "branch",
         }

@@ -50,6 +50,21 @@ def _norm_root(root: str) -> str:
     return root if fsio.is_remote(root) else _local_path(root)
 
 
+def data_file_suffix(p: str) -> str:
+    """Canonical table-relative key of a data-file path: URL-decoded,
+    scheme-stripped, everything after the LAST ``/data/`` component.
+    The ONE helper every path-keyed comparison must use — manifest
+    ``file_path`` URIs, ``_metadata.file_path`` values (URL-encoded),
+    ``input_file_name()`` output and local paths all key identically
+    through it (r14, consolidating four per-module copies)."""
+    from urllib.parse import unquote
+
+    s = unquote(str(p))
+    if s.startswith("file://"):
+        s = s[len("file://"):]
+    return s.rsplit("/data/", 1)[-1]
+
+
 def _exists(path: str) -> bool:
     if fsio.is_remote(path):
         return fsio.exists(path)

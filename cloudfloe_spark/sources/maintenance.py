@@ -625,20 +625,13 @@ def compact_iceberg_table(
         old_tz = sess.conf.get("spark.sql.session.timeZone")
         try:
             sess.conf.set("spark.sql.session.timeZone", "UTC")
-            fanned, pt_exprs = _pt_exprs_ns_aware(
-                sess, df, fields, _ns_tz if _ns else {}
+            fanned, pt_info = _fanout_frame(
+                sess, root, metadata_path, df, fields,
+                _ns_tz if _ns else {},
             )
-            if pt_exprs:
-                pt_cols = [f"__cf_pt_{i}" for i in range(len(pt_exprs))]
-                for name, e in zip(pt_cols, pt_exprs):
-                    fanned = fanned.withColumn(name, e)
-                fanned = fanned.drop(
-                    *[
-                        c
-                        for c in fanned.columns
-                        if c.startswith("__cf_nsts_")
-                    ]
-                )
+            pt_exprs = [True] if pt_info else []
+            if pt_info:
+                pt_cols = pt_info[0]
                 keys = pt_cols + ([zcol] if zcol else list(sort_by or []))
                 w = fanned.repartitionByRange(
                     n_out, *[F.col(c) for c in keys]
@@ -653,15 +646,9 @@ def compact_iceberg_table(
                     # one file per tuple per task, tuples in the
                     # manifest (r14, ADVICE r13: ns tables no longer
                     # de-partition on compaction)
-                    meta_now = im.load_metadata(root, metadata_path)
                     ns_fanout_files = _write_data_files_arrow_ns(
                         sess, w, None, None, out_dir, _ns_tz,
-                        mode="overwrite",
-                        pt_info=(
-                            pt_cols,
-                            [f_["field_name"] for f_ in fields],
-                            meta_now.get("default-spec-id", 0),
-                        ),
+                        mode="overwrite", pt_info=pt_info,
                         repartition_on_tuple=False,
                     )
                 else:
@@ -1179,6 +1166,15 @@ def _shred_group_scan(
     )
     from cloudfloe_spark.sources import iceberg_meta as im
 
+    eq = im.equality_delete_records(root, snap)
+    if eq and im.unreadable_equality_deletes(root, snap, meta_path):
+        # same precise refusal as _mor_raw_scan — applying around
+        # unresolvable field ids would silently resurrect erased rows
+        raise ValueError(
+            "table carries equality-delete files this engine cannot "
+            "apply (missing or unresolvable equality field ids); run "
+            "compact_iceberg_table first"
+        )
     g = spark.read.parquet(*spaths)
     pos = im.prune_position_deletes(
         im.position_delete_paths(root, snap), spaths
@@ -1191,7 +1187,6 @@ def _shred_group_scan(
             for r in dvs
             if r["referenced_data_file"].rsplit("/data/", 1)[-1] in scanned
         ]
-    eq = im.equality_delete_records(root, snap)
     if pos:
         g = _apply_position_deletes(spark, g, pos)
     if dvs:
@@ -1803,6 +1798,32 @@ def _pt_exprs_ns_aware(spark, df, fields: list, ns_tz: dict):
     return fanned, exprs
 
 
+def _fanout_frame(spark, root, meta_path, df, fields, ns_tz):
+    """``(fanned_df_with___cf_pt_cols, pt_info)`` shared by the write
+    paths that fan out per partition tuple, or ``(df, None)`` when a
+    transform isn't expressible (caller skips fanout — sound). The
+    caller must hold the session timezone at UTC. ``pt_info`` is the
+    ``(pt_cols, field_names, spec_id)`` triple
+    :func:`_write_data_files_arrow_ns` consumes."""
+    from cloudfloe_spark.sources import iceberg_meta as im
+
+    fanned, exprs = _pt_exprs_ns_aware(spark, df, fields, ns_tz or {})
+    if not exprs:
+        return df, None
+    pt_cols = [f"__cf_pt_{i}" for i in range(len(exprs))]
+    for name, e in zip(pt_cols, exprs):
+        fanned = fanned.withColumn(name, e)
+    fanned = fanned.drop(
+        *[c for c in fanned.columns if c.startswith("__cf_nsts_")]
+    )
+    meta = im.load_metadata(root, meta_path)
+    return fanned, (
+        pt_cols,
+        [f_["field_name"] for f_ in fields],
+        meta.get("default-spec-id", 0),
+    )
+
+
 def _write_data_files_arrow_ns(
     spark, df, n_rows, rows_per_file, out_dir: str, ns_tz: dict,
     mode: str = "errorifexists", pt_info: "tuple | None" = None,
@@ -1916,25 +1937,43 @@ def _write_data_files_arrow_ns(
                 [_emit(tbl, None)], schema=schema
             )
             return
-        key_rows = tbl.select(pt_cols).to_pylist()
+        # group rows by tuple in ONE pass: string-encode the composite
+        # key (distinct values → distinct strings for the int/string/
+        # date/bool partition domains), dictionary-encode to group ids,
+        # stable-argsort, gather once, slice runs — O(rows log groups),
+        # never O(groups × rows) (an hour-partitioned year would
+        # otherwise re-mask the task table ~8760 times)
+        import numpy as _np
+
+        key_strs = [
+            _pc.fill_null(
+                _pc.cast(tbl.column(c), _pa.string()), "\x00"
+            ).combine_chunks()
+            for c in pt_cols
+        ]
+        composite = key_strs[0]
+        for part in key_strs[1:]:
+            composite = _pc.binary_join_element_wise(
+                composite, part, "\x1f"
+            )
+        gids = (
+            composite.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        order = _np.argsort(gids, kind="stable")
+        sorted_gids = gids[order]
+        starts = _np.flatnonzero(
+            _np.r_[True, sorted_gids[1:] != sorted_gids[:-1]]
+        )
+        taken = tbl.take(_pa.array(order))
         results = []
-        seen = set()
-        for kr in key_rows:
-            key = tuple(kr[c] for c in pt_cols)
-            if key in seen:
-                continue
-            seen.add(key)
-            mask = None
-            for c, v in zip(pt_cols, key):
-                m = (
-                    _pc.is_null(tbl.column(c))
-                    if v is None
-                    else _pc.equal(tbl.column(c), v)
-                )
-                mask = m if mask is None else _pc.and_(mask, m)
-            sub = tbl.filter(mask)
+        bounds = list(starts) + [len(order)]
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            sub = taken.slice(b0, b1 - b0)
+            src_row = int(order[b0])
             pvals = {
-                fn: _pstr(v) for fn, v in zip(field_names, key)
+                fn: _pstr(tbl.column(c)[src_row].as_py())
+                for fn, c in zip(field_names, pt_cols)
             }
             results.append(_emit(sub, _json.dumps(pvals)))
         yield _pa.RecordBatch.from_pylist(results, schema=schema)
@@ -1994,36 +2033,12 @@ def _write_data_files(
             old_tz = spark.conf.get("spark.sql.session.timeZone")
             try:
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
-                fanned, exprs = _pt_exprs_ns_aware(
-                    spark, df, fields, ns_tz
+                fanned, pt_info = _fanout_frame(
+                    spark, root, meta_path, df, fields, ns_tz
                 )
-                pt_info = None
-                if exprs:
-                    pt_cols = [f"__cf_pt_{i}" for i in range(len(exprs))]
-                    for name, e in zip(pt_cols, exprs):
-                        fanned = fanned.withColumn(name, e)
-                    fanned = fanned.drop(
-                        *[
-                            c
-                            for c in fanned.columns
-                            if c.startswith("__cf_nsts_")
-                        ]
-                    )
-                    meta = im.load_metadata(root, meta_path)
-                    pt_info = (
-                        pt_cols,
-                        [f_["field_name"] for f_ in fields],
-                        meta.get("default-spec-id", 0),
-                    )
                 return _write_data_files_arrow_ns(
-                    spark,
-                    fanned if pt_info else df,
-                    n_rows,
-                    rows_per_file,
-                    out_dir,
-                    ns_tz,
-                    mode=mode,
-                    pt_info=pt_info,
+                    spark, fanned, n_rows, rows_per_file, out_dir,
+                    ns_tz, mode=mode, pt_info=pt_info,
                 )
             finally:
                 spark.conf.set("spark.sql.session.timeZone", old_tz)
@@ -2184,7 +2199,7 @@ def _cow_dml(
     )
 
     def _key(p: str) -> str:
-        return p.rsplit("/data/", 1)[-1]
+        return im.data_file_suffix(p)
 
     lineage = (
         im.load_metadata(root, meta_path).get("next-row-id") is not None
@@ -3306,7 +3321,7 @@ def merge_into(
             # commit them as removed + replacements with the inserts —
             # no delete files, write amplification = the affected files
             def _key(p: str) -> str:
-                return p.rsplit("/data/", 1)[-1]
+                return im.data_file_suffix(p)
 
             aff_keys = {
                 _key(r[0])
@@ -4174,7 +4189,7 @@ def compute_geo_bounds(
             lo[c] = f"{r[f'{c}__xmin']!r} {r[f'{c}__ymin']!r}"
             hi[c] = f"{r[f'{c}__xmax']!r} {r[f'{c}__ymax']!r}"
         if lo:
-            sfx = str(r["__cf_fp"]).rsplit("/data/", 1)[-1]
+            sfx = im.data_file_suffix(r["__cf_fp"])
             patch[sfx] = (lo, hi)
             stamped += 1
     rep = commit_manifest_rewrite_snapshot(
@@ -4380,23 +4395,32 @@ _PARTIAL_CACHE_MAX_BYTES = 32 * 1024 * 1024
 
 
 def _stats_suffix(p: str) -> str:
-    from urllib.parse import unquote
+    from cloudfloe_spark.sources.iceberg_meta import data_file_suffix
 
-    s = unquote(str(p))
-    if s.startswith("file://"):
-        s = s[7:]
-    return s.rsplit("/data/", 1)[-1]
+    return data_file_suffix(p)
 
 
-def _scan_file_partials(sess, paths, cols, th):
+def _scan_file_partials(sess, paths, cols, th, ns_cols=()):
     """Raw-parquet scan of ``paths`` producing per-(file, column)
     partial sketches: ``{suffix: {col: (hashes, theta, nulls, rows)}}``
     or None when a column is missing/un-analyzable. One distributed
     pass; the driver merges per-file partials across tasks (theta
-    union, exact)."""
+    union, exact).
+
+    ``ns_cols``: nanosecond-timestamp columns of the table. The FULL
+    pass sketches them through the read surface (µs TIMESTAMP), but a
+    raw parquet read under ``nanosAsLong`` surfaces BIGINT ns longs —
+    hashing those as 'long' would make identical instants hash
+    differently across the two passes and silently inflate the merged
+    NDV. Convert with the read path's exact expression first."""
     from pyspark.sql import functions as F
 
     df = sess.read.parquet(*paths)
+    for c in ns_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            )
     kinds = {c: th.spark_kind(t) for c, t in df.dtypes}
     if any(kinds.get(c) is None for c in cols):
         return None
@@ -4626,7 +4650,10 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
             _stats_suffix(q): cache[_stats_suffix(q)] for q in surviving
         }
         if new_paths:
-            fresh = _scan_file_partials(sess, new_paths, cols, th)
+            fresh = _scan_file_partials(
+                sess, new_paths, cols, th,
+                ns_cols=im.ns_timestamp_columns(meta),
+            )
             if fresh is None:
                 return None
             file_partials.update(fresh)
@@ -4660,7 +4687,10 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
             for q in sorted(live0)
         }
     if new_paths:
-        fresh = _scan_file_partials(sess, new_paths, cols, th)
+        fresh = _scan_file_partials(
+            sess, new_paths, cols, th,
+            ns_cols=im.ns_timestamp_columns(meta),
+        )
         if fresh is None:
             return None
         for sfx, per_col in fresh.items():

@@ -528,6 +528,87 @@ def test_incremental_analyze_survives_removals_via_partial_cache(
     assert r2["row_count"] == 118
 
 
+def test_incremental_analyze_ns_table_hashes_consistently(spark, tmp_path):
+    """r14 review finding: the full pass sketches ns columns through
+    the µs read surface, but the incremental new-file scan used to read
+    raw BIGINT ns longs — identical instants hashed differently and the
+    merged NDV silently inflated. The delta scan now applies the read
+    path's exact conversion; incremental output must be bit-identical
+    to a full recompute."""
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import puffin as pf
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    def _blob_image(root):
+        meta = im.load_metadata(root)
+        cur = meta["current-snapshot-id"]
+        entry = [
+            e for e in meta["statistics"] if e["snapshot-id"] == cur
+        ][0]
+        p = entry["statistics-path"].removeprefix("file://")
+        footer = pf.read_puffin_footer(p)
+        return {
+            b["properties"]["cloudfloe.column"]: (
+                pf.read_blob(p, b["offset"], b["length"]),
+                b["properties"]["ndv"],
+            )
+            for b in footer["blobs"]
+            if b["type"] == "apache-datasketches-theta-v1"
+        }
+
+    base_ns = 1_700_000_000_000_000_000
+    root = str(tmp_path / "nsndv")
+    t = LocalIcebergTable(
+        root,
+        pa.schema([("id", pa.int64()), ("ts", pa.timestamp("ns"))]),
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(40)),
+                    "ts": pa.array(
+                        [base_ns + (i % 10) * 1000 for i in range(40)],
+                        pa.timestamp("ns"),
+                    ),
+                }
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    # append a file REPEATING existing instants: the true ts NDV stays 10
+    extra = os.path.join(root, "data", "ns-extra.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(list(range(40, 60)), pa.int64()),
+                "ts": pa.array(
+                    [base_ns + (i % 10) * 1000 for i in range(20)],
+                    pa.timestamp("ns"),
+                ),
+            }
+        ),
+        extra,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(extra, 20)], timestamp_ms=T1 + 2000
+    )
+    r_inc = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 3000, incremental=True
+    )
+    assert r_inc["mode"] == "incremental"
+    inc_image = _blob_image(root)
+    # an inconsistent encoding would have doubled this to ~20
+    assert int(inc_image["ts"][1]) == 10, inc_image["ts"][1]
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    assert _blob_image(root) == inc_image
+
+
 def test_incremental_analyze_rejects_stale_hash_encoding(spark, tmp_path):
     """ADVICE r13: blobs hashed under an older single-value encoding
     (negative exact powers of two changed length in v2) must not be
