@@ -990,3 +990,50 @@ def test_shredded_lineage_compaction_normalizes_and_carries_ids(
         vt = sch.field("v").type
         subs = {vt.field(i).name for i in range(vt.num_fields)}
         assert subs == {"metadata", "value"}, subs
+
+
+def test_ns_partition_transform_exactness(spark):
+    """The ns→µs conversion feeding partition transforms is EXACT
+    integer arithmetic: for ns instants hugging day/hour boundaries
+    (±1 ns) — including pre-1970 — the computed day/hour tuple equals
+    floor(ns / unit). A double-division conversion rounds within ~128 ns
+    of a boundary and would misplace these rows' tuples."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.maintenance import _pt_exprs_ns_aware
+
+    DAY = 86_400_000_000_000
+    HOUR = 3_600_000_000_000
+    vals = []
+    for k in (-3, -1, 0, 1, 7, 19_876):  # pre-1970 and modern days
+        for d in (-1, 0, 1):
+            vals.append(k * DAY + d)
+    for k in (-5, 0, 11, 476_000):  # hour boundaries
+        for d in (-1, 0, 1):
+            vals.append(k * HOUR + d)
+    df = spark.createDataFrame([(v,) for v in vals], "ts LONG")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        fanned, exprs = _pt_exprs_ns_aware(
+            spark, df,
+            [
+                {"column": "ts", "type": "timestamp_ns",
+                 "transform": "day", "field_name": "ts_day"},
+                {"column": "ts", "type": "timestamp_ns",
+                 "transform": "hour", "field_name": "ts_hour"},
+            ],
+            {"ts": False},
+        )
+        assert len(exprs) == 2
+        rows = (
+            fanned.withColumn("d", exprs[0])
+            .withColumn("h", exprs[1])
+            .select("ts", "d", "h")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    for r in rows:
+        assert r["d"] == r["ts"] // DAY, (r["ts"], r["d"])
+        assert r["h"] == r["ts"] // HOUR, (r["ts"], r["h"])
