@@ -3161,12 +3161,21 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
         gcol = m.group(2)
         box = tuple(float(m.group(i)) for i in (3, 4, 5, 6))
         col_types = im.schema_column_types(root)
-        if not str(col_types.get(gcol, "")).startswith(
-            ("geometry", "geography")
-        ):
+        gtype = str(col_types.get(gcol, ""))
+        if gtype.startswith("geography"):
+            # planar envelopes are unsound for geography (ADVICE r14):
+            # an antimeridian-crossing feature's [xmin, xmax] box spans
+            # the wrong hemisphere, so both the file skip and the
+            # row-level bbox filter can silently drop true matches.
             raise bad_request(
-                f"iceberg_geo_scan: {gcol!r} is not a geometry/"
-                "geography column of the table"
+                f"iceberg_geo_scan: {gcol!r} is a geography column; "
+                "wraparound bounds semantics are not supported yet — "
+                "only geometry columns can be scanned"
+            )
+        if not gtype.startswith("geometry"):
+            raise bad_request(
+                f"iceberg_geo_scan: {gcol!r} is not a geometry "
+                "column of the table"
             )
         base = _snapshot_view(
             sess, root, None, None, geo_prune=(gcol, box)

@@ -1676,8 +1676,17 @@ def _pt_expr(spark, field: dict):
     if kind == "hour":
         if t == "date":
             return None  # invalid per spec; never fan out silently wrong
-        # epoch-seconds floor-div is timezone-independent (instants)
-        return F.floor(col.cast("double") / F.lit(3600.0)).cast("int")
+        # epoch-µs floor-div with EXACT integer math (ADVICE r14): a
+        # timestamp→double cast loses sub-µs precision near the long
+        # range end (ulp ≈ 1.2 µs past ~2255), so a row 1 µs below an
+        # hour boundary could be stamped into the NEXT hour — a
+        # manifest tuple foreign readers would prune wrongly on. The
+        # decimal(38,0) divide after floor-mod is exact (same pattern
+        # as the ns→µs conversion above).
+        us = F.unix_micros(col.cast("timestamp"))
+        h = F.lit(3_600_000_000)
+        mod = ((us % h) + h) % h
+        return ((us - mod).cast("decimal(38,0)") / h).cast("int")
     if kind == "bucket":
         # Iceberg bucket = murmur3_x86_32(serialize(v)) — not expressible
         # with built-ins (Spark's hash() uses different seed/layout), so
@@ -1863,7 +1872,17 @@ def _write_data_files_arrow_ns(
     if pt_cols and not repartition_on_tuple:
         w = df  # caller pre-clustered (e.g. sorted compaction)
     elif pt_cols and n_out:
-        w = df.repartition(n_out, *[F.col(c) for c in pt_cols])
+        # RANGE partition on (tuple, rand), not hash on the tuple alone
+        # (ADVICE r14): a few-tuple delta — the common streaming
+        # micro-batch / single-day DML case — would hash-collapse into
+        # one task, ignoring rows_per_file and concat'ing the whole
+        # delta in one executor. Range boundaries sampled over the
+        # tuple keep each tuple's rows CONTIGUOUS (so _write_part still
+        # emits one file per tuple it holds) while a large tuple spans
+        # ~count/rows_per_file tasks and small tuples pack together.
+        w = df.repartitionByRange(
+            n_out, *[F.col(c) for c in pt_cols], F.rand(42)
+        )
     elif pt_cols:
         w = df.repartition(*[F.col(c) for c in pt_cols])
     elif n_out:
@@ -4149,16 +4168,45 @@ def compute_geo_bounds(
 
     meta_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
+    # renames/defaults guard (ADVICE r14): this is a raw NAME-bound
+    # parquet scan with none of the field-id resolution scan_groups
+    # does — on a renamed table with name reuse it could bind the wrong
+    # physical column and stamp unsound envelopes that geo pruning
+    # would then use to skip files containing matching rows. Mirror
+    # _incremental_stats: refuse precisely.
+    meta = im.load_metadata(root, meta_path)
+    if im.schema_name_history(root, meta_path) or im.schema_default_fills(
+        meta
+    ):
+        raise ValueError(
+            "compute_geo_bounds: tables with column renames or default "
+            "values are not supported yet — compact the table first"
+        )
     col_types = im.schema_column_types(root, meta_path)
     geo_cols = sorted(
         c
         for c, t in col_types.items()
-        if str(t).startswith(("geometry", "geography"))
+        if str(t).startswith("geometry")
+    )
+    geog_cols = sorted(
+        c for c, t in col_types.items() if str(t).startswith("geography")
     )
     if not geo_cols:
+        if geog_cols:
+            # planar min/max envelopes are UNSOUND for geography: a
+            # feature crossing the antimeridian (lon 179 → -179) gets
+            # the box [-179, 179], so a window near ±180 that truly
+            # intersects it would be pruned — silent false negatives.
+            # The v3 spec's wrapped-bounds semantics are not
+            # implemented; refuse precisely (ADVICE r14).
+            raise ValueError(
+                "compute_geo_bounds: geography columns "
+                f"({', '.join(geog_cols)}) use wraparound bounds "
+                "semantics this engine does not implement yet; only "
+                "geometry columns can be stamped"
+            )
         raise ValueError(
-            "compute_geo_bounds: the table has no geometry/geography "
-            "columns"
+            "compute_geo_bounds: the table has no geometry columns"
         )
     paths = im.live_data_paths(root, snap)
     if not paths:

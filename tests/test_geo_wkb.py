@@ -294,3 +294,75 @@ def test_geo_bounds_stamp_and_bbox_file_skip(spark, tmp_path):
             f"SELECT * FROM iceberg_geo_scan('{root}', 'id', "
             "0.0, 0.0, 1.0, 1.0)",
         )
+
+
+def _geo_table(tmp_path, name, geo_type):
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+
+    root = str(tmp_path / name)
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("geo", pa.binary())])
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([0, 1], pa.int64()),
+                    "geo": pa.array(
+                        [encode_wkb_point(1.0, 2.0),
+                         encode_wkb_point(3.0, 4.0)],
+                        pa.binary(),
+                    ),
+                }
+            )
+        ],
+        timestamp_ms=1700000000000,
+    )
+    meta = im.load_metadata(root)
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            if f["name"] == "geo":
+                f["type"] = geo_type
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+    return root, t
+
+
+def test_geo_bounds_refuses_geography(spark, tmp_path):
+    """ADVICE r14: planar min/max envelopes are UNSOUND for geography —
+    an antimeridian-crossing feature (lon 179 → -179) gets the box
+    [-179, 179], so a window near ±180 that truly intersects it is
+    silently pruned. Both the stamp and the scan must refuse the type
+    precisely until wrapped-bounds semantics exist."""
+    from cloudfloe_spark.service.errors import CloudfloeError
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    root, _ = _geo_table(tmp_path, "geog", "geography(srid:4326)")
+    with pytest.raises(ValueError, match="geography.*not implement"):
+        compute_geo_bounds(spark, root, timestamp_ms=1700000001000)
+    sess = spark.newSession()
+    with pytest.raises(CloudfloeError, match="geography"):
+        resolve_iceberg_reads(
+            sess,
+            f"SELECT * FROM iceberg_geo_scan('{root}', 'geo', "
+            "0.0, 0.0, 1.0, 1.0)",
+        )
+
+
+def test_geo_bounds_refuses_renamed_table(spark, tmp_path):
+    """ADVICE r14: compute_geo_bounds scans data files by CURRENT column
+    name with no field-id resolution — on a renamed table with name
+    reuse it could bind the wrong physical column and stamp unsound
+    envelopes the geo scan would then prune wrong rows with. Refuse
+    precisely (mirrors the _incremental_stats guard)."""
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    root, t = _geo_table(tmp_path, "georen", "geometry(srid:4326)")
+    t.rename_column("id", "rid", timestamp_ms=1700000001000)
+    with pytest.raises(ValueError, match="renames.*compact"):
+        compute_geo_bounds(spark, root, timestamp_ms=1700000002000)

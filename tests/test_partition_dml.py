@@ -80,6 +80,13 @@ _CASES = [
         [
             datetime.datetime(2024, 6, 1, 13, 59, 59, tzinfo=datetime.timezone.utc),
             datetime.datetime(1970, 1, 1, 0, 0, 1, tzinfo=datetime.timezone.utc),
+            # ADVICE r14: 1 µs below an hour boundary PAST 2^53 µs
+            # (~2255), where a timestamp→double cast has ulp 2 µs — the
+            # old double divide rounded this into the NEXT hour
+            datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            + datetime.timedelta(
+                microseconds=2_600_000 * 3_600_000_000 - 1
+            ),
         ],
     ),
     ("bucket[16]", "int", [0, 1, 34, -123, 2147483647]),

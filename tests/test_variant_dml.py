@@ -683,6 +683,65 @@ def test_ns_writes_keep_partition_fanout(spark, tmp_path):
     assert phys[3] == day1 + 1
 
 
+def test_ns_write_sizing_survives_single_tuple(spark, tmp_path):
+    """ADVICE r14: hash-repartitioning on the partition tuple ALONE
+    collapsed a few-tuple delta (the common single-day micro-batch)
+    into ONE task — ``rows_per_file`` silently ignored (one oversized
+    file) and the whole delta concat'd in a single executor's memory.
+    The range partition on (tuple, rand) must keep a single-tuple batch
+    spread across ~n/rows_per_file files, all stamped with the tuple."""
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.sources.maintenance import (
+        _write_data_files_arrow_ns,
+    )
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(19600).cast("int").alias("__cf_pt_0"),
+        (F.lit(1700000000000000000) + F.col("id")).alias("ts"),
+    )
+    out = str(tmp_path / "one_tuple")
+    res = _write_data_files_arrow_ns(
+        spark, df, n, 100, out, {"ts": None},
+        pt_info=(["__cf_pt_0"], ["ts_day"], 0),
+    )
+    assert sum(c for _, c, _, _ in res) == n
+    assert all(pv == {"ts_day": "19600"} for _, _, pv, _ in res)
+    # sizing honored: ~10 files of ~100 rows, never one 1000-row file
+    assert len(res) >= 5, [c for _, c, _, _ in res]
+    assert max(c for _, c, _, _ in res) <= 400, [
+        c for _, c, _, _ in res
+    ]
+    # ns longs survived the executor write exactly
+    got = sorted(
+        v.value
+        for p, _, _, _ in res
+        for v in pq.read_table(p).column("ts")
+    )
+    assert got == [1700000000000000000 + i for i in range(n)]
+
+    # many-small-tuples case: range clustering must NOT shatter tuples
+    # into slivers — file count stays ~tuples + tasks, not tuples×tasks
+    df4 = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("__cf_pt_0"),
+        (F.lit(1700000000000000000) + F.col("id")).alias("ts"),
+    )
+    out4 = str(tmp_path / "four_tuples")
+    res4 = _write_data_files_arrow_ns(
+        spark, df4, 200, 100, out4, {"ts": None},
+        pt_info=(["__cf_pt_0"], ["ts_day"], 0),
+    )
+    assert sum(c for _, c, _, _ in res4) == 200
+    assert len(res4) <= 8, [(c, pv) for _, c, pv, _ in res4]
+    by_tuple: dict = {}
+    for _, c, pv, _ in res4:
+        by_tuple[pv["ts_day"]] = by_tuple.get(pv["ts_day"], 0) + c
+    assert by_tuple == {"0": 50, "1": 50, "2": 50, "3": 50}
+
+
 def test_variant_lineage_compaction(spark, tmp_path):
     """r13 (VERDICT r12 #4): a row-lineage table WITH a variant column
     compacts — both passthroughs composed: _row_id and
