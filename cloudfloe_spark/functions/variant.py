@@ -930,208 +930,252 @@ def shredded_to_unshredded_columns(df, col_descriptors: "dict[str, dict]"):
     return df
 
 
-def shred_rows(objs: list, shred: dict, *, top_value: bool = True):
-    """Fixture/test helper: shred Python object trees per a descriptor
-    shaped like :func:`shred_descriptor` output (leaf kinds name arrow
-    types) → a ``pyarrow`` StructArray for the full shredded variant
-    column (``metadata``, ``value``, ``typed_value``). The residual at
-    each level is variant-encoded against the row's full metadata
-    dictionary — exactly the writer behavior the shredding spec
-    describes. ``top_value=False`` models a perfectly-shredding writer:
-    the top-level residual column is omitted (rows that would need one
-    raise), which is the layout the typed-path pushdown serves
-    natively."""
-    import datetime as _dt
-    import uuid as _uuid
+def _build_shredder():
+    """Self-contained shredding pair (r15, VERDICT r14 #3): both
+    returned functions close ONLY over ``_build_codec()`` /
+    ``_build_encoder()`` locals, so cloudpickle ships them BY VALUE —
+    the write-side shredding runs inside Arrow executor writes, and
+    Arrow UDF workers cannot import this package (see the module's UDF
+    factories for the same rule)."""
+    _metadata_names, _decode_at, _decode_pair, _render, _to_json = (
+        _build_codec()
+    )
+    encode_variant, _encode_value = _build_encoder()
 
-    import pyarrow as pa
+    def shred_rows(objs: list, shred: dict, *, top_value: bool = True):
+        """Fixture/test helper: shred Python object trees per a descriptor
+        shaped like :func:`shred_descriptor` output (leaf kinds name arrow
+        types) → a ``pyarrow`` StructArray for the full shredded variant
+        column (``metadata``, ``value``, ``typed_value``). The residual at
+        each level is variant-encoded against the row's full metadata
+        dictionary — exactly the writer behavior the shredding spec
+        describes. ``top_value=False`` models a perfectly-shredding writer:
+        the top-level residual column is omitted (rows that would need one
+        raise), which is the layout the typed-path pushdown serves
+        natively. ``top_value="auto"`` (r15, write-side shredding) omits
+        the residual column exactly when NO row in this batch needs one
+        — the per-file layout decision a real shredding writer makes."""
+        import datetime as _dt
+        import uuid as _uuid
 
-    def _leaf_type(kind):
-        return {
-            "bool": pa.bool_(),
-            "int": pa.int64(),
-            "float": pa.float32(),
-            "double": pa.float64(),
-            "string": pa.string(),
-            "binary": pa.binary(),
-            # full decimal16 precision so >28-digit values shred
-            # without rescale loss (scale 4 matches the test corpus)
-            "decimal": pa.decimal128(38, 4),
-            "date": pa.date32(),
-            "ts_us": pa.timestamp("us"),
-            "ts_us_tz": pa.timestamp("us", tz="UTC"),
-            "ts_ns": pa.timestamp("ns"),
-            "ts_ns_tz": pa.timestamp("ns", tz="UTC"),
-            "uuid": pa.binary(16),
-        }[kind]
+        import pyarrow as pa
 
-    def _vt_type(d):
-        if d is None:
-            return None
-        if d["kind"] == "object":
-            return pa.struct(
-                [
-                    (
-                        n,
-                        pa.struct(
-                            ([("value", pa.binary())] if g["value"] else [])
-                            + (
-                                [("typed_value", _vt_type(g["typed"]))]
-                                if g["typed"] is not None
-                                else []
-                            )
-                        ),
-                    )
-                    for n, g in d["fields"].items()
-                ]
-            )
-        if d["kind"] == "array":
-            g = d["element"]
-            return pa.list_(
-                pa.struct(
-                    ([("value", pa.binary())] if g["value"] else [])
-                    + (
-                        [("typed_value", _vt_type(g["typed"]))]
-                        if g["typed"] is not None
-                        else []
+        def _leaf_type(kind):
+            return {
+                "bool": pa.bool_(),
+                "int": pa.int64(),
+                "float": pa.float32(),
+                "double": pa.float64(),
+                "string": pa.string(),
+                "binary": pa.binary(),
+                # full decimal16 precision so >28-digit values shred
+                # without rescale loss (scale 4 matches the test corpus)
+                "decimal": pa.decimal128(38, 4),
+                "date": pa.date32(),
+                "ts_us": pa.timestamp("us"),
+                "ts_us_tz": pa.timestamp("us", tz="UTC"),
+                "ts_ns": pa.timestamp("ns"),
+                "ts_ns_tz": pa.timestamp("ns", tz="UTC"),
+                "uuid": pa.binary(16),
+            }[kind]
+
+        def _vt_type(d):
+            if d is None:
+                return None
+            if d["kind"] == "object":
+                return pa.struct(
+                    [
+                        (
+                            n,
+                            pa.struct(
+                                ([("value", pa.binary())] if g["value"] else [])
+                                + (
+                                    [("typed_value", _vt_type(g["typed"]))]
+                                    if g["typed"] is not None
+                                    else []
+                                )
+                            ),
+                        )
+                        for n, g in d["fields"].items()
+                    ]
+                )
+            if d["kind"] == "array":
+                g = d["element"]
+                return pa.list_(
+                    pa.struct(
+                        ([("value", pa.binary())] if g["value"] else [])
+                        + (
+                            [("typed_value", _vt_type(g["typed"]))]
+                            if g["typed"] is not None
+                            else []
+                        )
                     )
                 )
-            )
-        return _leaf_type(d["kind"])
+            return _leaf_type(d["kind"])
 
-    def _leaf_matches(kind, v):
-        return {
-            "bool": lambda: isinstance(v, bool),
-            "int": lambda: isinstance(v, int) and not isinstance(v, bool),
-            "float": lambda: isinstance(v, float),
-            "double": lambda: isinstance(v, float),
-            "string": lambda: isinstance(v, str),
-            "binary": lambda: isinstance(v, (bytes, bytearray)),
-            "decimal": lambda: type(v).__name__ == "Decimal",
-            "date": lambda: isinstance(v, _dt.date)
-            and not isinstance(v, _dt.datetime),
-            "ts_us": lambda: isinstance(v, _dt.datetime)
-            and v.tzinfo is None,
-            "ts_us_tz": lambda: isinstance(v, _dt.datetime)
-            and v.tzinfo is not None,
-            "ts_ns": lambda: False,
-            "ts_ns_tz": lambda: False,
-            "uuid": lambda: isinstance(v, _uuid.UUID),
-        }[kind]()
+        def _leaf_matches(kind, v):
+            return {
+                "bool": lambda: isinstance(v, bool),
+                "int": lambda: isinstance(v, int) and not isinstance(v, bool),
+                "float": lambda: isinstance(v, float),
+                "double": lambda: isinstance(v, float),
+                "string": lambda: isinstance(v, str),
+                "binary": lambda: isinstance(v, (bytes, bytearray)),
+                "decimal": lambda: type(v).__name__ == "Decimal",
+                "date": lambda: isinstance(v, _dt.date)
+                and not isinstance(v, _dt.datetime),
+                "ts_us": lambda: isinstance(v, _dt.datetime)
+                and v.tzinfo is None,
+                "ts_us_tz": lambda: isinstance(v, _dt.datetime)
+                and v.tzinfo is not None,
+                "ts_ns": lambda: False,
+                "ts_ns_tz": lambda: False,
+                "uuid": lambda: isinstance(v, _uuid.UUID),
+            }[kind]()
 
-    def split(obj, d, fid):
-        """One VALUE (never a missing field) → ``(residual_value_bytes
-        | None, typed_py | None)``; exactly one side is non-None except
-        for objects, where both may contribute (typed fields + residual
-        fields). A Python None is a variant NULL — it always lands in
-        the residual (no typed leaf represents null)."""
-        if obj is None or d is None:
-            return _encode_value(obj, fid), None
-        if d["kind"] == "object":
-            if not isinstance(obj, dict):
+        def split(obj, d, fid):
+            """One VALUE (never a missing field) → ``(residual_value_bytes
+            | None, typed_py | None)``; exactly one side is non-None except
+            for objects, where both may contribute (typed fields + residual
+            fields). A Python None is a variant NULL — it always lands in
+            the residual (no typed leaf represents null)."""
+            if obj is None or d is None:
                 return _encode_value(obj, fid), None
-            typed = {}
-            resid = {}
-            for k, v in obj.items():
-                if k in d["fields"]:
-                    g = d["fields"][k]
+            if d["kind"] == "object":
+                if not isinstance(obj, dict):
+                    return _encode_value(obj, fid), None
+                typed = {}
+                resid = {}
+                for k, v in obj.items():
+                    if k in d["fields"]:
+                        g = d["fields"][k]
+                        rv, tv = split(v, g["typed"], fid)
+                        fld = {}
+                        if g["value"]:
+                            fld["value"] = rv
+                        elif rv is not None:
+                            raise ValueError(
+                                f"field {k!r} needs a residual but the "
+                                "shred schema has no value column"
+                            )
+                        if g["typed"] is not None:
+                            fld["typed_value"] = tv
+                        typed[k] = fld
+                    else:
+                        resid[k] = v
+                for k, g in d["fields"].items():
+                    if k not in obj:  # MISSING field: both sides null
+                        fld = {}
+                        if g["value"]:
+                            fld["value"] = None
+                        if g["typed"] is not None:
+                            fld["typed_value"] = None
+                        typed[k] = fld
+                rb = _encode_value(resid, fid) if resid else None
+                return rb, typed
+            if d["kind"] == "array":
+                if not isinstance(obj, list):
+                    return _encode_value(obj, fid), None
+                g = d["element"]
+                els = []
+                for v in obj:
                     rv, tv = split(v, g["typed"], fid)
                     fld = {}
                     if g["value"]:
                         fld["value"] = rv
                     elif rv is not None:
                         raise ValueError(
-                            f"field {k!r} needs a residual but the "
-                            "shred schema has no value column"
+                            "array element needs a residual but the shred "
+                            "schema has no value column"
                         )
                     if g["typed"] is not None:
                         fld["typed_value"] = tv
-                    typed[k] = fld
-                else:
-                    resid[k] = v
-            for k, g in d["fields"].items():
-                if k not in obj:  # MISSING field: both sides null
-                    fld = {}
-                    if g["value"]:
-                        fld["value"] = None
-                    if g["typed"] is not None:
-                        fld["typed_value"] = None
-                    typed[k] = fld
-            rb = _encode_value(resid, fid) if resid else None
-            return rb, typed
-        if d["kind"] == "array":
-            if not isinstance(obj, list):
-                return _encode_value(obj, fid), None
-            g = d["element"]
-            els = []
-            for v in obj:
-                rv, tv = split(v, g["typed"], fid)
-                fld = {}
-                if g["value"]:
-                    fld["value"] = rv
-                elif rv is not None:
-                    raise ValueError(
-                        "array element needs a residual but the shred "
-                        "schema has no value column"
-                    )
-                if g["typed"] is not None:
-                    fld["typed_value"] = tv
-                els.append(fld)
-            return None, els
-        if _leaf_matches(d["kind"], obj):
-            if d["kind"] == "uuid":
-                return None, obj.bytes  # arrow stores fixed(16) bytes
-            return None, obj
-        return _encode_value(obj, fid), None
+                    els.append(fld)
+                return None, els
+            if _leaf_matches(d["kind"], obj):
+                if d["kind"] == "uuid":
+                    return None, obj.bytes  # arrow stores fixed(16) bytes
+                return None, obj
+            return _encode_value(obj, fid), None
 
-    mds, vals, tvs = [], [], []
-    for obj in objs:
-        if obj is None:
-            mds.append(None)
-            vals.append(None)
-            tvs.append(None)
-            continue
-        md, _full = encode_variant(obj)
-        names = _metadata_names(md)
-        fid = {k: i for i, k in enumerate(names)}
-        rv, tv = split(obj, shred, fid)
-        mds.append(md)
-        vals.append(rv)
-        tvs.append(tv)
+        mds, vals, tvs = [], [], []
+        for obj in objs:
+            if obj is None:
+                mds.append(None)
+                vals.append(None)
+                tvs.append(None)
+                continue
+            md, _full = encode_variant(obj)
+            names = _metadata_names(md)
+            fid = {k: i for i, k in enumerate(names)}
+            rv, tv = split(obj, shred, fid)
+            mds.append(md)
+            vals.append(rv)
+            tvs.append(tv)
 
-    vt = _vt_type(shred)
-    if not top_value:
-        # a perfectly-shredding writer omits the top-level residual
-        # column entirely (what makes typed-path pushdown provably
-        # safe); any row that actually NEEDS one is a caller bug
-        bad = [i for i, v in enumerate(vals) if v is not None]
-        if bad:
-            raise ValueError(
-                f"shred_rows(top_value=False): rows {bad} carry a "
-                "top-level residual"
+        vt = _vt_type(shred)
+        if top_value == "auto":
+            top_value = any(v is not None for v in vals)
+        if not top_value:
+            # a perfectly-shredding writer omits the top-level residual
+            # column entirely (what makes typed-path pushdown provably
+            # safe); any row that actually NEEDS one is a caller bug
+            bad = [i for i, v in enumerate(vals) if v is not None]
+            if bad:
+                raise ValueError(
+                    f"shred_rows(top_value=False): rows {bad} carry a "
+                    "top-level residual"
+                )
+            struct_t = pa.struct(
+                [("metadata", pa.binary()), ("typed_value", vt)]
+            )
+            return pa.array(
+                [
+                    None
+                    if m is None
+                    else {"metadata": m, "typed_value": t}
+                    for m, t in zip(mds, tvs)
+                ],
+                struct_t,
             )
         struct_t = pa.struct(
-            [("metadata", pa.binary()), ("typed_value", vt)]
+            [("metadata", pa.binary()), ("value", pa.binary()),
+             ("typed_value", vt)]
         )
         return pa.array(
             [
                 None
                 if m is None
-                else {"metadata": m, "typed_value": t}
-                for m, t in zip(mds, tvs)
+                else {"metadata": m, "value": v, "typed_value": t}
+                for m, v, t in zip(mds, vals, tvs)
             ],
             struct_t,
         )
-    struct_t = pa.struct(
-        [("metadata", pa.binary()), ("value", pa.binary()),
-         ("typed_value", vt)]
-    )
-    return pa.array(
-        [
-            None
-            if m is None
-            else {"metadata": m, "value": v, "typed_value": t}
-            for m, v, t in zip(mds, vals, tvs)
-        ],
-        struct_t,
-    )
+
+
+    def shred_encoded_rows(mds, vals, shred, *, top_value=True):
+        """The write half of LAYOUT CONVERSION: parallel sequences of
+        unshredded ``metadata`` / ``value`` bytes → the SHREDDED
+        StructArray ``shred_rows`` builds — each pair decodes to its
+        value tree (type-exact: ns/uuid/decimal leaves ride the codec's
+        internal markers) and re-splits per the descriptor. A None
+        metadata (SQL-null variant) stays a null struct."""
+        objs = []
+        for md, val in zip(mds, vals):
+            if md is None or val is None:
+                objs.append(None)
+                continue
+            objs.append(
+                _decode_at(
+                    _metadata_names(bytes(md)), bytes(val), 0
+                )
+            )
+        return shred_rows(objs, shred, top_value=top_value)
+
+    return shred_rows, shred_encoded_rows
+
+
+#: shared driver-side instances (fixtures/tests); executor closures
+#: must call ``_build_shredder()`` themselves so everything pickles by
+#: value.
+shred_rows, shred_encoded_rows = _build_shredder()

@@ -3920,3 +3920,135 @@ def iceberg_shredded_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT doc_id, payload FROM iceberg_scan('{root}')",
     )
+
+
+@register(
+    "iceberg_shredded_renamed_scan",
+    oracle="""
+        SELECT doc_id AS document_id,
+               7 AS quality,
+               '{"chars":' || CAST(n_chars AS VARCHAR)
+               || ',"lang":"' || lang || '"}' AS meta
+        FROM documents
+    """,
+    tags=("iceberg", "v3", "variant", "shredded", "evolution"),
+)
+def iceberg_shredded_renamed_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution OVER shredded variant files driver-checked
+    (r15, VERDICT r14 #1 — the last substantive v3 read refusal,
+    inverted): a mixed-layout table (even docs SHREDDED with
+    typed_value subcolumns, odd docs unshredded) then evolves — BOTH
+    the key column AND the variant column are renamed (pre-rename
+    footers keep the OLD parquet names, so the shred descriptors must
+    resolve against write-time names), and a v3 ``initial-default``
+    column lands afterwards (every data file predates it, so the
+    reader fills the default). Until r14 this read 400'd "not
+    supported yet" until a full-table compaction; now each shred group
+    renames after delete application and fills post-decode exactly
+    like plain groups. The oracle is the canonical-JSON twin over the
+    CURRENT names with the default materialized.
+
+    Scale shape: identical to the plain shredded scan — one
+    footer-read per file (cached), one Arrow reassembly per group
+    below the first exchange; the rename is a zero-cost projection and
+    the fill a literal column (`service/iceberg_local.py` shred-group
+    loop; `sources/iceberg_meta.py`
+    ``variant_shred_groups(resolve_renames=True)``).
+
+    Reference parity: cloudfloe reads any Iceberg v3 table its DuckDB
+    engine accepts (backend/main.py:274-314); renames are
+    metadata-only there too.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.functions.variant import encode_variant, shred_rows
+    from cloudfloe_spark.sources.iceberg_fixture import LocalIcebergTable
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"shren{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_shren", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+        even = [r for r in rows if r["doc_id"] % 2 == 0]
+        odd = [r for r in rows if r["doc_id"] % 2 == 1]
+        shred = {
+            "kind": "object",
+            "fields": {
+                "lang": {"value": True, "typed": {"kind": "string"}},
+                "chars": {"value": True, "typed": {"kind": "int"}},
+            },
+        }
+        shred_col = shred_rows(
+            [{"lang": r["lang"], "chars": r["n_chars"]} for r in even],
+            shred,
+        )
+        vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+        plain_col = pa.array(
+            [
+                dict(
+                    zip(
+                        ("metadata", "value"),
+                        encode_variant(
+                            {"lang": r["lang"], "chars": r["n_chars"]}
+                        ),
+                    )
+                )
+                for r in odd
+            ],
+            vt,
+        )
+        t = LocalIcebergTable(
+            root,
+            pa.schema([("id", pa.int64()), ("payload", shred_col.type)]),
+            variant_cols=("payload",),
+        )
+        t.append_snapshot(
+            [
+                pa.table(
+                    {
+                        "id": pa.array(
+                            [r["doc_id"] for r in even], pa.int64()
+                        ),
+                        "payload": shred_col,
+                    }
+                )
+            ],
+            timestamp_ms=_T0,
+        )
+        t.append_snapshot(
+            [
+                pa.table(
+                    {
+                        "id": pa.array(
+                            [r["doc_id"] for r in odd], pa.int64()
+                        ),
+                        "payload": plain_col,
+                    }
+                )
+            ],
+            timestamp_ms=_T0 + 1000,
+        )
+        t.rename_column("id", "document_id", timestamp_ms=_T0 + 2000)
+        t.rename_column("payload", "meta", timestamp_ms=_T0 + 3000)
+        t.add_column(
+            "quality", pa.int64(), timestamp_ms=_T0 + 4000, default=7
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _resolved(
+        spark,
+        f"SELECT document_id, quality, meta FROM iceberg_scan('{root}')",
+    )

@@ -654,6 +654,10 @@ class LocalIcebergTable:
         )
         if self.partition_by == old:
             self.partition_by = new
+        if old in self._variant_cols:
+            self._variant_cols = tuple(
+                new if c == old else c for c in self._variant_cols
+            )
         self._pfields = [
             (new if c == old else c, tr) for c, tr in self._pfields
         ]

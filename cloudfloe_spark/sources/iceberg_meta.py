@@ -477,7 +477,8 @@ def variant_shred_groups(
     paths: "list[str]",
     cols: "list[str]",
     name_history: "dict[str, str] | None" = None,
-) -> "tuple[list[str], list[tuple[list[str], dict]], list[str]]":
+    resolve_renames: bool = False,
+) -> "tuple[list[str], list, list[str]]":
     """Split a snapshot's data files by variant PHYSICAL layout (r12,
     shredded reads): ``(unshredded_paths, shred_groups, errors)`` where
     each shred group is ``(paths, {col: reassembly descriptor})`` for
@@ -489,18 +490,23 @@ def variant_shred_groups(
 
     ``name_history`` (historical→current names): a variant column
     RENAMED after shredded files were written keeps its OLD parquet
-    name in those footers — without checking historical names, the
+    name in those footers. With ``resolve_renames=False`` such files
+    are reported as errors (without historical-name detection the
     plain path's explicit (metadata, value) DDL would silently DROP
-    every typed_value (struct pruning), so such files are detected
-    here under their old names and reported as errors (the
-    rename-aware shredded read is not implemented; compaction is the
-    remedy)."""
+    every typed_value via struct pruning). With ``resolve_renames=True``
+    (r15, VERDICT r14 #1) each group instead resolves its descriptor
+    leaves against the file's WRITE-TIME names and the group tuple
+    grows a third element — the group's on-disk→current rename map over
+    ALL footer columns — so the scan can rename after delete
+    application exactly as plain groups do; descriptors are keyed by
+    CURRENT column name either way."""
     import pyarrow as pa
 
     from cloudfloe_spark.functions.variant import shred_descriptor
 
-    old_names = {}
-    for old, cur in (name_history or {}).items():
+    hist = name_history or {}
+    old_names: dict = {}
+    for old, cur in hist.items():
         if cur in cols and old != cur:
             old_names.setdefault(cur, []).append(old)
 
@@ -523,34 +529,56 @@ def variant_shred_groups(
         descs: dict = {}
         bad = False
         for c in cols:
-            # a renamed variant column keeps its OLD parquet name in
-            # pre-rename files — a shredded layout hiding there must
-            # surface as an error, never as a silent typed_value drop
+            disk = c if c in sch.names else None
             for old in old_names.get(c, []):
-                if old in sch.names and pa.types.is_struct(
+                if old not in sch.names:
+                    continue
+                is_shredded_old = pa.types.is_struct(
                     sch.field(old).type
-                ):
-                    t_old = sch.field(old).type
-                    subs = {
-                        t_old.field(i).name
-                        for i in range(t_old.num_fields)
-                    }
-                    if "typed_value" in subs:
+                ) and "typed_value" in {
+                    sch.field(old).type.field(i).name
+                    for i in range(sch.field(old).type.num_fields)
+                }
+                if not resolve_renames:
+                    # a renamed variant column keeps its OLD parquet
+                    # name in pre-rename files — a shredded layout
+                    # hiding there must surface as an error, never as
+                    # a silent typed_value drop
+                    if is_shredded_old:
                         errors.append(
                             f"variant column {c!r} (on-disk name "
                             f"{old!r}) in {suffix} is SHREDDED and the "
-                            "column was renamed since — the "
-                            "rename-aware shredded read is not "
-                            "implemented; rewrite the files with a "
-                            "shredding-aware engine"
+                            "column was renamed since — this consumer "
+                            "did not declare a rename-aware shredded "
+                            "read surface; compact_iceberg_table "
+                            "normalizes the layout first"
                         )
                         bad = True
-            if c not in sch.names:
+                    continue
+                if disk is not None:
+                    # one physical file carrying BOTH the old and the
+                    # current name for one field id cannot exist under
+                    # Iceberg's metadata-only renames; refuse rather
+                    # than guess which column holds the data
+                    errors.append(
+                        f"variant column {c!r} in {suffix} appears "
+                        f"under both {old!r} and {c!r} — ambiguous "
+                        "footer; rewrite the file"
+                    )
+                    bad = True
+                else:
+                    disk = old
+            if bad or disk is None:
                 continue  # predates the column: NULL either way
-            t = sch.field(c).type
+            t = sch.field(disk).type
+            label = (
+                f"variant column {c!r}"
+                if disk == c
+                else f"variant column {c!r} (on-disk name {disk!r})"
+            )
             if not pa.types.is_struct(t):
                 errors.append(
-                    f"variant column {c!r} in {suffix} has non-struct "
+                    f"{label} in {suffix} has non-struct "
                     f"physical type {t}"
                 )
                 bad = True
@@ -562,7 +590,7 @@ def variant_shred_groups(
                 ):
                     continue  # unshredded
                 errors.append(
-                    f"variant column {c!r} in {suffix} lacks the "
+                    f"{label} in {suffix} lacks the "
                     "(metadata, value) pair"
                 )
                 bad = True
@@ -571,7 +599,7 @@ def variant_shred_groups(
                 "metadata", "value", "typed_value"
             }:
                 errors.append(
-                    f"variant column {c!r} in {suffix} has unexpected "
+                    f"{label} in {suffix} has unexpected "
                     f"subcolumns {sorted(sub)}"
                 )
                 bad = True
@@ -581,17 +609,25 @@ def variant_shred_groups(
                     t.field("typed_value").type
                 )
             except ValueError as e:
-                errors.append(
-                    f"variant column {c!r} in {suffix}: {e}"
-                )
+                errors.append(f"{label} in {suffix}: {e}")
                 bad = True
         if bad:
             continue
         if descs:
-            groups.setdefault(str(sch), ([], descs))[0].append(p)
+            if resolve_renames:
+                rmap = {
+                    n: hist[n]
+                    for n in sch.names
+                    if n in hist and hist[n] != n
+                }
+                groups.setdefault(str(sch), ([], descs, rmap))[
+                    0
+                ].append(p)
+            else:
+                groups.setdefault(str(sch), ([], descs))[0].append(p)
         else:
             plain.append(p)
-    return plain, [(ps, d) for ps, d in groups.values()], errors
+    return plain, list(groups.values()), errors
 
 
 def schema_read_pairs(

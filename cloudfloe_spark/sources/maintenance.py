@@ -392,6 +392,37 @@ def _collect_deletion_vectors(spark, matches) -> "dict[str, list[int]]":
 
 
 @_reruns_on_conflict("compact_iceberg_table")
+def _validate_shred_descriptor(col: str, d, op="compact_iceberg_table") -> None:
+    """Refuse a malformed/unsupported shred descriptor BEFORE anything
+    is read or written (r15 write-side shredding): every leaf kind must
+    be one the shredder can type (``variant._SHRED_LEAVES``), and the
+    object/array shapes must carry their required keys."""
+    from cloudfloe_spark.functions.variant import _SHRED_LEAVES
+
+    def _walk(node, path):
+        if not isinstance(node, dict) or "kind" not in node:
+            raise ValueError(
+                f"{op}: shred descriptor for {col!r} "
+                f"at {path} is not a {{'kind': ...}} dict"
+            )
+        k = node["kind"]
+        if k == "object":
+            for n, g in (node.get("fields") or {}).items():
+                if g.get("typed") is not None:
+                    _walk(g["typed"], f"{path}.{n}")
+        elif k == "array":
+            g = node.get("element") or {}
+            if g.get("typed") is not None:
+                _walk(g["typed"], f"{path}[]")
+        elif k not in _SHRED_LEAVES:
+            raise ValueError(
+                f"{op}: shred descriptor for {col!r} "
+                f"at {path} has unsupported leaf kind {k!r}"
+            )
+
+    _walk(d, col)
+
+
 def compact_iceberg_table(
     spark: SparkSession,
     root: str,
@@ -400,6 +431,8 @@ def compact_iceberg_table(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     sort_by: "list[str] | None" = None,
     zorder_by: "list[str] | None" = None,
+    target_layout: "str | None" = None,
+    shred_descriptors: "dict | None" = None,
 ) -> dict:
     """``rewrite_data_files`` + ``rewrite_position_delete_files`` analog
     for local Iceberg-layout tables — the operation the reference's own
@@ -428,6 +461,18 @@ def compact_iceberg_table(
     (a, b) space, so the stats evaluator skips files for predicates on
     EITHER column — the 100-TB play for tables queried along two or
     more independent dimensions.
+
+    ``target_layout="shredded"`` (r15, VERDICT r14 #3 — write-side
+    shredding): the rewrite re-encodes each ``shred_descriptors``-named
+    variant column to the SHREDDED physical form (typed_value
+    subcolumns per the descriptor, residuals variant-encoded; the
+    top-level residual column omitted per file when unused), restoring
+    the typed-path-pushdown layout DML/streaming appends erode — the
+    cure for shredded tables drifting to mixed layout. Descriptors are
+    :func:`cloudfloe_spark.functions.variant.shred_rows`-shaped dicts
+    (leaf kinds = arrow types); the write runs through the pyarrow
+    executor writer, one distributed pass, shred cost linear in the
+    scanned rows.
     """
     import uuid
 
@@ -458,6 +503,27 @@ def compact_iceberg_table(
     _ns = im.ns_timestamp_columns(_meta_now)
     _ns_tz = _ns_tz_map(root, metadata_path, _ns) if _ns else None
     _variant = im.variant_columns(_meta_now)
+    if target_layout not in (None, "shredded"):
+        raise ValueError(
+            f"compact_iceberg_table: unknown target_layout "
+            f"{target_layout!r} (supported: 'shredded')"
+        )
+    shred_specs = None
+    if target_layout == "shredded":
+        if not shred_descriptors:
+            raise ValueError(
+                "compact_iceberg_table: target_layout='shredded' "
+                "requires shred_descriptors ({variant_col: descriptor})"
+            )
+        bad_cols = sorted(set(shred_descriptors) - set(_variant))
+        if bad_cols:
+            raise ValueError(
+                "compact_iceberg_table: shred_descriptors name "
+                f"non-variant columns {bad_cols}"
+            )
+        for _c, _d in shred_descriptors.items():
+            _validate_shred_descriptor(_c, _d)
+        shred_specs = dict(shred_descriptors)
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
     live = im.live_data_files(root, snap)
     live_bytes = sum(int(f.get("file_size_in_bytes", 0)) for f in live)
@@ -472,20 +538,14 @@ def compact_iceberg_table(
         ]
         _plain, _shred, _verr = im.variant_shred_groups(
             _paths, _variant, name_history=_hist,
+            resolve_renames=True,
         )
         if _verr:
             raise ValueError(
                 "compact_iceberg_table: variant read failed: "
                 + "; ".join(sorted(set(_verr)))
             )
-        if _shred and (
-            _hist or im.schema_default_fills(_meta_now)
-        ):
-            raise ValueError(
-                "compact_iceberg_table: shredded variant files on a "
-                "table with column renames or default values are not "
-                "supported yet"
-            )
+        _fills_now = im.schema_default_fills(_meta_now)
         # variant + row lineage (r13, VERDICT r12 #4): both passthroughs
         # composed — the physical variant struct rides verbatim (or, for
         # SHREDDED files, reassembles and re-encodes UNSHREDDED),
@@ -536,8 +596,18 @@ def compact_iceberg_table(
                 root, metadata_path, variant_as="physical",
                 ns_as="physical" if _ns else None,
             )
-            for _spaths, _descs in _shred:
+            for _spaths, _descs, _grmap in _shred:
                 gdf = sess.read.parquet(*_spaths)
+                # r15: renames resolve per group; v3 defaults fill
+                # BEFORE deletes AND land physically in the rewritten
+                # files (post-compaction files carry the column, so the
+                # read-time fill no longer applies to them)
+                _present = {_grmap.get(c, c) for c in gdf.columns}
+                for _fc, (_fv, _ft) in _fills_now.items():
+                    if _fc not in _present:
+                        gdf = gdf.withColumn(
+                            _fc, _Fv.lit(_fv).cast(_ft)
+                        )
                 if _pos:
                     gdf = _apply_position_deletes(sess, gdf, _pos)
                 if _dvs:
@@ -545,7 +615,7 @@ def compact_iceberg_table(
                 if _eq:
                     gdf = _apply_equality_deletes(
                         sess, gdf, _eq, _fnames, _fseqs,
-                        renames={}, name_history={},
+                        renames=_grmap, name_history=_hist,
                     )
                 lineage_out = []
                 if _lineage_t:
@@ -561,6 +631,8 @@ def compact_iceberg_table(
                         _Fv.col("__cf_src_rid").alias("_row_id"),
                         _Fv.col("__cf_src_seq").alias(_SEQ),
                     ]
+                if _grmap:
+                    gdf = gdf.withColumnsRenamed(_grmap)
                 gdf = shredded_to_unshredded_columns(gdf, _descs)
                 aligned = [
                     _Fv.lit(None).cast(_ct).alias(_cn)
@@ -641,15 +713,17 @@ def compact_iceberg_table(
                 if zcol:
                     # clustering key only — never written to data files
                     w = w.drop(zcol)
-                if _ns:
+                if _ns or shred_specs:
                     # pyarrow executor write, clustering preserved —
                     # one file per tuple per task, tuples in the
                     # manifest (r14, ADVICE r13: ns tables no longer
-                    # de-partition on compaction)
+                    # de-partition on compaction); shredded targets
+                    # re-encode on the same executor pass (r15)
                     ns_fanout_files = _write_data_files_arrow_ns(
-                        sess, w, None, None, out_dir, _ns_tz,
+                        sess, w, None, None, out_dir, _ns_tz or {},
                         mode="overwrite", pt_info=pt_info,
                         repartition_on_tuple=False,
+                        shred_specs=shred_specs,
                     )
                 else:
                     (
@@ -686,12 +760,14 @@ def compact_iceberg_table(
                 w = w.drop(zcol)
         else:
             w = df.repartition(n_out)
-        if _ns:
+        if _ns or shred_specs:
             # pyarrow executor write: the clustering (range partition +
             # sort) above is preserved — n_rows=None writes one file
-            # per existing partition (r13, lifting the ns refusal)
+            # per existing partition (r13, lifting the ns refusal);
+            # shredded targets re-encode on the same pass (r15)
             data_files = _write_data_files_arrow_ns(
-                sess, w, None, None, out_dir, _ns_tz, mode="overwrite"
+                sess, w, None, None, out_dir, _ns_tz or {},
+                mode="overwrite", shred_specs=shred_specs,
             )
         else:
             w.write.mode("overwrite").parquet(out_dir)
@@ -1108,27 +1184,27 @@ def _dml_v3_cols(
     hist = im.schema_name_history(root, meta_path)
     shred: list = []
     if variant_cols and paths:
-        _plain, shred, verr = im.variant_shred_groups(
-            paths, variant_cols, name_history=hist
+        _plain, shred3, verr = im.variant_shred_groups(
+            paths, variant_cols, name_history=hist,
+            resolve_renames=True,
         )
         if verr:
             raise ValueError(
                 f"{op}: variant read failed: "
                 + "; ".join(sorted(set(verr)))
             )
-        if shred and not allow_shredded:
+        if shred3 and not allow_shredded:
             raise ValueError(
                 f"{op}: the table carries SHREDDED variant files — "
                 "this consumer did not declare a shredded read surface; "
                 "compact_iceberg_table normalizes the layout to the "
                 "unshredded form first"
             )
-        if shred and (hist or im.schema_default_fills(meta)):
-            raise ValueError(
-                f"{op}: shredded variant files on a table with column "
-                "renames or default values are not supported yet — "
-                "compact_iceberg_table normalizes the layout first"
-            )
+        # r15 (VERDICT r14 #1): renames/defaults over shredded files no
+        # longer refuse — _shred_group_scan resolves each group's
+        # on-disk names and default fills itself, so consumers keep the
+        # (paths, descs) shape
+        shred = [(sp, d) for sp, d, _ in shred3]
     if ns_cols and paths:
         nerr = im.ns_precision_errors(paths, ns_cols, name_history=hist)
         if nerr:
@@ -1176,6 +1252,20 @@ def _shred_group_scan(
             "compact_iceberg_table first"
         )
     g = spark.read.parquet(*spaths)
+    # renames + v3 defaults over shredded groups (r15, VERDICT r14 #1):
+    # the group's files share one footer schema, so the on-disk→current
+    # map is uniform; default fills apply BEFORE deletes (equality
+    # deletes on a defaulted column compare the logical value), the
+    # rename after them — the plain-group order exactly.
+    hist = im.schema_name_history(root, meta_path)
+    rmap = {
+        n: hist[n] for n in g.columns if n in hist and hist[n] != n
+    }
+    fills = im.schema_default_fills(im.load_metadata(root, meta_path))
+    present_cur = {rmap.get(c, c) for c in g.columns}
+    for _fc, (_fv, _ft) in fills.items():
+        if _fc not in present_cur:
+            g = g.withColumn(_fc, F.lit(_fv).cast(_ft))
     pos = im.prune_position_deletes(
         im.position_delete_paths(root, snap), spaths
     )
@@ -1196,7 +1286,7 @@ def _shred_group_scan(
             spark, g, eq,
             im.schema_field_names(root, meta_path),
             im.live_data_seqs(root, snap),
-            renames={}, name_history={},
+            renames=rmap, name_history=hist,
         )
     present_extra = [
         c for c in (extra_footer_cols or []) if c in g.columns
@@ -1206,6 +1296,8 @@ def _shred_group_scan(
         F.col("_metadata.row_index").alias(_POS),
         "*",
     )
+    if rmap:
+        g = g.withColumnsRenamed(rmap)
     if physical:
         g = shredded_to_unshredded_columns(g, descs)
     else:
@@ -1837,6 +1929,7 @@ def _write_data_files_arrow_ns(
     spark, df, n_rows, rows_per_file, out_dir: str, ns_tz: dict,
     mode: str = "errorifexists", pt_info: "tuple | None" = None,
     repartition_on_tuple: bool = True,
+    shred_specs: "dict | None" = None,
 ) -> list:
     """Distributed data-file write for tables with NANOSECOND timestamp
     columns (r13, VERDICT r12 #5): Spark's parquet writer cannot emit
@@ -1855,7 +1948,15 @@ def _write_data_files_arrow_ns(
     partition values stays correct, and partition locality survives
     DML/compaction/streaming writes on partitioned ns tables. Without
     ``pt_info`` the entries commit with no tuple (sound here: this
-    engine never prunes null tuples)."""
+    engine never prunes null tuples).
+
+    ``shred_specs`` (r15, VERDICT r14 #3 — write-side shredding):
+    ``{variant_col: shred descriptor}`` — each named column arrives as
+    the UNSHREDDED ``(metadata, value)`` struct and is re-encoded to
+    the SHREDDED physical form per the descriptor ON THE EXECUTOR
+    (``_build_shredder``'s closure ships by value), with the top-level
+    residual column omitted per file when no row in the file needs one
+    — the layout the typed-path pushdown serves natively."""
     if mode == "overwrite":
         # streaming-replay recovery: a crash between write and commit
         # leaves a half-written dir the replayed epoch must supersede
@@ -1866,6 +1967,15 @@ def _write_data_files_arrow_ns(
     from pyspark.sql import functions as F
 
     pt_cols, field_names, spec_id = pt_info if pt_info else ([], [], 0)
+    _shred_fn = None
+    if shred_specs:
+        # built DRIVER-side, captured by the executor closure: the
+        # shredder's functions are _build_shredder() locals, so
+        # cloudpickle ships them by value (Arrow workers cannot import
+        # this package)
+        from cloudfloe_spark.functions.variant import _build_shredder
+
+        _, _shred_fn = _build_shredder()
     n_out = (
         max(1, -(-n_rows // rows_per_file)) if n_rows is not None else None
     )
@@ -1924,6 +2034,19 @@ def _write_data_files_arrow_ns(
 
         def _emit(sub, pvals_json):
             out = sub.drop_columns(pt_cols) if pt_cols else sub
+            for c, d in (shred_specs or {}).items():
+                i = out.schema.get_field_index(c)
+                if i < 0:
+                    continue
+                lst = out.column(c).combine_chunks().to_pylist()
+                shredded = _shred_fn(
+                    [None if r is None else r.get("metadata") for r in lst],
+                    [None if r is None else r.get("value") for r in lst],
+                    d, top_value="auto",
+                )
+                out = out.set_column(
+                    i, _pa.field(c, shredded.type), shredded
+                )
             for c, tz in ns_tz.items():
                 i = out.schema.get_field_index(c)
                 t = (
@@ -2014,6 +2137,7 @@ def _write_data_files(
     spark, root: str, meta_path, df, n_rows, rows_per_file,
     out_dir: str, mode: str = "errorifexists",
     ns_tz: "dict | None" = None,
+    shred_specs: "dict | None" = None,
 ) -> list:
     """Write a DML/apply data batch as commit-ready files, PARTITION-AWARE
     (r8): when the table's default spec has fields and every transform is
@@ -2039,9 +2163,10 @@ def _write_data_files(
 
     from cloudfloe_spark.sources import iceberg_meta as im
 
-    if ns_tz:
+    if ns_tz or shred_specs:
         # ns tables take the Arrow executor-write path (Spark's writer
-        # would demote the ns logical type). Partition fanout (r14):
+        # would demote the ns logical type); shredded targets (r15)
+        # re-encode on the same executor pass. Partition fanout (r14):
         # compute the spec's tuple columns Spark-side first — temporal
         # transforms on the ns column itself run on an EXACT integer
         # µs conversion of the raw BIGINT longs (decimal division, no
@@ -2053,16 +2178,18 @@ def _write_data_files(
             try:
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
                 fanned, pt_info = _fanout_frame(
-                    spark, root, meta_path, df, fields, ns_tz
+                    spark, root, meta_path, df, fields, ns_tz or {}
                 )
                 return _write_data_files_arrow_ns(
                     spark, fanned, n_rows, rows_per_file, out_dir,
-                    ns_tz, mode=mode, pt_info=pt_info,
+                    ns_tz or {}, mode=mode, pt_info=pt_info,
+                    shred_specs=shred_specs,
                 )
             finally:
                 spark.conf.set("spark.sql.session.timeZone", old_tz)
         return _write_data_files_arrow_ns(
-            spark, df, n_rows, rows_per_file, out_dir, ns_tz, mode=mode
+            spark, df, n_rows, rows_per_file, out_dir, ns_tz or {},
+            mode=mode, shred_specs=shred_specs,
         )
     fields = im.partition_spec_fields(root, meta_path)
     exprs = []
@@ -2082,9 +2209,12 @@ def _write_data_files(
                 for name, e in zip(pt_cols, exprs):
                     fanned = fanned.withColumn(name, e)
                 if n_rows is not None:  # sized DML write: cluster tuples
+                    # range on (tuple, rand), not hash on the tuple
+                    # (ADVICE r14, same fix as the arrow writer): a
+                    # single-tuple delta must still honor rows_per_file
                     n_out = max(1, -(-n_rows // rows_per_file))
-                    fanned = fanned.repartition(
-                        n_out, *[F.col(c) for c in pt_cols]
+                    fanned = fanned.repartitionByRange(
+                        n_out, *[F.col(c) for c in pt_cols], F.rand(42)
                     )
                 (
                     fanned.write.mode(mode)

@@ -1293,6 +1293,70 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     )
     timings["ns_mor_update"] = round(time.perf_counter() - t0, 3)
     assert ures["matched"] == _CDC_FILE_ROWS, ures
+
+    # (t) write-side shredding (r15, VERDICT r14 #3): compaction with
+    # target_layout="shredded" decodes each unshredded variant row and
+    # re-encodes it shredded on the executors — the probe pins the pass
+    # SCAN-LINEAR (time/row flat as the table grows; a super-linear row
+    # would mean a driver-side or quadratic term hid in the rewrite).
+    from cloudfloe_spark.functions.variant import (
+        encode_variant as _encv,
+    )
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table as _cit,
+    )
+
+    shroot = os.path.join(out_dir, f"reshred_x{n}", "t")
+    shutil.rmtree(os.path.dirname(shroot), ignore_errors=True)
+    _rsh_rows = 5_000
+    vt_ = pa_.struct(
+        [("metadata", pa_.binary()), ("value", pa_.binary())]
+    )
+    # one template batch, reused per file: the probe times the
+    # DISTRIBUTED re-shred, not driver-side fixture encoding
+    pairs = [
+        dict(
+            zip(
+                ("metadata", "value"),
+                _encv({"k": i, "s": f"x{i}", "extra": i % 3}),
+            )
+        )
+        for i in range(_rsh_rows)
+    ]
+    sht = _LIT(
+        shroot,
+        pa_.schema([("id", pa_.int64()), ("v", vt_)]),
+        variant_cols=("v",),
+    )
+    sht.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _rsh_rows, (j + 1) * _rsh_rows, dtype="int64"
+                    ),
+                    "v": pa_.array(pairs, vt_),
+                }
+            )
+            for j in range(4 * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    t0 = time.perf_counter()
+    _cit(
+        spark, shroot, timestamp_ms=_T0 + 1000,
+        target_layout="shredded",
+        shred_descriptors={
+            "v": {
+                "kind": "object",
+                "fields": {
+                    "k": {"value": True, "typed": {"kind": "int"}},
+                    "s": {"value": True, "typed": {"kind": "string"}},
+                },
+            }
+        },
+    )
+    timings["reshred_compaction"] = round(time.perf_counter() - t0, 3)
     return timings
 
 

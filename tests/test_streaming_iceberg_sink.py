@@ -626,3 +626,66 @@ def test_stream_append_into_ns_table(spark, tmp_path):
         - dt.datetime(1970, 1, 1)
     ) // dt.timedelta(microseconds=1)
     assert phys[1] == exp_us * 1000
+
+
+def test_stream_append_shredded_target_layout(spark, tmp_path):
+    """r15 (VERDICT r14 #3): the append sink with
+    target_layout='shredded' lands each micro-batch's variant column in
+    the SHREDDED physical form — the streamed files carry typed_value
+    subcolumns (no residual column when unused), the read surface is
+    canonical JSON as always, and a typed extraction over the streamed
+    rows runs with zero Python in the plan."""
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.functions.variant import encode_variant, shred_rows
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    shred = {
+        "kind": "object",
+        "fields": {"k": {"value": False, "typed": {"kind": "int"}}},
+    }
+    root = str(tmp_path / "shsink")
+    seedcol = shred_rows([{"k": 0}], shred, top_value=False)
+    seed = pa.table({"id": pa.array([0], pa.int64()), "v": seedcol})
+    t = LocalIcebergTable(root, seed.schema, variant_cols=("v",))
+    t.append_snapshot([seed], timestamp_ms=T1)
+    src = _source_dir(
+        spark, tmp_path, [[(1, '{"k": 1}')], [(2, '{"k": 2}')]]
+    )
+    res = append_stream_to_iceberg(
+        _stream(spark, src), root,
+        checkpoint_dir=str(tmp_path / "shck"),
+        timestamp_ms=T1 + 1000,
+        target_layout="shredded",
+        shred_descriptors={"v": shred},
+    )
+    assert res["batches"] == 2
+    # every live file is SHREDDED, streamed ones residual-free
+    snap = im.resolve_snapshot(root)
+    for p in im.live_data_paths(root, snap):
+        vt = pq.read_schema(p.removeprefix("file://")).field("v").type
+        subs = {vt.field(i).name for i in range(vt.num_fields)}
+        assert subs == {"metadata", "typed_value"}, (p, subs)
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    df = sess.sql(
+        resolve_iceberg_reads(
+            sess,
+            "SELECT sum(variant_get(parse_json(v), '$.k', 'bigint')) "
+            f"AS s FROM iceberg_scan('{root}')",
+        )
+    )
+    assert df.first()["s"] == 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    # bad inputs refuse precisely
+    with pytest.raises(ValueError, match="non-variant columns"):
+        append_stream_to_iceberg(
+            _stream(spark, src), root,
+            checkpoint_dir=str(tmp_path / "shck2"),
+            timestamp_ms=T1 + 5000,
+            target_layout="shredded",
+            shred_descriptors={"id": {"kind": "int"}},
+        )

@@ -486,14 +486,36 @@ def test_binpack_normalizes_shredded_small_files(spark, tmp_path):
     }
 
 
-def test_shredded_dml_with_renames_still_refuses(spark, tmp_path):
-    """The read path's own guard carries over: shredded files on a
-    table with column renames refuse (footer-inferred reads would
-    resolve the wrong names)."""
+def test_shredded_dml_resolves_renames(spark, tmp_path):
+    """r15 (VERDICT r14 #1, inverted from the r14 refusal): DML over
+    SHREDDED files on a RENAMED table now works — the shred group scan
+    resolves each file's on-disk names, so a MOR DELETE evaluates its
+    predicate under the CURRENT names and commits only coordinates,
+    and an UPDATE rewrites matched rows into current-named files."""
     root, t = _mixed_layout_table(tmp_path, name="shren")
     t.rename_column("id", "rid", timestamp_ms=T1 + 500)
-    with pytest.raises(ValueError, match="renames"):
-        delete_where(spark, root, "rid = 0", timestamp_ms=T1 + 1000)
+    r = delete_where(spark, root, "rid = 0", timestamp_ms=T1 + 1000)
+    assert r["matched"] == 1
+    got = _rows(
+        spark, f"SELECT rid FROM iceberg_scan('{root}') ORDER BY rid"
+    )
+    assert [x[0] for x in got] == [1, 2, 3, 10, 11]
+    # variant-surface predicate + renamed-column assignment together
+    r2 = update_where(
+        spark, root,
+        "try_variant_get(parse_json(v), '$.tag', 'string') = 'drop'",
+        {"rid": "rid + 100"}, timestamp_ms=T1 + 2000,
+    )
+    assert r2["matched"] == 3
+    got = _rows(
+        spark,
+        "SELECT rid, try_variant_get(parse_json(v), '$.tag', 'string')"
+        f" AS tag FROM iceberg_scan('{root}') ORDER BY rid",
+    )
+    assert got == [
+        (2, "keep"), (11, "keep"),
+        (101, "drop"), (103, "drop"), (110, "drop"),
+    ]
 
 
 def test_lineage_variant_dml_carries_ids(spark, tmp_path):

@@ -317,13 +317,19 @@ def test_malformed_shred_group_gets_precise_400(spark, tmp_path):
     assert "value, typed_value" in str(ei.value)
 
 
-def test_shredded_with_renames_rejected(spark, tmp_path):
+def test_shredded_scan_resolves_renames(spark, tmp_path):
+    """r15 (VERDICT r14 #1, inverted from the r12 refusal): a rename of
+    a NON-variant column on a shredded table no longer 400s every read
+    — the shred group resolves its on-disk names and renames after
+    delete application, exactly like plain groups."""
     root, t = _shredded_table(tmp_path, OBJS[:2], SHRED, name="ren")
     t.rename_column("id", "doc_id", timestamp_ms=T1 + 1000)
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(spark, f"SELECT v FROM iceberg_scan('{root}')")
-    assert ei.value.status_code == 400
-    assert "renames" in str(ei.value)
+    got = _rows(
+        spark,
+        f"SELECT doc_id, v FROM iceberg_scan('{root}') ORDER BY doc_id",
+    )
+    assert [r[0] for r in got] == [0, 1]
+    assert [r[1] for r in got] == _expected_json(OBJS[:2])
 
 
 def test_shred_descriptor_from_footer(tmp_path):
@@ -366,12 +372,14 @@ def test_shredded_aggregate_plan_decodes_before_exchange(spark, tmp_path):
     assert first_exchange != -1 and arrow_at > first_exchange, final
 
 
-def test_renamed_shredded_column_never_silently_drops(spark, tmp_path):
-    """Soundness (r12 self-review): a variant column RENAMED after
-    shredded files were written keeps its OLD parquet name in those
-    footers — without historical-name detection the plain path's
-    explicit (metadata, value) DDL would silently DROP every
-    typed_value. Must 400 naming the on-disk name, never read wrong."""
+def test_renamed_shredded_variant_column_reassembles(spark, tmp_path):
+    """r15 (VERDICT r14 #1, inverted from the r12 refusal): a VARIANT
+    column renamed after shredded files were written keeps its OLD
+    parquet name in those footers. The group scan now matches the
+    descriptor against the write-time name and reassembles under the
+    CURRENT name — the read that used to 400 returns the exact JSON
+    surface (the r12 soundness property still holds: the typed_value
+    bytes are never silently dropped; they are read)."""
     import copy
 
     from cloudfloe_spark.sources.iceberg_fixture import (
@@ -396,11 +404,21 @@ def test_renamed_shredded_column_never_silently_drops(spark, tmp_path):
     meta["schemas"].append(sch2)
     meta["current-schema-id"] = sch2["schema-id"]
     write_next_metadata_version(root, meta)
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(spark, f"SELECT id, payload FROM iceberg_scan('{root}')")
-    assert ei.value.status_code == 400
-    assert "on-disk name 'v'" in str(ei.value)
-    assert "SHREDDED" in str(ei.value)
+    got = _rows(
+        spark,
+        f"SELECT id, payload FROM iceberg_scan('{root}') ORDER BY id",
+    )
+    assert got == [
+        (1, _expected_json([{"a": 1, "b": "x"}])[0]),
+        (2, _expected_json([{"a": 2}])[0]),
+    ]
+    # the typed extraction rides the renamed surface too
+    got2 = _rows(
+        spark,
+        "SELECT try_variant_get(parse_json(payload), '$.a', 'bigint') "
+        f"AS a FROM iceberg_scan('{root}') ORDER BY a",
+    )
+    assert [r[0] for r in got2] == [1, 2]
 
 
 def test_compaction_normalizes_shredded_to_unshredded(spark, tmp_path):
@@ -676,3 +694,225 @@ def test_changes_feed_reads_shredded_appends(spark, tmp_path):
         (11, _expected_json(OBJS[3:4])[0]),
         (20, '{"plain":1}'),
     ]
+
+
+def test_equality_delete_over_shredded_files(spark, tmp_path):
+    """r15 (VERDICT r14 #4): an equality-delete manifest applies over
+    SHREDDED data files exactly like plain ones — sequence-ordered, on
+    the non-variant key column — and the survivors reassemble."""
+    root, t = _shredded_table(tmp_path, OBJS[:3], SHRED, name="eqsh")
+    t.equality_delete_snapshot(
+        pa.table({"id": pa.array([1], pa.int64())}), [1],
+        timestamp_ms=T1 + 1000,
+    )
+    got = _rows(
+        spark, f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    )
+    assert [r[0] for r in got] == [0, 2]
+    assert [r[1] for r in got] == [
+        _expected_json(OBJS[:1])[0], _expected_json(OBJS[2:3])[0]
+    ]
+    # a shredded row re-inserted AFTER the delete survives (sequence)
+    col2 = shred_rows([OBJS[1]], SHRED)
+    t.append_snapshot(
+        [pa.table({"id": pa.array([1], pa.int64()), "v": col2})],
+        timestamp_ms=T1 + 2000,
+    )
+    got2 = _rows(spark, f"SELECT id FROM iceberg_scan('{root}') ORDER BY id")
+    assert [r[0] for r in got2] == [0, 1, 2]
+
+
+def test_shredded_rename_default_fill_composes(spark, tmp_path):
+    """r15 (VERDICT r14 #1): renames AND v3 initial-defaults together
+    over shredded files — predating rows fill the default, the renamed
+    key surfaces under its current name, and an equality delete on the
+    RENAMED column still applies against the group's on-disk name."""
+    root, t = _shredded_table(tmp_path, OBJS[:3], SHRED, name="rdsh")
+    t.rename_column("id", "doc_id", timestamp_ms=T1 + 500)
+    t.add_column("rank", pa.int64(), timestamp_ms=T1 + 600, default=9)
+    got = _rows(
+        spark,
+        f"SELECT doc_id, rank, v FROM iceberg_scan('{root}') "
+        "ORDER BY doc_id",
+    )
+    assert [(r[0], r[1]) for r in got] == [(0, 9), (1, 9), (2, 9)]
+    assert [r[2] for r in got] == _expected_json(OBJS[:3])
+    # eq delete keyed on the renamed column (field id 1): the value
+    # column translates to the group's on-disk name 'id'
+    t.equality_delete_snapshot(
+        pa.table({"doc_id": pa.array([0], pa.int64())}), [1],
+        timestamp_ms=T1 + 1000,
+    )
+    got2 = _rows(
+        spark,
+        f"SELECT doc_id FROM iceberg_scan('{root}') ORDER BY doc_id",
+    )
+    assert [r[0] for r in got2] == [1, 2]
+
+
+def test_compaction_normalizes_renamed_defaulted_shredded(spark, tmp_path):
+    """r15: compact_iceberg_table over a shredded table WITH renames
+    and defaults (refused until r14) — the rewrite lands unshredded
+    files under the CURRENT names with the default value physically
+    written, and the scan surface is identical before and after."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root, t = _shredded_table(tmp_path, OBJS, SHRED, name="cren")
+    t.rename_column("id", "doc_id", timestamp_ms=T1 + 500)
+    t.add_column("rank", pa.int64(), timestamp_ms=T1 + 600, default=9)
+    sql = (
+        f"SELECT doc_id, rank, v FROM iceberg_scan('{root}') "
+        "ORDER BY doc_id"
+    )
+    before = _rows(spark, sql)
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    assert _rows(spark, sql) == before
+    snap = im.resolve_snapshot(root)
+    paths = im.live_data_paths(root, snap)
+    assert len(paths) == 1
+    sch = pq.read_schema(paths[0].removeprefix("file://"))
+    assert "doc_id" in sch.names and "rank" in sch.names
+    vt = sch.field("v").type
+    assert {vt.field(i).name for i in range(vt.num_fields)} == {
+        "metadata", "value"
+    }
+    tblc = pq.read_table(paths[0].removeprefix("file://"))
+    assert tblc.column("rank").to_pylist() == [9] * len(OBJS)
+
+
+def _unshredded_col(objs):
+    vt = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+    return pa.array(
+        [
+            None
+            if o is None
+            else dict(zip(("metadata", "value"), encode_variant(o)))
+            for o in objs
+        ],
+        vt,
+    )
+
+
+def test_write_side_shredding_restores_typed_layout(spark, tmp_path):
+    """r15 (VERDICT r14 #3): compact_iceberg_table(target_layout=
+    'shredded') re-encodes an UNSHREDDED variant table to the shredded
+    physical form — the scan surface is identical before and after, the
+    rewritten footer carries the typed_value subcolumns WITHOUT a
+    top-level residual column (no row needed one), and the typed-path
+    pushdown then reads the native parquet subcolumn with zero Python
+    in the plan."""
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    objs = [{"a": i, "s": f"x{i}"} for i in range(6)]
+    root = str(tmp_path / "wshred")
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(6)), pa.int64()),
+            "v": _unshredded_col(objs),
+        }
+    )
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    desc = {
+        "kind": "object",
+        "fields": {
+            "a": {"value": False, "typed": {"kind": "int"}},
+            "s": {"value": False, "typed": {"kind": "string"}},
+        },
+    }
+    sql = f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    before = _rows(spark, sql)
+    compact_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000,
+        target_layout="shredded", shred_descriptors={"v": desc},
+    )
+    assert _rows(spark, sql) == before
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    assert len(paths) == 1
+    vt = pq.read_schema(paths[0].removeprefix("file://")).field("v").type
+    subs = {vt.field(i).name for i in range(vt.num_fields)}
+    assert subs == {"metadata", "typed_value"}  # auto: no residual col
+    # typed extraction now reads the native subcolumn — zero Python
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    resolved = resolve_iceberg_reads(
+        sess,
+        "SELECT sum(variant_get(parse_json(v), '$.a', 'bigint')) AS s "
+        f"FROM iceberg_scan('{root}')",
+    )
+    df = sess.sql(resolved)
+    assert df.first()["s"] == sum(range(6))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "typed_value:struct<a:struct<typed_value:bigint>>" in (
+        plan.replace(" ", "")
+    )
+
+
+def test_write_side_shredding_keeps_residuals(spark, tmp_path):
+    """The residual half of the spec: a value-bearing descriptor over
+    rows with extra fields / type mismatches lands the residual in the
+    value columns (top-level column kept — rows need it), and the
+    reassembled surface is byte-identical to the unshredded original."""
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    objs = [
+        {"a": 1, "extra": [1, 2]},
+        {"a": "not-an-int"},
+        None,
+        "top-level-string",
+        {"b": {"deep": True}},
+    ]
+    root = str(tmp_path / "wres")
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(len(objs))), pa.int64()),
+            "v": _unshredded_col(objs),
+        }
+    )
+    t = LocalIcebergTable(root, tbl.schema, variant_cols=("v",))
+    t.append_snapshot([tbl], timestamp_ms=T1)
+    desc = {
+        "kind": "object",
+        "fields": {"a": {"value": True, "typed": {"kind": "int"}}},
+    }
+    sql = f"SELECT id, v FROM iceberg_scan('{root}') ORDER BY id"
+    before = _rows(spark, sql)
+    assert [r[1] for r in before] == _expected_json(objs)
+    compact_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000,
+        target_layout="shredded", shred_descriptors={"v": desc},
+    )
+    assert _rows(spark, sql) == before
+    paths = im.live_data_paths(root, im.resolve_snapshot(root))
+    vt = pq.read_schema(paths[0].removeprefix("file://")).field("v").type
+    subs = {vt.field(i).name for i in range(vt.num_fields)}
+    assert subs == {"metadata", "value", "typed_value"}
+
+
+def test_write_side_shredding_validates_inputs(spark, tmp_path):
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    root, _ = _shredded_table(tmp_path, OBJS[:2], SHRED, name="wbad")
+    with pytest.raises(ValueError, match="unknown target_layout"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000, target_layout="weird"
+        )
+    with pytest.raises(ValueError, match="requires shred_descriptors"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000, target_layout="shredded"
+        )
+    with pytest.raises(ValueError, match="non-variant columns"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000,
+            target_layout="shredded",
+            shred_descriptors={"id": {"kind": "int"}},
+        )
+    with pytest.raises(ValueError, match="unsupported leaf kind"):
+        compact_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000,
+            target_layout="shredded",
+            shred_descriptors={"v": {"kind": "time64"}},
+        )
