@@ -235,7 +235,31 @@ def _stat_str(v) -> str:
     return str(v)
 
 
-def _column_stats(t: pa.Table):
+def _geo_stat_cols(meta: dict) -> frozenset:
+    """Column names declared ``geometry(...)`` in the table's CURRENT
+    schema — the columns whose file envelopes get stamped into manifest
+    bounds at WRITE time (r15, VERDICT r14 #6). ``geography`` columns
+    are excluded: planar min/max envelopes are unsound across the
+    antimeridian (same rule as ``maintenance.compute_geo_bounds``)."""
+    sid = meta.get("current-schema-id")
+    sch = next(
+        (
+            s
+            for s in meta.get("schemas") or []
+            if s.get("schema-id") == sid
+        ),
+        None,
+    )
+    if sch is None:
+        return frozenset()
+    return frozenset(
+        f["name"]
+        for f in sch.get("fields") or []
+        if str(f.get("type", "")).startswith("geometry")
+    )
+
+
+def _column_stats(t: pa.Table, geo_cols: frozenset = frozenset()):
     """(lower_bounds, upper_bounds, null_value_counts) for one data file —
     exact per-column min/max over primitive columns (the fixture's
     equivalent of the spec's data_file metrics, see _MANIFEST_SCHEMA).
@@ -246,6 +270,17 @@ def _column_stats(t: pa.Table):
     - float/double column containing NaN → no bounds (NaN is unordered;
       the spec handles it via nan_value_counts, the fixture by omission);
     - boolean → no bounds (two-value domain, pruning value ~nil).
+
+    ``geo_cols`` (r15, VERDICT r14 #6 — write-time geometry bounds):
+    binary columns declared ``geometry`` in the table schema get their
+    WKB ENVELOPE aggregated into the bounds maps in the same stats pass
+    every commit already runs over the just-written file — lower =
+    "xmin ymin", upper = "xmax ymax" (repr'd doubles), the exact format
+    ``maintenance.compute_geo_bounds`` stamps and the geo file-skip in
+    ``service/iceberg_local.py`` consumes — so appends/DML/streaming
+    into a geometry table keep per-file bbox pruning alive with no
+    manual manifest rewrite. Sound-by-omission on any unparseable WKB,
+    NaN coordinate, or EMPTY-only column.
     """
     import pyarrow.compute as pc
 
@@ -280,7 +315,54 @@ def _column_stats(t: pa.Table):
             continue
         lower[field.name] = _stat_str(lo)
         upper[field.name] = _stat_str(hi)
+    for name in geo_cols:
+        if name not in t.schema.names or name in lower:
+            continue
+        col = t.column(name)
+        typ = t.schema.field(name).type
+        if not (
+            pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+        ):
+            continue
+        env = _geo_envelope(col)
+        if env is not None:
+            x0, y0, x1, y1 = env
+            lower[name] = f"{x0!r} {y0!r}"
+            upper[name] = f"{x1!r} {y1!r}"
     return lower or None, upper or None, nulls or None
+
+
+def _geo_envelope(col) -> "tuple | None":
+    """File-level (xmin, ymin, xmax, ymax) over a WKB binary column, or
+    None when no bound is sound (all NULL/EMPTY, a parse error, or a
+    NaN coordinate — NaN is unordered, mirroring the float rule)."""
+    import math
+
+    from cloudfloe_spark.functions.geo import parse_wkb_envelope
+
+    x0 = y0 = x1 = y1 = None
+    try:
+        for v in col:
+            b = v.as_py()
+            if b is None:
+                continue
+            _t, n, ex0, ey0, ex1, ey1 = parse_wkb_envelope(b)
+            if n == 0:
+                continue  # EMPTY geometry: no points, no bounds
+            if any(
+                math.isnan(c) for c in (ex0, ey0, ex1, ey1)
+            ):
+                return None
+            if x0 is None:
+                x0, y0, x1, y1 = ex0, ey0, ex1, ey1
+            else:
+                x0, y0 = min(x0, ex0), min(y0, ey0)
+                x1, y1 = max(x1, ex1), max(y1, ey1)
+    except (ValueError, OverflowError, IndexError):
+        return None
+    if x0 is None:
+        return None
+    return x0, y0, x1, y1
 
 
 class LocalIcebergTable:
@@ -1094,7 +1176,9 @@ def commit_rewrite_snapshot(
         # column statistics recomputed from the rewritten file — with a
         # sort_by compaction the bounds are tight and disjoint, which is
         # what lets metrics skipping prune the compacted layout
-        lower, upper, nulls = _column_stats(pq.read_table(p))
+        lower, upper, nulls = _column_stats(
+            pq.read_table(p), geo_cols=_geo_stat_cols(meta)
+        )
         entries.append(
             {
                 "status": 1,
@@ -1805,7 +1889,9 @@ def commit_row_delta_snapshot(
         entry_spec = item[3] if len(item) > 3 else None
         if pvals is not None and entry_spec is None:
             entry_spec = meta.get("default-spec-id", 0)
-        lower, upper, nulls = _column_stats(pq.read_table(p))
+        lower, upper, nulls = _column_stats(
+            pq.read_table(p), geo_cols=_geo_stat_cols(meta)
+        )
         new_data.append(
             entry(
                 1,
@@ -2141,7 +2227,9 @@ def commit_deletion_vector_snapshot(
         entry_spec = item[3] if len(item) > 3 else None
         if pvals is not None and entry_spec is None:
             entry_spec = meta.get("default-spec-id", 0)
-        lower, upper, nulls = _column_stats(pq.read_table(p))
+        lower, upper, nulls = _column_stats(
+            pq.read_table(p), geo_cols=_geo_stat_cols(meta)
+        )
         new_data.append(
             entry(
                 1,

@@ -366,3 +366,144 @@ def test_geo_bounds_refuses_renamed_table(spark, tmp_path):
     t.rename_column("id", "rid", timestamp_ms=1700000001000)
     with pytest.raises(ValueError, match="renames.*compact"):
         compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
+
+
+def test_geo_bounds_stamped_at_write_time(spark, tmp_path):
+    """r15 (VERDICT r14 #6): once the table declares a geometry column,
+    every commit that lands data files computes the file's WKB envelope
+    in the same per-file stats pass and stamps it into the manifest
+    bounds — so bbox file-skipping stays alive on appended/DML'd/
+    compacted files with NO manual compute_geo_bounds rewrite."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    root, _ = _geo_table(tmp_path, "geowrite", "geometry(srid:4326)")
+    compute_geo_bounds(spark, root, timestamp_ms=1700000001000)
+
+    # append a file in a DISJOINT band via the external commit — its
+    # envelope must land in the manifest with no manifest rewrite
+    new_path = os.path.join(root, "data", "band200.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([200 + i for i in range(5)], pa.int64()),
+                "geo": pa.array(
+                    [
+                        encode_wkb_point(200.0 + i, float(i))
+                        for i in range(5)
+                    ],
+                    pa.binary(),
+                ),
+            }
+        ),
+        new_path,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(new_path, 5)],
+        timestamp_ms=1700000002000,
+    )
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    new_stat = next(
+        s for p, s in stats.items() if p.endswith("band200.parquet")
+    )
+    assert new_stat["lower"]["geo"] == "200.0 0.0"
+    assert new_stat["upper"]["geo"] == "204.0 4.0"
+
+    # file skip proven at execution on the POST-APPEND snapshot: a
+    # window over the new band reads exactly the new file
+    sess = spark.newSession()
+    sql = (
+        f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
+        "150.0, -1.0, 300.0, 50.0)"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    assert sorted(r["id"] for r in df.collect()) == [
+        200 + i for i in range(5)
+    ]
+    files = df.select(F.input_file_name()).distinct().count()
+    assert files == 1
+    # and a window missing every band returns nothing, reading 0 files
+    sql0 = (
+        f"SELECT count(*) AS n FROM iceberg_geo_scan('{root}', 'geo', "
+        "500.0, 500.0, 600.0, 600.0)"
+    )
+    assert sess.sql(resolve_iceberg_reads(sess, sql0)).first()["n"] == 0
+
+    # compaction rewrites through the same commit: bounds survive
+    from cloudfloe_spark.sources.maintenance import compact_iceberg_table
+
+    compact_iceberg_table(
+        spark, root, timestamp_ms=1700000003000, sort_by=["id"]
+    )
+    snap2 = im.resolve_snapshot(root)
+    stats2 = im.live_data_stats(root, snap2)
+    assert all("geo" in (s["lower"] or {}) for s in stats2.values())
+    lo = sorted(
+        float((s["lower"] or {})["geo"].split()[0])
+        for s in stats2.values()
+    )
+    assert lo[0] == 1.0  # compacted layout keeps exact envelopes
+
+
+def test_geo_write_stamp_sound_by_omission(tmp_path):
+    """Unparseable WKB / EMPTY-only / NaN-coordinate files commit
+    normally but carry NO geometry bounds (a wrong box would prune
+    matching rows; no box just reads the file)."""
+    import struct
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        _column_stats,
+        _geo_stat_cols,
+    )
+
+    geo = frozenset({"geo"})
+    # garbage bytes → no geo bounds, other columns still bounded
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "geo": pa.array([b"\x01\xff", None], pa.binary()),
+        }
+    )
+    lower, upper, nulls = _column_stats(t, geo_cols=geo)
+    assert "geo" not in (lower or {})
+    assert lower["id"] == "1"
+    # NaN coordinate → no bounds (NaN is unordered)
+    nan_pt = encode_wkb_point(float("nan"), 1.0)
+    t2 = pa.table(
+        {"geo": pa.array([nan_pt, encode_wkb_point(0.0, 0.0)],
+                         pa.binary())}
+    )
+    lower2, _u2, _n2 = _column_stats(t2, geo_cols=geo)
+    assert not (lower2 or {}).get("geo")
+    # EMPTY geometry rows are skipped; real rows still bound the file
+    empty_ls = b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 0)
+    t3 = pa.table(
+        {"geo": pa.array([empty_ls, encode_wkb_point(5.0, 6.0)],
+                         pa.binary())}
+    )
+    lower3, upper3, _n3 = _column_stats(t3, geo_cols=geo)
+    assert lower3["geo"] == "5.0 6.0" and upper3["geo"] == "5.0 6.0"
+    # geography never reaches the stamp: _geo_stat_cols excludes it
+    meta = {
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"name": "g1", "type": "geometry(srid:4326)"},
+                    {"name": "g2", "type": "geography(srid:4326)"},
+                ],
+            }
+        ],
+    }
+    assert _geo_stat_cols(meta) == frozenset({"g1"})
