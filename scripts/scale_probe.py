@@ -1255,6 +1255,64 @@ def dml_probe(spark, n: int, out_dir: str) -> dict[str, float]:
     assert ares3["mode"] == "incremental-removal", ares3
     assert ares3["row_count"] == base_rows + _CDC_FILE_ROWS - 1, ares3
 
+    # (r3) incremental ANALYZE under removals, GROUPED cache (r15,
+    # VERDICT r14 #5): past the per-file cap the cache stores one
+    # merged sketch per group of files; a COW rewrite of ONE file
+    # demotes only ITS group (a bounded rescan) while every other
+    # group's bytes carry verbatim. The probe forces the grouped
+    # representation (cache_mode='group', small group size so the
+    # table spans many groups at every scale) and pins the removal
+    # refresh cost to (demoted group + replacement file), not table
+    # size — the x8 row should stay flat/sublinear exactly like the
+    # per-file row above, proving the shape survives past 4096 files.
+    import cloudfloe_spark.sources.maintenance as _mt
+
+    groot = os.path.join(out_dir, f"grp_analyze_x{n}", "t")
+    shutil.rmtree(os.path.dirname(groot), ignore_errors=True)
+    gt_ = _LIT(
+        groot, pa_.schema([("id", pa_.int64()), ("v", pa_.float64())])
+    )
+    gt_.append_snapshot(
+        [
+            pa_.table(
+                {
+                    "id": np_.arange(
+                        j * _CDC_FILE_ROWS,
+                        (j + 1) * _CDC_FILE_ROWS,
+                        dtype="int64",
+                    ),
+                    "v": np_.full(_CDC_FILE_ROWS, 0.5),
+                }
+            )
+            for j in range(_CDC_BASE_FILES * n)
+        ],
+        timestamp_ms=_T0,
+    )
+    _old_target = _mt._GROUP_TARGET_FILES
+    _mt._GROUP_TARGET_FILES = 8
+    try:
+        _analyze(
+            spark, groot, timestamp_ms=_T0 + 3000, cache_mode="group"
+        )
+        delete_where(
+            spark, groot, "id = 7", timestamp_ms=_T0 + 6000,
+            mode="copy-on-write",
+        )
+        t0 = time.perf_counter()
+        gres = _analyze(
+            spark, groot, timestamp_ms=_T0 + 7000, incremental=True,
+            cache_mode="group",
+        )
+        timings["analyze_incremental_removal_grouped"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert gres["mode"] == "incremental-removal", gres
+        assert gres["row_count"] == (
+            _CDC_FILE_ROWS * _CDC_BASE_FILES * n - 1
+        ), gres
+    finally:
+        _mt._GROUP_TARGET_FILES = _old_target
+
     # (s) ns MOR UPDATE (r13, VERDICT r12 #5): rewritten rows route
     # through the pyarrow executor write so files keep the ns logical
     # type — cost must be sized by the MATCH COUNT (constant here: one

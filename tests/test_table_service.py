@@ -685,3 +685,202 @@ def test_service_stats_refresh_runs_incremental(spark, tmp_path):
     assert step["ran"] is True
     assert step["mode"] == "incremental"
     assert step["row_count"] == 30
+
+
+def _cache_stats_image(root):
+    """(main-blob image, cache form counts) of the current snapshot's
+    registered stats file."""
+    from cloudfloe_spark.sources import puffin as pf
+
+    meta = im.load_metadata(root)
+    cur = meta["current-snapshot-id"]
+    entry = [
+        e for e in meta["statistics"] if e["snapshot-id"] == cur
+    ][0]
+    p = entry["statistics-path"].removeprefix("file://")
+    footer = pf.read_puffin_footer(p)
+    image = {"rows": footer["properties"]["cloudfloe.row-count"]}
+    counts = {"file": 0, "group": 0, "gfiles": 0}
+    group_blob_bytes = {}
+    for b in footer["blobs"]:
+        t = b["type"]
+        if t == "apache-datasketches-theta-v1":
+            c = b["properties"]["cloudfloe.column"]
+            image[c] = (
+                pf.read_blob(p, b["offset"], b["length"]),
+                b["properties"]["ndv"],
+                b["properties"]["cloudfloe.null-count"],
+            )
+        elif t == "cloudfloe-partial-theta-v1":
+            counts["file"] += 1
+        elif t == "cloudfloe-partial-theta-group-v1":
+            counts["group"] += 1
+            gid = b["properties"]["cloudfloe.group"]
+            c = b["properties"]["cloudfloe.column"]
+            group_blob_bytes[(gid, c)] = pf.read_blob(
+                p, b["offset"], b["length"]
+            )
+        elif t == "cloudfloe-partial-group-files-v1":
+            counts["gfiles"] += 1
+    return image, counts, group_blob_bytes
+
+
+def test_analyze_group_cache_bit_identical(spark, tmp_path):
+    """r15 (VERDICT r14 #5): past the per-file cap the partial cache
+    switches to GROUPED sketches (merged per ~manifest chunk + zlib'd
+    membership); a removal refresh then carries fully surviving groups
+    VERBATIM and rescans only the demoted group's surviving members —
+    main blobs stay bit-identical to a full recompute."""
+    import cloudfloe_spark.sources.maintenance as mt
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    root = str(tmp_path / "grpcache")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    # 6 files; group chunking forced small so several groups form
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": list(range(j * 40, (j + 1) * 40)),
+                    "name": [f"v{(j * 40 + i) % 17}" for i in range(40)],
+                }
+            )
+            for j in range(6)
+        ],
+        timestamp_ms=T1,
+    )
+    old_target = mt._GROUP_TARGET_FILES
+    mt._GROUP_TARGET_FILES = 2
+    try:
+        analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 1000, cache_mode="group"
+        )
+        image0, counts0, gbytes0 = _cache_stats_image(root)
+        # 6 files / 2 per group = 3 groups x 2 cols + 3 membership blobs
+        assert counts0 == {"file": 0, "group": 6, "gfiles": 3}
+
+        # COW delete rewrites ONE file: its group demotes (surviving
+        # member rescanned), the other groups carry verbatim
+        r = delete_where(
+            spark, root, "id = 70", timestamp_ms=T1 + 2000,
+            mode="copy-on-write",
+        )
+        assert r["files_rewritten"] == 1
+        r_inc = analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 3000, incremental=True,
+            cache_mode="group",
+        )
+        assert r_inc["mode"] == "incremental-removal"
+        assert r_inc["row_count"] == 239
+        image1, counts1, gbytes1 = _cache_stats_image(root)
+        # untouched groups' sketch bytes carried VERBATIM
+        carried = set(gbytes0) & set(gbytes1)
+        assert len(carried) >= 4  # 2 untouched groups x 2 cols
+        assert all(gbytes0[k] == gbytes1[k] for k in carried)
+
+        # bit-identical to a full recompute at the same snapshot
+        r_full = analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 4000, cache_mode="group"
+        )
+        assert r_full["mode"] == "full"
+        image2, _c2, _g2 = _cache_stats_image(root)
+        assert image1 == image2
+
+        # append-only refresh carries the group cache forward too
+        import pyarrow.parquet as pq
+
+        from cloudfloe_spark.sources.iceberg_fixture import (
+            commit_row_delta_snapshot,
+        )
+
+        extra = os.path.join(root, "data", "grp-extra.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": list(range(1000, 1040)),
+                    "name": [f"w{i}" for i in range(40)],
+                },
+                schema=pa.schema(
+                    [("id", pa.int64()), ("name", pa.string())]
+                ),
+            ),
+            extra,
+        )
+        commit_row_delta_snapshot(
+            root, new_data_files=[(extra, 40)], timestamp_ms=T1 + 5000
+        )
+        r_app = analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 6000, incremental=True,
+            cache_mode="group",
+        )
+        assert r_app["mode"] == "incremental"
+        assert r_app["row_count"] == 279
+        image3, counts3, _g3 = _cache_stats_image(root)
+        assert counts3["group"] > 0 and counts3["file"] == 0
+        r_full2 = analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 7000, cache_mode="group"
+        )
+        assert r_full2["mode"] == "full"
+        image4, _c4, _g4 = _cache_stats_image(root)
+        assert image3 == image4
+    finally:
+        mt._GROUP_TARGET_FILES = old_target
+
+
+def test_analyze_auto_switches_to_group_past_file_cap(spark, tmp_path):
+    """cache_mode='auto' keeps the r14 per-file form under the cap and
+    switches to the group form past it — the removal refresh no longer
+    silently degrades to a full rescan on large tables."""
+    import cloudfloe_spark.sources.maintenance as mt
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    root = str(tmp_path / "autogrp")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot(
+        [pa.table({"id": list(range(j * 10, (j + 1) * 10))})
+         for j in range(6)],
+        timestamp_ms=T1,
+    )
+    old_cap = mt._PARTIAL_CACHE_MAX_FILES
+    mt._PARTIAL_CACHE_MAX_FILES = 4  # 6 files > cap → group form
+    try:
+        analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+        _i0, counts0, _g0 = _cache_stats_image(root)
+        assert counts0["file"] == 0 and counts0["group"] > 0
+
+        r = delete_where(
+            spark, root, "id = 5", timestamp_ms=T1 + 2000,
+            mode="copy-on-write",
+        )
+        assert r["files_rewritten"] == 1
+        r_inc = analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 3000, incremental=True
+        )
+        assert r_inc["mode"] == "incremental-removal"
+        assert r_inc["row_count"] == 59
+        i1, _c1, _g1 = _cache_stats_image(root)
+        r_full = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+        assert _cache_stats_image(root)[0] == i1
+    finally:
+        mt._PARTIAL_CACHE_MAX_FILES = old_cap
+
+
+def test_analyze_cache_mode_none_and_validation(spark, tmp_path):
+    """cache_mode='none' writes main blobs only; an unknown mode raises
+    precisely."""
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    root = str(tmp_path / "nocache")
+    t = LocalIcebergTable(root, pa.schema([("id", pa.int64())]))
+    t.append_snapshot([pa.table({"id": [1, 2, 3]})], timestamp_ms=T1)
+    analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 1000, cache_mode="none"
+    )
+    _i, counts, _g = _cache_stats_image(root)
+    assert counts == {"file": 0, "group": 0, "gfiles": 0}
+    with pytest.raises(ValueError, match="cache_mode"):
+        analyze_iceberg_table(
+            spark, root, timestamp_ms=T1 + 2000, cache_mode="bogus"
+        )
