@@ -156,6 +156,91 @@ def encode_wkb_point(x: float, y: float) -> bytes:
     return b"\x01\x01\x00\x00\x00" + _struct.pack("<dd", x, y)
 
 
+def wrap_interval(lons) -> "tuple[float, float] | None":
+    """Minimal CIRCULAR longitude interval covering ``lons`` (r15):
+    the complement of the largest gap on the circle. Returns
+    ``(xlo, xhi)`` where ``xlo > xhi`` indicates the interval wraps the
+    antimeridian (covers [xlo, 180] ∪ [-180, xhi]) — the Iceberg v3
+    geography bounds convention. None for an empty input. Exact — used
+    by the driver-side write stamp, where the file's values are in
+    hand; the distributed stamp uses the 2-candidate superset (see
+    ``maintenance.compute_geo_bounds``)."""
+    pts = sorted(set(float(x) for x in lons))
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return pts[0], pts[0]
+    # largest gap between circularly consecutive longitudes
+    best_gap, best_i = -1.0, 0
+    for i in range(len(pts)):
+        nxt = pts[(i + 1) % len(pts)]
+        gap = (nxt - pts[i]) % 360.0
+        if i == len(pts) - 1:
+            gap = (pts[0] + 360.0) - pts[i]
+        if gap > best_gap:
+            best_gap, best_i = gap, i
+    lo = pts[(best_i + 1) % len(pts)]
+    hi = pts[best_i]
+    return lo, hi  # lo > hi ⇔ wraps ±180
+
+
+def wrapped_x_intersects(lo, hi, qlo, qhi) -> bool:
+    """Closed intersection of two CIRCULAR longitude intervals, either
+    of which may wrap (lo > hi ⇔ covers [lo, 180] ∪ [-180, hi]).
+    Standard circle test: A∩B ≠ ∅ iff B's start lies in A or A's start
+    lies in B."""
+
+    def _member(x, a, b):
+        return a <= x <= b if a <= b else (x >= a or x <= b)
+
+    return _member(qlo, lo, hi) or _member(lo, qlo, qhi)
+
+
+def wkb_point_lonlat_udf():
+    """Arrow-batched pandas UDF for GEOGRAPHY scans: WKB BINARY →
+    ``struct<x double, y double>`` (NULL → NULL). Non-POINT features
+    RAISE — planar row predicates and vertex envelopes are unsound for
+    geodesic edges near the antimeridian/poles, so the engine fails
+    loudly rather than silently mis-filtering (same principle as the
+    v3 feature guards)."""
+    import struct as _struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _conv(s):
+        import pandas as pd
+
+        xs, ys = [], []
+        for b in s:
+            if b is None:
+                xs.append(None)
+                ys.append(None)
+                continue
+            buf = bytes(b)
+            if len(buf) < 5:
+                raise ValueError("WKB truncated (header)")
+            bo = "<" if buf[0] == 1 else ">"
+            (raw_t,) = _struct.unpack_from(bo + "I", buf, 1)
+            pos = 5
+            if raw_t & 0x20000000:  # EWKB SRID payload
+                pos += 4
+            t = raw_t & 0x0FFFFFFF
+            if t >= 1000:
+                t %= 1000
+            if t != 1:
+                raise ValueError(
+                    "geography scan supports POINT features only "
+                    f"(got WKB type {t}); geodesic envelopes for "
+                    "lines/polygons are not implemented"
+                )
+            x, y = _struct.unpack_from(bo + "dd", buf, pos)
+            xs.append(x)
+            ys.append(y)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return pandas_udf(_conv, "x DOUBLE, y DOUBLE")
+
+
 def bbox_intersects(a, b):
     """Closed-box intersection of two envelope structs (or any structs
     carrying ``xmin/ymin/xmax/ymax``) as a PURE column expression —

@@ -579,3 +579,184 @@ def iceberg_geo_scan_pushdown(
     )
     assert n_files <= 1, f"bbox skip failed: {n_files} files scanned"
     return df.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+def _geog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic v3 GEOGRAPHY table (r15): one WKB POINT per
+    document — lon = (doc_id % 36)·10 − 180 + 0.5 (exact dyadic
+    doubles around the full circle), lat = (n_chars % 18)·10 − 90 +
+    0.5 — written as THREE files bucketed so one file's longitudes
+    hug BOTH sides of the antimeridian (its stamped interval WRAPS:
+    lower.x > upper.x, the v3 convention); ``compute_geo_bounds``
+    stamps all three."""
+    import hashlib
+    import os
+    import shutil
+
+    from cloudfloe_spark.functions.geo import encode_wkb_point
+    from cloudfloe_spark.service.iceberg_local import (
+        resolve_iceberg_reads,
+    )
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"geogwrap1|{os.path.abspath(sf_dir)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join("/tmp", "cloudfloe_geogwrap", key)
+    root = os.path.join(parent, "t")
+    done = os.path.join(parent, "_BUILT")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(parent, ignore_errors=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).sort_by("doc_id")
+        rows = tbl.to_pylist()
+
+        def _lon(r):
+            return (r["doc_id"] % 36) * 10.0 - 180.0 + 0.5
+
+        def _lat(r):
+            return (r["n_chars"] % 18) * 10.0 - 90.0 + 0.5
+
+        # file A holds the buckets hugging ±180 from BOTH sides →
+        # its minimal longitude interval wraps; B and C are ordinary
+        def _bucket_file(r):
+            b = r["doc_id"] % 36
+            if b < 6 or b >= 30:
+                return 0
+            return 1 if b < 18 else 2
+
+        def _tbl(members):
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r["doc_id"] for r in members], pa.int64()
+                    ),
+                    "lang": pa.array(
+                        [r["lang"] for r in members], pa.string()
+                    ),
+                    "geo": pa.array(
+                        [
+                            encode_wkb_point(_lon(r), _lat(r))
+                            for r in members
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        parts = [
+            [r for r in rows if _bucket_file(r) == i] for i in range(3)
+        ]
+        tables = [_tbl(p) for p in parts if p]
+        t = LocalIcebergTable(root, tables[0].schema)
+        t.append_snapshot(tables, timestamp_ms=1700000000000)
+        meta = im.load_metadata(root)
+        for sch in meta["schemas"]:
+            for f in sch["fields"]:
+                if f["name"] == "geo":
+                    f["type"] = "geography(srid:4326)"
+        meta["format-version"] = 3
+        write_next_metadata_version(root, meta)
+        rep = compute_geo_bounds(
+            spark, root, timestamp_ms=1700000001000
+        )
+        assert rep["files_stamped"] == len(tables), rep
+        # the straddling file's stored interval must WRAP
+        snap = im.resolve_snapshot(root)
+        stats = im.live_data_stats(root, snap)
+        wraps = 0
+        for s in stats.values():
+            lo = float((s["lower"] or {})["geo"].split()[0])
+            hi = float((s["upper"] or {})["geo"].split()[0])
+            wraps += int(lo > hi)
+        assert wraps == 1, f"expected one wrapped file interval: {wraps}"
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+@register(
+    "geo_geography_wrap_scan",
+    oracle="""
+        WITH pts AS (
+            SELECT lang,
+                   CAST(doc_id % 36 AS DOUBLE) * 10.0 - 180.0 + 0.5
+                       AS lon,
+                   CAST(n_chars % 18 AS DOUBLE) * 10.0 - 90.0 + 0.5
+                       AS lat
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n,
+               min(lon) AS lonmin,
+               max(lon) AS lonmax,
+               min(lat) AS latmin,
+               max(lat) AS latmax
+        FROM pts
+        WHERE lon >= 170.0 OR lon <= -170.0
+        GROUP BY lang
+    """,
+    tags=("geo", "v3", "geography", "wraparound", "iceberg"),
+)
+def geo_geography_wrap_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GEOGRAPHY scan across the ANTIMERIDIAN (r15, lifting the ADVICE
+    r14 refusal): the fixture's straddling file carries a WRAPPED
+    stored interval (lower.x > upper.x per the v3 geography bounds
+    convention), the query window [170, −170] wraps too, and
+    ``iceberg_geo_scan`` must (a) keep that file via circular-interval
+    intersection — a planar evaluator would prune it and silently drop
+    every match — and (b) filter rows with the wrapped longitude test.
+    The oracle recomputes the coordinates arithmetically with a plain
+    OR filter.
+
+    Scale shape: file skip is manifest-metadata work; the only data
+    read is the surviving band file(s); the point decode is one Arrow
+    pass with no shuffle before the per-lang aggregate."""
+    from cloudfloe_spark.functions.geo import wkb_point_lonlat_udf
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources.tables import ensure_runtime_conf
+
+    root = _geog_fixture(spark, sf_dir)
+    sess = spark.newSession()
+    ensure_runtime_conf(sess)
+    sql = (
+        f"SELECT lang, geo FROM iceberg_geo_scan('{root}', 'geo', "
+        "170.0, -90.0, -170.0, 90.0)"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    # the circular skip is real: both matching buckets live in the ONE
+    # straddling file; the two ordinary-band files never open
+    n_files = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert n_files <= 1, f"wrapped skip failed: {n_files} files scanned"
+    pt = wkb_point_lonlat_udf()(F.col("geo"))
+    return (
+        df.select(
+            "lang",
+            pt["x"].alias("lon"),
+            pt["y"].alias("lat"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lon").alias("lonmin"),
+            F.max("lon").alias("lonmax"),
+            F.min("lat").alias("latmin"),
+            F.max("lat").alias("latmax"),
+        )
+    )

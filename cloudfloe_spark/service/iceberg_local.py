@@ -296,12 +296,16 @@ def _snapshot_view(
                         )
                     ]
         if geo_prune and paths:
-            # geometry bbox FILE SKIPPING (r14): compute_geo_bounds
-            # stamped per-file envelopes into the manifest bounds
-            # ("xmin ymin" / "xmax ymax" strings); a file whose stored
-            # box provably misses the query window never opens. Files
-            # without stamped bounds read normally (sound-by-omission).
-            gcol, (qx0, qy0, qx1, qy1) = geo_prune
+            # geo FILE SKIPPING (r14; r15 geography): the manifest
+            # bounds carry per-file envelopes ("xmin ymin" / "xmax
+            # ymax" strings — stamped by compute_geo_bounds or at
+            # write time); a file whose stored box provably misses the
+            # query window never opens. Files without stamped bounds
+            # read normally (sound-by-omission). Geography intervals
+            # are CIRCULAR in x: stored xlo > xhi wraps the
+            # antimeridian (v3 convention), and the query window may
+            # wrap too — intersection via the circle membership test.
+            gcol, (qx0, qy0, qx1, qy1), wrapped = geo_prune
             stats = im.live_data_stats(root, snap)
 
             def _geo_survives(st) -> bool:
@@ -314,9 +318,15 @@ def _snapshot_view(
                     x1, y1 = (float(v) for v in str(hi[gcol]).split())
                 except (ValueError, TypeError):
                     return True  # unparseable bounds: read normally
-                return not (
-                    x1 < qx0 or qx1 < x0 or y1 < qy0 or qy1 < y0
-                )
+                if y1 < qy0 or qy1 < y0:
+                    return False
+                if wrapped:
+                    from cloudfloe_spark.functions.geo import (
+                        wrapped_x_intersects,
+                    )
+
+                    return wrapped_x_intersects(x0, x1, qx0, qx1)
+                return not (x1 < qx0 or qx1 < x0)
 
             paths = [p for p in paths if _geo_survives(stats.get(p))]
         pos_deletes = im.position_delete_paths(root, snap)
@@ -3172,26 +3182,51 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
         box = tuple(float(m.group(i)) for i in (3, 4, 5, 6))
         col_types = im.schema_column_types(root)
         gtype = str(col_types.get(gcol, ""))
-        if gtype.startswith("geography"):
-            # planar envelopes are unsound for geography (ADVICE r14):
-            # an antimeridian-crossing feature's [xmin, xmax] box spans
-            # the wrong hemisphere, so both the file skip and the
-            # row-level bbox filter can silently drop true matches.
+        geography = gtype.startswith("geography")
+        if not geography and not gtype.startswith("geometry"):
             raise bad_request(
-                f"iceberg_geo_scan: {gcol!r} is a geography column; "
-                "wraparound bounds semantics are not supported yet — "
-                "only geometry columns can be scanned"
+                f"iceberg_geo_scan: {gcol!r} is not a geometry or "
+                "geography column of the table"
             )
-        if not gtype.startswith("geometry"):
-            raise bad_request(
-                f"iceberg_geo_scan: {gcol!r} is not a geometry "
-                "column of the table"
-            )
-        base = _snapshot_view(
-            sess, root, None, None, geo_prune=(gcol, box)
-        )
         from pyspark.sql import functions as F
 
+        if geography:
+            # GEOGRAPHY (r15, lifting the ADVICE r14 refusal): x is
+            # CIRCULAR — the stored file bounds and the query window
+            # may both wrap the antimeridian (x0 > x1 covers
+            # [x0, 180] ∪ [-180, x1], the v3 convention). Rows are
+            # POINT features (the decode UDF raises on lines/polygons
+            # — geodesic envelopes are not implemented; loud, never a
+            # silent wrong read); the row filter tests the point's
+            # lon against the possibly-wrapped window. geometry
+            # windows stay planar and never wrap.
+            from cloudfloe_spark.functions.geo import (
+                wkb_point_lonlat_udf,
+            )
+
+            base = _snapshot_view(
+                sess, root, None, None, geo_prune=(gcol, box, True)
+            )
+            qx0, qy0, qx1, qy1 = box
+            pt = wkb_point_lonlat_udf()(F.col(gcol))
+            x, y = pt["x"], pt["y"]
+            if qx0 <= qx1:
+                x_ok = (x >= qx0) & (x <= qx1)
+            else:
+                x_ok = (x >= qx0) | (x <= qx1)
+            out_df = sess.table(base).filter(
+                F.col(gcol).isNotNull()
+                & x_ok
+                & (y >= qy0)
+                & (y <= qy1)
+            )
+            name = _view_name("geo_scan", root, (gcol, "wrap") + box)
+            out_df.createOrReplaceTempView(name)
+            return name
+
+        base = _snapshot_view(
+            sess, root, None, None, geo_prune=(gcol, box, False)
+        )
         from cloudfloe_spark.functions.geo import (
             bbox_intersects,
             wkb_envelope_udf,

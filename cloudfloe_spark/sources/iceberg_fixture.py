@@ -235,12 +235,15 @@ def _stat_str(v) -> str:
     return str(v)
 
 
-def _geo_stat_cols(meta: dict) -> frozenset:
-    """Column names declared ``geometry(...)`` in the table's CURRENT
-    schema — the columns whose file envelopes get stamped into manifest
-    bounds at WRITE time (r15, VERDICT r14 #6). ``geography`` columns
-    are excluded: planar min/max envelopes are unsound across the
-    antimeridian (same rule as ``maintenance.compute_geo_bounds``)."""
+def _geo_stat_cols(meta: dict) -> dict:
+    """Geo columns of the table's CURRENT schema → their kind
+    (``"geometry"`` or ``"geography"``) — the columns whose file
+    envelopes get stamped into manifest bounds at WRITE time (r15,
+    VERDICT r14 #6). Geometry gets planar envelopes; geography gets
+    WRAPPED longitude intervals (lower.x > upper.x ⇔ crosses the
+    antimeridian, the v3 convention) computed from POINT features only
+    — files containing non-point geography get no bounds (geodesic
+    edge envelopes are not implemented; omission is sound)."""
     sid = meta.get("current-schema-id")
     sch = next(
         (
@@ -251,15 +254,18 @@ def _geo_stat_cols(meta: dict) -> frozenset:
         None,
     )
     if sch is None:
-        return frozenset()
-    return frozenset(
-        f["name"]
-        for f in sch.get("fields") or []
-        if str(f.get("type", "")).startswith("geometry")
-    )
+        return {}
+    out = {}
+    for f in sch.get("fields") or []:
+        t = str(f.get("type", ""))
+        if t.startswith("geometry"):
+            out[f["name"]] = "geometry"
+        elif t.startswith("geography"):
+            out[f["name"]] = "geography"
+    return out
 
 
-def _column_stats(t: pa.Table, geo_cols: frozenset = frozenset()):
+def _column_stats(t: pa.Table, geo_cols: "dict | frozenset" = ()):
     """(lower_bounds, upper_bounds, null_value_counts) for one data file —
     exact per-column min/max over primitive columns (the fixture's
     equivalent of the spec's data_file metrics, see _MANIFEST_SCHEMA).
@@ -271,16 +277,19 @@ def _column_stats(t: pa.Table, geo_cols: frozenset = frozenset()):
       the spec handles it via nan_value_counts, the fixture by omission);
     - boolean → no bounds (two-value domain, pruning value ~nil).
 
-    ``geo_cols`` (r15, VERDICT r14 #6 — write-time geometry bounds):
-    binary columns declared ``geometry`` in the table schema get their
-    WKB ENVELOPE aggregated into the bounds maps in the same stats pass
-    every commit already runs over the just-written file — lower =
+    ``geo_cols`` (r15, VERDICT r14 #6 — write-time geo bounds): binary
+    columns declared ``geometry``/``geography`` in the table schema get
+    their envelope aggregated into the bounds maps in the same stats
+    pass every commit already runs over the just-written file — lower =
     "xmin ymin", upper = "xmax ymax" (repr'd doubles), the exact format
     ``maintenance.compute_geo_bounds`` stamps and the geo file-skip in
     ``service/iceberg_local.py`` consumes — so appends/DML/streaming
-    into a geometry table keep per-file bbox pruning alive with no
-    manual manifest rewrite. Sound-by-omission on any unparseable WKB,
-    NaN coordinate, or EMPTY-only column.
+    into a geo table keep per-file bbox pruning alive with no manual
+    manifest rewrite. Geometry boxes are planar; geography longitude
+    intervals may WRAP (lower.x > upper.x ⇔ crosses the antimeridian)
+    and come from POINT features only. Sound-by-omission on any
+    unparseable WKB, NaN coordinate, EMPTY-only column, or (geography)
+    non-point feature.
     """
     import pyarrow.compute as pc
 
@@ -315,7 +324,12 @@ def _column_stats(t: pa.Table, geo_cols: frozenset = frozenset()):
             continue
         lower[field.name] = _stat_str(lo)
         upper[field.name] = _stat_str(hi)
-    for name in geo_cols:
+    geo_kinds = (
+        geo_cols
+        if isinstance(geo_cols, dict)
+        else {n: "geometry" for n in geo_cols}
+    )
+    for name, kind in geo_kinds.items():
         if name not in t.schema.names or name in lower:
             continue
         col = t.column(name)
@@ -324,7 +338,11 @@ def _column_stats(t: pa.Table, geo_cols: frozenset = frozenset()):
             pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
         ):
             continue
-        env = _geo_envelope(col)
+        env = (
+            _geog_envelope(col)
+            if kind == "geography"
+            else _geo_envelope(col)
+        )
         if env is not None:
             x0, y0, x1, y1 = env
             lower[name] = f"{x0!r} {y0!r}"
@@ -363,6 +381,50 @@ def _geo_envelope(col) -> "tuple | None":
     if x0 is None:
         return None
     return x0, y0, x1, y1
+
+
+def _geog_envelope(col) -> "tuple | None":
+    """File-level GEOGRAPHY bounds over a WKB binary column: minimal
+    WRAPPED longitude interval (xlo > xhi ⇔ crosses the antimeridian,
+    the v3 convention) + plain latitude min/max, computed from POINT
+    features only. None when unsound: any non-point feature (geodesic
+    edges can exceed vertex bounds), parse error, NaN, out-of-range
+    coordinate, or no points at all."""
+    import math
+
+    from cloudfloe_spark.functions.geo import (
+        parse_wkb_envelope,
+        wrap_interval,
+    )
+
+    lons: list = []
+    y0 = y1 = None
+    try:
+        for v in col:
+            b = v.as_py()
+            if b is None:
+                continue
+            t, n, ex0, ey0, _ex1, _ey1 = parse_wkb_envelope(b)
+            if t != "POINT":
+                return None  # geodesic envelopes not implemented
+            if n == 0:
+                continue
+            if (
+                math.isnan(ex0)
+                or math.isnan(ey0)
+                or not -180.0 <= ex0 <= 180.0
+                or not -90.0 <= ey0 <= 90.0
+            ):
+                return None
+            lons.append(ex0)
+            y0 = ey0 if y0 is None else min(y0, ey0)
+            y1 = ey0 if y1 is None else max(y1, ey0)
+    except (ValueError, OverflowError, IndexError):
+        return None
+    iv = wrap_interval(lons)
+    if iv is None:
+        return None
+    return iv[0], y0, iv[1], y1
 
 
 class LocalIcebergTable:

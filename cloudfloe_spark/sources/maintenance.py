@@ -4313,36 +4313,37 @@ def compute_geo_bounds(
             "values are not supported yet — compact the table first"
         )
     col_types = im.schema_column_types(root, meta_path)
-    geo_cols = sorted(
-        c
-        for c, t in col_types.items()
-        if str(t).startswith("geometry")
-    )
-    geog_cols = sorted(
-        c for c, t in col_types.items() if str(t).startswith("geography")
-    )
+    geo_kinds = {}
+    for c, t in col_types.items():
+        ts = str(t)
+        if ts.startswith("geometry"):
+            geo_kinds[c] = "geometry"
+        elif ts.startswith("geography"):
+            geo_kinds[c] = "geography"
+    geo_cols = sorted(geo_kinds)
     if not geo_cols:
-        if geog_cols:
-            # planar min/max envelopes are UNSOUND for geography: a
-            # feature crossing the antimeridian (lon 179 → -179) gets
-            # the box [-179, 179], so a window near ±180 that truly
-            # intersects it would be pruned — silent false negatives.
-            # The v3 spec's wrapped-bounds semantics are not
-            # implemented; refuse precisely (ADVICE r14).
-            raise ValueError(
-                "compute_geo_bounds: geography columns "
-                f"({', '.join(geog_cols)}) use wraparound bounds "
-                "semantics this engine does not implement yet; only "
-                "geometry columns can be stamped"
-            )
         raise ValueError(
-            "compute_geo_bounds: the table has no geometry columns"
+            "compute_geo_bounds: the table has no geometry or "
+            "geography columns"
         )
     paths = im.live_data_paths(root, snap)
     if not paths:
         raise ValueError("compute_geo_bounds: table has no live data files")
     # raw per-file scan: bounds describe the FILE's physical rows, so
-    # MOR deletes are deliberately ignored (a superset box stays sound)
+    # MOR deletes are deliberately ignored (a superset box stays sound).
+    # Geometry columns aggregate a planar min/max box. GEOGRAPHY (r15,
+    # lifting the ADVICE r14 refusal) aggregates the v3 WRAPPED form
+    # (lower.x > upper.x crosses the antimeridian) from POINT features:
+    # the candidate intervals are the ordinary span [minAll, maxAll]
+    # and the antimeridian-wrapped span [minPos, maxNeg] (pos = lon >=
+    # 0, neg = lon < 0) -- both are covers, built from COMBINABLE
+    # min/max aggregates so the pass stays one map-side-combined
+    # exchange; the narrower candidate is stamped. (The driver-side
+    # write stamp computes the exact largest-gap interval; this
+    # distributed retrofit accepts the 2-candidate superset to stay
+    # scan-shaped.) Files containing any non-point geography get NO
+    # bounds (geodesic edges can exceed vertex envelopes; omission is
+    # sound).
     df = spark.read.parquet(*paths).select(
         F.col("_metadata.file_path").alias("__cf_fp"),
         *[c for c in geo_cols],
@@ -4350,22 +4351,55 @@ def compute_geo_bounds(
     aggs = []
     for c in geo_cols:
         df = df.withColumn(f"__cf_env_{c}", wkb_envelope_udf()(F.col(c)))
-        aggs += [
-            F.min(f"__cf_env_{c}.xmin").alias(f"{c}__xmin"),
-            F.min(f"__cf_env_{c}.ymin").alias(f"{c}__ymin"),
-            F.max(f"__cf_env_{c}.xmax").alias(f"{c}__xmax"),
-            F.max(f"__cf_env_{c}.ymax").alias(f"{c}__ymax"),
-        ]
+        e = F.col(f"__cf_env_{c}")
+        if geo_kinds[c] == "geometry":
+            aggs += [
+                F.min(e["xmin"]).alias(f"{c}__xmin"),
+                F.min(e["ymin"]).alias(f"{c}__ymin"),
+                F.max(e["xmax"]).alias(f"{c}__xmax"),
+                F.max(e["ymax"]).alias(f"{c}__ymax"),
+            ]
+        else:
+            lon, lat = e["xmin"], e["ymin"]  # POINT: min == max
+            bad = e["geom_type"].isNotNull() & (
+                (e["geom_type"] != F.lit("POINT"))
+                | lon.isNull()
+                | F.isnan(lon)
+                | F.isnan(lat)
+                | ~lon.between(-180.0, 180.0)
+                | ~lat.between(-90.0, 90.0)
+            )
+            aggs += [
+                F.max(bad.cast("int")).alias(f"{c}__bad"),
+                F.min(lon).alias(f"{c}__lonmin"),
+                F.max(lon).alias(f"{c}__lonmax"),
+                F.min(F.when(lon >= 0.0, lon)).alias(f"{c}__minpos"),
+                F.max(F.when(lon < 0.0, lon)).alias(f"{c}__maxneg"),
+                F.min(lat).alias(f"{c}__ymin"),
+                F.max(lat).alias(f"{c}__ymax"),
+            ]
     rows = df.groupBy("__cf_fp").agg(*aggs).collect()
     patch: dict = {}
     stamped = 0
     for r in rows:
         lo, hi = {}, {}
         for c in geo_cols:
-            if r[f"{c}__xmin"] is None:
-                continue  # all-NULL column in this file: no bounds
-            lo[c] = f"{r[f'{c}__xmin']!r} {r[f'{c}__ymin']!r}"
-            hi[c] = f"{r[f'{c}__xmax']!r} {r[f'{c}__ymax']!r}"
+            if geo_kinds[c] == "geometry":
+                if r[f"{c}__xmin"] is None:
+                    continue  # all-NULL column in this file: no bounds
+                lo[c] = f"{r[f'{c}__xmin']!r} {r[f'{c}__ymin']!r}"
+                hi[c] = f"{r[f'{c}__xmax']!r} {r[f'{c}__ymax']!r}"
+                continue
+            if r[f"{c}__bad"] or r[f"{c}__lonmin"] is None:
+                continue  # non-point/out-of-range rows, or all NULL
+            x0, x1 = r[f"{c}__lonmin"], r[f"{c}__lonmax"]
+            mp, mn = r[f"{c}__minpos"], r[f"{c}__maxneg"]
+            if mp is not None and mn is not None and mp > mn:
+                # wrapped candidate [minPos, 180] + [-180, maxNeg]
+                if (180.0 - mp) + (mn + 180.0) < x1 - x0:
+                    x0, x1 = mp, mn
+            lo[c] = f"{x0!r} {r[f'{c}__ymin']!r}"
+            hi[c] = f"{x1!r} {r[f'{c}__ymax']!r}"
         if lo:
             sfx = im.data_file_suffix(r["__cf_fp"])
             patch[sfx] = (lo, hi)

@@ -332,26 +332,189 @@ def _geo_table(tmp_path, name, geo_type):
     return root, t
 
 
-def test_geo_bounds_refuses_geography(spark, tmp_path):
-    """ADVICE r14: planar min/max envelopes are UNSOUND for geography —
-    an antimeridian-crossing feature (lon 179 → -179) gets the box
-    [-179, 179], so a window near ±180 that truly intersects it is
-    silently pruned. Both the stamp and the scan must refuse the type
-    precisely until wrapped-bounds semantics exist."""
-    from cloudfloe_spark.service.errors import CloudfloeError
+def test_wrap_interval_and_circular_intersect():
+    """Golden cases for the circular-longitude helpers (r15): the
+    minimal covering interval wraps exactly when the largest gap does
+    NOT contain the antimeridian, and the intersect test covers all
+    four wrap combinations."""
+    from cloudfloe_spark.functions.geo import (
+        wrap_interval,
+        wrapped_x_intersects,
+    )
+
+    assert wrap_interval([10.0]) == (10.0, 10.0)
+    assert wrap_interval([10.0, 20.0, 170.0]) == (10.0, 170.0)
+    # points hugging ±180: minimal interval wraps
+    assert wrap_interval([178.0, -178.0]) == (178.0, -178.0)
+    assert wrap_interval([170.0, 179.0, -179.0, -170.0]) == (
+        170.0, -170.0
+    )
+    # the largest gap can be anywhere on the circle: points at
+    # -170/0/170 leave only a 20° gap across ±180, so the minimal
+    # cover is the WRAPPED [0, -170] (complement of the 170° gap)
+    assert wrap_interval([-170.0, 0.0, 170.0]) == (0.0, -170.0)
+    assert wrapped_x_intersects(178.0, -178.0, 179.0, 179.5)
+    assert wrapped_x_intersects(178.0, -178.0, -179.5, -179.0)
+    assert not wrapped_x_intersects(178.0, -178.0, 0.0, 100.0)
+    assert wrapped_x_intersects(10.0, 20.0, 15.0, 17.0)
+    assert wrapped_x_intersects(170.0, -170.0, 175.0, -175.0)
+    # wrapped QUERY [30, 5] covers [30,180] ∪ [-180,5] — misses [10,20]
+    assert not wrapped_x_intersects(10.0, 20.0, 30.0, 5.0)
+
+
+def test_geography_wrapped_bounds_stamp_scan_and_skip(spark, tmp_path):
+    """r15 (lifting the ADVICE r14 refusal): geography columns get
+    WRAPPED longitude bounds (lower.x > upper.x crosses the
+    antimeridian, the v3 convention) from POINT features —
+    compute_geo_bounds stamps them, iceberg_geo_scan prunes files with
+    circular-interval intersection and filters rows against a
+    possibly-wrapped query window."""
+    from pyspark.sql import functions as F
+
     from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        LocalIcebergTable,
+        write_next_metadata_version,
+    )
     from cloudfloe_spark.sources.maintenance import compute_geo_bounds
 
-    root, _ = _geo_table(tmp_path, "geog", "geography(srid:4326)")
-    with pytest.raises(ValueError, match="geography.*not implement"):
-        compute_geo_bounds(spark, root, timestamp_ms=1700000001000)
-    sess = spark.newSession()
-    with pytest.raises(CloudfloeError, match="geography"):
-        resolve_iceberg_reads(
-            sess,
-            f"SELECT * FROM iceberg_geo_scan('{root}', 'geo', "
-            "0.0, 0.0, 1.0, 1.0)",
+    root = str(tmp_path / "geog")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("geo", pa.binary())])
+    )
+    # three files: lon band [0..9]; band [170..179]∪[-179..-170]
+    # (wrapping); band [-100..-91]
+    bands = [
+        [(i, float(i), float(i % 7)) for i in range(10)],
+        [
+            (100 + i, 170.0 + i if i < 5 else -175.0 + (i - 5) - 4.0,
+             float(i % 5))
+            for i in range(10)
+        ],
+        [(200 + i, -100.0 + i, float(i % 3)) for i in range(10)],
+    ]
+    t.append_snapshot(
+        [
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in band], pa.int64()),
+                    "geo": pa.array(
+                        [encode_wkb_point(r[1], r[2]) for r in band],
+                        pa.binary(),
+                    ),
+                }
+            )
+            for band in bands
+        ],
+        timestamp_ms=1700000000000,
+    )
+    meta = im.load_metadata(root)
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            if f["name"] == "geo":
+                f["type"] = "geography(srid:4326)"
+    meta["format-version"] = 3
+    write_next_metadata_version(root, meta)
+
+    rep = compute_geo_bounds(spark, root, timestamp_ms=1700000001000)
+    assert rep["files_stamped"] == 3
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    boxes = sorted(
+        (
+            tuple(float(v) for v in s["lower"]["geo"].split()),
+            tuple(float(v) for v in s["upper"]["geo"].split()),
         )
+        for s in stats.values()
+    )
+    assert boxes[0] == ((-100.0, 0.0), (-91.0, 2.0))
+    assert boxes[1] == ((0.0, 0.0), (9.0, 6.0))
+    # the straddling file stores the WRAPPED interval: lower.x > upper.x
+    assert boxes[2] == ((170.0, 0.0), (-175.0, 4.0))
+
+    # wrapped QUERY window [175, -172]: only the straddling band file
+    # is read; rows on both sides of ±180 return
+    sess = spark.newSession()
+    sql = (
+        f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
+        "175.0, -1.0, -172.0, 50.0)"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    got = sorted(r["id"] for r in df.collect())
+    # lons: 175..179 (ids 105-109 → wait: i<5 gives 170..174) —
+    # ids 100..104 have lon 170..174 (excluded), ids 105..109 have lon
+    # -179..-175 (included: x <= -172 fails for -175? -175 <= -172 ✓)
+    assert got == [105, 106, 107, 108, 109]
+    files = df.select(F.input_file_name()).distinct().count()
+    assert files == 1
+    # ordinary window touching only the negative band
+    sql2 = (
+        f"SELECT count(*) AS n FROM iceberg_geo_scan('{root}', 'geo', "
+        "-95.0, -1.0, -80.0, 50.0)"
+    )
+    df2 = sess.sql(resolve_iceberg_reads(sess, sql2))
+    assert df2.first()["n"] == 5  # lons -95..-91
+
+
+def test_geography_non_point_rows_fail_loud_and_stamp_omits(
+    spark, tmp_path
+):
+    """Non-point geography: the stamp omits bounds (geodesic envelopes
+    not implemented — omission is sound) and the scan raises loudly
+    instead of silently mis-filtering."""
+    import struct
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    # a 2-point linestring crossing the antimeridian
+    ls = (
+        b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 2)
+        + struct.pack("<dd", 179.0, 0.0)
+        + struct.pack("<dd", -179.0, 1.0)
+    )
+    root, _t = _geo_table(tmp_path, "geogline", "geography(srid:4326)")
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    import os
+
+    lp = os.path.join(root, "data", "lines.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([50], pa.int64()),
+                "geo": pa.array([ls], pa.binary()),
+            }
+        ),
+        lp,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(lp, 1)], timestamp_ms=1700000001000
+    )
+    # write-time stamp omitted bounds for the line file (sound)
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    line_stat = next(
+        s for p, s in stats.items() if p.endswith("lines.parquet")
+    )
+    assert "geo" not in (line_stat["lower"] or {})
+    # the retrofit stamp skips it too (other file still stamped)
+    rep = compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
+    assert rep["files_stamped"] == 1 and rep["files_total"] == 2
+    # the scan fails loudly when it must decode a non-point row
+    sess = spark.newSession()
+    sql = (
+        f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
+        "-180.0, -90.0, 180.0, 90.0)"
+    )
+    with pytest.raises(Exception, match="POINT"):
+        sess.sql(resolve_iceberg_reads(sess, sql)).collect()
 
 
 def test_geo_bounds_refuses_renamed_table(spark, tmp_path):
@@ -493,7 +656,8 @@ def test_geo_write_stamp_sound_by_omission(tmp_path):
     )
     lower3, upper3, _n3 = _column_stats(t3, geo_cols=geo)
     assert lower3["geo"] == "5.0 6.0" and upper3["geo"] == "5.0 6.0"
-    # geography never reaches the stamp: _geo_stat_cols excludes it
+    # _geo_stat_cols reports each geo column's kind (r15: geography
+    # stamps too, with wrapped point-only envelopes)
     meta = {
         "current-schema-id": 0,
         "schemas": [
@@ -506,4 +670,6 @@ def test_geo_write_stamp_sound_by_omission(tmp_path):
             }
         ],
     }
-    assert _geo_stat_cols(meta) == frozenset({"g1"})
+    assert _geo_stat_cols(meta) == {
+        "g1": "geometry", "g2": "geography"
+    }
