@@ -760,3 +760,129 @@ def geo_geography_wrap_scan(
             F.max("lat").alias("latmax"),
         )
     )
+
+
+#: shared reference points for the haversine entries — coordinates are
+#: asymmetric to the fixtures' 10° grid (no equidistant ties) and
+#: include Pacific cities so antimeridian geometry matters
+_HAV_CITIES = [
+    ("auckland", -36.85, 174.76),
+    ("suva", -18.14, 178.44),
+    ("apia", -13.83, -171.76),
+    ("anchorage", 61.22, -149.9),
+    ("reykjavik", 64.13, -21.9),
+    ("cape_town", -33.92, 18.42),
+    ("singapore", 1.35, 103.82),
+    ("lima", -12.05, -77.04),
+]
+
+#: 2·R (mean earth radius, km) as one literal so Spark and the oracle
+#: parse the identical double
+_HAV_2R = "12742.0176"
+
+
+@register(
+    "geo_haversine_nearest",
+    oracle=f"""
+        WITH pts AS (
+            SELECT doc_id,
+                   CAST(doc_id % 36 AS DOUBLE) * 10.0 - 180.0 + 0.5
+                       AS lon,
+                   CAST(n_chars % 18 AS DOUBLE) * 10.0 - 90.0 + 0.5
+                       AS lat
+            FROM documents
+        ),
+        c(city, clat, clon) AS (VALUES {", ".join(
+            f"('{n}', {la}, {lo})" for n, la, lo in _HAV_CITIES
+        )}),
+        k AS (
+            SELECT doc_id,
+                   min(printf('%018.6f|%s',
+                       {_HAV_2R} * asin(least(sqrt(
+                           pow(sin(radians(clat - lat) / 2), 2)
+                           + cos(radians(lat)) * cos(radians(clat))
+                           * pow(sin(radians(clon - lon) / 2), 2)
+                       ), 1.0)),
+                       city)) AS key
+            FROM pts CROSS JOIN c
+            GROUP BY doc_id
+        )
+        SELECT split_part(key, '|', 2) AS city,
+               count(*) AS n,
+               round(min(CAST(split_part(key, '|', 1) AS DOUBLE)), 4)
+                   AS dmin,
+               round(max(CAST(split_part(key, '|', 1) AS DOUBLE)), 4)
+                   AS dmax
+        FROM k
+        GROUP BY 1
+    """,
+    tags=("geo", "haversine", "hof", "zero-shuffle"),
+)
+def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle NEAREST-REFERENCE-POINT classification (r15): each
+    document's synthesized (lon, lat) is assigned to the closest of 8
+    reference cities by HAVERSINE distance — the geodesic metric, so
+    Δλ is naturally periodic (sin²(Δλ/2) is the same for Δλ ± 360°)
+    and points near ±180 classify to Pacific cities correctly where a
+    planar metric would send them across the whole map.
+
+    Plan shape: the reference points ride as an 8-element ARRAY
+    LITERAL folded per row with higher-order functions — trig, argmin
+    (via a zero-padded sortable key, city name as tiebreak) and
+    formatting all JVM-side whole-stage-codegen, ZERO Python and zero
+    shuffle before the final per-city aggregate (one combinable
+    exchange). At 100 TB the classify stage is pure map work.
+
+    The oracle recomputes the identical formula (same 2R literal, same
+    clamp, same key format) over a CROSS JOIN — an 8× row blowup the
+    Spark plan deliberately avoids."""
+    from cloudfloe_spark.sources.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pts = docs.select(
+        ((F.col("doc_id") % 36).cast("double") * 10.0 - 180.0 + 0.5)
+        .alias("lon"),
+        ((F.col("n_chars") % 18).cast("double") * 10.0 - 90.0 + 0.5)
+        .alias("lat"),
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("city"),
+                F.lit(float(la)).alias("clat"),
+                F.lit(float(lo)).alias("clon"),
+            )
+            for n, la, lo in _HAV_CITIES
+        ]
+    )
+    two_r = float(_HAV_2R)
+
+    def _hav_km(lat1, lon1, lat2, lon2):
+        a = (
+            F.pow(F.sin(F.radians(lat2 - lat1) / 2), F.lit(2.0))
+            + F.cos(F.radians(lat1))
+            * F.cos(F.radians(lat2))
+            * F.pow(F.sin(F.radians(lon2 - lon1) / 2), F.lit(2.0))
+        )
+        # clamp: fp noise can push a marginally past 1 (antipodes) and
+        # asin(>1) is NaN — same least() clamp in the oracle
+        return F.lit(two_r) * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
+
+    keys = F.transform(
+        arr,
+        lambda c: F.format_string(
+            "%018.6f|%s",
+            _hav_km(F.col("lat"), F.col("lon"), c["clat"], c["clon"]),
+            c["city"],
+        ),
+    )
+    best = F.array_min(keys)
+    res = pts.select(
+        F.substring_index(best, "|", -1).alias("city"),
+        F.substring_index(best, "|", 1).cast("double").alias("d"),
+    )
+    return res.groupBy("city").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("d"), 4).alias("dmin"),
+        F.round(F.max("d"), 4).alias("dmax"),
+    )

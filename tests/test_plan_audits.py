@@ -722,3 +722,18 @@ def test_variant_dml_scan_is_exchange_free(spark, sf_dir):
     plan = executed_plan(df)
     assert shuffle_count(df) == 0, plan
     assert not has_cartesian_or_bnl(df), plan
+
+
+def test_haversine_nearest_is_jvm_only_single_exchange(spark, sf_dir):
+    """geo_haversine_nearest (r15): the 8-city classify is an array
+    literal folded per row — trig + argmin key all inside codegen, NO
+    Python eval node, no join, and the only exchange is the final
+    combinable per-city aggregate."""
+    df = CATALOG["geo_haversine_nearest"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # the oracle's 8x cross join never happens
+    # exchanges: spread()'s core fan-out + the one agg shuffle, nothing
+    # data-dependent
+    assert shuffle_count(df) <= 2, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
