@@ -204,6 +204,14 @@ HEADLINE = [
     "iceberg_shredded_dml_scan",
     "iceberg_v3_branch_dml_scan",
     "iceberg_geo_scan_pushdown",
+    # Round-15 breadth: the renamed/defaulted SHREDDED read (the lifted
+    # v3 refusal — per-file descriptor-leaf rename resolution), the
+    # antimeridian-wrapped GEOGRAPHY scan (circular file skip + wrapped
+    # row window), and the zero-shuffle haversine classify (JVM HOF
+    # fold, no Python, no join).
+    "iceberg_shredded_renamed_scan",
+    "geo_geography_wrap_scan",
+    "geo_haversine_nearest",
 ]
 
 
