@@ -170,13 +170,12 @@ def wrap_interval(lons) -> "tuple[float, float] | None":
         return None
     if len(pts) == 1:
         return pts[0], pts[0]
-    # largest gap between circularly consecutive longitudes
+    # largest gap between circularly consecutive longitudes — the mod
+    # handles the wrap-around pair too (pts[0] - pts[-1] ∈ [-360, 0),
+    # so % 360 yields pts[0] + 360 - pts[-1] exactly)
     best_gap, best_i = -1.0, 0
     for i in range(len(pts)):
-        nxt = pts[(i + 1) % len(pts)]
-        gap = (nxt - pts[i]) % 360.0
-        if i == len(pts) - 1:
-            gap = (pts[0] + 360.0) - pts[i]
+        gap = (pts[(i + 1) % len(pts)] - pts[i]) % 360.0
         if gap > best_gap:
             best_gap, best_i = gap, i
     lo = pts[(best_i + 1) % len(pts)]

@@ -533,17 +533,17 @@ def variant_shred_groups(
             for old in old_names.get(c, []):
                 if old not in sch.names:
                     continue
-                is_shredded_old = pa.types.is_struct(
-                    sch.field(old).type
-                ) and "typed_value" in {
-                    sch.field(old).type.field(i).name
-                    for i in range(sch.field(old).type.num_fields)
-                }
                 if not resolve_renames:
                     # a renamed variant column keeps its OLD parquet
                     # name in pre-rename files — a shredded layout
                     # hiding there must surface as an error, never as
                     # a silent typed_value drop
+                    is_shredded_old = pa.types.is_struct(
+                        sch.field(old).type
+                    ) and "typed_value" in {
+                        sch.field(old).type.field(i).name
+                        for i in range(sch.field(old).type.num_fields)
+                    }
                     if is_shredded_old:
                         errors.append(
                             f"variant column {c!r} (on-disk name "

@@ -391,7 +391,6 @@ def _collect_deletion_vectors(spark, matches) -> "dict[str, list[int]]":
     }
 
 
-@_reruns_on_conflict("compact_iceberg_table")
 def _validate_shred_descriptor(col: str, d, op="compact_iceberg_table") -> None:
     """Refuse a malformed/unsupported shred descriptor BEFORE anything
     is read or written (r15 write-side shredding): every leaf kind must
@@ -423,6 +422,7 @@ def _validate_shred_descriptor(col: str, d, op="compact_iceberg_table") -> None:
     _walk(d, col)
 
 
+@_reruns_on_conflict("compact_iceberg_table")
 def compact_iceberg_table(
     spark: SparkSession,
     root: str,
@@ -1218,6 +1218,7 @@ def _dml_v3_cols(
 def _shred_group_scan(
     spark, root, snap, meta_path, spaths: list, descs: dict, *,
     physical: bool, variant_cols: list, extra_footer_cols=None,
+    hist=None, fills=None,
 ):
     """One SHREDDED file group → a MOR-applied DataFrame aligned to the
     unshredded DML scan: ``__cf_fp``/``__cf_pos`` coordinates + the
@@ -1256,12 +1257,18 @@ def _shred_group_scan(
     # the group's files share one footer schema, so the on-disk→current
     # map is uniform; default fills apply BEFORE deletes (equality
     # deletes on a defaulted column compare the logical value), the
-    # rename after them — the plain-group order exactly.
-    hist = im.schema_name_history(root, meta_path)
+    # rename after them — the plain-group order exactly. Callers
+    # looping over groups pass hist/fills once instead of paying a
+    # metadata reload per group.
+    if hist is None:
+        hist = im.schema_name_history(root, meta_path)
     rmap = {
         n: hist[n] for n in g.columns if n in hist and hist[n] != n
     }
-    fills = im.schema_default_fills(im.load_metadata(root, meta_path))
+    if fills is None:
+        fills = im.schema_default_fills(
+            im.load_metadata(root, meta_path)
+        )
     present_cur = {rmap.get(c, c) for c in g.columns}
     for _fc, (_fv, _ft) in fills.items():
         if _fc not in present_cur:
@@ -1350,11 +1357,19 @@ def _dml_raw_scan(
             variant_as="physical" if variant_cols else None,
             ns_as="physical" if ns_cols else None,
         )
+    if shred:
+        from cloudfloe_spark.sources import iceberg_meta as im
+
+        hist = im.schema_name_history(root, meta_path)
+        fills = im.schema_default_fills(
+            im.load_metadata(root, meta_path)
+        )
     for spaths, descs in shred:
         g = _shred_group_scan(
             spark, root, snap, meta_path, spaths, descs,
             physical=True, variant_cols=variant_cols,
             extra_footer_cols=extra_footer_cols,
+            hist=hist, fills=fills,
         )
         df = g if df is None else df.unionByName(g)
     return df
@@ -2583,10 +2598,16 @@ def delete_where(
                 variant_cols, ns_cols,
             )
         )
+    if shred:
+        shist = im.schema_name_history(root, meta_path)
+        sfills = im.schema_default_fills(
+            im.load_metadata(root, meta_path)
+        )
     for spaths, descs in shred:
         g = _shred_group_scan(
             spark, root, snap, meta_path, spaths, descs,
             physical=False, variant_cols=variant_cols,
+            hist=shist, fills=sfills,
         )
         match_parts.append(_decorate_dml_surface(g, [], ns_cols))
     coords = [
