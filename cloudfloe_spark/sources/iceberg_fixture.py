@@ -350,6 +350,42 @@ def _column_stats(t: pa.Table, geo_cols: "dict | frozenset" = ()):
     return lower or None, upper or None, nulls or None
 
 
+def _point_xy_vectorized(col) -> "tuple | None":
+    """Fast path for the write-time geo stamp: when EVERY value in the
+    column is a 21-byte little-endian 2-D WKB POINT (the dominant
+    layout for event/location tables), the coordinates decode in bulk
+    with numpy off the Arrow data buffer — no per-row Python. Returns
+    (xs, ys) float64 arrays, or None when the shape doesn't hold
+    (callers fall back to the exact per-row parser)."""
+    import numpy as np
+
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if arr.null_count or len(arr) == 0:
+        return None
+    try:
+        # binary offsets are int32; large_binary carries int64
+        odt = (
+            np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        )
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=odt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        if not ((offsets[1:] - offsets[:-1]) == 21).all():
+            return None
+        data = np.frombuffer(buffers[2], dtype=np.uint8)[
+            offsets[0] : offsets[-1]
+        ].reshape(-1, 21)
+    except (ValueError, TypeError, IndexError):
+        return None
+    hdr = np.array([1, 1, 0, 0, 0], dtype=np.uint8)
+    if not (data[:, :5] == hdr).all():
+        return None
+    xs = data[:, 5:13].copy().view("<f8").ravel()
+    ys = data[:, 13:21].copy().view("<f8").ravel()
+    return xs, ys
+
+
 def _geo_envelope(col) -> "tuple | None":
     """File-level (xmin, ymin, xmax, ymax) over a WKB binary column, or
     None when no bound is sound (all NULL/EMPTY, a parse error, or a
@@ -358,6 +394,17 @@ def _geo_envelope(col) -> "tuple | None":
 
     from cloudfloe_spark.functions.geo import parse_wkb_envelope
 
+    fast = _point_xy_vectorized(col)
+    if fast is not None:
+        import numpy as np
+
+        xs, ys = fast
+        if np.isnan(xs).any() or np.isnan(ys).any():
+            return None
+        return (
+            float(xs.min()), float(ys.min()),
+            float(xs.max()), float(ys.max()),
+        )
     x0 = y0 = x1 = y1 = None
     try:
         for v in col:
@@ -396,6 +443,23 @@ def _geog_envelope(col) -> "tuple | None":
         parse_wkb_envelope,
         wrap_interval,
     )
+
+    fast = _point_xy_vectorized(col)
+    if fast is not None:
+        import numpy as np
+
+        xs, ys = fast
+        if (
+            np.isnan(xs).any()
+            or np.isnan(ys).any()
+            or (np.abs(xs) > 180.0).any()
+            or (np.abs(ys) > 90.0).any()
+        ):
+            return None
+        iv = wrap_interval(xs.tolist())
+        if iv is None:
+            return None
+        return iv[0], float(ys.min()), iv[1], float(ys.max())
 
     lons: list = []
     y0 = y1 = None

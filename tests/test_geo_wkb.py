@@ -673,3 +673,65 @@ def test_geo_write_stamp_sound_by_omission(tmp_path):
     assert _geo_stat_cols(meta) == {
         "g1": "geometry", "g2": "geography"
     }
+
+
+def test_point_stamp_vectorized_fast_path_equivalence():
+    """The write-time stamp's bulk numpy decode (all values 21-byte LE
+    WKB points) must agree exactly with the per-row parser, decode
+    sliced/chunked/large_binary arrays correctly, and FALL BACK on any
+    shape it can't prove (nulls, other endianness, other lengths)."""
+    import struct
+
+    from cloudfloe_spark.functions.geo import parse_wkb_envelope
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        _geo_envelope,
+        _geog_envelope,
+        _point_xy_vectorized,
+    )
+
+    pts = [
+        encode_wkb_point(float(i % 360) - 180.0 + 0.25,
+                         float(i % 180) - 90.0 + 0.5)
+        for i in range(1000)
+    ]
+    chunked = pa.chunked_array(
+        [pa.array(pts[:600], pa.binary()),
+         pa.array(pts[600:], pa.binary())]
+    )
+    fast = _point_xy_vectorized(chunked)
+    assert fast is not None and len(fast[0]) == 1000
+    assert _geo_envelope(chunked) == (-179.75, -89.5, 179.25, 89.5)
+
+    # sliced array with non-zero offset decodes the right window
+    sl = pa.array(pts[:100], pa.binary()).slice(10, 50)
+    xs, ys = _point_xy_vectorized(sl)
+    exp = parse_wkb_envelope(pts[10])
+    assert xs[0] == exp[2] and ys[0] == exp[3] and len(xs) == 50
+
+    # large_binary offsets are int64 — must not misread as int32
+    lb = pa.array(pts[:100], pa.large_binary())
+    xs2, ys2 = _point_xy_vectorized(lb)
+    assert len(xs2) == 100
+    assert xs2[0] == -179.75 and ys2[0] == -89.5
+
+    # fallbacks: nulls, a big-endian point, a non-21-byte value — the
+    # slow path then produces the identical envelope where sound
+    assert _point_xy_vectorized(
+        pa.array(pts[:5] + [None], pa.binary())
+    ) is None
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    mixed = pa.array(pts[:50] + [be], pa.binary())
+    assert _point_xy_vectorized(mixed) is None
+    assert _geo_envelope(mixed) == _geo_envelope(
+        pa.array(pts[:50] + [encode_wkb_point(3.0, 4.0)], pa.binary())
+    )
+
+    # geography: the fast path feeds the same wrapped-interval logic
+    geo = pa.array(
+        [encode_wkb_point(178.0, 1.0), encode_wkb_point(-178.0, 2.0)],
+        pa.binary(),
+    )
+    assert _geog_envelope(geo) == (178.0, 1.0, -178.0, 2.0)
+    assert _geog_envelope(
+        pa.array([encode_wkb_point(200.0, 1.0)], pa.binary())
+    ) is None
