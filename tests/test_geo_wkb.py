@@ -735,3 +735,91 @@ def test_point_stamp_vectorized_fast_path_equivalence():
     assert _geog_envelope(
         pa.array([encode_wkb_point(200.0, 1.0)], pa.binary())
     ) is None
+
+
+def test_wrap_interval_properties():
+    """Property: wrap_interval returns a COVER of every input (circle
+    membership) whose width is exactly 360° minus the largest circular
+    gap — i.e. the minimal cover. Checked against a brute-force gap
+    computation over random longitude sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloudfloe_spark.functions.geo import wrap_interval
+
+    def member(x, lo, hi):
+        return lo <= x <= hi if lo <= hi else (x >= lo or x <= hi)
+
+    def width(lo, hi):
+        return hi - lo if lo <= hi else (180.0 - lo) + (hi + 180.0)
+
+    lons = st.lists(
+        st.floats(min_value=-180.0, max_value=180.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(lons)
+    def check(vals):
+        lo, hi = wrap_interval(vals)
+        pts = sorted(set(vals))
+        assert all(member(v, lo, hi) for v in pts)
+        if len(pts) == 1:
+            assert lo == hi == pts[0]
+            return
+        gaps = [
+            (pts[(i + 1) % len(pts)] - pts[i]) % 360.0
+            for i in range(len(pts))
+        ]
+        # minimality: the cover's width is the circle minus the
+        # largest gap (tolerate fp rounding in the % arithmetic)
+        assert abs(width(lo, hi) - (360.0 - max(gaps))) < 1e-9
+
+    check()
+
+
+def test_streaming_append_stamps_geo_bounds(spark, tmp_path):
+    """Streaming micro-batches into a geometry table go through
+    commit_row_delta_snapshot, so every appended file carries its
+    envelope — the bbox skip stays alive on streamed data with no
+    manual rewrite."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    root, _ = _geo_table(tmp_path, "geostream", "geometry(srid:4326)")
+    # two micro-batch-shaped appends, disjoint bands
+    for i, base in enumerate((300.0, 400.0)):
+        p = os.path.join(root, "data", f"epoch-{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([int(base) + j for j in range(4)],
+                                   pa.int64()),
+                    "geo": pa.array(
+                        [encode_wkb_point(base + j, float(j))
+                         for j in range(4)],
+                        pa.binary(),
+                    ),
+                }
+            ),
+            p,
+        )
+        commit_row_delta_snapshot(
+            root, new_data_files=[(p, 4)],
+            timestamp_ms=1700000001000 + i,
+        )
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    got = sorted(
+        (s["lower"] or {}).get("geo")
+        for p, s in stats.items()
+        if "/epoch-" in p or p.rsplit("/", 1)[-1].startswith("epoch-")
+    )
+    assert got == ["300.0 0.0", "400.0 0.0"]
