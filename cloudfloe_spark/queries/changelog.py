@@ -3600,8 +3600,9 @@ def iceberg_shredded_compaction_scan(
             ],
             timestamp_ms=_T0 + 1000,
         )
-        # external position deletes (DML refuses shredded layouts —
-        # that refusal is itself pinned; compaction must FOLD these)
+        # external position deletes, committed straight to the manifest
+        # (not via DML) so this fixture exercises the raw delete-file
+        # form regardless of layout; compaction must FOLD these
         snap0 = im.resolve_snapshot(root)
         dels = []
         for p in im.live_data_paths(root, snap0):

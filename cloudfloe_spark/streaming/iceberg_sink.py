@@ -173,7 +173,9 @@ def append_stream_to_iceberg(
     # engine SURFACE (variant as canonical-JSON text, ns timestamps as
     # µs TIMESTAMP) and encode to the physical forms at write; ns files
     # are written by pyarrow so the nanosecond logical type survives.
-    # Shredded variant targets refuse precisely (normalize first).
+    # Shredded variant targets are fine (r14/r15): appends never scan
+    # existing files, and ``target_layout="shredded"`` re-encodes the
+    # batch itself so hot files keep the typed-pushdown layout.
     from cloudfloe_spark.sources import iceberg_meta as im
     from cloudfloe_spark.sources.maintenance import (
         _dml_v3_cols,
