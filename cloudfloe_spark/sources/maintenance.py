@@ -1582,25 +1582,25 @@ def row_lineage_scan(
     plain, shred = list(paths), []
     if variant_cols and paths:
         hist = im.schema_name_history(root, meta_path)
-        plain, shred, verr = im.variant_shred_groups(
-            paths, variant_cols, name_history=hist
+        plain, shred3, verr = im.variant_shred_groups(
+            paths, variant_cols, name_history=hist,
+            resolve_renames=True,
         )
         if verr:
             raise ValueError(
                 "row_lineage_scan: variant read failed: "
                 + "; ".join(sorted(set(verr)))
             )
-        if shred and physical_v3:
+        if shred3 and physical_v3:
             raise ValueError(
                 "row_lineage_scan: physical_v3 over SHREDDED variant "
                 "files is not supported — split the layouts first"
             )
-        if shred and (hist or im.schema_default_fills(meta_now)):
-            raise ValueError(
-                "row_lineage_scan: shredded variant files on a table "
-                "with column renames or default values are not "
-                "supported yet"
-            )
+        # renames/defaults over shredded groups no longer refuse
+        # (r15, matching the batch read and DML paths):
+        # _shred_group_scan resolves each group's on-disk names and
+        # default fills itself
+        shred = [(sp, d) for sp, d, _ in shred3]
     if ns_cols and paths:
         nerr = im.ns_precision_errors(
             paths, ns_cols,
@@ -1628,72 +1628,19 @@ def row_lineage_scan(
                 *[c for c in df.columns if c.startswith(_PHYS)]
             )
     if shred:
-        from cloudfloe_spark.functions.variant import (
-            decode_shredded_variant_columns,
-        )
-        from cloudfloe_spark.functions.variant import (
-            decode_variant_columns as _dvc_l,
-        )
-        from cloudfloe_spark.service.iceberg_local import (
-            _apply_deletion_vectors,
-            _apply_equality_deletes,
-            _apply_position_deletes,
-        )
-
-        _pos = im.position_delete_paths(root, snap)
-        _dvs = im.deletion_vector_records(root, snap)
-        _eq = im.equality_delete_records(root, snap)
-        _fnames = (
-            im.schema_field_names(root, meta_path) if _eq else {}
-        )
-        _fseqs = im.live_data_seqs(root, snap) if _eq else {}
-        read_pairs = im.schema_read_pairs(
-            root, meta_path,
-            variant_as="string", ns_as="physical",
-        )
+        # one group → one MOR-applied, rename/fill-resolved frame on
+        # the same (_FP, _POS) + read-surface + lineage-extras shape
+        # the plain branch produces; _shred_group_scan is the SAME
+        # pass the batch read and every DML path use (r15 — this
+        # replaced an inline near-copy that refused renames/defaults)
+        fills = im.schema_default_fills(meta_now)
         for spaths, descs in shred:
-            g = spark.read.parquet(*spaths)
-            if _pos:
-                g = _apply_position_deletes(spark, g, _pos)
-            if _dvs:
-                g = _apply_deletion_vectors(spark, g, _dvs)
-            if _eq:
-                g = _apply_equality_deletes(
-                    spark, g, _eq, _fnames, _fseqs,
-                    renames={}, name_history={},
-                )
-            has_rid = "_row_id" in g.columns
-            has_seq = _SEQ in g.columns
-            g = g.select(
-                F.col("_metadata.file_path").alias(_FP),
-                F.col("_metadata.row_index").alias(_POS),
-                "*",
+            part = _shred_group_scan(
+                spark, root, snap, meta_path, spaths, descs,
+                physical=False, variant_cols=variant_cols,
+                extra_footer_cols=["_row_id", _SEQ],
+                hist=hist, fills=fills,
             )
-            g = decode_shredded_variant_columns(g, descs)
-            plain_vc = [
-                c
-                for c in variant_cols
-                if c in g.columns and c not in descs
-            ]
-            if plain_vc:
-                g = _dvc_l(g, plain_vc)
-            aligned = [F.col(_FP), F.col(_POS)]
-            for _cn, _ct in read_pairs:
-                if _cn not in g.columns:
-                    aligned.append(F.lit(None).cast(_ct).alias(_cn))
-                else:
-                    aligned.append(F.col(_cn).cast(_ct).alias(_cn))
-            aligned.append(
-                F.col("_row_id")
-                if has_rid
-                else F.lit(None).cast("bigint").alias("_row_id")
-            )
-            aligned.append(
-                F.col(_SEQ)
-                if has_seq
-                else F.lit(None).cast("bigint").alias(_SEQ)
-            )
-            part = g.select(*aligned)
             df = part if df is None else df.unionByName(part)
     if not physical_v3:
         for _nc in ns_cols:

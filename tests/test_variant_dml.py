@@ -5,7 +5,9 @@ the physical forms never degrade — MOR deletes touch only coordinates,
 COW/MOR rewrites pass untouched rows through byte-verbatim (variant
 structs intact; ns files written by pyarrow so the nanosecond logical
 type survives), and a SET on a variant column re-encodes JSON text with
-the spec encoder. Shredded variant files keep a precise refusal."""
+the spec encoder. Shredded variant files work too (r14/r15): MOR
+deletes commit DVs only, rewrites normalize the affected groups
+in-flight, and renames/defaults resolve per group."""
 
 from __future__ import annotations
 
@@ -1071,6 +1073,66 @@ def test_shredded_lineage_compaction_normalizes_and_carries_ids(
         vt = sch.field("v").type
         subs = {vt.field(i).name for i in range(vt.num_fields)}
         assert subs == {"metadata", "value"}, subs
+
+
+def test_shredded_lineage_read_resolves_renames_and_defaults(
+    spark, tmp_path
+):
+    """r15 late: ``row_lineage_scan`` over SHREDDED variant files on a
+    table with column renames AND v3 initial-defaults — the last
+    shredded+renames refusal (the lineage read) lifted. The shred group
+    resolves its on-disk names, fills the default, and the lineage
+    columns ride along exactly as on plain tables; a MOR delete keyed
+    on the RENAMED column then applies and survivors keep their ids."""
+    from cloudfloe_spark.functions.variant import (
+        shred_rows,
+        variant_to_json,
+    )
+
+    shred = {
+        "kind": "object",
+        "fields": {"k": {"value": True, "typed": {"kind": "int"}}},
+    }
+    objs = [{"k": i} for i in range(4)]
+    col = shred_rows(objs, shred)
+    root = str(tmp_path / "shrl")
+    t = LocalIcebergTable(
+        root,
+        pa.table(
+            {"id": pa.array(range(4), pa.int64()), "v": col}
+        ).schema,
+        variant_cols=("v",),
+        row_lineage=True,
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {"id": pa.array([0, 1, 2, 3], pa.int64()), "v": col}
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    t.rename_column("id", "doc_id", timestamp_ms=T1 + 500)
+    t.add_column("rank", pa.int64(), timestamp_ms=T1 + 600, default=7)
+    sql = (
+        "SELECT doc_id, rank, v, _row_id, "
+        "_last_updated_sequence_number "
+        f"FROM iceberg_row_lineage('{root}') ORDER BY doc_id"
+    )
+    got = _rows(spark, sql)
+    assert [(r[0], r[1], r[3], r[4]) for r in got] == [
+        (0, 7, 0, 1), (1, 7, 1, 1), (2, 7, 2, 1), (3, 7, 3, 1),
+    ]
+    assert [r[2] for r in got] == [
+        variant_to_json(*encode_variant(o)) for o in objs
+    ]
+    # MOR delete (a DV commit) on the renamed surface: survivors keep
+    # their row ids and untouched rows keep their sequence
+    delete_where(spark, root, "doc_id = 1", timestamp_ms=T1 + 1000)
+    got2 = _rows(spark, sql)
+    assert [(r[0], r[1], r[3], r[4]) for r in got2] == [
+        (0, 7, 0, 1), (2, 7, 2, 1), (3, 7, 3, 1),
+    ]
 
 
 def test_ns_partition_transform_exactness(spark):
