@@ -4272,20 +4272,6 @@ def compute_geo_bounds(
 
     meta_path = im.latest_metadata_path(root)
     snap = im.resolve_snapshot(root, metadata_path=meta_path)
-    # renames/defaults guard (ADVICE r14): this is a raw NAME-bound
-    # parquet scan with none of the field-id resolution scan_groups
-    # does — on a renamed table with name reuse it could bind the wrong
-    # physical column and stamp unsound envelopes that geo pruning
-    # would then use to skip files containing matching rows. Mirror
-    # _incremental_stats: refuse precisely.
-    meta = im.load_metadata(root, meta_path)
-    if im.schema_name_history(root, meta_path) or im.schema_default_fills(
-        meta
-    ):
-        raise ValueError(
-            "compute_geo_bounds: tables with column renames or default "
-            "values are not supported yet — compact the table first"
-        )
     col_types = im.schema_column_types(root, meta_path)
     geo_kinds = {}
     for c, t in col_types.items():
@@ -4318,10 +4304,31 @@ def compute_geo_bounds(
     # scan-shaped.) Files containing any non-point geography get NO
     # bounds (geodesic edges can exceed vertex envelopes; omission is
     # sound).
-    df = spark.read.parquet(*paths).select(
-        F.col("_metadata.file_path").alias("__cf_fp"),
-        *[c for c in geo_cols],
-    )
+    # schema-evolution-correct binding (r15, lifting the ADVICE r14
+    # refusal): files resolve through scan_groups, so each group reads
+    # under its WRITE-TIME on-disk names (field-id resolution — a
+    # renamed-then-reused name can never bind the wrong physical
+    # column) and renames to current names before the envelope pass.
+    # Files that predate a geo column (plain add or v3 default) surface
+    # NULL there → no bounds stamped for that file, which is sound by
+    # omission: the stamp describes a file's PHYSICAL rows, and a file
+    # without them is simply never pruned on that column. Only the geo
+    # columns are read either way (column pruning), so the physical
+    # variant/ns forms in the group DDLs are never materialized.
+    df = None
+    for gpaths, rmap, gddl, _fill in im.scan_groups(
+        root, paths, metadata_path=meta_path,
+        variant_as="physical", ns_as="physical",
+    ):
+        rd = spark.read.schema(gddl) if gddl else spark.read
+        g = rd.parquet(*gpaths)
+        if rmap:
+            g = g.withColumnsRenamed(rmap)
+        part = g.select(
+            F.col("_metadata.file_path").alias("__cf_fp"),
+            *[c for c in geo_cols],
+        )
+        df = part if df is None else df.unionByName(part)
     aggs = []
     for c in geo_cols:
         df = df.withColumn(f"__cf_env_{c}", wkb_envelope_udf()(F.col(c)))

@@ -517,18 +517,67 @@ def test_geography_non_point_rows_fail_loud_and_stamp_omits(
         sess.sql(resolve_iceberg_reads(sess, sql)).collect()
 
 
-def test_geo_bounds_refuses_renamed_table(spark, tmp_path):
-    """ADVICE r14: compute_geo_bounds scans data files by CURRENT column
-    name with no field-id resolution — on a renamed table with name
-    reuse it could bind the wrong physical column and stamp unsound
-    envelopes the geo scan would then prune wrong rows with. Refuse
-    precisely (mirrors the _incremental_stats guard)."""
+def test_geo_bounds_resolves_renamed_table(spark, tmp_path):
+    """r15 late (lifting the ADVICE r14 refusal): compute_geo_bounds on
+    a RENAMED table resolves files through scan_groups — each group
+    reads under its write-time on-disk names (field-id binding, so the
+    rename can never mis-bind a physical column) — and the stamp lands
+    under the CURRENT column name, which the geo scan then prunes with.
+    The name-REUSE hazard the old guard feared is refused upstream for
+    every consumer (schema_name_history raises 'ambiguous column
+    history'), so the lift cannot reintroduce it."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+        rename_column_on_disk,
+    )
     from cloudfloe_spark.sources.maintenance import compute_geo_bounds
 
-    root, t = _geo_table(tmp_path, "georen", "geometry(srid:4326)")
-    t.rename_column("id", "rid", timestamp_ms=1700000001000)
-    with pytest.raises(ValueError, match="renames.*compact"):
-        compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
+    root, _t = _geo_table(tmp_path, "georen", "geometry(srid:4326)")
+    # a second file in a DISJOINT band, committed externally so the
+    # geo-typed metadata survives
+    p2 = os.path.join(root, "data", "band100.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([10, 11], pa.int64()),
+                "geo": pa.array(
+                    [encode_wkb_point(100.0, 5.0),
+                     encode_wkb_point(101.0, 6.0)],
+                    pa.binary(),
+                ),
+            }
+        ),
+        p2,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(p2, 2)], timestamp_ms=1700000000500
+    )
+    rename_column_on_disk(root, "geo", "loc", timestamp_ms=1700000001000)
+    rename_column_on_disk(root, "id", "rid", timestamp_ms=1700000001100)
+    rep = compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
+    assert rep["files_stamped"] == 2 and rep["files_total"] == 2
+    assert rep["geo_columns"] == ["loc"]
+    # every live file carries bounds under the CURRENT name
+    snap = im.resolve_snapshot(root)
+    for s in im.live_data_stats(root, snap).values():
+        assert "loc" in (s["lower"] or {}), s
+    # a window over the first band reads exactly that file and the
+    # renamed surface filters correctly
+    sess = spark.newSession()
+    sql = (
+        f"SELECT rid FROM iceberg_geo_scan('{root}', 'loc', "
+        "0.0, 0.0, 10.0, 10.0)"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    assert sorted(r["rid"] for r in df.collect()) == [0, 1]
+    assert df.select(F.input_file_name()).distinct().count() == 1
 
 
 def test_geo_bounds_stamped_at_write_time(spark, tmp_path):
