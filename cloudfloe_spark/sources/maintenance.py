@@ -4605,7 +4605,9 @@ def _stats_suffix(p: str) -> str:
     return data_file_suffix(p)
 
 
-def _scan_file_partials(sess, paths, cols, th, ns_cols=()):
+def _scan_file_partials(
+    sess, paths, cols, th, ns_cols=(), *, root=None, meta_path=None
+):
     """Raw-parquet scan of ``paths`` producing per-(file, column)
     partial sketches: ``{suffix: {col: (hashes, theta, nulls, rows)}}``
     or None when a column is missing/un-analyzable. One distributed
@@ -4617,10 +4619,40 @@ def _scan_file_partials(sess, paths, cols, th, ns_cols=()):
     raw parquet read under ``nanosAsLong`` surfaces BIGINT ns longs —
     hashing those as 'long' would make identical instants hash
     differently across the two passes and silently inflate the merged
-    NDV. Convert with the read path's exact expression first."""
+    NDV. Convert with the read path's exact expression first.
+
+    ``root``/``meta_path`` (r15 late): when given, files resolve
+    through :func:`iceberg_meta.scan_groups` — each group reads under
+    its WRITE-TIME on-disk names (field-id binding), renames to
+    current names, and fills v3 initial-defaults — so the partials
+    hash the SAME read surface the full pass sketches even on renamed/
+    defaulted tables (the raw footer-inferred read would bind stale
+    names or miss fills and silently skew the merged NDV)."""
     from pyspark.sql import functions as F
 
-    df = sess.read.parquet(*paths)
+    if root is not None:
+        from cloudfloe_spark.sources import iceberg_meta as im
+
+        df = None
+        for gpaths, rmap, gddl, gfill in im.scan_groups(
+            root, paths, metadata_path=meta_path,
+            variant_as="physical", ns_as="physical",
+        ):
+            rd = sess.read.schema(gddl) if gddl else sess.read
+            g = rd.parquet(*gpaths)
+            if rmap:
+                g = g.withColumnsRenamed(rmap)
+            for _fc, (_fv, _ft) in gfill.items():
+                g = g.withColumn(_fc, F.lit(_fv).cast(_ft))
+            missing = [c for c in cols if c not in g.columns]
+            if missing:
+                return None
+            part = g.select(
+                F.input_file_name().alias("__cf_theta_file"), *cols
+            )
+            df = part if df is None else df.unionByName(part)
+    else:
+        df = sess.read.parquet(*paths)
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(
@@ -4673,14 +4705,18 @@ def _partial_sketch(e, th):
     return th.deserialize_compact(e["raw"])
 
 
-def _read_cache_groups(p, footer, cols, pf):
+def _read_cache_groups(p, footer, cols, pf, hist=None):
     """Cache blobs of a registered stats Puffin → a unified GROUP list
     ``[{gid, files: (sfx, ...), cols: {c: {raw, nulls, rows, hs=None,
     theta=None}}}]`` — the r14 per-file blobs load as single-file
     groups, the r15 grouped blobs resolve membership from the zlib'd
     file-list blob written beside them. Raw sketch bytes are NOT
     deserialized (see :func:`_partial_sketch`). Unreadable or
-    inconsistent blobs → None (callers treat as no cache)."""
+    inconsistent blobs → None (callers treat as no cache).
+
+    ``hist`` (r15 late): historical→current column names. Cache blobs
+    key sketches by the column name CURRENT when they were written; a
+    rename since then would otherwise orphan every cached entry."""
     import json as _json
     import zlib as _zlib
 
@@ -4705,6 +4741,8 @@ def _read_cache_groups(p, footer, cols, pf):
             if t not in (_PARTIAL_BLOB_TYPE, _GROUP_BLOB_TYPE):
                 continue
             c = props.get("cloudfloe.column")
+            if hist and c in hist:
+                c = hist[c]  # written pre-rename: map to current name
             per_file = t == _PARTIAL_BLOB_TYPE
             gid = props.get(
                 "cloudfloe.file" if per_file else "cloudfloe.group"
@@ -4769,10 +4807,11 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
     entries = meta.get("statistics") or []
     if not entries:
         return None
-    if im.schema_name_history(root, metadata_path) or (
-        im.schema_default_fills(meta)
-    ):
-        return None  # footer-inferred new-file read would be wrong
+    # renames/defaults no longer force a full recompute (r15 late):
+    # new-file scans resolve through scan_groups, cached blob names
+    # translate through the name history, and MAIN blobs resolve by
+    # field id (stable across renames)
+    hist = im.schema_name_history(root, metadata_path)
     snaps = {s.get("snapshot-id"): s for s in meta.get("snapshots") or []}
     entry = max(
         entries,
@@ -4830,10 +4869,14 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         if b.get("type") != "apache-datasketches-theta-v1":
             return None
         props = b.get("properties") or {}
-        c = props.get("cloudfloe.column")
+        # field id first (stable across renames — the name property
+        # may predate a rename), name property as the fallback
+        fids = b.get("fields") or []
+        c = fid_names.get(fids[0]) if len(fids) == 1 else None
         if c is None:
-            fids = b.get("fields") or []
-            c = fid_names.get(fids[0]) if len(fids) == 1 else None
+            c = props.get("cloudfloe.column")
+            if hist and c in hist:
+                c = hist[c]
         if c is None or "cloudfloe.null-count" not in props:
             return None
         try:
@@ -4848,7 +4891,9 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         return None
     if columns is not None and set(columns) != set(cols):
         return None  # caller chose a different set: recompute
-    cache = _read_cache_groups(p, footer, set(cols), pf)
+    if not set(cols) <= set(im.schema_column_types(root, metadata_path)):
+        return None  # a sketched column was dropped: recompute
+    cache = _read_cache_groups(p, footer, set(cols), pf, hist=hist)
 
     def _g_complete(g):
         return all(c in g["cols"] for c in cols)
@@ -4930,6 +4975,7 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
             fresh = _scan_file_partials(
                 sess, scan_paths, cols, th,
                 ns_cols=im.ns_timestamp_columns(meta),
+                root=root, meta_path=metadata_path,
             )
             if fresh is None:
                 return None
@@ -4967,6 +5013,7 @@ def _incremental_stats(sess, root, metadata_path, snap, columns):
         fresh = _scan_file_partials(
             sess, new_paths, cols, th,
             ns_cols=im.ns_timestamp_columns(meta),
+            root=root, meta_path=metadata_path,
         )
         if fresh is None:
             return None
@@ -5192,11 +5239,13 @@ def analyze_iceberg_table(
 
     ``incremental=True`` (r13, VERDICT r12 #6): when the table only
     GAINED files since the last registered stats (append-only history —
-    no removals, no delete-record changes, no renames/defaults), scan
-    ONLY the new files and union their partials into the previous
-    blobs (theta sketches are exactly mergeable); anything else falls
-    back to the full recompute silently. The returned dict's ``mode``
-    says which path ran. The table-service stats-freshness step uses
+    no removals, no delete-record changes), scan ONLY the new files and
+    union their partials into the previous blobs (theta sketches are
+    exactly mergeable); anything else falls back to the full recompute
+    silently. Renames and v3 defaults are fine (r15 late): new-file
+    scans resolve through ``scan_groups``, cached blob names translate
+    through the name history, and main blobs resolve by field id. The
+    returned dict's ``mode`` says which path ran. The table-service stats-freshness step uses
     this, so an append-heavy table's ANALYZE cost tracks the delta.
 
     ``cache_mode`` (r15, VERDICT r14 #5): ``"auto"`` writes the

@@ -528,6 +528,117 @@ def test_incremental_analyze_survives_removals_via_partial_cache(
     assert r2["row_count"] == 118
 
 
+def test_incremental_analyze_survives_renames_and_defaults(
+    spark, tmp_path
+):
+    """r15 late (lifting the r13 bail): a column RENAME between two
+    ANALYZE runs no longer forces a full recompute — main blobs resolve
+    by FIELD ID, cached partial blobs translate their written-name keys
+    through the name history, and the new-file scan resolves each
+    file's write-time on-disk names via scan_groups (including a
+    post-stats file still written under the OLD name, and the v3
+    default fill for a file lacking a defaulted column). Incremental
+    output must be bit-identical to a full recompute."""
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import puffin as pf
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+        rename_column_on_disk,
+    )
+    from cloudfloe_spark.sources.maintenance import analyze_iceberg_table
+
+    def _stats_image(root):
+        meta = im.load_metadata(root)
+        cur = meta["current-snapshot-id"]
+        entry = [
+            e for e in meta["statistics"] if e["snapshot-id"] == cur
+        ][0]
+        p = entry["statistics-path"].removeprefix("file://")
+        footer = pf.read_puffin_footer(p)
+        out = {"rows": footer["properties"]["cloudfloe.row-count"]}
+        for b in footer["blobs"]:
+            if b["type"] != "apache-datasketches-theta-v1":
+                continue
+            out[b["properties"]["cloudfloe.column"]] = (
+                pf.read_blob(p, b["offset"], b["length"]),
+                b["properties"]["ndv"],
+                b["properties"]["cloudfloe.null-count"],
+            )
+        return out
+
+    root = str(tmp_path / "rencache")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("name", pa.string())])
+    )
+    # file1 predates the defaulted column
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(50)),
+                      "name": [f"a{i % 11}" for i in range(50)]}),
+        ],
+        timestamp_ms=T1,
+    )
+    t.add_column("rank", pa.int64(), timestamp_ms=T1 + 500, default=5)
+    # file2 carries it physically
+    t.append_snapshot(
+        [
+            pa.table({"id": list(range(50, 90)),
+                      "name": [f"b{i % 7}" for i in range(40)],
+                      "rank": [i % 3 for i in range(40)]}),
+        ],
+        timestamp_ms=T1 + 700,
+    )
+    analyze_iceberg_table(spark, root, timestamp_ms=T1 + 1000)
+    # metadata-only rename AFTER the stats landed
+    rename_column_on_disk(root, "id", "doc_id", timestamp_ms=T1 + 1500)
+    # a post-stats file from an OLD-schema writer: old column name,
+    # defaulted column absent — the delta scan must rename AND fill
+    new_path = os.path.join(root, "data", "oldname-00001.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": list(range(90, 120)),
+             "name": [None if i % 6 == 0 else f"c{i}" for i in
+                      range(30)]},
+            schema=pa.schema(
+                [("id", pa.int64()), ("name", pa.string())]
+            ),
+        ),
+        new_path,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(new_path, 30)], timestamp_ms=T1 + 2000
+    )
+    r_inc = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 3000, incremental=True
+    )
+    assert r_inc["mode"] == "incremental"
+    assert r_inc["row_count"] == 120
+    inc_image = _stats_image(root)
+    assert set(inc_image) == {"rows", "doc_id", "name", "rank"}
+    r_full = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 4000)
+    assert r_full["mode"] == "full"
+    assert _stats_image(root) == inc_image
+
+    # removal path through the rename: a COW delete on the renamed
+    # surface rewrites one file; surviving cached partials still
+    # translate and the rescan resolves names per group
+    r = delete_where(
+        spark, root, "doc_id = 95", timestamp_ms=T1 + 5000,
+        mode="copy-on-write",
+    )
+    assert r["files_rewritten"] == 1
+    r_rm = analyze_iceberg_table(
+        spark, root, timestamp_ms=T1 + 6000, incremental=True
+    )
+    assert r_rm["mode"] == "incremental-removal"
+    assert r_rm["row_count"] == 119
+    rm_image = _stats_image(root)
+    r_full2 = analyze_iceberg_table(spark, root, timestamp_ms=T1 + 7000)
+    assert r_full2["mode"] == "full"
+    assert _stats_image(root) == rm_image
+
+
 def test_incremental_analyze_ns_table_hashes_consistently(spark, tmp_path):
     """r14 review finding: the full pass sketches ns columns through
     the µs read surface, but the incremental new-file scan used to read
