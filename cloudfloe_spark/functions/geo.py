@@ -195,13 +195,306 @@ def wrapped_x_intersects(lo, hi, qlo, qhi) -> bool:
     return _member(qlo, lo, hi) or _member(lo, qlo, qhi)
 
 
+def _build_wrap_interval_cover():
+    """Factory for the circular-interval cover (self-contained — the
+    geodesic envelope closure ships it to Arrow workers by value)."""
+
+    def wrap_interval_cover(intervals):
+        # decompose wrapped inputs into pieces with EXACT endpoints in
+        # [-180, 180] — no span/shift arithmetic whose rounding
+        # (ulp(360) ≈ 5.7e-14) could silently drop a sliver of coverage
+        segs = []
+        for lo, hi in intervals:
+            lo, hi = float(lo), float(hi)
+            if lo > hi:  # wraps ±180
+                segs.append((lo, 180.0))
+                segs.append((-180.0, hi))
+            else:
+                segs.append((lo, hi))
+        if not segs:
+            return None
+        segs.sort()
+        merged = [list(segs[0])]
+        for s, e in segs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        # largest circular gap between consecutive merged segments;
+        # the cover is its complement. The `% 360` gap form matches
+        # wrap_interval exactly (identical rounding, identical
+        # first-max tie-breaking), so degenerate point inputs reduce
+        # to it; it also makes the ±180 seam a ZERO gap, never a
+        # split point, and a fully-covered circle falls out as the
+        # cover (-180, 180).
+        n = len(merged)
+        best_gap, best_i = -1.0, 0
+        for i in range(n):
+            gap = (merged[(i + 1) % n][0] - merged[i][1]) % 360.0
+            if gap > best_gap:
+                best_gap, best_i = gap, i
+        return merged[(best_i + 1) % n][0], merged[best_i][1]
+
+    return wrap_interval_cover
+
+
+#: Minimal CIRCULAR longitude interval covering a set of circular
+#: intervals (r15 late — the interval generalization of
+#: :func:`wrap_interval`): each input is ``(lo, hi)`` with ``lo > hi``
+#: meaning it wraps the antimeridian (covers [lo, 180] ∪ [-180, hi]).
+#: Returns the complement of the largest circular gap not covered by
+#: any interval — ``(xlo, xhi)``, ``xlo > xhi`` ⇔ wraps; None for an
+#: empty input. Degenerate point intervals reduce EXACTLY to
+#: ``wrap_interval`` (property-tested).
+wrap_interval_cover = _build_wrap_interval_cover()
+
+
+def _build_geodesic_envelope():
+    """Factory for the self-contained GEOGRAPHY envelope parser
+    (r15 late): ``geod_env(buf) -> (xlo, xhi, ymin, ymax)`` — the
+    feature's minimal WRAPPED longitude interval (xlo > xhi ⇔ crosses
+    ±180, the v3 convention) and its exact latitude range under
+    SPHERICAL edge interpolation (the v3 geography edge semantics), or
+    None for an EMPTY feature.
+
+    Exact, not a vertex box: along a great-circle minor arc longitude
+    spans the SHORTER interval between the endpoints (longitude is
+    monotone along any non-polar great circle), while latitude can
+    EXCEED both endpoints — the circle's northern vertex, by Clairaut's
+    relation. Per edge: the vertex latitude is ``arccos(|n_z|/|n|)``
+    for the circle normal ``n = p1 × p2``, counted only when the vertex
+    lies ON the minor arc (sign tests against ``n``). A meridian edge
+    (Δlon = ±180°) runs THROUGH a pole: longitude covers the full
+    circle and the crossed pole's latitude enters the range.
+
+    Supported: POINT, MULTIPOINT, LINESTRING, MULTILINESTRING, and
+    collections thereof — features whose extent IS their vertex/edge
+    set. POLYGON/MULTIPOLYGON raise: a spherical polygon's INTERIOR can
+    enclose a pole and exceed any boundary envelope, so a boundary box
+    would silently mis-prune (loud, never wrong). Raises on NaN or
+    out-of-range coordinates and antipodal edge endpoints (undefined
+    great circle)."""
+    import math as _math
+    import struct as _struct
+
+    # captured BY VALUE into the closure (factory-built, stdlib-only):
+    # Arrow workers never import cloudfloe_spark
+    _cover = _build_wrap_interval_cover()
+
+    def _parts(buf, pos, parts):
+        """Parse one WKB geometry at ``pos`` into point-sequence parts
+        (edges connect consecutive points WITHIN a part)."""
+        if pos + 5 > len(buf):
+            raise ValueError("WKB truncated (header)")
+        bo = "<" if buf[pos] == 1 else ">"
+        (raw_t,) = _struct.unpack_from(bo + "I", buf, pos + 1)
+        pos += 5
+        has_z = bool(raw_t & 0x80000000)
+        has_m = bool(raw_t & 0x40000000)
+        if raw_t & 0x20000000:
+            pos += 4
+        t = raw_t & 0x0FFFFFFF
+        if t >= 1000:
+            dim_code, t = divmod(t, 1000)
+            has_z = has_z or dim_code in (1, 3)
+            has_m = has_m or dim_code in (2, 3)
+        step = 8 * (2 + (1 if has_z else 0) + (1 if has_m else 0))
+
+        def _seq(n, p):
+            if p + n * step > len(buf):
+                raise ValueError("WKB truncated (points)")
+            pts = [
+                _struct.unpack_from(bo + "dd", buf, p + i * step)
+                for i in range(n)
+            ]
+            return pts, p + n * step
+
+        if t == 1:  # Point
+            pts, pos = _seq(1, pos)
+            parts.append(pts)
+            return pos
+        if t == 2:  # LineString
+            (n,) = _struct.unpack_from(bo + "I", buf, pos)
+            pts, pos = _seq(n, pos + 4)
+            parts.append(pts)
+            return pos
+        if t == 4:  # MultiPoint: each member point its own part
+            (n,) = _struct.unpack_from(bo + "I", buf, pos)
+            pos += 4
+            for _ in range(n):
+                pos = _parts(buf, pos, parts)
+            return pos
+        if t in (5, 7):  # MultiLineString / GeometryCollection
+            (n,) = _struct.unpack_from(bo + "I", buf, pos)
+            pos += 4
+            for _ in range(n):
+                pos = _parts(buf, pos, parts)
+            return pos
+        if t in (3, 6):
+            raise ValueError(
+                "geography envelopes support point/line features only "
+                f"(got WKB type {t}): a spherical polygon's interior "
+                "can enclose a pole and exceed any boundary envelope"
+            )
+        raise ValueError(f"WKB geometry type {t} not supported")
+
+    def _unit(lon, lat):
+        lam, phi = _math.radians(lon), _math.radians(lat)
+        c = _math.cos(phi)
+        return (c * _math.cos(lam), c * _math.sin(lam), _math.sin(phi))
+
+    def _edge(p, q, intervals, lat):
+        """One spherical edge → its lon interval + lat-range update."""
+        (lon1, lat1), (lon2, lat2) = p, q
+        d = (lon2 - lon1) % 360.0
+        if d == 180.0:  # meridian edge: runs through a pole
+            intervals.append((-180.0, 180.0))
+            if lat1 + lat2 > 0.0:
+                lat[1] = 90.0
+            elif lat1 + lat2 < 0.0:
+                lat[0] = -90.0
+            else:  # antipodal endpoints: great circle undefined
+                raise ValueError(
+                    "geography edge endpoints are antipodal — the "
+                    "geodesic between them is undefined"
+                )
+            return
+        # shorter circular interval between the endpoint longitudes
+        if d < 180.0:
+            intervals.append((lon1, lon2))
+        else:
+            intervals.append((lon2, lon1))
+        u, v = _unit(lon1, lat1), _unit(lon2, lat2)
+        nx = u[1] * v[2] - u[2] * v[1]
+        ny = u[2] * v[0] - u[0] * v[2]
+        nz = u[0] * v[1] - u[1] * v[0]
+        nn = _math.sqrt(nx * nx + ny * ny + nz * nz)
+        h2 = nx * nx + ny * ny
+        if nn == 0.0:
+            raise ValueError(
+                "geography edge endpoints are antipodal or identical "
+                "at double precision — the geodesic is undefined"
+            )
+        if h2 == 0.0:
+            return  # equatorial circle: latitude constant 0
+        # northern vertex of the great circle (projection of the pole
+        # onto the circle's plane, normalized); on-arc test via sign
+        # against n = u × v
+        inv = 1.0 / _math.sqrt(h2 * (h2 + nz * nz))
+        wx, wy, wz = -nx * nz * inv, -ny * nz * inv, h2 * inv
+        for sgn in (1.0, -1.0):
+            cx, cy, cz = sgn * wx, sgn * wy, sgn * wz
+            c1 = (
+                (u[1] * cz - u[2] * cy) * nx
+                + (u[2] * cx - u[0] * cz) * ny
+                + (u[0] * cy - u[1] * cx) * nz
+            )
+            c2 = (
+                (cy * v[2] - cz * v[1]) * nx
+                + (cz * v[0] - cx * v[2]) * ny
+                + (cx * v[1] - cy * v[0]) * nz
+            )
+            if c1 >= 0.0 and c2 >= 0.0:
+                phi = _math.degrees(_math.asin(max(-1.0, min(1.0, cz))))
+                lat[0] = min(lat[0], phi)
+                lat[1] = max(lat[1], phi)
+
+    def geod_env(buf):
+        parts: list = []
+        _parts(bytes(buf), 0, parts)
+        intervals: list = []
+        lat = [90.0, -90.0]  # [min, max] seeded inverted
+        any_pt = False
+        for pts in parts:
+            for lon, cur_lat in pts:
+                if (
+                    _math.isnan(lon)
+                    or _math.isnan(cur_lat)
+                    or not -180.0 <= lon <= 180.0
+                    or not -90.0 <= cur_lat <= 90.0
+                ):
+                    raise ValueError(
+                        "geography coordinate out of range or NaN: "
+                        f"({lon!r}, {cur_lat!r})"
+                    )
+                any_pt = True
+                lat[0] = min(lat[0], cur_lat)
+                lat[1] = max(lat[1], cur_lat)
+            if len(pts) == 1:
+                intervals.append((pts[0][0], pts[0][0]))
+            for i in range(len(pts) - 1):
+                _edge(pts[i], pts[i + 1], intervals, lat)
+        if not any_pt:
+            return None  # EMPTY feature
+        lo, hi = _cover(intervals)
+        return lo, hi, lat[0], lat[1]
+
+    return geod_env
+
+
+#: shared driver-side instance (write stamp, tests)
+parse_geodesic_envelope = _build_geodesic_envelope()
+
+
+def wkb_geography_envelope_udf(strict: bool = True):
+    """Arrow-batched pandas UDF over GEOGRAPHY WKB (r15 late): feature
+    → ``struct<xlo double, xhi double, ymin double, ymax double,
+    bad int>`` — the wrapped-longitude envelope of
+    :func:`parse_geodesic_envelope` (NULL/EMPTY input → NULL fields).
+
+    ``strict=True`` (the scan): polygonal/invalid features RAISE — the
+    row predicate must never silently mis-filter. ``strict=False`` (the
+    distributed stamp): the same features set ``bad=1`` instead, so the
+    file-level aggregation can omit bounds soundly."""
+    from pyspark.sql.functions import pandas_udf
+
+    geod_env = _build_geodesic_envelope()
+
+    def _conv(s):
+        import pandas as pd
+
+        out = {k: [] for k in ("xlo", "xhi", "ymin", "ymax", "bad")}
+        for b in s:
+            if b is None:
+                for k in ("xlo", "xhi", "ymin", "ymax"):
+                    out[k].append(None)
+                out["bad"].append(0)
+                continue
+            try:
+                env = geod_env(b)
+            except ValueError:
+                if strict:
+                    raise
+                env = None
+                for k in ("xlo", "xhi", "ymin", "ymax"):
+                    out[k].append(None)
+                out["bad"].append(1)
+                continue
+            if env is None:  # EMPTY feature: no points, no bounds
+                for k in ("xlo", "xhi", "ymin", "ymax"):
+                    out[k].append(None)
+                out["bad"].append(0)
+                continue
+            lo, hi, y0, y1 = env
+            out["xlo"].append(lo)
+            out["xhi"].append(hi)
+            out["ymin"].append(y0)
+            out["ymax"].append(y1)
+            out["bad"].append(0)
+        return pd.DataFrame(out)
+
+    return pandas_udf(
+        _conv,
+        "xlo DOUBLE, xhi DOUBLE, ymin DOUBLE, ymax DOUBLE, bad INT",
+    )
+
+
 def wkb_point_lonlat_udf():
-    """Arrow-batched pandas UDF for GEOGRAPHY scans: WKB BINARY →
-    ``struct<x double, y double>`` (NULL → NULL). Non-POINT features
-    RAISE — planar row predicates and vertex envelopes are unsound for
-    geodesic edges near the antimeridian/poles, so the engine fails
-    loudly rather than silently mis-filtering (same principle as the
-    v3 feature guards)."""
+    """Arrow-batched pandas UDF for point-only GEOGRAPHY consumers:
+    WKB BINARY → ``struct<x double, y double>`` (NULL → NULL).
+    Non-POINT features RAISE — consumers that accept line features use
+    :func:`wkb_geography_envelope_udf` (the scan path does, r15 late);
+    this stays the cheap decode for columns KNOWN to be points."""
     import struct as _struct
 
     from pyspark.sql.functions import pandas_udf

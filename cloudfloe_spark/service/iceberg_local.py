@@ -3191,34 +3191,45 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
         from pyspark.sql import functions as F
 
         if geography:
-            # GEOGRAPHY (r15, lifting the ADVICE r14 refusal): x is
-            # CIRCULAR — the stored file bounds and the query window
-            # may both wrap the antimeridian (x0 > x1 covers
-            # [x0, 180] ∪ [-180, x1], the v3 convention). Rows are
-            # POINT features (the decode UDF raises on lines/polygons
-            # — geodesic envelopes are not implemented; loud, never a
-            # silent wrong read); the row filter tests the point's
-            # lon against the possibly-wrapped window. geometry
-            # windows stay planar and never wrap.
+            # GEOGRAPHY (r15; r15 late — line features): x is CIRCULAR
+            # — the stored file bounds, each FEATURE's envelope, and
+            # the query window may all wrap the antimeridian (x0 > x1
+            # covers [x0, 180] ∪ [-180, x1], the v3 convention). The
+            # row predicate is a wrapped ENVELOPE intersect: the
+            # feature's exact spherical-edge envelope (longitude takes
+            # the shorter arc per edge; latitude includes the Clairaut
+            # vertex where the arc contains it) against the window.
+            # Point/line/multipoint features are exact; POLYGONS raise
+            # in the decode UDF (a spherical polygon's interior can
+            # enclose a pole and exceed any boundary envelope — loud,
+            # never a silent wrong read). geometry windows stay planar
+            # and never wrap.
             from cloudfloe_spark.functions.geo import (
-                wkb_point_lonlat_udf,
+                wkb_geography_envelope_udf,
             )
 
             base = _snapshot_view(
                 sess, root, None, None, geo_prune=(gcol, box, True)
             )
             qx0, qy0, qx1, qy1 = box
-            pt = wkb_point_lonlat_udf()(F.col(gcol))
-            x, y = pt["x"], pt["y"]
+            env = wkb_geography_envelope_udf(strict=True)(F.col(gcol))
+            lo, hi = env["xlo"], env["xhi"]
+            # circular interval intersect: window start inside the
+            # feature interval, or feature start inside the window
+            m1 = (
+                F.when(lo <= hi, (F.lit(qx0) >= lo) & (F.lit(qx0) <= hi))
+                .otherwise((F.lit(qx0) >= lo) | (F.lit(qx0) <= hi))
+            )
             if qx0 <= qx1:
-                x_ok = (x >= qx0) & (x <= qx1)
+                m2 = (lo >= qx0) & (lo <= qx1)
             else:
-                x_ok = (x >= qx0) | (x <= qx1)
+                m2 = (lo >= qx0) | (lo <= qx1)
             out_df = sess.table(base).filter(
                 F.col(gcol).isNotNull()
-                & x_ok
-                & (y >= qy0)
-                & (y <= qy1)
+                & lo.isNotNull()  # EMPTY features never intersect
+                & (m1 | m2)
+                & (env["ymax"] >= qy0)
+                & (env["ymin"] <= qy1)
             )
             name = _view_name("geo_scan", root, (gcol, "wrap") + box)
             out_df.createOrReplaceTempView(name)

@@ -241,9 +241,10 @@ def _geo_stat_cols(meta: dict) -> dict:
     envelopes get stamped into manifest bounds at WRITE time (r15,
     VERDICT r14 #6). Geometry gets planar envelopes; geography gets
     WRAPPED longitude intervals (lower.x > upper.x ⇔ crosses the
-    antimeridian, the v3 convention) computed from POINT features only
-    — files containing non-point geography get no bounds (geodesic
-    edge envelopes are not implemented; omission is sound)."""
+    antimeridian, the v3 convention) — exact for point, line, and
+    multipoint features under spherical edge interpolation (r15 late);
+    files containing polygonal geography get no bounds (a spherical
+    polygon's interior can enclose a pole; omission is sound)."""
     sid = meta.get("current-schema-id")
     sch = next(
         (
@@ -287,9 +288,9 @@ def _column_stats(t: pa.Table, geo_cols: "dict | frozenset" = ()):
     into a geo table keep per-file bbox pruning alive with no manual
     manifest rewrite. Geometry boxes are planar; geography longitude
     intervals may WRAP (lower.x > upper.x ⇔ crosses the antimeridian)
-    and come from POINT features only. Sound-by-omission on any
-    unparseable WKB, NaN coordinate, EMPTY-only column, or (geography)
-    non-point feature.
+    and are exact for point/line/multipoint features (spherical edges,
+    r15 late). Sound-by-omission on any unparseable WKB, NaN
+    coordinate, EMPTY-only column, or (geography) polygonal feature.
     """
     import pyarrow.compute as pc
 
@@ -433,15 +434,18 @@ def _geo_envelope(col) -> "tuple | None":
 def _geog_envelope(col) -> "tuple | None":
     """File-level GEOGRAPHY bounds over a WKB binary column: minimal
     WRAPPED longitude interval (xlo > xhi ⇔ crosses the antimeridian,
-    the v3 convention) + plain latitude min/max, computed from POINT
-    features only. None when unsound: any non-point feature (geodesic
-    edges can exceed vertex bounds), parse error, NaN, out-of-range
-    coordinate, or no points at all."""
-    import math
-
+    the v3 convention) + plain latitude min/max. Point, line, and
+    multipoint features are EXACT under spherical edge interpolation
+    (``functions.geo.parse_geodesic_envelope``: per-edge shorter lon
+    arc + Clairaut vertex latitude; r15 late — previously point-only).
+    None when unsound: any polygonal feature (a spherical polygon's
+    interior can enclose a pole and exceed any boundary envelope),
+    parse error, NaN/out-of-range coordinate, antipodal edge, or no
+    points at all."""
     from cloudfloe_spark.functions.geo import (
-        parse_wkb_envelope,
+        parse_geodesic_envelope,
         wrap_interval,
+        wrap_interval_cover,
     )
 
     fast = _point_xy_vectorized(col)
@@ -461,31 +465,23 @@ def _geog_envelope(col) -> "tuple | None":
             return None
         return iv[0], float(ys.min()), iv[1], float(ys.max())
 
-    lons: list = []
+    intervals: list = []
     y0 = y1 = None
     try:
         for v in col:
             b = v.as_py()
             if b is None:
                 continue
-            t, n, ex0, ey0, _ex1, _ey1 = parse_wkb_envelope(b)
-            if t != "POINT":
-                return None  # geodesic envelopes not implemented
-            if n == 0:
-                continue
-            if (
-                math.isnan(ex0)
-                or math.isnan(ey0)
-                or not -180.0 <= ex0 <= 180.0
-                or not -90.0 <= ey0 <= 90.0
-            ):
-                return None
-            lons.append(ex0)
+            env = parse_geodesic_envelope(b)
+            if env is None:
+                continue  # EMPTY feature: no points, no bounds
+            lo, hi, ey0, ey1 = env
+            intervals.append((lo, hi))
             y0 = ey0 if y0 is None else min(y0, ey0)
-            y1 = ey0 if y1 is None else max(y1, ey0)
+            y1 = ey1 if y1 is None else max(y1, ey1)
     except (ValueError, OverflowError, IndexError):
-        return None
-    iv = wrap_interval(lons)
+        return None  # polygonal/invalid feature: omit (sound)
+    iv = wrap_interval_cover(intervals)
     if iv is None:
         return None
     return iv[0], y0, iv[1], y1

@@ -4291,19 +4291,20 @@ def compute_geo_bounds(
         raise ValueError("compute_geo_bounds: table has no live data files")
     # raw per-file scan: bounds describe the FILE's physical rows, so
     # MOR deletes are deliberately ignored (a superset box stays sound).
-    # Geometry columns aggregate a planar min/max box. GEOGRAPHY (r15,
-    # lifting the ADVICE r14 refusal) aggregates the v3 WRAPPED form
-    # (lower.x > upper.x crosses the antimeridian) from POINT features:
-    # the candidate intervals are the ordinary span [minAll, maxAll]
-    # and the antimeridian-wrapped span [minPos, maxNeg] (pos = lon >=
-    # 0, neg = lon < 0) -- both are covers, built from COMBINABLE
-    # min/max aggregates so the pass stays one map-side-combined
-    # exchange; the narrower candidate is stamped. (The driver-side
-    # write stamp computes the exact largest-gap interval; this
-    # distributed retrofit accepts the 2-candidate superset to stay
-    # scan-shaped.) Files containing any non-point geography get NO
-    # bounds (geodesic edges can exceed vertex envelopes; omission is
-    # sound).
+    # Geometry columns aggregate a planar min/max box. GEOGRAPHY (r15;
+    # r15 late — line features) aggregates the v3 WRAPPED form
+    # (lower.x > upper.x crosses the antimeridian) from each FEATURE's
+    # exact spherical-edge envelope (point/line/multipoint; polygonal
+    # features flag the file → bounds omitted, sound): every feature
+    # envelope decomposes into ≤2 NON-wrapped pieces ([lo,180] +
+    # [-180,hi] when it wraps), and the candidate covers are the
+    # ordinary span [min lo, max hi] over pieces and the antimeridian-
+    # wrapped span [A,B] with A = min(lo | lo >= 0), B = max(hi | lo <
+    # 0) — both covers by construction, built from COMBINABLE min/max
+    # aggregates so the pass stays one map-side-combined exchange; the
+    # narrower candidate is stamped. (The driver-side write stamp
+    # computes the exact largest-gap cover; this distributed retrofit
+    # accepts the 2-candidate superset to stay scan-shaped.)
     # schema-evolution-correct binding (r15, lifting the ADVICE r14
     # refusal): files resolve through scan_groups, so each group reads
     # under its WRITE-TIME on-disk names (field-id resolution — a
@@ -4329,11 +4330,15 @@ def compute_geo_bounds(
             *[c for c in geo_cols],
         )
         df = part if df is None else df.unionByName(part)
+    from cloudfloe_spark.functions.geo import wkb_geography_envelope_udf
+
     aggs = []
     for c in geo_cols:
-        df = df.withColumn(f"__cf_env_{c}", wkb_envelope_udf()(F.col(c)))
-        e = F.col(f"__cf_env_{c}")
         if geo_kinds[c] == "geometry":
+            df = df.withColumn(
+                f"__cf_env_{c}", wkb_envelope_udf()(F.col(c))
+            )
+            e = F.col(f"__cf_env_{c}")
             aggs += [
                 F.min(e["xmin"]).alias(f"{c}__xmin"),
                 F.min(e["ymin"]).alias(f"{c}__ymin"),
@@ -4341,23 +4346,29 @@ def compute_geo_bounds(
                 F.max(e["ymax"]).alias(f"{c}__ymax"),
             ]
         else:
-            lon, lat = e["xmin"], e["ymin"]  # POINT: min == max
-            bad = e["geom_type"].isNotNull() & (
-                (e["geom_type"] != F.lit("POINT"))
-                | lon.isNull()
-                | F.isnan(lon)
-                | F.isnan(lat)
-                | ~lon.between(-180.0, 180.0)
-                | ~lat.between(-90.0, 90.0)
+            df = df.withColumn(
+                f"__cf_genv_{c}",
+                wkb_geography_envelope_udf(strict=False)(F.col(c)),
             )
+            g = F.col(f"__cf_genv_{c}")
+            lo, hi = g["xlo"], g["xhi"]
+            wrapped = lo > hi
+            # piece 1: [lo, min(hi, 180)]; piece 2 (wrapped only):
+            # [-180, hi] — see the candidate-cover derivation above
+            p1hi = F.when(wrapped, F.lit(180.0)).otherwise(hi)
             aggs += [
-                F.max(bad.cast("int")).alias(f"{c}__bad"),
-                F.min(lon).alias(f"{c}__lonmin"),
-                F.max(lon).alias(f"{c}__lonmax"),
-                F.min(F.when(lon >= 0.0, lon)).alias(f"{c}__minpos"),
-                F.max(F.when(lon < 0.0, lon)).alias(f"{c}__maxneg"),
-                F.min(lat).alias(f"{c}__ymin"),
-                F.max(lat).alias(f"{c}__ymax"),
+                F.max(g["bad"]).alias(f"{c}__bad"),
+                F.min(
+                    F.when(wrapped, F.lit(-180.0)).otherwise(lo)
+                ).alias(f"{c}__lonmin"),
+                F.max(
+                    F.when(wrapped, F.lit(180.0)).otherwise(hi)
+                ).alias(f"{c}__lonmax"),
+                F.min(F.when(lo >= 0.0, lo)).alias(f"{c}__minpos"),
+                F.max(F.when(lo < 0.0, p1hi)).alias(f"{c}__maxneg_a"),
+                F.max(F.when(wrapped, hi)).alias(f"{c}__maxneg_b"),
+                F.min(g["ymin"]).alias(f"{c}__ymin"),
+                F.max(g["ymax"]).alias(f"{c}__ymax"),
             ]
     rows = df.groupBy("__cf_fp").agg(*aggs).collect()
     patch: dict = {}
@@ -4372,11 +4383,17 @@ def compute_geo_bounds(
                 hi[c] = f"{r[f'{c}__xmax']!r} {r[f'{c}__ymax']!r}"
                 continue
             if r[f"{c}__bad"] or r[f"{c}__lonmin"] is None:
-                continue  # non-point/out-of-range rows, or all NULL
+                continue  # polygonal/invalid rows, or all NULL/EMPTY
             x0, x1 = r[f"{c}__lonmin"], r[f"{c}__lonmax"]
-            mp, mn = r[f"{c}__minpos"], r[f"{c}__maxneg"]
+            mp = r[f"{c}__minpos"]
+            negs = [
+                v
+                for v in (r[f"{c}__maxneg_a"], r[f"{c}__maxneg_b"])
+                if v is not None
+            ]
+            mn = max(negs) if negs else None
             if mp is not None and mn is not None and mp > mn:
-                # wrapped candidate [minPos, 180] + [-180, maxNeg]
+                # wrapped candidate [A, 180] + [-180, B]
                 if (180.0 - mp) + (mn + 180.0) < x1 - x0:
                     x0, x1 = mp, mn
             lo[c] = f"{x0!r} {r[f'{c}__ymin']!r}"

@@ -457,16 +457,24 @@ def test_geography_wrapped_bounds_stamp_scan_and_skip(spark, tmp_path):
     assert df2.first()["n"] == 5  # lons -95..-91
 
 
-def test_geography_non_point_rows_fail_loud_and_stamp_omits(
-    spark, tmp_path
-):
-    """Non-point geography: the stamp omits bounds (geodesic envelopes
-    not implemented — omission is sound) and the scan raises loudly
-    instead of silently mis-filtering."""
+def test_geography_line_features_stamp_scan_and_skip(spark, tmp_path):
+    """r15 late (lifting the point-only limitation): LINESTRING
+    geography features get an EXACT spherical-edge envelope — the write
+    stamp and the retrofit stamp both record the wrapped interval for a
+    line crossing the antimeridian, the scan's row predicate intersects
+    the feature envelope (no more raise), and a wrapped query window
+    prunes to the one file whose interval it touches."""
+    import os
     import struct
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
     from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
     from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
     from cloudfloe_spark.sources.maintenance import compute_geo_bounds
 
     # a 2-point linestring crossing the antimeridian
@@ -476,14 +484,6 @@ def test_geography_non_point_rows_fail_loud_and_stamp_omits(
         + struct.pack("<dd", -179.0, 1.0)
     )
     root, _t = _geo_table(tmp_path, "geogline", "geography(srid:4326)")
-    import pyarrow.parquet as pq
-
-    from cloudfloe_spark.sources.iceberg_fixture import (
-        commit_row_delta_snapshot,
-    )
-
-    import os
-
     lp = os.path.join(root, "data", "lines.parquet")
     pq.write_table(
         pa.table(
@@ -497,23 +497,91 @@ def test_geography_non_point_rows_fail_loud_and_stamp_omits(
     commit_row_delta_snapshot(
         root, new_data_files=[(lp, 1)], timestamp_ms=1700000001000
     )
-    # write-time stamp omitted bounds for the line file (sound)
+    # write-time stamp recorded the WRAPPED interval for the line file
     snap = im.resolve_snapshot(root)
     stats = im.live_data_stats(root, snap)
     line_stat = next(
         s for p, s in stats.items() if p.endswith("lines.parquet")
     )
-    assert "geo" not in (line_stat["lower"] or {})
-    # the retrofit stamp skips it too (other file still stamped)
+    assert line_stat["lower"]["geo"].split()[0] == "179.0"
+    assert line_stat["upper"]["geo"].split()[0] == "-179.0"
+    # the retrofit stamp covers it too (both files stamped)
+    rep = compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
+    assert rep["files_stamped"] == 2 and rep["files_total"] == 2
+    # a wrapped window near ±180 intersects the LINE's envelope, reads
+    # exactly the line file, and returns the row (no raise)
+    sess = spark.newSession()
+    sql = (
+        f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
+        "178.0, -5.0, -178.0, 5.0)"
+    )
+    df = sess.sql(resolve_iceberg_reads(sess, sql))
+    assert [r["id"] for r in df.collect()] == [50]
+    assert df.select(F.input_file_name()).distinct().count() == 1
+    # an ordinary window away from the line (and the base points)
+    # misses everything
+    sql2 = (
+        f"SELECT count(*) AS n FROM iceberg_geo_scan('{root}', 'geo', "
+        "-90.0, -5.0, -30.0, 5.0)"
+    )
+    assert (
+        sess.sql(resolve_iceberg_reads(sess, sql2)).first()["n"] == 0
+    )
+
+
+def test_geography_polygon_rows_fail_loud_and_stamp_omits(
+    spark, tmp_path
+):
+    """POLYGON geography keeps the loud refusal (r15 late): a spherical
+    polygon's INTERIOR can enclose a pole and exceed any boundary
+    envelope, so the stamp omits bounds (sound) and the scan raises
+    instead of silently mis-filtering."""
+    import os
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.service.iceberg_local import resolve_iceberg_reads
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+    from cloudfloe_spark.sources.maintenance import compute_geo_bounds
+
+    ring = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 10.0)]
+    poly = (
+        b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
+        + struct.pack("<I", len(ring))
+        + b"".join(struct.pack("<dd", x, y) for x, y in ring)
+    )
+    root, _t = _geo_table(tmp_path, "geogpoly", "geography(srid:4326)")
+    lp = os.path.join(root, "data", "polys.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([60], pa.int64()),
+                "geo": pa.array([poly], pa.binary()),
+            }
+        ),
+        lp,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(lp, 1)], timestamp_ms=1700000001000
+    )
+    snap = im.resolve_snapshot(root)
+    stats = im.live_data_stats(root, snap)
+    poly_stat = next(
+        s for p, s in stats.items() if p.endswith("polys.parquet")
+    )
+    assert "geo" not in (poly_stat["lower"] or {})
     rep = compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
     assert rep["files_stamped"] == 1 and rep["files_total"] == 2
-    # the scan fails loudly when it must decode a non-point row
     sess = spark.newSession()
     sql = (
         f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
         "-180.0, -90.0, 180.0, 90.0)"
     )
-    with pytest.raises(Exception, match="POINT"):
+    with pytest.raises(Exception, match="point/line"):
         sess.sql(resolve_iceberg_reads(sess, sql)).collect()
 
 
@@ -811,6 +879,9 @@ def test_wrap_interval_properties():
     @settings(max_examples=300, deadline=None)
     @given(lons)
     def check(vals):
+        if -180.0 in vals and 180.0 in vals:
+            return  # ±180 alias the same circular point — the gap
+            # brute force below would count a phantom 0° gap
         lo, hi = wrap_interval(vals)
         pts = sorted(set(vals))
         assert all(member(v, lo, hi) for v in pts)
@@ -826,6 +897,128 @@ def test_wrap_interval_properties():
         assert abs(width(lo, hi) - (360.0 - max(gaps))) < 1e-9
 
     check()
+
+
+def test_wrap_interval_cover_properties():
+    """Properties of the interval generalization (r15 late):
+    degenerate point intervals reduce EXACTLY to wrap_interval, and
+    the cover contains every input interval (circle membership of both
+    endpoints plus the wrap flag implying coverage of the span)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloudfloe_spark.functions.geo import (
+        wrap_interval,
+        wrap_interval_cover,
+        wrapped_x_intersects,
+    )
+
+    lon = st.floats(min_value=-180.0, max_value=180.0,
+                    allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(lon, min_size=1, max_size=30))
+    def check_points(vals):
+        if -180.0 in vals and 180.0 in vals:
+            return  # ±180 alias one circular point; the two impls
+            # pick different (equally minimal, width-0-different)
+            # representations of the degenerate cover
+        assert wrap_interval_cover(
+            [(v, v) for v in vals]
+        ) == wrap_interval(vals)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(lon, lon), min_size=1, max_size=12))
+    def check_cover(ivs):
+        lo, hi = wrap_interval_cover(ivs)
+        # exact circular containment: the interval's forward span from
+        # its start must fit inside the cover's span from ITS start
+        cover_span = (
+            360.0
+            if (lo, hi) == (-180.0, 180.0)
+            else (hi - lo) % 360.0
+        )
+        if cover_span >= 360.0:
+            return  # full circle: contains everything
+        for a, b in ivs:
+            span = (b - a) % 360.0 if a != b else 0.0
+            offset = (a - lo) % 360.0
+            assert offset + span <= cover_span + 1e-9, (
+                ivs, (lo, hi), (a, b)
+            )
+            assert wrapped_x_intersects(lo, hi, a, b)
+
+    check_points()
+    check_cover()
+
+
+def test_geodesic_envelope_golden():
+    """Golden spherical-edge envelopes (r15 late): longitude takes the
+    SHORTER arc per edge; latitude includes the great circle's
+    Clairaut vertex when the arc contains it (arccos(1/√3) for the
+    equal-45° Δλ=90° edge); meridian edges (Δλ=180°) run through a
+    pole — full longitude circle, pole latitude; antipodal endpoints
+    and polygons raise."""
+    import math
+    import struct
+
+    from cloudfloe_spark.functions.geo import (
+        encode_wkb_point,
+        parse_geodesic_envelope,
+    )
+
+    def ls(*pts):
+        b = b"\x01" + struct.pack("<I", 2) + struct.pack(
+            "<I", len(pts)
+        )
+        for x, y in pts:
+            b += struct.pack("<dd", x, y)
+        return b
+
+    # point: degenerate envelope
+    assert parse_geodesic_envelope(encode_wkb_point(5.0, 6.0)) == (
+        5.0, 5.0, 6.0, 6.0
+    )
+    # equatorial edge: latitude constant
+    assert parse_geodesic_envelope(ls((0, 0), (90, 0))) == (
+        0.0, 90.0, 0.0, 0.0
+    )
+    # same-meridian edge: pure latitude span
+    assert parse_geodesic_envelope(ls((10, 0), (10, 50))) == (
+        10.0, 10.0, 0.0, 50.0
+    )
+    # the classic vertex case: both endpoints at 45°N, Δλ = 90° — the
+    # arc's midpoint reaches arccos(1/√3) ≈ 54.7356°N
+    lo, hi, y0, y1 = parse_geodesic_envelope(ls((0, 45), (90, 45)))
+    assert (lo, hi, y0) == (0.0, 90.0, 45.0)
+    assert abs(y1 - math.degrees(math.acos(1 / math.sqrt(3)))) < 1e-12
+    # antimeridian edge: wrapped interval, no vertex inflation needed
+    assert parse_geodesic_envelope(ls((170, 0), (-170, 10))) == (
+        170.0, -170.0, 0.0, 10.0
+    )
+    # meridian edge through the north pole (Δλ = 180, lats positive)
+    assert parse_geodesic_envelope(ls((10, 80), (-170, 70))) == (
+        -180.0, 180.0, 70.0, 90.0
+    )
+    # antipodal endpoints: undefined geodesic — loud
+    with pytest.raises(ValueError, match="antipodal"):
+        parse_geodesic_envelope(ls((10, 20), (-170, -20)))
+    # polygons: interior may enclose a pole — loud
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
+    poly = (
+        b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
+        + struct.pack("<I", len(ring))
+        + b"".join(struct.pack("<dd", x, y) for x, y in ring)
+    )
+    with pytest.raises(ValueError, match="point/line"):
+        parse_geodesic_envelope(poly)
+    # a multipoint straddling ±180 wraps like its point set
+    mp = (
+        b"\x01" + struct.pack("<I", 4) + struct.pack("<I", 2)
+        + encode_wkb_point(179.0, 2.0)
+        + encode_wkb_point(-178.0, 3.0)
+    )
+    assert parse_geodesic_envelope(mp) == (179.0, -178.0, 2.0, 3.0)
 
 
 def test_streaming_append_stamps_geo_bounds(spark, tmp_path):
