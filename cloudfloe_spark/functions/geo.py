@@ -99,7 +99,14 @@ def _build_wkb_parser():
 
     def parse(buf):
         acc: list = []
-        t, _end = _geom(bytes(buf), 0, acc)
+        try:
+            t, _end = _geom(bytes(buf), 0, acc)
+        except _struct.error as exc:
+            # truncated count fields unpack as struct.error — convert
+            # so the sound-by-omission handlers (ValueError) catch it
+            raise ValueError(f"WKB truncated or malformed: {exc}")
+        except RecursionError:
+            raise ValueError("WKB nesting too deep")
         xs = acc[0::2]
         ys = acc[1::2]
         if not xs:  # EMPTY geometry (n = 0)
@@ -360,7 +367,13 @@ def _build_geodesic_envelope():
                 )
             return
         # shorter circular interval between the endpoint longitudes
-        if d < 180.0:
+        if d == 0.0:
+            # same meridian — possibly via the ±180 alias (lon1=-180,
+            # lon2=180): append BOTH degenerate points so the cover
+            # stays the meridian, never a spurious full circle
+            intervals.append((lon1, lon1))
+            intervals.append((lon2, lon2))
+        elif d < 180.0:
             intervals.append((lon1, lon2))
         else:
             intervals.append((lon2, lon1))
@@ -371,9 +384,12 @@ def _build_geodesic_envelope():
         nn = _math.sqrt(nx * nx + ny * ny + nz * nz)
         h2 = nx * nx + ny * ny
         if nn == 0.0:
+            if u[0] * v[0] + u[1] * v[1] + u[2] * v[2] > 0.0:
+                return  # identical at double precision (repeated
+                # vertex): zero-length edge, vertices already bound it
             raise ValueError(
-                "geography edge endpoints are antipodal or identical "
-                "at double precision — the geodesic is undefined"
+                "geography edge endpoints are antipodal — the "
+                "geodesic between them is undefined"
             )
         if h2 == 0.0:
             return  # equatorial circle: latitude constant 0
@@ -401,7 +417,15 @@ def _build_geodesic_envelope():
 
     def geod_env(buf):
         parts: list = []
-        _parts(bytes(buf), 0, parts)
+        try:
+            _parts(bytes(buf), 0, parts)
+        except _struct.error as exc:
+            # a count field cut off mid-stream unpacks as struct.error
+            # — surface the same ValueError the handlers around every
+            # consumer (stamp omission, bad=1 flagging) contract on
+            raise ValueError(f"WKB truncated or malformed: {exc}")
+        except RecursionError:
+            raise ValueError("WKB nesting too deep")
         intervals: list = []
         lat = [90.0, -90.0]  # [min, max] seeded inverted
         any_pt = False

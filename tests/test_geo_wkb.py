@@ -1019,6 +1019,40 @@ def test_geodesic_envelope_golden():
         + encode_wkb_point(-178.0, 3.0)
     )
     assert parse_geodesic_envelope(mp) == (179.0, -178.0, 2.0, 3.0)
+    # review r15 late: an edge whose endpoint lons ALIAS the seam
+    # (-180 vs 180 — the same meridian) must cover just that meridian,
+    # never the full circle, in either vertex order
+    assert parse_geodesic_envelope(ls((-180, 0), (180, 10))) == (
+        180.0, -180.0, 0.0, 10.0
+    )
+    assert parse_geodesic_envelope(ls((180, 0), (-180, 10))) == (
+        180.0, -180.0, 0.0, 10.0
+    )
+    # review r15 late: a repeated consecutive vertex (common in real
+    # data) is a zero-length edge, not an error
+    lo, hi, y0, y1 = parse_geodesic_envelope(
+        ls((10, 20), (10, 20), (30, 20))
+    )
+    assert (lo, hi, y0) == (10.0, 30.0, 20.0)
+    assert y1 >= 20.0  # Clairaut vertex of the real edge
+    # review r15 late: truncated count fields surface as ValueError
+    # (the sound-by-omission contract), never a raw struct.error, in
+    # BOTH parsers
+    from cloudfloe_spark.functions.geo import parse_wkb_envelope
+
+    for trunc in (b"\x01\x02\x00\x00\x00", b"\x01\x04\x00\x00\x00"):
+        with pytest.raises(ValueError, match="truncated or malformed"):
+            parse_geodesic_envelope(trunc)
+        with pytest.raises(ValueError, match="truncated or malformed"):
+            parse_wkb_envelope(trunc)
+    # pathologically nested collections surface as ValueError too
+    deep = b"\x01\x07\x00\x00\x00\x01\x00\x00\x00" * 5000 + (
+        encode_wkb_point(1.0, 2.0)
+    )
+    with pytest.raises(ValueError, match="nesting"):
+        parse_geodesic_envelope(deep)
+    with pytest.raises(ValueError, match="nesting"):
+        parse_wkb_envelope(deep)
 
 
 def test_streaming_append_stamps_geo_bounds(spark, tmp_path):
