@@ -274,13 +274,24 @@ def _build_geodesic_envelope():
     (Δlon = ±180°) runs THROUGH a pole: longitude covers the full
     circle and the crossed pole's latitude enters the range.
 
-    Supported: POINT, MULTIPOINT, LINESTRING, MULTILINESTRING, and
-    collections thereof — features whose extent IS their vertex/edge
-    set. POLYGON/MULTIPOLYGON raise: a spherical polygon's INTERIOR can
-    enclose a pole and exceed any boundary envelope, so a boundary box
-    would silently mis-prune (loud, never wrong). Raises on NaN or
-    out-of-range coordinates and antipodal edge endpoints (undefined
-    great circle)."""
+    Supported: every WKB type. Point/line features' extent IS their
+    vertex/edge set — exact. POLYGON/MULTIPOLYGON (r15 late, lifting
+    the refusal): a ring whose longitude WINDING is ±360 separates the
+    poles — its interior contains a pole whichever side is interior —
+    and a ring touching a pole (vertex at ±90, or a meridian edge
+    through one) bounds an interior the boundary box cannot, so both
+    take the FULL-SPHERE envelope (sound under any interior
+    convention). A winding-0 pole-free ring bounds its interior by the
+    boundary envelope EXACTLY: any meridian from an interior point
+    exits through the boundary, so interior longitudes/latitudes are
+    within the boundary's (Clairaut-inflated) cover. The one
+    documented convention: for a winding-0 ring the engine takes the
+    POLE-FREE side as the interior (the common geography convention —
+    PostGIS-style "polygons smaller than the pole-separating case");
+    a writer intending the pole-containing side of a winding-0 ring
+    is out of scope. Raises on NaN or out-of-range coordinates and
+    antipodal edge endpoints of OPEN paths (undefined great circle;
+    full-sphere rings never need their edges)."""
     import math as _math
     import struct as _struct
 
@@ -318,12 +329,20 @@ def _build_geodesic_envelope():
 
         if t == 1:  # Point
             pts, pos = _seq(1, pos)
-            parts.append(pts)
+            parts.append((pts, False))
             return pos
         if t == 2:  # LineString
             (n,) = _struct.unpack_from(bo + "I", buf, pos)
             pts, pos = _seq(n, pos + 4)
-            parts.append(pts)
+            parts.append((pts, False))
+            return pos
+        if t == 3:  # Polygon: every ring (exterior + holes) a RING part
+            (nr,) = _struct.unpack_from(bo + "I", buf, pos)
+            pos += 4
+            for _ in range(nr):
+                (n,) = _struct.unpack_from(bo + "I", buf, pos)
+                pts, pos = _seq(n, pos + 4)
+                parts.append((pts, True))
             return pos
         if t == 4:  # MultiPoint: each member point its own part
             (n,) = _struct.unpack_from(bo + "I", buf, pos)
@@ -331,18 +350,12 @@ def _build_geodesic_envelope():
             for _ in range(n):
                 pos = _parts(buf, pos, parts)
             return pos
-        if t in (5, 7):  # MultiLineString / GeometryCollection
+        if t in (5, 6, 7):  # Multi* / GeometryCollection: recurse
             (n,) = _struct.unpack_from(bo + "I", buf, pos)
             pos += 4
             for _ in range(n):
                 pos = _parts(buf, pos, parts)
             return pos
-        if t in (3, 6):
-            raise ValueError(
-                "geography envelopes support point/line features only "
-                f"(got WKB type {t}): a spherical polygon's interior "
-                "can enclose a pole and exceed any boundary envelope"
-            )
         raise ValueError(f"WKB geometry type {t} not supported")
 
     def _unit(lon, lat):
@@ -429,7 +442,8 @@ def _build_geodesic_envelope():
         intervals: list = []
         lat = [90.0, -90.0]  # [min, max] seeded inverted
         any_pt = False
-        for pts in parts:
+        full_sphere = False
+        for pts, is_ring in parts:
             for lon, cur_lat in pts:
                 if (
                     _math.isnan(lon)
@@ -444,12 +458,37 @@ def _build_geodesic_envelope():
                 any_pt = True
                 lat[0] = min(lat[0], cur_lat)
                 lat[1] = max(lat[1], cur_lat)
+            if is_ring:
+                # polygon ring: if it SEPARATES the poles (longitude
+                # winding ±360) the interior contains a pole whichever
+                # side is interior; if it TOUCHES a pole (vertex at
+                # ±90 or a meridian edge through one) the adjacent
+                # interior is unbounded by the boundary box — both take
+                # the full-sphere envelope (sound under any interior
+                # convention). Winding-0 pole-free rings bound their
+                # interior by the boundary envelope exactly (any
+                # meridian from an interior point exits through the
+                # boundary), under the documented pole-free-interior
+                # convention for sphere-dividing rings.
+                w = 0.0
+                polar = any(abs(p[1]) == 90.0 for p in pts)
+                for i in range(len(pts) - 1):
+                    d = (pts[i + 1][0] - pts[i][0]) % 360.0
+                    if d == 180.0:
+                        polar = True
+                    elif d != 0.0:
+                        w += d if d < 180.0 else d - 360.0
+                if polar or abs(w) > 180.0:
+                    full_sphere = True
+                    continue  # no edge work needed
             if len(pts) == 1:
                 intervals.append((pts[0][0], pts[0][0]))
             for i in range(len(pts) - 1):
                 _edge(pts[i], pts[i + 1], intervals, lat)
         if not any_pt:
             return None  # EMPTY feature
+        if full_sphere:
+            return -180.0, 180.0, -90.0, 90.0
         lo, hi = _cover(intervals)
         return lo, hi, lat[0], lat[1]
 
@@ -466,10 +505,14 @@ def wkb_geography_envelope_udf(strict: bool = True):
     bad int>`` — the wrapped-longitude envelope of
     :func:`parse_geodesic_envelope` (NULL/EMPTY input → NULL fields).
 
-    ``strict=True`` (the scan): polygonal/invalid features RAISE — the
+    ``strict=True`` (the scan): invalid features (NaN/out-of-range
+    coordinates, antipodal open-path edges, malformed WKB) RAISE — the
     row predicate must never silently mis-filter. ``strict=False`` (the
     distributed stamp): the same features set ``bad=1`` instead, so the
-    file-level aggregation can omit bounds soundly."""
+    file-level aggregation can omit bounds soundly. Polygons are
+    VALID either way (r15 late): pole-separating/touching rings take
+    the full-sphere envelope, winding-0 rings their exact boundary
+    envelope."""
     from pyspark.sql.functions import pandas_udf
 
     geod_env = _build_geodesic_envelope()

@@ -3199,11 +3199,13 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             # feature's exact spherical-edge envelope (longitude takes
             # the shorter arc per edge; latitude includes the Clairaut
             # vertex where the arc contains it) against the window.
-            # Point/line/multipoint features are exact; POLYGONS raise
-            # in the decode UDF (a spherical polygon's interior can
-            # enclose a pole and exceed any boundary envelope — loud,
-            # never a silent wrong read). geometry windows stay planar
-            # and never wrap.
+            # Point/line/multipoint features are exact; POLYGON rings
+            # that separate or touch a pole take the full-sphere
+            # envelope (sound under any interior convention), and
+            # winding-0 pole-free rings their exact boundary envelope
+            # (r15 late — see functions/geo.py for the one documented
+            # convention). geometry windows stay planar and never
+            # wrap.
             from cloudfloe_spark.functions.geo import (
                 wkb_geography_envelope_udf,
             )

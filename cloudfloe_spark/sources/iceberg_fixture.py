@@ -241,10 +241,10 @@ def _geo_stat_cols(meta: dict) -> dict:
     envelopes get stamped into manifest bounds at WRITE time (r15,
     VERDICT r14 #6). Geometry gets planar envelopes; geography gets
     WRAPPED longitude intervals (lower.x > upper.x ⇔ crosses the
-    antimeridian, the v3 convention) — exact for point, line, and
-    multipoint features under spherical edge interpolation (r15 late);
-    files containing polygonal geography get no bounds (a spherical
-    polygon's interior can enclose a pole; omission is sound)."""
+    antimeridian, the v3 convention) — exact spherical-edge envelopes
+    for every WKB type (r15 late; polygon rings that separate or touch
+    a pole take the full-sphere envelope — see
+    ``functions.geo._build_geodesic_envelope`` for the convention)."""
     sid = meta.get("current-schema-id")
     sch = next(
         (
@@ -288,9 +288,10 @@ def _column_stats(t: pa.Table, geo_cols: "dict | frozenset" = ()):
     into a geo table keep per-file bbox pruning alive with no manual
     manifest rewrite. Geometry boxes are planar; geography longitude
     intervals may WRAP (lower.x > upper.x ⇔ crosses the antimeridian)
-    and are exact for point/line/multipoint features (spherical edges,
-    r15 late). Sound-by-omission on any unparseable WKB, NaN
-    coordinate, EMPTY-only column, or (geography) polygonal feature.
+    and are exact spherical-edge envelopes for every WKB type (r15
+    late; pole-separating/touching polygon rings → full sphere).
+    Sound-by-omission on any unparseable WKB, NaN coordinate, or
+    EMPTY-only column.
     """
     import pyarrow.compute as pc
 
@@ -437,10 +438,11 @@ def _geog_envelope(col) -> "tuple | None":
     the v3 convention) + plain latitude min/max. Point, line, and
     multipoint features are EXACT under spherical edge interpolation
     (``functions.geo.parse_geodesic_envelope``: per-edge shorter lon
-    arc + Clairaut vertex latitude; r15 late — previously point-only).
-    None when unsound: any polygonal feature (a spherical polygon's
-    interior can enclose a pole and exceed any boundary envelope),
-    parse error, NaN/out-of-range coordinate, antipodal edge, or no
+    arc + Clairaut vertex latitude; r15 late — previously point-only);
+    polygon rings that separate or touch a pole yield the full-sphere
+    envelope (sound under any interior convention), winding-0 rings
+    their exact boundary envelope. None when unsound: parse error,
+    NaN/out-of-range coordinate, antipodal open-path edge, or no
     points at all."""
     from cloudfloe_spark.functions.geo import (
         parse_geodesic_envelope,

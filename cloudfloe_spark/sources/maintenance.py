@@ -4294,7 +4294,8 @@ def compute_geo_bounds(
     # Geometry columns aggregate a planar min/max box. GEOGRAPHY (r15;
     # r15 late — line features) aggregates the v3 WRAPPED form
     # (lower.x > upper.x crosses the antimeridian) from each FEATURE's
-    # exact spherical-edge envelope (point/line/multipoint; polygonal
+    # exact spherical-edge envelope (all WKB types; polygon rings that
+    # separate/touch a pole yield the full-sphere envelope; malformed
     # features flag the file → bounds omitted, sound): every feature
     # envelope decomposes into ≤2 NON-wrapped pieces ([lo,180] +
     # [-180,hi] when it wraps), and the candidate covers are the

@@ -529,13 +529,12 @@ def test_geography_line_features_stamp_scan_and_skip(spark, tmp_path):
     )
 
 
-def test_geography_polygon_rows_fail_loud_and_stamp_omits(
-    spark, tmp_path
-):
-    """POLYGON geography keeps the loud refusal (r15 late): a spherical
-    polygon's INTERIOR can enclose a pole and exceed any boundary
-    envelope, so the stamp omits bounds (sound) and the scan raises
-    instead of silently mis-filtering."""
+def test_geography_polygon_stamp_scan_and_full_sphere(spark, tmp_path):
+    """POLYGON geography works (r15 late, lifting the refusal): a
+    winding-0 pole-free ring gets its exact boundary envelope —
+    stamped at write time, pruned and row-filtered by the scan — while
+    a ring winding around a pole takes the full-sphere envelope and
+    matches every window (sound under any interior convention)."""
     import os
     import struct
 
@@ -548,19 +547,27 @@ def test_geography_polygon_rows_fail_loud_and_stamp_omits(
     )
     from cloudfloe_spark.sources.maintenance import compute_geo_bounds
 
-    ring = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 10.0)]
-    poly = (
-        b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
-        + struct.pack("<I", len(ring))
-        + b"".join(struct.pack("<dd", x, y) for x, y in ring)
-    )
+    def ring_wkb(rings):
+        b = b"\x01" + struct.pack("<I", 3) + struct.pack(
+            "<I", len(rings)
+        )
+        for r in rings:
+            b += struct.pack("<I", len(r)) + b"".join(
+                struct.pack("<dd", x, y) for x, y in r
+            )
+        return b
+
+    tri = ring_wkb([[(100.0, 10.0), (110.0, 10.0), (110.0, 20.0),
+                     (100.0, 10.0)]])
+    polar = ring_wkb([[(0.0, 80.0), (90.0, 80.0), (180.0, 80.0),
+                       (-90.0, 80.0), (0.0, 80.0)]])
     root, _t = _geo_table(tmp_path, "geogpoly", "geography(srid:4326)")
     lp = os.path.join(root, "data", "polys.parquet")
     pq.write_table(
         pa.table(
             {
-                "id": pa.array([60], pa.int64()),
-                "geo": pa.array([poly], pa.binary()),
+                "id": pa.array([60, 61], pa.int64()),
+                "geo": pa.array([tri, polar], pa.binary()),
             }
         ),
         lp,
@@ -568,21 +575,35 @@ def test_geography_polygon_rows_fail_loud_and_stamp_omits(
     commit_row_delta_snapshot(
         root, new_data_files=[(lp, 1)], timestamp_ms=1700000001000
     )
+    # write-time stamp: the polar ring widened the file to full sphere
     snap = im.resolve_snapshot(root)
     stats = im.live_data_stats(root, snap)
     poly_stat = next(
         s for p, s in stats.items() if p.endswith("polys.parquet")
     )
-    assert "geo" not in (poly_stat["lower"] or {})
+    assert poly_stat["lower"]["geo"] == "-180.0 -90.0"
+    assert poly_stat["upper"]["geo"] == "180.0 90.0"
+    # the retrofit stamp agrees (both files stamped)
     rep = compute_geo_bounds(spark, root, timestamp_ms=1700000002000)
-    assert rep["files_stamped"] == 1 and rep["files_total"] == 2
+    assert rep["files_stamped"] == 2 and rep["files_total"] == 2
     sess = spark.newSession()
+    # a window over the triangle returns BOTH polygon rows: the
+    # triangle by boundary envelope, the polar ring by full sphere
     sql = (
         f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
-        "-180.0, -90.0, 180.0, 90.0)"
+        "105.0, 12.0, 108.0, 14.0) ORDER BY id"
     )
-    with pytest.raises(Exception, match="point/line"):
-        sess.sql(resolve_iceberg_reads(sess, sql)).collect()
+    got = [r["id"] for r in
+           sess.sql(resolve_iceberg_reads(sess, sql)).collect()]
+    assert got == [60, 61]
+    # a window away from the triangle still matches the polar ring
+    sql2 = (
+        f"SELECT id FROM iceberg_geo_scan('{root}', 'geo', "
+        "-30.0, -60.0, -20.0, -50.0)"
+    )
+    got2 = [r["id"] for r in
+            sess.sql(resolve_iceberg_reads(sess, sql2)).collect()]
+    assert got2 == [61]
 
 
 def test_geo_bounds_resolves_renamed_table(spark, tmp_path):
@@ -1003,15 +1024,58 @@ def test_geodesic_envelope_golden():
     # antipodal endpoints: undefined geodesic — loud
     with pytest.raises(ValueError, match="antipodal"):
         parse_geodesic_envelope(ls((10, 20), (-170, -20)))
-    # polygons: interior may enclose a pole — loud
-    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
-    poly = (
-        b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
-        + struct.pack("<I", len(ring))
-        + b"".join(struct.pack("<dd", x, y) for x, y in ring)
+
+    # polygons (r15 late, lifting the refusal)
+    def ring_wkb(rings):
+        b = b"\x01" + struct.pack("<I", 3) + struct.pack(
+            "<I", len(rings)
+        )
+        for r in rings:
+            b += struct.pack("<I", len(r)) + b"".join(
+                struct.pack("<dd", x, y) for x, y in r
+            )
+        return b
+
+    # winding-0 triangle: exact boundary envelope
+    tri = ring_wkb([[(10, 10), (20, 10), (20, 20), (10, 10)]])
+    assert parse_geodesic_envelope(tri) == (10.0, 20.0, 10.0, 20.0)
+    # equal-lat top edge bulges by the Clairaut vertex, and a hole
+    # adds no extent beyond its own vertices
+    holed = ring_wkb(
+        [
+            [(0, 0), (30, 0), (30, 30), (0, 30), (0, 0)],
+            [(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)],
+        ]
     )
-    with pytest.raises(ValueError, match="point/line"):
-        parse_geodesic_envelope(poly)
+    lo, hi, y0, y1 = parse_geodesic_envelope(holed)
+    assert (lo, hi, y0) == (0.0, 30.0, 0.0)
+    assert 30.0 < y1 < 31.0  # vertex of the lat-30 Δλ=30 edge
+    # a ring WINDING around a pole (Δλ sums to +360) contains a pole
+    # whichever side is interior → full-sphere envelope
+    polar_ring = ring_wkb(
+        [[(0, 80), (90, 80), (180, 80), (-90, 80), (0, 80)]]
+    )
+    assert parse_geodesic_envelope(polar_ring) == (
+        -180.0, 180.0, -90.0, 90.0
+    )
+    # a ring TOUCHING a pole (vertex at ±90) → full sphere too
+    pole_vertex = ring_wkb([[(0, 80), (10, 90), (20, 80), (0, 80)]])
+    assert parse_geodesic_envelope(pole_vertex) == (
+        -180.0, 180.0, -90.0, 90.0
+    )
+    # multipolygon straddling the antimeridian: wrapped cover
+    mp2 = (
+        b"\x01" + struct.pack("<I", 6) + struct.pack("<I", 2)
+        + ring_wkb([[(175, 0), (179, 0), (179, 5), (175, 0)]])
+        + ring_wkb([[(-179, 0), (-175, 0), (-175, 5), (-179, 0)]])
+    )
+    assert parse_geodesic_envelope(mp2) == (175.0, -175.0, 0.0, 5.0)
+    # collection mixing a point and a polygon
+    coll = (
+        b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 2)
+        + encode_wkb_point(50.0, 50.0) + tri
+    )
+    assert parse_geodesic_envelope(coll) == (10.0, 50.0, 10.0, 50.0)
     # a multipoint straddling ±180 wraps like its point set
     mp = (
         b"\x01" + struct.pack("<I", 4) + struct.pack("<I", 2)
