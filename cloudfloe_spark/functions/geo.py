@@ -458,6 +458,15 @@ def _build_geodesic_envelope():
                 any_pt = True
                 lat[0] = min(lat[0], cur_lat)
                 lat[1] = max(lat[1], cur_lat)
+            if is_ring and len(pts) >= 2 and pts[0] != pts[-1]:
+                # WKB rings are closed by definition (first vertex
+                # repeated last) but unclosed rings exist in the wild
+                # (GeoJSON converters): close implicitly so the
+                # closing edge enters BOTH the winding pre-pass and
+                # the envelope work — dropping it under-covers (a
+                # closing meridian edge through a pole would silently
+                # lose the full-sphere classification)
+                pts = pts + [pts[0]]
             if is_ring:
                 # polygon ring: if it SEPARATES the poles (longitude
                 # winding ±360) the interior contains a pole whichever
@@ -588,9 +597,10 @@ def wkb_point_lonlat_udf():
                 t %= 1000
             if t != 1:
                 raise ValueError(
-                    "geography scan supports POINT features only "
-                    f"(got WKB type {t}); geodesic envelopes for "
-                    "lines/polygons are not implemented"
+                    "this consumer requires POINT geography (got WKB "
+                    f"type {t}); line/polygon features are handled by "
+                    "the envelope surface (wkb_geography_envelope_udf "
+                    "— what iceberg_geo_scan uses)"
                 )
             x, y = _struct.unpack_from(bo + "dd", buf, pos)
             xs.append(x)

@@ -482,7 +482,7 @@ def _geog_envelope(col) -> "tuple | None":
             y0 = ey0 if y0 is None else min(y0, ey0)
             y1 = ey1 if y1 is None else max(y1, ey1)
     except (ValueError, OverflowError, IndexError):
-        return None  # polygonal/invalid feature: omit (sound)
+        return None  # malformed feature: omit (sound)
     iv = wrap_interval_cover(intervals)
     if iv is None:
         return None

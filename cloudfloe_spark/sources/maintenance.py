@@ -4384,7 +4384,7 @@ def compute_geo_bounds(
                 hi[c] = f"{r[f'{c}__xmax']!r} {r[f'{c}__ymax']!r}"
                 continue
             if r[f"{c}__bad"] or r[f"{c}__lonmin"] is None:
-                continue  # polygonal/invalid rows, or all NULL/EMPTY
+                continue  # malformed rows, or all NULL/EMPTY
             x0, x1 = r[f"{c}__lonmin"], r[f"{c}__lonmax"]
             mp = r[f"{c}__minpos"]
             negs = [

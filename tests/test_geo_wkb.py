@@ -332,6 +332,18 @@ def _geo_table(tmp_path, name, geo_type):
     return root, t
 
 
+def _ring_wkb(rings):
+    """Little-endian 2-D WKB POLYGON from [[(x, y), ...], ...]."""
+    import struct
+
+    b = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", len(rings))
+    for r in rings:
+        b += struct.pack("<I", len(r)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in r
+        )
+    return b
+
+
 def test_wrap_interval_and_circular_intersect():
     """Golden cases for the circular-longitude helpers (r15): the
     minimal covering interval wraps exactly when the largest gap does
@@ -547,19 +559,9 @@ def test_geography_polygon_stamp_scan_and_full_sphere(spark, tmp_path):
     )
     from cloudfloe_spark.sources.maintenance import compute_geo_bounds
 
-    def ring_wkb(rings):
-        b = b"\x01" + struct.pack("<I", 3) + struct.pack(
-            "<I", len(rings)
-        )
-        for r in rings:
-            b += struct.pack("<I", len(r)) + b"".join(
-                struct.pack("<dd", x, y) for x, y in r
-            )
-        return b
-
-    tri = ring_wkb([[(100.0, 10.0), (110.0, 10.0), (110.0, 20.0),
+    tri = _ring_wkb([[(100.0, 10.0), (110.0, 10.0), (110.0, 20.0),
                      (100.0, 10.0)]])
-    polar = ring_wkb([[(0.0, 80.0), (90.0, 80.0), (180.0, 80.0),
+    polar = _ring_wkb([[(0.0, 80.0), (90.0, 80.0), (180.0, 80.0),
                        (-90.0, 80.0), (0.0, 80.0)]])
     root, _t = _geo_table(tmp_path, "geogpoly", "geography(srid:4326)")
     lp = os.path.join(root, "data", "polys.parquet")
@@ -1026,22 +1028,12 @@ def test_geodesic_envelope_golden():
         parse_geodesic_envelope(ls((10, 20), (-170, -20)))
 
     # polygons (r15 late, lifting the refusal)
-    def ring_wkb(rings):
-        b = b"\x01" + struct.pack("<I", 3) + struct.pack(
-            "<I", len(rings)
-        )
-        for r in rings:
-            b += struct.pack("<I", len(r)) + b"".join(
-                struct.pack("<dd", x, y) for x, y in r
-            )
-        return b
-
     # winding-0 triangle: exact boundary envelope
-    tri = ring_wkb([[(10, 10), (20, 10), (20, 20), (10, 10)]])
+    tri = _ring_wkb([[(10, 10), (20, 10), (20, 20), (10, 10)]])
     assert parse_geodesic_envelope(tri) == (10.0, 20.0, 10.0, 20.0)
     # equal-lat top edge bulges by the Clairaut vertex, and a hole
     # adds no extent beyond its own vertices
-    holed = ring_wkb(
+    holed = _ring_wkb(
         [
             [(0, 0), (30, 0), (30, 30), (0, 30), (0, 0)],
             [(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)],
@@ -1052,22 +1044,22 @@ def test_geodesic_envelope_golden():
     assert 30.0 < y1 < 31.0  # vertex of the lat-30 Δλ=30 edge
     # a ring WINDING around a pole (Δλ sums to +360) contains a pole
     # whichever side is interior → full-sphere envelope
-    polar_ring = ring_wkb(
+    polar_ring = _ring_wkb(
         [[(0, 80), (90, 80), (180, 80), (-90, 80), (0, 80)]]
     )
     assert parse_geodesic_envelope(polar_ring) == (
         -180.0, 180.0, -90.0, 90.0
     )
     # a ring TOUCHING a pole (vertex at ±90) → full sphere too
-    pole_vertex = ring_wkb([[(0, 80), (10, 90), (20, 80), (0, 80)]])
+    pole_vertex = _ring_wkb([[(0, 80), (10, 90), (20, 80), (0, 80)]])
     assert parse_geodesic_envelope(pole_vertex) == (
         -180.0, 180.0, -90.0, 90.0
     )
     # multipolygon straddling the antimeridian: wrapped cover
     mp2 = (
         b"\x01" + struct.pack("<I", 6) + struct.pack("<I", 2)
-        + ring_wkb([[(175, 0), (179, 0), (179, 5), (175, 0)]])
-        + ring_wkb([[(-179, 0), (-175, 0), (-175, 5), (-179, 0)]])
+        + _ring_wkb([[(175, 0), (179, 0), (179, 5), (175, 0)]])
+        + _ring_wkb([[(-179, 0), (-175, 0), (-175, 5), (-179, 0)]])
     )
     assert parse_geodesic_envelope(mp2) == (175.0, -175.0, 0.0, 5.0)
     # collection mixing a point and a polygon
@@ -1076,6 +1068,22 @@ def test_geodesic_envelope_golden():
         + encode_wkb_point(50.0, 50.0) + tri
     )
     assert parse_geodesic_envelope(coll) == (10.0, 50.0, 10.0, 50.0)
+    # review r15 late: UNCLOSED rings (GeoJSON-converter artifacts)
+    # close implicitly — the closing edge enters the winding pre-pass
+    # and the envelope work, so a closing meridian edge through the
+    # pole still classifies full-sphere and a closing Clairaut bulge
+    # still inflates the envelope
+    unclosed_polar = _ring_wkb(
+        [[(0, 50), (60, 50), (120, 50), (180, 50)]]
+    )  # closing edge (180,50)->(0,50) runs through the north pole
+    assert parse_geodesic_envelope(unclosed_polar) == (
+        -180.0, 180.0, -90.0, 90.0
+    )
+    unclosed = _ring_wkb([[(0, 60), (90, 60), (170, 60)]])
+    closed = _ring_wkb([[(0, 60), (90, 60), (170, 60), (0, 60)]])
+    assert parse_geodesic_envelope(unclosed) == (
+        parse_geodesic_envelope(closed)
+    )
     # a multipoint straddling ±180 wraps like its point set
     mp = (
         b"\x01" + struct.pack("<I", 4) + struct.pack("<I", 2)
