@@ -1470,12 +1470,14 @@ def _cdc_frame(
         # AMBIGUOUS history — the one rename shape footer mapping cannot
         # resolve — which the except below turns into the 400.
         name_hist = im.schema_name_history(root, metadata_path)
-        # v3 variant / ns timestamps (r12): the changelog reads the
-        # PHYSICAL forms (struct / raw ns longs) so ℤ-netting compares
-        # stable values, decodes variant to the JSON surface per group,
-        # and converts ns to µs TIMESTAMP on the OUTPUT frame. Shredded
-        # variant files keep a 400 (per-file shapes on both netting
-        # sides are not supported — rewrite them unshredded first).
+        # v3 variant / ns timestamps (r12): the changelog nets on the
+        # CANONICAL surfaces (variant decoded to canonical JSON text,
+        # ns as raw longs) and converts ns to µs TIMESTAMP on the
+        # OUTPUT frame. Shredded variant files work on EVERY side
+        # (r15 late): each side's shred groups reassemble to the same
+        # canonical JSON through _shred_group_scan, so a shredded row
+        # and its unshredded rewrite (compaction, COW) net to zero
+        # exactly like plain rows.
         variant_cols = im.variant_columns(
             im.load_metadata(root, metadata_path)
         )
@@ -1485,19 +1487,23 @@ def _cdc_frame(
         # r13: SHREDDED variant files among the ADDED set read as their
         # own footer-inferred groups (a foreign shredding writer's
         # appends) — the explicit physical DDL would silently drop
-        # typed_value. Shredded files on the RETRACTION side stay a
-        # precise 400 below.
+        # typed_value. r15 late: EVERY side (added, carried retraction
+        # base, lineage removed scan) routes its shredded files through
+        # _shred_group_scan, so shredded ranges changelog like plain
+        # ones (the carried/removed refusals are gone).
         added_plain = list(added)
         added_shred: list = []
         if variant_cols and added:
-            added_plain, added_shred, _verr_a = im.variant_shred_groups(
-                added, variant_cols, name_history=name_hist
+            added_plain, _ash3, _verr_a = im.variant_shred_groups(
+                added, variant_cols, name_history=name_hist,
+                resolve_renames=True,
             )
             if _verr_a:
                 raise bad_request(
                     "iceberg_cdc: variant read failed: "
                     + "; ".join(sorted(set(_verr_a)))
                 )
+            added_shred = [(sp, d) for sp, d, _ in _ash3]
         added_groups = (
             im.scan_groups(
                 root, added_plain, metadata_path,
@@ -1522,32 +1528,30 @@ def _cdc_frame(
                 p for p in carried
                 if p.rsplit("/data/", 1)[-1] in targets
             ]
-        carried_groups = (
-            im.scan_groups(
-                root, carried_scan, metadata_path,
-                variant_as="physical", ns_as="physical",
-            )
-            if carried_scan and (pos_new or eq_new or dv_new_positions)
-            else []
+        carried_active = bool(
+            carried_scan and (pos_new or eq_new or dv_new_positions)
         )
-        if variant_cols and carried_scan and (
-            pos_new or eq_new or dv_new_positions
-        ):
-            _, vshred, verr = im.variant_shred_groups(
-                carried_scan, variant_cols, name_history=name_hist
+        carried_plain = list(carried_scan)
+        carried_shred: list = []
+        if variant_cols and carried_active:
+            carried_plain, _csh3, verr = im.variant_shred_groups(
+                carried_scan, variant_cols, name_history=name_hist,
+                resolve_renames=True,
             )
             if verr:
                 raise bad_request(
                     "iceberg_cdc: variant read failed: "
                     + "; ".join(sorted(set(verr)))
                 )
-            if vshred:
-                raise bad_request(
-                    "iceberg_cdc: the range RETRACTS rows from SHREDDED "
-                    "variant files — CDC netting supports unshredded "
-                    "retraction sides only; compact_iceberg_table "
-                    "normalizes the layout first"
-                )
+            carried_shred = [(sp, d) for sp, d, _ in _csh3]
+        carried_groups = (
+            im.scan_groups(
+                root, carried_plain, metadata_path,
+                variant_as="physical", ns_as="physical",
+            )
+            if carried_active and carried_plain
+            else []
+        )
         keys = (
             [k.strip() for k in key_cols.split(",")] if key_cols else []
         )
@@ -1679,67 +1683,38 @@ def _cdc_frame(
                 )
             ins_parts.append(g)
         if added_shred:
-            # r13: shredded appended files reassemble to the canonical
-            # JSON surface and align to the table schema for the union
-            if want_rid:
-                raise bad_request(
-                    "iceberg_cdc: shredded appends on a row-lineage / "
-                    "'_row_id'-paired range are not supported — "
-                    "compact_iceberg_table normalizes the layout first"
-                )
-            from cloudfloe_spark.functions.variant import (
-                decode_shredded_variant_columns,
-            )
-            from cloudfloe_spark.functions.variant import (
-                decode_variant_columns as _dvc_s,
+            # r13 / r15 late: shredded appended files reassemble to
+            # the canonical-JSON surface through the SAME group scan
+            # every DML/lineage consumer uses — renames/fills resolve,
+            # deletes apply with the standard sequence ordering (an
+            # added file postdates every pre-range delete, so the
+            # snapshot-wide apply equals the in-range scoped one), and
+            # '_row_id'-paired ranges get their coordinates (the r13
+            # refusal is gone)
+            from cloudfloe_spark.sources.maintenance import (
+                _FP as _SFP,
+                _POS as _SPOS,
+                _shred_group_scan,
             )
 
-            read_pairs = im.schema_read_pairs(
-                root, metadata_path,
-                variant_as="string", ns_as="physical",
-            )
             for spaths, descs in added_shred:
-                g = sess.read.parquet(*spaths)
-                if pos_new:
-                    g = _apply_position_deletes(
-                        sess, g, [r["path"] for r in pos_new]
-                    )
-                if dv_to_records:
-                    added_sufs = {
-                        p.rsplit("/data/", 1)[-1] for p in added
-                    }
-                    dv_added = [
-                        r
-                        for r in dv_to_records
-                        if r["referenced_data_file"].rsplit(
-                            "/data/", 1
-                        )[-1]
-                        in added_sufs
-                    ]
-                    if dv_added:
-                        g = _apply_deletion_vectors(sess, g, dv_added)
-                if eq_new:
-                    g = _apply_equality_deletes(
-                        sess, g, eq_new, field_names,
-                        {p: live_to[p] for p in added},
-                        renames={}, name_history={},
-                    )
-                g = decode_shredded_variant_columns(g, descs)
-                plain_vc = [
-                    c
-                    for c in variant_cols
-                    if c in g.columns and c not in descs
-                ]
-                if plain_vc:
-                    g = _dvc_s(g, plain_vc)
-                g = g.select(
-                    *[
-                        F.lit(None).cast(_ct).alias(_cn)
-                        if _cn not in g.columns
-                        else F.col(_cn).cast(_ct).alias(_cn)
-                        for _cn, _ct in read_pairs
-                    ]
+                g = _shred_group_scan(
+                    sess, root, s_to, metadata_path, spaths, descs,
+                    physical=False, variant_cols=variant_cols,
+                    extra_footer_cols=["_row_id"] if want_rid else None,
                 )
+                if want_rid:
+                    g = g.select(
+                        suffix(F.col(_SFP)).alias("__cdc_afile"),
+                        F.col(_SPOS).alias("__cdc_apos"),
+                        *[
+                            c
+                            for c in g.columns
+                            if c not in (_SFP, _SPOS)
+                        ],
+                    )
+                else:
+                    g = g.drop(_SFP, _SPOS)
                 ins_parts.append(g)
         ins = ins_parts[0]
         for g in ins_parts[1:]:
@@ -1749,7 +1724,7 @@ def _cdc_frame(
         else:
             parts.append(ins.withColumn("_change_type", F.lit("insert")))
 
-    if carried_groups:
+    if carried_groups or carried_shred:
         base_parts = []
         for gpaths, renames, read_ddl, default_fills in carried_groups:
             reader = sess.read
@@ -1778,6 +1753,38 @@ def _cdc_frame(
                     g, [c for c in variant_cols if c in g.columns]
                 )
             base_parts.append(g)
+        if carried_shred:
+            # r15 late (lifting the retraction refusal): shredded
+            # carried files enter the retraction base through the
+            # shared group scan — RAW rows (apply_deletes=False: the
+            # in-range deletes DEFINE the dead set the joins below
+            # compute), decoded to the same canonical-JSON surface the
+            # plain side nets on, coordinates preserved
+            from cloudfloe_spark.sources.maintenance import (
+                _FP as _BFP,
+                _POS as _BPOS,
+                _shred_group_scan,
+            )
+
+            for spaths, descs in carried_shred:
+                g = _shred_group_scan(
+                    sess, root, s_to, metadata_path, spaths, descs,
+                    physical=False, variant_cols=variant_cols,
+                    extra_footer_cols=(
+                        ["_row_id"] if want_rid else None
+                    ),
+                    apply_deletes=False,
+                )
+                g = g.select(
+                    suffix(F.col(_BFP)).alias("__cdc_file"),
+                    F.col(_BPOS).alias("__cdc_pos"),
+                    *[
+                        c
+                        for c in g.columns
+                        if c not in (_BFP, _BPOS)
+                    ],
+                )
+                base_parts.append(g)
         base = base_parts[0]
         for g in base_parts[1:]:
             base = base.unionByName(g)
@@ -1917,23 +1924,57 @@ def _cdc_frame(
 
     if lineage_mode:
         # rows visible at FROM in the files the range removed/rewrote
-        # (their FROM-state deletes applied by the MOR machinery)
-        rem = _mor_raw_scan(
-            sess, root, s_from, removed,
-            metadata_path=metadata_path, extra_footer_cols=["_row_id"],
-            variant_as="physical" if variant_cols else None,
-            ns_as="physical" if ns_cols else None,
-        ).withColumn(
-            "__cdc_rfile", F.substring_index(F.col(_FP), "/data/", -1)
-        )
-        if variant_cols:
-            from cloudfloe_spark.functions.variant import (
-                decode_variant_columns as _dvc_rem,
+        # (their FROM-state deletes applied by the MOR machinery).
+        # r15 late: SHREDDED removed files read through the shared
+        # group scan — the physical-DDL raw scan would silently drop
+        # their typed_value subcolumns and net phantom delete/insert
+        # pairs with NULL variant values (a compaction of a shredded
+        # lineage table must net to ZERO; regression-pinned)
+        rem_plain = list(removed)
+        rem_shred: list = []
+        if variant_cols and removed:
+            rem_plain, _rsh3, _verr_r = im.variant_shred_groups(
+                removed, variant_cols, name_history=name_hist,
+                resolve_renames=True,
+            )
+            if _verr_r:
+                raise bad_request(
+                    "iceberg_cdc: variant read failed: "
+                    + "; ".join(sorted(set(_verr_r)))
+                )
+            rem_shred = [(sp, d) for sp, d, _ in _rsh3]
+        rem = None
+        if rem_plain:
+            rem = _mor_raw_scan(
+                sess, root, s_from, rem_plain,
+                metadata_path=metadata_path,
+                extra_footer_cols=["_row_id"],
+                variant_as="physical" if variant_cols else None,
+                ns_as="physical" if ns_cols else None,
+            )
+            if variant_cols:
+                from cloudfloe_spark.functions.variant import (
+                    decode_variant_columns as _dvc_rem,
+                )
+
+                rem = _dvc_rem(
+                    rem, [c for c in variant_cols if c in rem.columns]
+                )
+        if rem_shred:
+            from cloudfloe_spark.sources.maintenance import (
+                _shred_group_scan,
             )
 
-            rem = _dvc_rem(
-                rem, [c for c in variant_cols if c in rem.columns]
-            )
+            for spaths, descs in rem_shred:
+                g = _shred_group_scan(
+                    sess, root, s_from, metadata_path, spaths, descs,
+                    physical=False, variant_cols=variant_cols,
+                    extra_footer_cols=["_row_id"],
+                )
+                rem = g if rem is None else rem.unionByName(g)
+        rem = rem.withColumn(
+            "__cdc_rfile", F.substring_index(F.col(_FP), "/data/", -1)
+        )
         lin_cols = [
             c
             for c in rem.columns

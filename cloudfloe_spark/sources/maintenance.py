@@ -1219,7 +1219,7 @@ def _dml_v3_cols(
 def _shred_group_scan(
     spark, root, snap, meta_path, spaths: list, descs: dict, *,
     physical: bool, variant_cols: list, extra_footer_cols=None,
-    hist=None, fills=None,
+    hist=None, fills=None, apply_deletes=True,
 ):
     """One SHREDDED file group → a MOR-applied DataFrame aligned to the
     unshredded DML scan: ``__cf_fp``/``__cf_pos`` coordinates + the
@@ -1229,7 +1229,12 @@ def _shred_group_scan(
     physical struct (``physical=True`` — the rewrite paths, the same
     value-tree re-encode the normalization compaction applies, so the
     standard passthrough/assign machinery works unchanged downstream).
-    ns columns stay raw BIGINT longs, like the plain physical scan."""
+    ns columns stay raw BIGINT longs, like the plain physical scan.
+
+    ``apply_deletes=False`` (r15 late, the CDC carried-base consumer):
+    skip the MOR apply entirely — the changelog's retraction base must
+    see the RAW rows, because the in-range deletes are exactly what
+    defines the dead set it then emits."""
     from pyspark.sql import functions as F
 
     from cloudfloe_spark.functions.variant import (
@@ -1244,7 +1249,9 @@ def _shred_group_scan(
     )
     from cloudfloe_spark.sources import iceberg_meta as im
 
-    eq = im.equality_delete_records(root, snap)
+    eq = (
+        im.equality_delete_records(root, snap) if apply_deletes else []
+    )
     if eq and im.unreadable_equality_deletes(root, snap, meta_path):
         # same precise refusal as _mor_raw_scan — applying around
         # unresolvable field ids would silently resurrect erased rows
@@ -1274,10 +1281,16 @@ def _shred_group_scan(
     for _fc, (_fv, _ft) in fills.items():
         if _fc not in present_cur:
             g = g.withColumn(_fc, F.lit(_fv).cast(_ft))
-    pos = im.prune_position_deletes(
-        im.position_delete_paths(root, snap), spaths
+    pos = (
+        im.prune_position_deletes(
+            im.position_delete_paths(root, snap), spaths
+        )
+        if apply_deletes
+        else []
     )
-    dvs = im.deletion_vector_records(root, snap)
+    dvs = (
+        im.deletion_vector_records(root, snap) if apply_deletes else []
+    )
     if dvs:
         scanned = {p.rsplit("/data/", 1)[-1] for p in spaths}
         dvs = [

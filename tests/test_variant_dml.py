@@ -1135,6 +1135,113 @@ def test_shredded_lineage_read_resolves_renames_and_defaults(
     ]
 
 
+def test_cdc_shredded_lineage_compaction_nets_to_zero(spark, tmp_path):
+    """r15 late REGRESSION (found live, pre-existing since r13): the
+    lineage CDC's removed-files scan read shredded files under the
+    physical (metadata, value) DDL, silently dropping typed_value — a
+    compaction of a shredded lineage table emitted 4 phantom deletes
+    with NULL variant values + 4 inserts instead of netting to ZERO.
+    Shredded removed files now reassemble through the shared group
+    scan; the whole shredded changelog surface follows: a MOR delete
+    on a shredded file emits its decoded retraction, a '_row_id'-paired
+    MOR update over the shredded retraction side pairs update images,
+    and a shredded APPEND on a rid-paired range reads with coordinates
+    (the r13 refusal is gone)."""
+    from cloudfloe_spark.functions.variant import shred_rows
+    from cloudfloe_spark.sources.maintenance import (
+        compact_iceberg_table,
+    )
+
+    shred = {
+        "kind": "object",
+        "fields": {"k": {"value": True, "typed": {"kind": "int"}}},
+    }
+    objs = [{"k": i} for i in range(4)]
+    col = shred_rows(objs, shred)
+    root = str(tmp_path / "shcdc")
+    t = LocalIcebergTable(
+        root,
+        pa.table(
+            {"id": pa.array(range(4), pa.int64()), "v": col}
+        ).schema,
+        variant_cols=("v",),
+        row_lineage=True,
+    )
+    t.append_snapshot(
+        [
+            pa.table(
+                {"id": pa.array([0, 1, 2, 3], pa.int64()), "v": col}
+            )
+        ],
+        timestamp_ms=T1,
+    )
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    # (a) MOR delete directly on the SHREDDED file: decoded retraction
+    delete_where(spark, root, "id = 1", timestamp_ms=T1 + 500)
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', "
+        f"{s0}, {s1})",
+    )
+    assert got == [(1, '{"k":1}', "delete")]
+    # (b) rid-paired MOR update whose retraction side is shredded:
+    # pre/post images pair by lineage id
+    update_where(
+        spark, root, "id = 3", {"v": "'{\"k\": 99}'"},
+        timestamp_ms=T1 + 1000,
+    )
+    s2 = im.resolve_snapshot(root)["snapshot-id"]
+    got = sorted(
+        _rows(
+            spark,
+            f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', "
+            f"{s1}, {s2}, '_row_id')",
+        )
+    )
+    assert got == [
+        (3, '{"k":3}', "update_preimage"),
+        (3, '{"k":99}', "update_postimage"),
+    ]
+    # (c) a shredded APPEND on a rid-paired range reads (r13 refusal
+    # gone): insert-only, so no images pair. Committed EXTERNALLY —
+    # the live fixture's in-memory state predates the DML commits
+    import os
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+    )
+
+    ap = os.path.join(root, "data", "shred-append-7.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([7], pa.int64()),
+                "v": shred_rows([{"k": 7}], shred),
+            }
+        ),
+        ap,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(ap, 1)], timestamp_ms=T1 + 1500
+    )
+    s3 = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT id, v, _change_type FROM iceberg_cdc('{root}', "
+        f"{s2}, {s3}, '_row_id')",
+    )
+    assert got == [(7, '{"k":7}', "insert")]
+    # (d) the headline regression: compaction (shredded files REMOVED,
+    # unshredded rewrite added) is not a logical change — nets to ZERO
+    compact_iceberg_table(spark, root, timestamp_ms=T1 + 2000)
+    s4 = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark, f"SELECT * FROM iceberg_cdc('{root}', {s3}, {s4})"
+    )
+    assert got == []
+
+
 def test_ns_partition_transform_exactness(spark):
     """The ns→µs conversion feeding partition transforms is EXACT
     integer arithmetic: for ns instants hugging day/hour boundaries

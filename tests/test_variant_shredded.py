@@ -518,12 +518,12 @@ def test_compaction_shredded_preserves_typed_fidelity(spark, tmp_path):
     assert _rows(spark, sql) == before
 
 
-def test_cdc_shredded_appends_read_retractions_reject(spark, tmp_path):
-    """r13: CDC reads SHREDDED files on the INSERT side (a foreign
-    shredding writer's appends decode to the canonical surface); a
-    range that RETRACTS rows from shredded files keeps a precise 400
-    (netting both physical shapes is not supported — compaction is the
-    remedy)."""
+def test_cdc_shredded_appends_and_retractions_read(spark, tmp_path):
+    """r13: CDC reads SHREDDED files on the INSERT side; r15 late: a
+    range that RETRACTS rows from shredded files reads too (the 400 is
+    gone) — the carried shred groups reassemble to the canonical JSON
+    surface through the same group scan, so the retraction emits the
+    decoded value."""
     root, t = _shredded_table(tmp_path, OBJS[:3], SHRED, name="cdc")
     s0 = im.resolve_snapshot(root)["snapshot-id"]
     col2 = shred_rows(OBJS[5:6], SHRED)
@@ -545,16 +545,23 @@ def test_cdc_shredded_appends_read_retractions_reject(spark, tmp_path):
         f"SELECT id, v FROM iceberg_changes('{root}', {s0}, {s1})",
     )
     assert got == [(9, _expected_json(OBJS[5:6])[0])]
-    # retraction touching a shredded file: precise 400
-    base_file = sorted(
-        im.live_data_paths(root, im.resolve_snapshot(root))
-    )[0]
+    # retraction touching a shredded file: reads, decoded (r15 late)
+    base_file = next(
+        p
+        for p in im.live_data_paths(root, im.resolve_snapshot(root))
+        if 0
+        in pq.read_table(
+            p.removeprefix("file://"), columns=["id"]
+        )["id"].to_pylist()
+    )
     t.position_delete_snapshot([(base_file, 0)], timestamp_ms=T1 + 2000)
     s2 = im.resolve_snapshot(root)["snapshot-id"]
-    with pytest.raises(CloudfloeError) as ei:
-        _rows(spark, f"SELECT * FROM iceberg_cdc('{root}', {s1}, {s2})")
-    assert ei.value.status_code == 400
-    assert "SHREDDED" in str(ei.value)
+    got = _rows(
+        spark,
+        "SELECT id, v, _change_type "
+        f"FROM iceberg_cdc('{root}', {s1}, {s2})",
+    )
+    assert got == [(0, _expected_json(OBJS[:1])[0], "delete")]
 
 
 def test_compaction_passthrough_on_unshredded_variant(spark, tmp_path):
