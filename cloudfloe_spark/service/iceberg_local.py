@@ -1384,6 +1384,19 @@ def _cdc_frame(
                 "this engine cannot apply (missing or unresolvable "
                 "equality field ids). Run compaction before querying."
             )
+        if removed and im.unreadable_equality_deletes(
+            root, s_from, metadata_path
+        ):
+            # the lineage removed-files scan applies the FROM state's
+            # deletes — an unresolvable eq file THERE (even one
+            # compacted away before s_to) must 400 like the s_to case,
+            # not escape as the scan's raw ValueError
+            raise bad_request(
+                "iceberg_cdc: the FROM snapshot carries equality-"
+                "delete files this engine cannot apply (missing or "
+                "unresolvable equality field ids). Run compaction "
+                "before querying."
+            )
         added = sorted(p for p in live_to if p not in live_from)
         carried = sorted(set(live_from) & set(live_to))
         first_ids: "dict | None" = None
@@ -1489,8 +1502,58 @@ def _cdc_frame(
         # appends) — the explicit physical DDL would silently drop
         # typed_value. r15 late: EVERY side (added, carried retraction
         # base, lineage removed scan) routes its shredded files through
-        # _shred_group_scan, so shredded ranges changelog like plain
-        # ones (the carried/removed refusals are gone).
+        # ONE shared helper over _shred_group_scan, so shredded ranges
+        # changelog like plain ones (the carried/removed refusals are
+        # gone).
+        from cloudfloe_spark.sources.maintenance import (
+            _FP as _SFP,
+        )
+        from cloudfloe_spark.sources.maintenance import (
+            _POS as _SPOS,
+        )
+        from cloudfloe_spark.sources.maintenance import (
+            _shred_group_scan,
+        )
+
+        cdc_fills = (
+            im.schema_default_fills(im.load_metadata(root, metadata_path))
+            if variant_cols
+            else {}
+        )
+
+        def _shred_frames(groups, snap_side, *, coords, rid, deletes=True):
+            """Shredded groups of one CDC side → canonical-JSON frames.
+            ``coords``: ``None`` drops the scan coordinates, ``"raw"``
+            keeps the ``__cf_fp``/``__cf_pos`` pair, a ``(file, pos)``
+            tuple aliases the path SUFFIX and position to those names.
+            ``rid`` reads the materialized ``_row_id`` footer column
+            (NULL where absent). ``deletes=False`` keeps the rows RAW —
+            the retraction base's in-range deletes define its dead set."""
+            out = []
+            for spaths, descs in groups:
+                g = _shred_group_scan(
+                    sess, root, snap_side, metadata_path, spaths, descs,
+                    physical=False, variant_cols=variant_cols,
+                    extra_footer_cols=["_row_id"] if rid else None,
+                    hist=name_hist, fills=cdc_fills,
+                    apply_deletes=deletes,
+                )
+                if coords is None:
+                    g = g.drop(_SFP, _SPOS)
+                elif coords != "raw":
+                    fcol, pcol = coords
+                    g = g.select(
+                        suffix(F.col(_SFP)).alias(fcol),
+                        F.col(_SPOS).alias(pcol),
+                        *[
+                            c
+                            for c in g.columns
+                            if c not in (_SFP, _SPOS)
+                        ],
+                    )
+                out.append(g)
+            return out
+
         added_plain = list(added)
         added_shred: list = []
         if variant_cols and added:
@@ -1684,38 +1747,18 @@ def _cdc_frame(
             ins_parts.append(g)
         if added_shred:
             # r13 / r15 late: shredded appended files reassemble to
-            # the canonical-JSON surface through the SAME group scan
-            # every DML/lineage consumer uses — renames/fills resolve,
-            # deletes apply with the standard sequence ordering (an
-            # added file postdates every pre-range delete, so the
-            # snapshot-wide apply equals the in-range scoped one), and
-            # '_row_id'-paired ranges get their coordinates (the r13
-            # refusal is gone)
-            from cloudfloe_spark.sources.maintenance import (
-                _FP as _SFP,
-                _POS as _SPOS,
-                _shred_group_scan,
+            # the canonical-JSON surface — deletes apply with the
+            # standard sequence ordering (an added file postdates every
+            # pre-range delete, so the snapshot-wide apply equals the
+            # in-range scoped one), and '_row_id'-paired ranges get
+            # their coordinates (the r13 refusal is gone)
+            ins_parts += _shred_frames(
+                added_shred, s_to,
+                coords=(
+                    ("__cdc_afile", "__cdc_apos") if want_rid else None
+                ),
+                rid=want_rid,
             )
-
-            for spaths, descs in added_shred:
-                g = _shred_group_scan(
-                    sess, root, s_to, metadata_path, spaths, descs,
-                    physical=False, variant_cols=variant_cols,
-                    extra_footer_cols=["_row_id"] if want_rid else None,
-                )
-                if want_rid:
-                    g = g.select(
-                        suffix(F.col(_SFP)).alias("__cdc_afile"),
-                        F.col(_SPOS).alias("__cdc_apos"),
-                        *[
-                            c
-                            for c in g.columns
-                            if c not in (_SFP, _SPOS)
-                        ],
-                    )
-                else:
-                    g = g.drop(_SFP, _SPOS)
-                ins_parts.append(g)
         ins = ins_parts[0]
         for g in ins_parts[1:]:
             ins = ins.unionByName(g)
@@ -1755,36 +1798,15 @@ def _cdc_frame(
             base_parts.append(g)
         if carried_shred:
             # r15 late (lifting the retraction refusal): shredded
-            # carried files enter the retraction base through the
-            # shared group scan — RAW rows (apply_deletes=False: the
-            # in-range deletes DEFINE the dead set the joins below
-            # compute), decoded to the same canonical-JSON surface the
-            # plain side nets on, coordinates preserved
-            from cloudfloe_spark.sources.maintenance import (
-                _FP as _BFP,
-                _POS as _BPOS,
-                _shred_group_scan,
+            # carried files enter the retraction base RAW
+            # (deletes=False: the in-range deletes DEFINE the dead set
+            # the joins below compute), decoded to the same
+            # canonical-JSON surface the plain side nets on
+            base_parts += _shred_frames(
+                carried_shred, s_to,
+                coords=("__cdc_file", "__cdc_pos"),
+                rid=want_rid, deletes=False,
             )
-
-            for spaths, descs in carried_shred:
-                g = _shred_group_scan(
-                    sess, root, s_to, metadata_path, spaths, descs,
-                    physical=False, variant_cols=variant_cols,
-                    extra_footer_cols=(
-                        ["_row_id"] if want_rid else None
-                    ),
-                    apply_deletes=False,
-                )
-                g = g.select(
-                    suffix(F.col(_BFP)).alias("__cdc_file"),
-                    F.col(_BPOS).alias("__cdc_pos"),
-                    *[
-                        c
-                        for c in g.columns
-                        if c not in (_BFP, _BPOS)
-                    ],
-                )
-                base_parts.append(g)
         base = base_parts[0]
         for g in base_parts[1:]:
             base = base.unionByName(g)
@@ -1960,18 +1982,10 @@ def _cdc_frame(
                 rem = _dvc_rem(
                     rem, [c for c in variant_cols if c in rem.columns]
                 )
-        if rem_shred:
-            from cloudfloe_spark.sources.maintenance import (
-                _shred_group_scan,
-            )
-
-            for spaths, descs in rem_shred:
-                g = _shred_group_scan(
-                    sess, root, s_from, metadata_path, spaths, descs,
-                    physical=False, variant_cols=variant_cols,
-                    extra_footer_cols=["_row_id"],
-                )
-                rem = g if rem is None else rem.unionByName(g)
+        for g in _shred_frames(
+            rem_shred, s_from, coords="raw", rid=True
+        ):
+            rem = g if rem is None else rem.unionByName(g)
         rem = rem.withColumn(
             "__cdc_rfile", F.substring_index(F.col(_FP), "/data/", -1)
         )
