@@ -1194,17 +1194,45 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
         ns_cols = im.ns_timestamp_columns(
             im.load_metadata(root, metadata_path)
         )
+        # r15 late: the feed resolves SCHEMA EVOLUTION and v3 DELETION
+        # VECTORS like every other read. Previously (a) appended files
+        # written under pre-rename names either failed to resolve
+        # (plain) or silently NULLED the renamed column (shredded —
+        # the alignment step dropped the old-name data), and (b) a row
+        # appended AND DV-deleted inside the range leaked into the
+        # feed (pos/eq deletes were applied but DVs were not — every
+        # v3 MOR delete commits DVs, so append-then-delete ranges
+        # emitted phantom rows).
+        name_hist = im.schema_name_history(root, metadata_path)
         added_plain, added_shred = list(added), []
         if added and variant_cols:
-            added_plain, added_shred, verr = im.variant_shred_groups(
-                added, variant_cols,
-                name_history=im.schema_name_history(root, metadata_path),
+            added_plain, _sh3, verr = im.variant_shred_groups(
+                added, variant_cols, name_history=name_hist,
+                resolve_renames=True,
             )
             if verr:
                 raise bad_request(
                     "iceberg_changes: variant read failed: "
                     + "; ".join(sorted(set(verr)))
                 )
+            added_shred = [(sp, d) for sp, d, _ in _sh3]
+        added_groups = (
+            im.scan_groups(
+                root, added_plain, metadata_path,
+                variant_as="physical", ns_as="physical",
+            )
+            if added_plain
+            else []
+        )
+        dv_added = []
+        if added:
+            _asufs = {p.rsplit("/data/", 1)[-1] for p in added}
+            dv_added = [
+                r
+                for r in im.deletion_vector_records(root, s_to)
+                if r["referenced_data_file"].rsplit("/data/", 1)[-1]
+                in _asufs
+            ]
     except im.IcebergMetadataError as e:
         raise bad_request(f"Iceberg read failed: {e}") from None
     name = _view_name("changes", root, (from_id, to_id))
@@ -1215,59 +1243,70 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
             decode_variant_columns as _dvc,
         )
 
-        def _feed(paths, descs):
-            d = sess.read.parquet(*paths)
+        # every part aligns to the table schema (mixed footer shapes)
+        read_pairs = im.schema_read_pairs(
+            root, metadata_path,
+            variant_as="string", ns_as="physical",
+        )
+
+        def _aligned(d):
+            return d.select(
+                *[
+                    F.lit(None).cast(_ct).alias(_cn)
+                    if _cn not in d.columns
+                    else F.col(_cn).cast(_ct).alias(_cn)
+                    for _cn, _ct in read_pairs
+                ]
+            )
+
+        parts = []
+        for gpaths, grenames, gddl, gfills in added_groups:
+            rd = sess.read.schema(gddl) if gddl else sess.read
+            d = rd.parquet(*gpaths)
+            for _fc, (_fv, _ft) in (gfills or {}).items():
+                d = d.withColumn(_fc, F.lit(_fv).cast(_ft))
             if pos_deletes:
                 d = _apply_position_deletes(sess, d, pos_deletes)
+            if dv_added:
+                d = _apply_deletion_vectors(sess, d, dv_added)
             if eq_deletes:
                 d = _apply_equality_deletes(
-                    sess, d, eq_deletes, field_names, file_seqs
+                    sess, d, eq_deletes, field_names, file_seqs,
+                    renames=grenames, name_history=name_hist,
                 )
-            if descs:
-                # r13: SHREDDED appends (a foreign shredding writer's
-                # files) reassemble to the same canonical-JSON surface
-                from cloudfloe_spark.functions.variant import (
-                    decode_shredded_variant_columns,
-                )
-
-                d = decode_shredded_variant_columns(d, descs)
+            if grenames:
+                d = d.withColumnsRenamed(grenames)
             if variant_cols:
                 plain_vc = [
-                    c
-                    for c in variant_cols
-                    if c in d.columns and c not in (descs or {})
+                    c for c in variant_cols if c in d.columns
                 ]
                 if plain_vc:
                     d = _dvc(d, plain_vc)
-            return d
-
+            parts.append(_aligned(d))
         if added_shred:
-            # mixed footer shapes: align every part to the table schema
-            read_pairs = im.schema_read_pairs(
-                root, metadata_path,
-                variant_as="string", ns_as="physical",
+            from cloudfloe_spark.sources.maintenance import (
+                _FP as _CFP,
+            )
+            from cloudfloe_spark.sources.maintenance import (
+                _POS as _CPOS,
+            )
+            from cloudfloe_spark.sources.maintenance import (
+                _shred_group_scan,
             )
 
-            def _aligned(d):
-                return d.select(
-                    *[
-                        F.lit(None).cast(_ct).alias(_cn)
-                        if _cn not in d.columns
-                        else F.col(_cn).cast(_ct).alias(_cn)
-                        for _cn, _ct in read_pairs
-                    ]
-                )
-
-            parts = []
-            if added_plain:
-                parts.append(_aligned(_feed(added_plain, None)))
+            _fills = im.schema_default_fills(
+                im.load_metadata(root, metadata_path)
+            )
             for spaths, descs in added_shred:
-                parts.append(_aligned(_feed(spaths, descs)))
-            df = parts[0]
-            for p_ in parts[1:]:
-                df = df.unionByName(p_)
-        else:
-            df = _feed(added_plain, None)
+                g = _shred_group_scan(
+                    sess, root, s_to, metadata_path, spaths, descs,
+                    physical=False, variant_cols=variant_cols,
+                    hist=name_hist, fills=_fills,
+                ).drop(_CFP, _CPOS)
+                parts.append(_aligned(g))
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
         df = _surface_ns(df, ns_cols)
     else:  # no files appended in the range — zero rows, right columns
         df = sess.createDataFrame([], schema_ddl)

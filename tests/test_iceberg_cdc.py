@@ -913,3 +913,79 @@ def test_cdc_net_view_still_refuses_cow_range(spark, table):
             spark,
             f"SELECT * FROM iceberg_cdc('{root}', {snaps[0]}, {snaps[-1]})",
         )
+
+
+def test_changes_feed_resolves_renames_and_applies_dvs(spark, tmp_path):
+    """r15 late REGRESSIONS (found live): the append feed
+    (``iceberg_changes``) (1) failed to resolve appended files written
+    under PRE-RENAME column names (plain files errored at query time;
+    shredded files silently NULLED the renamed column), and (2) never
+    applied v3 DELETION VECTORS — a row appended and MOR-deleted inside
+    the range leaked into the feed (every v3 MOR delete commits DVs,
+    so append-then-delete ranges emitted phantom rows). The feed now
+    resolves appended files through scan_groups and applies the DVs
+    that reference them."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cloudfloe_spark.sources import iceberg_meta as im
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+        rename_column_on_disk,
+    )
+
+    # (1) rename, then an OLD-schema writer appends
+    root = str(tmp_path / "chren")
+    t = LocalIcebergTable(
+        root, pa.schema([("id", pa.int64()), ("x", pa.string())])
+    )
+    t.append_snapshot(
+        [pa.table({"id": [0, 1], "x": ["a", "b"]})], timestamp_ms=T1
+    )
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    rename_column_on_disk(root, "id", "doc_id", timestamp_ms=T1 + 500)
+    ap = os.path.join(root, "data", "old-name-append.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([9], pa.int64()), "x": pa.array(["z"])}
+        ),
+        ap,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(ap, 1)], timestamp_ms=T1 + 1000
+    )
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT doc_id, x FROM iceberg_changes('{root}', {s0}, {s1})",
+    )
+    assert got == [(9, "z")]
+
+    # (2) append then MOR-delete (a DV on the added file) in one range
+    root2 = str(tmp_path / "chdv")
+    t2 = LocalIcebergTable(
+        root2, pa.schema([("id", pa.int64()), ("x", pa.string())]),
+        row_lineage=True,
+    )
+    t2.append_snapshot(
+        [pa.table({"id": [0, 1], "x": ["a", "b"]})], timestamp_ms=T1
+    )
+    s0 = im.resolve_snapshot(root2)["snapshot-id"]
+    ap2 = os.path.join(root2, "data", "newrows.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([5, 6], pa.int64()),
+             "x": pa.array(["p", "q"])}
+        ),
+        ap2,
+    )
+    commit_row_delta_snapshot(
+        root2, new_data_files=[(ap2, 2)], timestamp_ms=T1 + 600
+    )
+    delete_where(spark, root2, "id = 5", timestamp_ms=T1 + 1000)
+    s1 = im.resolve_snapshot(root2)["snapshot-id"]
+    got = _rows(
+        spark, f"SELECT id FROM iceberg_changes('{root2}', {s0}, {s1})"
+    )
+    assert sorted(r[0] for r in got) == [6]

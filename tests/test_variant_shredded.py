@@ -703,6 +703,45 @@ def test_changes_feed_reads_shredded_appends(spark, tmp_path):
     ]
 
 
+def test_changes_feed_resolves_renamed_shredded_appends(
+    spark, tmp_path
+):
+    """r15 late REGRESSION (found live): a shredded file appended by an
+    OLD-schema writer after a rename silently NULLED the renamed column
+    in the append feed — the alignment step dropped the old-name data
+    instead of renaming it. The feed's shredded side now resolves
+    write-time names through the shared group scan."""
+    import os
+
+    from cloudfloe_spark.sources.iceberg_fixture import (
+        commit_row_delta_snapshot,
+        rename_column_on_disk,
+    )
+
+    root, _t = _shredded_table(tmp_path, OBJS[:2], SHRED, name="feedren")
+    s0 = im.resolve_snapshot(root)["snapshot-id"]
+    rename_column_on_disk(root, "id", "doc_id", timestamp_ms=T1 + 500)
+    ap = os.path.join(root, "data", "old-name-shred.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([9], pa.int64()),
+                "v": shred_rows(OBJS[4:5], SHRED),
+            }
+        ),
+        ap,
+    )
+    commit_row_delta_snapshot(
+        root, new_data_files=[(ap, 1)], timestamp_ms=T1 + 1000
+    )
+    s1 = im.resolve_snapshot(root)["snapshot-id"]
+    got = _rows(
+        spark,
+        f"SELECT doc_id, v FROM iceberg_changes('{root}', {s0}, {s1})",
+    )
+    assert got == [(9, _expected_json(OBJS[4:5])[0])]
+
+
 def test_equality_delete_over_shredded_files(spark, tmp_path):
     """r15 (VERDICT r14 #4): an equality-delete manifest applies over
     SHREDDED data files exactly like plain ones — sequence-ordered, on
