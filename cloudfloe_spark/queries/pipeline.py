@@ -97,22 +97,36 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages run in this order at scale."""
     d = load_table(spark, sf_dir, "documents")
 
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    keepers = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
-    scored = keepers.select(
+    # r15 optimization (guide §2.3 — shuffle metadata, not payloads): the
+    # r14 shape shuffled the FULL text through the fingerprint window to
+    # pick each group's min-doc_id row, then scored the keepers. Duplicate
+    # copies have identical text, so scoring is fingerprint-constant —
+    # score FIRST as a pure projection, then reduce each fingerprint group
+    # with a map-side-combinable min_by over narrow columns. Only
+    # (fp, doc_id, quality, lang) cross the exchange, no window sort, and
+    # min_by(struct, doc_id) picks exactly the row the rn=1 window picked.
+    # Measured 1.42 s → 0.96 s at sf0.1; identical output.
+    scored_all = d.select(
         "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang_pred"),
+    )
+    keepers = (
+        scored_all.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "quality", "lang_pred"), F.col("doc_id")
+            ).alias("k")
+        )
+        .select("k.doc_id", "k.quality", "k.lang_pred")
+    )
+    scored = keepers.withColumn(
+        "split",
         F.when(
             portable_hash64(F.col("doc_id").cast("string")) % 100 < _TRAIN_PCT,
             F.lit("train"),
-        )
-        .otherwise(F.lit("eval"))
-        .alias("split"),
+        ).otherwise(F.lit("eval")),
     )
     return (
         scored.filter(

@@ -788,29 +788,34 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(doc_id) with an ordered collect over each doc's own
     bounded segment list. Three shuffles total, all on hashable keys."""
     d = load_table(spark, sf_dir, "documents")
-    w = words(F.col("text"))
-    segs = (
-        d.select(
-            "doc_id",
-            F.posexplode(
-                # Empty/whitespace-only doc guard: size(w)=0 would make
-                # sequence(0, -1) = [0, -1] in Spark (a descending 2-step
-                # range) while SQL GENERATE_SERIES(0,-1) is empty — emit no
-                # segments for empty docs, matching the oracle.
-                F.when(
-                    F.size(w) > 0,
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.ceil(F.size(w) / float(_SEG_LEN)).cast("int") - 1,
-                        ),
-                        lambda i: F.array_join(
-                            F.slice(w, i * _SEG_LEN + 1, _SEG_LEN), " "
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("pos", "seg"),
-        )
+
+    def _segments(w):
+        # Empty/whitespace-only doc guard: size(w)=0 would make
+        # sequence(0, -1) = [0, -1] in Spark (a descending 2-step
+        # range) while SQL GENERATE_SERIES(0,-1) is empty — emit no
+        # segments for empty docs, matching the oracle.
+        return F.when(
+            F.size(w) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(w) / float(_SEG_LEN)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(w, i * _SEG_LEN + 1, _SEG_LEN), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # The word array is let-bound: F.slice(w, ...) inside the per-segment
+    # lambda re-evaluates w per element, so the naive form re-ran the
+    # whitespace split once per segment (guide §1.2 step 2 — measured
+    # 1.21 s → 0.22 s for the segment projection alone at sf0.1).
+    from cloudfloe_spark.functions.text import let
+
+    segs = d.select(
+        "doc_id",
+        F.posexplode(let(words(F.col("text")), _segments)).alias("pos", "seg"),
     )
     boiler = (
         segs.groupBy("seg")
