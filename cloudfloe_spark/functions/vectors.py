@@ -33,6 +33,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_cast(a: Column, b: Column) -> Column:
+    """``cosine(as_double(a), as_double(b))`` with both casts LET-BOUND.
+
+    ``cosine`` references each argument from four HOF lambda positions
+    (dot + two norms), and Catalyst re-evaluates a non-lambda-variable
+    subtree at every reference — with inline casts, each 64-float array
+    was converted to double ~4× per row. Binding the casts once keeps
+    the arithmetic (and the summation order) bit-identical while paying
+    the conversion once per side (r15; guide §1.2 step 2).
+    """
+    from cloudfloe_spark.functions.text import let
+
+    return let(
+        as_double(a), lambda ad: let(as_double(b), lambda bd: cosine(ad, bd))
+    )
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin of ``cosine`` with identical summation order
     (list_cosine_similarity matches within rounding; spelled explicitly so

@@ -432,12 +432,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (near-random vectors rarely exceed 0.5 cosine) so the
     differential check compares real rows, not two empty sets; a
     production near-dup pass would use ~0.9 on model embeddings."""
-    from cloudfloe_spark.functions.vectors import as_double, cosine
+    from cloudfloe_spark.functions.vectors import cosine_cast
 
     e = load_table(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding")))
+    cos = cosine_cast(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
@@ -822,18 +822,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     imbalance is the knob k controls at corpus scale (reference behavior:
     cloudfloe exposes no vector ops — this extends the engine for
     training-data curation)."""
-    from cloudfloe_spark.functions.vectors import as_double, cosine
+    from cloudfloe_spark.functions.text import let
+    from cloudfloe_spark.functions.vectors import as_double, cosine, cosine_cast
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = (
         e.filter(F.col("vec_id") < _SEM_K)
         .select(F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cvec"))
     )
+    # The embedding cast is let-bound (cvec is already double): cosine
+    # references its argument from four HOF lambdas, re-casting per
+    # reference otherwise (r15).
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cid",
-        cosine(as_double(F.col("embedding")), F.col("cvec")).alias("ccos"),
+        let(
+            as_double(F.col("embedding")),
+            lambda ed: cosine(ed, F.col("cvec")),
+        ).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     assigned = (
@@ -850,7 +857,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding")))
+            cosine_cast(F.col("a.embedding"), F.col("b.embedding"))
             >= _SEM_TAU
         )
         .select(F.col("b.vec_id").alias("dup_id"))
