@@ -182,30 +182,50 @@ def _membership(stopwords: tuple[str, ...]):
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    """Fraction of words that are (English) stopwords."""
-    ws = words(F.lower(col))
-    hits = F.size(F.filter(ws, _membership(stopwords)))
-    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(0.0)
+    """Fraction of words that are (English) stopwords.
+
+    The word array is let-bound (r15): higher-order functions are
+    codegen-fallback, so the three references re-ran the split otherwise."""
+
+    def body(ws: Column) -> Column:
+        hits = F.size(F.filter(ws, _membership(stopwords)))
+        return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(0.0)
+
+    return let(words(F.lower(col)), body)
 
 
 def mean_word_length(col: Column) -> Column:
-    ws = words(col)
-    total = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-    )
-    return F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(0.0)
+    def body(ws: Column) -> Column:
+        total = F.aggregate(
+            F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        return F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(0.0)
+
+    return let(words(col), body)
 
 
 def quality_score(col: Column) -> Column:
     """Heuristic document quality in [0,1]: rewards mid-length docs, plausible
     word lengths, low punctuation noise. Deterministic closed form so the
-    DuckDB oracle can reproduce it exactly."""
-    n_words = word_count(col).cast("double")
-    len_score = F.least(n_words / 50.0, F.lit(1.0))
-    mwl = mean_word_length(col)
-    wl_score = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
-    punct_score = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
-    return F.round((len_score + wl_score + punct_score) / 3.0, 4)
+    DuckDB oracle can reproduce it exactly.
+
+    One let-bound split serves the length score and the mean-word-length
+    score (r15 — the naive composition tokenized the document ~3× per
+    row; HOF subtrees are codegen-fallback, so Catalyst's subexpression
+    elimination never deduplicated them)."""
+
+    def body(ws: Column) -> Column:
+        n_words = F.size(ws).cast("double")
+        len_score = F.least(n_words / 50.0, F.lit(1.0))
+        total = F.aggregate(
+            F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        mwl = F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(0.0)
+        wl_score = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
+        punct_score = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+        return F.round((len_score + wl_score + punct_score) / 3.0, 4)
+
+    return let(words(col), body)
 
 
 def lang_scores(col: Column) -> dict[str, Column]:

@@ -1169,8 +1169,13 @@ def text_within_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are row-local array ops; the bigram tally shuffles on (doc_id, bigram)
     and re-aggregates on doc_id, both combinable, no joins at all."""
     d = load_table(spark, sf_dir, "documents")
-    w = words(F.col("text"))
-    toks = d.select(
+    # Tokenize ONCE into a real column (r15): element_at(w, i) sat inside
+    # the per-bigram lambda, and Catalyst re-evaluates non-lambda
+    # subtrees referenced from a lambda per element — the naive form
+    # re-ran the whitespace split once per bigram slot.
+    with_w = d.select("doc_id", words(F.col("text")).alias("w"))
+    w = F.col("w")
+    toks = with_w.select(
         "doc_id",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
