@@ -153,8 +153,13 @@ def decode_media_batch(real_decode: bool = False):
 
 
 def decode_media(media: DataFrame, *, real_decode: bool = False) -> DataFrame:
-    """Decode payloads into typed metadata via Arrow-batched mapInPandas."""
-    return media.mapInPandas(
+    """Decode payloads into typed metadata via Arrow-batched mapInPandas.
+
+    Only the three columns the decode function reads cross the Python
+    boundary (r15, guide §4.1): mapInPandas is opaque to Catalyst, so
+    without the explicit select every column of ``media`` — uri, format,
+    size — would be Arrow-serialized into the worker and dropped there."""
+    return media.select("doc_id", "media_type", "content").mapInPandas(
         decode_media_batch(real_decode=real_decode), schema=DECODED_SCHEMA
     )
 
