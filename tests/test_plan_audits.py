@@ -737,3 +737,60 @@ def test_haversine_nearest_is_jvm_only_single_exchange(spark, sf_dir):
     # data-dependent
     assert shuffle_count(df) <= 2, plan
     assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_q21_single_lineitem_exchange_before_window(spark, sf_dir):
+    """r15 optimization: q21 repartitions on l_orderkey ALONE before the
+    (orderkey, suppkey) aggregate, so one REPARTITION_BY_COL exchange
+    serves both the two-key groupBy and the order-partitioned window —
+    the r14 shape paid a second hashpartitioning(l_orderkey) exchange
+    between them."""
+    df = CATALOG["q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "REPARTITION_BY_COL" in plan, plan
+    # no exchange keyed on the two-column aggregate key anywhere
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    import re
+
+    two_key = re.search(r"hashpartitioning\(l_orderkey#\d+L,\s*l_suppkey", plan)
+    assert two_key is None, plan
+
+
+def test_curation_summary_min_by_no_text_window(spark, sf_dir):
+    """r15 optimization: the curation pipeline's exact-dedup reduction is
+    a map-side-combinable min_by over (fp, doc_id, quality, lang) — the
+    r14 shape shuffled the FULL document text through a fingerprint
+    window. Pins: no Window node, a partial min_by combiner, and no
+    `text` column crossing any exchange."""
+    df = CATALOG["curation_pipeline_summary"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "min_by" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_decode_media_boundary_carries_three_columns(spark, sf_dir):
+    """r15 optimization (guide §4.1): decode_media ships only
+    (doc_id, media_type, content) across the Python boundary —
+    mapInPandas is opaque to Catalyst, so without the explicit select the
+    uri/format/size columns would be Arrow-serialized into the worker
+    and dropped there."""
+    from cloudfloe_spark.functions.multimodal import (
+        decode_media,
+        with_fake_media,
+    )
+
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = decode_media(with_fake_media(docs))
+    plan = executed_plan(df)
+    # the detail section: "(n) MapInPandas\nInput [k]: [...]"
+    m = re.search(r"\(\d+\) MapInPandas\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    n_cols, cols = int(m.group(1)), m.group(2)
+    assert n_cols == 3, plan
+    assert "content#" in cols and "media_type#" in cols and "doc_id#" in cols, cols
+    assert "uri#" not in cols and "size_bytes#" not in cols, cols
