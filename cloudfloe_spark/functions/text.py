@@ -49,13 +49,21 @@ def char_ngrams(col: Column, n: int) -> Column:
     The normalized string is let-bound: a subexpression referenced inside
     a higher-order-function lambda is re-evaluated per element, so the
     naive form re-ran the regexp normalization once per n-gram (r15
-    optimization; see :func:`let`)."""
+    optimization; see :func:`let`).
+
+    Texts shorter than ``n`` return an EMPTY array (r16, ADVICE r15):
+    ``sequence(1, 0)`` is the DESCENDING [1, 0], so the unguarded form
+    emitted two bogus duplicate n-grams for short texts — silent wrong
+    output that would diverge from a GENERATE_SERIES-based oracle."""
 
     def body(s: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
-            lambda i: F.substring(s, i, F.lit(n)),
-        )
+        return F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                lambda i: F.substring(s, i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     return let(normalize_text(col), body)
 
@@ -69,14 +77,22 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     per-shingle lambda, and Catalyst re-evaluates non-lambda subtrees
     referenced from a lambda once PER ELEMENT — the naive form re-ran the
     whitespace split once per shingle (r15 optimization, measured ~10% on
-    the minhash signature pass and ~5× on the segmenter's sibling)."""
+    the minhash signature pass and ~5× on the segmenter's sibling).
+
+    Docs with fewer than ``k`` words return an EMPTY array (r16, ADVICE
+    r15): ``sequence(1, greatest(size-k+1, 0))`` yields the DESCENDING
+    [1, 0] for short docs and ``slice(ws, 0, k)`` then throws
+    INVALID_PARAMETER_VALUE.START — the same trap the r15 diff guarded in
+    text_boilerplate_segments, now guarded at the source."""
 
     def body(ws: Column) -> Column:
-        n_shingles = F.greatest(F.size(ws) - (k - 1), F.lit(0))
-        return F.transform(
-            F.sequence(F.lit(1), n_shingles),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
-        )
+        return F.when(
+            F.size(ws) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     return let(words(col), body)
 

@@ -42,3 +42,44 @@ def test_portable_hash64_matches_duckdb(spark, strings, seed):
             f"SELECT {portable_hash_sql('?', seed=seed)}", [s]
         ).fetchone()[0]
         assert got[s] == want, (s, seed, got[s], want)
+
+
+# --- short-input guards (r16, ADVICE r15) ------------------------------------
+# sequence(1, 0) is the DESCENDING [1, 0]: unguarded, word_shingles threw
+# INVALID_PARAMETER_VALUE.START on docs with < k words and char_ngrams
+# silently emitted two bogus duplicate n-grams on texts shorter than n.
+
+
+def test_word_shingles_short_doc_empty(spark):
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.functions.text import word_shingles
+
+    rows = spark.createDataFrame(
+        [("two words",), ("one",), ("",), ("exactly three words",),
+         ("now four words here",)],
+        "text string",
+    ).select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert [r["sh"] for r in rows] == [
+        [],
+        [],
+        [],
+        ["exactly three words"],
+        ["now four words", "four words here"],
+    ]
+
+
+def test_char_ngrams_short_text_empty(spark):
+    from pyspark.sql import functions as F
+
+    from cloudfloe_spark.functions.text import char_ngrams
+
+    rows = spark.createDataFrame(
+        [("a b",), ("",), ("abcde",), ("abcdef",)], "text string"
+    ).select(char_ngrams(F.col("text"), 5).alias("ng")).collect()
+    assert [r["ng"] for r in rows] == [
+        [],
+        [],
+        ["abcde"],
+        ["abcde", "bcdef"],
+    ]
