@@ -53,7 +53,9 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import os
 import re
+import weakref
 
 from cloudfloe_spark.service.convert import CATALOG_NAME, _sub_outside_literals
 from cloudfloe_spark.service.errors import bad_request
@@ -192,6 +194,48 @@ def _view_name(kind: str, root: str, extra: object = None) -> str:
     return f"cf_ice_{kind}_{digest}"
 
 
+#: Per-session registry of the CONTENT KEY each resolver view name is
+#: currently registered under (r16, VERDICT r15 #2). Re-resolving the
+#: same immutable snapshot re-built the whole view every invocation —
+#: re-reading parquet footers through ``sess.read`` (the dominant
+#: driver-side cost: ~0.15 s of schema inference per reader call),
+#: re-decoding deletion vectors, and re-registering an identical temp
+#: view. The registry skips the rebuild when the resolved state is
+#: byte-identical: keys pin the resolved metadata file (path + local
+#: mtime/size — a rebuilt fixture at the same path misses), the snapshot
+#: id, and every content-shaping argument. This caches LOGICAL PLANS
+#: within one session only — no data, nothing across runs; a new commit
+#: resolves to a new metadata file and therefore a new key.
+_VIEW_REGISTRY: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _view_registry(sess) -> dict:
+    try:
+        reg = _VIEW_REGISTRY.get(sess)
+        if reg is None:
+            reg = {}
+            _VIEW_REGISTRY[sess] = reg
+        return reg
+    except TypeError:  # exotic session object that cannot be weakly referenced
+        return {}
+
+
+def _meta_signature(metadata_path) -> tuple:
+    """Identity of the resolved metadata file: (path, mtime_ns, size) for
+    local files — a fixture rebuilt at the same path must miss the view
+    registry — and path-only for remote schemes (Iceberg version files
+    are immutable; commits write new ones)."""
+    p = str(metadata_path)
+    lp = p[len("file://"):] if p.startswith("file://") else p
+    if lp.startswith("/"):
+        try:
+            st = os.stat(lp)
+            return (p, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return (p, None, None)
+    return (p,)
+
+
 def _snapshot_view(
     sess,
     root: str,
@@ -228,6 +272,28 @@ def _snapshot_view(
             timestamp_ms=_parse_ts_ms(ts_text) if ts_text else None,
             metadata_path=metadata_path,
         )
+        # Registry fast path (r16): the view for this exact resolved state
+        # is already registered in this session — return it without
+        # re-reading manifests, re-inferring parquet schemas, or
+        # re-registering an identical plan. Everything that shapes the
+        # view's content is in the key.
+        reg = _view_registry(sess)
+        reg_name = view_name or _view_name(
+            "scan", root, (snap.get("snapshot-id"), geo_prune)
+        )
+        reg_key = (
+            "scan",
+            root,
+            _meta_signature(metadata_path),
+            snap.get("snapshot-id"),
+            str(version),
+            str(ts_text),
+            repr(prune_conjuncts),
+            repr(sorted(typed_paths.items())) if typed_paths else None,
+            repr(geo_prune),
+        )
+        if reg.get(reg_name) == reg_key:
+            return reg_name
         if im.unreadable_equality_deletes(root, snap, metadata_path):
             # Equality deletes whose field ids don't resolve (or v1-era
             # files with no equality_ids at all) cannot be applied —
@@ -462,6 +528,9 @@ def _snapshot_view(
     if paths:
         from pyspark.sql import functions as F
 
+        # Shared per-resolve delete state (r16): position-delete and
+        # deletion-vector frames build once and serve every file group.
+        dctx: dict = {}
         parts = []
         for gpaths, renames, read_ddl, default_fills in groups:
             # Sub-group by identity-partition tuple so each sub-group can
@@ -501,9 +570,14 @@ def _snapshot_view(
                 # pseudo-columns of the fresh scan, and equality-delete
                 # value columns translate into each group's on-disk names.
                 if pos_deletes:
-                    gdf = _apply_position_deletes(sess, gdf, pos_deletes)
+                    gdf = _apply_position_deletes(
+                        sess, gdf, pos_deletes, ctx=dctx
+                    )
                 if dv_records:
-                    gdf = _apply_deletion_vectors(sess, gdf, dv_records)
+                    gdf = _apply_deletion_vectors(
+                        sess, gdf, dv_records, ctx=dctx,
+                        group_paths=spaths,
+                    )
                 if eq_deletes:
                     gdf = _apply_equality_deletes(
                         sess, gdf, eq_deletes, field_names, file_seqs,
@@ -568,9 +642,14 @@ def _snapshot_view(
                     if _fc not in present:
                         gdf = gdf.withColumn(_fc, F.lit(_fv).cast(_ft))
                 if pos_deletes:
-                    gdf = _apply_position_deletes(sess, gdf, pos_deletes)
+                    gdf = _apply_position_deletes(
+                        sess, gdf, pos_deletes, ctx=dctx
+                    )
                 if dv_records:
-                    gdf = _apply_deletion_vectors(sess, gdf, dv_records)
+                    gdf = _apply_deletion_vectors(
+                        sess, gdf, dv_records, ctx=dctx,
+                        group_paths=spaths,
+                    )
                 if eq_deletes:
                     gdf = _apply_equality_deletes(
                         sess, gdf, eq_deletes, field_names, file_seqs,
@@ -660,6 +739,7 @@ def _snapshot_view(
             ddl += f", `{_h}` {_vget_spark_type(_st)}"
         df = sess.createDataFrame([], ddl)
     df.createOrReplaceTempView(name)
+    reg[name] = reg_key
     return name
 
 
@@ -799,7 +879,9 @@ def _stats_broadcast_hint(sess, df, root, snap, metadata_path):
     return df
 
 
-def _apply_position_deletes(sess, data, delete_paths: list[str]):
+def _apply_position_deletes(
+    sess, data, delete_paths: list[str], ctx: dict | None = None
+):
     """Merge-on-read for Iceberg v2 position deletes, no runtime jar
     needed: a position-delete file is plain parquet ``(file_path, pos)``,
     and Spark's parquet source exposes exactly the matching coordinates as
@@ -817,14 +899,23 @@ def _apply_position_deletes(sess, data, delete_paths: list[str]):
     def suffix(col):
         return F.substring_index(col, "/data/", -1)
 
-    dels = (
-        sess.read.parquet(*delete_paths)
-        .select(
-            suffix(F.col("file_path")).alias("__cf_del_file"),
-            F.col("pos").alias("__cf_del_pos"),
+    # One delete frame per resolve (r16): each file group's anti-join
+    # reuses the same DataFrame object, so the broadcast/distinct
+    # subtree canonicalizes identically and ReuseExchange builds it once
+    # instead of once per group.
+    if ctx is not None and "pos_frame" in ctx:
+        dels = ctx["pos_frame"]
+    else:
+        dels = (
+            sess.read.parquet(*delete_paths)
+            .select(
+                suffix(F.col("file_path")).alias("__cf_del_file"),
+                F.col("pos").alias("__cf_del_pos"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+        if ctx is not None:
+            ctx["pos_frame"] = dels
     keyed = data.withColumns(
         {
             "__cf_file": suffix(F.col("_metadata.file_path")),
@@ -845,13 +936,51 @@ def _apply_position_deletes(sess, data, delete_paths: list[str]):
 #: so 8 MB ≈ ≥4M positions)
 _DV_DRIVER_DECODE_MAX_BYTES = 8 * 1024 * 1024
 
+#: below this many driver-decoded positions the MOR mask is inlined as a
+#: literal scan filter (file == suffix AND pos IN (...)) instead of a
+#: broadcast anti-join — no delete-side scan, no broadcast exchange, no
+#: join node. InSet evaluation is O(1)/row; past the threshold the plan
+#: string and driver literal handling stop being worth it and the shared
+#: broadcast anti-join takes over (r16, VERDICT r15 #1).
+_DV_LITERAL_FILTER_MAX_POSITIONS = 10_000
 
-def _apply_deletion_vectors(sess, data, dv_records: list[dict]):
+
+def _dv_decode_driver(dv_records: list[dict]) -> dict:
+    """All Puffin blobs decoded once per resolve → ``{file suffix:
+    sorted unique positions}`` (r16: this used to run once PER FILE
+    GROUP, re-seeking every blob and rebuilding the delete frame for
+    each arm of the union)."""
+    from cloudfloe_spark.sources import puffin
+
+    by_suffix: dict = {}
+    for r in dv_records:
+        try:
+            positions = puffin.read_deletion_vector(
+                r["path"], r["offset"], r["length"]
+            )
+        except (OSError, puffin.PuffinError) as e:
+            raise bad_request(
+                f"Iceberg v3 deletion vector unreadable: {e}"
+            ) from None
+        suf = r["referenced_data_file"].rsplit("/data/", 1)[-1]
+        if positions:
+            by_suffix.setdefault(suf, set()).update(
+                int(p) for p in positions
+            )
+    return {s: sorted(ps) for s, ps in by_suffix.items()}
+
+
+def _apply_deletion_vectors(
+    sess, data, dv_records: list[dict], ctx: dict | None = None,
+    group_paths=None,
+):
     """Merge-on-read for Iceberg v3 DELETION VECTORS (r10 stretch): each
-    record names one data file's Puffin blob; the bitmaps decode into
-    (file suffix, pos) rows applied through the same anti-join as v2
-    position deletes. Small delete sets decode DRIVER-side (one seek per
-    blob, no Python-worker round trip); past
+    record names one data file's Puffin blob. Small delete sets decode
+    DRIVER-side once per resolve (``ctx`` carries the decoded state
+    across file groups — r16); tiny ones apply as a literal scan filter,
+    the rest through ONE shared broadcast anti-join frame (Python-side
+    dedupe replaces the old per-group ``.distinct()`` exchange, and a
+    group whose files carry no DV skips the join entirely). Past
     ``_DV_DRIVER_DECODE_MAX_BYTES`` of combined blob bytes the decode
     runs ON THE EXECUTORS — one task per vector reads its own blob from
     shared storage and emits that file's positions, so the deleted-row
@@ -859,28 +988,83 @@ def _apply_deletion_vectors(sess, data, dv_records: list[dict]):
     (the v2 path's scale shape, where delete parquet is executor-read)."""
     from pyspark.sql import functions as F
 
-    from cloudfloe_spark.sources import puffin
+    if ctx is None:
+        ctx = {}
+    # Group pruning (both decode paths): every DV record names its data
+    # file, so a group that contains none of the referenced files needs
+    # no delete machinery at all.
+    if group_paths is not None:
+        if "suffixes" not in ctx:
+            ctx["suffixes"] = {
+                r["referenced_data_file"].rsplit("/data/", 1)[-1]
+                for r in dv_records
+            }
+        gsufs = {str(p).rsplit("/data/", 1)[-1] for p in group_paths}
+        hit = gsufs & ctx["suffixes"]
+        if not hit:
+            return data
+    else:
+        hit = None
 
     total = sum(int(r["length"]) for r in dv_records)
     if total <= _DV_DRIVER_DECODE_MAX_BYTES:
-        rows = []
-        for r in dv_records:
-            try:
-                positions = puffin.read_deletion_vector(
-                    r["path"], r["offset"], r["length"]
-                )
-            except (OSError, puffin.PuffinError) as e:
-                raise bad_request(
-                    f"Iceberg v3 deletion vector unreadable: {e}"
-                ) from None
-            suf = r["referenced_data_file"].rsplit("/data/", 1)[-1]
-            rows.extend((suf, int(p)) for p in positions)
-        if not rows:
+        if "by_suffix" not in ctx:
+            ctx["by_suffix"] = _dv_decode_driver(dv_records)
+        by_suffix = ctx["by_suffix"]
+        if not by_suffix:
             return data
-        dels = sess.createDataFrame(
-            rows, "__cf_del_file STRING, __cf_del_pos BIGINT"
-        ).distinct()
-        dels = F.broadcast(dels)
+        if hit is not None and not (hit & by_suffix.keys()):
+            return data  # every DV touching this group is empty
+        n_pos = sum(len(ps) for ps in by_suffix.values())
+        if n_pos <= _DV_LITERAL_FILTER_MAX_POSITIONS:
+            # Literal mask: keep rows whose (file, pos) is not deleted.
+            # Only suffixes present in this group contribute terms.
+            rel = {
+                s: ps
+                for s, ps in by_suffix.items()
+                if hit is None or s in hit
+            }
+            if not rel:
+                return data
+            fcol = F.substring_index(
+                F.col("_metadata.file_path"), "/data/", -1
+            )
+            pcol = F.col("_metadata.row_index")
+            drop = None
+            for s, ps in sorted(rel.items()):
+                term = (fcol == F.lit(s)) & pcol.isin(ps)
+                drop = term if drop is None else (drop | term)
+            return data.filter(~drop)
+        if "frame" not in ctx:
+            # One shared Arrow-backed frame for the whole resolve —
+            # deduped driver-side (no ``.distinct()`` exchange), reused
+            # by every group's anti-join so the broadcast builds once
+            # (ReuseExchange collapses the identical subtrees).
+            import pandas as pd
+
+            files: list = []
+            poss: list = []
+            for s in sorted(by_suffix):
+                ps = by_suffix[s]
+                files.extend([s] * len(ps))
+                poss.extend(ps)
+            ctx["frame"] = F.broadcast(
+                sess.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "__cf_del_file": pd.Series(
+                                files, dtype="object"
+                            ),
+                            "__cf_del_pos": pd.Series(
+                                poss, dtype="int64"
+                            ),
+                        }
+                    )
+                )
+            )
+        dels = ctx["frame"]
+    elif "frame" in ctx:
+        dels = ctx["frame"]
     else:
         refs = sess.createDataFrame(
             [
@@ -984,6 +1168,7 @@ def _apply_deletion_vectors(sess, data, dv_records: list[dict]):
         dels = refs.mapInPandas(
             decode, schema="__cf_del_file STRING, __cf_del_pos BIGINT"
         )
+        ctx["frame"] = dels
     keyed = data.withColumns(
         {
             "__cf_file": F.substring_index(
@@ -1140,6 +1325,19 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
         metadata_path = im.latest_metadata_path(root)
         s_from = _resolve_range_endpoint(root, from_id, metadata_path)
         s_to = _resolve_range_endpoint(root, to_id, metadata_path)
+        # Registry fast path (r16): same session, same metadata file, same
+        # resolved range — the registered view is already this content.
+        reg = _view_registry(sess)
+        reg_name = _view_name("changes", root, (from_id, to_id))
+        reg_key = (
+            "changes",
+            root,
+            _meta_signature(metadata_path),
+            s_from.get("snapshot-id"),
+            s_to.get("snapshot-id"),
+        )
+        if reg.get(reg_name) == reg_key:
+            return reg_name
         seq_from = s_from.get("sequence-number", 0)
         seq_to = s_to.get("sequence-number", 0)
         if seq_to < seq_from:
@@ -1260,15 +1458,20 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
             )
 
         parts = []
+        dctx: dict = {}  # shared delete frames across groups (r16)
         for gpaths, grenames, gddl, gfills in added_groups:
             rd = sess.read.schema(gddl) if gddl else sess.read
             d = rd.parquet(*gpaths)
             for _fc, (_fv, _ft) in (gfills or {}).items():
                 d = d.withColumn(_fc, F.lit(_fv).cast(_ft))
             if pos_deletes:
-                d = _apply_position_deletes(sess, d, pos_deletes)
+                d = _apply_position_deletes(
+                    sess, d, pos_deletes, ctx=dctx
+                )
             if dv_added:
-                d = _apply_deletion_vectors(sess, d, dv_added)
+                d = _apply_deletion_vectors(
+                    sess, d, dv_added, ctx=dctx, group_paths=gpaths
+                )
             if eq_deletes:
                 d = _apply_equality_deletes(
                     sess, d, eq_deletes, field_names, file_seqs,
@@ -1311,6 +1514,7 @@ def _changes_view(sess, root: str, from_id: str, to_id: str) -> str:
     else:  # no files appended in the range — zero rows, right columns
         df = sess.createDataFrame([], schema_ddl)
     df.createOrReplaceTempView(name)
+    reg[name] = reg_key
     return name
 
 
@@ -1728,6 +1932,7 @@ def _cdc_frame(
     ins_lineage = dead_lineage = None
     if added:
         ins_parts = []
+        dctx: dict = {}  # shared delete frames across groups (r16)
         for gpaths, renames, read_ddl, default_fills in added_groups:
             reader = sess.read
             if read_ddl is not None:
@@ -1743,7 +1948,7 @@ def _cdc_frame(
             # columns against on-disk names), exactly as the read path
             if pos_new:
                 g = _apply_position_deletes(
-                    sess, g, [r["path"] for r in pos_new]
+                    sess, g, [r["path"] for r in pos_new], ctx=dctx
                 )
             if dv_to_records:
                 # a row added in range then DV-deleted in range must not
@@ -1756,7 +1961,9 @@ def _cdc_frame(
                     in added_sufs
                 ]
                 if dv_added:
-                    g = _apply_deletion_vectors(sess, g, dv_added)
+                    g = _apply_deletion_vectors(
+                        sess, g, dv_added, ctx=dctx, group_paths=gpaths
+                    )
             if eq_new:
                 g = _apply_equality_deletes(
                     sess, g, eq_new, field_names,
@@ -2212,9 +2419,27 @@ def _cdc_view(
     sess, root: str, from_id: str, to_id: str, key_cols: str | None = None
 ) -> str:
     name = _view_name("cdc", root, (from_id, to_id, key_cols))
+    # Registry fast path (r16): the CDC frame is a function of the current
+    # metadata file and the range spelling — skip the (multi-join) frame
+    # rebuild when this session already registered exactly that.
+    try:
+        reg = _view_registry(sess)
+        reg_key = (
+            "cdc",
+            root,
+            _meta_signature(im.latest_metadata_path(root)),
+            from_id,
+            to_id,
+            key_cols,
+        )
+    except im.IcebergMetadataError:
+        reg, reg_key = {}, object()  # unreadable root: let _cdc_frame raise
+    if reg.get(name) == reg_key:
+        return name
     _cdc_frame(sess, root, from_id, to_id, key_cols).createOrReplaceTempView(
         name
     )
+    reg[name] = reg_key
     return name
 
 
@@ -3307,6 +3532,11 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
             base = _snapshot_view(
                 sess, root, None, None, geo_prune=(gcol, box, True)
             )
+            reg = _view_registry(sess)
+            name = _view_name("geo_scan", root, (gcol, "wrap") + box)
+            gkey = ("geo_wrap", reg.get(base), gcol, box)
+            if reg.get(name) == gkey:
+                return name
             qx0, qy0, qx1, qy1 = box
             env = wkb_geography_envelope_udf(strict=True)(F.col(gcol))
             lo, hi = env["xlo"], env["xhi"]
@@ -3327,13 +3557,18 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
                 & (env["ymax"] >= qy0)
                 & (env["ymin"] <= qy1)
             )
-            name = _view_name("geo_scan", root, (gcol, "wrap") + box)
             out_df.createOrReplaceTempView(name)
+            reg[name] = gkey
             return name
 
         base = _snapshot_view(
             sess, root, None, None, geo_prune=(gcol, box, False)
         )
+        reg = _view_registry(sess)
+        name = _view_name("geo_scan", root, (gcol,) + box)
+        gkey = ("geo_planar", reg.get(base), gcol, box)
+        if reg.get(name) == gkey:
+            return name
         from cloudfloe_spark.functions.geo import (
             bbox_intersects,
             wkb_envelope_udf,
@@ -3349,8 +3584,8 @@ def resolve_iceberg_reads(sess, sql: str) -> str:
         out_df = sess.table(base).filter(
             F.col(gcol).isNotNull() & bbox_intersects(env, window)
         )
-        name = _view_name("geo_scan", root, (gcol,) + box)
         out_df.createOrReplaceTempView(name)
+        reg[name] = gkey
         return name
 
     def _snapshots(m: re.Match) -> str:
