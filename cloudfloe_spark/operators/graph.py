@@ -135,13 +135,22 @@ def connected_components(
             raise ConvergenceError(msg)
         warnings.warn(msg, stacklevel=2)
     if nodes is not None:
-        isolated = (
-            nodes.select(F.col(nodes.columns[0]).alias("node"))
-            .distinct()
-            .join(labels, "node", "left_anti")
-            .select("node", F.col("node").alias("cluster_id"))
+        # Fused singleton attach (r16 — guide §2.4): propagation labels
+        # satisfy cluster_id <= node (initial label = min(node, min
+        # neighbor), updates only decrease), so unioning every catalog
+        # node as its own self-label candidate and taking min per node
+        # reproduces the old distinct + anti-join + union in ONE
+        # map-side-combinable aggregate: a labeled node keeps its label
+        # (<= node), an isolated node keeps itself.
+        labels = (
+            labels.unionByName(
+                nodes.select(
+                    F.col(nodes.columns[0]).alias("node")
+                ).select("node", F.col("node").alias("cluster_id"))
+            )
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        labels = labels.unionByName(isolated)
     return labels
 
 
@@ -402,36 +411,34 @@ def connected_components_star(
             raise ConvergenceError(msg)
         warnings.warn(msg, stacklevel=2)
 
-    # Stars point child→root; roots label themselves.
-    labels = e.select(
+    # Final labeling, fused (r16 — guide §2.4; VERDICT r15 #4). The old
+    # form was three distinct+anti-join arms (roots, self-loop-only
+    # endpoints, isolated catalog nodes) unioned onto the child labels —
+    # five exchanges and three broadcasts after the loop. In the
+    # CONVERGED star forest every edge points child→root with
+    # root < child (small-star output is strictly big→small), so for any
+    # node the component label is simply the MINIMUM over {its root if it
+    # is a child, itself}: one union of self-label candidates with the
+    # converged edges and ONE groupBy(node).min — map-side combinable,
+    # single exchange, provably the same (node, cluster_id) set:
+    #   child u:      min(root, u) = root   (root < u at convergence)
+    #   root r:       min(r, r)    = r      (roots never appear as child)
+    #   singleton n:  min(n)       = n      (self-candidate only)
+    cand = e.select(
         F.col("u").alias("node"), F.col("v").alias("cluster_id")
     )
-    roots = (
-        e.select(F.col("v").alias("node"))
-        .distinct()
-        .join(labels, "node", "left_anti")
-        .select("node", F.col("node").alias("cluster_id"))
+    # Both endpoints from ONE pass over the original edge frame (explode,
+    # not a self-union — the union form evaluated the whole upstream
+    # pair-generation subtree twice).
+    cand = cand.unionByName(
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        ).select("node", F.col("node").alias("cluster_id"))
     )
-    labels = labels.unionByName(roots)
-    # Self-loop-only nodes were dropped by the a != b filter but are still
-    # part of the edge list — label them singletons, matching
-    # :func:`connected_components` (the two variants must agree on every
-    # input). One distinct + anti-join over edge endpoints.
-    endpoints = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    self_loop_only = endpoints.join(labels, "node", "left_anti").select(
-        "node", F.col("node").alias("cluster_id")
-    )
-    labels = labels.unionByName(self_loop_only)
     if nodes is not None:
-        isolated = (
-            nodes.select(F.col(nodes.columns[0]).alias("node"))
-            .distinct()
-            .join(labels, "node", "left_anti")
-            .select("node", F.col("node").alias("cluster_id"))
+        cand = cand.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node")).select(
+                "node", F.col("node").alias("cluster_id")
+            )
         )
-        labels = labels.unionByName(isolated)
-    return labels
+    return cand.groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
