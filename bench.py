@@ -488,14 +488,25 @@ def main() -> None:
         "norm_version": 3,
         "weights_used": sorted(n for n in HEADLINE if n in weights),
         "sf": sf_val,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
     print(json.dumps(detail))
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        with open(detail_path, "w") as f:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1)
+        # Per-core-count sidecar (r16, VERDICT r15 #5): the driver runs
+        # the bench at two core counts back-to-back; the single detail
+        # file used to be overwritten by whichever ran last, losing the
+        # other run's per-query numbers (PERF_r15 scaling.per_query came
+        # up empty). Purely additive — the stdout contract and
+        # BENCH_DETAIL.json are unchanged.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            with open(
+                os.path.join(here, f"BENCH_DETAIL_c{cpus}.json"), "w"
+            ) as f:
+                json.dump(detail, f, indent=1)
     except OSError:
         pass  # detail file is best-effort; the stdout lines are the contract
     # FINAL line: compact, bounded size — always fits the driver tail buffer.
