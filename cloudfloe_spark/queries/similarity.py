@@ -1858,17 +1858,19 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qterms = (
+    # One vocab aggregation serves BOTH query-term selection (top corpus
+    # frequency) and df (r16 — guide §2.4, mirroring text_bm25_topk): df
+    # is the tf row count per term, so it rides the same groupBy instead
+    # of a second vocab-wide exchange + broadcast-join re-aggregation.
+    dfreq = (
         tf.groupBy("term")
-        .agg(F.sum("tf").alias("n"))
+        .agg(
+            F.sum("tf").alias("n"),
+            F.count("*").cast("double").alias("df"),
+        )
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(5)
-        .select("term")
-    )
-    dfreq = (
-        tf.join(F.broadcast(qterms), "term")
-        .groupBy("term")
-        .agg(F.count("*").cast("double").alias("df"))
+        .select("term", "df")
     )
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))

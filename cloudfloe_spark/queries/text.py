@@ -1456,17 +1456,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qterms = (
+    # One vocab aggregation serves BOTH query-term selection (top corpus
+    # frequency) and df (r16 — guide §2.4): df is simply the tf row count
+    # per term, so it rides the same groupBy instead of a second
+    # vocab-wide exchange + broadcast-join re-aggregation. Restricting
+    # df to the LIMIT-5 winners afterwards matches the old qterms⋈tf
+    # exactly.
+    df = (
         tf.groupBy("term")
-        .agg(F.sum("tf").alias("n"))
+        .agg(
+            F.sum("tf").alias("n"),
+            F.count("*").cast("double").alias("df"),
+        )
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(_BM25_N_QTERMS)
-        .select("term")
-    )
-    df = (
-        tf.join(F.broadcast(qterms), "term")
-        .groupBy("term")
-        .agg(F.count("*").cast("double").alias("df"))
+        .select("term", "df")
     )
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + _BM25_K1 * (
