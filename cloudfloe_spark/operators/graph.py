@@ -63,12 +63,16 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
-    # The symmetric frame is STATIC across rounds, and every round joins
-    # it on `a` — hash-partition it on `a` once before the checkpoint
-    # (r15, guide §2.4: localCheckpoint preserves outputPartitioning, so
-    # each round's join reuses it instead of re-exchanging the edge list;
-    # the initial-label groupBy below also runs exchange-free). Measured
-    # 1.92 s → 1.68 s end-to-end on the minhash clustering at sf0.1.
+    # The symmetric frame is STATIC across rounds; hash-partition it on
+    # the per-round join key `a` once before the checkpoint (r15).
+    # r16 scale probe (scripts/graph_iter_probe.py, 2x/4x, event-log
+    # accounting): shuffle stages AND bytes are IDENTICAL with this
+    # repartition removed — the frame is shuffled exactly once either
+    # way (cross-round shuffle-dependency reuse serves the later rounds)
+    # — so the r15 "one fewer exchange per round" claim is RETIRED. Kept
+    # because it pins the partitioning deterministically instead of
+    # relying on exchange reuse (which concurrent leaf stages can race
+    # past), at zero measured cost.
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(F.col("a"))
@@ -179,8 +183,10 @@ def pagerank(
     (a symmetrized graph has none, by construction); this operator is the
     general-purpose piece."""
     # Hash-partition the static edge list on the per-iteration join key
-    # once before the checkpoint (r15 — same exchange-reuse rationale as
-    # connected_components: every iteration joins ranks into e on `s`).
+    # once before the checkpoint (r15). r16 probe: shuffle-structure
+    # neutral vs no repartition (single edge shuffle either way — see
+    # connected_components above); kept to pin partitioning
+    # deterministically at zero measured cost.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .repartition(F.col("s"))
@@ -355,7 +361,13 @@ def connected_components_star(
 
     def _large_star(cur: DataFrame) -> DataFrame:
         # Directed both ways; per node u: m = min(neighbors ∪ {u});
-        # larger neighbors re-point at m.
+        # larger neighbors re-point at m. No output distinct (r15): the
+        # r16 hot-key probe (graph_iter_probe.py skew: 200k spokes all
+        # emitting the same (hub, min) row) confirms the duplicated
+        # intermediate is bounded by |e| rows total and by hub degree
+        # per window key — the same order as the genuine hub skew the
+        # small-star window already absorbs; adversarial-graph wall time
+        # was a wash with the distinct restored (4.80 vs 4.47 s).
         sym = cur.select("u", "v").unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )

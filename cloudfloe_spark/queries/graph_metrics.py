@@ -214,10 +214,12 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way any hot groupBy key does (AQE skew-join handles it)."""
     sym0 = _copurchase_edges(spark, sf_dir)
     # Hash-partitioned on the per-iteration join key before the lazy
-    # checkpoint (r15, guide §2.4): localCheckpoint preserves
-    # outputPartitioning, so each power iteration's rank join reuses this
-    # one exchange and the degree groupBy runs exchange-free — measured
-    # 2.54 s → 2.08 s end-to-end at sf0.1, identical ranks.
+    # checkpoint (r15). r16 scale probe (scripts/graph_iter_probe.py,
+    # 2x/4x): stages and shuffle bytes are IDENTICAL without this
+    # repartition (AQE ReuseExchange covers the static frame inside the
+    # one-job power loop), so the r15 per-iteration-exchange claim is
+    # RETIRED; kept to pin the partitioning deterministically (reuse can
+    # race under concurrent leaf stages) at zero measured cost.
     sym = (
         sym0.unionByName(
             sym0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
