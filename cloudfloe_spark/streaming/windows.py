@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 
 from cloudfloe_spark.sources.tables import ensure_runtime_conf
 
+# Per-session schema cache for the stream source (r16 — guide §1.2 step 3,
+# driver-side overhead: the batch-reader schema probe cost 0.10-0.27 s of
+# the ~1.4 s streaming twin, every invocation, for an immutable fixture).
+# Keyed on file identity (path, size, mtime_ns) so an overwritten fixture
+# re-infers; values are schemas (metadata), never data or results.
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
+
+
+def _source_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        return _SCHEMA_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
 
 def stream_events(
     spark: SparkSession,
@@ -41,7 +62,7 @@ def stream_events(
     """
     ensure_runtime_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _source_schema(spark, path)
     # The file stream source requires a directory base path; scope the
     # listing to the events file with a glob filter.
     reader = spark.readStream.schema(schema).option(
