@@ -38,6 +38,40 @@ def test_stream_source_is_streaming(events_stream):
     assert events_stream.schema["ts"].dataType.simpleString() == "timestamp"
 
 
+def test_stream_source_schema_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    """r16: the stream source caches the fixture schema per (realpath,
+    size, mtime_ns) — a repeat call must serve the cached schema, and a
+    REWRITTEN file (new identity) must re-infer, never serve stale."""
+    import os
+    import shutil
+
+    from cloudfloe_spark.streaming import windows as W
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = str(tmp_path / "evdir")
+    os.makedirs(work)
+    shutil.copy(src, os.path.join(work, "events.parquet"))
+
+    W._SCHEMA_CACHE.clear()
+    s1 = stream_events(spark, work).schema
+    key = next(iter(W._SCHEMA_CACHE))
+    assert W._SCHEMA_CACHE
+    s2 = stream_events(spark, work).schema
+    assert s1 == s2 and list(W._SCHEMA_CACHE) == [key]  # served from cache
+
+    # Rewrite the fixture with one column dropped: identity changes, the
+    # cache must miss and the new schema must surface.
+    base = spark.read.parquet(src).drop("value")
+    tmp_out = str(tmp_path / "rewrite")
+    base.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+    shutil.copy(
+        os.path.join(tmp_out, part), os.path.join(work, "events.parquet")
+    )
+    s3 = stream_events(spark, work).schema
+    assert "value" not in s3.fieldNames()
+
+
 def test_tumbling_counts_matches_batch(events_stream, events_batch):
     got = run_available_now(
         tumbling_counts(events_stream), name="t_tumble", output_mode="complete"
