@@ -516,6 +516,12 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                # The driver contract's one-line JSON carries the
+                # per-query map INLINE: PERF_r15's per_query came up
+                # empty because the driver tails only this final line
+                # and the map used to ride the earlier detail line
+                # alone. 69 queries ≈ 2.5 KB — still a bounded line.
+                "queries": timings,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "normalized_total": norm_total,
