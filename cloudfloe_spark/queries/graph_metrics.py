@@ -32,10 +32,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg degree ~120 at sf0.1) whose wedge space is O(m·d̄) — market-basket
     practice (a-priori support pruning) cuts it to the ~3.5k edges that
     carry signal, and the pruning itself is one map-side-combinable
-    count over pairs, linear in the fact table."""
+    count over pairs, linear in the fact table.
+
+    The (ok, pk) frame is hash-partitioned on the ORDER KEY before the
+    distinct (r16): HashPartitioning(ok) satisfies the distinct's
+    ClusteredDistribution([ok, pk]) by subset-key clustering AND is
+    exactly what the self-join requires, so the dedup, both join sides
+    (one ReusedExchange) and the join itself all ride one shuffle — the
+    naive shape shuffled by (ok, pk) for the distinct and then re-shuffled
+    each join side by ok. Interleaved A/B at sf0.1: subtree (noop sink)
+    1.199 -> 0.771 s min-of-5; consumer-level graph_triangle_count
+    2.398 -> 2.079, graph_pagerank_iter 2.473 -> 1.809, graph_kcore_peel
+    2.045 -> 1.392 min-of-3 same-session. Partitioning-only change —
+    row-identical output (asserted in the A/B and against the oracle)."""
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition(F.col("ok"))
         .distinct()
     )
     a = pl.alias("a")

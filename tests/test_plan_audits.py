@@ -794,3 +794,21 @@ def test_decode_media_boundary_carries_three_columns(spark, sf_dir):
     assert n_cols == 3, plan
     assert "content#" in cols and "media_type#" in cols and "doc_id#" in cols, cols
     assert "uri#" not in cols and "size_bytes#" not in cols, cols
+
+
+def test_copurchase_edges_single_order_key_shuffle(spark, sf_dir):
+    """r16 optimization: the co-purchase subtree hash-partitions (ok, pk)
+    on the ORDER KEY before the distinct — subset-key clustering lets the
+    dedup, both self-join sides and the join ride that one shuffle. Pins:
+    REPARTITION_BY_COL on ok, and no ENSURE_REQUIREMENTS exchange keyed
+    on (ok, pk) (the naive distinct's shuffle) anywhere in the plan."""
+    import re
+
+    from cloudfloe_spark.queries.graph_metrics import _copurchase_edges
+
+    df = _copurchase_edges(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert re.search(r"hashpartitioning\(ok#\d+L, \d+\)", plan), plan
+    two_key = re.search(r"hashpartitioning\(ok#\d+L,\s*pk#", plan)
+    assert two_key is None, plan
